@@ -1,0 +1,177 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Pandas-flavored lazy frame over an immutable Spark `DataFrame`.
+  *
+  * The reference's `DataFrame` is a node in a hand-built operator DAG that
+  * compiles to SQLite CTEs (reference: pandasql/core.py:497-531, 34-278);
+  * here the "DAG" IS the Catalyst logical plan, so every method is a 1-5
+  * line delegation and Catalyst provides pushdown/pruning/join-selection.
+  *
+  * Mutation semantics: `set` (the reference's `df['c'] = expr`,
+  * core.py:545-578 + Update core.py:667-726) re-points this wrapper at a
+  * new plan; any previously handed-out `PsDataFrame`/`PsColumn` keeps the
+  * old plan — exactly the reference's copy-on-write versioning, obtained
+  * for free from DataFrame immutability.
+  */
+final class PsDataFrame(private var _df: DataFrame) {
+
+  def df: DataFrame = _df
+  def columns: Seq[String] = _df.columns.toSeq
+
+  private def toCol(x: Any): Column = x match {
+    case p: PsColumn => p.col
+    case c: Column   => c
+    case v           => lit(v)
+  }
+
+  // ---- projection / filter (reference Projection core.py:761-796,
+  //      Selection core.py:799-815) ----
+
+  /** `df['c']` / `df.c` — single-column expression. */
+  def apply(c: String): PsColumn = PsColumn(_df(c))
+
+  /** `df[['a','b']]` — multi-column projection. */
+  def apply(cols: Seq[String]): PsDataFrame =
+    new PsDataFrame(_df.select(cols.map(_df(_)): _*))
+
+  /** `df[criterion]` — row filter. */
+  def apply(crit: PsColumn): PsDataFrame = new PsDataFrame(_df.filter(crit.col))
+
+  def select(cols: String*): PsDataFrame = apply(cols)
+  def where(crit: PsColumn): PsDataFrame = apply(crit)
+
+  /** Free-standing expression projection: `SELECT <exprs> FROM df`
+    * (reference Arithmetic-as-relation, core.py:1430-1431). */
+  def selectExprs(exprs: PsColumn*): PsDataFrame =
+    new PsDataFrame(_df.select(exprs.map(_.col): _*))
+
+  // ---- dedup / sort / limit (reference core.py:597-607, 818-849, 978-995) ----
+
+  /** Full-row DISTINCT (the only dedup the reference supports). */
+  def dropDuplicates(): PsDataFrame = new PsDataFrame(_df.distinct())
+
+  /** `sort_values(by, ascending)` — multi-column, per-column direction. */
+  def sortValues(by: Seq[String], ascending: Seq[Boolean] = Nil): PsDataFrame = {
+    val asc = if (ascending.isEmpty) Seq.fill(by.size)(true) else ascending
+    require(asc.size == by.size, "ascending must match by")
+    val ord = by.zip(asc).map { case (c, a) => if (a) _df(c).asc else _df(c).desc }
+    new PsDataFrame(_df.orderBy(ord: _*))
+  }
+  def sortValues(by: String): PsDataFrame = sortValues(Seq(by))
+
+  /** `head(n)` / `df[:n]`. */
+  def head(n: Int): PsDataFrame = new PsDataFrame(_df.limit(n))
+
+  /** nlargest/nsmallest — the reference's only pandas-fallback ops
+    * (api_status.py:24-28); on Spark just a sort+limit, fully distributed
+    * (Catalyst plans a TakeOrderedAndProject: per-partition top-k, no full
+    * sort, no full shuffle). */
+  def nlargest(n: Int, cols: Seq[String]): PsDataFrame =
+    new PsDataFrame(_df.orderBy(cols.map(_df(_).desc): _*).limit(n))
+  def nsmallest(n: Int, cols: Seq[String]): PsDataFrame =
+    new PsDataFrame(_df.orderBy(cols.map(_df(_).asc): _*).limit(n))
+
+  // ---- join (reference Join core.py:852-945, MultiJoin core.py:948-955) ----
+
+  /** Inner equi-join with the reference's column semantics: output is the
+    * union of columns; a name present on both sides is sourced from the
+    * LEFT (core.py:884-886); with `leftOn != rightOn` both key columns are
+    * kept (tests/test_data_frame.py:156-173). Physical strategy (broadcast
+    * vs shuffled hash vs sort-merge) is Catalyst's choice; pass
+    * `broadcast(right.df)` upstream or rely on AQE for small dims.
+    */
+  def merge(
+      right: PsDataFrame,
+      on: Seq[String] = Nil,
+      leftOn: Seq[String] = Nil,
+      rightOn: Seq[String] = Nil,
+      how: String = "inner"): PsDataFrame = {
+    val l = _df
+    val r = right.df
+    if (on.nonEmpty) {
+      // same-name keys collapse to one column (like the reference's SQL
+      // which projects the key once); right's other duplicate names drop.
+      val dupes = r.columns.filter(c => l.columns.contains(c) && !on.contains(c))
+      val r2 = dupes.foldLeft(r)((d, c) => d.drop(c))
+      new PsDataFrame(l.join(r2, on, how))
+    } else {
+      require(leftOn.nonEmpty && leftOn.size == rightOn.size,
+        "merge needs on= or leftOn=/rightOn= of equal arity")
+      val cond = leftOn.zip(rightOn).map { case (lk, rk) => l(lk) === r(rk) }
+        .reduce(_ && _)
+      var joined = l.join(r, cond, how)
+      for (c <- r.columns if l.columns.contains(c))
+        joined = joined.drop(r(c))
+      new PsDataFrame(joined)
+    }
+  }
+
+  /** Left-deep N-ary join on shared keys (reference MultiJoin). */
+  def multiJoin(others: Seq[PsDataFrame], on: Seq[String]): PsDataFrame =
+    others.foldLeft(this)((acc, o) => acc.merge(o, on = on))
+
+  // ---- union (reference Union core.py:958-975) ----
+
+  /** `concat` — UNION ALL by column NAME (the reference checks column-set
+    * equality, core.py:963-965; Spark's positional `union` would silently
+    * mis-align, so this is `unionByName`). */
+  def concat(others: PsDataFrame*): PsDataFrame =
+    new PsDataFrame(others.foldLeft(_df)((acc, o) => acc.unionByName(o.df)))
+
+  // ---- column mutation / rename (reference core.py:545-578, 729-758) ----
+
+  /** `df['c'] = value` — copy-on-write column assignment. Existing columns
+    * keep their position, new columns append (core.py:676-688; exactly
+    * `withColumn` semantics). Returns this wrapper, now pointing at the
+    * new plan; previously handed-out frames keep the old plan. */
+  def set(name: String, value: Any): PsDataFrame = {
+    _df = _df.withColumn(name, toCol(value))
+    this
+  }
+
+  /** `rename(columns=...)` — order-preserving (core.py:729-758). */
+  def rename(mapping: Map[String, String]): PsDataFrame =
+    new PsDataFrame(_df.withColumnsRenamed(mapping))
+
+  // ---- groupby / aggregation (reference core.py:1003-1258) ----
+
+  def groupby(keys: String*): PsGroupedFrame =
+    new PsGroupedFrame(_df, keys, None)
+
+  /** Ungrouped aggregate over all (numeric where required) columns,
+    * keeping original column names (reference Aggregator ungrouped SQL
+    * `SELECT SUM(c) AS c, ... FROM t`, core.py:1094-1110). */
+  def aggAll(fn: String): PsDataFrame =
+    new PsGroupedFrame(_df, Nil, None).aggAllColumns(fn)
+
+  def sum(): PsDataFrame   = aggAll("sum")
+  def mean(): PsDataFrame  = aggAll("mean")
+  def count(): PsDataFrame = aggAll("count")
+  def min(): PsDataFrame   = aggAll("min")
+  def max(): PsDataFrame   = aggAll("max")
+  def prod(): PsDataFrame  = aggAll("prod")
+  def any(): PsDataFrame   = aggAll("any")
+  def all(): PsDataFrame   = aggAll("all")
+
+  /** `df.agg([f1, f2])` ungrouped — one row per function, labeled by an
+    * `agg` column (the reference's MultiAggregator UNION ALL shape,
+    * core.py:1191-1227, flattened relationally). */
+  def aggRows(fns: Seq[String]): PsDataFrame = {
+    // restrict to numeric columns so every row of the union shares one
+    // schema; each aggregate is cast to double for the same reason
+    // (count→long, sum→widened input type).
+    val grouped = new PsGroupedFrame(_df, Nil, Some(PsGroupedFrame.numericColumns(_df)))
+    val normed = fns.map { fn =>
+      val f = grouped.aggAllColumns(fn).df
+      f.select(lit(fn).as("agg") +: f.columns.map(c => col(c).cast("double").as(c)): _*)
+    }
+    new PsDataFrame(normed.reduce(_ unionByName _))
+  }
+}
+
+object PsDataFrame {
+  def apply(df: DataFrame): PsDataFrame = new PsDataFrame(df)
+}

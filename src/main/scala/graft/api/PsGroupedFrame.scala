@@ -1,0 +1,107 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{BooleanType, NumericType}
+import graft.functions.GraftAggregates
+
+/** Grouped intermediate — not executable until an aggregate is applied.
+  *
+  * The reference models this as `GroupByDataFrame`/`GroupByProjection`
+  * (reference: pandasql/core.py:1003-1071), skipped during CTE assembly
+  * until an `Aggregator` lands on it; Spark's `RelationalGroupedDataset`
+  * has exactly the same contract. Aggregates keep the original column name
+  * (grouped SQL `SELECT g, SUM(c) AS c ...`, core.py:1094-1110).
+  *
+  * Physical execution is `HashAggregateExec` with partial (map-side)
+  * aggregation before the shuffle — at 100 TB the shuffle carries one
+  * partial row per (partition × group), not the raw data.
+  */
+final class PsGroupedFrame(
+    df: DataFrame,
+    keys: Seq[String],
+    selected: Option[Seq[String]]) {
+
+  /** `groupby(k)[['a','b']]` — project the grouped frame
+    * (reference GroupByProjection, core.py:1044-1071). */
+  def apply(cols: String*): PsGroupedFrame =
+    new PsGroupedFrame(df, keys, Some(cols))
+
+  def sum(): PsDataFrame   = aggAllColumns("sum")
+  def mean(): PsDataFrame  = aggAllColumns("mean")
+  def count(): PsDataFrame = aggAllColumns("count")
+  def min(): PsDataFrame   = aggAllColumns("min")
+  def max(): PsDataFrame   = aggAllColumns("max")
+  def prod(): PsDataFrame  = aggAllColumns("prod")
+  def any(): PsDataFrame   = aggAllColumns("any")
+  def all(): PsDataFrame   = aggAllColumns("all")
+
+  /** One aggregate function over every value column, names preserved
+    * (reference Aggregator, core.py:1075-1160). */
+  def aggAllColumns(fn: String): PsDataFrame = {
+    val vals = valueColumns(fn)
+    require(vals.nonEmpty, s"no aggregatable columns for $fn")
+    val aggs = vals.map(c => PsGroupedFrame.fnCol(fn, df(c)).as(c))
+    new PsDataFrame(grouped(aggs))
+  }
+
+  /** Explicit per-column aggregates with explicit output names:
+    * `agg("l_quantity" -> "sum" -> "sum_qty", ...)`. */
+  def agg(specs: ((String, String), String)*): PsDataFrame = {
+    val aggs = specs.map { case ((c, fn), out) =>
+      PsGroupedFrame.fnCol(fn, df(c)).as(out)
+    }
+    new PsDataFrame(grouped(aggs))
+  }
+
+  /** `groupby(g).agg([f1,f2])` — every (column × fn) in ONE pass with flat
+    * `col_fn` names. The reference runs one Aggregator per fn and
+    * self-joins them back on the group keys (GroupedMultiAggregator,
+    * core.py:1230-1258) — on Spark a single HashAggregate computes all of
+    * them together, so the N-way self-join (N extra shuffles) disappears.
+    */
+  def aggFns(fns: Seq[String]): PsDataFrame = {
+    val aggs = for {
+      fn <- fns
+      c  <- valueColumns(fn)
+    } yield PsGroupedFrame.fnCol(fn, df(c)).as(s"${c}_$fn")
+    new PsDataFrame(grouped(aggs))
+  }
+
+  private def grouped(aggs: Seq[Column]): DataFrame =
+    if (keys.isEmpty) df.agg(aggs.head, aggs.tail: _*)
+    else df.groupBy(keys.map(df(_)): _*).agg(aggs.head, aggs.tail: _*)
+
+  private def valueColumns(fn: String): Seq[String] = {
+    val base = selected.getOrElse(df.columns.toSeq.filterNot(keys.contains))
+    fn match {
+      // numeric-only aggregates (pandas drops non-numeric for these)
+      case "sum" | "mean" | "prod" => base.filter(isNumeric)
+      case "any" | "all"           => base.filter(c => isNumeric(c) || isBoolean(c))
+      case _                       => base
+    }
+  }
+
+  private def isNumeric(c: String): Boolean =
+    df.schema(c).dataType.isInstanceOf[NumericType]
+  private def isBoolean(c: String): Boolean =
+    df.schema(c).dataType == BooleanType
+}
+
+object PsGroupedFrame {
+  def numericColumns(df: DataFrame): Seq[String] =
+    df.schema.fields.filter(_.dataType.isInstanceOf[NumericType]).map(_.name).toSeq
+
+  /** Aggregate-function dispatch (reference fn→SQL map, core.py:1076-1085). */
+  def fnCol(fn: String, c: Column): Column = fn match {
+    case "sum"   => sum(c)
+    case "count" => count(c)
+    case "mean"  => avg(c)
+    case "min"   => min(c)
+    case "max"   => max(c)
+    case "prod"  => GraftAggregates.prod(c)
+    case "any"   => GraftAggregates.anyAgg(c)
+    case "all"   => GraftAggregates.allAgg(c)
+    case other   => throw new IllegalArgumentException(s"unsupported aggregate: $other")
+  }
+}

@@ -1,0 +1,52 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import graft.api.PsDataFrame
+
+/** Ingest / egress.
+  *
+  * The reference's `read_csv` has three code paths — in-memory pandas,
+  * chunked 10k-row loading when predicted OOM, and a direct SQLite
+  * `.import` with types sniffed from the first 1,000 lines (reference:
+  * pandasql/io.py:12-66). On Spark all three collapse: file sources are
+  * already streamed, partitioned (`spark.sql.files.maxPartitionBytes`
+  * splits), and schema-inferred; out-of-core is native. At 100 TB the scan
+  * parallelism comes from file splits — no driver-side chunk loop.
+  */
+object PsIO {
+
+  def readParquet(spark: SparkSession, path: String): PsDataFrame =
+    PsDataFrame(spark.read.parquet(path))
+
+  /** reference io.py:12-28 — header + schema inference on by default. */
+  def readCsv(
+      spark: SparkSession,
+      path: String,
+      header: Boolean = true,
+      inferSchema: Boolean = true): PsDataFrame =
+    PsDataFrame(
+      spark.read
+        .option("header", header.toString)
+        .option("inferSchema", inferSchema.toString)
+        .csv(path))
+
+  /** reference io.py:31-33. */
+  def readJson(spark: SparkSession, path: String): PsDataFrame =
+    PsDataFrame(spark.read.json(path))
+
+  /** reference core.py:626-630 (to_csv forces compute then delegates). */
+  def toCsv(df: DataFrame, path: String, header: Boolean = true): Unit =
+    df.write.mode(SaveMode.Overwrite).option("header", header.toString).csv(path)
+
+  /** reference core.py:632-634. */
+  def toJson(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).json(path)
+
+  def toParquet(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** Explicit materialization — the reference's offload-to-SQLite
+    * (`CREATE TABLE name AS <query>`, core.py:84-89). On Spark this is
+    * plan caching; later queries reuse the in-memory columnar form. */
+  def materialize(df: DataFrame): DataFrame = df.cache()
+}
