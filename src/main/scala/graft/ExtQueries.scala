@@ -1,0 +1,352 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.api._
+import graft.functions.TextAnalysis
+import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.sources.PsIO
+import graft.streaming.StreamingOps
+
+/** LLM-data-pipeline + coverage-gap queries (round 2 extension surface):
+  * dedup (exact / n-gram Jaccard / MinHash-LSH / SimHash), similarity
+  * search (brute-force + LSH ANN), text analysis, multimodal binary
+  * columns, event windowing/sessionization, plus entries covering
+  * previously-untested reference operators (nsmallest, bitOr, ~, local
+  * constructor, per-column agg sugar).
+  *
+  * Float-parity conventions: every floating value that reaches the oracle
+  * hash compare is either (a) a ratio of exact integers, (b) a
+  * decimal-summed money value cast back to double, or (c) omitted (ANN
+  * ranks instead of scores) — so no round() half-boundary flakiness.
+  */
+object ExtQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): PsDataFrame =
+    PsIO.readParquet(s, s"$dir/$name.parquet")
+
+  /** events.parquet carries ns timestamps, which Spark's parquet reader
+    * rejects; read them as raw ns-since-epoch longs and do integer epoch
+    * arithmetic (exactly what DuckDB's ns timestamps truncate to). */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.read.parquet(s"$dir/events.parquet")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- dedup family ------------------------------------------------
+
+    // keyed/subset exact dedup: first row per (lang, source) by doc_id
+    "q_dedup_key" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      PsDataFrame(Dedup.exact(d.df, Seq("lang", "source"), Seq(col("doc_id"))))
+        .select("doc_id", "lang", "source", "n_chars")
+        .sortValues(Seq("doc_id")).df
+    }),
+
+    // content dedup at scale: dedup on a 60-bit fingerprint of normalized
+    // text (never on the raw text — the fingerprint is the shuffle key)
+    "q_dedup_text" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val withFp = d.df.withColumn("fp",
+        TextAnalysis.fingerprint60(TextAnalysis.normalized(col("text"))))
+      PsDataFrame(Dedup.exact(withFp, Seq("fp"), Seq(col("doc_id"))))
+        .select("doc_id", "fp").sortValues(Seq("doc_id")).df
+    }),
+
+    // exact 3-gram Jaccard near-dup pairs via inverted-index join
+    "q_jaccard_pairs" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Dedup.jaccardPairs(d.df, "doc_id", "text", k = 3, threshold = 0.6)
+        .orderBy("a_id", "b_id")
+    }),
+
+    // MinHash-LSH near-dup pairs (banded candidates + exact confirm);
+    // oracle is the brute-force Jaccard — LSH miss probability at the
+    // injected-dup similarity (~0.97) is ~1e-15, so outputs must agree
+    "q_minhash_lsh" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Dedup.minhashLsh(d.df, "doc_id", "text").orderBy("a_id", "b_id")
+    }),
+
+    // 60-bit SimHash fingerprints (md5-derived token hash = cross-engine)
+    "q_simhash" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Dedup.simhash(d.df, "doc_id", "text").orderBy("id")
+    }),
+
+    // ---- text analysis ----------------------------------------------
+
+    "q_fingerprint" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      d.df.select(
+        col("doc_id"),
+        TextAnalysis.fingerprintHex(col("text")).as("fp_hex"),
+        TextAnalysis.fingerprint60(col("text")).as("fp60"),
+        TextAnalysis.fingerprintHex(TextAnalysis.normalized(col("text")))
+          .as("fp_norm_hex"))
+        .orderBy("doc_id")
+    }),
+
+    "q_textstats" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val txt = col("text")
+      d.df.select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(txt).as("n_tokens"),
+        TextAnalysis.subwordCount(txt).as("n_subwords"),
+        TextAnalysis.charLen(txt).as("n_chars_c"),
+        TextAnalysis.punctRatio(txt).as("punct_ratio"),
+        TextAnalysis.meanTokenLen(txt).as("mean_tok_len"),
+        TextAnalysis.wordRatio(txt, TextAnalysis.EnglishStopwords).as("stop_ratio"),
+        TextAnalysis.qualityScore(txt).as("quality"))
+        .orderBy("doc_id")
+    }),
+
+    "q_langid" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      d.df.select(
+        col("doc_id"), col("lang"),
+        TextAnalysis.langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- similarity search ------------------------------------------
+
+    // exact cosine top-5 for 20 query vectors (ranks only — membership
+    // and order are float-stable, raw scores are not hash-comparable)
+    "q_cosine_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.df.filter(col("vec_id") < 20)
+      Similarity.bruteForceTopK(e.df, q, "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"), col("rank").as("rnk"))
+        .orderBy("query_id", "rnk")
+    }),
+
+    // LSH-bucketed ANN, top-1 per query. No SQL oracle (approximate by
+    // design) → driver records rows-only; recall vs brute force is
+    // asserted in AnnSpec.
+    "q_ann_lsh" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.df.filter(col("vec_id") < 20)
+      Similarity.lshTopK(e.df, q, "vec_id", "embedding",
+          dim = 64, k = 1, bits = 8, tables = 8)
+        .select(col("query_id"), col("neighbor_id"), col("rank").as("rnk"))
+        .orderBy("query_id", "rnk")
+    }),
+
+    // ---- multimodal binary columns ----------------------------------
+
+    // metadata over opaque binary payloads (decode-free path: column
+    // pruning means payload-only metadata never reads pixel bytes)
+    "q_multimodal" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val payload = Multimodal.textAsPayload(col("text"))
+      d.df.select(
+        col("doc_id"),
+        Multimodal.payloadBytes(payload).as("n_bytes"),
+        Multimodal.payloadMd5(payload).as("payload_md5"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- events: windows + sessions ---------------------------------
+
+    // tumbling 1h window aggregation (batch form of the streaming op)
+    "q_window_events" -> ((s, dir) => {
+      val ev = events(s, dir)
+      ev.select(
+          expr("(ts div 3600000000000) * 3600").cast("long").as("hour_s"),
+          col("event_type"), col("value"))
+        .groupBy("hour_s", "event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+        .orderBy("hour_s", "event_type")
+    }),
+
+    // per-user 30-minute-gap sessionization (analytic-window batch form)
+    "q_sessionize" -> ((s, dir) => {
+      val ev = events(s, dir)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      StreamingOps.sessionizeBatch(ev, gapMinutes = 30)
+        .select(col("user_id"), col("session_id"),
+          unix_millis(col("session_start")).as("start_ms"),
+          unix_millis(col("session_end")).as("end_ms"),
+          col("n_events"), col("total_value"))
+        .orderBy("user_id", "session_id")
+    }),
+
+    // ---- coverage for previously-untested reference ops -------------
+
+    "q_nsmallest" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      o.nsmallest(15, Seq("o_totalprice", "o_orderkey"))
+        .select("o_orderkey", "o_totalprice").df
+    }),
+
+    // bitwise ~ and | (untested in round 1)
+    "q_bitops" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      li.selectExprs(
+          li("l_orderkey").as("l_orderkey"),
+          li("l_linenumber").as("l_linenumber"),
+          (~li("l_suppkey")).as("inv"),
+          li("l_partkey").bitOr(15).as("bor"))
+        .sortValues(Seq("l_orderkey", "l_linenumber")).df
+    }),
+
+    // DataFrame(local data) constructor joined against a real table
+    "q_local" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val seg = PsDataFrame
+        .fromLocal(s, Seq(("BUILDING", 1), ("AUTOMOBILE", 2), ("MACHINERY", 3)))
+        .rename(Map("_1" -> "seg", "_2" -> "pri"))
+      c.merge(seg, leftOn = Seq("c_mktsegment"), rightOn = Seq("seg"))
+        .groupby("seg", "pri")
+        .agg(("c_custkey", "count") -> "n")
+        .sortValues(Seq("seg")).df
+    }),
+
+    // per-column aggregate sugar: df("c").sum() scalars, re-lifted into a
+    // frame so the oracle can compare them
+    "q_colagg" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val sumQty = li("l_quantity").sum().asInstanceOf[Double]
+      val avgQty = li("l_quantity").mean().asInstanceOf[Double]
+      val maxPrice = li("l_extendedprice").max().asInstanceOf[Double]
+      val n = li("l_linenumber").countValues()
+      PsDataFrame.fromLocal(s, Seq((sumQty, avgQty, maxPrice, n)))
+        .rename(Map("_1" -> "sum_qty", "_2" -> "avg_qty",
+          "_3" -> "max_price", "_4" -> "n")).df
+    })
+  )
+
+  // ------------------------------------------------------------ oracles
+
+  private val docShingleCte =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       sh AS (SELECT doc_id,
+                     list_distinct(list_transform(range(len(w) - 2),
+                       i -> array_to_string(w[i+1:i+3], ' '))) AS dsh
+              FROM toks WHERE len(w) >= 3),
+       p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                    len(list_intersect(a.dsh, b.dsh)) AS inter,
+                    len(a.dsh) AS na, len(b.dsh) AS nb
+             FROM sh a JOIN sh b ON a.doc_id < b.doc_id)"""
+
+  private def jaccardOracle(threshold: Double): String =
+    s"""$docShingleCte
+       SELECT a_id, b_id, inter::DOUBLE / (na + nb - inter) AS jaccard
+       FROM p WHERE inter::DOUBLE / (na + nb - inter) >= $threshold
+       ORDER BY a_id, b_id"""
+
+  private val normFp = """('0x' || substr(md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), 1, 15))::BIGINT"""
+
+  private val stopList = TextAnalysis.EnglishStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  private def langRatio(words: Seq[String]): String = {
+    val lst = words.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"len(list_filter(string_split(text, ' '), t -> list_contains($lst, t)))::DOUBLE / len(string_split(text, ' '))"
+  }
+
+  def oracleSql: Map[String, String] = Map(
+    "q_dedup_key" ->
+      """SELECT doc_id, lang, source, n_chars FROM (
+           SELECT *, row_number() OVER (PARTITION BY lang, source ORDER BY doc_id) AS rn
+           FROM documents) WHERE rn = 1 ORDER BY doc_id""",
+    "q_dedup_text" ->
+      s"""SELECT doc_id, fp FROM (
+            SELECT doc_id, $normFp AS fp,
+                   row_number() OVER (PARTITION BY $normFp ORDER BY doc_id) AS rn
+            FROM documents) WHERE rn = 1 ORDER BY doc_id""",
+    "q_jaccard_pairs" -> jaccardOracle(0.6),
+    "q_minhash_lsh" -> jaccardOracle(0.8),
+    "q_simhash" ->
+      (Dedup.simhashOracleSql("documents", "doc_id", "text") + " ORDER BY id"),
+    "q_fingerprint" ->
+      s"""SELECT doc_id, md5(text) AS fp_hex,
+            ('0x' || substr(md5(text), 1, 15))::BIGINT AS fp60,
+            md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp_norm_hex
+          FROM documents ORDER BY doc_id""",
+    "q_textstats" ->
+      s"""SELECT doc_id, n_tokens, n_subwords, n_chars_c, punct_ratio, mean_tok_len, stop_ratio,
+            ((CASE WHEN n_chars_c BETWEEN 100 AND 10000 THEN 1.0
+                   WHEN n_chars_c < 100 THEN n_chars_c::DOUBLE / 100.0
+                   ELSE 0.5 END)
+             + least(stop_ratio * 5.0, 1.0)
+             + (1.0 - least(punct_ratio * 4.0, 1.0))
+             + (CASE WHEN mean_tok_len BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.3 END)) / 4.0 AS quality
+          FROM (
+            SELECT doc_id,
+              len(string_split(text, ' ')) AS n_tokens,
+              len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_subwords,
+              length(text) AS n_chars_c,
+              CASE WHEN length(text) = 0 THEN 0.0
+                   ELSE length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE / length(text) END AS punct_ratio,
+              CASE WHEN len(string_split(text, ' ')) = 0 THEN 0.0
+                   ELSE list_sum(list_transform(string_split(text, ' '), t -> length(t)))::DOUBLE
+                        / len(string_split(text, ' ')) END AS mean_tok_len,
+              CASE WHEN len(string_split(text, ' ')) = 0 THEN 0.0
+                   ELSE len(list_filter(string_split(text, ' '), t -> list_contains($stopList, t)))::DOUBLE
+                        / len(string_split(text, ' ')) END AS stop_ratio
+            FROM documents) ORDER BY doc_id""",
+    "q_langid" -> {
+      val profiles = TextAnalysis.LangProfiles
+      val scoreDefs = profiles
+        .map { case (l, ws) => s"${langRatio(ws)} AS s_$l" }.mkString(",\n              ")
+      val best = profiles.map { case (l, _) => s"s_$l" }.mkString("greatest(", ", ", ")")
+      val cases = profiles
+        .map { case (l, _) => s"WHEN s_$l = best AND s_$l > 0 THEN '$l'" }
+        .mkString(" ")
+      s"""SELECT doc_id, lang,
+            CASE $cases ELSE 'und' END AS lang_pred
+          FROM (SELECT *, $best AS best FROM (
+            SELECT doc_id, lang,
+              $scoreDefs
+            FROM documents)) ORDER BY doc_id"""
+    },
+    "q_cosine_topk" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 20),
+         c AS (SELECT vec_id AS nid, embedding::DOUBLE[] AS cv FROM embeddings),
+         sc AS (SELECT qid, nid, list_cosine_similarity(qv, cv) AS score
+                FROM q JOIN c ON qid != nid),
+         r AS (SELECT qid AS query_id, nid AS neighbor_id,
+                      row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS rnk
+               FROM sc)
+         SELECT query_id, neighbor_id, rnk FROM r WHERE rnk <= 5
+         ORDER BY query_id, rnk""",
+    "q_multimodal" ->
+      """SELECT doc_id, octet_length(encode(text)) AS n_bytes, md5(text) AS payload_md5
+         FROM documents ORDER BY doc_id""",
+    "q_window_events" ->
+      """SELECT epoch(date_trunc('hour', ts))::BIGINT AS hour_s, event_type,
+            count(*) AS n, (sum(value::DECIMAL(18,2)))::DOUBLE AS total_value
+         FROM events GROUP BY hour_s, event_type ORDER BY hour_s, event_type""",
+    "q_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ms(ts)::BIGINT AS ms, value FROM events),
+         x AS (SELECT *, lag(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS prev FROM e),
+         y AS (SELECT *, CASE WHEN prev IS NULL OR ms - prev > 1800000 THEN 1 ELSE 0 END AS brk FROM x),
+         z AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ms, event_id
+                                        ROWS UNBOUNDED PRECEDING) AS session_id FROM y)
+         SELECT user_id, session_id, min(ms) AS start_ms, max(ms) AS end_ms,
+                count(*) AS n_events, (sum(value::DECIMAL(18,2)))::DOUBLE AS total_value
+         FROM z GROUP BY user_id, session_id ORDER BY user_id, session_id""",
+    "q_nsmallest" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+         ORDER BY o_totalprice ASC, o_orderkey ASC LIMIT 15""",
+    "q_bitops" ->
+      """SELECT l_orderkey, l_linenumber, ~l_suppkey AS inv, l_partkey | 15 AS bor
+         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+    "q_local" ->
+      """SELECT seg, pri, count(c_custkey) AS n
+         FROM customer JOIN (VALUES ('BUILDING', 1), ('AUTOMOBILE', 2), ('MACHINERY', 3)) AS t(seg, pri)
+           ON c_mktsegment = seg
+         GROUP BY seg, pri ORDER BY seg""",
+    "q_colagg" ->
+      """SELECT CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
+                avg(l_quantity) AS avg_qty,
+                max(l_extendedprice) AS max_price,
+                count(l_linenumber) AS n
+         FROM lineitem"""
+  )
+}

@@ -41,8 +41,12 @@ object SparkEntry {
       .df
   }
 
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  /** One entry per implemented operator from SURVEY.md §2 (reference
+    * parity surface here; LLM-pipeline extension surface in
+    * [[ExtQueries]], merged below). */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = coreQueries ++ ExtQueries.queries
+
+  private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // §2.6 grouped aggregation (sum/mean/count, names via agg specs)
     "q_agg" -> ((s, dir) => {
@@ -209,7 +213,9 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = coreOracleSql ++ ExtQueries.oracleSql
+
+  private def coreOracleSql: Map[String, String] = Map(
     "q_agg" ->
       """SELECT l_returnflag, l_linestatus,
          sum(l_quantity) AS sum_qty,

@@ -1,8 +1,11 @@
 package graft.api
 
-import org.apache.spark.sql.Column
+import scala.util.Try
+
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import graft.functions.PyArith
+import org.apache.spark.sql.types.{BooleanType, DataType}
+import graft.functions.{GraftAggregates, PyArith}
 
 /** Pandas-flavored column expression.
   *
@@ -12,56 +15,95 @@ import graft.functions.PyArith
   * every operator stays a Catalyst expression (codegen'd, pushdown-able).
   * Arithmetic follows Python semantics via [[graft.functions.PyArith]].
   *
+  * `owner` is the frame the column was selected from (when known): it
+  * enables the reference's per-column aggregate sugar (`df['n'].sum()` →
+  * scalar, core.py:219-241) and type-aware `~` dispatch. Columns built
+  * from literals or free compositions have no owner; aggregates on them
+  * throw a meaningful error.
+  *
   * Unlike the reference's `Criterion` (which rejects predicates spanning
   * two sources, core.py:318-330), a PsColumn can mix columns from any
   * frames that Catalyst can resolve — a strict superset.
   */
-final case class PsColumn(col: Column) {
+final case class PsColumn(col: Column, owner: Option[DataFrame] = None) {
   private def o(x: Any): Column = x match {
     case p: PsColumn => p.col
     case c: Column   => c
     case v           => lit(v)
   }
+  /** binary ops keep the left operand's owner so chained sugar works */
+  private def derive(c: Column): PsColumn = PsColumn(c, owner)
 
   // arithmetic (reference core.py:1471-1538)
-  def +(x: Any): PsColumn  = PsColumn(col + o(x))
-  def -(x: Any): PsColumn  = PsColumn(col - o(x))
-  def *(x: Any): PsColumn  = PsColumn(col * o(x))
-  def /(x: Any): PsColumn  = PsColumn(PyArith.pyDiv(col, o(x)))
-  def %(x: Any): PsColumn  = PsColumn(PyArith.pyMod(col, o(x)))
-  def **(x: Any): PsColumn = PsColumn(PyArith.pyPow(col, o(x)))
+  def +(x: Any): PsColumn  = derive(col + o(x))
+  def -(x: Any): PsColumn  = derive(col - o(x))
+  def *(x: Any): PsColumn  = derive(col * o(x))
+  def /(x: Any): PsColumn  = derive(PyArith.pyDiv(col, o(x)))
+  def %(x: Any): PsColumn  = derive(PyArith.pyMod(col, o(x)))
+  def **(x: Any): PsColumn = derive(PyArith.pyPow(col, o(x)))
   /** Python `//` (integral). */
-  def floorDiv(x: Any): PsColumn = PsColumn(PyArith.pyFloorDiv(col, o(x)))
-  def unary_- : PsColumn = PsColumn(negate(col))
-  def abs: PsColumn = PsColumn(org.apache.spark.sql.functions.abs(col))
+  def floorDiv(x: Any): PsColumn = derive(PyArith.pyFloorDiv(col, o(x)))
+  def unary_- : PsColumn = derive(negate(col))
+  def abs: PsColumn = derive(org.apache.spark.sql.functions.abs(col))
 
   // bitwise on non-boolean, boolean combinators on predicates
   // (reference overloads & | ^ ~ for both, core.py:354-361, 1513-1533)
-  def bitAnd(x: Any): PsColumn = PsColumn(PyArith.bitAnd(col, o(x)))
-  def bitOr(x: Any): PsColumn  = PsColumn(PyArith.bitOr(col, o(x)))
-  def bitXor(x: Any): PsColumn = PsColumn(PyArith.bitXor(col, o(x)))
-  def unary_~ : PsColumn = PsColumn(PyArith.inv(col))
+  def bitAnd(x: Any): PsColumn = derive(PyArith.bitAnd(col, o(x)))
+  def bitOr(x: Any): PsColumn  = derive(PyArith.bitOr(col, o(x)))
+  def bitXor(x: Any): PsColumn = derive(PyArith.bitXor(col, o(x)))
+
+  /** `~` — the reference overloads __invert__ as logical NOT on predicates
+    * (core.py:360) and bitwise inversion on numerics (core.py:440). We
+    * dispatch on the analyzed type when the owning frame is known, else
+    * fall back to bitwise (matching the numeric-arithmetic context `~` is
+    * documented for). */
+  def unary_~ : PsColumn = {
+    val isBool = dataTypeIfKnown.contains(BooleanType)
+    derive(if (isBool) !col else PyArith.inv(col))
+  }
+
+  private def dataTypeIfKnown: Option[DataType] =
+    owner.flatMap(df => Try(df.select(col).schema.head.dataType).toOption)
 
   // comparisons (reference core.py:449-469, 1307-1341)
-  def ===(x: Any): PsColumn = PsColumn(col === o(x))
-  def =!=(x: Any): PsColumn = PsColumn(col =!= o(x))
-  def <(x: Any): PsColumn   = PsColumn(col < o(x))
-  def <=(x: Any): PsColumn  = PsColumn(col <= o(x))
-  def >(x: Any): PsColumn   = PsColumn(col > o(x))
-  def >=(x: Any): PsColumn  = PsColumn(col >= o(x))
+  def ===(x: Any): PsColumn = derive(col === o(x))
+  def =!=(x: Any): PsColumn = derive(col =!= o(x))
+  def <(x: Any): PsColumn   = derive(col < o(x))
+  def <=(x: Any): PsColumn  = derive(col <= o(x))
+  def >(x: Any): PsColumn   = derive(col > o(x))
+  def >=(x: Any): PsColumn  = derive(col >= o(x))
 
   // boolean combinators (reference And/Or/Not core.py:1343-1361)
-  def &&(x: Any): PsColumn = PsColumn(col && o(x))
-  def ||(x: Any): PsColumn = PsColumn(col || o(x))
-  def unary_! : PsColumn = PsColumn(!col)
+  def &&(x: Any): PsColumn = derive(col && o(x))
+  def ||(x: Any): PsColumn = derive(col || o(x))
+  def unary_! : PsColumn = derive(!col)
 
   // predicates (reference IsIn/Contains/StartsWith/EndsWith
   // core.py:1364-1397; plain substring — regex rejected, core.py:486-487)
-  def isin(values: Any*): PsColumn = PsColumn(col.isin(values: _*))
-  def contains(s: String): PsColumn   = PsColumn(col.contains(s))
-  def startsWith(s: String): PsColumn = PsColumn(col.startsWith(s))
-  def endsWith(s: String): PsColumn   = PsColumn(col.endsWith(s))
+  def isin(values: Any*): PsColumn = derive(col.isin(values: _*))
+  def contains(s: String): PsColumn   = derive(col.contains(s))
+  def startsWith(s: String): PsColumn = derive(col.startsWith(s))
+  def endsWith(s: String): PsColumn   = derive(col.endsWith(s))
 
-  def as(name: String): PsColumn = PsColumn(col.as(name))
-  def cast(to: String): PsColumn = PsColumn(col.cast(to))
+  def as(name: String): PsColumn = derive(col.as(name))
+  def cast(to: String): PsColumn = derive(col.cast(to))
+
+  // ---- per-column aggregate sugar (reference core.py:219-241:
+  //      `df['n'].sum()` on a projection yields a scalar) ----
+
+  private def scalarAgg(fn: String): Any = {
+    val df = owner.getOrElse(throw new IllegalArgumentException(
+      s"$fn(): column has no owning frame; aggregate via df.select(...).$fn()"))
+    df.agg(PsGroupedFrame.fnCol(fn, col)).head().get(0)
+  }
+
+  /** Scalar aggregates — one distributed agg job, single-value collect. */
+  def sum(): Any   = scalarAgg("sum")
+  def mean(): Any  = scalarAgg("mean")
+  def min(): Any   = scalarAgg("min")
+  def max(): Any   = scalarAgg("max")
+  def countValues(): Long = scalarAgg("count").asInstanceOf[Long]
+  def prod(): Any  = scalarAgg("prod")
+  def anyValue(): Boolean = scalarAgg("any").asInstanceOf[Boolean]
+  def allValues(): Boolean = scalarAgg("all").asInstanceOf[Boolean]
 }

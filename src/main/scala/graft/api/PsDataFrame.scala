@@ -30,8 +30,10 @@ final class PsDataFrame(private var _df: DataFrame) {
   // ---- projection / filter (reference Projection core.py:761-796,
   //      Selection core.py:799-815) ----
 
-  /** `df['c']` / `df.c` — single-column expression. */
-  def apply(c: String): PsColumn = PsColumn(_df(c))
+  /** `df['c']` / `df.c` — single-column expression; carries the owning
+    * frame so per-column aggregate sugar (`df("n").sum()`) and type-aware
+    * `~` dispatch work (reference core.py:219-241, 360/440). */
+  def apply(c: String): PsColumn = PsColumn(_df(c), Some(_df))
 
   /** `df[['a','b']]` — multi-column projection. */
   def apply(cols: Seq[String]): PsDataFrame =
@@ -82,6 +84,11 @@ final class PsDataFrame(private var _df: DataFrame) {
     * kept (tests/test_data_frame.py:156-173). Physical strategy (broadcast
     * vs shuffled hash vs sort-merge) is Catalyst's choice; pass
     * `broadcast(right.df)` upstream or rely on AQE for small dims.
+    *
+    * Deliberate divergence: output column ORDER is left-then-right (Spark
+    * convention), not the reference's lexicographically-sorted union
+    * (pd.Index.union, core.py:879-886) — relational comparisons are
+    * column-order-insensitive, and positional stability is more useful.
     */
   def merge(
       right: PsDataFrame,
@@ -158,20 +165,50 @@ final class PsDataFrame(private var _df: DataFrame) {
 
   /** `df.agg([f1, f2])` ungrouped — one row per function, labeled by an
     * `agg` column (the reference's MultiAggregator UNION ALL shape,
-    * core.py:1191-1227, flattened relationally). */
+    * core.py:1191-1227, flattened relationally).
+    *
+    * ONE scan: all fn×col aggregates are computed in a single
+    * HashAggregate pass (the reference UNION-ALLs one query per fn, which
+    * on 100 TB would be an N× scan-cost bug; here only the 1-row result is
+    * unpivoted, driver-side-free, via `stack`). Aggregates are cast to
+    * double so every unpivoted row shares one schema (count→long,
+    * sum→widened input type otherwise).
+    */
   def aggRows(fns: Seq[String]): PsDataFrame = {
-    // restrict to numeric columns so every row of the union shares one
-    // schema; each aggregate is cast to double for the same reason
-    // (count→long, sum→widened input type).
-    val grouped = new PsGroupedFrame(_df, Nil, Some(PsGroupedFrame.numericColumns(_df)))
-    val normed = fns.map { fn =>
-      val f = grouped.aggAllColumns(fn).df
-      f.select(lit(fn).as("agg") +: f.columns.map(c => col(c).cast("double").as(c)): _*)
-    }
-    new PsDataFrame(normed.reduce(_ unionByName _))
+    val cols = PsGroupedFrame.numericColumns(_df)
+    require(fns.nonEmpty, "aggRows needs at least one aggregate function")
+    require(cols.nonEmpty, "aggRows needs at least one numeric column")
+    val aggs = for { fn <- fns; c <- cols }
+      yield PsGroupedFrame.fnCol(fn, _df(c)).cast("double").as(s"${c}__$fn")
+    val one = _df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = fns
+      .map(fn => s"'$fn', " + cols.map(c => s"`${c}__$fn`").mkString(", "))
+      .mkString(", ")
+    val outNames = cols.map(c => s"`$c`").mkString(", ")
+    new PsDataFrame(
+      one.selectExpr(s"stack(${fns.size}, $stackArgs) AS (agg, $outNames)"))
   }
 }
 
 object PsDataFrame {
   def apply(df: DataFrame): PsDataFrame = new PsDataFrame(df)
+
+  /** `DataFrame(local data)` — the reference's in-memory constructor
+    * (core.py:497-531: dict / list-of-rows / existing frame). Local data
+    * is parallelized across the cluster by `createDataFrame`; intended for
+    * small dimension/test data, not bulk ingest (use PsIO for files). */
+  def fromLocal[T <: Product: scala.reflect.runtime.universe.TypeTag](
+      spark: org.apache.spark.sql.SparkSession,
+      data: Seq[T]): PsDataFrame =
+    new PsDataFrame(spark.createDataFrame(data))
+
+  /** Row-based constructor with an explicit schema (dynamic-schema path of
+    * reference core.py:497-531). */
+  def fromRows(
+      spark: org.apache.spark.sql.SparkSession,
+      schema: org.apache.spark.sql.types.StructType,
+      rows: Seq[org.apache.spark.sql.Row]): PsDataFrame = {
+    import scala.jdk.CollectionConverters._
+    new PsDataFrame(spark.createDataFrame(rows.asJava, schema))
+  }
 }

@@ -68,9 +68,13 @@ final class PsGroupedFrame(
     new PsDataFrame(grouped(aggs))
   }
 
-  private def grouped(aggs: Seq[Column]): DataFrame =
+  private def grouped(aggs: Seq[Column]): DataFrame = {
+    require(aggs.nonEmpty,
+      "no aggregate expressions: agg() needs specs and aggFns() needs a " +
+        "function matching at least one value column")
     if (keys.isEmpty) df.agg(aggs.head, aggs.tail: _*)
     else df.groupBy(keys.map(df(_)): _*).agg(aggs.head, aggs.tail: _*)
+  }
 
   private def valueColumns(fn: String): Seq[String] = {
     val base = selected.getOrElse(df.columns.toSeq.filterNot(keys.contains))

@@ -1,0 +1,109 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+/** Text-analysis primitives for corpus curation (quality filtering,
+  * language ID, token budgeting, fingerprinting). All pure column
+  * expressions over built-ins — per-row, codegen'd, shuffle-free; a 100 TB
+  * corpus pays exactly one scan for any combination of these.
+  *
+  * The reference has no text functions beyond substring predicates
+  * (reference: pandasql/core.py:1370-1397); this family is part of the
+  * designed LLM-pipeline extension surface.
+  */
+object TextAnalysis {
+
+  /** Whitespace token count (the classic "word count"). */
+  def tokenCount(text: Column): Column = size(split(text, " "))
+
+  /** BPE-ish subword token estimate: counts maximal runs of letters,
+    * digits, or single non-space symbols (a cheap, deterministic proxy for
+    * a real tokenizer's token count — useful for token budgeting). */
+  def subwordCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  def charLen(text: Column): Column = length(text)
+
+  /** Fraction of characters that are punctuation/symbols. */
+  def punctRatio(text: Column): Column =
+    when(length(text) === 0, 0.0).otherwise(
+      length(regexp_replace(text, "[A-Za-z0-9\\s]", ""))
+        .cast("double") / length(text))
+
+  /** Mean token length — short means fragmentary/noisy text. */
+  def meanTokenLen(text: Column): Column = {
+    val toks = split(text, " ")
+    when(size(toks) === 0, 0.0).otherwise(
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double")
+        / size(toks))
+  }
+
+  /** Fraction of tokens present in `words` (stopword density — a strong
+    * natural-language-vs-noise signal). The word list travels as a plan
+    * literal: no broadcast, no shuffle. */
+  def wordRatio(text: Column, words: Seq[String]): Column = {
+    val toks = split(text, " ")
+    val set = array(words.map(lit(_)): _*)
+    when(size(toks) === 0, 0.0).otherwise(
+      size(array_intersect_keep_count(toks, set)).cast("double") / size(toks))
+  }
+
+  /** filter(toks, t -> t IN set) — keeps duplicates, unlike
+    * array_intersect (ratio must count every occurrence). */
+  private def array_intersect_keep_count(toks: Column, set: Column): Column =
+    filter(toks, t => array_contains(set, t))
+
+  /** English stopword slice used by [[qualityScore]] / [[langId]]. */
+  val EnglishStopwords: Seq[String] =
+    Seq("the", "a", "an", "of", "to", "in", "and", "or", "is", "it")
+
+  /** Composite quality score in [0,1]: length band + stopword density +
+    * low punctuation + sane token length. The exact recipe is a tunable
+    * heuristic (C4/Gopher-style rules); what matters structurally is that
+    * it is one pass, per-row, and cheap. */
+  def qualityScore(text: Column): Column = {
+    val lenScore = when(charLen(text).between(100, 10000), 1.0)
+      .when(charLen(text) < 100, charLen(text).cast("double") / 100.0)
+      .otherwise(0.5)
+    val stopScore = least(wordRatio(text, EnglishStopwords) * 5.0, lit(1.0))
+    val punctScore = lit(1.0) - least(punctRatio(text) * 4.0, lit(1.0))
+    val tokScore = when(meanTokenLen(text).between(2.0, 12.0), 1.0).otherwise(0.3)
+    // no rounding: every term is exact double arithmetic over integer
+    // counts, so the score is bit-reproducible across engines
+    (lenScore + stopScore + punctScore + tokScore) / 4.0
+  }
+
+  /** Marker-word profiles for the n-gram-heuristic language ID. Real
+    * deployments swap in per-language frequency tables; the machinery
+    * (argmax over per-profile densities in one pass) is the deliverable. */
+  val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> EnglishStopwords,
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "mit", "ein"),
+    "fr" -> Seq("le", "la", "les", "de", "et", "est", "un", "une"),
+    "es" -> Seq("el", "la", "los", "de", "y", "es", "un", "una"))
+
+  /** Best-scoring language, or "und" when no profile matches at all.
+    * Deterministic tie-break: first profile in declaration order wins. */
+  def langId(text: Column): Column = {
+    val scores = LangProfiles.map { case (lang, words) =>
+      (lang, wordRatio(text, words))
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und"): Column) { case ((lang, s), acc) =>
+      when((s === best) && (s > 0), lang).otherwise(acc)
+    }
+  }
+
+  /** Cross-engine-stable document fingerprints: full md5 hex plus a 60-bit
+    * numeric fingerprint (same value DuckDB computes via
+    * ('0x'||substr(md5,1,15))::BIGINT) for compact storage/joins. */
+  def fingerprintHex(text: Column): Column = md5(text)
+  def fingerprint60(text: Column): Column = Dedup.hash60(text)
+
+  /** Normalized text for fingerprinting: lowercase, collapse whitespace,
+    * strip leading/trailing space — so near-identical formatting dedups. */
+  def normalized(text: Column): Column =
+    trim(regexp_replace(lower(text), "\\s+", " "))
+}

@@ -1,0 +1,122 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal (image/audio/video) column support.
+  *
+  * Model: media is an opaque `binary` payload column plus typed metadata —
+  * the same layout a 100 TB multimodal corpus uses in parquet (payload
+  * bytes inline or as object-store references, metadata queryable without
+  * touching payloads). Column pruning means metadata-only queries never
+  * read payload bytes from parquet.
+  *
+  * The heavy per-item work (decode, resize, frame-sample, feature
+  * extraction) runs via `mapPartitions` over a typed Dataset: one partition
+  * = one batch of records through a (re-usable, per-partition-initialized)
+  * decoder — the Scala analogue of arrow-batched UDFs. The actual codec
+  * calls are STUBS (this container has no image/audio libraries):
+  * [[StubCodecs]] documents exactly where a real libjpeg/ffmpeg call would
+  * go and substitutes a deterministic fake so the plumbing (schema,
+  * partitioning, batch shape, spill behavior) is fully testable.
+  */
+object Multimodal {
+
+  /** One media item: opaque payload + metadata. */
+  case class MediaRecord(
+      id: Long,
+      mediaType: String, // "image/jpeg", "audio/wav", "video/mp4", ...
+      payload: Array[Byte],
+      width: Int, // pixels (images/video); 0 when n/a
+      height: Int,
+      durationMs: Long) // audio/video; 0 for images
+
+  /** Extracted features (decoder output). */
+  case class MediaFeatures(
+      id: Long,
+      mediaType: String,
+      nBytes: Int,
+      byteMean: Double,
+      byteEntropy: Double,
+      fingerprint: Long)
+
+  /** Deterministic stand-ins for real codec calls. Each function is where
+    * a production build would call into libjpeg/libsndfile/ffmpeg; the
+    * fakes preserve the data-flow shape (bytes in, bytes/features out) and
+    * are pure, so tests are reproducible. */
+  object StubCodecs {
+    /** REAL IMPL: decode(payload) → pixel buffer. Stub: identity view. */
+    def decode(payload: Array[Byte]): Array[Byte] = payload
+
+    /** REAL IMPL: bilinear resize to (w,h). Stub: deterministic stride
+      * sample down to w*h bytes (keeps "output size depends on target
+      * dims" property). */
+    def resize(pixels: Array[Byte], w: Int, h: Int): Array[Byte] = {
+      val target = math.max(1, math.min(pixels.length, w * h))
+      val stride = math.max(1, pixels.length / target)
+      pixels.indices.by(stride).take(target).map(pixels).toArray
+    }
+
+    /** REAL IMPL: decode video, sample every `everyMs` frame. Stub: split
+      * payload into `n` equal chunks ("frames"). */
+    def sampleFrames(payload: Array[Byte], n: Int): Seq[Array[Byte]] = {
+      if (payload.isEmpty || n <= 0) Seq.empty
+      else {
+        val sz = math.max(1, payload.length / n)
+        payload.grouped(sz).take(n).toSeq
+      }
+    }
+  }
+
+  /** Per-item features via partition-batched extraction. The per-partition
+    * prologue is where a real decoder context (thread-local codec handles,
+    * GPU stream, ...) would be initialized once per task, not per row. */
+  def extractFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      // per-partition decoder init would go here
+      it.map { m =>
+        val px = StubCodecs.decode(m.payload)
+        val n = px.length
+        val mean = if (n == 0) 0.0 else px.map(b => (b & 0xff).toDouble).sum / n
+        val hist = new Array[Long](256)
+        px.foreach(b => hist(b & 0xff) += 1)
+        val entropy =
+          if (n == 0) 0.0
+          else -hist.filter(_ > 0).map { c =>
+            val p = c.toDouble / n; p * math.log(p) / math.log(2)
+          }.sum
+        // FNV-1a over payload: cheap content fingerprint for exact dedup
+        var fp = 0xcbf29ce484222325L
+        px.foreach { b => fp ^= (b & 0xffL); fp *= 0x100000001b3L }
+        MediaFeatures(m.id, m.mediaType, n, mean, entropy, fp)
+      }
+    }
+  }
+
+  /** Resize stage: payload-to-payload transform, same batching story. */
+  def resizeAll(media: Dataset[MediaRecord], w: Int, h: Int): Dataset[MediaRecord] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map(m =>
+      m.copy(payload = StubCodecs.resize(StubCodecs.decode(m.payload), w, h),
+        width = w, height = h)))
+  }
+
+  /** Column-level binary helpers (no decode needed — pure metadata): */
+  def payloadBytes(payload: Column): Column = octet_length(payload)
+  def payloadMd5(payload: Column): Column = md5(payload)
+  /** text → utf-8 binary payload (used to fabricate payloads in tests and
+    * to treat text as just another modality). */
+  def textAsPayload(text: Column): Column = encode(text, "UTF-8")
+
+  /** Lift a DataFrame with (id, mediaType, payload, width, height,
+    * durationMs) into the typed Dataset. */
+  def asMedia(df: DataFrame): Dataset[MediaRecord] = {
+    import df.sparkSession.implicits._
+    df.select(
+      col("id").cast("long"), col("mediaType"), col("payload"),
+      col("width").cast("int"), col("height").cast("int"),
+      col("durationMs").cast("long"))
+      .as[MediaRecord]
+  }
+}

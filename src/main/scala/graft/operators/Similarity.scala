@@ -1,0 +1,152 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float|double>`).
+  *
+  * Two paths, both fully declarative (the dot products run inside
+  * whole-stage codegen via `zip_with`/`aggregate` — no UDF, no collect):
+  *
+  *  - [[bruteForceTopK]]: exact top-k. The query set is broadcast, scores
+  *    are computed map-side in one pass over the corpus, and per-query
+  *    top-k uses a rank window partitioned by query (shuffle volume = one
+  *    row per (corpus row × query), reduced map-side only by the final
+  *    window). Right for ≤ a few thousand queries, any corpus size.
+  *  - [[lshTopK]]: approximate. Random-hyperplane signatures bucket the
+  *    corpus (multi-probe via several independent tables); only same-bucket
+  *    pairs are scored. Right when the query set itself is huge —
+  *    candidate generation becomes an equi-join on (table, bucket) instead
+  *    of a broadcast fan-out.
+  *
+  * All scores are computed in double regardless of storage precision so
+  * rankings are reproducible across engines (float accumulation error is
+  * of the same magnitude as real top-k rank gaps on unit vectors).
+  */
+object Similarity {
+
+  /** Σ aᵢ·bᵢ in double (codegen'd fold over zipped arrays). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0),
+      (acc, v) => acc + v.cast("double") * v.cast("double")))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact cosine top-k: for every row of `queries`, the `k` nearest rows
+    * of `corpus` (self-matches on equal ids excluded). Output:
+    * (query_id, neighbor_id, rank, score). `queries` is broadcast — keep
+    * it small relative to executor memory; the corpus streams.
+    */
+  def bruteForceTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
+    val q = broadcast(queries.select(
+      col(idCol).as("query_id"), col(vecCol).as("q_vec")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+    val scored = c.join(q, col("query_id") =!= col("neighbor_id"))
+      .withColumn("score", cosine(col("q_vec"), col("c_vec")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "score")
+  }
+
+  /** Random-hyperplane (SimHash-for-vectors) bucket id: bit i = sign of
+    * ⟨v, plane_i⟩. Planes are seeded-deterministic, generated driver-side
+    * and folded into the expression as literals (broadcast-free — they
+    * travel with the plan).
+    */
+  def hyperplaneBucket(vec: Column, dim: Int, bits: Int, seed: Long): Column = {
+    val rnd = new scala.util.Random(seed)
+    // Gaussian planes; literal arrays keep everything codegen'd
+    val planes = Seq.fill(bits)(Array.fill(dim)(rnd.nextGaussian()))
+    planes.zipWithIndex.map { case (p, i) =>
+      val proj = dot(vec, array(p.map(lit(_)): _*))
+      when(proj > 0, lit(1L << i)).otherwise(0L)
+    }.reduce(_ + _)
+  }
+
+  /** Approximate cosine top-k via multi-table hyperplane LSH.
+    *
+    * Each of `tables` independent signatures buckets every vector; query
+    * and corpus rows meet on (table, bucket) equi-join — shuffle is
+    * hash-partitioned on bucket ids, no broadcast of the query set needed.
+    * Recall rises with `tables`, bucket selectivity with `bits`.
+    * Output: (query_id, neighbor_id, rank, score) — per-query top-k among
+    * candidates found in any table.
+    */
+  def lshTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      k: Int,
+      bits: Int = 8,
+      tables: Int = 8,
+      seed: Long = 42L): DataFrame = {
+    def withBuckets(df: DataFrame, id: String, vec: String): DataFrame =
+      df.select(
+        col(idCol).as(id), col(vecCol).as(vec),
+        explode(array((0 until tables).map(t =>
+          struct(lit(t).as("table"),
+            hyperplaneBucket(col(vecCol), dim, bits, seed + t).as("bucket"))): _*))
+          .as("tb"))
+        .select(col(id), col(vec), col("tb.table"), col("tb.bucket"))
+
+    val qb = withBuckets(queries, "query_id", "q_vec")
+    val cb = withBuckets(corpus, "neighbor_id", "c_vec")
+    val candidates = qb.join(cb, Seq("table", "bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .groupBy("query_id", "neighbor_id")
+      .agg(first("q_vec").as("q_vec"), first("c_vec").as("c_vec"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("neighbor_id"))
+    candidates
+      .withColumn("score", cosine(col("q_vec"), col("c_vec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "score")
+  }
+
+  /** Exact embedding near-duplicate pairs: all (a,b), a<b, with cosine ≥
+    * `threshold`, via bucketed LSH candidates (for the corpus-vs-itself
+    * case). Output: (a_id, b_id, score). */
+  def nearDupPairs(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      threshold: Double,
+      bits: Int = 8,
+      tables: Int = 8,
+      seed: Long = 42L): DataFrame = {
+    val b = corpus.select(
+      col(idCol).as("id"), col(vecCol).as("vec"),
+      explode(array((0 until tables).map(t =>
+        struct(lit(t).as("table"),
+          hyperplaneBucket(col(vecCol), dim, bits, seed + t).as("bucket"))): _*))
+        .as("tb"))
+      .select(col("id"), col("vec"), col("tb.table"), col("tb.bucket"))
+    val l = b.select(col("table"), col("bucket"), col("id").as("a_id"), col("vec").as("a_vec"))
+    val r = b.select(col("table"), col("bucket"), col("id").as("b_id"), col("vec").as("b_vec"))
+    l.join(r, Seq("table", "bucket"))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id")
+      .agg(first("a_vec").as("a_vec"), first("b_vec").as("b_vec"))
+      .withColumn("score", cosine(col("a_vec"), col("b_vec")))
+      .filter(col("score") >= threshold)
+      .select("a_id", "b_id", "score")
+  }
+}

@@ -1,0 +1,157 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.StructType
+
+/** Structured-Streaming operators over the `events` stream shape
+  * (event_id, ts, user_id, event_type, value, props).
+  *
+  * The reference has no streaming surface at all (SURVEY §2.10); this is
+  * extension machinery for the continuous half of a data pipeline. Every
+  * transform below works identically on a batch DataFrame and a streaming
+  * one (`readStream`) — the watermark is a no-op in batch — so the same
+  * query is testable against the parquet fixture and deployable on a
+  * stream.
+  *
+  * Scale posture: windowed aggregation is hash-partitioned on
+  * (key, window) with partial aggregation; state store size is bounded by
+  * the watermark horizon. Sessionization keeps one state row per active
+  * key, evicted on event-time timeout.
+  */
+object StreamingOps {
+
+  case class Event(
+      event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double, props: String)
+
+  case class SessionOut(
+      user_id: Long, session_start: Timestamp, session_end: Timestamp,
+      n_events: Long, total_value: Double)
+
+  private case class SessionState(
+      startMs: Long, endMs: Long, n: Long, total: Double)
+
+  val eventSchema: StructType = new StructType()
+    .add("event_id", "long").add("ts", "timestamp").add("user_id", "long")
+    .add("event_type", "string").add("value", "double").add("props", "string")
+
+  /** File-based stream over a directory of event parquet (each new file =
+    * one micro-batch of arrivals). */
+  def readEventStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(eventSchema).parquet(dir)
+
+  /** Tumbling-window aggregation with a watermark: count + sum(value) per
+    * (event_type, window). Late rows beyond `lateness` are dropped and
+    * their window state evicted. */
+  def tumblingAgg(
+      events: DataFrame,
+      windowLen: String = "1 hour",
+      lateness: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count("*").as("n"), sum("value").as("total_value"))
+      .select(
+        col("window.start").as("window_start"),
+        col("event_type"), col("n"), col("total_value"))
+
+  /** Sliding-window variant (windowLen every slide). */
+  def slidingAgg(
+      events: DataFrame,
+      windowLen: String = "1 hour",
+      slide: String = "15 minutes",
+      lateness: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), windowLen, slide), col("event_type"))
+      .agg(count("*").as("n"), sum("value").as("total_value"))
+      .select(
+        col("window.start").as("window_start"),
+        col("event_type"), col("n"), col("total_value"))
+
+  /** Per-user sessionization with a `gap` inactivity timeout, via
+    * `flatMapGroupsWithState` (custom state machine: one SessionState per
+    * active user, closed + emitted when the event-time watermark passes
+    * last-activity + gap). Works in batch mode too (all groups close at
+    * end-of-input), which is how the spec tests it deterministically.
+    */
+  def sessionize(
+      events: Dataset[Event],
+      gap: java.time.Duration,
+      lateness: String = "10 minutes"): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val gapMs = gap.toMillis
+
+    def fn(userId: Long, it: Iterator[Event], state: GroupState[SessionState])
+        : Iterator[SessionOut] = {
+      val sorted = it.toSeq.sortBy(_.ts.getTime)
+      var cur = state.getOption
+      val closed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+      if (sorted.isEmpty) {
+        if (state.hasTimedOut) {
+          cur.foreach(s => closed += SessionOut(
+            userId, new Timestamp(s.startMs), new Timestamp(s.endMs), s.n, s.total))
+          state.remove()
+        }
+        closed.iterator
+      } else {
+        sorted.foreach { e =>
+          val t = e.ts.getTime
+          cur match {
+            case Some(s) if t - s.endMs <= gapMs =>
+              cur = Some(SessionState(s.startMs, math.max(s.endMs, t),
+                s.n + 1, s.total + e.value))
+            case Some(s) =>
+              closed += SessionOut(
+                userId, new Timestamp(s.startMs), new Timestamp(s.endMs), s.n, s.total)
+              cur = Some(SessionState(t, t, 1, e.value))
+            case None =>
+              cur = Some(SessionState(t, t, 1, e.value))
+          }
+        }
+        cur.foreach { s =>
+          state.update(s)
+          // no-op in batch execution (timeouts never fire there)
+          scala.util.Try(state.setTimeoutTimestamp(s.endMs + gapMs))
+        }
+        closed.iterator
+      }
+    }
+
+    events
+      .withWatermark("ts", lateness)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+
+  /** Batch sessionization via analytic windows (the shuffle-once,
+    * state-store-free form for historical reprocessing): a session break
+    * is a gap > `gapMinutes` from the previous event of the same user; the
+    * running count of breaks numbers the sessions. One shuffle on user_id;
+    * both window functions share the same sort. */
+  def sessionizeBatch(events: DataFrame, gapMinutes: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // millisecond integer arithmetic end-to-end: deterministic and
+    // engine-portable (no sub-second truncation ambiguity)
+    val gapMs = gapMinutes * 60000L
+    val withMs = events.withColumn("__ms", unix_millis(col("ts")))
+    val byUser = Window.partitionBy("user_id").orderBy(col("__ms"), col("event_id"))
+    withMs
+      .withColumn("prev_ms", lag(col("__ms"), 1).over(byUser))
+      .withColumn("brk",
+        when(col("prev_ms").isNull || (col("__ms") - col("prev_ms")) > gapMs, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum("brk").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(
+        min("ts").as("session_start"), max("ts").as("session_end"),
+        count("*").as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+  }
+}
