@@ -1,24 +1,76 @@
 package graft
+
+import java.nio.file.{Files, Paths}
+import java.util.Locale
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: every SparkEntry query (reference-parity, LLM-pipeline
+  * extensions, and the 8 ported reference benchmark shapes) on
+  * SPARK_GRAFT_SF_DIR.
+  *
+  * Methodology (round-1 harness was n=1, no warm-up, and swallowed
+  * exceptions — all three fixed here):
+  *  - one untimed warm-up execution per query (JIT + file-listing +
+  *    shuffle-service warmup), then `iters` timed runs, median reported;
+  *  - a failing query is recorded under "errors" (and flips "ok" plus the
+  *    exit code) instead of being silently timed as a success;
+  *  - the JSON line goes to stdout AND to a file (default bench.json,
+  *    override SPARK_GRAFT_BENCH_OUT) so log-prefix wrapping can't break
+  *    the driver's parse.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+
+    val times = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    for (name <- SparkEntry.queries.keys.toSeq.sorted) {
+      val fn = SparkEntry.queries(name)
+      try {
+        fn(spark, sfDir).count() // warm-up, untimed
+        val samples = (1 to iters).map { _ =>
+          val t0 = System.nanoTime()
+          fn(spark, sfDir).count()
+          (System.nanoTime() - t0) / 1e9
+        }.sorted
+        times(name) = samples(samples.size / 2)
+      } catch {
+        case e: Throwable =>
+          errors(name) =
+            Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => " "
+      case c => c.toString
+    } + "\""
+    def num(v: Double): String = String.format(Locale.ROOT, "%.3f", v: java.lang.Double)
+    val qs = times.map { case (k, v) => s"${q(k)}:${num(v)}" }.mkString("{", ",", "}")
+    val es = errors.map { case (k, v) => s"${q(k)}:${q(v)}" }.mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":${num(times.values.sum)},"unit":"sec"""" +
+      s""","queries":$qs,"errors":$es,"sf":${q(sfDir)},"iters":$iters""" +
+      s""","warmup":1,"ok":${errors.isEmpty}}"""
+    println(line)
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
+    Files.writeString(Paths.get(out), line + "\n")
     spark.stop()
+    if (errors.nonEmpty) {
+      System.err.println(s"[bench] ${errors.size} queries FAILED: ${errors.keys.mkString(", ")}")
+      sys.exit(1)
+    }
   }
 }

@@ -44,7 +44,8 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2 (reference
     * parity surface here; LLM-pipeline extension surface in
     * [[ExtQueries]], merged below). */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = coreQueries ++ ExtQueries.queries
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    coreQueries ++ ExtQueries.queries ++ RefBench.queries
 
   private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -213,7 +214,8 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = coreOracleSql ++ ExtQueries.oracleSql
+  def oracleSql: Map[String, String] =
+    coreOracleSql ++ ExtQueries.oracleSql ++ RefBench.oracleSql
 
   private def coreOracleSql: Map[String, String] = Map(
     "q_agg" ->

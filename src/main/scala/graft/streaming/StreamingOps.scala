@@ -32,7 +32,8 @@ object StreamingOps {
       user_id: Long, session_start: Timestamp, session_end: Timestamp,
       n_events: Long, total_value: Double)
 
-  private case class SessionState(
+  /** public: the state encoder's generated code must reach the accessors */
+  case class SessionState(
       startMs: Long, endMs: Long, n: Long, total: Double)
 
   val eventSchema: StructType = new StructType()

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Dedup
+
+class DedupSpec extends AnyFunSuite with SparkFixture {
+
+  private def docs = {
+    val s = spark
+    import s.implicits._
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val nearDup = ((1 to 30).map(i => s"w$i").updated(14, "CHANGED")).mkString(" ")
+    val other = (101 to 130).map(i => s"z$i").mkString(" ")
+    Seq((1L, base), (2L, nearDup), (3L, other), (4L, base))
+      .toDF("doc_id", "text")
+  }
+
+  test("exact dedup keeps first row per key under the given order") {
+    val s = spark
+    import s.implicits._
+    val d = Seq((1L, "k1", "a"), (2L, "k1", "b"), (3L, "k2", "c"))
+      .toDF("id", "k", "v")
+    val kept = Dedup.exact(d, Seq("k"), Seq(col("id")))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L))
+  }
+
+  test("shingles: content, order, dedup, short-text guard") {
+    val s = spark
+    import s.implicits._
+    val d = Seq(Tuple1("a b c d"), Tuple1("a b")).toDF("text")
+    val got = d.select(Dedup.shingles(col("text"), 3).as("sh"))
+      .collect().map(_.getSeq[String](0).toSeq).toSeq
+    assert(got.head == Seq("a b c", "b c d"))
+    assert(got(1) == Seq.empty) // fewer tokens than k
+  }
+
+  test("jaccardPairs finds only the near-dup pairs, with exact scores") {
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", k = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val keys = pairs.map(p => (p._1, p._2)).toSet
+    // 1-4 identical (jac 1.0); 1-2 and 2-4 near-dups; 3 matches nothing
+    assert(keys == Set((1L, 2L), (1L, 4L), (2L, 4L)))
+    val exact = pairs.find(p => (p._1, p._2) == (1L, 4L)).get._3
+    assert(exact == 1.0)
+  }
+
+  test("minhashLsh agrees with exact jaccardPairs on the same corpus") {
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLsh(docs, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == exact)
+  }
+
+  test("maxDf cap drops stop-shingle fan-out") {
+    val s = spark
+    import s.implicits._
+    // every doc shares the degenerate shingle "x x x"
+    val d = (1L to 5L).map(i => (i, s"x x x a$i b$i c$i")).toDF("doc_id", "text")
+    val capped = Dedup.jaccardPairs(d, "doc_id", "text", 3, 0.1, maxDf = Some(2))
+    assert(capped.count() == 0) // shared shingle removed -> no candidates
+  }
+
+  test("simhash: near-dups land close in Hamming space, others far") {
+    val fps = Dedup.simhash(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(fps(1L) == fps(4L)) // identical text -> identical fingerprint
+    assert(ham(fps(1L), fps(2L)) < ham(fps(1L), fps(3L)))
+  }
+
+  test("hash60 matches the cross-engine constant (DuckDB parity)") {
+    val s = spark
+    import s.implicits._
+    // DuckDB: select ('0x'||substr(md5('tok'),1,15))::BIGINT -> 435407939895074749
+    val got = Seq(Tuple1("tok")).toDF("t")
+      .select(Dedup.hash60(col("t"))).head().getLong(0)
+    assert(got == 435407939895074749L)
+  }
+}

@@ -1,0 +1,58 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.api._
+import graft.sources.PsIO
+
+/** IO round-trips (reference tests/test_io.py:23-55 analogue). */
+class IOSpec extends AnyFunSuite with SparkFixture {
+
+  private def sample = {
+    val s = spark
+    import s.implicits._
+    Seq((1, "alpha", 1.5), (2, "beta", 2.5), (3, "gamma", -3.0))
+      .toDF("k", "name", "v")
+  }
+
+  test("csv round-trip: header + inferSchema recover values and types") {
+    val dir = Files.createTempDirectory("graft-csv").toString + "/out"
+    PsIO.toCsv(sample, dir)
+    val back = PsIO.readCsv(spark, dir)
+    assert(back.columns.toSet == Set("k", "name", "v"))
+    assert(back.df.schema("k").dataType.typeName == "integer")
+    assert(back.df.schema("v").dataType.typeName == "double")
+    val got = back.sortValues(Seq("k")).df.collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(got == Seq((1, "alpha", 1.5), (2, "beta", 2.5), (3, "gamma", -3.0)))
+  }
+
+  test("json round-trip recovers values") {
+    val dir = Files.createTempDirectory("graft-json").toString + "/out"
+    PsIO.toJson(sample, dir)
+    val back = PsIO.readJson(spark, dir)
+    assert(back.df.count() == 3)
+    assert(back.df.agg(sum("k")).head().getLong(0) == 6L)
+  }
+
+  test("parquet round-trip preserves schema exactly") {
+    val dir = Files.createTempDirectory("graft-parquet").toString + "/out"
+    PsIO.toParquet(sample, dir)
+    val back = PsIO.readParquet(spark, dir)
+    // parquet round-trip relaxes nullability; names and types must survive
+    assert(back.df.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      sample.schema.fields.map(f => (f.name, f.dataType)).toSeq)
+    assert(back.df.count() == 3)
+  }
+
+  test("materialize caches the plan (reference offload analogue)") {
+    val df = sample
+    val cached = PsIO.materialize(df)
+    assert(cached.count() == 3)
+    assert(cached.storageLevel.useMemory)
+    cached.unpersist()
+  }
+}

@@ -1,0 +1,152 @@
+package graft
+
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.api._
+
+/** Core relational surface, mirroring the reference's differential matrix
+  * (reference tests/test_data_frame.py structure: projection / filter /
+  * join both-keys / setitem-COW / rename / union / agg shapes). */
+class RelationalSpec extends AnyFunSuite with SparkFixture {
+
+  private def base: PsDataFrame = {
+    val s = spark
+    import s.implicits._
+    PsDataFrame(Seq(
+      (1, "a", 10.0), (2, "b", 20.0), (3, "a", 30.0), (4, "c", 40.0))
+      .toDF("k", "s", "v"))
+  }
+
+  test("projection: single, multi, order") {
+    assert(base.select("v", "k").columns == Seq("v", "k"))
+    assert(base(Seq("s")).df.distinct().count() == 3)
+  }
+
+  test("filter with comparison and boolean combinators") {
+    val d = base
+    assert(d.where(d("v") > 15 && d("s") === "a").df.count() == 1)
+    assert(d.where(d("v") <= 10 || !(d("s") === "a")).df.count() == 3)
+    assert(d.where(d("k").isin(1, 4)).df.count() == 2)
+  }
+
+  test("sortValues multi-column with per-column direction") {
+    val d = base
+    val got = d.sortValues(Seq("s", "v"), Seq(true, false))
+      .df.select("k").collect().map(_.getInt(0)).toSeq
+    assert(got == Seq(3, 1, 2, 4))
+  }
+
+  test("head / nlargest / nsmallest") {
+    val d = base
+    assert(d.sortValues(Seq("k")).head(2).df.count() == 2)
+    assert(d.nlargest(1, Seq("v")).df.head().getInt(0) == 4)
+    assert(d.nsmallest(1, Seq("v")).df.head().getInt(0) == 1)
+  }
+
+  test("set() is copy-on-write: handed-out frames keep the old plan") {
+    val d = base
+    val before = d.select("k", "v") // reference versioning semantics:
+    d.set("v", d("v") * 2) //          core.py:545-578 + test :316-332
+    val sumBefore = before.df.agg(sum("v")).head().getDouble(0)
+    val sumAfter = d.df.agg(sum("v")).head().getDouble(0)
+    assert(sumBefore == 100.0)
+    assert(sumAfter == 200.0)
+  }
+
+  test("set() keeps column position for existing, appends for new") {
+    val d = base
+    d.set("v", d("v") + 1)
+    assert(d.columns == Seq("k", "s", "v"))
+    d.set("w", d("v") * 2)
+    assert(d.columns == Seq("k", "s", "v", "w"))
+  }
+
+  test("rename is order-preserving") {
+    val d = base.rename(Map("k" -> "id", "v" -> "value"))
+    assert(d.columns == Seq("id", "s", "value"))
+  }
+
+  test("concat is name-based (reference column-set union semantics)") {
+    val s = spark
+    import s.implicits._
+    val left = PsDataFrame(Seq((1, "x")).toDF("k", "s"))
+    val right = PsDataFrame(Seq(("y", 2)).toDF("s", "k")) // reversed order
+    val u = left.concat(right).sortValues(Seq("k")).df.collect()
+    assert(u.map(_.getInt(0)).toSeq == Seq(1, 2))
+    assert(u.map(_.getString(1)).toSeq == Seq("x", "y"))
+  }
+
+  test("merge on= collapses key, drops duplicate right columns") {
+    val s = spark
+    import s.implicits._
+    val l = PsDataFrame(Seq((1, "l1"), (2, "l2")).toDF("k", "s"))
+    val r = PsDataFrame(Seq((1, "r1"), (2, "r2")).toDF("k", "s"))
+    val j = l.merge(r, on = Seq("k"))
+    assert(j.columns == Seq("k", "s")) // right's dup "s" dropped
+    assert(j.df.count() == 2)
+    assert(j.df.filter(col("s").startsWith("l")).count() == 2) // left wins
+  }
+
+  test("merge leftOn/rightOn keeps both key columns") {
+    val s = spark
+    import s.implicits._
+    val l = PsDataFrame(Seq((1, 10.0)).toDF("lk", "v"))
+    val r = PsDataFrame(Seq((1, "x")).toDF("rk", "name"))
+    val j = l.merge(r, leftOn = Seq("lk"), rightOn = Seq("rk"))
+    assert(j.columns == Seq("lk", "v", "rk", "name"))
+  }
+
+  test("merge supports non-inner how (designed extension)") {
+    val s = spark
+    import s.implicits._
+    val l = PsDataFrame(Seq((1, "a"), (2, "b")).toDF("k", "s"))
+    val r = PsDataFrame(Seq((1, 1.0)).toDF("k", "v"))
+    assert(l.merge(r, on = Seq("k"), how = "left").df.count() == 2)
+    assert(l.merge(r, on = Seq("k"), how = "semi").df.count() == 1)
+  }
+
+  test("multiJoin folds left-deep on shared keys") {
+    val s = spark
+    import s.implicits._
+    val a = PsDataFrame(Seq((1, "a")).toDF("k", "x"))
+    val b = PsDataFrame(Seq((1, "b")).toDF("k", "y"))
+    val c = PsDataFrame(Seq((1, "c")).toDF("k", "z"))
+    val j = a.multiJoin(Seq(b, c), on = Seq("k"))
+    assert(j.columns == Seq("k", "x", "y", "z"))
+    assert(j.df.count() == 1)
+  }
+
+  test("dropDuplicates is full-row distinct") {
+    val s = spark
+    import s.implicits._
+    val d = PsDataFrame(Seq((1, "a"), (1, "a"), (1, "b")).toDF("k", "s"))
+    assert(d.dropDuplicates().df.count() == 2)
+  }
+
+  test("aggRows runs in a single scan (one-pass unpivot, not N scans)") {
+    val li = sources.PsIO.readParquet(spark, "/root/testdata/sf0.001/lineitem.parquet")
+    val res = li.select("l_quantity", "l_extendedprice")
+      .aggRows(Seq("sum", "mean", "min", "max"))
+    val scans = res.df.queryExecution.optimizedPlan.collect {
+      case r: LogicalRelation => r
+    }
+    assert(scans.size == 1, "aggRows must not rescan the source per function")
+    assert(res.df.count() == 4) // one row per aggregate fn
+  }
+
+  test("grouped agg naming: aggFns yields col_fn, aggAllColumns keeps names") {
+    val d = base
+    val m = d.select("s", "v").groupby("s").aggFns(Seq("sum", "count"))
+    assert(m.columns.toSet == Set("s", "v_sum", "v_count"))
+    val kept = d.select("s", "v").groupby("s").sum()
+    assert(kept.columns == Seq("s", "v"))
+  }
+
+  test("empty aggregate specs raise a meaningful error") {
+    val e = intercept[IllegalArgumentException](base.groupby("s").agg())
+    assert(e.getMessage.contains("aggregate"))
+    intercept[IllegalArgumentException](base.aggRows(Nil))
+  }
+}

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Similarity
+
+class SimilaritySpec extends AnyFunSuite with SparkFixture {
+
+  test("dot / norm / cosine on known vectors") {
+    val s = spark
+    import s.implicits._
+    val d = Seq((Array(1.0f, 0.0f), Array(0.0f, 1.0f)),
+      (Array(1.0f, 2.0f), Array(2.0f, 4.0f))).toDF("a", "b")
+    val got = d.select(
+      Similarity.dot(col("a"), col("b")).as("dot"),
+      Similarity.cosine(col("a"), col("b")).as("cos"))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1)))
+    assert(got(0)._1 == 0.0 && got(0)._2 == 0.0)
+    assert(math.abs(got(1)._2 - 1.0) < 1e-12)
+  }
+
+  /** deterministic clustered corpus: 3 well-separated unit-ish centers,
+    * members = center + small seeded noise. */
+  private def clustered = {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(7)
+    val dim = 16
+    val centers = Array.fill(3)(Array.fill(dim)(rnd.nextGaussian()))
+    val rows = for {
+      c <- 0 until 3
+      m <- 0 until 10
+    } yield {
+      val v = centers(c).map(x => (x + 0.05 * rnd.nextGaussian()).toFloat)
+      (c * 10L + m, v, c)
+    }
+    rows.toDF("vec_id", "embedding", "cluster")
+  }
+
+  test("bruteForceTopK: neighbors come from the query's own cluster") {
+    val d = clustered
+    val q = d.filter(col("vec_id").isin(0L, 10L, 20L))
+    val top = Similarity.bruteForceTopK(d, q, "vec_id", "embedding", k = 3)
+      .collect()
+    assert(top.length == 9)
+    top.foreach { r =>
+      val qc = r.getLong(0) / 10; val nc = r.getLong(1) / 10
+      assert(qc == nc, s"neighbor ${r.getLong(1)} not in query ${r.getLong(0)}'s cluster")
+      assert(r.getDouble(3) > 0.9) // tight cluster -> high cosine
+    }
+  }
+
+  test("lshTopK achieves high recall@1 vs brute force on clustered data") {
+    val d = clustered
+    val q = d.filter(col("vec_id") < 10) // cluster-0 members as queries
+    val exact = Similarity.bruteForceTopK(d, q, "vec_id", "embedding", 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val approx = Similarity.lshTopK(d, q, "vec_id", "embedding",
+      dim = 16, k = 1, bits = 8, tables = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hits = exact.count { case (qid, nid) => approx.get(qid).contains(nid) }
+    assert(hits >= 9, s"recall@1 = $hits/10") // ≥0.9 on tight clusters
+  }
+
+  test("nearDupPairs finds planted duplicate vectors") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(11)
+    val dim = 16
+    val a = Array.fill(dim)(rnd.nextGaussian().toFloat)
+    val aDup = a.map(x => x + 0.001f)
+    val rows = (0 until 20).map(i =>
+      (i.toLong, Array.fill(dim)(rnd.nextGaussian().toFloat))) ++
+      Seq((100L, a), (101L, aDup))
+    val d = rows.toDF("vec_id", "embedding")
+    val pairs = Similarity.nearDupPairs(d, "vec_id", "embedding",
+      dim = 16, threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((100L, 101L)))
+  }
+}

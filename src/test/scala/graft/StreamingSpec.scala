@@ -1,0 +1,92 @@
+package graft
+
+import java.sql.Timestamp
+import java.time.Duration
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.StreamingOps
+import graft.streaming.StreamingOps.Event
+
+class StreamingSpec extends AnyFunSuite with SparkFixture {
+
+  /** minutes after a fixed epoch-day base, as a timestamp */
+  private def ts(min: Long) = new Timestamp(86400000L + min * 60000L)
+
+  private def ev(id: Long, min: Long, user: Long, v: Double = 1.0) =
+    Event(id, ts(min), user, "click", v, "{}")
+
+  test("sessionizeBatch: gap splits, per-session aggregates") {
+    val s = spark
+    import s.implicits._
+    val events = Seq(
+      ev(1, 0, 1, 1.0), ev(2, 10, 1, 2.0), ev(3, 50, 1, 4.0), // 10->50 > 30min gap
+      ev(4, 5, 2, 8.0)).toDF()
+    val got = StreamingOps.sessionizeBatch(events, gapMinutes = 30)
+      .orderBy("user_id", "session_id").collect()
+    assert(got.length == 3)
+    // columns: user_id, session_id, session_start, session_end, n_events, total_value
+    val first = got(0)
+    assert(first.getLong(0) == 1L && first.getLong(4) == 2L) // n_events
+    assert(first.getDouble(5) == 3.0) // total_value 1+2
+    assert(got(1).getLong(4) == 1L && got(1).getDouble(5) == 4.0)
+    assert(got(2).getLong(0) == 2L)
+  }
+
+  test("tumblingAgg in batch mode groups into hour windows") {
+    val s = spark
+    import s.implicits._
+    val events = Seq(ev(1, 1, 1), ev(2, 30, 1), ev(3, 70, 1)).toDF()
+    val got = StreamingOps.tumblingAgg(events, "1 hour", "0 seconds")
+      .orderBy("window_start").collect()
+    assert(got.length == 2)
+    assert(got(0).getLong(2) == 2L) // first hour has 2 events
+    assert(got(1).getLong(2) == 1L)
+  }
+
+  test("streaming sessionize emits a session after event-time timeout") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val input = MemoryStream[Event]
+    val q = StreamingOps.sessionize(input.toDS(), Duration.ofMinutes(30))
+      .writeStream.format("memory").queryName("t_sessions")
+      .outputMode("append").start()
+    try {
+      input.addData(ev(1, 0, 1, 1.0), ev(2, 10, 1, 2.0))
+      q.processAllAvailable() // watermark still at batch-1 max - lateness
+      input.addData(ev(3, 600, 99)) // push watermark far past user-1 timeout
+      q.processAllAvailable()
+      input.addData(ev(4, 601, 99)) // next batch processes the timeout
+      q.processAllAvailable()
+      val got = spark.table("t_sessions").collect()
+      val u1 = got.find(_.getLong(0) == 1L)
+      assert(u1.isDefined, s"user-1 session not emitted: ${got.mkString(";")}")
+      assert(u1.get.getLong(3) == 2L) // both events in one session
+      assert(u1.get.getDouble(4) == 3.0)
+    } finally q.stop()
+  }
+
+  test("streaming tumblingAgg emits closed windows under append mode") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val input = MemoryStream[Event]
+    val q = StreamingOps.tumblingAgg(input.toDS().toDF(), "1 hour", "5 minutes")
+      .writeStream.format("memory").queryName("t_windows")
+      .outputMode("append").start()
+    try {
+      input.addData(ev(1, 1, 1, 1.0), ev(2, 30, 2, 2.0))
+      q.processAllAvailable()
+      input.addData(ev(3, 300, 1)) // watermark -> closes the first window
+      q.processAllAvailable()
+      input.addData(ev(4, 301, 1))
+      q.processAllAvailable()
+      val got = spark.table("t_windows").collect()
+      assert(got.exists(r => r.getLong(2) == 2L && r.getDouble(3) == 3.0),
+        s"closed first-hour window missing: ${got.mkString(";")}")
+    } finally q.stop()
+  }
+}

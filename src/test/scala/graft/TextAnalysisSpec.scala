@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.TextAnalysis
+
+class TextAnalysisSpec extends AnyFunSuite with SparkFixture {
+
+  private def one(text: String): org.apache.spark.sql.DataFrame = {
+    val s = spark
+    import s.implicits._
+    Seq(Tuple1(text)).toDF("text")
+  }
+
+  test("tokenCount and subwordCount") {
+    val r = one("the cat sat on 42 mats!").select(
+      TextAnalysis.tokenCount(col("text")).as("t"),
+      TextAnalysis.subwordCount(col("text")).as("sw")).head()
+    assert(r.getInt(0) == 6)
+    // the|cat|sat|on|42|mats|! -> 7
+    assert(r.getInt(1) == 7)
+  }
+
+  test("punctRatio and meanTokenLen") {
+    val r = one("ab!! cdef").select(
+      TextAnalysis.punctRatio(col("text")).as("p"),
+      TextAnalysis.meanTokenLen(col("text")).as("m")).head()
+    assert(r.getDouble(0) == 2.0 / 9.0)
+    assert(r.getDouble(1) == (4.0 + 4.0) / 2.0)
+  }
+
+  test("wordRatio counts every occurrence, not set-membership") {
+    val r = one("the the cat").select(
+      TextAnalysis.wordRatio(col("text"), TextAnalysis.EnglishStopwords).as("w"))
+      .head()
+    assert(r.getDouble(0) == 2.0 / 3.0)
+  }
+
+  test("langId picks the densest profile; 'und' when nothing matches") {
+    val got = Seq(
+      "der hund und die katze ist da",
+      "le chat est un animal",
+      "xyzzy qwerty").map { t =>
+      one(t).select(TextAnalysis.langId(col("text"))).head().getString(0)
+    }
+    assert(got == Seq("de", "fr", "und"))
+  }
+
+  test("qualityScore stays within [0,1] and rewards clean text") {
+    val clean = ("the quick brown fox jumps over the lazy dog " * 5).trim
+    val noisy = "!!! ??? ### $$$ %%% ^^^ &&& *** ((( )))"
+    val s = Seq(clean, noisy).map(t =>
+      one(t).select(TextAnalysis.qualityScore(col("text"))).head().getDouble(0))
+    s.foreach(v => assert(v >= 0.0 && v <= 1.0))
+    assert(s.head > s(1))
+  }
+
+  test("normalization collapses whitespace and case for fingerprints") {
+    val r = one("  The   QUICK fox ").select(
+      TextAnalysis.fingerprintHex(TextAnalysis.normalized(col("text"))).as("a"))
+      .head().getString(0)
+    val r2 = one("the quick fox").select(
+      TextAnalysis.fingerprintHex(col("text"))).head().getString(0)
+    assert(r == r2)
+  }
+}
