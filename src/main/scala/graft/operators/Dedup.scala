@@ -107,18 +107,17 @@ object Dedup {
 
   /** k-minhash signature of a shingle array: for each seeded universal
     * hash h_i(x) = (a_i·x + b_i) mod p, the minimum over the document's
-    * shingle hashes. Per-row, codegen'd (array transforms over built-ins);
-    * null/short documents yield an empty-signature sentinel.
+    * shingle hashes. All k minima are computed in one fused codegen'd
+    * loop ([[graft.plans.MinHashSignature]]) — the equivalent
+    * `array_min(transform(...))` × k form costs k interpreted lambda
+    * sweeps per document.
     */
   def minhashSignature(shingleCol: Column, numHashes: Int, seed: Long): Column = {
     val rnd = new scala.util.Random(seed)
-    val coefs = Seq.fill(numHashes)(
-      (1 + rnd.nextInt((MinhashPrime - 1).toInt).toLong,
-        rnd.nextInt(MinhashPrime.toInt).toLong))
+    val coefA = Array.fill(numHashes)(1 + rnd.nextInt((MinhashPrime - 1).toInt).toLong)
+    val coefB = Array.fill(numHashes)(rnd.nextInt(MinhashPrime.toInt).toLong)
     val base = transform(shingleCol, s => pmod(xxhash64(s), lit(MinhashPrime)))
-    array(coefs.map { case (a, b) =>
-      array_min(transform(base, x => pmod(x * a + b, lit(MinhashPrime))))
-    }: _*)
+    graft.plans.SketchExpressions.minhashSignature(base, coefA, coefB, MinhashPrime)
   }
 
   /** Near-duplicate pairs by MinHash + LSH banding + exact confirmation.

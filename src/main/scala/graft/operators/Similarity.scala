@@ -26,17 +26,17 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Σ aᵢ·bᵢ in double (codegen'd fold over zipped arrays). */
-  def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  /** Σ aᵢ·bᵢ in double — custom codegen'd expression
+    * ([[graft.plans.ArrayDotProduct]]): the declarative
+    * `aggregate(zip_with(...))` form evaluates its lambdas interpreted,
+    * ~100µs/row at dim 64, which would dominate every similarity scan. */
+  def dot(a: Column, b: Column): Column = graft.plans.VectorExpressions.dot(a, b)
 
-  def norm(a: Column): Column =
-    sqrt(aggregate(a, lit(0.0),
-      (acc, v) => acc + v.cast("double") * v.cast("double")))
+  def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** one fused pass: dot and both norms in the same loop. */
+  def cosine(a: Column, b: Column): Column =
+    graft.plans.VectorExpressions.cosine(a, b)
 
   /** Exact cosine top-k: for every row of `queries`, the `k` nearest rows
     * of `corpus` (self-matches on equal ids excluded). Output:
@@ -64,16 +64,16 @@ object Similarity {
 
   /** Random-hyperplane (SimHash-for-vectors) bucket id: bit i = sign of
     * ⟨v, plane_i⟩. Planes are seeded-deterministic, generated driver-side
-    * and folded into the expression as literals (broadcast-free — they
-    * travel with the plan).
+    * and folded into the plan as SINGLE array literals (`typedLit`), not
+    * per-element `lit` trees — one Literal node per plane keeps the
+    * expression compact and codegen-able; the projections are the
+    * codegen'd [[dot]].
     */
   def hyperplaneBucket(vec: Column, dim: Int, bits: Int, seed: Long): Column = {
     val rnd = new scala.util.Random(seed)
-    // Gaussian planes; literal arrays keep everything codegen'd
-    val planes = Seq.fill(bits)(Array.fill(dim)(rnd.nextGaussian()))
+    val planes = Seq.fill(bits)(Seq.fill(dim)(rnd.nextGaussian()))
     planes.zipWithIndex.map { case (p, i) =>
-      val proj = dot(vec, array(p.map(lit(_)): _*))
-      when(proj > 0, lit(1L << i)).otherwise(0L)
+      when(dot(vec, typedLit(p)) > 0, lit(1L << i)).otherwise(0L)
     }.reduce(_ + _)
   }
 

@@ -1,0 +1,95 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, UnsafeArrayData}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.types._
+
+/** MinHash signature as one codegen'd pass.
+  *
+  * The declarative form (`array_min(transform(hashes, h → (aᵢh+bᵢ) mod p))`
+  * × k) evaluates k interpreted lambdas over the shingle array — ~20k
+  * lambda dispatches per document for k=64. This expression computes all k
+  * minima in a single fused loop over the input (shingle-hash array →
+  * array<long> of k minima); coefficients ride along as reference objects
+  * in the generated class.
+  */
+case class MinHashSignature(
+    child: Expression,
+    coefA: Array[Long],
+    coefB: Array[Long],
+    prime: Long) extends UnaryExpression {
+
+  require(coefA.length == coefB.length && coefA.nonEmpty)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"expects array<long>, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val k = coefA.length
+    val mins = Array.fill(k)(Long.MaxValue)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val x = arr.getLong(i)
+        var j = 0
+        while (j < k) {
+          var v = (coefA(j) * x + coefB(j)) % prime
+          if (v < 0) v += prime
+          if (v < mins(j)) mins(j) = v
+          j += 1
+        }
+      }
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(mins)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val ca = ctx.addReferenceObj("minhashCoefA", coefA, "long[]")
+      val cb = ctx.addReferenceObj("minhashCoefB", coefB, "long[]")
+      val k = coefA.length
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val n = ctx.freshName("n")
+      val x = ctx.freshName("x")
+      val v = ctx.freshName("v")
+      val mins = ctx.freshName("mins")
+      s"""
+         |int $n = $arr.numElements();
+         |long[] $mins = new long[$k];
+         |java.util.Arrays.fill($mins, Long.MAX_VALUE);
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$arr.isNullAt($i)) {
+         |    long $x = $arr.getLong($i);
+         |    for (int $j = 0; $j < $k; $j++) {
+         |      long $v = ($ca[$j] * $x + $cb[$j]) % ${prime}L;
+         |      if ($v < 0) $v += ${prime}L;
+         |      if ($v < $mins[$j]) $mins[$j] = $v;
+         |    }
+         |  }
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($mins);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SketchExpressions {
+  def minhashSignature(
+      hashes: Column, coefA: Array[Long], coefB: Array[Long], prime: Long): Column =
+    GraftColumnBridge.column(
+      MinHashSignature(GraftColumnBridge.expression(hashes), coefA, coefB, prime))
+}
