@@ -50,6 +50,11 @@ object Bench {
           errors(name) =
             Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
       }
+      // between-query hygiene: drop any cached plans and nudge the old
+      // gen — 160+ executions in one JVM otherwise accumulate broadcast /
+      // codegen / listener state that inflates late-running queries
+      spark.catalog.clearCache()
+      System.gc()
     }
 
     def q(s: String): String = "\"" + s.flatMap {

@@ -147,31 +147,32 @@ object Dedup {
       seed: Long = 42L): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    val withSig = docs.select(
+    val withSh = docs.select(
       col(idCol).as("id"),
       shingles(col(textCol), shingleK).as("sh"))
       .filter(size(col("sh")) > 0)
+
+    // banding carries ONLY (id, band, bucket) — the shingle arrays never
+    // ride through the candidate join/dedup shuffles; they are equi-joined
+    // back in per UNIQUE candidate pair for the exact confirm
+    val buckets = withSh
       .withColumn("sig", minhashSignature(col("sh"), numHashes, seed))
+      .select(col("id"),
+        explode(transform(sequence(lit(0), lit(bands - 1)),
+          i => struct(i.as("band"), hash(slice(col("sig"), i * r + 1, lit(r))).as("bucket"))))
+          .as("bb"))
+      .select(col("id"), col("bb.band"), col("bb.bucket"))
 
-    val buckets = withSig.select(
-      col("id"), col("sh"),
-      explode(transform(sequence(lit(0), lit(bands - 1)),
-        i => struct(i.as("band"), hash(slice(col("sig"), i * r + 1, lit(r))).as("bucket"))))
-        .as("bb"))
-      .select(col("id"), col("sh"), col("bb.band"), col("bb.bucket"))
-
-    val left = buckets.select(col("band"), col("bucket"),
-      col("id").as("a_id"), col("sh").as("a_sh"))
-    val right = buckets.select(col("band"), col("bucket"),
-      col("id").as("b_id"), col("sh").as("b_sh"))
+    val left = buckets.select(col("band"), col("bucket"), col("id").as("a_id"))
+    val right = buckets.select(col("band"), col("bucket"), col("id").as("b_id"))
     val candidates = left.join(right, Seq("band", "bucket"))
       .filter(col("a_id") < col("b_id"))
-      // a pair can collide in several bands; keep one copy before the
-      // (relatively) expensive exact intersection
-      .groupBy("a_id", "b_id")
-      .agg(first("a_sh").as("a_sh"), first("b_sh").as("b_sh"))
+      .select("a_id", "b_id")
+      .distinct() // a pair can collide in several bands
 
     candidates
+      .join(withSh.select(col("id").as("a_id"), col("sh").as("a_sh")), "a_id")
+      .join(withSh.select(col("id").as("b_id"), col("sh").as("b_sh")), "b_id")
       .withColumn("inter", size(array_intersect(col("a_sh"), col("b_sh"))))
       .withColumn("jaccard", col("inter").cast("double") /
         (size(col("a_sh")) + size(col("b_sh")) - col("inter")))

@@ -46,8 +46,12 @@ for name in sorted(oracle):
         print(f"FAIL {name}: rows {len(mine)} vs {len(ref)}")
         fail += 1
         continue
-    mine = mine.sort_values(list(mine.columns), ignore_index=True)
-    ref = ref.sort_values(list(ref.columns), ignore_index=True)
+    # sort non-float columns first so a last-ulp float difference cannot
+    # reorder rows and misalign the cell-by-cell compare
+    sort_cols = sorted(mine.columns,
+                       key=lambda c: pd.api.types.is_float_dtype(mine[c]))
+    mine = mine.sort_values(sort_cols, ignore_index=True)
+    ref = ref.sort_values(sort_cols, ignore_index=True)
     bad = []
     for c in mine.columns:
         a, b = mine[c], ref[c]
