@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.api._
 import graft.functions.TextAnalysis
-import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.operators.{Dedup, Multimodal, Sampling, Similarity, Skew}
 import graft.sources.PsIO
 import graft.streaming.StreamingOps
 
@@ -176,6 +176,53 @@ object ExtQueries {
         .orderBy("user_id", "session_id")
     }),
 
+    // ---- deterministic sampling / splitting -------------------------
+
+    // reproducible train/val/test assignment by engine-portable key hash
+    "q_split" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Sampling.hashSplit(d.df, "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select("doc_id", "split").orderBy("doc_id")
+    }),
+
+    // per-stratum downsampling (halve English, keep the rest)
+    "q_stratsample" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Sampling.stratifiedSampleByHash(d.df, "doc_id", "lang",
+          Map("en" -> 0.5))
+        .select("doc_id", "lang").orderBy("doc_id")
+    }),
+
+    // ---- skew-safe aggregation --------------------------------------
+
+    // salted two-stage agg must equal the plain GROUP BY (oracle is the
+    // unsalted SQL — proves the decomposition, while the physical plan
+    // spreads each key over 8 sub-keys)
+    "q_salted" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      Skew.saltedAgg(li.df, Seq("l_returnflag"),
+          Seq(
+            Skew.SaltedSum("l_quantity", "sum_qty"),
+            Skew.SaltedCount("l_quantity", "n"),
+            Skew.SaltedMean("l_quantity", "avg_qty"),
+            Skew.SaltedMin("l_extendedprice", "min_price"),
+            Skew.SaltedMax("l_extendedprice", "max_price")),
+          saltFactor = 8)
+        .orderBy("l_returnflag")
+    }),
+
+    // IVF ANN top-1 (approximate by design -> rows-only; recall asserted
+    // vs brute force in SimilaritySpec)
+    "q_ann_ivf" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.df.filter(col("vec_id") < 20)
+      Similarity.ivfTopK(e.df, q, "vec_id", "embedding", k = 1,
+          nCells = 16, nProbe = 4)
+        .select(col("query_id"), col("neighbor_id"), col("rank").as("rnk"))
+        .orderBy("query_id", "rnk")
+    }),
+
     // ---- coverage for previously-untested reference ops -------------
 
     "q_nsmallest" -> ((s, dir) => {
@@ -331,6 +378,27 @@ object ExtQueries {
          SELECT user_id, session_id, min(ms) AS start_ms, max(ms) AS end_ms,
                 count(*) AS n_events, (sum(value::DECIMAL(18,2)))::DOUBLE AS total_value
          FROM z GROUP BY user_id, session_id ORDER BY user_id, session_id""",
+    "q_split" ->
+      """SELECT doc_id,
+            CASE WHEN b < 8000 THEN 'train' WHEN b < 9000 THEN 'val' ELSE 'test' END AS split
+         FROM (SELECT doc_id,
+                 ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 10000 AS b
+               FROM documents) ORDER BY doc_id""",
+    "q_stratsample" ->
+      """SELECT doc_id, lang
+         FROM (SELECT doc_id, lang,
+                 ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 10000 AS b
+               FROM documents)
+         WHERE b < CASE WHEN lang = 'en' THEN 5000 ELSE 10000 END
+         ORDER BY doc_id""",
+    "q_salted" ->
+      """SELECT l_returnflag,
+            sum(l_quantity) AS sum_qty,
+            count(l_quantity) AS n,
+            sum(l_quantity) / count(l_quantity) AS avg_qty,
+            min(l_extendedprice) AS min_price,
+            max(l_extendedprice) AS max_price
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q_nsmallest" ->
       """SELECT o_orderkey, o_totalprice FROM orders
          ORDER BY o_totalprice ASC, o_orderkey ASC LIMIT 15""",

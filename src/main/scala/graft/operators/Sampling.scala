@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling / splitting for training-data pipelines.
+  *
+  * Random `sample()` is irreproducible across runs, engines, and data
+  * re-partitioning. These operators assign membership by a stable hash of
+  * a key column ([[Dedup.hash60]], md5-derived — identical in DuckDB and
+  * most engines), so a document keeps its split forever: re-runs,
+  * backfills, and engine migrations all agree, and new data lands in the
+  * same proportions without reshuffling old assignments. Per-row, no
+  * shuffle, codegen'd.
+  */
+object Sampling {
+
+  private val Buckets = 10000L
+
+  private def bucketOf(key: Column, salt: String): Column =
+    pmod(Dedup.hash60(concat(key.cast("string"), lit(salt))), lit(Buckets))
+
+  /** Split label ("train"/"val"/"test"-style) per row. `fractions` must
+    * sum to 1; `salt` decorrelates different splits over the same key. */
+  def splitColumn(key: Column, fractions: Seq[(String, Double)], salt: String = ""): Column = {
+    require(fractions.nonEmpty && math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
+      "split fractions must sum to 1")
+    val b = bucketOf(key, salt)
+    val cums = fractions.scanLeft(0.0) { case (acc, (_, f)) => acc + f }.tail
+    val labeled = fractions.zip(cums) // (name, fraction) -> cumulative
+    labeled.init.foldRight(lit(labeled.last._1._1): Column) {
+      case (((name, _), cum), acc) =>
+        when(b < math.round(cum * Buckets), name).otherwise(acc)
+    }
+  }
+
+  /** df + a `split` column. */
+  def hashSplit(
+      df: DataFrame, keyCol: String,
+      fractions: Seq[(String, Double)], salt: String = ""): DataFrame =
+    df.withColumn("split", splitColumn(df(keyCol), fractions, salt))
+
+  /** Deterministic `fraction`-sample by key hash (stable across runs). */
+  def sampleByHash(
+      df: DataFrame, keyCol: String, fraction: Double, salt: String = ""): DataFrame =
+    df.filter(bucketOf(df(keyCol), salt) < math.round(fraction * Buckets))
+
+  /** Per-stratum deterministic sampling: each stratum keeps its own
+    * fraction (downsample hot classes, keep rare ones whole). */
+  def stratifiedSampleByHash(
+      df: DataFrame, keyCol: String, strataCol: String,
+      fractions: Map[String, Double], default: Double = 1.0,
+      salt: String = ""): DataFrame = {
+    val b = bucketOf(df(keyCol), salt)
+    val frac = fractions.foldLeft(lit(default)) { case (acc, (s, f)) =>
+      when(df(strataCol) === s, f).otherwise(acc)
+    }
+    df.filter(b < round(frac * Buckets))
+  }
+}

@@ -120,6 +120,79 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "score")
   }
 
+  /** IVF (inverted-file) approximate top-k: the scale path when LSH
+    * bucket balance is poor. The corpus is partitioned into `nCells`
+    * Voronoi cells around deterministically-sampled centroids (k-means-0;
+    * iterate externally to refine); each query scores only the cells whose
+    * centroids rank in its `nProbe` nearest. Centroids live on the driver
+    * (bounded: nCells ≤ a few hundred) and fold into the plan as
+    * `typedLit` constants, so both assignment passes are map-side
+    * codegen'd cosine argmax — the only shuffle is the (cell)-keyed
+    * candidate join. Output: (query_id, neighbor_id, rank, score).
+    */
+  def ivfTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nCells: Int = 16,
+      nProbe: Int = 4,
+      seed: Long = 42L): DataFrame = {
+    require(nProbe <= nCells)
+    // deterministic centroid sample: first nCells corpus vectors by a
+    // seeded hash of the id (stable under partitioning)
+    val centroids: Seq[Seq[Double]] = corpus
+      .select(col(idCol), col(vecCol))
+      .orderBy(pmod(xxhash64(col(idCol), lit(seed)), lit(1000003L)), col(idCol))
+      .limit(nCells)
+      .collect()
+      .map(_.getSeq[Any](1).map {
+        case f: Float => f.toDouble
+        case d: Double => d
+        case n: Number => n.doubleValue()
+      }.toSeq).toSeq
+
+    def cellScores(vec: Column): Seq[(Column, Int)] =
+      centroids.zipWithIndex.map { case (c, i) => (cosine(vec, typedLit(c)), i) }
+
+    /** argmax cell for a corpus vector — array_max over (score, idx)
+      * structs (struct ordering is lexicographic, so max-by-score with a
+      * deterministic tie-break). NB a pairwise when()-reduce would
+      * duplicate the accumulated branch per level → 2^nCells expression
+      * nodes. */
+    def bestCell(vec: Column): Column = {
+      val arr = array(cellScores(vec).map { case (s, i) =>
+        struct(s.as("s"), lit(i).as("i"))
+      }: _*)
+      array_max(arr)("i")
+    }
+
+    val cb = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
+      bestCell(col(vecCol)).as("cell"))
+
+    // queries probe their nProbe best cells
+    val qScored = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+      explode(array(cellScores(col(vecCol)).map { case (s, i) =>
+        struct(s.as("s"), lit(i).as("cell"))
+      }: _*)).as("cs"))
+      .select(col("query_id"), col("q_vec"), col("cs.s"), col("cs.cell"))
+    val wProbe = Window.partitionBy("query_id").orderBy(col("s").desc, col("cell"))
+    val qb = qScored
+      .withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= nProbe)
+      .select("query_id", "q_vec", "cell")
+
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("neighbor_id"))
+    qb.join(cb, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("score", cosine(col("q_vec"), col("c_vec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "score")
+  }
+
   /** Exact embedding near-duplicate pairs: all (a,b), a<b, with cosine ≥
     * `threshold`, via bucketed LSH candidates (for the corpus-vs-itself
     * case). Output: (a_id, b_id, score). */

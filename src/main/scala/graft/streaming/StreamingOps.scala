@@ -130,6 +130,21 @@ object StreamingOps {
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
   }
 
+  /** Streaming exact dedup on a key subset: keeps the first arrival per
+    * key, with state bounded by the watermark horizon
+    * (`dropDuplicatesWithinWatermark` — duplicates arriving within
+    * `lateness` of each other are guaranteed dropped, state for older
+    * keys is evicted). The streaming face of [[graft.operators.Dedup.exact]]
+    * — an ingestion pipeline dedups on the same fingerprint column both
+    * in backfill (batch) and live (stream). */
+  def streamingDedup(
+      events: DataFrame,
+      keys: Seq[String],
+      lateness: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark(keys)
+
   /** Batch sessionization via analytic windows (the shuffle-once,
     * state-store-free form for historical reprocessing): a session break
     * is a gap > `gapMinutes` from the previous event of the same user; the

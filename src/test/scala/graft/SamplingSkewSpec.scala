@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Sampling, Skew}
+
+class SamplingSkewSpec extends AnyFunSuite with SparkFixture {
+
+  private def ids = {
+    val s = spark
+    import s.implicits._
+    (1L to 2000L).map(i => (i, if (i % 4 == 0) "en" else "de")).toDF("id", "lang")
+  }
+
+  test("hashSplit: fractions hold approximately, assignment is stable") {
+    val split = Sampling.hashSplit(ids, "id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val counts = split.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("train") > 1500 && counts("train") < 1700)
+    assert(counts("val") > 140 && counts("val") < 260)
+    // determinism: re-evaluating yields the identical assignment
+    val a = split.select("id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = Sampling.hashSplit(ids, "id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select("id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a == b)
+  }
+
+  test("sampleByHash: nested fractions are subsets (hash-sampling property)") {
+    val s30 = Sampling.sampleByHash(ids, "id", 0.3).select("id")
+      .collect().map(_.getLong(0)).toSet
+    val s50 = Sampling.sampleByHash(ids, "id", 0.5).select("id")
+      .collect().map(_.getLong(0)).toSet
+    assert(s30.subsetOf(s50))
+    assert(s30.size > 450 && s30.size < 750)
+  }
+
+  test("stratifiedSampleByHash downsamples only the named stratum") {
+    val out = Sampling.stratifiedSampleByHash(ids, "id", "lang", Map("en" -> 0.5))
+    val byLang = out.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang("de") == 1500L) // untouched
+    assert(byLang("en") > 180 && byLang("en") < 320) // ~250
+  }
+
+  test("saltedAgg equals the plain groupBy on skewed data") {
+    val s = spark
+    import s.implicits._
+    // hot key: 90% of rows share one key
+    val d = (1 to 5000).map { i =>
+      (if (i % 10 == 0) s"k${i % 7}" else "HOT", i.toDouble)
+    }.toDF("k", "v")
+    val salted = Skew.saltedAgg(d, Seq("k"), Seq(
+      Skew.SaltedSum("v", "sum_v"), Skew.SaltedCount("v", "n"),
+      Skew.SaltedMean("v", "avg_v"), Skew.SaltedMin("v", "min_v"),
+      Skew.SaltedMax("v", "max_v")), saltFactor = 8)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    val plain = d.groupBy("k").agg(
+      sum("v"), count("v"), sum("v") / count("v"), min("v"), max("v"))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    assert(salted == plain)
+  }
+}

@@ -63,6 +63,18 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     assert(hits >= 9, s"recall@1 = $hits/10") // ≥0.9 on tight clusters
   }
 
+  test("ivfTopK achieves high recall@1 vs brute force on clustered data") {
+    val d = clustered
+    val q = d.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(d, q, "vec_id", "embedding", 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val approx = Similarity.ivfTopK(d, q, "vec_id", "embedding", k = 1,
+      nCells = 6, nProbe = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hits = exact.count { case (qid, nid) => approx.get(qid).contains(nid) }
+    assert(hits >= 9, s"IVF recall@1 = $hits/10")
+  }
+
   test("nearDupPairs finds planted duplicate vectors") {
     val s = spark
     import s.implicits._

@@ -69,6 +69,23 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("streamingDedup drops duplicate keys within the watermark") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val input = MemoryStream[Event]
+    val q = StreamingOps.streamingDedup(input.toDS().toDF(), Seq("user_id"))
+      .writeStream.format("memory").queryName("t_dedup")
+      .outputMode("append").start()
+    try {
+      input.addData(ev(1, 0, 1), ev(2, 1, 1), ev(3, 2, 2)) // user 1 twice
+      q.processAllAvailable()
+      val got = spark.table("t_dedup").collect()
+      assert(got.length == 2) // one row per user
+      assert(got.map(_.getLong(2)).toSet == Set(1L, 2L))
+    } finally q.stop()
+  }
+
   test("streaming tumblingAgg emits closed windows under append mode") {
     val s = spark
     import s.implicits._
