@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.api._
 import graft.functions.TextAnalysis
-import graft.operators.{Dedup, Multimodal, Sampling, Similarity, Skew}
+import graft.operators.{AsOfJoin, Dedup, Multimodal, Sampling, Similarity, Skew}
 import graft.sources.PsIO
 import graft.streaming.StreamingOps
 
@@ -174,6 +174,52 @@ object ExtQueries {
           unix_millis(col("session_end")).as("end_ms"),
           col("n_events"), col("total_value"))
         .orderBy("user_id", "session_id")
+    }),
+
+    // ---- as-of join + analytic windows ------------------------------
+
+    // attribution: each click joined to the user's most recent purchase
+    // at-or-before it (backward-inclusive; unmatched clicks keep nulls)
+    "q_asof" -> ((s, dir) => {
+      val ev = events(s, dir).withColumn("ms", expr("ts div 1000000"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ms")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy("user_id", "ms").agg(max("value").as("p_value"))
+        .withColumn("p_ms", col("ms"))
+      AsOfJoin.asof(clicks, purchases, Seq("user_id"), "ms", "ms",
+          valueCols = Seq("p_ms", "p_value"), how = "left", rightPrefix = "")
+        .orderBy("event_id")
+    }),
+
+    // running spend per customer (pandas cumsum; decimal for exactness)
+    "q_cumsum" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      o.set("price_d", o("o_totalprice").cast("decimal(18,2)"))
+      val c = o.cumsum("price_d", Seq("o_custkey"), Seq("o_orderkey"), "cum_d")
+      c.set("cum_spend", c("cum_d").cast("double"))
+      c.select("o_custkey", "o_orderkey", "cum_spend")
+        .sortValues(Seq("o_custkey", "o_orderkey")).df
+    }),
+
+    // rank + shift (pandas rank/shift analogues) per customer
+    "q_ranklag" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val ranked = o.rankIn(Seq("o_custkey"),
+        Seq(o("o_totalprice").desc, o("o_orderkey").asc), "rnk")
+      ranked.lagCol("o_totalprice", 1, Seq("o_custkey"),
+          Seq(ranked("o_totalprice").desc, ranked("o_orderkey").asc), "prev_price")
+        .select("o_custkey", "o_orderkey", "rnk", "prev_price")
+        .sortValues(Seq("o_custkey", "o_orderkey")).df
+    }),
+
+    // pandas nunique (distinct-count aggregate; not in the reference)
+    "q_nunique" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      li.groupby("l_returnflag").agg(
+          ("l_partkey", "nunique") -> "n_parts",
+          ("l_suppkey", "nunique") -> "n_supp")
+        .sortValues(Seq("l_returnflag")).df
     }),
 
     // ---- deterministic sampling / splitting -------------------------
@@ -378,6 +424,30 @@ object ExtQueries {
          SELECT user_id, session_id, min(ms) AS start_ms, max(ms) AS end_ms,
                 count(*) AS n_events, (sum(value::DECIMAL(18,2)))::DOUBLE AS total_value
          FROM z GROUP BY user_id, session_id ORDER BY user_id, session_id""",
+    "q_asof" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_ms(ts)::BIGINT AS ms, event_type, value FROM events),
+         c AS (SELECT event_id, user_id, ms FROM e WHERE event_type = 'click'),
+         p AS (SELECT user_id, ms, max(value) AS p_value FROM e
+               WHERE event_type = 'purchase' GROUP BY user_id, ms)
+         SELECT c.event_id, c.user_id, c.ms, p.ms AS p_ms, p.p_value
+         FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ms >= p.ms
+         ORDER BY c.event_id""",
+    "q_cumsum" ->
+      """SELECT o_custkey, o_orderkey,
+            (sum(o_totalprice::DECIMAL(18,2)) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderkey
+               ROWS UNBOUNDED PRECEDING))::DOUBLE AS cum_spend
+         FROM orders ORDER BY o_custkey, o_orderkey""",
+    "q_ranklag" ->
+      """SELECT o_custkey, o_orderkey,
+            rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk,
+            lag(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS prev_price
+         FROM orders ORDER BY o_custkey, o_orderkey""",
+    "q_nunique" ->
+      """SELECT l_returnflag,
+            count(DISTINCT l_partkey) AS n_parts,
+            count(DISTINCT l_suppkey) AS n_supp
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q_split" ->
       """SELECT doc_id,
             CASE WHEN b < 8000 THEN 'train' WHEN b < 9000 THEN 'val' ELSE 'test' END AS split

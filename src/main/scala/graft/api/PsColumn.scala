@@ -87,6 +87,8 @@ final case class PsColumn(col: Column, owner: Option[DataFrame] = None) {
 
   def as(name: String): PsColumn = derive(col.as(name))
   def cast(to: String): PsColumn = derive(col.cast(to))
+  def asc: PsColumn = derive(col.asc)
+  def desc: PsColumn = derive(col.desc)
 
   // ---- per-column aggregate sugar (reference core.py:219-241:
   //      `df['n'].sum()` on a projection yields a scalar) ----

@@ -143,6 +143,38 @@ final class PsDataFrame(private var _df: DataFrame) {
   def rename(mapping: Map[String, String]): PsDataFrame =
     new PsDataFrame(_df.withColumnsRenamed(mapping))
 
+  // ---- analytic windows (extension; the reference lists rolling/rank/
+  //      cumsum as unsupported, api_status.py) ----
+
+  private def rowWindow(partitionBy: Seq[String], orderBy: Seq[String]) = {
+    import org.apache.spark.sql.expressions.Window
+    Window.partitionBy(partitionBy.map(_df(_)): _*)
+      .orderBy(orderBy.map(_df(_)): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+  }
+
+  /** pandas `groupby(...).cumsum()`: running sum per group in row order. */
+  def cumsum(valueCol: String, partitionBy: Seq[String], orderBy: Seq[String],
+      as: String): PsDataFrame =
+    new PsDataFrame(_df.withColumn(as,
+      org.apache.spark.sql.functions.sum(_df(valueCol))
+        .over(rowWindow(partitionBy, orderBy))))
+
+  /** pandas `groupby(...).rank()`: SQL rank over the given order. */
+  def rankIn(partitionBy: Seq[String], orderBy: Seq[PsColumn], as: String): PsDataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(partitionBy.map(_df(_)): _*).orderBy(orderBy.map(_.col): _*)
+    new PsDataFrame(_df.withColumn(as, rank().over(w)))
+  }
+
+  /** pandas `groupby(...).shift(n)`: value from n rows earlier in group order. */
+  def lagCol(valueCol: String, n: Int, partitionBy: Seq[String], orderBy: Seq[PsColumn],
+      as: String): PsDataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(partitionBy.map(_df(_)): _*).orderBy(orderBy.map(_.col): _*)
+    new PsDataFrame(_df.withColumn(as, lag(_df(valueCol), n).over(w)))
+  }
+
   // ---- groupby / aggregation (reference core.py:1003-1258) ----
 
   def groupby(keys: String*): PsGroupedFrame =

@@ -104,6 +104,8 @@ object PsGroupedFrame {
     case "min"   => min(c)
     case "max"   => max(c)
     case "prod"  => GraftAggregates.prod(c)
+    case "nunique" => count_distinct(c) // pandas nunique (extension; the
+    // reference has no distinct-agg, SURVEY §2.6)
     case "any"   => GraftAggregates.anyAgg(c)
     case "all"   => GraftAggregates.allAgg(c)
     case other   => throw new IllegalArgumentException(s"unsupported aggregate: $other")

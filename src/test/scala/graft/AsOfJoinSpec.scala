@@ -1,0 +1,68 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.api._
+import graft.operators.AsOfJoin
+
+class AsOfJoinSpec extends AnyFunSuite with SparkFixture {
+
+  private def frames = {
+    val s = spark
+    import s.implicits._
+    val left = Seq( // (id, key, t)
+      (1L, "a", 100L), (2L, "a", 200L), (3L, "a", 50L),
+      (4L, "b", 100L), (5L, "c", 100L))
+      .toDF("id", "k", "t")
+    val right = Seq( // (key, t, v)
+      ("a", 100L, 1.0), ("a", 150L, 2.0), ("b", 90L, 3.0))
+      .toDF("k", "t", "v")
+    (left, right)
+  }
+
+  test("asof left: latest right at-or-before, inclusive ties, null before first") {
+    val (l, r) = frames
+    val got = AsOfJoin.asof(l, r, Seq("k"), "t", "t", Seq("v"))
+      .collect().map(x => x.getLong(0) -> Option(x.get(x.fieldIndex("r_v")))).toMap
+    assert(got(1L).contains(1.0)) // t=100 matches right t=100 (inclusive)
+    assert(got(2L).contains(2.0)) // t=200 -> latest is 150
+    assert(got(3L).isEmpty) // t=50 before first right row
+    assert(got(4L).contains(3.0))
+    assert(got(5L).isEmpty) // key with no right rows at all
+  }
+
+  test("asof inner drops unmatched left rows") {
+    val (l, r) = frames
+    val ids = AsOfJoin.asof(l, r, Seq("k"), "t", "t", Seq("v"), how = "inner")
+      .collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 2L, 4L))
+  }
+
+  test("cumsum / rank / lag window sugar") {
+    val s = spark
+    import s.implicits._
+    val d = PsDataFrame(Seq(
+      ("a", 1, 10.0), ("a", 2, 20.0), ("a", 3, 5.0), ("b", 1, 7.0))
+      .toDF("g", "seq", "v"))
+    val c = d.cumsum("v", Seq("g"), Seq("seq"), "cum")
+      .df.orderBy("g", "seq").collect().map(_.getDouble(3)).toSeq
+    assert(c == Seq(10.0, 30.0, 35.0, 7.0))
+    val ranked = d.rankIn(Seq("g"), Seq(d("v").desc), "rnk")
+      .df.filter(org.apache.spark.sql.functions.col("g") === "a")
+      .orderBy("seq").collect().map(_.getInt(3)).toSeq
+    assert(ranked == Seq(2, 1, 3))
+    val lagged = d.lagCol("v", 1, Seq("g"), Seq(d("seq").asc), "prev")
+      .df.orderBy("g", "seq").collect().map(r => Option(r.get(3))).toSeq
+    assert(lagged == Seq(None, Some(10.0), Some(20.0), None))
+  }
+
+  test("nunique aggregate counts distinct values per group") {
+    val s = spark
+    import s.implicits._
+    val d = PsDataFrame(Seq(
+      ("a", 1), ("a", 1), ("a", 2), ("b", 5)).toDF("g", "x"))
+    val got = d.groupby("g").agg(("x", "nunique") -> "nx")
+      .df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("a" -> 2L, "b" -> 1L))
+  }
+}
