@@ -49,4 +49,23 @@ object PsIO {
     * (`CREATE TABLE name AS <query>`, core.py:84-89). On Spark this is
     * plan caching; later queries reuse the in-memory columnar form. */
   def materialize(df: DataFrame): DataFrame = df.cache()
+
+  /** Bucketed external table: pre-partitions (and per-bucket sorts) the
+    * data by join/aggregation keys so later equi-joins and groupBys
+    * between co-bucketed tables run WITHOUT a shuffle — the 100 TB answer
+    * to "this fact table is joined on this key every day". Registered in
+    * the session catalog; read back with `spark.table(name)`. */
+  def writeBucketed(
+      df: DataFrame,
+      table: String,
+      path: String,
+      keys: Seq[String],
+      buckets: Int): Unit =
+    df.write
+      .mode(SaveMode.Overwrite)
+      .option("path", path)
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
 }
