@@ -45,15 +45,12 @@ object Dedup {
   def tokens(text: Column): Column = split(text, " ")
 
   /** Distinct k-word shingles of `text` (n-gram units for Jaccard /
-    * MinHash). Empty array when the document has fewer than k tokens. */
-  def shingles(text: Column, k: Int): Column = {
-    val toks = tokens(text)
-    val n = size(toks)
-    when(n >= k,
-      array_distinct(transform(sequence(lit(0), n - k),
-        i => concat_ws(" ", slice(toks, i + 1, lit(k))))))
-      .otherwise(array().cast("array<string>"))
-  }
+    * MinHash). Empty array when the document has fewer than k tokens.
+    * Single-pass custom expression ([[graft.plans.WordShingles]]) — the
+    * declarative transform/slice/concat_ws chain re-tokenizes per shingle
+    * through interpreted lambdas. */
+  def shingles(text: Column, k: Int): Column =
+    graft.plans.TextExpressions.wordShingles(text, k)
 
   // -------------------------------------------------- exact n-gram Jaccard
 

@@ -69,6 +69,24 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("readEventStream: file source feeds the same windowed agg") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    Seq(ev(1, 1, 1, 1.0), ev(2, 30, 2, 2.0)).toDF()
+      .write.mode("overwrite").parquet(dir)
+    val q = StreamingOps.tumblingAgg(
+        StreamingOps.readEventStream(s, dir), "1 hour", "0 seconds")
+      .writeStream.format("memory").queryName("t_filewin")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("t_filewin").collect()
+      assert(got.length == 1) // both clicks fall in the same hour window
+      assert(got.head.getLong(2) == 2L && got.head.getDouble(3) == 3.0)
+    } finally q.stop()
+  }
+
   test("streamingDedup drops duplicate keys within the watermark") {
     val s = spark
     import s.implicits._
