@@ -112,6 +112,23 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // corpus vocabulary: top tokens by occurrence with doc frequency
+    "q_vocab" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      TextAnalysis.vocabulary(d.df, "doc_id", "text")
+        .orderBy(col("cnt").desc, col("token"))
+        .limit(30)
+    }),
+
+    // per-(doc, token) term/document frequencies (tf-idf integer parts;
+    // the float idf is engine-specific libm, checked in unit tests)
+    "q_tfidf" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      TextAnalysis.tfIdf(d.df.filter(col("doc_id") < 20), "doc_id", "text")
+        .select("id", "token", "tf", "df")
+        .orderBy("id", "token")
+    }),
+
     // ---- similarity search ------------------------------------------
 
     // exact cosine top-5 for 20 query vectors (ranks only — membership
@@ -424,6 +441,17 @@ object ExtQueries {
          SELECT user_id, session_id, min(ms) AS start_ms, max(ms) AS end_ms,
                 count(*) AS n_events, (sum(value::DECIMAL(18,2)))::DOUBLE AS total_value
          FROM z GROUP BY user_id, session_id ORDER BY user_id, session_id""",
+    "q_vocab" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+         SELECT token, count(*) AS cnt, count(DISTINCT doc_id) AS df
+         FROM t GROUP BY token ORDER BY cnt DESC, token LIMIT 30""",
+    "q_tfidf" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                    FROM documents WHERE doc_id < 20),
+         tf AS (SELECT doc_id AS id, token, count(*) AS tf FROM t GROUP BY doc_id, token),
+         df AS (SELECT token, count(DISTINCT doc_id) AS df FROM t GROUP BY token)
+         SELECT id, token, tf, df FROM tf JOIN df USING (token)
+         ORDER BY id, token""",
     "q_asof" ->
       """WITH e AS (SELECT event_id, user_id, epoch_ms(ts)::BIGINT AS ms, event_type, value FROM events),
          c AS (SELECT event_id, user_id, ms FROM e WHERE event_type = 'click'),

@@ -106,4 +106,38 @@ object TextAnalysis {
     * strip leading/trailing space — so near-identical formatting dedups. */
   def normalized(text: Column): Column =
     trim(regexp_replace(lower(text), "\\s+", " "))
+
+  // ---- corpus-level statistics (vocabulary / document frequency / tf-idf)
+
+  /** exploded (id, token) pairs — the base relation for corpus stats. */
+  def tokenTable(docs: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String): org.apache.spark.sql.DataFrame =
+    docs.select(col(idCol).as("id"),
+      explode(Dedup.tokens(col(textCol))).as("token"))
+
+  /** corpus vocabulary: occurrence count + document frequency per token.
+    * One explode + one hash-partitioned agg — the standard first pass of
+    * any tokenizer-training / vocab-pruning job. */
+  def vocabulary(docs: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String): org.apache.spark.sql.DataFrame =
+    tokenTable(docs, idCol, textCol)
+      .groupBy("token")
+      .agg(count(lit(1)).as("cnt"), count_distinct(col("id")).as("df"))
+
+  /** per-(doc, token) tf-idf with smoothed idf = ln((N+1)/(df+1)) + 1.
+    * Two aggregations over one exploded pass; the df side is broadcast
+    * when small (vocab ≪ corpus). Integer tf/df columns are exact for
+    * differential checks; idf/tfidf are floats (libm ln is not
+    * bit-portable across engines — compare those with tolerance). */
+  def tfIdf(docs: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
+    val toks = tokenTable(docs, idCol, textCol)
+    val n = docs.count()
+    val tf = toks.groupBy("id", "token").agg(count(lit(1)).as("tf"))
+    val df_ = toks.groupBy("token").agg(count_distinct(col("id")).as("df"))
+    tf.join(broadcast(df_), "token")
+      .withColumn("idf", log((lit(n) + 1.0) / (col("df") + 1.0)) + 1.0)
+      .withColumn("tfidf", col("tf") * col("idf"))
+      .select("id", "token", "tf", "df", "idf", "tfidf")
+  }
 }

@@ -56,6 +56,22 @@ class TextAnalysisSpec extends AnyFunSuite with SparkFixture {
     assert(s.head > s(1))
   }
 
+  test("vocabulary and tfIdf compute exact counts and smoothed idf") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "a b a"), (2L, "a c")).toDF("doc_id", "text")
+    val vocab = TextAnalysis.vocabulary(docs, "doc_id", "text")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(vocab("a") == (3L, 2L)) // 3 occurrences across 2 docs
+    assert(vocab("b") == (1L, 1L))
+    val tfidf = TextAnalysis.tfIdf(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getDouble(4))).toMap
+    assert(tfidf((1L, "a"))._1 == 2L)
+    // smoothed idf: ln((N+1)/(df+1)) + 1, N=2
+    assert(math.abs(tfidf((1L, "b"))._2 - (math.log(3.0 / 2.0) + 1.0)) < 1e-12)
+    assert(math.abs(tfidf((1L, "a"))._2 - 1.0) < 1e-12) // df = N -> ln(1)+1
+  }
+
   test("normalization collapses whitespace and case for fingerprints") {
     val r = one("  The   QUICK fox ").select(
       TextAnalysis.fingerprintHex(TextAnalysis.normalized(col("text"))).as("a"))
