@@ -55,10 +55,14 @@ object ExtQueries {
         .select("doc_id", "fp").sortValues(Seq("doc_id")).df
     }),
 
-    // exact 3-gram Jaccard near-dup pairs via inverted-index join
+    // exact 3-gram Jaccard near-dup pairs via inverted-index postings.
+    // maxDf engages the stop-shingle safety valve (cap ≫ the corpus's
+    // actual max df, so the oracle's uncapped jaccard stays exact here
+    // while the scale guard is live in the benched path).
     "q_jaccard_pairs" -> ((s, dir) => {
       val d = t(s, dir, "documents")
-      Dedup.jaccardPairs(d.df, "doc_id", "text", k = 3, threshold = 0.6)
+      Dedup.jaccardPairs(d.df, "doc_id", "text", k = 3, threshold = 0.6,
+          maxDf = Some(1000))
         .orderBy("a_id", "b_id")
     }),
 
@@ -438,7 +442,7 @@ object ExtQueries {
          y AS (SELECT *, CASE WHEN prev IS NULL OR ms - prev > 1800000 THEN 1 ELSE 0 END AS brk FROM x),
          z AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ms, event_id
                                         ROWS UNBOUNDED PRECEDING) AS session_id FROM y)
-         SELECT user_id, session_id, min(ms) AS start_ms, max(ms) AS end_ms,
+         SELECT user_id, session_id::BIGINT AS session_id, min(ms) AS start_ms, max(ms) AS end_ms,
                 count(*) AS n_events, (sum(value::DECIMAL(18,2)))::DOUBLE AS total_value
          FROM z GROUP BY user_id, session_id ORDER BY user_id, session_id""",
     "q_vocab" ->

@@ -54,16 +54,19 @@ final case class PsColumn(col: Column, owner: Option[DataFrame] = None) {
 
   /** `~` — the reference overloads __invert__ as logical NOT on predicates
     * (core.py:360) and bitwise inversion on numerics (core.py:440). We
-    * dispatch on the analyzed type when the owning frame is known, else
-    * fall back to bitwise (matching the numeric-arithmetic context `~` is
-    * documented for). */
+    * dispatch on the analyzed type: the expression's own type when it is
+    * already resolved (covers free/literal compositions and predicates
+    * spanning frames), else the owning frame's analysis, else fall back to
+    * bitwise (matching the numeric-arithmetic context `~` is documented
+    * for). */
   def unary_~ : PsColumn = {
     val isBool = dataTypeIfKnown.contains(BooleanType)
     derive(if (isBool) !col else PyArith.inv(col))
   }
 
   private def dataTypeIfKnown: Option[DataType] =
-    owner.flatMap(df => Try(df.select(col).schema.head.dataType).toOption)
+    Try(org.apache.spark.sql.GraftColumnBridge.expression(col).dataType).toOption
+      .orElse(owner.flatMap(df => Try(df.select(col).schema.head.dataType).toOption))
 
   // comparisons (reference core.py:449-469, 1307-1341)
   def ===(x: Any): PsColumn = derive(col === o(x))

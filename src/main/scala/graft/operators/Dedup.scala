@@ -55,14 +55,29 @@ object Dedup {
   // -------------------------------------------------- exact n-gram Jaccard
 
   /** All pairs with shingle-set Jaccard ≥ `threshold`, via an inverted
-    * index: explode distinct shingles, self-join on the shingle (so only
-    * documents sharing ≥1 shingle ever meet), count intersections, then
-    * `|A∩B| / (|A|+|B|-|A∩B|)`. Output: (a_id, b_id, jaccard), a_id<b_id.
+    * index in postings-list form. Output: (a_id, b_id, jaccard), a_id<b_id.
     *
-    * Scale: the shuffle key is the shingle; a stop-shingle appearing in f
-    * documents fans out to f² pairs, so at 100 TB cap document frequency
-    * (`maxDf`) to drop degenerate shingles — or use [[minhashLsh]], which
-    * bounds candidate generation by signature agreement instead.
+    * Pipeline (the shingle expression runs exactly ONCE per document —
+    * the relation is consumed by a single aggregation, never self-joined):
+    *  1. per-doc shingle array + its size `n` (map-side, one pass);
+    *  2. postings: groupBy(shingle) → collect_list(struct(id, n)) — one
+    *     shuffle keyed by the shingle;
+    *  3. candidate pairs: a double explode of each posting list generates
+    *     (a, b) in place (only documents sharing the shingle ever meet);
+    *  4. size-ratio prune BEFORE the intersection count: jaccard ≤
+    *     min(na,nb)/max(na,nb), so pairs with min < threshold·max cannot
+    *     reach the threshold and are dropped pre-shuffle;
+    *  5. count pair multiplicity = |A∩B|, then
+    *     `|A∩B| / (|A|+|B|-|A∩B|)` ≥ threshold.
+    *
+    * Scale: a stop-shingle appearing in f documents fans out to f² pairs;
+    * `maxDf` caps that by dropping posting lists longer than the cap (a
+    * free filter on list size — no extra df pass). Pairs whose overlap
+    * rides only on dropped hot shingles are missed and counted
+    * intersections exclude them, so with the cap engaged the reported
+    * jaccard is a lower bound (conservative near-dup semantics). For
+    * corpora where even capped fan-out is too hot, use [[minhashLsh]] —
+    * candidate volume there is bounded by signature agreement.
     */
   def jaccardPairs(
       docs: DataFrame,
@@ -71,25 +86,22 @@ object Dedup {
       k: Int,
       threshold: Double,
       maxDf: Option[Int] = None): DataFrame = {
-    val sh = docs
-      .select(col(idCol).as("id"), explode(shingles(col(textCol), k)).as("s"))
-    val filtered = maxDf match {
-      case Some(cap) =>
-        // document-frequency cap: computed in one agg pass, broadcast back
-        val df_ = sh.groupBy("s").agg(count("*").as("df"))
-          .filter(col("df") <= cap).select("s")
-        sh.join(broadcast(df_), "s")
-      case None => sh
-    }
-    val sizes = filtered.groupBy("id").agg(count("*").as("n"))
-    val a = filtered.select(col("id").as("a_id"), col("s"))
-    val b = filtered.select(col("id").as("b_id"), col("s"))
-    val inter = a.join(b, Seq("s"))
+    val base = docs.select(col(idCol).as("id"), shingles(col(textCol), k).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val ex = base.select(col("id"), size(col("sh")).as("n"), explode(col("sh")).as("s"))
+    val postings = ex.groupBy("s")
+      .agg(collect_list(struct(col("id"), col("n"))).as("ds"))
+      .filter(size(col("ds")) >= 2)
+    val kept = maxDf.fold(postings)(cap => postings.filter(size(col("ds")) <= cap))
+    val pairs = kept
+      .select(explode(col("ds")).as("a"), col("ds"))
+      .select(col("a.id").as("a_id"), col("a.n").as("na"), explode(col("ds")).as("b"))
+      .select(col("a_id"), col("na"), col("b.id").as("b_id"), col("b.n").as("nb"))
       .filter(col("a_id") < col("b_id"))
-      .groupBy("a_id", "b_id").agg(count("*").as("inter"))
-    inter
-      .join(sizes.withColumnsRenamed(Map("id" -> "a_id", "n" -> "na")), "a_id")
-      .join(sizes.withColumnsRenamed(Map("id" -> "b_id", "n" -> "nb")), "b_id")
+      .filter(least(col("na"), col("nb")).cast("double") >=
+        lit(threshold) * greatest(col("na"), col("nb")))
+    pairs
+      .groupBy("a_id", "b_id", "na", "nb").agg(count(lit(1)).as("inter"))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
       .filter(col("jaccard") >= threshold)
