@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType}
 
 /** Similarity search over an embedding column (`array<float|double>`).
   *
@@ -42,6 +43,14 @@ object Similarity {
     * of `corpus` (self-matches on equal ids excluded). Output:
     * (query_id, neighbor_id, rank, score). `queries` is broadcast — keep
     * it small relative to executor memory; the corpus streams.
+    *
+    * Scoring is map-side (broadcast join, codegen'd cosine); per-query
+    * top-k is a bounded-heap aggregate ([[graft.functions.TopKAgg]]) with
+    * PARTIAL aggregation, so the only shuffle carries ≤ partitions·Q·k
+    * pre-reduced entries — never the N·Q scored rows (a rank window here
+    * would shuffle the full cross volume; at a 100 TB corpus even Q=1000
+    * makes that 1000× the corpus). Integral-id corpora take this path;
+    * other id types fall back to the rank window.
     */
   def bruteForceTopK(
       corpus: DataFrame,
@@ -54,12 +63,24 @@ object Similarity {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
     val scored = c.join(q, col("query_id") =!= col("neighbor_id"))
       .withColumn("score", cosine(col("q_vec"), col("c_vec")))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("score").desc, col("neighbor_id"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "rank", "score")
+    corpus.schema(idCol).dataType match {
+      case LongType | IntegerType =>
+        val topk = graft.functions.TopKAggregate.topK(k)
+        scored.groupBy("query_id")
+          .agg(topk(col("score"), col("neighbor_id").cast("long")).as("tk"))
+          .select(col("query_id"), posexplode(col("tk")))
+          .select(col("query_id"),
+            col("col.id").cast(corpus.schema(idCol).dataType).as("neighbor_id"),
+            (col("pos") + 1).as("rank"),
+            col("col.score").as("score"))
+      case _ =>
+        val w = Window.partitionBy("query_id")
+          .orderBy(col("score").desc, col("neighbor_id"))
+        scored
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= k)
+          .select("query_id", "neighbor_id", "rank", "score")
+    }
   }
 
   /** Random-hyperplane (SimHash-for-vectors) bucket id: bit i = sign of

@@ -51,6 +51,25 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("bruteForceTopK: partial-agg path == rank-window fallback, plan has no Window") {
+    val d = clustered
+    val q = d.filter(col("vec_id").isin(0L, 10L, 20L))
+    val agg = Similarity.bruteForceTopK(d, q, "vec_id", "embedding", k = 4)
+    // string ids force the generic rank-window fallback on the same data
+    val ds = d.withColumn("vid", format_string("%03d", col("vec_id")))
+    val qs = ds.filter(col("vec_id").isin(0L, 10L, 20L))
+    val win = Similarity.bruteForceTopK(ds, qs, "vid", "embedding", k = 4)
+    def key(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.get(0).toString.toLong, r.get(1).toString.toLong,
+        r.getInt(2), r.getDouble(3))).toSet
+    assert(key(agg.collect()) == key(win.collect()))
+    // scale shape: the top-k shuffle is a partial ObjectHashAggregate,
+    // not a rank window over all N·Q scored rows
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), plan.take(500))
+    assert(!plan.contains("Window"), plan.take(500))
+  }
+
   test("lshTopK achieves high recall@1 vs brute force on clustered data") {
     val d = clustered
     val q = d.filter(col("vec_id") < 10) // cluster-0 members as queries
