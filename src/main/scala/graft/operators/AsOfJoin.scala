@@ -1,8 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.TimestampType
 
 /** As-of (backward) join — an operator Spark's join zoo lacks.
   *
@@ -12,14 +13,30 @@ import org.apache.spark.sql.functions._
   *
   * Implementation is the scalable union-and-fill form, not a per-key
   * loop and not a range join: tag both inputs, union by name, and take
-  * `last(value, ignoreNulls)` over a window ordered by (time, side) with
-  * right rows sorting before left rows at equal times (backward-inclusive
+  * `last(struct(values), ignoreNulls)` over a window ordered by
+  * (time, side) with right rows sorting before left rows at equal times
+  * (backward-inclusive semantics). The fill carries ONE struct per right
+  * row, so the attached values always come from the same matched right
+  * row — legitimate nulls inside a matched row stay null instead of
+  * leaking an older row's value (pandas merge_asof / SQL ASOF JOIN
   * semantics). Cost: ONE shuffle on the keys + one sort — the same price
   * as a regular sort-merge join, for any left/right size ratio. A right
   * side with several rows at the same (key, time) is ambiguous; pre-dedup
   * it (e.g. [[Dedup.exact]]) for deterministic output.
   */
 object AsOfJoin {
+
+  /** Monotone integral order key. Timestamps keep microsecond precision
+    * (`cast("long")` would truncate to whole seconds, letting a right row
+    * later in the same second compare equal and — since __side sorts right
+    * first — be attached to an EARLIER left row, violating
+    * backward-inclusive semantics; same discipline as
+    * [[graft.streaming.StreamingOps.sessionizeBatch]]'s unix_millis). */
+  private def orderKey(df: DataFrame, c: String): Column =
+    df.schema(c).dataType match {
+      case TimestampType => unix_micros(col(c))
+      case _             => col(c).cast("long")
+    }
 
   /** @param valueCols right columns to attach (as `<rightPrefix><col>`)
     * @param how "left" keeps unmatched left rows (null values), "inner"
@@ -37,12 +54,13 @@ object AsOfJoin {
     require(valueCols.nonEmpty, "asof needs right value columns to attach")
     require(how == "left" || how == "inner", s"how must be left|inner, got $how")
 
+    val outCols = valueCols.map(v => s"$rightPrefix$v")
     val r2 = right.select(
-      keys.map(col) ++
-        Seq(col(rightTime).cast("long").as("__t"), lit(0).as("__side"), lit(true).as("__match")) ++
-        valueCols.map(v => col(v).as(s"$rightPrefix$v")): _*)
+      keys.map(col) ++ Seq(
+        orderKey(right, rightTime).as("__t"), lit(0).as("__side"),
+        struct(valueCols.zip(outCols).map { case (v, o) => col(v).as(o) }: _*).as("__rv")): _*)
     val l2 = left
-      .withColumn("__t", col(leftTime).cast("long"))
+      .withColumn("__t", orderKey(left, leftTime))
       .withColumn("__side", lit(1))
 
     // unionByName(allowMissingColumns): left payload is null on right rows
@@ -52,14 +70,16 @@ object AsOfJoin {
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__t"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val fillCols = valueCols.map(v => s"$rightPrefix$v") :+ "__match"
-    val filled = fillCols.foldLeft(u)((d, c) =>
-      d.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
+    // one row-atomic fill: the whole matched right row or nothing
+    val filled = u.withColumn("__rv", last(col("__rv"), ignoreNulls = true).over(w))
 
-    val leftRows = filled.filter(col("__side") === 1).drop("__t", "__side")
+    val leftRows = filled.filter(col("__side") === 1)
+    val unpacked = outCols.foldLeft(leftRows)((d, o) =>
+      d.withColumn(o, col("__rv").getField(o)))
+    val out = unpacked.drop("__t", "__side")
     how match {
-      case "left" => leftRows.drop("__match")
-      case "inner" => leftRows.filter(col("__match")).drop("__match")
+      case "left"  => out.drop("__rv")
+      case "inner" => out.filter(col("__rv").isNotNull).drop("__rv")
     }
   }
 }

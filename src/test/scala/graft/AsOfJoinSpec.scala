@@ -38,6 +38,36 @@ class AsOfJoinSpec extends AnyFunSuite with SparkFixture {
     assert(ids == Set(1L, 2L, 4L))
   }
 
+  test("asof on timestamps keeps sub-second precision (no whole-second truncation)") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.timestamp_micros
+    // left click at t=1.200s; right rows at t=1.100s (past) and t=1.700s
+    // (future, same whole second) — truncating to seconds would attach
+    // the future row
+    val l = Seq((1L, "a", 1200000L)).toDF("id", "k", "us")
+      .withColumn("ts", timestamp_micros($"us" * 1))
+    val r = Seq(("a", 1100000L, 10.0), ("a", 1700000L, 99.0)).toDF("k", "us", "v")
+      .withColumn("ts", timestamp_micros($"us" * 1))
+    val got = AsOfJoin.asof(l.drop("us"), r.drop("us"), Seq("k"), "ts", "ts", Seq("v"))
+      .collect().head
+    assert(got.getDouble(got.fieldIndex("r_v")) == 10.0)
+  }
+
+  test("asof fill is row-atomic: a matched row's null stays null") {
+    val s = spark
+    import s.implicits._
+    val l = Seq((1L, "a", 300L)).toDF("id", "k", "t")
+    val r = Seq(
+      ("a", 100L, Some(7.0), Some("old")),
+      ("a", 200L, None: Option[Double], Some("new"))) // matched row: v is null
+      .toDF("k", "t", "v", "tag")
+    val row = AsOfJoin.asof(l, r, Seq("k"), "t", "t", Seq("v", "tag"))
+      .collect().head
+    assert(row.getString(row.fieldIndex("r_tag")) == "new")
+    assert(row.isNullAt(row.fieldIndex("r_v"))) // NOT back-filled from t=100
+  }
+
   test("cumsum / rank / lag window sugar") {
     val s = spark
     import s.implicits._
