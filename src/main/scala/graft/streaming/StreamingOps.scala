@@ -77,8 +77,10 @@ object StreamingOps {
   /** Per-user sessionization with a `gap` inactivity timeout, via
     * `flatMapGroupsWithState` (custom state machine: one SessionState per
     * active user, closed + emitted when the event-time watermark passes
-    * last-activity + gap). Works in batch mode too (all groups close at
-    * end-of-input), which is how the spec tests it deterministically.
+    * last-activity + gap). Works in batch mode too: batch execution never
+    * fires timeouts and discards state at end-of-input, so the still-open
+    * session is emitted directly there (each group sees ALL its events in
+    * one invocation) instead of being parked in state that would vanish.
     */
   def sessionize(
       events: Dataset[Event],
@@ -86,6 +88,7 @@ object StreamingOps {
       lateness: String = "10 minutes"): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     val gapMs = gap.toMillis
+    val streaming = events.isStreaming
 
     def fn(userId: Long, it: Iterator[Event], state: GroupState[SessionState])
         : Iterator[SessionOut] = {
@@ -115,9 +118,18 @@ object StreamingOps {
           }
         }
         cur.foreach { s =>
-          state.update(s)
-          // no-op in batch execution (timeouts never fire there)
-          scala.util.Try(state.setTimeoutTimestamp(s.endMs + gapMs))
+          if (streaming) {
+            state.update(s)
+            // a session assembled from late events may already be past the
+            // watermark: clamp so the timeout registers (and fires ASAP)
+            state.setTimeoutTimestamp(
+              math.max(s.endMs + gapMs, state.getCurrentWatermarkMs() + 1))
+          } else {
+            // batch: end-of-input closes every session NOW — state would
+            // be discarded without ever timing out, dropping the session
+            closed += SessionOut(
+              userId, new Timestamp(s.startMs), new Timestamp(s.endMs), s.n, s.total)
+          }
         }
         closed.iterator
       }

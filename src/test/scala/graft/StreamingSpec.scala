@@ -35,6 +35,22 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(got(2).getLong(0) == 2L)
   }
 
+  test("sessionize on a batch Dataset emits open sessions and matches sessionizeBatch") {
+    val s = spark
+    import s.implicits._
+    val events = Seq(
+      ev(1, 0, 1, 1.0), ev(2, 10, 1, 2.0), ev(3, 50, 1, 4.0), // 2 sessions
+      ev(4, 5, 2, 8.0)) // single still-open session — the regression case
+    val got = StreamingOps.sessionize(events.toDS(), Duration.ofMinutes(30))
+      .collect().map(o => (o.user_id, o.session_start.getTime, o.n_events, o.total_value))
+      .sortBy(x => (x._1, x._2))
+    val batch = StreamingOps.sessionizeBatch(events.toDF(), gapMinutes = 30)
+      .orderBy("user_id", "session_start").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(2).getTime, r.getLong(4), r.getDouble(5)))
+    assert(got.length == 3) // user 2's only session must not be dropped
+    assert(got.toSeq == batch.toSeq)
+  }
+
   test("tumblingAgg in batch mode groups into hour windows") {
     val s = spark
     import s.implicits._
