@@ -321,6 +321,49 @@ object ExtQueries {
         .sortValues(Seq("seg")).df
     }),
 
+    // ---- non-inner joins (extension over the reference, which only
+    // ---- builds inner equi-joins) + CSV ingestion -------------------
+
+    // left outer: unmatched orders keep null customer columns
+    "q_join_left" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val small = c.where(c("c_custkey") < 500)
+      o.merge(small, leftOn = Seq("o_custkey"), rightOn = Seq("c_custkey"), how = "left")
+        .select("o_orderkey", "o_custkey", "c_custkey", "c_name", "c_mktsegment")
+        .sortValues(Seq("o_orderkey")).df
+    }),
+
+    // left semi: orders whose customer is in the BUILDING segment —
+    // right columns never enter the output, right side never duplicates
+    "q_join_semi" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val bld = c.where(c("c_mktsegment") === "BUILDING")
+      o.merge(bld, leftOn = Seq("o_custkey"), rightOn = Seq("c_custkey"), how = "semi")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .sortValues(Seq("o_orderkey")).df
+    }),
+
+    // left anti: orders with NO BUILDING-segment customer
+    "q_join_anti" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val bld = c.where(c("c_mktsegment") === "BUILDING")
+      o.merge(bld, leftOn = Seq("o_custkey"), rightOn = Seq("c_custkey"), how = "anti")
+        .select("o_orderkey", "o_custkey")
+        .sortValues(Seq("o_orderkey")).df
+    }),
+
+    // CSV round-trip through the oracle: write nation as CSV, read it
+    // back with header+inferSchema, compare against DuckDB's own CSV
+    // reader on the same files — catches type-inference drift
+    "q_read_csv" -> ((s, dir) => {
+      val src = s.read.parquet(s"$dir/nation.parquet")
+      PsIO.toCsv(src.coalesce(1), CsvFixtureDir)
+      PsIO.readCsv(s, CsvFixtureDir).sortValues(Seq("n_nationkey")).df
+    }),
+
     // per-column aggregate sugar: df("c").sum() scalars, re-lifted into a
     // frame so the oracle can compare them
     "q_colagg" -> ((s, dir) => {
@@ -334,6 +377,10 @@ object ExtQueries {
           "_3" -> "max_price", "_4" -> "n")).df
     })
   )
+
+  /** Where q_read_csv parks its CSV fixture (inside the repo build dir —
+    * both Spark and the DuckDB oracle read the same files by abs path). */
+  val CsvFixtureDir = "/root/repo/target/tmp/nation_csv"
 
   // ------------------------------------------------------------ oracles
 
@@ -512,6 +559,24 @@ object ExtQueries {
          FROM customer JOIN (VALUES ('BUILDING', 1), ('AUTOMOBILE', 2), ('MACHINERY', 3)) AS t(seg, pri)
            ON c_mktsegment = seg
          GROUP BY seg, pri ORDER BY seg""",
+    "q_join_left" ->
+      """SELECT o_orderkey, o_custkey, c_custkey, c_name, c_mktsegment
+         FROM orders LEFT JOIN (SELECT * FROM customer WHERE c_custkey < 500) c
+           ON o_custkey = c_custkey
+         ORDER BY o_orderkey""",
+    "q_join_semi" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+         ORDER BY o_orderkey""",
+    "q_join_anti" ->
+      """SELECT o_orderkey, o_custkey FROM orders
+         WHERE o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+         ORDER BY o_orderkey""",
+    "q_read_csv" ->
+      s"""SELECT n_nationkey::INTEGER AS n_nationkey, n_name,
+                 n_regionkey::INTEGER AS n_regionkey
+          FROM read_csv_auto('$CsvFixtureDir/*.csv', header=true)
+          ORDER BY n_nationkey""",
     "q_colagg" ->
       """SELECT CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
                 avg(l_quantity) AS avg_qty,
