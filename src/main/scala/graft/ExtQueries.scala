@@ -80,6 +80,15 @@ object ExtQueries {
       Dedup.simhash(d.df, "doc_id", "text").orderBy("id")
     }),
 
+    // SimHash near-dup pairs: bit-block-banded candidates (pigeonhole-
+    // exact for hamming<=d with d+1 blocks) + hamming confirm; oracle is
+    // the brute-force all-pairs scan, which must agree exactly
+    "q_simhash_pairs" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Dedup.simhashPairs(d.df, "doc_id", "text", maxHamming = 8)
+        .orderBy("a_id", "b_id")
+    }),
+
     // ---- text analysis ----------------------------------------------
 
     "q_fingerprint" -> ((s, dir) => {
@@ -424,6 +433,9 @@ object ExtQueries {
     "q_minhash_lsh" -> jaccardOracle(0.8),
     "q_simhash" ->
       (Dedup.simhashOracleSql("documents", "doc_id", "text") + " ORDER BY id"),
+    "q_simhash_pairs" ->
+      (Dedup.simhashPairsOracleSql("documents", "doc_id", "text", maxHamming = 8) +
+        " ORDER BY a_id, b_id"),
     "q_fingerprint" ->
       s"""SELECT doc_id, md5(text) AS fp_hex,
             ('0x' || substr(md5(text), 1, 15))::BIGINT AS fp60,

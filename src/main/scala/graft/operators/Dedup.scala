@@ -242,4 +242,84 @@ object Dedup {
 
   /** Hamming distance between two simhash fingerprints. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Near-duplicate pairs by SimHash + bit-block banding — the third
+    * dedup family (exact key, shingle-Jaccard, and this: token-multiset
+    * similarity at Hamming granularity).
+    *
+    * EXACT, not approximate: splitting the 60-bit fingerprint into
+    * `maxHamming + 1` blocks guarantees (pigeonhole) that any pair within
+    * `maxHamming` differing bits agrees on at least one whole block, so
+    * block-equality candidate generation has zero false negatives and the
+    * `hamming ≤ d` confirm makes the output identical to the all-pairs
+    * scan — at a candidate volume bounded by per-(block, value) bucket
+    * agreement instead of n².
+    *
+    * Pipeline: fingerprint (one explode + one agg, [[simhash]]) →
+    * per-doc block values (map-side bit arithmetic) → self-equi-join on
+    * (block-idx, block-value) — the ONLY shuffle keyed by content —
+    * → distinct pairs → confirm by [[hamming]]. Fingerprints (two longs)
+    * ride along with the candidates, so no join-back pass is needed.
+    *
+    * Scale: with d=3, blocks are 15 bits ⇒ 32k buckets per block-index;
+    * documents sharing a hot block value (e.g. a boilerplate-heavy
+    * corpus where many fingerprints share low bits) fan out
+    * quadratically within the bucket, same failure mode as Jaccard stop
+    * shingles. `maxBucket` caps that: buckets with more than `maxBucket`
+    * docs are dropped (conservative — missed pairs only ride on dropped
+    * buckets, and only if they collide nowhere else).
+    * Output: (a_id, b_id, hamming), a_id < b_id.
+    */
+  def simhashPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3,
+      maxBucket: Option[Int] = None): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < FingerprintBits,
+      s"maxHamming must be in [0, $FingerprintBits)")
+    val nBlocks = maxHamming + 1
+    val widths = Array.tabulate(nBlocks)(i =>
+      FingerprintBits / nBlocks + (if (i < FingerprintBits % nBlocks) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _)
+
+    val fp = simhash(docs, idCol, textCol)
+    val blockVals = fp.select(col("id"), col("simhash"),
+      explode(array((0 until nBlocks).map { i =>
+        struct(
+          lit(i).as("blk"),
+          shiftright(col("simhash"), offsets(i))
+            .bitwiseAND(lit((1L << widths(i)) - 1)).as("v"))
+      }: _*)).as("bv"))
+      .select(col("id"), col("simhash"), col("bv.blk"), col("bv.v"))
+
+    val kept = maxBucket.fold(blockVals) { cap =>
+      val w = Window.partitionBy("blk", "v")
+      blockVals.withColumn("__bc", count(lit(1)).over(w))
+        .filter(col("__bc") <= cap).drop("__bc")
+    }
+
+    val left = kept.select(col("blk"), col("v"),
+      col("id").as("a_id"), col("simhash").as("a_fp"))
+    val right = kept.select(col("blk"), col("v"),
+      col("id").as("b_id"), col("simhash").as("b_fp"))
+    left.join(right, Seq("blk", "v"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id", "a_fp", "b_fp")
+      .distinct() // a pair can agree on several blocks
+      .withColumn("hamming", hamming(col("a_fp"), col("b_fp")).cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select("a_id", "b_id", "hamming")
+  }
+
+  /** DuckDB SQL for the brute-force all-pairs equivalent of
+    * [[simhashPairs]] (differential oracle — exactness of the banding
+    * means brute force must agree bit-for-bit). */
+  def simhashPairsOracleSql(
+      table: String, idCol: String, textCol: String, maxHamming: Int): String =
+    s"""WITH fp AS (${simhashOracleSql(table, idCol, textCol)})
+        SELECT a.id AS a_id, b.id AS b_id,
+               bit_count(xor(a.simhash, b.simhash))::INTEGER AS hamming
+        FROM fp a JOIN fp b ON a.id < b.id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= $maxHamming"""
 }

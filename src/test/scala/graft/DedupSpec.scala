@@ -72,6 +72,35 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(ham(fps(1L), fps(2L)) < ham(fps(1L), fps(3L)))
   }
 
+  test("simhashPairs equals the brute-force hamming scan (banding is exact)") {
+    val d = maxHamming(docs)
+    val banded = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(banded == d)
+    // the planted near-dup pair and the identical pair are both present
+    val keys = banded.map(p => (p._1, p._2))
+    assert(keys.contains((1L, 4L)) && keys.contains((1L, 2L)))
+    assert(banded.find(p => (p._1, p._2) == (1L, 4L)).get._3 == 0)
+  }
+
+  test("simhashPairs maxBucket cap drops hot-bucket fan-out") {
+    // at maxHamming=59 every doc shares block values with every other via
+    // tiny blocks; a cap of 1 kills all candidates
+    val capped = Dedup.simhashPairs(docs, "doc_id", "text",
+      maxHamming = 20, maxBucket = Some(1))
+    assert(capped.count() < maxHamming(docs).size)
+  }
+
+  /** Driver-side brute-force hamming pairs at d=20 for the fixture. */
+  private def maxHamming(d: org.apache.spark.sql.DataFrame) = {
+    val fps = Dedup.simhash(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    (for {
+      (a, fa) <- fps; (b, fb) <- fps if a < b
+      h = java.lang.Long.bitCount(fa ^ fb) if h <= 20
+    } yield (a, b, h)).toSet
+  }
+
   test("hash60 matches the cross-engine constant (DuckDB parity)") {
     val s = spark
     import s.implicits._
