@@ -55,4 +55,21 @@ class IOSpec extends AnyFunSuite with SparkFixture {
     assert(cached.storageLevel.useMemory)
     cached.unpersist()
   }
+
+  test("queries over a materialized frame plan an InMemoryTableScan") {
+    // the reference's cached-CTE elision (core.py:1643-1651): once a node
+    // is materialized, downstream queries must read the cache, not
+    // re-execute the producing plan
+    val cached = PsIO.materialize(sample.groupBy("k").count())
+    try {
+      cached.count() // populate
+      val downstream = cached.filter(col("count") > 0).select("k")
+      val physical = downstream.queryExecution.executedPlan.toString
+      val scanAt = physical.indexOf("InMemoryTableScan")
+      assert(scanAt >= 0, s"expected cache scan in plan:\n$physical")
+      // everything ABOVE the cache scan must be scan-local (the stored
+      // producer plan below it prints the aggregate, but never re-runs)
+      assert(!physical.take(scanAt).contains("HashAggregate"))
+    } finally cached.unpersist()
+  }
 }
