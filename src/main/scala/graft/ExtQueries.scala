@@ -294,7 +294,7 @@ object ExtQueries {
       val e = t(s, dir, "embeddings")
       val q = e.df.filter(col("vec_id") < 20)
       Similarity.ivfTopK(e.df, q, "vec_id", "embedding", k = 1,
-          nCells = 16, nProbe = 4)
+          nCells = 16, nProbe = 4, iterations = 2)
         .select(col("query_id"), col("neighbor_id"), col("rank").as("rnk"))
         .orderBy("query_id", "rnk")
     }),

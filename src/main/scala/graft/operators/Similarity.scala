@@ -143,13 +143,16 @@ object Similarity {
 
   /** IVF (inverted-file) approximate top-k: the scale path when LSH
     * bucket balance is poor. The corpus is partitioned into `nCells`
-    * Voronoi cells around deterministically-sampled centroids (k-means-0;
-    * iterate externally to refine); each query scores only the cells whose
-    * centroids rank in its `nProbe` nearest. Centroids live on the driver
-    * (bounded: nCells ≤ a few hundred) and fold into the plan as
-    * `typedLit` constants, so both assignment passes are map-side
-    * codegen'd cosine argmax — the only shuffle is the (cell)-keyed
-    * candidate join. Output: (query_id, neighbor_id, rank, score).
+    * Voronoi cells around centroids — a deterministic sample refined by
+    * `iterations` rounds of distributed Lloyd's k-means — and each query
+    * scores only the cells whose centroids rank in its `nProbe` nearest.
+    * Centroids live on the driver (bounded: nCells ≤ a few hundred) and
+    * fold into the plan as `typedLit` constants, so both assignment
+    * passes are map-side codegen'd cosine argmax — the only shuffle is
+    * the (cell)-keyed candidate join. Each refinement iteration is one
+    * corpus scan + a (cell, dim)-keyed partial mean (driver receives
+    * only nCells·dim averaged cells, never vectors).
+    * Output: (query_id, neighbor_id, rank, score).
     */
   def ivfTopK(
       corpus: DataFrame,
@@ -159,11 +162,12 @@ object Similarity {
       k: Int,
       nCells: Int = 16,
       nProbe: Int = 4,
+      iterations: Int = 0,
       seed: Long = 42L): DataFrame = {
     require(nProbe <= nCells)
     // deterministic centroid sample: first nCells corpus vectors by a
     // seeded hash of the id (stable under partitioning)
-    val centroids: Seq[Seq[Double]] = corpus
+    val sampled: Seq[Seq[Double]] = corpus
       .select(col(idCol), col(vecCol))
       .orderBy(pmod(xxhash64(col(idCol), lit(seed)), lit(1000003L)), col(idCol))
       .limit(nCells)
@@ -174,23 +178,29 @@ object Similarity {
         case n: Number => n.doubleValue()
       }.toSeq).toSeq
 
+    // Lloyd refinement: assign (map-side argmax) -> per-cell element-wise
+    // mean (posexplode + partial-agg avg, one shuffle of nCells·dim
+    // partial sums) -> new centroids. Empty cells keep their old centroid.
+    val centroids: Seq[Seq[Double]] =
+      (0 until iterations).foldLeft(sampled) { (cur, _) =>
+        val assigned = corpus.select(
+          argmaxCell(col(vecCol), cur).as("cell"), col(vecCol).as("v"))
+        val means = assigned
+          .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+          .groupBy("cell", "pos").agg(avg(col("x").cast("double")).as("m"))
+          .collect()
+          .groupBy(_.getInt(0))
+          .map { case (cell, rows) =>
+            cell -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+          }
+        cur.zipWithIndex.map { case (old, i) => means.getOrElse(i, old) }
+      }
+
     def cellScores(vec: Column): Seq[(Column, Int)] =
       centroids.zipWithIndex.map { case (c, i) => (cosine(vec, typedLit(c)), i) }
 
-    /** argmax cell for a corpus vector — array_max over (score, idx)
-      * structs (struct ordering is lexicographic, so max-by-score with a
-      * deterministic tie-break). NB a pairwise when()-reduce would
-      * duplicate the accumulated branch per level → 2^nCells expression
-      * nodes. */
-    def bestCell(vec: Column): Column = {
-      val arr = array(cellScores(vec).map { case (s, i) =>
-        struct(s.as("s"), lit(i).as("i"))
-      }: _*)
-      array_max(arr)("i")
-    }
-
     val cb = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
-      bestCell(col(vecCol)).as("cell"))
+      argmaxCell(col(vecCol), centroids).as("cell"))
 
     // queries probe their nProbe best cells
     val qScored = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
@@ -212,6 +222,18 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank", "score")
+  }
+
+  /** argmax cell for a vector — array_max over (score, idx) structs
+    * (struct ordering is lexicographic, so max-by-score with a
+    * deterministic tie-break). NB a pairwise when()-reduce would
+    * duplicate the accumulated branch per level → 2^nCells expression
+    * nodes. */
+  private def argmaxCell(vec: Column, cents: Seq[Seq[Double]]): Column = {
+    val arr = array(cents.zipWithIndex.map { case (c, i) =>
+      struct(cosine(vec, typedLit(c)).as("s"), lit(i).as("i"))
+    }: _*)
+    array_max(arr)("i")
   }
 
   /** Exact embedding near-duplicate pairs: all (a,b), a<b, with cosine ≥

@@ -94,6 +94,25 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     assert(hits >= 9, s"IVF recall@1 = $hits/10")
   }
 
+  test("ivfTopK k-means refinement converges cells toward true clusters") {
+    val d = clustered
+    val q = d.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(d, q, "vec_id", "embedding", 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // adversarial start: nCells=3 on 3 true clusters, where the seeded
+    // sample may land two centroids in one cluster — Lloyd iterations must
+    // recover ≥ the unrefined recall and keep it high
+    def recall(iters: Int) = {
+      val approx = Similarity.ivfTopK(d, q, "vec_id", "embedding", k = 1,
+        nCells = 3, nProbe = 1, iterations = iters)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      exact.count { case (qid, nid) => approx.get(qid).contains(nid) }
+    }
+    val refined = recall(3)
+    assert(refined >= recall(0), "refinement must not lose recall")
+    assert(refined >= 9, s"refined IVF recall@1 = $refined/10")
+  }
+
   test("nearDupPairs finds planted duplicate vectors") {
     val s = spark
     import s.implicits._
