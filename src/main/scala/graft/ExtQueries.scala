@@ -117,6 +117,19 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // curation filter: repetition ratio + first-failing-rule drop reason
+    // (NULL reason = keep); the whole thing is one codegen'd scan
+    "q_quality" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val reason = TextAnalysis.qualityReason(col("text"))
+      d.df.select(
+        col("doc_id"),
+        TextAnalysis.dupTokenRatio(col("text")).as("dup_ratio"),
+        reason.as("drop_reason"),
+        reason.isNull.as("keep"))
+        .orderBy("doc_id")
+    }),
+
     "q_langid" -> ((s, dir) => {
       val d = t(s, dir, "documents")
       d.df.select(
@@ -463,6 +476,31 @@ object ExtQueries {
                    ELSE len(list_filter(string_split(text, ' '), t -> list_contains($stopList, t)))::DOUBLE
                         / len(string_split(text, ' ')) END AS stop_ratio
             FROM documents) ORDER BY doc_id""",
+    "q_quality" ->
+      """SELECT doc_id, dup_ratio, drop_reason, (drop_reason IS NULL) AS keep
+         FROM (
+           SELECT doc_id,
+             CASE WHEN n_tokens = 0 THEN 0.0
+                  ELSE (n_tokens - n_distinct)::DOUBLE / n_tokens END AS dup_ratio,
+             CASE WHEN n_chars_c < 100 THEN 'too_short'
+                  WHEN n_chars_c > 20000 THEN 'too_long'
+                  WHEN punct_ratio > 0.25 THEN 'high_punct'
+                  WHEN CASE WHEN n_tokens = 0 THEN 0.0
+                            ELSE (n_tokens - n_distinct)::DOUBLE / n_tokens END > 0.6
+                    THEN 'repetitive'
+                  WHEN mean_tok_len < 2.0 OR mean_tok_len > 12.0 THEN 'weird_tokens'
+                  ELSE NULL END AS drop_reason
+           FROM (
+             SELECT doc_id, length(text) AS n_chars_c,
+               len(string_split(text, ' ')) AS n_tokens,
+               len(list_distinct(string_split(text, ' '))) AS n_distinct,
+               CASE WHEN length(text) = 0 THEN 0.0
+                    ELSE length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))::DOUBLE / length(text) END AS punct_ratio,
+               CASE WHEN len(string_split(text, ' ')) = 0 THEN 0.0
+                    ELSE list_sum(list_transform(string_split(text, ' '), t -> length(t)))::DOUBLE
+                         / len(string_split(text, ' ')) END AS mean_tok_len
+             FROM documents))
+         ORDER BY doc_id""",
     "q_langid" -> {
       val profiles = TextAnalysis.LangProfiles
       val scoreDefs = profiles

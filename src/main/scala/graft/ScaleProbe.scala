@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+/** Hot-shingle stress probe: duplicates the `documents` corpus ×N (each
+  * copy under a fresh doc_id) so every shingle's document frequency — and
+  * therefore the f² pair fan-out of the inverted-index Jaccard — inflates
+  * ×N². This is the duplication profile of a real crawl corpus
+  * (boilerplate + syndication), exactly the case the sf* test data lacks
+  * (max shingle df is 25 at sf0.1).
+  *
+  * The probe (1) computes the uncapped candidate-pair volume analytically
+  * from the postings (Σ C(df,2) — running it is pointless once the number
+  * is quadratic), then (2) times the three bounded paths side by side:
+  * jaccardPairs with the maxDf valve engaged, minhashLsh (banded
+  * candidates), simhashPairs (bit-block banding). Results recorded in
+  * SCALEPROBE.md.
+  *
+  * {{{ sbt "runMain graft.ScaleProbe [sfDir] [dupFactor] }}}
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val dup = if (args.length > 1) args(1).toInt else 10
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val base = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text")
+    val docs = (0 until dup).map { i =>
+      base.select((col("doc_id") * dup + i).as("doc_id"), col("text"))
+    }.reduce(_ union _).cache()
+    val n = docs.count() // materialize so scan cost is excluded
+    println(s"[scaleprobe] corpus: $n docs ($dup x ${n / dup})")
+
+    // candidate volume of the inverted-index jaccard, computed not run:
+    // one explode + one agg over the postings
+    val df_ = docs
+      .select(col("doc_id"), explode(Dedup.shingles(col("text"), 3)).as("s"))
+      .groupBy("s").agg(count(lit(1)).as("f"))
+    val vol = df_.agg(
+      sum(col("f") * (col("f") - 1) / 2).as("uncapped"),
+      sum(when(col("f") <= 50, col("f") * (col("f") - 1) / 2).otherwise(0))
+        .as("capped50"),
+      max("f").as("max_df")).head()
+    println(s"[scaleprobe] jaccard candidate pairs: uncapped=${vol.get(0)} " +
+      s"maxDf50=${vol.get(1)} (max shingle df=${vol.get(2)})")
+
+    def time(label: String)(thunk: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val rows = thunk
+      println(f"[scaleprobe] $label%-24s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$rows")
+    }
+    time("jaccard maxDf=50") {
+      Dedup.jaccardPairs(docs, "doc_id", "text", k = 3, threshold = 0.6,
+        maxDf = Some(50)).count()
+    }
+    time("minhashLsh") {
+      Dedup.minhashLsh(docs, "doc_id", "text", threshold = 0.6).count()
+    }
+    time("simhashPairs d=8") {
+      Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 8,
+        maxBucket = Some(500)).count()
+    }
+    spark.stop()
+  }
+}

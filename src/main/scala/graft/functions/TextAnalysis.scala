@@ -75,6 +75,31 @@ object TextAnalysis {
     (lenScore + stopScore + punctScore + tokScore) / 4.0
   }
 
+  /** Fraction of tokens that repeat an earlier token — 1 − distinct/total.
+    * The cheap single-pass repetition signal (boilerplate, keyword spam,
+    * template pages score high); Gopher-style pipelines drop on it. */
+  def dupTokenRatio(text: Column): Column = {
+    val toks = split(text, " ")
+    when(size(toks) === 0, 0.0).otherwise(
+      (size(toks) - size(array_distinct(toks))).cast("double") / size(toks))
+  }
+
+  /** First failing curation rule, or NULL when the document passes all of
+    * them (`keep = qualityReason.isNull`). The C4/Gopher-style composite:
+    * length band, punctuation density, repetition, token-shape sanity.
+    * Thresholds are tunable constants; what the differential oracle pins
+    * is that the rule chain is deterministic and engine-portable (every
+    * signal is a ratio of integer counts). One scan, codegen'd, no
+    * shuffle — at 100 TB this is a map-only pass. */
+  def qualityReason(text: Column): Column =
+    when(charLen(text) < 100, "too_short")
+      .when(charLen(text) > 20000, "too_long")
+      .when(punctRatio(text) > 0.25, "high_punct")
+      .when(dupTokenRatio(text) > 0.6, "repetitive")
+      .when(meanTokenLen(text) < 2.0 || meanTokenLen(text) > 12.0,
+        "weird_tokens")
+      .otherwise(lit(null).cast("string"))
+
   /** Marker-word profiles for the n-gram-heuristic language ID. Real
     * deployments swap in per-language frequency tables; the machinery
     * (argmax over per-profile densities in one pass) is the deliverable. */
