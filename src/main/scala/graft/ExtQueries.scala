@@ -82,10 +82,14 @@ object ExtQueries {
 
     // SimHash near-dup pairs: bit-block-banded candidates (pigeonhole-
     // exact for hamming<=d with d+1 blocks) + hamming confirm; oracle is
-    // the brute-force all-pairs scan, which must agree exactly
+    // the brute-force all-pairs scan, which must agree exactly.
+    // d=3 (the classic Manku-et-al near-dup distance) keeps blocks 15
+    // bits wide — ~32k bucket values per block index, so candidate
+    // volume stays bucket-bounded; d=8 here would mean 6-7-bit blocks
+    // whose candidate volume degrades toward all-pairs (~n²/22).
     "q_simhash_pairs" -> ((s, dir) => {
       val d = t(s, dir, "documents")
-      Dedup.simhashPairs(d.df, "doc_id", "text", maxHamming = 8)
+      Dedup.simhashPairs(d.df, "doc_id", "text", maxHamming = 3)
         .orderBy("a_id", "b_id")
     }),
 
@@ -447,7 +451,7 @@ object ExtQueries {
     "q_simhash" ->
       (Dedup.simhashOracleSql("documents", "doc_id", "text") + " ORDER BY id"),
     "q_simhash_pairs" ->
-      (Dedup.simhashPairsOracleSql("documents", "doc_id", "text", maxHamming = 8) +
+      (Dedup.simhashPairsOracleSql("documents", "doc_id", "text", maxHamming = 3) +
         " ORDER BY a_id, b_id"),
     "q_fingerprint" ->
       s"""SELECT doc_id, md5(text) AS fp_hex,

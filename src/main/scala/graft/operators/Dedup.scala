@@ -71,13 +71,20 @@ object Dedup {
     *     `|A∩B| / (|A|+|B|-|A∩B|)` ≥ threshold.
     *
     * Scale: a stop-shingle appearing in f documents fans out to f² pairs;
-    * `maxDf` caps that by dropping posting lists longer than the cap (a
-    * free filter on list size — no extra df pass). Pairs whose overlap
-    * rides only on dropped hot shingles are missed and counted
-    * intersections exclude them, so with the cap engaged the reported
-    * jaccard is a lower bound (conservative near-dup semantics). For
-    * corpora where even capped fan-out is too hot, use [[minhashLsh]] —
-    * candidate volume there is bounded by signature agreement.
+    * `maxDf` caps that by removing hot shingles BEFORE posting lists are
+    * built: a count-only pre-pass (map-side partial agg, the shuffle
+    * carries one row per distinct shingle) finds shingles with df > cap,
+    * and the exploded relation is anti-joined against that (broadcast —
+    * at most Σdf/cap shingles can exceed the cap, so the hot set is
+    * small by construction). Filtering on posting-list size AFTER
+    * collect_list would bound pair fan-out but not executor memory: a
+    * df-in-the-millions stop shingle would still materialize one
+    * multi-GB aggregation buffer row. Pairs whose overlap rides only on
+    * dropped hot shingles are missed and counted intersections exclude
+    * them, so with the cap engaged the reported jaccard is a lower bound
+    * (conservative near-dup semantics). For corpora where even capped
+    * fan-out is too hot, use [[minhashLsh]] — candidate volume there is
+    * bounded by signature agreement.
     */
   def jaccardPairs(
       docs: DataFrame,
@@ -89,11 +96,16 @@ object Dedup {
     val base = docs.select(col(idCol).as("id"), shingles(col(textCol), k).as("sh"))
       .filter(size(col("sh")) > 0)
     val ex = base.select(col("id"), size(col("sh")).as("n"), explode(col("sh")).as("s"))
-    val postings = ex.groupBy("s")
+    val kept = maxDf.fold(ex) { cap =>
+      val hot = ex.groupBy("s").agg(count(lit(1)).as("__df"))
+        .filter(col("__df") > cap)
+        .select("s")
+      ex.join(broadcast(hot), Seq("s"), "left_anti")
+    }
+    val postings = kept.groupBy("s")
       .agg(collect_list(struct(col("id"), col("n"))).as("ds"))
       .filter(size(col("ds")) >= 2)
-    val kept = maxDf.fold(postings)(cap => postings.filter(size(col("ds")) <= cap))
-    val pairs = kept
+    val pairs = postings
       .select(explode(col("ds")).as("a"), col("ds"))
       .select(col("a.id").as("a_id"), col("a.n").as("na"), explode(col("ds")).as("b"))
       .select(col("a_id"), col("na"), col("b.id").as("b_id"), col("b.n").as("nb"))
@@ -276,23 +288,7 @@ object Dedup {
       textCol: String,
       maxHamming: Int = 3,
       maxBucket: Option[Int] = None): DataFrame = {
-    require(maxHamming >= 0 && maxHamming < FingerprintBits,
-      s"maxHamming must be in [0, $FingerprintBits)")
-    val nBlocks = maxHamming + 1
-    val widths = Array.tabulate(nBlocks)(i =>
-      FingerprintBits / nBlocks + (if (i < FingerprintBits % nBlocks) 1 else 0))
-    val offsets = widths.scanLeft(0)(_ + _)
-
-    val fp = simhash(docs, idCol, textCol)
-    val blockVals = fp.select(col("id"), col("simhash"),
-      explode(array((0 until nBlocks).map { i =>
-        struct(
-          lit(i).as("blk"),
-          shiftright(col("simhash"), offsets(i))
-            .bitwiseAND(lit((1L << widths(i)) - 1)).as("v"))
-      }: _*)).as("bv"))
-      .select(col("id"), col("simhash"), col("bv.blk"), col("bv.v"))
-
+    val blockVals = simhashBlocks(docs, idCol, textCol, maxHamming)
     val kept = maxBucket.fold(blockVals) { cap =>
       val w = Window.partitionBy("blk", "v")
       blockVals.withColumn("__bc", count(lit(1)).over(w))
@@ -310,6 +306,35 @@ object Dedup {
       .withColumn("hamming", hamming(col("a_fp"), col("b_fp")).cast("int"))
       .filter(col("hamming") <= maxHamming)
       .select("a_id", "b_id", "hamming")
+  }
+
+  /** Per-document (block-index, block-value) rows — [[simhashPairs]]'s
+    * candidate-bucket keys, exposed so tests (and capacity planning) can
+    * measure the pre-confirm candidate volume Σ_buckets C(size, 2)
+    * directly. With b = maxHamming+1 blocks over 60 bits, block values
+    * span 60/b bits, so small `maxHamming` means wide blocks and
+    * selective buckets; large `maxHamming` (few-bit blocks) degrades
+    * toward all-pairs — declare the tightest distance the use case
+    * allows. Output: (id, simhash, blk, v). */
+  private[graft] def simhashBlocks(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < FingerprintBits,
+      s"maxHamming must be in [0, $FingerprintBits)")
+    val nBlocks = maxHamming + 1
+    val widths = Array.tabulate(nBlocks)(i =>
+      FingerprintBits / nBlocks + (if (i < FingerprintBits % nBlocks) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _)
+    simhash(docs, idCol, textCol).select(col("id"), col("simhash"),
+      explode(array((0 until nBlocks).map { i =>
+        struct(
+          lit(i).as("blk"),
+          shiftright(col("simhash"), offsets(i))
+            .bitwiseAND(lit((1L << widths(i)) - 1)).as("v"))
+      }: _*)).as("bv"))
+      .select(col("id"), col("simhash"), col("bv.blk"), col("bv.v"))
   }
 
   /** DuckDB SQL for the brute-force all-pairs equivalent of

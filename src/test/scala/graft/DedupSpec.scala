@@ -62,6 +62,11 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     val d = (1L to 5L).map(i => (i, s"x x x a$i b$i c$i")).toDF("doc_id", "text")
     val capped = Dedup.jaccardPairs(d, "doc_id", "text", 3, 0.1, maxDf = Some(2))
     assert(capped.count() == 0) // shared shingle removed -> no candidates
+    // the cap must act BEFORE posting lists materialize (anti-join on the
+    // hot-shingle set), so a df-in-the-millions shingle never builds a
+    // multi-GB collect_list buffer row
+    val plan = capped.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"), plan.take(800))
   }
 
   test("simhash: near-dups land close in Hamming space, others far") {
@@ -99,6 +104,31 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
       (a, fa) <- fps; (b, fb) <- fps if a < b
       h = java.lang.Long.bitCount(fa ^ fb) if h <= 20
     } yield (a, b, h)).toSet
+  }
+
+  test("simhashPairs d=3 candidate volume is bucket-bounded, d=8 degrades") {
+    val s = spark
+    import s.implicits._
+    // 120 random-token docs -> ~uniform 60-bit fingerprints, so candidate
+    // volume is governed purely by block width (bucket count per block)
+    val rnd = new scala.util.Random(99)
+    val d = (1L to 120L)
+      .map(i => (i, Seq.fill(30)("t" + rnd.nextInt(100000)).mkString(" ")))
+      .toDF("doc_id", "text")
+    def volume(maxHamming: Int): Long =
+      Dedup.simhashBlocks(d, "doc_id", "text", maxHamming)
+        .groupBy("blk", "v").count()
+        .agg(coalesce(sum((col("count") * (col("count") - 1) / 2).cast("long")), lit(0L)))
+        .head().getLong(0)
+    val brute = 120L * 119 / 2
+    val v3 = volume(3) // 15-bit blocks: ~32k bucket values each
+    val v8 = volume(8) // 6-7-bit blocks: 64-128 bucket values each
+    assert(v3 <= brute / 50,
+      s"d=3 candidates $v3 not bucket-bounded vs brute $brute")
+    assert(v8 >= brute / 20,
+      s"expected d=8 to degrade toward all-pairs, got $v8 vs brute $brute")
+    assert(v8 > 10 * math.max(v3, 1L),
+      s"d=8 volume $v8 should dwarf d=3 volume $v3 — the declared query must use d=3")
   }
 
   test("hash60 matches the cross-engine constant (DuckDB parity)") {
