@@ -66,7 +66,10 @@ object ScaleProbe {
     time("minhashLsh") {
       Dedup.minhashLsh(docs, "doc_id", "text", threshold = 0.6).count()
     }
-    time("simhashPairs d=8") {
+    time("simhashPairs d=3") {
+      Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3).count()
+    }
+    time("simhashPairs d=8 cap500") {
       Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 8,
         maxBucket = Some(500)).count()
     }
