@@ -141,60 +141,84 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "score")
   }
 
-  /** IVF (inverted-file) approximate top-k: the scale path when LSH
-    * bucket balance is poor. The corpus is partitioned into `nCells`
-    * Voronoi cells around centroids — a deterministic sample refined by
-    * `iterations` rounds of distributed Lloyd's k-means — and each query
-    * scores only the cells whose centroids rank in its `nProbe` nearest.
-    * Centroids live on the driver (bounded: nCells ≤ a few hundred) and
-    * fold into the plan as `typedLit` constants, so both assignment
-    * passes are map-side codegen'd cosine argmax — the only shuffle is
-    * the (cell)-keyed candidate join. Each refinement iteration is one
-    * corpus scan + a (cell, dim)-keyed partial mean (driver receives
-    * only nCells·dim averaged cells, never vectors).
-    * Output: (query_id, neighbor_id, rank, score).
+  /** A trained IVF index: the `nCells` cell centroids. Driver-resident by
+    * design — bounded at nCells·dim doubles (a few hundred cells at most),
+    * never corpus-sized — and foldable into query plans as `typedLit`
+    * constants. Build once with [[buildIvfIndex]], reuse across any number
+    * of [[ivfQuery]] calls (at 100 TB the build is an offline job; queries
+    * must not retrain). */
+  final case class IvfIndex(centroids: Seq[Seq[Double]])
+
+  /** Train an IVF index: a deterministic corpus sample refined by
+    * `iterations` rounds of distributed Lloyd's k-means. This is the one
+    * EAGER step of the IVF path (it runs Spark jobs — call it once,
+    * offline, like any index build). The projected vector column is
+    * cached across Lloyd iterations so each round costs one in-memory
+    * assign scan + a (cell, pos)-keyed partial mean — the driver receives
+    * only nCells·dim averaged coordinates per round, never vectors.
     */
-  def ivfTopK(
+  def buildIvfIndex(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nCells: Int = 16,
+      iterations: Int = 0,
+      seed: Long = 42L): IvfIndex = {
+    val vecs = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val work = if (iterations > 0) vecs.cache() else vecs
+    try {
+      // deterministic centroid sample: first nCells corpus vectors by a
+      // seeded hash of the id (stable under partitioning)
+      val sampled: Seq[Seq[Double]] = work
+        .orderBy(pmod(xxhash64(col("id"), lit(seed)), lit(1000003L)), col("id"))
+        .limit(nCells)
+        .collect()
+        .map(_.getSeq[Any](1).map {
+          case f: Float => f.toDouble
+          case d: Double => d
+          case n: Number => n.doubleValue()
+        }.toSeq).toSeq
+
+      // Lloyd refinement: assign (map-side argmax) -> per-cell element-wise
+      // mean (posexplode + partial-agg avg, one shuffle of nCells·dim
+      // partial sums) -> new centroids. Empty cells keep their old centroid.
+      val centroids: Seq[Seq[Double]] =
+        (0 until iterations).foldLeft(sampled) { (cur, _) =>
+          val assigned = work.select(
+            argmaxCell(col("v"), cur).as("cell"), col("v"))
+          val means = assigned
+            .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+            .groupBy("cell", "pos").agg(avg(col("x").cast("double")).as("m"))
+            .collect()
+            .groupBy(_.getInt(0))
+            .map { case (cell, rows) =>
+              cell -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+            }
+          cur.zipWithIndex.map { case (old, i) => means.getOrElse(i, old) }
+        }
+      IvfIndex(centroids)
+    } finally {
+      if (iterations > 0) work.unpersist(blocking = false)
+    }
+  }
+
+  /** IVF (inverted-file) approximate top-k over a pre-built index: each
+    * query scores only the cells whose centroids rank in its `nProbe`
+    * nearest. Fully LAZY — the index centroids fold into the plan as
+    * `typedLit` constants, so both assignment passes are map-side
+    * codegen'd cosine argmax and the only shuffle is the (cell)-keyed
+    * candidate join. Output: (query_id, neighbor_id, rank, score).
+    */
+  def ivfQuery(
       corpus: DataFrame,
       queries: DataFrame,
       idCol: String,
       vecCol: String,
       k: Int,
-      nCells: Int = 16,
-      nProbe: Int = 4,
-      iterations: Int = 0,
-      seed: Long = 42L): DataFrame = {
-    require(nProbe <= nCells)
-    // deterministic centroid sample: first nCells corpus vectors by a
-    // seeded hash of the id (stable under partitioning)
-    val sampled: Seq[Seq[Double]] = corpus
-      .select(col(idCol), col(vecCol))
-      .orderBy(pmod(xxhash64(col(idCol), lit(seed)), lit(1000003L)), col(idCol))
-      .limit(nCells)
-      .collect()
-      .map(_.getSeq[Any](1).map {
-        case f: Float => f.toDouble
-        case d: Double => d
-        case n: Number => n.doubleValue()
-      }.toSeq).toSeq
-
-    // Lloyd refinement: assign (map-side argmax) -> per-cell element-wise
-    // mean (posexplode + partial-agg avg, one shuffle of nCells·dim
-    // partial sums) -> new centroids. Empty cells keep their old centroid.
-    val centroids: Seq[Seq[Double]] =
-      (0 until iterations).foldLeft(sampled) { (cur, _) =>
-        val assigned = corpus.select(
-          argmaxCell(col(vecCol), cur).as("cell"), col(vecCol).as("v"))
-        val means = assigned
-          .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
-          .groupBy("cell", "pos").agg(avg(col("x").cast("double")).as("m"))
-          .collect()
-          .groupBy(_.getInt(0))
-          .map { case (cell, rows) =>
-            cell -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
-          }
-        cur.zipWithIndex.map { case (old, i) => means.getOrElse(i, old) }
-      }
+      index: IvfIndex,
+      nProbe: Int = 4): DataFrame = {
+    val centroids = index.centroids
+    require(nProbe <= centroids.size)
 
     def cellScores(vec: Column): Seq[(Column, Int)] =
       centroids.zipWithIndex.map { case (c, i) => (cosine(vec, typedLit(c)), i) }
@@ -223,6 +247,23 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank", "score")
   }
+
+  /** Build-then-query convenience: trains a fresh index on `corpus`
+    * ([[buildIvfIndex]] — eager) and answers with [[ivfQuery]]. For
+    * repeated queries over the same corpus, build the index once and
+    * call [[ivfQuery]] directly instead. */
+  def ivfTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nCells: Int = 16,
+      nProbe: Int = 4,
+      iterations: Int = 0,
+      seed: Long = 42L): DataFrame =
+    ivfQuery(corpus, queries, idCol, vecCol, k,
+      buildIvfIndex(corpus, idCol, vecCol, nCells, iterations, seed), nProbe)
 
   /** argmax cell for a vector — array_max over (score, idx) structs
     * (struct ordering is lexicographic, so max-by-score with a

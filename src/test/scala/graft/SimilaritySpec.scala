@@ -113,6 +113,26 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     assert(refined >= 9, s"refined IVF recall@1 = $refined/10")
   }
 
+  test("ivfQuery is lazy and reuses a prebuilt index (no retraining)") {
+    val d = clustered
+    val q = d.filter(col("vec_id") < 10)
+    // build once — the only eager step of the IVF path
+    val index = Similarity.buildIvfIndex(d, "vec_id", "embedding",
+      nCells = 6, iterations = 2)
+    val jobsBefore = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    val plan1 = Similarity.ivfQuery(d, q, "vec_id", "embedding", k = 1, index, nProbe = 2)
+    val plan2 = Similarity.ivfQuery(d, q, "vec_id", "embedding", k = 1, index, nProbe = 2)
+    val jobsAfter = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    assert(jobsAfter == jobsBefore,
+      s"composing ivfQuery must run zero Spark jobs (ran ${jobsAfter - jobsBefore})")
+    // both composes answer from the same trained centroids
+    assert(plan1.collect().toSeq == plan2.collect().toSeq)
+    // and the wrapper (build+query) agrees with the split form
+    val viaWrapper = Similarity.ivfTopK(d, q, "vec_id", "embedding", k = 1,
+      nCells = 6, nProbe = 2, iterations = 2)
+    assert(viaWrapper.collect().toSeq == plan1.collect().toSeq)
+  }
+
   test("nearDupPairs finds planted duplicate vectors") {
     val s = spark
     import s.implicits._
