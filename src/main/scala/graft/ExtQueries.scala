@@ -395,13 +395,23 @@ object ExtQueries {
         .sortValues(Seq("o_orderkey")).df
     }),
 
-    // CSV round-trip through the oracle: write nation as CSV, read it
-    // back with header+inferSchema, compare against DuckDB's own CSV
-    // reader on the same files — catches type-inference drift
+    // CSV round-trip through the oracle: write nation as CSV (once per
+    // process — fixture creation is setup, not part of the timed query),
+    // read it back with header+inferSchema, compare against DuckDB's own
+    // CSV reader on the same files — catches type-inference drift
     "q_read_csv" -> ((s, dir) => {
-      val src = s.read.parquet(s"$dir/nation.parquet")
-      PsIO.toCsv(src.coalesce(1), CsvFixtureDir)
+      csvFixture(s, dir)
       PsIO.readCsv(s, CsvFixtureDir).sortValues(Seq("n_nationkey")).df
+    }),
+
+    // JSON round-trip, mirroring q_read_csv: write nation as JSON lines,
+    // read back with schema inference, compare against DuckDB
+    // read_json_auto on the same files
+    "q_read_json" -> ((s, dir) => {
+      jsonFixture(s, dir)
+      PsIO.readJson(s, JsonFixtureDir)
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .sortValues(Seq("n_nationkey")).df
     }),
 
     // per-column aggregate sugar: df("c").sum() scalars, re-lifted into a
@@ -418,9 +428,24 @@ object ExtQueries {
     })
   )
 
-  /** Where q_read_csv parks its CSV fixture (inside the repo build dir —
-    * both Spark and the DuckDB oracle read the same files by abs path). */
+  /** Where q_read_csv / q_read_json park their fixtures (inside the repo
+    * build dir — both Spark and the DuckDB oracle read the same files by
+    * abs path; the oracle SQL is static, so the paths must be too). */
   val CsvFixtureDir = "/root/repo/target/tmp/nation_csv"
+  val JsonFixtureDir = "/root/repo/target/tmp/nation_json"
+
+  /** Write-once-per-process fixture creation, keyed by (kind, dir):
+    * the ingestion queries must time the READ — re-writing the fixture
+    * inside the query closure put a coalesce(1) write into every bench
+    * iteration and let concurrent runs race on the directory. */
+  private val fixturesDone =
+    new java.util.concurrent.ConcurrentHashMap[String, Unit]()
+  private def csvFixture(s: SparkSession, dir: String): Unit =
+    fixturesDone.computeIfAbsent(s"csv:$dir", _ =>
+      PsIO.toCsv(s.read.parquet(s"$dir/nation.parquet").coalesce(1), CsvFixtureDir))
+  private def jsonFixture(s: SparkSession, dir: String): Unit =
+    fixturesDone.computeIfAbsent(s"json:$dir", _ =>
+      PsIO.toJson(s.read.parquet(s"$dir/nation.parquet").coalesce(1), JsonFixtureDir))
 
   // ------------------------------------------------------------ oracles
 
@@ -644,6 +669,12 @@ object ExtQueries {
       s"""SELECT n_nationkey::INTEGER AS n_nationkey, n_name,
                  n_regionkey::INTEGER AS n_regionkey
           FROM read_csv_auto('$CsvFixtureDir/*.csv', header=true)
+          ORDER BY n_nationkey""",
+    // Spark's JSON schema inference types integral numbers as bigint;
+    // DuckDB's read_json_auto does the same (BIGINT), so no casts
+    "q_read_json" ->
+      s"""SELECT n_nationkey, n_name, n_regionkey
+          FROM read_json_auto('$JsonFixtureDir/*.json')
           ORDER BY n_nationkey""",
     "q_colagg" ->
       """SELECT CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
