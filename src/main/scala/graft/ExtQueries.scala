@@ -395,6 +395,19 @@ object ExtQueries {
         .sortValues(Seq("o_orderkey")).df
     }),
 
+    // full outer: non-matching rows of BOTH sides survive with nulls —
+    // completes the oracle-backed join-type matrix
+    // (inner/left/semi/anti/outer)
+    "q_join_outer" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val lo = o.where(o("o_orderkey") < 3000)
+      val small = c.where(c("c_custkey") < 500)
+      lo.merge(small, leftOn = Seq("o_custkey"), rightOn = Seq("c_custkey"), how = "outer")
+        .select("o_orderkey", "o_custkey", "c_custkey", "c_name", "c_mktsegment")
+        .df.orderBy(asc_nulls_first("o_orderkey"), asc_nulls_first("c_custkey"))
+    }),
+
     // CSV round-trip through the oracle: write nation as CSV (once per
     // process — fixture creation is setup, not part of the timed query),
     // read it back with header+inferSchema, compare against DuckDB's own
@@ -662,9 +675,17 @@ object ExtQueries {
          WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
          ORDER BY o_orderkey""",
     "q_join_anti" ->
-      """SELECT o_orderkey, o_custkey FROM orders
-         WHERE o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+      """SELECT o_orderkey, o_custkey FROM orders o
+         WHERE NOT EXISTS (SELECT 1 FROM customer c
+                           WHERE c.c_custkey = o.o_custkey
+                             AND c.c_mktsegment = 'BUILDING')
          ORDER BY o_orderkey""",
+    "q_join_outer" ->
+      """SELECT o_orderkey, o_custkey, c_custkey, c_name, c_mktsegment
+         FROM (SELECT * FROM orders WHERE o_orderkey < 3000) o
+         FULL JOIN (SELECT * FROM customer WHERE c_custkey < 500) c
+           ON o.o_custkey = c.c_custkey
+         ORDER BY o_orderkey NULLS FIRST, c_custkey NULLS FIRST""",
     "q_read_csv" ->
       s"""SELECT n_nationkey::INTEGER AS n_nationkey, n_name,
                  n_regionkey::INTEGER AS n_regionkey

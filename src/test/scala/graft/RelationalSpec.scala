@@ -107,6 +107,33 @@ class RelationalSpec extends AnyFunSuite with SparkFixture {
     assert(l.merge(r, on = Seq("k"), how = "semi").df.count() == 1)
   }
 
+  test("merge how=outer keeps non-matching rows of both sides") {
+    val s = spark
+    import s.implicits._
+    val l = PsDataFrame(Seq((1, "a"), (2, "b")).toDF("lk", "s"))
+    val r = PsDataFrame(Seq((2, 2.0), (3, 3.0)).toDF("rk", "v"))
+    val j = l.merge(r, leftOn = Seq("lk"), rightOn = Seq("rk"), how = "outer")
+    val rows = j.df.collect()
+    assert(rows.length == 3) // match(2) + left-only(1) + right-only(3)
+    assert(rows.count(_.isNullAt(2)) == 1) // left-only row: rk null
+    assert(rows.count(_.isNullAt(0)) == 1) // right-only row: lk null
+  }
+
+  test("merge how=anti keeps null-key probe rows (left-anti semantics)") {
+    val s = spark
+    import s.implicits._
+    // SQL NOT IN would yield zero rows the moment the subquery has a
+    // NULL; pandas-style anti (Spark left-anti) instead keeps the
+    // null-key left row — the oracle uses NOT EXISTS for this reason
+    val l = PsDataFrame(Seq((Some(1), "match"), (None, "nullkey"), (Some(9), "nomatch"))
+      .toDF("k", "s"))
+    val r = PsDataFrame(Seq((Some(1), 1.0), (None, 0.0)).toDF("k", "v"))
+    val kept = l.merge(r, on = Seq("k"), how = "anti")
+      .df.select("s").collect().map(_.getString(0)).toSet
+    assert(kept == Set("nullkey", "nomatch"),
+      "anti join must keep null-key probe rows and non-matching rows")
+  }
+
   test("multiJoin folds left-deep on shared keys") {
     val s = spark
     import s.implicits._
