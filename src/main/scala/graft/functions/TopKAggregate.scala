@@ -27,9 +27,15 @@ case class ScoredId(score: Double, id: Long)
 final class TopKAgg(k: Int) extends Aggregator[ScoredId, Seq[ScoredId], Seq[ScoredId]] {
   require(k > 0, "top-k needs k > 0")
 
-  /** strict "a ranks before b" under (score desc, id asc) */
-  private def before(a: ScoredId, b: ScoredId): Boolean =
-    a.score > b.score || (a.score == b.score && a.id < b.id)
+  /** strict "a ranks before b" under (score desc, id asc). Scores compare
+    * via `Double.compare`, whose total order (NaN greatest, NaN == NaN)
+    * matches Spark's sort — primitive >/== would rank NaN candidates
+    * worst and diverge from the rank-window form on any scorer that can
+    * emit NaN. */
+  private def before(a: ScoredId, b: ScoredId): Boolean = {
+    val c = java.lang.Double.compare(a.score, b.score)
+    c > 0 || (c == 0 && a.id < b.id)
+  }
 
   private def insert(buf: Seq[ScoredId], in: ScoredId): Seq[ScoredId] =
     if (buf.size >= k && !before(in, buf.last)) buf

@@ -53,6 +53,12 @@ object AsOfJoin {
     require(keys.nonEmpty, "asof needs at least one key column")
     require(valueCols.nonEmpty, "asof needs right value columns to attach")
     require(how == "left" || how == "inner", s"how must be left|inner, got $how")
+    // orderKey resolves per side; mixed time types (e.g. timestamp vs
+    // epoch-millis bigint, or date vs timestamp) would silently compare
+    // micros against raw longs / day counts and mis-match — fail fast
+    val (lt, rt) = (left.schema(leftTime).dataType, right.schema(rightTime).dataType)
+    require(lt == rt,
+      s"asof time columns must have the same type: $leftTime is $lt, $rightTime is $rt")
 
     val outCols = valueCols.map(v => s"$rightPrefix$v")
     val r2 = right.select(

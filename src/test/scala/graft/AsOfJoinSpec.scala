@@ -31,6 +31,18 @@ class AsOfJoinSpec extends AnyFunSuite with SparkFixture {
     assert(got(5L).isEmpty) // key with no right rows at all
   }
 
+  test("asof rejects mismatched time-column types (no silent unit mixing)") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.timestamp_micros
+    val (l, r) = frames // left t: bigint
+    val rTs = r.withColumn("t", timestamp_micros($"t" * 1000000L)) // right t: timestamp
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.asof(l, rTs, Seq("k"), "t", "t", Seq("v"))
+    }
+    assert(e.getMessage.contains("same type"))
+  }
+
   test("asof inner drops unmatched left rows") {
     val (l, r) = frames
     val ids = AsOfJoin.asof(l, r, Seq("k"), "t", "t", Seq("v"), how = "inner")

@@ -70,6 +70,29 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     assert(!plan.contains("Window"), plan.take(500))
   }
 
+  test("TopKAgg ranks NaN scores like Spark's sort (NaN greatest)") {
+    val s = spark
+    import s.implicits._
+    // scores include NaN; Spark's `ORDER BY score DESC` treats NaN as the
+    // largest value, so the aggregate must rank the NaN candidate FIRST —
+    // primitive comparisons would rank it last and diverge from the
+    // rank-window fallback path
+    val d = Seq((1L, Double.NaN), (2L, 0.9), (3L, 0.5), (4L, Double.NaN))
+      .toDF("id", "score").withColumn("g", lit(0))
+    val topk = graft.functions.TopKAggregate.topK(3)
+    val agg = d.groupBy("g")
+      .agg(topk(col("score"), col("id")).as("tk"))
+      .select(posexplode(col("tk")))
+      .select(col("col.id")).collect().map(_.getLong(0)).toSeq
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("g").orderBy(col("score").desc, col("id"))
+    val win = d.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3).orderBy("rnk")
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(agg == win, s"agg path $agg must match window path $win")
+    assert(agg == Seq(1L, 4L, 2L))
+  }
+
   test("lshTopK achieves high recall@1 vs brute force on clustered data") {
     val d = clustered
     val q = d.filter(col("vec_id") < 10) // cluster-0 members as queries
