@@ -85,6 +85,51 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("streaming sessionize over events.parquet == batch sessionize (differential)") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    // real corpus replay: 1000 events / 15 users at sf0.001. The parquet
+    // carries ns timestamps; both paths consume the SAME ms-precision
+    // conversion so the comparison is exact.
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = s.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select(col("event_id"), timestamp_millis((col("ts") / 1000000L).cast("long")).as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+    val all = raw.as[Event].collect().sortBy(_.ts.getTime) // sorted replay: nothing late
+    val batch = StreamingOps.sessionizeBatch(raw, gapMinutes = 30)
+      .select("user_id", "session_start", "session_end", "n_events")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getTimestamp(2).getTime, r.getLong(3)))
+      .sortBy(x => (x._1, x._2))
+
+    val input = MemoryStream[Event]
+    val q = StreamingOps.sessionize(input.toDS(), Duration.ofMinutes(30))
+      .writeStream.format("memory").queryName("t_diff_sessions")
+      .outputMode("append").start()
+    try {
+      // replay in 3 time-ordered micro-batches (sessions span batches via
+      // state), then sentinel batches push the watermark past every real
+      // session's timeout so all of them close and emit
+      val chunks = all.grouped((all.length + 2) / 3).toSeq
+      chunks.foreach { c => input.addData(c.toSeq); q.processAllAvailable() }
+      val flushT = all.last.ts.getTime + 86400000L
+      input.addData(Event(-1L, new Timestamp(flushT), -1L, "flush", 0.0, "{}"))
+      q.processAllAvailable()
+      input.addData(Event(-2L, new Timestamp(flushT + 60000L), -1L, "flush", 0.0, "{}"))
+      q.processAllAvailable()
+
+      val got = s.table("t_diff_sessions")
+        .filter(col("user_id") >= 0).collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getTimestamp(2).getTime, r.getLong(3)))
+        .sortBy(x => (x._1, x._2))
+      assert(got.length == batch.length,
+        s"streaming closed ${got.length} sessions, batch found ${batch.length}")
+      assert(got.toSeq == batch.toSeq,
+        "streaming sessions must equal batch sessions on the same replay")
+    } finally q.stop()
+  }
+
   test("readEventStream: file source feeds the same windowed agg") {
     val s = spark
     import s.implicits._
