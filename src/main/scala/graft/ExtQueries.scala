@@ -438,6 +438,21 @@ object ExtQueries {
       PsDataFrame.fromLocal(s, Seq((sumQty, avgQty, maxPrice, n)))
         .rename(Map("_1" -> "sum_qty", "_2" -> "avg_qty",
           "_3" -> "max_price", "_4" -> "n")).df
+    }),
+
+    // explicit materialization (the reference's offload-to-SQLite): cache
+    // a filtered frame and consume it from TWO downstream queries — the
+    // oracle checks the fan-out reads one consistent snapshot (IOSpec
+    // plan-asserts the InMemoryTableScan reuse itself)
+    "q_materialize" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").df
+      val base = PsIO.materialize(
+        li.filter(col("l_quantity") > 45)
+          .select("l_orderkey", "l_quantity", "l_returnflag"))
+      base.groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+        .unionByName(
+          base.agg(count(lit(1)).as("n")).withColumn("l_returnflag", lit("ALL")))
+        .orderBy("l_returnflag")
     })
   )
 
@@ -697,6 +712,13 @@ object ExtQueries {
       s"""SELECT n_nationkey, n_name, n_regionkey
           FROM read_json_auto('$JsonFixtureDir/*.json')
           ORDER BY n_nationkey""",
+    "q_materialize" ->
+      """WITH base AS (SELECT l_orderkey, l_quantity, l_returnflag
+                       FROM lineitem WHERE l_quantity > 45)
+         SELECT l_returnflag, count(*) AS n FROM base GROUP BY l_returnflag
+         UNION ALL
+         SELECT 'ALL' AS l_returnflag, count(*) AS n FROM base
+         ORDER BY l_returnflag""",
     "q_colagg" ->
       """SELECT CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
                 avg(l_quantity) AS avg_qty,
