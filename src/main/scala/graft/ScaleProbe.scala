@@ -73,6 +73,55 @@ object ScaleProbe {
       Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 8,
         maxBucket = Some(500)).count()
     }
+
+    // ---- ANN paths on the duplicated embedding corpus ------------------
+    // each copy gets a tiny deterministic per-copy shift so duplicates are
+    // near- (not exact-) neighbors — the realistic near-dup profile
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val corpus = (0 until dup).map { i =>
+      emb.select((col("vec_id") * dup + i).as("vec_id"),
+        transform(col("embedding"), x => x + lit(i * 1e-3f)).as("embedding"))
+    }.reduce(_ union _).cache()
+    val nv = corpus.count()
+    val queries = corpus.filter(col("vec_id") % lit(nv / 100) === 0).cache()
+    val nq = queries.count()
+    println(s"[scaleprobe] ann corpus: $nv vectors (dim 64), $nq queries")
+
+    def top1(df: org.apache.spark.sql.DataFrame): Map[Long, Long] = df
+      .filter(col("rank") === 1)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    var brute: Map[Long, Long] = Map.empty
+    time("bruteForceTopK k=10") {
+      val df = graft.operators.Similarity
+        .bruteForceTopK(corpus, queries, "vec_id", "embedding", k = 10)
+      brute = top1(df); df.count()
+    }
+    var lsh: Map[Long, Long] = Map.empty
+    time("lshTopK k=10") {
+      val df = graft.operators.Similarity.lshTopK(
+        corpus, queries, "vec_id", "embedding", dim = 64, k = 10)
+      lsh = top1(df); df.count()
+    }
+    var index: graft.operators.Similarity.IvfIndex = null
+    time("buildIvfIndex 64c 2it") {
+      index = graft.operators.Similarity.buildIvfIndex(
+        corpus, "vec_id", "embedding", nCells = 64, iterations = 2)
+      index.centroids.size.toLong
+    }
+    var ivf: Map[Long, Long] = Map.empty
+    time("ivfQuery k=10 probe8") {
+      val df = graft.operators.Similarity.ivfQuery(
+        corpus, queries, "vec_id", "embedding", k = 10, index, nProbe = 8)
+      ivf = top1(df); df.count()
+    }
+    def recall(m: Map[Long, Long]): String = {
+      val hits = brute.count { case (q, n) => m.get(q).contains(n) }
+      s"$hits/${brute.size}"
+    }
+    println(s"[scaleprobe] recall@1 vs brute: lsh=${recall(lsh)} ivf=${recall(ivf)}")
     spark.stop()
   }
 }
