@@ -63,14 +63,29 @@ object Similarity {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
     val scored = c.join(q, col("query_id") =!= col("neighbor_id"))
       .withColumn("score", cosine(col("q_vec"), col("c_vec")))
-    corpus.schema(idCol).dataType match {
+    perQueryTopK(scored, corpus.schema(idCol).dataType, k)
+  }
+
+  /** Per-query top-k over ("query_id", "neighbor_id", "score") rows.
+    * Integral-id inputs take the bounded-heap PARTIAL aggregate
+    * ([[graft.functions.TopKAgg]]): each partition reduces to ≤ Q·k
+    * entries before the shuffle, so the shuffle never carries the full
+    * scored/candidate volume (a rank window would). Other id types fall
+    * back to the rank window. Shared by the brute-force, LSH and IVF
+    * paths so all three have the same scale posture and tie-break
+    * ordering (score desc, id asc). */
+  private def perQueryTopK(
+      scored: DataFrame,
+      idType: org.apache.spark.sql.types.DataType,
+      k: Int): DataFrame =
+    idType match {
       case LongType | IntegerType =>
         val topk = graft.functions.TopKAggregate.topK(k)
         scored.groupBy("query_id")
           .agg(topk(col("score"), col("neighbor_id").cast("long")).as("tk"))
           .select(col("query_id"), posexplode(col("tk")))
           .select(col("query_id"),
-            col("col.id").cast(corpus.schema(idCol).dataType).as("neighbor_id"),
+            col("col.id").cast(idType).as("neighbor_id"),
             (col("pos") + 1).as("rank"),
             col("col.score").as("score"))
       case _ =>
@@ -81,7 +96,6 @@ object Similarity {
           .filter(col("rank") <= k)
           .select("query_id", "neighbor_id", "rank", "score")
     }
-  }
 
   /** Random-hyperplane (SimHash-for-vectors) bucket id: bit i = sign of
     * ⟨v, plane_i⟩. Planes are seeded-deterministic, generated driver-side
@@ -128,17 +142,26 @@ object Similarity {
 
     val qb = withBuckets(queries, "query_id", "q_vec")
     val cb = withBuckets(corpus, "neighbor_id", "c_vec")
-    val candidates = qb.join(cb, Seq("table", "bucket"))
+    // candidate generation and dedup carry ONLY ids — a pair colliding in
+    // several tables would otherwise push its two dim-sized vectors
+    // through the join and the distinct shuffle once per collision; the
+    // vectors are equi-joined back exactly once per UNIQUE pair
+    val candidates = qb.select("table", "bucket", "query_id")
+      .join(cb.select("table", "bucket", "neighbor_id"), Seq("table", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .groupBy("query_id", "neighbor_id")
-      .agg(first("q_vec").as("q_vec"), first("c_vec").as("c_vec"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("score").desc, col("neighbor_id"))
-    candidates
+      .select("query_id", "neighbor_id")
+      .distinct()
+    // join strategy stays Catalyst/AQE's choice: with a small candidate
+    // set the corpus join broadcasts the candidates and streams the
+    // corpus map-side (zero corpus shuffle); with a huge one AQE picks
+    // the shuffle join on id
+    val scored = candidates
+      .join(queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec")),
+        "query_id")
+      .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec")),
+        "neighbor_id")
       .withColumn("score", cosine(col("q_vec"), col("c_vec")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "rank", "score")
+    perQueryTopK(scored, corpus.schema(idCol).dataType, k)
   }
 
   /** A trained IVF index: the `nCells` cell centroids. Driver-resident by
@@ -238,14 +261,14 @@ object Similarity {
       .filter(col("pr") <= nProbe)
       .select("query_id", "q_vec", "cell")
 
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("score").desc, col("neighbor_id"))
-    qb.join(cb, Seq("cell"))
+    // join strategy stays Catalyst/AQE's choice: the probed query side
+    // is usually the small one and broadcasts, so the corpus (with its
+    // computed cell assignment) streams map-side with zero shuffle — the
+    // big side is never the broadcast build, so no driver re-eval risk
+    val scored = qb.join(cb, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("score", cosine(col("q_vec"), col("c_vec")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "rank", "score")
+    perQueryTopK(scored, corpus.schema(idCol).dataType, k)
   }
 
   /** Build-then-query convenience: trains a fresh index on `corpus`

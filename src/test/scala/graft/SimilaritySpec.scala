@@ -98,11 +98,16 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     val q = d.filter(col("vec_id") < 10) // cluster-0 members as queries
     val exact = Similarity.bruteForceTopK(d, q, "vec_id", "embedding", 1)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val approx = Similarity.lshTopK(d, q, "vec_id", "embedding",
+    val lsh = Similarity.lshTopK(d, q, "vec_id", "embedding",
       dim = 16, k = 1, bits = 8, tables = 8)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val approx = lsh.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val hits = exact.count { case (qid, nid) => approx.get(qid).contains(nid) }
     assert(hits >= 9, s"recall@1 = $hits/10") // ≥0.9 on tight clusters
+    // scale shape: integral ids must take the bounded partial top-k
+    // aggregate, not a rank window over the full candidate volume
+    val plan = lsh.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), plan.take(500))
+    assert(!plan.contains("Window"), plan.take(500))
   }
 
   test("ivfTopK achieves high recall@1 vs brute force on clustered data") {
