@@ -221,6 +221,20 @@ object ExtQueries {
         .orderBy("hour_s", "event_type")
     }),
 
+    // sliding 1h windows every 15min (batch form of slidingAgg): each
+    // event lands in 4 overlapping windows; decimal-summed money for
+    // float parity, epoch-second window starts for engine portability
+    "q_window_sliding" -> ((s, dir) => {
+      val ev = events(s, dir)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      ev.groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+        .select(unix_seconds(col("window.start")).as("win_s"),
+          col("event_type"), col("n"), col("total_value"))
+        .orderBy("win_s", "event_type")
+    }),
+
     // per-user 30-minute-gap sessionization (analytic-window batch form)
     "q_sessionize" -> ((s, dir) => {
       val ev = events(s, dir)
@@ -604,6 +618,16 @@ object ExtQueries {
       """SELECT epoch(date_trunc('hour', ts))::BIGINT AS hour_s, event_type,
             count(*) AS n, (sum(value::DECIMAL(18,2)))::DOUBLE AS total_value
          FROM events GROUP BY hour_s, event_type ORDER BY hour_s, event_type""",
+    // sliding windows: every event belongs to the 4 15-min-aligned
+    // 1-hour windows covering it (offsets 0..3 back from its slide slot)
+    "q_window_sliding" ->
+      """WITH e AS (SELECT (epoch_ms(ts)::BIGINT // 1000) AS sec, event_type, value
+                    FROM events),
+         w AS (SELECT ((sec // 900) - o.o) * 900 AS win_s, event_type, value
+               FROM e CROSS JOIN (SELECT unnest(range(4)) AS o) o)
+         SELECT win_s, event_type, count(*) AS n,
+                (sum(value::DECIMAL(18,2)))::DOUBLE AS total_value
+         FROM w GROUP BY win_s, event_type ORDER BY win_s, event_type""",
     "q_sessionize" ->
       """WITH e AS (SELECT user_id, event_id, epoch_ms(ts)::BIGINT AS ms, value FROM events),
          x AS (SELECT *, lag(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS prev FROM e),
