@@ -193,6 +193,23 @@ object ExtQueries {
         .orderBy("query_id", "rnk")
     }),
 
+    // embedding-cosine near-dup pairs via LSH-bucketed candidates
+    // (approximate by design -> rows-only; planted-duplicate recall is
+    // asserted in SimilaritySpec). The synthetic embeddings are mutually
+    // near-orthogonal (max pairwise cosine 0.51), so near-dups are
+    // PLANTED: the corpus unioned with a slightly-shifted copy of itself
+    // — the operator must pair every vector with its twin. Scores
+    // omitted for float parity discipline.
+    "q_embed_neardup" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").df.select("vec_id", "embedding")
+      val twin = e.select((col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("embedding"), x => x + lit(1e-3f)).as("embedding"))
+      Similarity.nearDupPairs(e.unionByName(twin), "vec_id", "embedding",
+          dim = 64, threshold = 0.99)
+        .select("a_id", "b_id")
+        .orderBy("a_id", "b_id")
+    }),
+
     // ---- multimodal binary columns ----------------------------------
 
     // metadata over opaque binary payloads (decode-free path: column

@@ -312,19 +312,26 @@ object Similarity {
       bits: Int = 8,
       tables: Int = 8,
       seed: Long = 42L): DataFrame = {
+    // candidate generation/dedup carries only ids (a pair colliding in
+    // several tables would otherwise shuffle its two vectors once per
+    // collision); vectors join back once per unique pair — same shape
+    // as [[lshTopK]]
     val b = corpus.select(
-      col(idCol).as("id"), col(vecCol).as("vec"),
+      col(idCol).as("id"),
       explode(array((0 until tables).map(t =>
         struct(lit(t).as("table"),
           hyperplaneBucket(col(vecCol), dim, bits, seed + t).as("bucket"))): _*))
         .as("tb"))
-      .select(col("id"), col("vec"), col("tb.table"), col("tb.bucket"))
-    val l = b.select(col("table"), col("bucket"), col("id").as("a_id"), col("vec").as("a_vec"))
-    val r = b.select(col("table"), col("bucket"), col("id").as("b_id"), col("vec").as("b_vec"))
+      .select(col("id"), col("tb.table"), col("tb.bucket"))
+    val l = b.select(col("table"), col("bucket"), col("id").as("a_id"))
+    val r = b.select(col("table"), col("bucket"), col("id").as("b_id"))
+    val vecs = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
     l.join(r, Seq("table", "bucket"))
       .filter(col("a_id") < col("b_id"))
-      .groupBy("a_id", "b_id")
-      .agg(first("a_vec").as("a_vec"), first("b_vec").as("b_vec"))
+      .select("a_id", "b_id")
+      .distinct()
+      .join(vecs.select(col("id").as("a_id"), col("vec").as("a_vec")), "a_id")
+      .join(vecs.select(col("id").as("b_id"), col("vec").as("b_vec")), "b_id")
       .withColumn("score", cosine(col("a_vec"), col("b_vec")))
       .filter(col("score") >= threshold)
       .select("a_id", "b_id", "score")
