@@ -426,9 +426,21 @@ object ExtQueries {
         .sortValues(Seq("o_orderkey")).df
     }),
 
+    // right join: every BUILDING customer kept, orders attached where
+    // they exist (nulls otherwise)
+    "q_join_right" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val lo = o.where(o("o_orderkey") < 3000)
+      val bld = c.where(c("c_mktsegment") === "BUILDING")
+      lo.merge(bld, leftOn = Seq("o_custkey"), rightOn = Seq("c_custkey"), how = "right")
+        .select("o_orderkey", "o_custkey", "c_custkey", "c_name")
+        .df.orderBy(asc_nulls_first("c_custkey"), asc_nulls_first("o_orderkey"))
+    }),
+
     // full outer: non-matching rows of BOTH sides survive with nulls —
     // completes the oracle-backed join-type matrix
-    // (inner/left/semi/anti/outer)
+    // (inner/left/right/semi/anti/outer)
     "q_join_outer" -> ((s, dir) => {
       val o = t(s, dir, "orders")
       val c = t(s, dir, "customer")
@@ -736,6 +748,12 @@ object ExtQueries {
                            WHERE c.c_custkey = o.o_custkey
                              AND c.c_mktsegment = 'BUILDING')
          ORDER BY o_orderkey""",
+    "q_join_right" ->
+      """SELECT o_orderkey, o_custkey, c_custkey, c_name
+         FROM (SELECT * FROM orders WHERE o_orderkey < 3000) o
+         RIGHT JOIN (SELECT * FROM customer WHERE c_mktsegment = 'BUILDING') c
+           ON o.o_custkey = c.c_custkey
+         ORDER BY c_custkey NULLS FIRST, o_orderkey NULLS FIRST""",
     "q_join_outer" ->
       """SELECT o_orderkey, o_custkey, c_custkey, c_name, c_mktsegment
          FROM (SELECT * FROM orders WHERE o_orderkey < 3000) o
