@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.PsIO
+
+/** The scan must do the cutting: filters reach the parquet reader
+  * (row-group / page skipping), projections prune the read schema
+  * (columnar scans read only referenced columns), and partition-column
+  * predicates prune directories before any file is opened. At 100 TB
+  * these three are the difference between scanning terabytes and
+  * scanning gigabytes — so they are asserted at the physical-plan level,
+  * where a regression (e.g. a filter hidden behind a non-pushable
+  * expression) is visible immediately.
+  */
+class ScanPushdownSpec extends AnyFunSuite with SparkFixture {
+
+  private def scanOf(df: org.apache.spark.sql.DataFrame): FileSourceScanExec =
+    df.queryExecution.sparkPlan.collectFirst {
+      case f: FileSourceScanExec => f
+    }.getOrElse(fail("no FileSourceScanExec in plan"))
+
+  test("comparison filters push down to the parquet scan") {
+    val li = PsIO.readParquet(spark, "/root/testdata/sf0.001/lineitem.parquet")
+    val q = li.where(li("l_quantity") > 45).select("l_orderkey", "l_quantity").df
+    val scan = scanOf(q)
+    assert(scan.dataFilters.nonEmpty, "filter did not reach the scan")
+    val pushed = scan.metadata.getOrElse("PushedFilters", "")
+    assert(pushed.contains("GreaterThan(l_quantity"), s"PushedFilters: $pushed")
+  }
+
+  test("projection prunes the read schema to referenced columns") {
+    val li = PsIO.readParquet(spark, "/root/testdata/sf0.001/lineitem.parquet")
+    val q = li.where(li("l_quantity") > 45).select("l_orderkey", "l_quantity").df
+    val scan = scanOf(q)
+    assert(scan.requiredSchema.fieldNames.toSet == Set("l_orderkey", "l_quantity"),
+      s"scan reads ${scan.requiredSchema.fieldNames.mkString(",")}")
+  }
+
+  test("partition-column predicates prune partitions at the scan") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
+    docs.write.mode("overwrite").partitionBy("lang").parquet(dir)
+    val part = spark.read.parquet(dir)
+    val nLangs = docs.select("lang").distinct().count()
+    assert(nLangs > 1, "fixture needs several langs for pruning to mean anything")
+
+    val q = part.filter(col("lang") === "en").select("doc_id", "lang")
+    val scan = scanOf(q)
+    assert(scan.partitionFilters.exists(_.references.exists(_.name == "lang")),
+      s"no partition filter on lang: ${scan.partitionFilters}")
+    // pruning is real: the selected partition count drops to 1 of N
+    assert(scan.selectedPartitions.partitionCount == 1,
+      s"expected 1 selected partition, got ${scan.selectedPartitions.partitionCount} of $nLangs")
+  }
+}
