@@ -64,4 +64,35 @@ class SamplingSkewSpec extends AnyFunSuite with SparkFixture {
         (r.getDouble(1), r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
     assert(salted == plain)
   }
+
+  test("AQE splits skewed join partitions at runtime (the non-manual path)") {
+    val s = spark
+    import s.implicits._
+    // one hot key owns ~all left rows; with tiny skew thresholds AQE must
+    // mark the sort-merge join partition as skewed and split it — the
+    // runtime complement to saltedAgg's compile-time salting
+    val conf = s.conf
+    val saved = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      val left = (1 to 60000).map(i =>
+        (if (i % 100 == 0) i.toLong else 7L, s"pad-$i-${"x" * 32}")).toDF("k", "pl")
+      val right = (1L to 200L).map(i => (i, s"r$i")).toDF("k", "pr")
+      val joined = left.join(right, "k")
+      joined.collect() // execute THIS queryExecution so AQE finalizes it
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        s"AQE did not mark the skewed join: ${finalPlan.take(600)}")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(conf.unset(k))(conf.set(k, _))
+    }
+  }
 }
