@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.api.PsDataFrame
+import graft.operators.Dedup
+import graft.sources.PsIO
+
+/** Plan-shape regression guards for the scale claims the docs make:
+  * operators that PROMISE a bounded plan must keep planning it. A silent
+  * fall-back (e.g. a full sort where TakeOrderedAndProject belongs, or a
+  * whole-group window where the group-limit applies) stays correct on
+  * test data and only shows up as a melted cluster at scale — so the
+  * plan itself is the asserted artifact.
+  */
+class PlanShapeSpec extends AnyFunSuite with SparkFixture {
+
+  private def lineitem =
+    PsIO.readParquet(spark, "/root/testdata/sf0.001/lineitem.parquet")
+
+  test("nlargest plans TakeOrderedAndProject, never a global sort") {
+    val plan = lineitem.nlargest(15, Seq("l_extendedprice"))
+      .df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(500))
+    assert(!plan.contains("Sort "), s"global sort crept in: ${plan.take(500)}")
+  }
+
+  test("keyed exact dedup plans WindowGroupLimit (map-side keep-1)") {
+    val d = lineitem.df
+    val plan = Dedup.exact(d, Seq("l_orderkey"), Seq(col("l_linenumber")))
+      .queryExecution.executedPlan.toString
+    // Spark inserts partial + final WindowGroupLimit around the exchange:
+    // each map task keeps one row per key before the shuffle, so the
+    // shuffle carries at most one row per (partition, key), not the corpus
+    assert(plan.contains("WindowGroupLimit"), plan.take(800))
+  }
+
+  test("grouped aggregation partial-aggregates before its exchange") {
+    val agged = lineitem.df.groupBy("l_returnflag")
+      .agg(sum("l_quantity").as("s"))
+    val plan = agged.queryExecution.executedPlan.toString
+    val aggNodes = "HashAggregate".r.findAllIn(plan).length
+    assert(aggNodes >= 2, s"expected partial+final HashAggregate:\n${plan.take(800)}")
+    assert(plan.contains("partial_sum"), plan.take(800))
+  }
+
+  test("local-data frames stay broadcast-joinable against big tables") {
+    val s = spark
+    val small = PsDataFrame.fromLocal(s,
+      Seq((1, "N"), (2, "R"))).rename(Map("_1" -> "code", "_2" -> "flag"))
+    val li = lineitem.df
+    val joined = li.join(small.df, li("l_linenumber") === small.df("code"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(500))
+  }
+}
