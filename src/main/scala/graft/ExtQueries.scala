@@ -301,6 +301,16 @@ object ExtQueries {
         .sortValues(Seq("o_custkey", "o_orderkey")).df
     }),
 
+    // per-group top-k (pandas groupby().head() / per-group nlargest):
+    // map-side WindowGroupLimit keeps <=3 rows per key before the shuffle
+    "q_group_topk" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      o.headPerGroup(3, Seq("o_orderpriority"),
+          Seq(o("o_totalprice").desc, o("o_orderkey").asc))
+        .select("o_orderpriority", "o_orderkey", "o_totalprice")
+        .sortValues(Seq("o_orderpriority", "o_orderkey")).df
+    }),
+
     // pandas nunique (distinct-count aggregate; not in the reference)
     "q_nunique" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
@@ -696,6 +706,12 @@ object ExtQueries {
             rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk,
             lag(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS prev_price
          FROM orders ORDER BY o_custkey, o_orderkey""",
+    "q_group_topk" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice
+         FROM orders
+         QUALIFY row_number() OVER (PARTITION BY o_orderpriority
+                                    ORDER BY o_totalprice DESC, o_orderkey) <= 3
+         ORDER BY o_orderpriority, o_orderkey""",
     "q_nunique" ->
       """SELECT l_returnflag,
             count(DISTINCT l_partkey) AS n_parts,

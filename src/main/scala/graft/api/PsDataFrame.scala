@@ -175,6 +175,21 @@ final class PsDataFrame(private var _df: DataFrame) {
     new PsDataFrame(_df.withColumn(as, lag(_df(valueCol), n).over(w)))
   }
 
+  /** pandas `groupby(keys).head(n)` / per-group nlargest: the first `n`
+    * rows of every group under `orderBy`. Plans a map-side
+    * WindowGroupLimit (each task keeps ≤ n rows per key BEFORE the
+    * shuffle — asserted in PlanShapeSpec), so the exchange carries at
+    * most partitions·groups·n rows, never the corpus: the per-group
+    * analogue of [[nlargest]]'s TakeOrderedAndProject. */
+  def headPerGroup(n: Int, partitionBy: Seq[String], orderBy: Seq[PsColumn]): PsDataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(n > 0, "headPerGroup needs n > 0")
+    val w = Window.partitionBy(partitionBy.map(_df(_)): _*).orderBy(orderBy.map(_.col): _*)
+    new PsDataFrame(_df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= n)
+      .drop("__rn"))
+  }
+
   // ---- groupby / aggregation (reference core.py:1003-1258) ----
 
   def groupby(keys: String*): PsGroupedFrame =

@@ -36,6 +36,17 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     assert(plan.contains("WindowGroupLimit"), plan.take(800))
   }
 
+  test("headPerGroup plans WindowGroupLimit and keeps exactly n per group") {
+    val li = lineitem
+    val top = li.headPerGroup(2, Seq("l_returnflag"),
+      Seq(li("l_extendedprice").desc, li("l_orderkey").asc))
+    val plan = top.df.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan.take(800))
+    val counts = top.df.groupBy("l_returnflag").count()
+      .collect().map(_.getLong(1))
+    assert(counts.nonEmpty && counts.forall(_ == 2L))
+  }
+
   test("grouped aggregation partial-aggregates before its exchange") {
     val agged = lineitem.df.groupBy("l_returnflag")
       .agg(sum("l_quantity").as("s"))
