@@ -448,6 +448,33 @@ object ExtQueries {
         .df.orderBy(asc_nulls_first("c_custkey"), asc_nulls_first("o_orderkey"))
     }),
 
+    // fillna over an outer join's null holes (TPC-H data is null-free, so
+    // the join fabricates them): numeric holes -> -1, string holes -> "?"
+    "q_fillna" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val lo = o.where(o("o_orderkey") < 3000)
+      val small = c.where(c("c_custkey") < 500)
+      lo.merge(small, leftOn = Seq("o_custkey"), rightOn = Seq("c_custkey"), how = "outer")
+        .select("o_orderkey", "o_custkey", "c_custkey", "c_name")
+        .fillna(-1L, Seq("o_orderkey", "o_custkey", "c_custkey"))
+        .fillna("?", Seq("c_name"))
+        .sortValues(Seq("o_orderkey", "c_custkey")).df
+    }),
+
+    // dropna on the same join: rows with no null in the key columns ==
+    // the inner-join rows
+    "q_dropna" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val lo = o.where(o("o_orderkey") < 3000)
+      val small = c.where(c("c_custkey") < 500)
+      lo.merge(small, leftOn = Seq("o_custkey"), rightOn = Seq("c_custkey"), how = "outer")
+        .select("o_orderkey", "o_custkey", "c_custkey", "c_name")
+        .dropna(Seq("o_orderkey", "c_custkey"))
+        .sortValues(Seq("o_orderkey", "c_custkey")).df
+    }),
+
     // full outer: non-matching rows of BOTH sides survive with nulls —
     // completes the oracle-backed join-type matrix
     // (inner/left/right/semi/anti/outer)
@@ -770,6 +797,22 @@ object ExtQueries {
          RIGHT JOIN (SELECT * FROM customer WHERE c_mktsegment = 'BUILDING') c
            ON o.o_custkey = c.c_custkey
          ORDER BY c_custkey NULLS FIRST, o_orderkey NULLS FIRST""",
+    "q_fillna" ->
+      """SELECT coalesce(o_orderkey, -1) AS o_orderkey,
+                coalesce(o_custkey, -1) AS o_custkey,
+                coalesce(c_custkey, -1) AS c_custkey,
+                coalesce(c_name, '?') AS c_name
+         FROM (SELECT * FROM orders WHERE o_orderkey < 3000) o
+         FULL JOIN (SELECT * FROM customer WHERE c_custkey < 500) c
+           ON o.o_custkey = c.c_custkey
+         ORDER BY o_orderkey, c_custkey""",
+    "q_dropna" ->
+      """SELECT o_orderkey, o_custkey, c_custkey, c_name
+         FROM (SELECT * FROM orders WHERE o_orderkey < 3000) o
+         FULL JOIN (SELECT * FROM customer WHERE c_custkey < 500) c
+           ON o.o_custkey = c.c_custkey
+         WHERE o_orderkey IS NOT NULL AND c_custkey IS NOT NULL
+         ORDER BY o_orderkey, c_custkey""",
     "q_join_outer" ->
       """SELECT o_orderkey, o_custkey, c_custkey, c_name, c_mktsegment
          FROM (SELECT * FROM orders WHERE o_orderkey < 3000) o

@@ -175,6 +175,32 @@ final class PsDataFrame(private var _df: DataFrame) {
     new PsDataFrame(_df.withColumn(as, lag(_df(valueCol), n).over(w)))
   }
 
+  /** pandas `fillna(value)`: replace nulls with `value` in the given
+    * columns (all type-compatible columns when `subset` is empty). The
+    * reference has no null handling at all (no isna/fillna/dropna in its
+    * API, reference api_status.py); this is designed extension surface —
+    * a pipeline meets nulls the moment it outer-joins or ingests sparse
+    * data. Pure projection: codegen'd coalesce, no shuffle. */
+  def fillna(value: Any, subset: Seq[String] = Nil): PsDataFrame = {
+    val fill = _df.na
+    val filled = value match {
+      case v: Long   => if (subset.isEmpty) fill.fill(v) else fill.fill(v, subset)
+      case v: Int    => if (subset.isEmpty) fill.fill(v.toLong) else fill.fill(v.toLong, subset)
+      case v: Double => if (subset.isEmpty) fill.fill(v) else fill.fill(v, subset)
+      case v: String => if (subset.isEmpty) fill.fill(v) else fill.fill(v, subset)
+      case v: Boolean => if (subset.isEmpty) fill.fill(v) else fill.fill(v, subset)
+      case other => throw new IllegalArgumentException(
+        s"fillna supports int/long/double/string/boolean, got $other")
+    }
+    new PsDataFrame(filled)
+  }
+
+  /** pandas `dropna()`: drop rows with a null in ANY of the `subset`
+    * columns (any column when empty). Filter only — pushes down like any
+    * other predicate. */
+  def dropna(subset: Seq[String] = Nil): PsDataFrame =
+    new PsDataFrame(if (subset.isEmpty) _df.na.drop() else _df.na.drop(subset))
+
   /** pandas `groupby(keys).head(n)` / per-group nlargest: the first `n`
     * rows of every group under `orderBy`. Plans a map-side
     * WindowGroupLimit (each task keeps ≤ n rows per key BEFORE the

@@ -134,6 +134,19 @@ class RelationalSpec extends AnyFunSuite with SparkFixture {
       "anti join must keep null-key probe rows and non-matching rows")
   }
 
+  test("fillna / dropna without a subset touch every column") {
+    val s = spark
+    import s.implicits._
+    val d = PsDataFrame(Seq(
+      (Some(1L), Some("a")), (None, Some("b")), (Some(3L), None))
+      .toDF("n", "t"))
+    val filled = d.fillna(-1L).fillna("?").df.collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(filled == Set((1L, "a"), (-1L, "b"), (3L, "?")))
+    val kept = d.dropna().df.collect().map(_.getLong(0)).toSeq
+    assert(kept == Seq(1L)) // only the fully-non-null row survives
+  }
+
   test("multiJoin folds left-deep on shared keys") {
     val s = spark
     import s.implicits._
