@@ -311,6 +311,23 @@ object ExtQueries {
         .sortValues(Seq("o_orderpriority", "o_orderkey")).df
     }),
 
+    // sketch aggregates: HLL++ distinct + approximate quantiles in one
+    // grouped pass (approximate by design -> rows-only; error bounds vs
+    // exact are asserted in SketchesSpec). At scale the shuffle carries
+    // sketch buffers, not the key universe.
+    "q_sketches" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").df
+      li.groupBy("l_returnflag")
+        .agg(
+          approx_count_distinct(col("l_partkey"), 0.05).as("approx_parts"),
+          percentile_approx(col("l_quantity"), array(lit(0.5), lit(0.9)), lit(10000))
+            .as("qty_q"))
+        .select(col("l_returnflag"), col("approx_parts"),
+          col("qty_q").getItem(0).as("qty_p50"),
+          col("qty_q").getItem(1).as("qty_p90"))
+        .orderBy("l_returnflag")
+    }),
+
     // pandas nunique (distinct-count aggregate; not in the reference)
     "q_nunique" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")

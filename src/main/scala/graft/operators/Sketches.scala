@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Approximate aggregates for interactive work over corpus-scale data —
+  * the sketches that replace exact answers when the exact form is a
+  * corpus-wide shuffle.
+  *
+  * The reference has no distinct-count or quantile aggregates at all (its
+  * aggregate map is sum/count/mean/min/max/prod/any/all, reference
+  * core.py:1076-1085); this is designed extension surface. Both sketches
+  * are Spark built-ins and therefore partial-aggregating: every partition
+  * reduces to one bounded sketch buffer (HyperLogLog++ registers /
+  * KLL-style quantile summaries) before the exchange, so the shuffle
+  * carries sketches, not values — an exact COUNT(DISTINCT) over a high-
+  * cardinality key shuffles the key universe instead.
+  *
+  * Error contracts (asserted in SketchesSpec): approxDistinct's relative
+  * standard deviation is the `rsd` parameter (default 5%);
+  * approxQuantiles' rank error is bounded by 1/`accuracy`.
+  */
+object Sketches {
+
+  /** HyperLogLog++ distinct count per group (ungrouped when `keys` empty). */
+  def approxDistinct(
+      df: DataFrame,
+      valueCol: String,
+      keys: Seq[String] = Nil,
+      rsd: Double = 0.05): DataFrame = {
+    val agg = approx_count_distinct(col(valueCol), rsd).as(s"approx_n_$valueCol")
+    if (keys.isEmpty) df.agg(agg)
+    else df.groupBy(keys.map(col): _*).agg(agg)
+  }
+
+  /** Approximate quantiles per group at the given probabilities.
+    * `accuracy` trades memory for rank error (err ≤ 1/accuracy). */
+  def approxQuantiles(
+      df: DataFrame,
+      valueCol: String,
+      probabilities: Seq[Double],
+      keys: Seq[String] = Nil,
+      accuracy: Int = 10000): DataFrame = {
+    val probs: Column = array(probabilities.map(lit): _*)
+    val agg = percentile_approx(col(valueCol), probs, lit(accuracy))
+      .as(s"approx_q_$valueCol")
+    if (keys.isEmpty) df.agg(agg)
+    else df.groupBy(keys.map(col): _*).agg(agg)
+  }
+}

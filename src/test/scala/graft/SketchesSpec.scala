@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Sketches
+
+class SketchesSpec extends AnyFunSuite with SparkFixture {
+
+  private def lineitem =
+    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+
+  test("approxDistinct is within the declared rsd of the exact count") {
+    val li = lineitem
+    val exact = li.groupBy("l_returnflag")
+      .agg(count_distinct(col("l_partkey")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approx = Sketches.approxDistinct(li, "l_partkey", Seq("l_returnflag"), rsd = 0.05)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (k, n) =>
+      val a = approx(k)
+      // 4 sigma of the declared 5% relative standard deviation
+      assert(math.abs(a - n) <= math.max(1.0, 0.20 * n),
+        s"group $k: approx $a vs exact $n")
+    }
+  }
+
+  test("approxQuantiles bounds rank error by 1/accuracy") {
+    val li = lineitem
+    val n = li.count()
+    val probs = Seq(0.1, 0.5, 0.9)
+    val got = Sketches.approxQuantiles(li, "l_extendedprice", probs, accuracy = 1000)
+      .head().getSeq[Double](0)
+    val sorted = li.select("l_extendedprice").orderBy("l_extendedprice")
+      .collect().map(_.getDouble(0))
+    probs.zip(got).foreach { case (p, q) =>
+      // rank of the returned value must be within n/accuracy of p*n
+      val rank = sorted.count(_ <= q)
+      val err = math.abs(rank - p * n)
+      assert(err <= math.max(2.0, 2.0 * n / 1000.0),
+        s"p=$p: value $q has rank $rank, expected ~${p * n}")
+    }
+  }
+
+  test("sketch aggregation partial-aggregates before the exchange") {
+    val plan = Sketches.approxDistinct(lineitem, "l_partkey", Seq("l_returnflag"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_approx_count_distinct"), plan.take(600))
+  }
+}
