@@ -328,6 +328,12 @@ object ExtQueries {
         .orderBy("l_returnflag")
     }),
 
+    // pandas value_counts: per-value frequency, most frequent first
+    "q_value_counts" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      d.valueCounts("lang").df
+    }),
+
     // pandas nunique (distinct-count aggregate; not in the reference)
     "q_nunique" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
@@ -756,6 +762,9 @@ object ExtQueries {
          QUALIFY row_number() OVER (PARTITION BY o_orderpriority
                                     ORDER BY o_totalprice DESC, o_orderkey) <= 3
          ORDER BY o_orderpriority, o_orderkey""",
+    "q_value_counts" ->
+      """SELECT lang, count(*) AS count FROM documents
+         GROUP BY lang ORDER BY count DESC, lang""",
     "q_nunique" ->
       """SELECT l_returnflag,
             count(DISTINCT l_partkey) AS n_parts,

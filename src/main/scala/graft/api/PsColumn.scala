@@ -87,6 +87,10 @@ final case class PsColumn(col: Column, owner: Option[DataFrame] = None) {
   def contains(s: String): PsColumn   = derive(col.contains(s))
   def startsWith(s: String): PsColumn = derive(col.startsWith(s))
   def endsWith(s: String): PsColumn   = derive(col.endsWith(s))
+  // pandas isna/notna (designed extension — the reference has no null
+  // surface; pairs with PsDataFrame.fillna/dropna)
+  def isna: PsColumn  = derive(col.isNull)
+  def notna: PsColumn = derive(col.isNotNull)
 
   def as(name: String): PsColumn = derive(col.as(name))
   def cast(to: String): PsColumn = derive(col.cast(to))

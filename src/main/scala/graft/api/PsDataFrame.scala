@@ -175,6 +175,14 @@ final class PsDataFrame(private var _df: DataFrame) {
     new PsDataFrame(_df.withColumn(as, lag(_df(valueCol), n).over(w)))
   }
 
+  /** pandas `df[c].value_counts()`: one row per distinct value with its
+    * count, most frequent first (ties broken by value so the order is
+    * deterministic). Partial-aggregating groupBy + a bounded sort. */
+  def valueCounts(c: String): PsDataFrame =
+    new PsDataFrame(_df.groupBy(c)
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("count"))
+      .orderBy(col("count").desc, _df(c)))
+
   /** pandas `fillna(value)`: replace nulls with `value` in the given
     * columns (all type-compatible columns when `subset` is empty). The
     * reference has no null handling at all (no isna/fillna/dropna in its

@@ -145,6 +145,9 @@ class RelationalSpec extends AnyFunSuite with SparkFixture {
     assert(filled == Set((1L, "a"), (-1L, "b"), (3L, "?")))
     val kept = d.dropna().df.collect().map(_.getLong(0)).toSeq
     assert(kept == Seq(1L)) // only the fully-non-null row survives
+    // isna/notna predicates agree with dropna
+    assert(d.where(d("n").isna).df.count() == 1)
+    assert(d.where(d("n").notna && d("t").notna).df.count() == 1)
   }
 
   test("multiJoin folds left-deep on shared keys") {
