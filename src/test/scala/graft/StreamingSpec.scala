@@ -165,6 +165,36 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("file source -> windowed agg -> parquet file sink round-trips") {
+    val s = spark
+    import s.implicits._
+    // the full deployment shape: readStream over a landing directory,
+    // watermarked tumbling agg, append-mode parquet sink + checkpoint —
+    // then the sink directory reads back as a plain batch table
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-src").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft-out").toString
+    val ckDir = java.nio.file.Files.createTempDirectory("graft-ck").toString
+    Seq(ev(1, 1, 1, 1.0), ev(2, 30, 2, 2.0)).toDF()
+      .write.mode("append").parquet(srcDir)
+    val q = StreamingOps.tumblingAgg(
+        StreamingOps.readEventStream(s, srcDir), "1 hour", "5 minutes")
+      .writeStream.format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", ckDir)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // new files arriving push the watermark past the first window
+      Seq(ev(3, 300, 1)).toDF().write.mode("append").parquet(srcDir)
+      q.processAllAvailable()
+      Seq(ev(4, 301, 1)).toDF().write.mode("append").parquet(srcDir)
+      q.processAllAvailable()
+      val got = s.read.parquet(outDir).collect()
+      assert(got.exists(r => r.getLong(2) == 2L && r.getDouble(3) == 3.0),
+        s"closed first-hour window missing from file sink: ${got.mkString(";")}")
+    } finally q.stop()
+  }
+
   test("streaming tumblingAgg emits closed windows under append mode") {
     val s = spark
     import s.implicits._
