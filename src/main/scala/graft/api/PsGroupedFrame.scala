@@ -27,6 +27,13 @@ final class PsGroupedFrame(
   def apply(cols: String*): PsGroupedFrame =
     new PsGroupedFrame(df, keys, Some(cols))
 
+  /** pandas `groupby(keys).head(n)`: first `n` rows per group under
+    * `orderBy` — delegates to [[PsDataFrame.headPerGroup]] (map-side
+    * WindowGroupLimit; the shuffle never carries more than n rows per
+    * key per task). */
+  def head(n: Int, orderBy: Seq[PsColumn]): PsDataFrame =
+    new PsDataFrame(df).headPerGroup(n, keys, orderBy)
+
   def sum(): PsDataFrame   = aggAllColumns("sum")
   def mean(): PsDataFrame  = aggAllColumns("mean")
   def count(): PsDataFrame = aggAllColumns("count")

@@ -45,6 +45,10 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     val counts = top.df.groupBy("l_returnflag").count()
       .collect().map(_.getLong(1))
     assert(counts.nonEmpty && counts.forall(_ == 2L))
+    // the grouped-frame sugar is the same operator
+    val viaGroup = li.groupby("l_returnflag")
+      .head(2, Seq(li("l_extendedprice").desc, li("l_orderkey").asc))
+    assert(viaGroup.df.collect().toSet == top.df.collect().toSet)
   }
 
   test("grouped aggregation partial-aggregates before its exchange") {
