@@ -328,6 +328,15 @@ object ExtQueries {
         .orderBy("l_returnflag")
     }),
 
+    // pandas pivot_table: order counts by priority, one column per
+    // status (explicit pivot values -> composition stays lazy)
+    "q_pivot" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      o.groupby("o_orderpriority")
+        .pivotAgg("o_orderstatus", Seq("O", "F", "P"), "o_orderkey", "count")
+        .sortValues(Seq("o_orderpriority")).df
+    }),
+
     // pandas value_counts: per-value frequency, most frequent first
     "q_value_counts" -> ((s, dir) => {
       val d = t(s, dir, "documents")
@@ -765,6 +774,16 @@ object ExtQueries {
     "q_value_counts" ->
       """SELECT lang, count(*) AS count FROM documents
          GROUP BY lang ORDER BY count DESC, lang""",
+    // conditional aggregation is the relational spelling of a pivot.
+    // Spark's pivot emits NULL for a cell with no input rows (pandas NaN
+    // semantics, verified in RelationalSpec); NULLIF aligns DuckDB's
+    // 0-count to that
+    "q_pivot" ->
+      """SELECT o_orderpriority,
+            nullif(count(*) FILTER (o_orderstatus = 'O'), 0) AS "O",
+            nullif(count(*) FILTER (o_orderstatus = 'F'), 0) AS "F",
+            nullif(count(*) FILTER (o_orderstatus = 'P'), 0) AS "P"
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "q_nunique" ->
       """SELECT l_returnflag,
             count(DISTINCT l_partkey) AS n_parts,

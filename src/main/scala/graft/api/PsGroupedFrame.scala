@@ -34,6 +34,20 @@ final class PsGroupedFrame(
   def head(n: Int, orderBy: Seq[PsColumn]): PsDataFrame =
     new PsDataFrame(df).headPerGroup(n, keys, orderBy)
 
+  /** pandas `pivot_table(index=keys, columns=pivotCol, values=valueCol,
+    * aggfunc=fn)`: one output column per pivot value. Values are REQUIRED
+    * (not discovered): Spark's value-less pivot runs an eager distinct
+    * scan at compose time, which breaks the declare-then-act contract —
+    * and at scale an unbounded pivot width is a bug, not a convenience.
+    * Still one partial-aggregating pass. */
+  def pivotAgg(pivotCol: String, values: Seq[Any],
+      valueCol: String, fn: String): PsDataFrame = {
+    require(values.nonEmpty, "pivotAgg needs explicit pivot values")
+    new PsDataFrame(df.groupBy(keys.map(df(_)): _*)
+      .pivot(pivotCol, values)
+      .agg(PsGroupedFrame.fnCol(fn, df(valueCol))))
+  }
+
   def sum(): PsDataFrame   = aggAllColumns("sum")
   def mean(): PsDataFrame  = aggAllColumns("mean")
   def count(): PsDataFrame = aggAllColumns("count")

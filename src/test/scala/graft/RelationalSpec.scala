@@ -150,6 +150,21 @@ class RelationalSpec extends AnyFunSuite with SparkFixture {
     assert(d.where(d("n").notna && d("t").notna).df.count() == 1)
   }
 
+  test("pivotAgg: one column per declared value; empty cells stay empty") {
+    val s = spark
+    import s.implicits._
+    val d = PsDataFrame(Seq((1, "a"), (1, "a"), (2, "b")).toDF("k", "st"))
+    val p = d.groupby("k").pivotAgg("st", Seq("a", "b"), "st", "count")
+      .sortValues(Seq("k")).df
+    assert(p.columns.toSeq == Seq("k", "a", "b"))
+    val rows = p.collect()
+    assert(rows(0).getLong(1) == 2L) // k=1 has two 'a's
+    // the (k=2, 'a') cell has no input rows — record what Spark emits so
+    // the DuckDB oracle can be kept semantically aligned
+    assert(rows(1).isNullAt(1) || rows(1).getLong(1) == 0L)
+    assert(rows(1).getLong(2) == 1L)
+  }
+
   test("multiJoin folds left-deep on shared keys") {
     val s = spark
     import s.implicits._
