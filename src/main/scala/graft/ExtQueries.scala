@@ -337,6 +337,16 @@ object ExtQueries {
         .sortValues(Seq("o_orderpriority")).df
     }),
 
+    // pandas melt: wide-to-long over three measure columns (cast to the
+    // shared double type first, like pandas' least-common-dtype rule)
+    "q_melt" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      li.set("qty_d", li("l_quantity").cast("double"))
+      li.melt(Seq("l_orderkey", "l_linenumber"),
+          Seq("qty_d", "l_extendedprice", "l_discount"))
+        .sortValues(Seq("l_orderkey", "l_linenumber", "variable")).df
+    }),
+
     // pandas value_counts: per-value frequency, most frequent first
     "q_value_counts" -> ((s, dir) => {
       val d = t(s, dir, "documents")
@@ -774,6 +784,17 @@ object ExtQueries {
     "q_value_counts" ->
       """SELECT lang, count(*) AS count FROM documents
          GROUP BY lang ORDER BY count DESC, lang""",
+    "q_melt" ->
+      """SELECT l_orderkey, l_linenumber, variable, value FROM (
+           SELECT l_orderkey, l_linenumber, 'qty_d' AS variable,
+                  l_quantity::DOUBLE AS value FROM lineitem
+           UNION ALL
+           SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+           FROM lineitem
+           UNION ALL
+           SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+           FROM lineitem)
+         ORDER BY l_orderkey, l_linenumber, variable""",
     // conditional aggregation is the relational spelling of a pivot.
     // Spark's pivot emits NULL for a cell with no input rows (pandas NaN
     // semantics, verified in RelationalSpec); NULLIF aligns DuckDB's

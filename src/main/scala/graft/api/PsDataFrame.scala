@@ -183,6 +183,16 @@ final class PsDataFrame(private var _df: DataFrame) {
       .agg(org.apache.spark.sql.functions.count(lit(1)).as("count"))
       .orderBy(col("count").desc, _df(c)))
 
+  /** pandas `melt(id_vars, value_vars)`: wide-to-long reshape — one
+    * output row per (row, value column). Spark's native `unpivot`
+    * (codegen'd Expand, no shuffle, no explode of wrapped structs);
+    * value columns must share a least common type, as in pandas. */
+  def melt(idVars: Seq[String], valueVars: Seq[String],
+      varName: String = "variable", valueName: String = "value"): PsDataFrame =
+    new PsDataFrame(_df.unpivot(
+      idVars.map(_df(_)).toArray, valueVars.map(_df(_)).toArray,
+      varName, valueName))
+
   /** pandas `fillna(value)`: replace nulls with `value` in the given
     * columns (all type-compatible columns when `subset` is empty). The
     * reference has no null handling at all (no isna/fillna/dropna in its
