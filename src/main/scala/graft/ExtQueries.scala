@@ -204,7 +204,11 @@ object ExtQueries {
       val e = t(s, dir, "embeddings").df.select("vec_id", "embedding")
       val twin = e.select((col("vec_id") + 1000000L).as("vec_id"),
         transform(col("embedding"), x => x + lit(1e-3f)).as("embedding"))
-      Similarity.nearDupPairs(e.unionByName(twin), "vec_id", "embedding",
+      // materialize (lazy cache) the planted corpus: the LSH pipeline
+      // legitimately scans its input 4x (two bucket branches + two
+      // vector joins) — prep-then-analyze, the q_materialize pattern
+      val corpus = PsIO.materialize(e.unionByName(twin))
+      Similarity.nearDupPairs(corpus, "vec_id", "embedding",
           dim = 64, threshold = 0.99)
         .select("a_id", "b_id")
         .orderBy("a_id", "b_id")

@@ -55,6 +55,9 @@ final class PsDataFrame(private var _df: DataFrame) {
   /** Full-row DISTINCT (the only dedup the reference supports). */
   def dropDuplicates(): PsDataFrame = new PsDataFrame(_df.distinct())
 
+  /** pandas `drop(columns=...)` — projection without the named columns. */
+  def drop(cols: String*): PsDataFrame = new PsDataFrame(_df.drop(cols: _*))
+
   /** `sort_values(by, ascending)` — multi-column, per-column direction. */
   def sortValues(by: Seq[String], ascending: Seq[Boolean] = Nil): PsDataFrame = {
     val asc = if (ascending.isEmpty) Seq.fill(by.size)(true) else ascending
