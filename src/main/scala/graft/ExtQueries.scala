@@ -341,6 +341,15 @@ object ExtQueries {
         .sortValues(Seq("o_orderpriority")).df
     }),
 
+    // pandas clip / between: exact comparison ops, no float arithmetic
+    "q_clip" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      li.set("qty_clip", li("l_quantity").clip(10, 40))
+      li.set("in_band", li("l_quantity").between(10, 40))
+      li.select("l_orderkey", "l_linenumber", "qty_clip", "in_band")
+        .sortValues(Seq("l_orderkey", "l_linenumber")).df
+    }),
+
     // pandas melt: wide-to-long over three measure columns (cast to the
     // shared double type first, like pandas' least-common-dtype rule)
     "q_melt" -> ((s, dir) => {
@@ -788,6 +797,11 @@ object ExtQueries {
     "q_value_counts" ->
       """SELECT lang, count(*) AS count FROM documents
          GROUP BY lang ORDER BY count DESC, lang""",
+    "q_clip" ->
+      """SELECT l_orderkey, l_linenumber,
+            least(greatest(l_quantity, 10), 40) AS qty_clip,
+            l_quantity BETWEEN 10 AND 40 AS in_band
+         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
     "q_melt" ->
       """SELECT l_orderkey, l_linenumber, variable, value FROM (
            SELECT l_orderkey, l_linenumber, 'qty_d' AS variable,

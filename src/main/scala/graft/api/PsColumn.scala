@@ -92,6 +92,14 @@ final case class PsColumn(col: Column, owner: Option[DataFrame] = None) {
   def isna: PsColumn  = derive(col.isNull)
   def notna: PsColumn = derive(col.isNotNull)
 
+  // pandas clip / between (designed extension): exact comparisons, no
+  // float rounding — both stay oracle-hashable
+  def clip(lower: Any, upper: Any): PsColumn =
+    derive(org.apache.spark.sql.functions.least(
+      org.apache.spark.sql.functions.greatest(col, o(lower)), o(upper)))
+  def between(lower: Any, upper: Any): PsColumn =
+    derive(col.between(o(lower), o(upper)))
+
   def as(name: String): PsColumn = derive(col.as(name))
   def cast(to: String): PsColumn = derive(col.cast(to))
   def asc: PsColumn = derive(col.asc)
