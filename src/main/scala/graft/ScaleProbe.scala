@@ -84,7 +84,9 @@ object ScaleProbe {
         transform(col("embedding"), x => x + lit(i * 1e-3f)).as("embedding"))
     }.reduce(_ union _).cache()
     val nv = corpus.count()
-    val queries = corpus.filter(col("vec_id") % lit(nv / 100) === 0).cache()
+    // max(1, …): for a sub-100-vector corpus nv/100 is 0 and a modulo-by-
+    // zero yields null (non-ANSI), silently selecting zero queries
+    val queries = corpus.filter(col("vec_id") % lit(math.max(1L, nv / 100)) === 0).cache()
     val nq = queries.count()
     println(s"[scaleprobe] ann corpus: $nv vectors (dim 64), $nq queries")
 

@@ -93,10 +93,14 @@ final case class PsColumn(col: Column, owner: Option[DataFrame] = None) {
   def notna: PsColumn = derive(col.isNotNull)
 
   // pandas clip / between (designed extension): exact comparisons, no
-  // float rounding — both stay oracle-hashable
-  def clip(lower: Any, upper: Any): PsColumn =
-    derive(org.apache.spark.sql.functions.least(
-      org.apache.spark.sql.functions.greatest(col, o(lower)), o(upper)))
+  // float rounding — both stay oracle-hashable. clip preserves nulls
+  // (pandas keeps NaN/NA); bare greatest/least would skip the null and
+  // return the bound instead.
+  def clip(lower: Any, upper: Any): PsColumn = {
+    import org.apache.spark.sql.functions.{when, lit, least, greatest}
+    derive(when(col.isNull, lit(null)).otherwise(
+      least(greatest(col, o(lower)), o(upper))))
+  }
   def between(lower: Any, upper: Any): PsColumn =
     derive(col.between(o(lower), o(upper)))
 

@@ -181,10 +181,15 @@ final class PsDataFrame(private var _df: DataFrame) {
   /** pandas `df[c].value_counts()`: one row per distinct value with its
     * count, most frequent first (ties broken by value so the order is
     * deterministic). Partial-aggregating groupBy + a bounded sort. */
-  def valueCounts(c: String): PsDataFrame =
+  def valueCounts(c: String): PsDataFrame = {
+    // pandas raises "cannot insert count, already exists" when counting a
+    // column itself named count — mirror that instead of emitting two
+    // ambiguous `count` columns
+    require(c != "count", "value_counts: cannot count a column named 'count'")
     new PsDataFrame(_df.groupBy(c)
       .agg(org.apache.spark.sql.functions.count(lit(1)).as("count"))
       .orderBy(col("count").desc, _df(c)))
+  }
 
   /** pandas `melt(id_vars, value_vars)`: wide-to-long reshape — one
     * output row per (row, value column). Spark's native `unpivot`
@@ -231,10 +236,13 @@ final class PsDataFrame(private var _df: DataFrame) {
   def headPerGroup(n: Int, partitionBy: Seq[String], orderBy: Seq[PsColumn]): PsDataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(n > 0, "headPerGroup needs n > 0")
+    // collision-free temp name: an input frame may legitimately carry __rn
+    val rn = Iterator.from(0).map(i => if (i == 0) "__rn" else s"__rn$i")
+      .find(!_df.columns.contains(_)).get
     val w = Window.partitionBy(partitionBy.map(_df(_)): _*).orderBy(orderBy.map(_.col): _*)
-    new PsDataFrame(_df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= n)
-      .drop("__rn"))
+    new PsDataFrame(_df.withColumn(rn, row_number().over(w))
+      .filter(col(rn) <= n)
+      .drop(rn))
   }
 
   // ---- groupby / aggregation (reference core.py:1003-1258) ----

@@ -74,9 +74,12 @@ object Dedup {
     * `maxDf` caps that by removing hot shingles BEFORE posting lists are
     * built: a count-only pre-pass (map-side partial agg, the shuffle
     * carries one row per distinct shingle) finds shingles with df > cap,
-    * and the exploded relation is anti-joined against that (broadcast —
-    * at most Σdf/cap shingles can exceed the cap, so the hot set is
-    * small by construction). Filtering on posting-list size AFTER
+    * and the exploded relation is anti-joined against that. The hot set
+    * is small in practice (few shingles exceed a sane cap) but not by
+    * construction — Σdf/cap shingles could exceed it on a pathological
+    * corpus — so the join is NOT force-broadcast: AQE broadcasts it when
+    * its runtime size is actually small and falls back to a shuffled
+    * anti-join otherwise. Filtering on posting-list size AFTER
     * collect_list would bound pair fan-out but not executor memory: a
     * df-in-the-millions stop shingle would still materialize one
     * multi-GB aggregation buffer row. Pairs whose overlap rides only on
@@ -100,7 +103,7 @@ object Dedup {
       val hot = ex.groupBy("s").agg(count(lit(1)).as("__df"))
         .filter(col("__df") > cap)
         .select("s")
-      ex.join(broadcast(hot), Seq("s"), "left_anti")
+      ex.join(hot, Seq("s"), "left_anti")
     }
     val postings = kept.groupBy("s")
       .agg(collect_list(struct(col("id"), col("n"))).as("ds"))

@@ -150,6 +150,28 @@ class RelationalSpec extends AnyFunSuite with SparkFixture {
     assert(d.where(d("n").notna && d("t").notna).df.count() == 1)
   }
 
+  test("clip preserves nulls (pandas keeps NA; greatest/least would not)") {
+    val s = spark
+    import s.implicits._
+    val d = PsDataFrame(Seq(Some(1L), Some(5L), None).toDF("n"))
+    d.set("c", d("n").clip(2L, 4L))
+    val clipped = d.select("c").df.collect()
+    assert(clipped.map(r => if (r.isNullAt(0)) None else Some(r.getLong(0))).toSet
+      == Set(Some(2L), Some(4L), None))
+  }
+
+  test("headPerGroup tolerates an input column named __rn; valueCounts rejects 'count'") {
+    val s = spark
+    import s.implicits._
+    val d = PsDataFrame(Seq((1, 10, 99), (1, 20, 98), (2, 30, 97))
+      .toDF("k", "v", "__rn"))
+    val top = d.headPerGroup(1, Seq("k"), Seq(d("v").desc))
+    assert(top.columns == Seq("k", "v", "__rn")) // user column survives
+    assert(top.df.collect().map(_.getInt(1)).toSet == Set(20, 30))
+    val vc = PsDataFrame(Seq(("a", 1)).toDF("count", "x"))
+    intercept[IllegalArgumentException] { vc.valueCounts("count") }
+  }
+
   test("pivotAgg: one column per declared value; empty cells stay empty") {
     val s = spark
     import s.implicits._
@@ -159,9 +181,10 @@ class RelationalSpec extends AnyFunSuite with SparkFixture {
     assert(p.columns.toSeq == Seq("k", "a", "b"))
     val rows = p.collect()
     assert(rows(0).getLong(1) == 2L) // k=1 has two 'a's
-    // the (k=2, 'a') cell has no input rows — record what Spark emits so
-    // the DuckDB oracle can be kept semantically aligned
-    assert(rows(1).isNullAt(1) || rows(1).getLong(1) == 0L)
+    // the (k=2, 'a') cell has no input rows: Spark emits NULL, and the
+    // q_pivot DuckDB oracle hard-codes that alignment via NULLIF — assert
+    // it exactly so a Spark-side semantics change fails here first
+    assert(rows(1).isNullAt(1))
     assert(rows(1).getLong(2) == 1L)
   }
 
