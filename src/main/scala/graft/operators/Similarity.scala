@@ -97,19 +97,23 @@ object Similarity {
           .select("query_id", "neighbor_id", "rank", "score")
     }
 
-  /** Random-hyperplane (SimHash-for-vectors) bucket id: bit i = sign of
-    * ⟨v, plane_i⟩. Planes are seeded-deterministic, generated driver-side
-    * and folded into the plan as SINGLE array literals (`typedLit`), not
-    * per-element `lit` trees — one Literal node per plane keeps the
-    * expression compact and codegen-able; the projections are the
-    * codegen'd [[dot]].
+  /** Random-hyperplane (SimHash-for-vectors) bucket ids, all `tables` at
+    * once: bit i of table t's bucket = sign of ⟨v, plane_{t,i}⟩. Planes
+    * are seeded-deterministic (one RNG stream per table, seed + t, so
+    * bucket values match the historical per-table formulation), generated
+    * driver-side, and ride into the plan as ONE flat double[] reference
+    * inside the fused [[graft.plans.HyperplaneBuckets]] expression — the
+    * earlier tables×bits `when(dot > 0)` tree generated a projection
+    * method past the JVM's JIT HugeMethodLimit and ran interpreted
+    * (~0.7 ms/row); the fused loop is ~50× faster. Returns `array<long>`
+    * of length `tables`; `posexplode` yields (table, bucket) rows.
     */
-  def hyperplaneBucket(vec: Column, dim: Int, bits: Int, seed: Long): Column = {
-    val rnd = new scala.util.Random(seed)
-    val planes = Seq.fill(bits)(Seq.fill(dim)(rnd.nextGaussian()))
-    planes.zipWithIndex.map { case (p, i) =>
-      when(dot(vec, typedLit(p)) > 0, lit(1L << i)).otherwise(0L)
-    }.reduce(_ + _)
+  def hyperplaneBuckets(vec: Column, dim: Int, bits: Int, tables: Int, seed: Long): Column = {
+    val planes = (0 until tables).flatMap { t =>
+      val rnd = new scala.util.Random(seed + t)
+      Seq.fill(bits * dim)(rnd.nextGaussian())
+    }
+    graft.plans.VectorExpressions.hyperplaneBuckets(vec, planes, dim, bits, tables)
   }
 
   /** Approximate cosine top-k via multi-table hyperplane LSH.
@@ -134,11 +138,8 @@ object Similarity {
     def withBuckets(df: DataFrame, id: String, vec: String): DataFrame =
       df.select(
         col(idCol).as(id), col(vecCol).as(vec),
-        explode(array((0 until tables).map(t =>
-          struct(lit(t).as("table"),
-            hyperplaneBucket(col(vecCol), dim, bits, seed + t).as("bucket"))): _*))
-          .as("tb"))
-        .select(col(id), col(vec), col("tb.table"), col("tb.bucket"))
+        posexplode(hyperplaneBuckets(col(vecCol), dim, bits, tables, seed))
+          .as(Seq("table", "bucket")))
 
     val qb = withBuckets(queries, "query_id", "q_vec")
     val cb = withBuckets(corpus, "neighbor_id", "c_vec")
@@ -302,14 +303,23 @@ object Similarity {
 
   /** Exact embedding near-duplicate pairs: all (a,b), a<b, with cosine ≥
     * `threshold`, via bucketed LSH candidates (for the corpus-vs-itself
-    * case). Output: (a_id, b_id, score). */
+    * case). Output: (a_id, b_id, score).
+    *
+    * Default bits=12 (4096 buckets/table), deliberately finer than
+    * [[lshTopK]]'s 8: near-dup pairs at a high threshold sit at a tiny
+    * angle (cos 0.99 → 8.1°, per-bit agreement 0.955), so even 12 bits
+    * keep a boundary pair's per-table collision odds at 0.575 and the
+    * 8-table miss under 0.2% — while random-pair candidate volume
+    * (≈ n²·tables/2·4096 on uniform data) drops 16× vs 8 bits. Top-k
+    * search can NOT use buckets this fine: a merely-nearest (not
+    * near-dup) neighbor at cos ≈ 0.5 would almost never collide. */
   def nearDupPairs(
       corpus: DataFrame,
       idCol: String,
       vecCol: String,
       dim: Int,
       threshold: Double,
-      bits: Int = 8,
+      bits: Int = 12,
       tables: Int = 8,
       seed: Long = 42L): DataFrame = {
     // candidate generation/dedup carries only ids (a pair colliding in
@@ -318,11 +328,8 @@ object Similarity {
     // as [[lshTopK]]
     val b = corpus.select(
       col(idCol).as("id"),
-      explode(array((0 until tables).map(t =>
-        struct(lit(t).as("table"),
-          hyperplaneBucket(col(vecCol), dim, bits, seed + t).as("bucket"))): _*))
-        .as("tb"))
-      .select(col("id"), col("tb.table"), col("tb.bucket"))
+      posexplode(hyperplaneBuckets(col(vecCol), dim, bits, tables, seed))
+        .as(Seq("table", "bucket")))
     val l = b.select(col("table"), col("bucket"), col("id").as("a_id"))
     val r = b.select(col("table"), col("bucket"), col("id").as("b_id"))
     val vecs = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))

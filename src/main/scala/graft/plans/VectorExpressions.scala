@@ -147,6 +147,95 @@ case class ArrayCosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** All `tables` hyperplane-LSH bucket ids of a vector in ONE fused pass.
+  *
+  * The declarative form — `tables × bits` separate [[ArrayDotProduct]]s
+  * against 64-element literal arrays, summed through `when` chains — is
+  * semantically identical but generates a projection method so large the
+  * JVM refuses to JIT it (HugeMethodLimit), leaving the hot loop running
+  * interpreted bytecode: measured ~0.7 ms/row at dim=64, bits=8,
+  * tables=8, which dominated the LSH pipelines. Here the planes matrix
+  * is one flat `double[]` reference object and all `tables·bits·dim`
+  * multiply-adds run in a single small JIT-friendly method; the input
+  * vector is copied to a primitive `double[]` once so the inner loop has
+  * no per-element type dispatch. Output: `array<long>` of length
+  * `tables` — `posexplode` it to recover (table, bucket) rows.
+  */
+case class HyperplaneBuckets(
+    child: Expression,
+    planes: Seq[Double],
+    dim: Int,
+    bits: Int,
+    tables: Int) extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(planes.length == tables * bits * dim,
+    s"planes must be tables*bits*dim = ${tables * bits * dim} doubles, got ${planes.length}")
+  require(bits > 0 && bits <= 63, "bits must fit a long bucket id")
+
+  @transient private lazy val p: Array[Double] = planes.toArray
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(_: NumericType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"expects a numeric array, got $other")
+  }
+
+  @transient private lazy val et: NumericType =
+    child.dataType.asInstanceOf[ArrayType].elementType.asInstanceOf[NumericType]
+
+  /** Called from both interpreted eval and the generated code. */
+  def compute(a: ArrayData): ArrayData = {
+    val n = math.min(dim, a.numElements())
+    val v = new Array[Double](n)
+    var i = 0
+    et match { // hoisted dispatch: the copy loop is monomorphic
+      case FloatType  => while (i < n) { if (!a.isNullAt(i)) v(i) = a.getFloat(i); i += 1 }
+      case DoubleType => while (i < n) { if (!a.isNullAt(i)) v(i) = a.getDouble(i); i += 1 }
+      case _ => while (i < n) {
+        if (!a.isNullAt(i)) v(i) = et match {
+          case IntegerType => a.getInt(i).toDouble
+          case LongType    => a.getLong(i).toDouble
+          case ShortType   => a.getShort(i).toDouble
+          case ByteType    => a.getByte(i).toDouble
+          case d: DecimalType => a.getDecimal(i, d.precision, d.scale).toDouble
+          case _ => 0.0
+        }
+        i += 1
+      }
+    }
+    val out = new Array[Long](tables)
+    var t = 0
+    while (t < tables) {
+      var bucket = 0L
+      var bit = 0
+      while (bit < bits) {
+        val base = (t * bits + bit) * dim
+        var s = 0.0
+        var j = 0
+        while (j < n) { s += p(base + j) * v(j); j += 1 }
+        if (s > 0) bucket |= 1L << bit
+        bit += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("hyperplanes", this, classOf[HyperplaneBuckets].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   /** Column-level entry points (Expression ↔ Column bridge). */
   def dot(a: Column, b: Column): Column =
@@ -156,4 +245,9 @@ object VectorExpressions {
   def cosine(a: Column, b: Column): Column =
     GraftColumnBridge.column(
       ArrayCosineSimilarity(GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+
+  def hyperplaneBuckets(vec: Column, planes: Seq[Double], dim: Int, bits: Int,
+      tables: Int): Column =
+    GraftColumnBridge.column(
+      HyperplaneBuckets(GraftColumnBridge.expression(vec), planes, dim, bits, tables))
 }
