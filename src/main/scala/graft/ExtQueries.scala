@@ -350,6 +350,97 @@ object ExtQueries {
         .sortValues(Seq("l_orderkey", "l_linenumber")).df
     }),
 
+    // pandas .str accessor: literal replace / slice / split_part / pads —
+    // all codegen'd built-ins, strings are oracle-exact
+    "q_strops" -> ((s, dir) => {
+      val p = t(s, dir, "part")
+      p.set("name_up", p("p_name").str.upper)
+      p.set("name_len", p("p_name").str.len)
+      p.set("type_first", p("p_type").str.splitPart(" ", 1))
+      p.set("brand_dash", p("p_brand").str.replace("Brand#", "B-"))
+      p.set("name8", p("p_name").str.slice(0, 8))
+      p.set("brand_pad", p("p_brand").str.padLeft(10, "_"))
+      p.select("p_partkey", "name_up", "name_len", "type_first",
+          "brand_dash", "name8", "brand_pad")
+        .sortValues(Seq("p_partkey")).df
+    }),
+
+    // pandas .dt accessor: extraction + trunc + day diff. dayofweek is
+    // pandas' Monday=0 (Spark dayofweek is Sunday=1; DuckDB isodow is
+    // Monday=1 — both remapped)
+    "q_datetime" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      o.set("yr", o("o_orderdate").dt.year)
+      o.set("mo", o("o_orderdate").dt.month)
+      o.set("dy", o("o_orderdate").dt.day)
+      o.set("qtr", o("o_orderdate").dt.quarter)
+      o.set("dow", o("o_orderdate").dt.dayofweek)
+      o.set("mstart", o("o_orderdate").dt.trunc("month"))
+      o.set("days_since", o("o_orderdate").dt.diffDays(
+        org.apache.spark.sql.functions.to_date(lit("1995-01-01"))))
+      o.select("o_orderkey", "yr", "mo", "dy", "qtr", "dow", "mstart", "days_since")
+        .sortValues(Seq("o_orderkey")).df
+    }),
+
+    // SQL INTERSECT / EXCEPT (distinct set ops the reference lacks):
+    // F-status orders that do/don't appear in lineitem
+    "q_intersect" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      li.select("l_orderkey").rename(Map("l_orderkey" -> "k"))
+        .intersect(o.where(o("o_orderstatus") === "F")
+          .select("o_orderkey").rename(Map("o_orderkey" -> "k")))
+        .sortValues(Seq("k")).df
+    }),
+    "q_except" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      li.select("l_orderkey").rename(Map("l_orderkey" -> "k"))
+        .exceptRows(o.where(o("o_orderstatus") === "F")
+          .select("o_orderkey").rename(Map("o_orderkey" -> "k")))
+        .sortValues(Seq("k")).df
+    }),
+
+    // true Cartesian product (the reference fakes this with dummy=1):
+    // region x nation, 5x25 rows — BroadcastNestedLoopJoin, no shuffle
+    "q_cross" -> ((s, dir) => {
+      t(s, dir, "region").crossJoin(t(s, dir, "nation"))
+        .select("r_regionkey", "r_name", "n_nationkey", "n_name")
+        .sortValues(Seq("r_regionkey", "n_nationkey")).df
+    }),
+
+    // pandas rolling(7).mean() over a daily aggregate: the rolled
+    // ordering MUST be a total order ((l_orderkey, l_linenumber) has ties
+    // in the testdata, which makes a ROWS frame engine-nondeterministic);
+    // (returnflag, shipdate) is unique after the groupby, and the daily
+    // sums are integer-valued so the mean stays an exact ratio
+    "q_rolling" -> ((s, dir) => {
+      t(s, dir, "lineitem").groupby("l_returnflag", "l_shipdate")
+        .agg("l_quantity" -> "sum" -> "qty")
+        .rollingMean("qty", 7, Seq("l_returnflag"), Seq("l_shipdate"), "qty_ma7")
+        .sortValues(Seq("l_returnflag", "l_shipdate")).df
+    }),
+
+    // pandas std/var/median (ddof=1): native stddev_samp/var_samp/
+    // percentile — bit-parity with DuckDB verified on integer-valued
+    // quantities (sums are exact, final divisions deterministic)
+    "q_std" -> ((s, dir) => {
+      t(s, dir, "lineitem").groupby("l_returnflag")
+        .agg("l_quantity" -> "std" -> "qty_std",
+             "l_quantity" -> "var" -> "qty_var",
+             "l_quantity" -> "median" -> "qty_med",
+             "l_quantity" -> "mean" -> "qty_mean")
+        .sortValues(Seq("l_returnflag")).df
+    }),
+
+    // pandas groupby().quantile(q) — exact linear interpolation; 0.25 of
+    // integers is exactly representable, so the hash compare holds
+    "q_quantile" -> ((s, dir) => {
+      t(s, dir, "lineitem").groupby("l_returnflag")
+        .quantile("l_quantity", 0.25, "qty_q25")
+        .sortValues(Seq("l_returnflag")).df
+    }),
+
     // pandas melt: wide-to-long over three measure columns (cast to the
     // shared double type first, like pandas' least-common-dtype rule)
     "q_melt" -> ((s, dir) => {
@@ -802,6 +893,67 @@ object ExtQueries {
             least(greatest(l_quantity, 10), 40) AS qty_clip,
             l_quantity BETWEEN 10 AND 40 AS in_band
          FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+    // str ops: DuckDB replace/substr/lpad/split_part match Spark's
+    // literal semantics; length casts to INT to mirror Spark's int32
+    "q_strops" ->
+      """SELECT p_partkey, upper(p_name) AS name_up,
+            length(p_name)::INTEGER AS name_len,
+            split_part(p_type, ' ', 1) AS type_first,
+            replace(p_brand, 'Brand#', 'B-') AS brand_dash,
+            substr(p_name, 1, 8) AS name8,
+            lpad(p_brand, 10, '_') AS brand_pad
+         FROM part ORDER BY p_partkey""",
+    // dt ops: EXTRACT returns BIGINT in DuckDB -> ::INTEGER to mirror
+    // Spark's int32; isodow-1 = pandas Monday=0; datediff vs a pinned date
+    "q_datetime" ->
+      """SELECT o_orderkey,
+            EXTRACT(year FROM o_orderdate)::INTEGER AS yr,
+            EXTRACT(month FROM o_orderdate)::INTEGER AS mo,
+            EXTRACT(day FROM o_orderdate)::INTEGER AS dy,
+            EXTRACT(quarter FROM o_orderdate)::INTEGER AS qtr,
+            (isodow(o_orderdate) - 1)::INTEGER AS dow,
+            date_trunc('month', o_orderdate) AS mstart,
+            date_diff('day', DATE '1995-01-01', o_orderdate::DATE)::INTEGER
+              AS days_since
+         FROM orders ORDER BY o_orderkey""",
+    "q_intersect" ->
+      """SELECT l_orderkey AS k FROM lineitem
+         INTERSECT
+         SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F'
+         ORDER BY k""",
+    "q_except" ->
+      """SELECT l_orderkey AS k FROM lineitem
+         EXCEPT
+         SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F'
+         ORDER BY k""",
+    "q_cross" ->
+      """SELECT r_regionkey, r_name, n_nationkey, n_name
+         FROM region CROSS JOIN nation
+         ORDER BY r_regionkey, n_nationkey""",
+    // rolling mean: NULL until the frame holds `window` rows (pandas
+    // min_periods default); integer-valued daily sums keep the ratio exact
+    "q_rolling" ->
+      """WITH daily AS (
+           SELECT l_returnflag, l_shipdate, sum(l_quantity) AS qty
+           FROM lineitem GROUP BY 1, 2)
+         SELECT l_returnflag, l_shipdate, qty,
+            CASE WHEN count(qty) OVER w >= 7
+                 THEN avg(qty) OVER w END AS qty_ma7
+         FROM daily
+         WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_shipdate
+                      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+         ORDER BY l_returnflag, l_shipdate""",
+    "q_std" ->
+      """SELECT l_returnflag,
+            stddev_samp(l_quantity) AS qty_std,
+            var_samp(l_quantity) AS qty_var,
+            quantile_cont(l_quantity, 0.5) AS qty_med,
+            avg(l_quantity) AS qty_mean
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_quantile" ->
+      """SELECT l_returnflag,
+            quantile_cont(l_quantity, 0.25) AS qty_q25
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q_melt" ->
       """SELECT l_orderkey, l_linenumber, variable, value FROM (
            SELECT l_orderkey, l_linenumber, 'qty_d' AS variable,

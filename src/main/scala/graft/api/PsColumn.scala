@@ -109,6 +109,55 @@ final case class PsColumn(col: Column, owner: Option[DataFrame] = None) {
   def asc: PsColumn = derive(col.asc)
   def desc: PsColumn = derive(col.desc)
 
+  /** pandas `.str` accessor (designed extension — the reference has no
+    * string functions beyond its three predicates, SURVEY §2.3). All are
+    * built-in codegen'd Spark functions; `replace` is LITERAL (pandas ≥2
+    * `str.replace` default regex=False), `slice` is 0-based half-open
+    * like Python slicing, `splitPart` is 1-based like SQL split_part. */
+  object str {
+    def upper: PsColumn  = derive(org.apache.spark.sql.functions.upper(col))
+    def lower: PsColumn  = derive(org.apache.spark.sql.functions.lower(col))
+    def strip: PsColumn  = derive(trim(col))
+    def lstrip: PsColumn = derive(ltrim(col))
+    def rstrip: PsColumn = derive(rtrim(col))
+    def len: PsColumn    = derive(length(col))
+    def replace(from: String, to: String): PsColumn =
+      derive(org.apache.spark.sql.functions.replace(col, lit(from), lit(to)))
+    def slice(start: Int, stop: Int): PsColumn = {
+      require(start >= 0 && stop >= start, "slice(start, stop): 0-based, stop >= start")
+      derive(substring(col, start + 1, stop - start))
+    }
+    def padLeft(width: Int, pad: String = " "): PsColumn  = derive(lpad(col, width, pad))
+    def padRight(width: Int, pad: String = " "): PsColumn = derive(rpad(col, width, pad))
+    /** n-th whitespace/sep-delimited field, 1-based; null when absent
+      * (`get`, not `element_at` — the latter errors out of range under
+      * ANSI mode). `sep` is a literal, regex-escaped before `split`. */
+    def splitPart(sep: String, n: Int): PsColumn = {
+      require(n >= 1, "splitPart is 1-based")
+      derive(get(split(col, java.util.regex.Pattern.quote(sep)), lit(n - 1)))
+    }
+    def cat(x: Any, sep: String = ""): PsColumn =
+      derive(concat_ws(sep, col, o(x)))
+  }
+
+  /** pandas `.dt` accessor (designed extension). `dayofweek` follows
+    * pandas (Monday=0 .. Sunday=6), not Spark's `dayofweek` (Sunday=1). */
+  object dt {
+    def year: PsColumn    = derive(org.apache.spark.sql.functions.year(col))
+    def month: PsColumn   = derive(org.apache.spark.sql.functions.month(col))
+    def day: PsColumn     = derive(dayofmonth(col))
+    def quarter: PsColumn = derive(org.apache.spark.sql.functions.quarter(col))
+    def hour: PsColumn    = derive(org.apache.spark.sql.functions.hour(col))
+    def minute: PsColumn  = derive(org.apache.spark.sql.functions.minute(col))
+    def dayofweek: PsColumn =
+      derive((org.apache.spark.sql.functions.dayofweek(col) + lit(5)) % lit(7))
+    def date: PsColumn = derive(to_date(col))
+    /** floor to unit ('year'|'quarter'|'month'|'week'|'day'|'hour'|...). */
+    def trunc(unit: String): PsColumn = derive(date_trunc(unit, col))
+    /** whole days from `earlier` to this (pandas `(a - b).dt.days`). */
+    def diffDays(earlier: Any): PsColumn = derive(datediff(col, o(earlier)))
+  }
+
   // ---- per-column aggregate sugar (reference core.py:219-241:
   //      `df['n'].sum()` on a projection yields a scalar) ----
 

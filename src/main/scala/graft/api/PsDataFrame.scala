@@ -131,6 +131,43 @@ final class PsDataFrame(private var _df: DataFrame) {
   def concat(others: PsDataFrame*): PsDataFrame =
     new PsDataFrame(others.foldLeft(_df)((acc, o) => acc.unionByName(o.df)))
 
+  // ---- set ops / cross join (designed extensions — the reference has
+  //      no INTERSECT/EXCEPT and fakes cross joins with a dummy=1 key,
+  //      SURVEY §2.4-2.5) ----
+
+  /** SQL INTERSECT (distinct rows in both). Spark plans a partial-
+    * aggregating hash join — both sides shuffle once on the full row. */
+  def intersect(other: PsDataFrame): PsDataFrame =
+    new PsDataFrame(_df.intersect(other.df))
+
+  /** SQL EXCEPT (distinct rows of this not in `other`). */
+  def exceptRows(other: PsDataFrame): PsDataFrame =
+    new PsDataFrame(_df.except(other.df))
+
+  /** True Cartesian product (pandas `merge(how="cross")`). The benchmark
+    * shape the reference fakes via a `dummy=1` equi-key; Spark broadcasts
+    * the small side (BroadcastNestedLoopJoin) instead of hash-shuffling
+    * everything to one dummy-key partition. */
+  def crossJoin(other: PsDataFrame): PsDataFrame =
+    new PsDataFrame(_df.crossJoin(other.df))
+
+  /** pandas `rolling(window, min_periods=window).mean()` within groups,
+    * ordered by `orderBy`: a rowsBetween frame — one window pass, no
+    * self-join. Emits null for the first window-1 rows of each group
+    * (pandas min_periods default). */
+  def rollingMean(valueCol: String, window: Int, partitionBy: Seq[String],
+      orderBy: Seq[String], as: String): PsDataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(window > 0, "rollingMean needs window > 0")
+    val w = Window.partitionBy(partitionBy.map(_df(_)): _*)
+      .orderBy(orderBy.map(_df(_)): _*)
+      .rowsBetween(-(window - 1), Window.currentRow)
+    val cnt = org.apache.spark.sql.functions.count(_df(valueCol)).over(w)
+    val m = org.apache.spark.sql.functions.avg(_df(valueCol)).over(w)
+    new PsDataFrame(_df.withColumn(as,
+      when(cnt >= window, m).otherwise(lit(null))))
+  }
+
   // ---- column mutation / rename (reference core.py:545-578, 729-758) ----
 
   /** `df['c'] = value` — copy-on-write column assignment. Existing columns

@@ -48,6 +48,17 @@ final class PsGroupedFrame(
       .agg(PsGroupedFrame.fnCol(fn, df(valueCol))))
   }
 
+  /** pandas `groupby(keys)[valueCol].quantile(q)` — EXACT linear-
+    * interpolation percentile (Spark `percentile`; DuckDB/pandas
+    * `quantile_cont` semantics). Exact percentile buffers each group's
+    * values for the final sort; for a cheap fixed-error sketch at scale
+    * use Sketches.approxPercentiles instead. */
+  def quantile(valueCol: String, q: Double, as: String): PsDataFrame = {
+    require(q >= 0 && q <= 1, "quantile q must be in [0, 1]")
+    new PsDataFrame(grouped(Seq(
+      percentile(df(valueCol), lit(q)).as(as))))
+  }
+
   def sum(): PsDataFrame   = aggAllColumns("sum")
   def mean(): PsDataFrame  = aggAllColumns("mean")
   def count(): PsDataFrame = aggAllColumns("count")
@@ -56,6 +67,9 @@ final class PsGroupedFrame(
   def prod(): PsDataFrame  = aggAllColumns("prod")
   def any(): PsDataFrame   = aggAllColumns("any")
   def all(): PsDataFrame   = aggAllColumns("all")
+  def std(): PsDataFrame    = aggAllColumns("std")
+  def variance(): PsDataFrame = aggAllColumns("var")
+  def median(): PsDataFrame = aggAllColumns("median")
 
   /** One aggregate function over every value column, names preserved
     * (reference Aggregator, core.py:1075-1160). */
@@ -101,7 +115,8 @@ final class PsGroupedFrame(
     val base = selected.getOrElse(df.columns.toSeq.filterNot(keys.contains))
     fn match {
       // numeric-only aggregates (pandas drops non-numeric for these)
-      case "sum" | "mean" | "prod" => base.filter(isNumeric)
+      case "sum" | "mean" | "prod" | "std" | "var" | "median" =>
+        base.filter(isNumeric)
       case "any" | "all"           => base.filter(c => isNumeric(c) || isBoolean(c))
       case _                       => base
     }
@@ -125,6 +140,13 @@ object PsGroupedFrame {
     case "min"   => min(c)
     case "max"   => max(c)
     case "prod"  => GraftAggregates.prod(c)
+    // pandas std/var (ddof=1 → *_samp) and exact median (extension; the
+    // reference stops at sum/count/mean/min/max/prod/any/all). Bit-parity
+    // with DuckDB stddev_samp/var_samp/quantile_cont verified on the
+    // integer-valued testdata — safe for the hash oracle.
+    case "std"    => stddev_samp(c)
+    case "var"    => var_samp(c)
+    case "median" => median(c)
     case "nunique" => count_distinct(c) // pandas nunique (extension; the
     // reference has no distinct-agg, SURVEY §2.6)
     case "any"   => GraftAggregates.anyAgg(c)

@@ -1,0 +1,83 @@
+package graft
+
+import java.sql.{Date, Timestamp}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.api._
+
+/** The pandas `.str` / `.dt` accessors, set ops, cross join, rolling mean
+  * and the std/var/median/quantile aggregate extensions (all oracle-backed
+  * at the driver level by q_strops / q_datetime / q_intersect / q_except /
+  * q_cross / q_rolling / q_std / q_quantile — these specs pin the local
+  * semantics the oracles can't see, e.g. the dayofweek remap and
+  * min_periods nulls). */
+class StrDateSpec extends AnyFunSuite with SparkFixture {
+
+  test("str accessor: slice is 0-based half-open, splitPart 1-based null-safe") {
+    val s = spark
+    import s.implicits._
+    val d = PsDataFrame(Seq(("  Hello World  ", "a b c")).toDF("t", "w"))
+    d.set("sl", d("t").str.strip.str.slice(0, 5))
+    d.set("p2", d("w").str.splitPart(" ", 2))
+    d.set("p9", d("w").str.splitPart(" ", 9)) // out of range -> null
+    d.set("rep", d("w").str.replace("b", "B"))
+    val r = d.select("sl", "p2", "p9", "rep").df.head()
+    assert(r.getString(0) == "Hello")
+    assert(r.getString(1) == "b")
+    assert(r.isNullAt(2))
+    assert(r.getString(3) == "a B c")
+  }
+
+  test("dt accessor: dayofweek is pandas Monday=0") {
+    val s = spark
+    import s.implicits._
+    // 1995-01-02 was a Monday; 1995-01-01 a Sunday
+    val d = PsDataFrame(Seq(
+      Timestamp.valueOf("1995-01-02 10:30:00"),
+      Timestamp.valueOf("1995-01-01 23:59:00")).toDF("ts"))
+    d.set("dow", d("ts").dt.dayofweek)
+    d.set("yr", d("ts").dt.year)
+    val rows = d.select("dow", "yr").df.collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(0, 6))
+    assert(rows.forall(_.getInt(1) == 1995))
+  }
+
+  test("intersect/except are distinct set ops; crossJoin is a full product") {
+    val s = spark
+    import s.implicits._
+    val a = PsDataFrame(Seq(1, 1, 2, 3).toDF("k"))
+    val b = PsDataFrame(Seq(2, 2, 4).toDF("k"))
+    assert(a.intersect(b).df.collect().map(_.getInt(0)).toSet == Set(2))
+    assert(a.exceptRows(b).df.collect().map(_.getInt(0)).toSet == Set(1, 3))
+    val x = PsDataFrame(Seq("p", "q").toDF("l"))
+    assert(a.crossJoin(x).df.count() == 8)
+  }
+
+  test("rollingMean: null below min_periods, exact ratio after") {
+    val s = spark
+    import s.implicits._
+    val d = PsDataFrame(Seq(("g", 1, 2.0), ("g", 2, 4.0), ("g", 3, 6.0), ("g", 4, 8.0))
+      .toDF("grp", "i", "v"))
+    val r = d.rollingMean("v", 3, Seq("grp"), Seq("i"), "ma")
+      .sortValues(Seq("i")).df.collect()
+    assert(r(0).isNullAt(3) && r(1).isNullAt(3))
+    assert(r(2).getDouble(3) == 4.0 && r(3).getDouble(3) == 6.0)
+  }
+
+  test("std/var/median/quantile aggregates match hand-computed values") {
+    val s = spark
+    import s.implicits._
+    val d = PsDataFrame(Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0))
+      .toDF("k", "v"))
+    val g = d.groupby("k")
+    val std = g.agg("v" -> "std" -> "sd", "v" -> "var" -> "vr",
+      "v" -> "median" -> "md").df.head()
+    // sample variance of 1..4 = 5/3
+    assert(math.abs(std.getDouble(2) - 5.0 / 3.0) < 1e-12)
+    assert(math.abs(std.getDouble(1) - math.sqrt(5.0 / 3.0)) < 1e-12)
+    assert(std.getDouble(3) == 2.5)
+    // linear-interpolated q25 of 1..4: 1 + 0.75*(2-1) = 1.75
+    assert(g.quantile("v", 0.25, "q").df.head().getDouble(1) == 1.75)
+  }
+}
