@@ -441,6 +441,41 @@ object ExtQueries {
         .sortValues(Seq("l_returnflag")).df
     }),
 
+    // pandas describe(): all eight summary stats in ONE agg pass +
+    // stack unpivot; restricted to integer-valued columns so every stat
+    // is an exact ratio / interpolation (float-parity discipline)
+    "q_describe" -> ((s, dir) => {
+      t(s, dir, "lineitem").select("l_linenumber", "l_quantity")
+        .describe().sortValues(Seq("agg")).df
+    }),
+
+    // pandas explode(): one row per array element via explode_outer
+    "q_explode" -> ((s, dir) => {
+      val p = t(s, dir, "part")
+      p.set("word", split(col("p_name"), " "))
+      p.explodeCol("word")
+        .select("p_partkey", "word")
+        .sortValues(Seq("p_partkey", "word")).df
+    }),
+
+    // pandas where/mask: conditional keep-or-replace, null default
+    "q_mask" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      li.set("qty_small", li("l_quantity").whereCond(li("l_quantity") <= 25))
+      li.set("qty_capped", li("l_quantity").mask(li("l_quantity") > 25, 25))
+      li.select("l_orderkey", "l_linenumber", "qty_small", "qty_capped")
+        .sortValues(Seq("l_orderkey", "l_linenumber")).df
+    }),
+
+    // pandas duplicated(subset, keep='first') as a flag — explicit order
+    // (doc_id) replaces pandas' implicit row order
+    "q_duplicated" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .duplicated(Seq("text"), Seq("doc_id"))
+        .select("doc_id", "duplicated")
+        .sortValues(Seq("doc_id")).df
+    }),
+
     // pandas melt: wide-to-long over three measure columns (cast to the
     // shared double type first, like pandas' least-common-dtype rule)
     "q_melt" -> ((s, dir) => {
@@ -954,6 +989,32 @@ object ExtQueries {
       """SELECT l_returnflag,
             quantile_cont(l_quantity, 0.25) AS qty_q25
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    // describe: one UNION ALL branch per stat row, everything ::DOUBLE to
+    // match the stack unpivot's common type
+    "q_describe" ->
+      """SELECT 'count' AS agg, count(l_linenumber)::DOUBLE AS l_linenumber,
+                count(l_quantity)::DOUBLE AS l_quantity FROM lineitem
+         UNION ALL SELECT 'mean', avg(l_linenumber), avg(l_quantity) FROM lineitem
+         UNION ALL SELECT 'std', stddev_samp(l_linenumber), stddev_samp(l_quantity) FROM lineitem
+         UNION ALL SELECT 'min', min(l_linenumber)::DOUBLE, min(l_quantity) FROM lineitem
+         UNION ALL SELECT 'p25', quantile_cont(l_linenumber, 0.25), quantile_cont(l_quantity, 0.25) FROM lineitem
+         UNION ALL SELECT 'median', quantile_cont(l_linenumber, 0.5), quantile_cont(l_quantity, 0.5) FROM lineitem
+         UNION ALL SELECT 'p75', quantile_cont(l_linenumber, 0.75), quantile_cont(l_quantity, 0.75) FROM lineitem
+         UNION ALL SELECT 'max', max(l_linenumber)::DOUBLE, max(l_quantity) FROM lineitem
+         ORDER BY agg""",
+    "q_explode" ->
+      """SELECT p_partkey, unnest(string_split(p_name, ' ')) AS word
+         FROM part ORDER BY p_partkey, word""",
+    "q_mask" ->
+      """SELECT l_orderkey, l_linenumber,
+            CASE WHEN l_quantity <= 25 THEN l_quantity END AS qty_small,
+            CASE WHEN l_quantity > 25 THEN 25 ELSE l_quantity END AS qty_capped
+         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+    "q_duplicated" ->
+      """SELECT doc_id,
+            (row_number() OVER (PARTITION BY text ORDER BY doc_id) > 1)
+              AS duplicated
+         FROM documents ORDER BY doc_id""",
     "q_melt" ->
       """SELECT l_orderkey, l_linenumber, variable, value FROM (
            SELECT l_orderkey, l_linenumber, 'qty_d' AS variable,

@@ -104,6 +104,14 @@ final case class PsColumn(col: Column, owner: Option[DataFrame] = None) {
   def between(lower: Any, upper: Any): PsColumn =
     derive(col.between(o(lower), o(upper)))
 
+  /** pandas `Series.where(cond, other)`: keep the value where `cond`
+    * holds, else `other` (default null, like pandas NaN). `mask` is the
+    * complement. Plain when/otherwise — stays codegen'd. */
+  def whereCond(cond: PsColumn, other: Any = null): PsColumn =
+    derive(when(cond.col, col).otherwise(o(other)))
+  def mask(cond: PsColumn, other: Any = null): PsColumn =
+    derive(when(cond.col, o(other)).otherwise(col))
+
   def as(name: String): PsColumn = derive(col.as(name))
   def cast(to: String): PsColumn = derive(col.cast(to))
   def asc: PsColumn = derive(col.asc)

@@ -327,6 +327,37 @@ final class PsDataFrame(private var _df: DataFrame) {
     new PsDataFrame(
       one.selectExpr(s"stack(${fns.size}, $stackArgs) AS (agg, $outNames)"))
   }
+
+  /** pandas `describe()` — the eight summary stats as one row each over
+    * every numeric column, in ONE aggregation pass ([[aggRows]] computes
+    * all stats in a single agg then unpivots with `stack`). Quantile rows
+    * are labeled p25/median/p75 (not pandas' `25%` strings, which are
+    * awkward as values to filter on). */
+  def describe(): PsDataFrame =
+    aggRows(Seq("count", "mean", "std", "min", "p25", "median", "p75", "max"))
+
+  /** pandas `explode(column)`: one output row per array element, the
+    * column keeps its name and position. `explode_outer`, so a null or
+    * empty array keeps its row with a null element (pandas emits NaN),
+    * rather than silently dropping it. */
+  def explodeCol(c: String): PsDataFrame = {
+    val cols = _df.columns.map(x =>
+      if (x == c) explode_outer(_df(x)).as(c) else _df(x))
+    new PsDataFrame(_df.select(cols.toIndexedSeq: _*))
+  }
+
+  /** pandas `duplicated(subset, keep='first')` as a flag column: true for
+    * every row after the first of its key group under `orderBy` (pandas
+    * uses input order, which a distributed table does not have — the
+    * order is explicit here). One window pass, hash-partitioned on the
+    * subset keys. */
+  def duplicated(subset: Seq[String], orderBy: Seq[String],
+      as: String = "duplicated"): PsDataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(subset.nonEmpty, "duplicated needs subset keys")
+    val w = Window.partitionBy(subset.map(_df(_)): _*).orderBy(orderBy.map(_df(_)): _*)
+    new PsDataFrame(_df.withColumn(as, row_number().over(w) > 1))
+  }
 }
 
 object PsDataFrame {

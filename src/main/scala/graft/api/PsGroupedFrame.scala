@@ -115,7 +115,7 @@ final class PsGroupedFrame(
     val base = selected.getOrElse(df.columns.toSeq.filterNot(keys.contains))
     fn match {
       // numeric-only aggregates (pandas drops non-numeric for these)
-      case "sum" | "mean" | "prod" | "std" | "var" | "median" =>
+      case "sum" | "mean" | "prod" | "std" | "var" | "median" | "p25" | "p75" =>
         base.filter(isNumeric)
       case "any" | "all"           => base.filter(c => isNumeric(c) || isBoolean(c))
       case _                       => base
@@ -147,6 +147,8 @@ object PsGroupedFrame {
     case "std"    => stddev_samp(c)
     case "var"    => var_samp(c)
     case "median" => median(c)
+    case "p25"    => percentile(c, lit(0.25))
+    case "p75"    => percentile(c, lit(0.75))
     case "nunique" => count_distinct(c) // pandas nunique (extension; the
     // reference has no distinct-agg, SURVEY §2.6)
     case "any"   => GraftAggregates.anyAgg(c)

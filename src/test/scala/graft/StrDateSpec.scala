@@ -65,6 +65,36 @@ class StrDateSpec extends AnyFunSuite with SparkFixture {
     assert(r(2).getDouble(3) == 4.0 && r(3).getDouble(3) == 6.0)
   }
 
+  test("explodeCol keeps empty/null arrays as null-element rows (pandas NaN)") {
+    val s = spark
+    import s.implicits._
+    val d = PsDataFrame(Seq(
+      (1, Seq("a", "b")), (2, Seq.empty[String]), (3, null))
+      .toDF("k", "xs"))
+    val r = d.explodeCol("xs").df.collect()
+      .map(r => (r.getInt(0), if (r.isNullAt(1)) null else r.getString(1))).toSet
+    assert(r == Set((1, "a"), (1, "b"), (2, null), (3, null)))
+  }
+
+  test("whereCond/mask: null default, complement semantics") {
+    val s = spark
+    import s.implicits._
+    val d = PsDataFrame(Seq(1, 30).toDF("v"))
+    d.set("kept", d("v").whereCond(d("v") <= 25))
+    d.set("capped", d("v").mask(d("v") > 25, 25))
+    val rows = d.df.orderBy("v").collect()
+    assert(rows(0).getInt(1) == 1 && rows(0).getInt(2) == 1)
+    assert(rows(1).isNullAt(1) && rows(1).getInt(2) == 25)
+  }
+
+  test("duplicated flags all-but-first per key under the explicit order") {
+    val s = spark
+    import s.implicits._
+    val d = PsDataFrame(Seq((10, "x"), (11, "x"), (12, "y")).toDF("id", "t"))
+    val r = d.duplicated(Seq("t"), Seq("id")).df.orderBy("id").collect()
+    assert(r.map(_.getBoolean(2)).toSeq == Seq(false, true, false))
+  }
+
   test("std/var/median/quantile aggregates match hand-computed values") {
     val s = spark
     import s.implicits._
