@@ -284,6 +284,21 @@ object ExtQueries {
         .orderBy("event_id")
     }),
 
+    // stream-stream interval join, batch face: every click matched to
+    // the same user's purchases within 30 minutes after it (ns integer
+    // arithmetic end-to-end; the streaming face is differentially tested
+    // in StreamingSpec with watermarked state)
+    "q_interval_join" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+      val purchases = ev.filter(col("event_type") === "purchase")
+      graft.streaming.StreamingOps.intervalJoin(
+          clicks, purchases, "user_id", "ts",
+          maxDelay = lit(30L * 60 * 1000000000L), lateness = None)
+        .select("user_id", "l_event_id", "r_event_id")
+        .orderBy("l_event_id", "r_event_id")
+    }),
+
     // running spend per customer (pandas cumsum; decimal for exactness)
     "q_cumsum" -> ((s, dir) => {
       val o = t(s, dir, "orders")
@@ -903,6 +918,17 @@ object ExtQueries {
          SELECT c.event_id, c.user_id, c.ms, p.ms AS p_ms, p.p_value
          FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ms >= p.ms
          ORDER BY c.event_id""",
+    // ns epoch integers on both sides (DuckDB epoch_ns == Spark's
+    // nanosAsLong raw read)
+    "q_interval_join" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_ns(ts)::BIGINT AS ns,
+                           event_type FROM events)
+         SELECT l.user_id, l.event_id AS l_event_id, r.event_id AS r_event_id
+         FROM e l JOIN e r
+           ON l.user_id = r.user_id
+          AND r.ns >= l.ns AND r.ns <= l.ns + 1800000000000
+          AND l.event_type = 'click' AND r.event_type = 'purchase'
+         ORDER BY l_event_id, r_event_id""",
     "q_cumsum" ->
       """SELECT o_custkey, o_orderkey,
             (sum(o_totalprice::DECIMAL(18,2)) OVER (

@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types.StructType
@@ -156,6 +156,41 @@ object StreamingOps {
     events
       .withWatermark("ts", lateness)
       .dropDuplicatesWithinWatermark(keys)
+
+  /** Stream-stream inner interval join: every left event matched to the
+    * right events of the same `key` with `right.ts` in
+    * `[left.ts, left.ts + maxDelay]` (e.g. click → purchases within 30
+    * minutes). In streaming mode pass `lateness`: both sides get a
+    * watermark and the time-range condition lets Spark bound the join
+    * state — rows older than watermark + maxDelay are evicted, so state
+    * does NOT grow with the stream. In batch mode pass `lateness = None`
+    * (`ts` may then be any orderable type, e.g. raw ns-since-epoch longs)
+    * and the same plan is an ordinary range join.
+    *
+    * `maxDelay` is a Column so both faces share one operator:
+    * `expr("INTERVAL 30 MINUTES")` for timestamp streams,
+    * `lit(30L * 60 * 1_000_000_000)` for ns-long batch columns.
+    */
+  def intervalJoin(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      tsCol: String,
+      maxDelay: Column,
+      lateness: Option[String]): DataFrame = {
+    def wm(df: DataFrame): DataFrame =
+      lateness.fold(df)(l => df.withWatermark(tsCol, l))
+    val l = wm(left).select(
+      col(key).as("l_key"), col("event_id").as("l_event_id"), col(tsCol).as("l_ts"))
+    val r = wm(right).select(
+      col(key).as("r_key"), col("event_id").as("r_event_id"), col(tsCol).as("r_ts"))
+    l.join(r,
+        col("l_key") === col("r_key") &&
+        col("r_ts") >= col("l_ts") &&
+        col("r_ts") <= col("l_ts") + maxDelay)
+      .select(col("l_key").as(key),
+        col("l_event_id"), col("r_event_id"), col("l_ts"), col("r_ts"))
+  }
 
   /** Batch sessionization via analytic windows (the shuffle-once,
     * state-store-free form for historical reprocessing): a session break

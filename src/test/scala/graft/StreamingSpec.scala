@@ -130,6 +130,48 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("stream-stream interval join == batch interval join (differential)") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = s.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select(col("event_id"), timestamp_millis((col("ts") / 1000000L).cast("long")).as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+    val delay = expr("INTERVAL 30 MINUTES")
+    val batch = StreamingOps.intervalJoin(
+        raw.filter(col("event_type") === "click"),
+        raw.filter(col("event_type") === "purchase"),
+        "user_id", "ts", delay, lateness = None)
+      .select("l_event_id", "r_event_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+
+    val clicks = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    val joined = StreamingOps.intervalJoin(
+      clicks.toDS().toDF(), purchases.toDS().toDF(),
+      "user_id", "ts", delay, lateness = Some("10 minutes"))
+    val q = joined.writeStream.format("memory").queryName("t_ssjoin")
+      .outputMode("append").start()
+    try {
+      // time-ordered replay in 2 chunks per side: matches spanning
+      // chunks must come from buffered join state, not co-arrival
+      val all = raw.as[Event].collect().sortBy(_.ts.getTime)
+      val (c, p) = (all.filter(_.event_type == "click"),
+        all.filter(_.event_type == "purchase"))
+      clicks.addData(c.take(c.length / 2).toSeq)
+      purchases.addData(p.take(p.length / 2).toSeq)
+      q.processAllAvailable()
+      clicks.addData(c.drop(c.length / 2).toSeq)
+      purchases.addData(p.drop(p.length / 2).toSeq)
+      q.processAllAvailable()
+      val got = s.table("t_ssjoin").select("l_event_id", "r_event_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      assert(got.toSeq == batch.toSeq,
+        s"streaming join emitted ${got.length} pairs, batch ${batch.length}")
+    } finally q.stop()
+  }
+
   test("readEventStream: file source feeds the same windowed agg") {
     val s = spark
     import s.implicits._
