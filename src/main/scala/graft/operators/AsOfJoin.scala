@@ -1,9 +1,12 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, GraftPlanBridge}
+import org.apache.spark.sql.catalyst.expressions.AttributeReference
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.TimestampType
+
+import graft.plans.{AsOfJoinPlan, GraftStrategy}
 
 /** As-of (backward) join — an operator Spark's join zoo lacks.
   *
@@ -38,7 +41,30 @@ object AsOfJoin {
       case _             => col(c).cast("long")
     }
 
-  /** @param valueCols right columns to attach (as `<rightPrefix><col>`)
+  private def checkArgs(
+      left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTime: String, rightTime: String,
+      valueCols: Seq[String], how: String): Unit = {
+    require(keys.nonEmpty, "asof needs at least one key column")
+    require(valueCols.nonEmpty, "asof needs right value columns to attach")
+    require(how == "left" || how == "inner", s"how must be left|inner, got $how")
+    // time comparison resolves per side; mixed time types (e.g. timestamp
+    // vs epoch-millis bigint, or date vs timestamp) would silently compare
+    // micros against raw longs / day counts and mis-match — fail fast
+    val (lt, rt) = (left.schema(leftTime).dataType, right.schema(rightTime).dataType)
+    require(lt == rt,
+      s"asof time columns must have the same type: $leftTime is $lt, $rightTime is $rt")
+    keys.foreach { k =>
+      val (lk, rk) = (left.schema(k).dataType, right.schema(k).dataType)
+      require(lk == rk, s"asof key $k must have the same type on both sides: $lk vs $rk")
+    }
+  }
+
+  /** Backward as-of join — dispatches to the native Catalyst operator
+    * ([[graft.plans.AsOfJoinExec]]); `asofWindowed` is the composed
+    * fallback, kept as the differential-testing witness.
+    *
+    * @param valueCols right columns to attach (as `<rightPrefix><col>`)
     * @param how "left" keeps unmatched left rows (null values), "inner"
     *            drops them */
   def asof(
@@ -50,15 +76,47 @@ object AsOfJoin {
       valueCols: Seq[String],
       how: String = "left",
       rightPrefix: String = "r_"): DataFrame = {
-    require(keys.nonEmpty, "asof needs at least one key column")
-    require(valueCols.nonEmpty, "asof needs right value columns to attach")
-    require(how == "left" || how == "inner", s"how must be left|inner, got $how")
-    // orderKey resolves per side; mixed time types (e.g. timestamp vs
-    // epoch-millis bigint, or date vs timestamp) would silently compare
-    // micros against raw longs / day counts and mis-match — fail fast
-    val (lt, rt) = (left.schema(leftTime).dataType, right.schema(rightTime).dataType)
-    require(lt == rt,
-      s"asof time columns must have the same type: $leftTime is $lt, $rightTime is $rt")
+    checkArgs(left, right, keys, leftTime, rightTime, valueCols, how)
+    val spark = left.sparkSession
+    // deployment convenience: sessions built without
+    // spark.sql.extensions=graft.plans.GraftExtensions still plan the node
+    GraftPlanBridge.ensureStrategy(spark, GraftStrategy)
+
+    // Prune the right side to what the operator reads (column pruning does
+    // not descend into foreign nodes) and re-alias every column: fresh
+    // exprIds keep a self-asof (left and right derived from the same
+    // DataFrame) unambiguous without DeduplicateRelations' help.
+    val rCols = (keys :+ rightTime).distinct ++ valueCols.filterNot(v =>
+      v == rightTime || keys.contains(v))
+    val rPruned = right.select(rCols.map(c => col(c).as(c)): _*)
+
+    val lPlan = GraftPlanBridge.analyzed(left)
+    val rPlan = GraftPlanBridge.analyzed(rPruned)
+    def attr(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, n: String) =
+      plan.output.find(_.name == n).getOrElse(
+        sys.error(s"asof: column $n not found in ${plan.output.map(_.name)}"))
+    val rightValues = valueCols.map(attr(rPlan, _))
+    val outputValues = rightValues.map(a =>
+      AttributeReference(s"$rightPrefix${a.name}", a.dataType, nullable = true)())
+    GraftPlanBridge.ofRows(spark, AsOfJoinPlan(
+      lPlan, rPlan,
+      keys.map(attr(lPlan, _)), keys.map(attr(rPlan, _)),
+      attr(lPlan, leftTime), attr(rPlan, rightTime),
+      rightValues, outputValues, isInner = how == "inner"))
+  }
+
+  /** The original composed form: tag both inputs, union, window-fill.
+    * Same semantics as [[asof]]; one shuffle + window state machine. */
+  def asofWindowed(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      valueCols: Seq[String],
+      how: String = "left",
+      rightPrefix: String = "r_"): DataFrame = {
+    checkArgs(left, right, keys, leftTime, rightTime, valueCols, how)
 
     val outCols = valueCols.map(v => s"$rightPrefix$v")
     val r2 = right.select(

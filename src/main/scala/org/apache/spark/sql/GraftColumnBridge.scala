@@ -1,6 +1,8 @@
 package org.apache.spark.sql
 
 import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.SparkStrategy
 
 /** Bridge to the sql-private Expression ↔ Column conversion (Spark 4
   * removed the public `Column(expr)` constructor; the classic converter is
@@ -9,4 +11,25 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftColumnBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}
+
+/** Bridge to the sql-private LogicalPlan ↔ DataFrame conversions, for
+  * graft's custom logical operators ([[graft.plans.AsOfJoinPlan]]).
+  * `Dataset.ofRows` and `queryExecution` are `private[sql]` /
+  * classic-only in Spark 4, so the graft.plans package routes through
+  * here — the same shim pattern public Spark extension libraries use. */
+object GraftPlanBridge {
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  def analyzed(df: DataFrame): LogicalPlan =
+    df.asInstanceOf[classic.Dataset[Row]].queryExecution.analyzed
+
+  /** Idempotently register a planner strategy on an already-built session
+    * (deployment convenience for sessions constructed without
+    * `spark.sql.extensions=graft.plans.GraftExtensions`). */
+  def ensureStrategy(spark: SparkSession, s: SparkStrategy): Unit = {
+    val exp = spark.asInstanceOf[classic.SparkSession].experimental
+    if (!exp.extraStrategies.contains(s)) exp.extraStrategies = exp.extraStrategies :+ s
+  }
 }

@@ -107,4 +107,63 @@ class AsOfJoinSpec extends AnyFunSuite with SparkFixture {
       .df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(got == Map("a" -> 2L, "b" -> 1L))
   }
+
+  // ---- native (Catalyst) as-of operator -----------------------------
+
+  test("asof plans the native operator: no Window, no Union, one shuffle per side") {
+    val (l, r) = frames
+    val df = AsOfJoin.asof(l, r, Seq("k"), "t", "t", Seq("v"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"), s"expected AsOfJoinExec in:\n$plan")
+    assert(!plan.contains("Window"), s"native path must not fall back to window:\n$plan")
+    assert(!plan.contains("Union"), s"native path must not union the sides:\n$plan")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(shuffles == 2, s"expected exactly 2 key shuffles, got $shuffles:\n$plan")
+  }
+
+  test("native and windowed forms agree on the events corpus (left and inner)") {
+    import org.apache.spark.sql.functions.{col, expr, max}
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("ms", expr("ts div 1000000"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "ms")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy("user_id", "ms").agg(max("value").as("p_value"))
+    for (how <- Seq("left", "inner")) {
+      val native = AsOfJoin.asof(clicks, purchases, Seq("user_id"), "ms", "ms",
+        Seq("p_value"), how = how)
+      val windowed = AsOfJoin.asofWindowed(clicks, purchases, Seq("user_id"), "ms", "ms",
+        Seq("p_value"), how = how)
+      assert(native.columns.toSeq == windowed.columns.toSeq)
+      val n = native.collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+      val w = windowed.collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+      assert(n == w, s"native vs windowed mismatch for how=$how")
+    }
+  }
+
+  test("self-asof (both sides from the same DataFrame) resolves and matches windowed") {
+    val (l, _) = frames
+    val native = AsOfJoin.asof(l, l, Seq("k"), "t", "t", Seq("id"), rightPrefix = "prev_")
+    val windowed = AsOfJoin.asofWindowed(l, l, Seq("k"), "t", "t", Seq("id"), rightPrefix = "prev_")
+    val n = native.collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    val w = windowed.collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    assert(n == w)
+    // every row self-matches (its own time is <= itself): prev_id != null
+    assert(native.collect().forall(r => !r.isNullAt(r.fieldIndex("prev_id"))))
+  }
+
+  test("native asof survives skewed groups and empty right partitions") {
+    val s = spark
+    import s.implicits._
+    // one hot key with many rows, several keys with no right rows at all
+    val left = (1 to 5000).map(i => (i.toLong, if (i % 10 == 0) "cold" + i else "hot", i.toLong * 2))
+      .toDF("id", "k", "t").repartition(7)
+    val right = (1 to 500).map(i => ("hot", i.toLong * 17, i.toDouble)).toDF("k", "t", "v")
+    val native = AsOfJoin.asof(left, right, Seq("k"), "t", "t", Seq("v"))
+    val windowed = AsOfJoin.asofWindowed(left, right, Seq("k"), "t", "t", Seq("v"))
+    val n = native.collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    val w = windowed.collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    assert(n.size == 5000 && n == w)
+  }
 }
