@@ -299,6 +299,31 @@ object ExtQueries {
         .orderBy("l_event_id", "r_event_id")
     }),
 
+    // point-in-interval range join: orders priced inside derived price
+    // bands. There is no equi key, so Spark alone would plan a
+    // BroadcastNestedLoopJoin; the injected RangeJoinRule
+    // (spark.graft.rangeJoin.binSize) rewrites it to an equi-join on
+    // floor(price/W) bins with the exact range as residual. Declared
+    // through spark.sql so the driver's correctness row covers the
+    // optimizer rule end-to-end, not just the DataFrame operator
+    // (RangeJoinSpec covers that and their agreement). The conf is
+    // scoped-harmless: it only affects inner joins with NO cross-side
+    // equi conjunct and a numeric range, of which the query set has
+    // exactly this one.
+    "q_range_join" -> ((s, dir) => {
+      s.read.parquet(s"$dir/orders.parquet").createOrReplaceTempView("graft_rj_orders")
+      s.read.parquet(s"$dir/part.parquet").createOrReplaceTempView("graft_rj_part")
+      s.conf.set(graft.plans.RangeJoinRule.BinSizeKey, "20000")
+      s.sql("""
+        SELECT o.o_orderkey, i.i_id
+        FROM graft_rj_orders o
+        JOIN (SELECT p_partkey AS i_id, p_retailprice * 50 AS lo,
+                     p_retailprice * 50 + 20000 AS hi
+              FROM graft_rj_part WHERE p_partkey % 200 = 0) i
+          ON o.o_totalprice >= i.lo AND o.o_totalprice <= i.hi
+        ORDER BY o_orderkey, i_id""")
+    }),
+
     // running spend per customer (pandas cumsum; decimal for exactness)
     "q_cumsum" -> ((s, dir) => {
       val o = t(s, dir, "orders")
@@ -929,6 +954,14 @@ object ExtQueries {
           AND r.ns >= l.ns AND r.ns <= l.ns + 1800000000000
           AND l.event_type = 'click' AND r.event_type = 'purchase'
          ORDER BY l_event_id, r_event_id""",
+    "q_range_join" ->
+      """SELECT o.o_orderkey, i.i_id
+         FROM orders o
+         JOIN (SELECT p_partkey AS i_id, p_retailprice * 50 AS lo,
+                      p_retailprice * 50 + 20000 AS hi
+               FROM part WHERE p_partkey % 200 = 0) i
+           ON o.o_totalprice >= i.lo AND o.o_totalprice <= i.hi
+         ORDER BY o_orderkey, i_id""",
     "q_cumsum" ->
       """SELECT o_custkey, o_orderkey,
             (sum(o_totalprice::DECIMAL(18,2)) OVER (
