@@ -334,6 +334,40 @@ object ExtQueries {
         .sortValues(Seq("o_custkey", "o_orderkey")).df
     }),
 
+    // pandas cut: fixed price bands over orders; out-of-range -> null
+    // band (kept as its own count row, pandas NaN group)
+    "q_cut" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      o.cut("o_totalprice", Seq(0, 100000, 200000, 300000, 400000),
+          Seq("xs", "s", "m", "l"), "band")
+        .df.groupBy("band").agg(count(lit(1)).as("n"), // spark count->long
+          sum(col("o_orderkey")).as("key_sum")) // order-free exact check
+        .orderBy("band")
+    }),
+
+    // pandas qcut: equal-frequency quartiles via ONE distributed exact
+    // percentile aggregate + comparison chain (never a global ntile sort;
+    // integer-cent prices keep the interpolated edges engine-portable)
+    "q_qcut" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      o.qcut("o_totalprice", 4, "band")
+        .select("o_orderkey", "band")
+        .sortValues(Seq("o_orderkey")).df
+    }),
+
+    // pandas groupby().transform(): per-customer order count and exact
+    // scaled deviation (x*n - sum, decimal — no division, no float drift)
+    "q_transform" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      o.set("p_d", o("o_totalprice").cast("decimal(18,2)"))
+      val withSum = o.transformCol("p_d", "sum", Seq("o_custkey"), "sum_d")
+      val withCnt = withSum.transformCol("p_d", "count", Seq("o_custkey"), "cnt")
+      withCnt.set("dev_scaled",
+        (withCnt("p_d") * withCnt("cnt") - withCnt("sum_d")).cast("double"))
+      withCnt.select("o_orderkey", "o_custkey", "cnt", "dev_scaled")
+        .sortValues(Seq("o_orderkey")).df
+    }),
+
     // rank + shift (pandas rank/shift analogues) per customer
     "q_ranklag" -> ((s, dir) => {
       val o = t(s, dir, "orders")
@@ -962,6 +996,30 @@ object ExtQueries {
                FROM part WHERE p_partkey % 200 = 0) i
            ON o.o_totalprice >= i.lo AND o.o_totalprice <= i.hi
          ORDER BY o_orderkey, i_id""",
+    "q_cut" ->
+      """SELECT band, COUNT(*) AS n, SUM(o_orderkey)::BIGINT AS key_sum FROM (
+           SELECT CASE WHEN o_totalprice > 0      AND o_totalprice <= 100000 THEN 'xs'
+                       WHEN o_totalprice > 100000 AND o_totalprice <= 200000 THEN 's'
+                       WHEN o_totalprice > 200000 AND o_totalprice <= 300000 THEN 'm'
+                       WHEN o_totalprice > 300000 AND o_totalprice <= 400000 THEN 'l'
+                  END AS band, o_orderkey FROM orders)
+         GROUP BY band ORDER BY band""",
+    "q_qcut" ->
+      """WITH e AS (SELECT quantile_cont(o_totalprice, 0.25) AS e1,
+                           quantile_cont(o_totalprice, 0.50) AS e2,
+                           quantile_cont(o_totalprice, 0.75) AS e3 FROM orders)
+         SELECT o_orderkey,
+                1 + (o_totalprice > e1)::INT + (o_totalprice > e2)::INT
+                  + (o_totalprice > e3)::INT AS band
+         FROM orders, e ORDER BY o_orderkey""",
+    "q_transform" ->
+      """SELECT o_orderkey, o_custkey, cnt, ((p_d * cnt) - sum_d)::DOUBLE AS dev_scaled
+         FROM (SELECT o_orderkey, o_custkey,
+                      o_totalprice::DECIMAL(18,2) AS p_d,
+                      COUNT(*) OVER (PARTITION BY o_custkey) AS cnt,
+                      SUM(o_totalprice::DECIMAL(18,2)) OVER (PARTITION BY o_custkey) AS sum_d
+               FROM orders)
+         ORDER BY o_orderkey""",
     "q_cumsum" ->
       """SELECT o_custkey, o_orderkey,
             (sum(o_totalprice::DECIMAL(18,2)) OVER (

@@ -168,6 +168,62 @@ final class PsDataFrame(private var _df: DataFrame) {
       when(cnt >= window, m).otherwise(lit(null))))
   }
 
+  /** pandas `cut(x, bins, labels)` — explicit-edge binning, right-closed
+    * `(lo, hi]` like pandas' default; values outside the edges (and
+    * nulls) get a null band. One codegen'd CASE chain per row: no
+    * shuffle, no lookup join, safe at any scale. */
+  def cut(valueCol: String, edges: Seq[Double], labels: Seq[String],
+      as: String): PsDataFrame = {
+    require(edges.size >= 2 && edges == edges.sorted, "cut needs sorted bin edges")
+    require(labels.size == edges.size - 1, "cut needs one label per bin")
+    val v = _df(valueCol)
+    val first = when(v > lit(edges(0)) && v <= lit(edges(1)), lit(labels(0)))
+    val assigned = (1 until labels.size).foldLeft(first) { (acc, i) =>
+      acc.when(v > lit(edges(i)) && v <= lit(edges(i + 1)), lit(labels(i)))
+    } // no .otherwise -> null, pandas' NaN for out-of-range
+    new PsDataFrame(_df.withColumn(as, assigned))
+  }
+
+  /** pandas `qcut(x, q)` — equal-frequency binning. NOT ntile: a global
+    * ntile needs a total order, which Spark can only give one partition.
+    * Instead: one distributed `percentile` aggregate computes the q-1
+    * interior edges (exact, linear interpolation — pandas' definition),
+    * broadcast back, and the band is 1 + (#edges strictly below x) — a
+    * codegen'd comparison chain. Two passes over the data, zero sorts,
+    * works at any scale. Boundary semantics match pandas' right-closed
+    * bins. */
+  def qcut(valueCol: String, q: Int, as: String): PsDataFrame = {
+    require(q >= 2, "qcut needs q >= 2")
+    val probs = (1 until q).map(_.toDouble / q)
+    val edges = _df.agg(
+      percentile(_df(valueCol), typedLit(probs)).as("__edges"))
+    val joined = _df.crossJoin(broadcast(edges))
+    val band = (0 until q - 1).foldLeft(lit(1)) { (acc, i) =>
+      acc + when(col(valueCol) > col("__edges").getItem(i), 1).otherwise(0)
+    }
+    new PsDataFrame(joined.withColumn(as, band).drop("__edges"))
+  }
+
+  /** pandas `groupby(keys)[col].transform(fn)` — the group aggregate
+    * broadcast back onto every member row. An unordered window aggregate:
+    * one hash shuffle on the keys, NO sort (no orderBy in the frame), and
+    * the original row count is preserved. */
+  def transformCol(valueCol: String, fn: String, partitionBy: Seq[String],
+      as: String): PsDataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(partitionBy.map(_df(_)): _*)
+    val f = org.apache.spark.sql.functions
+    val agg = fn match {
+      case "mean"  => f.avg(_df(valueCol))
+      case "sum"   => f.sum(_df(valueCol))
+      case "min"   => f.min(_df(valueCol))
+      case "max"   => f.max(_df(valueCol))
+      case "count" => f.count(_df(valueCol))
+      case other   => sys.error(s"transform: unsupported fn $other")
+    }
+    new PsDataFrame(_df.withColumn(as, agg.over(w)))
+  }
+
   // ---- column mutation / rename (reference core.py:545-578, 729-758) ----
 
   /** `df['c'] = value` — copy-on-write column assignment. Existing columns

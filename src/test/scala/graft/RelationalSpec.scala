@@ -230,4 +230,44 @@ class RelationalSpec extends AnyFunSuite with SparkFixture {
     assert(e.getMessage.contains("aggregate"))
     intercept[IllegalArgumentException](base.aggRows(Nil))
   }
+
+  test("cut: right-closed bins, out-of-range and null input get null band") {
+    val s = spark
+    import s.implicits._
+    val d = PsDataFrame(Seq(
+      Some(10.0), Some(100.0), Some(100.5), Some(250.0), None)
+      .toDF("x"))
+    val got = d.cut("x", Seq(0, 100, 200), Seq("lo", "hi"), "band")
+      .df.collect().map(r => Option(r.get(0)) -> Option(r.getString(1))).toMap
+    assert(got(Some(10.0)).contains("lo"))
+    assert(got(Some(100.0)).contains("lo")) // right-closed: 100 in (0,100]
+    assert(got(Some(100.5)).contains("hi"))
+    assert(got(Some(250.0)).isEmpty) // beyond last edge
+    assert(got(None).isEmpty)
+  }
+
+  test("qcut: balanced bands, no Window/global sort in the plan") {
+    val s = spark
+    import s.implicits._
+    val d = PsDataFrame((1 to 100).map(_.toDouble).toDF("x"))
+    val cut = d.qcut("x", 4, "band").df
+    val sizes = cut.groupBy("band").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(sizes == Map(1 -> 25L, 2 -> 25L, 3 -> 25L, 4 -> 25L))
+    val plan = cut.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"qcut must not use a global window:\n$plan")
+  }
+
+  test("transform broadcasts the group aggregate onto every row") {
+    val s = spark
+    import s.implicits._
+    val d = PsDataFrame(Seq(
+      ("a", 1.0), ("a", 3.0), ("b", 10.0)).toDF("g", "v"))
+    val got = d.transformCol("v", "mean", Seq("g"), "m")
+      .df.collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    assert(got.length == 3) // row count preserved
+    assert(got.filter(_._1 == "a").forall(_._3 == 2.0))
+    assert(got.filter(_._1 == "b").forall(_._3 == 10.0))
+    intercept[RuntimeException](d.transformCol("v", "median", Seq("g"), "m"))
+  }
 }
