@@ -36,7 +36,12 @@ object Bench {
 
     val times = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    for (name <- SparkEntry.queries.keys.toSeq.sorted) {
+    // local-dev filter (comma-separated names); the driver never sets it
+    val only: Set[String] = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty)
+    for (name <- SparkEntry.queries.keys.toSeq.sorted
+         if only.isEmpty || only(name)) {
       val fn = SparkEntry.queries(name)
       try {
         fn(spark, sfDir).count() // warm-up, untimed

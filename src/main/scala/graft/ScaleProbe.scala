@@ -124,6 +124,66 @@ object ScaleProbe {
       s"$hits/${brute.size}"
     }
     println(s"[scaleprobe] recall@1 vs brute: lsh=${recall(lsh)} ivf=${recall(ivf)}")
+
+    // ---- as-of join: native merge operator vs union+window form --------
+    // left = clicks duplicated ×dup under fresh event_ids (user_id keys
+    // keep their cardinality, so per-key group size inflates ×dup — the
+    // window form's state grows with it, the merge's O(1) does not)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("ms", expr("ts div 1000000"))
+    val clicks0 = ev.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "ms")
+    val clicks = (0 until dup).map { i =>
+      clicks0.select((col("event_id") * dup + i).as("event_id"),
+        col("user_id"), (col("ms") + i).as("ms"))
+    }.reduce(_ union _).cache()
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy("user_id", "ms").agg(max("value").as("p_value")).cache()
+    val ncl = clicks.count(); val np = purchases.count()
+    println(s"[scaleprobe] asof: $ncl clicks x $np purchases")
+    // force FULL evaluation: a bare count() would let Catalyst prune the
+    // windowed form's last()-fill entirely (only the side filter feeds a
+    // count), making the comparison meaningless; the hash touches every
+    // output column in both forms. Warm both paths once untimed — the
+    // first native run pays one-time Janino compilation of the merge
+    // projections (amortized at scale, dominant at probe sizes).
+    def forceAll(df: org.apache.spark.sql.DataFrame): Long = {
+      df.selectExpr("bit_xor(xxhash64(*)) AS h").collect(); df.count()
+    }
+    def asofNative() = graft.operators.AsOfJoin.asof(clicks, purchases,
+      Seq("user_id"), "ms", "ms", Seq("p_value"))
+    def asofWin() = graft.operators.AsOfJoin.asofWindowed(clicks, purchases,
+      Seq("user_id"), "ms", "ms", Seq("p_value"))
+    forceAll(asofNative()); forceAll(asofWin())
+    time("asof native merge")(forceAll(asofNative()))
+    time("asof union+window")(forceAll(asofWin()))
+
+    // ---- range join: bucketized rewrite vs nested loop -----------------
+    // points = duplicated order prices; intervals = 2k price bands. The
+    // nested loop is O(points·intervals) so it gets a 10%-sample handicap
+    // and STILL loses; the bucketized form runs the full corpus.
+    val orders0 = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val points = (0 until dup).map { i =>
+      orders0.select((col("o_orderkey") * dup + i).as("p_id"),
+        (col("o_totalprice") + i).as("x"))
+    }.reduce(_ union _).cache()
+    val intervals = orders0.filter(col("o_orderkey") % 75 === 0)
+      .select(col("o_orderkey").as("i_id"), col("o_totalprice").as("lo"),
+        (col("o_totalprice") + lit(2000.0)).as("hi")).cache()
+    val npts = points.count(); val ni = intervals.count()
+    println(s"[scaleprobe] range join: $npts points x $ni intervals")
+    time("range bucketized (full)") {
+      graft.operators.RangeJoin.pointInInterval(
+        points, intervals, "x", "lo", "hi", binSize = 2000).count()
+    }
+    val sample = points.filter(col("p_id") % 10 === 0).cache()
+    sample.count()
+    time("range nested-loop (10%)") {
+      sample.join(intervals,
+        col("x") >= col("lo") && col("x") <= col("hi")).count()
+    }
     spark.stop()
   }
 }

@@ -98,15 +98,26 @@ final class PsDataFrame(private var _df: DataFrame) {
       on: Seq[String] = Nil,
       leftOn: Seq[String] = Nil,
       rightOn: Seq[String] = Nil,
-      how: String = "inner"): PsDataFrame = {
+      how: String = "inner",
+      suffixes: Option[(String, String)] = None): PsDataFrame = {
     val l = _df
     val r = right.df
     if (on.nonEmpty) {
-      // same-name keys collapse to one column (like the reference's SQL
-      // which projects the key once); right's other duplicate names drop.
       val dupes = r.columns.filter(c => l.columns.contains(c) && !on.contains(c))
-      val r2 = dupes.foldLeft(r)((d, c) => d.drop(c))
-      new PsDataFrame(l.join(r2, on, how))
+      suffixes match {
+        // pandas suffixes=('_x','_y'): keep BOTH copies of overlapping
+        // non-key columns under suffixed names (extension; the reference
+        // always sources duplicates from the left, the default below)
+        case Some((ls, rs)) =>
+          val l2 = dupes.foldLeft(l)((d, c) => d.withColumnRenamed(c, s"$c$ls"))
+          val r2 = dupes.foldLeft(r)((d, c) => d.withColumnRenamed(c, s"$c$rs"))
+          new PsDataFrame(l2.join(r2, on, how))
+        // same-name keys collapse to one column (like the reference's SQL
+        // which projects the key once); right's other duplicate names drop.
+        case None =>
+          val r2 = dupes.foldLeft(r)((d, c) => d.drop(c))
+          new PsDataFrame(l.join(r2, on, how))
+      }
     } else {
       require(leftOn.nonEmpty && leftOn.size == rightOn.size,
         "merge needs on= or leftOn=/rightOn= of equal arity")

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{IntegerType, LongType}
@@ -172,6 +172,27 @@ object Similarity {
     * of [[ivfQuery]] calls (at 100 TB the build is an offline job; queries
     * must not retrain). */
   final case class IvfIndex(centroids: Seq[Seq[Double]])
+
+  /** Persist a trained index as parquet (cell, pos, value) — engine- and
+    * language-portable, and tiny (nCells·dim rows). The offline-build /
+    * online-query split of a production ANN service: build once, save,
+    * load in every query job. */
+  def saveIvfIndex(spark: SparkSession, index: IvfIndex, path: String): Unit = {
+    import spark.implicits._
+    index.centroids.zipWithIndex.flatMap { case (c, i) =>
+      c.zipWithIndex.map { case (v, p) => (i, p, v) }
+    }.toDF("cell", "pos", "value")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  def loadIvfIndex(spark: SparkSession, path: String): IvfIndex = {
+    val rows = spark.read.parquet(path)
+      .select("cell", "pos", "value").collect()
+    val cells = rows.groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+    IvfIndex(cells.map { case (_, rs) =>
+      rs.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+    })
+  }
 
   /** Train an IVF index: a deterministic corpus sample refined by
     * `iterations` rounds of distributed Lloyd's k-means. This is the one

@@ -129,36 +129,53 @@ case class AsOfJoinExec(
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lKtProj = UnsafeProjection.create(leftKeys :+ leftTime, left.output)
       val rKtProj = UnsafeProjection.create(rightKeys :+ rightTime, right.output)
-      val lKeyProj = UnsafeProjection.create(leftKeys, left.output)
-      val rKeyProj = UnsafeProjection.create(rightKeys, right.output)
       val valueProj = UnsafeProjection.create(rightValues, right.output)
       val resultProj = UnsafeProjection.create(output, output)
       val ktOrdering = RowOrdering.createNaturalAscendingOrdering(ktTypes)
+      // keys are the leading fields of the kt rows, so a keys-only
+      // ordering applied to kt rows compares exactly the key prefix —
+      // no separate key projections in the per-row path
+      val keyOrdering = RowOrdering.createNaturalAscendingOrdering(ktTypes.dropRight(1))
       val nullValues = new GenericInternalRow(outputValues.length)
       val joined = new JoinedRow
 
       new Iterator[InternalRow] {
-        // head of the right stream, not yet merged past (sort execs reuse
-        // row buffers, but a buffered head is safe: next() is only called
-        // after the previous head is copied into lastRight)
-        private var rHead: InternalRow =
-          if (rIter.hasNext) rIter.next() else null
-        // copy of the latest right row with (key, time) <= the current
-        // left row's (key, time) — the backward-join candidate
+        // head of the right stream, not yet merged past. Sort execs reuse
+        // row buffers, so both the head and its projected (key, time) are
+        // copied before the next fetch; per LEFT row the merge then does
+        // one projection and 1-2 comparisons, nothing else.
+        private var rHead: InternalRow = _
+        private var rHeadKt: InternalRow = _
+        // the backward-join candidate: latest right row (and its kt) with
+        // (key, time) <= the current left row's (key, time)
         private var lastRight: InternalRow = _
+        private var lastRightKt: InternalRow = _
+        private var lastValues: InternalRow = _
         private var pending: InternalRow = _
+        fetchRight()
+
+        private def fetchRight(): Unit =
+          if (rIter.hasNext) {
+            rHead = rIter.next()
+            rHeadKt = rKtProj(rHead).copy()
+          } else { rHead = null; rHeadKt = null }
 
         private def advance(): Unit = {
           while (pending == null && lIter.hasNext) {
             val lRow = lIter.next()
             val lKt = lKtProj(lRow)
-            while (rHead != null && ktOrdering.compare(rKtProj(rHead), lKt) <= 0) {
+            while (rHead != null && ktOrdering.compare(rHeadKt, lKt) <= 0) {
               lastRight = rHead.copy()
-              rHead = if (rIter.hasNext) rIter.next() else null
+              lastRightKt = rHeadKt
+              lastValues = null
+              fetchRight()
             }
-            val matched = lastRight != null && lKeyProj(lRow) == rKeyProj(lastRight)
+            val matched = lastRight != null && keyOrdering.compare(lastRightKt, lKt) == 0
             if (matched || !isInner) {
-              joined(lRow, if (matched) valueProj(lastRight) else nullValues)
+              if (matched && lastValues == null) {
+                lastValues = valueProj(lastRight).copy()
+              }
+              joined(lRow, if (matched) lastValues else nullValues)
               pending = resultProj(joined)
             }
           }

@@ -231,6 +231,22 @@ class RelationalSpec extends AnyFunSuite with SparkFixture {
     intercept[IllegalArgumentException](base.aggRows(Nil))
   }
 
+  test("merge suffixes=('_x','_y') keeps both copies of overlapping non-key columns") {
+    val s = spark
+    import s.implicits._
+    val l = PsDataFrame(Seq((1, "a", 10)).toDF("k", "tag", "v"))
+    val r = PsDataFrame(Seq((1, "b", 20)).toDF("k", "tag", "w"))
+    // default (reference semantics): right's duplicate non-key cols drop
+    val dropped = l.merge(r, on = Seq("k"))
+    assert(dropped.columns == Seq("k", "tag", "v", "w"))
+    assert(dropped.df.head().getString(1) == "a")
+    // pandas suffixes: both survive under suffixed names
+    val both = l.merge(r, on = Seq("k"), suffixes = Some(("_x", "_y")))
+    assert(both.columns == Seq("k", "tag_x", "v", "tag_y", "w"))
+    val row = both.df.head()
+    assert(row.getString(1) == "a" && row.getString(3) == "b")
+  }
+
   test("cut: right-closed bins, out-of-range and null input get null band") {
     val s = spark
     import s.implicits._

@@ -177,4 +177,26 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((100L, 101L)))
   }
+
+  test("IVF index save/load round-trips and answers identically") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 60).map(i =>
+      (i.toLong, Array.fill(8)(rnd.nextGaussian().toFloat)))
+    val d = rows.toDF("vec_id", "embedding")
+    val built = Similarity.buildIvfIndex(d, "vec_id", "embedding",
+      nCells = 4, iterations = 1)
+    val path = java.nio.file.Files
+      .createTempDirectory("ivf_idx").resolve("index").toString
+    Similarity.saveIvfIndex(s, built, path)
+    val loaded = Similarity.loadIvfIndex(s, path)
+    assert(loaded == built)
+    val q = d.filter($"vec_id" < 3)
+    val a = Similarity.ivfQuery(d, q, "vec_id", "embedding", 2, built, 2)
+      .collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    val b = Similarity.ivfQuery(d, q, "vec_id", "embedding", 2, loaded, 2)
+      .collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    assert(a == b)
+  }
 }
