@@ -60,6 +60,40 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     assert(plan.contains("partial_sum"), plan.take(800))
   }
 
+  test("runtime bloom filter prunes the big side of a selective join") {
+    // 100 TB posture: a selective dim filter should reach the fact scan
+    // as a runtime bloom filter (row-group pruning before the shuffle),
+    // not be discovered after shuffling the whole fact side
+    val dir = "/root/testdata/sf0.001"
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+    // production default gates injection on a >=10GB application-side
+    // scan; drop it so the sf0.001 fixture can demonstrate the shape
+    spark.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    // a broadcast-able creation side suppresses injection (the BHJ already
+    // prunes); force the shuffle-join regime the 100 TB case lives in
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      val o = spark.read.parquet(s"$dir/orders.parquet")
+        .filter(org.apache.spark.sql.functions.col("o_orderpriority") === "1-URGENT")
+      // no broadcast -> the selective side can only reach the fact scan
+      // via an injected runtime filter
+      val j = li.hint("SHUFFLE_MERGE").join(o, li("l_orderkey") === o("o_orderkey"))
+      val plan = j.queryExecution.optimizedPlan.toString
+      assert(plan.contains("might_contain") || plan.contains("BloomFilter"),
+        s"expected a runtime bloom filter on the fact side:\n$plan")
+      assert(j.count() > 0)
+    } finally {
+      spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter.enabled")
+      spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold")
+      spark.conf.unset(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("local-data frames stay broadcast-joinable against big tables") {
     val s = spark
     val small = PsDataFrame.fromLocal(s,
