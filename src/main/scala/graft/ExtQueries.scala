@@ -439,6 +439,19 @@ object ExtQueries {
         .sortValues(Seq("p_partkey")).df
     }),
 
+    // pandas .str regex family (extract/count/match) — the reference
+    // rejects regex outright (core.py:486-487); a pipeline extension.
+    // Patterns stay in the Java-regex ∩ RE2 common subset so the DuckDB
+    // oracle is bit-identical.
+    "q_regex" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      d.set("first_long", d("text").str.extract("([A-Za-z]{6,})"))
+      d.set("vowels", d("text").str.countMatches("[aeiou]"))
+      d.set("starts_upper", d("text").str.matches("[A-Z]"))
+      d.select("doc_id", "first_long", "vowels", "starts_upper")
+        .sortValues(Seq("doc_id")).df
+    }),
+
     // pandas .dt accessor: extraction + trunc + day diff. dayofweek is
     // pandas' Monday=0 (Spark dayofweek is Sunday=1; DuckDB isodow is
     // Monday=1 — both remapped)
@@ -1055,6 +1068,14 @@ object ExtQueries {
             substr(p_name, 1, 8) AS name8,
             lpad(p_brand, 10, '_') AS brand_pad
          FROM part ORDER BY p_partkey""",
+    // regex family: NULLIF mirrors Spark-side ''->null mapping; len of
+    // extract_all mirrors regexp_count; ^(?:...) anchors pandas match
+    "q_regex" ->
+      """SELECT doc_id,
+            NULLIF(regexp_extract(text, '([A-Za-z]{6,})', 1), '') AS first_long,
+            len(regexp_extract_all(text, '[aeiou]'))::INTEGER AS vowels,
+            regexp_matches(text, '^(?:[A-Z])') AS starts_upper
+         FROM documents ORDER BY doc_id""",
     // dt ops: EXTRACT returns BIGINT in DuckDB -> ::INTEGER to mirror
     // Spark's int32; isodow-1 = pandas Monday=0; datediff vs a pinned date
     "q_datetime" ->

@@ -146,6 +146,27 @@ final case class PsColumn(col: Column, owner: Option[DataFrame] = None) {
     }
     def cat(x: Any, sep: String = ""): PsColumn =
       derive(concat_ws(sep, col, o(x)))
+
+    // regex family (pandas .str.extract/.count/.match / fullmatch).
+    // NOTE the reference explicitly rejects regex (core.py:486-487); this
+    // is a designed extension — pipelines live on regex extraction.
+    /** `.str.extract(pat, group)`: first match's capture group, null when
+      * no match (Spark returns "" for no-match; mapped to null to match
+      * pandas NaN). */
+    def extract(pattern: String, group: Int = 1): PsColumn = {
+      val raw = regexp_extract(col, pattern, group)
+      derive(when(raw === lit(""), lit(null)).otherwise(raw))
+    }
+    /** `.str.count(pat)`: number of non-overlapping matches. */
+    def countMatches(pattern: String): PsColumn =
+      derive(regexp_count(col, lit(pattern)))
+    /** `.str.match(pat)`: does the string START with a match (pandas
+      * match anchors at the beginning only). */
+    def matches(pattern: String): PsColumn =
+      derive(regexp_like(col, lit("^(?:" + pattern + ")")))
+    /** `.str.fullmatch(pat)`: whole-string match. */
+    def fullmatch(pattern: String): PsColumn =
+      derive(regexp_like(col, lit("^(?:" + pattern + ")$")))
   }
 
   /** pandas `.dt` accessor (designed extension). `dayofweek` follows

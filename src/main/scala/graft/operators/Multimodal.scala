@@ -102,6 +102,26 @@ object Multimodal {
         width = w, height = h)))
   }
 
+  /** One sampled frame of a video/audio payload. */
+  case class FrameRecord(
+      id: Long,
+      mediaType: String,
+      frameIndex: Int,
+      frame: Array[Byte])
+
+  /** Frame-sampling stage: one media row explodes to `n` frame rows
+    * (flatMap over the partition batch — the row count grows, which is
+    * why this is its own stage and not a column: downstream repartitions
+    * see the post-explosion cardinality). A real build replaces
+    * [[StubCodecs.sampleFrames]] with an ffmpeg keyframe walk. */
+  def explodeFrames(media: Dataset[MediaRecord], n: Int): Dataset[FrameRecord] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { m =>
+      StubCodecs.sampleFrames(StubCodecs.decode(m.payload), n)
+        .zipWithIndex.map { case (f, i) => FrameRecord(m.id, m.mediaType, i, f) }
+    })
+  }
+
   /** Column-level binary helpers (no decode needed — pure metadata): */
   def payloadBytes(payload: Column): Column = octet_length(payload)
   def payloadMd5(payload: Column): Column = md5(payload)

@@ -65,4 +65,18 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
     val ds = Multimodal.asMedia(df)
     assert(ds.collect().head.mediaType == "image/jpeg")
   }
+
+  test("explodeFrames: one media row becomes n ordered frame rows, bytes conserved") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "video/mp4", Array.tabulate(120)(_.toByte), 0, 0, 4000L),
+      (2L, "video/mp4", Array.emptyByteArray, 0, 0, 0L)) // empty payload -> 0 frames
+      .toDF("id", "mediaType", "payload", "width", "height", "durationMs")
+    val frames = Multimodal.explodeFrames(Multimodal.asMedia(df), 4).collect()
+    assert(frames.count(_.id == 1L) == 4)
+    assert(frames.filter(_.id == 1L).map(_.frameIndex).sorted.toSeq == Seq(0, 1, 2, 3))
+    assert(frames.filter(_.id == 1L).map(_.frame.length).sum == 120)
+    assert(!frames.exists(_.id == 2L))
+  }
 }

@@ -110,4 +110,22 @@ class StrDateSpec extends AnyFunSuite with SparkFixture {
     // linear-interpolated q25 of 1..4: 1 + 0.75*(2-1) = 1.75
     assert(g.quantile("v", 0.25, "q").df.head().getDouble(1) == 1.75)
   }
+
+  test(".str regex family: extract null on no-match, count, anchored match") {
+    val s = spark
+    import s.implicits._
+    val d = PsDataFrame(Seq(
+      (1, "Alpha beta42 gamma"), (2, "x y z"), (3, "beta Banana"))
+      .toDF("id", "t"))
+    d.set("word6", d("t").str.extract("([A-Za-z]{5,})"))
+    d.set("digits", d("t").str.countMatches("[0-9]"))
+    d.set("m", d("t").str.matches("beta"))      // anchored: only id=3
+    d.set("fm", d("t").str.fullmatch("x y z")) // whole string: only id=2
+    val rows = d.df.orderBy("id").collect()
+    assert(Option(rows(0).get(2)).contains("Alpha"))
+    assert(rows(1).isNullAt(2)) // no >=5-letter word -> null, not ""
+    assert(rows.map(_.getInt(3)).toSeq == Seq(2, 0, 0))
+    assert(rows.map(_.getBoolean(4)).toSeq == Seq(false, false, true))
+    assert(rows.map(_.getBoolean(5)).toSeq == Seq(false, true, false))
+  }
 }
