@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{
   Ascending, Attribute, AttributeReference, AttributeSet, Expression,
   GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection
 }
-import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan, Statistics}
 import org.apache.spark.sql.catalyst.plans.physical.{
   ClusteredDistribution, Distribution, Partitioning
 }
@@ -51,6 +51,14 @@ case class AsOfJoinPlan(
   // outputValues are minted here, not consumed from the children — without
   // this, CheckAnalysis would flag them as missing inputs
   override def producedAttributes: AttributeSet = AttributeSet(outputValues)
+
+  /** Output cardinality is exactly the left side's (≤ for inner), each row
+    * widened by the attached values — bounded by left + right. The stats
+    * visitor's default for a foreign binary node is the PRODUCT of child
+    * sizes, which would make this node's output look join-exploded and
+    * veto every downstream broadcast it should qualify for. */
+  override def stats: Statistics =
+    Statistics(sizeInBytes = left.stats.sizeInBytes + right.stats.sizeInBytes)
 
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinPlan =

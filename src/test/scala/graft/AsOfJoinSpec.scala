@@ -153,6 +153,22 @@ class AsOfJoinSpec extends AnyFunSuite with SparkFixture {
     assert(native.collect().forall(r => !r.isNullAt(r.fieldIndex("prev_id"))))
   }
 
+  test("asof output keeps broadcastable stats (sum, not product, of children)") {
+    val (l, r) = frames
+    val df = AsOfJoin.asof(l, r, Seq("k"), "t", "t", Seq("v"))
+    val plan = df.queryExecution.optimizedPlan
+    val Seq(ls, rs) = plan.children.map(_.stats.sizeInBytes)
+    assert(plan.stats.sizeInBytes <= ls + rs,
+      s"asof stats ${plan.stats.sizeInBytes} vs children $ls + $rs")
+    // downstream consequence: joining the asof output against a big table
+    // must still qualify the asof side for broadcast
+    val big = l.sparkSession.range(100000).toDF("id")
+    val joined = big.join(df, big("id") === df("id"))
+    val phys = joined.queryExecution.executedPlan.toString
+    assert(phys.contains("BroadcastHashJoin"),
+      s"asof output should broadcast into the big join:\n$phys")
+  }
+
   test("native asof survives skewed groups and empty right partitions") {
     val s = spark
     import s.implicits._
