@@ -77,11 +77,36 @@ object GraftStrategy extends SparkStrategy {
   }
 }
 
-/** Entry point for `spark.sql.extensions` / `builder.withExtensions`. */
+/** Entry point for `spark.sql.extensions` / `builder.withExtensions`.
+  * Besides the planner strategy and optimizer rule, the codegen'd vector
+  * and shingle expressions register as SQL functions, so a pure-SQL user
+  * gets the same hot paths the DataFrame operators use. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+  private def fn(
+      name: String, clazz: Class[_], arity: Int)(
+      build: Seq[Expression] => Expression) =
+    (FunctionIdentifier(name), new ExpressionInfo(clazz.getName, name),
+      (es: Seq[Expression]) => {
+        require(es.size == arity, s"$name expects $arity arguments, got ${es.size}")
+        build(es)
+      })
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => GraftStrategy)
     ext.injectOptimizerRule(_ => RangeJoinRule)
+    ext.injectFunction(fn("graft_dot", classOf[ArrayDotProduct], 2)(es =>
+      ArrayDotProduct(es(0), es(1))))
+    ext.injectFunction(fn("graft_cosine", classOf[ArrayCosineSimilarity], 2)(es =>
+      ArrayCosineSimilarity(es(0), es(1))))
+    ext.injectFunction(fn("graft_shingles", classOf[WordShingles], 2)(es =>
+      es(1) match {
+        case Literal(k: Int, _) => WordShingles(es(0), k)
+        case other => throw new IllegalArgumentException(
+          s"graft_shingles(text, k): k must be an integer literal, got $other")
+      }))
   }
 }
 

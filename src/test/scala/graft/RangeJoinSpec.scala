@@ -63,6 +63,35 @@ class RangeJoinSpec extends AnyFunSuite with SparkFixture {
     } finally spark.conf.unset(RangeJoinRule.BinSizeKey)
   }
 
+  test("injected SQL functions run the codegen'd expressions from pure SQL") {
+    val one = spark.sql(
+      "SELECT graft_cosine(array(3.0, 4.0), array(3.0, 4.0)) AS c").head().getDouble(0)
+    assert(math.abs(one - 1.0) < 1e-12)
+    val dot = spark.sql(
+      "SELECT graft_dot(array(1.0, 2.0, 3.0), array(4.0, 5.0, 6.0)) AS d").head().getDouble(0)
+    assert(dot == 32.0)
+    val sh = spark.sql(
+      "SELECT graft_shingles('a b c d', 2) AS s").head().getSeq[String](0)
+    assert(sh == Seq("a b", "b c", "c d"))
+    // differential vs the Column API on real embeddings
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding").limit(50)
+    e.createOrReplaceTempView("gsql_emb")
+    val viaSql = spark.sql(
+      """SELECT a.vec_id, graft_cosine(a.embedding, b.embedding) AS c
+         FROM gsql_emb a JOIN gsql_emb b ON b.vec_id = a.vec_id + 1""")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val viaApi = {
+      import graft.plans.VectorExpressions.cosine
+      import org.apache.spark.sql.functions.col
+      val a = e.select(col("vec_id"), col("embedding").as("ea"))
+      val b = e.select((col("vec_id") - 1).as("vec_id"), col("embedding").as("eb"))
+      a.join(b, "vec_id").select(col("vec_id"), cosine(col("ea"), col("eb")).as("c"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    }
+    assert(viaSql == viaApi && viaSql.nonEmpty)
+  }
+
   test("optimizer rule preserves strict bounds and leaves equi joins alone") {
     val s = spark
     import s.implicits._
