@@ -192,6 +192,110 @@ object StreamingOps {
         col("l_event_id"), col("r_event_id"), col("l_ts"), col("r_ts"))
   }
 
+  // ---- streaming as-of join -----------------------------------------
+
+  /** Tagged input row for [[streamingAsOf]]. */
+  case class AsOfIn(key: Long, ts: Timestamp, id: Long, value: Double, isLeft: Boolean)
+  /** One buffered event (ms precision — same discipline as sessionize). */
+  case class AsOfBuf(tsMs: Long, id: Long, value: Double)
+  /** Per-key state: buffered rights (compacted to the in-horizon rows
+    * plus ONE dominated row below the watermark), held-back lefts, and —
+    * once the key goes idle — the event-time deadline after which the
+    * dominated row is evicted (0 while active). */
+  case class AsOfJoinState(
+      rights: Seq[AsOfBuf], lefts: Seq[AsOfBuf], expireAtMs: Long)
+  case class AsOfJoined(
+      key: Long, l_id: Long, l_ts: Timestamp,
+      r_id: Option[Long], r_ts: Option[Timestamp], r_value: Option[Double])
+
+  /** Streaming backward as-of join — the streaming face of
+    * [[graft.plans.AsOfJoinExec]]: every left event gets the latest right
+    * event of the same key with `r.ts <= l.ts`.
+    *
+    * Mechanics: both streams tag-union into one keyed stream; a per-key
+    * state machine holds a left until the event-time watermark passes it
+    * strictly (only then can no admissible right — `ts <= l.ts`, and not
+    * watermark-late — still arrive), then emits it matched. Right-side
+    * state is bounded: rows inside the lateness horizon, plus exactly one
+    * dominated row below the watermark (any future left's time is ≥ the
+    * watermark, so among older rights only the newest can ever win).
+    * Idle keys evict after `keyTTL` of event-time silence — an as-of
+    * would otherwise have to hold its last right forever for a left that
+    * may never come; a post-TTL left simply matches nothing (document the
+    * TTL as the staleness bound of the attachment).
+    *
+    * Works in batch mode too (each group sees all its events at once,
+    * emits everything, keeps no state) — differentially tested against
+    * the native batch operator in StreamingSpec. Rights ambiguous at the
+    * same (key, ts) should be pre-deduped, as in the batch operator.
+    */
+  def streamingAsOf(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      tsCol: String,
+      idCol: String,
+      valueCol: String,
+      lateness: String = "10 minutes",
+      keyTTL: java.time.Duration = java.time.Duration.ofHours(24)): Dataset[AsOfJoined] = {
+    val session = left.sparkSession
+    import session.implicits._
+    def prep(df: DataFrame, isLeft: Boolean): DataFrame = df.select(
+      col(key).cast("long").as("key"), col(tsCol).as("ts"),
+      col(idCol).cast("long").as("id"),
+      (if (isLeft) lit(0.0) else col(valueCol).cast("double")).as("value"),
+      lit(isLeft).as("isLeft"))
+    val u = prep(left, isLeft = true).unionByName(prep(right, isLeft = false))
+      .withWatermark("ts", lateness).as[AsOfIn]
+    val streaming = u.isStreaming
+    val ttlMs = keyTTL.toMillis
+
+    def fn(k: Long, it: Iterator[AsOfIn], state: GroupState[AsOfJoinState])
+        : Iterator[AsOfJoined] = {
+      val incoming = it.toSeq
+      val st = state.getOption.getOrElse(AsOfJoinState(Nil, Nil, 0L))
+      val rights = (st.rights ++ incoming.filterNot(_.isLeft)
+        .map(e => AsOfBuf(e.ts.getTime, e.id, e.value))).sortBy(r => (r.tsMs, r.id))
+      val lefts = (st.lefts ++ incoming.filter(_.isLeft)
+        .map(e => AsOfBuf(e.ts.getTime, e.id, 0.0))).sortBy(l => (l.tsMs, l.id))
+      val wm = if (streaming) state.getCurrentWatermarkMs() else Long.MaxValue
+      // strict <: at l.ts == wm a right with the same timestamp is not
+      // yet watermark-late, so the match could still change
+      val (emit, hold) = lefts.partition(_.tsMs < wm)
+      val out = emit.map { l =>
+        val m = rights.takeWhile(_.tsMs <= l.tsMs).lastOption
+        AsOfJoined(k, l.id, new Timestamp(l.tsMs),
+          m.map(_.id), m.map(r => new Timestamp(r.tsMs)), m.map(_.value))
+      }
+      if (streaming) {
+        val (dominated, fresh) = rights.partition(_.tsMs < wm)
+        val kept = dominated.lastOption.toSeq ++ fresh
+        val active = hold.nonEmpty || fresh.nonEmpty || incoming.nonEmpty
+        val expired = !active && st.expireAtMs > 0 && wm >= st.expireAtMs
+        if (expired || kept.isEmpty && hold.isEmpty) state.remove()
+        else {
+          // idle = nothing pending and nothing inside the horizon; start
+          // (or keep) the TTL clock, else reset it
+          val expireAt =
+            if (active) 0L
+            else if (st.expireAtMs > 0) st.expireAtMs
+            else wm + ttlMs
+          state.update(AsOfJoinState(kept, hold, expireAt))
+          val wake =
+            if (hold.nonEmpty) hold.head.tsMs + 1 // emit the oldest left
+            else if (fresh.nonEmpty) fresh.last.tsMs + 1 // compact rights
+            else expireAt // idle: evict the dominated row at TTL
+          state.setTimeoutTimestamp(math.max(wake, wm + 1))
+        }
+      }
+      out.iterator
+    }
+
+    u.groupByKey(_.key)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+
   /** Batch sessionization via analytic windows (the shuffle-once,
     * state-store-free form for historical reprocessing): a session break
     * is a gap > `gapMinutes` from the previous event of the same user; the

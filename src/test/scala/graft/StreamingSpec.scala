@@ -237,6 +237,82 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("streamingAsOf: batch face == native as-of; streaming replay == batch face") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = s.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select(col("event_id"),
+        timestamp_millis((col("ts") / 1000000L).cast("long")).as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+    val clicks = raw.filter(col("event_type") === "click")
+    // dedup rights per (user, ts): same-instant rights are ambiguous in
+    // any as-of (see batch operator's contract)
+    val purchases = raw.filter(col("event_type") === "purchase")
+      .groupBy("user_id", "ts")
+      .agg(max(struct(col("value"), col("event_id"))).as("m"))
+      .select(col("user_id"), col("ts"),
+        col("m.event_id").as("event_id"), col("m.value").as("value"))
+
+    def toMap(rows: Array[(Long, Option[Long], Option[Double])]) =
+      rows.map(r => r._1 -> (r._2, r._3)).toMap
+
+    val native = graft.operators.AsOfJoin.asof(
+        clicks.select("event_id", "user_id", "ts"), purchases,
+        Seq("user_id"), "ts", "ts", Seq("event_id", "value"))
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4))))
+    val nativeMap = toMap(native)
+
+    val batchFace = StreamingOps.streamingAsOf(
+        clicks, purchases, "user_id", "ts", "event_id", "value")
+      .collect().map(j => (j.l_id, j.r_id, j.r_value))
+    assert(toMap(batchFace) == nativeMap, "batch face of streamingAsOf vs native")
+    assert(nativeMap.nonEmpty && nativeMap.values.exists(_._1.isDefined))
+
+    // streaming replay: time-ordered chunks into both MemoryStreams,
+    // then sentinel batches push the watermark past every real left
+    val lIn = MemoryStream[Event]
+    val rIn = MemoryStream[Event]
+    val q = StreamingOps.streamingAsOf(
+        lIn.toDS().toDF(), rIn.toDS().toDF(),
+        "user_id", "ts", "event_id", "value", lateness = "10 minutes")
+      .writeStream.format("memory").queryName("t_asof")
+      .outputMode("append").start()
+    try {
+      val lAll = clicks.as[Event].collect().sortBy(_.ts.getTime)
+      val rAll = purchases
+        .select(col("event_id"), col("ts"), col("user_id"),
+          lit("purchase").as("event_type"), col("value"), lit("{}").as("props"))
+        .as[Event].collect().sortBy(_.ts.getTime)
+      val cutoffs = Seq(0.33, 0.66, 1.0).map(f =>
+        lAll(math.min(lAll.length - 1, (lAll.length * f).toInt - 1)).ts.getTime)
+      var (lPrev, rPrev) = (0L, 0L)
+      cutoffs.foreach { c =>
+        rIn.addData(rAll.filter(e => e.ts.getTime > rPrev && e.ts.getTime <= c).toSeq)
+        lIn.addData(lAll.filter(e => e.ts.getTime > lPrev && e.ts.getTime <= c).toSeq)
+        lPrev = c; rPrev = c
+        q.processAllAvailable()
+      }
+      // leftovers (rights later than the last click) + watermark flush
+      rIn.addData(rAll.filter(_.ts.getTime > rPrev).toSeq)
+      val flushT = math.max(lAll.last.ts.getTime, rAll.last.ts.getTime) + 86400000L
+      Seq(flushT, flushT + 60000L, flushT + 120000L).foreach { t =>
+        lIn.addData(Event(-1L, new Timestamp(t), -1L, "click", 0.0, "{}"))
+        q.processAllAvailable()
+      }
+      val got = s.table("t_asof").filter(col("key") >= 0).collect()
+        .map(r => (r.getLong(1),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)),
+          if (r.isNullAt(5)) None else Some(r.getDouble(5))))
+      assert(got.length == native.length,
+        s"streaming emitted ${got.length} of ${native.length} lefts")
+      assert(toMap(got) == nativeMap, "streaming replay vs native batch as-of")
+    } finally q.stop()
+  }
+
   test("streaming tumblingAgg emits closed windows under append mode") {
     val s = spark
     import s.implicits._
