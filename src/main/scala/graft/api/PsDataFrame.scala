@@ -167,17 +167,8 @@ final class PsDataFrame(private var _df: DataFrame) {
     * self-join. Emits null for the first window-1 rows of each group
     * (pandas min_periods default). */
   def rollingMean(valueCol: String, window: Int, partitionBy: Seq[String],
-      orderBy: Seq[String], as: String): PsDataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    require(window > 0, "rollingMean needs window > 0")
-    val w = Window.partitionBy(partitionBy.map(_df(_)): _*)
-      .orderBy(orderBy.map(_df(_)): _*)
-      .rowsBetween(-(window - 1), Window.currentRow)
-    val cnt = org.apache.spark.sql.functions.count(_df(valueCol)).over(w)
-    val m = org.apache.spark.sql.functions.avg(_df(valueCol)).over(w)
-    new PsDataFrame(_df.withColumn(as,
-      when(cnt >= window, m).otherwise(lit(null))))
-  }
+      orderBy: Seq[String], as: String): PsDataFrame =
+    rollingAgg(valueCol, "mean", window, partitionBy, orderBy, as)
 
   /** pandas `cut(x, bins, labels)` — explicit-edge binning, right-closed
     * `(lo, hi]` like pandas' default; values outside the edges (and
@@ -279,7 +270,33 @@ final class PsDataFrame(private var _df: DataFrame) {
       as: String): PsDataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(partitionBy.map(_df(_)): _*).orderBy(orderBy.map(_.col): _*)
-    new PsDataFrame(_df.withColumn(as, lag(_df(valueCol), n).over(w)))
+    // pandas shift(n) with negative n looks forward: lead
+    val shifted = if (n >= 0) lag(_df(valueCol), n) else lead(_df(valueCol), -n)
+    new PsDataFrame(_df.withColumn(as, shifted.over(w)))
+  }
+
+  /** pandas `rolling(window, min_periods=window).agg(fn)` within groups:
+    * one `rowsBetween` frame pass, null until the window fills
+    * (generalizes [[rollingMean]]). */
+  def rollingAgg(valueCol: String, fn: String, window: Int,
+      partitionBy: Seq[String], orderBy: Seq[String], as: String): PsDataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(window > 0, "rollingAgg needs window > 0")
+    val w = Window.partitionBy(partitionBy.map(_df(_)): _*)
+      .orderBy(orderBy.map(_df(_)): _*)
+      .rowsBetween(-(window - 1), Window.currentRow)
+    val f = org.apache.spark.sql.functions
+    val agg = fn match {
+      case "mean"  => f.avg(_df(valueCol))
+      case "sum"   => f.sum(_df(valueCol))
+      case "min"   => f.min(_df(valueCol))
+      case "max"   => f.max(_df(valueCol))
+      case "count" => f.count(_df(valueCol))
+      case other   => sys.error(s"rollingAgg: unsupported fn $other")
+    }
+    val cnt = f.count(_df(valueCol)).over(w)
+    new PsDataFrame(_df.withColumn(as,
+      when(cnt >= window, agg.over(w)).otherwise(lit(null))))
   }
 
   /** pandas `df[c].value_counts()`: one row per distinct value with its

@@ -98,6 +98,22 @@ class AsOfJoinSpec extends AnyFunSuite with SparkFixture {
     assert(lagged == Seq(None, Some(10.0), Some(20.0), None))
   }
 
+  test("shift: negative n is lead; rollingAgg generalizes rolling mean") {
+    val s = spark
+    import s.implicits._
+    val d = PsDataFrame(Seq(
+      ("a", 1, 10.0), ("a", 2, 20.0), ("a", 3, 5.0)).toDF("g", "seq", "v"))
+    val led = d.lagCol("v", -1, Seq("g"), Seq(d("seq").asc), "nxt")
+      .df.orderBy("seq").collect().map(r => Option(r.get(3))).toSeq
+    assert(led == Seq(Some(20.0), Some(5.0), None))
+    val rmax = d.rollingAgg("v", "max", 2, Seq("g"), Seq("seq"), "m")
+      .df.orderBy("seq").collect().map(r => Option(r.get(3))).toSeq
+    assert(rmax == Seq(None, Some(20.0), Some(20.0)))
+    val rsum = d.rollingAgg("v", "sum", 2, Seq("g"), Seq("seq"), "sm")
+      .df.orderBy("seq").collect().map(r => Option(r.get(3))).toSeq
+    assert(rsum == Seq(None, Some(30.0), Some(25.0)))
+  }
+
   test("nunique aggregate counts distinct values per group") {
     val s = spark
     import s.implicits._
