@@ -334,6 +334,20 @@ object ExtQueries {
         .sortValues(Seq("o_custkey", "o_orderkey")).df
     }),
 
+    // the injected SQL surface (graft_dot via spark.sql): the oracle
+    // re-states the dot product as explicit arithmetic with the SAME
+    // left-to-right accumulation order, so doubles stay bit-identical
+    "q_sql_vector" -> ((s, dir) => {
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .createOrReplaceTempView("graft_sqlfn_lineitem")
+      s.sql("""
+        SELECT l_orderkey, l_linenumber,
+               graft_dot(array(l_quantity, l_discount * 100, l_tax * 100),
+                         array(1.0D, 2.0D, 3.0D)) AS d
+        FROM graft_sqlfn_lineitem
+        ORDER BY l_orderkey, l_linenumber""")
+    }),
+
     // pandas cut: fixed price bands over orders; out-of-range -> null
     // band (kept as its own count row, pandas NaN group)
     "q_cut" -> ((s, dir) => {
@@ -1009,6 +1023,10 @@ object ExtQueries {
                FROM part WHERE p_partkey % 200 = 0) i
            ON o.o_totalprice >= i.lo AND o.o_totalprice <= i.hi
          ORDER BY o_orderkey, i_id""",
+    "q_sql_vector" ->
+      """SELECT l_orderkey, l_linenumber,
+            ((l_quantity * 1.0) + ((l_discount * 100) * 2.0)) + ((l_tax * 100) * 3.0) AS d
+         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
     "q_cut" ->
       """SELECT band, COUNT(*) AS n, SUM(o_orderkey)::BIGINT AS key_sum FROM (
            SELECT CASE WHEN o_totalprice > 0      AND o_totalprice <= 100000 THEN 'xs'
