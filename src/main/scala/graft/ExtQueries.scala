@@ -612,6 +612,27 @@ object ExtQueries {
         .select("doc_id", "split").orderBy("doc_id")
     }),
 
+    // the end-to-end curation pipeline a training-data user actually
+    // runs, composed from the verified components: quality filter ->
+    // language ID -> content-fingerprint dedup -> deterministic split,
+    // reported as counts + id-sums per (lang, split). One pass for the
+    // row-local stages (codegen'd exprs), one shuffle for the dedup,
+    // one for the final aggregate.
+    "q_pipeline" -> ((s, dir) => {
+      val d = t(s, dir, "documents").df
+      val kept = d
+        .filter(TextAnalysis.qualityReason(col("text")).isNull)
+        .withColumn("lang_pred", TextAnalysis.langId(col("text")))
+        .withColumn("fp",
+          TextAnalysis.fingerprint60(TextAnalysis.normalized(col("text"))))
+      val deduped = Dedup.exact(kept, Seq("fp"), Seq(col("doc_id")))
+      Sampling.hashSplit(deduped, "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .groupBy("lang_pred", "split")
+        .agg(count(lit(1)).as("n"), sum("doc_id").as("id_sum"))
+        .orderBy("lang_pred", "split")
+    }),
+
     // per-stratum downsampling (halve English, keep the rest)
     "q_stratsample" -> ((s, dir) => {
       val d = t(s, dir, "documents")
@@ -948,6 +969,57 @@ object ExtQueries {
             SELECT doc_id, lang,
               $scoreDefs
             FROM documents)) ORDER BY doc_id"""
+    },
+    "q_pipeline" -> {
+      val profiles = TextAnalysis.LangProfiles
+      val scoreDefs = profiles
+        .map { case (l, ws) => s"${langRatio(ws)} AS s_$l" }.mkString(",\n              ")
+      val best = profiles.map { case (l, _) => s"s_$l" }.mkString("greatest(", ", ", ")")
+      val cases = profiles
+        .map { case (l, _) => s"WHEN s_$l = best AND s_$l > 0 THEN '$l'" }
+        .mkString(" ")
+      s"""WITH qreason AS (
+            SELECT doc_id,
+              CASE WHEN n_chars_c < 100 THEN 'too_short'
+                   WHEN n_chars_c > 20000 THEN 'too_long'
+                   WHEN punct_ratio > 0.25 THEN 'high_punct'
+                   WHEN CASE WHEN n_tokens = 0 THEN 0.0
+                             ELSE (n_tokens - n_distinct)::DOUBLE / n_tokens END > 0.6
+                     THEN 'repetitive'
+                   WHEN mean_tok_len < 2.0 OR mean_tok_len > 12.0 THEN 'weird_tokens'
+                   ELSE NULL END AS drop_reason
+            FROM (
+              SELECT doc_id, length(text) AS n_chars_c,
+                len(string_split(text, ' ')) AS n_tokens,
+                len(list_distinct(string_split(text, ' '))) AS n_distinct,
+                CASE WHEN length(text) = 0 THEN 0.0
+                     ELSE length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE / length(text) END AS punct_ratio,
+                CASE WHEN len(string_split(text, ' ')) = 0 THEN 0.0
+                     ELSE list_sum(list_transform(string_split(text, ' '), t -> length(t)))::DOUBLE
+                          / len(string_split(text, ' ')) END AS mean_tok_len
+              FROM documents)),
+          lpred AS (
+            SELECT doc_id, CASE $cases ELSE 'und' END AS lang_pred
+            FROM (SELECT *, $best AS best FROM (
+              SELECT doc_id, $scoreDefs FROM documents))),
+          kept AS (
+            SELECT d.doc_id, lpred.lang_pred, $normFp AS fp
+            FROM documents d
+            JOIN qreason USING (doc_id) JOIN lpred USING (doc_id)
+            WHERE qreason.drop_reason IS NULL),
+          dedup AS (
+            SELECT doc_id, lang_pred,
+                   row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+            FROM kept),
+          sp AS (
+            SELECT doc_id, lang_pred,
+                   CASE WHEN b < 8000 THEN 'train' WHEN b < 9000 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (SELECT doc_id, lang_pred,
+                    ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 10000 AS b
+                  FROM dedup WHERE rn = 1))
+          SELECT lang_pred, split, COUNT(*) AS n, SUM(doc_id)::BIGINT AS id_sum
+          FROM sp GROUP BY lang_pred, split ORDER BY lang_pred, split"""
     },
     "q_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 20),
