@@ -265,18 +265,15 @@ object Similarity {
     val centroids = index.centroids
     require(nProbe <= centroids.size)
 
-    def cellScores(vec: Column): Seq[(Column, Int)] =
-      centroids.zipWithIndex.map { case (c, i) => (cosine(vec, typedLit(c)), i) }
-
     val cb = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
       argmaxCell(col(vecCol), centroids).as("cell"))
 
-    // queries probe their nProbe best cells
+    // queries probe their nProbe best cells: ONE fused scores pass,
+    // posexploded to (cell, score) rows — nCells rows per query
     val qScored = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
-      explode(array(cellScores(col(vecCol)).map { case (s, i) =>
-        struct(s.as("s"), lit(i).as("cell"))
-      }: _*)).as("cs"))
-      .select(col("query_id"), col("q_vec"), col("cs.s"), col("cs.cell"))
+        posexplode(graft.plans.VectorExpressions
+          .centroidScores(col(vecCol), centroids)).as(Seq("cell", "s")))
+      .select(col("query_id"), col("q_vec"), col("s"), col("cell"))
     val wProbe = Window.partitionBy("query_id").orderBy(col("s").desc, col("cell"))
     val qb = qScored
       .withColumn("pr", row_number().over(wProbe))
@@ -310,16 +307,14 @@ object Similarity {
     ivfQuery(corpus, queries, idCol, vecCol, k,
       buildIvfIndex(corpus, idCol, vecCol, nCells, iterations, seed), nProbe)
 
-  /** argmax cell for a vector — array_max over (score, idx) structs
-    * (struct ordering is lexicographic, so max-by-score with a
-    * deterministic tie-break). NB a pairwise when()-reduce would
-    * duplicate the accumulated branch per level → 2^nCells expression
-    * nodes. */
+  /** argmax cell for a vector, over the fused [[graft.plans.CentroidScores]]
+    * pass (generated code is ONE call regardless of nCells — the earlier
+    * per-cell unrolled form compiled in O(nCells) source size and blew the
+    * JIT method limit at 64 cells, SCALEPROBE.md round 6). Ties break to
+    * the smallest cell id (array_position returns the first hit). */
   private def argmaxCell(vec: Column, cents: Seq[Seq[Double]]): Column = {
-    val arr = array(cents.zipWithIndex.map { case (c, i) =>
-      struct(cosine(vec, typedLit(c)).as("s"), lit(i).as("i"))
-    }: _*)
-    array_max(arr)("i")
+    val scores = graft.plans.VectorExpressions.centroidScores(vec, cents)
+    (array_position(scores, array_max(scores)) - 1).cast("int")
   }
 
   /** Exact embedding near-duplicate pairs: all (a,b), a<b, with cosine ≥

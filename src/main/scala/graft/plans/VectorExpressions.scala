@@ -236,6 +236,99 @@ case class HyperplaneBuckets(
     copy(child = newChild)
 }
 
+/** Cosine similarity of a vector against EVERY centroid of an IVF index
+  * in one fused pass — `array<double>` of length `nCells`.
+  *
+  * The unrolled form (one [[ArrayCosineSimilarity]] per `typedLit`
+  * centroid, argmax via greatest-of-structs) is linear in nCells in
+  * GENERATED SOURCE SIZE: at 64 cells × 64 dims Janino compilation took
+  * tens of seconds and the projection method blew past the JIT's
+  * HugeMethodLimit (measured in SCALEPROBE.md round 6). Here the centroid
+  * matrix is one flat `double[]` reference object — generated code is a
+  * single call regardless of cell count, so thousand-cell indexes plan
+  * and compile in constant time. Cell assignment is
+  * `array_position(scores, array_max(scores))`; probing posexplodes the
+  * same array. */
+case class CentroidScores(
+    child: Expression,
+    centroids: Seq[Double], // flattened nCells x dim
+    nCells: Int,
+    dim: Int) extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(centroids.length == nCells * dim,
+    s"centroids must be nCells*dim = ${nCells * dim} doubles, got ${centroids.length}")
+
+  @transient private lazy val m: Array[Double] = centroids.toArray
+  // per-centroid norms, precomputed once
+  @transient private lazy val cn: Array[Double] = {
+    val out = new Array[Double](nCells)
+    var c = 0
+    while (c < nCells) {
+      var s = 0.0; var j = 0
+      while (j < dim) { val x = m(c * dim + j); s += x * x; j += 1 }
+      out(c) = math.sqrt(s); c += 1
+    }
+    out
+  }
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(_: NumericType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"expects a numeric array, got $other")
+  }
+
+  @transient private lazy val et: NumericType =
+    child.dataType.asInstanceOf[ArrayType].elementType.asInstanceOf[NumericType]
+
+  def compute(a: ArrayData): ArrayData = {
+    val n = math.min(dim, a.numElements())
+    val v = new Array[Double](n)
+    var i = 0
+    et match {
+      case FloatType  => while (i < n) { if (!a.isNullAt(i)) v(i) = a.getFloat(i); i += 1 }
+      case DoubleType => while (i < n) { if (!a.isNullAt(i)) v(i) = a.getDouble(i); i += 1 }
+      case _ => while (i < n) {
+        if (!a.isNullAt(i)) v(i) = et match {
+          case IntegerType => a.getInt(i).toDouble
+          case LongType    => a.getLong(i).toDouble
+          case ShortType   => a.getShort(i).toDouble
+          case ByteType    => a.getByte(i).toDouble
+          case d: DecimalType => a.getDecimal(i, d.precision, d.scale).toDouble
+          case _ => 0.0
+        }
+        i += 1
+      }
+    }
+    var vn = 0.0
+    i = 0
+    while (i < n) { vn += v(i) * v(i); i += 1 }
+    vn = math.sqrt(vn)
+    val out = new Array[Double](nCells)
+    var c = 0
+    while (c < nCells) {
+      var s = 0.0; var j = 0
+      val base = c * dim
+      while (j < n) { s += m(base + j) * v(j); j += 1 }
+      out(c) = if (vn == 0.0 || cn(c) == 0.0) 0.0 else s / (vn * cn(c))
+      c += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroidScores", this, classOf[CentroidScores].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   /** Column-level entry points (Expression ↔ Column bridge). */
   def dot(a: Column, b: Column): Column =
@@ -250,4 +343,10 @@ object VectorExpressions {
       tables: Int): Column =
     GraftColumnBridge.column(
       HyperplaneBuckets(GraftColumnBridge.expression(vec), planes, dim, bits, tables))
+
+  def centroidScores(vec: Column, centroids: Seq[Seq[Double]]): Column = {
+    val dim = centroids.head.size
+    GraftColumnBridge.column(CentroidScores(
+      GraftColumnBridge.expression(vec), centroids.flatten, centroids.size, dim))
+  }
 }
