@@ -241,6 +241,24 @@ final class PsDataFrame(private var _df: DataFrame) {
   def rename(mapping: Map[String, String]): PsDataFrame =
     new PsDataFrame(_df.withColumnsRenamed(mapping))
 
+  /** pandas `astype({col: dtype})` — per-column cast, order-preserving.
+    * Spark type names ("long", "double", "string", "decimal(18,2)", ...). */
+  def astype(mapping: Map[String, String]): PsDataFrame = {
+    mapping.keys.foreach(c => require(_df.columns.contains(c), s"astype: no column $c"))
+    new PsDataFrame(_df.select(_df.columns.map(c =>
+      mapping.get(c).fold(col(c))(t => col(c).cast(t).as(c))): _*))
+  }
+
+  /** pandas `sample(frac, random_state)` — DETERMINISTIC hash sample on
+    * an id column (growth-stable: a row's membership never changes as the
+    * corpus grows, unlike Spark's `sample` whose per-partition RNG
+    * reshuffles membership on repartition). Thin facade over
+    * [[graft.operators.Sampling.sampleByHash]]. */
+  def sample(idCol: String, frac: Double, seed: String = ""): PsDataFrame = {
+    require(frac >= 0 && frac <= 1, "sample frac must be in [0,1]")
+    new PsDataFrame(graft.operators.Sampling.sampleByHash(_df, idCol, frac, seed))
+  }
+
   // ---- analytic windows (extension; the reference lists rolling/rank/
   //      cumsum as unsupported, api_status.py) ----
 

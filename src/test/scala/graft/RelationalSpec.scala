@@ -247,6 +247,24 @@ class RelationalSpec extends AnyFunSuite with SparkFixture {
     assert(row.getString(1) == "a" && row.getString(3) == "b")
   }
 
+  test("astype casts per column in place; sample is deterministic and nested") {
+    val s = spark
+    import s.implicits._
+    val d = PsDataFrame(Seq((1, "2.5"), (2, "3.5")).toDF("k", "v"))
+    val cast = d.astype(Map("v" -> "double", "k" -> "long"))
+    assert(cast.df.schema.map(_.dataType.typeName) == Seq("long", "double"))
+    assert(cast.columns == Seq("k", "v"))
+    intercept[IllegalArgumentException](d.astype(Map("nope" -> "int")))
+
+    val ids = PsDataFrame((1L to 2000L).toDF("id"))
+    val s20 = ids.sample("id", 0.2).df.collect().map(_.getLong(0)).toSet
+    val s40 = ids.sample("id", 0.4).df.collect().map(_.getLong(0)).toSet
+    assert(s20.subsetOf(s40), "smaller fraction must nest inside larger")
+    assert(math.abs(s20.size - 400) < 80 && math.abs(s40.size - 800) < 110)
+    // same call -> identical membership (deterministic, not RNG)
+    assert(ids.sample("id", 0.2).df.collect().map(_.getLong(0)).toSet == s20)
+  }
+
   test("cut: right-closed bins, out-of-range and null input get null band") {
     val s = spark
     import s.implicits._
