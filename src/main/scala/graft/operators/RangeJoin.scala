@@ -31,9 +31,12 @@ object RangeJoin {
     def bin(c: Column): Column = floor(c.cast("double") / lit(binSize))
 
     val p = points.withColumn("__graft_bin", bin(col(pointCol)))
-    val i = intervals.withColumn(
-      "__graft_bin",
-      explode(sequence(bin(col(loCol)), bin(col(hiCol)), lit(1L))))
+    // guard degenerate intervals (lo > hi): sequence(start, stop) THROWS
+    // on reversed bounds, but the join semantics are simply "no match";
+    // explode(null) contributes zero rows, same as null lo/hi
+    val bins = when(col(loCol) <= col(hiCol),
+      sequence(bin(col(loCol)), bin(col(hiCol)), lit(1L)))
+    val i = intervals.withColumn("__graft_bin", explode(bins))
     val cond = (Seq("__graft_bin") ++ extraKeys)
       .map(k => p(k) === i(k))
       .reduce(_ && _) &&

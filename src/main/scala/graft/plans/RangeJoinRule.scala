@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions.{
   Alias, And, Attribute, AttributeReference, Cast, Divide, EqualTo, Explode,
-  Expression, Floor, GreaterThan, GreaterThanOrEqual, LessThan,
+  Expression, Floor, GreaterThan, GreaterThanOrEqual, If, LessThan,
   LessThanOrEqual, Literal, PredicateHelper, Sequence
 }
 import org.apache.spark.sql.catalyst.plans.Inner
@@ -119,12 +119,18 @@ object RangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
       val iBin = AttributeReference("__graft_bin", LongType)()
       // Sequence is TimeZoneAwareExpression: the analyzer's ResolveTimeZone
       // has already run, so the rule must fill timeZoneId itself or the
-      // node stays unresolved and plan validation rejects the rewrite
+      // node stays unresolved and plan validation rejects the rewrite.
+      // The If-guard covers degenerate intervals (lo > hi): sequence
+      // THROWS on reversed bounds, while join semantics are "no match" —
+      // exploding the null branch contributes zero rows instead.
       val seq = Sequence(
         bin(lo.bound), bin(hi.bound), Some(Literal(1L)),
         Some(conf.sessionLocalTimeZone))
+      val guarded = If(
+        LessThanOrEqual(lo.bound, hi.bound), seq,
+        Literal.create(null, seq.dataType))
       val gen = Generate(
-        Explode(seq),
+        Explode(guarded),
         unrequiredChildIndex = Nil, outer = false, qualifier = None,
         generatorOutput = Seq(iBin), child = iPlan)
       val newCond = And(EqualTo(pBin.toAttribute, iBin), j.condition.get)

@@ -63,6 +63,36 @@ class RangeJoinSpec extends AnyFunSuite with SparkFixture {
     } finally spark.conf.unset(RangeJoinRule.BinSizeKey)
   }
 
+  test("degenerate intervals (lo > hi, null bounds) mean no-match, not a crash") {
+    val s = spark
+    import s.implicits._
+    val p = (1 to 100).map(i => (i.toLong, i.toLong)).toDF("p_id", "x")
+    val i = Seq(
+      (1L, Some(10L), Some(20L)),
+      (2L, Some(50L), Some(40L)), // reversed: sequence() would throw
+      (3L, None, Some(30L)),      // null lo
+      (4L, Some(60L), None))      // null hi
+      .toDF("i_id", "lo", "hi")
+    val got = RangeJoin.pointInInterval(p, i, "x", "lo", "hi", binSize = 8)
+      .select("p_id", "i_id")
+    val naive = p.join(i, col("x") >= col("lo") && col("x") <= col("hi"))
+      .select("p_id", "i_id")
+    assert(rows(got) == rows(naive))
+    assert(rows(got).forall(_(1) == 1L)) // only the valid interval matches
+
+    // same through the optimizer rule
+    p.createOrReplaceTempView("rjd_points")
+    i.createOrReplaceTempView("rjd_intervals")
+    spark.conf.set(RangeJoinRule.BinSizeKey, "8")
+    try {
+      val sql = spark.sql(
+        """SELECT p_id, i_id FROM rjd_points p JOIN rjd_intervals i
+           ON p.x >= i.lo AND p.x <= i.hi""")
+      assert(sql.queryExecution.executedPlan.toString.contains("Generate"))
+      assert(rows(sql) == rows(naive))
+    } finally spark.conf.unset(RangeJoinRule.BinSizeKey)
+  }
+
   test("injected SQL functions run the codegen'd expressions from pure SQL") {
     val one = spark.sql(
       "SELECT graft_cosine(array(3.0, 4.0), array(3.0, 4.0)) AS c").head().getDouble(0)
