@@ -185,6 +185,24 @@ class AsOfJoinSpec extends AnyFunSuite with SparkFixture {
       s"asof output should broadcast into the big join:\n$phys")
   }
 
+  test("null keys and null times: native agrees with the windowed witness") {
+    val s = spark
+    import s.implicits._
+    val left = Seq(
+      (1L, Some("a"), Some(100L)), (2L, None, Some(100L)),
+      (3L, Some("a"), None), (4L, None, None))
+      .toDF("id", "k", "t")
+    val right = Seq(
+      (Some("a"), Some(90L), 1.0), (None, Some(50L), 2.0),
+      (Some("a"), None, 3.0))
+      .toDF("k", "t", "v")
+    val n = AsOfJoin.asof(left, right, Seq("k"), "t", "t", Seq("v"))
+      .collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    val w = AsOfJoin.asofWindowed(left, right, Seq("k"), "t", "t", Seq("v"))
+      .collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    assert(n == w, s"null-handling divergence:\n native=$n\n window=$w")
+  }
+
   test("native asof survives skewed groups and empty right partitions") {
     val s = spark
     import s.implicits._
