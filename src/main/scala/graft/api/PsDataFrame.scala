@@ -196,6 +196,8 @@ final class PsDataFrame(private var _df: DataFrame) {
     * bins. */
   def qcut(valueCol: String, q: Int, as: String): PsDataFrame = {
     require(q >= 2, "qcut needs q >= 2")
+    require(!_df.columns.contains("__edges"),
+      "qcut: input must not already have a __edges column")
     val probs = (1 until q).map(_.toDouble / q)
     val edges = _df.agg(
       percentile(_df(valueCol), typedLit(probs)).as("__edges"))

@@ -28,6 +28,10 @@ object RangeJoin {
       binSize: Double,
       extraKeys: Seq[String] = Nil): DataFrame = {
     require(binSize > 0, s"binSize must be positive, got $binSize")
+    // the temp bin column must not clobber a real one (same guard class
+    // as headPerGroup's __rn, round-5 advice)
+    (points.columns ++ intervals.columns).find(_ == "__graft_bin").foreach(_ =>
+      sys.error("pointInInterval: inputs must not already have a __graft_bin column"))
     def bin(c: Column): Column = floor(c.cast("double") / lit(binSize))
 
     val p = points.withColumn("__graft_bin", bin(col(pointCol)))
