@@ -134,6 +134,47 @@ final class PsDataFrame(private var _df: DataFrame) {
   def multiJoin(others: Seq[PsDataFrame], on: Seq[String]): PsDataFrame =
     others.foldLeft(this)((acc, o) => acc.merge(o, on = on))
 
+  /** pandas `merge_asof(left, right, on=time, by=keys)` — backward-
+    * inclusive as-of join, delegating to the native Catalyst operator
+    * ([[graft.operators.AsOfJoin.asof]] → AsOfJoinExec). `valueCols`
+    * default: every right column that is neither a key nor the time. */
+  def mergeAsof(
+      right: PsDataFrame,
+      on: String,
+      by: Seq[String],
+      valueCols: Seq[String] = Nil,
+      how: String = "left",
+      rightPrefix: String = "r_"): PsDataFrame = {
+    val values =
+      if (valueCols.nonEmpty) valueCols
+      else right.columns.filterNot(c => c == on || by.contains(c))
+    new PsDataFrame(graft.operators.AsOfJoin.asof(
+      _df, right.df, by, on, on, values, how, rightPrefix))
+  }
+
+  /** pandas `resample(freq, on=ts).agg(...)` — tumbling event-time
+    * windows as a groupBy on `window()` (the batch face of the streaming
+    * window aggregation; identical partial-agg shuffle shape). `freq` is
+    * a Spark interval string ("1 hour", "15 minutes"). */
+  def resample(freq: String, on: String, aggs: ((String, String), String)*): PsDataFrame = {
+    require(aggs.nonEmpty, "resample needs at least one (col, fn) -> name aggregate")
+    val f = org.apache.spark.sql.functions
+    val cols = aggs.map { case ((c, fn), as) =>
+      (fn match {
+        case "sum"   => f.sum(_df(c))
+        case "mean"  => f.avg(_df(c))
+        case "min"   => f.min(_df(c))
+        case "max"   => f.max(_df(c))
+        case "count" => f.count(_df(c))
+        case other   => sys.error(s"resample: unsupported fn $other")
+      }).as(as)
+    }
+    new PsDataFrame(_df
+      .groupBy(f.window(_df(on), freq))
+      .agg(cols.head, cols.tail: _*)
+      .select(col("window.start").as("window_start") +: aggs.map(a => col(a._2)): _*))
+  }
+
   // ---- union (reference Union core.py:958-975) ----
 
   /** `concat` — UNION ALL by column NAME (the reference checks column-set

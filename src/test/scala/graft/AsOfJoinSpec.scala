@@ -98,6 +98,28 @@ class AsOfJoinSpec extends AnyFunSuite with SparkFixture {
     assert(lagged == Seq(None, Some(10.0), Some(20.0), None))
   }
 
+  test("mergeAsof facade == direct native asof; resample buckets event time") {
+    val (l, r) = frames
+    val viaFacade = PsDataFrame(l).mergeAsof(PsDataFrame(r), on = "t", by = Seq("k"))
+      .df.collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    val direct = AsOfJoin.asof(l, r, Seq("k"), "t", "t", Seq("v"))
+      .collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    assert(viaFacade == direct)
+
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.timestamp_seconds
+    val ev = Seq((10L, 1.0), (70L, 2.0), (80L, 3.0), (3700L, 4.0))
+      .toDF("sec", "v").withColumn("ts", timestamp_seconds($"sec"))
+    val res = PsDataFrame(ev)
+      .resample("1 minute", "ts", ("v", "sum") -> "total", ("v", "count") -> "n")
+      .df.orderBy("window_start").collect()
+    assert(res.length == 3)
+    assert(res(0).getDouble(1) == 1.0 && res(1).getDouble(1) == 5.0 &&
+      res(2).getDouble(1) == 4.0)
+    assert(res(1).getLong(2) == 2L)
+  }
+
   test("shift: negative n is lead; rollingAgg generalizes rolling mean") {
     val s = spark
     import s.implicits._
