@@ -60,6 +60,22 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     assert(plan.contains("partial_sum"), plan.take(800))
   }
 
+  test("pipeline and binning queries prune their scans to the used columns") {
+    val dir = "/root/testdata/sf0.001"
+    def readSchemas(q: String): Seq[String] = {
+      val p = graft.SparkEntry.queries(q)(spark, dir)
+        .queryExecution.executedPlan.toString
+      p.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    }
+    // a 2-column projection must not read the whole documents/orders row
+    // (the edges-aggregate scan legitimately reads o_totalprice alone)
+    assert(readSchemas("q_pipeline").forall(s =>
+      s.contains("doc_id") && s.contains("text") && !s.contains("lang")))
+    val qs = readSchemas("q_qcut")
+    assert(qs.nonEmpty && qs.forall(!_.contains("o_custkey")), qs.mkString("\n"))
+    assert(qs.exists(_.contains("o_orderkey")))
+  }
+
   test("runtime bloom filter prunes the big side of a selective join") {
     // 100 TB posture: a selective dim filter should reach the fact scan
     // as a runtime bloom filter (row-group pruning before the shuffle),
