@@ -633,6 +633,16 @@ object ExtQueries {
         .orderBy("lang_pred", "split")
     }),
 
+    // importance sampling: keep probability proportional to a per-row
+    // quality proxy (here: length-derived, capped at 1) — deterministic
+    // hash membership, so the oracle reproduces it row-for-row
+    "q_weighted_sample" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val w = least(length(col("text")) / lit(500.0), lit(1.0))
+      Sampling.sampleByWeight(d.df.withColumn("w", w), "doc_id", "w")
+        .select("doc_id").orderBy("doc_id")
+    }),
+
     // per-stratum downsampling (halve English, keep the rest)
     "q_stratsample" -> ((s, dir) => {
       val d = t(s, dir, "documents")
@@ -1275,6 +1285,12 @@ object ExtQueries {
          FROM (SELECT doc_id,
                  ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 10000 AS b
                FROM documents) ORDER BY doc_id""",
+    "q_weighted_sample" ->
+      """SELECT doc_id FROM (
+           SELECT doc_id, least(length(text) / 500.0, 1.0) AS w,
+                  ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 10000 AS b
+           FROM documents)
+         WHERE b < floor(w * 10000) ORDER BY doc_id""",
     "q_stratsample" ->
       """SELECT doc_id, lang
          FROM (SELECT doc_id, lang,

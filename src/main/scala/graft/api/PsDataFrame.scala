@@ -183,6 +183,14 @@ final class PsDataFrame(private var _df: DataFrame) {
   def concat(others: PsDataFrame*): PsDataFrame =
     new PsDataFrame(others.foldLeft(_df)((acc, o) => acc.unionByName(o.df)))
 
+  /** pandas `concat` with NON-identical column sets: the output schema is
+    * the union of columns, absent cells null (pandas NaN). The reference
+    * rejects this shape (symmetric-difference check); the strict form
+    * stays as [[concat]]. */
+  def concatOuter(others: PsDataFrame*): PsDataFrame =
+    new PsDataFrame(others.foldLeft(_df)((acc, o) =>
+      acc.unionByName(o.df, allowMissingColumns = true)))
+
   // ---- set ops / cross join (designed extensions — the reference has
   //      no INTERSECT/EXCEPT and fakes cross joins with a dummy=1 key,
   //      SURVEY §2.4-2.5) ----
@@ -406,8 +414,21 @@ final class PsDataFrame(private var _df: DataFrame) {
   /** pandas `dropna()`: drop rows with a null in ANY of the `subset`
     * columns (any column when empty). Filter only — pushes down like any
     * other predicate. */
-  def dropna(subset: Seq[String] = Nil): PsDataFrame =
-    new PsDataFrame(if (subset.isEmpty) _df.na.drop() else _df.na.drop(subset))
+  def dropna(subset: Seq[String] = Nil, how: String = "any",
+      thresh: Option[Int] = None): PsDataFrame = {
+    require(how == "any" || how == "all", s"dropna how must be any|all, got $how")
+    val cols = if (subset.isEmpty) _df.columns.toSeq else subset
+    val dropped = thresh match {
+      // pandas thresh: keep rows with at least `thresh` non-null cells
+      case Some(t) => _df.na.drop(t, cols)
+      case None    => _df.na.drop(how, cols)
+    }
+    new PsDataFrame(dropped)
+  }
+
+  /** pandas `fillna({col: value, ...})` — per-column replacements. */
+  def fillnaMap(values: Map[String, Any]): PsDataFrame =
+    new PsDataFrame(_df.na.fill(values))
 
   /** pandas `groupby(keys).head(n)` / per-group nlargest: the first `n`
     * rows of every group under `orderBy`. Plans a map-side

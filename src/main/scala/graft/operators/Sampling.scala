@@ -45,6 +45,19 @@ object Sampling {
       df: DataFrame, keyCol: String, fraction: Double, salt: String = ""): DataFrame =
     df.filter(bucketOf(df(keyCol), salt) < math.round(fraction * Buckets))
 
+  /** Importance sampling: keep each row with its OWN probability from
+    * `weightCol` (clamped to [0,1]) — the data-mixing primitive
+    * ("sample documents proportional to quality score"). Deterministic
+    * like every sampler here: membership is hash(key) vs floor(w·buckets),
+    * so re-runs and engine migrations agree row-for-row, and the realized
+    * rate converges to mean(w). Per-row, no shuffle, codegen'd. */
+  def sampleByWeight(
+      df: DataFrame, keyCol: String, weightCol: String,
+      salt: String = ""): DataFrame = {
+    val w = least(greatest(df(weightCol).cast("double"), lit(0.0)), lit(1.0))
+    df.filter(bucketOf(df(keyCol), salt) < floor(w * Buckets))
+  }
+
   /** Per-stratum deterministic sampling: each stratum keeps its own
     * fraction (downsample hot classes, keep rare ones whole). */
   def stratifiedSampleByHash(

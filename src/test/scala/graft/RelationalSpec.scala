@@ -247,6 +247,28 @@ class RelationalSpec extends AnyFunSuite with SparkFixture {
     assert(row.getString(1) == "a" && row.getString(3) == "b")
   }
 
+  test("concatOuter unions columns with null fill; dropna thresh/all; fillna map") {
+    val s = spark
+    import s.implicits._
+    val a = PsDataFrame(Seq((1, "x")).toDF("k", "s"))
+    val b = PsDataFrame(Seq((2, 9.5)).toDF("k", "d"))
+    val u = a.concatOuter(b)
+    assert(u.columns == Seq("k", "s", "d"))
+    val rows = u.df.orderBy("k").collect()
+    assert(rows(0).getString(1) == "x" && rows(0).isNullAt(2))
+    assert(rows(1).isNullAt(1) && rows(1).getDouble(2) == 9.5)
+    intercept[org.apache.spark.sql.AnalysisException](a.concat(b).df.collect())
+
+    val n = PsDataFrame(Seq(
+      (Some(1), Some("a"), Some(1.0)), (Some(2), None, None), (None, None, None))
+      .toDF("x", "y", "z"))
+    assert(n.dropna(how = "all").df.count() == 2) // only the all-null row drops
+    assert(n.dropna(thresh = Some(2)).df.count() == 1) // needs >=2 non-null
+    val filled = n.fillnaMap(Map("y" -> "?", "z" -> 0.0)).df
+      .orderBy(org.apache.spark.sql.functions.col("x").asc_nulls_last).collect()
+    assert(filled(1).getString(1) == "?" && filled(1).getDouble(2) == 0.0)
+  }
+
   test("astype casts per column in place; sample is deterministic and nested") {
     val s = spark
     import s.implicits._

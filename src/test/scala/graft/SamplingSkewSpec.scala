@@ -7,6 +7,22 @@ import graft.operators.{Sampling, Skew}
 
 class SamplingSkewSpec extends AnyFunSuite with SparkFixture {
 
+  test("sampleByWeight: realized rate tracks the per-row probability") {
+    val s = spark
+    import s.implicits._
+    val d = (1L to 4000L).map(i => (i, if (i % 2 == 0) 1.0 else 0.25))
+      .toDF("id", "w")
+    val kept = graft.operators.Sampling.sampleByWeight(d, "id", "w")
+      .groupBy("w").count().collect().map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    assert(kept(1.0) == 2000L) // probability 1 keeps everything
+    assert(math.abs(kept(0.25) - 500L) < 120, s"got ${kept(0.25)}")
+    // out-of-range weights clamp instead of corrupting the filter
+    val clamped = graft.operators.Sampling.sampleByWeight(
+      Seq((1L, 7.5), (2L, -3.0)).toDF("id", "w"), "id", "w")
+      .collect().map(_.getLong(0)).toSet
+    assert(clamped == Set(1L))
+  }
+
   private def ids = {
     val s = spark
     import s.implicits._
