@@ -369,6 +369,15 @@ object ExtQueries {
         .sortValues(Seq("o_orderkey")).df
     }),
 
+    // qcut within groups: price quartile per order priority (the
+    // per-stratum binning a mixing pipeline runs)
+    "q_qcut_group" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      o.qcutBy("o_totalprice", 4, Seq("o_orderpriority"), "band")
+        .select("o_orderkey", "o_orderpriority", "band")
+        .sortValues(Seq("o_orderkey")).df
+    }),
+
     // pandas groupby().transform(): per-customer order count and exact
     // scaled deviation (x*n - sum, decimal — no division, no float drift)
     "q_transform" -> ((s, dir) => {
@@ -1125,6 +1134,16 @@ object ExtQueries {
                 1 + (o_totalprice > e1)::INT + (o_totalprice > e2)::INT
                   + (o_totalprice > e3)::INT AS band
          FROM orders, e ORDER BY o_orderkey""",
+    "q_qcut_group" ->
+      """SELECT o_orderkey, o_orderpriority,
+            1 + (o_totalprice > e1)::INT + (o_totalprice > e2)::INT
+              + (o_totalprice > e3)::INT AS band
+         FROM (SELECT o_orderkey, o_orderpriority, o_totalprice,
+                 quantile_cont(o_totalprice, 0.25) OVER (PARTITION BY o_orderpriority) AS e1,
+                 quantile_cont(o_totalprice, 0.50) OVER (PARTITION BY o_orderpriority) AS e2,
+                 quantile_cont(o_totalprice, 0.75) OVER (PARTITION BY o_orderpriority) AS e3
+               FROM orders)
+         ORDER BY o_orderkey""",
     "q_transform" ->
       """SELECT o_orderkey, o_custkey, cnt, ((p_d * cnt) - sum_d)::DOUBLE AS dev_scaled
          FROM (SELECT o_orderkey, o_custkey,

@@ -257,6 +257,26 @@ final class PsDataFrame(private var _df: DataFrame) {
     new PsDataFrame(joined.withColumn(as, band).drop("__edges"))
   }
 
+  /** [[qcut]] within groups (pandas `groupby(...).transform(qcut)`):
+    * per-group exact quantile edges via ONE unordered window aggregate
+    * (hash shuffle on the group keys, no sort), then the same comparison
+    * chain. The per-stratum form is what a mixing pipeline actually runs
+    * ("quartile within each source/language"). */
+  def qcutBy(valueCol: String, q: Int, groupBy: Seq[String], as: String): PsDataFrame = {
+    require(q >= 2, "qcutBy needs q >= 2")
+    require(!_df.columns.contains("__edges"),
+      "qcutBy: input must not already have a __edges column")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(groupBy.map(_df(_)): _*)
+    val probs = (1 until q).map(_.toDouble / q)
+    val withE = _df.withColumn("__edges",
+      percentile(_df(valueCol), typedLit(probs)).over(w))
+    val band = (0 until q - 1).foldLeft(lit(1)) { (acc, i) =>
+      acc + when(col(valueCol) > col("__edges").getItem(i), 1).otherwise(0)
+    }
+    new PsDataFrame(withE.withColumn(as, band).drop("__edges"))
+  }
+
   /** pandas `groupby(keys)[col].transform(fn)` — the group aggregate
     * broadcast back onto every member row. An unordered window aggregate:
     * one hash shuffle on the keys, NO sort (no orderBy in the frame), and
