@@ -347,11 +347,31 @@ final class PsDataFrame(private var _df: DataFrame) {
       org.apache.spark.sql.functions.sum(_df(valueCol))
         .over(rowWindow(partitionBy, orderBy))))
 
-  /** pandas `groupby(...).rank()`: SQL rank over the given order. */
-  def rankIn(partitionBy: Seq[String], orderBy: Seq[PsColumn], as: String): PsDataFrame = {
+  /** pandas `groupby(...).rank(method=...)`: SQL rank over the given
+    * order. Methods: "min" (SQL rank, the prior default), "dense",
+    * "first" (row_number — requires a total order to be deterministic),
+    * "average" (pandas' default: ties share the mean of their positions
+    * — min-rank + (ties-1)/2, one extra count over the tie frame). */
+  def rankIn(partitionBy: Seq[String], orderBy: Seq[PsColumn], as: String,
+      method: String = "min"): PsDataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(partitionBy.map(_df(_)): _*).orderBy(orderBy.map(_.col): _*)
-    new PsDataFrame(_df.withColumn(as, rank().over(w)))
+    val f = org.apache.spark.sql.functions
+    val ranked = method match {
+      case "min"   => f.rank().over(w)
+      case "dense" => f.dense_rank().over(w)
+      case "first" => f.row_number().over(w)
+      case "average" =>
+        // ties = rows at the same order position: count over the frame of
+        // equal peers = (peers up to current) - (rank-1) ... expressed as
+        // min-rank + (tieCount - 1)/2 where tieCount comes from a count
+        // over a RANGE frame (peers of the current order value)
+        val ties = f.count(lit(1)).over(
+          w.rangeBetween(Window.currentRow, Window.currentRow))
+        f.rank().over(w) + (ties - lit(1)) / lit(2.0)
+      case other => sys.error(s"rankIn: unsupported method $other")
+    }
+    new PsDataFrame(_df.withColumn(as, ranked))
   }
 
   /** pandas `groupby(...).shift(n)`: value from n rows earlier in group order. */

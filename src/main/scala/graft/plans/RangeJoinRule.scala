@@ -73,7 +73,11 @@ object RangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
   private def bounds(c: Expression, j: Join): Seq[Bound] = {
     def mk(point: Expression, bound: Expression, lower: Boolean): Seq[Bound] =
       (sideOf(point, j), sideOf(bound, j)) match {
+        // deterministic only: the rewrite evaluates the point expression
+        // twice (bin key + residual) and the bounds three times — a
+        // rand()-bearing predicate would change value between them
         case (Some(pl), Some(bl)) if pl != bl &&
+            point.deterministic && bound.deterministic &&
             point.dataType.isInstanceOf[NumericType] &&
             bound.dataType.isInstanceOf[NumericType] =>
           Bound(point, bound, pl, lower) :: Nil

@@ -98,6 +98,29 @@ class AsOfJoinSpec extends AnyFunSuite with SparkFixture {
     assert(lagged == Seq(None, Some(10.0), Some(20.0), None))
   }
 
+  test("rank methods: min/dense/first/average match pandas tie semantics") {
+    val s = spark
+    import s.implicits._
+    // values 10, 20, 20, 30 -> pandas ranks:
+    //   min: 1,2,2,4  dense: 1,2,2,3  average: 1, 2.5, 2.5, 4
+    val d = PsDataFrame(Seq(
+      ("a", 1, 10.0), ("a", 2, 20.0), ("a", 3, 20.0), ("a", 4, 30.0))
+      .toDF("g", "seq", "v"))
+    def ranks(m: String): Seq[Double] =
+      d.rankIn(Seq("g"), Seq(d("v").asc), "r", method = m)
+        .df.orderBy("seq").collect()
+        .map(r => r.get(3) match {
+          case i: Int => i.toDouble
+          case x: Double => x
+        }).toSeq
+    assert(ranks("min") == Seq(1.0, 2.0, 2.0, 4.0))
+    assert(ranks("dense") == Seq(1.0, 2.0, 2.0, 3.0))
+    assert(ranks("average") == Seq(1.0, 2.5, 2.5, 4.0))
+    // first needs the tie broken by the order given; with v asc only it
+    // still numbers rows 1..4
+    assert(ranks("first").sorted == Seq(1.0, 2.0, 3.0, 4.0))
+  }
+
   test("mergeAsof facade == direct native asof; resample buckets event time") {
     val (l, r) = frames
     val viaFacade = PsDataFrame(l).mergeAsof(PsDataFrame(r), on = "t", by = Seq("k"))
