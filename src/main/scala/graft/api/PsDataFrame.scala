@@ -411,14 +411,26 @@ final class PsDataFrame(private var _df: DataFrame) {
   /** pandas `df[c].value_counts()`: one row per distinct value with its
     * count, most frequent first (ties broken by value so the order is
     * deterministic). Partial-aggregating groupBy + a bounded sort. */
-  def valueCounts(c: String): PsDataFrame = {
+  def valueCounts(c: String, normalize: Boolean = false): PsDataFrame = {
     // pandas raises "cannot insert count, already exists" when counting a
     // column itself named count — mirror that instead of emitting two
     // ambiguous `count` columns
     require(c != "count", "value_counts: cannot count a column named 'count'")
-    new PsDataFrame(_df.groupBy(c)
+    val counted = _df.groupBy(c)
       .agg(org.apache.spark.sql.functions.count(lit(1)).as("count"))
-      .orderBy(col("count").desc, _df(c)))
+    // normalize=true -> pandas `proportion` column: count / total, via a
+    // total window over the (small) distinct-value result, not the corpus
+    val out =
+      if (!normalize) counted
+      else {
+        import org.apache.spark.sql.expressions.Window
+        counted.withColumn("proportion",
+          col("count") / org.apache.spark.sql.functions.sum("count")
+            .over(Window.partitionBy()))
+          .drop("count")
+      }
+    val ord = if (normalize) col("proportion") else col("count")
+    new PsDataFrame(out.orderBy(ord.desc, col(c)))
   }
 
   /** pandas `melt(id_vars, value_vars)`: wide-to-long reshape — one

@@ -269,6 +269,15 @@ class RelationalSpec extends AnyFunSuite with SparkFixture {
     assert(filled(1).getString(1) == "?" && filled(1).getDouble(2) == 0.0)
   }
 
+  test("value_counts normalize=true yields proportions summing to 1") {
+    val s = spark
+    import s.implicits._
+    val d = PsDataFrame(Seq("a", "a", "a", "b").toDF("x"))
+    val p = d.valueCounts("x", normalize = true).df.collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(p == Map("a" -> 0.75, "b" -> 0.25))
+  }
+
   test("astype casts per column in place; sample is deterministic and nested") {
     val s = spark
     import s.implicits._
