@@ -391,6 +391,147 @@ object ExtQueries {
         .sortValues(Seq("o_orderkey")).df
     }),
 
+    // pandas corr/cov per group — the bit-portable exact-co-sums form
+    // (native corrCov is unit-tested against it; its co-moment merge
+    // order isn't hash-oracle-safe)
+    "q_corr" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      li.groupby("l_returnflag")
+        .corrExact("l_quantity", "l_extendedprice", "qp_corr", "qp_cov")
+        .sortValues(Seq("l_returnflag")).df
+    }),
+
+    // ordered aggregates (pandas idxmax/idxmin/first/last): ONE
+    // partial-aggregating pass via struct extrema — no window, no
+    // per-group sort; ties deterministic through the unique anchor
+    "q_idxmax" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      o.groupby("o_custkey").aggOrdered("o_orderkey",
+          ("o_totalprice", "idxmax") -> "best_order",
+          ("o_totalprice", "idxmin") -> "worst_order",
+          ("o_totalprice", "first")  -> "first_price",
+          ("o_totalprice", "last")   -> "last_price")
+        .sortValues(Seq("o_custkey")).df
+    }),
+
+    // PII redaction over a deterministically-spiked corpus (the raw
+    // synthetic text carries no PII, so the query plants one email, one
+    // URL, and one phone per doc, then strips them)
+    "q_redact" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val spiked = concat(col("text"),
+        lit(" contact user"), col("doc_id"), lit("@mail.example.com"),
+        lit(" visit https://ex.example/"), col("doc_id"),
+        lit(" call +1 555-01"), col("doc_id"))
+      d.df.select(col("doc_id"),
+          TextAnalysis.redactPii(spiked).as("clean"))
+        .orderBy("doc_id")
+    }),
+
+    // weighted corpus mixing: 25% of English + all of the rest, each
+    // source hash-sampled under its own salt — deterministic mixture,
+    // filters pushed to each scan, no shuffle in the mix
+    "q_mix" -> ((s, dir) => {
+      val d = t(s, dir, "documents").df
+      val mixed = Sampling.mixCorpora(Seq(
+          ("en_down", d.filter(col("lang") === "en"), 0.25),
+          ("rest_full", d.filter(col("lang") =!= "en"), 1.0)),
+        keyCol = "doc_id")
+      mixed.select("doc_id", "lang", "mix_source").orderBy("doc_id")
+    }),
+
+    // one-hot encoding with explicit categories: codegen'd indicator
+    // CASE columns, shuffle-free (value discovery would be an eager scan)
+    "q_dummies" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      c.getDummies("c_mktsegment",
+          Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"),
+          prefix = "seg")
+        .select("c_custkey", "seg_AUTOMOBILE", "seg_BUILDING",
+          "seg_FURNITURE", "seg_HOUSEHOLD", "seg_MACHINERY")
+        .sortValues(Seq("c_custkey")).df
+    }),
+
+    // two-way frequency table (pandas crosstab): one pivot pass, zeros
+    "q_crosstab" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      o.crosstab("o_orderpriority", "o_orderstatus", Seq("F", "O", "P"))
+        .sortValues(Seq("o_orderpriority")).df
+    }),
+
+    // pandas combine_first: self wins, other fills the gaps (full outer
+    // join + codegen'd coalesce); nulls fabricated on a deterministic mask
+    "q_combine_first" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val l = PsDataFrame(c.df.select(col("c_custkey"),
+        when(col("c_nationkey") % 3 === 0, lit(null))
+          .otherwise(col("c_acctbal")).as("c_acctbal"),
+        col("c_name")))
+      val r = PsDataFrame(c.df.filter(col("c_custkey") % 2 === 0)
+        .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment")))
+      l.combineFirst(r, Seq("c_custkey"))
+        .sortValues(Seq("c_custkey")).df
+    }),
+
+    // pandas merge(indicator=True): presence flags carried through the
+    // outer join -> _merge = both | left_only | right_only
+    "q_merge_ind" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+      val rich = PsDataFrame(t(s, dir, "customer").df
+        .filter(col("c_acctbal") > 5000)
+        .select(col("c_custkey").as("o_custkey"), col("c_acctbal")))
+      o.mergeIndicator(rich, Seq("o_custkey"), how = "outer")
+        .sortValues(Seq("o_custkey", "o_orderkey")).df
+    }),
+
+    // pandas groupby().filter(len >= n): one unordered window count —
+    // never the agg-then-self-join double shuffle
+    "q_group_filter" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      li.groupby("l_orderkey").filterSize(5)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .sortValues(Seq("l_orderkey", "l_linenumber")).df
+    }),
+
+    // per-group modal value (ties -> smallest value, deterministic):
+    // counts pass + struct-extrema argmax, never a per-group sort
+    "q_mode" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      d.groupby("source").mode("lang", "top_lang")
+        .sortValues(Seq("source")).df
+    }),
+
+    // pandas replace: literal value mapping, unmatched pass through
+    "q_replace" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      d.replaceVals("lang", Seq("en" -> "english", "de" -> "german"))
+        .select("doc_id", "lang").sortValues(Seq("doc_id")).df
+    }),
+
+    // pandas diff/pct_change over each customer's order sequence (the
+    // unique o_orderkey makes the lag order total — lineitem's
+    // (orderkey, linenumber) is NOT unique in this corpus, so a lag
+    // there would be tie-ambiguous across engines); the pct is one IEEE
+    // division on doubles
+    "q_diff" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val ord = Seq(o("o_orderkey").asc)
+      o.diffCol("o_totalprice", 1, Seq("o_custkey"), ord, "d_price")
+        .pctChange("o_totalprice", 1, Seq("o_custkey"), ord, "pct_price")
+        .select("o_custkey", "o_orderkey", "d_price", "pct_price")
+        .sortValues(Seq("o_custkey", "o_orderkey")).df
+    }),
+
+    // pandas cummax/cummin: running price extrema per customer — one
+    // window pass, O(1) running state per row
+    "q_cummax" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      o.cumAgg("o_totalprice", "max", Seq("o_custkey"), Seq("o_orderkey"), "run_max")
+        .cumAgg("o_totalprice", "min", Seq("o_custkey"), Seq("o_orderkey"), "run_min")
+        .select("o_custkey", "o_orderkey", "run_max", "run_min")
+        .sortValues(Seq("o_custkey", "o_orderkey")).df
+    }),
+
     // rank + shift (pandas rank/shift analogues) per customer
     "q_ranklag" -> ((s, dir) => {
       val o = t(s, dir, "orders")
@@ -1158,6 +1299,138 @@ object ExtQueries {
                PARTITION BY o_custkey ORDER BY o_orderkey
                ROWS UNBOUNDED PRECEDING))::DOUBLE AS cum_spend
          FROM orders ORDER BY o_custkey, o_orderkey""",
+    // redaction: same spike, same three patterns (Java∩RE2 subset), same
+    // URL -> email -> phone order; 'g' replays Spark's replace-all
+    "q_redact" ->
+      """SELECT doc_id,
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(
+                  text || ' contact user' || doc_id::VARCHAR
+                       || '@mail.example.com visit https://ex.example/'
+                       || doc_id::VARCHAR || ' call +1 555-01' || doc_id::VARCHAR,
+                  'https?://[^ \t\n]+', '<URL>', 'g'),
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+              '\+?[0-9][0-9() \-]{6,}[0-9]', '<PHONE>', 'g') AS clean
+         FROM documents ORDER BY doc_id""",
+    "q_mix" ->
+      """WITH b AS (SELECT doc_id, lang,
+              ('0x' || substr(md5(doc_id::VARCHAR || 'en_down'), 1, 15))::BIGINT
+                % 10000 AS b_en
+            FROM documents)
+         SELECT doc_id, lang, 'en_down' AS mix_source FROM b
+         WHERE lang = 'en' AND b_en < 2500
+         UNION ALL
+         SELECT doc_id, lang, 'rest_full' FROM b WHERE lang <> 'en'
+         ORDER BY doc_id""",
+    "q_dummies" ->
+      """SELECT c_custkey,
+            (c_mktsegment = 'AUTOMOBILE')::INT AS seg_AUTOMOBILE,
+            (c_mktsegment = 'BUILDING')::INT   AS seg_BUILDING,
+            (c_mktsegment = 'FURNITURE')::INT  AS seg_FURNITURE,
+            (c_mktsegment = 'HOUSEHOLD')::INT  AS seg_HOUSEHOLD,
+            (c_mktsegment = 'MACHINERY')::INT  AS seg_MACHINERY
+         FROM customer ORDER BY c_custkey""",
+    "q_crosstab" ->
+      """SELECT o_orderpriority,
+            count(*) FILTER (o_orderstatus = 'F') AS "F",
+            count(*) FILTER (o_orderstatus = 'O') AS "O",
+            count(*) FILTER (o_orderstatus = 'P') AS "P"
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q_combine_first" ->
+      """WITH l AS (SELECT c_custkey,
+                      CASE WHEN c_nationkey % 3 = 0 THEN NULL
+                           ELSE c_acctbal END AS c_acctbal,
+                      c_name FROM customer),
+              r AS (SELECT c_custkey, c_acctbal, c_mktsegment
+                    FROM customer WHERE c_custkey % 2 = 0)
+         SELECT COALESCE(l.c_custkey, r.c_custkey) AS c_custkey,
+                COALESCE(l.c_acctbal, r.c_acctbal) AS c_acctbal,
+                l.c_name, r.c_mktsegment
+         FROM l FULL OUTER JOIN r ON l.c_custkey = r.c_custkey
+         ORDER BY c_custkey""",
+    "q_merge_ind" ->
+      """WITH l AS (SELECT o_orderkey, o_custkey FROM orders),
+              r AS (SELECT c_custkey, c_acctbal FROM customer
+                    WHERE c_acctbal > 5000)
+         SELECT l.o_orderkey,
+            COALESCE(l.o_custkey, r.c_custkey) AS o_custkey,
+            r.c_acctbal,
+            CASE WHEN l.o_custkey IS NOT NULL AND r.c_custkey IS NOT NULL
+                   THEN 'both'
+                 WHEN l.o_custkey IS NOT NULL THEN 'left_only'
+                 ELSE 'right_only' END AS _merge
+         FROM l FULL OUTER JOIN r ON l.o_custkey = r.c_custkey
+         ORDER BY o_custkey, o_orderkey""",
+    "q_group_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+         QUALIFY count(*) OVER (PARTITION BY l_orderkey) >= 5
+         ORDER BY l_orderkey, l_linenumber""",
+    "q_mode" ->
+      """SELECT source, lang AS top_lang FROM (
+           SELECT source, lang,
+              row_number() OVER (PARTITION BY source
+                ORDER BY count(*) DESC, lang ASC) AS rn
+           FROM documents GROUP BY source, lang)
+         WHERE rn = 1 ORDER BY source""",
+    "q_replace" ->
+      """SELECT doc_id,
+            CASE WHEN lang = 'en' THEN 'english'
+                 WHEN lang = 'de' THEN 'german'
+                 ELSE lang END AS lang
+         FROM documents ORDER BY doc_id""",
+    // corr/cov: decimal co-sums are exact (so merge-order-free); the
+    // closing double arithmetic replays corrExact's exact op sequence
+    "q_corr" ->
+      """WITH s AS (
+           SELECT l_returnflag,
+              count(*)::DOUBLE AS n,
+              (sum(l_quantity::DECIMAL(18,2)))::DOUBLE AS sx,
+              (sum(l_extendedprice::DECIMAL(18,2)))::DOUBLE AS sy,
+              (sum(l_quantity::DECIMAL(18,2) * l_quantity::DECIMAL(18,2)))::DOUBLE AS sxx,
+              (sum(l_extendedprice::DECIMAL(18,2) * l_extendedprice::DECIMAL(18,2)))::DOUBLE AS syy,
+              (sum(l_quantity::DECIMAL(18,2) * l_extendedprice::DECIMAL(18,2)))::DOUBLE AS sxy
+           FROM lineitem GROUP BY l_returnflag)
+         SELECT l_returnflag,
+            (n*sxy - sx*sy) / sqrt(n*sxx - sx*sx) / sqrt(n*syy - sy*sy) AS qp_corr,
+            (n*sxy - sx*sy) / n / (n - 1) AS qp_cov
+         FROM s ORDER BY l_returnflag""",
+    // ordered aggregates: the window formulation restates the struct-
+    // extrema tie rules exactly (idxmax ties -> largest key, idxmin ->
+    // smallest; first/last anchored on the unique o_orderkey)
+    "q_idxmax" ->
+      """WITH r AS (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+              row_number() OVER (PARTITION BY o_custkey
+                ORDER BY o_totalprice DESC, o_orderkey DESC) AS rmax,
+              row_number() OVER (PARTITION BY o_custkey
+                ORDER BY o_totalprice ASC, o_orderkey ASC) AS rmin,
+              row_number() OVER (PARTITION BY o_custkey
+                ORDER BY o_orderkey ASC) AS rfirst,
+              row_number() OVER (PARTITION BY o_custkey
+                ORDER BY o_orderkey DESC) AS rlast
+           FROM orders)
+         SELECT o_custkey,
+            max(CASE WHEN rmax = 1 THEN o_orderkey END) AS best_order,
+            max(CASE WHEN rmin = 1 THEN o_orderkey END) AS worst_order,
+            max(CASE WHEN rfirst = 1 THEN o_totalprice END) AS first_price,
+            max(CASE WHEN rlast = 1 THEN o_totalprice END) AS last_price
+         FROM r GROUP BY o_custkey ORDER BY o_custkey""",
+    "q_diff" ->
+      """SELECT o_custkey, o_orderkey,
+            o_totalprice - lag(o_totalprice, 1) OVER w AS d_price,
+            o_totalprice / lag(o_totalprice, 1) OVER w - 1 AS pct_price
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+         ORDER BY o_custkey, o_orderkey""",
+    "q_cummax" ->
+      """SELECT o_custkey, o_orderkey,
+            max(o_totalprice) OVER w AS run_max,
+            min(o_totalprice) OVER w AS run_min
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey
+                      ROWS UNBOUNDED PRECEDING)
+         ORDER BY o_custkey, o_orderkey""",
     "q_ranklag" ->
       """SELECT o_custkey, o_orderkey,
             rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk,

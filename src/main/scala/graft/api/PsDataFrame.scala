@@ -343,9 +343,7 @@ final class PsDataFrame(private var _df: DataFrame) {
   /** pandas `groupby(...).cumsum()`: running sum per group in row order. */
   def cumsum(valueCol: String, partitionBy: Seq[String], orderBy: Seq[String],
       as: String): PsDataFrame =
-    new PsDataFrame(_df.withColumn(as,
-      org.apache.spark.sql.functions.sum(_df(valueCol))
-        .over(rowWindow(partitionBy, orderBy))))
+    cumAgg(valueCol, "sum", partitionBy, orderBy, as)
 
   /** pandas `groupby(...).rank(method=...)`: SQL rank over the given
     * order. Methods: "min" (SQL rank, the prior default), "dense",
@@ -382,6 +380,47 @@ final class PsDataFrame(private var _df: DataFrame) {
     // pandas shift(n) with negative n looks forward: lead
     val shifted = if (n >= 0) lag(_df(valueCol), n) else lead(_df(valueCol), -n)
     new PsDataFrame(_df.withColumn(as, shifted.over(w)))
+  }
+
+  /** pandas `groupby(...).diff(n)`: value minus the value n rows earlier
+    * in group order (null while the shifted row is out of range);
+    * negative n diffs against a later row, as in pandas. */
+  def diffCol(valueCol: String, n: Int, partitionBy: Seq[String],
+      orderBy: Seq[PsColumn], as: String): PsDataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(partitionBy.map(_df(_)): _*)
+      .orderBy(orderBy.map(_.col): _*)
+    val prev = if (n >= 0) lag(_df(valueCol), n) else lead(_df(valueCol), -n)
+    new PsDataFrame(_df.withColumn(as, _df(valueCol) - prev.over(w)))
+  }
+
+  /** pandas `pct_change(n)`: x / shift(n) - 1 in group order. Both sides
+    * cast to double so the result is ONE IEEE division (bit-portable
+    * across engines) rather than an engine-specific decimal division. */
+  def pctChange(valueCol: String, n: Int, partitionBy: Seq[String],
+      orderBy: Seq[PsColumn], as: String): PsDataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(partitionBy.map(_df(_)): _*)
+      .orderBy(orderBy.map(_.col): _*)
+    val prev = (if (n >= 0) lag(_df(valueCol), n) else lead(_df(valueCol), -n)).over(w)
+    new PsDataFrame(_df.withColumn(as,
+      _df(valueCol).cast("double") / prev.cast("double") - lit(1.0)))
+  }
+
+  /** pandas `cummax/cummin/cumcount` (generalizes [[cumsum]]): one
+    * running rows-frame window pass — hash shuffle on the group key only,
+    * running state is O(1) per row for all four functions. */
+  def cumAgg(valueCol: String, fn: String, partitionBy: Seq[String],
+      orderBy: Seq[String], as: String): PsDataFrame = {
+    val f = org.apache.spark.sql.functions
+    val agg = fn match {
+      case "sum"   => f.sum(_df(valueCol))
+      case "max"   => f.max(_df(valueCol))
+      case "min"   => f.min(_df(valueCol))
+      case "count" => f.count(_df(valueCol))
+      case other   => sys.error(s"cumAgg: unsupported fn $other")
+    }
+    new PsDataFrame(_df.withColumn(as, agg.over(rowWindow(partitionBy, orderBy))))
   }
 
   /** pandas `rolling(window, min_periods=window).agg(fn)` within groups:
@@ -442,6 +481,91 @@ final class PsDataFrame(private var _df: DataFrame) {
     new PsDataFrame(_df.unpivot(
       idVars.map(_df(_)).toArray, valueVars.map(_df(_)).toArray,
       varName, valueName))
+
+  /** pandas `get_dummies(column)` with EXPLICIT categories: a 0/1
+    * indicator column per category appended to the frame. Categories are
+    * required, not discovered — a value-less form would run an eager
+    * distinct scan at compose time, and unbounded one-hot width is a bug
+    * at scale, not a convenience (same contract as
+    * [[PsGroupedFrame.pivotAgg]]). One codegen'd projection, shuffle-free;
+    * null input rows get all-zeros, as in pandas. */
+  def getDummies(c: String, categories: Seq[Any], prefix: String = ""): PsDataFrame = {
+    require(categories.nonEmpty, "getDummies needs explicit categories")
+    val pre = if (prefix.nonEmpty) prefix else c
+    val dummies = categories.map(v =>
+      when(_df(c) === lit(v), lit(1)).otherwise(lit(0)).as(s"${pre}_$v"))
+    new PsDataFrame(_df.select(_df.columns.map(_df(_)) ++ dummies: _*))
+  }
+
+  /** pandas `crosstab(index, columns)`: two-way frequency table — one
+    * partial-aggregating pivot pass, empty cells 0 (pandas crosstab
+    * yields 0, unlike pivot_table's NaN). Column values explicit, as
+    * everywhere pivot-shaped. */
+  def crosstab(rowCol: String, colCol: String, colValues: Seq[Any]): PsDataFrame = {
+    require(colValues.nonEmpty, "crosstab needs explicit column values")
+    new PsDataFrame(_df.groupBy(_df(rowCol))
+      .pivot(colCol, colValues)
+      .agg(org.apache.spark.sql.functions.count(lit(1)))
+      .na.fill(0))
+  }
+
+  /** pandas `combine_first(other)` keyed on `on`: self's values win,
+    * other fills the gaps — a full outer join + per-column coalesce.
+    * Output schema is self's columns (in order) then other's extras;
+    * a 100 TB-side note: both sides shuffle once on the key, and the
+    * coalesce is codegen'd into the join's projection. */
+  def combineFirst(other: PsDataFrame, on: Seq[String]): PsDataFrame = {
+    require(on.nonEmpty, "combineFirst needs join keys")
+    // name-qualified resolution: both inputs may derive from the SAME
+    // source frame (the pandas-typical case), where attribute-id lookup
+    // through la(k)/ra(k) is ambiguous by construction
+    val la = _df.alias("__cf_l")
+    val ra = other.df.alias("__cf_r")
+    def lc(c: String) = col(s"__cf_l.`$c`")
+    def rc(c: String) = col(s"__cf_r.`$c`")
+    val cond = on.map(k => lc(k) === rc(k)).reduce(_ && _)
+    val lVals = _df.columns.filterNot(on.contains)
+    val rVals = other.df.columns.filterNot(on.contains)
+    val keyCols = on.map(k => coalesce(lc(k), rc(k)).as(k))
+    val valCols =
+      lVals.map(c => if (rVals.contains(c)) coalesce(lc(c), rc(c)).as(c)
+                     else lc(c).as(c)) ++
+      rVals.filterNot(lVals.contains).map(c => rc(c).as(c))
+    new PsDataFrame(la.join(ra, cond, "full_outer")
+      .select(keyCols ++ valCols: _*))
+  }
+
+  /** pandas `merge(..., indicator=True)`: the merge plus a `_merge`
+    * column — 'both' | 'left_only' | 'right_only' — from presence flags
+    * carried through the join (no second pass). */
+  def mergeIndicator(right: PsDataFrame, on: Seq[String],
+      how: String = "outer"): PsDataFrame = {
+    require(!_df.columns.contains("_merge") && !right.columns.contains("_merge"),
+      "mergeIndicator: input already has a _merge column")
+    val fl = Iterator.from(0).map(i => s"__from_l$i")
+      .find(n => !_df.columns.contains(n) && !right.columns.contains(n)).get
+    val fr = Iterator.from(0).map(i => s"__from_r$i")
+      .find(n => !_df.columns.contains(n) && !right.columns.contains(n)).get
+    val l2 = new PsDataFrame(_df.withColumn(fl, lit(1)))
+    val r2 = new PsDataFrame(right.df.withColumn(fr, lit(1)))
+    val j = l2.merge(r2, on = on, how = how).df
+    new PsDataFrame(j.withColumn("_merge",
+        when(col(fl).isNotNull && col(fr).isNotNull, "both")
+          .when(col(fl).isNotNull, "left_only")
+          .otherwise("right_only"))
+      .drop(fl, fr))
+  }
+
+  /** pandas `df[c].replace(mapping)`: literal value mapping, unmatched
+    * values pass through. One codegen'd CASE chain, shuffle-free. */
+  def replaceVals(c: String, mapping: Seq[(Any, Any)]): PsDataFrame = {
+    require(mapping.nonEmpty, "replaceVals needs a non-empty mapping")
+    val chain = mapping.foldLeft(Option.empty[Column]) { case (acc, (from, to)) =>
+      Some(acc.fold(when(_df(c) === lit(from), lit(to)))(
+        _.when(_df(c) === lit(from), lit(to))))
+    }.get.otherwise(_df(c))
+    new PsDataFrame(_df.withColumn(c, chain))
+  }
 
   /** pandas `fillna(value)`: replace nulls with `value` in the given
     * columns (all type-compatible columns when `subset` is empty). The

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{BooleanType, NumericType}
 import graft.functions.GraftAggregates
+import org.apache.spark.sql.{functions => F}
 
 /** Grouped intermediate — not executable until an aggregate is applied.
   *
@@ -57,6 +58,121 @@ final class PsGroupedFrame(
     require(q >= 0 && q <= 1, "quantile q must be in [0, 1]")
     new PsDataFrame(grouped(Seq(
       percentile(df(valueCol), lit(q)).as(as))))
+  }
+
+  /** Ordered aggregates — pandas `idxmax/idxmin/first/last` — ALL in one
+    * partial-aggregating pass (no window, no per-group sort, O(1) agg
+    * state per spec) via the struct-extrema trick:
+    *
+    *   - `idxmax`: `anchorCol` of the row with the max value —
+    *     `max(struct(value, anchor))`; ties take the LARGEST anchor
+    *   - `idxmin`: anchor of the min value; ties take the SMALLEST anchor
+    *   - `first`:  value at the smallest anchor — `min(struct(anchor, value))`
+    *   - `last`:   value at the largest anchor
+    *
+    * pandas' own tie rule ("first row encountered") has no distributed
+    * meaning, so ties resolve through struct ordering instead — a
+    * deterministic convention the DuckDB oracle mirrors exactly. Pass a
+    * unique anchor (e.g. the primary key) for a total order. */
+  def aggOrdered(anchorCol: String, specs: ((String, String), String)*): PsDataFrame = {
+    val anchor = df(anchorCol)
+    val aggs = specs.map { case ((c, fn), out) =>
+      val v = df(c)
+      (fn match {
+        case "idxmax" => F.max(struct(v, anchor)).getField(anchorCol)
+        case "idxmin" => F.min(struct(v, anchor)).getField(anchorCol)
+        case "first"  => F.min(struct(anchor, v)).getField(c)
+        case "last"   => F.max(struct(anchor, v)).getField(c)
+        case other => throw new IllegalArgumentException(
+          s"aggOrdered: unsupported fn $other (idxmax/idxmin/first/last)")
+      }).as(out)
+    }
+    new PsDataFrame(grouped(aggs))
+  }
+
+  /** pandas `groupby(keys)[valueCol].idxmax()` sugar over [[aggOrdered]]. */
+  def idxmax(valueCol: String, idCol: String, as: String): PsDataFrame =
+    aggOrdered(idCol, (valueCol, "idxmax") -> as)
+
+  /** pandas `idxmin()` sugar over [[aggOrdered]]. */
+  def idxmin(valueCol: String, idCol: String, as: String): PsDataFrame =
+    aggOrdered(idCol, (valueCol, "idxmin") -> as)
+
+  /** pandas `groupby(keys)[[c1,c2]].corr()` / `.cov()`: Pearson
+    * correlation and sample covariance (ddof=1) in ONE native pass
+    * (streaming co-moments, partial+final). The co-moment merge order
+    * makes the low bits partition-dependent — fine for analytics; use
+    * [[corrExact]] where bit-exact cross-engine parity matters. */
+  def corrCov(c1: String, c2: String, corrAs: String, covAs: String): PsDataFrame =
+    new PsDataFrame(grouped(Seq(
+      corr(df(c1), df(c2)).as(corrAs),
+      covar_samp(df(c1), df(c2)).as(covAs))))
+
+  /** Bit-portable Pearson correlation + sample covariance: the five
+    * co-sums are EXACT decimal aggregates (merge-order-free by
+    * exactness), and the closing arithmetic is a fixed left-to-right
+    * sequence of IEEE double ops that the DuckDB oracle replays verbatim
+    * — so the hash compare holds bit-for-bit. One partial-aggregating
+    * pass, O(1) state; decimal(38,4) sums hold ~1e34 row-value products,
+    * far past 100 TB-scale row counts. Inputs are cast to decimal(18,2) —
+    * two fractional digits, matching money/quantity columns; a wider
+    * input scale would push the product past both engines' 38-digit
+    * decimal width (DuckDB overflows, Spark silently rounds). */
+  def corrExact(c1: String, c2: String, corrAs: String, covAs: String): PsDataFrame = {
+    val x = df(c1).cast("decimal(18,2)")
+    val y = df(c2).cast("decimal(18,2)")
+    val g = grouped(Seq(
+      F.count(lit(1)).as("__n"),
+      F.sum(x).as("__sx"), F.sum(y).as("__sy"),
+      F.sum(x * x).as("__sxx"), F.sum(y * y).as("__syy"),
+      F.sum(x * y).as("__sxy")))
+    val n   = col("__n").cast("double")
+    val sx  = col("__sx").cast("double");  val sy  = col("__sy").cast("double")
+    val sxx = col("__sxx").cast("double"); val syy = col("__syy").cast("double")
+    val sxy = col("__sxy").cast("double")
+    val covNum = n * sxy - sx * sy
+    new PsDataFrame(g
+      .withColumn(corrAs, covNum / sqrt(n * sxx - sx * sx) / sqrt(n * syy - sy * sy))
+      .withColumn(covAs, covNum / n / (n - lit(1.0)))
+      .drop("__n", "__sx", "__sy", "__sxx", "__syy", "__sxy"))
+  }
+
+  /** pandas `groupby(keys).filter(lambda g: fn(g[c]) <pred>)`: keep ALL
+    * rows of groups whose aggregate satisfies `pred`. ONE unordered
+    * window aggregate — hash shuffle on the keys, no sort, no self-join
+    * (the naive agg-then-join form would shuffle twice). */
+  def filterAgg(valueCol: String, fn: String, pred: Column => Column): PsDataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tmp = Iterator.from(0).map(i => s"__gagg$i")
+      .find(!df.columns.contains(_)).get
+    val w = Window.partitionBy(keys.map(df(_)): _*)
+    val out = df.withColumn(tmp, PsGroupedFrame.fnCol(fn, df(valueCol)).over(w))
+      .filter(pred(col(tmp)))
+      .drop(tmp)
+    new PsDataFrame(out)
+  }
+
+  /** pandas `groupby(keys).filter(lambda g: len(g) >= n)` sugar. */
+  def filterSize(minSize: Long): PsDataFrame = {
+    require(keys.nonEmpty, "filterSize needs group keys")
+    filterAgg(keys.head, "count", _ >= minSize)
+  }
+
+  /** pandas `groupby(keys)[valueCol].agg(pd.Series.mode)` — the modal
+    * value per group, ties resolving to the SMALLEST value (pandas mode
+    * returns all tied values sorted; distributed we keep the first).
+    * Two partial-aggregating passes — (keys, value) counts, then a
+    * struct-extrema argmax — never a per-group sort. */
+  def mode(valueCol: String, as: String): PsDataFrame = {
+    val counted = df.groupBy((keys :+ valueCol).map(df(_)): _*)
+      .agg(F.count(lit(1)).as("__cnt"))
+    // min(struct(-cnt, value)): largest count first, smallest value on ties
+    val pick = F.min(struct((-col("__cnt")).as("nc"), col(valueCol).as("v")))
+      .getField("v").as(as)
+    val out =
+      if (keys.isEmpty) counted.agg(pick)
+      else counted.groupBy(keys.map(counted(_)): _*).agg(pick)
+    new PsDataFrame(out)
   }
 
   def sum(): PsDataFrame   = aggAllColumns("sum")

@@ -121,6 +121,24 @@ object TextAnalysis {
     }
   }
 
+  /** PII redaction for training corpora: URLs, then emails, then
+    * phone-like digit runs replaced by typed placeholder tokens. The
+    * patterns sit in the Java∩RE2 regex subset (no backrefs, no
+    * lookaround) so the DuckDB oracle replays them verbatim; the chain is
+    * three codegen'd regexp_replace ops in one projection, shuffle-free.
+    * URL runs first so its digits/at-signs can't half-match as phone or
+    * email. */
+  def redactPii(text: Column): Column = {
+    val url   = "https?://[^ \\t\\n]+"
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phone = "\\+?[0-9][0-9() \\-]{6,}[0-9]"
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, url, "<URL>"),
+        email, "<EMAIL>"),
+      phone, "<PHONE>")
+  }
+
   /** Cross-engine-stable document fingerprints: full md5 hex plus a 60-bit
     * numeric fingerprint (same value DuckDB computes via
     * ('0x'||substr(md5,1,15))::BIGINT) for compact storage/joins. */

@@ -58,6 +58,25 @@ object Sampling {
     df.filter(bucketOf(df(keyCol), salt) < floor(w * Buckets))
   }
 
+  /** Weighted corpus mixing — the "data mixture" step of a training
+    * pipeline ("25% of source A, all of source B, …"): a deterministic
+    * hash-fraction of each source, unioned by name under a `mix_source`
+    * label. Membership is per-source-salted hash of the key, so the
+    * mixture is reproducible across runs/engines, stable under corpus
+    * growth, and each source's filter is a codegen'd per-row predicate
+    * pushed at its own scan — no shuffle anywhere in the mix itself. */
+  def mixCorpora(parts: Seq[(String, DataFrame, Double)], keyCol: String,
+      salt: String = ""): DataFrame = {
+    require(parts.nonEmpty, "mixCorpora needs at least one source")
+    require(parts.map(_._1).distinct.size == parts.size,
+      "mixCorpora labels must be unique (they salt the sampling hash)")
+    parts.map { case (label, df, frac) =>
+      require(frac >= 0 && frac <= 1, s"fraction for $label out of [0,1]")
+      sampleByHash(df, keyCol, frac, salt + label)
+        .withColumn("mix_source", lit(label))
+    }.reduce(_.unionByName(_))
+  }
+
   /** Per-stratum deterministic sampling: each stratum keeps its own
     * fraction (downsample hot classes, keep rare ones whole). */
   def stratifiedSampleByHash(

@@ -79,6 +79,46 @@ class AggregatesSpec extends AnyFunSuite with SparkFixture {
     assert(inv == Seq(-6L, -7L))
   }
 
+  test("aggOrdered: idxmax/idxmin/first/last in one pass, deterministic ties") {
+    val s = spark
+    import s.implicits._
+    val d = PsDataFrame(Seq(
+      ("a", 1L, 10.0), ("a", 2L, 30.0), ("a", 3L, 30.0), ("a", 4L, 5.0),
+      ("b", 9L, 1.0)).toDF("g", "id", "v"))
+    val r = d.groupby("g").aggOrdered("id",
+        ("v", "idxmax") -> "imax", ("v", "idxmin") -> "imin",
+        ("v", "first") -> "fv", ("v", "last") -> "lv")
+      .df.orderBy("g").collect()
+    assert(r(0).getLong(1) == 3L)    // v=30 tie -> largest id
+    assert(r(0).getLong(2) == 4L)    // min v=5 at id 4
+    assert(r(0).getDouble(3) == 10.0) // value at smallest id
+    assert(r(0).getDouble(4) == 5.0)  // value at largest id
+    assert(r(1).getLong(1) == 9L && r(1).getLong(2) == 9L)
+    // sugar forms agree
+    val viaSugar = d.groupby("g").idxmax("v", "id", "imax")
+      .df.orderBy("g").collect().map(_.getLong(1)).toSeq
+    assert(viaSugar == Seq(3L, 9L))
+  }
+
+  test("corrCov (native) agrees with corrExact (bit-portable co-sums)") {
+    val s = spark
+    import s.implicits._
+    val d = PsDataFrame(Seq(
+      ("a", 1.0, 2.0), ("a", 2.0, 4.5), ("a", 3.0, 5.5), ("a", 4.0, 9.0),
+      ("b", 1.0, 9.0), ("b", 2.0, 5.0), ("b", 3.0, 1.0)).toDF("g", "x", "y"))
+    def byG(p: PsDataFrame): Map[String, (Double, Double)] =
+      p.df.collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val native = byG(d.groupby("g").corrCov("x", "y", "c", "v"))
+    val exact  = byG(d.groupby("g").corrExact("x", "y", "c", "v"))
+    for (g <- Seq("a", "b"); i <- 0 to 1) {
+      val (n, e) = (if (i == 0) native(g)._1 else native(g)._2,
+                    if (i == 0) exact(g)._1 else exact(g)._2)
+      assert(math.abs(n - e) < 1e-9, s"group $g component $i: $n vs $e")
+    }
+    // perfectly anti-correlated group
+    assert(math.abs(exact("b")._1 + 1.0) < 1e-12)
+  }
+
   test("local constructors: fromLocal products and fromRows with schema") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._

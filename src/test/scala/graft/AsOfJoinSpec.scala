@@ -159,6 +159,26 @@ class AsOfJoinSpec extends AnyFunSuite with SparkFixture {
     assert(rsum == Seq(None, Some(30.0), Some(25.0)))
   }
 
+  test("diff / pct_change / cumAgg running extrema") {
+    val s = spark
+    import s.implicits._
+    val d = PsDataFrame(Seq(
+      ("a", 1, 10.0), ("a", 2, 20.0), ("a", 3, 5.0), ("b", 1, 7.0))
+      .toDF("g", "seq", "v"))
+    val diffs = d.diffCol("v", 1, Seq("g"), Seq(d("seq").asc), "d")
+      .df.orderBy("g", "seq").collect().map(r => Option(r.get(3))).toSeq
+    assert(diffs == Seq(None, Some(10.0), Some(-15.0), None))
+    val pct = d.pctChange("v", 1, Seq("g"), Seq(d("seq").asc), "p")
+      .df.orderBy("g", "seq").collect().map(r => Option(r.get(3))).toSeq
+    assert(pct == Seq(None, Some(1.0), Some(-0.75), None))
+    val cmax = d.cumAgg("v", "max", Seq("g"), Seq("seq"), "m")
+      .df.orderBy("g", "seq").collect().map(_.getDouble(3)).toSeq
+    assert(cmax == Seq(10.0, 20.0, 20.0, 7.0))
+    val cmin = d.cumAgg("v", "min", Seq("g"), Seq("seq"), "m")
+      .df.orderBy("g", "seq").collect().map(_.getDouble(3)).toSeq
+    assert(cmin == Seq(10.0, 10.0, 5.0, 7.0))
+  }
+
   test("nunique aggregate counts distinct values per group") {
     val s = spark
     import s.implicits._

@@ -323,6 +323,85 @@ class RelationalSpec extends AnyFunSuite with SparkFixture {
     assert(!plan.contains("Window"), s"qcut must not use a global window:\n$plan")
   }
 
+  test("getDummies: indicator columns, null row gets all zeros") {
+    val s = spark
+    import s.implicits._
+    val d = PsDataFrame(Seq(Some("a"), Some("b"), None).toDF("c"))
+    val got = d.getDummies("c", Seq("a", "b"), prefix = "is")
+      .df.collect().map(r => (Option(r.get(0)), r.getInt(1), r.getInt(2)))
+    assert(got.contains((Some("a"), 1, 0)))
+    assert(got.contains((Some("b"), 0, 1)))
+    assert(got.contains((None, 0, 0))) // pandas: NaN -> all-zero row
+  }
+
+  test("crosstab: counts with zero fill") {
+    val s = spark
+    import s.implicits._
+    val d = PsDataFrame(Seq(
+      ("r1", "x"), ("r1", "x"), ("r1", "y"), ("r2", "y")).toDF("a", "b"))
+    val got = d.crosstab("a", "b", Seq("x", "y"))
+      .df.collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got("r1") == ((2L, 1L)))
+    assert(got("r2") == ((0L, 1L))) // empty cell is 0, not null
+  }
+
+  test("combineFirst: self wins, other fills gaps, schemas union") {
+    val s = spark
+    import s.implicits._
+    val l = PsDataFrame(Seq(
+      (1, Option.empty[Double], "n1"), (2, Some(5.0), "n2"))
+      .toDF("k", "v", "name"))
+    val r = PsDataFrame(Seq((1, 9.0, "X"), (3, 7.0, "Y")).toDF("k", "v", "extra"))
+    val got = l.combineFirst(r, Seq("k"))
+    assert(got.columns == Seq("k", "v", "name", "extra"))
+    val rows = got.df.orderBy("k").collect()
+    assert(rows(0).getDouble(1) == 9.0)  // filled from other
+    assert(rows(1).getDouble(1) == 5.0)  // self wins
+    assert(rows(2).getDouble(1) == 7.0 && rows(2).isNullAt(2)) // right-only
+  }
+
+  test("mergeIndicator labels both/left_only/right_only") {
+    val s = spark
+    import s.implicits._
+    val l = PsDataFrame(Seq((1, "a"), (2, "b")).toDF("k", "lv"))
+    val r = PsDataFrame(Seq((2, 9.0), (3, 8.0)).toDF("k", "rv"))
+    val got = l.mergeIndicator(r, Seq("k"))
+      .df.orderBy("k").collect()
+      .map(r => r.getInt(0) -> r.getString(r.fieldIndex("_merge"))).toSeq
+    assert(got == Seq(1 -> "left_only", 2 -> "both", 3 -> "right_only"))
+  }
+
+  test("filterAgg / filterSize keep whole qualifying groups") {
+    val s = spark
+    import s.implicits._
+    val d = PsDataFrame(Seq(
+      ("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 10.0)).toDF("g", "v"))
+    assert(d.groupby("g").filterSize(2).df.collect().forall(_.getString(0) == "a"))
+    val bySum = d.groupby("g").filterAgg("v", "sum", _ > 9.0)
+      .df.collect().map(_.getString(0)).toSet
+    assert(bySum == Set("b"))
+  }
+
+  test("mode: modal value per group, ties to smallest value") {
+    val s = spark
+    import s.implicits._
+    val d = PsDataFrame(Seq(
+      ("g1", "x"), ("g1", "x"), ("g1", "y"),
+      ("g2", "p"), ("g2", "q")).toDF("g", "v")) // g2: tie p/q -> p
+    val got = d.groupby("g").mode("v", "m")
+      .df.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map("g1" -> "x", "g2" -> "p"))
+  }
+
+  test("replaceVals maps listed values, passes others through") {
+    val s = spark
+    import s.implicits._
+    val d = PsDataFrame(Seq("en", "de", "fr").toDF("lang"))
+    val got = d.replaceVals("lang", Seq("en" -> "english", "de" -> "german"))
+      .df.collect().map(_.getString(0)).toSet
+    assert(got == Set("english", "german", "fr"))
+  }
+
   test("transform broadcasts the group aggregate onto every row") {
     val s = spark
     import s.implicits._

@@ -61,6 +61,21 @@ class SamplingSkewSpec extends AnyFunSuite with SparkFixture {
     assert(byLang("en") > 180 && byLang("en") < 320) // ~250
   }
 
+  test("mixCorpora: per-source fractions hold, labels attached, no overlap loss") {
+    val s = spark
+    import s.implicits._
+    val a = (1 to 2000).map(i => (i.toLong, "a")).toDF("id", "src")
+    val b = (2001 to 3000).map(i => (i.toLong, "b")).toDF("id", "src")
+    val mixed = Sampling.mixCorpora(Seq(("half_a", a, 0.5), ("all_b", b, 1.0)), "id")
+    val bySrc = mixed.groupBy("mix_source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc("all_b") == 1000L)
+    assert(math.abs(bySrc("half_a") - 1000L) < 100) // hash-fraction ~ 0.5
+    // determinism: same call yields the same membership
+    val again = Sampling.mixCorpora(Seq(("half_a", a, 0.5), ("all_b", b, 1.0)), "id")
+    assert(mixed.select("id").except(again.select("id")).count() == 0)
+  }
+
   test("saltedAgg equals the plain groupBy on skewed data") {
     val s = spark
     import s.implicits._

@@ -72,6 +72,16 @@ class TextAnalysisSpec extends AnyFunSuite with SparkFixture {
     assert(math.abs(tfidf((1L, "a"))._2 - 1.0) < 1e-12) // df = N -> ln(1)+1
   }
 
+  test("redactPii strips urls, emails, and phones; clean text untouched") {
+    val got = one("see https://a.example/x?id=9 or mail bob.smith+x@corp.example.io" +
+        " or call +1 (555) 010-9999 now")
+      .select(TextAnalysis.redactPii(col("text")).as("c")).head().getString(0)
+    assert(got == "see <URL> or mail <EMAIL> or call <PHONE> now")
+    val clean = one("no pii here, just words and the number 7")
+      .select(TextAnalysis.redactPii(col("text")).as("c")).head().getString(0)
+    assert(clean == "no pii here, just words and the number 7")
+  }
+
   test("normalization collapses whitespace and case for fingerprints") {
     val r = one("  The   QUICK fox ").select(
       TextAnalysis.fingerprintHex(TextAnalysis.normalized(col("text"))).as("a"))
