@@ -27,4 +27,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // 100+ whole-stage-codegen queries in one JVM overflow the default
+  // 240m JIT code cache; once full the compiler disables and late
+  // queries run interpreted (measured 6x on q_simhash_pairs in the full
+  // bench sweep, while the same query alone runs compiled and fast)
+  "-XX:ReservedCodeCacheSize=1g",
 )

@@ -413,6 +413,13 @@ final class PsDataFrame(private var _df: DataFrame) {
   def cumAgg(valueCol: String, fn: String, partitionBy: Seq[String],
       orderBy: Seq[String], as: String): PsDataFrame = {
     val f = org.apache.spark.sql.functions
+    val w = rowWindow(partitionBy, orderBy)
+    // cumprod: sign/zero/log-sum decomposition, all four running
+    // aggregates in one Window pass (float via the exp∘log round-trip —
+    // unit-tested, not oracle-hashed)
+    if (fn == "prod")
+      return new PsDataFrame(_df.withColumn(as,
+        graft.functions.GraftAggregates.prodOver(_df(valueCol), w)))
     val agg = fn match {
       case "sum"   => f.sum(_df(valueCol))
       case "max"   => f.max(_df(valueCol))
@@ -420,7 +427,7 @@ final class PsDataFrame(private var _df: DataFrame) {
       case "count" => f.count(_df(valueCol))
       case other   => sys.error(s"cumAgg: unsupported fn $other")
     }
-    new PsDataFrame(_df.withColumn(as, agg.over(rowWindow(partitionBy, orderBy))))
+    new PsDataFrame(_df.withColumn(as, agg.over(w)))
   }
 
   /** pandas `rolling(window, min_periods=window).agg(fn)` within groups:

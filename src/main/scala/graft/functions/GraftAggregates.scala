@@ -38,12 +38,20 @@ object GraftAggregates {
     * negative inputs. Relative error is ~n·ulp from the log/exp round-trip;
     * for bit-exact folds use [[prodExact]].
     */
-  def prod(c: Column): Column = {
-    val x = c.cast("double")
-    val nonNull = count(x)
-    val zeros = count(when(x === 0.0, 1))
-    val negs = count(when(x < 0.0, 1))
-    val logSum = sum(log(abs(nullif(x, lit(0.0)))))
+  def prod(c: Column): Column = prodExpr(c.cast("double"), identity)
+
+  /** prod over a window frame — the running/cumulative product (pandas
+    * `cumprod`). The same decomposition with every piece windowed over
+    * ONE shared frame, so Spark computes all four running aggregates in
+    * a single Window pass. */
+  def prodOver(c: Column, w: org.apache.spark.sql.expressions.WindowSpec): Column =
+    prodExpr(c.cast("double"), _.over(w))
+
+  private def prodExpr(x: Column, place: Column => Column): Column = {
+    val nonNull = place(count(x))
+    val zeros = place(count(when(x === 0.0, 1)))
+    val negs = place(count(when(x < 0.0, 1)))
+    val logSum = place(sum(log(abs(nullif(x, lit(0.0))))))
     val signed = (lit(1.0) - lit(2.0) * (negs % 2).cast("double")) * exp(logSum)
     when(nonNull === 0, lit(null).cast("double"))
       .when(zeros > 0, lit(0.0))

@@ -75,11 +75,15 @@ object Dedup {
     * built: a count-only pre-pass (map-side partial agg, the shuffle
     * carries one row per distinct shingle) finds shingles with df > cap,
     * and the exploded relation is anti-joined against that. The hot set
-    * is small in practice (few shingles exceed a sane cap) but not by
-    * construction — Σdf/cap shingles could exceed it on a pathological
-    * corpus — so the join is NOT force-broadcast: AQE broadcasts it when
-    * its runtime size is actually small and falls back to a shuffled
-    * anti-join otherwise. Filtering on posting-list size AFTER
+    * is force-broadcast as a deliberate, measured trade: leaving the
+    * choice to AQE costs a full extra shuffle of the exploded relation
+    * (the shuffle files must be written before AQE can decide — measured
+    * 2.1x wall on q_jaccard_pairs at sf0.1), paid even when the hot set
+    * turns out empty. The broadcast is a heuristic bound, not a
+    * guarantee: the hot set holds only shingles with df > cap (small for
+    * any sane cap in practice, though a pathological corpus could have
+    * up to Σdf/cap of them — if that is your corpus, raise the cap or
+    * use [[minhashLsh]]). Filtering on posting-list size AFTER
     * collect_list would bound pair fan-out but not executor memory: a
     * df-in-the-millions stop shingle would still materialize one
     * multi-GB aggregation buffer row. Pairs whose overlap rides only on
@@ -103,7 +107,7 @@ object Dedup {
       val hot = ex.groupBy("s").agg(count(lit(1)).as("__df"))
         .filter(col("__df") > cap)
         .select("s")
-      ex.join(hot, Seq("s"), "left_anti")
+      ex.join(broadcast(hot), Seq("s"), "left_anti")
     }
     val postings = kept.groupBy("s")
       .agg(collect_list(struct(col("id"), col("n"))).as("ds"))

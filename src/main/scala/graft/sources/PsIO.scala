@@ -50,6 +50,30 @@ object PsIO {
     * plan caching; later queries reuse the in-memory columnar form. */
   def materialize(df: DataFrame): DataFrame = df.cache()
 
+  /** ORC in/out — same columnar posture as parquet (predicate pushdown,
+    * column pruning, split-based parallelism), for pipelines whose
+    * upstream lake is ORC. */
+  def readOrc(spark: SparkSession, path: String): PsDataFrame =
+    PsDataFrame(spark.read.orc(path))
+
+  def toOrc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
+
+  /** Hive-style partitioned layout: one directory per `keys` value
+    * combination. THE scan-pruning lever at 100 TB — a filter on a
+    * partition key skips whole directories at planning time (zero I/O for
+    * excluded partitions, visible as PartitionFilters in the scan node;
+    * asserted in ScanPushdownSpec). Choose low-cardinality keys: every
+    * distinct value combination is a directory and at least one file. */
+  def writePartitioned(
+      df: DataFrame,
+      path: String,
+      keys: Seq[String]): Unit =
+    df.write
+      .mode(SaveMode.Overwrite)
+      .partitionBy(keys: _*)
+      .parquet(path)
+
   /** Bucketed external table: pre-partitions (and per-bucket sorts) the
     * data by join/aggregation keys so later equi-joins and groupBys
     * between co-bucketed tables run WITHOUT a shuffle — the 100 TB answer

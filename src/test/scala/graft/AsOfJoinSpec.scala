@@ -177,6 +177,27 @@ class AsOfJoinSpec extends AnyFunSuite with SparkFixture {
     val cmin = d.cumAgg("v", "min", Seq("g"), Seq("seq"), "m")
       .df.orderBy("g", "seq").collect().map(_.getDouble(3)).toSeq
     assert(cmin == Seq(10.0, 10.0, 5.0, 7.0))
+    val cprod = d.cumAgg("v", "prod", Seq("g"), Seq("seq"), "m")
+      .df.orderBy("g", "seq").collect().map(_.getDouble(3)).toSeq
+    assert(cprod.zip(Seq(10.0, 200.0, 1000.0, 7.0))
+      .forall { case (a, b) => math.abs(a - b) / b < 1e-12 })
+  }
+
+  test("cumprod handles zeros, negatives, and leading nulls") {
+    val s = spark
+    import s.implicits._
+    val d = PsDataFrame(Seq(
+      ("a", 1, Some(-2.0)), ("a", 2, Some(3.0)), ("a", 3, Some(0.0)),
+      ("a", 4, Some(5.0)), ("b", 1, None: Option[Double]), ("b", 2, Some(4.0)))
+      .toDF("g", "seq", "v"))
+    val got = d.cumAgg("v", "prod", Seq("g"), Seq("seq"), "p")
+      .df.orderBy("g", "seq").collect().map(r => Option(r.get(3))).toSeq
+    assert(got(0).contains(-2.0))
+    assert(got(1).exists(x => math.abs(x.asInstanceOf[Double] + 6.0) < 1e-12))
+    assert(got(2).contains(0.0)) // zero zeroes the running product…
+    assert(got(3).contains(0.0)) // …and it stays zero
+    assert(got(4).isEmpty)       // no values yet -> null (SQL agg semantics)
+    assert(got(5).contains(4.0)) // null skipped, not zeroed
   }
 
   test("nunique aggregate counts distinct values per group") {

@@ -48,6 +48,17 @@ class IOSpec extends AnyFunSuite with SparkFixture {
     assert(back.df.count() == 3)
   }
 
+  test("orc round-trip preserves names, types, and values") {
+    val dir = Files.createTempDirectory("graft-orc").toString + "/out"
+    PsIO.toOrc(sample, dir)
+    val back = PsIO.readOrc(spark, dir)
+    // file sources read primitives back as nullable — compare name+type
+    assert(back.df.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      sample.schema.fields.map(f => (f.name, f.dataType)).toSeq)
+    assert(back.df.orderBy("k").collect().map(_.toSeq).toSeq ==
+      sample.orderBy("k").collect().map(_.toSeq).toSeq)
+  }
+
   test("materialize caches the plan (reference offload analogue)") {
     val df = sample
     val cached = PsIO.materialize(df)

@@ -42,7 +42,7 @@ class ScanPushdownSpec extends AnyFunSuite with SparkFixture {
   test("partition-column predicates prune partitions at the scan") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
-    docs.write.mode("overwrite").partitionBy("lang").parquet(dir)
+    PsIO.writePartitioned(docs, dir, Seq("lang"))
     val part = spark.read.parquet(dir)
     val nLangs = docs.select("lang").distinct().count()
     assert(nLangs > 1, "fixture needs several langs for pruning to mean anything")

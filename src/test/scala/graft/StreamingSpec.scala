@@ -207,6 +207,39 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("stateless curation ops (redact/quality/langid) run unchanged on a stream") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import graft.functions.TextAnalysis
+    val docs = Seq(
+      (1L, "the cat and the dog mail me at a.b@c.example now"),
+      (2L, "der und die das ist von https://x.example/y ok"),
+      (3L, "short"))
+    def curate(df: org.apache.spark.sql.DataFrame) = df.select(
+      col("_1").as("id"),
+      TextAnalysis.redactPii(col("_2")).as("clean"),
+      TextAnalysis.qualityScore(col("_2")).as("q"),
+      TextAnalysis.langId(col("_2")).as("lang"))
+    val input = MemoryStream[(Long, String)]
+    val q = curate(input.toDS().toDF())
+      .writeStream.format("memory").queryName("t_curate")
+      .outputMode("append").start()
+    try {
+      input.addData(docs: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("t_curate").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getString(3)))
+        .sortBy(_._1).toSeq
+      val batch = curate(docs.toDF()).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getString(3)))
+        .sortBy(_._1).toSeq
+      assert(streamed == batch) // per-row ops: stream face == batch face
+      assert(streamed.head._2.contains("<EMAIL>"))
+      assert(streamed(1)._2.contains("<URL>") && streamed(1)._4 == "de")
+    } finally q.stop()
+  }
+
   test("file source -> windowed agg -> parquet file sink round-trips") {
     val s = spark
     import s.implicits._
