@@ -61,8 +61,12 @@ final class PsGroupedFrame(
   }
 
   /** Ordered aggregates — pandas `idxmax/idxmin/first/last` — ALL in one
-    * partial-aggregating pass (no window, no per-group sort, O(1) agg
-    * state per spec) via the struct-extrema trick:
+    * partial-aggregating pass (no window, O(1) agg state per spec) via
+    * the struct-extrema trick. Physically a SortAggregate pair (struct
+    * buffers are not hash-aggregable): each map task sorts its partition
+    * by the group key, but the exchange still carries one pre-reduced
+    * row per (partition, key) — never the corpus (plan-asserted in
+    * PlanShapeSpec):
     *
     *   - `idxmax`: `anchorCol` of the row with the max value —
     *     `max(struct(value, anchor))`; ties take the LARGEST anchor

@@ -60,6 +60,47 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     assert(plan.contains("partial_sum"), plan.take(800))
   }
 
+  test("aggOrdered partial-aggregates before its exchange, no window") {
+    val o = PsIO.readParquet(spark, "/root/testdata/sf0.001/orders.parquet")
+    val plan = o.groupby("o_custkey").aggOrdered("o_orderkey",
+        ("o_totalprice", "idxmax") -> "best",
+        ("o_totalprice", "first") -> "fp")
+      .df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"idxmax must not plan a window:\n${plan.take(600)}")
+    // struct buffers are not hash-aggregable, so this is a SortAggregate
+    // pair (map-side sort by group key) — the scale property that matters
+    // is the PARTIAL side: the exchange carries one pre-reduced row per
+    // (partition, key), never the corpus
+    assert(plan.contains("partial_max"), s"no map-side partial agg:\n${plan.take(600)}")
+  }
+
+  test("mode plans aggregation passes, never a per-group ordering window") {
+    val d = PsIO.readParquet(spark, "/root/testdata/sf0.001/documents.parquet")
+    val plan = d.groupby("source").mode("lang", "m")
+      .df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan.take(600))
+    assert(plan.contains("partial_count") || plan.contains("partial_min"),
+      s"no map-side partial agg:\n${plan.take(600)}")
+  }
+
+  test("getDummies stays a shuffle-free codegen'd projection") {
+    val c = PsIO.readParquet(spark, "/root/testdata/sf0.001/customer.parquet")
+    val plan = c.getDummies("c_mktsegment", Seq("BUILDING", "MACHINERY"))
+      .df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"one-hot must not shuffle:\n${plan.take(600)}")
+    assert(plan.contains("*(1) Project"), // the whole-stage-codegen marker
+      s"one-hot projection fell out of codegen:\n${plan.take(600)}")
+  }
+
+  test("mixCorpora pushes each source's hash filter to its own scan") {
+    val d = PsIO.readParquet(spark, "/root/testdata/sf0.001/documents.parquet").df
+    val mixed = graft.operators.Sampling.mixCorpora(Seq(
+      ("a", d.filter(col("lang") === "en"), 0.5),
+      ("b", d.filter(col("lang") =!= "en"), 1.0)), "doc_id")
+    val plan = mixed.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"mixing must not shuffle:\n${plan.take(600)}")
+  }
+
   test("pipeline and binning queries prune their scans to the used columns") {
     val dir = "/root/testdata/sf0.001"
     def readSchemas(q: String): Seq[String] = {
