@@ -414,6 +414,27 @@ object ExtQueries {
         .sortValues(Seq("o_custkey")).df
     }),
 
+    // context-window chunking: 40-token chunks, 8-token overlap — a
+    // per-row sequence/slice explode, shuffle-free
+    "q_chunk" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      graft.operators.Chunking.chunkDocs(d.df, "doc_id", "text",
+          chunkTokens = 40, overlap = 8)
+        .orderBy("id", "chunk_id")
+    }),
+
+    // sequence packing: hash-sharded running-token-budget pack ids (the
+    // batching-prep step); one windowed running sum per shard
+    "q_pack" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val withTok = d.df.select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tok"))
+      graft.operators.Chunking.packSequences(withTok, "doc_id",
+          col("n_tok"), ctxTokens = 512, nShards = 8)
+        .select("doc_id", "n_tok", "shard", "pack_id")
+        .orderBy("doc_id")
+    }),
+
     // PII redaction over a deterministically-spiked corpus (the raw
     // synthetic text carries no PII, so the query plants one email, one
     // URL, and one phone per doc, then strips them)
@@ -1299,6 +1320,33 @@ object ExtQueries {
                PARTITION BY o_custkey ORDER BY o_orderkey
                ROWS UNBOUNDED PRECEDING))::DOUBLE AS cum_spend
          FROM orders ORDER BY o_custkey, o_orderkey""",
+    // chunking: list slicing is 1-based-inclusive and end-clamped in both
+    // engines; chunk count = ceil((n-overlap)/step) via the same floored
+    // double division
+    "q_chunk" ->
+      """WITH d AS (SELECT doc_id AS id, string_split(text, ' ') AS toks
+                    FROM documents),
+              e AS (SELECT id, toks,
+                      unnest(generate_series(0,
+                        greatest(1, floor((len(toks) - 8 + 31) / 32.0))::INT - 1))
+                        AS chunk_id
+                    FROM d)
+         SELECT id, chunk_id::INTEGER AS chunk_id,
+            array_to_string(toks[chunk_id*32+1 : chunk_id*32+40], ' ')
+              AS chunk_text,
+            len(toks[chunk_id*32+1 : chunk_id*32+40])::INTEGER AS n_tokens
+         FROM e ORDER BY id, chunk_id""",
+    "q_pack" ->
+      """WITH d AS (SELECT doc_id,
+              len(string_split(text, ' '))::INTEGER AS n_tok,
+              ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 8 AS shard
+            FROM documents)
+         SELECT doc_id, n_tok, shard,
+            floor((sum(n_tok::BIGINT) OVER w - n_tok) / 512.0)::BIGINT AS pack_id
+         FROM d
+         WINDOW w AS (PARTITION BY shard ORDER BY doc_id
+                      ROWS UNBOUNDED PRECEDING)
+         ORDER BY doc_id""",
     // redaction: same spike, same three patterns (Java∩RE2 subset), same
     // URL -> email -> phone order; 'g' replays Spark's replace-all
     "q_redact" ->

@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Context-window preparation for training pipelines: split long
+  * documents into overlapping token chunks, and assign documents to
+  * fixed-budget packs (the "sequence packing" step before batching).
+  *
+  * Both operators are fully declarative — chunking is a per-row
+  * `sequence`/`slice` explode (codegen'd, shuffle-free), packing is one
+  * running-sum window per shard — and both are deterministic, so re-runs
+  * and engine migrations produce identical chunk/pack assignments.
+  */
+object Chunking {
+
+  /** Split each document into whitespace-token chunks of `chunkTokens`
+    * tokens, consecutive chunks overlapping by `overlap` tokens (the
+    * standard sliding context window). A document shorter than one chunk
+    * yields exactly one (short) chunk; the final chunk may be short.
+    *
+    * Per-row explode, no shuffle: chunk count rides the `sequence`
+    * expression (integer arithmetic; `(n-overlap+step-1)/step` floored is
+    * exact in doubles far past any real token count, so the DuckDB oracle
+    * reproduces it bit-for-bit). Output: (id, chunk_id, chunk_text,
+    * n_tokens) — n_tokens is the chunk's actual token count.
+    */
+  def chunkDocs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      chunkTokens: Int,
+      overlap: Int): DataFrame = {
+    require(chunkTokens > 0 && overlap >= 0 && overlap < chunkTokens,
+      "chunkDocs needs 0 <= overlap < chunkTokens")
+    val step = chunkTokens - overlap
+    val toks = split(col(textCol), " ")
+    val n = size(toks)
+    // ceil((n - overlap) / step) chunks, at least 1
+    val nChunks = greatest(lit(1),
+      floor((n - lit(overlap) + lit(step - 1)) / lit(step.toDouble)).cast("int"))
+    docs.select(
+        col(idCol).as("id"), toks.as("__toks"),
+        explode(sequence(lit(0), nChunks - 1)).as("chunk_id"))
+      .select(
+        col("id"), col("chunk_id"),
+        array_join(slice(col("__toks"), col("chunk_id") * step + 1, lit(chunkTokens)), " ")
+          .as("chunk_text"),
+        size(slice(col("__toks"), col("chunk_id") * step + 1, lit(chunkTokens)))
+          .as("n_tokens"))
+  }
+
+  /** Assign each document to a fixed-token-budget pack: documents are
+    * hash-sharded (`nShards` independent streams — the parallelism unit),
+    * ordered by id within their shard, and a pack closes when the running
+    * token total passes `ctxTokens`. pack = floor(start_offset / budget):
+    * the standard contiguous-fill approximation — a document may straddle
+    * its pack boundary and is counted into the pack where it starts.
+    *
+    * One unordered-input window per shard (hash shuffle on shard, sort by
+    * id within partition); at 100 TB the shard count bounds every
+    * partition's size and keeps pack assignment embarrassingly parallel.
+    * Output: input columns + (shard, pack_id).
+    */
+  def packSequences(
+      docs: DataFrame,
+      idCol: String,
+      tokenCountCol: Column,
+      ctxTokens: Long,
+      nShards: Int): DataFrame = {
+    require(ctxTokens > 0 && nShards > 0, "packSequences needs positive budget/shards")
+    val shard = pmod(Dedup.hash60(col(idCol).cast("string")), lit(nShards.toLong))
+    val withShard = docs.withColumn("shard", shard)
+    val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = sum(tokenCountCol.cast("long")).over(w)
+    withShard.withColumn("pack_id",
+      floor((cum - tokenCountCol.cast("long")) / lit(ctxTokens.toDouble)).cast("long"))
+  }
+}
