@@ -553,6 +553,22 @@ object ExtQueries {
         .sortValues(Seq("o_custkey", "o_orderkey")).df
     }),
 
+    // gap filling (pandas ffill/bfill/interpolate): deterministic null
+    // mask, then forward/backward IGNORE-NULLS windows and position-
+    // linear interior interpolation (edges stay null)
+    "q_interp" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val masked = PsDataFrame(o.df.select(col("o_custkey"), col("o_orderkey"),
+        when(col("o_orderkey") % 5 < 2, lit(null))
+          .otherwise(col("o_totalprice")).as("price")))
+      masked.ffill("price", Seq("o_custkey"), Seq("o_orderkey"), "price_ff")
+        .bfill("price", Seq("o_custkey"), Seq("o_orderkey"), "price_bf")
+        .interpolate("price", Seq("o_custkey"), Seq("o_orderkey"), "price_li")
+        .select("o_custkey", "o_orderkey", "price",
+          "price_ff", "price_bf", "price_li")
+        .sortValues(Seq("o_custkey", "o_orderkey")).df
+    }),
+
     // rank + shift (pandas rank/shift analogues) per customer
     "q_ranklag" -> ((s, dir) => {
       val o = t(s, dir, "orders")
@@ -1479,6 +1495,35 @@ object ExtQueries {
          WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey
                       ROWS UNBOUNDED PRECEDING)
          ORDER BY o_custkey, o_orderkey""",
+    // gap filling: IGNORE NULLS windows + the same closing arithmetic
+    // sequence (positions are exact ints, division is one IEEE op)
+    "q_interp" ->
+      """WITH m AS (SELECT o_custkey, o_orderkey,
+                      CASE WHEN o_orderkey % 5 < 2 THEN NULL
+                           ELSE o_totalprice END AS price
+                    FROM orders),
+              p AS (SELECT m.*, row_number() OVER (
+                      PARTITION BY o_custkey ORDER BY o_orderkey) AS rn
+                    FROM m),
+              w AS (SELECT p.*,
+                      last_value(price IGNORE NULLS) OVER wp AS pv,
+                      last_value(CASE WHEN price IS NOT NULL THEN rn END
+                                 IGNORE NULLS) OVER wp AS pp,
+                      first_value(price IGNORE NULLS) OVER wn AS nv,
+                      first_value(CASE WHEN price IS NOT NULL THEN rn END
+                                  IGNORE NULLS) OVER wn AS np
+                    FROM p
+                    WINDOW wp AS (PARTITION BY o_custkey ORDER BY o_orderkey
+                                  ROWS UNBOUNDED PRECEDING),
+                           wn AS (PARTITION BY o_custkey ORDER BY o_orderkey
+                                  ROWS BETWEEN CURRENT ROW
+                                           AND UNBOUNDED FOLLOWING))
+         SELECT o_custkey, o_orderkey, price,
+            pv AS price_ff, nv AS price_bf,
+            CASE WHEN price IS NOT NULL THEN price
+                 WHEN pv IS NOT NULL AND nv IS NOT NULL
+                   THEN pv + (nv - pv) * (rn - pp) / (np - pp) END AS price_li
+         FROM w ORDER BY o_custkey, o_orderkey""",
     "q_ranklag" ->
       """SELECT o_custkey, o_orderkey,
             rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk,

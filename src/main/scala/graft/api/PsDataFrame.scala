@@ -430,6 +430,59 @@ final class PsDataFrame(private var _df: DataFrame) {
     new PsDataFrame(_df.withColumn(as, agg.over(w)))
   }
 
+  /** pandas `ffill()` within groups under an explicit order: nulls take
+    * the most recent non-null value — ONE IGNORE-NULLS running window
+    * pass (O(1) state per row). */
+  def ffill(valueCol: String, partitionBy: Seq[String], orderBy: Seq[String],
+      as: String): PsDataFrame =
+    new PsDataFrame(_df.withColumn(as,
+      last(_df(valueCol), ignoreNulls = true)
+        .over(rowWindow(partitionBy, orderBy))))
+
+  /** pandas `bfill()`: nulls take the NEXT non-null value (the mirrored
+    * current-row..unbounded-following frame). */
+  def bfill(valueCol: String, partitionBy: Seq[String], orderBy: Seq[String],
+      as: String): PsDataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(partitionBy.map(_df(_)): _*)
+      .orderBy(orderBy.map(_df(_)): _*)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    new PsDataFrame(_df.withColumn(as,
+      first(_df(valueCol), ignoreNulls = true).over(w)))
+  }
+
+  /** pandas `interpolate(method='linear')` within groups: interior nulls
+    * fill linearly between the surrounding non-null values by ROW
+    * position (pandas 'linear' treats rows as equally spaced); leading
+    * and trailing nulls stay null. Two IGNORE-NULLS window frames over
+    * one sort; the closing arithmetic is a fixed IEEE sequence —
+    * `prev + (next-prev)·(pos-prevPos)/(nextPos-prevPos)` on exact
+    * integer positions — that the oracle replays bit-for-bit. */
+  def interpolate(valueCol: String, partitionBy: Seq[String],
+      orderBy: Seq[String], as: String): PsDataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rn = Iterator.from(0).map(i => if (i == 0) "__ipos" else s"__ipos$i")
+      .find(!_df.columns.contains(_)).get
+    val wBase = Window.partitionBy(partitionBy.map(_df(_)): _*)
+      .orderBy(orderBy.map(_df(_)): _*)
+    val d1 = _df.withColumn(rn, row_number().over(wBase))
+    val wPrev = Window.partitionBy(partitionBy.map(d1(_)): _*)
+      .orderBy(orderBy.map(d1(_)): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy(partitionBy.map(d1(_)): _*)
+      .orderBy(orderBy.map(d1(_)): _*)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val v = d1(valueCol).cast("double")
+    val pv = last(v, ignoreNulls = true).over(wPrev)
+    val pp = last(when(v.isNotNull, col(rn)), ignoreNulls = true).over(wPrev)
+    val nv = first(v, ignoreNulls = true).over(wNext)
+    val np = first(when(v.isNotNull, col(rn)), ignoreNulls = true).over(wNext)
+    val fill = pv + (nv - pv) * (col(rn) - pp) / (np - pp)
+    val out = when(v.isNotNull, v)
+      .otherwise(when(pv.isNotNull && nv.isNotNull, fill)) // edges stay null
+    new PsDataFrame(d1.withColumn(as, out).drop(rn))
+  }
+
   /** pandas `rolling(window, min_periods=window).agg(fn)` within groups:
     * one `rowsBetween` frame pass, null until the window fills
     * (generalizes [[rollingMean]]). */

@@ -183,6 +183,25 @@ class AsOfJoinSpec extends AnyFunSuite with SparkFixture {
       .forall { case (a, b) => math.abs(a - b) / b < 1e-12 })
   }
 
+  test("ffill/bfill/interpolate: interior linear, edges stay null") {
+    val s = spark
+    import s.implicits._
+    val d = PsDataFrame(Seq(
+      ("a", 1, None: Option[Double]), ("a", 2, Some(10.0)),
+      ("a", 3, None: Option[Double]), ("a", 4, None: Option[Double]),
+      ("a", 5, Some(40.0)), ("a", 6, None: Option[Double]))
+      .toDF("g", "seq", "v"))
+    def vals(p: PsDataFrame, c: String): Seq[Option[Double]] =
+      p.df.orderBy("seq").collect()
+        .map(r => Option(r.get(r.fieldIndex(c))).map(_.asInstanceOf[Double])).toSeq
+    assert(vals(d.ffill("v", Seq("g"), Seq("seq"), "f"), "f") ==
+      Seq(None, Some(10.0), Some(10.0), Some(10.0), Some(40.0), Some(40.0)))
+    assert(vals(d.bfill("v", Seq("g"), Seq("seq"), "b"), "b") ==
+      Seq(Some(10.0), Some(10.0), Some(40.0), Some(40.0), Some(40.0), None))
+    assert(vals(d.interpolate("v", Seq("g"), Seq("seq"), "li"), "li") ==
+      Seq(None, Some(10.0), Some(20.0), Some(30.0), Some(40.0), None))
+  }
+
   test("cumprod handles zeros, negatives, and leading nulls") {
     val s = spark
     import s.implicits._
