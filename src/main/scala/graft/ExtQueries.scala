@@ -580,6 +580,18 @@ object ExtQueries {
         .sortValues(Seq("o_custkey", "o_orderkey")).df
     }),
 
+    // percentile rank (pandas rank(pct=True), average method) + 0-based
+    // group position (cumcount): three windows over one sort
+    "q_rank_pct" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val ranked = o.rankIn(Seq("o_custkey"),
+        Seq(o("o_totalprice").asc), "pct", method = "pct")
+      ranked.cumcount(Seq("o_custkey"),
+          Seq(ranked("o_totalprice").asc, ranked("o_orderkey").asc), "pos")
+        .select("o_custkey", "o_orderkey", "pct", "pos")
+        .sortValues(Seq("o_custkey", "o_orderkey")).df
+    }),
+
     // per-group top-k (pandas groupby().head() / per-group nlargest):
     // map-side WindowGroupLimit keeps <=3 rows per key before the shuffle
     "q_group_topk" -> ((s, dir) => {
@@ -1529,6 +1541,19 @@ object ExtQueries {
             rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk,
             lag(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS prev_price
          FROM orders ORDER BY o_custkey, o_orderkey""",
+    "q_rank_pct" ->
+      """SELECT o_custkey, o_orderkey,
+            (rank() OVER wo + (count(*) OVER wt - 1) / 2.0)
+              / (count(*) OVER wp) AS pct,
+            (row_number() OVER wu - 1)::INTEGER AS pos
+         FROM orders
+         WINDOW wo AS (PARTITION BY o_custkey ORDER BY o_totalprice),
+                wt AS (PARTITION BY o_custkey ORDER BY o_totalprice
+                       RANGE BETWEEN CURRENT ROW AND CURRENT ROW),
+                wp AS (PARTITION BY o_custkey),
+                wu AS (PARTITION BY o_custkey
+                       ORDER BY o_totalprice, o_orderkey)
+         ORDER BY o_custkey, o_orderkey""",
     "q_group_topk" ->
       """SELECT o_orderpriority, o_orderkey, o_totalprice
          FROM orders

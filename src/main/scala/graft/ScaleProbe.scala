@@ -125,6 +125,32 @@ object ScaleProbe {
     }
     println(s"[scaleprobe] recall@1 vs brute: lsh=${recall(lsh)} ivf=${recall(ivf)}")
 
+    // ---- batching prep: chunk / pack / mix on the x10 corpus ------------
+    // all three are the operators a training pipeline runs over the FULL
+    // corpus every epoch-prep; chunking is the fan-out one (rows multiply
+    // by docLen/step), packing and mixing are row-bounded
+    time("chunkDocs 512/64") {
+      graft.operators.Chunking.chunkDocs(docs, "doc_id", "text",
+        chunkTokens = 512, overlap = 64).count()
+    }
+    time("packSequences ctx2048") {
+      graft.operators.Chunking.packSequences(
+        docs.select(col("doc_id"),
+          graft.functions.TextAnalysis.tokenCount(col("text")).as("nt")),
+        "doc_id", col("nt"), ctxTokens = 2048, nShards = 64).count()
+    }
+    time("mixCorpora 3 sources") {
+      val bucket = pmod(col("doc_id"), lit(3L))
+      graft.operators.Sampling.mixCorpora(Seq(
+        ("a", docs.filter(bucket === 0), 0.3),
+        ("b", docs.filter(bucket === 1), 0.7),
+        ("c", docs.filter(bucket === 2), 1.0)), "doc_id").count()
+    }
+    time("redactPii full corpus") {
+      docs.select(graft.functions.TextAnalysis.redactPii(col("text")).as("c"))
+        .selectExpr("sum(length(c))").collect().head.getLong(0)
+    }
+
     // ---- as-of join: native merge operator vs union+window form --------
     // left = clicks duplicated ×dup under fresh event_ids (user_id keys
     // keep their cardinality, so per-key group size inflates ×dup — the

@@ -367,9 +367,25 @@ final class PsDataFrame(private var _df: DataFrame) {
         val ties = f.count(lit(1)).over(
           w.rangeBetween(Window.currentRow, Window.currentRow))
         f.rank().over(w) + (ties - lit(1)) / lit(2.0)
+      case "pct" =>
+        // pandas rank(pct=True): average-method rank / group size
+        val ties = f.count(lit(1)).over(
+          w.rangeBetween(Window.currentRow, Window.currentRow))
+        val total = f.count(lit(1))
+          .over(Window.partitionBy(partitionBy.map(_df(_)): _*))
+        (f.rank().over(w) + (ties - lit(1)) / lit(2.0)) / total
       case other => sys.error(s"rankIn: unsupported method $other")
     }
     new PsDataFrame(_df.withColumn(as, ranked))
+  }
+
+  /** pandas `groupby(...).cumcount()`: 0-based position within the group
+    * under the given order (pass a unique tie-break for determinism). */
+  def cumcount(partitionBy: Seq[String], orderBy: Seq[PsColumn], as: String): PsDataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(partitionBy.map(_df(_)): _*)
+      .orderBy(orderBy.map(_.col): _*)
+    new PsDataFrame(_df.withColumn(as, row_number().over(w) - 1))
   }
 
   /** pandas `groupby(...).shift(n)`: value from n rows earlier in group order. */

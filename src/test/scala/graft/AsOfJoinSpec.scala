@@ -116,6 +116,10 @@ class AsOfJoinSpec extends AnyFunSuite with SparkFixture {
     assert(ranks("min") == Seq(1.0, 2.0, 2.0, 4.0))
     assert(ranks("dense") == Seq(1.0, 2.0, 2.0, 3.0))
     assert(ranks("average") == Seq(1.0, 2.5, 2.5, 4.0))
+    assert(ranks("pct") == Seq(0.25, 0.625, 0.625, 1.0)) // average/4
+    val pos = d.cumcount(Seq("g"), Seq(d("v").asc, d("seq").asc), "p")
+      .df.orderBy("seq").collect().map(_.getInt(3)).toSeq
+    assert(pos == Seq(0, 1, 2, 3))
     // first needs the tie broken by the order given; with v asc only it
     // still numbers rows 1..4
     assert(ranks("first").sorted == Seq(1.0, 2.0, 3.0, 4.0))
