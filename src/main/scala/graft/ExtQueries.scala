@@ -435,6 +435,16 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // ordered string aggregation (document/pack reassembly): per-source
+    // concatenation of bounded snippets in doc_id order
+    "q_str_join" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val snip = PsDataFrame(d.df.select(col("source"), col("doc_id"),
+        substring(col("text"), 1, 40).as("snip")))
+      snip.groupby("source").strJoin("snip", "doc_id", " | ", "assembled")
+        .sortValues(Seq("source")).df
+    }),
+
     // PII redaction over a deterministically-spiked corpus (the raw
     // synthetic text carries no PII, so the query plants one email, one
     // URL, and one phone per doc, then strips them)
@@ -1375,6 +1385,11 @@ object ExtQueries {
          WINDOW w AS (PARTITION BY shard ORDER BY doc_id
                       ROWS UNBOUNDED PRECEDING)
          ORDER BY doc_id""",
+    "q_str_join" ->
+      """SELECT source,
+            string_agg(substr(text, 1, 40), ' | ' ORDER BY doc_id)
+              AS assembled
+         FROM documents GROUP BY source ORDER BY source""",
     // redaction: same spike, same three patterns (Java∩RE2 subset), same
     // URL -> email -> phone order; 'g' replays Spark's replace-all
     "q_redact" ->

@@ -141,6 +141,21 @@ final class PsGroupedFrame(
       .drop("__n", "__sx", "__sy", "__sxx", "__syy", "__sxy"))
   }
 
+  /** Ordered string aggregation (pandas `' '.join` under groupby; SQL
+    * `string_agg(v, sep ORDER BY ord)`): concatenate each group's values
+    * in `orderCol` order. collect_list is partial-aggregating but
+    * UNORDERED distributed, so the order rides inside the collected
+    * structs and one `array_sort` restores it deterministically (ties
+    * break by value). The whole group buffers in one aggregation row —
+    * the right tool for bounded groups (document reassembly, pack
+    * assembly), not for unbounded key cardinalities. */
+  def strJoin(valueCol: String, orderCol: String, sep: String, as: String): PsDataFrame = {
+    val collected = array_sort(collect_list(struct(df(orderCol), df(valueCol))))
+    val joined = array_join(
+      transform(collected, x => x.getField(valueCol)), sep)
+    new PsDataFrame(grouped(Seq(joined.as(as))))
+  }
+
   /** pandas `groupby(keys).filter(lambda g: fn(g[c]) <pred>)`: keep ALL
     * rows of groups whose aggregate satisfies `pred`. ONE unordered
     * window aggregate — hash shuffle on the keys, no sort, no self-join

@@ -100,6 +100,17 @@ class AggregatesSpec extends AnyFunSuite with SparkFixture {
     assert(viaSugar == Seq(3L, 9L))
   }
 
+  test("strJoin concatenates in explicit order regardless of input order") {
+    val s = spark
+    import s.implicits._
+    val d = PsDataFrame(Seq(
+      ("g", 3, "c"), ("g", 1, "a"), ("g", 2, "b"), ("h", 1, "z"))
+      .toDF("k", "ord", "v").repartition(4)) // scramble physical order
+    val got = d.groupby("k").strJoin("v", "ord", "-", "j")
+      .df.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map("g" -> "a-b-c", "h" -> "z"))
+  }
+
   test("corrCov (native) agrees with corrExact (bit-portable co-sums)") {
     val s = spark
     import s.implicits._
