@@ -435,6 +435,13 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // frame-wide distinct counts (pandas df.nunique()), one agg pass
+    "q_nunique_all" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .select("o_custkey", "o_orderstatus", "o_orderpriority")
+        .nunique().df
+    }),
+
     // ordered string aggregation (document/pack reassembly): per-source
     // concatenation of bounded snippets in doc_id order
     "q_str_join" -> ((s, dir) => {
@@ -1385,6 +1392,11 @@ object ExtQueries {
          WINDOW w AS (PARTITION BY shard ORDER BY doc_id
                       ROWS UNBOUNDED PRECEDING)
          ORDER BY doc_id""",
+    "q_nunique_all" ->
+      """SELECT count(DISTINCT o_custkey) AS o_custkey,
+            count(DISTINCT o_orderstatus) AS o_orderstatus,
+            count(DISTINCT o_orderpriority) AS o_orderpriority
+         FROM orders""",
     "q_str_join" ->
       """SELECT source,
             string_agg(substr(text, 1, 40), ' | ' ORDER BY doc_id)

@@ -711,6 +711,26 @@ final class PsDataFrame(private var _df: DataFrame) {
   def aggAll(fn: String): PsDataFrame =
     new PsGroupedFrame(_df, Nil, None).aggAllColumns(fn)
 
+  /** pandas `df.nunique()`: distinct count per column, ONE agg pass
+    * (each count_distinct partial-aggregates; at scale prefer
+    * Sketches.approxDistinct for a fixed-size HLL buffer instead of the
+    * exact distinct-expansion). */
+  def nunique(): PsDataFrame = aggAll("nunique")
+
+  /** pandas `drop_duplicates(subset=…, keep='first'|'last')` under an
+    * explicit order column set — the reference supports only full-row
+    * first-keep (SURVEY §2.5); this is the keyed form, delegating to
+    * [[graft.operators.Dedup.exact]] (map-side WindowGroupLimit keep-1).
+    * `keep="last"` flips the order direction. */
+  def dropDuplicatesBy(subset: Seq[String], orderCols: Seq[String],
+      keep: String = "first"): PsDataFrame = {
+    require(keep == "first" || keep == "last",
+      s"dropDuplicatesBy: keep must be first|last, got $keep")
+    val ord = orderCols.map(c =>
+      if (keep == "last") _df(c).desc else _df(c).asc)
+    new PsDataFrame(graft.operators.Dedup.exact(_df, subset, ord))
+  }
+
   def sum(): PsDataFrame   = aggAll("sum")
   def mean(): PsDataFrame  = aggAll("mean")
   def count(): PsDataFrame = aggAll("count")

@@ -323,6 +323,21 @@ class RelationalSpec extends AnyFunSuite with SparkFixture {
     assert(!plan.contains("Window"), s"qcut must not use a global window:\n$plan")
   }
 
+  test("nunique() counts distincts per column; dropDuplicatesBy keep first/last") {
+    val s = spark
+    import s.implicits._
+    val d = PsDataFrame(Seq(
+      (1, "a", 10.0), (1, "b", 20.0), (2, "a", 30.0)).toDF("k", "s", "v"))
+    val nu = d.nunique().df.head()
+    assert(nu.getLong(0) == 2L && nu.getLong(1) == 2L && nu.getLong(2) == 3L)
+    val first = d.dropDuplicatesBy(Seq("k"), Seq("v"))
+      .df.orderBy("k").collect().map(_.getDouble(2)).toSeq
+    assert(first == Seq(10.0, 30.0))
+    val last = d.dropDuplicatesBy(Seq("k"), Seq("v"), keep = "last")
+      .df.orderBy("k").collect().map(_.getDouble(2)).toSeq
+    assert(last == Seq(20.0, 30.0))
+  }
+
   test("getDummies: indicator columns, null row gets all zeros") {
     val s = spark
     import s.implicits._
