@@ -240,6 +240,31 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("chunkDocs runs unchanged on a stream (per-row explode, no state)") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"w$i").mkString(" ")), (2L, "a b c"))
+    def chunk(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.Chunking.chunkDocs(
+        df.select(col("_1").as("doc_id"), col("_2").as("text")),
+        "doc_id", "text", chunkTokens = 4, overlap = 1)
+    val input = MemoryStream[(Long, String)]
+    val q = chunk(input.toDS().toDF())
+      .writeStream.format("memory").queryName("t_chunk")
+      .outputMode("append").start()
+    try {
+      input.addData(docs: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("t_chunk").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).sorted.toSeq
+      val batch = chunk(docs.toDF()).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).sorted.toSeq
+      assert(streamed == batch && streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("file source -> windowed agg -> parquet file sink round-trips") {
     val s = spark
     import s.implicits._
