@@ -72,9 +72,36 @@ object Bench {
     def num(v: Double): String = String.format(Locale.ROOT, "%.3f", v: java.lang.Double)
     val qs = times.map { case (k, v) => s"${q(k)}:${num(v)}" }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s"${q(k)}:${q(v)}" }.mkString("{", ",", "}")
+
+    // Reference-engine baseline (tools/refbaseline/run_ref_baseline.py):
+    // pandaSQL (SQLite offload, the reference's own engine) executing the
+    // same 8 b_* shapes on the same sf tables, read+run — comparable to
+    // our times, which include the parquet scan inside each query. Emitted
+    // only when a baseline CSV for this sf exists; ratio < 1 means graft
+    // is faster than the reference engine.
+    val baselinePath = sys.env.getOrElse("SPARK_GRAFT_BASELINE",
+      "tools/refbaseline/baseline_sf0.1.csv")
+    val baseline: Map[String, Double] =
+      if (sfDir.contains("sf0.1") && Files.exists(Paths.get(baselinePath))) {
+        scala.jdk.CollectionConverters.ListHasAsScala(
+            Files.readAllLines(Paths.get(baselinePath))).asScala
+          .drop(1).map(_.split(","))
+          .collect { case Array(name, _, psql) => name -> psql.toDouble }
+          .toMap
+      } else Map.empty
+    val ratioed = baseline.keys.toSeq.sorted.filter(times.contains)
+    val ratios = ratioed
+      .map(k => s"${q(k)}:${num(times(k) / baseline(k))}").mkString("{", ",", "}")
+    val benchVsBaseline =
+      if (ratioed.isEmpty) 0.0
+      else ratioed.map(times).sum / ratioed.map(baseline).sum
+
     val line = s"""{"metric":"total","value":${num(times.values.sum)},"unit":"sec"""" +
       s""","queries":$qs,"errors":$es,"sf":${q(sfDir)},"iters":$iters""" +
-      s""","warmup":1,"ok":${errors.isEmpty}}"""
+      s""","warmup":1,"ratio_vs_reference":$ratios""" +
+      s""","bench_vs_baseline":${num(benchVsBaseline)}""" +
+      s""","baseline_engine":"pandaSQL(sqlite, read+run)"""" +
+      s""","ok":${errors.isEmpty}}"""
     println(line)
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
     Files.writeString(Paths.get(out), line + "\n")

@@ -533,16 +533,19 @@ final class PsDataFrame(private var _df: DataFrame) {
     require(c != "count", "value_counts: cannot count a column named 'count'")
     val counted = _df.groupBy(c)
       .agg(org.apache.spark.sql.functions.count(lit(1)).as("count"))
-    // normalize=true -> pandas `proportion` column: count / total, via a
-    // total window over the (small) distinct-value result, not the corpus
+    // normalize=true -> pandas `proportion` column: count / total. The
+    // total is a broadcast 1-row aggregate crossJoined in (same pattern as
+    // tfIdf's corpus size N) — an unpartitioned window here would funnel
+    // every distinct value through one partition, which for an id-like
+    // column is the whole table on one core.
     val out =
       if (!normalize) counted
       else {
-        import org.apache.spark.sql.expressions.Window
-        counted.withColumn("proportion",
-          col("count") / org.apache.spark.sql.functions.sum("count")
-            .over(Window.partitionBy()))
-          .drop("count")
+        val total = counted.select(
+          org.apache.spark.sql.functions.sum("count").as("__total"))
+        counted.crossJoin(org.apache.spark.sql.functions.broadcast(total))
+          .withColumn("proportion", col("count") / col("__total"))
+          .drop("count", "__total")
       }
     val ord = if (normalize) col("proportion") else col("count")
     new PsDataFrame(out.orderBy(ord.desc, col(c)))

@@ -168,20 +168,24 @@ object TextAnalysis {
       .agg(count(lit(1)).as("cnt"), count_distinct(col("id")).as("df"))
 
   /** per-(doc, token) tf-idf with smoothed idf = ln((N+1)/(df+1)) + 1.
-    * Two aggregations over one exploded pass; the df side is broadcast
-    * when small (vocab ≪ corpus). The corpus size N stays IN the plan as a
-    * broadcast 1-row aggregate (no driver-side `count()` at compose time —
-    * composition stays lazy, nothing runs until an action). Integer tf/df
-    * columns are exact for differential checks; idf/tfidf are floats (libm
-    * ln is not bit-portable across engines — compare those with
-    * tolerance). */
+    * Two aggregations over one exploded pass. The tf⋈df join carries NO
+    * broadcast hint: the df side is the distinct-token relation, which on a
+    * web-scale corpus is hundreds of millions of near-unique tokens — a
+    * forced broadcast would OOM the driver. AQE sees the post-aggregation
+    * size at runtime and broadcasts exactly when the vocabulary is small
+    * (PlanShapeSpec asserts sf-scale data still gets a broadcast join).
+    * The corpus size N stays IN the plan as a broadcast 1-row aggregate
+    * (no driver-side `count()` at compose time — composition stays lazy,
+    * nothing runs until an action). Integer tf/df columns are exact for
+    * differential checks; idf/tfidf are floats (libm ln is not
+    * bit-portable across engines — compare those with tolerance). */
   def tfIdf(docs: org.apache.spark.sql.DataFrame,
       idCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
     val toks = tokenTable(docs, idCol, textCol)
     val nDf = docs.select(count(lit(1)).as("__n"))
     val tf = toks.groupBy("id", "token").agg(count(lit(1)).as("tf"))
     val df_ = toks.groupBy("token").agg(count_distinct(col("id")).as("df"))
-    tf.join(broadcast(df_), "token")
+    tf.join(df_, "token")
       .crossJoin(broadcast(nDf))
       .withColumn("idf", log((col("__n") + 1.0) / (col("df") + 1.0)) + 1.0)
       .withColumn("tfidf", col("tf") * col("idf"))

@@ -151,6 +151,44 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("tfIdf vocab join is AQE-chosen, not hint-forced") {
+    // the df side is the distinct-token relation — web-scale it is too big
+    // to broadcast, so the join must NOT carry an unconditional hint. Two
+    // sides of the same assertion: (a) under default conf the small sf
+    // vocab still ends up broadcast (AQE/stats pick it); (b) with the
+    // broadcast threshold disabled the join degrades to a shuffle join —
+    // impossible if a hint were forcing it.
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val ti = graft.functions.TextAnalysis.tfIdf(d, "doc_id", "text")
+    assert(ti.count() > 0)
+    val adaptive = ti.queryExecution.executedPlan.toString
+    assert(adaptive.contains("BroadcastHashJoin"),
+      s"small vocab should broadcast under default conf:\n${adaptive.take(800)}")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val forcedOff = graft.functions.TextAnalysis.tfIdf(d, "doc_id", "text")
+      assert(forcedOff.count() > 0)
+      val plan = forcedOff.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastHashJoin"),
+        s"vocab join still broadcasts with threshold=-1 — a forced hint is back:\n${plan.take(800)}")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
+  test("valueCounts(normalize) computes its total without a window funnel") {
+    // the input to the total is the distinct-value relation; a
+    // Window.partitionBy() there funnels every distinct value through one
+    // partition. The shape must be: partial-agg -> 1-row broadcast ->
+    // crossJoin (the SinglePartition exchange that remains carries one
+    // pre-reduced row per input partition, which is the pattern's point)
+    val c = PsIO.readParquet(spark, "/root/testdata/sf0.001/customer.parquet")
+    val vc = c.valueCounts("c_mktsegment", normalize = true)
+    val plan = vc.df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"normalize total must not be a window:\n${plan.take(800)}")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"expected a broadcast 1-row total:\n${plan.take(800)}")
+  }
+
   test("local-data frames stay broadcast-joinable against big tables") {
     val s = spark
     val small = PsDataFrame.fromLocal(s,

@@ -1,0 +1,179 @@
+#!/usr/bin/env python3
+"""Baseline timings for the reference engine (rohankumar42/pandaSQL) on the
+SAME sf-scale tables the Spark bench uses, executing the SAME 8 query shapes
+as graft.RefBench (which ports reference benchmarks/run_benchmark.py:11-151
+onto the star schema).
+
+Protocol mirrors the reference's own harness (run_benchmark.py:154-213):
+  - "read":  load input into the engine's frame type
+             (pandas: parquet->DataFrame; pandaSQL: ps.DataFrame wrap —
+              SQLite ingest is lazy and lands in run, as in the reference)
+  - "run":   build the query + force materialization (str(result), exactly
+             like the reference harness)
+Each (engine, query) pair runs in a FRESH subprocess so pandaSQL's SQLite
+materialization cache and temp DB never carry across measurements.
+
+The dask engine from the reference harness is omitted (no dask wheel in the
+zero-egress sandbox); pandas + pandaSQL are the two engines the reference's
+own README/paper positions against, and pandaSQL is the baseline the 2x
+gate is about. `psutil` (imported by pandasql.memory_utils) is satisfied by
+the minimal stub in this directory.
+
+Usage:
+  python3 tools/refbaseline/run_ref_baseline.py /root/testdata/sf0.1 out.json
+  python3 tools/refbaseline/run_ref_baseline.py <sfdir> <out.json> <query>  # one query, in-process
+"""
+import json
+import os
+import subprocess
+import sys
+import time
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+REFERENCE = "/root/reference"
+
+QUERIES = [
+    "b_order", "b_join_order", "b_join_select", "b_big_join_select",
+    "b_join", "b_triple_join", "b_limit", "b_selection",
+]
+
+# ---------------------------------------------------------------- engines
+
+def load_pandas(sfdir, names):
+    import pandas as pd
+    return {n: pd.read_parquet(os.path.join(sfdir, n + ".parquet")) for n in names}
+
+
+def run_shape(mod, tables, query):
+    """Build one RefBench query shape with `mod` = pandas or pandasql.
+    Shapes mirror graft.RefBench (reference run_benchmark.py:11-151)."""
+    if query == "b_order":
+        o = tables["orders"]
+        r = o.sort_values(by=["o_orderdate", "o_orderkey"], ascending=[False, False])
+        return r[["o_orderkey", "o_orderdate", "o_totalprice"]]
+
+    if query in ("b_join_order", "b_join_select", "b_join"):
+        o, c = tables["orders"], tables["customer"]
+        j = mod.merge(o, c, left_on="o_custkey", right_on="c_custkey")
+        if query == "b_join":
+            j = j[["o_orderkey", "o_totalprice", "c_custkey", "c_name", "c_mktsegment"]]
+            return j.sort_values(by=["o_orderkey"], ascending=[True])
+        j["spread"] = j["o_totalprice"] - j["c_acctbal"]
+        if query == "b_join_order":
+            j = j[["o_orderkey", "c_name", "spread"]]
+            return j.sort_values(by=["spread", "o_orderkey"], ascending=[False, False])
+        j = j[j["spread"] > 300000]
+        j = j[["o_orderkey", "c_name", "spread"]]
+        return j.sort_values(by=["o_orderkey"], ascending=[True])
+
+    if query == "b_big_join_select":
+        s = tables["supplier"][["s_suppkey", "s_name", "s_acctbal"]]
+        c = tables["customer"][["c_custkey", "c_acctbal"]]
+        if mod.__name__ == "pandas":
+            s = mod.DataFrame(s)  # suppress slice-write warning, as reference does
+            c = mod.DataFrame(c)
+        s["dummy"] = 1
+        c["dummy"] = 1
+        j = mod.merge(s, c, on="dummy")
+        j["joint"] = j["s_acctbal"] + j["c_acctbal"]
+        j = j[j["joint"] > 12000]
+        j = j[["s_suppkey", "c_custkey", "joint"]]
+        return j.sort_values(by=["s_suppkey", "c_custkey"], ascending=[True, True])
+
+    if query == "b_triple_join":
+        li = tables["lineitem"][["l_orderkey", "l_linenumber", "l_extendedprice"]]
+        o, c = tables["orders"], tables["customer"]
+        j = mod.merge(li, o, left_on="l_orderkey", right_on="o_orderkey")
+        j = mod.merge(j, c, left_on="o_custkey", right_on="c_custkey")
+        j = j[["l_orderkey", "l_linenumber", "l_extendedprice", "o_custkey", "c_name"]]
+        return j.sort_values(by=["l_orderkey", "l_linenumber"], ascending=[True, True])
+
+    if query == "b_limit":
+        return tables["orders"].head(n=100)
+
+    if query == "b_selection":
+        o = tables["orders"]
+        sel = o[((o["o_totalprice"] // 100000 + 1) == 4) |
+                (o["o_orderpriority"] == "1-URGENT")]
+        sel = sel[["o_orderkey", "o_totalprice", "o_orderpriority"]]
+        return sel.sort_values(by=["o_orderkey"], ascending=[True])
+
+    raise ValueError(query)
+
+
+def measure_one(sfdir, query):
+    """Time one query under both engines in this process. Returns dict."""
+    needed = {"orders", "customer"}
+    if query == "b_big_join_select":
+        needed = {"supplier", "customer"}
+    if query == "b_triple_join":
+        needed |= {"lineitem"}
+
+    out = {"query": query}
+
+    import pandas
+    t0 = time.time()
+    pdf = load_pandas(sfdir, needed)
+    out["pandas_read"] = time.time() - t0
+    t0 = time.time()
+    r = run_shape(pandas, pdf, query)
+    str(r)  # force, as the reference harness does
+    out["pandas_run"] = time.time() - t0
+    out["rows_pandas"] = int(len(r))
+    del r
+
+    sys.path.insert(0, HERE)       # psutil stub
+    sys.path.insert(0, REFERENCE)  # the reference package itself
+    os.environ.setdefault("PANDASQL_OFFLOADING", "ALWAYS")
+    import pandasql
+    t0 = time.time()
+    pstables = {n: pandasql.DataFrame(df) for n, df in pdf.items()}
+    out["pandasql_read"] = time.time() - t0
+    t0 = time.time()
+    r = run_shape(pandasql, pstables, query)
+    str(r)  # triggers SQLite ingest + SQL execution + result readback
+    out["pandasql_run"] = time.time() - t0
+    out["rows_pandasql"] = int(len(r.result))
+    return out
+
+
+def main():
+    sfdir, outpath = sys.argv[1], sys.argv[2]
+    if len(sys.argv) > 3:  # child mode: one query, print JSON line
+        print(json.dumps(measure_one(sfdir, sys.argv[3])))
+        return
+    results = {}
+    for q in QUERIES:
+        p = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), sfdir, "-", q],
+            capture_output=True, text=True, timeout=3600)
+        if p.returncode != 0:
+            results[q] = {"error": p.stderr.strip()[-2000:]}
+            print(f"{q}: FAILED\n{p.stderr.strip()[-2000:]}", file=sys.stderr)
+        else:
+            line = p.stdout.strip().splitlines()[-1]
+            results[q] = json.loads(line)
+            r = results[q]
+            print(f"{q}: pandas {r['pandas_run']:.3f}s  "
+                  f"pandaSQL {r['pandasql_run']:.3f}s  rows={r['rows_pandasql']}")
+    with open(outpath, "w") as fh:
+        json.dump({"sfdir": sfdir, "engines": ["pandas", "pandaSQL"],
+                   "protocol": "reference run_benchmark.py:154-213 (read/run split, str() forces)",
+                   "results": results}, fh, indent=2)
+    # flat CSV twin for graft.Bench (no JSON parser on the Scala side):
+    # query,pandas_total_sec,pandasql_total_sec  (total = read + run, since
+    # the Spark bench times include the parquet scan inside each query)
+    csvpath = os.path.splitext(outpath)[0] + ".csv"
+    with open(csvpath, "w") as fh:
+        fh.write("query,pandas_sec,pandasql_sec\n")
+        for q in QUERIES:
+            r = results.get(q, {})
+            if "error" in r or not r:
+                continue
+            fh.write(f"{q},{r['pandas_read'] + r['pandas_run']:.3f},"
+                     f"{r['pandasql_read'] + r['pandasql_run']:.3f}\n")
+    print(f"wrote {outpath} and {csvpath}")
+
+
+if __name__ == "__main__":
+    main()
