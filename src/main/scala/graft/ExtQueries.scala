@@ -931,6 +931,46 @@ object ExtQueries {
         .sortValues(Seq("seg")).df
     }),
 
+    // ---- pandas-facade parity (round 7: oracle rows for the
+    // ---- previously unit-only facades — their own column ORDER and
+    // ---- NAMING is exactly where drift hides) -----------------------
+
+    // astype: per-column cast, column-order-preserving
+    "q_astype" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      o.astype(Map("o_orderkey" -> "string", "o_custkey" -> "double"))
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        .sortValues(Seq("o_orderkey")).df // string sort: lexicographic in both engines
+    }),
+
+    // deterministic sample(frac, seed): hash membership reproduces
+    // row-for-row in any engine (round(0.3*10000) = bucket cap 3000)
+    "q_sample" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      d.sample("doc_id", 0.3, seed = "r7")
+        .select("doc_id", "lang").sortValues(Seq("doc_id")).df
+    }),
+
+    // merge suffixes=('_x','_y'): BOTH copies of the overlapping non-key
+    // column survive under suffixed names; non-overlapping stay bare
+    "q_suffixes" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+      val sup = t(s, dir, "supplier")
+        .select("s_suppkey", "s_acctbal")
+        .rename(Map("s_suppkey" -> "c_custkey", "s_acctbal" -> "c_acctbal"))
+      c.merge(sup, on = Seq("c_custkey"), suffixes = Some(("_x", "_y")))
+        .sortValues(Seq("c_custkey")).df
+    }),
+
+    // concat over NON-identical column sets: union-of-columns schema,
+    // absent cells null (the strict reference form stays q_union)
+    "q_concat_outer" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val a = c.select("c_custkey", "c_name")
+      val b = c.select("c_custkey", "c_acctbal")
+      a.concatOuter(b).sortValues(Seq("c_custkey", "c_name")).df
+    }),
+
     // ---- non-inner joins (extension over the reference, which only
     // ---- builds inner equi-joins) + CSV ingestion -------------------
 
@@ -1113,6 +1153,27 @@ object ExtQueries {
   }
 
   def oracleSql: Map[String, String] = Map(
+    "q_astype" ->
+      """SELECT CAST(o_orderkey AS VARCHAR) AS o_orderkey,
+            CAST(o_custkey AS DOUBLE) AS o_custkey,
+            o_orderstatus, o_totalprice
+         FROM orders ORDER BY CAST(o_orderkey AS VARCHAR)""",
+    "q_sample" ->
+      """SELECT doc_id, lang FROM (
+           SELECT doc_id, lang,
+             ('0x' || substr(md5(doc_id::VARCHAR || 'r7'), 1, 15))::BIGINT % 10000 AS b
+           FROM documents)
+         WHERE b < 3000 ORDER BY doc_id""",
+    "q_suffixes" ->
+      """SELECT c.c_custkey AS c_custkey, c.c_name AS c_name,
+            c.c_acctbal AS c_acctbal_x, s.s_acctbal AS c_acctbal_y
+         FROM customer c JOIN supplier s ON c.c_custkey = s.s_suppkey
+         ORDER BY c_custkey""",
+    "q_concat_outer" ->
+      """SELECT c_custkey, c_name, NULL AS c_acctbal FROM customer
+         UNION ALL
+         SELECT c_custkey, NULL AS c_name, c_acctbal FROM customer
+         ORDER BY c_custkey, c_name NULLS FIRST""",
     "q_dedup_key" ->
       """SELECT doc_id, lang, source, n_chars FROM (
            SELECT *, row_number() OVER (PARTITION BY lang, source ORDER BY doc_id) AS rn

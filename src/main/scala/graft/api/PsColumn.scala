@@ -25,7 +25,11 @@ import graft.functions.{GraftAggregates, PyArith}
   * two sources, core.py:318-330), a PsColumn can mix columns from any
   * frames that Catalyst can resolve — a strict superset.
   */
-final case class PsColumn(col: Column, owner: Option[DataFrame] = None) {
+final case class PsColumn(col: Column, owner: Option[DataFrame] = None,
+    /** for sort-ordered columns (`asc`/`desc`): the underlying value
+      * column, usable in ordinary expressions — a SortOrder itself cannot
+      * appear inside e.g. an `isNotNull` (rankIn pct needs this). */
+    sortBase: Option[Column] = None) {
   private def o(x: Any): Column = x match {
     case p: PsColumn => p.col
     case c: Column   => c
@@ -114,8 +118,8 @@ final case class PsColumn(col: Column, owner: Option[DataFrame] = None) {
 
   def as(name: String): PsColumn = derive(col.as(name))
   def cast(to: String): PsColumn = derive(col.cast(to))
-  def asc: PsColumn = derive(col.asc)
-  def desc: PsColumn = derive(col.desc)
+  def asc: PsColumn = PsColumn(col.asc, owner, sortBase = Some(col))
+  def desc: PsColumn = PsColumn(col.desc, owner, sortBase = Some(col))
 
   /** pandas `.str` accessor (designed extension — the reference has no
     * string functions beyond its three predicates, SURVEY §2.3). All are

@@ -368,12 +368,21 @@ final class PsDataFrame(private var _df: DataFrame) {
           w.rangeBetween(Window.currentRow, Window.currentRow))
         f.rank().over(w) + (ties - lit(1)) / lit(2.0)
       case "pct" =>
-        // pandas rank(pct=True): average-method rank / group size
-        val ties = f.count(lit(1)).over(
+        // pandas rank(pct=True, na_option='keep'): average-method rank /
+        // NON-NaN count, with NaN rows excluded from both. Expressed with
+        // non-null counts instead of rank() so it's immune to where Spark
+        // sorts nulls: avg-rank = (non-null rows at-or-before current,
+        // RANGE frame so peers count) - (ties-1)/2; null-order rows get a
+        // null rank, as in pandas.
+        val nonNull = orderBy.map(c => c.sortBase.getOrElse(c.col).isNotNull)
+          .reduce(_ && _)
+        val upTo = f.count(when(nonNull, 1)).over(
+          w.rangeBetween(Window.unboundedPreceding, Window.currentRow))
+        val ties = f.count(when(nonNull, 1)).over(
           w.rangeBetween(Window.currentRow, Window.currentRow))
-        val total = f.count(lit(1))
+        val total = f.count(when(nonNull, 1))
           .over(Window.partitionBy(partitionBy.map(_df(_)): _*))
-        (f.rank().over(w) + (ties - lit(1)) / lit(2.0)) / total
+        when(nonNull, (upTo - (ties - lit(1)) / lit(2.0)) / total)
       case other => sys.error(s"rankIn: unsupported method $other")
     }
     new PsDataFrame(_df.withColumn(as, ranked))
@@ -579,13 +588,19 @@ final class PsDataFrame(private var _df: DataFrame) {
   /** pandas `crosstab(index, columns)`: two-way frequency table — one
     * partial-aggregating pivot pass, empty cells 0 (pandas crosstab
     * yields 0, unlike pivot_table's NaN). Column values explicit, as
-    * everywhere pivot-shaped. */
+    * everywhere pivot-shaped. Null row keys are dropped first (pandas
+    * crosstab drops NaN keys), and the zero-fill is restricted to the
+    * pivot columns — fill(0) on the row-key column itself would relabel
+    * a null key group as a spurious 0 row. */
   def crosstab(rowCol: String, colCol: String, colValues: Seq[Any]): PsDataFrame = {
     require(colValues.nonEmpty, "crosstab needs explicit column values")
-    new PsDataFrame(_df.groupBy(_df(rowCol))
+    val pivoted = _df
+      .filter(_df(rowCol).isNotNull)
+      .groupBy(_df(rowCol))
       .pivot(colCol, colValues)
       .agg(org.apache.spark.sql.functions.count(lit(1)))
-      .na.fill(0))
+    new PsDataFrame(
+      pivoted.na.fill(0, pivoted.columns.filterNot(_ == rowCol)))
   }
 
   /** pandas `combine_first(other)` keyed on `on`: self's values win,

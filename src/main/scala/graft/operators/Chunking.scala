@@ -34,6 +34,16 @@ object Chunking {
       overlap: Int): DataFrame = {
     require(chunkTokens > 0 && overlap >= 0 && overlap < chunkTokens,
       "chunkDocs needs 0 <= overlap < chunkTokens")
+    // the output face is fixed (id, chunk_id, chunk_text, n_tokens); an
+    // id column already carrying one of those names would alias-collide
+    // inside the projection — fail fast instead of silently shadowing
+    require(!Seq("chunk_id", "chunk_text", "n_tokens").contains(idCol),
+      s"chunkDocs: idCol '$idCol' collides with an output column name")
+    // intermediate token-array alias: probe for a free name (same pattern
+    // as interpolate/mergeIndicator) so an input column named __toks can
+    // never be shadowed
+    val tokName = Iterator.from(0).map(i => s"__toks$i")
+      .find(n => !docs.columns.contains(n)).get
     val step = chunkTokens - overlap
     val toks = split(col(textCol), " ")
     val n = size(toks)
@@ -41,13 +51,13 @@ object Chunking {
     val nChunks = greatest(lit(1),
       floor((n - lit(overlap) + lit(step - 1)) / lit(step.toDouble)).cast("int"))
     docs.select(
-        col(idCol).as("id"), toks.as("__toks"),
+        col(idCol).as("id"), toks.as(tokName),
         explode(sequence(lit(0), nChunks - 1)).as("chunk_id"))
       .select(
         col("id"), col("chunk_id"),
-        array_join(slice(col("__toks"), col("chunk_id") * step + 1, lit(chunkTokens)), " ")
+        array_join(slice(col(tokName), col("chunk_id") * step + 1, lit(chunkTokens)), " ")
           .as("chunk_text"),
-        size(slice(col("__toks"), col("chunk_id") * step + 1, lit(chunkTokens)))
+        size(slice(col(tokName), col("chunk_id") * step + 1, lit(chunkTokens)))
           .as("n_tokens"))
   }
 
@@ -70,6 +80,10 @@ object Chunking {
       ctxTokens: Long,
       nShards: Int): DataFrame = {
     require(ctxTokens > 0 && nShards > 0, "packSequences needs positive budget/shards")
+    // output appends (shard, pack_id) to the input schema — withColumn
+    // would silently OVERWRITE same-named input columns, so reject them
+    require(!docs.columns.contains("shard") && !docs.columns.contains("pack_id"),
+      "packSequences: input already has a 'shard' or 'pack_id' column")
     val shard = pmod(Dedup.hash60(col(idCol).cast("string")), lit(nShards.toLong))
     val withShard = docs.withColumn("shard", shard)
     val w = Window.partitionBy(col("shard")).orderBy(col(idCol))

@@ -107,7 +107,16 @@ object Dedup {
       val hot = ex.groupBy("s").agg(count(lit(1)).as("__df"))
         .filter(col("__df") > cap)
         .select("s")
-      ex.join(broadcast(hot), Seq("s"), "left_anti")
+      // escape hatch for the forced broadcast: the hot set is heuristically
+      // small (df > cap members only) but can reach Σdf/cap entries on a
+      // pathological corpus, and past Spark's broadcast limit a forced
+      // hint fails the job outright. spark.graft.dedup.broadcastHotSet=
+      // false drops the hint so the anti-join degrades to a shuffled join
+      // instead of failing (costs one extra shuffle of the exploded
+      // relation — the measured 2.1x default trade stays opt-out).
+      val forceBroadcast = docs.sparkSession.conf
+        .get("spark.graft.dedup.broadcastHotSet", "true").toBoolean
+      ex.join(if (forceBroadcast) broadcast(hot) else hot, Seq("s"), "left_anti")
     }
     val postings = kept.groupBy("s")
       .agg(collect_list(struct(col("id"), col("n"))).as("ds"))

@@ -50,6 +50,31 @@ class ChunkingSpec extends AnyFunSuite with SparkFixture {
     assert(got == Seq(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L))
   }
 
+  test("chunkDocs survives an input __toks column; output-name idCol rejected") {
+    val s = spark
+    import s.implicits._
+    // an input column literally named __toks0 must not be shadowed by the
+    // internal token-array alias (the free-name probe skips past it)
+    val d = Seq((1L, "a b c", "junk")).toDF("doc_id", "text", "__toks0")
+    val got = Chunking.chunkDocs(d, "doc_id", "text", 2, 0)
+      .orderBy("chunk_id").collect().map(_.getString(2)).toSeq
+    assert(got == Seq("a b", "c"))
+    // idCol colliding with a fixed output name fails fast, not silently
+    val bad = Seq(("x", "a b")).toDF("chunk_id", "text")
+    val e = intercept[IllegalArgumentException](
+      Chunking.chunkDocs(bad, "chunk_id", "text", 2, 0))
+    assert(e.getMessage.contains("collides"))
+  }
+
+  test("packSequences rejects input shard/pack_id instead of clobbering") {
+    val s = spark
+    import s.implicits._
+    val d = Seq((1L, 10, 99L)).toDF("doc_id", "n_tok", "pack_id")
+    val e = intercept[IllegalArgumentException](
+      Chunking.packSequences(d, "doc_id", col("n_tok"), 512, 1))
+    assert(e.getMessage.contains("pack_id"))
+  }
+
   test("packSequences is deterministic across re-runs and shard-stable") {
     val s = spark
     import s.implicits._

@@ -69,6 +69,24 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(plan.contains("LeftAnti"), plan.take(800))
   }
 
+  test("hot-set broadcast has an opt-out that degrades, not fails") {
+    val s = spark
+    import s.implicits._
+    val d = (1L to 5L).map(i => (i, s"x x x a$i b$i c$i")).toDF("doc_id", "text")
+    // default: forced broadcast anti-join (the measured 2.1x-faster shape)
+    val forced = Dedup.jaccardPairs(d, "doc_id", "text", 3, 0.1, maxDf = Some(2))
+    assert(forced.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+    // opt-out: same rows, but the planner is free to shuffle the anti-join
+    // (the escape hatch for a hot set past the broadcast/driver limit)
+    s.conf.set("spark.graft.dedup.broadcastHotSet", "false")
+    try {
+      val free = Dedup.jaccardPairs(d, "doc_id", "text", 3, 0.1, maxDf = Some(2))
+      assert(free.count() == forced.count())
+      val lp = free.queryExecution.optimizedPlan.toString
+      assert(!lp.contains("ResolvedHint"), lp.take(400))
+    } finally s.conf.unset("spark.graft.dedup.broadcastHotSet")
+  }
+
   test("simhash: near-dups land close in Hamming space, others far") {
     val fps = Dedup.simhash(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

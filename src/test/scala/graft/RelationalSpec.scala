@@ -360,6 +360,37 @@ class RelationalSpec extends AnyFunSuite with SparkFixture {
     assert(got("r2") == ((0L, 1L))) // empty cell is 0, not null
   }
 
+  test("crosstab: null row key is dropped, numeric keys never relabeled 0") {
+    val s = spark
+    import s.implicits._
+    // numeric row key incl. a REAL 0 group and a null group: pandas drops
+    // the NaN key; a fill(0) over all numeric columns would have renamed
+    // the null group to 0 and produced two 0-labeled rows
+    val d = PsDataFrame(Seq(
+      (Some(0), "x"), (Some(0), "y"), (Some(1), "x"), (None, "x"), (None, "y"))
+      .toDF("a", "b"))
+    val rows = d.crosstab("a", "b", Seq("x", "y")).df.orderBy("a").collect()
+    assert(rows.length == 2) // null key gone, exactly one 0 row
+    assert(rows.map(_.getInt(0)).toSeq == Seq(0, 1))
+    assert((rows(0).getLong(1), rows(0).getLong(2)) == ((1L, 1L)))
+    assert((rows(1).getLong(1), rows(1).getLong(2)) == ((1L, 0L)))
+  }
+
+  test("rankIn pct: null order values excluded from ranks and denominator") {
+    val s = spark
+    import s.implicits._
+    // pandas: s.rank(pct=True) over [10, 20, 20, NaN] -> [1/3, 2.5/3, 2.5/3, NaN]
+    val d = PsDataFrame(Seq(
+      ("g", Some(10.0)), ("g", Some(20.0)), ("g", Some(20.0)), ("g", Option.empty[Double]))
+      .toDF("k", "v"))
+    val got = d.rankIn(Seq("k"), Seq(d("v")), "r", method = "pct")
+      .df.orderBy(asc_nulls_last("v")).collect()
+    assert(math.abs(got(0).getDouble(2) - 1.0 / 3) < 1e-12)
+    assert(math.abs(got(1).getDouble(2) - 2.5 / 3) < 1e-12)
+    assert(math.abs(got(2).getDouble(2) - 2.5 / 3) < 1e-12)
+    assert(got(3).isNullAt(2)) // NaN in pandas, null here
+  }
+
   test("combineFirst: self wins, other fills gaps, schemas union") {
     val s = spark
     import s.implicits._
