@@ -1,0 +1,140 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.streaming.StreamingOps
+import graft.streaming.StreamingOps.Event
+
+/** Streaming state-store scale probe: drives [[StreamingOps.streamingAsOf]]
+  * and [[StreamingOps.sessionize]] through MemoryStream replays at a base
+  * and a ×10 key cardinality and records what the state store actually
+  * holds (numRowsTotal from the query progress), plus whether idle-key
+  * state really evicts on the TTL / session-gap timeout.
+  *
+  * The batch-side analogue is [[ScaleProbe]]; this closes the same
+  * "measured, not asserted" bar for the streaming operators: per-key state
+  * must stay O(1) (rows/key flat as keys ×10), and an idle stream must
+  * shrink to ~nothing once the watermark passes the TTL — otherwise a
+  * 100 TB/day stream with churning keys grows state without bound.
+  *
+  * {{{ sbt "runMain graft.StreamScaleProbe [baseKeys]" }}}  (default 200)
+  */
+object StreamScaleProbe {
+
+  private def stateRows(q: StreamingQuery): Long =
+    Option(q.lastProgress)
+      .map(_.stateOperators.asInstanceOf[Array[_]].foldLeft(0L) {
+        case (acc, so: org.apache.spark.sql.streaming.StateOperatorProgress) =>
+          acc + so.numRowsTotal
+        case (acc, _) => acc
+      }).getOrElse(0L)
+
+  private def ev(id: Long, tsMin: Long, user: Long, v: Double, typ: String = "click") =
+    Event(id, new Timestamp(tsMin * 60000L), user, typ, v, "{}")
+
+  def main(args: Array[String]): Unit = {
+    val baseKeys = args.headOption.map(_.toInt).getOrElse(200)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    /** streamingAsOf: `batches` micro-batches of one right + one left per
+      * key, then idle batches (sentinel key advances the watermark) to the
+      * compaction floor, then one past the 60-minute TTL. Returns
+      * (max state rows while active, state after compaction, state after TTL). */
+    def asofRun(nKeys: Int, batches: Int): (Long, Long, Long) = {
+      val left = MemoryStream[Event]
+      val right = MemoryStream[Event]
+      val q = StreamingOps.streamingAsOf(
+          left.toDF(), right.toDF(), "user_id", "ts", "event_id", "value",
+          lateness = "10 minutes", keyTTL = java.time.Duration.ofMinutes(60))
+        .writeStream.format("memory").queryName(s"p_asof_$nKeys")
+        .outputMode("append").start()
+      try {
+        var maxActive = 0L
+        var id = 0L
+        for (b <- 0 until batches) {
+          val t = b.toLong * 2 // 2-minute batch cadence
+          right.addData((0 until nKeys).map { k =>
+            id += 1; ev(id, t, k, t.toDouble, "purchase")
+          })
+          left.addData((0 until nKeys).map { k => id += 1; ev(id, t + 1, k, 0.0) })
+          q.processAllAvailable()
+          maxActive = math.max(maxActive, stateRows(q))
+        }
+        // idle: the sentinel key (-1) pushes the watermark 15 min past the
+        // last data twice — held lefts flush, rights compact to the one
+        // dominated row per key
+        val lastT = batches.toLong * 2
+        for (i <- 1 to 2) {
+          left.addData(Seq(ev(-1, lastT + 15 * i, -1, 0.0)))
+          q.processAllAvailable()
+        }
+        val afterCompact = stateRows(q)
+        // past the TTL (60 min of event-time silence): idle keys evict
+        for (i <- 1 to 2) {
+          left.addData(Seq(ev(-2, lastT + 30 + 70 * i, -1, 0.0)))
+          q.processAllAvailable()
+        }
+        val afterTtl = stateRows(q)
+        val emitted = spark.table(s"p_asof_$nKeys").count()
+        println(f"[streamprobe] asof keys=$nKeys%-5d maxActive=$maxActive%-6d " +
+          f"afterCompact=$afterCompact%-6d afterTTL=$afterTtl%-4d emitted=$emitted")
+        (maxActive, afterCompact, afterTtl)
+      } finally q.stop()
+    }
+
+    /** sessionize: `batches` micro-batches of one event per key inside one
+      * gap window, then watermark pushed past the 30-minute gap. Returns
+      * (max state rows while active, state after gap timeout, sessions). */
+    def sessionRun(nKeys: Int, batches: Int): (Long, Long, Long) = {
+      val input = MemoryStream[Event]
+      val q = StreamingOps.sessionize(input.toDS(), java.time.Duration.ofMinutes(30))
+        .writeStream.format("memory").queryName(s"p_sess_$nKeys")
+        .outputMode("append").start()
+      try {
+        var maxActive = 0L
+        var id = 0L
+        for (b <- 0 until batches) {
+          input.addData((0 until nKeys).map { k => id += 1; ev(id, b.toLong * 2, k, 1.0) })
+          q.processAllAvailable()
+          maxActive = math.max(maxActive, stateRows(q))
+        }
+        val lastT = batches.toLong * 2
+        for (i <- 1 to 2) { // watermark past every session's gap timeout
+          input.addData(Seq(ev(-1, lastT + 60 * i, -1, 1.0)))
+          q.processAllAvailable()
+        }
+        val afterGap = stateRows(q)
+        val sessions = spark.table(s"p_sess_$nKeys")
+          .filter($"user_id" >= 0).count()
+        println(f"[streamprobe] sessionize keys=$nKeys%-5d maxActive=$maxActive%-6d " +
+          f"afterGap=$afterGap%-4d sessions=$sessions")
+        (maxActive, afterGap, sessions)
+      } finally q.stop()
+    }
+
+    val batches = 10
+    val (aBase, aTen) = (asofRun(baseKeys, batches), asofRun(baseKeys * 10, batches))
+    val (sBase, sTen) = (sessionRun(baseKeys, batches), sessionRun(baseKeys * 10, batches))
+
+    def perKey(v: Long, k: Int): Double = v.toDouble / k
+    println(f"[streamprobe] asof state rows/key: base=${perKey(aBase._1, baseKeys)}%.2f " +
+      f"x10=${perKey(aTen._1, baseKeys * 10)}%.2f (flat = per-key state is O(1))")
+    println(f"[streamprobe] sessionize state rows/key: base=${perKey(sBase._1, baseKeys)}%.2f " +
+      f"x10=${perKey(sTen._1, baseKeys * 10)}%.2f")
+    println(s"[streamprobe] TTL eviction: asof afterTTL base=${aBase._3} x10=${aTen._3}; " +
+      s"session afterGap base=${sBase._2} x10=${sTen._2} (sentinel-only floors)")
+    spark.stop()
+  }
+}
