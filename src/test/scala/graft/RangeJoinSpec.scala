@@ -93,6 +93,45 @@ class RangeJoinSpec extends AnyFunSuite with SparkFixture {
     } finally spark.conf.unset(RangeJoinRule.BinSizeKey)
   }
 
+  test("AQE splits the hot bin under pathological point skew") {
+    val s = spark
+    import s.implicits._
+    // half the points land in ONE 64-wide bin (the exact skew the bin
+    // rewrite trades the nested loop for); the other half spread evenly
+    // across 10,000 bins
+    val n = 100000L
+    val points = spark.range(n).select(
+      col("id").as("p_id"),
+      when(col("id") % 2 === 0, col("id") % 64)
+        .otherwise(lit(64) + (col("id") % 10000) * 64).as("x"))
+    val intervals = (0 until 200).map(k => (k.toLong, k * 3200L, k * 3200L + 3199L))
+      .toDF("i_id", "lo", "hi")
+
+    // thresholds scaled down so the split fires at test size; the ratios
+    // (hot partition >> factor x median, > threshold) mirror production
+    val tuned = Map(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "128k",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "32k")
+    val saved = tuned.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    tuned.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val joined = RangeJoin.pointInInterval(
+        points, intervals, "x", "lo", "hi", binSize = 64)
+      val got = joined.collect() // execute THIS plan so AQE finalizes it
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("AdaptiveSparkPlan isFinalPlan=true"), plan)
+      assert(plan.contains("skewed"),
+        s"expected an AQE skew-split shuffle read in:\n$plan")
+      val naive = points.join(intervals,
+        col("x") >= col("lo") && col("x") <= col("hi")).count()
+      assert(got.length.toLong == naive && naive > 0)
+    } finally saved.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+  }
+
   test("injected SQL functions run the codegen'd expressions from pure SQL") {
     val one = spark.sql(
       "SELECT graft_cosine(array(3.0, 4.0), array(3.0, 4.0)) AS c").head().getDouble(0)
