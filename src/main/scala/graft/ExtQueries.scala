@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.api._
 import graft.functions.TextAnalysis
-import graft.operators.{AsOfJoin, Dedup, Multimodal, Sampling, Similarity, Skew}
+import graft.operators.{AsOfJoin, Components, Dedup, Multimodal, Sampling, Similarity, Skew}
 import graft.sources.PsIO
 import graft.streaming.StreamingOps
 
@@ -82,6 +82,28 @@ object ExtQueries {
     "q_minhash_lsh" -> ((s, dir) => {
       val d = t(s, dir, "documents")
       Dedup.minhashLsh(d.df, "doc_id", "text").orderBy("a_id", "b_id")
+    }),
+
+    // near-dup CLUSTERS: transitive closure of the LSH pair relation via
+    // min-label propagation (pairs alone under-dedup: A~B, B~C must keep
+    // exactly one of {A,B,C}); oracle recomputes components with a
+    // recursive CTE over the brute-force pair set, which the LSH pairs
+    // match exactly at this similarity (see q_minhash_lsh)
+    "q_dedup_clusters" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val pairs = Dedup.minhashLsh(d.df, "doc_id", "text")
+      Components.clusterLabels(pairs)
+        .select(col("node").as("doc_id"), col("label").as("cluster_id"))
+        .orderBy("doc_id")
+    }),
+
+    // cluster-aware dedup: one survivor (the min doc_id) per near-dup
+    // cluster, unpaired docs untouched
+    "q_cluster_dedup" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val pairs = Dedup.minhashLsh(d.df, "doc_id", "text")
+      Components.dedupByCluster(d.df, pairs, "doc_id")
+        .select("doc_id", "lang").orderBy("doc_id")
     }),
 
     // 60-bit SimHash fingerprints (md5-derived token hash = cross-engine)
@@ -1143,6 +1165,21 @@ object ExtQueries {
        FROM p WHERE inter::DOUBLE / (na + nb - inter) >= $threshold
        ORDER BY a_id, b_id"""
 
+  /** Recursive-CTE connected components over the brute-force near-dup
+    * pair set: `walk` carries every (node, reachable-label) pair; min per
+    * node = the component's min id — the same fixpoint
+    * [[Components.clusterLabels]] converges to. */
+  private def componentCte(threshold: Double): String =
+    docShingleCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+    s""", e AS (SELECT a_id, b_id FROM p
+                WHERE inter::DOUBLE / (na + nb - inter) >= $threshold),
+       symm AS (SELECT a_id AS src, b_id AS dst FROM e
+                UNION ALL SELECT b_id, a_id FROM e),
+       walk(node, lab) AS (
+         SELECT src, src FROM symm
+         UNION
+         SELECT s2.dst, w.lab FROM walk w JOIN symm s2 ON s2.src = w.node)"""
+
   private val normFp = """('0x' || substr(md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), 1, 15))::BIGINT"""
 
   private val stopList = TextAnalysis.EnglishStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
@@ -1185,6 +1222,16 @@ object ExtQueries {
             FROM documents) WHERE rn = 1 ORDER BY doc_id""",
     "q_jaccard_pairs" -> jaccardOracle(0.6),
     "q_minhash_lsh" -> jaccardOracle(0.8),
+    "q_dedup_clusters" ->
+      s"""${componentCte(0.8)}
+         SELECT node AS doc_id, min(lab) AS cluster_id FROM walk
+         GROUP BY node ORDER BY doc_id""",
+    "q_cluster_dedup" ->
+      s"""${componentCte(0.8)},
+         losers AS (SELECT node FROM walk GROUP BY node
+                    HAVING min(lab) <> node)
+         SELECT doc_id, lang FROM documents
+         WHERE doc_id NOT IN (SELECT node FROM losers) ORDER BY doc_id""",
     "q_simhash" ->
       (Dedup.simhashOracleSql("documents", "doc_id", "text") + " ORDER BY id"),
     "q_simhash_pairs" ->

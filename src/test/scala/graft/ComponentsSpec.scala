@@ -1,0 +1,97 @@
+package graft
+
+import scala.util.Random
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Components, Dedup}
+
+class ComponentsSpec extends AnyFunSuite with SparkFixture {
+
+  /** Driver-side union-find oracle: node -> min id in its component. */
+  private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(n => n -> find(n)).toMap
+  }
+
+  private def labelsOf(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+    df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("fixed shapes: chain, triangle, disjoint pair, shared-min merge") {
+    val s = spark
+    import s.implicits._
+    val edges = Seq( // {1,2,3,4} chain, {10,11,12} triangle, {20,21} pair,
+      (1L, 2L), (2L, 3L), (3L, 4L), // {30,31,32} via two pairs sharing 30
+      (10L, 11L), (11L, 12L), (10L, 12L),
+      (20L, 21L), (31L, 30L), (30L, 32L))
+    val pairs = edges.toDF("a_id", "b_id")
+    val expected = unionFind(edges)
+    assert(labelsOf(Components.clusterLabels(pairs)) == expected)
+    assert(labelsOf(Components.connectedComponents(pairs)) == expected)
+  }
+
+  test("random graph: lazy and eager faces both match union-find") {
+    val s = spark
+    import s.implicits._
+    val rnd = new Random(7)
+    // 150 edges over 120 nodes: several mid-size components + singleton
+    // pairs; diameters stay small, in range for the lazy default rounds
+    val edges = Seq.fill(150)((rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
+      .filter { case (a, b) => a != b }
+    val pairs = edges.toDF("a_id", "b_id")
+    val expected = unionFind(edges)
+    assert(labelsOf(Components.clusterLabels(pairs, rounds = 10)) == expected)
+    assert(labelsOf(Components.connectedComponents(pairs)) == expected)
+  }
+
+  test("long chain: eager converges past the lazy round horizon") {
+    val s = spark
+    import s.implicits._
+    val edges = (0L until 30L).map(i => (i, i + 1)) // diameter 30
+    val pairs = edges.toDF("a_id", "b_id")
+    // lazy with rounds=6 only propagates 6 hops — far end NOT labeled 0
+    val lazySix = labelsOf(Components.clusterLabels(pairs, rounds = 6))
+    assert(lazySix(30L) != 0L)
+    // eager iterates to the true fixpoint
+    val eager = labelsOf(Components.connectedComponents(pairs))
+    assert(eager == unionFind(edges))
+    assert(eager.values.forall(_ == 0L))
+  }
+
+  test("dedupByCluster keeps exactly the min-id member of each cluster") {
+    val s = spark
+    import s.implicits._
+    val docs = (1L to 20L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
+    val pairs = Seq((2L, 5L), (5L, 9L), (11L, 12L)).toDF("a_id", "b_id")
+    val kept = Components.dedupByCluster(docs, pairs, "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // {2,5,9} -> keep 2; {11,12} -> keep 11; everything unpaired stays
+    assert(kept == (1L to 20L).toSet -- Set(5L, 9L, 12L))
+  }
+
+  test("clusters over real minhash pairs: every pair ends up co-labeled") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val pairs = Dedup.minhashLsh(docs, "doc_id", "text")
+    val labels = Components.clusterLabels(pairs)
+    val lmap = labelsOf(labels.select("node", "label"))
+    val ps = pairs.select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(ps.nonEmpty)
+    ps.foreach { case (a, b) =>
+      assert(lmap(a) == lmap(b), s"pair ($a,$b) split across clusters")
+    }
+    // labels are component minima: every label is itself a member node
+    // labeled with itself
+    assert(lmap.values.toSet.forall(l => lmap(l) == l))
+  }
+}
