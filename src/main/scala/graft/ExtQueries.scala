@@ -1098,6 +1098,16 @@ object ExtQueries {
         .sortValues(Seq("n_nationkey")).df
     }),
 
+    // NPY round-trip (reference read_numpy, io.py:35-36): nation keys as
+    // a 2-D f8 matrix -> readNpy -> posexplode back to scalars; oracle
+    // recomputes the same matrix relationally from the table
+    "q_read_npy" -> ((s, dir) => {
+      npyFixture(s, dir)
+      PsIO.readNpy(s, NpyFixturePath).df
+        .select(col("idx"), posexplode(col("value")).as(Seq("pos", "value")))
+        .orderBy("idx", "pos")
+    }),
+
     // per-column aggregate sugar: df("c").sum() scalars, re-lifted into a
     // frame so the oracle can compare them
     "q_colagg" -> ((s, dir) => {
@@ -1132,6 +1142,7 @@ object ExtQueries {
     * abs path; the oracle SQL is static, so the paths must be too). */
   val CsvFixtureDir = "/root/repo/target/tmp/nation_csv"
   val JsonFixtureDir = "/root/repo/target/tmp/nation_json"
+  val NpyFixturePath = "/root/repo/target/tmp/nation_npy/nation.npy"
 
   /** Write-once-per-process fixture creation, keyed by (kind, dir):
     * the ingestion queries must time the READ — re-writing the fixture
@@ -1145,6 +1156,15 @@ object ExtQueries {
   private def jsonFixture(s: SparkSession, dir: String): Unit =
     fixturesDone.computeIfAbsent(s"json:$dir", _ =>
       PsIO.toJson(s.read.parquet(s"$dir/nation.parquet").coalesce(1), JsonFixtureDir))
+  private def npyFixture(s: SparkSession, dir: String): Unit =
+    fixturesDone.computeIfAbsent(s"npy:$dir", _ => {
+      new java.io.File(NpyFixturePath).getParentFile.mkdirs()
+      PsIO.toNpy(
+        s.read.parquet(s"$dir/nation.parquet").orderBy("n_nationkey")
+          .select(array(col("n_nationkey").cast("double"),
+            col("n_regionkey").cast("double")).as("v")),
+        "v", NpyFixturePath)
+    })
 
   // ------------------------------------------------------------ oracles
 
@@ -1916,6 +1936,17 @@ object ExtQueries {
       s"""SELECT n_nationkey, n_name, n_regionkey
           FROM read_json_auto('$JsonFixtureDir/*.json')
           ORDER BY n_nationkey""",
+    // the npy fixture is written ordered by n_nationkey, so idx is the
+    // rank of n_nationkey; DuckDB rebuilds (idx, pos, value) relationally
+    "q_read_npy" ->
+      """WITH n AS (SELECT n_nationkey, n_regionkey,
+                           row_number() OVER (ORDER BY n_nationkey) - 1 AS idx
+                    FROM nation)
+         SELECT idx, pos, value FROM (
+           SELECT idx, 0 AS pos, n_nationkey::DOUBLE AS value FROM n
+           UNION ALL
+           SELECT idx, 1 AS pos, n_regionkey::DOUBLE AS value FROM n)
+         ORDER BY idx, pos""",
     "q_materialize" ->
       """WITH base AS (SELECT l_orderkey, l_quantity, l_returnflag
                        FROM lineitem WHERE l_quantity > 45)

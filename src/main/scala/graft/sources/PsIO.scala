@@ -45,6 +45,19 @@ object PsIO {
   def toParquet(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).parquet(path)
 
+  /** reference io.py:35-36 — local NumPy array ingestion; 1-D ->
+    * (idx, value), 2-D -> (idx, value ARRAY). See [[Npy]] for the
+    * format/scale notes (read_pickle, io.py:39-40, stays out of scope —
+    * no JVM pickle codec; `fromLocal` is the local-object path). */
+  def readNpy(spark: SparkSession, path: String): PsDataFrame =
+    Npy.readNpy(spark, path)
+
+  def readNpz(spark: SparkSession, path: String, entry: String): PsDataFrame =
+    Npy.readNpz(spark, path, entry)
+
+  def toNpy(df: DataFrame, valueCol: String, path: String): Unit =
+    Npy.toNpy(df, valueCol, path)
+
   /** Explicit materialization — the reference's offload-to-SQLite
     * (`CREATE TABLE name AS <query>`, core.py:84-89). On Spark this is
     * plan caching; later queries reuse the in-memory columnar form. */
