@@ -127,6 +127,17 @@ object ExtQueries {
 
     // ---- text analysis ----------------------------------------------
 
+    // Gopher-style n-gram repetition signals (top-2-gram token coverage,
+    // duplicated-3-gram position fraction) — one codegen'd scan, ratios
+    // of integer counts so the oracle hash-matches bit-exactly
+    "q_repetition" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      d.df.select(col("doc_id"),
+          TextAnalysis.topNgramFrac(col("text"), 2).as("top2_frac"),
+          TextAnalysis.dupNgramFrac(col("text"), 3).as("dup3_frac"))
+        .orderBy("doc_id")
+    }),
+
     "q_fingerprint" -> ((s, dir) => {
       val d = t(s, dir, "documents")
       d.df.select(
@@ -1242,6 +1253,33 @@ object ExtQueries {
             FROM documents) WHERE rn = 1 ORDER BY doc_id""",
     "q_jaccard_pairs" -> jaccardOracle(0.6),
     "q_minhash_lsh" -> jaccardOracle(0.8),
+    // n-gram multiset restated relationally: unnest + GROUP BY per doc;
+    // docs with < n tokens fall out of the grouped CTEs and coalesce to 0
+    "q_repetition" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         g2 AS (SELECT doc_id, len(w) AS nt,
+                       list_transform(range(len(w) - 1),
+                         i -> array_to_string(w[i+1:i+2], ' ')) AS sh
+                FROM toks WHERE len(w) >= 2),
+         u2 AS (SELECT doc_id, nt, unnest(sh) AS g FROM g2),
+         c2 AS (SELECT doc_id, nt, g, count(*) AS c FROM u2 GROUP BY doc_id, nt, g),
+         m2 AS (SELECT doc_id, (max(c) * 2)::DOUBLE / nt AS top2
+                FROM c2 GROUP BY doc_id, nt),
+         g3 AS (SELECT doc_id,
+                       list_transform(range(len(w) - 2),
+                         i -> array_to_string(w[i+1:i+3], ' ')) AS sh
+                FROM toks WHERE len(w) >= 3),
+         u3 AS (SELECT doc_id, unnest(sh) AS g FROM g3),
+         c3 AS (SELECT doc_id, g, count(*) AS c FROM u3 GROUP BY doc_id, g),
+         m3 AS (SELECT doc_id,
+                       coalesce(sum(c) FILTER (c > 1), 0)::DOUBLE / sum(c) AS dup3
+                FROM c3 GROUP BY doc_id)
+         SELECT d.doc_id, coalesce(m2.top2, 0.0) AS top2_frac,
+                coalesce(m3.dup3, 0.0) AS dup3_frac
+         FROM documents d
+         LEFT JOIN m2 ON m2.doc_id = d.doc_id
+         LEFT JOIN m3 ON m3.doc_id = d.doc_id
+         ORDER BY d.doc_id""",
     "q_dedup_clusters" ->
       s"""${componentCte(0.8)}
          SELECT node AS doc_id, min(lab) AS cluster_id FROM walk

@@ -84,6 +84,32 @@ object TextAnalysis {
       (size(toks) - size(array_distinct(toks))).cast("double") / size(toks))
   }
 
+  /** One-pass k-gram repetition counters: struct(total, top, dup) — see
+    * [[graft.plans.NgramRepStats]]. Use directly when several ratios are
+    * derived from the same n (one tokenize+count instead of one per
+    * ratio). */
+  def ngramRepStats(text: Column, n: Int): Column =
+    graft.plans.TextExpressions.ngramRepStats(text, n)
+
+  /** Fraction of tokens covered by the single most frequent n-gram
+    * (Gopher's top-n-gram filter: boilerplate headers and keyword spam
+    * push it up). Exact double division of integer counts. */
+  def topNgramFrac(text: Column, n: Int): Column = {
+    val st = ngramRepStats(text, n)
+    when(st.getField("total") === 0, 0.0)
+      .otherwise((st.getField("top") * n).cast("double") /
+        (st.getField("total") + n - 1))
+  }
+
+  /** Fraction of n-gram positions whose n-gram occurs more than once
+    * (Gopher's duplicate-n-gram filter: templated/looping text scores
+    * high where [[dupTokenRatio]] alone can miss it). */
+  def dupNgramFrac(text: Column, n: Int): Column = {
+    val st = ngramRepStats(text, n)
+    when(st.getField("total") === 0, 0.0)
+      .otherwise(st.getField("dup").cast("double") / st.getField("total"))
+  }
+
   /** First failing curation rule, or NULL when the document passes all of
     * them (`keep = qualityReason.isNull`). The C4/Gopher-style composite:
     * length band, punctuation density, repetition, token-shape sanity.

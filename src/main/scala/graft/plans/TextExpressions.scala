@@ -61,8 +61,67 @@ case class WordShingles(child: Expression, k: Int)
     copy(child = newChild)
 }
 
+/** One-pass k-gram repetition counters for Gopher-style quality filters:
+  * `struct(total, top, dup)` where `total` = number of k-gram positions,
+  * `top` = occurrence count of the most frequent k-gram, `dup` = number
+  * of positions whose k-gram occurs more than once. One tokenize + one
+  * hash count per row — the declarative alternative (explode → groupBy →
+  * join back) costs a shuffle per n, this costs none; at 100 TB it is
+  * part of the same single quality-scan as the other text signals.
+  * All-zero struct when the document has fewer than k tokens.
+  */
+case class NgramRepStats(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(k >= 1, "n-gram size must be >= 1")
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("total", IntegerType, nullable = false),
+    StructField("top", IntegerType, nullable = false),
+    StructField("dup", IntegerType, nullable = false)))
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"expects string, got $other")
+  }
+
+  private val space = UTF8String.fromString(" ")
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[UTF8String].split(space, -1)
+    val n = toks.length - k + 1
+    val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(3)
+    if (n <= 0) { row.update(0, 0); row.update(1, 0); row.update(2, 0); return row }
+    val counts = new java.util.HashMap[UTF8String, Int](n * 2)
+    var i = 0
+    while (i < n) {
+      val parts = new Array[UTF8String](k)
+      System.arraycopy(toks, i, parts, 0, k)
+      counts.merge(UTF8String.concatWs(space, parts: _*), 1, Integer.sum)
+      i += 1
+    }
+    var top = 0
+    var dup = 0
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val c = it.next()
+      if (c > top) top = c
+      if (c > 1) dup += c
+    }
+    row.update(0, n); row.update(1, top); row.update(2, dup)
+    row
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextExpressions {
   /** distinct k-word shingles (order of first occurrence). */
   def wordShingles(text: Column, k: Int): Column =
     GraftColumnBridge.column(WordShingles(GraftColumnBridge.expression(text), k))
+
+  /** one-pass k-gram repetition counters: struct(total, top, dup). */
+  def ngramRepStats(text: Column, k: Int): Column =
+    GraftColumnBridge.column(NgramRepStats(GraftColumnBridge.expression(text), k))
 }

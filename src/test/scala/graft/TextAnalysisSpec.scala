@@ -82,6 +82,36 @@ class TextAnalysisSpec extends AnyFunSuite with SparkFixture {
     assert(clean == "no pii here, just words and the number 7")
   }
 
+  test("n-gram repetition: counters, ratios, and degenerate docs") {
+    def reps(text: String, n: Int): (Int, Int, Int) = {
+      val r = one(text).select(
+        TextAnalysis.ngramRepStats(col("text"), n).as("s")).head().getStruct(0)
+      (r.getInt(0), r.getInt(1), r.getInt(2))
+    }
+    // "a b a b a": 2-grams = [a b, b a, a b, b a] -> total 4, top 2, dup 4
+    assert(reps("a b a b a", 2) == (4, 2, 4))
+    // all-distinct 2-grams: dup 0, top 1
+    assert(reps("w x y z", 2) == (3, 1, 0))
+    // shorter than n -> all zero
+    assert(reps("one two", 3) == (0, 0, 0))
+
+    def fracs(text: String): (Double, Double) = {
+      val r = one(text).select(
+        TextAnalysis.topNgramFrac(col("text"), 2).as("t"),
+        TextAnalysis.dupNgramFrac(col("text"), 3).as("d")).head()
+      (r.getDouble(0), r.getDouble(1))
+    }
+    // 5 tokens, top 2-gram "a b" occurs 2x -> 2*2/5; 3-grams
+    // [a b a, b a b, a b a] -> 2 of 3 positions duplicated
+    assert(fracs("a b a b a") == (0.8, 2.0 / 3.0))
+    assert(fracs("w x y z") == (0.5, 0.0)) // top 2-gram covers 2/4 tokens
+    assert(fracs("solo") == (0.0, 0.0))
+    // the spam case the token-level ratio understates: every token
+    // repeats, AND every 3-gram position is a duplicate
+    val (t, d) = fracs("buy now buy now buy now buy now")
+    assert(t == 8.0 / 8.0 && d == 1.0)
+  }
+
   test("normalization collapses whitespace and case for fingerprints") {
     val r = one("  The   QUICK fox ").select(
       TextAnalysis.fingerprintHex(TextAnalysis.normalized(col("text"))).as("a"))
