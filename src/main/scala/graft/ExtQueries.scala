@@ -76,6 +76,16 @@ object ExtQueries {
         .orderBy("a_id", "b_id")
     }),
 
+    // exact-substring dedup pairs (the Lee-et-al ACL'22 criterion): any
+    // two docs sharing a 15-token exact run, suffix-array method restated
+    // as long-shingle postings; n_spans = distinct shared spans. maxDf
+    // default (1000) cannot engage at 500 docs, so the oracle is exact.
+    "q_shared_spans" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Dedup.sharedSpanPairs(d.df, "doc_id", "text", spanTokens = 15)
+        .orderBy("a_id", "b_id")
+    }),
+
     // MinHash-LSH near-dup pairs (banded candidates + exact confirm);
     // oracle is the brute-force Jaccard — LSH miss probability at the
     // injected-dup similarity (~0.97) is ~1e-15, so outputs must agree
@@ -1253,6 +1263,15 @@ object ExtQueries {
             FROM documents) WHERE rn = 1 ORDER BY doc_id""",
     "q_jaccard_pairs" -> jaccardOracle(0.6),
     "q_minhash_lsh" -> jaccardOracle(0.8),
+    "q_shared_spans" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         sh AS (SELECT doc_id, list_distinct(list_transform(range(len(w) - 14),
+                  i -> array_to_string(w[i+1:i+15], ' '))) AS dsh
+                FROM toks WHERE len(w) >= 15),
+         u AS (SELECT doc_id, unnest(dsh) AS s FROM sh)
+         SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_spans
+         FROM u a JOIN u b ON a.s = b.s AND a.doc_id < b.doc_id
+         GROUP BY a_id, b_id ORDER BY a_id, b_id""",
     // n-gram multiset restated relationally: unnest + GROUP BY per doc;
     // docs with < n tokens fall out of the grouped CTEs and coalesce to 0
     "q_repetition" ->

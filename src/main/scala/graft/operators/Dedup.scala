@@ -136,6 +136,49 @@ object Dedup {
       .select("a_id", "b_id", "jaccard")
   }
 
+  /** Exact-substring near-dup pairs: documents sharing at least one run
+    * of `spanTokens` consecutive tokens (the criterion of Lee et al.,
+    * "Deduplicating Training Data Makes Language Models Better", ACL'22
+    * — there built on a suffix array; restated here as LONG-shingle
+    * postings, which Spark executes as one keyed shuffle). A shared
+    * k-token span and a shared k-shingle are the same event, so the
+    * postings index from [[jaccardPairs]] answers it directly — no
+    * similarity threshold, ANY long-enough exact overlap pairs the docs
+    * (catches quotation/boilerplate overlap Jaccard dilutes away on
+    * otherwise-different documents).
+    *
+    * Output: (a_id, b_id, n_spans) with n_spans = number of DISTINCT
+    * shared k-shingles (a run of m >= k shared tokens contributes
+    * m-k+1). `maxDf` drops spans present in more than maxDf docs before
+    * the postings explode — same fan-out bound and same conservative
+    * (lower-bound) semantics as in [[jaccardPairs]].
+    */
+  def sharedSpanPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      spanTokens: Int = 20,
+      maxDf: Option[Int] = Some(1000)): DataFrame = {
+    val ex = docs
+      .select(col(idCol).as("id"), explode(shingles(col(textCol), spanTokens)).as("s"))
+    val kept = maxDf.fold(ex) { cap =>
+      val hot = ex.groupBy("s").agg(count(lit(1)).as("__df"))
+        .filter(col("__df") > cap)
+        .select("s")
+      val forceBroadcast = docs.sparkSession.conf
+        .get("spark.graft.dedup.broadcastHotSet", "true").toBoolean
+      ex.join(if (forceBroadcast) broadcast(hot) else hot, Seq("s"), "left_anti")
+    }
+    val postings = kept.groupBy("s")
+      .agg(collect_list(col("id")).as("ds"))
+      .filter(size(col("ds")) >= 2)
+    postings
+      .select(explode(col("ds")).as("a_id"), col("ds"))
+      .select(col("a_id"), explode(col("ds")).as("b_id"))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("n_spans"))
+  }
+
   // ----------------------------------------------------------- MinHash-LSH
 
   /** MinHash prime (fits int; products with 64-bit hashes stay exact in

@@ -149,6 +149,27 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
       s"d=8 volume $v8 should dwarf d=3 volume $v3 — the declared query must use d=3")
   }
 
+  test("sharedSpanPairs finds exactly the long-run overlaps") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "p q r s t u v"),             // 5-shingles pqrst qrstu rstuv
+      (2L, "x x p q r s t y y"),         // shares run "p q r s t" with 1
+      (3L, "q r s t u a b"),             // shares run "q r s t u" with 1
+      (4L, "completely different words here today"),
+      (5L, "p q r s t u v w"))           // shares a 7-token run with 1
+      .toDF("doc_id", "text")
+    val got = Dedup.sharedSpanPairs(docs, "doc_id", "text", spanTokens = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // a shared m-token run yields m-k+1 distinct spans: (1,5) share 7 -> 3
+    assert(got == Map((1L, 2L) -> 1L, (1L, 3L) -> 1L, (1L, 5L) -> 3L,
+      (2L, 5L) -> 1L, (3L, 5L) -> 1L))
+    // maxDf cap drops spans hotter than the cap -> conservative lower bound
+    val capped = Dedup.sharedSpanPairs(docs, "doc_id", "text",
+      spanTokens = 5, maxDf = Some(1)).count()
+    assert(capped == 0L)
+  }
+
   test("hash60 matches the cross-engine constant (DuckDB parity)") {
     val s = spark
     import s.implicits._
