@@ -99,10 +99,14 @@ object ExtQueries {
     // exactly one of {A,B,C}); oracle recomputes components with a
     // recursive CTE over the brute-force pair set, which the LSH pairs
     // match exactly at this similarity (see q_minhash_lsh)
+    // rounds=4: LSH dup groups at 0.8 similarity are near-cliques
+    // (diameter <= 2 at both test SFs), so 4 rounds is 2x margin —
+    // and the oracle computes the TRUE fixpoint, so any
+    // under-propagation is a hash mismatch, not a silent wrong answer
     "q_dedup_clusters" -> ((s, dir) => {
       val d = t(s, dir, "documents")
       val pairs = Dedup.minhashLsh(d.df, "doc_id", "text")
-      Components.clusterLabels(pairs)
+      Components.clusterLabels(pairs, rounds = 4)
         .select(col("node").as("doc_id"), col("label").as("cluster_id"))
         .orderBy("doc_id")
     }),
@@ -112,7 +116,7 @@ object ExtQueries {
     "q_cluster_dedup" -> ((s, dir) => {
       val d = t(s, dir, "documents")
       val pairs = Dedup.minhashLsh(d.df, "doc_id", "text")
-      Components.dedupByCluster(d.df, pairs, "doc_id")
+      Components.dedupByCluster(d.df, pairs, "doc_id", rounds = 4)
         .select("doc_id", "lang").orderBy("doc_id")
     }),
 

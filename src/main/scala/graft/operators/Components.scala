@@ -42,21 +42,29 @@ import org.apache.spark.sql.functions._
   */
 object Components {
 
-  /** Symmetrized edge list (src, dst) from a pair relation. */
+  /** Symmetrized edge list (src, dst) WITH self-loops. The self-loop is
+    * load-bearing for plan shape: "min over own + neighbors' labels" as a
+    * join + union would reference the previous round's labels TWICE, so
+    * an unrolled r-round lazy plan duplicates the upstream DAG 2^r times
+    * (ComponentsProbe measured the 2-reference form at 549 s for r=6 on a
+    * 250k-pair corpus vs ~3 s eager). With self-loops the whole round is
+    * ONE join + ONE min groupBy over a single labels reference — plan
+    * growth is linear in rounds, and every round shuffles the edge side
+    * identically, so Spark reuses that exchange across rounds. */
   private def sym(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
     val e = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+    val nodes = e.select(col("src").as("n"))
+      .union(e.select(col("dst").as("n"))).distinct()
     e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .union(nodes.select(col("n").as("src"), col("n").as("dst")))
   }
 
-  /** One min-label round: every node takes min(own label, neighbors'
-    * labels). Pure transformations. */
-  private def step(sym: DataFrame, labels: DataFrame): DataFrame = {
-    val viaNeighbor = sym
-      .join(labels.withColumnRenamed("node", "src"), "src")
+  /** One min-label round: every node takes min over its in-edges'
+    * source labels (self-loops carry the node's own label). */
+  private def step(sym: DataFrame, labels: DataFrame): DataFrame =
+    sym.join(labels.withColumnRenamed("node", "src"), "src")
       .select(col("dst").as("node"), col("label"))
-    viaNeighbor.union(labels)
       .groupBy("node").agg(min("label").as("label"))
-  }
 
   /** Lazy fixed-round component labels: (node, label) for every node that
     * appears in `pairs`, label = min node id reachable within `rounds`
