@@ -81,8 +81,19 @@ object Bench {
     // is faster than the reference engine.
     val baselinePath = sys.env.getOrElse("SPARK_GRAFT_BASELINE",
       "tools/refbaseline/baseline_sf0.1.csv")
+    // A baseline is scale-specific: pair it with this run only when the
+    // run's sf directory name equals the baseline's sf token, taken from
+    // the filename convention baseline_<sf>.csv (override with
+    // SPARK_GRAFT_BASELINE_SF when the file is named differently). Exact
+    // name equality, not substring — "sf0.1" must not match "sf0.15".
+    val baselineSf: Option[String] =
+      sys.env.get("SPARK_GRAFT_BASELINE_SF").orElse(
+        "baseline_(.+)\\.csv".r
+          .findFirstMatchIn(Paths.get(baselinePath).getFileName.toString)
+          .map(_.group(1)))
+    val sfName = Paths.get(sfDir).getFileName.toString
     val baseline: Map[String, Double] =
-      if (sfDir.contains("sf0.1") && Files.exists(Paths.get(baselinePath))) {
+      if (baselineSf.contains(sfName) && Files.exists(Paths.get(baselinePath))) {
         scala.jdk.CollectionConverters.ListHasAsScala(
             Files.readAllLines(Paths.get(baselinePath))).asScala
           .drop(1).map(_.split(","))
@@ -92,14 +103,16 @@ object Bench {
     val ratioed = baseline.keys.toSeq.sorted.filter(times.contains)
     val ratios = ratioed
       .map(k => s"${q(k)}:${num(times(k) / baseline(k))}").mkString("{", ",", "}")
+    // no overlapping baseline queries -> N/A (JSON null), NOT 0.0 (which
+    // would read as infinitely fast)
     val benchVsBaseline =
-      if (ratioed.isEmpty) 0.0
-      else ratioed.map(times).sum / ratioed.map(baseline).sum
+      if (ratioed.isEmpty) "null"
+      else num(ratioed.map(times).sum / ratioed.map(baseline).sum)
 
     val line = s"""{"metric":"total","value":${num(times.values.sum)},"unit":"sec"""" +
       s""","queries":$qs,"errors":$es,"sf":${q(sfDir)},"iters":$iters""" +
       s""","warmup":1,"ratio_vs_reference":$ratios""" +
-      s""","bench_vs_baseline":${num(benchVsBaseline)}""" +
+      s""","bench_vs_baseline":$benchVsBaseline""" +
       s""","baseline_engine":"pandaSQL(sqlite, read+run)"""" +
       s""","ok":${errors.isEmpty}}"""
     println(line)

@@ -1286,7 +1286,7 @@ object ExtQueries {
                 FROM toks WHERE len(w) >= 2),
          u2 AS (SELECT doc_id, nt, unnest(sh) AS g FROM g2),
          c2 AS (SELECT doc_id, nt, g, count(*) AS c FROM u2 GROUP BY doc_id, nt, g),
-         m2 AS (SELECT doc_id, (max(c) * 2)::DOUBLE / nt AS top2
+         m2 AS (SELECT doc_id, least(1.0, (max(c) * 2)::DOUBLE / nt) AS top2
                 FROM c2 GROUP BY doc_id, nt),
          g3 AS (SELECT doc_id,
                        list_transform(range(len(w) - 2),

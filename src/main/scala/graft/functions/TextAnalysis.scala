@@ -93,12 +93,16 @@ object TextAnalysis {
 
   /** Fraction of tokens covered by the single most frequent n-gram
     * (Gopher's top-n-gram filter: boilerplate headers and keyword spam
-    * push it up). Exact double division of integer counts. */
+    * push it up). Exact double division of integer counts, clamped to
+    * [0,1]: occurrences of the top n-gram can overlap ('a a a a', n=2:
+    * top=3 of 3 bigrams over 4 tokens gives 1.5 unclamped), and the
+    * token-coverage reading — the one threshold filters assume — cannot
+    * exceed 1. */
   def topNgramFrac(text: Column, n: Int): Column = {
     val st = ngramRepStats(text, n)
     when(st.getField("total") === 0, 0.0)
-      .otherwise((st.getField("top") * n).cast("double") /
-        (st.getField("total") + n - 1))
+      .otherwise(least(lit(1.0), (st.getField("top") * n).cast("double") /
+        (st.getField("total") + n - 1)))
   }
 
   /** Fraction of n-gram positions whose n-gram occurs more than once

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Connected components over a duplicate-pair relation — the step that
   * turns near-dup PAIRS ([[Dedup.minhashLsh]], [[Dedup.jaccardPairs]],
@@ -27,11 +28,12 @@ import org.apache.spark.sql.functions._
   *    component diameter is <= rounds — true for near-dup clusters,
   *    which are dense (every member pairs with most others, diameter
   *    2-3); the default 6 rounds covers diameter-6 chains.
-  *  - [[connectedComponents]]: iterates the same step TO CONVERGENCE with
-  *    a changed-label count per round, truncating lineage each round via
-  *    `localCheckpoint` (without it, round N's plan nests N copies of the
-  *    join — the classic iterative-algorithm lineage explosion). Use this
-  *    when diameters are unknown (general graphs, web-link components).
+  *  - [[connectedComponents]]: iterates the same step TO CONVERGENCE,
+  *    one job per round (the changed-label count doubles as the action
+  *    materializing that round's persisted labels), unpersisting the
+  *    previous round's blocks as it goes so state held is one round of
+  *    labels plus the edges. Use this when diameters are unknown
+  *    (general graphs, web-link components).
   *
   * 100 TB posture: state per round is one (node, label) row per node —
   * O(V) not O(E); labels only ever decrease, so convergence is monotone;
@@ -49,14 +51,31 @@ object Components {
     * (ComponentsProbe measured the 2-reference form at 549 s for r=6 on a
     * 250k-pair corpus vs ~3 s eager). With self-loops the whole round is
     * ONE join + ONE min groupBy over a single labels reference — plan
-    * growth is linear in rounds, and every round shuffles the edge side
-    * identically, so Spark reuses that exchange across rounds. */
-  private def sym(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    * growth is linear in rounds.
+    *
+    * The base edge projection is `persist`-marked (lazily — no job runs
+    * until an action, so this composes into job-free query registries):
+    * `e` appears 4 times inside this plan (forward, reversed, and twice
+    * under the node distinct) and the WHOLE sym output is referenced once
+    * per propagation round, so without a cache the upstream pair plan —
+    * typically an expensive LSH/shingle dedup — executes ~4·(rounds+1)
+    * times per action. At 100 TB the pair relation is the small output of
+    * the dedup stage (O(duplicate pairs), not O(corpus)); MEMORY_AND_DISK
+    * spills rather than evicts, and recompute-from-lineage remains the
+    * correctness fallback if blocks are lost. Returns (edges, sym) so
+    * eager callers can unpersist the edge cache when done; the lazy face
+    * leaves both caches registered by design (it has no completion hook —
+    * documented on [[clusterLabels]]). */
+  private def sym(
+      pairs: DataFrame, aCol: String, bCol: String): (DataFrame, DataFrame) = {
     val e = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = e.select(col("src").as("n"))
       .union(e.select(col("dst").as("n"))).distinct()
-    e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+    val s = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
       .union(nodes.select(col("n").as("src"), col("n").as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    (e, s)
   }
 
   /** One min-label round: every node takes min over its in-edges'
@@ -75,36 +94,81 @@ object Components {
       bCol: String = "b_id",
       rounds: Int = 6): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
-    val s = sym(pairs, aCol, bCol)
+    // sym's output is joined once per round plus once for init; both it
+    // and the base edge projection are persist-marked (lazily) so each
+    // action materializes the symmetrized edges exactly once instead of
+    // rounds+1 times, and the upstream pair plan runs once instead of
+    // ~4·(rounds+1) times (measured on q_dedup_clusters at sf0.1:
+    // 17.2 s -> see SCALEPROBE.md round-8 section). The cache entries
+    // stay registered — this face is a pure lazy composition with no
+    // completion hook; MEMORY_AND_DISK keeps the footprint bounded by
+    // the (small) pair relation.
+    val (_, s) = sym(pairs, aCol, bCol)
     val init = s.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
     (1 to rounds).foldLeft(init)((labels, _) => step(s, labels))
   }
 
+  /** Explicitly drop the cache blocks behind a `localCheckpoint`-backed
+    * frame. Spark only frees them when the ContextCleaner GCs the RDD
+    * reference; an iterative loop that checkpoints every round would
+    * otherwise accumulate one round of blocks per iteration
+    * (block-manager storage ~rounds·|V| until GC). The checkpointed
+    * plan's leaf IS the persisted RDD ([[org.apache.spark.sql.execution.LogicalRDD]]),
+    * so unpersisting it is exactly the cleaner's eventual action, done
+    * eagerly. */
+  private def freeCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectLeaves().foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   /** Eager converged component labels. Runs [[clusterLabels]]' step until
-    * no label changes (or maxRounds), truncating lineage every round.
-    * Returns a localCheckpoint-backed frame — already materialized. */
+    * no label changes (or maxRounds). Each round localCheckpoints ONE
+    * frame — the step output joined back to the previous labels so it
+    * carries (node, label, prev) — and the convergence signal is a
+    * filter-count over those just-materialized local blocks (no second
+    * join re-running the step; the pre-fix version paid a separate
+    * changed-count join per round). The previous round's checkpoint
+    * blocks are freed via [[freeCheckpoint]] as soon as the new round is
+    * materialized, so state held is one round of labels plus the edges.
+    *
+    * Per-round lineage truncation (localCheckpoint, NOT persist) is
+    * load-bearing: labels is referenced twice per round, and with an
+    * un-truncated plan that doubles the logical tree every round —
+    * 2^rounds blowup, which `Dataset.persist` hits at registration time
+    * because building an InMemoryRelation stringifies the physical plan
+    * for its cache name (measured: a 10-round run hung for minutes in
+    * TreeNode.treeString). A checkpointed frame's plan is a flat
+    * LogicalRDD leaf, so referencing it any number of times is free.
+    *
+    * Returns a localCheckpoint-backed frame — already materialized,
+    * independent of the edge caches this method cleans up on exit. */
   def connectedComponents(
       pairs: DataFrame,
       aCol: String = "a_id",
       bCol: String = "b_id",
       maxRounds: Int = 50): DataFrame = {
-    val s = sym(pairs, aCol, bCol).localCheckpoint() // edges reused every round
+    val (e, s) = sym(pairs, aCol, bCol) // both cached; reused every round
     var labels = s.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
       .localCheckpoint()
     var round = 0
     var changed = 1L
     while (changed > 0 && round < maxRounds) {
-      val next = step(s, labels).localCheckpoint()
-      changed = next.withColumnRenamed("label", "next_label")
-        .join(labels, "node")
-        .filter(col("next_label") =!= col("label"))
-        .count()
-      labels = next
+      val next = step(s, labels)
+        .join(labels.withColumnRenamed("label", "prev"), "node")
+        .localCheckpoint() // job 1: materialize the round
+      changed = next.filter(col("label") =!= col("prev")).count() // local scan
+      freeCheckpoint(labels) // old round's blocks, freed deterministically
+      labels = next.select("node", "label")
       round += 1
     }
-    require(changed == 0,
+    val converged = changed == 0
+    s.unpersist()
+    e.unpersist()
+    require(converged,
       s"connectedComponents did not converge in $maxRounds rounds")
     labels
   }

@@ -52,6 +52,30 @@ object Dedup {
   def shingles(text: Column, k: Int): Column =
     graft.plans.TextExpressions.wordShingles(text, k)
 
+  /** Drop rows of the exploded (…, s=shingle) relation whose shingle has
+    * document frequency > `cap` — the fan-out bound shared by
+    * [[jaccardPairs]] and [[sharedSpanPairs]]. A count-only pre-pass
+    * (map-side partial agg; the shuffle carries one row per distinct
+    * shingle) finds the hot set, and the exploded relation is anti-joined
+    * against it. The hot set is force-broadcast as a deliberate, measured
+    * trade: leaving the choice to AQE costs a full extra shuffle of the
+    * exploded relation (the shuffle files must be written before AQE can
+    * decide — measured 2.1x wall on q_jaccard_pairs at sf0.1), paid even
+    * when the hot set turns out empty. Escape hatch: the hot set is
+    * heuristically small (df > cap members only) but can reach Σdf/cap
+    * entries on a pathological corpus, and past Spark's broadcast limit a
+    * forced hint fails the job outright —
+    * `spark.graft.dedup.broadcastHotSet=false` drops the hint so the
+    * anti-join degrades to a shuffled join instead of failing. */
+  private def dropHotShingles(ex: DataFrame, cap: Int): DataFrame = {
+    val hot = ex.groupBy("s").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") > cap)
+      .select("s")
+    val forceBroadcast = ex.sparkSession.conf
+      .get("spark.graft.dedup.broadcastHotSet", "true").toBoolean
+    ex.join(if (forceBroadcast) broadcast(hot) else hot, Seq("s"), "left_anti")
+  }
+
   // -------------------------------------------------- exact n-gram Jaccard
 
   /** All pairs with shingle-set Jaccard ≥ `threshold`, via an inverted
@@ -72,26 +96,16 @@ object Dedup {
     *
     * Scale: a stop-shingle appearing in f documents fans out to f² pairs;
     * `maxDf` caps that by removing hot shingles BEFORE posting lists are
-    * built: a count-only pre-pass (map-side partial agg, the shuffle
-    * carries one row per distinct shingle) finds shingles with df > cap,
-    * and the exploded relation is anti-joined against that. The hot set
-    * is force-broadcast as a deliberate, measured trade: leaving the
-    * choice to AQE costs a full extra shuffle of the exploded relation
-    * (the shuffle files must be written before AQE can decide — measured
-    * 2.1x wall on q_jaccard_pairs at sf0.1), paid even when the hot set
-    * turns out empty. The broadcast is a heuristic bound, not a
-    * guarantee: the hot set holds only shingles with df > cap (small for
-    * any sane cap in practice, though a pathological corpus could have
-    * up to Σdf/cap of them — if that is your corpus, raise the cap or
-    * use [[minhashLsh]]). Filtering on posting-list size AFTER
-    * collect_list would bound pair fan-out but not executor memory: a
-    * df-in-the-millions stop shingle would still materialize one
-    * multi-GB aggregation buffer row. Pairs whose overlap rides only on
-    * dropped hot shingles are missed and counted intersections exclude
-    * them, so with the cap engaged the reported jaccard is a lower bound
-    * (conservative near-dup semantics). For corpora where even capped
-    * fan-out is too hot, use [[minhashLsh]] — candidate volume there is
-    * bounded by signature agreement.
+    * built — see [[dropHotShingles]] for the pre-pass, the measured
+    * force-broadcast trade, and its escape hatch. Filtering on
+    * posting-list size AFTER collect_list would bound pair fan-out but
+    * not executor memory: a df-in-the-millions stop shingle would still
+    * materialize one multi-GB aggregation buffer row. Pairs whose overlap
+    * rides only on dropped hot shingles are missed and counted
+    * intersections exclude them, so with the cap engaged the reported
+    * jaccard is a lower bound (conservative near-dup semantics). For
+    * corpora where even capped fan-out is too hot, use [[minhashLsh]] —
+    * candidate volume there is bounded by signature agreement.
     */
   def jaccardPairs(
       docs: DataFrame,
@@ -103,21 +117,7 @@ object Dedup {
     val base = docs.select(col(idCol).as("id"), shingles(col(textCol), k).as("sh"))
       .filter(size(col("sh")) > 0)
     val ex = base.select(col("id"), size(col("sh")).as("n"), explode(col("sh")).as("s"))
-    val kept = maxDf.fold(ex) { cap =>
-      val hot = ex.groupBy("s").agg(count(lit(1)).as("__df"))
-        .filter(col("__df") > cap)
-        .select("s")
-      // escape hatch for the forced broadcast: the hot set is heuristically
-      // small (df > cap members only) but can reach Σdf/cap entries on a
-      // pathological corpus, and past Spark's broadcast limit a forced
-      // hint fails the job outright. spark.graft.dedup.broadcastHotSet=
-      // false drops the hint so the anti-join degrades to a shuffled join
-      // instead of failing (costs one extra shuffle of the exploded
-      // relation — the measured 2.1x default trade stays opt-out).
-      val forceBroadcast = docs.sparkSession.conf
-        .get("spark.graft.dedup.broadcastHotSet", "true").toBoolean
-      ex.join(if (forceBroadcast) broadcast(hot) else hot, Seq("s"), "left_anti")
-    }
+    val kept = maxDf.fold(ex)(cap => dropHotShingles(ex, cap))
     val postings = kept.groupBy("s")
       .agg(collect_list(struct(col("id"), col("n"))).as("ds"))
       .filter(size(col("ds")) >= 2)
@@ -161,14 +161,7 @@ object Dedup {
       maxDf: Option[Int] = Some(1000)): DataFrame = {
     val ex = docs
       .select(col(idCol).as("id"), explode(shingles(col(textCol), spanTokens)).as("s"))
-    val kept = maxDf.fold(ex) { cap =>
-      val hot = ex.groupBy("s").agg(count(lit(1)).as("__df"))
-        .filter(col("__df") > cap)
-        .select("s")
-      val forceBroadcast = docs.sparkSession.conf
-        .get("spark.graft.dedup.broadcastHotSet", "true").toBoolean
-      ex.join(if (forceBroadcast) broadcast(hot) else hot, Seq("s"), "left_anti")
-    }
+    val kept = maxDf.fold(ex)(cap => dropHotShingles(ex, cap))
     val postings = kept.groupBy("s")
       .agg(collect_list(col("id")).as("ds"))
       .filter(size(col("ds")) >= 2)

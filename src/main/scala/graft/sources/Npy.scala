@@ -1,6 +1,6 @@
 package graft.sources
 
-import java.io.{ByteArrayOutputStream, DataOutputStream, FileOutputStream}
+import java.io.{BufferedOutputStream, ByteArrayOutputStream, DataOutputStream, FileOutputStream}
 import java.nio.{ByteBuffer, ByteOrder}
 import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Paths}
@@ -171,19 +171,30 @@ object Npy {
     * sort first for a deterministic file. */
   def toNpy(df: DataFrame, valueCol: String, path: String): Unit = {
     val field = df.schema(valueCol)
-    val out = new DataOutputStream(new FileOutputStream(path))
+    // buffered: the per-element writers emit 4-8 bytes each; unbuffered
+    // that is one syscall per element on a large embedding matrix
+    val out = new DataOutputStream(
+      new BufferedOutputStream(new FileOutputStream(path), 1 << 16))
     try field.dataType match {
       case ArrayType(elem, _) =>
         val (descr, write) = descrOf(elem)
-        val rows = df.select(valueCol).collect().map(_.getSeq[Any](0))
+        val raw = df.select(valueCol).collect()
+        require(!raw.exists(_.isNullAt(0)),
+          s"toNpy: '$valueCol' contains null rows; NPY has no null — filter or fill first")
+        val rows = raw.map(_.getSeq[Any](0))
         val cols = rows.headOption.map(_.length).getOrElse(0)
         require(rows.forall(_.length == cols),
           s"toNpy: ragged '$valueCol' rows; NPY needs a rectangular matrix")
+        require(rows.forall(!_.contains(null)),
+          s"toNpy: '$valueCol' contains null elements; NPY has no null — filter or fill first")
         out.write(headerBytes(descr, Seq(rows.length, cols)))
         rows.foreach(_.foreach(write(out, _)))
       case scalar =>
         val (descr, write) = descrOf(scalar)
-        val vals = df.select(valueCol).collect().map(_.get(0))
+        val raw = df.select(valueCol).collect()
+        require(!raw.exists(_.isNullAt(0)),
+          s"toNpy: '$valueCol' contains nulls; NPY has no null — filter or fill first")
+        val vals = raw.map(_.get(0))
         out.write(headerBytes(descr, Seq(vals.length)))
         vals.foreach(write(out, _))
     } finally out.close()

@@ -110,6 +110,10 @@ class TextAnalysisSpec extends AnyFunSuite with SparkFixture {
     // repeats, AND every 3-gram position is a duplicate
     val (t, d) = fracs("buy now buy now buy now buy now")
     assert(t == 8.0 / 8.0 && d == 1.0)
+    // overlapping occurrences of the top n-gram would push the raw ratio
+    // past 1 ("a a a a": top 2-gram "a a" occurs 3x -> 3*2/4 = 1.5);
+    // the clamp keeps the token-coverage reading in [0,1]
+    assert(fracs("a a a a")._1 == 1.0)
   }
 
   test("normalization collapses whitespace and case for fingerprints") {
