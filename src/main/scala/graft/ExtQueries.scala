@@ -120,6 +120,31 @@ object ExtQueries {
         .select("doc_id", "lang").orderBy("doc_id")
     }),
 
+    // benchmark decontamination: Jaccard >= 0.6 hits BETWEEN a training
+    // split and a held-out split (doc_id % 5 == 0) of the corpus — the
+    // eval-leakage scan; oracle is the brute-force cross join over the
+    // same two sides (maxDf cap cannot engage at this df, so exact)
+    "q_decontaminate" -> ((s, dir) => {
+      val d = t(s, dir, "documents").df
+      Dedup.crossJaccardPairs(
+          d.filter(col("doc_id") % 5 =!= 0), d.filter(col("doc_id") % 5 === 0),
+          "doc_id", "text", k = 3, threshold = 0.6, maxDf = Some(1000))
+        .orderBy("a_id", "b_id")
+    }),
+
+    // incremental ingestion dedup: new batch (doc_id % 5 == 0) anti-joined
+    // on normalized fingerprint against the already-ingested corpus (the
+    // even doc_ids). The splits overlap on doc_id % 10 == 0, so half the
+    // batch has an exact ingested copy and must drop, half must survive —
+    // both paths of the anti-join carry oracle signal.
+    "q_dedup_incr" -> ((s, dir) => {
+      val d = t(s, dir, "documents").df
+      Dedup.dedupAgainstCorpus(
+          d.filter(col("doc_id") % 5 === 0), d.filter(col("doc_id") % 2 === 0),
+          "text")
+        .select("doc_id", "lang").orderBy("doc_id")
+    }),
+
     // 60-bit SimHash fingerprints (md5-derived token hash = cross-engine)
     "q_simhash" -> ((s, dir) => {
       val d = t(s, dir, "documents")
@@ -278,6 +303,21 @@ object ExtQueries {
     // ---- events: windows + sessions ---------------------------------
 
     // tumbling 1h window aggregation (batch form of the streaming op)
+    // JSON metadata extraction: parse the props JSON-string column with
+    // the built-in path extractor (codegen'd, no UDF), type the field,
+    // aggregate per event_type. sum is exact integer; mean is ONE double
+    // division of exact ints mirrored in the SQL. The common "typed
+    // metadata out of a JSON sidecar column" step of event/doc pipelines.
+    "q_json_extract" -> ((s, dir) => {
+      val ev = events(s, dir)
+      ev.select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"), sum("k").as("sum_k"),
+          (sum("k").cast("double") / count(lit(1))).as("avg_k"))
+        .orderBy("event_type")
+    }),
+
     "q_window_events" -> ((s, dir) => {
       val ev = events(s, dir)
       ev.select(
@@ -1267,6 +1307,32 @@ object ExtQueries {
             FROM documents) WHERE rn = 1 ORDER BY doc_id""",
     "q_jaccard_pairs" -> jaccardOracle(0.6),
     "q_minhash_lsh" -> jaccardOracle(0.8),
+    // same shingle CTE, but pairs generated strictly ACROSS the
+    // train/eval split instead of a_id < b_id within the corpus
+    "q_decontaminate" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         sh AS (SELECT doc_id,
+                       list_distinct(list_transform(range(len(w) - 2),
+                         i -> array_to_string(w[i+1:i+3], ' '))) AS dsh
+                FROM toks WHERE len(w) >= 3),
+         p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                      len(list_intersect(a.dsh, b.dsh)) AS inter,
+                      len(a.dsh) AS na, len(b.dsh) AS nb
+               FROM sh a JOIN sh b ON a.doc_id % 5 <> 0 AND b.doc_id % 5 = 0)
+         SELECT a_id, b_id, inter::DOUBLE / (na + nb - inter) AS jaccard
+         FROM p WHERE inter::DOUBLE / (na + nb - inter) >= 0.6
+         ORDER BY a_id, b_id""",
+    "q_dedup_incr" ->
+      s"""SELECT doc_id, lang FROM documents
+          WHERE doc_id % 5 = 0
+            AND $normFp NOT IN
+              (SELECT $normFp FROM documents WHERE doc_id % 2 = 0)
+          ORDER BY doc_id""",
+    "q_json_extract" ->
+      """SELECT event_type, count(*) AS cnt,
+                sum(json_extract(props, '$.k')::BIGINT) AS sum_k,
+                sum(json_extract(props, '$.k')::BIGINT)::DOUBLE / count(*) AS avg_k
+         FROM events GROUP BY event_type ORDER BY event_type""",
     "q_shared_spans" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
          sh AS (SELECT doc_id, list_distinct(list_transform(range(len(w) - 14),

@@ -136,6 +136,86 @@ object Dedup {
       .select("a_id", "b_id", "jaccard")
   }
 
+  /** Cross-corpus near-dup pairs — benchmark decontamination. Finds all
+    * (train_id, eval_id, jaccard) pairs with shingle-set Jaccard >=
+    * `threshold` BETWEEN two corpora (never within one), the operation
+    * behind "remove eval-set leakage from the training corpus" (the
+    * contamination analyses published with GPT-3/Gopher/Llama report
+    * exactly these n-gram-overlap hits). Same inverted-index shape as
+    * [[jaccardPairs]] — shingle both sides once, tag the side, one
+    * postings shuffle — but each posting keeps the sides separate, so
+    * candidates are generated strictly across (|L|·|R| per shingle, not
+    * (|L|+|R|)²/2), and the pair keys never collide between namespaces.
+    * `maxDf` caps fan-out on the COMBINED document frequency (a
+    * boilerplate shingle is noise whichever corpus it lives in). At
+    * scale the eval side is typically tiny; AQE will then pick a
+    * broadcast for nothing here — the postings path needs no join at
+    * all, and the one shuffle is keyed by shingle, which also bounds
+    * the skew a popular eval document could otherwise cause.
+    *
+    * Output: (a_id from `left`, b_id from `right`, jaccard); with the
+    * cap engaged jaccard is a lower bound, as in [[jaccardPairs]]. To
+    * decontaminate, anti-join `left` on the distinct a_id values. */
+  def crossJaccardPairs(
+      left: DataFrame,
+      right: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      threshold: Double,
+      maxDf: Option[Int] = None): DataFrame = {
+    def side(docs: DataFrame, tag: String) = docs
+      .select(col(idCol).as("id"), shingles(col(textCol), k).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("id"), size(col("sh")).as("n"), explode(col("sh")).as("s"),
+        lit(tag).as("side"))
+    val ex = side(left, "L").union(side(right, "R"))
+    val kept = maxDf.fold(ex)(cap => dropHotShingles(ex, cap))
+    // one list per side; collect_list drops the nulls the when() leaves
+    // on rows of the other side
+    val postings = kept.groupBy("s").agg(
+        collect_list(when(col("side") === "L", struct(col("id"), col("n"))))
+          .as("ls"),
+        collect_list(when(col("side") === "R", struct(col("id"), col("n"))))
+          .as("rs"))
+      .filter(size(col("ls")) >= 1 && size(col("rs")) >= 1)
+    val pairs = postings
+      .select(explode(col("ls")).as("a"), col("rs"))
+      .select(col("a.id").as("a_id"), col("a.n").as("na"), explode(col("rs")).as("b"))
+      .select(col("a_id"), col("na"), col("b.id").as("b_id"), col("b.n").as("nb"))
+      .filter(least(col("na"), col("nb")).cast("double") >=
+        lit(threshold) * greatest(col("na"), col("nb")))
+    pairs
+      .groupBy("a_id", "b_id", "na", "nb").agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("a_id", "b_id", "jaccard")
+  }
+
+  /** Incremental ingestion dedup: drop rows of `incoming` whose
+    * normalized-text fingerprint ([[TextAnalysis.fingerprint60]] over
+    * [[TextAnalysis.normalized]]) already exists in `corpus` — the
+    * "new batch vs what we already ingested" step of a continuously fed
+    * corpus, where re-running full-corpus dedup per batch is wasted
+    * work. One anti-join shuffled on the 60-bit fingerprint (never on
+    * text); the corpus side reduces to distinct fingerprints first, so
+    * the shuffle carries 8 bytes per known document and AQE broadcasts
+    * it when the corpus is small. Exact-duplicate semantics — chain with
+    * [[minhashLsh]] against the survivors for near-dups. */
+  def dedupAgainstCorpus(
+      incoming: DataFrame,
+      corpus: DataFrame,
+      textCol: String): DataFrame = {
+    import graft.functions.TextAnalysis
+    def fp(df: DataFrame) =
+      TextAnalysis.fingerprint60(TextAnalysis.normalized(col(textCol)))
+    val known = corpus.select(fp(corpus).as("__fp")).distinct()
+    incoming.withColumn("__fp", fp(incoming))
+      .join(known, Seq("__fp"), "left_anti")
+      .drop("__fp")
+  }
+
   /** Exact-substring near-dup pairs: documents sharing at least one run
     * of `spanTokens` consecutive tokens (the criterion of Lee et al.,
     * "Deduplicating Training Data Makes Language Models Better", ACL'22

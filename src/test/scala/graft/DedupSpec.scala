@@ -178,4 +178,42 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
       .select(Dedup.hash60(col("t"))).head().getLong(0)
     assert(got == 435407939895074749L)
   }
+
+  test("crossJaccardPairs reports only cross-corpus hits, never within-side") {
+    val s = spark
+    import s.implicits._
+    // train 1,2 are near-dups of each other AND of eval 10; train 3 and
+    // eval 11 are unrelated; eval 10/11 share nothing with each other
+    val train = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "a b c d e f g x"),
+      (3L, "totally different training content here")).toDF("doc_id", "text")
+    val eval_ = Seq(
+      (10L, "a b c d e f g h"),
+      (11L, "unrelated evaluation prompt words only")).toDF("doc_id", "text")
+    val got = Dedup.crossJaccardPairs(train, eval_, "doc_id", "text",
+        k = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the 1~2 within-train pair MUST NOT appear; both 1~10 and 2~10 must
+    assert(got == Set((1L, 10L), (2L, 10L)))
+    // exact-copy pair scores jaccard 1.0
+    val j = Dedup.crossJaccardPairs(train, eval_, "doc_id", "text",
+        k = 3, threshold = 0.5)
+      .filter(col("a_id") === 1L).head().getDouble(2)
+    assert(j == 1.0)
+  }
+
+  test("dedupAgainstCorpus drops exact normalized copies, keeps the rest") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq(
+      (1L, "Shared   Document text"),  // normalizes same as incoming 10
+      (2L, "other ingested doc")).toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, "shared document TEXT"),   // case/whitespace variant -> drop
+      (11L, "genuinely new content")).toDF("doc_id", "text")
+    val kept = Dedup.dedupAgainstCorpus(incoming, corpus, "text")
+    assert(kept.columns.toSeq == Seq("doc_id", "text")) // no temp column leak
+    assert(kept.collect().map(_.getLong(0)).toSeq == Seq(11L))
+  }
 }
