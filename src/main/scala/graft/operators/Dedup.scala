@@ -202,7 +202,11 @@ object Dedup {
     * text); the corpus side reduces to distinct fingerprints first, so
     * the shuffle carries 8 bytes per known document and AQE broadcasts
     * it when the corpus is small. Exact-duplicate semantics — chain with
-    * [[minhashLsh]] against the survivors for near-dups. */
+    * [[minhashLsh]] against the survivors for near-dups. Also the LIVE
+    * ingestion face: `incoming` may be a streaming DataFrame
+    * (stream-static anti-join, stateless per micro-batch — the corpus
+    * relation is joined fresh each batch; StreamingSpec proves the
+    * stream face == batch face). */
   def dedupAgainstCorpus(
       incoming: DataFrame,
       corpus: DataFrame,

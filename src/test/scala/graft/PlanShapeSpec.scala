@@ -189,6 +189,44 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
       s"expected a broadcast 1-row total:\n${plan.take(800)}")
   }
 
+  test("crossJaccardPairs is one postings shuffle — no join operator at all") {
+    // the decontamination scan must not plan any join between the two
+    // corpora: candidates come from exploding side-separated posting
+    // lists, so the only wide operations are the shingle groupBy and the
+    // pair-count groupBy (hash-partitioned aggregates AQE can split)
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val pairs = graft.operators.Dedup.crossJaccardPairs(
+      d.filter(col("doc_id") % 5 =!= 0), d.filter(col("doc_id") % 5 === 0),
+      "doc_id", "text", k = 3, threshold = 0.6)
+    assert(pairs.count() >= 0) // force AQE final plan
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"),
+      s"cross-corpus pairs must come from postings, not a join:\n${plan.take(800)}")
+    assert(plan.contains("HashAggregate"), plan.take(300))
+  }
+
+  test("dedupAgainstCorpus anti-join: AQE broadcast when small, shuffle when not") {
+    // the corpus side reduces to DISTINCT 8-byte fingerprints before the
+    // anti-join; with a small corpus AQE must pick a broadcast, and with
+    // the threshold disabled the same plan must degrade to a shuffled
+    // join (proving no unconditional hint forces it)
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def anti = graft.operators.Dedup.dedupAgainstCorpus(
+      d.filter(col("doc_id") % 5 === 0), d.filter(col("doc_id") % 2 === 0), "text")
+    assert(anti.count() > 0)
+    val adaptive = anti.queryExecution.executedPlan.toString
+    assert(adaptive.contains("BroadcastHashJoin") && adaptive.contains("LeftAnti"),
+      s"small corpus fingerprints should broadcast:\n${adaptive.take(800)}")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val forcedOff = anti
+      assert(forcedOff.count() > 0)
+      val plan = forcedOff.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastHashJoin"),
+        s"anti-join must degrade without broadcast, not be hint-forced:\n${plan.take(800)}")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("local-data frames stay broadcast-joinable against big tables") {
     val s = spark
     val small = PsDataFrame.fromLocal(s,

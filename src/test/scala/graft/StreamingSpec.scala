@@ -391,4 +391,32 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
         s"closed first-hour window missing: ${got.mkString(";")}")
     } finally q.stop()
   }
+
+  test("dedupAgainstCorpus runs unchanged on a stream (stream-static anti-join)") {
+    // incremental ingestion IS a streaming shape: the live feed drops rows
+    // whose normalized fingerprint the static ingested corpus already has.
+    // Stateless per micro-batch — the corpus relation is joined fresh each
+    // batch, no state store, so the same operator serves backfill (batch)
+    // and live (stream) with identical semantics.
+    val s = spark
+    import s.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val corpus = Seq(
+      (1L, "Shared   Document text"),
+      (2L, "other ingested doc")).toDF("doc_id", "text")
+    val input = MemoryStream[(Long, String)]
+    val q = graft.operators.Dedup
+      .dedupAgainstCorpus(input.toDS().toDF("doc_id", "text"), corpus, "text")
+      .writeStream.format("memory").queryName("t_incr")
+      .outputMode("append").start()
+    try {
+      input.addData((10L, "shared document TEXT"), (11L, "genuinely new content"))
+      q.processAllAvailable()
+      input.addData((12L, "OTHER   ingested DOC"), (13L, "also new"))
+      q.processAllAvailable()
+      val got = spark.table("t_incr").collect().map(_.getLong(0)).toSet
+      assert(got == Set(11L, 13L),
+        s"normalized copies must drop, new docs pass: got $got")
+    } finally q.stop()
+  }
 }
