@@ -169,7 +169,21 @@ object Dedup {
       .filter(size(col("sh")) > 0)
       .select(col("id"), size(col("sh")).as("n"), explode(col("sh")).as("s"),
         lit(tag).as("side"))
-    val ex = side(left, "L").union(side(right, "R"))
+    val exR = side(right, "R")
+    // the 100 TB shape: only train shingles that ALSO occur in the eval
+    // side can produce a cross pair, so a semi-join against the distinct
+    // eval shingles prunes the train explode BEFORE the postings shuffle
+    // — the wide stage then carries matching shingles only, not the full
+    // training corpus. AQE broadcasts the distinct eval shingles when
+    // small (the normal case for an eval set); no hint forced, so a
+    // huge right side degrades to a shuffled semi-join instead of
+    // failing. Cap semantics are unchanged: a pruned train shingle is
+    // absent from the union entirely, and for surviving shingles every
+    // occurrence still counts toward the combined df.
+    val exL = side(left, "L")
+      .join(exR.select("s").distinct(), Seq("s"), "left_semi")
+      .select("id", "n", "s", "side") // the join key moved first; re-align for the positional union
+    val ex = exL.union(exR)
     val kept = maxDf.fold(ex)(cap => dropHotShingles(ex, cap))
     // one list per side; collect_list drops the nulls the when() leaves
     // on rows of the other side

@@ -189,19 +189,23 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
       s"expected a broadcast 1-row total:\n${plan.take(800)}")
   }
 
-  test("crossJaccardPairs is one postings shuffle — no join operator at all") {
-    // the decontamination scan must not plan any join between the two
-    // corpora: candidates come from exploding side-separated posting
-    // lists, so the only wide operations are the shingle groupBy and the
-    // pair-count groupBy (hash-partitioned aggregates AQE can split)
+  test("crossJaccardPairs: postings-only candidates, semi-join prune on the train side") {
+    // the decontamination scan must not pair the corpora with an inner or
+    // nested-loop join: candidates come from exploding side-separated
+    // posting lists. The only join allowed is the LeftSemi prune of the
+    // training explode against the distinct eval shingles — the shape
+    // that keeps the postings shuffle proportional to the MATCHING
+    // shingles at scale, not the training corpus.
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val pairs = graft.operators.Dedup.crossJaccardPairs(
       d.filter(col("doc_id") % 5 =!= 0), d.filter(col("doc_id") % 5 === 0),
       "doc_id", "text", k = 3, threshold = 0.6)
     assert(pairs.count() >= 0) // force AQE final plan
     val plan = pairs.queryExecution.executedPlan.toString
-    assert(!plan.contains("Join"),
-      s"cross-corpus pairs must come from postings, not a join:\n${plan.take(800)}")
+    assert(!plan.contains("NestedLoop") && !plan.contains(", Inner"),
+      s"cross-corpus pairs must come from postings, not a corpus join:\n${plan.take(800)}")
+    assert(plan.contains("LeftSemi"),
+      s"train explode should be semi-join pruned to eval shingles:\n${plan.take(800)}")
     assert(plan.contains("HashAggregate"), plan.take(300))
   }
 
