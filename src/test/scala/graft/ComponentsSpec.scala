@@ -68,6 +68,22 @@ class ComponentsSpec extends AnyFunSuite with SparkFixture {
     assert(eager.values.forall(_ == 0L))
   }
 
+  test("connectedComponents frees per-round state: one checkpoint survives") {
+    val s = spark
+    import s.implicits._
+    // long chain -> many rounds -> many intermediate checkpoints to leak
+    val pairs = (0L until 20L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val labels = Components.connectedComponents(pairs)
+    assert(labels.count() == 21)
+    val added = spark.sparkContext.getPersistentRDDs.keySet -- before
+    // every per-round checkpoint and both edge caches must be freed by
+    // the time the call returns; only the returned frame's checkpoint
+    // RDD may remain registered
+    assert(added.size <= 1,
+      s"connectedComponents leaked ${added.size} persistent RDDs")
+  }
+
   test("dedupByCluster keeps exactly the min-id member of each cluster") {
     val s = spark
     import s.implicits._
