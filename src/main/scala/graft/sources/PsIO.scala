@@ -87,6 +87,29 @@ object PsIO {
       .partitionBy(keys: _*)
       .parquet(path)
 
+  /** Range-partitioned, sorted-within-partition layout: global range
+    * partitioning on `cols` (sampled split points, so output files hold
+    * DISJOINT key ranges) + a per-partition sort. The complement of
+    * [[writePartitioned]] for HIGH-cardinality ordering keys (doc ids,
+    * timestamps) where a directory per value is impossible: parquet
+    * writes row-group min/max stats, and with disjoint sorted ranges a
+    * range/point filter on the sort key prunes whole files and row
+    * groups at scan time instead of reading 100 TB to filter it.
+    * `partitions` sizes the output files — pick total/128 MB-ish.
+    * Disjointness is asserted per-file in IOSpec. */
+  def writeSorted(
+      df: DataFrame,
+      path: String,
+      cols: Seq[String],
+      partitions: Int): Unit = {
+    import org.apache.spark.sql.functions.col
+    df.repartitionByRange(partitions, cols.map(col): _*)
+      .sortWithinPartitions(cols.map(col): _*)
+      .write
+      .mode(SaveMode.Overwrite)
+      .parquet(path)
+  }
+
   /** Bucketed external table: pre-partitions (and per-bucket sorts) the
     * data by join/aggregation keys so later equi-joins and groupBys
     * between co-bucketed tables run WITHOUT a shuffle — the 100 TB answer

@@ -59,6 +59,34 @@ class IOSpec extends AnyFunSuite with SparkFixture {
       sample.orderBy("k").collect().map(_.toSeq).toSeq)
   }
 
+  test("writeSorted produces disjoint sorted key ranges per file") {
+    val dir = Files.createTempDirectory("graft-sorted").toString + "/out"
+    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    PsIO.writeSorted(orders, dir, Seq("o_orderkey"), partitions = 4)
+    // content survives
+    val back = spark.read.parquet(dir)
+    assert(back.count() == orders.count())
+    // the layout property that makes row-group pruning work: each output
+    // file covers a key range disjoint from every other file's
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.toString).toSeq
+    assert(files.length == 4)
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(min(col("o_orderkey")), max(col("o_orderkey"))).head()
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, hi), (lo2, _)) =>
+        assert(hi < lo2, s"file ranges overlap: $ranges")
+      case _ => ()
+    }
+    // within a file the rows are sorted (what row-group min/max feeds on)
+    val firstRows = spark.read.parquet(files.head)
+      .select("o_orderkey").collect().map(_.getLong(0)).toSeq
+    assert(firstRows == firstRows.sorted)
+  }
+
   test("materialize caches the plan (reference offload analogue)") {
     val df = sample
     val cached = PsIO.materialize(df)
