@@ -39,6 +39,33 @@ class ScanPushdownSpec extends AnyFunSuite with SparkFixture {
       s"scan reads ${scan.requiredSchema.fieldNames.mkString(",")}")
   }
 
+  test("json path extraction still prunes the events scan to two columns") {
+    // get_json_object is an opaque expression over props; column pruning
+    // must still reach the scan — a JSON-extract aggregate that reads all
+    // six event columns at 100 TB is wrong
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val q = ev.select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type").agg(sum("k").as("sum_k"))
+    val scan = scanOf(q)
+    assert(scan.requiredSchema.fieldNames.toSet == Set("event_type", "props"),
+      s"scan reads ${scan.requiredSchema.fieldNames.mkString(",")}")
+  }
+
+  test("writeSorted layout: a sort-key range filter reaches the scan as PushedFilters") {
+    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft-sorted-scan").toString + "/out"
+    PsIO.writeSorted(orders, dir, Seq("o_orderkey"), partitions = 4)
+    val q = spark.read.parquet(dir).filter(col("o_orderkey") < 100L)
+      .select("o_orderkey", "o_totalprice")
+    val scan = scanOf(q)
+    val pushed = scan.metadata.getOrElse("PushedFilters", "")
+    assert(pushed.contains("LessThan(o_orderkey"), s"PushedFilters: $pushed")
+    // with disjoint per-file ranges (IOSpec), this pushed filter is what
+    // row-group stats pruning feeds on at scale
+  }
+
   test("partition-column predicates prune partitions at the scan") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
