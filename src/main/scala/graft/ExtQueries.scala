@@ -35,6 +35,15 @@ object ExtQueries {
       Similarity.buildIvfIndex(corpus, "vec_id", "embedding",
         nCells = 16, iterations = 2))
 
+  /** One PQ codebook per embeddings corpus — same built-on-first-use
+    * contract as [[ivfIndexFor]] (the only eager step of the PQ path). */
+  private val pqCodebooks =
+    new java.util.concurrent.ConcurrentHashMap[String, Similarity.PqCodebook]()
+  private def pqCodebookFor(s: SparkSession, dir: String, corpus: DataFrame): Similarity.PqCodebook =
+    pqCodebooks.computeIfAbsent(dir, _ =>
+      Similarity.buildPqCodebook(corpus, "vec_id", "embedding",
+        dim = 64, m = 8, nCodes = 16, iterations = 2))
+
   /** events.parquet carries ns timestamps, which Spark's parquet reader
     * rejects; read them as raw ns-since-epoch longs and do integer epoch
     * arithmetic (exactly what DuckDB's ns timestamps truncate to). */
@@ -130,6 +139,16 @@ object ExtQueries {
           d.filter(col("doc_id") % 5 =!= 0), d.filter(col("doc_id") % 5 === 0),
           "doc_id", "text", k = 3, threshold = 0.6, maxDf = Some(1000))
         .orderBy("a_id", "b_id")
+    }),
+
+    // the cleaned training corpus itself: every doc with a cross-split
+    // hit removed (end-to-end face of q_decontaminate)
+    "q_decontaminated" -> ((s, dir) => {
+      val d = t(s, dir, "documents").df
+      Dedup.decontaminate(
+          d.filter(col("doc_id") % 5 =!= 0), d.filter(col("doc_id") % 5 === 0),
+          "doc_id", "text", k = 3, threshold = 0.6, maxDf = Some(1000))
+        .select("doc_id", "lang").orderBy("doc_id")
     }),
 
     // incremental ingestion dedup: new batch (doc_id % 5 == 0) anti-joined
@@ -987,6 +1006,20 @@ object ExtQueries {
         .orderBy("query_id", "rnk")
     }),
 
+    // PQ shortlist + exact re-rank: the corpus scan reads m=8 ints per
+    // vector instead of 64 floats; only the shortlist touches full
+    // vectors. Approximate (recall bounds in SimilaritySpec) -> rows-only
+    // like q_ann_lsh / q_ann_ivf.
+    "q_ann_pq" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.df.filter(col("vec_id") < 20)
+      val cb = pqCodebookFor(s, dir, e.df)
+      Similarity.pqTopK(e.df, q, "vec_id", "embedding", k = 1, cb,
+          shortlist = 50)
+        .select(col("query_id"), col("neighbor_id"), col("rank").as("rnk"))
+        .orderBy("query_id", "rnk")
+    }),
+
     // ---- coverage for previously-untested reference ops -------------
 
     "q_nsmallest" -> ((s, dir) => {
@@ -1322,6 +1355,21 @@ object ExtQueries {
          SELECT a_id, b_id, inter::DOUBLE / (na + nb - inter) AS jaccard
          FROM p WHERE inter::DOUBLE / (na + nb - inter) >= 0.6
          ORDER BY a_id, b_id""",
+    "q_decontaminated" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         sh AS (SELECT doc_id,
+                       list_distinct(list_transform(range(len(w) - 2),
+                         i -> array_to_string(w[i+1:i+3], ' '))) AS dsh
+                FROM toks WHERE len(w) >= 3),
+         p AS (SELECT a.doc_id AS a_id,
+                      len(list_intersect(a.dsh, b.dsh)) AS inter,
+                      len(a.dsh) AS na, len(b.dsh) AS nb
+               FROM sh a JOIN sh b ON a.doc_id % 5 <> 0 AND b.doc_id % 5 = 0),
+         hit AS (SELECT DISTINCT a_id FROM p
+                 WHERE inter::DOUBLE / (na + nb - inter) >= 0.6)
+         SELECT doc_id, lang FROM documents
+         WHERE doc_id % 5 <> 0 AND doc_id NOT IN (SELECT a_id FROM hit)
+         ORDER BY doc_id""",
     "q_dedup_incr" ->
       s"""SELECT doc_id, lang FROM documents
           WHERE doc_id % 5 = 0

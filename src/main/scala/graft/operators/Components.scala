@@ -168,6 +168,7 @@ object Components {
     val converged = changed == 0
     s.unpersist()
     e.unpersist()
+    if (!converged) freeCheckpoint(labels) // don't leak the last round on failure
     require(converged,
       s"connectedComponents did not converge in $maxRounds rounds")
     labels

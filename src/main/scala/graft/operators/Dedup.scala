@@ -207,6 +207,23 @@ object Dedup {
       .select("a_id", "b_id", "jaccard")
   }
 
+  /** End-to-end decontamination: remove from `train` every document with
+    * a [[crossJaccardPairs]] hit against `eval`. One anti-join on the
+    * distinct contaminated ids — a relation bounded by the eval set's
+    * match fan-out, so AQE broadcasts it in the common case. */
+  def decontaminate(
+      train: DataFrame,
+      eval: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      threshold: Double,
+      maxDf: Option[Int] = None): DataFrame = {
+    val hit = crossJaccardPairs(train, eval, idCol, textCol, k, threshold, maxDf)
+      .select(col("a_id").as(idCol)).distinct()
+    train.join(hit, Seq(idCol), "left_anti")
+  }
+
   /** Incremental ingestion dedup: drop rows of `incoming` whose
     * normalized-text fingerprint ([[TextAnalysis.fingerprint60]] over
     * [[TextAnalysis.normalized]]) already exists in `corpus` — the

@@ -317,6 +317,153 @@ object Similarity {
     (array_position(scores, array_max(scores)) - 1).cast("int")
   }
 
+  // ----------------------------------------------------- product quantization
+
+  /** PQ codebook: `m` subspaces × `nCodes` sub-centroids × `dsub` dims.
+    * The memory-bounded ANN representation (Jégou et al., "Product
+    * Quantization for Nearest Neighbor Search", TPAMI'11 — the PQ half
+    * of faiss's IVF-PQ): a corpus vector stores as m small ints instead
+    * of m·dsub floats, and shortlist scoring reads only those ints. */
+  final case class PqCodebook(codebooks: Seq[Seq[Seq[Double]]]) {
+    def m: Int = codebooks.size
+    def nCodes: Int = codebooks.head.size
+    def dsub: Int = codebooks.head.head.size
+  }
+
+  /** Persist a trained codebook as parquet (sub, code, pos, value) —
+    * tiny (m·nCodes·dsub rows), engine-portable, same offline-build /
+    * online-query split as [[saveIvfIndex]]. */
+  def savePqCodebook(spark: SparkSession, cb: PqCodebook, path: String): Unit = {
+    import spark.implicits._
+    cb.codebooks.zipWithIndex.flatMap { case (codes, s) =>
+      codes.zipWithIndex.flatMap { case (cent, c) =>
+        cent.zipWithIndex.map { case (v, p) => (s, c, p, v) }
+      }
+    }.toDF("sub", "code", "pos", "value")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  def loadPqCodebook(spark: SparkSession, path: String): PqCodebook = {
+    val rows = spark.read.parquet(path)
+      .select("sub", "code", "pos", "value").collect()
+    PqCodebook(rows.groupBy(_.getInt(0)).toSeq.sortBy(_._1).map { case (_, subRows) =>
+      subRows.groupBy(_.getInt(1)).toSeq.sortBy(_._1).map { case (_, centRows) =>
+        centRows.sortBy(_.getInt(2)).map(_.getDouble(3)).toSeq
+      }
+    })
+  }
+
+  /** Train a PQ codebook: deterministic per-subspace sample refined by
+    * `iterations` rounds of distributed Lloyd's k-means under L2 on each
+    * subvector — all m subspaces assigned in ONE fused [[graft.plans.PqEncode]]
+    * pass per round (never a pass per subspace). EAGER like
+    * [[buildIvfIndex]]: an offline index build that runs jobs; the
+    * driver receives only m·nCodes·dsub averaged coordinates per round.
+    * `dim` must be divisible by `m`. */
+  def buildPqCodebook(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      m: Int = 8,
+      nCodes: Int = 16,
+      iterations: Int = 1,
+      seed: Long = 42L): PqCodebook = {
+    require(dim % m == 0, s"dim=$dim must be divisible by m=$m subspaces")
+    val dsub = dim / m
+    val vecs = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val work = if (iterations > 0) vecs.cache() else vecs
+    try {
+      // deterministic init: nCodes sample vectors by seeded id hash,
+      // each sliced into its m subvectors
+      val sampled: Seq[Seq[Double]] = work
+        .orderBy(pmod(xxhash64(col("id"), lit(seed)), lit(1000003L)), col("id"))
+        .limit(nCodes)
+        .collect()
+        .map(_.getSeq[Any](1).map {
+          case f: Float => f.toDouble
+          case d: Double => d
+          case n: Number => n.doubleValue()
+        }.padTo(dim, 0.0).toSeq).toSeq
+      val init: Seq[Seq[Seq[Double]]] = (0 until m).map { s =>
+        sampled.map(v => v.slice(s * dsub, (s + 1) * dsub))
+      }
+
+      val trained = (0 until iterations).foldLeft(init) { (cur, _) =>
+        // assign: one fused encode pass; mean: (sub, code, pos)-keyed
+        // partial-agg avg — the shuffle carries m·nCodes·dsub partials
+        val enc = work.select(col("v"),
+          graft.plans.VectorExpressions.pqEncode(col("v"), cur).as("codes"))
+        val means = enc
+          .select(posexplode(col("v")).as(Seq("pos", "x")), col("codes"))
+          .select(
+            (col("pos") / dsub).cast("int").as("sub"),
+            (col("pos") % dsub).as("spos"),
+            element_at(col("codes"), (col("pos") / dsub).cast("int") + 1).as("code"),
+            col("x").cast("double").as("x"))
+          .groupBy("sub", "code", "spos").agg(avg(col("x")).as("mv"))
+          .collect()
+          .groupBy(r => (r.getInt(0), r.getInt(1)))
+          .map { case (k, rows) =>
+            k -> rows.sortBy(_.getInt(2)).map(_.getDouble(3)).toSeq
+          }
+        // empty codes keep their previous centroid
+        cur.zipWithIndex.map { case (codes, s) =>
+          codes.zipWithIndex.map { case (old, c) => means.getOrElse((s, c), old) }
+        }
+      }
+      PqCodebook(trained)
+    } finally {
+      if (iterations > 0) work.unpersist(blocking = false)
+    }
+  }
+
+  /** Encode a corpus to (id, codes) — the compact searchable form to
+    * write once ([[graft.sources.PsIO.toParquet]]) and scan thereafter:
+    * m ints per vector instead of dim floats. Lazy map-side pass. */
+  def pqEncodeCorpus(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      cb: PqCodebook): DataFrame =
+    corpus.select(col(idCol).as("id"),
+      graft.plans.VectorExpressions.pqEncode(col(vecCol), cb.codebooks).as("codes"))
+
+  /** PQ approximate top-k with exact re-rank: shortlist `shortlist`
+    * candidates per query by the asymmetric PQ score (a scan of the m-int
+    * codes — the cheap, memory-bounded pass), then re-score ONLY the
+    * shortlist with exact cosine against the full vectors and keep `k`.
+    * Lazy; queries broadcast like [[bruteForceTopK]], and both top-k
+    * reductions ride the bounded-heap partial aggregate, so no stage
+    * shuffles the full scored volume. Output: (query_id, neighbor_id,
+    * rank, score) with EXACT scores — PQ only decides who gets re-ranked,
+    * so recall@k is the only approximation. */
+  def pqTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      cb: PqCodebook,
+      shortlist: Int = 100): DataFrame = {
+    require(shortlist >= k, s"shortlist=$shortlist must be >= k=$k")
+    val codes = pqEncodeCorpus(corpus, idCol, vecCol, cb)
+      .select(col("id").as("neighbor_id"), col("codes"))
+    val q = broadcast(queries.select(
+      col(idCol).as("query_id"), col(vecCol).as("q_vec")))
+    val approx = codes.join(q, col("query_id") =!= col("neighbor_id"))
+      .withColumn("score",
+        graft.plans.VectorExpressions.pqCosine(col("q_vec"), col("codes"), cb.codebooks))
+    val short = perQueryTopK(approx, corpus.schema(idCol).dataType, shortlist)
+      .select("query_id", "neighbor_id")
+    val exact = short
+      .join(q, Seq("query_id"))
+      .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec")),
+        Seq("neighbor_id"))
+      .withColumn("score", cosine(col("q_vec"), col("c_vec")))
+    perQueryTopK(exact, corpus.schema(idCol).dataType, k)
+  }
+
   /** Exact embedding near-duplicate pairs: all (a,b), a<b, with cosine ≥
     * `threshold`, via bucketed LSH candidates (for the corpus-vs-itself
     * case). Output: (a_id, b_id, score).

@@ -329,6 +329,167 @@ case class CentroidScores(
     copy(child = newChild)
 }
 
+/** Shared numeric-array → double[] reader for the reference-object
+  * expressions below (zero-fills nulls and missing tail elements). */
+private[plans] object VecRead {
+  def toDoubles(a: ArrayData, dim: Int, et: NumericType): Array[Double] = {
+    val n = math.min(dim, a.numElements())
+    val v = new Array[Double](dim)
+    var i = 0
+    et match {
+      case FloatType  => while (i < n) { if (!a.isNullAt(i)) v(i) = a.getFloat(i); i += 1 }
+      case DoubleType => while (i < n) { if (!a.isNullAt(i)) v(i) = a.getDouble(i); i += 1 }
+      case _ => while (i < n) {
+        if (!a.isNullAt(i)) v(i) = et match {
+          case IntegerType => a.getInt(i).toDouble
+          case LongType    => a.getLong(i).toDouble
+          case ShortType   => a.getShort(i).toDouble
+          case ByteType    => a.getByte(i).toDouble
+          case d: DecimalType => a.getDecimal(i, d.precision, d.scale).toDouble
+          case _ => 0.0
+        }
+        i += 1
+      }
+    }
+    v
+  }
+}
+
+/** Product-quantization encode: for each of `m` subspaces, the index of
+  * the L2-nearest sub-centroid — the vector compressed to m small ints
+  * (m bytes on disk after parquet dictionary/bit-packing) instead of
+  * dim floats. `codebook` is flattened (sub·nCodes + code)·dsub. One
+  * fused pass per row, same addReferenceObj codegen shape as
+  * [[CentroidScores]] (generated call size is constant in m·nCodes). */
+case class PqEncode(
+    child: Expression,
+    codebook: Seq[Double],
+    m: Int,
+    nCodes: Int,
+    dsub: Int) extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(codebook.length == m * nCodes * dsub,
+    s"codebook must be m*nCodes*dsub = ${m * nCodes * dsub} doubles, got ${codebook.length}")
+
+  @transient private lazy val cb: Array[Double] = codebook.toArray
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(_: NumericType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"expects a numeric array, got $other")
+  }
+
+  @transient private lazy val et: NumericType =
+    child.dataType.asInstanceOf[ArrayType].elementType.asInstanceOf[NumericType]
+
+  def compute(a: ArrayData): ArrayData = {
+    val v = VecRead.toDoubles(a, m * dsub, et)
+    val codes = new Array[Int](m)
+    var s = 0
+    while (s < m) {
+      val voff = s * dsub
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < nCodes) {
+        val base = (s * nCodes + c) * dsub
+        var d = 0.0
+        var j = 0
+        while (j < dsub) { val t = v(voff + j) - cb(base + j); d += t * t; j += 1 }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      codes(s) = best
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(codes)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqEncode", this, classOf[PqEncode].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Asymmetric PQ score: cosine(query, reconstruction-from-codes). The
+  * query stays exact; the corpus side is its m sub-centroid ids, so the
+  * scan reads m ints per row instead of dim floats — the memory/IO cut
+  * that makes billion-vector shortlisting fit. One fused loop; the
+  * reconstruction norm comes from the same codebook constants. */
+case class PqCosine(
+    left: Expression,  // query vector (numeric array)
+    right: Expression, // codes (int array from PqEncode)
+    codebook: Seq[Double],
+    m: Int,
+    nCodes: Int,
+    dsub: Int) extends BinaryExpression {
+
+  require(codebook.length == m * nCodes * dsub,
+    s"codebook must be m*nCodes*dsub = ${m * nCodes * dsub} doubles, got ${codebook.length}")
+
+  @transient private lazy val cb: Array[Double] = codebook.toArray
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(_: NumericType, _), ArrayType(IntegerType, _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"expects (numeric array, int array), got $l and $r")
+  }
+
+  @transient private lazy val et: NumericType =
+    left.dataType.asInstanceOf[ArrayType].elementType.asInstanceOf[NumericType]
+
+  def compute(q: ArrayData, codes: ArrayData): Double = {
+    val dim = m * dsub
+    val v = VecRead.toDoubles(q, dim, et)
+    var qn = 0.0
+    var i = 0
+    while (i < dim) { qn += v(i) * v(i); i += 1 }
+    var dotv = 0.0
+    var rn = 0.0
+    val nc = math.min(m, codes.numElements())
+    var s = 0
+    while (s < nc) {
+      val c = codes.getInt(s)
+      val base = (s * nCodes + c) * dsub
+      val voff = s * dsub
+      var j = 0
+      while (j < dsub) {
+        val x = cb(base + j)
+        dotv += v(voff + j) * x
+        rn += x * x
+        j += 1
+      }
+      s += 1
+    }
+    if (qn == 0.0 || rn == 0.0) 0.0
+    else dotv / (math.sqrt(qn) * math.sqrt(rn))
+  }
+
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    compute(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqCosine", this, classOf[PqCosine].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = $ref.compute($a, $b);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExpressions {
   /** Column-level entry points (Expression ↔ Column bridge). */
   def dot(a: Column, b: Column): Column =
@@ -348,5 +509,24 @@ object VectorExpressions {
     val dim = centroids.head.size
     GraftColumnBridge.column(CentroidScores(
       GraftColumnBridge.expression(vec), centroids.flatten, centroids.size, dim))
+  }
+
+  /** `codebooks`: m subspaces × nCodes sub-centroids × dsub doubles. */
+  def pqEncode(vec: Column, codebooks: Seq[Seq[Seq[Double]]]): Column = {
+    val m = codebooks.size
+    val nCodes = codebooks.head.size
+    val dsub = codebooks.head.head.size
+    GraftColumnBridge.column(PqEncode(
+      GraftColumnBridge.expression(vec),
+      codebooks.flatten.flatten, m, nCodes, dsub))
+  }
+
+  def pqCosine(vec: Column, codes: Column, codebooks: Seq[Seq[Seq[Double]]]): Column = {
+    val m = codebooks.size
+    val nCodes = codebooks.head.size
+    val dsub = codebooks.head.head.size
+    GraftColumnBridge.column(PqCosine(
+      GraftColumnBridge.expression(vec), GraftColumnBridge.expression(codes),
+      codebooks.flatten.flatten, m, nCodes, dsub))
   }
 }

@@ -199,4 +199,68 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
       .collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
     assert(a == b)
   }
+
+  test("PQ encode: codes in range, identical vectors share codes") {
+    val d = clustered
+    val cb = Similarity.buildPqCodebook(d, "vec_id", "embedding",
+      dim = 16, m = 4, nCodes = 4, iterations = 1)
+    assert(cb.m == 4 && cb.nCodes == 4 && cb.dsub == 4)
+    val codes = Similarity.pqEncodeCorpus(d, "vec_id", "embedding", cb).collect()
+    assert(codes.length == 30)
+    codes.foreach { r =>
+      val cs = r.getSeq[Int](1)
+      assert(cs.length == 4 && cs.forall(c => c >= 0 && c < 4))
+    }
+    // cluster members quantize near-identically: same-cluster rows share
+    // far more code positions than cross-cluster rows on average
+    val byId = codes.map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    def agree(a: Long, b: Long) = byId(a).zip(byId(b)).count { case (x, y) => x == y }
+    val same = (1L until 10L).map(i => agree(0L, i)).sum.toDouble / 9
+    val cross = (10L until 20L).map(i => agree(0L, i)).sum.toDouble / 10
+    assert(same > cross, s"same-cluster code agreement $same <= cross $cross")
+  }
+
+  test("pqTopK with exact re-rank: full recall@1 on clustered data, exact scores") {
+    val d = clustered
+    val q = d.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(d, q, "vec_id", "embedding", 1)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(3))).toMap
+    val cb = Similarity.buildPqCodebook(d, "vec_id", "embedding",
+      dim = 16, m = 4, nCodes = 4, iterations = 1)
+    // shortlist must cover the quantization-tied set: a tight cluster's
+    // members all encode to the SAME codes (same PQ score), so a
+    // shortlist smaller than the cluster keeps an id-ordered subset of a
+    // tie — the textbook reason PQ shortlists are generous (>> k)
+    val pq = Similarity.pqTopK(d, q, "vec_id", "embedding", k = 1, cb,
+        shortlist = 10)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(3))).toMap
+    val hits = exact.count { case (qid, (nid, _)) => pq.get(qid).exists(_._1 == nid) }
+    assert(hits >= 9, s"PQ recall@1 = $hits/10")
+    // re-ranked scores are EXACT cosine — bit-equal to brute force
+    pq.foreach { case (qid, (nid, score)) =>
+      if (exact(qid)._1 == nid) assert(score == exact(qid)._2)
+    }
+  }
+
+  test("PQ codebook save/load round-trips; codes scan is Window-free partial top-k") {
+    val s = spark
+    import s.implicits._
+    val d = clustered
+    val cb = Similarity.buildPqCodebook(d, "vec_id", "embedding",
+      dim = 16, m = 4, nCodes = 4, iterations = 1)
+    val path = java.nio.file.Files
+      .createTempDirectory("pq_cb").resolve("codebook").toString
+    Similarity.savePqCodebook(s, cb, path)
+    val loaded = Similarity.loadPqCodebook(s, path)
+    assert(loaded == cb)
+    val q = d.filter($"vec_id" < 3)
+    val top = Similarity.pqTopK(d, q, "vec_id", "embedding", 2, loaded, shortlist = 5)
+    val a = top.collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    val b = Similarity.pqTopK(d, q, "vec_id", "embedding", 2, cb, shortlist = 5)
+      .collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    assert(a == b)
+    val plan = top.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate") && !plan.contains("Window"),
+      plan.take(500))
+  }
 }
