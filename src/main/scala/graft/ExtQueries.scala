@@ -1020,6 +1020,24 @@ object ExtQueries {
         .orderBy("query_id", "rnk")
     }),
 
+    // faiss-shape IVF-PQ: cells prune candidates, codes prune the scan
+    // payload, exact re-rank of the shortlist; reuses both cached
+    // artifacts. Approximate -> rows-only. nProbe=8 of 16 cells:
+    // measured recall@1 16/20 on these UNclustered synthetic embeddings
+    // (IVF cells carve little structure from isotropic data — the
+    // clustered-corpus spec shows full recall when structure exists)
+    // for half the candidate volume; the recall/cost dial is nProbe.
+    "q_ann_ivfpq" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.df.filter(col("vec_id") < 20)
+      val index = ivfIndexFor(s, dir, e.df)
+      val cb = pqCodebookFor(s, dir, e.df)
+      Similarity.ivfPqTopK(e.df, q, "vec_id", "embedding", k = 1,
+          index, cb, nProbe = 8, shortlist = 50)
+        .select(col("query_id"), col("neighbor_id"), col("rank").as("rnk"))
+        .orderBy("query_id", "rnk")
+    }),
+
     // ---- coverage for previously-untested reference ops -------------
 
     "q_nsmallest" -> ((s, dir) => {

@@ -464,6 +464,54 @@ object Similarity {
     perQueryTopK(exact, corpus.schema(idCol).dataType, k)
   }
 
+  /** IVF-PQ: the two index structures composed the way faiss ships them
+    * — the IVF cells prune WHICH corpus rows are candidates (nProbe
+    * cells per query instead of the full corpus), and PQ codes prune
+    * WHAT the candidate scan reads (m ints per row instead of dim
+    * floats); an exact-cosine re-rank of the shortlist keeps reported
+    * scores exact. Fully lazy over the two prebuilt artifacts. At 100 TB
+    * this is the standard shape: candidate volume bounded by cell
+    * assignment, scan payload bounded by quantization, full vectors
+    * touched only for shortlist·Q rows. */
+  def ivfPqTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      index: IvfIndex,
+      cb: PqCodebook,
+      nProbe: Int = 4,
+      shortlist: Int = 100): DataFrame = {
+    require(shortlist >= k, s"shortlist=$shortlist must be >= k=$k")
+    val centroids = index.centroids
+    require(nProbe <= centroids.size)
+    val cbase = corpus.select(col(idCol).as("neighbor_id"),
+      argmaxCell(col(vecCol), centroids).as("cell"),
+      graft.plans.VectorExpressions.pqEncode(col(vecCol), cb.codebooks).as("codes"))
+    val qScored = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+        posexplode(graft.plans.VectorExpressions
+          .centroidScores(col(vecCol), centroids)).as(Seq("cell", "s")))
+    val wProbe = Window.partitionBy("query_id").orderBy(col("s").desc, col("cell"))
+    val qb = qScored
+      .withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= nProbe)
+      .select("query_id", "q_vec", "cell")
+    val cand = qb.join(cbase, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("score",
+        graft.plans.VectorExpressions.pqCosine(col("q_vec"), col("codes"), cb.codebooks))
+    val short = perQueryTopK(cand, corpus.schema(idCol).dataType, shortlist)
+      .select("query_id", "neighbor_id")
+    val exact = short
+      .join(broadcast(queries.select(
+        col(idCol).as("query_id"), col(vecCol).as("q_vec"))), Seq("query_id"))
+      .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec")),
+        Seq("neighbor_id"))
+      .withColumn("score", cosine(col("q_vec"), col("c_vec")))
+    perQueryTopK(exact, corpus.schema(idCol).dataType, k)
+  }
+
   /** Exact embedding near-duplicate pairs: all (a,b), a<b, with cosine ≥
     * `threshold`, via bucketed LSH candidates (for the corpus-vs-itself
     * case). Output: (a_id, b_id, score).

@@ -242,6 +242,26 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("ivfPqTopK composes cell pruning with PQ scoring at full recall") {
+    val d = clustered
+    val q = d.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(d, q, "vec_id", "embedding", 1)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(3))).toMap
+    val index = Similarity.buildIvfIndex(d, "vec_id", "embedding",
+      nCells = 6, iterations = 1)
+    val cb = Similarity.buildPqCodebook(d, "vec_id", "embedding",
+      dim = 16, m = 4, nCodes = 4, iterations = 1)
+    val got = Similarity.ivfPqTopK(d, q, "vec_id", "embedding", k = 1,
+        index, cb, nProbe = 2, shortlist = 10)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(3))).toMap
+    val hits = exact.count { case (qid, (nid, _)) => got.get(qid).exists(_._1 == nid) }
+    assert(hits >= 9, s"IVF-PQ recall@1 = $hits/10")
+    // re-ranked scores stay exact
+    got.foreach { case (qid, (nid, score)) =>
+      if (exact(qid)._1 == nid) assert(score == exact(qid)._2)
+    }
+  }
+
   test("PQ codebook save/load round-trips; codes scan is Window-free partial top-k") {
     val s = spark
     import s.implicits._
