@@ -20,6 +20,23 @@ import org.apache.spark.sql.SparkSession
   *    the driver's parse.
   */
 object Bench {
+
+  /** A baseline is scale-specific: pair it with a run only when the
+    * run's sf directory name equals the baseline's sf token, taken from
+    * the filename convention baseline_<sf>.csv (or the explicit
+    * `sfOverride`, for differently-named files). Exact name equality,
+    * not substring — "sf0.1" must not match "sf0.15". */
+  private[graft] def baselineMatchesRun(
+      baselinePath: String,
+      sfOverride: Option[String],
+      sfDir: String): Boolean = {
+    val token = sfOverride.orElse(
+      "baseline_(.+)\\.csv".r
+        .findFirstMatchIn(Paths.get(baselinePath).getFileName.toString)
+        .map(_.group(1)))
+    token.contains(Paths.get(sfDir).getFileName.toString)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -81,19 +98,9 @@ object Bench {
     // is faster than the reference engine.
     val baselinePath = sys.env.getOrElse("SPARK_GRAFT_BASELINE",
       "tools/refbaseline/baseline_sf0.1.csv")
-    // A baseline is scale-specific: pair it with this run only when the
-    // run's sf directory name equals the baseline's sf token, taken from
-    // the filename convention baseline_<sf>.csv (override with
-    // SPARK_GRAFT_BASELINE_SF when the file is named differently). Exact
-    // name equality, not substring — "sf0.1" must not match "sf0.15".
-    val baselineSf: Option[String] =
-      sys.env.get("SPARK_GRAFT_BASELINE_SF").orElse(
-        "baseline_(.+)\\.csv".r
-          .findFirstMatchIn(Paths.get(baselinePath).getFileName.toString)
-          .map(_.group(1)))
-    val sfName = Paths.get(sfDir).getFileName.toString
     val baseline: Map[String, Double] =
-      if (baselineSf.contains(sfName) && Files.exists(Paths.get(baselinePath))) {
+      if (baselineMatchesRun(baselinePath, sys.env.get("SPARK_GRAFT_BASELINE_SF"), sfDir)
+          && Files.exists(Paths.get(baselinePath))) {
         scala.jdk.CollectionConverters.ListHasAsScala(
             Files.readAllLines(Paths.get(baselinePath))).asScala
           .drop(1).map(_.split(","))
