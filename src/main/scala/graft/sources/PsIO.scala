@@ -110,6 +110,62 @@ object PsIO {
       .parquet(path)
   }
 
+  /** Z-ordered layout: multi-column locality where [[writeSorted]] only
+    * gives one. A lexicographic sort on (a, b) clusters files tightly on
+    * `a` but leaves every file spanning the FULL range of `b`, so
+    * predicates on `b` alone prune nothing. Interleaving the bits of the
+    * columns' bucket ids (the Z-/Morton curve — the same layout Delta's
+    * OPTIMIZE ZORDER and lakehouse clustering use) makes file locality
+    * shared across all the columns: each file covers a small min/max box
+    * in EVERY dimension, so parquet footer stats prune point/range
+    * predicates on any of them, alone or combined.
+    *
+    * Mechanics: one min/max aggregate pass over the z columns (the only
+    * eager step), each column scaled to a `bitsPerCol`-bit bucket with
+    * the built-in `width_bucket` (equal-width — cheap and stats-free;
+    * pre-transform heavily skewed columns), bits interleaved by a
+    * constant-folded shift/or expression chain (pure built-ins, whole-
+    * stage codegen'd), then repartitionByRange + sortWithinPartitions on
+    * the z-value exactly like [[writeSorted]]. The synthetic z column is
+    * projected away before the write. */
+  def writeZOrdered(
+      df: DataFrame,
+      path: String,
+      cols: Seq[String],
+      partitions: Int,
+      bitsPerCol: Int = 16): Unit = {
+    import org.apache.spark.sql.functions._
+    require(cols.size >= 2, "z-ordering needs at least two columns")
+    require(cols.size * bitsPerCol <= 62,
+      s"${cols.size} cols x $bitsPerCol bits overflows a long z-value")
+    val stats = df.select(cols.flatMap(c =>
+        Seq(min(col(c).cast("double")).as(s"mn_$c"),
+            max(col(c).cast("double")).as(s"mx_$c"))): _*)
+      .collect()(0)
+    val nBuckets = 1L << bitsPerCol
+    val bucketIds = cols.zipWithIndex.map { case (c, i) =>
+      val (mn, mx) = (stats.getDouble(2 * i), stats.getDouble(2 * i + 1))
+      // width_bucket is 1-based and sends v=max to n+1; clamp to 0..n-1
+      least(lit(nBuckets - 1), greatest(lit(0L),
+        width_bucket(col(c).cast("double"), lit(mn), lit(mx), lit(nBuckets)) - 1L))
+    }
+    // z = for each bit position, each column's bit spread cols.size apart
+    val k = cols.size
+    val zval = (0 until bitsPerCol).foldLeft(lit(0L)) { (acc, bit) =>
+      bucketIds.zipWithIndex.foldLeft(acc) { case (a, (id, ci)) =>
+        a.bitwiseOR(shiftleft(
+          shiftright(id, bit).bitwiseAND(lit(1L)), bit * k + ci))
+      }
+    }
+    df.withColumn("__z", zval)
+      .repartitionByRange(partitions, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write
+      .mode(SaveMode.Overwrite)
+      .parquet(path)
+  }
+
   /** Bucketed external table: pre-partitions (and per-bucket sorts) the
     * data by join/aggregation keys so later equi-joins and groupBys
     * between co-bucketed tables run WITHOUT a shuffle — the 100 TB answer

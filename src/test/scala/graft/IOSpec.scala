@@ -87,6 +87,46 @@ class IOSpec extends AnyFunSuite with SparkFixture {
     assert(firstRows == firstRows.sorted)
   }
 
+  test("writeZOrdered localizes every file in BOTH dimensions") {
+    val dir = Files.createTempDirectory("graft-zorder").toString + "/out"
+    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    PsIO.writeZOrdered(orders, dir,
+      Seq("o_custkey", "o_totalprice"), partitions = 8)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == orders.count())
+    assert(back.columns.toSet == orders.columns.toSet) // __z dropped
+
+    def spans(files: Seq[String], c: String): Seq[Double] = files.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(min(col(c).cast("double")), max(col(c).cast("double"))).head()
+      r.getDouble(1) - r.getDouble(0)
+    }
+    val g = orders
+      .agg(min(col("o_custkey").cast("double")),
+           max(col("o_custkey").cast("double")),
+           min(col("o_totalprice").cast("double")),
+           max(col("o_totalprice").cast("double"))).head()
+    val (gCust, gPrice) = (g.getDouble(1) - g.getDouble(0),
+                           g.getDouble(3) - g.getDouble(2))
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.toString).toSeq
+    assert(files.length == 8)
+    // a lexicographic sort on o_custkey would leave each file spanning
+    // ~the FULL o_totalprice range; the z-layout must keep the mean
+    // per-file bounding box a real fraction of the global range in BOTH
+    // dimensions — that locality is exactly what footer min/max stats
+    // prune on
+    val custFrac = spans(files, "o_custkey").map(_ / gCust)
+    val priceFrac = spans(files, "o_totalprice").map(_ / gPrice)
+    assert(custFrac.sum / files.size < 0.75,
+      s"o_custkey not localized: $custFrac")
+    assert(priceFrac.sum / files.size < 0.75,
+      s"o_totalprice not localized: $priceFrac")
+    // and the box AREA shrinks superlinearly vs either 1-D layout
+    val areas = custFrac.zip(priceFrac).map { case (a, b) => a * b }
+    assert(areas.sum / files.size < 0.4, s"boxes too large: $areas")
+  }
+
   test("materialize caches the plan (reference offload analogue)") {
     val df = sample
     val cached = PsIO.materialize(df)
