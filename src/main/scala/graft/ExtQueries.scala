@@ -366,6 +366,23 @@ object ExtQueries {
         .orderBy("c_nationkey")
     }),
 
+    // SemDeDup semantic dedup (rows-only: survivors depend on the
+    // k-means cells, not SQL-expressible): plant perturbed twins, dedup
+    // within IVF cells at cosine>=0.999, return the survivor ids —
+    // every twin must fall to its original. Recall and survivor
+    // semantics are pinned exactly in SimilaritySpec.
+    "q_semdedup" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").df.select("vec_id", "embedding")
+      val twin = e.filter(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          transform(col("embedding"), x => x + lit(1e-4f)).as("embedding"))
+      val corpus = e.unionByName(twin)
+      val index = ivfIndexFor(s, dir, e)
+      Similarity.semanticDedup(corpus, "vec_id", "embedding", index,
+          threshold = 0.999)
+        .select("vec_id").orderBy("vec_id")
+    }),
+
     "q_window_events" -> ((s, dir) => {
       val ev = events(s, dir)
       ev.select(

@@ -554,4 +554,58 @@ object Similarity {
       .filter(col("score") >= threshold)
       .select("a_id", "b_id", "score")
   }
+
+  // ------------------------------------------------------------- SemDeDup
+
+  /** SemDeDup-style semantic near-dup pairs (Abbas et al. 2023,
+    * "SemDeDup: Data-efficient learning at web-scale through semantic
+    * deduplication"): k-means-cluster the embedding space, then compare
+    * pairwise ONLY within a cluster — candidate volume is Σ|cell|²/2
+    * instead of n²/2, the published way to make embedding dedup feasible
+    * at web scale. Reuses the prebuilt [[IvfIndex]] (the same k-means
+    * artifact the ANN path trains): assignment is the fused map-side
+    * CentroidScores argmax, the only shuffle is the cell-keyed self-join,
+    * and each row carries its vector exactly once per side (one cell per
+    * row — unlike multi-table LSH there is no candidate duplication).
+    * Fully lazy over the index. Output: (a_id, b_id, score), a < b.
+    *
+    * vs [[nearDupPairs]] (LSH buckets): LSH bounds the MISS rate
+    * analytically but needs `tables` passes; SemDeDup does one pass and
+    * finds every within-cluster pair, but misses the (rare) near-dup
+    * pair that straddles a cluster boundary — the paper accepts exactly
+    * this trade. SimilaritySpec measures both faces. */
+  def semanticDedupPairs(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      index: IvfIndex,
+      threshold: Double): DataFrame = {
+    val assigned = corpus.select(
+      argmaxCell(col(vecCol), index.centroids).as("cell"),
+      col(idCol).as("id"), col(vecCol).as("vec"))
+    val l = assigned.select(col("cell"), col("id").as("a_id"), col("vec").as("a_vec"))
+    val r = assigned.select(col("cell"), col("id").as("b_id"), col("vec").as("b_vec"))
+    l.join(r, Seq("cell"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("score", cosine(col("a_vec"), col("b_vec")))
+      .filter(col("score") >= threshold)
+      .select("a_id", "b_id", "score")
+  }
+
+  /** The dedup face: drop every document that semantically duplicates a
+    * smaller-id survivor in its cluster (greedy keep-smallest, the
+    * SemDeDup "keep one per duplicate group" policy; a chain a~b~c with
+    * a≁c keeps only `a` — conservative toward dropping, like the paper's
+    * greedy pass). For component-exact survivor sets route the pairs
+    * through [[graft.operators.Components.dedupByCluster]] instead. */
+  def semanticDedup(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      index: IvfIndex,
+      threshold: Double): DataFrame = {
+    val drops = semanticDedupPairs(corpus, idCol, vecCol, index, threshold)
+      .select(col("b_id").as(idCol)).distinct()
+    corpus.join(drops, Seq(idCol), "left_anti")
+  }
 }

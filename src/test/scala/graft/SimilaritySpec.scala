@@ -283,4 +283,54 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     assert(plan.contains("ObjectHashAggregate") && !plan.contains("Window"),
       plan.take(500))
   }
+
+  test("semanticDedupPairs finds every within-cluster near-dup pair") {
+    val s = spark
+    import s.implicits._
+    val d = clustered
+    // plant twins: vec 0 and vec 10 duplicated under new ids, tiny shift
+    val twins = d.filter(col("vec_id").isin(0L, 20L))
+      .select((col("vec_id") + 100L).as("vec_id"),
+        transform(col("embedding"), x => x + lit(1e-4f)).as("embedding"),
+        col("cluster"))
+    val corpus = d.unionByName(twins)
+    val index = Similarity.buildIvfIndex(corpus, "vec_id", "embedding",
+      nCells = 3, iterations = 2)
+    val pairs = Similarity.semanticDedupPairs(
+        corpus, "vec_id", "embedding", index, threshold = 0.9999)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 100L)) && pairs.contains((20L, 120L)),
+      s"planted twins not found: $pairs")
+    // within-cluster recall vs brute force: every same-cell exact pair
+    // above threshold must be present (the cells ARE the true clusters
+    // after refinement, so here that is every exact pair)
+    val vecs = corpus.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble)).toMap
+    def cos(a: Seq[Double], b: Seq[Double]) = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / math.sqrt(a.map(x => x * x).sum * b.map(x => x * x).sum)
+    }
+    val exact = for {
+      a <- vecs.keys; b <- vecs.keys
+      if a < b && cos(vecs(a), vecs(b)) >= 0.9999
+    } yield (a, b)
+    assert(exact.toSet.subsetOf(pairs), s"missed: ${exact.toSet -- pairs}")
+  }
+
+  test("semanticDedup keeps one survivor per duplicate group") {
+    val d = clustered
+    val twins = d.filter(col("vec_id") === 0L)
+      .select((col("vec_id") + 100L).as("vec_id"),
+        transform(col("embedding"), x => x + lit(1e-4f)).as("embedding"),
+        col("cluster"))
+    val corpus = d.unionByName(twins)
+    val index = Similarity.buildIvfIndex(corpus, "vec_id", "embedding",
+      nCells = 3, iterations = 2)
+    val kept = Similarity.semanticDedup(
+        corpus, "vec_id", "embedding", index, threshold = 0.9999)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept.contains(0L) && !kept.contains(100L),
+      s"twin should drop, original survive: $kept")
+    assert(kept.size == 30, s"expected 30 survivors, got ${kept.size}")
+  }
 }
