@@ -110,6 +110,40 @@ object PsIO {
       .parquet(path)
   }
 
+  /** Small-file compaction: rewrite a parquet directory into files near
+    * `targetBytes` each. Streaming ingestion, per-partition writers, and
+    * incremental appends all accrete kilobyte-scale files; at 100 TB the
+    * resulting footer/open overhead (and a task per tiny file) dominates
+    * scans long before the data does, which is why every lakehouse ships
+    * a compaction command (Delta OPTIMIZE, Iceberg rewrite_data_files).
+    * File count comes from the actual on-disk bytes (driver-side listing
+    * — the same signal Spark's own file index uses), never a count()
+    * job. Default path is `coalesce` — merges input splits WITHOUT a
+    * shuffle (a compaction that shuffles 100 TB to save file handles is
+    * worse than the disease); pass `shuffle = true` to rebalance
+    * pathological size skew at the cost of a full exchange. Returns the
+    * planned output file count. */
+  def compact(
+      spark: SparkSession,
+      inDir: String,
+      outDir: String,
+      targetBytes: Long = 128L << 20,
+      shuffle: Boolean = false): Int = {
+    require(inDir != outDir, "compact cannot rewrite a directory onto itself")
+    val totalBytes = {
+      def walk(f: java.io.File): Long =
+        if (f.isDirectory) f.listFiles().map(walk).sum
+        else if (f.getName.endsWith(".parquet")) f.length
+        else 0L
+      walk(new java.io.File(inDir))
+    }
+    val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    val in = spark.read.parquet(inDir)
+    val sized = if (shuffle) in.repartition(nFiles) else in.coalesce(nFiles)
+    sized.write.mode(SaveMode.Overwrite).parquet(outDir)
+    nFiles
+  }
+
   /** Z-ordered layout: multi-column locality where [[writeSorted]] only
     * gives one. A lexicographic sort on (a, b) clusters files tightly on
     * `a` but leaves every file spanning the FULL range of `b`, so

@@ -127,6 +127,30 @@ class IOSpec extends AnyFunSuite with SparkFixture {
     assert(areas.sum / files.size < 0.4, s"boxes too large: $areas")
   }
 
+  test("compact merges small files to the byte target without a shuffle") {
+    val base = Files.createTempDirectory("graft-compact").toString
+    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    orders.repartition(64).write.parquet(s"$base/small")
+    def parquetFiles(d: String) = new java.io.File(d).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(parquetFiles(s"$base/small").length == 64)
+    val totalBytes = parquetFiles(s"$base/small").map(_.length).sum
+    // target half the corpus per file -> exactly 2 output files
+    val planned = PsIO.compact(spark, s"$base/small", s"$base/big",
+      targetBytes = totalBytes / 2 + 1)
+    assert(planned == 2)
+    assert(parquetFiles(s"$base/big").length == 2)
+    // content survives exactly
+    val a = orders.select("o_orderkey").collect().map(_.getLong(0)).sorted
+    val b = spark.read.parquet(s"$base/big")
+      .select("o_orderkey").collect().map(_.getLong(0)).sorted
+    assert(a.toSeq == b.toSeq)
+    // and the default path must NOT shuffle: coalesce plans no exchange
+    val plan = spark.read.parquet(s"$base/small").coalesce(2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(500))
+  }
+
   test("materialize caches the plan (reference offload analogue)") {
     val df = sample
     val cached = PsIO.materialize(df)

@@ -231,6 +231,45 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("AQE splits a skewed join partition (the runtime skew answer)") {
+    // Salting (operators/Skew.scala) covers aggregations; for JOINS the
+    // engine answer is AQE's OptimizeSkewedJoin: the hot key's oversized
+    // shuffle partition is split into advisory-sized sub-reads at
+    // runtime, each joined against a replicated copy of the other side.
+    // This pins that the engine we configure actually does it: a 1000x
+    // hot key under thresholds scaled to test data must yield a
+    // SortMergeJoin marked skew=true in the final adaptive plan.
+    val s = spark
+    import s.implicits._
+    val hot = (0 until 60000).map(i => (1L, s"payload-$i-${i * 2654435761L}")) ++
+      (0 until 60).map(i => (2L + i, s"p$i"))
+    val left = hot.toDF("k", "payload")
+    val right = (1L to 64L).map(k => (k, s"v$k")).toDF("k", "tag")
+    Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "32KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB",
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize" -> "4KB"
+    ).foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val joined = left.join(right, "k")
+      // collect() (NOT count(), which plans its own agg query) finalizes
+      // THIS DataFrame's adaptive plan
+      assert(joined.collect().length == 60060)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("isFinalPlan=true"), plan.take(200))
+      assert(plan.contains("skew=true"),
+        s"OptimizeSkewedJoin did not fire:\n${plan.take(1000)}")
+    } finally Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize"
+    ).foreach(spark.conf.unset)
+  }
+
   test("local-data frames stay broadcast-joinable against big tables") {
     val s = spark
     val small = PsDataFrame.fromLocal(s,
