@@ -58,6 +58,47 @@ object PsIO {
   def toNpy(df: DataFrame, valueCol: String, path: String): Unit =
     Npy.toNpy(df, valueCol, path)
 
+  /** Sharded JSONL egress — the training-data interchange format: one
+    * compressed .json(l) file per shard, each at most `maxRecordsPerShard`
+    * rows, emitted by the writers in parallel (`maxRecordsPerFile` rolls a
+    * new file when a writer hits the cap, so shard size is bounded without
+    * a repartition pass). Loaders stream shards independently, so bounded
+    * shard size IS the parallelism contract downstream. gzip by default:
+    * text corpora compress 5-10x and egress at 100 TB is network-bound. */
+  def toJsonlShards(
+      df: DataFrame,
+      path: String,
+      maxRecordsPerShard: Long,
+      compression: String = "gzip"): Unit =
+    df.write
+      .mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", maxRecordsPerShard.toString)
+      .option("compression", compression)
+      .json(path)
+
+  /** Record provenance: stamp each row with the file it came from and
+    * its position in that file, from the scan's constant-folded
+    * `_metadata` struct + a per-file position window. The "trace this
+    * training document back to its source shard" primitive — after ten
+    * dedup/filter/mix stages, (source_file, source_pos) is what lets a
+    * bad generation be audited back to the exact ingested line. Apply
+    * AT SCAN TIME (the hidden `_metadata` struct resolves only directly
+    * over a file source); the stamped columns then ride the row through
+    * any downstream relational op. Positions cost one shuffle keyed by
+    * file — that is what "stable position within the file" means
+    * distributed; skip posCol-consumers if file granularity suffices. */
+  def withProvenance(
+      df: DataFrame,
+      fileCol: String = "source_file",
+      posCol: String = "source_pos"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val w = Window.partitionBy(col(fileCol))
+      .orderBy(monotonically_increasing_id())
+    df.withColumn(fileCol, col("_metadata.file_path"))
+      .withColumn(posCol, row_number().over(w).cast("long") - 1L)
+  }
+
   /** Explicit materialization — the reference's offload-to-SQLite
     * (`CREATE TABLE name AS <query>`, core.py:84-89). On Spark this is
     * plan caching; later queries reuse the in-memory columnar form. */

@@ -151,6 +151,48 @@ class IOSpec extends AnyFunSuite with SparkFixture {
     assert(!plan.contains("Exchange"), plan.take(500))
   }
 
+  test("toJsonlShards bounds shard size and round-trips content") {
+    val base = Files.createTempDirectory("graft-jsonl").toString
+    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    val n = orders.count()
+    PsIO.toJsonlShards(orders.repartition(2), s"$base/out",
+      maxRecordsPerShard = 400)
+    val shards = new java.io.File(s"$base/out").listFiles()
+      .filter(f => !f.getName.startsWith(".") && f.getName.contains(".json"))
+      .toSeq
+    assert(shards.nonEmpty)
+    assert(shards.forall(_.getName.endsWith(".gz")), "gzip by default")
+    // every shard respects the record cap
+    val back = spark.read.json(s"$base/out")
+    assert(back.count() == n)
+    val perFile = back.select(col("_metadata.file_path")).groupBy("file_path")
+      .count().collect().map(_.getLong(1))
+    assert(perFile.forall(_ <= 400), s"shard over cap: ${perFile.toSeq}")
+    assert(perFile.length >= (n / 400).toInt)
+  }
+
+  test("withProvenance stamps source file and stable in-file position") {
+    val base = Files.createTempDirectory("graft-prov").toString
+    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    orders.repartition(3).write.parquet(s"$base/in")
+    val prov = PsIO.withProvenance(spark.read.parquet(s"$base/in"))
+    val stats = prov.groupBy("source_file").agg(
+      count(lit(1)).as("n"), min(col("source_pos")).as("mn"),
+      max(col("source_pos")).as("mx"),
+      countDistinct(col("source_pos")).as("d")).collect()
+    assert(stats.length == 3)
+    stats.foreach { r =>
+      val (n, mn, mx, d) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(mn == 0L, "positions start at 0")
+      assert(mx == n - 1, "positions contiguous")
+      assert(d == n, "positions unique per file")
+    }
+    // provenance survives downstream relational ops
+    val filtered = prov.filter(col("o_totalprice") > 100000)
+      .select("source_file", "source_pos", "o_orderkey")
+    assert(filtered.count() > 0)
+  }
+
   test("materialize caches the plan (reference offload analogue)") {
     val df = sample
     val cached = PsIO.materialize(df)
