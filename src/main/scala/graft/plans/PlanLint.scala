@@ -1,0 +1,123 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.{ColumnarToRowExec, FileSourceScanExec, FilterExec, InputAdapter, SortExec, SparkPlan, TakeOrderedAndProjectExec, WholeStageCodegenExec}
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+import org.apache.spark.sql.execution.window.WindowExec
+
+/** Pre-execution plan guardrails: the shapes that stay invisible on test
+  * data and melt a 1000-executor cluster. Every rule here mirrors a
+  * plan-shape assertion the test suite makes for the engine's own
+  * operators (PlanShapeSpec) — this is the same discipline exposed as a
+  * library call, for USER-composed plans the suite cannot know about.
+  * Inspection reads the prepared physical plan (for AQE, the adaptive
+  * node's `initialPlan` — EnsureRequirements applied, so exchanges are
+  * visible) without launching any job.
+  *
+  * Findings, not failures: a cartesian product over two 100-row dims is
+  * fine, and only the caller knows the cardinalities. `warn` = almost
+  * always wrong at scale; `info` = load-bearing fact worth eyeballing.
+  */
+object PlanLint {
+
+  final case class Finding(rule: String, severity: String, detail: String)
+
+  /** The plan as it would execute: exchanges inserted, AQE unwrapped to
+    * its pre-execution initial plan. Codegen collapse may or may not have
+    * run (AQE defers it per stage) — matchers strip those wrappers. */
+  private def physicalPlan(df: DataFrame): SparkPlan =
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.initialPlan
+      case p                        => p
+    }
+
+  /** Strip execution-only wrappers so parent/child matches see the
+    * logical operator shape (WholeStageCodegen, InputAdapter, the
+    * parquet columnar→row transition). */
+  private def strip(p: SparkPlan): SparkPlan = p match {
+    case w: WholeStageCodegenExec => strip(w.child)
+    case i: InputAdapter          => strip(i.child)
+    case c: ColumnarToRowExec     => strip(c.child)
+    case other                    => other
+  }
+
+  /** True when at least one predicate other than IsNotNull reached the
+    * parquet reader. The typed accessor (`pushedDownFilters`) is protected
+    * in FileSourceScanLike, so this reads the public `metadata` rendering
+    * — the same string `.explain` prints as `PushedFilters: [...]`. Any
+    * fragment not starting with "IsNotNull" marks a selective pushdown. */
+  private def hasSelectivePushdown(scan: FileSourceScanExec): Boolean =
+    scan.metadata.getOrElse("PushedFilters", "[]")
+      .stripPrefix("[").stripSuffix("]")
+      .split(",\\s*").exists(s => s.nonEmpty && !s.startsWith("IsNotNull"))
+
+  def lint(df: DataFrame): Seq[Finding] = {
+    val plan = physicalPlan(df)
+    val findings = Seq.newBuilder[Finding]
+
+    // O(n*m) joins: row-count products, never viable when both sides scale
+    plan.foreach {
+      case _: CartesianProductExec =>
+        findings += Finding("cartesian-product", "warn",
+          "CartesianProduct joins every row with every row; at scale " +
+            "prefer an equi/range key (see RangeJoinRule) or broadcast " +
+            "the provably-small side")
+      case j: BroadcastNestedLoopJoinExec =>
+        findings += Finding("nested-loop-join", "warn",
+          s"BroadcastNestedLoopJoin (${j.joinType}) scans the streamed side " +
+            "once per broadcast row batch; joinable only while the " +
+            "broadcast side stays tiny")
+      case w: WindowExec if w.partitionSpec.isEmpty =>
+        findings += Finding("single-partition-window", "warn",
+          "window with empty PARTITION BY funnels EVERY row through one " +
+            "task; partition the window or restate as an aggregate + join")
+      case _ => ()
+    }
+
+    // a global sort not feeding a limit sorts the full dataset; fine as a
+    // final presentation step, a scale bug in the middle of a pipeline
+    val hasTopK = plan.exists(_.isInstanceOf[TakeOrderedAndProjectExec])
+    val globalSorts = plan.collect {
+      case s: SortExec if s.global => s
+    }
+    if (globalSorts.nonEmpty && !hasTopK)
+      findings += Finding("global-sort", "info",
+        s"${globalSorts.size} global sort(s) over the full dataset; if a " +
+          "bounded head follows, use limit/nlargest (TakeOrderedAndProject)")
+
+    // a Filter sitting directly on a parquet scan that pushed NOTHING:
+    // the predicate shape defeated pushdown (computed expressions, UDFs),
+    // so the scan reads every row group
+    // pushedDownFilters is what actually reached the parquet reader;
+    // dataFilters is only the candidate list, and IsNotNull is pushed for
+    // any non-nullable predicate without pruning anything by itself
+    plan.foreach {
+      case f: FilterExec =>
+        strip(f.child) match {
+          case scan: FileSourceScanExec
+              if scan.partitionFilters.isEmpty && !hasSelectivePushdown(scan) =>
+            findings += Finding("unpushed-filter", "warn",
+              "filter over a scan where no selective predicate pushed to the " +
+                "row groups (only IsNotNull or nothing) — the predicate shape " +
+                "(computed expression / UDF) defeats row-group pruning; " +
+                "restate on raw columns or pre-materialize the column")
+          case _ => ()
+        }
+      case _ => ()
+    }
+
+    val shuffles = plan.collect { case e: ShuffleExchangeExec => e }.size
+    if (shuffles > 0)
+      findings += Finding("shuffle-count", "info",
+        s"$shuffles shuffle exchange(s); each is a full network pass over " +
+          "its input — check keys line up so joins/aggs share partitioning")
+
+    findings.result()
+  }
+
+  /** Human-readable lint report (empty string = nothing to report). */
+  def report(df: DataFrame): String =
+    lint(df).map(f => s"[${f.severity}] ${f.rule}: ${f.detail}").mkString("\n")
+}

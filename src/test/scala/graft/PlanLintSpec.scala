@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.plans.PlanLint
+
+/** PlanLint must flag the classic scale-killers and stay quiet on the
+  * shapes the engine's own operators promise (which PlanShapeSpec pins
+  * from the other side). */
+class PlanLintSpec extends AnyFunSuite with SparkFixture {
+
+  private def orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+  private def nation = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+
+  private def rules(df: org.apache.spark.sql.DataFrame): Set[String] =
+    PlanLint.lint(df).map(_.rule).toSet
+
+  test("flags cartesian/nested-loop joins") {
+    val r = rules(orders.crossJoin(nation))
+    assert(r.contains("cartesian-product") || r.contains("nested-loop-join"), r)
+  }
+
+  test("flags a single-partition window") {
+    val w = Window.orderBy("o_orderkey")
+    val df = orders.withColumn("rk", row_number().over(w))
+    assert(rules(df).contains("single-partition-window"))
+    // a partitioned window is fine
+    val wp = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    val ok = orders.withColumn("rk", row_number().over(wp))
+    assert(!rules(ok).contains("single-partition-window"))
+  }
+
+  test("global sort is flagged unless it feeds a top-k") {
+    assert(rules(orders.orderBy("o_totalprice")).contains("global-sort"))
+    val topk = orders.orderBy(col("o_totalprice").desc).limit(10)
+    assert(!rules(topk).contains("global-sort"))
+  }
+
+  test("flags a filter whose predicate defeated scan pushdown") {
+    // computed-expression predicate: nothing pushes to the row groups
+    val bad = orders.filter(length(col("o_orderpriority")) * 2 > 10)
+    assert(rules(bad).contains("unpushed-filter"), PlanLint.report(bad))
+    // raw-column comparison pushes; must NOT be flagged
+    val good = orders.filter(col("o_totalprice") > 100000)
+    assert(!rules(good).contains("unpushed-filter"), PlanLint.report(good))
+  }
+
+  test("clean aggregation draws only informational findings") {
+    val df = orders.filter(col("o_totalprice") > 1000)
+      .groupBy("o_orderpriority").agg(sum("o_totalprice"))
+    val warns = PlanLint.lint(df).filter(_.severity == "warn")
+    assert(warns.isEmpty, warns.mkString("; "))
+    assert(rules(df).contains("shuffle-count")) // the agg's exchange, reported
+  }
+}
