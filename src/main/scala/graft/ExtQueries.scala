@@ -691,6 +691,38 @@ object ExtQueries {
         .sortValues(Seq("source")).df
     }),
 
+    // multi-granularity dataset-card report: every lang × source subset
+    // in ONE Expand + partial/final agg pass, strata labeled by gid
+    "q_cube" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      d.cube("lang", "source").aggWithGroupingId("gid",
+        ("n_chars", "count") -> "n",
+        ("n_chars", "sum") -> "chars")
+        .sortValues(Seq("gid", "lang", "source")).df
+    }),
+
+    // hierarchical subtotals (status → priority drill-down), money summed
+    // as decimal then cast back (float-parity convention, see header)
+    "q_rollup" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      o.set("price_d", o("o_totalprice").cast("decimal(18,2)"))
+      val g = o.rollup("o_orderstatus", "o_orderpriority").aggWithGroupingId("gid",
+        ("o_orderkey", "count") -> "n",
+        ("price_d", "sum") -> "total_d")
+      g.set("total", g("total_d").cast("double"))
+      g.select("o_orderstatus", "o_orderpriority", "gid", "n", "total")
+        .sortValues(Seq("gid", "o_orderstatus", "o_orderpriority")).df
+    }),
+
+    // exactly the report's granularities: per-lang, per-source, total —
+    // Expand factor 3, not cube's 4
+    "q_grouping_sets" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      d.groupingSets(Seq(Seq("lang"), Seq("source"), Seq()), "lang", "source")
+        .aggWithGroupingId("gid", ("n_chars", "count") -> "n")
+        .sortValues(Seq("gid", "lang", "source")).df
+    }),
+
     // pandas replace: literal value mapping, unmatched pass through
     "q_replace" -> ((s, dir) => {
       val d = t(s, dir, "documents")
@@ -1841,6 +1873,23 @@ object ExtQueries {
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
          QUALIFY count(*) OVER (PARTITION BY l_orderkey) >= 5
          ORDER BY l_orderkey, l_linenumber""",
+    "q_cube" ->
+      """SELECT lang, source, CAST(GROUPING(lang, source) AS BIGINT) AS gid,
+         count(n_chars) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
+         FROM documents GROUP BY CUBE(lang, source)
+         ORDER BY gid, lang NULLS FIRST, source NULLS FIRST""",
+    "q_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority,
+         CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+         count(o_orderkey) AS n,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+         FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+         ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
+    "q_grouping_sets" ->
+      """SELECT lang, source, CAST(GROUPING(lang, source) AS BIGINT) AS gid,
+         count(n_chars) AS n
+         FROM documents GROUP BY GROUPING SETS ((lang), (source), ())
+         ORDER BY gid, lang NULLS FIRST, source NULLS FIRST""",
     "q_mode" ->
       """SELECT source, lang AS top_lang FROM (
            SELECT source, lang,

@@ -723,6 +723,31 @@ final class PsDataFrame(private var _df: DataFrame) {
   def groupby(keys: String*): PsGroupedFrame =
     new PsGroupedFrame(_df, keys, None)
 
+  /** Multi-granularity aggregation over every subset of `keys` (the
+    * dataset-card report: per source × lang, per source, per lang, and
+    * grand total in ONE pass). Extension beyond the reference (SURVEY
+    * §2.6 notes it has no grouping sets). Plans as a single Expand +
+    * partial/final HashAggregate — the input is replicated ×2^k BEFORE
+    * the map-side partial agg, so keep the cubed key set small and
+    * low-cardinality (report dimensions), which is exactly its use. */
+  def cube(keys: String*): PsGroupedFrame =
+    new PsGroupedFrame(_df, keys, None, PsGroupedFrame.KindCube)
+
+  /** Hierarchical subtotals: strata (k1..kn), (k1..kn-1), … , (). Same
+    * one-Expand/one-shuffle plan as [[cube]] with n+1 strata instead of
+    * 2^n — the right shape for drill-down hierarchies (source → lang). */
+  def rollup(keys: String*): PsGroupedFrame =
+    new PsGroupedFrame(_df, keys, None, PsGroupedFrame.KindRollup)
+
+  /** Exactly the named strata (each a subset of `keys`) — cube's plan
+    * with only the granularities a report actually needs, so the Expand
+    * replication factor is `sets.size`, not 2^n. */
+  def groupingSets(sets: Seq[Seq[String]], keys: String*): PsGroupedFrame = {
+    val bad = sets.flatten.distinct.filterNot(keys.contains)
+    require(bad.isEmpty, s"grouping set columns not in keys: ${bad.mkString(", ")}")
+    new PsGroupedFrame(_df, keys, None, PsGroupedFrame.KindGroupingSets(sets))
+  }
+
   /** Ungrouped aggregate over all (numeric where required) columns,
     * keeping original column names (reference Aggregator ungrouped SQL
     * `SELECT SUM(c) AS c, ... FROM t`, core.py:1094-1110). */

@@ -21,12 +21,13 @@ import org.apache.spark.sql.{functions => F}
 final class PsGroupedFrame(
     df: DataFrame,
     keys: Seq[String],
-    selected: Option[Seq[String]]) {
+    selected: Option[Seq[String]],
+    kind: PsGroupedFrame.Kind = PsGroupedFrame.KindGroupBy) {
 
   /** `groupby(k)[['a','b']]` — project the grouped frame
     * (reference GroupByProjection, core.py:1044-1071). */
   def apply(cols: String*): PsGroupedFrame =
-    new PsGroupedFrame(df, keys, Some(cols))
+    new PsGroupedFrame(df, keys, Some(cols), kind)
 
   /** pandas `groupby(keys).head(n)`: first `n` rows per group under
     * `orderBy` — delegates to [[PsDataFrame.headPerGroup]] (map-side
@@ -238,12 +239,39 @@ final class PsGroupedFrame(
     new PsDataFrame(grouped(aggs))
   }
 
+  /** Multi-granularity aggregate: the same one-pass agg, but with
+    * `grouping_id()` exposed as `gidAs` so subtotal strata are labeled
+    * (0 = most detailed; bit set = that key aggregated away, leftmost
+    * key = most significant bit — same convention as SQL `GROUPING()`).
+    * Only meaningful on [[PsDataFrame.cube]]/[[PsDataFrame.rollup]]/
+    * [[PsDataFrame.groupingSets]] frames. */
+  def aggWithGroupingId(gidAs: String, specs: ((String, String), String)*): PsDataFrame = {
+    require(kind != PsGroupedFrame.KindGroupBy,
+      "grouping_id() labels cube/rollup/groupingSets strata; a plain " +
+        "groupby has exactly one stratum — use agg()")
+    val aggs = specs.map { case ((c, fn), out) =>
+      PsGroupedFrame.fnCol(fn, df(c)).as(out)
+    } :+ grouping_id().cast("long").as(gidAs)
+    new PsDataFrame(grouped(aggs))
+  }
+
   private def grouped(aggs: Seq[Column]): DataFrame = {
     require(aggs.nonEmpty,
       "no aggregate expressions: agg() needs specs and aggFns() needs a " +
         "function matching at least one value column")
-    if (keys.isEmpty) df.agg(aggs.head, aggs.tail: _*)
-    else df.groupBy(keys.map(df(_)): _*).agg(aggs.head, aggs.tail: _*)
+    val keyCols = keys.map(df(_))
+    kind match {
+      case PsGroupedFrame.KindGroupBy =>
+        if (keys.isEmpty) df.agg(aggs.head, aggs.tail: _*)
+        else df.groupBy(keyCols: _*).agg(aggs.head, aggs.tail: _*)
+      case PsGroupedFrame.KindCube =>
+        df.cube(keyCols: _*).agg(aggs.head, aggs.tail: _*)
+      case PsGroupedFrame.KindRollup =>
+        df.rollup(keyCols: _*).agg(aggs.head, aggs.tail: _*)
+      case PsGroupedFrame.KindGroupingSets(sets) =>
+        df.groupingSets(sets.map(_.map(df(_))), keyCols: _*)
+          .agg(aggs.head, aggs.tail: _*)
+    }
   }
 
   private def valueColumns(fn: String): Seq[String] = {
@@ -264,6 +292,17 @@ final class PsGroupedFrame(
 }
 
 object PsGroupedFrame {
+
+  /** Which grouping the frame performs when an aggregate lands on it.
+    * Cube/rollup/grouping-sets plan as ONE Expand (input replicated once
+    * per stratum) feeding ONE partial+final HashAggregate pair — a single
+    * shuffle regardless of stratum count, never one job per granularity. */
+  sealed trait Kind
+  case object KindGroupBy extends Kind
+  case object KindCube extends Kind
+  case object KindRollup extends Kind
+  final case class KindGroupingSets(sets: Seq[Seq[String]]) extends Kind
+
   def numericColumns(df: DataFrame): Seq[String] =
     df.schema.fields.filter(_.dataType.isInstanceOf[NumericType]).map(_.name).toSeq
 
