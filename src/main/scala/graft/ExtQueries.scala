@@ -436,6 +436,37 @@ object ExtQueries {
         .orderBy("event_id")
     }),
 
+    // pandas merge_asof direction="forward" + tolerance: first purchase
+    // at-or-after each click, but only within the hour — same native
+    // sort-merge pass on the negated time axis, tolerance row-local
+    "q_asof_fwd" -> ((s, dir) => {
+      val ev = events(s, dir).withColumn("ms", expr("ts div 1000000"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ms")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy("user_id", "ms").agg(max("value").as("p_value"))
+        .withColumn("p_ms", col("ms"))
+      AsOfJoin.asofDirectional(clicks, purchases, Seq("user_id"), "ms", "ms",
+          valueCols = Seq("p_ms", "p_value"), how = "left", rightPrefix = "",
+          direction = "forward", tolerance = Some(3600000L))
+        .orderBy("event_id")
+    }),
+
+    // pandas merge_asof direction="nearest": closest purchase either
+    // side, ties -> backward (the engine's pinned deterministic rule)
+    "q_asof_near" -> ((s, dir) => {
+      val ev = events(s, dir).withColumn("ms", expr("ts div 1000000"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ms")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy("user_id", "ms").agg(max("value").as("p_value"))
+        .withColumn("p_ms", col("ms"))
+      AsOfJoin.asofDirectional(clicks, purchases, Seq("user_id"), "ms", "ms",
+          valueCols = Seq("p_ms", "p_value"), how = "left", rightPrefix = "",
+          direction = "nearest")
+        .orderBy("event_id")
+    }),
+
     // stream-stream interval join, batch face: every click matched to
     // the same user's purchases within 30 minutes after it (ns integer
     // arithmetic end-to-end; the streaming face is differentially tested
@@ -1705,6 +1736,32 @@ object ExtQueries {
                WHERE event_type = 'purchase' GROUP BY user_id, ms)
          SELECT c.event_id, c.user_id, c.ms, p.ms AS p_ms, p.p_value
          FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ms >= p.ms
+         ORDER BY c.event_id""",
+    "q_asof_fwd" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_ms(ts)::BIGINT AS ms, event_type, value FROM events),
+         c AS (SELECT event_id, user_id, ms FROM e WHERE event_type = 'click'),
+         p AS (SELECT user_id, ms, max(value) AS p_value FROM e
+               WHERE event_type = 'purchase' GROUP BY user_id, ms)
+         SELECT c.event_id, c.user_id, c.ms,
+           CASE WHEN p.ms - c.ms <= 3600000 THEN p.ms END AS p_ms,
+           CASE WHEN p.ms - c.ms <= 3600000 THEN p.p_value END AS p_value
+         FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ms <= p.ms
+         ORDER BY c.event_id""",
+    "q_asof_near" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_ms(ts)::BIGINT AS ms, event_type, value FROM events),
+         c AS (SELECT event_id, user_id, ms FROM e WHERE event_type = 'click'),
+         p AS (SELECT user_id, ms, max(value) AS p_value FROM e
+               WHERE event_type = 'purchase' GROUP BY user_id, ms),
+         b AS (SELECT c.event_id, p.ms AS bms, p.p_value AS bval
+               FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ms >= p.ms),
+         f AS (SELECT c.event_id, p.ms AS fms, p.p_value AS fval
+               FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ms <= p.ms)
+         SELECT c.event_id, c.user_id, c.ms,
+           CASE WHEN bms IS NOT NULL AND (fms IS NULL OR c.ms - bms <= fms - c.ms)
+                THEN bms ELSE fms END AS p_ms,
+           CASE WHEN bms IS NOT NULL AND (fms IS NULL OR c.ms - bms <= fms - c.ms)
+                THEN bval ELSE fval END AS p_value
+         FROM c JOIN b USING (event_id) JOIN f USING (event_id)
          ORDER BY c.event_id""",
     // ns epoch integers on both sides (DuckDB epoch_ns == Spark's
     // nanosAsLong raw read)

@@ -144,12 +144,19 @@ final class PsDataFrame(private var _df: DataFrame) {
       by: Seq[String],
       valueCols: Seq[String] = Nil,
       how: String = "left",
-      rightPrefix: String = "r_"): PsDataFrame = {
+      rightPrefix: String = "r_",
+      direction: String = "backward",
+      tolerance: Option[Long] = None): PsDataFrame = {
     val values =
       if (valueCols.nonEmpty) valueCols
       else right.columns.filterNot(c => c == on || by.contains(c))
-    new PsDataFrame(graft.operators.AsOfJoin.asof(
-      _df, right.df, by, on, on, values, how, rightPrefix))
+    val out =
+      if (direction == "backward" && tolerance.isEmpty)
+        graft.operators.AsOfJoin.asof(_df, right.df, by, on, on, values, how, rightPrefix)
+      else
+        graft.operators.AsOfJoin.asofDirectional(
+          _df, right.df, by, on, on, values, how, rightPrefix, direction, tolerance)
+    new PsDataFrame(out)
   }
 
   /** pandas `resample(freq, on=ts).agg(...)` — tumbling event-time

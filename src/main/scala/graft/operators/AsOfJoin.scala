@@ -105,6 +105,122 @@ object AsOfJoin {
       rightValues, outputValues, isInner = how == "inner"))
   }
 
+  /** pandas `merge_asof` direction/tolerance surface over the native
+    * operator.
+    *
+    *  - "backward" — latest right time ≤ left time (= [[asof]])
+    *  - "forward"  — earliest right time ≥ left time; runs the SAME
+    *    native plan on negated order keys (forward-in-t is backward-in-−t),
+    *    so it inherits the one-shuffle merge cost
+    *  - "nearest"  — closest right time either side, ties → backward
+    *    (the deterministic rule this engine pins; pandas leaves ties
+    *    unspecified). Two native passes (one per direction) + a
+    *    row-local pick — 2× the sort-merge cost, still no range join.
+    *
+    * `tolerance` (≥ 0, in the time column's comparison units: µs for
+    * timestamps, raw value otherwise) nulls out a match farther than the
+    * bound — after the join, row-local, so it adds no plan cost. With
+    * `how = "inner"` out-of-tolerance rows are dropped like any other
+    * non-match. */
+  def asofDirectional(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      valueCols: Seq[String],
+      how: String = "left",
+      rightPrefix: String = "r_",
+      direction: String = "backward",
+      tolerance: Option[Long] = None): DataFrame = {
+    val kept = asofDirectionalKeep(left, right, keys, leftTime, rightTime,
+      valueCols, how, rightPrefix, direction, tolerance)
+    kept.drop("__asof_ok", "__asof_lt", s"${rightPrefix}__asof_rt")
+  }
+
+  /** [[asofDirectional]] with the bookkeeping columns (`__asof_ok`,
+    * `__asof_lt`, matched right time) still attached — the nearest
+    * branch composes its forward pass from this. */
+  private def asofDirectionalKeep(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      valueCols: Seq[String],
+      how: String,
+      rightPrefix: String,
+      direction: String,
+      tolerance: Option[Long]): DataFrame = {
+    require(tolerance.forall(_ >= 0), s"tolerance must be >= 0, got $tolerance")
+
+    def onePass(flip: Boolean): DataFrame = {
+      // attach the matched right time under a reserved name so the
+      // tolerance/nearest arithmetic never collides with user columns
+      val r2 = right.withColumn("__asof_rt", orderKey(right, rightTime))
+      val l2 = left.withColumn("__asof_lt", orderKey(left, leftTime))
+      val (lt, rt) =
+        if (!flip) ("__asof_lt", "__asof_rt")
+        else {
+          // forward = backward on the negated axis
+          ("__asof_ltn", "__asof_rtn")
+        }
+      val lIn = if (flip) l2.withColumn(lt, -col("__asof_lt")) else l2
+      val rIn = if (flip) r2.withColumn(rt, -col("__asof_rt")) else r2
+      // keep every row through the pass ("left"); inner-ness is decided
+      // after tolerance so an out-of-tolerance match drops correctly.
+      // __asof_lt stays attached — the tolerance/nearest arithmetic
+      // reads it; only the negated temp axis is internal to the pass
+      val joined =
+        asof(lIn, rIn, keys, lt, rt, valueCols :+ "__asof_rt", "left", rightPrefix)
+      if (flip) joined.drop("__asof_ltn") else joined
+    }
+
+    def withinTol(matchedRt: Column, lt: Column): Column = tolerance match {
+      case None      => matchedRt.isNotNull
+      case Some(tol) => matchedRt.isNotNull && abs(lt - matchedRt) <= tol
+    }
+
+    val rtCol = s"${rightPrefix}__asof_rt"
+    val outCols = valueCols.map(v => s"$rightPrefix$v")
+
+    val picked = direction match {
+      case "backward" | "forward" =>
+        val j = onePass(flip = direction == "forward")
+        val ok = withinTol(col(rtCol), col("__asof_lt"))
+        outCols.foldLeft(j)((d, o) => d.withColumn(o, when(ok, col(o))))
+          .withColumn("__asof_ok", ok)
+      case "nearest" =>
+        // backward pass, then forward pass over its (left-shaped) output;
+        // rename the backward attachments out of the way first
+        val bCols = outCols :+ rtCol
+        val b = bCols.foldLeft(onePass(flip = false))(
+          (d, o) => d.withColumnRenamed(o, s"__b_$o"))
+        val bf = asofDirectionalKeep(b.drop("__asof_lt"), right, keys,
+          leftTime, rightTime, valueCols, "left", rightPrefix, "forward",
+          tolerance)
+        val bOk = withinTol(col(s"__b_$rtCol"), col("__asof_lt"))
+        val fOk = col("__asof_ok")
+        val bDist = col("__asof_lt") - col(s"__b_$rtCol")
+        val fDist = col(rtCol) - col("__asof_lt")
+        val useB = bOk && (!fOk || bDist <= fDist) // tie -> backward
+        val merged = outCols.foldLeft(bf)((d, o) =>
+          d.withColumn(o, when(useB, col(s"__b_$o")).otherwise(col(o))))
+        merged.withColumn("__asof_ok", bOk || fOk)
+          .drop(bCols.map(o => s"__b_$o"): _*)
+      case other =>
+        throw new IllegalArgumentException(
+          s"direction must be backward|forward|nearest, got $other")
+    }
+
+    how match {
+      case "left"  => picked
+      case "inner" => picked.filter(col("__asof_ok"))
+      case other   => throw new IllegalArgumentException(
+        s"how must be left|inner, got $other")
+    }
+  }
+
   /** The original composed form: tag both inputs, union, window-fill.
     * Same semantics as [[asof]]; one shuffle + window state machine. */
   def asofWindowed(

@@ -80,6 +80,52 @@ class AsOfJoinSpec extends AnyFunSuite with SparkFixture {
     assert(row.isNullAt(row.fieldIndex("r_v"))) // NOT back-filled from t=100
   }
 
+
+  test("asofDirectional forward: earliest at-or-after, inclusive ties") {
+    val (l, r) = frames
+    val got = AsOfJoin.asofDirectional(l, r, Seq("k"), "t", "t", Seq("v"),
+        direction = "forward")
+      .collect().map(x => x.getLong(0) -> Option(x.get(x.fieldIndex("r_v")))).toMap
+    assert(got(1L).contains(1.0)) // t=100 matches right t=100 (inclusive)
+    assert(got(2L).isEmpty)       // t=200 after last right row
+    assert(got(3L).contains(1.0)) // t=50 -> earliest after is 100
+    assert(got(4L).isEmpty)       // right "b" row is at 90 < 100
+    assert(got(5L).isEmpty)
+  }
+
+  test("asofDirectional nearest: min distance, tie -> backward") {
+    val s = spark
+    import s.implicits._
+    val l = Seq((1L, "a", 125L), (2L, "a", 130L), (3L, "a", 10L), (4L, "a", 500L))
+      .toDF("id", "k", "t")
+    val r = Seq(("a", 100L, 1.0), ("a", 150L, 2.0)).toDF("k", "t", "v")
+    val got = AsOfJoin.asofDirectional(l, r, Seq("k"), "t", "t", Seq("v"),
+        direction = "nearest")
+      .collect().map(x => x.getLong(0) -> Option(x.get(x.fieldIndex("r_v")))).toMap
+    assert(got(1L).contains(1.0)) // equidistant 25/25 -> backward wins
+    assert(got(2L).contains(2.0)) // 30 back vs 20 forward -> forward
+    assert(got(3L).contains(1.0)) // before first -> forward side only
+    assert(got(4L).contains(2.0)) // after last -> backward side only
+  }
+
+  test("asofDirectional tolerance: far matches null out; inner drops them") {
+    val (l, r) = frames
+    val tol = AsOfJoin.asofDirectional(l, r, Seq("k"), "t", "t", Seq("v"),
+        direction = "backward", tolerance = Some(10L))
+      .collect().map(x => x.getLong(0) -> Option(x.get(x.fieldIndex("r_v")))).toMap
+    assert(tol(1L).contains(1.0)) // exact hit, distance 0
+    assert(tol(2L).isEmpty)       // distance 50 > 10 -> nulled
+    assert(tol(4L).contains(3.0)) // distance 10, inclusive bound
+    val inner = AsOfJoin.asofDirectional(l, r, Seq("k"), "t", "t", Seq("v"),
+        how = "inner", direction = "backward", tolerance = Some(10L))
+      .collect().map(_.getLong(0)).toSet
+    assert(inner == Set(1L, 4L))
+    // bookkeeping columns never leak into the output schema
+    val cols = AsOfJoin.asofDirectional(l, r, Seq("k"), "t", "t", Seq("v"),
+        direction = "nearest").columns.toSet
+    assert(cols == Set("id", "k", "t", "r_v"), cols)
+  }
+
   test("cumsum / rank / lag window sugar") {
     val s = spark
     import s.implicits._
