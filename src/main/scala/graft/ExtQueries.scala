@@ -1505,7 +1505,7 @@ object ExtQueries {
           ORDER BY doc_id""",
     "q_json_extract" ->
       """SELECT event_type, count(*) AS cnt,
-                sum(json_extract(props, '$.k')::BIGINT) AS sum_k,
+                sum(json_extract(props, '$.k')::BIGINT)::BIGINT AS sum_k,
                 sum(json_extract(props, '$.k')::BIGINT)::DOUBLE / count(*) AS avg_k
          FROM events GROUP BY event_type ORDER BY event_type""",
     "q_bloom_join" ->
