@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -62,20 +62,55 @@ object Components {
     * times per action. At 100 TB the pair relation is the small output of
     * the dedup stage (O(duplicate pairs), not O(corpus)); MEMORY_AND_DISK
     * spills rather than evicts, and recompute-from-lineage remains the
-    * correctness fallback if blocks are lost. Returns (edges, sym) so
-    * eager callers can unpersist the edge cache when done; the lazy face
-    * leaves both caches registered by design (it has no completion hook —
-    * documented on [[clusterLabels]]). */
+    * correctness fallback if blocks are lost.
+    *
+    * The persisted pair is MEMOIZED per (session, canonicalized edge
+    * plan): rebuilding the same clusterLabels query N times (a bench
+    * loop, a retried pipeline stage) reuses ONE pair of cache entries
+    * instead of registering 2N — block-manager storage is bounded by the
+    * number of DISTINCT pair relations, not by call count. Eager callers
+    * release their entry via [[releaseSym]] when done; lazy faces can
+    * call [[clearSymCaches]] between pipeline stages. */
+  private case class SymEntry(e: DataFrame, s: DataFrame)
+  private type SymKey =
+    (SparkSession, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+  private val symCache =
+    new java.util.concurrent.ConcurrentHashMap[SymKey, SymEntry]()
+
+  private def symKey(
+      pairs: DataFrame, aCol: String, bCol: String): (SymKey, DataFrame) = {
+    val proj = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+    ((pairs.sparkSession, proj.queryExecution.analyzed.canonicalized), proj)
+  }
+
   private def sym(
-      pairs: DataFrame, aCol: String, bCol: String): (DataFrame, DataFrame) = {
-    val e = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val nodes = e.select(col("src").as("n"))
-      .union(e.select(col("dst").as("n"))).distinct()
-    val s = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
-      .union(nodes.select(col("n").as("src"), col("n").as("dst")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    (e, s)
+      pairs: DataFrame, aCol: String, bCol: String): (SymKey, SymEntry) = {
+    val (key, proj) = symKey(pairs, aCol, bCol)
+    (key, symCache.computeIfAbsent(key, _ => {
+      val e = proj.persist(StorageLevel.MEMORY_AND_DISK)
+      val nodes = e.select(col("src").as("n"))
+        .union(e.select(col("dst").as("n"))).distinct()
+      val s = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+        .union(nodes.select(col("n").as("src"), col("n").as("dst")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      SymEntry(e, s)
+    }))
+  }
+
+  /** Unpersist and forget one memoized edge cache (no-op if absent). */
+  private def releaseSym(key: SymKey): Unit =
+    Option(symCache.remove(key)).foreach { entry =>
+      entry.s.unpersist(blocking = false)
+      entry.e.unpersist(blocking = false)
+    }
+
+  /** Release every memoized edge cache — call between pipeline stages
+    * when the lazy [[clusterLabels]] plans built so far are no longer
+    * needed. Plans already handed out stay CORRECT afterwards (lineage
+    * recomputes); they just lose the shared cache. */
+  def clearSymCaches(): Unit = {
+    val keys = symCache.keySet().toArray(Array.empty[SymKey])
+    keys.foreach(releaseSym)
   }
 
   /** One min-label round: every node takes min over its in-edges'
@@ -101,9 +136,11 @@ object Components {
     // ~4·(rounds+1) times (measured on q_dedup_clusters at sf0.1:
     // 17.2 s -> see SCALEPROBE.md round-8 section). The cache entries
     // stay registered — this face is a pure lazy composition with no
-    // completion hook; MEMORY_AND_DISK keeps the footprint bounded by
-    // the (small) pair relation.
-    val (_, s) = sym(pairs, aCol, bCol)
+    // completion hook — but they are memoized per input plan, so
+    // repeated builds of the same query share ONE pair of entries;
+    // footprint is bounded by the (small) pair relation per DISTINCT
+    // input. clearSymCaches() releases them between pipeline stages.
+    val (_, SymEntry(_, s)) = sym(pairs, aCol, bCol)
     val init = s.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
     (1 to rounds).foldLeft(init)((labels, _) => step(s, labels))
@@ -150,7 +187,7 @@ object Components {
       aCol: String = "a_id",
       bCol: String = "b_id",
       maxRounds: Int = 50): DataFrame = {
-    val (e, s) = sym(pairs, aCol, bCol) // both cached; reused every round
+    val (symK, SymEntry(_, s)) = sym(pairs, aCol, bCol) // cached; reused every round
     var labels = s.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
       .localCheckpoint()
@@ -166,8 +203,9 @@ object Components {
       round += 1
     }
     val converged = changed == 0
-    s.unpersist()
-    e.unpersist()
+    // release (not just unpersist): removing the memo entry lets the next
+    // caller re-register a fresh cache instead of reusing an unpersisted one
+    releaseSym(symK)
     if (!converged) freeCheckpoint(labels) // don't leak the last round on failure
     require(converged,
       s"connectedComponents did not converge in $maxRounds rounds")

@@ -84,19 +84,33 @@ object PsIO {
     * bad generation be audited back to the exact ingested line. Apply
     * AT SCAN TIME (the hidden `_metadata` struct resolves only directly
     * over a file source); the stamped columns then ride the row through
-    * any downstream relational op. Positions cost one shuffle keyed by
-    * file — that is what "stable position within the file" means
-    * distributed; skip posCol-consumers if file granularity suffices. */
+    * any downstream relational op.
+    *
+    * Position source, in preference order: `_metadata.row_index` (exact
+    * in-file row position, contractual for parquet since Spark 3.5 —
+    * zero extra cost, no shuffle); otherwise a per-file window ordered
+    * by (`_metadata.file_block_start`, monotonically_increasing_id) so
+    * in-file order is pinned by the split's byte offset rather than by
+    * partition-id packing order, which is not a stable contract. The
+    * window path costs one shuffle keyed by file — that is what "stable
+    * position within the file" means distributed; skip posCol-consumers
+    * if file granularity suffices. */
   def withProvenance(
       df: DataFrame,
       fileCol: String = "source_file",
       posCol: String = "source_pos"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
-    val w = Window.partitionBy(col(fileCol))
-      .orderBy(monotonically_increasing_id())
-    df.withColumn(fileCol, col("_metadata.file_path"))
-      .withColumn(posCol, row_number().over(w).cast("long") - 1L)
+    val stamped = df.withColumn(fileCol, col("_metadata.file_path"))
+    // select() analyzes eagerly, so this probes whether the source
+    // exposes row_index (parquet does; json/csv expose only offsets)
+    if (scala.util.Try(df.select(col("_metadata.row_index"))).isSuccess) {
+      stamped.withColumn(posCol, col("_metadata.row_index").cast("long"))
+    } else {
+      val w = Window.partitionBy(col(fileCol))
+        .orderBy(col("_metadata.file_block_start"), monotonically_increasing_id())
+      stamped.withColumn(posCol, row_number().over(w).cast("long") - 1L)
+    }
   }
 
   /** Explicit materialization — the reference's offload-to-SQLite
@@ -157,9 +171,12 @@ object PsIO {
     * resulting footer/open overhead (and a task per tiny file) dominates
     * scans long before the data does, which is why every lakehouse ships
     * a compaction command (Delta OPTIMIZE, Iceberg rewrite_data_files).
-    * File count comes from the actual on-disk bytes (driver-side listing
-    * — the same signal Spark's own file index uses), never a count()
-    * job. Default path is `coalesce` — merges input splits WITHOUT a
+    * File count comes from the actual on-disk bytes, listed through
+    * Hadoop's FileSystem with the session's Hadoop conf — the same file
+    * index Spark's scans use, so hdfs:// and s3a:// directories size
+    * correctly (a java.io.File walk would silently see 0 bytes off the
+    * local filesystem and plan coalesce(1) over the whole dataset) —
+    * never a count() job. Default path is `coalesce` — merges input splits WITHOUT a
     * shuffle (a compaction that shuffles 100 TB to save file handles is
     * worse than the disease); pass `shuffle = true` to rebalance
     * pathological size skew at the cost of a full exchange. Returns the
@@ -171,12 +188,18 @@ object PsIO {
       targetBytes: Long = 128L << 20,
       shuffle: Boolean = false): Int = {
     require(inDir != outDir, "compact cannot rewrite a directory onto itself")
+    val inPath = new org.apache.hadoop.fs.Path(inDir)
+    val fs = inPath.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(inPath) && fs.getFileStatus(inPath).isDirectory,
+      s"compact: input is not an existing directory on ${fs.getUri}: $inDir")
     val totalBytes = {
-      def walk(f: java.io.File): Long =
-        if (f.isDirectory) f.listFiles().map(walk).sum
-        else if (f.getName.endsWith(".parquet")) f.length
-        else 0L
-      walk(new java.io.File(inDir))
+      val it = fs.listFiles(inPath, /* recursive = */ true)
+      var bytes = 0L
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.getPath.getName.endsWith(".parquet")) bytes += st.getLen
+      }
+      bytes
     }
     val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
     val in = spark.read.parquet(inDir)
@@ -217,6 +240,11 @@ object PsIO {
         Seq(min(col(c).cast("double")).as(s"mn_$c"),
             max(col(c).cast("double")).as(s"mx_$c"))): _*)
       .collect()(0)
+    cols.zipWithIndex.foreach { case (c, i) =>
+      require(!stats.isNullAt(2 * i) && !stats.isNullAt(2 * i + 1),
+        s"writeZOrdered: column '$c' has no min/max (empty input or " +
+          "all-null column) — drop it from the z columns or use writeSorted")
+    }
     val nBuckets = 1L << bitsPerCol
     val bucketIds = cols.zipWithIndex.map { case (c, i) =>
       val (mn, mx) = (stats.getDouble(2 * i), stats.getDouble(2 * i + 1))

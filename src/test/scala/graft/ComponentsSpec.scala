@@ -84,6 +84,37 @@ class ComponentsSpec extends AnyFunSuite with SparkFixture {
       s"connectedComponents leaked ${added.size} persistent RDDs")
   }
 
+  test("sym cache is memoized per input plan and releasable") {
+    val s = spark
+    import s.implicits._
+    Components.clearSymCaches()
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("a_id", "b_id")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    // N rebuilds of the same lazy query must register ONE pair of cache
+    // entries, not 2N (the round-8 per-call accumulation)
+    (1 to 5).foreach { _ =>
+      assert(Components.clusterLabels(Seq((1L, 2L), (2L, 3L))
+        .toDF("a_id", "b_id")).count() == 3)
+    }
+    val added = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(added.size <= 2,
+      s"5 identical clusterLabels builds registered ${added.size} caches")
+    // a DIFFERENT pair relation gets its own entry
+    assert(Components.clusterLabels(Seq((7L, 8L)).toDF("a_id", "b_id"))
+      .count() == 2)
+    val added2 = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(added2.size > added.size)
+    // explicit release drops every memoized entry's blocks
+    Components.clearSymCaches()
+    val after = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(after.isEmpty,
+      s"clearSymCaches left ${after.size} persistent RDDs registered")
+    // released plans remain correct (lineage recompute)
+    assert(labelsOf(Components.clusterLabels(pairs)) ==
+      unionFind(Seq((1L, 2L), (2L, 3L))))
+    Components.clearSymCaches()
+  }
+
   test("dedupByCluster keeps exactly the min-id member of each cluster") {
     val s = spark
     import s.implicits._

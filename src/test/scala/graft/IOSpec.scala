@@ -151,6 +151,30 @@ class IOSpec extends AnyFunSuite with SparkFixture {
     assert(!plan.contains("Exchange"), plan.take(500))
   }
 
+  test("compact fails loudly on a missing input directory") {
+    val e = intercept[IllegalArgumentException] {
+      PsIO.compact(spark, "/tmp/graft-no-such-dir", "/tmp/graft-compact-out")
+    }
+    assert(e.getMessage.contains("not an existing directory"))
+  }
+
+  test("writeZOrdered rejects empty input and all-null z columns by name") {
+    val base = Files.createTempDirectory("graft-znull").toString
+    val s = spark
+    import s.implicits._
+    val allNull = Seq((1L, Option.empty[Double]), (2L, Option.empty[Double]))
+      .toDF("k", "v")
+    val e1 = intercept[IllegalArgumentException] {
+      PsIO.writeZOrdered(allNull, s"$base/o1", Seq("k", "v"), partitions = 2)
+    }
+    assert(e1.getMessage.contains("'v'"))
+    val empty = Seq.empty[(Long, Double)].toDF("k", "v")
+    val e2 = intercept[IllegalArgumentException] {
+      PsIO.writeZOrdered(empty, s"$base/o2", Seq("k", "v"), partitions = 2)
+    }
+    assert(e2.getMessage.contains("no min/max"))
+  }
+
   test("toJsonlShards bounds shard size and round-trips content") {
     val base = Files.createTempDirectory("graft-jsonl").toString
     val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
