@@ -1,5 +1,11 @@
 package graft.operators
 
+import java.awt.RenderingHints
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -40,10 +46,102 @@ object Multimodal {
       byteEntropy: Double,
       fingerprint: Long)
 
-  /** Deterministic stand-ins for real codec calls. Each function is where
-    * a production build would call into libjpeg/libsndfile/ffmpeg; the
-    * fakes preserve the data-flow shape (bytes in, bytes/features out) and
-    * are pure, so tests are reproducible. */
+  /** Real image codec on `javax.imageio` (in-JDK, no external libs).
+    * Handles PNG/JPEG/GIF/BMP — anything the JDK's ImageIO SPI registry
+    * decodes. All functions are total: undecodable bytes yield `None`
+    * rather than failing the task, so one corrupt blob in a 100 TB corpus
+    * quarantines one row, not one partition.
+    *
+    * ImageIO reader/writer instances are not thread-safe but are cheap to
+    * obtain from the static registry, so per-row `ImageIO.read` inside a
+    * `mapPartitions` batch is the right granularity (the registry lookup
+    * is a hash probe; the decode dominates).
+    */
+  object ImageCodec {
+    /** Decoded image normalized to packed RGB (3 bytes/pixel, row-major).
+      * `channels` reports the *source* color model's component count
+      * (1=gray, 3=RGB, 4=RGBA/CMYK) before normalization. */
+    case class DecodedImage(width: Int, height: Int, channels: Int, rgb: Array[Byte])
+
+    /** Decode any ImageIO-supported format to packed RGB. None = not an
+      * image these SPIs understand (or truncated/corrupt payload). */
+    def decode(payload: Array[Byte]): Option[DecodedImage] =
+      try {
+        val img = ImageIO.read(new ByteArrayInputStream(payload))
+        if (img == null) None
+        else {
+          val w = img.getWidth
+          val h = img.getHeight
+          val out = new Array[Byte](w * h * 3)
+          var i = 0
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val argb = img.getRGB(x, y)
+              out(i) = ((argb >> 16) & 0xff).toByte
+              out(i + 1) = ((argb >> 8) & 0xff).toByte
+              out(i + 2) = (argb & 0xff).toByte
+              i += 3
+              x += 1
+            }
+            y += 1
+          }
+          Some(DecodedImage(w, h, img.getColorModel.getNumComponents, out))
+        }
+      } catch { case _: Exception => None }
+
+    /** Bilinear resize; re-encodes as PNG (lossless, in-JDK writer).
+      * None = input not decodable. */
+    def resize(payload: Array[Byte], w: Int, h: Int): Option[Array[Byte]] =
+      try {
+        val src = ImageIO.read(new ByteArrayInputStream(payload))
+        if (src == null || w <= 0 || h <= 0) None
+        else {
+          val dst = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+          val g = dst.createGraphics()
+          try {
+            g.setRenderingHint(
+              RenderingHints.KEY_INTERPOLATION,
+              RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(src, 0, 0, w, h, null)
+          } finally g.dispose()
+          val bos = new ByteArrayOutputStream()
+          ImageIO.write(dst, "png", bos)
+          Some(bos.toByteArray)
+        }
+      } catch { case _: Exception => None }
+
+    /** Encode packed RGB back to PNG bytes (fixture generation, tests,
+      * synthetic corpora). */
+    def encodePng(width: Int, height: Int, rgb: Array[Byte]): Array[Byte] = {
+      require(rgb.length == width * height * 3, "encodePng: rgb length != w*h*3")
+      val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
+      var i = 0
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          val r = rgb(i) & 0xff
+          val gc = rgb(i + 1) & 0xff
+          val b = rgb(i + 2) & 0xff
+          img.setRGB(x, y, (r << 16) | (gc << 8) | b)
+          i += 3
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new ByteArrayOutputStream()
+      ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+  }
+
+  /** Deterministic stand-ins for the codec calls the JDK can't do (audio,
+    * video). Each function is where a production build would call into
+    * libsndfile/ffmpeg; the fakes preserve the data-flow shape (bytes in,
+    * bytes/features out) and are pure, so tests are reproducible. Images
+    * go through the real [[ImageCodec]] instead. */
   object StubCodecs {
     /** REAL IMPL: decode(payload) → pixel buffer. Stub: identity view. */
     def decode(payload: Array[Byte]): Array[Byte] = payload
