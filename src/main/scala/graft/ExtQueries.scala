@@ -54,13 +54,14 @@ object ExtQueries {
       Similarity.buildPqCodebook(corpus, "vec_id", "embedding",
         dim = 64, m = 8, nCodes = 16, iterations = 2))
 
-  /** events.parquet carries ns timestamps, which Spark's parquet reader
-    * rejects; read them as raw ns-since-epoch longs and do integer epoch
-    * arithmetic (exactly what DuckDB's ns timestamps truncate to). */
-  private def events(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read.parquet(s"$dir/events.parquet")
-  }
+  /** events.parquet with `ts` normalized to ns-since-epoch longs whatever
+    * the file's physical type (ns-as-long, µs TIMESTAMP, or µs
+    * TIMESTAMP_NTZ) — see [[PsIO.readEventsNs]]. Every event-time query
+    * below does integer epoch arithmetic on those longs; the DuckDB
+    * oracles use timestamp-native `epoch_ms`/`date_trunc`, which agree
+    * at the shared µs/ms precision. */
+  private def events(s: SparkSession, dir: String): DataFrame =
+    PsIO.readEventsNs(s, s"$dir/events.parquet")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 

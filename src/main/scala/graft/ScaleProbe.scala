@@ -155,8 +155,7 @@ object ScaleProbe {
     // left = clicks duplicated ×dup under fresh event_ids (user_id keys
     // keep their cardinality, so per-key group size inflates ×dup — the
     // window form's state grows with it, the merge's O(1) does not)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    val ev = graft.sources.PsIO.readEventsNs(spark, s"$sfDir/events.parquet")
       .withColumn("ms", expr("ts div 1000000"))
     val clicks0 = ev.filter(col("event_type") === "click")
       .select("event_id", "user_id", "ms")

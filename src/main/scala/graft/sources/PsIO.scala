@@ -113,6 +113,41 @@ object PsIO {
     }
   }
 
+  /** Event-log loader, schema-adaptive on the `ts` column: always yields
+    * `ts` as ns-since-epoch longs, whatever physical type the parquet
+    * carries. Event corpora arrive with ns timestamps (older pandas/
+    * pyarrow dumps, which Spark's reader only accepts as raw longs via
+    * `nanosAsLong`), µs TIMESTAMP, or µs TIMESTAMP_NTZ (pandas ≥2 writes
+    * `timestamp[us]` without UTC adjustment, which Spark infers as NTZ) —
+    * and every downstream event-time operator here (as-of, interval join,
+    * sessionize, windows) does integer epoch arithmetic on ns longs, the
+    * one representation all three sources can reach losslessly. The
+    * normalization is a constant-time projection (no shuffle, codegen'd);
+    * column pruning still reaches the scan for queries that drop `ts`
+    * (ScanPushdownSpec). */
+  def readEventsNs(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    // legacy ns files fail to load without this; harmless for µs files
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(path)
+    raw.schema("ts").dataType match {
+      case LongType => raw // ns-as-long file: already the target shape
+      case TimestampType =>
+        raw.withColumn("ts", unix_micros(col("ts")) * lit(1000L))
+      case TimestampNTZType =>
+        // NTZ carries a wall-clock; the session's pinned UTC makes the
+        // NTZ->TIMESTAMP cast the identity epoch mapping
+        require(spark.conf.get("spark.sql.session.timeZone") == "UTC",
+          "readEventsNs: TIMESTAMP_NTZ ts requires spark.sql.session.timeZone=UTC " +
+            "(graft.Session.local pins it); epoch extraction is tz-dependent otherwise")
+        raw.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
+      case dt => throw new IllegalArgumentException(
+        s"readEventsNs: unsupported ts type $dt in $path (expected LONG ns, " +
+          "TIMESTAMP, or TIMESTAMP_NTZ)")
+    }
+  }
+
   /** Explicit materialization — the reference's offload-to-SQLite
     * (`CREATE TABLE name AS <query>`, core.py:84-89). On Spark this is
     * plan caching; later queries reuse the in-memory columnar form. */

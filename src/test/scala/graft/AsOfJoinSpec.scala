@@ -294,8 +294,7 @@ class AsOfJoinSpec extends AnyFunSuite with SparkFixture {
 
   test("native and windowed forms agree on the events corpus (left and inner)") {
     import org.apache.spark.sql.functions.{col, expr, max}
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val ev = graft.sources.PsIO.readEventsNs(spark, "/root/testdata/sf0.001/events.parquet")
       .withColumn("ms", expr("ts div 1000000"))
     val clicks = ev.filter(col("event_type") === "click")
       .select("event_id", "user_id", "ms")

@@ -43,8 +43,7 @@ class ScanPushdownSpec extends AnyFunSuite with SparkFixture {
     // get_json_object is an opaque expression over props; column pruning
     // must still reach the scan — a JSON-extract aggregate that reads all
     // six event columns at 100 TB is wrong
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val ev = PsIO.readEventsNs(spark, "/root/testdata/sf0.001/events.parquet")
     val q = ev.select(col("event_type"),
         get_json_object(col("props"), "$.k").cast("long").as("k"))
       .groupBy("event_type").agg(sum("k").as("sum_k"))

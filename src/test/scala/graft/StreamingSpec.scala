@@ -89,11 +89,10 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     val s = spark
     import s.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
-    // real corpus replay: 1000 events / 15 users at sf0.001. The parquet
-    // carries ns timestamps; both paths consume the SAME ms-precision
-    // conversion so the comparison is exact.
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = s.read.parquet("/root/testdata/sf0.001/events.parquet")
+    // real corpus replay: 1000 events / 15 users at sf0.001. readEventsNs
+    // normalizes ts to ns longs whatever the file carries; both paths
+    // consume the SAME ms-precision conversion so the comparison is exact.
+    val raw = graft.sources.PsIO.readEventsNs(s, "/root/testdata/sf0.001/events.parquet")
       .select(col("event_id"), timestamp_millis((col("ts") / 1000000L).cast("long")).as("ts"),
         col("user_id"), col("event_type"), col("value"), col("props"))
     val all = raw.as[Event].collect().sortBy(_.ts.getTime) // sorted replay: nothing late
@@ -134,8 +133,7 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     val s = spark
     import s.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = s.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val raw = graft.sources.PsIO.readEventsNs(s, "/root/testdata/sf0.001/events.parquet")
       .select(col("event_id"), timestamp_millis((col("ts") / 1000000L).cast("long")).as("ts"),
         col("user_id"), col("event_type"), col("value"), col("props"))
     val delay = expr("INTERVAL 30 MINUTES")
@@ -299,8 +297,7 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     val s = spark
     import s.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = s.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val raw = graft.sources.PsIO.readEventsNs(s, "/root/testdata/sf0.001/events.parquet")
       .select(col("event_id"),
         timestamp_millis((col("ts") / 1000000L).cast("long")).as("ts"),
         col("user_id"), col("event_type"), col("value"), col("props"))
