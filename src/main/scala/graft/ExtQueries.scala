@@ -330,6 +330,34 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // real image decode through the driver contract: a deterministic PNG
+    // per doc (pixel i = (doc_id*7 + i) % 256) is encoded then decoded by
+    // the in-JDK ImageCodec inside extractFeatures; PNG is lossless, so
+    // the decoded dims/channel count/pixel sum are exact integers the
+    // oracle recomputes in closed form. The decoded=true filter makes a
+    // silent codec failure a loud rows mismatch.
+    "q_multimodal_img" -> ((s, dir) => {
+      import s.implicits._
+      val (w, h) = (16, 12)
+      val ids = t(s, dir, "documents").df
+        .filter(col("doc_id") < 50).select("doc_id").as[Long]
+      val media = ids.map { docId =>
+        val rgb = Array.tabulate(w * h * 3)(i => ((docId * 7 + i) % 256).toByte)
+        Multimodal.MediaRecord(docId, "image/png",
+          Multimodal.ImageCodec.encodePng(w, h, rgb), w, h, 0L)
+      }
+      Multimodal.extractFeatures(media)
+        .filter(_.decoded)
+        .toDF()
+        .select(col("id").as("doc_id"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("channels").cast("long").as("channels"),
+          col("nBytes").cast("long").as("n_bytes"),
+          col("byteSum").as("pix_sum"))
+        .orderBy("doc_id")
+    }),
+
     // ---- events: windows + sessions ---------------------------------
 
     // tumbling 1h window aggregation (batch form of the streaming op)
@@ -1696,6 +1724,13 @@ object ExtQueries {
     "q_multimodal" ->
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes, md5(text) AS payload_md5
          FROM documents ORDER BY doc_id""",
+    // closed-form recomputation of the decoded-PNG pixel stats: the
+    // fixture plants pixel i = (doc_id*7 + i) % 256 in a 16x12 RGB image
+    "q_multimodal_img" ->
+      """SELECT doc_id, 16::BIGINT AS width, 12::BIGINT AS height,
+                3::BIGINT AS channels, 576::BIGINT AS n_bytes,
+                (SELECT sum((doc_id*7 + i) % 256) FROM range(576) t(i))::BIGINT AS pix_sum
+         FROM documents WHERE doc_id < 50 ORDER BY doc_id""",
     "q_window_events" ->
       """SELECT epoch(date_trunc('hour', ts))::BIGINT AS hour_s, event_type,
             count(*) AS n, (sum(value::DECIMAL(18,2)))::DOUBLE AS total_value

@@ -20,11 +20,13 @@ import org.apache.spark.sql.functions._
   * The heavy per-item work (decode, resize, frame-sample, feature
   * extraction) runs via `mapPartitions` over a typed Dataset: one partition
   * = one batch of records through a (re-usable, per-partition-initialized)
-  * decoder — the Scala analogue of arrow-batched UDFs. The actual codec
-  * calls are STUBS (this container has no image/audio libraries):
-  * [[StubCodecs]] documents exactly where a real libjpeg/ffmpeg call would
-  * go and substitutes a deterministic fake so the plumbing (schema,
-  * partitioning, batch shape, spill behavior) is fully testable.
+  * decoder — the Scala analogue of arrow-batched UDFs. IMAGE decode/resize
+  * is REAL (in-JDK `javax.imageio`, see [[ImageCodec]]): `image/…` rows
+  * dispatch to it in [[extractFeatures]] and [[resizeAll]]. Audio/video
+  * codecs are not in the JDK, so those rows go through [[StubCodecs]],
+  * which documents exactly where a libsndfile/ffmpeg call would go and
+  * substitutes a deterministic fake so the plumbing (schema, partitioning,
+  * batch shape, spill behavior) is fully testable.
   */
 object Multimodal {
 
@@ -37,14 +39,24 @@ object Multimodal {
       height: Int,
       durationMs: Long) // audio/video; 0 for images
 
-  /** Extracted features (decoder output). */
+  /** Extracted features (decoder output). For `image/…` rows that decode,
+    * the stats are over the normalized RGB pixel buffer and
+    * (width, height, channels, decoded=true) are real; for non-image
+    * modalities and undecodable payloads they are over the raw bytes with
+    * decoded=false — the quarantine path: a corrupt blob degrades one row
+    * to byte-level features, it never fails the task. */
   case class MediaFeatures(
       id: Long,
       mediaType: String,
       nBytes: Int,
+      byteSum: Long,
       byteMean: Double,
       byteEntropy: Double,
-      fingerprint: Long)
+      fingerprint: Long,
+      width: Int,
+      height: Int,
+      channels: Int,
+      decoded: Boolean)
 
   /** Real image codec on `javax.imageio` (in-JDK, no external libs).
     * Handles PNG/JPEG/GIF/BMP — anything the JDK's ImageIO SPI registry
@@ -58,46 +70,86 @@ object Multimodal {
     * is a hash probe; the decode dominates).
     */
   object ImageCodec {
+    // Byte-array decodes must never hit disk: ImageIO's default cache
+    // writes every decode through a temp file — pure overhead in a
+    // mapPartitions hot loop, and a task-killer if java.io.tmpdir isn't
+    // writable on an executor. Class-init runs once per JVM.
+    ImageIO.setUseCache(false)
+
+    /** Pixel budget: dimensions are read from the image HEADER before any
+      * pixel allocation, and payloads declaring more than this many pixels
+      * are rejected as undecodable. Without it, a kilobyte "decompression
+      * bomb" declaring a huge w×h allocates w*h buffers and dies with
+      * OutOfMemoryError — an Error, not an Exception, so it would kill the
+      * whole task instead of quarantining the row. 2^24 px covers
+      * 4096×4096; the transient int[] + rgb byte[] stay under ~120 MB. */
+    val DefaultMaxPixels: Long = 1L << 24
+
     /** Decoded image normalized to packed RGB (3 bytes/pixel, row-major).
       * `channels` reports the *source* color model's component count
       * (1=gray, 3=RGB, 4=RGBA/CMYK) before normalization. */
     case class DecodedImage(width: Int, height: Int, channels: Int, rgb: Array[Byte])
 
-    /** Decode any ImageIO-supported format to packed RGB. None = not an
-      * image these SPIs understand (or truncated/corrupt payload). */
-    def decode(payload: Array[Byte]): Option[DecodedImage] =
+    /** Header-guarded read: pick the SPI reader for the payload's format,
+      * read w×h from the header, reject oversized/absent dimensions, only
+      * then decode pixels. None = not an image, corrupt, or over budget. */
+    private def readGuarded(
+        payload: Array[Byte], maxPixels: Long): Option[BufferedImage] = {
+      val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(payload))
       try {
-        val img = ImageIO.read(new ByteArrayInputStream(payload))
-        if (img == null) None
+        val readers = ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
         else {
+          val reader = readers.next()
+          try {
+            reader.setInput(iis, true, true)
+            val w = reader.getWidth(0)
+            val h = reader.getHeight(0)
+            if (w <= 0 || h <= 0 || w.toLong * h > maxPixels) None
+            else Option(reader.read(0))
+          } finally reader.dispose()
+        }
+      } finally if (iis != null) iis.close()
+    }
+
+    /** Decode any ImageIO-supported format to packed RGB. None = not an
+      * image these SPIs understand, truncated/corrupt payload, or a
+      * payload whose declared dimensions exceed `maxPixels`. */
+    def decode(
+        payload: Array[Byte],
+        maxPixels: Long = DefaultMaxPixels): Option[DecodedImage] =
+      try {
+        readGuarded(payload, maxPixels).map { img =>
           val w = img.getWidth
           val h = img.getHeight
-          val out = new Array[Byte](w * h * 3)
+          // bulk ARGB grab: one color-model conversion pass, not w*h
+          // per-pixel getRGB calls (10-50x slower on large images)
+          val argb = img.getRGB(0, 0, w, h, null, 0, w)
+          val out = new Array[Byte](w * h * 3) // w*h <= maxPixels: no overflow
           var i = 0
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              val argb = img.getRGB(x, y)
-              out(i) = ((argb >> 16) & 0xff).toByte
-              out(i + 1) = ((argb >> 8) & 0xff).toByte
-              out(i + 2) = (argb & 0xff).toByte
-              i += 3
-              x += 1
-            }
-            y += 1
+          var j = 0
+          while (j < argb.length) {
+            val p = argb(j)
+            out(i) = ((p >> 16) & 0xff).toByte
+            out(i + 1) = ((p >> 8) & 0xff).toByte
+            out(i + 2) = (p & 0xff).toByte
+            i += 3
+            j += 1
           }
-          Some(DecodedImage(w, h, img.getColorModel.getNumComponents, out))
+          DecodedImage(w, h, img.getColorModel.getNumComponents, out)
         }
       } catch { case _: Exception => None }
 
     /** Bilinear resize; re-encodes as PNG (lossless, in-JDK writer).
-      * None = input not decodable. */
-    def resize(payload: Array[Byte], w: Int, h: Int): Option[Array[Byte]] =
+      * None = input not decodable (same header guard as [[decode]]). */
+    def resize(
+        payload: Array[Byte],
+        w: Int,
+        h: Int,
+        maxPixels: Long = DefaultMaxPixels): Option[Array[Byte]] =
       try {
-        val src = ImageIO.read(new ByteArrayInputStream(payload))
-        if (src == null || w <= 0 || h <= 0) None
-        else {
+        val srcOpt = if (w <= 0 || h <= 0) None else readGuarded(payload, maxPixels)
+        srcOpt.map { src =>
           val dst = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
           val g = dst.createGraphics()
           try {
@@ -108,7 +160,7 @@ object Multimodal {
           } finally g.dispose()
           val bos = new ByteArrayOutputStream()
           ImageIO.write(dst, "png", bos)
-          Some(bos.toByteArray)
+          bos.toByteArray
         }
       } catch { case _: Exception => None }
 
@@ -166,38 +218,70 @@ object Multimodal {
     }
   }
 
-  /** Per-item features via partition-batched extraction. The per-partition
-    * prologue is where a real decoder context (thread-local codec handles,
-    * GPU stream, ...) would be initialized once per task, not per row. */
+  /** Per-item features via partition-batched extraction. `image/…` rows
+    * decode through the real [[ImageCodec]] and report pixel stats over
+    * the normalized RGB buffer plus true (width, height, channels); other
+    * modalities — and image rows whose bytes don't decode (the quarantine
+    * path) — fall back to raw-byte stats with decoded=false. The
+    * per-partition prologue is where a real decoder context (thread-local
+    * codec handles, GPU stream, ...) would be initialized once per task,
+    * not per row. */
   def extractFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       // per-partition decoder init would go here
       it.map { m =>
-        val px = StubCodecs.decode(m.payload)
+        val dec =
+          if (m.mediaType != null && m.mediaType.startsWith("image/"))
+            ImageCodec.decode(m.payload)
+          else None
+        val (px, width, height, channels) = dec match {
+          case Some(d) => (d.rgb, d.width, d.height, d.channels)
+          case None => (StubCodecs.decode(m.payload), 0, 0, 0)
+        }
         val n = px.length
-        val mean = if (n == 0) 0.0 else px.map(b => (b & 0xff).toDouble).sum / n
         val hist = new Array[Long](256)
-        px.foreach(b => hist(b & 0xff) += 1)
+        var sum = 0L
+        // FNV-1a over the pixel/byte buffer: cheap content fingerprint
+        var fp = 0xcbf29ce484222325L
+        var i = 0
+        while (i < n) {
+          val v = px(i) & 0xff
+          sum += v
+          hist(v) += 1
+          fp ^= v.toLong
+          fp *= 0x100000001b3L
+          i += 1
+        }
+        val mean = if (n == 0) 0.0 else sum.toDouble / n
         val entropy =
           if (n == 0) 0.0
           else -hist.filter(_ > 0).map { c =>
             val p = c.toDouble / n; p * math.log(p) / math.log(2)
           }.sum
-        // FNV-1a over payload: cheap content fingerprint for exact dedup
-        var fp = 0xcbf29ce484222325L
-        px.foreach { b => fp ^= (b & 0xffL); fp *= 0x100000001b3L }
-        MediaFeatures(m.id, m.mediaType, n, mean, entropy, fp)
+        MediaFeatures(m.id, m.mediaType, n, sum, mean, entropy, fp,
+          width, height, channels, decoded = dec.isDefined)
       }
     }
   }
 
-  /** Resize stage: payload-to-payload transform, same batching story. */
+  /** Resize stage: payload-to-payload transform, same batching story.
+    * `image/…` payloads get a real bilinear resize (PNG out); an image row
+    * whose bytes don't decode rides through UNCHANGED (quarantine — its
+    * width/height still betray that it was never resized). Audio/video
+    * take the stub path. */
   def resizeAll(media: Dataset[MediaRecord], w: Int, h: Int): Dataset[MediaRecord] = {
     import media.sparkSession.implicits._
-    media.mapPartitions(_.map(m =>
-      m.copy(payload = StubCodecs.resize(StubCodecs.decode(m.payload), w, h),
-        width = w, height = h)))
+    media.mapPartitions(_.map { m =>
+      if (m.mediaType != null && m.mediaType.startsWith("image/"))
+        ImageCodec.resize(m.payload, w, h) match {
+          case Some(png) => m.copy(payload = png, width = w, height = h)
+          case None => m
+        }
+      else
+        m.copy(payload = StubCodecs.resize(StubCodecs.decode(m.payload), w, h),
+          width = w, height = h)
+    })
   }
 
   /** One sampled frame of a video/audio payload. */

@@ -23,8 +23,11 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
   test("extractFeatures: deterministic stats over payload bytes") {
     val f = Multimodal.extractFeatures(media)
       .collect().map(x => x.id -> x).toMap
-    assert(f(1L).nBytes == 2)
+    // record 1 claims image/jpeg but carries undecodable bytes: the
+    // quarantine path must yield byte-level stats with decoded=false
+    assert(f(1L).nBytes == 2 && !f(1L).decoded)
     assert(f(1L).byteMean == (97.0 + 98.0) / 2)
+    assert(f(1L).byteSum == 97L + 98L)
     // 256 distinct byte values -> exactly 8 bits of entropy
     assert(math.abs(f(2L).byteEntropy - 8.0) < 1e-9)
     assert(f(3L).nBytes == 0 && f(3L).byteMean == 0.0)
@@ -34,6 +37,78 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
       fp ^= (b & 0xffL); fp *= 0x100000001b3L
     }
     assert(f(1L).fingerprint == fp)
+  }
+
+  // deterministic 8x6 RGB gradient: rgb(i) = (7*i) % 256
+  private def gradientRgb(w: Int, h: Int): Array[Byte] =
+    Array.tabulate(w * h * 3)(i => ((7 * i) % 256).toByte)
+
+  test("ImageCodec: encodePng -> decode round-trips pixels exactly") {
+    val (w, h) = (8, 6)
+    val rgb = gradientRgb(w, h)
+    val png = Multimodal.ImageCodec.encodePng(w, h, rgb)
+    val d = Multimodal.ImageCodec.decode(png).get
+    assert(d.width == w && d.height == h && d.channels == 3)
+    assert(d.rgb.toSeq == rgb.toSeq) // PNG is lossless
+  }
+
+  test("ImageCodec: resize changes dimensions, output is decodable PNG") {
+    val png = Multimodal.ImageCodec.encodePng(8, 6, gradientRgb(8, 6))
+    val out = Multimodal.ImageCodec.resize(png, 4, 3).get
+    val d = Multimodal.ImageCodec.decode(out).get
+    assert(d.width == 4 && d.height == 3)
+    assert(Multimodal.ImageCodec.resize(png, 0, 3).isEmpty)
+  }
+
+  test("ImageCodec: corrupt bytes and truncated payloads yield None, not a throw") {
+    assert(Multimodal.ImageCodec.decode("not an image".getBytes).isEmpty)
+    assert(Multimodal.ImageCodec.decode(Array.emptyByteArray).isEmpty)
+    val png = Multimodal.ImageCodec.encodePng(8, 6, gradientRgb(8, 6))
+    assert(Multimodal.ImageCodec.decode(png.take(20)).isEmpty)
+    assert(Multimodal.ImageCodec.resize("junk".getBytes, 4, 4).isEmpty)
+  }
+
+  test("ImageCodec: decompression bomb (huge declared dims) is rejected by the pixel budget") {
+    // hand-built PNG signature + IHDR declaring 100000x100000: the header
+    // guard must reject it BEFORE allocating w*h pixel buffers
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    val ihdr = new java.io.ByteArrayOutputStream()
+    ihdr.write("IHDR".getBytes(StandardCharsets.US_ASCII))
+    def be32(v: Int): Array[Byte] =
+      Array((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    ihdr.write(be32(100000)) // width
+    ihdr.write(be32(100000)) // height
+    ihdr.write(Array[Byte](8, 2, 0, 0, 0)) // depth, RGB, std flags
+    val body = ihdr.toByteArray
+    bos.write(be32(body.length - 4))
+    bos.write(body)
+    val crc = new java.util.zip.CRC32(); crc.update(body)
+    bos.write(be32(crc.getValue.toInt))
+    assert(Multimodal.ImageCodec.decode(bos.toByteArray).isEmpty)
+  }
+
+  test("extractFeatures + resizeAll dispatch image/* through the real codec") {
+    val s = spark
+    import s.implicits._
+    val (w, h) = (8, 6)
+    val rgb = gradientRgb(w, h)
+    val png = Multimodal.ImageCodec.encodePng(w, h, rgb)
+    val ds = Seq(
+      MediaRecord(10L, "image/png", png, w, h, 0L),
+      MediaRecord(11L, "audio/wav", Array.tabulate(64)(_.toByte), 0, 0, 500L)).toDS()
+
+    val f = Multimodal.extractFeatures(ds).collect().map(x => x.id -> x).toMap
+    assert(f(10L).decoded && f(10L).width == w && f(10L).height == h
+      && f(10L).channels == 3)
+    assert(f(10L).nBytes == w * h * 3) // pixel-buffer stats, not PNG-byte stats
+    assert(f(10L).byteSum == rgb.map(_ & 0xff).map(_.toLong).sum)
+    assert(!f(11L).decoded && f(11L).nBytes == 64)
+
+    val r = Multimodal.resizeAll(ds, 4, 3).collect().map(m => m.id -> m).toMap
+    val d = Multimodal.ImageCodec.decode(r(10L).payload).get
+    assert(d.width == 4 && d.height == 3)
+    assert(r(10L).width == 4 && r(10L).height == 3)
   }
 
   test("resizeAll bounds payload size by target dims") {
