@@ -92,6 +92,14 @@ object RefBench {
       t(s, dir, "orders").head(100).df
     }),
 
+    // limit_sorted: the oracle-able twin of b_limit — same head(100) with
+    // a total order pinned first, so the selected rows are deterministic
+    // and the full rows/schema/hash oracle applies (plan-wise this is the
+    // TakeOrderedAndProject path, vs b_limit's bare CollectLimit)
+    "b_limit_sorted" -> ((s, dir) => {
+      t(s, dir, "orders").sortValues(Seq("o_orderkey")).head(100).df
+    }),
+
     // selection: (arith == const) | (string == const) predicate
     "b_selection" -> ((s, dir) => {
       val o = t(s, dir, "orders")
@@ -130,8 +138,11 @@ object RefBench {
          JOIN orders ON l_orderkey = o_orderkey
          JOIN customer ON o_custkey = c_custkey
          ORDER BY l_orderkey, l_linenumber"""
-    // b_limit: no oracle (unordered head) -> rows-only check
+    // b_limit: no oracle (unordered head) -> rows-only check;
+    // b_limit_sorted is its fully-oracled deterministic twin
     ,
+    "b_limit_sorted" ->
+      """SELECT * FROM orders ORDER BY o_orderkey LIMIT 100""",
     "b_selection" ->
       """SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
          WHERE CAST(floor(o_totalprice / 100000.0) AS BIGINT) + 1 = 4
