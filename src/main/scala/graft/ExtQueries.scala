@@ -678,6 +678,22 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // intra-document line dedup (C4/Lee-et-al "discard repeated lines"):
+    // synthetic docs are single-line, so the query PLANTS the repetition —
+    // doc as 5 lines (text, BOILERPLATE, text, doc-specific tail,
+    // BOILERPLATE) of which dedup must keep lines 1, 2, 4 in order
+    "q_dedup_lines" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val page = concat_ws("\n", col("text"), lit("subscribe to our newsletter"),
+        col("text"), concat(lit("footer "), col("doc_id")),
+        lit("subscribe to our newsletter"))
+      d.df.select(col("doc_id"),
+          size(split(page, "\n")).cast("long").as("n_lines"),
+          size(split(TextAnalysis.dedupLines(page), "\n")).cast("long").as("n_kept"),
+          md5(TextAnalysis.dedupLines(page)).as("clean_md5"))
+        .orderBy("doc_id")
+    }),
+
     // weighted corpus mixing: 25% of English + all of the rest, each
     // source hash-sampled under its own salt — deterministic mixture,
     // filters pushed to each scan, no shuffle in the mix
@@ -1913,6 +1929,18 @@ object ExtQueries {
                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
               '\+?[0-9][0-9() \-]{6,}[0-9]', '<PHONE>', 'g') AS clean
          FROM documents ORDER BY doc_id""",
+    "q_dedup_lines" ->
+      """WITH p AS (SELECT doc_id,
+              text || chr(10) || 'subscribe to our newsletter' || chr(10) ||
+              text || chr(10) || 'footer ' || doc_id::VARCHAR || chr(10) ||
+              'subscribe to our newsletter' AS page FROM documents),
+         s AS (SELECT doc_id, string_split(page, chr(10)) AS l FROM p),
+         d AS (SELECT doc_id, l,
+                      list_filter(l, (x, i) -> list_position(l, x) = i) AS kept
+               FROM s)
+         SELECT doc_id, len(l)::BIGINT AS n_lines, len(kept)::BIGINT AS n_kept,
+                md5(array_to_string(kept, chr(10))) AS clean_md5
+         FROM d ORDER BY doc_id""",
     "q_mix" ->
       """WITH b AS (SELECT doc_id, lang,
               ('0x' || substr(md5(doc_id::VARCHAR || 'en_down'), 1, 15))::BIGINT

@@ -169,6 +169,21 @@ object TextAnalysis {
       phone, "<PHONE>")
   }
 
+  /** Order-preserving intra-document line dedup — the C4 / Lee-et-al
+    * "discard repeated lines within a page" cleanup (boilerplate nav
+    * bars, cookie banners, repeated headers). Keeps each line's FIRST
+    * occurrence in place: split on `sep`, keep position i iff the line's
+    * first occurrence is at i, rejoin. Pure higher-order built-ins in one
+    * projection — per-row codegen, zero shuffle, linear in corpus size;
+    * the per-doc cost is O(lines²) array_position probes, bounded by
+    * lines-per-doc, never by corpus size. */
+  def dedupLines(text: Column, sep: String = "\n"): Column = {
+    val lines = split(text, java.util.regex.Pattern.quote(sep))
+    array_join(
+      filter(lines, (x, i) => array_position(lines, x) === (i + lit(1)).cast("long")),
+      sep)
+  }
+
   /** Cross-engine-stable document fingerprints: full md5 hex plus a 60-bit
     * numeric fingerprint (same value DuckDB computes via
     * ('0x'||substr(md5,1,15))::BIGINT) for compact storage/joins. */

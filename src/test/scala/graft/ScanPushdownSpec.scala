@@ -52,6 +52,19 @@ class ScanPushdownSpec extends AnyFunSuite with SparkFixture {
       s"scan reads ${scan.requiredSchema.fieldNames.mkString(",")}")
   }
 
+  test("events loader: predicates push through the ts normalization to the scan") {
+    // readEventsNs rewrites ts with a projection; a filter on an untouched
+    // column must still reach the parquet scan below that projection —
+    // otherwise every event-time query at 100 TB reads the full log
+    val ev = PsIO.readEventsNs(spark, "/root/testdata/sf0.001/events.parquet")
+    val q = ev.filter(col("event_type") === "click").select("event_id", "ts")
+    val scan = scanOf(q)
+    val pushed = scan.metadata.getOrElse("PushedFilters", "")
+    assert(pushed.contains("EqualTo(event_type"), s"PushedFilters: $pushed")
+    assert(scan.requiredSchema.fieldNames.toSet == Set("event_id", "ts", "event_type"),
+      s"scan reads ${scan.requiredSchema.fieldNames.mkString(",")}")
+  }
+
   test("writeSorted layout: a sort-key range filter reaches the scan as PushedFilters") {
     val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
     val dir = java.nio.file.Files.createTempDirectory("graft-sorted-scan").toString + "/out"

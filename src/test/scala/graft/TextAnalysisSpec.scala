@@ -116,6 +116,16 @@ class TextAnalysisSpec extends AnyFunSuite with SparkFixture {
     assert(fracs("a a a a")._1 == 1.0)
   }
 
+  test("dedupLines keeps first occurrences in place, drops later repeats") {
+    def run(s: String) = one(s)
+      .select(TextAnalysis.dedupLines(col("text")).as("d")).head().getString(0)
+    assert(run("a\nb\na\nc\nb") == "a\nb\nc")
+    assert(run("only line") == "only line") // no separator: untouched
+    assert(run("x\nx\nx") == "x")
+    // blank lines are lines too: first blank kept, later blanks dropped
+    assert(run("a\n\nb\n\na") == "a\n\nb")
+  }
+
   test("normalization collapses whitespace and case for fingerprints") {
     val r = one("  The   QUICK fox ").select(
       TextAnalysis.fingerprintHex(TextAnalysis.normalized(col("text"))).as("a"))
