@@ -1815,8 +1815,8 @@ object ExtQueries {
                 THEN bval ELSE fval END AS p_value
          FROM c JOIN b USING (event_id) JOIN f USING (event_id)
          ORDER BY c.event_id""",
-    // ns epoch integers on both sides (DuckDB epoch_ns == Spark's
-    // nanosAsLong raw read)
+    // ns epoch integers on both sides (DuckDB epoch_ns == the ns longs
+    // readEventsNs normalizes ts to, whatever the file's physical type)
     "q_interval_join" ->
       """WITH e AS (SELECT event_id, user_id, epoch_ns(ts)::BIGINT AS ns,
                            event_type FROM events)

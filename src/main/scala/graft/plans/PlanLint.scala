@@ -108,6 +108,27 @@ object PlanLint {
       case _ => ()
     }
 
+    // broadcasting a relation whose rows carry array/binary payloads:
+    // the broadcast side is COLLECTED to the driver and rebuilt as a
+    // HashedRelation on every executor — payload bytes multiply by the
+    // executor count. SCALEPROBE round-3 measured exactly this (shingle
+    // arrays broadcast in a dedup confirm join: 229 s vs 33 s shuffled);
+    // broadcast keys+ids, join payloads back by key instead
+    plan.foreach {
+      case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec =>
+        val wide = b.child.output.filter(a =>
+          a.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] ||
+          a.dataType.isInstanceOf[org.apache.spark.sql.types.MapType] ||
+          a.dataType == org.apache.spark.sql.types.BinaryType)
+        if (wide.nonEmpty)
+          findings += Finding("broadcast-wide-payload", "warn",
+            s"broadcast side carries array/map/binary column(s) " +
+              s"${wide.map(_.name).mkString(", ")}: payload bytes are " +
+              "collected to the driver and shipped to every executor; " +
+              "broadcast the keys and re-join the payload by key")
+      case _ => ()
+    }
+
     val shuffles = plan.collect { case e: ShuffleExchangeExec => e }.size
     if (shuffles > 0)
       findings += Finding("shuffle-count", "info",

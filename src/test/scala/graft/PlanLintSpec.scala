@@ -47,6 +47,16 @@ class PlanLintSpec extends AnyFunSuite with SparkFixture {
     assert(!rules(good).contains("unpushed-filter"), PlanLint.report(good))
   }
 
+  test("flags a broadcast side carrying array payloads; narrow broadcasts pass") {
+    val s = spark
+    import s.implicits._
+    val dim = Seq((1L, Seq("a", "b", "c")), (2L, Seq("d"))).toDF("k", "shingles")
+    val wide = orders.join(broadcast(dim), col("o_orderkey") === col("k"))
+    assert(rules(wide).contains("broadcast-wide-payload"), PlanLint.report(wide))
+    val narrow = orders.join(broadcast(dim.select("k")), col("o_orderkey") === col("k"))
+    assert(!rules(narrow).contains("broadcast-wide-payload"), PlanLint.report(narrow))
+  }
+
   test("clean aggregation draws only informational findings") {
     val df = orders.filter(col("o_totalprice") > 1000)
       .groupBy("o_orderpriority").agg(sum("o_totalprice"))
