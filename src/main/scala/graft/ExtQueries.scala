@@ -694,6 +694,24 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // corpus-level boilerplate strip (CCNet paragraph dedup): lines in
+    // more than maxDf distinct docs are removed from every doc. The
+    // planted "subscribe" line (df=500) must vanish everywhere, the
+    // per-doc "footer <id>" (df=1) must survive; any organic line
+    // repetition in the synthetic text is computed identically by the
+    // oracle, so the md5 compare is exact either way
+    "q_strip_boilerplate" -> ((s, dir) => {
+      val d = t(s, dir, "documents").df
+      val page = d.select(col("doc_id"),
+        concat_ws("\n", col("text"), lit("subscribe to our newsletter"),
+          concat(lit("footer "), col("doc_id"))).as("text"))
+      Dedup.stripCommonLines(page, "doc_id", "text", maxDf = 10)
+        .select(col("doc_id"),
+          length(col("text")).cast("long").as("n_chars_clean"),
+          md5(col("text")).as("clean_md5"))
+        .orderBy("doc_id")
+    }),
+
     // weighted corpus mixing: 25% of English + all of the rest, each
     // source hash-sampled under its own salt — deterministic mixture,
     // filters pushed to each scan, no shuffle in the mix
@@ -1941,6 +1959,21 @@ object ExtQueries {
          SELECT doc_id, len(l)::BIGINT AS n_lines, len(kept)::BIGINT AS n_kept,
                 md5(array_to_string(kept, chr(10))) AS clean_md5
          FROM d ORDER BY doc_id""",
+    "q_strip_boilerplate" ->
+      """WITH p AS (SELECT doc_id,
+              text || chr(10) || 'subscribe to our newsletter' || chr(10) ||
+              'footer ' || doc_id::VARCHAR AS page FROM documents),
+         e AS (SELECT doc_id, unnest(string_split(page, chr(10))) AS line FROM p),
+         hot AS (SELECT line FROM (SELECT line, count(DISTINCT doc_id) AS df
+                                   FROM e GROUP BY line) t WHERE df > 10),
+         hl AS (SELECT coalesce(list(line), []) AS hs FROM hot),
+         c AS (SELECT doc_id,
+                 array_to_string(list_filter(string_split(page, chr(10)),
+                   x -> NOT list_contains(hs, x)), chr(10)) AS clean
+               FROM p CROSS JOIN hl)
+         SELECT doc_id, length(clean)::BIGINT AS n_chars_clean,
+                md5(clean) AS clean_md5
+         FROM c ORDER BY doc_id""",
     "q_mix" ->
       """WITH b AS (SELECT doc_id, lang,
               ('0x' || substr(md5(doc_id::VARCHAR || 'en_down'), 1, 15))::BIGINT

@@ -251,6 +251,50 @@ object Dedup {
       .drop("__fp")
   }
 
+  /** Corpus-level boilerplate line removal — the cross-document
+    * complement of [[graft.functions.TextAnalysis.dedupLines]] and the
+    * paragraph-dedup step of CCNet (Wenzek et al., "CCNet: Extracting
+    * High Quality Monolingual Datasets from Web Crawl Data", LREC'20) and
+    * similar curation pipelines: a line occurring in more than `maxDf`
+    * DISTINCT documents (nav bars, cookie banners, license footers) is
+    * boilerplate and is stripped from EVERY document, preserving the
+    * order (and intra-doc multiplicity) of the surviving lines.
+    *
+    * Plan: posexplode lines → df count per line (map-side partial agg,
+    * the shuffle carries one row per distinct line) → anti-join the
+    * exploded relation against the hot set (AQE broadcasts it when
+    * small — the normal case, since only df > maxDf lines qualify) →
+    * regroup by doc and rebuild the text with an in-place array sort on
+    * (pos, line) structs. Two keyed shuffles total (line, then doc id),
+    * both on bounded relations; nothing quadratic, nothing driver-side.
+    * A document whose every line is boilerplate comes back as the empty
+    * string, not a dropped row. */
+  def stripCommonLines(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxDf: Int,
+      sep: String = "\n"): DataFrame = {
+    require(maxDf >= 1, s"maxDf must be >= 1, got $maxDf")
+    val quoted = java.util.regex.Pattern.quote(sep)
+    val lines = docs.select(col(idCol).as("__id"),
+      posexplode(split(col(textCol), quoted)).as(Seq("__pos", "__line")))
+    val hot = lines.groupBy("__line")
+      .agg(count_distinct(col("__id")).as("__df"))
+      .filter(col("__df") > maxDf)
+      .select("__line")
+    val rebuilt = lines.join(hot, Seq("__line"), "left_anti")
+      .groupBy("__id")
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col("__pos"), col("__line")))),
+          x => x.getField("__line")),
+        sep).as("__clean"))
+    docs.join(rebuilt, docs(idCol) === rebuilt("__id"), "left")
+      .withColumn(textCol, coalesce(col("__clean"), lit("")))
+      .drop("__id", "__clean")
+  }
+
   /** Exact-substring near-dup pairs: documents sharing at least one run
     * of `spanTokens` consecutive tokens (the criterion of Lee et al.,
     * "Deduplicating Training Data Makes Language Models Better", ACL'22

@@ -216,4 +216,22 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(kept.columns.toSeq == Seq("doc_id", "text")) // no temp column leak
     assert(kept.collect().map(_.getLong(0)).toSeq == Seq(11L))
   }
+
+  test("stripCommonLines removes high-df lines, keeps order and multiplicity") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "keep1\nBOILER\nkeep2", "en"),
+      (2L, "BOILER\nx", "en"),
+      (3L, "BOILER", "en"),
+      (4L, "a\na\nBOILER", "de")).toDF("doc_id", "text", "lang")
+    val out = Dedup.stripCommonLines(docs, "doc_id", "text", maxDf = 1)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(out(1L)._1 == "keep1\nkeep2")   // order preserved around the strip
+    assert(out(2L)._1 == "x")
+    assert(out(3L)._1 == "")               // all-boilerplate doc -> empty, not dropped
+    assert(out(4L)._1 == "a\na")           // intra-doc repeats of a df=1 line survive
+    assert(out(4L)._2 == "de")             // non-text columns ride through
+    assert(out.size == 4)
+  }
 }
