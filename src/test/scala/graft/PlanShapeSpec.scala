@@ -101,6 +101,15 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     assert(!plan.contains("Exchange"), s"mixing must not shuffle:\n${plan.take(600)}")
   }
 
+  test("stripCommonLines: anti-join against the hot set, never a per-doc cross") {
+    val d = PsIO.readParquet(spark, "/root/testdata/sf0.001/documents.parquet").df
+    val cleaned = graft.operators.Dedup.stripCommonLines(d, "doc_id", "text", maxDf = 10)
+    val plan = cleaned.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"), s"hot-set removal must be an anti-join:\n${plan.take(600)}")
+    assert(!plan.contains("CartesianProduct"),
+      s"no cross product anywhere in the boilerplate strip:\n${plan.take(600)}")
+  }
+
   test("pipeline and binning queries prune their scans to the used columns") {
     val dir = "/root/testdata/sf0.001"
     def readSchemas(q: String): Seq[String] = {
