@@ -712,6 +712,18 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // the online half of boilerplate strip: a precomputed hot-line set
+    // applied as a stateless map-only projection (streaming-safe)
+    "q_strip_known" -> ((s, dir) => {
+      val d = t(s, dir, "documents").df
+      val page = concat_ws("\n", col("text"),
+        lit("subscribe to our newsletter"), concat(lit("footer "), col("doc_id")))
+      d.select(col("doc_id"),
+          md5(TextAnalysis.stripLines(page,
+            Seq("subscribe to our newsletter"))).as("clean_md5"))
+        .orderBy("doc_id")
+    }),
+
     // weighted corpus mixing: 25% of English + all of the rest, each
     // source hash-sampled under its own salt — deterministic mixture,
     // filters pushed to each scan, no shuffle in the mix
@@ -1974,6 +1986,14 @@ object ExtQueries {
          SELECT doc_id, length(clean)::BIGINT AS n_chars_clean,
                 md5(clean) AS clean_md5
          FROM c ORDER BY doc_id""",
+    "q_strip_known" ->
+      """WITH p AS (SELECT doc_id,
+              text || chr(10) || 'subscribe to our newsletter' || chr(10) ||
+              'footer ' || doc_id::VARCHAR AS page FROM documents)
+         SELECT doc_id,
+                md5(array_to_string(list_filter(string_split(page, chr(10)),
+                  x -> x != 'subscribe to our newsletter'), chr(10))) AS clean_md5
+         FROM p ORDER BY doc_id""",
     "q_mix" ->
       """WITH b AS (SELECT doc_id, lang,
               ('0x' || substr(md5(doc_id::VARCHAR || 'en_down'), 1, 15))::BIGINT

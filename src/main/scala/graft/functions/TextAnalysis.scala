@@ -184,6 +184,22 @@ object TextAnalysis {
       sep)
   }
 
+  /** Apply a PRECOMPUTED boilerplate line set (the output of
+    * [[graft.operators.Dedup.stripCommonLines]]'s df pass, collected —
+    * bounded by definition, only df > cap lines qualify) as a stateless
+    * projection: drop every line present in `hotLines`, keep order and
+    * multiplicity. This is the online half of the offline-index /
+    * online-apply split: the corpus-wide df count runs once offline,
+    * incoming batches and STREAMS apply the set map-only — no state, no
+    * watermark, safe inside `writeStream` as-is. */
+  def stripLines(text: Column, hotLines: Seq[String], sep: String = "\n"): Column = {
+    val hot = array(hotLines.map(lit): _*)
+    array_join(
+      filter(split(text, java.util.regex.Pattern.quote(sep)),
+        x => !array_contains(hot, x)),
+      sep)
+  }
+
   /** Cross-engine-stable document fingerprints: full md5 hex plus a 60-bit
     * numeric fingerprint (same value DuckDB computes via
     * ('0x'||substr(md5,1,15))::BIGINT) for compact storage/joins. */

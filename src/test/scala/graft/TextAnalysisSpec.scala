@@ -126,6 +126,19 @@ class TextAnalysisSpec extends AnyFunSuite with SparkFixture {
     assert(run("a\n\nb\n\na") == "a\n\nb")
   }
 
+  test("stripLines applies a precomputed hot set map-only, agreeing with stripCommonLines") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "keep\nBOILER\nkeep2"), (2L, "BOILER\nx"), (3L, "BOILER"))
+      .toDF("doc_id", "text")
+    val offline = graft.operators.Dedup.stripCommonLines(docs, "doc_id", "text", maxDf = 1)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val online = docs.select(col("doc_id"),
+        TextAnalysis.stripLines(col("text"), Seq("BOILER")).as("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(online == offline)
+  }
+
   test("normalization collapses whitespace and case for fingerprints") {
     val r = one("  The   QUICK fox ").select(
       TextAnalysis.fingerprintHex(TextAnalysis.normalized(col("text"))).as("a"))
