@@ -169,20 +169,16 @@ object Multimodal {
     def encodePng(width: Int, height: Int, rgb: Array[Byte]): Array[Byte] = {
       require(rgb.length == width * height * 3, "encodePng: rgb length != w*h*3")
       val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
+      // bulk ARGB write — one color-model pass, mirroring decode's bulk grab
+      val argb = new Array[Int](width * height)
       var i = 0
-      var y = 0
-      while (y < height) {
-        var x = 0
-        while (x < width) {
-          val r = rgb(i) & 0xff
-          val gc = rgb(i + 1) & 0xff
-          val b = rgb(i + 2) & 0xff
-          img.setRGB(x, y, (r << 16) | (gc << 8) | b)
-          i += 3
-          x += 1
-        }
-        y += 1
+      var j = 0
+      while (j < argb.length) {
+        argb(j) = ((rgb(i) & 0xff) << 16) | ((rgb(i + 1) & 0xff) << 8) | (rgb(i + 2) & 0xff)
+        i += 3
+        j += 1
       }
+      img.setRGB(0, 0, width, height, argb, 0, width)
       val bos = new ByteArrayOutputStream()
       ImageIO.write(img, "png", bos)
       bos.toByteArray
