@@ -218,7 +218,11 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
       col("_1").as("id"),
       TextAnalysis.redactPii(col("_2")).as("clean"),
       TextAnalysis.qualityScore(col("_2")).as("q"),
-      TextAnalysis.langId(col("_2")).as("lang"))
+      TextAnalysis.langId(col("_2")).as("lang"),
+      // the online boilerplate ops are stateless projections too —
+      // their streaming-safety claim is exactly this test
+      TextAnalysis.dedupLines(col("_2"), sep = " ").as("dl"),
+      TextAnalysis.stripLines(col("_2"), Seq("the"), sep = " ").as("sl"))
     val input = MemoryStream[(Long, String)]
     val q = curate(input.toDS().toDF())
       .writeStream.format("memory").queryName("t_curate")
@@ -227,14 +231,19 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
       input.addData(docs: _*)
       q.processAllAvailable()
       val streamed = spark.table("t_curate").collect()
-        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getString(3)))
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getString(3),
+          r.getString(4), r.getString(5)))
         .sortBy(_._1).toSeq
       val batch = curate(docs.toDF()).collect()
-        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getString(3)))
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getString(3),
+          r.getString(4), r.getString(5)))
         .sortBy(_._1).toSeq
       assert(streamed == batch) // per-row ops: stream face == batch face
       assert(streamed.head._2.contains("<EMAIL>"))
       assert(streamed(1)._2.contains("<URL>") && streamed(1)._4 == "de")
+      assert(streamed.head._5.startsWith("the cat and") &&
+        !streamed.head._5.split(" ").groupBy(identity).values.exists(_.length > 1))
+      assert(!streamed.head._6.split(" ").contains("the"))
     } finally q.stop()
   }
 
