@@ -18,25 +18,33 @@ object PsIO {
   def readParquet(spark: SparkSession, path: String): PsDataFrame =
     PsDataFrame(spark.read.parquet(path))
 
-  /** reference io.py:12-28 — header + schema inference on by default. */
+  /** reference io.py:12-28 — header + schema inference on by default;
+    * `sep`/`names` mirror the pandas kwargs the reference forwards
+    * (names renames positionally after the read, pandas-style). */
   def readCsv(
       spark: SparkSession,
       path: String,
       header: Boolean = true,
-      inferSchema: Boolean = true): PsDataFrame =
-    PsDataFrame(
-      spark.read
-        .option("header", header.toString)
-        .option("inferSchema", inferSchema.toString)
-        .csv(path))
+      inferSchema: Boolean = true,
+      sep: String = ",",
+      names: Seq[String] = Nil): PsDataFrame = {
+    val df = spark.read
+      .option("header", header.toString)
+      .option("inferSchema", inferSchema.toString)
+      .option("sep", sep)
+      .csv(path)
+    PsDataFrame(if (names.nonEmpty) df.toDF(names: _*) else df)
+  }
 
   /** reference io.py:31-33. */
   def readJson(spark: SparkSession, path: String): PsDataFrame =
     PsDataFrame(spark.read.json(path))
 
   /** reference core.py:626-630 (to_csv forces compute then delegates). */
-  def toCsv(df: DataFrame, path: String, header: Boolean = true): Unit =
-    df.write.mode(SaveMode.Overwrite).option("header", header.toString).csv(path)
+  def toCsv(df: DataFrame, path: String, header: Boolean = true,
+      sep: String = ","): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .option("header", header.toString).option("sep", sep).csv(path)
 
   /** reference core.py:632-634. */
   def toJson(df: DataFrame, path: String): Unit =

@@ -30,6 +30,16 @@ class IOSpec extends AnyFunSuite with SparkFixture {
     assert(got == Seq((1, "alpha", 1.5), (2, "beta", 2.5), (3, "gamma", -3.0)))
   }
 
+  test("csv sep and names kwargs: tab-separated round-trip with positional rename") {
+    val dir = Files.createTempDirectory("graft-tsv").toString + "/out"
+    PsIO.toCsv(sample, dir, sep = "\t")
+    val back = PsIO.readCsv(spark, dir, sep = "\t", names = Seq("id", "label", "x"))
+    assert(back.columns.toSeq == Seq("id", "label", "x"))
+    val got = back.sortValues(Seq("id")).df.collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(got == Seq((1, "alpha", 1.5), (2, "beta", 2.5), (3, "gamma", -3.0)))
+  }
+
   test("json round-trip recovers values") {
     val dir = Files.createTempDirectory("graft-json").toString + "/out"
     PsIO.toJson(sample, dir)
