@@ -21,6 +21,17 @@ final class PsDataFrame(private var _df: DataFrame) {
   def df: DataFrame = _df
   def columns: Seq[String] = _df.columns.toSeq
 
+  /** pandas `df.dtypes` — (column, type) pairs; metadata-only, no job. */
+  def dtypes: Seq[(String, String)] =
+    _df.schema.fields.toSeq.map(f => f.name -> f.dataType.typeName)
+
+  /** pandas `len(df)` — EAGER (runs a count job), exactly like the
+    * reference's compute-forcing `__len__` (core.py:623-625). */
+  def len: Long = _df.count()
+
+  /** pandas `df.shape` — (rows, cols); the row side is eager like [[len]]. */
+  def shape: (Long, Int) = (len, _df.columns.length)
+
   private def toCol(x: Any): Column = x match {
     case p: PsColumn => p.col
     case c: Column   => c

@@ -24,6 +24,12 @@ class RelationalSpec extends AnyFunSuite with SparkFixture {
     assert(base(Seq("s")).df.distinct().count() == 3)
   }
 
+  test("len / shape / dtypes accessors") {
+    assert(base.len == 4L)
+    assert(base.shape == (4L, 3))
+    assert(base.dtypes == Seq("k" -> "integer", "s" -> "string", "v" -> "double"))
+  }
+
   test("filter with comparison and boolean combinators") {
     val d = base
     assert(d.where(d("v") > 15 && d("s") === "a").df.count() == 1)
