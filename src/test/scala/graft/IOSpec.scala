@@ -40,6 +40,29 @@ class IOSpec extends AnyFunSuite with SparkFixture {
     assert(got == Seq((1, "alpha", 1.5), (2, "beta", 2.5), (3, "gamma", -3.0)))
   }
 
+  test("readEventsNs: all three ts physical types normalize to the same ns longs") {
+    val s = spark
+    import s.implicits._
+    val micros = Seq(86400000000L, 86400123456L) // µs since epoch
+    def readBack(dir: String): Seq[Long] =
+      PsIO.readEventsNs(s, dir).select("ts").collect().map(_.getLong(0)).sorted.toSeq
+    val expected = micros.map(_ * 1000L).sorted
+
+    val asLong = Files.createTempDirectory("graft-ev-long").toString + "/out"
+    micros.map(_ * 1000L).toDF("ts").write.parquet(asLong)
+    assert(readBack(asLong) == expected) // ns-as-long rides through untouched
+
+    val asTs = Files.createTempDirectory("graft-ev-ts").toString + "/out"
+    micros.toDF("us").select(timestamp_micros(col("us")).as("ts")).write.parquet(asTs)
+    assert(readBack(asTs) == expected)
+
+    val asNtz = Files.createTempDirectory("graft-ev-ntz").toString + "/out"
+    micros.toDF("us")
+      .select(timestamp_micros(col("us")).cast("timestamp_ntz").as("ts"))
+      .write.parquet(asNtz)
+    assert(readBack(asNtz) == expected) // identity epoch mapping under pinned UTC
+  }
+
   test("json round-trip recovers values") {
     val dir = Files.createTempDirectory("graft-json").toString + "/out"
     PsIO.toJson(sample, dir)
