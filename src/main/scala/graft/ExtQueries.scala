@@ -712,6 +712,30 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // END-TO-END curation pipeline — the composition a real corpus run
+    // chains: train/holdout split -> language gate -> length gate ->
+    // fingerprint dedup (keep min doc_id) -> cross-split decontamination
+    // -> token accounting. Every stage is individually oracle-proven
+    // (q_langid, q_textstats, q_dedup_text, q_decontaminated); this row
+    // proves the COMPOSITION end-to-end against one DuckDB replay. Plan
+    // stays fully lazy/declarative: the gates are codegen'd projections
+    // pushed toward the scan, dedup is one keyed window, decontamination
+    // is the semi-join-pruned postings shuffle.
+    "q_pipeline_curate" -> ((s, dir) => {
+      val d = t(s, dir, "documents").df
+      val hold = d.filter(col("doc_id") % 5 === 0)
+      val gated = d.filter(col("doc_id") % 5 =!= 0)
+        .filter(TextAnalysis.langId(col("text")) === "en")
+        .filter(TextAnalysis.tokenCount(col("text")) >= 20)
+      val fp = TextAnalysis.fingerprint60(TextAnalysis.normalized(col("text")))
+      val deduped = Dedup.exact(gated.withColumn("fp", fp), Seq("fp"), Seq(col("doc_id")))
+      Dedup.decontaminate(deduped, hold, "doc_id", "text",
+          k = 3, threshold = 0.6, maxDf = Some(1000))
+        .select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+        .orderBy("doc_id")
+    }),
+
     // the online half of boilerplate strip: a precomputed hot-line set
     // applied as a stateless map-only projection (streaming-safe)
     "q_strip_known" -> ((s, dir) => {
@@ -1986,6 +2010,43 @@ object ExtQueries {
          SELECT doc_id, length(clean)::BIGINT AS n_chars_clean,
                 md5(clean) AS clean_md5
          FROM c ORDER BY doc_id""",
+    "q_pipeline_curate" ->
+      """WITH train AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
+         lang AS (SELECT doc_id, text FROM (
+             SELECT *, greatest(s_en, s_de, s_fr, s_es) AS best FROM (
+               SELECT doc_id, text,
+                 len(list_filter(string_split(text, ' '), t -> list_contains(['the', 'a', 'an', 'of', 'to', 'in', 'and', 'or', 'is', 'it'], t)))::DOUBLE / len(string_split(text, ' ')) AS s_en,
+                 len(list_filter(string_split(text, ' '), t -> list_contains(['der', 'die', 'das', 'und', 'ist', 'von', 'mit', 'ein'], t)))::DOUBLE / len(string_split(text, ' ')) AS s_de,
+                 len(list_filter(string_split(text, ' '), t -> list_contains(['le', 'la', 'les', 'de', 'et', 'est', 'un', 'une'], t)))::DOUBLE / len(string_split(text, ' ')) AS s_fr,
+                 len(list_filter(string_split(text, ' '), t -> list_contains(['el', 'la', 'los', 'de', 'y', 'es', 'un', 'una'], t)))::DOUBLE / len(string_split(text, ' ')) AS s_es
+               FROM train))
+           WHERE s_en = best AND s_en > 0
+             AND len(string_split(text, ' ')) >= 20),
+         ded AS (SELECT doc_id, text FROM (
+             SELECT doc_id, text, row_number() OVER (
+               PARTITION BY ('0x' || substr(md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), 1, 15))::BIGINT
+               ORDER BY doc_id) AS rn
+             FROM lang) WHERE rn = 1),
+         tsh AS (SELECT doc_id,
+                        list_distinct(list_transform(range(len(w) - 2),
+                          i -> array_to_string(w[i+1:i+3], ' '))) AS dsh
+                 FROM (SELECT doc_id, string_split(text, ' ') AS w FROM ded)
+                 WHERE len(w) >= 3),
+         hsh AS (SELECT doc_id,
+                        list_distinct(list_transform(range(len(w) - 2),
+                          i -> array_to_string(w[i+1:i+3], ' '))) AS dsh
+                 FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+                       WHERE doc_id % 5 = 0)
+                 WHERE len(w) >= 3),
+         p AS (SELECT a.doc_id AS a_id,
+                      len(list_intersect(a.dsh, b.dsh)) AS inter,
+                      len(a.dsh) AS na, len(b.dsh) AS nb
+               FROM tsh a CROSS JOIN hsh b),
+         hit AS (SELECT DISTINCT a_id FROM p
+                 WHERE inter::DOUBLE / (na + nb - inter) >= 0.6)
+         SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens
+         FROM ded WHERE doc_id NOT IN (SELECT a_id FROM hit)
+         ORDER BY doc_id""",
     "q_strip_known" ->
       """WITH p AS (SELECT doc_id,
               text || chr(10) || 'subscribe to our newsletter' || chr(10) ||
