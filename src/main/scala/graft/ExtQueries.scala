@@ -712,6 +712,34 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // real audio decode through the driver contract: a deterministic
+    // 8-bit mono WAV per doc (sample i = (doc_id*3 + i) % 256, 1000
+    // samples @ 8 kHz), encoded + decoded by the in-JDK AudioCodec in
+    // extractFeatures; PCM rides the container verbatim, so the decoded
+    // format facts and sample sum are exact integers the oracle
+    // recomputes in closed form (the audio twin of q_multimodal_img)
+    "q_multimodal_wav" -> ((s, dir) => {
+      import s.implicits._
+      val n = 1000
+      val ids = t(s, dir, "documents").df
+        .filter(col("doc_id") < 50).select("doc_id").as[Long]
+      val media = ids.map { docId =>
+        val samples = Array.tabulate(n)(i => ((docId * 3 + i) % 256).toByte)
+        Multimodal.MediaRecord(docId, "audio/wav",
+          Multimodal.AudioCodec.encodeWav(8000, samples), 0, 0, 0L)
+      }
+      Multimodal.extractFeatures(media)
+        .filter(_.decoded)
+        .toDF()
+        .select(col("id").as("doc_id"),
+          col("channels").cast("long").as("channels"),
+          col("sampleRate").cast("long").as("sample_rate"),
+          col("durationMs").as("duration_ms"),
+          col("nBytes").cast("long").as("n_bytes"),
+          col("byteSum").as("pcm_sum"))
+        .orderBy("doc_id")
+    }),
+
     // END-TO-END curation pipeline — the composition a real corpus run
     // chains: train/holdout split -> language gate -> length gate ->
     // fingerprint dedup (keep min doc_id) -> cross-split decontamination
@@ -2010,6 +2038,13 @@ object ExtQueries {
          SELECT doc_id, length(clean)::BIGINT AS n_chars_clean,
                 md5(clean) AS clean_md5
          FROM c ORDER BY doc_id""",
+    // closed-form recomputation of the decoded-WAV facts: sample i =
+    // (doc_id*3 + i) % 256, 1000 samples, 8 kHz mono 8-bit
+    "q_multimodal_wav" ->
+      """SELECT doc_id, 1::BIGINT AS channels, 8000::BIGINT AS sample_rate,
+                125::BIGINT AS duration_ms, 1000::BIGINT AS n_bytes,
+                (SELECT sum((doc_id*3 + i) % 256) FROM range(1000) t(i))::BIGINT AS pcm_sum
+         FROM documents WHERE doc_id < 50 ORDER BY doc_id""",
     "q_pipeline_curate" ->
       """WITH train AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
          lang AS (SELECT doc_id, text FROM (

@@ -22,9 +22,12 @@ import org.apache.spark.sql.functions._
   * = one batch of records through a (re-usable, per-partition-initialized)
   * decoder — the Scala analogue of arrow-batched UDFs. IMAGE decode/resize
   * is REAL (in-JDK `javax.imageio`, see [[ImageCodec]]): `image/…` rows
-  * dispatch to it in [[extractFeatures]] and [[resizeAll]]. Audio/video
-  * codecs are not in the JDK, so those rows go through [[StubCodecs]],
-  * which documents exactly where a libsndfile/ffmpeg call would go and
+  * dispatch to it in [[extractFeatures]] and [[resizeAll]]. UNCOMPRESSED
+  * AUDIO decode is REAL too (in-JDK `javax.sound.sampled`, see
+  * [[AudioCodec]]): `audio/…` rows yield true sample rate / channels /
+  * duration and PCM stats. Compressed audio (mp3/ogg) and video codecs
+  * are not in the JDK, so those rows go through [[StubCodecs]], which
+  * documents exactly where a libsndfile/ffmpeg call would go and
   * substitutes a deterministic fake so the plumbing (schema, partitioning,
   * batch shape, spill behavior) is fully testable.
   */
@@ -41,10 +44,12 @@ object Multimodal {
 
   /** Extracted features (decoder output). For `image/…` rows that decode,
     * the stats are over the normalized RGB pixel buffer and
-    * (width, height, channels, decoded=true) are real; for non-image
-    * modalities and undecodable payloads they are over the raw bytes with
-    * decoded=false — the quarantine path: a corrupt blob degrades one row
-    * to byte-level features, it never fails the task. */
+    * (width, height, channels, decoded=true) are real; for `audio/…` rows
+    * the JDK's sampled-audio reader yields the raw PCM stream and
+    * (channels, sampleRate, durationMs, decoded=true) are real; for other
+    * modalities and undecodable payloads the stats are over the raw bytes
+    * with decoded=false — the quarantine path: a corrupt blob degrades one
+    * row to byte-level features, it never fails the task. */
   case class MediaFeatures(
       id: Long,
       mediaType: String,
@@ -56,6 +61,8 @@ object Multimodal {
       width: Int,
       height: Int,
       channels: Int,
+      sampleRate: Int,
+      durationMs: Long,
       decoded: Boolean)
 
   /** Real image codec on `javax.imageio` (in-JDK, no external libs).
@@ -185,11 +192,78 @@ object Multimodal {
     }
   }
 
-  /** Deterministic stand-ins for the codec calls the JDK can't do (audio,
-    * video). Each function is where a production build would call into
-    * libsndfile/ffmpeg; the fakes preserve the data-flow shape (bytes in,
-    * bytes/features out) and are pure, so tests are reproducible. Images
-    * go through the real [[ImageCodec]] instead. */
+  /** Real audio codec on `javax.sound.sampled` (in-JDK, no external
+    * libs). Handles WAV/AIFF/AU — the formats the JDK's audio SPI
+    * registry reads. Same total-function contract as [[ImageCodec]]:
+    * undecodable or over-budget payloads yield `None`, quarantining one
+    * row, never a task. Compressed formats (mp3, ogg, aac) have no JDK
+    * SPI and stay with [[StubCodecs]]/ffmpeg in a production build. */
+  object AudioCodec {
+    /** PCM byte budget, mirroring [[ImageCodec.DefaultMaxPixels]]: the
+      * frame count is read from the HEADER before any allocation, and a
+      * payload declaring more PCM than this is rejected — a tiny
+      * "bomb" header cannot allocate its claimed buffer. 2^26 B = 64 MB
+      * ≈ 6 min of 44.1 kHz stereo 16-bit. */
+    val DefaultMaxBytes: Long = 1L << 26
+
+    /** Decoded audio: raw PCM sample bytes as stored plus format facts. */
+    case class DecodedAudio(
+        sampleRate: Int,
+        channels: Int,
+        bitsPerSample: Int,
+        durationMs: Long,
+        pcm: Array[Byte])
+
+    def decode(
+        payload: Array[Byte],
+        maxBytes: Long = DefaultMaxBytes): Option[DecodedAudio] =
+      try {
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new ByteArrayInputStream(payload))
+        try {
+          val f = ais.getFormat
+          val frames = ais.getFrameLength
+          val frameSize = f.getFrameSize
+          if (frames <= 0 || frameSize <= 0 || f.getSampleRate <= 0 ||
+              frames * frameSize > maxBytes) None
+          else {
+            val buf = new Array[Byte]((frames * frameSize).toInt)
+            var off = 0
+            var r = 0
+            while (off < buf.length && r >= 0) {
+              r = ais.read(buf, off, buf.length - off)
+              if (r > 0) off += r
+            }
+            if (off != buf.length) None // truncated payload: header lied
+            else Some(DecodedAudio(
+              f.getSampleRate.toInt, f.getChannels, f.getSampleSizeInBits,
+              math.round(frames * 1000.0 / f.getSampleRate), buf))
+          }
+        } finally ais.close()
+      } catch { case _: Exception => None }
+
+    /** Encode raw 8-bit unsigned mono PCM as a WAV container (fixture
+      * generation, tests, synthetic corpora) — the audio analogue of
+      * [[ImageCodec.encodePng]]; decode returns these bytes verbatim. */
+    def encodeWav(sampleRate: Int, samples: Array[Byte]): Array[Byte] = {
+      import javax.sound.sampled._
+      val fmt = new AudioFormat(AudioFormat.Encoding.PCM_UNSIGNED,
+        sampleRate.toFloat, 8, 1, 1, sampleRate.toFloat, false)
+      val ais = new AudioInputStream(
+        new ByteArrayInputStream(samples), fmt, samples.length.toLong)
+      val bos = new ByteArrayOutputStream()
+      try AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+      finally ais.close()
+      bos.toByteArray
+    }
+  }
+
+  /** Deterministic stand-ins for the codec calls the JDK can't do
+    * (compressed audio, video). Each function is where a production build
+    * would call into libsndfile/ffmpeg; the fakes preserve the data-flow
+    * shape (bytes in, bytes/features out) and are pure, so tests are
+    * reproducible. Images go through the real [[ImageCodec]], WAV/AIFF/AU
+    * audio through the real [[AudioCodec]]. */
   object StubCodecs {
     /** REAL IMPL: decode(payload) → pixel buffer. Stub: identity view. */
     def decode(payload: Array[Byte]): Array[Byte] = payload
@@ -227,13 +301,15 @@ object Multimodal {
     media.mapPartitions { it =>
       // per-partition decoder init would go here
       it.map { m =>
-        val dec =
-          if (m.mediaType != null && m.mediaType.startsWith("image/"))
-            ImageCodec.decode(m.payload)
+        val mt = Option(m.mediaType).getOrElse("")
+        val img = if (mt.startsWith("image/")) ImageCodec.decode(m.payload) else None
+        val aud =
+          if (img.isEmpty && mt.startsWith("audio/")) AudioCodec.decode(m.payload)
           else None
-        val (px, width, height, channels) = dec match {
-          case Some(d) => (d.rgb, d.width, d.height, d.channels)
-          case None => (StubCodecs.decode(m.payload), 0, 0, 0)
+        val (px, width, height, channels, sampleRate, durationMs) = (img, aud) match {
+          case (Some(d), _) => (d.rgb, d.width, d.height, d.channels, 0, 0L)
+          case (_, Some(a)) => (a.pcm, 0, 0, a.channels, a.sampleRate, a.durationMs)
+          case _ => (StubCodecs.decode(m.payload), 0, 0, 0, 0, 0L)
         }
         val n = px.length
         val hist = new Array[Long](256)
@@ -256,7 +332,8 @@ object Multimodal {
             val p = c.toDouble / n; p * math.log(p) / math.log(2)
           }.sum
         MediaFeatures(m.id, m.mediaType, n, sum, mean, entropy, fp,
-          width, height, channels, decoded = dec.isDefined)
+          width, height, channels, sampleRate, durationMs,
+          decoded = img.isDefined || aud.isDefined)
       }
     }
   }

@@ -88,6 +88,41 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
     assert(Multimodal.ImageCodec.decode(bos.toByteArray).isEmpty)
   }
 
+  test("AudioCodec: encodeWav -> decode round-trips PCM and format facts") {
+    val samples = Array.tabulate(1000)(i => ((i * 7) % 256).toByte)
+    val wav = Multimodal.AudioCodec.encodeWav(8000, samples)
+    val d = Multimodal.AudioCodec.decode(wav).get
+    assert(d.sampleRate == 8000 && d.channels == 1 && d.bitsPerSample == 8)
+    assert(d.durationMs == 125) // 1000 frames at 8 kHz
+    assert(d.pcm.toSeq == samples.toSeq)
+  }
+
+  test("AudioCodec: corrupt, truncated, and over-budget payloads yield None") {
+    assert(Multimodal.AudioCodec.decode("not audio".getBytes).isEmpty)
+    assert(Multimodal.AudioCodec.decode(Array.emptyByteArray).isEmpty)
+    val wav = Multimodal.AudioCodec.encodeWav(8000, Array.tabulate(1000)(_.toByte))
+    // header intact, data chunk cut short: the frame count lies -> None
+    assert(Multimodal.AudioCodec.decode(wav.take(wav.length - 500)).isEmpty)
+    // declared PCM past the budget is rejected before allocation
+    assert(Multimodal.AudioCodec.decode(wav, maxBytes = 100).isEmpty)
+  }
+
+  test("extractFeatures dispatches audio/* through the real codec") {
+    val s = spark
+    import s.implicits._
+    val samples = Array.tabulate(1000)(i => ((i * 7) % 256).toByte)
+    val wav = Multimodal.AudioCodec.encodeWav(8000, samples)
+    val ds = Seq(
+      MediaRecord(20L, "audio/wav", wav, 0, 0, 0L),
+      MediaRecord(21L, "audio/mpeg", Array.tabulate(64)(_.toByte), 0, 0, 0L)).toDS()
+    val f = Multimodal.extractFeatures(ds).collect().map(x => x.id -> x).toMap
+    assert(f(20L).decoded && f(20L).sampleRate == 8000 && f(20L).channels == 1
+      && f(20L).durationMs == 125)
+    assert(f(20L).nBytes == 1000) // PCM stats, not container-byte stats
+    assert(f(20L).byteSum == samples.map(_ & 0xff).map(_.toLong).sum)
+    assert(!f(21L).decoded && f(21L).nBytes == 64) // no mp3 SPI: quarantine path
+  }
+
   test("extractFeatures + resizeAll dispatch image/* through the real codec") {
     val s = spark
     import s.implicits._
