@@ -503,26 +503,9 @@ object Dedup {
       idCol: String,
       textCol: String,
       maxHamming: Int = 3,
-      maxBucket: Option[Int] = None): DataFrame = {
-    val blockVals = simhashBlocks(docs, idCol, textCol, maxHamming)
-    val kept = maxBucket.fold(blockVals) { cap =>
-      val w = Window.partitionBy("blk", "v")
-      blockVals.withColumn("__bc", count(lit(1)).over(w))
-        .filter(col("__bc") <= cap).drop("__bc")
-    }
-
-    val left = kept.select(col("blk"), col("v"),
-      col("id").as("a_id"), col("simhash").as("a_fp"))
-    val right = kept.select(col("blk"), col("v"),
-      col("id").as("b_id"), col("simhash").as("b_fp"))
-    left.join(right, Seq("blk", "v"))
-      .filter(col("a_id") < col("b_id"))
-      .select("a_id", "b_id", "a_fp", "b_fp")
-      .distinct() // a pair can agree on several blocks
-      .withColumn("hamming", hamming(col("a_fp"), col("b_fp")).cast("int"))
-      .filter(col("hamming") <= maxHamming)
-      .select("a_id", "b_id", "hamming")
-  }
+      maxBucket: Option[Int] = None): DataFrame =
+    hammingPairs(simhash(docs, idCol, textCol), "id", "simhash",
+      FingerprintBits, maxHamming, maxBucket)
 
   /** Per-document (block-index, block-value) rows — [[simhashPairs]]'s
     * candidate-bucket keys, exposed so tests (and capacity planning) can
@@ -536,21 +519,67 @@ object Dedup {
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      maxHamming: Int): DataFrame = {
-    require(maxHamming >= 0 && maxHamming < FingerprintBits,
-      s"maxHamming must be in [0, $FingerprintBits)")
+      maxHamming: Int): DataFrame =
+    fingerprintBlocks(
+      simhash(docs, idCol, textCol).withColumnRenamed("simhash", "fp"),
+      FingerprintBits, maxHamming)
+      .withColumnRenamed("fp", "simhash")
+
+  /** Per-row (block-index, block-value) rows over an arbitrary
+    * (id, fp long) relation — the pigeonhole banding [[simhashBlocks]]
+    * instantiates for text; reused by any Hamming-space near-dup family
+    * (image dHash, audio fingerprints). Output: (id, fp, blk, v). */
+  private[graft] def fingerprintBlocks(
+      fps: DataFrame, bits: Int, maxHamming: Int): DataFrame = {
+    require(bits >= 1 && bits <= 64, s"bits must be in [1, 64], got $bits")
+    require(maxHamming >= 0 && maxHamming < bits,
+      s"maxHamming must be in [0, $bits)")
     val nBlocks = maxHamming + 1
     val widths = Array.tabulate(nBlocks)(i =>
-      FingerprintBits / nBlocks + (if (i < FingerprintBits % nBlocks) 1 else 0))
+      bits / nBlocks + (if (i < bits % nBlocks) 1 else 0))
     val offsets = widths.scanLeft(0)(_ + _)
-    simhash(docs, idCol, textCol).select(col("id"), col("simhash"),
+    def mask(w: Int) = if (w == 64) lit(-1L) else lit((1L << w) - 1)
+    fps.select(col("id"), col("fp"),
       explode(array((0 until nBlocks).map { i =>
         struct(
           lit(i).as("blk"),
-          shiftright(col("simhash"), offsets(i))
-            .bitwiseAND(lit((1L << widths(i)) - 1)).as("v"))
+          shiftright(col("fp"), offsets(i)).bitwiseAND(mask(widths(i))).as("v"))
       }: _*)).as("bv"))
-      .select(col("id"), col("simhash"), col("bv.blk"), col("bv.v"))
+      .select(col("id"), col("fp"), col("bv.blk"), col("bv.v"))
+  }
+
+  /** EXACT Hamming-distance near-dup pairs over an arbitrary
+    * (`idCol`, `fpCol` long) relation — [[simhashPairs]]' banding +
+    * confirm generalized past text: any ≤ `maxHamming` pair agrees on a
+    * whole block (pigeonhole ⇒ zero false negatives), candidates form on
+    * the (blk, v) equi-join, the `hamming` confirm makes output identical
+    * to the all-pairs scan. `maxBucket` caps hot-bucket fan-out exactly
+    * as in [[simhashPairs]]. Output: (a_id, b_id, hamming), a_id < b_id. */
+  def hammingPairs(
+      fps: DataFrame,
+      idCol: String,
+      fpCol: String,
+      bits: Int,
+      maxHamming: Int,
+      maxBucket: Option[Int] = None): DataFrame = {
+    val blockVals = fingerprintBlocks(
+      fps.select(col(idCol).as("id"), col(fpCol).as("fp")), bits, maxHamming)
+    val kept = maxBucket.fold(blockVals) { cap =>
+      val w = Window.partitionBy("blk", "v")
+      blockVals.withColumn("__bc", count(lit(1)).over(w))
+        .filter(col("__bc") <= cap).drop("__bc")
+    }
+    val left = kept.select(col("blk"), col("v"),
+      col("id").as("a_id"), col("fp").as("a_fp"))
+    val right = kept.select(col("blk"), col("v"),
+      col("id").as("b_id"), col("fp").as("b_fp"))
+    left.join(right, Seq("blk", "v"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id", "a_fp", "b_fp")
+      .distinct()
+      .withColumn("hamming", hamming(col("a_fp"), col("b_fp")).cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select("a_id", "b_id", "hamming")
   }
 
   /** DuckDB SQL for the brute-force all-pairs equivalent of

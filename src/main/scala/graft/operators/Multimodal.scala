@@ -171,6 +171,47 @@ object Multimodal {
         }
       } catch { case _: Exception => None }
 
+    /** 64-bit perceptual difference hash (dHash): downscale to 9×8
+      * grayscale (bilinear, via the same header-guarded read), then one
+      * bit per horizontally adjacent pixel pair — bit set iff the right
+      * pixel is brighter. Robust to re-encoding, scaling, and mild
+      * noise; flipped/inverted images land far away. The standard cheap
+      * image near-dup fingerprint; pair it with
+      * [[Dedup.hammingPairs]] for corpus-scale image dedup. */
+    def dHash(
+        payload: Array[Byte],
+        maxPixels: Long = DefaultMaxPixels): Option[Long] =
+      try {
+        readGuarded(payload, maxPixels).map { src =>
+          val dst = new BufferedImage(9, 8, BufferedImage.TYPE_INT_RGB)
+          val g = dst.createGraphics()
+          try {
+            g.setRenderingHint(
+              RenderingHints.KEY_INTERPOLATION,
+              RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(src, 0, 0, 9, 8, null)
+          } finally g.dispose()
+          val argb = dst.getRGB(0, 0, 9, 8, null, 0, 9)
+          def gray(x: Int, y: Int): Int = {
+            val p = argb(y * 9 + x)
+            (((p >> 16) & 0xff) * 299 + ((p >> 8) & 0xff) * 587 + (p & 0xff) * 114) / 1000
+          }
+          var h = 0L
+          var bit = 0
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 8) {
+              if (gray(x + 1, y) > gray(x, y)) h |= 1L << bit
+              bit += 1
+              x += 1
+            }
+            y += 1
+          }
+          h
+        }
+      } catch { case _: Exception => None }
+
     /** Encode packed RGB back to PNG bytes (fixture generation, tests,
       * synthetic corpora). */
     def encodePng(width: Int, height: Int, rgb: Array[Byte]): Array[Byte] = {
@@ -356,6 +397,31 @@ object Multimodal {
           width = w, height = h)
     })
   }
+
+  /** Per-image perceptual fingerprints: (id, dhash) for every `image/…`
+    * row whose payload decodes — undecodable rows are dropped here (the
+    * pair relation has nothing to say about them; quarantine them via
+    * [[extractFeatures]]'s decoded flag). Map-only, no shuffle. */
+  def imageDHashes(media: Dataset[MediaRecord]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { m =>
+      if (m.mediaType != null && m.mediaType.startsWith("image/"))
+        ImageCodec.dHash(m.payload).map(h => (m.id, h))
+      else None
+    }).toDF("id", "dhash")
+  }
+
+  /** Corpus-scale image near-dup pairs: perceptual dHash per image
+    * (map-only), then EXACT Hamming-banded pairing via
+    * [[Dedup.hammingPairs]] — the same pigeonhole machinery as text
+    * SimHash, so candidates form on (block, value) equi-joins, never an
+    * image-by-image cross join. Output: (a_id, b_id, hamming). */
+  def imageNearDupPairs(
+      media: Dataset[MediaRecord],
+      maxHamming: Int = 4,
+      maxBucket: Option[Int] = None): DataFrame =
+    Dedup.hammingPairs(imageDHashes(media), "id", "dhash",
+      bits = 64, maxHamming = maxHamming, maxBucket = maxBucket)
 
   /** One sampled frame of a video/audio payload. */
   case class FrameRecord(

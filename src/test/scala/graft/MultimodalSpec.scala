@@ -88,6 +88,43 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
     assert(Multimodal.ImageCodec.decode(bos.toByteArray).isEmpty)
   }
 
+  // strong horizontal gradient: adjacent-pixel comparisons are decisive,
+  // so the dHash is stable under rescale/mild noise
+  private def gradientPng(w: Int, h: Int, reversed: Boolean = false): Array[Byte] = {
+    val rgb = Array.tabulate(w * h * 3) { i =>
+      val x = (i / 3) % w
+      val v = (x * 255 / (w - 1)) & 0xff
+      (if (reversed) 255 - v else v).toByte
+    }
+    Multimodal.ImageCodec.encodePng(w, h, rgb)
+  }
+
+  test("dHash: stable under rescale and mild noise, far for a reversed gradient") {
+    val a = Multimodal.ImageCodec.dHash(gradientPng(32, 24)).get
+    val rescaled = Multimodal.ImageCodec.resize(gradientPng(32, 24), 16, 12).get
+    val b = Multimodal.ImageCodec.dHash(rescaled).get
+    val rev = Multimodal.ImageCodec.dHash(gradientPng(32, 24, reversed = true)).get
+    def ham(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    assert(ham(a, b) <= 4, s"rescale moved dHash by ${ham(a, b)} bits")
+    assert(ham(a, rev) >= 32, s"reversed gradient only ${ham(a, rev)} bits away")
+    assert(Multimodal.ImageCodec.dHash("junk".getBytes).isEmpty)
+  }
+
+  test("imageNearDupPairs pairs the rescaled twin, not the reversed image") {
+    val s = spark
+    import s.implicits._
+    val ds = Seq(
+      MediaRecord(1L, "image/png", gradientPng(32, 24), 32, 24, 0L),
+      MediaRecord(2L, "image/png",
+        Multimodal.ImageCodec.resize(gradientPng(32, 24), 16, 12).get, 16, 12, 0L),
+      MediaRecord(3L, "image/png", gradientPng(32, 24, reversed = true), 32, 24, 0L),
+      MediaRecord(4L, "image/png", "corrupt".getBytes, 0, 0, 0L), // dropped, not fatal
+      MediaRecord(5L, "audio/wav", Array.tabulate(16)(_.toByte), 0, 0, 0L)).toDS()
+    val pairs = Multimodal.imageNearDupPairs(ds, maxHamming = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
   test("AudioCodec: encodeWav -> decode round-trips PCM and format facts") {
     val samples = Array.tabulate(1000)(i => ((i * 7) % 256).toByte)
     val wav = Multimodal.AudioCodec.encodeWav(8000, samples)
