@@ -63,6 +63,48 @@ object ExtQueries {
   private def events(s: SparkSession, dir: String): DataFrame =
     PsIO.readEventsNs(s, s"$dir/events.parquet")
 
+  /** Planted image corpus for the image-dedup queries: one deterministic
+    * 9x8-block pattern image per doc (block = one splitmix bit, rendered
+    * 2x2 px) plus its downscaled twin under id+1000000. Block patterns of
+    * different docs differ in ~24 of 64 dHash bits (adjacent-comparison
+    * bits disagree w.p. 3/8), so at maxHamming=4 the ONLY near-dup pairs
+    * are the planted (doc, twin) ones — an exact, SQL-expressible
+    * relation even though the codec itself isn't SQL. */
+  private def imageNearDupMedia(
+      s: SparkSession, dir: String): org.apache.spark.sql.Dataset[Multimodal.MediaRecord] = {
+    import s.implicits._
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    val ids = t(s, dir, "documents").df
+      .filter(col("doc_id") < 50).select("doc_id").as[Long]
+    ids.flatMap { docId =>
+      val (w, h) = (18, 16) // 9x8 blocks of 2x2 px
+      val rgb = new Array[Byte](w * h * 3)
+      var i = 0
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val bit = mix(docId * 128 + (y / 2) * 9 + (x / 2)) & 1L
+          val v = if (bit == 1L) 255.toByte else 0.toByte
+          rgb(i) = v; rgb(i + 1) = v; rgb(i + 2) = v
+          i += 3
+          x += 1
+        }
+        y += 1
+      }
+      val orig = Multimodal.ImageCodec.encodePng(w, h, rgb)
+      val twin = Multimodal.ImageCodec.resize(orig, 9, 8).get
+      Seq(
+        Multimodal.MediaRecord(docId, "image/png", orig, w, h, 0L),
+        Multimodal.MediaRecord(docId + 1000000L, "image/png", twin, 9, 8, 0L))
+    }
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- dedup family ------------------------------------------------
@@ -748,39 +790,19 @@ object ExtQueries {
     // the ONLY pairs are the planted (doc, twin) ones — an exact,
     // SQL-expressible relation even though the codec itself isn't SQL
     "q_image_neardup" -> ((s, dir) => {
-      import s.implicits._
-      def mix(z0: Long): Long = {
-        var z = z0 + 0x9E3779B97F4A7C15L
-        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-        z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-        z ^ (z >>> 31)
-      }
-      val ids = t(s, dir, "documents").df
-        .filter(col("doc_id") < 50).select("doc_id").as[Long]
-      val media = ids.flatMap { docId =>
-        val (w, h) = (18, 16) // 9x8 blocks of 2x2 px
-        val rgb = new Array[Byte](w * h * 3)
-        var i = 0
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            val bit = mix(docId * 128 + (y / 2) * 9 + (x / 2)) & 1L
-            val v = if (bit == 1L) 255.toByte else 0.toByte
-            rgb(i) = v; rgb(i + 1) = v; rgb(i + 2) = v
-            i += 3
-            x += 1
-          }
-          y += 1
-        }
-        val orig = Multimodal.ImageCodec.encodePng(w, h, rgb)
-        val twin = Multimodal.ImageCodec.resize(orig, 9, 8).get
-        Seq(
-          Multimodal.MediaRecord(docId, "image/png", orig, w, h, 0L),
-          Multimodal.MediaRecord(docId + 1000000L, "image/png", twin, 9, 8, 0L))
-      }
+      val media = imageNearDupMedia(s, dir)
       Multimodal.imageNearDupPairs(media, maxHamming = 4)
         .select("a_id", "b_id").orderBy("a_id", "b_id")
+    }),
+
+    // the multimodal dedup FINALE: dHash pairs -> connected components ->
+    // one survivor per image cluster. Planted clusters are exactly
+    // {doc, twin}, min id = the original, so survivors == the originals
+    "q_image_dedup" -> ((s, dir) => {
+      val media = imageNearDupMedia(s, dir)
+      val pairs = Multimodal.imageNearDupPairs(media, maxHamming = 4)
+      Components.dedupByCluster(media.toDF().select("id"), pairs, "id", rounds = 2)
+        .orderBy("id")
     }),
 
     // END-TO-END curation pipeline — the composition a real corpus run
@@ -2082,11 +2104,16 @@ object ExtQueries {
                 md5(clean) AS clean_md5
          FROM c ORDER BY doc_id""",
     // the planted-pair relation IS the expected output: each doc pairs
-    // with exactly its downscaled twin (see the Spark-side comment on
-    // why cross-doc dHashes stay far)
+    // with exactly its downscaled twin (see imageNearDupMedia on why
+    // cross-doc dHashes stay far)
     "q_image_neardup" ->
       """SELECT doc_id::BIGINT AS a_id, (doc_id + 1000000)::BIGINT AS b_id
          FROM documents WHERE doc_id < 50 ORDER BY a_id, b_id""",
+    // cluster-dedup survivors: each planted cluster {doc, twin} keeps its
+    // min id — exactly the originals
+    "q_image_dedup" ->
+      """SELECT doc_id::BIGINT AS id FROM documents WHERE doc_id < 50
+         ORDER BY id""",
     // closed-form recomputation of the decoded-WAV facts: sample i =
     // (doc_id*3 + i) % 256, 1000 samples, 8 kHz mono 8-bit
     "q_multimodal_wav" ->
