@@ -795,6 +795,39 @@ object ExtQueries {
         .select("a_id", "b_id").orderBy("a_id", "b_id")
     }),
 
+    // audio near-dup pairs over the energy-profile aHash: one
+    // deterministic 65-bin waveform per doc plus a twin whose samples
+    // are reversed WITHIN each bin (same energy profile, different
+    // bytes) under id+1000000 — the hash must pair exactly the planted
+    // twins, since different docs' bin profiles disagree in ~24 of 64
+    // comparison bits (same pigeonhole analysis as q_image_neardup)
+    "q_audio_neardup" -> ((s, dir) => {
+      import s.implicits._
+      def mix(z0: Long): Long = {
+        var z = z0 + 0x9E3779B97F4A7C15L
+        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+        z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+        z ^ (z >>> 31)
+      }
+      val ids = t(s, dir, "documents").df
+        .filter(col("doc_id") < 50).select("doc_id").as[Long]
+      val media = ids.flatMap { docId =>
+        def wav(reverse: Boolean): Array[Byte] = {
+          val samples = (0 until 65).flatMap { k =>
+            val m = ((mix(docId * 67 + k) & 7L) * 16L).toInt
+            val bin = (0 until 20).map(j => (128 + (if (j % 2 == 0) m else -m)).toByte)
+            if (reverse) bin.reverse else bin
+          }.toArray
+          Multimodal.AudioCodec.encodeWav(8000, samples)
+        }
+        Seq(
+          Multimodal.MediaRecord(docId, "audio/wav", wav(reverse = false), 0, 0, 0L),
+          Multimodal.MediaRecord(docId + 1000000L, "audio/wav", wav(reverse = true), 0, 0, 0L))
+      }
+      Multimodal.audioNearDupPairs(media, maxHamming = 4)
+        .select("a_id", "b_id").orderBy("a_id", "b_id")
+    }),
+
     // the multimodal dedup FINALE: dHash pairs -> connected components ->
     // one survivor per image cluster. Planted clusters are exactly
     // {doc, twin}, min id = the original, so survivors == the originals
@@ -2107,6 +2140,11 @@ object ExtQueries {
     // with exactly its downscaled twin (see imageNearDupMedia on why
     // cross-doc dHashes stay far)
     "q_image_neardup" ->
+      """SELECT doc_id::BIGINT AS a_id, (doc_id + 1000000)::BIGINT AS b_id
+         FROM documents WHERE doc_id < 50 ORDER BY a_id, b_id""",
+    // planted-pair relation again: each clip pairs with exactly its
+    // within-bin-permuted twin
+    "q_audio_neardup" ->
       """SELECT doc_id::BIGINT AS a_id, (doc_id + 1000000)::BIGINT AS b_id
          FROM documents WHERE doc_id < 50 ORDER BY a_id, b_id""",
     // cluster-dedup survivors: each planted cluster {doc, twin} keeps its

@@ -283,6 +283,41 @@ object Multimodal {
         } finally ais.close()
       } catch { case _: Exception => None }
 
+    /** 64-bit perceptual audio hash — the audio analogue of
+      * [[ImageCodec.dHash]]: mean byte-magnitude (|b − 128|, exact for
+      * 8-bit unsigned PCM; a deterministic proxy for deeper formats) over
+      * 65 equal-time bins, one bit per adjacent bin pair (set iff the
+      * later bin is louder). Invariant to any within-bin waveform
+      * permutation and robust to mild noise; silence-vs-loud structure is
+      * what survives. Pair with [[Dedup.hammingPairs]] for corpus-scale
+      * audio dedup. */
+    def aHash(
+        payload: Array[Byte],
+        maxBytes: Long = DefaultMaxBytes): Option[Long] =
+      decode(payload, maxBytes).map { a =>
+        val n = a.pcm.length
+        if (n < 65) 0L
+        else {
+          val sums = new Array[Long](65)
+          val counts = new Array[Long](65)
+          var i = 0
+          while (i < n) {
+            val bin = (i.toLong * 65 / n).toInt
+            sums(bin) += math.abs((a.pcm(i) & 0xff) - 128)
+            counts(bin) += 1
+            i += 1
+          }
+          var h = 0L
+          var k = 0
+          while (k < 64) {
+            // cross-multiplied mean compare: no float division
+            if (sums(k + 1) * counts(k) > sums(k) * counts(k + 1)) h |= 1L << k
+            k += 1
+          }
+          h
+        }
+      }
+
     /** Encode raw 8-bit unsigned mono PCM as a WAV container (fixture
       * generation, tests, synthetic corpora) — the audio analogue of
       * [[ImageCodec.encodePng]]; decode returns these bytes verbatim. */
@@ -421,6 +456,29 @@ object Multimodal {
       maxHamming: Int = 4,
       maxBucket: Option[Int] = None): DataFrame =
     Dedup.hammingPairs(imageDHashes(media), "id", "dhash",
+      bits = 64, maxHamming = maxHamming, maxBucket = maxBucket)
+
+  /** Per-clip perceptual fingerprints: (id, ahash) for every `audio/…`
+    * row whose payload decodes (undecodable rows dropped, as in
+    * [[imageDHashes]]). Map-only, no shuffle. */
+  def audioAHashes(media: Dataset[MediaRecord]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { m =>
+      if (m.mediaType != null && m.mediaType.startsWith("audio/"))
+        AudioCodec.aHash(m.payload).map(h => (m.id, h))
+      else None
+    }).toDF("id", "ahash")
+  }
+
+  /** Corpus-scale audio near-dup pairs: energy-profile aHash per clip
+    * (map-only) + EXACT Hamming banding via [[Dedup.hammingPairs]] —
+    * same machinery as [[imageNearDupPairs]]. Output: (a_id, b_id,
+    * hamming). */
+  def audioNearDupPairs(
+      media: Dataset[MediaRecord],
+      maxHamming: Int = 4,
+      maxBucket: Option[Int] = None): DataFrame =
+    Dedup.hammingPairs(audioAHashes(media), "id", "ahash",
       bits = 64, maxHamming = maxHamming, maxBucket = maxBucket)
 
   /** One sampled frame of a video/audio payload. */

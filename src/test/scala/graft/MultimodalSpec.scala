@@ -144,6 +144,47 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
     assert(Multimodal.AudioCodec.decode(wav, maxBytes = 100).isEmpty)
   }
 
+  // 65 bins x 20 samples; bin magnitudes from a seeded generator, samples
+  // alternating above/below center so mean |b-128| per bin = the magnitude
+  private def binsWav(seed: Long, reverse: Boolean = false): Array[Byte] = {
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    val samples = (0 until 65).flatMap { k =>
+      val m = ((mix(seed * 67 + k) & 7L) * 16L).toInt
+      val bin = (0 until 20).map(j => (128 + (if (j % 2 == 0) m else -m)).toByte)
+      if (reverse) bin.reverse else bin
+    }.toArray
+    Multimodal.AudioCodec.encodeWav(8000, samples)
+  }
+
+  test("aHash: invariant to within-bin permutation, far for a different energy profile") {
+    val a = Multimodal.AudioCodec.aHash(binsWav(1L)).get
+    val permuted = Multimodal.AudioCodec.aHash(binsWav(1L, reverse = true)).get
+    val other = Multimodal.AudioCodec.aHash(binsWav(2L)).get
+    def ham(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    assert(a == permuted) // energy profile identical, waveform bytes differ
+    assert(ham(a, other) >= 16, s"different profile only ${ham(a, other)} bits away")
+    assert(Multimodal.AudioCodec.aHash("junk".getBytes).isEmpty)
+  }
+
+  test("audioNearDupPairs pairs the permuted twin, not a different clip") {
+    val s = spark
+    import s.implicits._
+    val ds = Seq(
+      MediaRecord(1L, "audio/wav", binsWav(1L), 0, 0, 0L),
+      MediaRecord(2L, "audio/wav", binsWav(1L, reverse = true), 0, 0, 0L),
+      MediaRecord(3L, "audio/wav", binsWav(9L), 0, 0, 0L),
+      MediaRecord(4L, "audio/wav", "corrupt".getBytes, 0, 0, 0L),
+      MediaRecord(5L, "image/png", gradientPng(8, 8), 8, 8, 0L)).toDS()
+    val pairs = Multimodal.audioNearDupPairs(ds, maxHamming = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
   test("extractFeatures dispatches audio/* through the real codec") {
     val s = spark
     import s.implicits._
