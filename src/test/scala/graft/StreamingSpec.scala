@@ -205,6 +205,35 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("streaming image dedup: dHash computed in-stream, duplicates dropped by hash") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import graft.operators.Multimodal
+    def png(v: Int) = Multimodal.ImageCodec.encodePng(8, 8,
+      Array.tabulate(8 * 8 * 3)(i => (((i / 3) % 8) * v % 256).toByte))
+    val input = MemoryStream[Multimodal.MediaRecord]
+    // live-ingestion shape: perceptual hash as a map-only stage feeding
+    // the watermark-bounded stateful dedup — dHash needs no state, so it
+    // composes into readStream pipelines as-is
+    val hashed = input.toDS()
+      .map(m => (m.id, new Timestamp(86400000L + m.id),
+        Multimodal.ImageCodec.dHash(m.payload).getOrElse(-1L)))
+      .toDF("id", "ts", "dhash")
+    val q = StreamingOps.streamingDedup(hashed, Seq("dhash"))
+      .writeStream.format("memory").queryName("t_imgdedup")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        Multimodal.MediaRecord(1L, "image/png", png(31), 8, 8, 0L),
+        Multimodal.MediaRecord(2L, "image/png", png(31), 8, 8, 0L), // same image again
+        Multimodal.MediaRecord(3L, "image/png", png(97), 8, 8, 0L))
+      q.processAllAvailable()
+      val got = s.table("t_imgdedup").collect().map(_.getLong(0)).sorted.toSeq
+      assert(got.length == 2 && got.contains(3L)) // one of {1,2} + 3
+    } finally q.stop()
+  }
+
   test("stateless curation ops (redact/quality/langid) run unchanged on a stream") {
     val s = spark
     import s.implicits._
