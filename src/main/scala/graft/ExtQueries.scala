@@ -795,6 +795,35 @@ object ExtQueries {
         .select("a_id", "b_id").orderBy("a_id", "b_id")
     }),
 
+    // REAL video frame extraction through the driver contract: one
+    // MJPEG-AVI per doc with (doc_id % 3 + 2) solid-color 8x8 JPEG
+    // frames; explodeFrames walks the RIFF container, and each frame
+    // decodes through ImageCodec — frame count, source indices, and
+    // dimensions (exact through JPEG) are the oracle-able facts
+    "q_video_frames" -> ((s, dir) => {
+      import s.implicits._
+      val ids = t(s, dir, "documents").df
+        .filter(col("doc_id") < 50).select("doc_id").as[Long]
+      val media = ids.map { docId =>
+        val nF = (docId % 3 + 2).toInt
+        val frames = (0 until nF).map { f =>
+          Multimodal.VideoCodec.encodeJpeg(8, 8,
+            Array.fill(8 * 8 * 3)(((docId * 5 + f * 40) % 256).toByte))
+        }
+        Multimodal.MediaRecord(docId, "video/x-msvideo",
+          Multimodal.VideoCodec.encodeMjpegAvi(frames), 8, 8, nF * 40L)
+      }
+      Multimodal.explodeFrames(media, 4)
+        .map { fr =>
+          val d = Multimodal.ImageCodec.decode(fr.frame)
+          (fr.id, fr.frameIndex.toLong,
+            d.map(_.width.toLong).getOrElse(-1L),
+            d.map(_.height.toLong).getOrElse(-1L))
+        }
+        .toDF("id", "frame_index", "width", "height")
+        .orderBy("id", "frame_index")
+    }),
+
     // audio near-dup pairs over the energy-profile aHash: one
     // deterministic 65-bin waveform per doc plus a twin whose samples
     // are reversed WITHIN each bin (same energy profile, different
@@ -2142,6 +2171,14 @@ object ExtQueries {
     "q_image_neardup" ->
       """SELECT doc_id::BIGINT AS a_id, (doc_id + 1000000)::BIGINT AS b_id
          FROM documents WHERE doc_id < 50 ORDER BY a_id, b_id""",
+    // frame inventory in closed form: doc_id % 3 + 2 frames per doc,
+    // all 8x8 (dims are exact through JPEG)
+    "q_video_frames" ->
+      """SELECT doc_id::BIGINT AS id, i::BIGINT AS frame_index,
+                8::BIGINT AS width, 8::BIGINT AS height
+         FROM documents CROSS JOIN range(4) t(i)
+         WHERE doc_id < 50 AND i < doc_id % 3 + 2
+         ORDER BY id, frame_index""",
     // planted-pair relation again: each clip pairs with exactly its
     // within-bin-permuted twin
     "q_audio_neardup" ->

@@ -334,12 +334,121 @@ object Multimodal {
     }
   }
 
+  /** Real video-container codec for MJPEG-in-AVI — the one video format
+    * decodable with nothing but the JDK: the AVI RIFF container is a
+    * plain chunk walk, and each frame is a JPEG the `javax.imageio` SPI
+    * already reads, so frame extraction (THE video op of a training-data
+    * pipeline) needs no ffmpeg. Same total-function contract as the
+    * other codecs: junk, truncation past a header boundary, or
+    * over-budget payloads yield `None`. Inter-frame-compressed formats
+    * (h264/vp9/av1 in mp4/webm) have no JDK decoder and stay with
+    * [[StubCodecs]]/ffmpeg in a production build. */
+  object VideoCodec {
+    /** Total frame-byte budget, same role as the image/audio budgets:
+      * chunk sizes are read from headers and summed BEFORE any frame
+      * array is materialized. */
+    val DefaultMaxBytes: Long = 1L << 26
+
+    private def le32(b: Array[Byte], off: Int): Long =
+      (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
+        ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+
+    private def fourcc(b: Array[Byte], off: Int): String =
+      new String(b, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+    /** Extract the MJPEG frame payloads ('00dc'/'00db' chunks inside the
+      * 'movi' LIST) in stream order. None = not a RIFF/AVI payload, a
+      * malformed chunk walk, or frames past `maxBytes` total. */
+    def frames(
+        payload: Array[Byte],
+        maxBytes: Long = DefaultMaxBytes): Option[Seq[Array[Byte]]] =
+      try {
+        if (payload.length < 12 || fourcc(payload, 0) != "RIFF" ||
+            fourcc(payload, 8) != "AVI ") None
+        else {
+          val riffEnd = math.min(payload.length.toLong, 8L + le32(payload, 4))
+          // locate the movi LIST, skipping unknown top-level chunks
+          var off = 12L
+          var movi: Option[(Long, Long)] = None // (dataStart, dataEnd)
+          while (movi.isEmpty && off + 8 <= riffEnd) {
+            val id = fourcc(payload, off.toInt)
+            val sz = le32(payload, off.toInt + 4)
+            if (id == "LIST" && off + 12 <= riffEnd &&
+                fourcc(payload, off.toInt + 8) == "movi")
+              movi = Some((off + 12, math.min(riffEnd, off + 8 + sz)))
+            off += 8 + sz + (sz & 1) // chunks are word-aligned
+          }
+          movi.flatMap { case (start, end) =>
+            val out = Seq.newBuilder[Array[Byte]]
+            var total = 0L
+            var p = start
+            var ok = true
+            while (ok && p + 8 <= end) {
+              val id = fourcc(payload, p.toInt)
+              val sz = le32(payload, p.toInt + 4)
+              if (p + 8 + sz > end) ok = false // header lies: truncated
+              else {
+                if (id.endsWith("dc") || id.endsWith("db")) {
+                  total += sz
+                  if (total > maxBytes) ok = false
+                  else out += java.util.Arrays.copyOfRange(
+                    payload, (p + 8).toInt, (p + 8 + sz).toInt)
+                }
+                p += 8 + sz + (sz & 1)
+              }
+            }
+            if (ok) Some(out.result()) else None
+          }
+        }
+      } catch { case _: Exception => None }
+
+    /** Package JPEG frames as a minimal MJPEG AVI (RIFF + movi LIST) —
+      * fixture generation and synthetic corpora; [[frames]] returns the
+      * frame bytes verbatim. */
+    def encodeMjpegAvi(jpegFrames: Seq[Array[Byte]]): Array[Byte] = {
+      val bos = new ByteArrayOutputStream()
+      def w32(v: Long): Unit = {
+        bos.write((v & 0xff).toInt); bos.write(((v >> 8) & 0xff).toInt)
+        bos.write(((v >> 16) & 0xff).toInt); bos.write(((v >> 24) & 0xff).toInt)
+      }
+      def tag(s: String): Unit = bos.write(s.getBytes("US-ASCII"))
+      val moviData = jpegFrames.map(f => 8L + f.length + (f.length & 1)).sum + 4
+      tag("RIFF"); w32(4 + 8 + moviData); tag("AVI ")
+      tag("LIST"); w32(moviData); tag("movi")
+      jpegFrames.foreach { f =>
+        tag("00dc"); w32(f.length.toLong); bos.write(f)
+        if ((f.length & 1) == 1) bos.write(0) // pad to word boundary
+      }
+      bos.toByteArray
+    }
+
+    /** Encode packed RGB as a JPEG (in-JDK writer) — frame fixture
+      * helper; dims survive JPEG exactly even though pixels are lossy. */
+    def encodeJpeg(width: Int, height: Int, rgb: Array[Byte]): Array[Byte] = {
+      require(rgb.length == width * height * 3, "encodeJpeg: rgb length != w*h*3")
+      val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
+      val argb = new Array[Int](width * height)
+      var i = 0
+      var j = 0
+      while (j < argb.length) {
+        argb(j) = ((rgb(i) & 0xff) << 16) | ((rgb(i + 1) & 0xff) << 8) | (rgb(i + 2) & 0xff)
+        i += 3
+        j += 1
+      }
+      img.setRGB(0, 0, width, height, argb, 0, width)
+      val bos = new ByteArrayOutputStream()
+      ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+  }
+
   /** Deterministic stand-ins for the codec calls the JDK can't do
-    * (compressed audio, video). Each function is where a production build
-    * would call into libsndfile/ffmpeg; the fakes preserve the data-flow
-    * shape (bytes in, bytes/features out) and are pure, so tests are
-    * reproducible. Images go through the real [[ImageCodec]], WAV/AIFF/AU
-    * audio through the real [[AudioCodec]]. */
+    * (compressed audio, inter-frame-compressed video). Each function is
+    * where a production build would call into libsndfile/ffmpeg; the
+    * fakes preserve the data-flow shape (bytes in, bytes/features out)
+    * and are pure, so tests are reproducible. Images go through the real
+    * [[ImageCodec]], WAV/AIFF/AU audio through the real [[AudioCodec]],
+    * MJPEG-AVI video through the real [[VideoCodec]]. */
   object StubCodecs {
     /** REAL IMPL: decode(payload) → pixel buffer. Stub: identity view. */
     def decode(payload: Array[Byte]): Array[Byte] = payload
@@ -488,16 +597,34 @@ object Multimodal {
       frameIndex: Int,
       frame: Array[Byte])
 
-  /** Frame-sampling stage: one media row explodes to `n` frame rows
-    * (flatMap over the partition batch — the row count grows, which is
-    * why this is its own stage and not a column: downstream repartitions
-    * see the post-explosion cardinality). A real build replaces
-    * [[StubCodecs.sampleFrames]] with an ffmpeg keyframe walk. */
+  /** Frame-sampling stage: one media row explodes to at most `n` frame
+    * rows (flatMap over the partition batch — the row count grows, which
+    * is why this is its own stage and not a column: downstream
+    * repartitions see the post-explosion cardinality). `video/…` rows
+    * that parse as MJPEG-AVI get REAL frames ([[VideoCodec.frames]],
+    * stride-sampled down to `n` — each an ImageIO-decodable JPEG, so
+    * [[extractFeatures]]/[[imageDHashes]] compose downstream); other
+    * video payloads (h264 etc., no JDK decoder) fall back to
+    * [[StubCodecs.sampleFrames]], where a production build calls
+    * ffmpeg's keyframe walk. `frameIndex` is the index in the SOURCE
+    * stream, so sampling stride stays auditable. */
   def explodeFrames(media: Dataset[MediaRecord], n: Int): Dataset[FrameRecord] = {
     import media.sparkSession.implicits._
     media.mapPartitions(_.flatMap { m =>
-      StubCodecs.sampleFrames(StubCodecs.decode(m.payload), n)
-        .zipWithIndex.map { case (f, i) => FrameRecord(m.id, m.mediaType, i, f) }
+      val real =
+        if (m.mediaType != null && m.mediaType.startsWith("video/") && n > 0)
+          VideoCodec.frames(m.payload)
+        else None
+      real match {
+        case Some(fs) if fs.nonEmpty =>
+          val step = math.max(1, fs.size / n)
+          fs.indices.by(step).take(n)
+            .map(i => FrameRecord(m.id, m.mediaType, i, fs(i)))
+        case Some(_) => Seq.empty
+        case None =>
+          StubCodecs.sampleFrames(StubCodecs.decode(m.payload), n)
+            .zipWithIndex.map { case (f, i) => FrameRecord(m.id, m.mediaType, i, f) }
+      }
     })
   }
 

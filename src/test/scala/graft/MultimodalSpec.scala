@@ -236,6 +236,40 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
     assert(frames.map(_.length).sum == 100)
   }
 
+  private def solidJpeg(v: Int) =
+    Multimodal.VideoCodec.encodeJpeg(8, 8, Array.fill(8 * 8 * 3)(v.toByte))
+
+  test("VideoCodec: MJPEG-AVI round-trip, frames decode as images, guards hold") {
+    val frames = (0 until 4).map(f => solidJpeg(40 + f * 50))
+    val avi = Multimodal.VideoCodec.encodeMjpegAvi(frames)
+    val got = Multimodal.VideoCodec.frames(avi).get
+    assert(got.size == 4)
+    assert(got.zip(frames).forall { case (a, b) => a.sameElements(b) })
+    val img = Multimodal.ImageCodec.decode(got(1)).get
+    assert(img.width == 8 && img.height == 8) // dims survive JPEG exactly
+    assert(Multimodal.VideoCodec.frames("not a riff".getBytes).isEmpty)
+    assert(Multimodal.VideoCodec.frames(avi.take(40)).isEmpty) // chunk header lies
+    assert(Multimodal.VideoCodec.frames(avi, maxBytes = 10).isEmpty) // over budget
+  }
+
+  test("explodeFrames: real MJPEG frames with stride sampling; stub fallback for mp4") {
+    val s = spark
+    import s.implicits._
+    val avi = Multimodal.VideoCodec.encodeMjpegAvi((0 until 4).map(f => solidJpeg(40 + f * 50)))
+    val ds = Seq(
+      MediaRecord(1L, "video/x-msvideo", avi, 8, 8, 160L),
+      MediaRecord(2L, "video/mp4", Array.tabulate(120)(_.toByte), 0, 0, 0L)).toDS()
+    val sampled = Multimodal.explodeFrames(ds, 2).collect()
+    // real path: stride-sampled source indices, each frame a decodable JPEG
+    assert(sampled.filter(_.id == 1L).map(_.frameIndex).sorted.toSeq == Seq(0, 2))
+    assert(sampled.filter(_.id == 1L).forall(f =>
+      Multimodal.ImageCodec.decode(f.frame).exists(d => d.width == 8 && d.height == 8)))
+    // stub path untouched for formats without a JDK decoder
+    assert(sampled.count(_.id == 2L) == 2)
+    val all = Multimodal.explodeFrames(ds, 4).collect()
+    assert(all.filter(_.id == 1L).map(_.frameIndex).sorted.toSeq == Seq(0, 1, 2, 3))
+  }
+
   test("column-level payload helpers agree with byte-level facts") {
     val s = spark
     import s.implicits._
