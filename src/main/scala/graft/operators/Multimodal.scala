@@ -124,7 +124,13 @@ object Multimodal {
       * payload whose declared dimensions exceed `maxPixels`. */
     def decode(
         payload: Array[Byte],
-        maxPixels: Long = DefaultMaxPixels): Option[DecodedImage] =
+        maxPixels: Long = DefaultMaxPixels): Option[DecodedImage] = {
+      // a budget past this would let w*h*3 overflow Int inside the RGB
+      // buffer allocation, silently quarantining legitimately large
+      // images as "undecodable"; fail loudly at the config site instead
+      require(maxPixels <= Int.MaxValue / 3,
+        s"maxPixels=$maxPixels exceeds Int.MaxValue/3=${Int.MaxValue / 3} " +
+          "(packed-RGB buffer would overflow Int)")
       try {
         readGuarded(payload, maxPixels).map { img =>
           val w = img.getWidth
@@ -146,6 +152,7 @@ object Multimodal {
           DecodedImage(w, h, img.getColorModel.getNumComponents, out)
         }
       } catch { case _: Exception => None }
+    }
 
     /** Bilinear resize; re-encodes as PNG (lossless, in-JDK writer).
       * None = input not decodable (same header guard as [[decode]]). */
@@ -294,10 +301,13 @@ object Multimodal {
     def aHash(
         payload: Array[Byte],
         maxBytes: Long = DefaultMaxBytes): Option[Long] =
-      decode(payload, maxBytes).map { a =>
+      decode(payload, maxBytes).flatMap { a =>
         val n = a.pcm.length
-        if (n < 65) 0L
-        else {
+        // too short to fill the 65 energy bins: drop the clip from the
+        // hash relation entirely (a constant 0L would make every short
+        // clip a Hamming-0 "near-dup" of every other short clip)
+        if (n < 65) None
+        else Some {
           val sums = new Array[Long](65)
           val counts = new Array[Long](65)
           var i = 0
@@ -617,7 +627,9 @@ object Multimodal {
         else None
       real match {
         case Some(fs) if fs.nonEmpty =>
-          val step = math.max(1, fs.size / n)
+          // ceiling stride: sampled indices span the whole stream (a
+          // floor stride head-biases whenever n <= frames < 2n)
+          val step = math.max(1, (fs.size + n - 1) / n)
           fs.indices.by(step).take(n)
             .map(i => FrameRecord(m.id, m.mediaType, i, fs(i)))
         case Some(_) => Seq.empty

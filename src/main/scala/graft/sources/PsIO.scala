@@ -19,17 +19,22 @@ object PsIO {
     PsDataFrame(spark.read.parquet(path))
 
   /** reference io.py:12-28 — header + schema inference on by default;
-    * `sep`/`names` mirror the pandas kwargs the reference forwards
-    * (names renames positionally after the read, pandas-style). */
+    * `sep`/`names` mirror the pandas kwargs the reference forwards.
+    * pandas semantics for the interaction: supplying `names` with the
+    * DEFAULT header treats the file as headerless (pd.read_csv flips
+    * header to None), so the first line is data, not a casualty of the
+    * rename. Pass `header = Some(true)` explicitly to read past a real
+    * header row and rename positionally. */
   def readCsv(
       spark: SparkSession,
       path: String,
-      header: Boolean = true,
+      header: Option[Boolean] = None,
       inferSchema: Boolean = true,
       sep: String = ",",
       names: Seq[String] = Nil): PsDataFrame = {
+    val useHeader = header.getOrElse(names.isEmpty)
     val df = spark.read
-      .option("header", header.toString)
+      .option("header", useHeader.toString)
       .option("inferSchema", inferSchema.toString)
       .option("sep", sep)
       .csv(path)
@@ -136,18 +141,44 @@ object PsIO {
   def readEventsNs(spark: SparkSession, path: String): DataFrame = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._
-    // legacy ns files fail to load without this; harmless for µs files
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(path)
+    // Genuine TIMESTAMP(NANOS) parquet loads only under the session-wide
+    // legacy flag — and Spark consults that flag AGAIN when it builds the
+    // scan (ParquetFileFormat.setupHadoopConf, called at action time), so
+    // a save/restore scope around this read would leave the returned lazy
+    // frame unreadable. Instead: common µs/long files never touch conf at
+    // all; only a file that actually fails with the NANOS analysis error
+    // flips the flag, and the flip deliberately outlives this call (later
+    // reads of NANOS files then surface ns-as-long — exactly the shape
+    // this loader normalizes to; logged so the effect is visible).
+    val NanosKey = "spark.sql.legacy.parquet.nanosAsLong"
+    val raw =
+      try spark.read.parquet(path)
+      catch {
+        case e: Exception
+            if e.getMessage != null && e.getMessage.contains("NANOS") &&
+              !java.lang.Boolean.parseBoolean(
+                spark.conf.getOption(NanosKey).getOrElse("false")) =>
+          org.slf4j.LoggerFactory.getLogger("graft.sources.PsIO").warn(
+            s"readEventsNs: $path carries TIMESTAMP(NANOS); enabling " +
+              s"$NanosKey for the session (NANOS columns read as ns longs)")
+          spark.conf.set(NanosKey, "true")
+          spark.read.parquet(path)
+      }
     raw.schema("ts").dataType match {
       case LongType => raw // ns-as-long file: already the target shape
       case TimestampType =>
         raw.withColumn("ts", unix_micros(col("ts")) * lit(1000L))
       case TimestampNTZType =>
         // NTZ carries a wall-clock; the session's pinned UTC makes the
-        // NTZ->TIMESTAMP cast the identity epoch mapping
-        require(spark.conf.get("spark.sql.session.timeZone") == "UTC",
-          "readEventsNs: TIMESTAMP_NTZ ts requires spark.sql.session.timeZone=UTC " +
+        // NTZ->TIMESTAMP cast the identity epoch mapping. Accept any
+        // spelling of UTC ("UTC", "Etc/UTC", "+00:00", "Z") by
+        // normalizing the zone rather than string-comparing.
+        val tz = spark.conf.get("spark.sql.session.timeZone")
+        val isUtc =
+          try java.time.ZoneId.of(tz).normalized() == java.time.ZoneOffset.UTC
+          catch { case _: java.time.DateTimeException => false }
+        require(isUtc,
+          s"readEventsNs: TIMESTAMP_NTZ ts requires a UTC session timezone, got '$tz' " +
             "(graft.Session.local pins it); epoch extraction is tz-dependent otherwise")
         raw.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
       case dt => throw new IllegalArgumentException(

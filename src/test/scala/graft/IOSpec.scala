@@ -33,11 +33,23 @@ class IOSpec extends AnyFunSuite with SparkFixture {
   test("csv sep and names kwargs: tab-separated round-trip with positional rename") {
     val dir = Files.createTempDirectory("graft-tsv").toString + "/out"
     PsIO.toCsv(sample, dir, sep = "\t")
-    val back = PsIO.readCsv(spark, dir, sep = "\t", names = Seq("id", "label", "x"))
+    // explicit header=true: skip the written header row, then rename
+    val back = PsIO.readCsv(spark, dir, header = Some(true), sep = "\t",
+      names = Seq("id", "label", "x"))
     assert(back.columns.toSeq == Seq("id", "label", "x"))
     val got = back.sortValues(Seq("id")).df.collect()
       .map(r => (r.getInt(0), r.getString(1), r.getDouble(2))).toSeq
     assert(got == Seq((1, "alpha", 1.5), (2, "beta", 2.5), (3, "gamma", -3.0)))
+  }
+
+  test("csv names with default header: pandas headerless semantics keep the first line") {
+    val dir = Files.createTempDirectory("graft-nohdr").toString + "/out"
+    PsIO.toCsv(sample, dir, header = false) // headerless file: 3 data rows
+    val back = PsIO.readCsv(spark, dir, names = Seq("k", "name", "v"))
+    assert(back.columns.toSeq == Seq("k", "name", "v"))
+    // pandas: names + default header => header=None, first line is DATA
+    assert(back.df.count() == 3)
+    assert(back.df.agg(sum("k")).head().getLong(0) == 6L)
   }
 
   test("readEventsNs: all three ts physical types normalize to the same ns longs") {
@@ -61,6 +73,21 @@ class IOSpec extends AnyFunSuite with SparkFixture {
       .select(timestamp_micros(col("us")).cast("timestamp_ntz").as("ts"))
       .write.parquet(asNtz)
     assert(readBack(asNtz) == expected) // identity epoch mapping under pinned UTC
+  }
+
+  test("readEventsNs: genuine TIMESTAMP(NANOS) parquet loads via the scoped legacy flip") {
+    // pyarrow-written fixture with a real TIMESTAMP(NANOS) annotation —
+    // the one physical type Spark refuses without the legacy flag. The
+    // loader must probe-fail, flip the flag, and land the same ns longs;
+    // common µs/long reads (above) never touch the conf at all.
+    val NanosKey = "spark.sql.legacy.parquet.nanosAsLong"
+    spark.conf.unset(NanosKey)
+    val fixture = getClass.getResource("/events_nanos.parquet").getPath
+    val got = PsIO.readEventsNs(spark, fixture)
+      .select("ts").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == Seq(86400000000000L, 86400123456000L))
+    // the flip deliberately outlives the call (execution re-consults it)
+    assert(spark.conf.get(NanosKey) == "true")
   }
 
   test("json round-trip recovers values") {

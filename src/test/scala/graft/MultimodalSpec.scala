@@ -169,6 +169,19 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
     assert(a == permuted) // energy profile identical, waveform bytes differ
     assert(ham(a, other) >= 16, s"different profile only ${ham(a, other)} bits away")
     assert(Multimodal.AudioCodec.aHash("junk".getBytes).isEmpty)
+    // decodable but too short to fill 65 bins: dropped (None), not a
+    // constant hash that would pair every short clip with every other
+    val tiny = Multimodal.AudioCodec.encodeWav(8000, Array.tabulate(32)(i => (128 + i).toByte))
+    assert(Multimodal.AudioCodec.decode(tiny).nonEmpty)
+    assert(Multimodal.AudioCodec.aHash(tiny).isEmpty)
+  }
+
+  test("ImageCodec.decode rejects an overflow-prone maxPixels budget loudly") {
+    val png = Multimodal.ImageCodec.encodePng(2, 2, Array.fill(12)(7.toByte))
+    assert(Multimodal.ImageCodec.decode(png, maxPixels = Int.MaxValue / 3L).nonEmpty)
+    intercept[IllegalArgumentException] {
+      Multimodal.ImageCodec.decode(png, maxPixels = Int.MaxValue / 3L + 1)
+    }
   }
 
   test("audioNearDupPairs pairs the permuted twin, not a different clip") {
@@ -268,6 +281,17 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
     assert(sampled.count(_.id == 2L) == 2)
     val all = Multimodal.explodeFrames(ds, 4).collect()
     assert(all.filter(_.id == 1L).map(_.frameIndex).sorted.toSeq == Seq(0, 1, 2, 3))
+  }
+
+  test("explodeFrames: ceiling stride spans the stream when n <= frames < 2n") {
+    val s = spark
+    import s.implicits._
+    // 7 frames, n=4: floor stride would return head frames 0-3 and never
+    // see the tail; ceiling stride (step 2) samples 0,2,4,6 across it
+    val avi = Multimodal.VideoCodec.encodeMjpegAvi((0 until 7).map(f => solidJpeg(30 + f * 30)))
+    val ds = Seq(MediaRecord(1L, "video/x-msvideo", avi, 8, 8, 280L)).toDS()
+    val idx = Multimodal.explodeFrames(ds, 4).collect().map(_.frameIndex).sorted.toSeq
+    assert(idx == Seq(0, 2, 4, 6), s"sampled $idx")
   }
 
   test("column-level payload helpers agree with byte-level facts") {
