@@ -400,6 +400,37 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // quarantine hygiene through the driver contract: a mixed corpus —
+    // real PNGs, image-claiming corrupt bytes, and a compressed audio
+    // type with no registered codec — must come back with the decoded
+    // flag separating real measurements from byte-level fallbacks. The
+    // oracle recomputes the flag in closed form from the planting rule,
+    // so a stub row masquerading as decoded (or a codec silently
+    // failing) is a hash mismatch, not a quiet drift.
+    "q_media_quarantine" -> ((s, dir) => {
+      import s.implicits._
+      val ids = t(s, dir, "documents").df
+        .filter(col("doc_id") < 60).select("doc_id").as[Long]
+      val media = ids.map { docId =>
+        (docId % 3) match {
+          case 0L => // decodes: real 8x8 PNG
+            val rgb = Array.tabulate(8 * 8 * 3)(i => ((docId + i) % 256).toByte)
+            Multimodal.MediaRecord(docId, "image/png",
+              Multimodal.ImageCodec.encodePng(8, 8, rgb), 8, 8, 0L)
+          case 1L => // claims image/png, carries garbage: quarantined
+            Multimodal.MediaRecord(docId, "image/png",
+              s"notanimage-$docId".getBytes("UTF-8"), 0, 0, 0L)
+          case _ => // compressed type, no codec registered: quarantined
+            Multimodal.MediaRecord(docId, "audio/mpeg",
+              Array.tabulate(48)(i => ((docId + i) % 256).toByte), 0, 0, 0L)
+        }
+      }
+      Multimodal.extractFeatures(media)
+        .toDF()
+        .select(col("id").as("doc_id"), col("decoded"))
+        .orderBy("doc_id")
+    }),
+
     // ---- events: windows + sessions ---------------------------------
 
     // tumbling 1h window aggregation (batch form of the streaming op)
@@ -1956,6 +1987,11 @@ object ExtQueries {
                 3::BIGINT AS channels, 576::BIGINT AS n_bytes,
                 (SELECT sum((doc_id*7 + i) % 256) FROM range(576) t(i))::BIGINT AS pix_sum
          FROM documents WHERE doc_id < 50 ORDER BY doc_id""",
+    // planting rule: doc_id%3==0 is a real PNG (decodes), %3==1 is a
+    // corrupt image payload, %3==2 a codec-less compressed type
+    "q_media_quarantine" ->
+      """SELECT doc_id, (doc_id % 3 = 0) AS decoded
+         FROM documents WHERE doc_id < 60 ORDER BY doc_id""",
     "q_window_events" ->
       """SELECT epoch(date_trunc('hour', ts))::BIGINT AS hour_s, event_type,
             count(*) AS n, (sum(value::DECIMAL(18,2)))::DOUBLE AS total_value

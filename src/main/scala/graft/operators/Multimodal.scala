@@ -26,10 +26,13 @@ import org.apache.spark.sql.functions._
   * AUDIO decode is REAL too (in-JDK `javax.sound.sampled`, see
   * [[AudioCodec]]): `audio/…` rows yield true sample rate / channels /
   * duration and PCM stats. Compressed audio (mp3/ogg) and video codecs
-  * are not in the JDK, so those rows go through [[StubCodecs]], which
-  * documents exactly where a libsndfile/ffmpeg call would go and
-  * substitutes a deterministic fake so the plumbing (schema, partitioning,
-  * batch shape, spill behavior) is fully testable.
+  * are not in the JDK: those types first consult the [[MediaCodecSpi]]
+  * ServiceLoader registry (the seam where a production build plugs in an
+  * ffmpeg-class decoder jar with zero graft changes), and only if no
+  * registered codec claims them do they fall back to [[StubCodecs]] —
+  * ALWAYS flagged (`decoded = false` features, `decoded = false` frames,
+  * unchanged payloads in resize) so stub output can never masquerade as
+  * real measurements downstream.
   */
 object Multimodal {
 
@@ -501,9 +504,17 @@ object Multimodal {
         val aud =
           if (img.isEmpty && mt.startsWith("audio/")) AudioCodec.decode(m.payload)
           else None
-        val (px, width, height, channels, sampleRate, durationMs) = (img, aud) match {
-          case (Some(d), _) => (d.rgb, d.width, d.height, d.channels, 0, 0L)
-          case (_, Some(a)) => (a.pcm, 0, 0, a.channels, a.sampleRate, a.durationMs)
+        // SPI codecs (the ffmpeg seam) get the types the in-JDK defaults
+        // declined: compressed audio/video, or any claimed custom format
+        val spi =
+          if (img.isEmpty && aud.isEmpty)
+            MediaCodecSpi.forType(mt).flatMap(_.decode(mt, m.payload))
+          else None
+        val (px, width, height, channels, sampleRate, durationMs) = (img, aud, spi) match {
+          case (Some(d), _, _) => (d.rgb, d.width, d.height, d.channels, 0, 0L)
+          case (_, Some(a), _) => (a.pcm, 0, 0, a.channels, a.sampleRate, a.durationMs)
+          case (_, _, Some(s)) =>
+            (s.data, s.width, s.height, s.channels, s.sampleRate, s.durationMs)
           case _ => (StubCodecs.decode(m.payload), 0, 0, 0, 0, 0L)
         }
         val n = px.length
@@ -528,27 +539,32 @@ object Multimodal {
           }.sum
         MediaFeatures(m.id, m.mediaType, n, sum, mean, entropy, fp,
           width, height, channels, sampleRate, durationMs,
-          decoded = img.isDefined || aud.isDefined)
+          decoded = img.isDefined || aud.isDefined || spi.isDefined)
       }
     }
   }
 
   /** Resize stage: payload-to-payload transform, same batching story.
-    * `image/…` payloads get a real bilinear resize (PNG out); an image row
-    * whose bytes don't decode rides through UNCHANGED (quarantine — its
-    * width/height still betray that it was never resized). Audio/video
-    * take the stub path. */
+    * `image/…` payloads get a real bilinear resize (PNG out); other types
+    * go to a claiming [[MediaCodecSpi]] codec if one is registered. A row
+    * no codec can resize — an undecodable image, or a type with no codec —
+    * rides through UNCHANGED (quarantine: its width/height still betray
+    * that it was never resized; the old behavior of stride-sampling raw
+    * bytes through [[StubCodecs.resize]] fabricated a payload that looked
+    * resized downstream). */
   def resizeAll(media: Dataset[MediaRecord], w: Int, h: Int): Dataset[MediaRecord] = {
     import media.sparkSession.implicits._
     media.mapPartitions(_.map { m =>
-      if (m.mediaType != null && m.mediaType.startsWith("image/"))
-        ImageCodec.resize(m.payload, w, h) match {
-          case Some(png) => m.copy(payload = png, width = w, height = h)
-          case None => m
-        }
-      else
-        m.copy(payload = StubCodecs.resize(StubCodecs.decode(m.payload), w, h),
-          width = w, height = h)
+      val out =
+        if (m.mediaType != null && m.mediaType.startsWith("image/"))
+          ImageCodec.resize(m.payload, w, h)
+        else
+          MediaCodecSpi.forType(m.mediaType)
+            .flatMap(_.resize(m.mediaType, m.payload, w, h))
+      out match {
+        case Some(p) => m.copy(payload = p, width = w, height = h)
+        case None => m
+      }
     })
   }
 
@@ -600,12 +616,16 @@ object Multimodal {
     Dedup.hammingPairs(audioAHashes(media), "id", "ahash",
       bits = 64, maxHamming = maxHamming, maxBucket = maxBucket)
 
-  /** One sampled frame of a video/audio payload. */
+  /** One sampled frame of a video/audio payload. `decoded` = the frame
+    * came out of a real codec (in-JDK MJPEG walk or an SPI codec) rather
+    * than [[StubCodecs]] byte-chunking — filter on it before treating
+    * `frame` as an image. */
   case class FrameRecord(
       id: Long,
       mediaType: String,
       frameIndex: Int,
-      frame: Array[Byte])
+      frame: Array[Byte],
+      decoded: Boolean)
 
   /** Frame-sampling stage: one media row explodes to at most `n` frame
     * rows (flatMap over the partition batch — the row count grows, which
@@ -623,7 +643,8 @@ object Multimodal {
     media.mapPartitions(_.flatMap { m =>
       val real =
         if (m.mediaType != null && m.mediaType.startsWith("video/") && n > 0)
-          VideoCodec.frames(m.payload)
+          VideoCodec.frames(m.payload).orElse(
+            MediaCodecSpi.forType(m.mediaType).flatMap(_.frames(m.mediaType, m.payload)))
         else None
       real match {
         case Some(fs) if fs.nonEmpty =>
@@ -631,11 +652,13 @@ object Multimodal {
           // floor stride head-biases whenever n <= frames < 2n)
           val step = math.max(1, (fs.size + n - 1) / n)
           fs.indices.by(step).take(n)
-            .map(i => FrameRecord(m.id, m.mediaType, i, fs(i)))
+            .map(i => FrameRecord(m.id, m.mediaType, i, fs(i), decoded = true))
         case Some(_) => Seq.empty
         case None =>
           StubCodecs.sampleFrames(StubCodecs.decode(m.payload), n)
-            .zipWithIndex.map { case (f, i) => FrameRecord(m.id, m.mediaType, i, f) }
+            .zipWithIndex.map { case (f, i) =>
+              FrameRecord(m.id, m.mediaType, i, f, decoded = false)
+            }
       }
     })
   }

@@ -237,10 +237,56 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
     assert(r(10L).width == 4 && r(10L).height == 3)
   }
 
-  test("resizeAll bounds payload size by target dims") {
+  test("resizeAll quarantines rows no codec can resize: payload AND dims untouched") {
     val out = Multimodal.resizeAll(media, 4, 4).collect().map(m => m.id -> m).toMap
-    assert(out(2L).payload.length <= 16)
-    assert(out(2L).width == 4 && out(2L).height == 4)
+    // audio/wav has no resize codec: the row rides through unchanged —
+    // fabricating a stride-sampled payload would LOOK resized downstream
+    assert(out(2L).payload.length == 256)
+    assert(out(2L).width == 0 && out(2L).height == 0)
+    // undecodable image bytes: same quarantine, dims betray no resize ran
+    assert(out(1L).payload.toSeq == "ab".getBytes(StandardCharsets.UTF_8).toSeq)
+    assert(out(1L).width == 2 && out(1L).height == 1)
+  }
+
+  test("SPI codec: ServiceLoader fake decodes a compressed format through extractFeatures") {
+    val s = spark
+    import s.implicits._
+    assert(graft.operators.MediaCodecSpi.registered
+      .exists(_.isInstanceOf[FakeCompressedCodec]))
+    val raw = Array.tabulate(100)(_.toByte)
+    val ds = Seq(
+      MediaRecord(1L, FakeCompressedCodec.AudioType, raw, 0, 0, 0L),
+      MediaRecord(2L, FakeCompressedCodec.AudioType, Array(1.toByte), 0, 0, 0L),
+      MediaRecord(3L, "audio/mpeg", Array.tabulate(64)(_.toByte), 0, 0, 0L)).toDS()
+    val f = Multimodal.extractFeatures(ds).collect().map(x => x.id -> x).toMap
+    // claimed + decodable: REAL features from the plugged-in codec
+    assert(f(1L).decoded && f(1L).sampleRate == 44100 && f(1L).channels == 2)
+    assert(f(1L).nBytes == 100)
+    assert(f(1L).byteSum == raw.map(b => ((b ^ 0x5a) & 0xff).toLong).sum)
+    // claimed but "corrupt" (SPI returns None): flagged, not fabricated
+    assert(!f(2L).decoded)
+    // unclaimed compressed type with no codec: flagged, not fabricated
+    assert(!f(3L).decoded && f(3L).sampleRate == 0)
+  }
+
+  test("SPI codec: frames route through explodeFrames as decoded; stub rows are flagged") {
+    val s = spark
+    import s.implicits._
+    val payload = Array.tabulate(12)(_.toByte) // 4 fake frames of 3 bytes
+    val ds = Seq(
+      MediaRecord(1L, FakeCompressedCodec.VideoType, payload, 0, 0, 0L),
+      MediaRecord(2L, "video/mp4", payload, 0, 0, 0L)).toDS()
+    val fr = Multimodal.explodeFrames(ds, 2).collect()
+    val real = fr.filter(_.id == 1L)
+    assert(real.length == 2 && real.forall(_.decoded))
+    assert(real.map(_.frameIndex).sorted.toSeq == Seq(0, 2)) // ceiling stride over 4
+    assert(real.forall(_.frame.length == FakeCompressedCodec.FrameBytes))
+    val stub = fr.filter(_.id == 2L)
+    assert(stub.nonEmpty && stub.forall(!_.decoded)) // byte-chunks, flagged
+    // SPI resize path: video type takes w*h bytes deterministically
+    val r = Multimodal.resizeAll(ds, 2, 2).collect().map(m => m.id -> m).toMap
+    assert(r(1L).payload.length == 4 && r(1L).width == 2)
+    assert(r(2L).payload.length == 12 && r(2L).width == 0) // no codec: quarantined
   }
 
   test("sampleFrames splits payload into n chunks") {
