@@ -1,5 +1,7 @@
 package graft.api
 
+import scala.language.dynamics
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -16,10 +18,17 @@ import org.apache.spark.sql.functions._
   * old plan — exactly the reference's copy-on-write versioning, obtained
   * for free from DataFrame immutability.
   */
-final class PsDataFrame(private var _df: DataFrame) {
+final class PsDataFrame(private var _df: DataFrame) extends scala.Dynamic {
 
   def df: DataFrame = _df
   def columns: Seq[String] = _df.columns.toSeq
+
+  /** pandas attribute-style column access (`df.n` for `df['n']`,
+    * reference core.py:534-543 `__getattr__`). Scala's `Dynamic` gives
+    * the same sugar: any name that isn't a real method resolves to a
+    * column reference. Same caveat as pandas — names shadowed by real
+    * API methods (`sum`, `count`, ...) need the bracket form. */
+  def selectDynamic(name: String): PsColumn = apply(name)
 
   /** pandas `df.dtypes` — (column, type) pairs; metadata-only, no job. */
   def dtypes: Seq[(String, String)] =
@@ -31,6 +40,33 @@ final class PsDataFrame(private var _df: DataFrame) {
 
   /** pandas `df.shape` — (rows, cols); the row side is eager like [[len]]. */
   def shape: (Long, Int) = (len, _df.columns.length)
+
+  /** pandas `df.memory_usage(deep=True)` analogue: content bytes per
+    * column, as ONE distributed aggregate (no collect of data). Variable-
+    * width columns (string/binary) report their summed byte length;
+    * fixed-width columns report rows × type width. The exact resident
+    * size is representation-dependent (Tungsten vs pandas object dtype),
+    * so content size is the portable measure — the reference's own
+    * numbers are pandas-representation-specific too (core.py:617-621). */
+  def memoryUsage(): Seq[(String, Long)] = {
+    import org.apache.spark.sql.types.{BinaryType, StringType}
+    val fields = _df.schema.fields.toSeq
+    if (fields.isEmpty) return Nil
+    // `functions.`-qualified: the frame's own nullary sum()/count()
+    // shadow the sql.functions aggregates inside this class
+    val F = org.apache.spark.sql.functions
+    val aggCols = fields.map { f =>
+      (f.dataType match {
+        case StringType | BinaryType =>
+          coalesce(F.sum(octet_length(col(f.name)).cast("long")), lit(0L))
+        case dt => F.count(lit(1)) * dt.defaultSize.toLong
+      }).as(f.name)
+    }
+    val row = _df.agg(aggCols.head, aggCols.tail: _*).head()
+    fields.zipWithIndex.map { case (f, i) =>
+      f.name -> (if (row.isNullAt(i)) 0L else row.getLong(i))
+    }
+  }
 
   private def toCol(x: Any): Column = x match {
     case p: PsColumn => p.col

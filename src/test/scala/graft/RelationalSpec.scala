@@ -30,6 +30,22 @@ class RelationalSpec extends AnyFunSuite with SparkFixture {
     assert(base.dtypes == Seq("k" -> "integer", "s" -> "string", "v" -> "double"))
   }
 
+  test("attr-style column access: df.v is df(\"v\") (reference __getattr__)") {
+    val d = base
+    assert(d.where(d.v > 15.0).df.count() == 3)
+    assert(d.v.sum() == 100.0)
+  }
+
+  test("memoryUsage: content bytes per column in one aggregate") {
+    val m = base.memoryUsage().toMap
+    assert(m("k") == 4L * 4) // 4 rows x int width
+    assert(m("v") == 4L * 8) // 4 rows x double width
+    assert(m("s") == 4L) // "a","b","a","c" -> 4 single-byte strings
+    // null-safe on variable-width: empty frame reports 0, not null
+    val empty = PsDataFrame(base.df.filter(col("k") < 0))
+    assert(empty.memoryUsage().toMap.apply("s") == 0L)
+  }
+
   test("filter with comparison and boolean combinators") {
     val d = base
     assert(d.where(d("v") > 15 && d("s") === "a").df.count() == 1)
