@@ -821,7 +821,8 @@ object ExtQueries {
     // the ONLY pairs are the planted (doc, twin) ones — an exact,
     // SQL-expressible relation even though the codec itself isn't SQL
     "q_image_neardup" -> ((s, dir) => {
-      val media = imageNearDupMedia(s, dir)
+      // persist: same self-join doubling as q_audio_neardup below
+      val media = imageNearDupMedia(s, dir).persist()
       Multimodal.imageNearDupPairs(media, maxHamming = 4)
         .select("a_id", "b_id").orderBy("a_id", "b_id")
     }),
@@ -884,7 +885,9 @@ object ExtQueries {
           Multimodal.MediaRecord(docId, "audio/wav", wav(reverse = false), 0, 0, 0L),
           Multimodal.MediaRecord(docId + 1000000L, "audio/wav", wav(reverse = true), 0, 0, 0L))
       }
-      Multimodal.audioNearDupPairs(media, maxHamming = 4)
+      // persist: hammingPairs self-joins the hash relation, which would
+      // run the WAV-encoding generator once per join side
+      Multimodal.audioNearDupPairs(media.persist(), maxHamming = 4)
         .select("a_id", "b_id").orderBy("a_id", "b_id")
     }),
 
@@ -892,7 +895,11 @@ object ExtQueries {
     // one survivor per image cluster. Planted clusters are exactly
     // {doc, twin}, min id = the original, so survivors == the originals
     "q_image_dedup" -> ((s, dir) => {
-      val media = imageNearDupMedia(s, dir)
+      // persist the planted fixture: every action of the component loop
+      // (plus the anti-join finale) would otherwise re-run the PNG
+      // encode/resize/dHash generator end-to-end. At corpus scale the
+      // input is a parquet scan — the fixture must cost like one.
+      val media = imageNearDupMedia(s, dir).persist()
       val pairs = Multimodal.imageNearDupPairs(media, maxHamming = 4)
       Components.dedupByCluster(media.toDF().select("id"), pairs, "id", rounds = 2)
         .orderBy("id")
