@@ -1143,6 +1143,31 @@ object ExtQueries {
         .orderBy("l_returnflag")
     }),
 
+    // the ORACLED face of the sketch family: exact distincts/percentile
+    // are recomputed by DuckDB, and the sketch error is pinned as
+    // booleans the oracle expects to be uniformly true — HLL++ within 3x
+    // its configured 5% rsd, approximate median within 1.0 of the exact
+    // median (accuracy 10000 => rank error <= n/10000). A sketch
+    // regression (hash change, merge bug, accuracy misconfig) flips a
+    // boolean and turns the row red; the raw approximations stay
+    // implementation-specific and are deliberately NOT output.
+    "q_sketches_err" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").df
+      li.groupBy("l_returnflag")
+        .agg(
+          countDistinct(col("l_partkey")).as("exact_parts"),
+          approx_count_distinct(col("l_partkey"), 0.05).as("approx_parts"),
+          expr("percentile(l_quantity, 0.5)").as("exact_p50"),
+          percentile_approx(col("l_quantity"), lit(0.5), lit(10000)).as("approx_p50"))
+        .select(
+          col("l_returnflag"),
+          col("exact_parts"),
+          (abs(col("approx_parts") - col("exact_parts"))
+            <= col("exact_parts") * 0.15).as("hll_ok"),
+          (abs(col("approx_p50") - col("exact_p50")) <= 1.0).as("p50_ok"))
+        .orderBy("l_returnflag")
+    }),
+
     // pandas pivot_table: order counts by priority, one column per
     // status (explicit pivot values -> composition stays lazy)
     "q_pivot" -> ((s, dir) => {
@@ -2033,6 +2058,12 @@ object ExtQueries {
          df AS (SELECT token, count(DISTINCT doc_id) AS df FROM t GROUP BY token)
          SELECT id, token, tf, df FROM tf JOIN df USING (token)
          ORDER BY id, token""",
+    // exact columns recomputed; the error booleans are pinned true — a
+    // sketch drifting past its bound turns this row red
+    "q_sketches_err" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
+                true AS hll_ok, true AS p50_ok
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q_asof" ->
       """WITH e AS (SELECT event_id, user_id, epoch_ms(ts)::BIGINT AS ms, event_type, value FROM events),
          c AS (SELECT event_id, user_id, ms FROM e WHERE event_type = 'click'),
