@@ -208,9 +208,21 @@ object Similarity {
       vecCol: String,
       nCells: Int = 16,
       iterations: Int = 0,
-      seed: Long = 42L): IvfIndex = {
+      seed: Long = 42L,
+      trainSample: Int = 0): IvfIndex = {
     val vecs = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
-    val work = if (iterations > 0) vecs.cache() else vecs
+    // trainSample > 0 bounds Lloyd training to a deterministic hash-
+    // ordered sample (faiss practice: centroids train on O(nCells)
+    // samples, not the corpus) so build cost is sample·nCells·dim per
+    // iteration regardless of corpus size; TakeOrdered keeps the
+    // sampling itself a bounded-heap pass, not a global sort.
+    val train =
+      if (trainSample > 0)
+        vecs.orderBy(
+          pmod(xxhash64(col("id"), lit(seed ^ 0x5deece66dL)), lit(1000003L)),
+          col("id")).limit(trainSample)
+      else vecs
+    val work = if (iterations > 0) train.cache() else train
     try {
       // deterministic centroid sample: first nCells corpus vectors by a
       // seeded hash of the id (stable under partitioning)
@@ -312,6 +324,11 @@ object Similarity {
     * per-cell unrolled form compiled in O(nCells) source size and blew the
     * JIT method limit at 64 cells, SCALEPROBE.md round 6). Ties break to
     * the smallest cell id (array_position returns the first hit). */
+  /** Cell assignment for a prebuilt index — the public face of
+    * [[argmaxCell]] (cell-histogram audits, probe volume accounting). */
+  def cellOf(vec: Column, index: IvfIndex): Column =
+    argmaxCell(vec, index.centroids)
+
   private def argmaxCell(vec: Column, cents: Seq[Seq[Double]]): Column = {
     val scores = graft.plans.VectorExpressions.centroidScores(vec, cents)
     (array_position(scores, array_max(scores)) - 1).cast("int")
