@@ -124,6 +124,70 @@ object StreamScaleProbe {
       } finally q.stop()
     }
 
+    /** REAL-corpus replay (round-11): the events table duplicated ×dup
+      * under fresh user spaces, replayed in event-time order through
+      * both stateful operators, state sampled per micro-batch. The
+      * corpus spans 30 days; the state horizons (10-min lateness,
+      * 60-min asof TTL, 30-min session gap) are minutes — so rows-in-
+      * state must PLATEAU at the keys-in-horizon bound while cumulative
+      * input grows ~50×, or the operator leaks state. */
+    def replayRun(dup: Int, nBatches: Int): Unit = {
+      val raw = graft.sources.PsIO
+        .readEventsNs(spark, "/root/testdata/sf0.01/events.parquet")
+      val base = raw.select($"event_id".as[Long], $"ts".as[Long],
+          $"user_id".as[Long], $"event_type".as[String], $"value".as[Double])
+        .collect()
+      val all: Array[Event] = (0 until dup).flatMap { i =>
+        base.map { case (id, tsNs, u, typ, v) =>
+          Event(id * dup + i, new Timestamp(tsNs / 1000000L),
+            u + 100000L * i, typ, v, "{}")
+        }
+      }.toArray.sortBy(_.ts.getTime)
+      val chunk = math.max(1, all.length / nBatches)
+
+      // -- streamingAsOf over the replay (clicks asof purchases) --
+      val left = MemoryStream[Event]
+      val right = MemoryStream[Event]
+      val qa = StreamingOps.streamingAsOf(
+          left.toDF(), right.toDF(), "user_id", "ts", "event_id", "value",
+          lateness = "10 minutes", keyTTL = java.time.Duration.ofMinutes(60))
+        .writeStream.format("memory").queryName(s"replay_asof_$dup")
+        .outputMode("append").start()
+      // -- sessionize over the same replay --
+      val sin = MemoryStream[Event]
+      val qs = StreamingOps.sessionize(
+          sin.toDS(), java.time.Duration.ofMinutes(30))
+        .writeStream.format("memory").queryName(s"replay_sess_$dup")
+        .outputMode("append").start()
+      try {
+        var aSeries = Vector.empty[Long]
+        var sSeries = Vector.empty[Long]
+        all.grouped(chunk).foreach { b =>
+          left.addData(b.filter(_.event_type == "click"))
+          right.addData(b.filter(_.event_type == "purchase"))
+          qa.processAllAvailable()
+          sin.addData(b.toSeq)
+          qs.processAllAvailable()
+          aSeries :+= stateRows(qa)
+          sSeries :+= stateRows(qs)
+        }
+        def summarize(label: String, s: Vector[Long]): Unit = {
+          val half = s.drop(s.size / 4).take(s.size / 4).max // 2nd quarter peak
+          val late = s.drop(s.size / 2).max // 2nd half peak
+          val monotone = s.zip(s.tail).forall { case (a, b) => b >= a }
+          println(f"[streamprobe] replay x$dup $label%-10s events=${all.length}%-7d " +
+            f"peakQ2=$half%-6d peakH2=$late%-6d last=${s.last}%-6d " +
+            f"plateau=${late.toDouble / math.max(1L, half)}%.2f monotone=$monotone")
+          println(s"[streamprobe]   series: ${s.mkString(" ")}")
+        }
+        summarize("asof", aSeries)
+        summarize("sessionize", sSeries)
+      } finally { qa.stop(); qs.stop() }
+    }
+
+    replayRun(1, 50)
+    replayRun(10, 50)
+
     val batches = 10
     val (aBase, aTen) = (asofRun(baseKeys, batches), asofRun(baseKeys * 10, batches))
     val (sBase, sTen) = (sessionRun(baseKeys, batches), sessionRun(baseKeys * 10, batches))
