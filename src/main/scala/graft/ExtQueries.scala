@@ -1650,6 +1650,16 @@ object ExtQueries {
         .orderBy("idx", "pos")
     }),
 
+    // pickle round-trip (reference read_pickle/to_pickle, io.py:37-40):
+    // write nation with toPickle, read it back with the pure-Scala
+    // unpickler; the oracle recomputes the same rows relationally from
+    // the parquet table — catches any value/ordering drift in the codec
+    "q_read_pickle" -> ((s, dir) => {
+      pickleFixture(s, dir)
+      PsIO.readPickle(s, PickleFixturePath).df
+        .orderBy("n_nationkey")
+    }),
+
     // per-column aggregate sugar: df("c").sum() scalars, re-lifted into a
     // frame so the oracle can compare them
     "q_colagg" -> ((s, dir) => {
@@ -1685,6 +1695,7 @@ object ExtQueries {
   val CsvFixtureDir = "/root/repo/target/tmp/nation_csv"
   val JsonFixtureDir = "/root/repo/target/tmp/nation_json"
   val NpyFixturePath = "/root/repo/target/tmp/nation_npy/nation.npy"
+  val PickleFixturePath = "/root/repo/target/tmp/nation_pkl/nation.pkl"
 
   /** Write-once-per-process fixture creation, keyed by (kind, dir):
     * the ingestion queries must time the READ — re-writing the fixture
@@ -1698,6 +1709,13 @@ object ExtQueries {
   private def jsonFixture(s: SparkSession, dir: String): Unit =
     fixturesDone.computeIfAbsent(s"json:$dir", _ =>
       PsIO.toJson(s.read.parquet(s"$dir/nation.parquet").coalesce(1), JsonFixtureDir))
+  private def pickleFixture(s: SparkSession, dir: String): Unit =
+    fixturesDone.computeIfAbsent(s"pkl:$dir", _ => {
+      new java.io.File(PickleFixturePath).getParentFile.mkdirs()
+      PsIO.toPickle(
+        s.read.parquet(s"$dir/nation.parquet").orderBy("n_nationkey"),
+        PickleFixturePath)
+    })
   private def npyFixture(s: SparkSession, dir: String): Unit =
     fixturesDone.computeIfAbsent(s"npy:$dir", _ => {
       new java.io.File(NpyFixturePath).getParentFile.mkdirs()
@@ -2724,6 +2742,12 @@ object ExtQueries {
       s"""SELECT n_nationkey, n_name, n_regionkey
           FROM read_json_auto('$JsonFixtureDir/*.json')
           ORDER BY n_nationkey""",
+    // the pickle fixture is nation itself round-tripped through the
+    // codec; ints widen to BIGINT through the object-list path
+    "q_read_pickle" ->
+      """SELECT n_nationkey::BIGINT AS n_nationkey, n_name,
+                n_regionkey::BIGINT AS n_regionkey
+         FROM nation ORDER BY n_nationkey""",
     // the npy fixture is written ordered by n_nationkey, so idx is the
     // rank of n_nationkey; DuckDB rebuilds (idx, pos, value) relationally
     "q_read_npy" ->

@@ -15,8 +15,7 @@ import graft.api.PsDataFrame
 
 /** NumPy `.npy` / `.npz` ingestion — the Spark face of the reference's
   * `read_numpy` (reference: pandasql/io.py:35-36; `read_pickle`,
-  * io.py:39-40, stays out of scope — Python pickle has no JVM codec, and
-  * its Spark-side equivalent for local objects is `fromLocal`).
+  * io.py:39-40, is covered by the sibling [[Pickle]] codec).
   *
   * The NPY format is public and tiny (numpy/lib/format.py docs): magic
   * `\x93NUMPY`, version, a Python-dict header (`descr`, `fortran_order`,

@@ -60,8 +60,7 @@ object PsIO {
 
   /** reference io.py:35-36 — local NumPy array ingestion; 1-D ->
     * (idx, value), 2-D -> (idx, value ARRAY). See [[Npy]] for the
-    * format/scale notes (read_pickle, io.py:39-40, stays out of scope —
-    * no JVM pickle codec; `fromLocal` is the local-object path). */
+    * format/scale notes. */
   def readNpy(spark: SparkSession, path: String): PsDataFrame =
     Npy.readNpy(spark, path)
 
@@ -70,6 +69,16 @@ object PsIO {
 
   def toNpy(df: DataFrame, valueCol: String, path: String): Unit =
     Npy.toNpy(df, valueCol, path)
+
+  /** reference io.py:37-40 / core.py:640 — pickled pandas DataFrame
+    * ingestion/egress via a pure-Scala codec for the public pickle wire
+    * format; see [[Pickle]] for supported dtypes and the local-object
+    * scale posture (driver-side, like `read_numpy`). */
+  def readPickle(spark: SparkSession, path: String): PsDataFrame =
+    Pickle.readPickle(spark, path)
+
+  def toPickle(df: DataFrame, path: String): Unit =
+    Pickle.toPickle(df, path)
 
   /** Sharded JSONL egress — the training-data interchange format: one
     * compressed .json(l) file per shard, each at most `maxRecordsPerShard`
