@@ -458,6 +458,30 @@ object Pickle {
             return decodeCtorFrame(o.args)
           case other => sys.error(s"pickle: unexpected DataFrame state $other")
         }
+      case o: PObj if o.cls == PGlobal("pandas.core.series", "Series") =>
+        // the reference accepts any pandas object DataFrame() can wrap
+        // (io.py:39-40); a Series becomes a one-column frame named after
+        // the series (pandas names an anonymous series' column "0").
+        // The values ndarray is the only BARE ndarray in the
+        // SingleBlockManager state — Index axes sit inside _new_Index
+        // objects, which the search does not enter.
+        val st = o.state match {
+          case d: PDict => d.m
+          case other => sys.error(s"pickle: unexpected Series state $other")
+        }
+        val mgr = st.getOrElse(PStr("_mgr"), st.getOrElse(PStr("_data"),
+          sys.error("pickle: Series state has no manager")))
+        val name = st.get(PStr("name")).orElse(st.get(PStr("_name"))) match {
+          case Some(PStr(s)) => s
+          case _ => "0"
+        }
+        val nd = unwrapNdArray(mgr)
+        val n = nd.shape.product
+        val (sparkType, grid) = materialize(nd, 1, n)
+        val (dt, vals) =
+          if (sparkType == NullType) inferObjectCol(grid(0)) else (sparkType, grid(0))
+        return (StructType(Seq(StructField(name, dt, nullable = true))),
+          (0 until n).map(i => Row(vals(i))))
       case m: PMgr => m
       case d: PDict => return decodeDictOfLists(d)
       case other => sys.error(s"pickle: not a DataFrame pickle (root $other)")
