@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.api._
 import graft.functions.TextAnalysis
-import graft.operators.{AsOfJoin, Bloom, Components, Dedup, Multimodal, Sampling, Similarity, Skew}
+import graft.operators.{AdpcmWavCodec, AsOfJoin, Bloom, Components, Dedup, Multimodal, Sampling, Similarity, Skew}
 import graft.sources.PsIO
 import graft.streaming.StreamingOps
 
@@ -811,6 +811,52 @@ object ExtQueries {
           col("nBytes").cast("long").as("n_bytes"),
           col("byteSum").as("pcm_sum"))
         .orderBy("doc_id")
+    }),
+
+    // REAL compressed audio through the SPI seam: one IMA-ADPCM WAV
+    // (format tag 0x11 — javax.sound declines it, dispatch falls through
+    // to the ServiceLoader-registered AdpcmWavCodec) per doc, a sine at
+    // a doc-dependent frequency. Deterministic facts (channels, rate,
+    // duration, decoded-PCM size) are oracled exactly; fidelity is gated
+    // in-engine as snr_ok (reconstruction > 18 dB vs the source sine),
+    // which the oracle pins to TRUE for every row
+    "q_multimodal_adpcm" -> ((s, dir) => {
+      import s.implicits._
+      val n = 505 * 2
+      val ids = t(s, dir, "documents").df
+        .filter(col("doc_id") < 50).select("doc_id").as[Long]
+      def sineOf(docId: Long): Array[Short] = {
+        val freq = 200.0 + docId * 10
+        Array.tabulate(n)(i =>
+          (9000 * math.sin(2 * math.Pi * freq * i / 16000)).toShort)
+      }
+      val media = ids.map { docId =>
+        Multimodal.MediaRecord(docId, "audio/adpcm",
+          AdpcmWavCodec.encode(16000, 1, sineOf(docId)), 0, 0, 0L)
+      }
+      val feats = Multimodal.extractFeatures(media)
+        .filter(_.decoded).toDF()
+        .select(col("id").as("doc_id"),
+          col("channels").cast("long").as("channels"),
+          col("sampleRate").cast("long").as("sample_rate"),
+          col("durationMs").as("duration_ms"),
+          col("nBytes").cast("long").as("n_bytes"))
+      val snr = ids.map { docId =>
+        val orig = sineOf(docId)
+        val dec = AdpcmWavCodec.decode(
+          AdpcmWavCodec.encode(16000, 1, orig)).get.pcm
+        var sig = 0.0; var err = 0.0
+        var i = 0
+        while (i < n) {
+          val d = ((dec(2 * i) & 0xFF) | (dec(2 * i + 1) << 8)).toShort
+          sig += orig(i).toDouble * orig(i)
+          val e = orig(i).toDouble - d
+          err += e * e
+          i += 1
+        }
+        (docId, 10 * math.log10(sig / math.max(err, 1e-12)) > 18.0)
+      }.toDF("doc_id", "snr_ok")
+      feats.join(snr, "doc_id").orderBy("doc_id")
     }),
 
     // image near-dup pairs over perceptual dHash + Hamming banding: one
@@ -2287,6 +2333,13 @@ object ExtQueries {
       """SELECT doc_id, 1::BIGINT AS channels, 8000::BIGINT AS sample_rate,
                 125::BIGINT AS duration_ms, 1000::BIGINT AS n_bytes,
                 (SELECT sum((doc_id*3 + i) % 256) FROM range(1000) t(i))::BIGINT AS pcm_sum
+         FROM documents WHERE doc_id < 50 ORDER BY doc_id""",
+    // 1010 samples at 16 kHz: duration rounds to 63 ms, decoded PCM is
+    // 2020 bytes; snr_ok is engine-gated and must be TRUE everywhere
+    "q_multimodal_adpcm" ->
+      """SELECT doc_id, 1::BIGINT AS channels, 16000::BIGINT AS sample_rate,
+                63::BIGINT AS duration_ms, 2020::BIGINT AS n_bytes,
+                TRUE AS snr_ok
          FROM documents WHERE doc_id < 50 ORDER BY doc_id""",
     "q_pipeline_curate" ->
       """WITH train AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),

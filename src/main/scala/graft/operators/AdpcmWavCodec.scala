@@ -1,0 +1,273 @@
+package graft.operators
+
+import java.io.ByteArrayOutputStream
+
+/** Production [[MediaCodecSpi]] implementation for IMA-ADPCM WAV
+  * (wFormatTag 0x0011) — a REAL compressed audio format decoded in pure
+  * JVM code, proving the SPI seam with something beyond a test fake.
+  *
+  * IMA ADPCM is the 4-bits-per-sample differential codec standardized in
+  * the IMA "Recommended Practices for Enhancing Digital Audio
+  * Compatibility" (1992) and carried in RIFF/WAVE as format tag 0x11
+  * (Microsoft "IMA ADPCM"); the step/index tables and the per-nibble
+  * recurrence below are from that public specification. 4:1 compression
+  * vs 16-bit PCM, used by telephony corpora and game/embedded assets —
+  * exactly the kind of payload a 100 TB multimodal crawl contains.
+  *
+  * javax.sound has no ADPCM provider, so [[Multimodal.AudioCodec]]
+  * declines these payloads and dispatch falls through to this codec via
+  * the ServiceLoader registry (META-INF/services). Same total-function
+  * contract as the in-JDK codecs: corrupt/over-budget payloads return
+  * None and quarantine one row, never a task. Stateless → thread-safe
+  * across executor task threads.
+  *
+  * Wire layout (per the WAVE spec): fmt chunk with blockAlign and
+  * samplesPerBlock; data chunk as a sequence of blockAlign-byte blocks.
+  * Each block: per channel a 4-byte header (predictor int16 LE, step
+  * index uint8, reserved), then nibble words of 4 bytes per channel,
+  * channels interleaved word-wise; low nibble before high nibble.
+  */
+final class AdpcmWavCodec extends MediaCodecSpi {
+
+  override def claims(mediaType: String): Boolean =
+    mediaType == "audio/adpcm" || mediaType == "audio/x-adpcm" ||
+      mediaType == "audio/wav" || mediaType == "audio/x-wav"
+
+  override def decode(
+      mediaType: String, payload: Array[Byte]): Option[MediaCodecSpi.Media] =
+    AdpcmWavCodec.decode(payload).map { d =>
+      MediaCodecSpi.Media(
+        data = d.pcm, channels = d.channels, sampleRate = d.sampleRate,
+        durationMs =
+          if (d.sampleRate > 0)
+            math.round(d.samplesPerChannel * 1000.0 / d.sampleRate)
+          else 0L)
+    }
+
+  override def resize(
+      mediaType: String, payload: Array[Byte], w: Int, h: Int): Option[Array[Byte]] =
+    None // audio: resize is not a meaningful operation
+
+  override def frames(
+      mediaType: String, payload: Array[Byte]): Option[Seq[Array[Byte]]] =
+    None // audio: no frame sequence
+}
+
+object AdpcmWavCodec {
+
+  /** IMA ADPCM quantizer step table (89 entries, public spec). */
+  private val StepTable: Array[Int] = Array(
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767)
+
+  /** Step-index adjustment per 3-bit magnitude (public spec). */
+  private val IndexTable: Array[Int] = Array(-1, -1, -1, -1, 2, 4, 6, 8)
+
+  /** Decode budget mirroring [[Multimodal.AudioCodec.DefaultMaxBytes]]:
+    * output PCM size is computed from the HEADER before allocation. */
+  val DefaultMaxBytes: Long = 1L << 26
+
+  case class Decoded(
+      sampleRate: Int, channels: Int, samplesPerChannel: Int,
+      pcm: Array[Byte]) // 16-bit LE, channel-interleaved
+
+  private def le16(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8)
+  private def le32(b: Array[Byte], o: Int): Long =
+    (le16(b, o).toLong) | (le16(b, o + 2).toLong << 16)
+  private def fourcc(b: Array[Byte], o: Int): String =
+    new String(b, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+  /** Total-function IMA-ADPCM WAV decode: None unless the payload is a
+    * well-formed RIFF/WAVE with format tag 0x11 within budget. */
+  def decode(
+      payload: Array[Byte], maxBytes: Long = DefaultMaxBytes): Option[Decoded] = {
+    try {
+      if (payload.length < 44 || fourcc(payload, 0) != "RIFF" ||
+          fourcc(payload, 8) != "WAVE") return None
+      // chunk walk: find fmt and data
+      var off = 12
+      var fmtOff = -1; var fmtLen = 0
+      var dataOff = -1; var dataLen = 0
+      while (off + 8 <= payload.length && (fmtOff < 0 || dataOff < 0)) {
+        val id = fourcc(payload, off)
+        val len = le32(payload, off + 4).toInt
+        if (len < 0 || off + 8 + len > payload.length) return None
+        if (id == "fmt ") { fmtOff = off + 8; fmtLen = len }
+        else if (id == "data") { dataOff = off + 8; dataLen = len }
+        off += 8 + len + (len & 1) // chunks are word-aligned
+      }
+      if (fmtOff < 0 || dataOff < 0 || fmtLen < 16) return None
+      val formatTag = le16(payload, fmtOff)
+      if (formatTag != 0x0011) return None // not IMA ADPCM
+      val channels = le16(payload, fmtOff + 2)
+      val sampleRate = le32(payload, fmtOff + 4).toInt
+      val blockAlign = le16(payload, fmtOff + 12)
+      if (channels < 1 || channels > 2 || sampleRate <= 0 ||
+          blockAlign < 4 * channels) return None
+      // samplesPerBlock from the fmt extension when present; else derived
+      val samplesPerBlock =
+        if (fmtLen >= 20 && le16(payload, fmtOff + 16) >= 2)
+          le16(payload, fmtOff + 18)
+        else (blockAlign - 4 * channels) * 2 / channels + 1
+      val nBlocks = dataLen / blockAlign
+      if (nBlocks <= 0) return None
+      val totalPerChan = nBlocks.toLong * samplesPerBlock
+      if (totalPerChan * channels * 2 > maxBytes) return None
+
+      val out = new Array[Byte]((totalPerChan * channels * 2).toInt)
+      val pred = new Array[Int](channels)
+      val index = new Array[Int](channels)
+
+      // sampleIdx is the global per-channel sample position
+      def emit(ch: Int, sampleIdx: Long, v: Int): Unit = {
+        val pos = (sampleIdx * channels + ch).toInt * 2
+        out(pos) = (v & 0xFF).toByte
+        out(pos + 1) = ((v >> 8) & 0xFF).toByte
+      }
+      def step(ch: Int, nibble: Int): Int = {
+        val st = StepTable(index(ch))
+        var diff = st >> 3
+        if ((nibble & 1) != 0) diff += st >> 2
+        if ((nibble & 2) != 0) diff += st >> 1
+        if ((nibble & 4) != 0) diff += st
+        if ((nibble & 8) != 0) diff = -diff
+        pred(ch) = math.max(-32768, math.min(32767, pred(ch) + diff))
+        index(ch) = math.max(0, math.min(88, index(ch) + IndexTable(nibble & 7)))
+        pred(ch)
+      }
+
+      var blk = 0
+      while (blk < nBlocks) {
+        val base = dataOff + blk * blockAlign
+        val blockStart = blk.toLong * samplesPerBlock
+        var ch = 0
+        while (ch < channels) {
+          val h = base + 4 * ch
+          pred(ch) = le16(payload, h).toShort.toInt // sign-extend
+          index(ch) = math.max(0, math.min(88, payload(h + 2) & 0xFF))
+          // header predictor IS sample 0 of the block for this channel
+          emit(ch, blockStart, pred(ch))
+          ch += 1
+        }
+        // nibble words: 4 bytes (8 sequential samples) per channel,
+        // channels interleaved word-wise; low nibble precedes high
+        var produced = 1
+        var word = base + 4 * channels
+        while (produced < samplesPerBlock) {
+          var c = 0
+          while (c < channels) {
+            val w = word + 4 * c
+            var bi = 0
+            while (bi < 4) {
+              val byte = payload(w + bi) & 0xFF
+              val s1 = produced + bi * 2
+              if (s1 < samplesPerBlock)
+                emit(c, blockStart + s1, step(c, byte & 0x0F))
+              val s2 = s1 + 1
+              if (s2 < samplesPerBlock)
+                emit(c, blockStart + s2, step(c, (byte >> 4) & 0x0F))
+              bi += 1
+            }
+            c += 1
+          }
+          produced += 8
+          word += 4 * channels
+        }
+        blk += 1
+      }
+      Some(Decoded(sampleRate, channels, (totalPerChan).toInt, out))
+    } catch { case _: Exception => None }
+  }
+
+  /** Encode 16-bit channel-interleaved PCM as an IMA-ADPCM WAV (the
+    * standard inverse recurrence; fixture generation and tests). */
+  def encode(
+      sampleRate: Int, channels: Int, samples: Array[Short],
+      samplesPerBlock: Int = 505): Array[Byte] = {
+    require(channels == 1 || channels == 2, "mono or stereo only")
+    require(samplesPerBlock >= 9 && (samplesPerBlock - 1) % 8 == 0,
+      "samplesPerBlock must be 8k+1")
+    val perChan = samples.length / channels
+    val blockAlign = 4 * channels + (samplesPerBlock - 1) / 2 * channels
+    val nBlocks = (perChan + samplesPerBlock - 1) / samplesPerBlock
+
+    val pred = new Array[Int](channels)
+    val index = new Array[Int](channels)
+    def sampleAt(ch: Int, i: Int): Int =
+      if (i < perChan) samples(i * channels + ch).toInt else 0
+    def encodeNibble(ch: Int, target: Int): Int = {
+      val st = StepTable(index(ch))
+      var delta = target - pred(ch)
+      var nibble = 0
+      if (delta < 0) { nibble = 8; delta = -delta }
+      if (delta >= st) { nibble |= 4; delta -= st }
+      if (delta >= (st >> 1)) { nibble |= 2; delta -= st >> 1 }
+      if (delta >= (st >> 2)) nibble |= 1
+      // reconstruct exactly as the decoder will
+      var diff = st >> 3
+      if ((nibble & 1) != 0) diff += st >> 2
+      if ((nibble & 2) != 0) diff += st >> 1
+      if ((nibble & 4) != 0) diff += st
+      if ((nibble & 8) != 0) diff = -diff
+      pred(ch) = math.max(-32768, math.min(32767, pred(ch) + diff))
+      index(ch) = math.max(0, math.min(88, index(ch) + IndexTable(nibble & 7)))
+      nibble
+    }
+
+    val data = new ByteArrayOutputStream()
+    var blk = 0
+    while (blk < nBlocks) {
+      val s0 = blk * samplesPerBlock
+      var ch = 0
+      while (ch < channels) {
+        pred(ch) = sampleAt(ch, s0)
+        // index persists across blocks (standard practice); header records it
+        data.write(pred(ch) & 0xFF); data.write((pred(ch) >> 8) & 0xFF)
+        data.write(index(ch)); data.write(0)
+        ch += 1
+      }
+      var produced = 1
+      while (produced < samplesPerBlock) {
+        var c = 0
+        while (c < channels) {
+          var bi = 0
+          while (bi < 4) {
+            val i1 = s0 + produced + bi * 2
+            val i2 = s0 + produced + bi * 2 + 1
+            val lo = if (produced + bi * 2 < samplesPerBlock)
+              encodeNibble(c, sampleAt(c, i1)) else 0
+            val hi = if (produced + bi * 2 + 1 < samplesPerBlock)
+              encodeNibble(c, sampleAt(c, i2)) else 0
+            data.write(lo | (hi << 4))
+            bi += 1
+          }
+          c += 1
+        }
+        produced += 8
+      }
+      blk += 1
+    }
+    val d = data.toByteArray
+
+    val bos = new ByteArrayOutputStream()
+    def w16(v: Int): Unit = { bos.write(v & 0xFF); bos.write((v >> 8) & 0xFF) }
+    def w32(v: Long): Unit = { w16((v & 0xFFFF).toInt); w16(((v >> 16) & 0xFFFF).toInt) }
+    def tag(s: String): Unit = bos.write(s.getBytes("US-ASCII"))
+    val fmtLen = 20 // 16 base + cbSize(2) + samplesPerBlock(2)
+    tag("RIFF"); w32(4 + 8 + fmtLen + 8 + d.length); tag("WAVE")
+    tag("fmt "); w32(fmtLen)
+    w16(0x0011); w16(channels); w32(sampleRate)
+    val avgBps = sampleRate.toLong * blockAlign / samplesPerBlock
+    w32(avgBps); w16(blockAlign); w16(4) // bits per (compressed) sample
+    w16(2); w16(samplesPerBlock)
+    tag("data"); w32(d.length)
+    bos.write(d)
+    bos.toByteArray
+  }
+}
