@@ -284,6 +284,11 @@ object Pickle {
           if (args.length > 2 && args(2) != PNone) longOf(args(2)) else 1L)
       case PGlobal("pandas._libs.internals", "_unpickle_block") =>
         PBlock(args(0), args(1))
+      case g @ PGlobal("pandas.core.internals.managers", "BlockManager")
+          if args.isEmpty =>
+        // pandas 1.x: NEWOBJ with no args + BUILD(legacy state) — keep
+        // generic; decodeFrame normalizes via legacyMgr
+        new PObj(g, argsV)
       case PGlobal("pandas.core.internals.managers", "BlockManager") =>
         val blocks = args(0) match {
           case PTuple(bs) => bs
@@ -451,6 +456,7 @@ object Pickle {
           case d: PDict =>
             d.m.get(PStr("_mgr")).orElse(d.m.get(PStr("_data"))) match {
               case Some(m: PMgr) => m
+              case Some(po: PObj) => legacyMgr(po)
               case other => sys.error(s"pickle: DataFrame state has no BlockManager ($other)")
             }
           case PNone =>
@@ -534,9 +540,55 @@ object Pickle {
     (StructType(fields.toIndexedSeq), rows)
   }
 
+  /** pandas 1.x pickled BlockManager via NEWOBJ + BUILD with a legacy
+    * state tuple whose tail carries the versioned compat dict
+    * `{'0.14.1': {'axes': [...], 'blocks': [{'values', 'mgr_locs'}]}}`
+    * (pandas core/internals __getstate__, still read by pandas 2's
+    * compat shim). Normalize that shape to the modern PMgr. */
+  private def legacyMgr(o: PObj): PMgr = {
+    def findCompat(pv: PV): Option[PDict] = pv match {
+      case d: PDict
+          if d.m.contains(PStr("blocks")) && d.m.contains(PStr("axes")) =>
+        Some(d)
+      case d: PDict => d.m.values.view.flatMap(findCompat).headOption
+      case PTuple(items) => items.view.flatMap(findCompat).headOption
+      case l: PList => l.buf.view.flatMap(findCompat).headOption
+      case _ => None
+    }
+    val compat = findCompat(o.state).getOrElse(
+      sys.error(s"pickle: ${o.cls} has no modern args and no legacy compat dict"))
+    def asSeq(pv: PV): Vector[PV] = pv match {
+      case l: PList => l.buf.toVector
+      case PTuple(items) => items
+      case other => Vector(other)
+    }
+    val axes = asSeq(compat.m(PStr("axes")))
+    val blocks = asSeq(compat.m(PStr("blocks"))).map {
+      case bd: PDict =>
+        PBlock(bd.m(PStr("values")), bd.m(PStr("mgr_locs"))): PV
+      case other => sys.error(s"pickle: unexpected legacy block $other")
+    }
+    PMgr(blocks, axes)
+  }
+
   /** Axis values from a `_new_Index(cls, state)` object (Index with an
-    * object ndarray of labels, or RangeIndex with start/stop/step). */
+    * object ndarray of labels, or RangeIndex with start/stop/step) — or,
+    * in legacy pickles, a raw label ndarray. */
   private def indexValues(axis: PV): Vector[PV] = axis match {
+    case nd: PNdArray =>
+      nd.data match {
+        case l: PList => l.buf.toVector
+        case _: PBytes =>
+          val n = nd.shape.product
+          val (_, grid) = materialize(nd, 1, n)
+          grid(0).map {
+            case l: Long => PLong(BigInt(l))
+            case d: Double => PDouble(d)
+            case s: String => PStr(s)
+            case other => PStr(String.valueOf(other))
+          }.toVector
+        case other => sys.error(s"pickle: unsupported axis ndarray data $other")
+      }
     case o: PObj =>
       val st = o.state match {
         case d: PDict => d.m
