@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.api._
 import graft.functions.TextAnalysis
-import graft.operators.{AdpcmWavCodec, AsOfJoin, Bloom, Components, Dedup, Multimodal, Sampling, Similarity, Skew}
+import graft.operators.{AdpcmWavCodec, AsOfJoin, Bloom, Components, Dedup, GifFramesCodec, Multimodal, Sampling, Similarity, Skew}
 import graft.sources.PsIO
 import graft.streaming.StreamingOps
 
@@ -811,6 +811,36 @@ object ExtQueries {
           col("nBytes").cast("long").as("n_bytes"),
           col("byteSum").as("pcm_sum"))
         .orderBy("doc_id")
+    }),
+
+    // animated-GIF frame walk through the SPI seam (GifFramesCodec on
+    // the JDK's ImageIO GIF reader): one GIF per doc with doc_id%3+2
+    // solid-gray frames; explodeFrames samples to 4, each PNG frame
+    // decodes downstream through ImageCodec — source index, dims, and
+    // the exact per-frame gray level are the oracle-able facts
+    "q_gif_frames" -> ((s, dir) => {
+      import s.implicits._
+      val ids = t(s, dir, "documents").df
+        .filter(col("doc_id") < 50).select("doc_id").as[Long]
+      val media = ids.map { docId =>
+        val nF = (docId % 3 + 2).toInt
+        val frames = (0 until nF).map { f =>
+          val g = ((docId * 5 + f * 40) % 256).toInt
+          Array.fill(8 * 8 * 3)(g.toByte)
+        }
+        Multimodal.MediaRecord(docId, "image/gif",
+          GifFramesCodec.encodeAnimatedGif(8, 8, frames), 8, 8, 0L)
+      }
+      Multimodal.explodeFrames(media, 4)
+        .map { fr =>
+          val d = Multimodal.ImageCodec.decode(fr.frame)
+          (fr.id, fr.frameIndex.toLong,
+            d.map(_.width.toLong).getOrElse(-1L),
+            d.map(_.height.toLong).getOrElse(-1L),
+            d.map(x => (x.rgb(0) & 0xFF).toLong).getOrElse(-1L))
+        }
+        .toDF("id", "frame_index", "width", "height", "gray")
+        .orderBy("id", "frame_index")
     }),
 
     // REAL compressed audio through the SPI seam: one IMA-ADPCM WAV
@@ -2334,6 +2364,15 @@ object ExtQueries {
                 125::BIGINT AS duration_ms, 1000::BIGINT AS n_bytes,
                 (SELECT sum((doc_id*3 + i) % 256) FROM range(1000) t(i))::BIGINT AS pcm_sum
          FROM documents WHERE doc_id < 50 ORDER BY doc_id""",
+    // every GIF here has <= 4 frames, so the ceiling-stride sample is
+    // the identity walk: indices 0..nF-1, gray = (doc_id*5 + i*40) % 256
+    "q_gif_frames" ->
+      """SELECT doc_id::BIGINT AS id, i::BIGINT AS frame_index,
+                8::BIGINT AS width, 8::BIGINT AS height,
+                ((doc_id * 5 + i * 40) % 256)::BIGINT AS gray
+         FROM documents CROSS JOIN range(4) t(i)
+         WHERE doc_id < 50 AND i < doc_id % 3 + 2
+         ORDER BY id, frame_index""",
     // 1010 samples at 16 kHz: duration rounds to 63 ms, decoded PCM is
     // 2020 bytes; snr_ok is engine-gated and must be TRUE everywhere
     "q_multimodal_adpcm" ->

@@ -633,19 +633,23 @@ object Multimodal {
     * repartitions see the post-explosion cardinality). `video/…` rows
     * that parse as MJPEG-AVI get REAL frames ([[VideoCodec.frames]],
     * stride-sampled down to `n` — each an ImageIO-decodable JPEG, so
-    * [[extractFeatures]]/[[imageDHashes]] compose downstream); other
-    * video payloads (h264 etc., no JDK decoder) fall back to
-    * [[StubCodecs.sampleFrames]], where a production build calls
-    * ffmpeg's keyframe walk. `frameIndex` is the index in the SOURCE
-    * stream, so sampling stride stays auditable. */
+    * [[extractFeatures]]/[[imageDHashes]] compose downstream); any other
+    * type a [[MediaCodecSpi]] codec claims (animated `image/gif` via
+    * [[GifFramesCodec]], production h264 via an ffmpeg-class SPI jar)
+    * gets that codec's frame walk; the rest fall back to
+    * [[StubCodecs.sampleFrames]]. `frameIndex` is the index in the
+    * SOURCE stream, so sampling stride stays auditable. */
   def explodeFrames(media: Dataset[MediaRecord], n: Int): Dataset[FrameRecord] = {
     import media.sparkSession.implicits._
     media.mapPartitions(_.flatMap { m =>
       val real =
-        if (m.mediaType != null && m.mediaType.startsWith("video/") && n > 0)
-          VideoCodec.frames(m.payload).orElse(
+        if (m.mediaType != null && n > 0) {
+          val viaJdk =
+            if (m.mediaType.startsWith("video/")) VideoCodec.frames(m.payload)
+            else None
+          viaJdk.orElse(
             MediaCodecSpi.forType(m.mediaType).flatMap(_.frames(m.mediaType, m.payload)))
-        else None
+        } else None
       real match {
         case Some(fs) if fs.nonEmpty =>
           // ceiling stride: sampled indices span the whole stream (a
