@@ -785,9 +785,17 @@ object Pickle {
   // ---------------------------------------------------------------------
 
   /** Read a pickled pandas DataFrame (or dict-of-lists) into a frame.
-    * Driver-side decode + local relation, like `read_numpy`. */
+    * Driver-side decode + local relation, like `read_numpy`. gzip
+    * payloads (pandas `to_pickle('*.pkl.gz')`) are detected by magic
+    * and decompressed transparently. */
   def readPickle(spark: SparkSession, path: String): PsDataFrame = {
-    val bytes = Files.readAllBytes(Paths.get(path))
+    val raw = Files.readAllBytes(Paths.get(path))
+    val bytes =
+      if (raw.length > 2 && raw(0) == 0x1F.toByte && raw(1) == 0x8B.toByte) {
+        val in = new java.util.zip.GZIPInputStream(
+          new java.io.ByteArrayInputStream(raw))
+        try in.readAllBytes() finally in.close()
+      } else raw
     val (schema, rows) = decodeFrame(parse(bytes))
     PsDataFrame(spark.createDataFrame(
       spark.sparkContext.parallelize(rows.toSeq, math.max(1, math.min(8, rows.length))),
