@@ -70,6 +70,19 @@ object ExtQueries {
     * bits disagree w.p. 3/8), so at maxHamming=4 the ONLY near-dup pairs
     * are the planted (doc, twin) ones — an exact, SQL-expressible
     * relation even though the codec itself isn't SQL. */
+  /** Memoized persisted fixture datasets, keyed by (session, kind, dir):
+    * a bare `.persist()` inside a query closure leaks one cache entry
+    * per invocation — DiffConfig alone re-invokes each closure five
+    * times — so repeated invocations must share ONE cached dataset. */
+  private val persistedMedia = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.sql.Dataset[Multimodal.MediaRecord]]()
+  private def persistOnce(
+      s: SparkSession, key: String,
+      mk: => org.apache.spark.sql.Dataset[Multimodal.MediaRecord])
+      : org.apache.spark.sql.Dataset[Multimodal.MediaRecord] =
+    persistedMedia.computeIfAbsent(
+      s"${System.identityHashCode(s)}:$key", _ => mk.persist())
+
   private def imageNearDupMedia(
       s: SparkSession, dir: String): org.apache.spark.sql.Dataset[Multimodal.MediaRecord] = {
     import s.implicits._
@@ -898,7 +911,7 @@ object ExtQueries {
     // SQL-expressible relation even though the codec itself isn't SQL
     "q_image_neardup" -> ((s, dir) => {
       // persist: same self-join doubling as q_audio_neardup below
-      val media = imageNearDupMedia(s, dir).persist()
+      val media = persistOnce(s, s"img:$dir", imageNearDupMedia(s, dir))
       Multimodal.imageNearDupPairs(media, maxHamming = 4)
         .select("a_id", "b_id").orderBy("a_id", "b_id")
     }),
@@ -963,7 +976,8 @@ object ExtQueries {
       }
       // persist: hammingPairs self-joins the hash relation, which would
       // run the WAV-encoding generator once per join side
-      Multimodal.audioNearDupPairs(media.persist(), maxHamming = 4)
+      Multimodal.audioNearDupPairs(
+        persistOnce(s, s"wav:$dir", media), maxHamming = 4)
         .select("a_id", "b_id").orderBy("a_id", "b_id")
     }),
 
@@ -975,7 +989,7 @@ object ExtQueries {
       // (plus the anti-join finale) would otherwise re-run the PNG
       // encode/resize/dHash generator end-to-end. At corpus scale the
       // input is a parquet scan — the fixture must cost like one.
-      val media = imageNearDupMedia(s, dir).persist()
+      val media = persistOnce(s, s"img:$dir", imageNearDupMedia(s, dir))
       val pairs = Multimodal.imageNearDupPairs(media, maxHamming = 4)
       Components.dedupByCluster(media.toDF().select("id"), pairs, "id", rounds = 2)
         .orderBy("id")

@@ -76,12 +76,9 @@ object AdpcmWavCodec {
       sampleRate: Int, channels: Int, samplesPerChannel: Int,
       pcm: Array[Byte]) // 16-bit LE, channel-interleaved
 
-  private def le16(b: Array[Byte], o: Int): Int =
-    (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8)
-  private def le32(b: Array[Byte], o: Int): Long =
-    (le16(b, o).toLong) | (le16(b, o + 2).toLong << 16)
-  private def fourcc(b: Array[Byte], o: Int): String =
-    new String(b, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+  private def le16(b: Array[Byte], o: Int): Int = Riff.le16(b, o)
+  private def le32(b: Array[Byte], o: Int): Long = Riff.le32(b, o)
+  private def fourcc(b: Array[Byte], o: Int): String = Riff.fourcc(b, o)
 
   /** Total-function IMA-ADPCM WAV decode: None unless the payload is a
     * well-formed RIFF/WAVE with format tag 0x11 within budget. */
@@ -115,6 +112,14 @@ object AdpcmWavCodec {
         if (fmtLen >= 20 && le16(payload, fmtOff + 16) >= 2)
           le16(payload, fmtOff + 18)
         else (blockAlign - 4 * channels) * 2 / channels + 1
+      // the nibble walk must stay inside the block: a hostile header
+      // declaring more samples than blockAlign carries would otherwise
+      // read the NEXT block's bytes as nibble data (garbled Some, not
+      // the contract's None). Words consumed per channel group = 4 B,
+      // 8 samples each.
+      val wordsNeeded = (samplesPerBlock - 1 + 7) / 8
+      if (samplesPerBlock < 1 ||
+          4 * channels + wordsNeeded * 4 * channels > blockAlign) return None
       val nBlocks = dataLen / blockAlign
       if (nBlocks <= 0) return None
       val totalPerChan = nBlocks.toLong * samplesPerBlock

@@ -28,11 +28,11 @@ final class GifFramesCodec extends MediaCodecSpi {
 
   override def decode(
       mediaType: String, payload: Array[Byte]): Option[MediaCodecSpi.Media] =
-    GifFramesCodec.frames(payload).flatMap(_.headOption).flatMap { png =>
-      Multimodal.ImageCodec.decode(png).map { d =>
-        MediaCodecSpi.Media(d.rgb, width = d.width, height = d.height,
-          channels = d.channels)
-      }
+    // first frame only — walking frames() here would decode and PNG
+    // re-encode EVERY frame of a long GIF to keep one
+    Multimodal.ImageCodec.decode(payload).map { d =>
+      MediaCodecSpi.Media(d.rgb, width = d.width, height = d.height,
+        channels = d.channels)
     }
 
   override def resize(

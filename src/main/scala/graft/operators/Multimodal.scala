@@ -362,12 +362,8 @@ object Multimodal {
       * array is materialized. */
     val DefaultMaxBytes: Long = 1L << 26
 
-    private def le32(b: Array[Byte], off: Int): Long =
-      (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
-        ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
-
-    private def fourcc(b: Array[Byte], off: Int): String =
-      new String(b, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    private def le32(b: Array[Byte], off: Int): Long = Riff.le32(b, off)
+    private def fourcc(b: Array[Byte], off: Int): String = Riff.fourcc(b, off)
 
     /** Extract the MJPEG frame payloads ('00dc'/'00db' chunks inside the
       * 'movi' LIST) in stream order. None = not a RIFF/AVI payload, a

@@ -45,7 +45,10 @@ import graft.api.PsDataFrame
   * values). Consolidated multi-column blocks, slice and array
   * placements, C and Fortran item order, and both '<' and '>' byte
   * orders are handled. On write: Byte/Short/Int/Long/Float/Double/
-  * String/Boolean/Timestamp/Date columns.
+  * String/Boolean/Timestamp/Date columns, plus Decimal emitted as
+  * exact `decimal.Decimal` digit strings (read back as strings —
+  * never a rounded double in either direction). Timestamps travel as
+  * UTC wall clock on both sides, so round trips are zone-independent.
   */
 object Pickle {
 
@@ -324,6 +327,9 @@ object Pickle {
           case Some(PStr(s)) => PBytes(s.getBytes(StandardCharsets.ISO_8859_1))
           case _ => PBytes(Array.emptyByteArray)
         }
+      case PGlobal("decimal", "Decimal") | PGlobal("_pydecimal", "Decimal") =>
+        // surfaced as the exact digit string (no binary float detour)
+        PStr(asStr(args(0)))
       case PGlobal("datetime", "datetime") =>
         PDateTime(datetimePayloadMicros(args(0)))
       case PGlobal("datetime", "date") =>
@@ -357,9 +363,6 @@ object Pickle {
           s(1) match { case PStr(bo) if bo.nonEmpty => dt.byteorder = bo.head
                        case _ => () }
           // M8/m8 dtypes carry (unit, (num, den, ...)) trailing metadata
-          s.collectFirst {
-            case PTuple(Vector(PTuple(meta), _*)) if meta.nonEmpty => meta
-          }
           s.foreach {
             case PTuple(Vector(u, _*)) if dt.kind.startsWith("M") ||
                 dt.kind.startsWith("m") =>
@@ -393,8 +396,14 @@ object Pickle {
     new PDtype(kind, bo, unit)
   }
 
+  /** Exact BigInt -> Long; a Python int outside Long range must fail
+    * loudly, not wrap (silent corruption beats every other error here). */
+  private def toLongExact(b: BigInt): Long =
+    if (b.isValidLong) b.toLong
+    else sys.error(s"pickle: integer $b exceeds 64-bit signed range")
+
   private def longOf(v: PV): Long = v match {
-    case PLong(b) => b.toLong
+    case PLong(b) => toLongExact(b)
     case PBool(b) => if (b) 1L else 0L
     case PNone => 0L
     case other => sys.error(s"pickle: expected int, got $other")
@@ -479,6 +488,8 @@ object Pickle {
           sys.error("pickle: Series state has no manager")))
         val name = st.get(PStr("name")).orElse(st.get(PStr("_name"))) match {
           case Some(PStr(s)) => s
+          case Some(PLong(v)) => v.toString // pandas allows non-string names
+          case Some(PDouble(v)) => v.toString
           case _ => "0"
         }
         val nd = unwrapNdArray(mgr)
@@ -670,7 +681,7 @@ object Pickle {
           l.buf(flat) match {
             case PNone => null
             case PStr(s) => s
-            case PLong(v) => v.toLong
+            case PLong(v) => toLongExact(v)
             case PDouble(d) => d
             case PBool(b) => b
             case PDateTime(us) =>
@@ -762,7 +773,7 @@ object Pickle {
       val vals: Array[Any] = raw.map {
         case PNone => null
         case PStr(s) => s
-        case PLong(x) => x.toLong
+        case PLong(x) => toLongExact(x)
         case PDouble(x) => x
         case PBool(b) => b
         case PDateTime(us) =>
@@ -895,7 +906,10 @@ object Pickle {
       unicode(s)
     }
     def datetime(ts: Timestamp): Unit = {
-      val ldt = ts.toLocalDateTime
+      // UTC wall clock, matching the reader's UTC interpretation of the
+      // payload — Timestamp.toLocalDateTime would bake in the JVM's
+      // default zone and shift every value on a non-UTC machine
+      val ldt = ts.toInstant.atZone(java.time.ZoneOffset.UTC).toLocalDateTime
       val us = ldt.getNano / 1000
       val payload = Array[Byte](
         ((ldt.getYear >> 8) & 0xFF).toByte, (ldt.getYear & 0xFF).toByte,
@@ -928,7 +942,12 @@ object Pickle {
         case BooleanType => bool(v.asInstanceOf[Boolean])
         case TimestampType => datetime(v.asInstanceOf[Timestamp])
         case DateType => date(v.asInstanceOf[java.sql.Date])
-        case _: DecimalType => double(v.asInstanceOf[java.math.BigDecimal].doubleValue())
+        case _: DecimalType =>
+          // exact: pandas receives decimal.Decimal('<digits>'), never a
+          // rounded double (38-digit decimals exceed double precision)
+          global("decimal", "Decimal")
+          unicode(v.asInstanceOf[java.math.BigDecimal].toPlainString)
+          tuple1(); reduce()
         case other => sys.error(s"toPickle: unsupported type $other")
       }
   }

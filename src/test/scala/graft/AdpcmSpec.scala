@@ -80,6 +80,20 @@ class AdpcmSpec extends AnyFunSuite with SparkFixture {
     assert(AdpcmWavCodec.decode(good.take(good.length - 50)).isEmpty)
   }
 
+  test("a hostile samplesPerBlock header is rejected, not read past the block") {
+    val good = AdpcmWavCodec.encode(16000, 1, sine(505 * 2, 440, 16000, 8000))
+    assert(AdpcmWavCodec.decode(good).isDefined)
+    // locate the fmt extension's samplesPerBlock (offset fmt+18) and
+    // inflate it beyond the block's nibble capacity
+    val idx = good.indexOfSlice("fmt ".getBytes("US-ASCII"))
+    val spbOff = idx + 8 + 18
+    val evil = good.clone()
+    evil(spbOff) = 0xF9.toByte // 2041 = 0x7F9: capacity is 505
+    evil(spbOff + 1) = 0x07.toByte
+    assert(AdpcmWavCodec.decode(evil).isEmpty,
+      "declared samples exceeding blockAlign capacity must quarantine the row")
+  }
+
   test("ServiceLoader registers the codec and dispatch reaches it end-to-end") {
     assert(MediaCodecSpi.forType("audio/adpcm").exists(_.isInstanceOf[AdpcmWavCodec]))
     val s = spark
