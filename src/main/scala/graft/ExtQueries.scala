@@ -826,6 +826,32 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // END-TO-END multimodal curation pipeline — the media analogue of
+    // q_pipeline_curate: a corpus of 50 originals + 50 downscaled twins
+    // + 5 corrupt blobs flows decode→quarantine (decoded flag) →
+    // perceptual near-dup clustering (dHash + Hamming banding + CC) →
+    // survivor manifest re-joined with its features. Closed form: the
+    // corrupt rows are quarantined, each {original, twin} cluster keeps
+    // its min id, so the manifest is exactly the 50 originals with
+    // their real decoded dims and pixel-buffer size
+    "q_pipeline_media" -> ((s, dir) => {
+      import s.implicits._
+      val media = persistOnce(s, s"img:$dir", imageNearDupMedia(s, dir))
+      val corrupt = (0 until 5).map(d =>
+        Multimodal.MediaRecord(2000000L + d, "image/png",
+          s"corrupt-$d".getBytes("UTF-8"), 0, 0, 0L))
+      val corpus = media.union(corrupt.toDS())
+      val feats = Multimodal.extractFeatures(corpus).toDF()
+      val clean = feats.filter(col("decoded"))
+      val pairs = Multimodal.imageNearDupPairs(media, maxHamming = 4)
+      Components.dedupByCluster(clean.select("id"), pairs, "id", rounds = 2)
+        .join(feats.select(col("id"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("nBytes").cast("long").as("n_bytes")), "id")
+        .orderBy("id")
+    }),
+
     // animated-GIF frame walk through the SPI seam (GifFramesCodec on
     // the JDK's ImageIO GIF reader): one GIF per doc with doc_id%3+2
     // solid-gray frames; explodeFrames samples to 4, each PNG frame
@@ -2378,6 +2404,11 @@ object ExtQueries {
                 125::BIGINT AS duration_ms, 1000::BIGINT AS n_bytes,
                 (SELECT sum((doc_id*3 + i) % 256) FROM range(1000) t(i))::BIGINT AS pcm_sum
          FROM documents WHERE doc_id < 50 ORDER BY doc_id""",
+    // survivors are the originals: 18x16 px, 864-byte RGB buffers
+    "q_pipeline_media" ->
+      """SELECT doc_id::BIGINT AS id, 18::BIGINT AS width,
+                16::BIGINT AS height, 864::BIGINT AS n_bytes
+         FROM documents WHERE doc_id < 50 ORDER BY id""",
     // every GIF here has <= 4 frames, so the ceiling-stride sample is
     // the identity walk: indices 0..nF-1, gray = (doc_id*5 + i*40) % 256
     "q_gif_frames" ->
