@@ -515,28 +515,39 @@ object Pickle {
     val cols = new Array[Col](nCols)
     mgr.blocks.foreach { blockPv =>
       val PBlock(valuesPv, placementPv) = (blockPv: @unchecked)
-      val nd = unwrapNdArray(valuesPv)
-      val (k, n) = nd.shape match {
-        case Vector(a, b) => (a, b)
-        case Vector(b) => (1, b)
-        case other => sys.error(s"pickle: unsupported block shape $other")
-      }
       val placement: Int => Int = placementPv match {
         case PSlice(st, _, step) => j => (st + j * step).toInt
         case p => val idx = unwrapNdArray(p); val vals = numericArray(idx)
           j => vals(j).asInstanceOf[Number].intValue()
       }
-      val (sparkType, grid) = materialize(nd, k, n)
-      var j = 0
-      while (j < k) {
-        val colIdx = placement(j)
-        val vals = new Array[Any](n)
-        var i = 0
-        while (i < n) { vals(i) = grid(j)(i); i += 1 }
-        val (dt2, vals2) =
-          if (sparkType == NullType) inferObjectCol(vals) else (sparkType, vals)
-        cols(colIdx) = Col(colNames(colIdx), dt2, vals2)
-        j += 1
+      valuesPv match {
+        // Categorical blocks FIRST: their state tuple leads with the
+        // i1/i2 codes ndarray, so the generic ndarray search would
+        // silently decode codes (with -1 for null) as the column values
+        case o: PObj if o.cls.name == "Categorical" =>
+          val vals = decodeCategorical(o)
+          val colIdx = placement(0)
+          val (dt, vals2) = inferObjectCol(vals)
+          cols(colIdx) = Col(colNames(colIdx), dt, vals2)
+        case _ =>
+          val nd = unwrapNdArray(valuesPv)
+          val (k, n) = nd.shape match {
+            case Vector(a, b) => (a, b)
+            case Vector(b) => (1, b)
+            case other => sys.error(s"pickle: unsupported block shape $other")
+          }
+          val (sparkType, grid) = materialize(nd, k, n)
+          var j = 0
+          while (j < k) {
+            val colIdx = placement(j)
+            val vals = new Array[Any](n)
+            var i = 0
+            while (i < n) { vals(i) = grid(j)(i); i += 1 }
+            val (dt2, vals2) =
+              if (sparkType == NullType) inferObjectCol(vals) else (sparkType, vals)
+            cols(colIdx) = Col(colNames(colIdx), dt2, vals2)
+            j += 1
+          }
       }
     }
 
@@ -631,6 +642,41 @@ object Pickle {
         }
       }
     case other => sys.error(s"pickle: unsupported axis $other")
+  }
+
+  /** A Categorical extension block: NDArrayBacked state is
+    * `(codes_ndarray, CategoricalDtype)` where the dtype object's state
+    * dict carries `categories` (an Index) and `ordered`. Codes are
+    * narrow ints indexing the category labels; -1 marks null. */
+  private def decodeCategorical(o: PObj): Array[Any] = {
+    val st = o.state match {
+      case PTuple(items) => items
+      case other => sys.error(s"pickle: unexpected Categorical state $other")
+    }
+    val codes = numericArray(st.collectFirst { case nd: PNdArray => nd }
+      .getOrElse(sys.error("pickle: Categorical without codes ndarray")))
+    val catDtype = st.collectFirst {
+      case d: PObj if d.cls.name == "CategoricalDtype" => d
+    }.getOrElse(sys.error("pickle: Categorical without CategoricalDtype"))
+    val categoriesPv = catDtype.state match {
+      case d: PDict => d.m.getOrElse(PStr("categories"),
+        sys.error("pickle: CategoricalDtype without categories"))
+      case other => sys.error(s"pickle: unexpected CategoricalDtype state $other")
+    }
+    val labels: Vector[Any] = indexValues(categoriesPv).map {
+      case PStr(s) => s
+      case PLong(v) => toLongExact(v)
+      case PDouble(d) => d
+      case PBool(b) => b
+      case PNone => null
+      case other => String.valueOf(other)
+    }
+    codes.map { c =>
+      val idx = c.asInstanceOf[Number].intValue()
+      if (idx < 0) null
+      else if (idx < labels.length) labels(idx)
+      else sys.error(s"pickle: categorical code $idx out of range")
+    }
   }
 
   /** Block values may be a plain ndarray or an NDArrayBacked extension
@@ -826,7 +872,12 @@ object Pickle {
         s"toPickle: unsupported column type ${f.dataType} for '${f.name}'")
     }
     val rows = df.collect()
-    val out = new BufferedOutputStream(new FileOutputStream(path))
+    // pandas infers gzip from the extension on both read and write;
+    // mirror that so a '.pkl.gz' handed to pd.read_pickle just works
+    val fileOut = new FileOutputStream(path)
+    val out = new BufferedOutputStream(
+      if (path.endsWith(".gz")) new java.util.zip.GZIPOutputStream(fileOut)
+      else fileOut)
     try {
       val w = new PickleWriter(out)
       w.proto2()
