@@ -529,6 +529,13 @@ object Pickle {
           val colIdx = placement(0)
           val (dt, vals2) = inferObjectCol(vals)
           cols(colIdx) = Col(colNames(colIdx), dt, vals2)
+        // nullable extension arrays (Int64/Float64/boolean dtypes) are
+        // (_data, _mask) pairs: without the mask, the _data slots under
+        // nulls hold plausible-looking garbage values
+        case o: PObj if MaskedArrayClasses(o.cls.name) =>
+          val (dt, vals) = decodeMasked(o)
+          val colIdx = placement(0)
+          cols(colIdx) = Col(colNames(colIdx), dt, vals)
         case _ =>
           val nd = unwrapNdArray(valuesPv)
           val (k, n) = nd.shape match {
@@ -679,6 +686,37 @@ object Pickle {
     }
   }
 
+  private val MaskedArrayClasses =
+    Set("IntegerArray", "FloatingArray", "BooleanArray")
+
+  /** A masked extension block (pandas Int64/Float64/boolean dtypes):
+    * state dict holds `_data` (the values ndarray, garbage under nulls)
+    * and `_mask` (b1 ndarray, true = null). */
+  private def decodeMasked(o: PObj): (DataType, Array[Any]) = {
+    val st = o.state match {
+      case d: PDict => d.m
+      case other => sys.error(s"pickle: unexpected ${o.cls.name} state $other")
+    }
+    def nd(key: String): PNdArray = st.get(PStr(key)) match {
+      case Some(a: PNdArray) => a
+      case other => sys.error(s"pickle: ${o.cls.name} missing $key ($other)")
+    }
+    val data = nd("_data")
+    val mask = nd("_mask")
+    val n = data.shape.product
+    require(mask.shape.product == n, "pickle: mask/data length mismatch")
+    val (dt, grid) = materialize(data, 1, n)
+    val (_, maskGrid) = materialize(mask, 1, n)
+    val vals = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      vals(i) =
+        if (maskGrid(0)(i).asInstanceOf[Boolean]) null else grid(0)(i)
+      i += 1
+    }
+    (dt, vals)
+  }
+
   /** Block values may be a plain ndarray or an NDArrayBacked extension
     * array (DatetimeArray, TimedeltaArray) whose state holds the ndarray. */
   private def unwrapNdArray(v: PV): PNdArray = v match {
@@ -726,6 +764,9 @@ object Pickle {
         fill { flat =>
           l.buf(flat) match {
             case PNone => null
+            // pandas' NA/NaT singletons pickle as bare globals
+            case PGlobal(m, "NA") if m.startsWith("pandas") => null
+            case PGlobal(m, "NaT") if m.startsWith("pandas") => null
             case PStr(s) => s
             case PLong(v) => toLongExact(v)
             case PDouble(d) => d
