@@ -733,6 +733,61 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // chunk reassembly: the inverse of q_chunk — chunk with overlap,
+    // strip the overlap per-row, stitch per-doc with an order-insensitive
+    // struct-sorted aggregation; `matches` pins the byte-exact round trip
+    "q_unchunk" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val chunks = graft.operators.Chunking.chunkDocs(d.df, "doc_id", "text",
+        chunkTokens = 40, overlap = 8)
+      graft.operators.Chunking.unchunkDocs(chunks, "id", "chunk_id", "chunk_text",
+          overlap = 8)
+        .join(d.df.select(col("doc_id").as("id"), col("text").as("__orig")), "id")
+        .select(col("id"), col("text"), (col("text") === col("__orig")).as("matches"))
+        .orderBy("id")
+    }),
+
+    // corpus snapshot diff: full keyed delta between two corpus versions
+    // (the incremental-curation primitive) — one full-outer join, exact
+    // struct comparison; fixture derives the "new" snapshot
+    // deterministically (drop %10==3, change %10==4, add %10==5 re-keyed)
+    "q_snapshot_diff" -> ((s, dir) => {
+      val d = t(s, dir, "documents").df
+      val newSnap = d.filter(col("doc_id") % 10 =!= 3)
+        .withColumn("text",
+          when(col("doc_id") % 10 === 4, upper(col("text"))).otherwise(col("text")))
+        .unionByName(d.filter(col("doc_id") % 10 === 5)
+          .withColumn("doc_id", col("doc_id") + 1000000L))
+      graft.operators.Snapshot.snapshotDiff(d, newSnap,
+          keyCols = Seq("doc_id"), compareCols = Seq("text", "lang", "source"))
+        .orderBy("doc_id")
+    }),
+
+    // exact edit-distance near-dup pairs (title/URL dedup): Ed-Join
+    // q-gram prefix filtering — rare-first prefixes index the postings,
+    // length filter + per-pair levenshtein confirm make it identical to
+    // the all-pairs scan the oracle runs
+    "q_edit_pairs" -> ((s, dir) => {
+      val d = t(s, dir, "documents").df
+      val titles = d.select(col("doc_id"),
+        concat(col("source"), lit("-"), col("lang"), lit(" doc "),
+          (col("doc_id") % 1000).cast("string")).as("title"))
+      graft.operators.Dedup.editDistancePairs(titles, "doc_id", "title",
+          maxDist = 1, q = 2)
+        .orderBy("a_id", "b_id")
+    }),
+
+    // model-based quality gate: integer-quantized linear classifier
+    // scored per-row in codegen (the deployment shape of a fastText-style
+    // quality model); integer arithmetic = bit-exact re-scoring anywhere
+    "q_quality_model" -> ((s, dir) => {
+      val d = t(s, dir, "documents").df
+      d.select(col("doc_id"),
+          TextAnalysis.linearQualityScore(col("text")).as("score"))
+        .filter(col("score") >= 600)
+        .orderBy("doc_id")
+    }),
+
     // frame-wide distinct counts (pandas df.nunique()), one agg pass
     "q_nunique_all" -> ((s, dir) => {
       t(s, dir, "orders")
@@ -2321,6 +2376,78 @@ object ExtQueries {
          FROM d
          WINDOW w AS (PARTITION BY shard ORDER BY doc_id
                       ROWS UNBOUNDED PRECEDING)
+         ORDER BY doc_id""",
+    // unchunk: replay chunking (q_chunk's CTE), strip the 8-token overlap
+    // from every non-first chunk, stitch with an ordered string_agg
+    "q_unchunk" ->
+      """WITH d AS (SELECT doc_id AS id, string_split(text, ' ') AS toks,
+                      text AS orig
+                    FROM documents),
+              e AS (SELECT id, toks, orig,
+                      unnest(generate_series(0,
+                        greatest(1, floor((len(toks) - 8 + 31) / 32.0))::INT - 1))
+                        AS chunk_id
+                    FROM d),
+              c AS (SELECT id, orig, chunk_id,
+                      array_to_string(toks[chunk_id*32+1 : chunk_id*32+40], ' ')
+                        AS chunk_text
+                    FROM e),
+              b AS (SELECT id, orig, chunk_id,
+                      CASE WHEN chunk_id = 0 THEN chunk_text
+                           ELSE array_to_string(
+                             string_split(chunk_text, ' ')[9:], ' ') END AS body
+                    FROM c),
+              r AS (SELECT id, any_value(orig) AS orig,
+                      string_agg(body, ' ' ORDER BY chunk_id) AS text
+                    FROM b GROUP BY id)
+         SELECT id, text, text = orig AS matches FROM r ORDER BY id""",
+    // snapshot diff: same deterministic "new" snapshot, FULL JOIN delta
+    "q_snapshot_diff" ->
+      """WITH nu AS (
+           SELECT doc_id,
+              CASE WHEN doc_id % 10 = 4 THEN upper(text) ELSE text END AS text,
+              lang, source
+           FROM documents WHERE doc_id % 10 <> 3
+           UNION ALL
+           SELECT doc_id + 1000000, text, lang, source
+           FROM documents WHERE doc_id % 10 = 5)
+         SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+            CASE WHEN o.doc_id IS NULL THEN 'added'
+                 WHEN n.doc_id IS NULL THEN 'removed'
+                 WHEN o.text = n.text AND o.lang = n.lang
+                      AND o.source = n.source THEN 'unchanged'
+                 ELSE 'changed' END AS status
+         FROM documents o FULL JOIN nu n ON o.doc_id = n.doc_id
+         ORDER BY doc_id""",
+    // edit pairs: brute-force all-pairs levenshtein — the prefix-filtered
+    // engine plan must agree bit-for-bit (exactness differential)
+    "q_edit_pairs" ->
+      """WITH t AS (SELECT doc_id,
+              source || '-' || lang || ' doc ' || (doc_id % 1000) AS title
+            FROM documents)
+         SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+            levenshtein(a.title, b.title)::INTEGER AS dist
+         FROM t a JOIN t b ON a.doc_id < b.doc_id
+         WHERE abs(length(a.title) - length(b.title)) <= 1
+           AND levenshtein(a.title, b.title) <= 1
+         ORDER BY a_id, b_id""",
+    // quality model: same integer features x integer weights
+    "q_quality_model" ->
+      """WITH f AS (SELECT doc_id,
+              len(string_split(text, ' ')) AS n_tok,
+              length(text) AS n_chars,
+              len(list_filter(string_split(text, ' '),
+                x -> length(x) <= 2)) AS n_short,
+              length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+                AS n_digit,
+              len(string_split(text, ' '))
+                - len(list_distinct(string_split(text, ' '))) AS n_rep
+            FROM documents)
+         SELECT doc_id,
+            (8*n_tok + n_chars - 16*n_short - 4*n_digit - 2*n_rep)::BIGINT
+              AS score
+         FROM f
+         WHERE 8*n_tok + n_chars - 16*n_short - 4*n_digit - 2*n_rep >= 600
          ORDER BY doc_id""",
     "q_nunique_all" ->
       """SELECT count(DISTINCT o_custkey) AS o_custkey,

@@ -75,6 +75,32 @@ object TextAnalysis {
     (lenScore + stopScore + punctScore + tokScore) / 4.0
   }
 
+  /** Model-based quality scoring with integer-quantized weights — the
+    * deployment shape of a fastText/logistic-regression quality
+    * classifier (train offline, quantize, score inline). Production
+    * pipelines (CCNet, RefinedWeb, FineWeb-Edu) gate on exactly such a
+    * learned score; the weights here are illustrative, the structure —
+    * integer features x integer weights, evaluated per-row inside
+    * whole-stage codegen with no shuffle and no model-serving hop — is
+    * the point. Integer arithmetic keeps the score exactly reproducible
+    * in any engine (no float half-boundary drift), which is what makes a
+    * corpus re-scorable years later bit-for-bit.
+    *
+    * Features (all single-pass over the row): token count, char count,
+    * short tokens (<= 2 chars, a filler/fragment signal), digit chars,
+    * and repeated tokens (total − distinct, the spam signal).
+    * score = 8·n_tok + n_chars − 16·n_short − 4·n_digit − 2·n_rep.
+    */
+  def linearQualityScore(text: Column): Column = {
+    val toks = split(text, " ")
+    val nTok = size(toks)
+    val nShort = size(filter(toks, t => length(t) <= 2))
+    val nDigit = length(text) - length(regexp_replace(text, "[0-9]", ""))
+    val nRep = nTok - size(array_distinct(toks))
+    (lit(8) * nTok + length(text) - lit(16) * nShort -
+      lit(4) * nDigit - lit(2) * nRep).cast("long")
+  }
+
   /** Fraction of tokens that repeat an earlier token — 1 − distinct/total.
     * The cheap single-pass repetition signal (boilerplate, keyword spam,
     * template pages score high); Gopher-style pipelines drop on it. */

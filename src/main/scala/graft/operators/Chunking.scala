@@ -61,6 +61,43 @@ object Chunking {
           .as("n_tokens"))
   }
 
+  /** Reassemble chunked documents — the inverse of [[chunkDocs]], the
+    * "stitch back" step after per-chunk processing (embedding, scoring,
+    * PII redaction) so downstream stages see whole documents again.
+    *
+    * Each non-first chunk drops its leading `overlap` tokens (the tokens
+    * repeated from the previous chunk) BEFORE aggregation — a per-row
+    * codegen'd split/slice, so the shuffle carries deduplicated text
+    * only. Then one groupBy(id) with an order-insensitive
+    * `sort_array(collect_list(struct(chunk_id, body)))` restores chunk
+    * order without a global sort: chunk_id is unique per id, so the
+    * struct sort is total regardless of arrival order. With chunking's
+    * invariant that every chunk's stripped body is non-empty (the final
+    * chunk always exceeds the overlap — see chunkDocs), the round trip
+    * chunk -> unchunk reproduces the source text byte-for-byte.
+    *
+    * One hash shuffle on id; at 100 TB chunk stores written bucketed by
+    * id (PsIO.writeBucketed) make this reassembly shuffle-free.
+    * Output: (id, text).
+    */
+  def unchunkDocs(
+      chunks: DataFrame,
+      idCol: String,
+      chunkIdCol: String,
+      chunkTextCol: String,
+      overlap: Int): DataFrame = {
+    require(overlap >= 0, "unchunkDocs needs overlap >= 0")
+    val toks = split(col(chunkTextCol), " ")
+    val body = when(col(chunkIdCol) === 0, col(chunkTextCol))
+      .otherwise(array_join(
+        slice(toks, lit(overlap + 1), greatest(size(toks) - overlap, lit(0))), " "))
+    chunks
+      .select(col(idCol).as("id"), struct(col(chunkIdCol).as("cid"), body.as("body")).as("cb"))
+      .groupBy("id")
+      .agg(array_join(transform(sort_array(collect_list(col("cb"))),
+        c => c.getField("body")), " ").as("text"))
+  }
+
   /** Assign each document to a fixed-token-budget pack: documents are
     * hash-sharded (`nShards` independent streams — the parallelism unit),
     * ordered by id within their shard, and a pack closes when the running

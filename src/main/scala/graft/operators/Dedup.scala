@@ -582,6 +582,90 @@ object Dedup {
       .select("a_id", "b_id", "hamming")
   }
 
+  /** Exact edit-distance near-dup pairs over a short-string column
+    * (titles, URLs, product names): all (a_id, b_id, dist) with
+    * Levenshtein distance <= `maxDist`, a_id < b_id — without the
+    * all-pairs cross join, via Ed-Join-style q-gram prefix filtering
+    * (Xiao, Wang & Lin, PVLDB 1(1) 2008).
+    *
+    * Why it is exact: a string of length l has l-q+1 positional q-grams
+    * and one edit destroys at most q of them, so two strings within
+    * distance d share all but at most d·q grams. Under ANY fixed global
+    * order on gram tokens, the first d·q+1 grams of each string (its
+    * "prefix") must therefore intersect the other's prefix — indexing
+    * only prefixes loses no pair. We use the performance-optimal global
+    * order (document frequency ascending, gram): rare grams land in
+    * prefixes, so hot grams ("the ", "ing ") never build posting lists.
+    * Candidates then pass a length filter (|l_a−l_b| <= d, a necessary
+    * condition) before the exact per-pair `levenshtein` confirm, which
+    * makes the output identical to the brute-force scan.
+    *
+    * Strings too short for the prefix bound to bite (the multiset
+    * overlap lower bound max(g₁,g₂) − d·q is ≥ 1 only when
+    * max(l₁,l₂) >= q·(d+1)) additionally emit one synthetic bucket
+    * gram. A pair at risk has BOTH sides below that length, both carry
+    * the bucket gram, and a short string's whole gram multiset
+    * (<= d·q+1 grams including the synthetic) fits inside its prefix —
+    * so the tiny-string tail still meets its within-distance partners.
+    *
+    * Plan: one df aggregation (gram -> df), one window per id for the
+    * prefix ranks, one postings shuffle on prefix grams, two key joins
+    * to rehydrate strings for the confirm. Candidate volume is bounded
+    * by Σ over prefix grams of |postings|² — with rare-first ordering
+    * that is near-linear on natural text. For adversarial corpora (many
+    * identical strings — which are better handled by [[exact]] dedup
+    * first) `maxBucket` caps any single posting list, trading
+    * completeness on >cap duplicate groups for a hard fan-out bound.
+    */
+  def editDistancePairs(
+      docs: DataFrame,
+      idCol: String,
+      strCol: String,
+      maxDist: Int,
+      q: Int = 2,
+      maxBucket: Option[Int] = None): DataFrame = {
+    require(maxDist >= 1 && q >= 1, "editDistancePairs needs maxDist >= 1, q >= 1")
+    val prefixLen = q * maxDist + 1
+    val base = docs.select(col(idCol).as("id"), col(strCol).as("s"))
+      .filter(col("s").isNotNull)
+    // positional q-grams (duplicates kept — the prefix bound is on the
+    // multiset) plus the short-string bucket gram
+    val grams = transform(
+      sequence(lit(1), greatest(length(col("s")) - (q - 1), lit(0))),
+      i => substring(col("s"), i, lit(q)))
+    val withShort = when(length(col("s")) < q * (maxDist + 1),
+      concat(grams, array(lit("\u0000S")))).otherwise(grams)
+    val ex = base.select(col("id"), length(col("s")).as("len"),
+      explode(withShort).as("g"))
+    val dfs = ex.groupBy("g").agg(countDistinct(col("id")).as("__df"))
+    val ranked = ex.join(dfs, "g")
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("id").orderBy(col("__df"), col("g"))))
+      .filter(col("__rn") <= prefixLen)
+      .select("id", "len", "g").distinct()
+    val kept = maxBucket.fold(ranked) { cap =>
+      val w = Window.partitionBy("g")
+      ranked.withColumn("__bc", count(lit(1)).over(w))
+        .filter(col("__bc") <= cap).drop("__bc")
+    }
+    val postings = kept.groupBy("g")
+      .agg(collect_list(struct(col("id"), col("len"))).as("ds"))
+      .filter(size(col("ds")) >= 2)
+    val cand = postings
+      .select(explode(col("ds")).as("a"), col("ds"))
+      .select(col("a.id").as("a_id"), col("a.len").as("la"), explode(col("ds")).as("b"))
+      .select(col("a_id"), col("la"), col("b.id").as("b_id"), col("b.len").as("lb"))
+      .filter(col("a_id") < col("b_id"))
+      .filter(abs(col("la") - col("lb")) <= maxDist)
+      .select("a_id", "b_id").distinct()
+    cand
+      .join(base.select(col("id").as("a_id"), col("s").as("__sa")), "a_id")
+      .join(base.select(col("id").as("b_id"), col("s").as("__sb")), "b_id")
+      .withColumn("dist", levenshtein(col("__sa"), col("__sb")).cast("int"))
+      .filter(col("dist") <= maxDist)
+      .select("a_id", "b_id", "dist")
+  }
+
   /** DuckDB SQL for the brute-force all-pairs equivalent of
     * [[simhashPairs]] (differential oracle — exactness of the banding
     * means brute force must agree bit-for-bit). */

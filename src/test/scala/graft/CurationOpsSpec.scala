@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.TextAnalysis
+import graft.operators.{Chunking, Dedup, Snapshot}
+
+/** Round-11 curation additions: chunk reassembly, snapshot diff,
+  * edit-distance pairs, linear quality model. */
+class CurationOpsSpec extends AnyFunSuite with SparkFixture {
+
+  test("unchunkDocs round-trips chunkDocs byte-for-byte (incl. edge lengths)") {
+    val s = spark
+    import s.implicits._
+    // lengths straddling every boundary: < chunk, == chunk, == chunk+1,
+    // multiple full chunks, and a final chunk barely past the overlap
+    val texts = Seq(1, 3, 4, 5, 7, 8, 9, 12, 40)
+      .map(n => (1 to n).map(i => s"w$i").mkString(" "))
+    val d = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val chunks = Chunking.chunkDocs(d, "doc_id", "text", chunkTokens = 4, overlap = 1)
+    val back = Chunking.unchunkDocs(chunks, "id", "chunk_id", "chunk_text", overlap = 1)
+    val got = back.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(got(i.toLong) == t, s"doc $i")
+    }
+  }
+
+  test("unchunkDocs strips overlap only from non-first chunks") {
+    val s = spark
+    import s.implicits._
+    val chunks = Seq((9L, 0, "a b c"), (9L, 1, "c d e")).toDF("id", "cid", "txt")
+    val got = Chunking.unchunkDocs(chunks, "id", "cid", "txt", overlap = 1)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSeq == Seq((9L, "a b c d e")))
+  }
+
+  test("snapshotDiff reports all four statuses; hashed mode agrees") {
+    val s = spark
+    import s.implicits._
+    val old = Seq((1L, "a", "x"), (2L, "b", "y"), (3L, "c", "z"))
+      .toDF("k", "v1", "v2")
+    val nu = Seq((1L, "a", "x"), (2L, "B", "y"), (4L, "d", "w"))
+      .toDF("k", "v1", "v2")
+    val want = Map(1L -> "unchanged", 2L -> "changed", 3L -> "removed", 4L -> "added")
+    for (hashed <- Seq(false, true)) {
+      val got = Snapshot.snapshotDiff(old, nu, Seq("k"), Seq("v1", "v2"), hashed)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got == want, s"hashed=$hashed")
+    }
+  }
+
+  test("snapshotDiff struct compare is null-safe") {
+    val s = spark
+    import s.implicits._
+    val old = Seq((1L, Option.empty[String]), (2L, Option("b")))
+      .toDF("k", "v")
+    val nu = Seq((1L, Option.empty[String]), (2L, Option.empty[String]))
+      .toDF("k", "v")
+    val got = Snapshot.snapshotDiff(old, nu, Seq("k"), Seq("v"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "unchanged", 2L -> "changed"))
+  }
+
+  test("editDistancePairs == brute-force levenshtein scan (differential)") {
+    val s = spark
+    import s.implicits._
+    // a corpus with identical strings, 1-edit neighbors, short strings
+    // (the synthetic-bucket path: len < q*(d+1)), and far strings
+    val strs = Seq("kitten", "sitten", "sittin", "kitchen", "mitten",
+      "ab", "ac", "b", "", "abcdefgh", "abcdefgi", "zzzzzz", "kitten")
+    val d = strs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "s")
+    for (maxDist <- Seq(1, 2); q <- Seq(2, 3)) {
+      val got = Dedup.editDistancePairs(d, "id", "s", maxDist, q)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val brute = d.as("a").join(d.as("b"), col("a.id") < col("b.id"))
+        .select(col("a.id"), col("b.id"),
+          levenshtein(col("a.s"), col("b.s")).as("dist"))
+        .filter(col("dist") <= maxDist)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(got == brute, s"maxDist=$maxDist q=$q")
+    }
+  }
+
+  test("editDistancePairs maxBucket drops oversize duplicate groups only") {
+    val s = spark
+    import s.implicits._
+    val d = ((1 to 10).map(i => (i.toLong, "samesame")) :+ (99L, "samesamX"))
+      .toDF("id", "s")
+    val capped = Dedup.editDistancePairs(d, "id", "s", maxDist = 1, q = 2,
+      maxBucket = Some(3)).count()
+    val full = Dedup.editDistancePairs(d, "id", "s", maxDist = 1, q = 2).count()
+    assert(full == 10L * 11 / 2) // all pairs within distance 1
+    assert(capped < full)
+  }
+
+  test("linearQualityScore matches the documented hand computation") {
+    val s = spark
+    import s.implicits._
+    // "big words ok a a 12": n_tok=6, chars=19, short=4 ('ok','a','a','12'),
+    // digits=2, rep=1 (second 'a')
+    val d = Seq((1L, "big words ok a a 12")).toDF("id", "text")
+    val got = d.select(TextAnalysis.linearQualityScore(col("text")))
+      .head().getLong(0)
+    val expect = 8L * 6 + 19 - 16 * 4 - 4 * 2 - 2 * 1
+    assert(got == expect)
+  }
+
+  test("curation ops plan shape: unchunk one shuffle; edit pairs no cross join") {
+    val s = spark
+    import s.implicits._
+    val d = Seq((1L, "a b c d e f")).toDF("doc_id", "text")
+    val chunks = Chunking.chunkDocs(d, "doc_id", "text", 4, 1)
+    val un = Chunking.unchunkDocs(chunks, "id", "chunk_id", "chunk_text", 1)
+      .queryExecution.executedPlan.toString
+    assert(!un.contains("CartesianProduct"))
+    val ep = Dedup.editDistancePairs(
+      d.select(col("doc_id").as("id"), col("text").as("s")), "id", "s", 1, 2)
+      .queryExecution.executedPlan.toString
+    assert(!ep.contains("CartesianProduct") && !ep.contains("BroadcastNestedLoop"), ep.take(500))
+  }
+}
