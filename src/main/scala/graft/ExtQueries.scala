@@ -773,7 +773,7 @@ object ExtQueries {
         concat(col("source"), lit("-"), col("lang"), lit(" doc "),
           (col("doc_id") % 1000).cast("string")).as("title"))
       graft.operators.Dedup.editDistancePairs(titles, "doc_id", "title",
-          maxDist = 1, q = 2)
+          maxDist = 1, q = 3)
         .orderBy("a_id", "b_id")
     }),
 

@@ -616,13 +616,21 @@ object Dedup {
     * identical strings — which are better handled by [[exact]] dedup
     * first) `maxBucket` caps any single posting list, trading
     * completeness on >cap duplicate groups for a hard fan-out bound.
+    *
+    * Choosing `q`: discrimination scales with the gram alphabet ^q, so
+    * larger corpora (or low-entropy strings) need larger q; the x10
+    * probe (EditScaleProbe, SCALEPROBE.md round-11) measured q=2
+    * candidate-bound (x36 time at x10 corpus) vs q=3 output-bound (x20,
+    * exactly the output's own growth). The exactness guarantee holds for
+    * every q >= 1 — q trades only candidate volume against the shorter
+    * synthetic-bucket threshold q·(d+1).
     */
   def editDistancePairs(
       docs: DataFrame,
       idCol: String,
       strCol: String,
       maxDist: Int,
-      q: Int = 2,
+      q: Int = 3,
       maxBucket: Option[Int] = None): DataFrame = {
     require(maxDist >= 1 && q >= 1, "editDistancePairs needs maxDist >= 1, q >= 1")
     val prefixLen = q * maxDist + 1
