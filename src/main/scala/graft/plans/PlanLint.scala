@@ -53,6 +53,20 @@ object PlanLint {
       .stripPrefix("[").stripSuffix("]")
       .split(",\\s*").exists(s => s.nonEmpty && !s.startsWith("IsNotNull"))
 
+  /** True when a filter condition is nothing but null guards — the
+    * IsNotNull conjunction the planner itself inserts on join/agg keys.
+    * Flagging those as "unpushed" would mark every join over a parquet
+    * scan; they prune nothing and were never a user predicate. */
+  private def isNullGuardOnly(
+      cond: org.apache.spark.sql.catalyst.expressions.Expression): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions.{And, IsNotNull}
+    cond match {
+      case And(l, r)    => isNullGuardOnly(l) && isNullGuardOnly(r)
+      case _: IsNotNull => true
+      case _            => false
+    }
+  }
+
   def lint(df: DataFrame): Seq[Finding] = {
     val plan = physicalPlan(df)
     val findings = Seq.newBuilder[Finding]
@@ -97,12 +111,19 @@ object PlanLint {
       case f: FilterExec =>
         strip(f.child) match {
           case scan: FileSourceScanExec
-              if scan.partitionFilters.isEmpty && !hasSelectivePushdown(scan) =>
-            findings += Finding("unpushed-filter", "warn",
+              if scan.partitionFilters.isEmpty && !hasSelectivePushdown(scan)
+                && !isNullGuardOnly(f.condition) =>
+            // info, not warn: a computed-expression predicate (hash-
+            // fraction sampling, model-score gate) READS the full scan BY
+            // DESIGN — there is no raw restatement. The finding marks the
+            // full-scan fact for eyeballing; a predicate that could have
+            // been raw (cast-wrapped column, string op on a raw column)
+            // is the case worth acting on.
+            findings += Finding("unpushed-filter", "info",
               "filter over a scan where no selective predicate pushed to the " +
-                "row groups (only IsNotNull or nothing) — the predicate shape " +
-                "(computed expression / UDF) defeats row-group pruning; " +
-                "restate on raw columns or pre-materialize the column")
+                "row groups — the predicate shape (computed expression / UDF) " +
+                "defeats row-group pruning; if the predicate can be restated " +
+                "on raw columns, do so or pre-materialize the column")
           case _ => ()
         }
       case _ => ()

@@ -27,6 +27,29 @@ class CurationOpsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("property: chunk->unchunk round trip over random (len, chunk, overlap)") {
+    import org.scalacheck.{Gen, rng}
+    val s = spark
+    import s.implicits._
+    val gen = for {
+      n <- Gen.chooseNum(1, 120)          // tokens per doc
+      chunk <- Gen.chooseNum(2, 50)       // chunk size
+      overlap <- Gen.chooseNum(0, chunk - 1)
+    } yield (n, chunk, overlap)
+    val cases = Gen.listOfN(40, gen)
+      .apply(Gen.Parameters.default, rng.Seed(7L)).get
+    cases.foreach { case (n, chunk, overlap) =>
+      val d = Seq((1L, (1 to n).map(i => s"t$i").mkString(" ")))
+        .toDF("doc_id", "text")
+      val rt = Chunking.unchunkDocs(
+        Chunking.chunkDocs(d, "doc_id", "text", chunk, overlap),
+        "id", "chunk_id", "chunk_text", overlap)
+        .head().getString(1)
+      val want = (1 to n).map(i => s"t$i").mkString(" ")
+      assert(rt == want, s"n=$n chunk=$chunk overlap=$overlap")
+    }
+  }
+
   test("unchunkDocs strips overlap only from non-first chunks") {
     val s = spark
     import s.implicits._
