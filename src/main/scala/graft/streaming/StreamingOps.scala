@@ -296,6 +296,84 @@ object StreamingOps {
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
   }
 
+  /** One keyed change-stream record: fingerprint of the payload (8 bytes
+    * — the state never carries the payload itself), event-time ms, and a
+    * delete marker. */
+  case class ChangeIn(key: Long, fp: Long, tsMs: Long, delete: Boolean)
+  /** One emitted delta: the key's transition in {added, changed, removed}
+    * (unchanged re-upserts are suppressed — the point of a delta). */
+  case class DeltaOut(key: Long, status: String, tsMs: Long)
+  /** Per-key live state: just the last-seen fingerprint. */
+  case class DeltaState(fp: Long)
+
+  /** Streaming keyed delta — the streaming face of
+    * [[graft.operators.Snapshot.snapshotDiff]], i.e. CDC-style
+    * materialized-corpus maintenance. The input is a stream of upserts
+    * (key, payload fingerprint, ts) and deletes; the output is the stream
+    * of TRANSITIONS against the maintained state: `added` for a first
+    * appearance, `changed` when the fingerprint moved, `removed` on a
+    * delete of a live key. Unchanged re-upserts and deletes of absent
+    * keys emit nothing, so downstream stages (re-dedup, re-tokenize,
+    * index refresh) reprocess exactly the delta — the incremental-refresh
+    * contract a 100 TB corpus needs.
+    *
+    * State is ONE 8-byte fingerprint per LIVE key (deletes evict), the
+    * minimal memory for exact CDC — at 10⁹ live documents ≈ 24 GB across
+    * the cluster, hash-partitioned by key. Within a micro-batch, records
+    * of one key apply in (tsMs, delete-last) order, so a same-timestamp
+    * upsert+delete nets to the delete. Fingerprint the payload with
+    * `xxhash64(...)` (same note as snapshotDiff's hashed mode: an
+    * n²/2⁶⁴ collision risk maps change→unchanged).
+    */
+  def streamingDelta(
+      updates: DataFrame,
+      keyCol: String,
+      fpCol: Column,
+      tsCol: String,
+      deleteCol: Column): Dataset[DeltaOut] = {
+    val session = updates.sparkSession
+    import session.implicits._
+    // a timestamp ts converts to epoch ms; a numeric ts IS already ms
+    val tsExpr = updates.schema(tsCol).dataType match {
+      case org.apache.spark.sql.types.TimestampType |
+           org.apache.spark.sql.types.TimestampNTZType => unix_millis(col(tsCol))
+      case _ => col(tsCol).cast("long")
+    }
+    val u = updates.select(
+        col(keyCol).cast("long").as("key"),
+        fpCol.cast("long").as("fp"),
+        tsExpr.as("tsMs"),
+        deleteCol.cast("boolean").as("delete"))
+      .as[ChangeIn]
+
+    def fn(key: Long, it: Iterator[ChangeIn], state: GroupState[DeltaState])
+        : Iterator[DeltaOut] = {
+      val out = Seq.newBuilder[DeltaOut]
+      var cur: Option[Long] = state.getOption.map(_.fp)
+      it.toSeq.sortBy(c => (c.tsMs, c.delete)).foreach { c =>
+        (cur, c.delete) match {
+          case (Some(_), true) =>
+            out += DeltaOut(key, "removed", c.tsMs); cur = None
+          case (None, true) => () // delete of an absent key
+          case (None, false) =>
+            out += DeltaOut(key, "added", c.tsMs); cur = Some(c.fp)
+          case (Some(prev), false) if prev != c.fp =>
+            out += DeltaOut(key, "changed", c.tsMs); cur = Some(c.fp)
+          case _ => () // unchanged re-upsert
+        }
+      }
+      cur match {
+        case Some(fp) => state.update(DeltaState(fp))
+        case None     => state.remove()
+      }
+      out.result().iterator
+    }
+
+    u.groupByKey(_.key)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+  }
+
   /** Batch sessionization via analytic windows (the shuffle-once,
     * state-store-free form for historical reprocessing): a session break
     * is a gap > `gapMinutes` from the previous event of the same user; the

@@ -454,4 +454,69 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
         s"normalized copies must drop, new docs pass: got $got")
     } finally q.stop()
   }
+
+  test("streamingDelta: CDC transitions; batch-2 emissions == snapshotDiff") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import StreamingOps.ChangeIn
+
+    // old snapshot: keys 1..5; new snapshot: 2 changed, 4 removed, 6 added
+    val oldRows = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"), (5L, "e"))
+    val newRows = Seq((1L, "a"), (2L, "B"), (3L, "c"), (5L, "e"), (6L, "f"))
+    def fp(v: String): Long = v.hashCode.toLong
+
+    val input = MemoryStream[ChangeIn]
+    val q = StreamingOps.streamingDelta(
+        input.toDF(), "key", col("fp"), "tsMs", col("delete"))
+      .writeStream.format("memory").queryName("t_delta")
+      .outputMode("append").start()
+    try {
+      // batch 1: the old snapshot arrives as initial upserts
+      input.addData(oldRows.map { case (k, v) => ChangeIn(k, fp(v), 1000L, false) })
+      q.processAllAvailable()
+      val initial = spark.table("t_delta").as[StreamingOps.DeltaOut].collect()
+      assert(initial.forall(_.status == "added") && initial.length == 5)
+
+      // batch 2: the new snapshot as upserts + explicit deletes of absent keys
+      val removedKeys = oldRows.map(_._1).toSet -- newRows.map(_._1).toSet
+      input.addData(
+        newRows.map { case (k, v) => ChangeIn(k, fp(v), 2000L, false) } ++
+          removedKeys.toSeq.map(k => ChangeIn(k, 0L, 2000L, true)))
+      q.processAllAvailable()
+      val delta = spark.table("t_delta").as[StreamingOps.DeltaOut].collect()
+        .filter(_.tsMs == 2000L).map(d => d.key -> d.status).toMap
+
+      // the batch operator's verdicts on the same two snapshots
+      val batch = graft.operators.Snapshot.snapshotDiff(
+          oldRows.toDF("key", "v"), newRows.toDF("key", "v"),
+          Seq("key"), Seq("v"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val batchDelta = batch.filter(_._2 != "unchanged")
+      assert(delta == batchDelta, s"stream=$delta batch=$batchDelta")
+    } finally q.stop()
+  }
+
+  test("streamingDelta nets same-timestamp upsert+delete to the delete") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import StreamingOps.ChangeIn
+    val input = MemoryStream[ChangeIn]
+    val q = StreamingOps.streamingDelta(
+        input.toDF(), "key", col("fp"), "tsMs", col("delete"))
+      .writeStream.format("memory").queryName("t_delta2")
+      .outputMode("append").start()
+    try {
+      input.addData(Seq(ChangeIn(7L, 42L, 1000L, false)))
+      q.processAllAvailable()
+      input.addData(Seq(
+        ChangeIn(7L, 43L, 2000L, false), ChangeIn(7L, 0L, 2000L, true),
+        ChangeIn(8L, 1L, 2000L, true))) // delete of an absent key: silent
+      q.processAllAvailable()
+      val got = spark.table("t_delta2").as[StreamingOps.DeltaOut].collect()
+        .filter(_.tsMs == 2000L).map(d => (d.key, d.status)).toSet
+      assert(got == Set((7L, "changed"), (7L, "removed")))
+    } finally q.stop()
+  }
 }
