@@ -788,6 +788,27 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // exact-k per-group sampling (eval-set construction): deterministic
+    // hash-order rank <= k inside each lang; map-side WindowGroupLimit
+    "q_sample_k" -> ((s, dir) => {
+      val d = t(s, dir, "documents").df
+      graft.operators.Sampling.sampleKPerGroup(d, Seq("lang"), "doc_id",
+          k = 5, salt = "r11")
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    }),
+
+    // mixture-schedule interleave: integer stride schedule keys realize
+    // the source weights without a global row numbering
+    "q_interleave" -> ((s, dir) => {
+      val d = t(s, dir, "documents").df
+      graft.operators.Sampling.interleaveBySource(d, "lang", "doc_id",
+          strides = Map("en" -> 1L, "de" -> 3L, "es" -> 3L, "fr" -> 4L,
+            "zh" -> 3L), salt = "r11")
+        .select("doc_id", "lang", "sched")
+        .orderBy("doc_id")
+    }),
+
     // frame-wide distinct counts (pandas df.nunique()), one agg pass
     "q_nunique_all" -> ((s, dir) => {
       t(s, dir, "orders")
@@ -2449,6 +2470,24 @@ object ExtQueries {
          FROM f
          WHERE 8*n_tok + n_chars - 16*n_short - 4*n_digit - 2*n_rep >= 600
          ORDER BY doc_id""",
+    // exact-k per-group sample: same salted md5 rank in QUALIFY
+    "q_sample_k" ->
+      """SELECT doc_id, lang FROM documents
+         QUALIFY row_number() OVER (PARTITION BY lang
+           ORDER BY ('0x' || substr(md5(doc_id::VARCHAR || 'r11'), 1, 15))::BIGINT,
+                    doc_id) <= 5
+         ORDER BY doc_id""",
+    // interleave: per-lang hash-order position x integer stride
+    "q_interleave" ->
+      """WITH p AS (SELECT doc_id, lang,
+              row_number() OVER (PARTITION BY lang
+                ORDER BY ('0x' || substr(md5(doc_id::VARCHAR || 'r11'), 1, 15))::BIGINT,
+                         doc_id) - 1 AS pos
+            FROM documents)
+         SELECT doc_id, lang,
+            (pos * CASE lang WHEN 'en' THEN 1 WHEN 'de' THEN 3 WHEN 'es' THEN 3
+                             WHEN 'fr' THEN 4 WHEN 'zh' THEN 3 END)::BIGINT AS sched
+         FROM p ORDER BY doc_id""",
     "q_nunique_all" ->
       """SELECT count(DISTINCT o_custkey) AS o_custkey,
             count(DISTINCT o_orderstatus) AS o_orderstatus,

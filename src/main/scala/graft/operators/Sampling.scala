@@ -77,6 +77,62 @@ object Sampling {
     }.reduce(_.unionByName(_))
   }
 
+  /** Exact-k deterministic sample per group — eval-set construction
+    * ("k docs per language", "k examples per source") where a FRACTION
+    * sampler under/overshoots small groups. Rows are ranked inside each
+    * group by the stable hash of their key (salted), so membership is a
+    * uniform-like draw that re-runs, backfills, and engine migrations
+    * reproduce exactly; groups smaller than k keep every row.
+    *
+    * One hash shuffle on the group columns; the rank-≤-k predicate
+    * compiles to map-side WindowGroupLimit (same plan shape PlanShapeSpec
+    * pins for headPerGroup), so each task keeps at most k rows per group
+    * BEFORE the exchange — at 100 TB the shuffle carries ~k·|groups|
+    * rows, not the corpus. */
+  def sampleKPerGroup(
+      df: DataFrame, groupCols: Seq[String], keyCol: String, k: Int,
+      salt: String = ""): DataFrame = {
+    require(groupCols.nonEmpty && k > 0, "sampleKPerGroup needs groups and k > 0")
+    import org.apache.spark.sql.expressions.Window
+    val rn = Iterator.from(0).map(i => if (i == 0) "__rn" else s"__rn$i")
+      .find(!df.columns.contains(_)).get
+    val w = Window.partitionBy(groupCols.map(df(_)): _*)
+      .orderBy(Dedup.hash60(concat(df(keyCol).cast("string"), lit(salt))),
+        df(keyCol))
+    df.withColumn(rn, row_number().over(w)).filter(col(rn) <= k).drop(rn)
+  }
+
+  /** Deterministic mixture-schedule interleave — the "data mixing
+    * schedule" step between corpus mixing and sequence packing: assign
+    * every row a global training-order key such that sources appear in
+    * proportion to their weights, without a global row numbering (a
+    * single-partition window is exactly the scale bug PlanLint flags).
+    *
+    * Each source's rows are numbered within the source (hash order on
+    * the salted key — deterministic), and row p of a source with integer
+    * stride s gets schedule key p·s: smaller stride = denser in the
+    * schedule, so strides (2, 3) realize a 3:2 mix ratio. All integer
+    * arithmetic — any engine reproduces the schedule bit-for-bit. The
+    * output is (input columns + sched); consumers range-partition /
+    * sort-write by (sched, tiebreaks) — a distributed keyed sort, never
+    * one task. One shuffle on the source column. */
+  def interleaveBySource(
+      df: DataFrame, sourceCol: String, keyCol: String,
+      strides: Map[String, Long], salt: String = ""): DataFrame = {
+    require(strides.nonEmpty && strides.values.forall(_ > 0),
+      "interleaveBySource needs positive integer strides")
+    require(!df.columns.contains("sched"),
+      "interleaveBySource: input already has a 'sched' column")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(df(sourceCol))
+      .orderBy(Dedup.hash60(concat(df(keyCol).cast("string"), lit(salt))),
+        df(keyCol))
+    val stride = strides.foldLeft(lit(null).cast("long")) {
+      case (acc, (s, st)) => when(df(sourceCol) === s, st).otherwise(acc)
+    }
+    df.withColumn("sched", (row_number().over(w).cast("long") - 1L) * stride)
+  }
+
   /** Per-stratum deterministic sampling: each stratum keeps its own
     * fraction (downsample hot classes, keep rare ones whole). */
   def stratifiedSampleByHash(

@@ -119,6 +119,40 @@ class CurationOpsSpec extends AnyFunSuite with SparkFixture {
     assert(capped < full)
   }
 
+  test("sampleKPerGroup: exactly k per group, small groups whole, deterministic") {
+    val s = spark
+    import s.implicits._
+    val d = ((1 to 20).map(i => (i.toLong, "big")) ++ Seq((100L, "tiny")))
+      .toDF("id", "grp")
+    val got = graft.operators.Sampling.sampleKPerGroup(d, Seq("grp"), "id", 3)
+    val byGrp = got.collect().map(r => r.getString(1)).groupBy(identity)
+    assert(byGrp("big").length == 3 && byGrp("tiny").length == 1)
+    // stable across runs (hash membership, not RNG)
+    val again = graft.operators.Sampling.sampleKPerGroup(d, Seq("grp"), "id", 3)
+    assert(got.collect().map(_.getLong(0)).toSet ==
+      again.collect().map(_.getLong(0)).toSet)
+    // and plans the map-side group limit before the exchange
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan.take(600))
+  }
+
+  test("interleaveBySource realizes the stride ratio in any schedule prefix") {
+    val s = spark
+    import s.implicits._
+    val d = ((1 to 60).map(i => (i.toLong, "a")) ++
+      (101 to 160).map(i => (i.toLong, "b"))).toDF("id", "src")
+    val got = graft.operators.Sampling.interleaveBySource(
+        d, "src", "id", Map("a" -> 1L, "b" -> 3L))
+      .select("id", "src", "sched")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // in the schedule order, a window of sched < 30 holds 30 a-rows
+    // (stride 1) and 10 b-rows (stride 3): the 3:1 mix
+    val prefix = got.filter(_._3 < 30)
+    assert(prefix.count(_._2 == "a") == 30 && prefix.count(_._2 == "b") == 10)
+    // schedule keys are unique per source and start at 0
+    assert(got.filter(_._2 == "b").map(_._3).sorted.take(3).toSeq == Seq(0L, 3L, 6L))
+  }
+
   test("linearQualityScore matches the documented hand computation") {
     val s = spark
     import s.implicits._
