@@ -809,6 +809,34 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // END-TO-END INCREMENTAL REFRESH: snapshot diff -> changed/added rows
+    // only -> model quality gate -> exact-content dedup vs the live
+    // corpus -> refresh manifest. The composition every periodic corpus
+    // rebuild runs; each stage is individually oracled above, this row
+    // proves the composition (note: re-keyed verbatim copies enter as
+    // "added" and are correctly caught by the content anti-join)
+    "q_pipeline_incr" -> ((s, dir) => {
+      val d = t(s, dir, "documents").df
+      val newSnap = d.filter(col("doc_id") % 10 =!= 3)
+        .withColumn("text",
+          when(col("doc_id") % 10 === 4, upper(col("text"))).otherwise(col("text")))
+        .unionByName(d.filter(col("doc_id") % 10 === 5)
+          .withColumn("doc_id", col("doc_id") + 1000000L))
+      val delta = graft.operators.Snapshot.snapshotDiff(d, newSnap,
+          keyCols = Seq("doc_id"), compareCols = Seq("text", "lang", "source"))
+        .filter(col("status").isin("added", "changed"))
+      val fresh = delta.join(newSnap.select("doc_id", "text"), "doc_id")
+      val gated = fresh
+        .filter(TextAnalysis.linearQualityScore(col("text")) >= 600)
+        .withColumn("__fp", md5(col("text")))
+      val corpusFps = d.select(md5(col("text")).as("__fp")).distinct()
+      gated.join(corpusFps, Seq("__fp"), "left_anti")
+        .select(col("doc_id"), col("status"),
+          TextAnalysis.linearQualityScore(col("text")).as("score"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tok"))
+        .orderBy("doc_id")
+    }),
+
     // frame-wide distinct counts (pandas df.nunique()), one agg pass
     "q_nunique_all" -> ((s, dir) => {
       t(s, dir, "orders")
@@ -2488,6 +2516,43 @@ object ExtQueries {
             (pos * CASE lang WHEN 'en' THEN 1 WHEN 'de' THEN 3 WHEN 'es' THEN 3
                              WHEN 'fr' THEN 4 WHEN 'zh' THEN 3 END)::BIGINT AS sched
          FROM p ORDER BY doc_id""",
+    // incremental refresh: one CTE replay of diff -> gate -> anti-join
+    "q_pipeline_incr" ->
+      """WITH nu AS (
+           SELECT doc_id,
+              CASE WHEN doc_id % 10 = 4 THEN upper(text) ELSE text END AS text,
+              lang, source
+           FROM documents WHERE doc_id % 10 <> 3
+           UNION ALL
+           SELECT doc_id + 1000000, text, lang, source
+           FROM documents WHERE doc_id % 10 = 5),
+         delta AS (
+           SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+              CASE WHEN o.doc_id IS NULL THEN 'added'
+                   WHEN n.doc_id IS NULL THEN 'removed'
+                   WHEN o.text = n.text AND o.lang = n.lang
+                        AND o.source = n.source THEN 'unchanged'
+                   ELSE 'changed' END AS status
+           FROM documents o FULL JOIN nu n ON o.doc_id = n.doc_id),
+         fresh AS (
+           SELECT d.doc_id, d.status, n.text
+           FROM delta d JOIN nu n USING (doc_id)
+           WHERE d.status IN ('added', 'changed')),
+         scored AS (
+           SELECT doc_id, status, text,
+              (8*len(string_split(text, ' ')) + length(text)
+               - 16*len(list_filter(string_split(text, ' '), x -> length(x) <= 2))
+               - 4*(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+               - 2*(len(string_split(text, ' '))
+                    - len(list_distinct(string_split(text, ' ')))))::BIGINT
+                AS score
+           FROM fresh)
+         SELECT doc_id, status, score,
+            len(string_split(text, ' '))::BIGINT AS n_tok
+         FROM scored s
+         WHERE score >= 600
+           AND NOT EXISTS (SELECT 1 FROM documents c WHERE md5(c.text) = md5(s.text))
+         ORDER BY doc_id""",
     "q_nunique_all" ->
       """SELECT count(DISTINCT o_custkey) AS o_custkey,
             count(DISTINCT o_orderstatus) AS o_orderstatus,
