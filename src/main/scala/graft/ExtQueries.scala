@@ -837,6 +837,29 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // BPE tokenizer induction ON the corpus (rows-only by design — the
+    // iterative merge loop is not SQL-expressible; BpeSpec pins batch=1
+    // merge-for-merge to the classic Sennrich reference and determinism
+    // across runs). Output: the ranked merge table.
+    "q_bpe_vocab" -> ((s, dir) => {
+      import s.implicits._
+      val d = t(s, dir, "documents").df
+      graft.operators.BpeTrainer.train(d, "text",
+          numMerges = 40, batch = 8, minCount = 2L)
+        .toDF().orderBy("rank")
+    }),
+
+    // token accounting under the learned vocab (rows-only: depends on
+    // the trained merge table above)
+    "q_bpe_tokens" -> ((s, dir) => {
+      val d = t(s, dir, "documents").df
+      val merges = graft.operators.BpeTrainer.train(d, "text",
+        numMerges = 40, batch = 8, minCount = 2L)
+      graft.operators.BpeTrainer.tokenizeCount(
+          d.filter(col("doc_id") < 50), "doc_id", "text", merges)
+        .orderBy("id")
+    }),
+
     // frame-wide distinct counts (pandas df.nunique()), one agg pass
     "q_nunique_all" -> ((s, dir) => {
       t(s, dir, "orders")
