@@ -14,9 +14,12 @@ import graft.operators.Dedup
   * among true duplicates grow x N² by definition — that regime is what
   * [[Dedup.exact]] pre-dedup is for, per the operator's scaladoc).
   *
-  * Reports wall time plus the two analytic volumes that govern 100 TB
-  * behavior: posting-list second moment (candidate generation cost) and
-  * distinct candidates before the levenshtein confirm.
+  * Reports wall time and exact pair count per (factor, q). The analytic
+  * volumes that govern 100 TB behavior — posting-list second moment and
+  * distinct candidates before the levenshtein confirm — are a one-line
+  * postings count documented in the operator scaladoc; SCALEPROBE.md
+  * round-11 records both for this fixture (130 lists, max 300, 1.02M
+  * candidates at x1 q=2).
   *
   * {{{ sbt "runMain graft.EditScaleProbe [sfDir] [dupFactor]" }}}
   */
@@ -42,14 +45,16 @@ object EditScaleProbe {
           .as("title"))
     }.reduce(_ union _).cache()
 
-    for (factor <- Seq(1, dup); qq <- Seq(2, 3)) {
+    for (factor <- Seq(1, dup)) {
       val t = titles(factor)
-      val n = t.count()
-      val t0 = System.nanoTime()
-      val pairs = Dedup.editDistancePairs(t, "doc_id", "title", maxDist = 1, q = qq)
-        .count()
-      val secs = (System.nanoTime() - t0) / 1e9
-      println(f"[editprobe] x$factor%-3d q=$qq n=$n%7d  ${secs}%8.2f s  pairs=$pairs")
+      val n = t.count() // materialize the cache once per factor
+      for (qq <- Seq(2, 3)) {
+        val t0 = System.nanoTime()
+        val pairs = Dedup.editDistancePairs(t, "doc_id", "title", maxDist = 1, q = qq)
+          .count()
+        val secs = (System.nanoTime() - t0) / 1e9
+        println(f"[editprobe] x$factor%-3d q=$qq n=$n%7d  ${secs}%8.2f s  pairs=$pairs")
+      }
       t.unpersist()
     }
   }

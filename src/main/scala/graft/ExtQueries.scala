@@ -839,9 +839,9 @@ object ExtQueries {
       val fresh = delta.join(newSnap.select("doc_id", "text"), "doc_id")
       val gated = fresh
         .filter(TextAnalysis.linearQualityScore(col("text")) >= 600)
-        .withColumn("__fp", md5(col("text")))
-      val corpusFps = d.select(md5(col("text")).as("__fp")).distinct()
-      gated.join(corpusFps, Seq("__fp"), "left_anti")
+      // byte-exact content dedup vs the live corpus (normalized=false:
+      // a changed revision must survive; a re-keyed verbatim copy must not)
+      graft.operators.Dedup.dedupAgainstCorpus(gated, d, "text", normalized = false)
         .select(col("doc_id"), col("status"),
           TextAnalysis.linearQualityScore(col("text")).as("score"),
           TextAnalysis.tokenCount(col("text")).cast("long").as("n_tok"))
@@ -2492,8 +2492,8 @@ object ExtQueries {
          SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
             CASE WHEN o.doc_id IS NULL THEN 'added'
                  WHEN n.doc_id IS NULL THEN 'removed'
-                 WHEN o.text = n.text AND o.lang = n.lang
-                      AND o.source = n.source THEN 'unchanged'
+                 WHEN o.text IS NOT DISTINCT FROM n.text AND o.lang IS NOT DISTINCT FROM n.lang
+                      AND o.source IS NOT DISTINCT FROM n.source THEN 'unchanged'
                  ELSE 'changed' END AS status
          FROM documents o FULL JOIN nu n ON o.doc_id = n.doc_id
          ORDER BY doc_id""",
@@ -2559,8 +2559,8 @@ object ExtQueries {
            SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
               CASE WHEN o.doc_id IS NULL THEN 'added'
                    WHEN n.doc_id IS NULL THEN 'removed'
-                   WHEN o.text = n.text AND o.lang = n.lang
-                        AND o.source = n.source THEN 'unchanged'
+                   WHEN o.text IS NOT DISTINCT FROM n.text AND o.lang IS NOT DISTINCT FROM n.lang
+                        AND o.source IS NOT DISTINCT FROM n.source THEN 'unchanged'
                    ELSE 'changed' END AS status
            FROM documents o FULL JOIN nu n ON o.doc_id = n.doc_id),
          fresh AS (
@@ -2580,7 +2580,9 @@ object ExtQueries {
             len(string_split(text, ' '))::BIGINT AS n_tok
          FROM scored s
          WHERE score >= 600
-           AND NOT EXISTS (SELECT 1 FROM documents c WHERE md5(c.text) = md5(s.text))
+           AND NOT EXISTS (SELECT 1 FROM documents c
+                WHERE ('0x' || substr(md5(c.text), 1, 15))::BIGINT
+                      = ('0x' || substr(md5(s.text), 1, 15))::BIGINT)
          ORDER BY doc_id""",
     "q_nunique_all" ->
       """SELECT count(DISTINCT o_custkey) AS o_custkey,

@@ -241,10 +241,15 @@ object Dedup {
   def dedupAgainstCorpus(
       incoming: DataFrame,
       corpus: DataFrame,
-      textCol: String): DataFrame = {
+      textCol: String,
+      normalized: Boolean = true): DataFrame = {
     import graft.functions.TextAnalysis
+    // normalized=false matches byte-exact content only — the right mode
+    // when a case/whitespace edit SHOULD count as new (e.g. the
+    // incremental-refresh pipeline, which forwards changed revisions)
     def fp(df: DataFrame) =
-      TextAnalysis.fingerprint60(TextAnalysis.normalized(col(textCol)))
+      TextAnalysis.fingerprint60(
+        if (normalized) TextAnalysis.normalized(col(textCol)) else col(textCol))
     val known = corpus.select(fp(corpus).as("__fp")).distinct()
     incoming.withColumn("__fp", fp(incoming))
       .join(known, Seq("__fp"), "left_anti")
@@ -637,10 +642,13 @@ object Dedup {
     val base = docs.select(col(idCol).as("id"), col(strCol).as("s"))
       .filter(col("s").isNotNull)
     // positional q-grams (duplicates kept — the prefix bound is on the
-    // multiset) plus the short-string bucket gram
-    val grams = transform(
-      sequence(lit(1), greatest(length(col("s")) - (q - 1), lit(0))),
-      i => substring(col("s"), i, lit(q)))
+    // multiset) plus the short-string bucket gram. The explicit empty
+    // array for len < q matters: sequence(1, 0) steps DOWN to [1, 0],
+    // which would fabricate two whole-string "grams" per short string
+    val grams = when(length(col("s")) < q, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(1), length(col("s")) - (q - 1)),
+        i => substring(col("s"), i, lit(q))))
     val withShort = when(length(col("s")) < q * (maxDist + 1),
       concat(grams, array(lit("\u0000S")))).otherwise(grams)
     val ex = base.select(col("id"), length(col("s")).as("len"),

@@ -127,7 +127,12 @@ object Sampling {
     val w = Window.partitionBy(df(sourceCol))
       .orderBy(Dedup.hash60(concat(df(keyCol).cast("string"), lit(salt))),
         df(keyCol))
-    val stride = strides.foldLeft(lit(null).cast("long")) {
+    // a source absent from the map must fail loudly at execution, not
+    // silently schedule as NULL (which a range-partitioned sort-write
+    // would sweep to one undefined end of the training order)
+    val stride = strides.foldLeft(
+      raise_error(concat(lit("interleaveBySource: no stride for source "),
+        df(sourceCol))).cast("long")) {
       case (acc, (s, st)) => when(df(sourceCol) === s, st).otherwise(acc)
     }
     df.withColumn("sched", (row_number().over(w).cast("long") - 1L) * stride)

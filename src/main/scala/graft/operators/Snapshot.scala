@@ -22,10 +22,14 @@ object Snapshot {
     * struct), not a hash, so the verdict is exact (no collision caveat)
     * and reproducible in any engine. For wide payloads where shipping
     * both sides' full rows through the shuffle is the bottleneck, set
-    * `hashed = true`: each side is reduced to an xxhash64 fingerprint
-    * before the join, trading an astronomically small collision risk
-    * (~n²/2⁶⁴ "changed" rows misreported "unchanged") for a
-    * key+8-bytes-per-side shuffle. At scale, snapshots written bucketed
+    * `hashed = true`: each side is reduced to an xxhash64 fingerprint of
+    * the row's JSON rendering before the join, trading an astronomically
+    * small collision risk (~n²/2⁶⁴ "changed" rows misreported
+    * "unchanged") for a key+8-bytes-per-side shuffle. The JSON form tags
+    * values with their field names (a null field is omitted WITH its
+    * name), so a value migrating between columns across a null — which
+    * raw multi-arg xxhash64 would deterministically collide, since it
+    * skips null inputs — hashes differently. At scale, snapshots written bucketed
     * by key (PsIO.writeBucketed) make the join itself shuffle-free, so
     * successive diffs cost one co-located scan.
     *
@@ -42,7 +46,7 @@ object Snapshot {
       "snapshotDiff needs key and compare columns")
     def side(df: DataFrame, tag: String): DataFrame = {
       val payload =
-        if (hashed) xxhash64(compareCols.map(col): _*)
+        if (hashed) xxhash64(to_json(struct(compareCols.map(col): _*)))
         else struct(compareCols.map(col): _*)
       df.select(keyCols.map(col) :+ payload.as(s"__${tag}_v") :+
         lit(true).as(s"__${tag}_p"): _*)

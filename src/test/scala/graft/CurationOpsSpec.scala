@@ -86,6 +86,30 @@ class CurationOpsSpec extends AnyFunSuite with SparkFixture {
     assert(got == Map(1L -> "unchanged", 2L -> "changed"))
   }
 
+  test("snapshotDiff hashed mode separates a value migrating across a null") {
+    val s = spark
+    import s.implicits._
+    // raw multi-arg xxhash64 skips nulls, deterministically colliding
+    // (null, x) with (x, null); the JSON-tagged hash must not
+    val old = Seq((1L, Option.empty[String], Option("x"))).toDF("k", "a", "b")
+    val nu = Seq((1L, Option("x"), Option.empty[String])).toDF("k", "a", "b")
+    val got = graft.operators.Snapshot.snapshotDiff(
+        old, nu, Seq("k"), Seq("a", "b"), hashed = true)
+      .head().getString(1)
+    assert(got == "changed")
+  }
+
+  test("interleaveBySource fails loudly on a source missing from the strides map") {
+    val s = spark
+    import s.implicits._
+    val d = Seq((1L, "a"), (2L, "mystery")).toDF("id", "src")
+    val ex = intercept[Exception] {
+      graft.operators.Sampling.interleaveBySource(
+        d, "src", "id", Map("a" -> 1L)).collect()
+    }
+    assert(ex.getMessage != null)
+  }
+
   test("editDistancePairs == brute-force levenshtein scan (differential)") {
     val s = spark
     import s.implicits._
@@ -95,7 +119,7 @@ class CurationOpsSpec extends AnyFunSuite with SparkFixture {
       "ab", "ac", "b", "", "abcdefgh", "abcdefgi", "zzzzzz", "kitten")
     val d = strs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
       .toDF("id", "s")
-    for (maxDist <- Seq(1, 2); q <- Seq(2, 3)) {
+    for (maxDist <- Seq(1, 2); q <- Seq(1, 2, 3)) {
       val got = Dedup.editDistancePairs(d, "id", "s", maxDist, q)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
       val brute = d.as("a").join(d.as("b"), col("a.id") < col("b.id"))
