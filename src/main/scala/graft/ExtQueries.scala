@@ -866,6 +866,16 @@ object ExtQueries {
         .orderBy("id")
     }),
 
+    // LM-coverage quality gate (integer-exact cousin of the CCNet
+    // perplexity filter): bigram coverage of each doc against the
+    // reference half of the corpus
+    "q_lm_coverage" -> ((s, dir) => {
+      val d = t(s, dir, "documents").df
+      TextAnalysis.bigramCoverage(d, "doc_id", "text",
+          d.filter(col("doc_id") % 2 === 0), "text", minCount = 3L)
+        .orderBy("id")
+    }),
+
     // frame-wide distinct counts (pandas df.nunique()), one agg pass
     "q_nunique_all" -> ((s, dir) => {
       t(s, dir, "orders")
@@ -2584,6 +2594,31 @@ object ExtQueries {
                 WHERE ('0x' || substr(md5(c.text), 1, 15))::BIGINT
                       = ('0x' || substr(md5(s.text), 1, 15))::BIGINT)
          ORDER BY doc_id""",
+    // bigram coverage: same integer counts, one exact closing division
+    "q_lm_coverage" ->
+      """WITH ref AS (
+           SELECT toks[i] || ' ' || toks[i+1] AS bg
+           FROM (SELECT string_split(text, ' ') AS toks,
+                    unnest(generate_series(1,
+                      greatest(len(string_split(text, ' ')) - 1, 0))) AS i
+                 FROM documents WHERE doc_id % 2 = 0)
+           GROUP BY 1 HAVING count(*) >= 3),
+         bg AS (
+           SELECT id, toks[i] || ' ' || toks[i+1] AS bg
+           FROM (SELECT doc_id AS id, string_split(text, ' ') AS toks,
+                    unnest(generate_series(1,
+                      greatest(len(string_split(text, ' ')) - 1, 0))) AS i
+                 FROM documents)),
+         j AS (SELECT b.id, b.bg, r.bg IS NOT NULL AS hit
+               FROM bg b LEFT JOIN ref r USING (bg))
+         SELECT d.doc_id AS id,
+            count(j.bg)::BIGINT AS n_bigrams,
+            count(CASE WHEN j.hit THEN 1 END)::BIGINT AS n_matched,
+            CASE WHEN count(j.bg) > 0
+                 THEN count(CASE WHEN j.hit THEN 1 END)::DOUBLE / count(j.bg)
+            END AS coverage
+         FROM documents d LEFT JOIN j ON d.doc_id = j.id
+         GROUP BY d.doc_id ORDER BY id""",
     "q_nunique_all" ->
       """SELECT count(DISTINCT o_custkey) AS o_custkey,
             count(DISTINCT o_orderstatus) AS o_orderstatus,

@@ -101,6 +101,55 @@ object TextAnalysis {
       lit(4) * nDigit - lit(2) * nRep).cast("long")
   }
 
+  /** Corpus-trained bigram-coverage quality score — the integer-exact
+    * cousin of the LM-perplexity filter CCNet popularized (Wenzek et al.
+    * LREC'20 score with a KenLM model; FineWeb-style pipelines gate on
+    * the same signal): a document whose word bigrams rarely appear in a
+    * trusted reference corpus is likely boilerplate, spam, or the wrong
+    * register. Coverage = matched_bigrams / total_bigrams where a bigram
+    * "matches" when the REFERENCE corpus contains it at least `minCount`
+    * times — all counts integer, the single closing division is one
+    * exact ratio per row, so any engine reproduces the score.
+    *
+    * Plan: the reference collapses once to its distinct-bigram table
+    * (count >= minCount, an aggregation keyed by bigram); document
+    * bigrams explode per-row (codegen'd zip_with) and LEFT join that
+    * table on the bigram key — one shuffle each side, AQE broadcasts the
+    * reference when it is small. Output: (id, n_bigrams, n_matched,
+    * coverage); docs with < 2 tokens score 0 matched of 0 with null
+    * coverage.
+    */
+  def bigramCoverage(
+      docs: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+      ref: org.apache.spark.sql.DataFrame, refTextCol: String,
+      minCount: Long = 2L): org.apache.spark.sql.DataFrame = {
+    require(minCount >= 1, "bigramCoverage needs minCount >= 1")
+    def bigrams(c: Column): Column = {
+      val toks = split(c, " ")
+      zip_with(
+        slice(toks, lit(1), size(toks) - 1),
+        slice(toks, lit(2), size(toks) - 1),
+        (a, b) => concat(a, lit(" "), b))
+    }
+    val refBigrams = ref
+      .filter(size(split(col(refTextCol), " ")) >= 2)
+      .select(explode(bigrams(col(refTextCol))).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= minCount)
+      .select(col("bg"), lit(true).as("__hit"))
+    docs
+      .select(col(idCol).as("id"),
+        explode_outer(bigrams(col(textCol))).as("bg"))
+      .join(refBigrams, Seq("bg"), "left")
+      .groupBy("id")
+      .agg(
+        count(col("bg")).as("n_bigrams"),
+        count(when(col("__hit"), 1)).as("n_matched"))
+      .withColumn("coverage",
+        when(col("n_bigrams") > 0,
+          col("n_matched").cast("double") / col("n_bigrams")))
+  }
+
   /** Fraction of tokens that repeat an earlier token — 1 − distinct/total.
     * The cheap single-pass repetition signal (boilerplate, keyword spam,
     * template pages score high); Gopher-style pipelines drop on it. */

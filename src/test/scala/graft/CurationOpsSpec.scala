@@ -177,6 +177,22 @@ class CurationOpsSpec extends AnyFunSuite with SparkFixture {
     assert(got.filter(_._2 == "b").map(_._3).sorted.take(3).toSeq == Seq(0L, 3L, 6L))
   }
 
+  test("bigramCoverage: hand-computed counts, minCount gate, short-doc null") {
+    val s = spark
+    import s.implicits._
+    val ref = Seq((1L, "the cat sat"), (2L, "the cat ran"), (3L, "a dog")).toDF("id", "t")
+    // ref bigram counts: "the cat"=2, "cat sat"=1, "cat ran"=1, "a dog"=1
+    val docs = Seq(
+      (10L, "the cat sat here"), // bigrams: the-cat(hit), cat-sat(no@min2), sat-here(no)
+      (11L, "word")).toDF("id", "t") // 0 bigrams -> null coverage
+    val got = TextAnalysis.bigramCoverage(docs, "id", "t", ref, "t", minCount = 2L)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Double])))
+      .toMap
+    assert(got(10L) == ((3L, 1L, Some(1.0 / 3))))
+    assert(got(11L) == ((0L, 0L, None)))
+  }
+
   test("linearQualityScore matches the documented hand computation") {
     val s = spark
     import s.implicits._
