@@ -1919,6 +1919,15 @@ object ExtQueries {
         .orderBy("n_nationkey")
     }),
 
+    // Arrow IPC (feather v2) round-trip, mirroring q_read_pickle: write
+    // nation as an Arrow file (once per process), read it back through
+    // the arrow-vector codec, compare against DuckDB over the table
+    "q_read_arrow" -> ((s, dir) => {
+      arrowFixture(s, dir)
+      PsIO.readArrow(s, ArrowFixturePath).df
+        .orderBy("n_nationkey")
+    }),
+
     // per-column aggregate sugar: df("c").sum() scalars, re-lifted into a
     // frame so the oracle can compare them
     "q_colagg" -> ((s, dir) => {
@@ -1955,6 +1964,7 @@ object ExtQueries {
   val JsonFixtureDir = "/root/repo/target/tmp/nation_json"
   val NpyFixturePath = "/root/repo/target/tmp/nation_npy/nation.npy"
   val PickleFixturePath = "/root/repo/target/tmp/nation_pkl/nation.pkl"
+  val ArrowFixturePath = "/root/repo/target/tmp/nation_arrow/nation.arrow"
 
   /** Write-once-per-process fixture creation, keyed by (kind, dir):
     * the ingestion queries must time the READ — re-writing the fixture
@@ -1968,6 +1978,13 @@ object ExtQueries {
   private def jsonFixture(s: SparkSession, dir: String): Unit =
     fixturesDone.computeIfAbsent(s"json:$dir", _ =>
       PsIO.toJson(s.read.parquet(s"$dir/nation.parquet").coalesce(1), JsonFixtureDir))
+  private def arrowFixture(s: SparkSession, dir: String): Unit =
+    fixturesDone.computeIfAbsent(s"arrow:$dir", _ => {
+      new java.io.File(ArrowFixturePath).getParentFile.mkdirs()
+      PsIO.toArrow(
+        s.read.parquet(s"$dir/nation.parquet").orderBy("n_nationkey"),
+        ArrowFixturePath)
+    })
   private def pickleFixture(s: SparkSession, dir: String): Unit =
     fixturesDone.computeIfAbsent(s"pkl:$dir", _ => {
       new java.io.File(PickleFixturePath).getParentFile.mkdirs()
@@ -3181,6 +3198,9 @@ object ExtQueries {
     "q_read_pickle" ->
       """SELECT n_nationkey::BIGINT AS n_nationkey, n_name,
                 n_regionkey::BIGINT AS n_regionkey
+         FROM nation ORDER BY n_nationkey""",
+    "q_read_arrow" ->
+      """SELECT n_nationkey, n_name, n_regionkey
          FROM nation ORDER BY n_nationkey""",
     // the npy fixture is written ordered by n_nationkey, so idx is the
     // rank of n_nationkey; DuckDB rebuilds (idx, pos, value) relationally

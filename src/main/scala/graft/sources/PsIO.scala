@@ -80,6 +80,15 @@ object PsIO {
   def toPickle(df: DataFrame, path: String): Unit =
     Pickle.toPickle(df, path)
 
+  /** Arrow IPC file (pandas `read_feather`/`to_feather` v2) — see
+    * [[ArrowIpc]] for supported types and the local-object scale posture
+    * (driver-side, like `read_numpy`/`read_pickle`). */
+  def readArrow(spark: SparkSession, path: String): PsDataFrame =
+    PsDataFrame(ArrowIpc.readArrow(spark, path))
+
+  def toArrow(df: DataFrame, path: String): Unit =
+    ArrowIpc.toArrow(df, path)
+
   /** Sharded JSONL egress — the training-data interchange format: one
     * compressed .json(l) file per shard, each at most `maxRecordsPerShard`
     * rows, emitted by the writers in parallel (`maxRecordsPerFile` rolls a
