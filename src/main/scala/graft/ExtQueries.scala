@@ -876,6 +876,19 @@ object ExtQueries {
         .orderBy("id")
     }),
 
+    // within-pack start offsets (block-diagonal attention-mask metadata):
+    // one more window over the packer's own partitioning, no extra shuffle
+    "q_pack_offsets" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val withTok = d.df.select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tok"))
+      val packed = graft.operators.Chunking.packSequences(withTok, "doc_id",
+        col("n_tok"), ctxTokens = 512, nShards = 8)
+      graft.operators.Chunking.packOffsets(packed, "doc_id", col("n_tok"))
+        .select("doc_id", "shard", "pack_id", "pack_offset")
+        .orderBy("doc_id")
+    }),
+
     // frame-wide distinct counts (pandas df.nunique()), one agg pass
     "q_nunique_all" -> ((s, dir) => {
       t(s, dir, "orders")
@@ -2481,6 +2494,23 @@ object ExtQueries {
          FROM d
          WINDOW w AS (PARTITION BY shard ORDER BY doc_id
                       ROWS UNBOUNDED PRECEDING)
+         ORDER BY doc_id""",
+    // pack offsets: q_pack's CTE + one more window on (shard, pack_id)
+    "q_pack_offsets" ->
+      """WITH d AS (SELECT doc_id,
+              len(string_split(text, ' '))::INTEGER AS n_tok,
+              ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 8 AS shard
+            FROM documents),
+         p AS (SELECT doc_id, n_tok, shard,
+              floor((sum(n_tok::BIGINT) OVER w - n_tok) / 512.0)::BIGINT AS pack_id
+            FROM d
+            WINDOW w AS (PARTITION BY shard ORDER BY doc_id
+                         ROWS UNBOUNDED PRECEDING))
+         SELECT doc_id, shard, pack_id,
+            (sum(n_tok::BIGINT) OVER w2 - n_tok) AS pack_offset
+         FROM p
+         WINDOW w2 AS (PARTITION BY shard, pack_id ORDER BY doc_id
+                       ROWS UNBOUNDED PRECEDING)
          ORDER BY doc_id""",
     // unchunk: replay chunking (q_chunk's CTE), strip the 8-token overlap
     // from every non-first chunk, stitch with an ordered string_agg

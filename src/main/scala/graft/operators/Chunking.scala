@@ -110,6 +110,27 @@ object Chunking {
     * partition's size and keeps pack assignment embarrassingly parallel.
     * Output: input columns + (shard, pack_id).
     */
+  /** Within-pack start offsets for a [[packSequences]] output — the
+    * metadata a packed training batch needs to build block-diagonal
+    * attention masks (each document attends only to itself; the mask
+    * boundary is its [offset, offset + n_tokens) span). One more window
+    * over the SAME (shard, sort-by-id) partitioning the packer used, so
+    * AQE reuses the exchange — no extra shuffle. Output: input columns +
+    * pack_offset (token start within the pack). */
+  def packOffsets(
+      packed: DataFrame,
+      idCol: String,
+      tokenCountCol: Column): DataFrame = {
+    require(packed.columns.contains("shard") && packed.columns.contains("pack_id"),
+      "packOffsets expects a packSequences output (shard, pack_id)")
+    require(!packed.columns.contains("pack_offset"),
+      "packOffsets: input already has a 'pack_offset' column")
+    val w = Window.partitionBy(col("shard"), col("pack_id")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    packed.withColumn("pack_offset",
+      (sum(tokenCountCol.cast("long")).over(w) - tokenCountCol.cast("long")))
+  }
+
   def packSequences(
       docs: DataFrame,
       idCol: String,
