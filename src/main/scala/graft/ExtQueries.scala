@@ -889,6 +889,39 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // CURATION AUDIT: per-document disposition provenance — every doc
+    // tagged with the stage that removed it (or 'kept'), the artifact a
+    // curation run ships for review alongside the survivor set. Same
+    // stages as q_pipeline_curate, attribution follows pipeline order.
+    "q_pipeline_audit" -> ((s, dir) => {
+      val d = t(s, dir, "documents").df
+      val hold = d.filter(col("doc_id") % 5 === 0)
+      val train = d.filter(col("doc_id") % 5 =!= 0)
+      val fp = TextAnalysis.fingerprint60(TextAnalysis.normalized(col("text")))
+      val gated = train
+        .filter(TextAnalysis.langId(col("text")) === "en")
+        .filter(TextAnalysis.tokenCount(col("text")) >= 20)
+        .withColumn("__fp", fp)
+      val dupWinners = Dedup.exact(gated, Seq("__fp"), Seq(col("doc_id")))
+        .select(col("doc_id").as("id"), lit(true).as("__won"))
+      val deduped = gated.join(
+        dupWinners.select(col("id").as("doc_id")), "doc_id")
+      val kept = Dedup.decontaminate(deduped, hold, "doc_id", "text",
+          k = 3, threshold = 0.6, maxDf = Some(1000))
+        .select(col("doc_id").as("id"), lit(true).as("__kept"))
+      d.select(col("doc_id").as("id"), col("text"))
+        .join(dupWinners, Seq("id"), "left")
+        .join(kept, Seq("id"), "left")
+        .select(col("id"),
+          when(col("id") % 5 === 0, "holdout")
+            .when(TextAnalysis.langId(col("text")) =!= "en", "lang")
+            .when(TextAnalysis.tokenCount(col("text")) < 20, "length")
+            .when(col("__won").isNull, "dup")
+            .when(col("__kept").isNull, "contaminated")
+            .otherwise("kept").as("disposition"))
+        .orderBy("id")
+    }),
+
     // frame-wide distinct counts (pandas df.nunique()), one agg pass
     "q_nunique_all" -> ((s, dir) => {
       t(s, dir, "orders")
@@ -2806,6 +2839,52 @@ object ExtQueries {
          SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens
          FROM ded WHERE doc_id NOT IN (SELECT a_id FROM hit)
          ORDER BY doc_id""",
+    // audit: the curate CTEs restated as a disposition CASE; attribution
+    // follows pipeline order (holdout > lang > length > dup > contam)
+    "q_pipeline_audit" ->
+      """WITH scored AS (
+           SELECT doc_id, text,
+             len(string_split(text, ' ')) AS n_tok,
+             len(list_filter(string_split(text, ' '), t -> list_contains(['the', 'a', 'an', 'of', 'to', 'in', 'and', 'or', 'is', 'it'], t)))::DOUBLE / len(string_split(text, ' ')) AS s_en,
+             len(list_filter(string_split(text, ' '), t -> list_contains(['der', 'die', 'das', 'und', 'ist', 'von', 'mit', 'ein'], t)))::DOUBLE / len(string_split(text, ' ')) AS s_de,
+             len(list_filter(string_split(text, ' '), t -> list_contains(['le', 'la', 'les', 'de', 'et', 'est', 'un', 'une'], t)))::DOUBLE / len(string_split(text, ' ')) AS s_fr,
+             len(list_filter(string_split(text, ' '), t -> list_contains(['el', 'la', 'los', 'de', 'y', 'es', 'un', 'una'], t)))::DOUBLE / len(string_split(text, ' ')) AS s_es
+           FROM documents),
+         langok AS (
+           SELECT doc_id, text, n_tok,
+             (s_en = greatest(s_en, s_de, s_fr, s_es) AND s_en > 0) AS is_en
+           FROM scored),
+         gated AS (
+           SELECT doc_id, text,
+             row_number() OVER (
+               PARTITION BY ('0x' || substr(md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), 1, 15))::BIGINT
+               ORDER BY doc_id) AS rn
+           FROM langok WHERE doc_id % 5 <> 0 AND is_en AND n_tok >= 20),
+         tsh AS (SELECT doc_id,
+                        list_distinct(list_transform(range(len(w) - 2),
+                          i -> array_to_string(w[i+1:i+3], ' '))) AS dsh
+                 FROM (SELECT doc_id, string_split(text, ' ') AS w
+                       FROM gated WHERE rn = 1)
+                 WHERE len(w) >= 3),
+         hsh AS (SELECT doc_id,
+                        list_distinct(list_transform(range(len(w) - 2),
+                          i -> array_to_string(w[i+1:i+3], ' '))) AS dsh
+                 FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+                       WHERE doc_id % 5 = 0)
+                 WHERE len(w) >= 3),
+         hit AS (SELECT DISTINCT a.doc_id AS a_id
+                 FROM tsh a CROSS JOIN hsh b
+                 WHERE len(list_intersect(a.dsh, b.dsh))::DOUBLE
+                       / (len(a.dsh) + len(b.dsh) - len(list_intersect(a.dsh, b.dsh))) >= 0.6)
+         SELECT l.doc_id AS id,
+           CASE WHEN l.doc_id % 5 = 0 THEN 'holdout'
+                WHEN NOT l.is_en THEN 'lang'
+                WHEN l.n_tok < 20 THEN 'length'
+                WHEN g.rn IS NULL OR g.rn > 1 THEN 'dup'
+                WHEN l.doc_id IN (SELECT a_id FROM hit) THEN 'contaminated'
+                ELSE 'kept' END AS disposition
+         FROM langok l LEFT JOIN gated g ON l.doc_id = g.doc_id
+         ORDER BY id""",
     "q_strip_known" ->
       """WITH p AS (SELECT doc_id,
               text || chr(10) || 'subscribe to our newsletter' || chr(10) ||
