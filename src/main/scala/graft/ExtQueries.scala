@@ -922,6 +922,20 @@ object ExtQueries {
         .orderBy("id")
     }),
 
+    // Unicode NFC normalization (dedup preprocessing): decomposed and
+    // precomposed accent forms must normalize to identical strings —
+    // forms_agree pins it per row against the composed spelling
+    "q_nfc" -> ((s, dir) => {
+      val d = t(s, dir, "documents").df.filter(col("doc_id") < 50)
+      val decomposed = concat(col("text"), lit(" cafe\u0301 u\u0308ber"))
+      val composed = concat(col("text"), lit(" caf\u00e9 \u00fcber"))
+      d.select(col("doc_id"),
+          graft.plans.TextExpressions.nfcNormalize(decomposed).as("norm"),
+          (graft.plans.TextExpressions.nfcNormalize(decomposed) ===
+            graft.plans.TextExpressions.nfcNormalize(composed)).as("forms_agree"))
+        .orderBy("doc_id")
+    }),
+
     // frame-wide distinct counts (pandas df.nunique()), one agg pass
     "q_nunique_all" -> ((s, dir) => {
       t(s, dir, "orders")
@@ -2545,6 +2559,15 @@ object ExtQueries {
          WINDOW w2 AS (PARTITION BY shard, pack_id ORDER BY doc_id
                        ROWS UNBOUNDED PRECEDING)
          ORDER BY doc_id""",
+    // NFC: DuckDB's nfc_normalize on the same decomposed/composed forms
+    "q_nfc" ->
+      """SELECT doc_id,
+            nfc_normalize(text || ' cafe' || chr(769) || ' u' || chr(776) || 'ber')
+              AS norm,
+            nfc_normalize(text || ' cafe' || chr(769) || ' u' || chr(776) || 'ber')
+              = nfc_normalize(text || ' caf' || chr(233) || ' ' || chr(252) || 'ber')
+              AS forms_agree
+         FROM documents WHERE doc_id < 50 ORDER BY doc_id""",
     // unchunk: replay chunking (q_chunk's CTE), strip the 8-token overlap
     // from every non-first chunk, stitch with an ordered string_agg
     "q_unchunk" ->

@@ -116,10 +116,47 @@ case class NgramRepStats(child: Expression, k: Int)
     copy(child = newChild)
 }
 
+/** Unicode NFC normalization — the canonical-composition pass a dedup
+  * pipeline runs BEFORE fingerprinting: "café" typed as e+combining-acute
+  * (decomposed, 5 code points) and as precomposed é (4 code points) are
+  * byte-different, so every hash-based dedup/fingerprint operator treats
+  * them as distinct documents until normalized. Wraps the JDK's
+  * `java.text.Normalizer` (the reference Unicode implementation); NFC is
+  * what DuckDB's `nfc_normalize` implements, so results are cross-engine
+  * verifiable. Fast path: `Normalizer.isNormalized` is O(n) with no
+  * allocation and nearly all real text is already NFC, so the common row
+  * pays one scan, no copy. (CodegenFallback: one JVM intrinsic call per
+  * row; nothing to fuse.)
+  */
+case class NfcNormalize(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"expects string, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) input
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextExpressions {
   /** distinct k-word shingles (order of first occurrence). */
   def wordShingles(text: Column, k: Int): Column =
     GraftColumnBridge.column(WordShingles(GraftColumnBridge.expression(text), k))
+
+  /** Unicode NFC canonical composition (dedup preprocessing). */
+  def nfcNormalize(text: Column): Column =
+    GraftColumnBridge.column(NfcNormalize(GraftColumnBridge.expression(text)))
 
   /** one-pass k-gram repetition counters: struct(total, top, dup). */
   def ngramRepStats(text: Column, k: Int): Column =

@@ -193,6 +193,24 @@ class CurationOpsSpec extends AnyFunSuite with SparkFixture {
     assert(got(11L) == ((0L, 0L, None)))
   }
 
+  test("nfcNormalize: decomposed == precomposed after NFC; nulls pass through") {
+    val s = spark
+    import s.implicits._
+    val d = Seq(
+      (1L, Option("cafe\u0301 u\u0308ber")),     // combining marks
+      (2L, Option("caf\u00e9 \u00fcber")),       // precomposed
+      (3L, Option.empty[String])).toDF("id", "t")
+    val got = d.select(col("id"),
+        graft.plans.TextExpressions.nfcNormalize(col("t")).as("n"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(got(1L) == got(2L), "both forms normalize identically")
+    assert(got(1L).get == "caf\u00e9 \u00fcber", "NFC composes to precomposed")
+    assert(got(3L).isEmpty, "null passes through")
+    // differential vs the JDK reference on the raw strings
+    assert(got(1L).get == java.text.Normalizer.normalize(
+      "cafe\u0301 u\u0308ber", java.text.Normalizer.Form.NFC))
+  }
+
   test("linearQualityScore matches the documented hand computation") {
     val s = spark
     import s.implicits._
