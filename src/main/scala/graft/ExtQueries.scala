@@ -1988,6 +1988,15 @@ object ExtQueries {
         .orderBy("n_nationkey")
     }),
 
+    // ORC round-trip (zstd-compressed), mirroring q_read_arrow: write
+    // nation as ORC once per process, read it back through Spark's ORC
+    // source; the oracle recomputes the rows from the parquet table, so
+    // the compare validates the whole codec path (values, types, order)
+    "q_read_orc" -> ((s, dir) => {
+      orcFixture(s, dir)
+      PsIO.readOrc(s, OrcFixtureDir).sortValues(Seq("n_nationkey")).df
+    }),
+
     // per-column aggregate sugar: df("c").sum() scalars, re-lifted into a
     // frame so the oracle can compare them
     "q_colagg" -> ((s, dir) => {
@@ -2025,6 +2034,7 @@ object ExtQueries {
   val NpyFixturePath = "/root/repo/target/tmp/nation_npy/nation.npy"
   val PickleFixturePath = "/root/repo/target/tmp/nation_pkl/nation.pkl"
   val ArrowFixturePath = "/root/repo/target/tmp/nation_arrow/nation.arrow"
+  val OrcFixtureDir = "/root/repo/target/tmp/nation_orc"
 
   /** Write-once-per-process fixture creation, keyed by (kind, dir):
     * the ingestion queries must time the READ — re-writing the fixture
@@ -2045,6 +2055,10 @@ object ExtQueries {
         s.read.parquet(s"$dir/nation.parquet").orderBy("n_nationkey"),
         ArrowFixturePath)
     })
+  private def orcFixture(s: SparkSession, dir: String): Unit =
+    fixturesDone.computeIfAbsent(s"orc:$dir", _ =>
+      PsIO.toOrc(s.read.parquet(s"$dir/nation.parquet").coalesce(1),
+        OrcFixtureDir, codec = Some("zstd")))
   private def pickleFixture(s: SparkSession, dir: String): Unit =
     fixturesDone.computeIfAbsent(s"pkl:$dir", _ => {
       new java.io.File(PickleFixturePath).getParentFile.mkdirs()
@@ -3332,6 +3346,11 @@ object ExtQueries {
                 n_regionkey::BIGINT AS n_regionkey
          FROM nation ORDER BY n_nationkey""",
     "q_read_arrow" ->
+      """SELECT n_nationkey, n_name, n_regionkey
+         FROM nation ORDER BY n_nationkey""",
+    // the ORC fixture is nation round-tripped through Spark's ORC codec
+    // (zstd); types survive exactly, so the oracle is the table itself
+    "q_read_orc" ->
       """SELECT n_nationkey, n_name, n_regionkey
          FROM nation ORDER BY n_nationkey""",
     // the npy fixture is written ordered by n_nationkey, so idx is the

@@ -55,8 +55,14 @@ object PsIO {
   def toJson(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).json(path)
 
-  def toParquet(df: DataFrame, path: String): Unit =
-    df.write.mode(SaveMode.Overwrite).parquet(path)
+  /** `codec`: file compression — None keeps Spark's default (snappy);
+    * "zstd" trades ~equal scan speed for 25-35% smaller files (pure-JVM
+    * zstd-jni, no native hadoop needed), the archival choice when the
+    * corpus is written once and scanned for months. */
+  def toParquet(df: DataFrame, path: String, codec: Option[String] = None): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite)
+    codec.fold(w)(c => w.option("compression", c)).parquet(path)
+  }
 
   /** reference io.py:35-36 — local NumPy array ingestion; 1-D ->
     * (idx, value), 2-D -> (idx, value ARRAY). See [[Npy]] for the
@@ -216,8 +222,12 @@ object PsIO {
   def readOrc(spark: SparkSession, path: String): PsDataFrame =
     PsDataFrame(spark.read.orc(path))
 
-  def toOrc(df: DataFrame, path: String): Unit =
-    df.write.mode(SaveMode.Overwrite).orc(path)
+  /** `codec`: None keeps ORC's default (zstd on Spark 4); also accepts
+    * "snappy"/"zlib"/"lz4"/"none". */
+  def toOrc(df: DataFrame, path: String, codec: Option[String] = None): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite)
+    codec.fold(w)(c => w.option("compression", c)).orc(path)
+  }
 
   /** Hive-style partitioned layout: one directory per `keys` value
     * combination. THE scan-pruning lever at 100 TB — a filter on a
