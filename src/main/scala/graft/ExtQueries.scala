@@ -1765,6 +1765,34 @@ object ExtQueries {
         .orderBy("query_id", "rnk")
     }),
 
+    // scalar-int8 shortlist scan + exact re-rank: the training-free
+    // quantization path (1 byte/dim, per-vector affine range). With
+    // shortlist 50 >= true k the only recall loss is int8 rounding —
+    // SimilaritySpec asserts recall; rows-only here like q_ann_pq.
+    "q_ann_int8" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.df.filter(col("vec_id") < 20)
+      Similarity.int8TopK(e.df, q, "vec_id", "embedding", k = 1,
+          shortlist = 50)
+        .select(col("query_id"), col("neighbor_id"), col("rank").as("rnk"))
+        .orderBy("query_id", "rnk")
+    }),
+
+    // int8 quantization error report per vector — the oracled window
+    // into the codec: DuckDB replays the same double-precision affine
+    // round-trip with list lambdas; values compare exactly because both
+    // engines run the identical sequential IEEE-double recurrence
+    "q_quant_err" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      e.df.filter(col("vec_id") < 200)
+        .select(col("vec_id"),
+          graft.plans.VectorExpressions.int8Stats(col("embedding")).as("st"))
+        .select(col("vec_id"), col("st.qmin").as("qmin"),
+          col("st.qmax").as("qmax"), col("st.max_abs_err").as("max_abs_err"),
+          col("st.mean_abs_err").as("mean_abs_err"))
+        .orderBy("vec_id")
+    }),
+
     // faiss-shape IVF-PQ: cells prune candidates, codes prune the scan
     // payload, exact re-rank of the shortlist; reuses both cached
     // artifacts. Approximate -> rows-only. nProbe=8 of 16 cells:
@@ -2377,6 +2405,23 @@ object ExtQueries {
                FROM sc)
          SELECT query_id, neighbor_id, rnk FROM r WHERE rnk <= 5
          ORDER BY query_id, rnk""",
+    // replays Int8Stats' sequential double recurrence with list lambdas:
+    // float->double casts are exact, min/max are comparisons, and DuckDB's
+    // round() (half away from zero) agrees with the engine's rounding on
+    // the non-negative scaled values — verified bit-exact, no rounding
+    // slop needed (the scaladoc on Int8Stats pins the op order)
+    "q_quant_err" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 200),
+         s AS (SELECT vec_id, v, list_aggregate(v, 'min') AS mn, list_aggregate(v, 'max') AS mx,
+                      (list_aggregate(v, 'max') - list_aggregate(v, 'min'))/255.0 AS sc FROM e),
+         err AS (SELECT vec_id, mn, mx, len(v) AS d,
+                   CASE WHEN sc = 0 THEN NULL
+                        ELSE list_transform(v, x -> abs(mn + round((x - mn)/sc)*sc - x)) END AS es
+                 FROM s)
+         SELECT vec_id, mn AS qmin, mx AS qmax,
+                COALESCE(list_aggregate(es, 'max'), 0.0) AS max_abs_err,
+                CASE WHEN es IS NULL THEN 0.0 ELSE list_aggregate(es, 'sum')/d END AS mean_abs_err
+         FROM err ORDER BY vec_id""",
     "q_multimodal" ->
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes, md5(text) AS payload_md5
          FROM documents ORDER BY doc_id""",

@@ -481,6 +481,51 @@ object Similarity {
     perQueryTopK(exact, corpus.schema(idCol).dataType, k)
   }
 
+  /** Scalar int8 quantization of the embedding column: one shuffle-free
+    * map pass, no training stage, 1 byte/dim (+16 bytes of range) on
+    * disk instead of 4 — the storage/scan cut for corpora that keep
+    * embeddings alongside documents. Output keeps `idCol` plus a `q8`
+    * struct(codes, qmin, qscale); write it with [[graft.sources.PsIO]]
+    * as the shortlist-scan artifact. */
+  def quantizeInt8(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String): DataFrame =
+    corpus.select(col(idCol).as("id"),
+      graft.plans.VectorExpressions.int8Encode(col(vecCol)).as("q8"))
+
+  /** Int8 approximate top-k with exact re-rank — [[pqTopK]]'s shape over
+    * the scalar-quantized corpus: shortlist by the asymmetric int8 score
+    * (scan reads 1 byte/dim), then exact-cosine re-rank of the shortlist
+    * only. Both reductions ride the bounded-heap partial aggregate;
+    * reported scores are exact, so recall@k is the only approximation
+    * (and int8's reconstruction error is ≤ range/510 per element, far
+    * inside typical top-k score gaps — recall in practice ≈ 1). */
+  def int8TopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      shortlist: Int = 100): DataFrame = {
+    require(shortlist >= k, s"shortlist=$shortlist must be >= k=$k")
+    val codes = quantizeInt8(corpus, idCol, vecCol)
+      .select(col("id").as("neighbor_id"), col("q8"))
+    val q = broadcast(queries.select(
+      col(idCol).as("query_id"), col(vecCol).as("q_vec")))
+    val approx = codes.join(q, col("query_id") =!= col("neighbor_id"))
+      .withColumn("score", graft.plans.VectorExpressions.int8Cosine(
+        col("q_vec"), col("q8.codes"), col("q8.qmin"), col("q8.qscale")))
+    val short = perQueryTopK(approx, corpus.schema(idCol).dataType, shortlist)
+      .select("query_id", "neighbor_id")
+    val exact = short
+      .join(q, Seq("query_id"))
+      .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec")),
+        Seq("neighbor_id"))
+      .withColumn("score", cosine(col("q_vec"), col("c_vec")))
+    perQueryTopK(exact, corpus.schema(idCol).dataType, k)
+  }
+
   /** IVF-PQ: the two index structures composed the way faiss ships them
     * — the IVF cells prune WHICH corpus rows are candidates (nProbe
     * cells per query instead of the full corpus), and PQ codes prune

@@ -490,6 +490,195 @@ case class PqCosine(
     copy(left = newLeft, right = newRight)
 }
 
+/** Scalar int8 quantization: per-vector affine map onto [0,255] —
+  * code_i = round((x_i − min)/scale), scale = (max − min)/255. One byte
+  * per dimension instead of four (float) on disk and in the scan, with
+  * reconstruction error ≤ scale/2 per element. The per-VECTOR (not
+  * per-corpus) range makes the encode a single shuffle-free map pass
+  * with no training stage — the pragmatic middle ground between raw
+  * floats and PQ (which needs a codebook) for shortlisting scans.
+  * Output: struct(codes binary, qmin double, qscale double). All math
+  * in double so DuckDB replays it bit-identically for the oracle. */
+case class Int8Encode(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = Int8Encode.schema
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(_: NumericType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"expects a numeric array, got $other")
+  }
+
+  @transient private lazy val et: NumericType =
+    child.dataType.asInstanceOf[ArrayType].elementType.asInstanceOf[NumericType]
+
+  def compute(a: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
+    val n = a.numElements()
+    val v = VecRead.toDoubles(a, n, et)
+    var mn = Double.MaxValue
+    var mx = -Double.MaxValue
+    var i = 0
+    while (i < n) { val x = v(i); if (x < mn) mn = x; if (x > mx) mx = x; i += 1 }
+    if (n == 0) { mn = 0.0; mx = 0.0 }
+    val sc = (mx - mn) / 255.0
+    val codes = new Array[Byte](n)
+    if (sc != 0.0) {
+      i = 0
+      while (i < n) {
+        val c = math.round((v(i) - mn) / sc)
+        codes(i) = (if (c < 0L) 0L else if (c > 255L) 255L else c).toByte
+        i += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](codes, mn, sc))
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("int8Encode", this, classOf[Int8Encode].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.InternalRow) $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object Int8Encode {
+  val schema: StructType = StructType(Seq(
+    StructField("codes", BinaryType, nullable = false),
+    StructField("qmin", DoubleType, nullable = false),
+    StructField("qscale", DoubleType, nullable = false)))
+}
+
+/** Per-vector int8 quantization error report, one fused pass:
+  * struct(qmin, qmax, max_abs_err, mean_abs_err) where err_i =
+  * |qmin + round((x_i−qmin)/scale)·scale − x_i|. Strictly sequential
+  * double arithmetic (min/max sweep, then left-to-right error sum) so
+  * a SQL oracle doing the same list operations reproduces the values
+  * exactly — this is the CORRECTNESS window into [[Int8Encode]], whose
+  * binary codes a hash compare can't inspect directly. */
+case class Int8Stats(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = Int8Stats.schema
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(_: NumericType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"expects a numeric array, got $other")
+  }
+
+  @transient private lazy val et: NumericType =
+    child.dataType.asInstanceOf[ArrayType].elementType.asInstanceOf[NumericType]
+
+  def compute(a: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
+    val n = a.numElements()
+    val v = VecRead.toDoubles(a, n, et)
+    var mn = Double.MaxValue
+    var mx = -Double.MaxValue
+    var i = 0
+    while (i < n) { val x = v(i); if (x < mn) mn = x; if (x > mx) mx = x; i += 1 }
+    if (n == 0) { mn = 0.0; mx = 0.0 }
+    val sc = (mx - mn) / 255.0
+    var maxE = 0.0
+    var sumE = 0.0
+    if (sc != 0.0) {
+      i = 0
+      while (i < n) {
+        val e = math.abs(mn + math.round((v(i) - mn) / sc) * sc - v(i))
+        if (e > maxE) maxE = e
+        sumE += e
+        i += 1
+      }
+    }
+    val meanE = if (n == 0) 0.0 else sumE / n
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](mn, mx, maxE, meanE))
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("int8Stats", this, classOf[Int8Stats].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.InternalRow) $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object Int8Stats {
+  val schema: StructType = StructType(Seq(
+    StructField("qmin", DoubleType, nullable = false),
+    StructField("qmax", DoubleType, nullable = false),
+    StructField("max_abs_err", DoubleType, nullable = false),
+    StructField("mean_abs_err", DoubleType, nullable = false)))
+}
+
+/** cos(query, dequantized-int8-corpus-vector) in one fused loop — the
+  * corpus side is read as 1 byte/dim plus two doubles, dequantized
+  * on the fly (x̂_i = qmin + code_i·qscale), never materialized. The
+  * asymmetric analogue of [[PqCosine]] for scalar quantization. */
+case class Int8Cosine(
+    first: Expression,  // query vector (numeric array)
+    second: Expression, // codes (binary, from Int8Encode)
+    third: Expression,  // qmin (double)
+    fourth: Expression) // qscale (double)
+    extends org.apache.spark.sql.catalyst.expressions.QuaternaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType, fourth.dataType) match {
+      case (ArrayType(_: NumericType, _), BinaryType, DoubleType, DoubleType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (a, b, c, d) => TypeCheckResult.TypeCheckFailure(
+        s"expects (numeric array, binary, double, double), got ($a, $b, $c, $d)")
+    }
+
+  @transient private lazy val et: NumericType =
+    first.dataType.asInstanceOf[ArrayType].elementType.asInstanceOf[NumericType]
+
+  def compute(qa: ArrayData, codes: Array[Byte], mn: Double, sc: Double): Double = {
+    val n = math.min(qa.numElements(), codes.length)
+    val v = VecRead.toDoubles(qa, n, et)
+    var dotv = 0.0
+    var qn = 0.0
+    var rn = 0.0
+    var i = 0
+    while (i < n) {
+      val x = mn + (codes(i) & 0xFF) * sc
+      val q = v(i)
+      dotv += q * x
+      qn += q * q
+      rn += x * x
+      i += 1
+    }
+    if (qn == 0.0 || rn == 0.0) 0.0
+    else dotv / (math.sqrt(qn) * math.sqrt(rn))
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any, c: Any, d: Any): Any =
+    compute(a.asInstanceOf[ArrayData], b.asInstanceOf[Array[Byte]],
+      c.asInstanceOf[Double], d.asInstanceOf[Double])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("int8Cosine", this, classOf[Int8Cosine].getName)
+    nullSafeCodeGen(ctx, ev, (a, b, c, d) =>
+      s"${ev.value} = $ref.compute($a, $b, $c, $d);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression, newFourth: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird, fourth = newFourth)
+}
+
 object VectorExpressions {
   /** Column-level entry points (Expression ↔ Column bridge). */
   def dot(a: Column, b: Column): Column =
@@ -529,4 +718,15 @@ object VectorExpressions {
       GraftColumnBridge.expression(vec), GraftColumnBridge.expression(codes),
       codebooks.flatten.flatten, m, nCodes, dsub))
   }
+
+  def int8Encode(vec: Column): Column =
+    GraftColumnBridge.column(Int8Encode(GraftColumnBridge.expression(vec)))
+
+  def int8Stats(vec: Column): Column =
+    GraftColumnBridge.column(Int8Stats(GraftColumnBridge.expression(vec)))
+
+  def int8Cosine(vec: Column, codes: Column, qmin: Column, qscale: Column): Column =
+    GraftColumnBridge.column(Int8Cosine(
+      GraftColumnBridge.expression(vec), GraftColumnBridge.expression(codes),
+      GraftColumnBridge.expression(qmin), GraftColumnBridge.expression(qscale)))
 }

@@ -39,6 +39,7 @@ class RegistryLintSpec extends AnyFunSuite with SparkFixture {
     "q_ann_lsh" -> Set("broadcast-wide-payload"),
     "q_ann_ivf" -> Set("broadcast-wide-payload"),
     "q_ann_pq" -> Set("nested-loop-join", "broadcast-wide-payload"),
+    "q_ann_int8" -> Set("nested-loop-join", "broadcast-wide-payload"),
     "q_ann_ivfpq" -> Set("broadcast-wide-payload"),
     "q_embed_neardup" -> Set("broadcast-wide-payload"),
     "q_semdedup" -> Set("broadcast-wide-payload"),

@@ -242,6 +242,57 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("int8 quantization: codes in range, reconstruction error <= scale/2") {
+    val d = clustered
+    val enc = Similarity.quantizeInt8(d, "vec_id", "embedding")
+      .join(d.select(col("vec_id").as("id"), col("embedding")), "id")
+      .collect()
+    assert(enc.length == 30)
+    enc.foreach { r =>
+      val q8 = r.getStruct(1)
+      val codes = q8.getAs[Array[Byte]](0)
+      val mn = q8.getDouble(1)
+      val sc = q8.getDouble(2)
+      val v = r.getSeq[Float](2)
+      assert(codes.length == v.length)
+      val mx = v.map(_.toDouble).max
+      assert(mn == v.map(_.toDouble).min && sc == (mx - mn) / 255.0)
+      // dequantized element within half a quantization step of the source
+      v.indices.foreach { i =>
+        val x = mn + (codes(i) & 0xFF) * sc
+        assert(math.abs(x - v(i)) <= sc / 2 + 1e-12,
+          s"elem $i err ${math.abs(x - v(i))} > ${sc / 2}")
+      }
+    }
+  }
+
+  test("int8 quantization: constant vector has zero scale and zero codes") {
+    val s = spark
+    import s.implicits._
+    val d = Seq((1L, Array(2.5f, 2.5f, 2.5f))).toDF("vec_id", "embedding")
+    val r = Similarity.quantizeInt8(d, "vec_id", "embedding").collect()(0).getStruct(1)
+    assert(r.getAs[Array[Byte]](0).forall(_ == 0))
+    assert(r.getDouble(1) == 2.5 && r.getDouble(2) == 0.0)
+  }
+
+  test("int8TopK with exact re-rank: full recall@1 on clustered data, exact scores") {
+    val d = clustered
+    val q = d.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(d, q, "vec_id", "embedding", 1)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(3))).toMap
+    // int8's per-element error (range/510) is far below cluster score
+    // gaps, so even a modest shortlist keeps the true neighbor
+    val i8 = Similarity.int8TopK(d, q, "vec_id", "embedding", k = 1,
+        shortlist = 5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(3))).toMap
+    val hits = exact.count { case (qid, (nid, _)) => i8.get(qid).exists(_._1 == nid) }
+    assert(hits >= 9, s"int8 recall@1 = $hits/10")
+    // re-ranked scores are EXACT cosine — bit-equal to brute force
+    i8.foreach { case (qid, (nid, score)) =>
+      if (exact(qid)._1 == nid) assert(score == exact(qid)._2)
+    }
+  }
+
   test("ivfPqTopK composes cell pruning with PQ scoring at full recall") {
     val d = clustered
     val q = d.filter(col("vec_id") < 10)
