@@ -357,6 +357,44 @@ object Dedup {
     graft.plans.SketchExpressions.minhashSignature(base, coefA, coefB, MinhashPrime)
   }
 
+  /** (id, band, bucket) LSH banding rows from a pre-shingled frame
+    * (`id`, `sh` columns): b bands of r = numHashes/bands signature
+    * rows, bucket = hash of the band's slice. The shared candidate
+    * keying of batch [[minhashLsh]] and the streaming face
+    * ([[graft.streaming.StreamingOps.streamingNearDupCandidates]]) —
+    * one definition, so a pipeline that backfills in batch and ingests
+    * live buckets identically. */
+  private[graft] def bandBucketsFromShingled(
+      withSh: DataFrame,
+      numHashes: Int,
+      bands: Int,
+      seed: Long): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    withSh
+      .withColumn("sig", minhashSignature(col("sh"), numHashes, seed))
+      .select(col("id"),
+        explode(transform(sequence(lit(0), lit(bands - 1)),
+          i => struct(i.as("band"), hash(slice(col("sig"), i * r + 1, lit(r))).as("bucket"))))
+          .as("bb"))
+      .select(col("id"), col("bb.band"), col("bb.bucket"))
+  }
+
+  /** [[bandBucketsFromShingled]] from raw documents: shingle, sign, band.
+    * All narrow map-side work — runs unchanged on a streaming frame. */
+  def lshBandBuckets(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleK: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      seed: Long = 42L): DataFrame =
+    bandBucketsFromShingled(
+      docs.select(col(idCol).as("id"), shingles(col(textCol), shingleK).as("sh"))
+        .filter(size(col("sh")) > 0),
+      numHashes, bands, seed)
+
   /** Near-duplicate pairs by MinHash + LSH banding + exact confirmation.
     *
     * Pipeline (all distributed, no all-pairs stage):
@@ -383,7 +421,6 @@ object Dedup {
       threshold: Double = 0.8,
       seed: Long = 42L): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val r = numHashes / bands
     val withSh = docs.select(
       col(idCol).as("id"),
       shingles(col(textCol), shingleK).as("sh"))
@@ -392,13 +429,7 @@ object Dedup {
     // banding carries ONLY (id, band, bucket) — the shingle arrays never
     // ride through the candidate join/dedup shuffles; they are equi-joined
     // back in per UNIQUE candidate pair for the exact confirm
-    val buckets = withSh
-      .withColumn("sig", minhashSignature(col("sh"), numHashes, seed))
-      .select(col("id"),
-        explode(transform(sequence(lit(0), lit(bands - 1)),
-          i => struct(i.as("band"), hash(slice(col("sig"), i * r + 1, lit(r))).as("bucket"))))
-          .as("bb"))
-      .select(col("id"), col("bb.band"), col("bb.bucket"))
+    val buckets = bandBucketsFromShingled(withSh, numHashes, bands, seed)
 
     val left = buckets.select(col("band"), col("bucket"), col("id").as("a_id"))
     val right = buckets.select(col("band"), col("bucket"), col("id").as("b_id"))

@@ -374,6 +374,78 @@ object StreamingOps {
         OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
   }
 
+  // ---- streaming near-duplicate candidates ---------------------------
+
+  /** One banding row: doc `id` landed in LSH `bucket` of `band`. */
+  case class BandRow(id: Long, band: Int, bucket: Long)
+  /** Per-(band,bucket) state: ids admitted so far, oldest first. */
+  case class BucketMembers(ids: Seq[Long])
+  /** Candidate near-dup pair, a_id < b_id (by arrival-independent id
+    * order). May repeat across bands — confirm/dedup downstream. */
+  case class CandidatePair(a_id: Long, b_id: Long)
+
+  /** Streaming MinHash-LSH near-duplicate CANDIDATE detection — the
+    * streaming face of [[graft.operators.Dedup.minhashLsh]]'s first
+    * three stages, sharing its exact banding
+    * ([[graft.operators.Dedup.lshBandBuckets]]): as documents arrive,
+    * each lands in `bands` LSH buckets; a per-bucket state row remembers
+    * the ids admitted so far and every newcomer emits a candidate pair
+    * against each of them (plus the pairs within its own micro-batch).
+    * Confirmation (exact Jaccard) needs the documents' shingle sets —
+    * join the emitted pairs back to the corpus downstream, exactly like
+    * the batch operator's confirm stage.
+    *
+    * State: one row per OCCUPIED (band, bucket), holding ≤ `maxBucket`
+    * ids — ~8·maxBucket bytes each, hash-partitioned by bucket key, and
+    * the bucket count is bounded by bands · min(corpus, 2³²). The
+    * `maxBucket` cap is the hot-bucket valve (same role as the batch
+    * family's maxDf/maxBucket caps): a degenerate bucket (e.g. the
+    * empty-ish-text signature) stops emitting after maxBucket members
+    * instead of growing O(n²) pairs. Ids beyond the cap are dropped from
+    * that bucket only — they still pair through their other bands.
+    *
+    * Batch face: each group sees all its rows at once and no state
+    * persists — output = per-bucket pairs, i.e. the batch candidate set
+    * (pre-distinct), differentially asserted in StreamingSpec.
+    */
+  def streamingNearDupCandidates(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleK: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      seed: Long = 42L,
+      maxBucket: Int = 1024): Dataset[CandidatePair] = {
+    val session = docs.sparkSession
+    import session.implicits._
+    val banded = graft.operators.Dedup
+      .lshBandBuckets(docs, idCol, textCol, shingleK, numHashes, bands, seed)
+      .select(col("id").cast("long").as("id"), col("band"), col("bucket"))
+      .as[BandRow]
+
+    def fn(key: (Int, Long), it: Iterator[BandRow], state: GroupState[BucketMembers])
+        : Iterator[CandidatePair] = {
+      val existing = state.getOption.map(_.ids).getOrElse(Seq.empty)
+      val seen = existing.toSet
+      // sorted: micro-batch iterator order is nondeterministic; id order
+      // makes the emitted pair set a pure function of arrival CONTENT
+      val fresh = it.map(_.id).toSeq.distinct.sorted.filterNot(seen)
+      val admitted = fresh.take(math.max(0, maxBucket - existing.size))
+      val out = Seq.newBuilder[CandidatePair]
+      for (n <- admitted; e <- existing)
+        out += CandidatePair(math.min(n, e), math.max(n, e))
+      for (i <- admitted.indices; j <- (i + 1) until admitted.size)
+        out += CandidatePair(admitted(i), admitted(j))
+      if (admitted.nonEmpty) state.update(BucketMembers(existing ++ admitted))
+      out.result().iterator
+    }
+
+    banded.groupByKey(r => (r.band, r.bucket))
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+  }
+
   /** Batch sessionization via analytic windows (the shuffle-once,
     * state-store-free form for historical reprocessing): a session break
     * is a gap > `gapMinutes` from the previous event of the same user; the

@@ -129,6 +129,64 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("streamingNearDupCandidates over documents == batch LSH candidate set (differential)") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val docs = s.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    // the batch candidate relation from the SAME shared banding
+    val batchCand = {
+      val b = graft.operators.Dedup.lshBandBuckets(docs, "doc_id", "text")
+      val l = b.select(col("band"), col("bucket"), col("id").as("a_id"))
+      val r = b.select(col("band"), col("bucket"), col("id").as("b_id"))
+      l.join(r, Seq("band", "bucket")).filter(col("a_id") < col("b_id"))
+        .select("a_id", "b_id").distinct()
+        .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    }
+    val rows = docs.as[(Long, String)].collect()
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingOps.streamingNearDupCandidates(
+        input.toDF().toDF("doc_id", "text"), "doc_id", "text")
+      .writeStream.format("memory").queryName("t_neardup_cand")
+      .outputMode("append").start()
+    try {
+      // 3 micro-batches: pairs must form across batches via bucket state
+      rows.grouped((rows.length + 2) / 3).foreach { c =>
+        input.addData(c.toSeq); q.processAllAvailable()
+      }
+      val got = s.table("t_neardup_cand").collect()
+        .map(x => (x.getLong(0), x.getLong(1))).toSet
+      assert(got == batchCand,
+        s"streaming candidates ${got.size} != batch candidates ${batchCand.size}")
+      // every batch-CONFIRMED near-dup pair is among the candidates
+      val confirmed = graft.operators.Dedup.minhashLsh(docs, "doc_id", "text")
+        .select("a_id", "b_id").collect()
+        .map(x => (x.getLong(0), x.getLong(1))).toSet
+      assert(confirmed.subsetOf(got))
+    } finally q.stop()
+  }
+
+  test("streamingNearDupCandidates caps hot buckets at maxBucket members") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    // identical docs share EVERY band bucket; with maxBucket=3 only the
+    // 3 lowest ids are admitted, so the pair set stops at 3 choose 2
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingOps.streamingNearDupCandidates(
+        input.toDF().toDF("doc_id", "text"), "doc_id", "text", maxBucket = 3)
+      .writeStream.format("memory").queryName("t_neardup_cap")
+      .outputMode("append").start()
+    try {
+      input.addData((1L to 6L).map(i => (i, "the same exact document text")))
+      q.processAllAvailable()
+      val got = s.table("t_neardup_cap").collect()
+        .map(x => (x.getLong(0), x.getLong(1))).toSet
+      assert(got == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    } finally q.stop()
+  }
+
   test("stream-stream interval join == batch interval join (differential)") {
     val s = spark
     import s.implicits._
