@@ -88,6 +88,10 @@ object AnnScaleProbe {
         Similarity.ivfPqTopK(corpus, queries, "vec_id", "embedding",
           k = 10, index, cb, nProbe = 8, shortlist = 100).count()
       }
+      time("int8 query short100") {
+        Similarity.int8TopK(corpus, queries, "vec_id", "embedding",
+          k = 10, shortlist = 100).count()
+      }
       val survivors = time("semanticDedup") {
         Similarity.semanticDedup(corpus, "vec_id", "embedding",
           index, threshold = 0.999).count()
