@@ -1671,6 +1671,28 @@ object ExtQueries {
 
     // ---- deterministic sampling / splitting -------------------------
 
+    // deterministic pseudorandom shuffle order (the training-shard
+    // permutation writeShuffled lays out on disk): seeded md5 of the id,
+    // identical hex in both engines, so the ORDER itself is oracled
+    "q_shuffle" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      d.df.select(col("doc_id"),
+          md5(concat(lit("42:"), col("doc_id").cast("string"))).as("shuffle_key"))
+        .orderBy("shuffle_key")
+    }),
+
+    // token-budget selection: best documents by (n_chars desc, doc_id)
+    // until 10k cumulative whitespace tokens (cuts ~2/3 of the corpus at the verify scale) — the distributed
+    // prefix-sum form (per-partition sums -> driver exclusive scan ->
+    // parallel per-partition windows), never a single global window
+    "q_select_budget" -> ((s, dir) => {
+      val d = t(s, dir, "documents").df
+        .withColumn("toks", TextAnalysis.tokenCount(col("text")).cast("long"))
+      Sampling.selectByBudget(d, "n_chars", "doc_id", "toks", budget = 10000L)
+        .select(col("doc_id"), col("n_chars"), col("toks"), col("cum_tokens"))
+        .orderBy("doc_id")
+    }),
+
     // reproducible train/val/test assignment by engine-portable key hash
     "q_split" -> ((s, dir) => {
       val d = t(s, dir, "documents")
@@ -3292,6 +3314,22 @@ object ExtQueries {
             count(DISTINCT l_partkey) AS n_parts,
             count(DISTINCT l_suppkey) AS n_supp
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_shuffle" ->
+      """SELECT doc_id, md5('42:' || doc_id) AS shuffle_key
+         FROM documents ORDER BY shuffle_key""",
+    // running-sum replay of the distributed prefix sum; sum casts back
+    // to BIGINT (DuckDB widens to HUGEINT), token count matches the
+    // engine's size(split(text,' ')) convention (q_vocab precedent)
+    "q_select_budget" ->
+      """WITH d AS (SELECT doc_id, n_chars,
+                           len(string_split(text, ' '))::BIGINT AS toks
+                    FROM documents),
+         r AS (SELECT doc_id, n_chars, toks,
+                      (sum(toks) OVER (ORDER BY n_chars DESC, doc_id
+                                       ROWS UNBOUNDED PRECEDING))::BIGINT AS cum_tokens
+               FROM d)
+         SELECT doc_id, n_chars, toks, cum_tokens FROM r
+         WHERE cum_tokens <= 10000 ORDER BY doc_id""",
     "q_split" ->
       """SELECT doc_id,
             CASE WHEN b < 8000 THEN 'train' WHEN b < 9000 THEN 'val' ELSE 'test' END AS split

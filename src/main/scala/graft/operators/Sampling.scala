@@ -150,4 +150,68 @@ object Sampling {
     }
     df.filter(b < round(frac * Buckets))
   }
+
+  /** Token-budget corpus selection: the best-scoring documents whose
+    * cumulative `tokensCol` stays within `budget` — "fill N tokens from
+    * the top of the quality ranking", the final cut of most curation
+    * runs. Selection order is (`scoreCol` DESC, `idCol` ASC); a row is
+    * kept iff the running token total through it is ≤ `budget`.
+    *
+    * A global running sum is the textbook single-partition-window trap
+    * (`Window.orderBy` with no partitioning serializes the corpus
+    * through one task). This is the distributed prefix-sum instead:
+    *
+    *  1. range-partition by the selection order (partition p holds
+    *     strictly better rows than p+1), pinned with `persist` so both
+    *     passes see one assignment;
+    *  2. per-partition token sums → driver (≤ `partitions` longs — the
+    *     bounded collect), exclusive-scanned into partition offsets;
+    *  3. partitions whose offset already exceeds the budget are pruned
+    *     BEFORE any window work (at 100 TB nearly all of them — the
+    *     budget cut usually lands in the first few percent);
+    *  4. surviving partitions run the running sum as a window
+    *     partitioned BY partition id — parallel across partitions —
+    *     plus their broadcast offset.
+    *
+    * The result is partition-count invariant (the selection set depends
+    * only on the global order), which the dual-config sweep's parts7
+    * config exercises. Output keeps input columns plus `cum_tokens`.
+    */
+  def selectByBudget(
+      df: DataFrame,
+      scoreCol: String,
+      idCol: String,
+      tokensCol: String,
+      budget: Long,
+      partitions: Int = 0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    val p =
+      if (partitions > 0) partitions
+      else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val order = Seq(col(scoreCol).desc, col(idCol).asc)
+    val ranked = df
+      .repartitionByRange(p, order: _*)
+      .withColumn("__pid", spark_partition_id())
+      .persist()
+    val sums = ranked.groupBy("__pid")
+      .agg(sum(col(tokensCol).cast("long")).as("s"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    var acc = 0L
+    val offsets = (0 until p).map { pid =>
+      val off = acc; acc += sums.getOrElse(pid, 0L); (pid, off)
+    }
+    val offDf = broadcast(
+      spark.createDataFrame(offsets).toDF("__pid", "__off"))
+    val w = Window.partitionBy("__pid")
+      .orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked
+      .join(offDf, "__pid")
+      .filter(col("__off") < budget) // partition-level prune, no window work
+      .withColumn("cum_tokens",
+        col("__off") + sum(col(tokensCol).cast("long")).over(w))
+      .filter(col("cum_tokens") <= budget)
+      .drop("__pid", "__off")
+  }
 }

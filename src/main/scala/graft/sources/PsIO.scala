@@ -267,6 +267,29 @@ object PsIO {
       .parquet(path)
   }
 
+  /** Deterministic pseudorandom shuffle for training shards: the global
+    * order is a seeded md5 of the id — cross-engine stable (the oracle
+    * replays it) and reproducible run-to-run, unlike `orderBy(rand())`.
+    * Written as `shards` files holding DISJOINT key ranges, each
+    * internally sorted, so the files concatenated in range order ARE the
+    * shuffled corpus and any prefix of shards is an unbiased sample
+    * (md5 is uniform) — the shape data loaders want. The key survives as
+    * `shuffle_key` for resume/verify; a different seed is a fresh,
+    * uncorrelated permutation. One range shuffle, no global sort. */
+  def writeShuffled(
+      df: DataFrame,
+      path: String,
+      idCol: String,
+      seed: Long,
+      shards: Int): Unit = {
+    import org.apache.spark.sql.functions.{col, concat, lit, md5}
+    df.withColumn("shuffle_key",
+        md5(concat(lit(seed.toString), lit(":"), col(idCol).cast("string"))))
+      .repartitionByRange(shards, col("shuffle_key"))
+      .sortWithinPartitions("shuffle_key")
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
   /** Small-file compaction: rewrite a parquet directory into files near
     * `targetBytes` each. Streaming ingestion, per-partition writers, and
     * incremental appends all accrete kilobyte-scale files; at 100 TB the

@@ -163,6 +163,36 @@ class IOSpec extends AnyFunSuite with SparkFixture {
     assert(firstRows == firstRows.sorted)
   }
 
+  test("writeShuffled: disjoint sorted shards, order reproducible per seed") {
+    val dir = Files.createTempDirectory("graft-shuf").toString
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "n_chars")
+    PsIO.writeShuffled(docs, dir + "/a", "doc_id", seed = 42L, shards = 4)
+    val files = new java.io.File(dir + "/a").listFiles
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    assert(files.length == 4)
+    // each shard internally sorted; shard key ranges disjoint
+    val ranges = files.map { f =>
+      val ks = spark.read.parquet(f.getPath)
+        .select("shuffle_key").collect().map(_.getString(0))
+      assert(ks.sameElements(ks.sorted), s"${f.getName} not sorted")
+      (ks.min, ks.max)
+    }
+    ranges.sortBy(_._1).sliding(2).foreach {
+      case Array((_, aMax), (bMin, _)) =>
+        assert(aMax.compareTo(bMin) < 0, "overlapping shards")
+      case _ =>
+    }
+    // same seed -> same global order; different seed -> different order
+    PsIO.writeShuffled(docs, dir + "/b", "doc_id", seed = 42L, shards = 2)
+    def order(p: String) = spark.read.parquet(p)
+      .orderBy("shuffle_key").select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(order(dir + "/a") == order(dir + "/b"),
+      "seed fixes the permutation independent of shard count")
+    PsIO.writeShuffled(docs, dir + "/c", "doc_id", seed = 7L, shards = 2)
+    assert(order(dir + "/c") != order(dir + "/a"), "new seed, new permutation")
+  }
+
   test("writeZOrdered localizes every file in BOTH dimensions") {
     val dir = Files.createTempDirectory("graft-zorder").toString + "/out"
     val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")

@@ -76,6 +76,30 @@ class SamplingSkewSpec extends AnyFunSuite with SparkFixture {
     assert(mixed.select("id").except(again.select("id")).count() == 0)
   }
 
+  test("selectByBudget == global running-sum cut; partition-count invariant") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(11)
+    val docs = (1L to 500L).map(i => (i, rnd.nextInt(1000), 10 + rnd.nextInt(90).toLong))
+      .toDF("id", "score", "toks")
+    val budget = 4000L
+    // naive single-window reference (fine at 500 rows)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").desc, col("id").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val expect = docs.withColumn("cum", sum("toks").over(w))
+      .filter(col("cum") <= budget)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+    def got(p: Int) = Sampling.selectByBudget(docs, "score", "id", "toks", budget, p)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+    assert(got(3) == expect, "3-partition prefix sum must equal the global window")
+    assert(got(7) == expect, "selection must be partition-count invariant")
+    // edges: zero budget -> empty; budget >= total -> everything
+    assert(Sampling.selectByBudget(docs, "score", "id", "toks", 0L, 4).count() == 0)
+    val total = docs.agg(sum("toks")).head().getLong(0)
+    assert(Sampling.selectByBudget(docs, "score", "id", "toks", total, 4).count() == 500)
+  }
+
   test("saltedAgg equals the plain groupBy on skewed data") {
     val s = spark
     import s.implicits._
