@@ -1693,6 +1693,18 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // token-aware mixture: per-language token budgets (the form training
+    // recipes state mixtures in — tokens, not document fractions); es/zh
+    // absent from the budget map and therefore dropped entirely
+    "q_budget_mix" -> ((s, dir) => {
+      val d = t(s, dir, "documents").df
+        .withColumn("toks", TextAnalysis.tokenCount(col("text")).cast("long"))
+      Sampling.selectByBudgetPerGroup(d, "lang", "n_chars", "doc_id", "toks",
+          Map("en" -> 4000L, "de" -> 2000L, "fr" -> 1500L))
+        .select(col("doc_id"), col("lang"), col("toks"), col("cum_tokens"))
+        .orderBy("doc_id")
+    }),
+
     // reproducible train/val/test assignment by engine-portable key hash
     "q_split" -> ((s, dir) => {
       val d = t(s, dir, "documents")
@@ -3330,6 +3342,20 @@ object ExtQueries {
                FROM d)
          SELECT doc_id, n_chars, toks, cum_tokens FROM r
          WHERE cum_tokens <= 10000 ORDER BY doc_id""",
+    "q_budget_mix" ->
+      """WITH d AS (SELECT doc_id, lang, n_chars,
+                           len(string_split(text, ' '))::BIGINT AS toks
+                    FROM documents),
+         r AS (SELECT doc_id, lang, toks,
+                      (sum(toks) OVER (PARTITION BY lang
+                                       ORDER BY n_chars DESC, doc_id
+                                       ROWS UNBOUNDED PRECEDING))::BIGINT AS cum_tokens
+               FROM d)
+         SELECT doc_id, lang, toks, cum_tokens FROM r
+         WHERE (lang = 'en' AND cum_tokens <= 4000)
+            OR (lang = 'de' AND cum_tokens <= 2000)
+            OR (lang = 'fr' AND cum_tokens <= 1500)
+         ORDER BY doc_id""",
     "q_split" ->
       """SELECT doc_id,
             CASE WHEN b < 8000 THEN 'train' WHEN b < 9000 THEN 'val' ELSE 'test' END AS split

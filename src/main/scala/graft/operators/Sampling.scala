@@ -214,4 +214,39 @@ object Sampling {
       .filter(col("cum_tokens") <= budget)
       .drop("__pid", "__off")
   }
+
+  /** Per-group token budgets — the token-aware form of corpus mixing
+    * ("fill 40M tokens of web, 10M of code, …", the mixture spec
+    * training recipes state in tokens, not document fractions, because
+    * document length varies wildly by source): within each group, keep
+    * the best (`scoreCol` DESC, `idCol`) rows whose running `tokensCol`
+    * total stays within that group's budget. Groups absent from
+    * `budgets` are dropped.
+    *
+    * One hash shuffle on the group key; the running sum is a window
+    * partitioned BY group — parallel across groups, fine for the
+    * source/domain cardinalities mixtures are specified over (tens).
+    * A single giant group serializes through one task — for that shape
+    * use [[selectByBudget]]'s distributed prefix sum on the group's
+    * rows instead. Output adds `cum_tokens` (running total within the
+    * group). */
+  def selectByBudgetPerGroup(
+      df: DataFrame,
+      groupCol: String,
+      scoreCol: String,
+      idCol: String,
+      tokensCol: String,
+      budgets: Map[String, Long]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budgets.nonEmpty)
+    val w = Window.partitionBy(groupCol)
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // budgets ride as a literal lookup (bounded: one branch per group)
+    val budgetCol = budgets.foldLeft(lit(null).cast("long")) {
+      case (acc, (g, b)) => when(col(groupCol) === g, lit(b)).otherwise(acc)
+    }
+    df.withColumn("cum_tokens", sum(col(tokensCol).cast("long")).over(w))
+      .filter(col("cum_tokens") <= budgetCol)
+  }
 }

@@ -100,6 +100,23 @@ class SamplingSkewSpec extends AnyFunSuite with SparkFixture {
     assert(Sampling.selectByBudget(docs, "score", "id", "toks", total, 4).count() == 500)
   }
 
+  test("selectByBudgetPerGroup: budgets bind per group, unlisted groups drop") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "a", 5, 100L), (2L, "a", 4, 100L), (3L, "a", 3, 100L),
+      (4L, "b", 9, 50L), (5L, "b", 8, 50L),
+      (6L, "c", 7, 10L)
+    ).toDF("id", "src", "score", "toks")
+    val got = Sampling.selectByBudgetPerGroup(docs, "src", "score", "id", "toks",
+        Map("a" -> 250L, "b" -> 50L))
+      .select("id", "cum_tokens").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // a: best-2 fit (100+100 <= 250, third would hit 300); b: only the
+    // best row fits; c: no budget -> dropped
+    assert(got == Map(1L -> 100L, 2L -> 200L, 4L -> 50L))
+  }
+
   test("saltedAgg equals the plain groupBy on skewed data") {
     val s = spark
     import s.implicits._
