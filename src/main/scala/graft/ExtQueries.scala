@@ -2050,6 +2050,30 @@ object ExtQueries {
         .orderBy("n_nationkey")
     }),
 
+    // lenient JSONL ingestion: the fixture is nation as JSON lines with
+    // two malformed lines planted; good rows parse normally, the bad
+    // lines land (raw) in _corrupt — the query emits the good side, the
+    // oracle replays it with DuckDB's ignore_errors (which nulls bad
+    // lines; the key filter sheds them). Quarantine side in IOSpec.
+    "q_json_quarantine" -> ((s, dir) => {
+      jsonDirtyFixture(s, dir)
+      PsIO.jsonGood(PsIO.readJsonQuarantine(s, JsonDirtyFixtureDir).df)
+        .orderBy("n_nationkey")
+    }),
+
+    // keyed MERGE/upsert: base snapshot (doc_id < 400) + a change batch
+    // (300-449: content refresh, every 10th a delete) -> next snapshot.
+    // Deletes of absent keys (400-449 % 10) are no-ops, the MERGE rule
+    "q_upsert" -> ((s, dir) => {
+      val d = t(s, dir, "documents").df.select("doc_id", "lang", "source", "n_chars")
+      val base = d.filter(col("doc_id") < 400)
+      val changes = d.filter(col("doc_id") >= 300 && col("doc_id") < 450)
+        .withColumn("n_chars", col("n_chars") + 1000)
+        .withColumn("is_delete", col("doc_id") % 10 === 0)
+      graft.operators.Snapshot.applyChanges(base, changes, Seq("doc_id"), "is_delete")
+        .orderBy("doc_id")
+    }),
+
     // ORC round-trip (zstd-compressed), mirroring q_read_arrow: write
     // nation as ORC once per process, read it back through Spark's ORC
     // source; the oracle recomputes the rows from the parquet table, so
@@ -2097,6 +2121,7 @@ object ExtQueries {
   val PickleFixturePath = "/root/repo/target/tmp/nation_pkl/nation.pkl"
   val ArrowFixturePath = "/root/repo/target/tmp/nation_arrow/nation.arrow"
   val OrcFixtureDir = "/root/repo/target/tmp/nation_orc"
+  val JsonDirtyFixtureDir = "/root/repo/target/tmp/nation_jsonl_dirty"
 
   /** Write-once-per-process fixture creation, keyed by (kind, dir):
     * the ingestion queries must time the READ — re-writing the fixture
@@ -2116,6 +2141,19 @@ object ExtQueries {
       PsIO.toArrow(
         s.read.parquet(s"$dir/nation.parquet").orderBy("n_nationkey"),
         ArrowFixturePath)
+    })
+  private def jsonDirtyFixture(s: SparkSession, dir: String): Unit =
+    fixturesDone.computeIfAbsent(s"jsond:$dir", _ => {
+      new java.io.File(JsonDirtyFixtureDir).mkdirs()
+      val lines = s.read.parquet(s"$dir/nation.parquet")
+        .orderBy("n_nationkey").toJSON.collect()
+      // two malformed lines planted mid-file and at the tail — the
+      // shapes crawls actually produce (truncated object, stray text)
+      val dirty = (lines.take(13) :+ """{"n_nationkey": 99, "n_na""") ++
+        lines.drop(13) :+ "not json at all"
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$JsonDirtyFixtureDir/part-00000.json"),
+        dirty.mkString("\n").getBytes("UTF-8"))
     })
   private def orcFixture(s: SparkSession, dir: String): Unit =
     fixturesDone.computeIfAbsent(s"orc:$dir", _ =>
@@ -3457,6 +3495,23 @@ object ExtQueries {
     "q_read_arrow" ->
       """SELECT n_nationkey, n_name, n_regionkey
          FROM nation ORDER BY n_nationkey""",
+    // DuckDB's ignore_errors nulls malformed lines rather than skipping
+    // them; the never-null key filter sheds exactly those rows
+    "q_json_quarantine" ->
+      s"""SELECT n_name, n_nationkey, n_regionkey
+          FROM read_json('$JsonDirtyFixtureDir/*.json',
+                         format='newline_delimited', ignore_errors=true)
+          WHERE n_nationkey IS NOT NULL ORDER BY n_nationkey""",
+    "q_upsert" ->
+      """WITH d AS (SELECT doc_id, lang, source, n_chars FROM documents),
+         chg AS (SELECT doc_id, lang, source, n_chars + 1000 AS n_chars,
+                        doc_id % 10 = 0 AS is_delete
+                 FROM d WHERE doc_id >= 300 AND doc_id < 450)
+         SELECT doc_id, lang, source, n_chars FROM d
+         WHERE doc_id < 400 AND doc_id NOT IN (SELECT doc_id FROM chg)
+         UNION ALL
+         SELECT doc_id, lang, source, n_chars FROM chg WHERE NOT is_delete
+         ORDER BY doc_id""",
     // the ORC fixture is nation round-tripped through Spark's ORC codec
     // (zstd); types survive exactly, so the oracle is the table itself
     "q_read_orc" ->

@@ -60,4 +60,33 @@ object Snapshot {
       .otherwise("changed")
     joined.select(keyCols.map(col) :+ status.as("status"): _*)
   }
+
+  /** Apply a keyed change set to a snapshot — the MERGE/upsert of
+    * parquet-only pipelines (what Delta's `MERGE INTO` compiles to
+    * without a transaction log): a change row with `deleteCol` true
+    * removes its key; any other change row replaces-or-inserts it.
+    * `changes` carries the base columns plus the delete flag; within one
+    * batch keys must be unique (pre-reduce a raw CDC feed with
+    * [[graft.streaming.StreamingOps.streamingDelta]]'s ordering rule or
+    * a keyed `row_number` take-latest).
+    *
+    * Plan: ONE shuffle — base left-anti change-keys (AQE broadcasts
+    * small change batches, the common refresh shape) unioned with the
+    * surviving (non-delete) change rows. Nothing rewrites but the rows
+    * that move; write the result with `writeBucketed` on the key and the
+    * next refresh's join is co-located. Closes the CDC loop with
+    * [[snapshotDiff]]: applying the rows b differs from a AS changes to
+    * a reproduces b (asserted as a round-trip law in CurationOpsSpec).
+    */
+  def applyChanges(
+      base: DataFrame,
+      changes: DataFrame,
+      keyCols: Seq[String],
+      deleteCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "applyChanges needs key columns")
+    val survivors = changes.filter(!col(deleteCol)).select(
+      base.columns.map(col).toIndexedSeq: _*)
+    base.join(changes.select(keyCols.map(col): _*), keyCols, "left_anti")
+      .unionByName(survivors)
+  }
 }

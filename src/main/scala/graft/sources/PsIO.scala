@@ -45,6 +45,55 @@ object PsIO {
   def readJson(spark: SparkSession, path: String): PsDataFrame =
     PsDataFrame(spark.read.json(path))
 
+  /** Lenient JSONL ingestion with corrupt-line quarantine. At crawl
+    * scale malformed lines are a certainty (truncated writes, encoding
+    * garbage, concatenated objects); failing the job (FAILFAST) loses
+    * the batch and dropping them (DROPMALFORMED) loses the evidence.
+    * PERMISSIVE mode parses good lines normally and lands each bad
+    * line's RAW TEXT in `_corrupt` (null for good rows) — filter with
+    * [[jsonGood]] / [[jsonQuarantined]] and route the quarantine to a
+    * triage sink. Pass `schema` to skip the inference pass (at 100 TB
+    * always: inference is a full extra scan).
+    *
+    * Mechanics: the scan is a TEXT source with `from_json` doing the
+    * parsing (same parser, same PERMISSIVE semantics) rather than the
+    * JSON source directly — Spark refuses JSON-source scans whose
+    * referenced columns prune down to only the internal corrupt column
+    * (exactly what a quarantine count does), and the documented
+    * workaround is caching the corpus; parsing from text sidesteps the
+    * restriction with no cache. JSONL only (one object per line; blank
+    * lines ignored), which is what corpus shards are. */
+  def readJsonQuarantine(
+      spark: SparkSession,
+      path: String,
+      schema: Option[org.apache.spark.sql.types.StructType] = None): PsDataFrame = {
+    import org.apache.spark.sql.functions.{col, from_json, length, trim}
+    import org.apache.spark.sql.types.{StringType, StructType}
+    val data = schema.getOrElse(StructType(
+      spark.read.json(path).schema.fields.filterNot(_.name == "_corrupt_record")))
+    require(!data.fieldNames.contains("_corrupt"),
+      "the data schema may not contain a _corrupt column")
+    val full = StructType(data.fields).add("_corrupt", StringType)
+    PsDataFrame(spark.read.text(path)
+      .filter(length(trim(col("value"))) > 0)
+      .select(from_json(col("value"), full,
+        Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> "_corrupt")).as("j"))
+      .select(col("j.*")))
+  }
+
+  /** Parsed rows of a [[readJsonQuarantine]] frame, corrupt column shed. */
+  def jsonGood(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    df.filter(col("_corrupt").isNull).drop("_corrupt")
+  }
+
+  /** Quarantined rows: the raw malformed line plus the (all-null) data
+    * columns — keep them; the raw line is the repair/triage evidence. */
+  def jsonQuarantined(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    df.filter(col("_corrupt").isNotNull)
+  }
+
   /** reference core.py:626-630 (to_csv forces compute then delegates). */
   def toCsv(df: DataFrame, path: String, header: Boolean = true,
       sep: String = ","): Unit =

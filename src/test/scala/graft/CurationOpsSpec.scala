@@ -74,6 +74,30 @@ class CurationOpsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("applyChanges: diff(a,b) re-applied to a reproduces b (CDC round-trip)") {
+    val s = spark
+    import s.implicits._
+    val a = Seq((1L, "x", 10), (2L, "y", 20), (3L, "z", 30), (4L, "w", 40))
+      .toDF("k", "v", "n")
+    // b: 1 unchanged, 2 changed, 3 removed, 5 added
+    val b = Seq((1L, "x", 10), (2L, "Y", 21), (4L, "w", 40), (5L, "q", 50))
+      .toDF("k", "v", "n")
+    val diff = Snapshot.snapshotDiff(a, b, Seq("k"), Seq("v", "n"))
+    val upserts = b.join(
+      diff.filter(col("status").isin("added", "changed")).select("k"), Seq("k"))
+      .withColumn("is_delete", lit(false))
+    val deletes = a.join(
+      diff.filter(col("status") === "removed").select("k"), Seq("k"))
+      .withColumn("is_delete", lit(true))
+    val applied = Snapshot.applyChanges(
+      a, upserts.unionByName(deletes), Seq("k"), "is_delete")
+    assert(applied.collect().map(_.toSeq).toSet == b.collect().map(_.toSeq).toSet)
+    // delete of an absent key is a MERGE no-op
+    val noop = Snapshot.applyChanges(a,
+      Seq((99L, "-", 0, true)).toDF("k", "v", "n", "is_delete"), Seq("k"), "is_delete")
+    assert(noop.collect().map(_.toSeq).toSet == a.collect().map(_.toSeq).toSet)
+  }
+
   test("snapshotDiff struct compare is null-safe") {
     val s = spark
     import s.implicits._

@@ -135,6 +135,36 @@ class IOSpec extends AnyFunSuite with SparkFixture {
       sample.orderBy("k").collect().map(_.toSeq).toSeq)
   }
 
+  test("readJsonQuarantine: good rows parse, bad lines keep raw evidence") {
+    val dir = Files.createTempDirectory("graft-dirtyjson").toString
+    val f = new java.io.File(dir, "part.json")
+    java.nio.file.Files.write(f.toPath,
+      """{"k": 1, "v": "a"}
+        |{"k": 2, "v": "b"}
+        |{"k": 3, "v":
+        |garbage line
+        |{"k": 4}
+        |""".stripMargin.getBytes("UTF-8"))
+    val df = PsIO.readJsonQuarantine(spark, dir).df
+    val good = PsIO.jsonGood(df).orderBy("k").collect()
+    assert(good.map(_.getLong(0)).toSeq == Seq(1L, 2L, 4L))
+    assert(good.map(r => Option(r.getString(1))).toSeq ==
+      Seq(Some("a"), Some("b"), None))
+    val bad = PsIO.jsonQuarantined(df).select("_corrupt")
+      .collect().map(_.getString(0)).sorted
+    assert(bad.toSeq == Seq("garbage line", """{"k": 3, "v":"""))
+    // explicit schema: no inference pass, quarantine contract holds even
+    // on a clean file (where inference would never surface _corrupt)
+    val clean = Files.createTempDirectory("graft-cleanjson").toString
+    java.nio.file.Files.write(new java.io.File(clean, "p.json").toPath,
+      """{"k": 9, "v": "z"}""".getBytes("UTF-8"))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.StringType)))
+    val cdf = PsIO.readJsonQuarantine(spark, clean, Some(schema)).df
+    assert(PsIO.jsonGood(cdf).count() == 1 && PsIO.jsonQuarantined(cdf).count() == 0)
+  }
+
   test("writeSorted produces disjoint sorted key ranges per file") {
     val dir = Files.createTempDirectory("graft-sorted").toString + "/out"
     val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
