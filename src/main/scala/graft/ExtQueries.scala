@@ -1693,6 +1693,26 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // one-pass corpus health report per language: volume (docs, tokens,
+    // chars), length profile, source diversity, short-doc and exact-dup
+    // counts (normalized-fingerprint distinct) — the "describe" of a
+    // corpus, one grouped aggregate over one scan
+    "q_corpus_profile" -> ((s, dir) => {
+      val d = t(s, dir, "documents").df
+        .withColumn("toks", TextAnalysis.tokenCount(col("text")).cast("long"))
+        .withColumn("fp",
+          TextAnalysis.fingerprint60(TextAnalysis.normalized(col("text"))))
+      d.groupBy("lang").agg(
+          count(lit(1)).as("docs"),
+          sum("toks").as("total_tokens"),
+          sum("n_chars").as("total_chars"),
+          (sum("toks").cast("double") / count(lit(1))).as("avg_tokens"),
+          countDistinct("source").as("n_sources"),
+          sum(when(col("toks") < 20, 1L).otherwise(0L)).as("short_docs"),
+          (count(lit(1)) - countDistinct("fp")).as("exact_dups"))
+        .orderBy("lang")
+    }),
+
     // token-aware mixture: per-language token budgets (the form training
     // recipes state mixtures in — tokens, not document fractions); es/zh
     // absent from the budget map and therefore dropped entirely
@@ -3380,6 +3400,18 @@ object ExtQueries {
                FROM d)
          SELECT doc_id, n_chars, toks, cum_tokens FROM r
          WHERE cum_tokens <= 10000 ORDER BY doc_id""",
+    "q_corpus_profile" ->
+      """WITH d AS (SELECT lang, source, n_chars,
+                           len(string_split(text, ' '))::BIGINT AS toks,
+                           ('0x' || substr(md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), 1, 15))::BIGINT AS fp
+                    FROM documents)
+         SELECT lang, count(*) AS docs, sum(toks)::BIGINT AS total_tokens,
+                sum(n_chars)::BIGINT AS total_chars,
+                (sum(toks)::DOUBLE / count(*)) AS avg_tokens,
+                count(DISTINCT source) AS n_sources,
+                sum(CASE WHEN toks < 20 THEN 1 ELSE 0 END)::BIGINT AS short_docs,
+                (count(*) - count(DISTINCT fp))::BIGINT AS exact_dups
+         FROM d GROUP BY lang ORDER BY lang""",
     "q_budget_mix" ->
       """WITH d AS (SELECT doc_id, lang, n_chars,
                            len(string_split(text, ' '))::BIGINT AS toks

@@ -334,6 +334,35 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("readJsonQuarantine parsing runs unchanged on a stream (text + from_json)") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    // the quarantine reader's parse stage is stateless column work, so
+    // the same schema'd split runs on a line stream (live ingestion)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.StringType)))
+    val full = org.apache.spark.sql.types.StructType(schema.fields)
+      .add("_corrupt", org.apache.spark.sql.types.StringType)
+    val input = MemoryStream[String]
+    val parsed = input.toDF().select(
+      from_json(col("value"), full,
+        Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> "_corrupt")).as("j"))
+      .select(col("j.*"))
+    val q = parsed.writeStream.format("memory").queryName("t_jsonq")
+      .outputMode("append").start()
+    try {
+      input.addData("""{"k": 1, "v": "a"}""", "busted line", """{"k": 2, "v": "b"}""")
+      q.processAllAvailable()
+      val rows = s.table("t_jsonq").collect()
+      assert(graft.sources.PsIO.jsonGood(s.table("t_jsonq")).count() == 2)
+      assert(graft.sources.PsIO.jsonQuarantined(s.table("t_jsonq"))
+        .select("_corrupt").collect().map(_.getString(0)).toSeq == Seq("busted line"))
+      assert(rows.length == 3)
+    } finally q.stop()
+  }
+
   test("chunkDocs runs unchanged on a stream (per-row explode, no state)") {
     val s = spark
     import s.implicits._
