@@ -162,10 +162,13 @@ object Sampling {
     * through one task). This is the distributed prefix-sum instead:
     *
     *  1. range-partition by the selection order (partition p holds
-    *     strictly better rows than p+1), pinned with `persist` so both
-    *     passes see one assignment;
-    *  2. per-partition token sums → driver (≤ `partitions` longs — the
-    *     bounded collect), exclusive-scanned into partition offsets;
+    *     strictly better rows than p+1), persist-marked so both
+    *     consumers below share ONE partition assignment;
+    *  2. per-partition token sums reduce the corpus to `partitions`
+    *     rows; their exclusive scan is a window over THAT bounded
+    *     relation (P rows — the one place a "global" window is safe),
+    *     broadcast back as per-partition offsets. Fully lazy: declaring
+    *     the query runs nothing (LazinessSpec);
     *  3. partitions whose offset already exceeds the budget are pruned
     *     BEFORE any window work (at 100 TB nearly all of them — the
     *     budget cut usually lands in the first few percent);
@@ -194,15 +197,13 @@ object Sampling {
       .repartitionByRange(p, order: _*)
       .withColumn("__pid", spark_partition_id())
       .persist()
-    val sums = ranked.groupBy("__pid")
-      .agg(sum(col(tokensCol).cast("long")).as("s"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    var acc = 0L
-    val offsets = (0 until p).map { pid =>
-      val off = acc; acc += sums.getOrElse(pid, 0L); (pid, off)
-    }
+    val wOff = Window.orderBy("__pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
     val offDf = broadcast(
-      spark.createDataFrame(offsets).toDF("__pid", "__off"))
+      ranked.groupBy("__pid")
+        .agg(sum(col(tokensCol).cast("long")).as("__s"))
+        .withColumn("__off", coalesce(sum("__s").over(wOff), lit(0L)))
+        .select("__pid", "__off"))
     val w = Window.partitionBy("__pid")
       .orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

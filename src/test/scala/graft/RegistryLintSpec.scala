@@ -46,7 +46,12 @@ class RegistryLintSpec extends AnyFunSuite with SparkFixture {
     // single-row/array bound-broadcasts: qcut's quantile-boundary array
     // and tfIdf's corpus-total scalar ride a one-row nested-loop join
     "q_qcut" -> Set("nested-loop-join", "broadcast-wide-payload"),
-    "q_tfidf" -> Set("nested-loop-join")
+    "q_tfidf" -> Set("nested-loop-join"),
+    // the exclusive-scan window of the distributed prefix sum runs over
+    // the PER-PARTITION SUMS relation — `partitions` rows, not the
+    // corpus; the corpus-sized running sums are partitioned by __pid
+    // (Sampling.selectByBudget step 2)
+    "q_select_budget" -> Set("single-partition-window")
   )
 
   test("every registry query plans clean of warn-level PlanLint findings") {
