@@ -1725,6 +1725,19 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // leakage-safe split: near-dup docs (minhashLsh pairs -> CC
+    // representative) are assigned as a UNIT, so no near-copy of a
+    // training doc leaks into val/test; singletons fall back to plain
+    // hashSplit assignment. Oracle: recursive-CTE components + the same
+    // md5 bucketing over the representative
+    "q_leakage_split" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val pairs = Dedup.minhashLsh(d.df, "doc_id", "text")
+      Sampling.leakageSafeSplit(d.df, "doc_id", pairs,
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select("doc_id", "split").orderBy("doc_id")
+    }),
+
     // reproducible train/val/test assignment by engine-portable key hash
     "q_split" -> ((s, dir) => {
       val d = t(s, dir, "documents")
@@ -3432,6 +3445,15 @@ object ExtQueries {
          FROM (SELECT doc_id,
                  ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 10000 AS b
                FROM documents) ORDER BY doc_id""",
+    "q_leakage_split" ->
+      s"""${componentCte(0.8)},
+         rep AS (SELECT node AS doc_id, min(lab) AS r FROM walk GROUP BY node)
+         SELECT doc_id,
+            CASE WHEN b < 8000 THEN 'train' WHEN b < 9000 THEN 'val' ELSE 'test' END AS split
+         FROM (SELECT d.doc_id,
+                 ('0x' || substr(md5(COALESCE(rep.r, d.doc_id)::VARCHAR), 1, 15))::BIGINT % 10000 AS b
+               FROM documents d LEFT JOIN rep ON rep.doc_id = d.doc_id)
+         ORDER BY doc_id""",
     "q_weighted_sample" ->
       """SELECT doc_id FROM (
            SELECT doc_id, least(length(text) / 500.0, 1.0) AS w,

@@ -151,6 +151,35 @@ object Sampling {
     df.filter(b < round(frac * Buckets))
   }
 
+  /** Leakage-safe train/val/test split: near-duplicate documents MUST
+    * land in the SAME split, or the held-out set silently contains
+    * near-copies of training documents and eval numbers inflate — the
+    * contamination path plain per-document hashing leaves open. The
+    * assignment key is the document's near-dup CLUSTER representative
+    * (min id over the connected components of `pairs`); singletons key
+    * on their own id, so on a dup-free corpus this degrades to exactly
+    * [[hashSplit]]. `pairs` is any near-dup relation — [[Dedup.minhashLsh]],
+    * [[Dedup.simhashPairs]], [[Similarity.semanticDedupPairs]] output
+    * shapes all fit ((a_id, b_id) columns).
+    *
+    * Cost on top of the pair relation: the CC label propagation (O(V)
+    * state per round over the PAIRED nodes only — the overwhelmingly
+    * singleton corpus never enters the loop) plus one left join. */
+  def leakageSafeSplit(
+      docs: DataFrame,
+      idCol: String,
+      pairs: DataFrame,
+      fractions: Seq[(String, Double)],
+      rounds: Int = 4,
+      salt: String = ""): DataFrame = {
+    val labels = Components.clusterLabels(pairs, rounds = rounds)
+      .select(col("node").as(idCol), col("label").as("__rep"))
+    docs.join(labels, Seq(idCol), "left")
+      .withColumn("split",
+        splitColumn(coalesce(col("__rep"), col(idCol)), fractions, salt))
+      .drop("__rep")
+  }
+
   /** Token-budget corpus selection: the best-scoring documents whose
     * cumulative `tokensCol` stays within `budget` — "fill N tokens from
     * the top of the quality ranking", the final cut of most curation

@@ -100,6 +100,25 @@ class SamplingSkewSpec extends AnyFunSuite with SparkFixture {
     assert(Sampling.selectByBudget(docs, "score", "id", "toks", total, 4).count() == 500)
   }
 
+  test("leakageSafeSplit: a near-dup cluster lands whole in one split") {
+    val s = spark
+    import s.implicits._
+    val docs = (1L to 40L).map(i => (i, s"doc $i")).toDF("id", "text")
+    // two planted clusters: {1,2,3} (chained) and {10,11}
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a_id", "b_id")
+    val split = Sampling.leakageSafeSplit(docs, "id", pairs,
+        Seq("train" -> 0.5, "val" -> 0.25, "test" -> 0.25))
+      .select("id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(split.size == 40)
+    assert(Set(split(1L), split(2L), split(3L)).size == 1, "cluster {1,2,3} split apart")
+    assert(split(10L) == split(11L), "cluster {10,11} split apart")
+    // singletons degrade to exactly hashSplit's assignment
+    val plain = Sampling.hashSplit(docs, "id",
+        Seq("train" -> 0.5, "val" -> 0.25, "test" -> 0.25))
+      .select("id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    (12L to 40L).foreach(i => assert(split(i) == plain(i)))
+  }
+
   test("selectByBudgetPerGroup: budgets bind per group, unlisted groups drop") {
     val s = spark
     import s.implicits._
