@@ -1725,6 +1725,26 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // the RELEASE CUT composed from this round's operators, replayed as
+    // ONE DuckDB CTE chain: leakage-safe split (near-dup clusters move
+    // as a unit) -> train side -> length gate -> token-budget fill from
+    // the top of the ranking -> shard-shuffle manifest order. What a
+    // curation run actually ships to the trainer.
+    "q_pipeline_release" -> ((s, dir) => {
+      val d = t(s, dir, "documents").df
+      val pairs = Dedup.minhashLsh(d, "doc_id", "text")
+      val split = Sampling.leakageSafeSplit(d, "doc_id", pairs,
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      val train = split
+        .filter(col("split") === "train" && col("n_chars") >= 100)
+        .withColumn("toks", TextAnalysis.tokenCount(col("text")).cast("long"))
+      Sampling.selectByBudget(train, "n_chars", "doc_id", "toks", budget = 8000L)
+        .withColumn("shuffle_key",
+          md5(concat(lit("42:"), col("doc_id").cast("string"))))
+        .select("doc_id", "toks", "cum_tokens", "shuffle_key")
+        .orderBy("shuffle_key")
+    }),
+
     // leakage-safe split: near-dup docs (minhashLsh pairs -> CC
     // representative) are assigned as a UNIT, so no near-copy of a
     // training doc leaks into val/test; singletons fall back to plain
@@ -3445,6 +3465,22 @@ object ExtQueries {
          FROM (SELECT doc_id,
                  ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 10000 AS b
                FROM documents) ORDER BY doc_id""",
+    "q_pipeline_release" ->
+      s"""${componentCte(0.8)},
+         rep AS (SELECT node AS doc_id, min(lab) AS r FROM walk GROUP BY node),
+         sp AS (SELECT doc_id, n_chars, toks,
+                  CASE WHEN b < 8000 THEN 'train' WHEN b < 9000 THEN 'val' ELSE 'test' END AS split
+                FROM (SELECT d.doc_id, d.n_chars,
+                        len(string_split(d.text, ' '))::BIGINT AS toks,
+                        ('0x' || substr(md5(COALESCE(rep.r, d.doc_id)::VARCHAR), 1, 15))::BIGINT % 10000 AS b
+                      FROM documents d LEFT JOIN rep ON rep.doc_id = d.doc_id)),
+         tr AS (SELECT * FROM sp WHERE split = 'train' AND n_chars >= 100),
+         cum AS (SELECT doc_id, toks,
+                   (sum(toks) OVER (ORDER BY n_chars DESC, doc_id
+                                    ROWS UNBOUNDED PRECEDING))::BIGINT AS cum_tokens
+                 FROM tr)
+         SELECT doc_id, toks, cum_tokens, md5('42:' || doc_id) AS shuffle_key
+         FROM cum WHERE cum_tokens <= 8000 ORDER BY shuffle_key""",
     "q_leakage_split" ->
       s"""${componentCte(0.8)},
          rep AS (SELECT node AS doc_id, min(lab) AS r FROM walk GROUP BY node)

@@ -51,7 +51,9 @@ class RegistryLintSpec extends AnyFunSuite with SparkFixture {
     // the PER-PARTITION SUMS relation — `partitions` rows, not the
     // corpus; the corpus-sized running sums are partitioned by __pid
     // (Sampling.selectByBudget step 2)
-    "q_select_budget" -> Set("single-partition-window")
+    "q_select_budget" -> Set("single-partition-window"),
+    // inherits selectByBudget's bounded offsets window (same reason)
+    "q_pipeline_release" -> Set("single-partition-window")
   )
 
   test("every registry query plans clean of warn-level PlanLint findings") {
