@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.api._
 import graft.functions.TextAnalysis
-import graft.operators.{AdpcmWavCodec, AsOfJoin, Bloom, Components, Dedup, GifFramesCodec, Multimodal, Sampling, Similarity, Skew}
+import graft.operators.{AdpcmWavCodec, AsOfJoin, Bloom, Components, Dedup, GifFramesCodec, Multimodal, Sampling, Similarity, Skew, Sketches}
 import graft.sources.PsIO
 import graft.streaming.StreamingOps
 
@@ -1487,6 +1487,26 @@ object ExtQueries {
         .orderBy("l_returnflag")
     }),
 
+    // storable-sketch incremental maintenance: per-(lang, batch) HLL
+    // sketches built as if by three separate ingestion runs, MERGED
+    // (losslessly — register max) into per-lang sketches whose estimate
+    // must sit within 3x rsd of the exact distinct; booleans pinned true
+    // like q_sketches_err. The never-rescan distinct-count shape.
+    "q_hll_incr" -> ((s, dir) => {
+      val d = t(s, dir, "documents").df.withColumn("batch", col("doc_id") % 3)
+      val merged = d.groupBy("lang", "batch")
+        .agg(Sketches.hllSketch(col("doc_id")).as("sk"))
+        .groupBy("lang")
+        .agg(Sketches.hllMerge(col("sk")).as("sk"))
+        .withColumn("est", Sketches.hllEstimate(col("sk")))
+      val exact = d.groupBy("lang").agg(countDistinct("doc_id").as("exact_distinct"))
+      merged.join(exact, "lang")
+        .select(col("lang"), col("exact_distinct"),
+          (abs(col("est") - col("exact_distinct"))
+            <= col("exact_distinct") * 0.05 + lit(5.0)).as("est_ok"))
+        .orderBy("lang")
+    }),
+
     // pandas pivot_table: order counts by priority, one column per
     // status (explicit pivot values -> composition stays lazy)
     "q_pivot" -> ((s, dir) => {
@@ -2602,6 +2622,9 @@ object ExtQueries {
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
                 true AS hll_ok, true AS p50_ok
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_hll_incr" ->
+      """SELECT lang, count(DISTINCT doc_id) AS exact_distinct, true AS est_ok
+         FROM documents GROUP BY lang ORDER BY lang""",
     "q_asof" ->
       """WITH e AS (SELECT event_id, user_id, epoch_ms(ts)::BIGINT AS ms, event_type, value FROM events),
          c AS (SELECT event_id, user_id, ms FROM e WHERE event_type = 'click'),

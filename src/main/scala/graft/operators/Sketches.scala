@@ -47,4 +47,23 @@ object Sketches {
     if (keys.isEmpty) df.agg(agg)
     else df.groupBy(keys.map(col): _*).agg(agg)
   }
+
+  // ---- storable, mergeable HLL sketches ([[graft.functions.HllSketch]])
+
+  /** aggregate: any column → a STORABLE HLL sketch (binary). Unlike
+    * `approx_count_distinct`, the sketch persists: write one per
+    * partition/day, answer any later union's distinct count by
+    * [[hllMerge]] with no rescan — the incremental-maintenance shape. */
+  def hllSketch(value: Column, p: Int = graft.functions.HllSketch.DefaultP): Column =
+    graft.functions.HllSketch.sketch(value, p)
+
+  /** aggregate: merge stored sketches (element-wise register max —
+    * lossless: bit-identical to sketching the union directly). */
+  def hllMerge(sketch: Column): Column =
+    graft.functions.HllSketch.mergeSketches(sketch)
+
+  /** scalar: approximate distinct count of a stored sketch
+    * (rsd ≈ 1.04/√2ᵖ — 1.6% at the default p=12 / 4 KiB). */
+  def hllEstimate(sketch: Column): Column =
+    graft.functions.HllSketch.estimateCol(sketch)
 }

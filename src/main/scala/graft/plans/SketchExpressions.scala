@@ -87,9 +87,37 @@ case class MinHashSignature(
     copy(child = newChild)
 }
 
+/** HyperLogLog estimate of a stored register array
+  * ([[graft.functions.HllSketch]] binary sketch → approximate distinct
+  * count, as a scalar column so stored sketches can be queried
+  * relationally). One fused loop; same deterministic arithmetic as the
+  * driver-side [[graft.functions.HllSketch.estimate]] (they share it). */
+case class HllEstimate(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"expects a binary sketch, got $other")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    graft.functions.HllSketch.estimate(input.asInstanceOf[Array[Byte]])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HllSketch.estimate($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object SketchExpressions {
   def minhashSignature(
       hashes: Column, coefA: Array[Long], coefB: Array[Long], prime: Long): Column =
     GraftColumnBridge.column(
       MinHashSignature(GraftColumnBridge.expression(hashes), coefA, coefB, prime))
+
+  def hllEstimate(sketch: Column): Column =
+    GraftColumnBridge.column(HllEstimate(GraftColumnBridge.expression(sketch)))
 }

@@ -48,4 +48,38 @@ class SketchesSpec extends AnyFunSuite with SparkFixture {
       .queryExecution.executedPlan.toString
     assert(plan.contains("partial_approx_count_distinct"), plan.take(600))
   }
+
+  test("hllSketch: estimate within 5% of a 10k-distinct exact count") {
+    val s0 = spark
+    import s0.implicits._
+    val d = (1L to 10000L).map(i => ("g", i)).toDF("g", "v")
+    val est = d.groupBy("g").agg(Sketches.hllSketch(col("v")).as("sk"))
+      .select(Sketches.hllEstimate(col("sk"))).head().getDouble(0)
+    assert(math.abs(est - 10000.0) <= 500.0, s"estimate $est off by > 5%")
+  }
+
+  test("hllMerge is lossless: merged per-batch sketches == whole-corpus sketch") {
+    val s0 = spark
+    import s0.implicits._
+    val d = (1L to 5000L).map(i => (i % 4, i)).toDF("batch", "v")
+    val whole = d.agg(Sketches.hllSketch(col("v")).as("sk"))
+      .head().getAs[Array[Byte]](0)
+    val merged = d.groupBy("batch").agg(Sketches.hllSketch(col("v")).as("sk"))
+      .agg(Sketches.hllMerge(col("sk")).as("sk"))
+      .head().getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(whole, merged),
+      "sketch(A union B) must be bit-identical to merge(sketch(A), sketch(B))")
+    // and the scalar expression agrees with the driver-side estimator
+    val viaCol = d.agg(Sketches.hllSketch(col("v")).as("sk"))
+      .select(Sketches.hllEstimate(col("sk"))).head().getDouble(0)
+    assert(viaCol == graft.functions.HllSketch.estimate(whole))
+  }
+
+  test("hllMerge refuses sketches of different precision") {
+    val a = new Array[Byte](1 << 12)
+    val b = new Array[Byte](1 << 10)
+    intercept[IllegalArgumentException] {
+      graft.functions.HllSketch.mergeRegs(a, b)
+    }
+  }
 }
