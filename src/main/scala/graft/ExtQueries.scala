@@ -1507,6 +1507,28 @@ object ExtQueries {
         .orderBy("lang")
     }),
 
+    // Misra-Gries heavy hitters over the token stream: every token the
+    // MG theorem GUARANTEES retained (exact count > n/(k+1)) must be
+    // present with its count inside [exact − n/(k+1), exact] — pinned
+    // booleans, theorem-backed, deterministic row set. Integer
+    // arithmetic throughout (counts, k+1 cross-multiplied).
+    "q_heavy_hitters" -> ((s, dir) => {
+      val k = 64
+      val toks = t(s, dir, "documents").df
+        .select(explode(split(col("text"), " ")).as("token"))
+      val sk = toks.agg(Sketches.heavyHitters(col("token"), k).as("mg"))
+      val tot = toks.agg(count(lit(1)).as("n"))
+      val mgCnt = element_at(col("mg"), col("token"))
+      toks.groupBy("token").agg(count(lit(1)).as("exact_cnt"))
+        .crossJoin(sk).crossJoin(tot)
+        .filter(col("exact_cnt") * (k + 1) > col("n"))
+        .select(col("token"), col("exact_cnt"),
+          mgCnt.isNotNull.as("present"),
+          (mgCnt <= col("exact_cnt") &&
+            (col("exact_cnt") - mgCnt) * (k + 1) <= col("n")).as("bound_ok"))
+        .orderBy("token")
+    }),
+
     // pandas pivot_table: order counts by priority, one column per
     // status (explicit pivot values -> composition stays lazy)
     "q_pivot" -> ((s, dir) => {
@@ -2625,6 +2647,12 @@ object ExtQueries {
     "q_hll_incr" ->
       """SELECT lang, count(DISTINCT doc_id) AS exact_distinct, true AS est_ok
          FROM documents GROUP BY lang ORDER BY lang""",
+    "q_heavy_hitters" ->
+      """WITH t AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+         tot AS (SELECT count(*) AS n FROM t),
+         e AS (SELECT token, count(*) AS exact_cnt FROM t GROUP BY token)
+         SELECT token, exact_cnt, true AS present, true AS bound_ok
+         FROM e, tot WHERE exact_cnt * 65 > n ORDER BY token""",
     "q_asof" ->
       """WITH e AS (SELECT event_id, user_id, epoch_ms(ts)::BIGINT AS ms, event_type, value FROM events),
          c AS (SELECT event_id, user_id, ms FROM e WHERE event_type = 'click'),

@@ -66,4 +66,12 @@ object Sketches {
     * (rsd ≈ 1.04/√2ᵖ — 1.6% at the default p=12 / 4 KiB). */
   def hllEstimate(sketch: Column): Column =
     graft.functions.HllSketch.estimateCol(sketch)
+
+  /** aggregate: string column → mergeable Misra-Gries heavy-hitters
+    * sketch (map<string,long>, ≤ k keys, O(k) state per partition) —
+    * every item with frequency > n/(k+1) guaranteed present, counts
+    * under-report by at most n/(k+1). The fixed-memory alternative to
+    * a full token groupBy for hot-key monitoring. */
+  def heavyHitters(item: Column, k: Int = graft.functions.MgSketch.DefaultK): Column =
+    graft.functions.MgSketch.sketch(item, k)
 }

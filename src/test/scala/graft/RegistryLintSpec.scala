@@ -47,6 +47,9 @@ class RegistryLintSpec extends AnyFunSuite with SparkFixture {
     // and tfIdf's corpus-total scalar ride a one-row nested-loop join
     "q_qcut" -> Set("nested-loop-join", "broadcast-wide-payload"),
     "q_tfidf" -> Set("nested-loop-join"),
+    // one-row MG sketch (map of <= k entries) + one-row token total
+    // cross into the exact-counts relation — bounded by construction
+    "q_heavy_hitters" -> Set("nested-loop-join", "broadcast-wide-payload"),
     // the exclusive-scan window of the distributed prefix sum runs over
     // the PER-PARTITION SUMS relation — `partitions` rows, not the
     // corpus; the corpus-sized running sums are partitioned by __pid

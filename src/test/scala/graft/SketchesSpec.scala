@@ -82,4 +82,35 @@ class SketchesSpec extends AnyFunSuite with SparkFixture {
       graft.functions.HllSketch.mergeRegs(a, b)
     }
   }
+
+  test("MG heavy hitters: retention + undercount bounds hold on a skewed stream") {
+    val s0 = spark
+    import s0.implicits._
+    val k = 8
+    // 3 hot items (1000/600/400) + 500 singletons: n = 2500,
+    // n/(k+1) ~ 277 -> hot items 1000/600/400 are guaranteed retained
+    val rows = (Seq.fill(1000)("hot1") ++ Seq.fill(600)("hot2") ++
+      Seq.fill(400)("hot3") ++ (1 to 500).map(i => s"cold$i"))
+    val d = scala.util.Random.shuffle(rows).toDF("token").repartition(8)
+    val mg = d.agg(Sketches.heavyHitters(col("token"), k).as("mg"))
+      .head().getMap[String, Long](0)
+    val n = rows.length
+    assert(mg.size <= k)
+    Seq("hot1" -> 1000L, "hot2" -> 600L, "hot3" -> 400L).foreach { case (t0, f) =>
+      assert(mg.contains(t0), s"$t0 (f=$f > n/(k+1)=${n / (k + 1)}) must be retained")
+      val c = mg(t0)
+      assert(c <= f && (f - c) * (k + 1) <= n,
+        s"$t0 count $c outside [f - n/(k+1), f] = [${f - n / (k + 1)}, $f]")
+    }
+  }
+
+  test("MG merge rule: driver-side merge of stored sketches keeps the summed bound") {
+    val k = 4
+    val a = Map("x" -> 50L, "y" -> 20L, "z" -> 10L, "w" -> 5L) // n1 >= 85
+    val b = Map("x" -> 30L, "q" -> 25L, "y" -> 8L, "r" -> 3L)  // n2 >= 66
+    val m = graft.functions.MgSketch.mergeMaps(k, Seq(a, b))
+    assert(m.size <= k)
+    // the dominant item survives the merge with a summed-undercount bound
+    assert(m.contains("x") && m("x") <= 80L)
+  }
 }
