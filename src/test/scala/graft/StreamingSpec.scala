@@ -167,6 +167,42 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("HLL sketch aggregates run on a windowed stream; stored windows merge to the total") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val input = MemoryStream[Event]
+    // distinct users per hour window, as STORED sketches (append mode:
+    // windows emit once closed by the watermark)
+    val q = input.toDF()
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(graft.operators.Sketches.hllSketch(col("user_id")).as("sk"))
+      .select(col("window.start").as("ws"), col("sk"))
+      .writeStream.format("memory").queryName("t_hll_win")
+      .outputMode("append").start()
+    try {
+      def ev(id: Long, h: Int, u: Long) =
+        Event(id, new Timestamp(3600000L * h + id), u, "e", 1.0, "{}")
+      // hour 0: users 1-20; hour 1: users 11-30; flush via hour 3
+      input.addData((1 to 20).map(i => ev(i, 0, i.toLong)))
+      input.addData((1 to 20).map(i => ev(100 + i, 1, 10L + i)))
+      q.processAllAvailable()
+      input.addData(ev(999, 3, -1L))
+      q.processAllAvailable()
+      val wins = s.table("t_hll_win").collect()
+        .map(r => r.getTimestamp(0).getTime -> r.getAs[Array[Byte]](1)).toMap
+      assert(wins.keySet == Set(0L, 3600000L))
+      def est(b: Array[Byte]) = graft.functions.HllSketch.estimate(b)
+      assert(math.abs(est(wins(0L)) - 20.0) < 2.0)
+      assert(math.abs(est(wins(3600000L)) - 20.0) < 2.0)
+      // the stored per-window sketches merge to the cross-window total
+      // (30 distinct users) without touching the events again
+      val merged = graft.functions.HllSketch.mergeRegs(wins(0L), wins(3600000L))
+      assert(math.abs(est(merged) - 30.0) < 3.0)
+    } finally q.stop()
+  }
+
   test("streamingNearDupCandidates caps hot buckets at maxBucket members") {
     val s = spark
     import s.implicits._
