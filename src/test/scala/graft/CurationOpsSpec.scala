@@ -98,6 +98,37 @@ class CurationOpsSpec extends AnyFunSuite with SparkFixture {
     assert(noop.collect().map(_.toSeq).toSet == a.collect().map(_.toSeq).toSet)
   }
 
+  test("property: applyChanges(a, changes(a,b)) == b over random snapshot pairs") {
+    import org.scalacheck.{Gen, rng}
+    val s = spark
+    import s.implicits._
+    val gen = for {
+      nA <- Gen.chooseNum(0, 30)
+      nAdd <- Gen.chooseNum(0, 10)
+      changed <- Gen.someOf(1 to 30)
+      removed <- Gen.someOf(1 to 30)
+    } yield (nA, nAdd, changed.toSet, removed.toSet)
+    val cases = Gen.listOfN(25, gen)
+      .apply(Gen.Parameters.default, rng.Seed(11L)).get
+    cases.foreach { case (nA, nAdd, changedAll, removedAll) =>
+      val aKeys = (1 to nA).map(_.toLong)
+      val changed = changedAll.map(_.toLong).intersect(aKeys.toSet) -- removedAll.map(_.toLong)
+      val removed = removedAll.map(_.toLong).intersect(aKeys.toSet)
+      val added = (100 until 100 + nAdd).map(_.toLong)
+      val a = aKeys.map(k => (k, s"v$k")).toDF("k", "v")
+      val bRows = aKeys.filterNot(removed).map(k =>
+        (k, if (changed(k)) s"V$k!" else s"v$k")) ++ added.map(k => (k, s"v$k"))
+      val b = bRows.toDF("k", "v")
+      val changes =
+        (aKeys.filter(changed).map(k => (k, s"V$k!", false)) ++
+          added.map(k => (k, s"v$k", false)) ++
+          removed.toSeq.map(k => (k, "", true))).toDF("k", "v", "del")
+      val applied = Snapshot.applyChanges(a, changes, Seq("k"), "del")
+      assert(applied.collect().map(_.toSeq).toSet == b.collect().map(_.toSeq).toSet,
+        s"nA=$nA add=${added.size} chg=${changed.size} rm=${removed.size}")
+    }
+  }
+
   test("snapshotDiff struct compare is null-safe") {
     val s = spark
     import s.implicits._

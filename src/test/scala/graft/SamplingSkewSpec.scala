@@ -100,6 +100,37 @@ class SamplingSkewSpec extends AnyFunSuite with SparkFixture {
     assert(Sampling.selectByBudget(docs, "score", "id", "toks", total, 4).count() == 500)
   }
 
+  test("property: selectByBudget == naive global cut over random corpora") {
+    import org.scalacheck.{Gen, rng}
+    val s = spark
+    import s.implicits._
+    val gen = for {
+      n <- Gen.chooseNum(0, 120)
+      dupScores <- Gen.oneOf(true, false) // tie-heavy vs distinct scores
+      budgetFrac <- Gen.chooseNum(0, 120)
+    } yield (n, dupScores, budgetFrac)
+    val cases = Gen.listOfN(20, gen)
+      .apply(Gen.Parameters.default, rng.Seed(23L)).get
+    cases.foreach { case (n, dupScores, budgetFrac) =>
+      val rnd = new scala.util.Random(n * 31 + budgetFrac)
+      val rows = (1L to n.toLong).map(i =>
+        (i, if (dupScores) rnd.nextInt(5) else rnd.nextInt(10000),
+          1L + rnd.nextInt(50)))
+      val docs = rows.toDF("id", "score", "toks")
+      val total = rows.map(_._3).sum
+      val budget = total * budgetFrac / 120
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("score").desc, col("id").asc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val expect = docs.withColumn("cum", sum("toks").over(w))
+        .filter(col("cum") <= budget)
+        .collect().map(r => (r.getLong(0), r.getLong(3))).toSet
+      val got = Sampling.selectByBudget(docs, "score", "id", "toks", budget, 5)
+        .collect().map(r => (r.getLong(0), r.getLong(3))).toSet
+      assert(got == expect, s"n=$n dup=$dupScores budget=$budget")
+    }
+  }
+
   test("leakageSafeSplit: a near-dup cluster lands whole in one split") {
     val s = spark
     import s.implicits._
