@@ -110,6 +110,56 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
       s"no cross product anywhere in the boilerplate strip:\n${plan.take(600)}")
   }
 
+  test("applyChanges plans one anti-join + union, no full outer join") {
+    val s = spark
+    import s.implicits._
+    val base = (1L to 100L).map(k => (k, s"v$k")).toDF("k", "v")
+    val changes = (50L to 120L).map(k => (k, s"V$k", k % 7 == 0)).toDF("k", "v", "del")
+    val plan = graft.operators.Snapshot.applyChanges(base, changes, Seq("k"), "del")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"), plan.take(800))
+    assert(plan.contains("Union"), plan.take(800))
+    // an upsert must never plan the diff's full-outer shape — it only
+    // needs to know WHICH keys changed, not both sides' payloads
+    assert(!plan.contains("FullOuter"), s"full outer crept in: ${plan.take(800)}")
+  }
+
+  test("int8TopK shortlist reduces via the bounded partial top-k, no Window") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(3)
+    val d = (1L to 200L).map(i => (i, Array.fill(8)(rnd.nextFloat())))
+      .toDF("vec_id", "embedding")
+    val q = d.filter(col("vec_id") < 5)
+    val plan = graft.operators.Similarity
+      .int8TopK(d, q, "vec_id", "embedding", k = 3, shortlist = 10)
+      .queryExecution.executedPlan.toString
+    // both the shortlist and the re-rank ride TopKAgg partial
+    // aggregation; a rank window would shuffle the full scored volume
+    assert(!plan.contains("Window"), s"window crept in: ${plan.take(800)}")
+    assert(plan.contains("ObjectHashAggregate") || plan.contains("SortAggregate"),
+      plan.take(800))
+  }
+
+  test("selectByBudget windows are partitioned by pid; offsets broadcast back") {
+    val s = spark
+    import s.implicits._
+    val docs = (1L to 500L).map(i => (i, (i % 97).toInt, 10L)).toDF("id", "score", "toks")
+    val plan = graft.operators.Sampling
+      .selectByBudget(docs, "score", "id", "toks", budget = 1000L, partitions = 7)
+      .queryExecution.executedPlan.toString
+    // the corpus-sized running sum (the one ordered by the score) must
+    // be keyed by __pid (parallel); the only unpartitioned window is
+    // over the 7-row offsets relation (ordered by __pid itself)
+    val corpusWindows = plan.linesIterator
+      .filter(l => l.contains("Window") && l.contains("score")).toSeq
+    assert(corpusWindows.nonEmpty &&
+      corpusWindows.forall(_.contains("windowspecdefinition(__pid")),
+      s"corpus window not pid-partitioned: ${corpusWindows.mkString(" | ")}")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoop"),
+      s"offsets should broadcast back: ${plan.take(800)}")
+  }
+
   test("pipeline and binning queries prune their scans to the used columns") {
     val dir = "/root/testdata/sf0.001"
     def readSchemas(q: String): Seq[String] = {
