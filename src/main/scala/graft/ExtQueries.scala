@@ -1735,6 +1735,15 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // order-insensitive corpus content fingerprint: (rows, Σ hash60 of
+    // the rows) — equality of two corpora without sorting either side;
+    // the oracle recomputes the identical sum, proving the fingerprint
+    // is engine-portable (a migration can be verified from either end)
+    "q_content_fp" -> ((s, dir) => {
+      val d = t(s, dir, "documents").df
+      PsIO.contentFingerprint(d, Seq("doc_id", "text", "lang", "source", "n_chars"))
+    }),
+
     // one-pass corpus health report per language: volume (docs, tokens,
     // chars), length profile, source diversity, short-doc and exact-dup
     // counts (normalized-fingerprint distinct) — the "describe" of a
@@ -3484,6 +3493,10 @@ object ExtQueries {
                FROM d)
          SELECT doc_id, n_chars, toks, cum_tokens FROM r
          WHERE cum_tokens <= 10000 ORDER BY doc_id""",
+    "q_content_fp" ->
+      """SELECT count(*) AS n_rows,
+                sum(('0x' || substr(md5(concat_ws(chr(1), doc_id, text, lang, source, n_chars)), 1, 15))::BIGINT::DECIMAL(38,0)) AS checksum
+         FROM documents""",
     "q_corpus_profile" ->
       """WITH d AS (SELECT lang, source, n_chars,
                            len(string_split(text, ' '))::BIGINT AS toks,

@@ -316,6 +316,27 @@ object PsIO {
       .parquet(path)
   }
 
+  /** Order-insensitive corpus content fingerprint: (row count, checksum)
+    * where the checksum is the SUM of a cross-engine-stable 60-bit row
+    * hash ([[graft.operators.Dedup.hash60]] over the named columns
+    * joined with an unlikely separator). Verifies a copied / migrated /
+    * re-partitioned corpus equals its source WITHOUT sorting either
+    * side — sum is commutative, so layout, partitioning, and row order
+    * don't matter, and any engine that can md5 can recompute it (the
+    * oracle does). Decimal accumulation: 2⁶⁰-ish terms × billions of
+    * rows overflow a long; DECIMAL(38,0) holds ~10³⁸, enough for 10¹⁸
+    * rows. One scan, one partial-aggregated sum — the cheapest honest
+    * equality check at 100 TB. Collision caveat mirrors snapshotDiff's
+    * hashed mode (~n²/2⁶⁰ for an adversarial mismatch). */
+  def contentFingerprint(df: DataFrame, cols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, concat_ws, count, lit, sum}
+    require(cols.nonEmpty, "contentFingerprint needs columns")
+    val row = graft.operators.Dedup.hash60(
+      concat_ws("\u0001", cols.map(c => col(c).cast("string")): _*))
+    df.agg(count(lit(1)).as("n_rows"),
+      sum(row.cast("decimal(38,0)")).as("checksum"))
+  }
+
   /** Deterministic pseudorandom shuffle for training shards: the global
     * order is a seeded md5 of the id — cross-engine stable (the oracle
     * replays it) and reproducible run-to-run, unlike `orderBy(rand())`.

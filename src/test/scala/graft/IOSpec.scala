@@ -193,6 +193,24 @@ class IOSpec extends AnyFunSuite with SparkFixture {
     assert(firstRows == firstRows.sorted)
   }
 
+  test("contentFingerprint: layout-invariant, content-sensitive") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val cols = Seq("doc_id", "text", "lang")
+    def fp(df: org.apache.spark.sql.DataFrame) =
+      PsIO.contentFingerprint(df, cols).head().toSeq
+    val base = fp(docs)
+    // row order, partitioning, and file layout must not matter
+    assert(fp(docs.orderBy(col("text"))) == base)
+    assert(fp(docs.repartition(17)) == base)
+    val dir = Files.createTempDirectory("graft-fp").toString + "/copy"
+    PsIO.writeShuffled(docs, dir, "doc_id", seed = 9L, shards = 5)
+    assert(fp(spark.read.parquet(dir).select(docs.columns.map(col): _*)) == base)
+    // one changed character must change the checksum
+    val tampered = docs.withColumn("text",
+      when(col("doc_id") === 7, concat(col("text"), lit("x"))).otherwise(col("text")))
+    assert(fp(tampered) != base)
+  }
+
   test("writeShuffled: disjoint sorted shards, order reproducible per seed") {
     val dir = Files.createTempDirectory("graft-shuf").toString
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
