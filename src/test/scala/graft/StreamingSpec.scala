@@ -167,6 +167,49 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("streaming CDC loop: foreachBatch applyChanges maintains a parquet snapshot") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft-cdc").toString
+    // version-0 snapshot on disk
+    val v0 = (1L to 10L).map(k => (k, s"v$k"))
+    v0.toDF("k", "v").write.parquet(s"$root/v0")
+    val version = new java.util.concurrent.atomic.AtomicInteger(0)
+
+    val input = MemoryStream[(Long, String, Long, Boolean)] // k, v, ts, del
+    val q = input.toDF().toDF("k", "v", "ts", "del")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        // reduce the raw CDC feed to latest-per-key (streamingDelta's
+        // ordering rule: ts, delete-last), then MERGE into the snapshot
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("k").orderBy(col("ts").desc, col("del").desc)
+        val latest = batch.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1).drop("rn", "ts")
+        val cur = version.get()
+        val snap = s.read.parquet(s"$root/v$cur")
+        graft.operators.Snapshot.applyChanges(snap, latest, Seq("k"), "del")
+          .write.parquet(s"$root/v${cur + 1}")
+        version.incrementAndGet()
+        ()
+      }
+      .start()
+    try {
+      input.addData((3L, "v3-new", 10L, false), (11L, "v11", 11L, false))
+      q.processAllAvailable()
+      input.addData((5L, "", 20L, true), (11L, "v11-new", 21L, false))
+      q.processAllAvailable()
+      // same-batch churn: insert then delete nets to absent
+      input.addData((12L, "v12", 30L, false), (12L, "", 31L, true))
+      q.processAllAvailable()
+      val fin = s.read.parquet(s"$root/v${version.get()}")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val expect = (v0.toMap - 5L) ++ Map(3L -> "v3-new", 11L -> "v11-new")
+      assert(fin == expect, s"snapshot diverged: $fin")
+    } finally q.stop()
+  }
+
   test("HLL sketch aggregates run on a windowed stream; stored windows merge to the total") {
     val s = spark
     import s.implicits._
