@@ -1719,7 +1719,7 @@ object ExtQueries {
     "q_shuffle" -> ((s, dir) => {
       val d = t(s, dir, "documents")
       d.df.select(col("doc_id"),
-          md5(concat(lit("42:"), col("doc_id").cast("string"))).as("shuffle_key"))
+          PsIO.shuffleKey(42L, col("doc_id")).as("shuffle_key"))
         .orderBy("shuffle_key")
     }),
 
@@ -1790,8 +1790,7 @@ object ExtQueries {
         .filter(col("split") === "train" && col("n_chars") >= 100)
         .withColumn("toks", TextAnalysis.tokenCount(col("text")).cast("long"))
       Sampling.selectByBudget(train, "n_chars", "doc_id", "toks", budget = 8000L)
-        .withColumn("shuffle_key",
-          md5(concat(lit("42:"), col("doc_id").cast("string"))))
+        .withColumn("shuffle_key", PsIO.shuffleKey(42L, col("doc_id")))
         .select("doc_id", "toks", "cum_tokens", "shuffle_key")
         .orderBy("shuffle_key")
     }),
@@ -3493,9 +3492,14 @@ object ExtQueries {
                FROM d)
          SELECT doc_id, n_chars, toks, cum_tokens FROM r
          WHERE cum_tokens <= 10000 ORDER BY doc_id""",
+    // coalesce-to-chr(2) mirrors the engine's null sentinel (concat_ws
+    // would otherwise skip null columns and alias rows)
     "q_content_fp" ->
       """SELECT count(*) AS n_rows,
-                sum(('0x' || substr(md5(concat_ws(chr(1), doc_id, text, lang, source, n_chars)), 1, 15))::BIGINT::DECIMAL(38,0)) AS checksum
+                sum(('0x' || substr(md5(concat_ws(chr(1),
+                      coalesce(doc_id::VARCHAR, chr(2)), coalesce(text, chr(2)),
+                      coalesce(lang, chr(2)), coalesce(source, chr(2)),
+                      coalesce(n_chars::VARCHAR, chr(2)))), 1, 15))::BIGINT::DECIMAL(38,0)) AS checksum
          FROM documents""",
     "q_corpus_profile" ->
       """WITH d AS (SELECT lang, source, n_chars,

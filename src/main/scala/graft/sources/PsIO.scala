@@ -329,10 +329,17 @@ object PsIO {
     * equality check at 100 TB. Collision caveat mirrors snapshotDiff's
     * hashed mode (~n²/2⁶⁰ for an adversarial mismatch). */
   def contentFingerprint(df: DataFrame, cols: Seq[String]): DataFrame = {
-    import org.apache.spark.sql.functions.{col, concat_ws, count, lit, sum}
+    import org.apache.spark.sql.functions.{coalesce, col, concat_ws, count, lit, sum}
     require(cols.nonEmpty, "contentFingerprint needs columns")
+    // nulls become an explicit sentinel BEFORE the join — concat_ws
+    // otherwise SKIPS null columns, making (a, null) and (null, a)
+    // hash identically; with the sentinel every column occupies its
+    // position. Residual caveat: values containing the \u0001/\u0002
+    // control chars can still alias a boundary (same caveat class as
+    // the 60-bit hash itself; control chars are mojibake in real text).
     val row = graft.operators.Dedup.hash60(
-      concat_ws("\u0001", cols.map(c => col(c).cast("string")): _*))
+      concat_ws("\u0001",
+        cols.map(c => coalesce(col(c).cast("string"), lit("\u0002"))): _*))
     df.agg(count(lit(1)).as("n_rows"),
       sum(row.cast("decimal(38,0)")).as("checksum"))
   }
@@ -346,15 +353,23 @@ object PsIO {
     * (md5 is uniform) — the shape data loaders want. The key survives as
     * `shuffle_key` for resume/verify; a different seed is a fresh,
     * uncorrelated permutation. One range shuffle, no global sort. */
+  /** THE shuffle-order key: seeded md5 of the id. One definition shared
+    * by [[writeShuffled]] and the registry's order oracles, so a key
+    * change can't silently decouple the verified formula from the
+    * write path. */
+  def shuffleKey(seed: Long, id: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{concat, lit, md5}
+    md5(concat(lit(seed.toString), lit(":"), id.cast("string")))
+  }
+
   def writeShuffled(
       df: DataFrame,
       path: String,
       idCol: String,
       seed: Long,
       shards: Int): Unit = {
-    import org.apache.spark.sql.functions.{col, concat, lit, md5}
-    df.withColumn("shuffle_key",
-        md5(concat(lit(seed.toString), lit(":"), col(idCol).cast("string"))))
+    import org.apache.spark.sql.functions.col
+    df.withColumn("shuffle_key", shuffleKey(seed, col(idCol)))
       .repartitionByRange(shards, col("shuffle_key"))
       .sortWithinPartitions("shuffle_key")
       .write.mode(SaveMode.Overwrite).parquet(path)

@@ -419,6 +419,17 @@ object StreamingOps {
       maxBucket: Int = 1024): Dataset[CandidatePair] = {
     val session = docs.sparkSession
     import session.implicits._
+    // keyed state needs a fixed-width id; require an integral column
+    // up front rather than let cast("long") null out a UUID mid-stream
+    // (the batch face accepts any id type — this is the one divergence)
+    docs.schema(idCol).dataType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType => ()
+      case other => throw new IllegalArgumentException(
+        s"streamingNearDupCandidates needs an integral id column, got $idCol: $other " +
+          "(hash non-numeric ids to long upstream, e.g. xxhash64)")
+    }
     val banded = graft.operators.Dedup
       .lshBandBuckets(docs, idCol, textCol, shingleK, numHashes, bands, seed)
       .select(col("id").cast("long").as("id"), col("band"), col("bucket"))

@@ -209,6 +209,14 @@ class IOSpec extends AnyFunSuite with SparkFixture {
     val tampered = docs.withColumn("text",
       when(col("doc_id") === 7, concat(col("text"), lit("x"))).otherwise(col("text")))
     assert(fp(tampered) != base)
+    // null-position sensitivity: (a, null) must not alias (null, a) —
+    // concat_ws alone would skip the null and hash both to "a"
+    val s0 = spark
+    import s0.implicits._
+    val ab = Seq((Option("a"), Option.empty[String])).toDF("x", "y")
+    val ba = Seq((Option.empty[String], Option("a"))).toDF("x", "y")
+    assert(PsIO.contentFingerprint(ab, Seq("x", "y")).head().toSeq !=
+      PsIO.contentFingerprint(ba, Seq("x", "y")).head().toSeq)
   }
 
   test("writeShuffled: disjoint sorted shards, order reproducible per seed") {

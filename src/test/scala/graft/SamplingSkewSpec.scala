@@ -135,13 +135,16 @@ class SamplingSkewSpec extends AnyFunSuite with SparkFixture {
     val s = spark
     import s.implicits._
     val docs = (1L to 40L).map(i => (i, s"doc $i")).toDF("id", "text")
-    // two planted clusters: {1,2,3} (chained) and {10,11}
-    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a_id", "b_id")
+    // planted clusters: a diameter-5 CHAIN {1..6} (exercises propagation
+    // depth — an under-provisioned rounds would split its tail off) and
+    // a pair {10,11}
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (10L, 11L)).toDF("a_id", "b_id")
     val split = Sampling.leakageSafeSplit(docs, "id", pairs,
         Seq("train" -> 0.5, "val" -> 0.25, "test" -> 0.25))
       .select("id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(split.size == 40)
-    assert(Set(split(1L), split(2L), split(3L)).size == 1, "cluster {1,2,3} split apart")
+    assert((1L to 6L).map(split).toSet.size == 1, "chain cluster {1..6} split apart")
     assert(split(10L) == split(11L), "cluster {10,11} split apart")
     // singletons degrade to exactly hashSplit's assignment
     val plain = Sampling.hashSplit(docs, "id",

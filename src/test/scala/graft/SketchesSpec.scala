@@ -113,4 +113,17 @@ class SketchesSpec extends AnyFunSuite with SparkFixture {
     // the dominant item survives the merge with a summed-undercount bound
     assert(m.contains("x") && m("x") <= 80L)
   }
+
+  test("hllSketch skips nulls (count-distinct semantics)") {
+    val s0 = spark
+    import s0.implicits._
+    val d = Seq(Option(1L), None, Option(2L), None).toDF("v")
+    val est = d.agg(Sketches.hllSketch(col("v")).as("sk"))
+      .select(Sketches.hllEstimate(col("sk"))).head().getDouble(0)
+    assert(math.abs(est - 2.0) < 0.5, s"nulls leaked into the sketch: $est")
+    val allNull = Seq(Option.empty[Long]).toDF("v")
+      .agg(Sketches.hllSketch(col("v")).as("sk"))
+      .select(Sketches.hllEstimate(col("sk"))).head().getDouble(0)
+    assert(allNull == 0.0)
+  }
 }
