@@ -1744,6 +1744,18 @@ object ExtQueries {
       PsIO.contentFingerprint(d, Seq("doc_id", "text", "lang", "source", "n_chars"))
     }),
 
+    // per-file manifest of a multi-file fixture: both engines read the
+    // SAME physical files, so basenames, per-file counts, and per-file
+    // checksums must agree exactly — validates the shard-localization
+    // machinery that turns a corpus-fingerprint mismatch into a named
+    // list of diverged files
+    "q_file_manifest" -> ((s, dir) => {
+      manifestFixture(s, dir)
+      PsIO.fileManifest(s.read.parquet(ManifestFixtureDir),
+          Seq("doc_id", "text", "lang", "source", "n_chars"))
+        .orderBy("file")
+    }),
+
     // one-pass corpus health report per language: volume (docs, tokens,
     // chars), length profile, source diversity, short-doc and exact-dup
     // counts (normalized-fingerprint distinct) — the "describe" of a
@@ -2225,6 +2237,7 @@ object ExtQueries {
   val ArrowFixturePath = "/root/repo/target/tmp/nation_arrow/nation.arrow"
   val OrcFixtureDir = "/root/repo/target/tmp/nation_orc"
   val JsonDirtyFixtureDir = "/root/repo/target/tmp/nation_jsonl_dirty"
+  val ManifestFixtureDir = "/root/repo/target/tmp/documents_manifest"
 
   /** Write-once-per-process fixture creation, keyed by (kind, dir):
     * the ingestion queries must time the READ — re-writing the fixture
@@ -2258,6 +2271,10 @@ object ExtQueries {
         java.nio.file.Paths.get(s"$JsonDirtyFixtureDir/part-00000.json"),
         dirty.mkString("\n").getBytes("UTF-8"))
     })
+  private def manifestFixture(s: SparkSession, dir: String): Unit =
+    fixturesDone.computeIfAbsent(s"manifest:$dir", _ =>
+      s.read.parquet(s"$dir/documents.parquet").repartition(3)
+        .write.mode("overwrite").parquet(ManifestFixtureDir))
   private def orcFixture(s: SparkSession, dir: String): Unit =
     fixturesDone.computeIfAbsent(s"orc:$dir", _ =>
       PsIO.toOrc(s.read.parquet(s"$dir/nation.parquet").coalesce(1),
@@ -3492,6 +3509,15 @@ object ExtQueries {
                FROM d)
          SELECT doc_id, n_chars, toks, cum_tokens FROM r
          WHERE cum_tokens <= 10000 ORDER BY doc_id""",
+    "q_file_manifest" ->
+      s"""SELECT regexp_extract(filename, '[^/]+$$') AS file,
+                 count(*) AS n_rows,
+                 sum(('0x' || substr(md5(concat_ws(chr(1),
+                       coalesce(doc_id::VARCHAR, chr(2)), coalesce(text, chr(2)),
+                       coalesce(lang, chr(2)), coalesce(source, chr(2)),
+                       coalesce(n_chars::VARCHAR, chr(2)))), 1, 15))::BIGINT::DECIMAL(38,0)) AS checksum
+          FROM read_parquet('$ManifestFixtureDir/*.parquet', filename=true)
+          GROUP BY 1 ORDER BY 1""",
     // coalesce-to-chr(2) mirrors the engine's null sentinel (concat_ws
     // would otherwise skip null columns and alias rows)
     "q_content_fp" ->

@@ -353,6 +353,27 @@ object PsIO {
     * (md5 is uniform) — the shape data loaders want. The key survives as
     * `shuffle_key` for resume/verify; a different seed is a fresh,
     * uncorrelated permutation. One range shuffle, no global sort. */
+  /** Per-FILE content manifest: one row per underlying file with its
+    * basename, row count, and the same order-insensitive checksum as
+    * [[contentFingerprint]] — when the corpus-level fingerprints of a
+    * source and its copy disagree, the manifests' anti-join names the
+    * exact shards that diverged instead of forcing a row-level diff of
+    * 100 TB. Grouping key is `_metadata.file_path` (constant-folded at
+    * the scan); one shuffle of (file, hash) pairs. Compare manifests on
+    * basename: full paths differ across stores by construction. */
+  def fileManifest(df: DataFrame, cols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce, col, concat_ws, count, element_at, lit, split, sum}
+    require(cols.nonEmpty, "fileManifest needs columns")
+    val row = graft.operators.Dedup.hash60(
+      concat_ws("\u0001",
+        cols.map(c => coalesce(col(c).cast("string"), lit("\u0002"))): _*))
+    df.withColumn("__file",
+        element_at(split(col("_metadata.file_path"), "/"), -1))
+      .groupBy(col("__file").as("file"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(row.cast("decimal(38,0)")).as("checksum"))
+  }
+
   /** THE shuffle-order key: seeded md5 of the id. One definition shared
     * by [[writeShuffled]] and the registry's order oracles, so a key
     * change can't silently decouple the verified formula from the

@@ -219,6 +219,31 @@ class IOSpec extends AnyFunSuite with SparkFixture {
       PsIO.contentFingerprint(ba, Seq("x", "y")).head().toSeq)
   }
 
+  test("fileManifest sums to the corpus fingerprint and localizes a diverged shard") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val cols = Seq("doc_id", "text", "lang")
+    val dir = Files.createTempDirectory("graft-manifest").toString
+    docs.repartitionByRange(4, col("doc_id")).write.parquet(dir + "/a")
+    val m = PsIO.fileManifest(spark.read.parquet(dir + "/a"), cols).collect()
+    assert(m.length == 4)
+    // Σ per-file (rows, checksum) == the corpus-level fingerprint
+    val corpus = PsIO.contentFingerprint(docs, cols).head()
+    assert(m.map(_.getLong(1)).sum == corpus.getLong(0))
+    assert(m.map(_.getDecimal(2).toBigInteger).reduce(_ add _) ==
+      corpus.getDecimal(1).toBigInteger)
+    // a copy with ONE altered row: manifests anti-join to exactly the
+    // files whose content differs (names differ between writes, so the
+    // localization signal is the (rows, checksum) multiset)
+    docs.withColumn("text",
+        when(col("doc_id") === 3, lit("tampered")).otherwise(col("text")))
+      .repartitionByRange(4, col("doc_id")).write.parquet(dir + "/b")
+    val mb = PsIO.fileManifest(spark.read.parquet(dir + "/b"), cols).collect()
+    val setA = m.map(r => (r.getLong(1), r.getDecimal(2))).toSet
+    val setB = mb.map(r => (r.getLong(1), r.getDecimal(2))).toSet
+    assert((setA diff setB).nonEmpty && (setA intersect setB).size == 3,
+      "exactly one shard should diverge")
+  }
+
   test("writeShuffled: disjoint sorted shards, order reproducible per seed") {
     val dir = Files.createTempDirectory("graft-shuf").toString
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
