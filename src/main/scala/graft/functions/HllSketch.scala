@@ -64,11 +64,16 @@ object HllSketch {
     override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
   }
 
-  /** sketch column → merged sketch (element-wise register max). */
+  /** sketch column → merged sketch (element-wise register max). Null
+    * sketch values (e.g. an outer join's absent day) are skipped, like
+    * nulls in [[SketchAgg]] — a missing sketch contributes nothing,
+    * it doesn't poison the merge. */
   class MergeAgg extends Aggregator[Array[Byte], Array[Byte], Array[Byte]] {
     override def zero: Array[Byte] = Array.emptyByteArray
-    override def reduce(b: Array[Byte], s: Array[Byte]): Array[Byte] = mergeRegs(b, s)
-    override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = mergeRegs(a, b)
+    override def reduce(b: Array[Byte], s: Array[Byte]): Array[Byte] =
+      if (s == null) b else mergeRegs(b, s)
+    override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+      if (a == null) b else if (b == null) a else mergeRegs(a, b)
     override def finish(b: Array[Byte]): Array[Byte] = b
     override def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
     override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY

@@ -172,10 +172,11 @@ object Sampling {
     * exists to prevent — so the default matches
     * [[Components.clusterLabels]]' 6 (LSH dup groups at real
     * thresholds are near-cliques, diameter ≤ 2; 6 is 3× margin). For
-    * adversarial long-chain relations raise `rounds` (each extra round
-    * doubles the reachable diameter cost-linearly) — an under-provisioned
-    * rounds shows up as a split cluster, which the q_leakage_split
-    * oracle (TRUE-fixpoint recursive CTE) turns into a red row. */
+    * adversarial long-chain relations raise `rounds` (one-hop min-label
+    * propagation: each round extends the representative's reach by one
+    * edge) — an under-provisioned rounds shows up as a split cluster,
+    * which the q_leakage_split oracle (TRUE-fixpoint recursive CTE)
+    * turns into a red row. */
   def leakageSafeSplit(
       docs: DataFrame,
       idCol: String,
@@ -274,7 +275,13 @@ object Sampling {
     new java.util.concurrent.ConcurrentHashMap[RankedKey, DataFrame]()
 
   /** Release every memoized budget-ranking cache (plans already handed
-    * out stay correct — lineage recomputes; they lose the shared cache). */
+    * out stay correct — lineage recomputes; they lose the shared cache).
+    * Call between pipeline stages, and ALWAYS after rewriting a source
+    * a prior selection read — like every memoized persist (Components'
+    * edge cache included), the key is the analyzed plan, which for file
+    * sources compares by root path: a cache built before an overwrite
+    * would otherwise serve the overwritten corpus' blocks. The
+    * differential sweep clears these before every config run. */
   def clearBudgetCaches(): Unit = {
     val keys = rankedCache.keySet().toArray(Array.empty[RankedKey])
     keys.foreach { k =>

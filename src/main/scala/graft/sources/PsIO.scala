@@ -328,20 +328,26 @@ object PsIO {
     * rows. One scan, one partial-aggregated sum — the cheapest honest
     * equality check at 100 TB. Collision caveat mirrors snapshotDiff's
     * hashed mode (~n²/2⁶⁰ for an adversarial mismatch). */
-  def contentFingerprint(df: DataFrame, cols: Seq[String]): DataFrame = {
-    import org.apache.spark.sql.functions.{coalesce, col, concat_ws, count, lit, sum}
-    require(cols.nonEmpty, "contentFingerprint needs columns")
-    // nulls become an explicit sentinel BEFORE the join — concat_ws
-    // otherwise SKIPS null columns, making (a, null) and (null, a)
-    // hash identically; with the sentinel every column occupies its
-    // position. Residual caveat: values containing the \u0001/\u0002
-    // control chars can still alias a boundary (same caveat class as
-    // the 60-bit hash itself; control chars are mojibake in real text).
-    val row = graft.operators.Dedup.hash60(
+  /** The shared row hash of [[contentFingerprint]] and [[fileManifest]]
+    * — ONE definition, so the manifest's per-file checksums always sum
+    * to the corpus checksum (IOSpec asserts the invariant). Nulls
+    * become an explicit \u0002 sentinel BEFORE the \u0001-join —
+    * concat_ws otherwise SKIPS null columns, making (a, null) and
+    * (null, a) hash identically. Residual caveat: values containing
+    * the control chars can alias a boundary (same caveat class as the
+    * 60-bit hash itself; control chars are mojibake in real text). */
+  private def rowHash(cols: Seq[String]): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{coalesce, col, concat_ws, lit}
+    graft.operators.Dedup.hash60(
       concat_ws("\u0001",
         cols.map(c => coalesce(col(c).cast("string"), lit("\u0002"))): _*))
+  }
+
+  def contentFingerprint(df: DataFrame, cols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{count, lit, sum}
+    require(cols.nonEmpty, "contentFingerprint needs columns")
     df.agg(count(lit(1)).as("n_rows"),
-      sum(row.cast("decimal(38,0)")).as("checksum"))
+      sum(rowHash(cols).cast("decimal(38,0)")).as("checksum"))
   }
 
   /** Deterministic pseudorandom shuffle for training shards: the global
@@ -362,11 +368,9 @@ object PsIO {
     * the scan); one shuffle of (file, hash) pairs. Compare manifests on
     * basename: full paths differ across stores by construction. */
   def fileManifest(df: DataFrame, cols: Seq[String]): DataFrame = {
-    import org.apache.spark.sql.functions.{coalesce, col, concat_ws, count, element_at, lit, split, sum}
+    import org.apache.spark.sql.functions.{col, count, element_at, lit, split, sum}
     require(cols.nonEmpty, "fileManifest needs columns")
-    val row = graft.operators.Dedup.hash60(
-      concat_ws("\u0001",
-        cols.map(c => coalesce(col(c).cast("string"), lit("\u0002"))): _*))
+    val row = rowHash(cols)
     df.withColumn("__file",
         element_at(split(col("_metadata.file_path"), "/"), -1))
       .groupBy(col("__file").as("file"))

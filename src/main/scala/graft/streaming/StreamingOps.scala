@@ -425,7 +425,8 @@ object StreamingOps {
     docs.schema(idCol).dataType match {
       case org.apache.spark.sql.types.LongType |
            org.apache.spark.sql.types.IntegerType |
-           org.apache.spark.sql.types.ShortType => ()
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.ByteType => ()
       case other => throw new IllegalArgumentException(
         s"streamingNearDupCandidates needs an integral id column, got $idCol: $other " +
           "(hash non-numeric ids to long upstream, e.g. xxhash64)")

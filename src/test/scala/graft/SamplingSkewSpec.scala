@@ -129,6 +129,11 @@ class SamplingSkewSpec extends AnyFunSuite with SparkFixture {
         .collect().map(r => (r.getLong(0), r.getLong(3))).toSet
       assert(got == expect, s"n=$n dup=$dupScores budget=$budget")
     }
+    // each random corpus memoized one ranking persist; release them
+    // (also exercises the release path — results must stay correct after)
+    Sampling.clearBudgetCaches()
+    val docs = (1L to 50L).map(i => (i, 1, 10L)).toDF("id", "score", "toks")
+    assert(Sampling.selectByBudget(docs, "score", "id", "toks", 100L, 3).count() == 10)
   }
 
   test("leakageSafeSplit: a near-dup cluster lands whole in one split") {

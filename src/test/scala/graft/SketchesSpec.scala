@@ -126,4 +126,16 @@ class SketchesSpec extends AnyFunSuite with SparkFixture {
       .select(Sketches.hllEstimate(col("sk"))).head().getDouble(0)
     assert(allNull == 0.0)
   }
+
+  test("hllMerge skips null sketches (outer-join absent days)") {
+    val s0 = spark
+    import s0.implicits._
+    val whole = (1L to 100L).toDF("v")
+      .agg(Sketches.hllSketch(col("v")).as("sk")).head().getAs[Array[Byte]](0)
+    val withNull = Seq(Option(whole), Option.empty[Array[Byte]], Option(whole))
+      .toDF("sk")
+      .agg(Sketches.hllMerge(col("sk")).as("m")).head().getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(withNull, whole),
+      "a null sketch must contribute nothing, not poison the merge")
+  }
 }
