@@ -138,4 +138,33 @@ class SketchesSpec extends AnyFunSuite with SparkFixture {
     assert(java.util.Arrays.equals(withNull, whole),
       "a null sketch must contribute nothing, not poison the merge")
   }
+
+  test("stored sketches survive a parquet round trip and merge after reload") {
+    val s0 = spark
+    import s0.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-sk").toString
+    // v: all-distinct (the HLL side); h: skewed (the MG side — an
+    // all-distinct stream annihilates every MG counter by design)
+    val d = (1L to 3000L).map(i => (i % 3, i, s"k${i % 5}")).toDF("day", "v", "h")
+    // "write one sketch per day" — the storable-artifact deployment shape
+    d.groupBy("day")
+      .agg(Sketches.hllSketch(col("v")).as("hll"),
+        Sketches.heavyHitters(col("h"), 8).as("mg"))
+      .write.parquet(dir + "/sketches")
+    val back = spark.read.parquet(dir + "/sketches")
+    // HLL: reloaded per-day sketches merge to the same registers as
+    // sketching the whole corpus directly (the lossless-merge law,
+    // now THROUGH the storage format)
+    val whole = d.agg(Sketches.hllSketch(col("v")).as("sk"))
+      .head().getAs[Array[Byte]](0)
+    val merged = back.agg(Sketches.hllMerge(col("hll")).as("sk"))
+      .head().getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(whole, merged))
+    // MG: map column round-trips; driver-side merge of the reloaded
+    // maps retains the dominant keys
+    val maps = back.collect().map(_.getMap[String, Long](2))
+      .map(m => m.toMap)
+    val mgAll = graft.functions.MgSketch.mergeMaps(8, maps.toSeq)
+    assert(mgAll.size <= 8 && mgAll.nonEmpty)
+  }
 }
