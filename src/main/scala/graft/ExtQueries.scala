@@ -2814,7 +2814,7 @@ object ExtQueries {
             WINDOW w AS (PARTITION BY shard ORDER BY doc_id
                          ROWS UNBOUNDED PRECEDING))
          SELECT doc_id, shard, pack_id,
-            (sum(n_tok::BIGINT) OVER w2 - n_tok) AS pack_offset
+            (sum(n_tok::BIGINT) OVER w2 - n_tok)::BIGINT AS pack_offset
          FROM p
          WINDOW w2 AS (PARTITION BY shard, pack_id ORDER BY doc_id
                        ROWS UNBOUNDED PRECEDING)
@@ -3515,7 +3515,7 @@ object ExtQueries {
                  sum(('0x' || substr(md5(concat_ws(chr(1),
                        coalesce(doc_id::VARCHAR, chr(2)), coalesce(text, chr(2)),
                        coalesce(lang, chr(2)), coalesce(source, chr(2)),
-                       coalesce(n_chars::VARCHAR, chr(2)))), 1, 15))::BIGINT::DECIMAL(38,0)) AS checksum
+                       coalesce(n_chars::VARCHAR, chr(2)))), 1, 15))::BIGINT::DECIMAL(38,0))::VARCHAR AS checksum
           FROM read_parquet('$ManifestFixtureDir/*.parquet', filename=true)
           GROUP BY 1 ORDER BY 1""",
     // coalesce-to-chr(2) mirrors the engine's null sentinel (concat_ws
@@ -3525,7 +3525,7 @@ object ExtQueries {
                 sum(('0x' || substr(md5(concat_ws(chr(1),
                       coalesce(doc_id::VARCHAR, chr(2)), coalesce(text, chr(2)),
                       coalesce(lang, chr(2)), coalesce(source, chr(2)),
-                      coalesce(n_chars::VARCHAR, chr(2)))), 1, 15))::BIGINT::DECIMAL(38,0)) AS checksum
+                      coalesce(n_chars::VARCHAR, chr(2)))), 1, 15))::BIGINT::DECIMAL(38,0))::VARCHAR AS checksum
          FROM documents""",
     "q_corpus_profile" ->
       """WITH d AS (SELECT lang, source, n_chars,

@@ -346,8 +346,15 @@ object PsIO {
   def contentFingerprint(df: DataFrame, cols: Seq[String]): DataFrame = {
     import org.apache.spark.sql.functions.{count, lit, sum}
     require(cols.nonEmpty, "contentFingerprint needs columns")
+    // The checksum is a genuine >64-bit sum (≈ n·2⁵⁹ — 2.9·10²⁰ already at
+    // sf0.01), so it is computed in DECIMAL(38,0) but EMITTED as its
+    // decimal-digit STRING: the manifest format must survive any engine /
+    // dataframe layer on either end of a migration, and int128/decimal
+    // columns degrade to lossy float64 in several of them (observed:
+    // DuckDB HUGEINT → pandas). Digits-in-a-string is the one universally
+    // exact representation; compare with BigInt(checksum) when summing.
     df.agg(count(lit(1)).as("n_rows"),
-      sum(rowHash(cols).cast("decimal(38,0)")).as("checksum"))
+      sum(rowHash(cols).cast("decimal(38,0)")).cast("string").as("checksum"))
   }
 
   /** Deterministic pseudorandom shuffle for training shards: the global
@@ -375,7 +382,9 @@ object PsIO {
         element_at(split(col("_metadata.file_path"), "/"), -1))
       .groupBy(col("__file").as("file"))
       .agg(count(lit(1)).as("n_rows"),
-        sum(row.cast("decimal(38,0)")).as("checksum"))
+        // same portable decimal-digit STRING form as contentFingerprint —
+        // per-file checksums sum (as BigInt) to the corpus checksum
+        sum(row.cast("decimal(38,0)")).cast("string").as("checksum"))
   }
 
   /** THE shuffle-order key: seeded md5 of the id. One definition shared

@@ -229,8 +229,8 @@ class IOSpec extends AnyFunSuite with SparkFixture {
     // Σ per-file (rows, checksum) == the corpus-level fingerprint
     val corpus = PsIO.contentFingerprint(docs, cols).head()
     assert(m.map(_.getLong(1)).sum == corpus.getLong(0))
-    assert(m.map(_.getDecimal(2).toBigInteger).reduce(_ add _) ==
-      corpus.getDecimal(1).toBigInteger)
+    // checksum travels as a decimal-digit string (engine-portable form)
+    assert(m.map(r => BigInt(r.getString(2))).sum == BigInt(corpus.getString(1)))
     // a copy with ONE altered row: manifests anti-join to exactly the
     // files whose content differs (names differ between writes, so the
     // localization signal is the (rows, checksum) multiset)
@@ -238,8 +238,8 @@ class IOSpec extends AnyFunSuite with SparkFixture {
         when(col("doc_id") === 3, lit("tampered")).otherwise(col("text")))
       .repartitionByRange(4, col("doc_id")).write.parquet(dir + "/b")
     val mb = PsIO.fileManifest(spark.read.parquet(dir + "/b"), cols).collect()
-    val setA = m.map(r => (r.getLong(1), r.getDecimal(2))).toSet
-    val setB = mb.map(r => (r.getLong(1), r.getDecimal(2))).toSet
+    val setA = m.map(r => (r.getLong(1), r.getString(2))).toSet
+    val setB = mb.map(r => (r.getLong(1), r.getString(2))).toSet
     assert((setA diff setB).nonEmpty && (setA intersect setB).size == 3,
       "exactly one shard should diverge")
   }
