@@ -27,6 +27,16 @@ import org.apache.spark.sql.expressions.Aggregator
   * `merge` sums the two maps then subtracts the (k+1)-st largest
   * count, which is exactly the pairwise rule that keeps the summed
   * error bounded by n₁/(k+1) + n₂/(k+1).
+  *
+  * DETERMINISM CAVEAT — unlike [[HllSketch]] (whose register state is
+  * bit-identical regardless of partitioning), a stored MG map's exact
+  * contents depend on partitioning and merge order: which
+  * sub-threshold keys survive and every residual count can differ
+  * between two runs over the same data. Only the theorem-backed
+  * predicates are stable — retention of every f > n/(k+1) item and
+  * the per-item bound f − n/(k+1) ≤ c ≤ f (what q_heavy_hitters pins).
+  * Never hash-compare, oracle, or differential-config-test the raw map
+  * column; compare bound predicates derived from it instead.
   */
 object MgSketch {
 

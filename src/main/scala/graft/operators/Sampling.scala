@@ -242,9 +242,19 @@ object Sampling {
     val ranked = {
       val base = df.repartitionByRange(p, order: _*)
         .withColumn("__pid", spark_partition_id())
+      // The key carries a source SNAPSHOT alongside the canonicalized
+      // plan: file-source plans compare by root path, so a plan-only key
+      // would keep serving a prior corpus' cached blocks after the
+      // directory is overwritten. Spark writers emit fresh random part
+      // names on every write, so the sorted input-file list pins the
+      // generation (an in-place rewrite of the SAME file name — which no
+      // Spark writer does — is the one shape it can't see; mtime probes
+      // per file would cost a listing-sized RPC storm at 100 TB).
+      val snapshot = java.util.Arrays.hashCode(
+        df.inputFiles.sorted.asInstanceOf[Array[AnyRef]])
       val key = (df.sparkSession,
-        base.queryExecution.analyzed.canonicalized)
-      rankedCache.computeIfAbsent(key, _ => base.persist())
+        base.queryExecution.analyzed.canonicalized, snapshot)
+      cacheLookup(key, base)
     }
     val wOff = Window.orderBy("__pid")
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -270,23 +280,42 @@ object Sampling {
 
   private type RankedKey =
     (org.apache.spark.sql.SparkSession,
-      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      Int)
+  /** Bounded (LRU, access-order) so a long-lived session that builds
+    * many distinct selections can't accrete corpus-sized persists
+    * forever: the evicted entry is unpersisted (plans already handed out
+    * stay correct — lineage recomputes, they just lose the shared
+    * cache). 8 entries covers every in-repo composition (bench
+    * iterations, the differential sweep, pipelines using 1-2 rankings). */
+  private val MaxRankedEntries = 8
   private val rankedCache =
-    new java.util.concurrent.ConcurrentHashMap[RankedKey, DataFrame]()
+    new java.util.LinkedHashMap[RankedKey, DataFrame](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[RankedKey, DataFrame]): Boolean = {
+        val evict = size() > MaxRankedEntries
+        if (evict) e.getValue.unpersist(blocking = false)
+        evict
+      }
+    }
+  private def cacheLookup(key: RankedKey, base: DataFrame): DataFrame =
+    rankedCache.synchronized {
+      val hit = rankedCache.get(key)
+      if (hit != null) hit
+      else { val v = base.persist(); rankedCache.put(key, v); v }
+    }
 
   /** Release every memoized budget-ranking cache (plans already handed
     * out stay correct — lineage recomputes; they lose the shared cache).
-    * Call between pipeline stages, and ALWAYS after rewriting a source
-    * a prior selection read — like every memoized persist (Components'
-    * edge cache included), the key is the analyzed plan, which for file
-    * sources compares by root path: a cache built before an overwrite
-    * would otherwise serve the overwritten corpus' blocks. The
-    * differential sweep clears these before every config run. */
-  def clearBudgetCaches(): Unit = {
-    val keys = rankedCache.keySet().toArray(Array.empty[RankedKey])
-    keys.foreach { k =>
-      Option(rankedCache.remove(k)).foreach(_.unpersist(blocking = false))
-    }
+    * Call between pipeline stages to return executor memory promptly;
+    * correctness no longer depends on it — the cache key carries the
+    * sorted input-file snapshot (a directory overwrite emits fresh part
+    * names, so it misses and builds anew), and the LRU bound unpersists
+    * cold entries on its own. The differential sweep still clears these
+    * before every config run. */
+  def clearBudgetCaches(): Unit = rankedCache.synchronized {
+    rankedCache.values().forEach(_.unpersist(blocking = false))
+    rankedCache.clear()
   }
 
   /** Per-group token budgets — the token-aware form of corpus mixing

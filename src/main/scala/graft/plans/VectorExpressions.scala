@@ -645,7 +645,13 @@ case class Int8Cosine(
     first.dataType.asInstanceOf[ArrayType].elementType.asInstanceOf[NumericType]
 
   def compute(qa: ArrayData, codes: Array[Byte], mn: Double, sc: Double): Double = {
-    val n = math.min(qa.numElements(), codes.length)
+    // Fail loudly on a query/codes dimension split: silently truncating
+    // to the shorter side yields a plausible-looking but wrong score for
+    // a mixed-dimension corpus (same contract as HllSketch.mergeRegs'
+    // precision check on its artifacts).
+    val n = qa.numElements()
+    require(n == codes.length,
+      s"Int8Cosine dimension mismatch: query has $n dims, codes ${codes.length}")
     val v = VecRead.toDoubles(qa, n, et)
     var dotv = 0.0
     var qn = 0.0

@@ -136,6 +136,24 @@ class SamplingSkewSpec extends AnyFunSuite with SparkFixture {
     assert(Sampling.selectByBudget(docs, "score", "id", "toks", 100L, 3).count() == 10)
   }
 
+  test("selectByBudget cache: overwriting the source directory is not served stale") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-budget-snap").toString + "/docs"
+    (1L to 100L).map(i => (i, 100, 10L)).toDF("id", "score", "toks")
+      .write.mode("overwrite").parquet(dir)
+    def run() = Sampling.selectByBudget(
+      s.read.parquet(dir), "score", "id", "toks", 200L, 3).count()
+    assert(run() == 20L) // 20 docs x 10 toks fill the 200-token budget
+    // overwrite the SAME path with 5x-heavier docs; the plan is
+    // identical (file sources canonicalize by root path), so only the
+    // input-file snapshot in the cache key can see the change
+    (1L to 100L).map(i => (i, 100, 50L)).toDF("id", "score", "toks")
+      .write.mode("overwrite").parquet(dir)
+    assert(run() == 4L, "selection after overwrite must reflect the new corpus")
+    Sampling.clearBudgetCaches()
+  }
+
   test("leakageSafeSplit: a near-dup cluster lands whole in one split") {
     val s = spark
     import s.implicits._

@@ -266,6 +266,22 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("int8Cosine: query/codes dimension mismatch fails loudly") {
+    val s = spark
+    import s.implicits._
+    // a 3-dim query against 4-dim codes must error, not silently score
+    // the truncated prefix (mixed-dimension corpora are data bugs)
+    val d = Seq((1L, Array(1.0f, 2.0f, 3.0f, 4.0f))).toDF("vec_id", "embedding")
+    val enc = Similarity.quantizeInt8(d, "vec_id", "embedding")
+      .select(col("q8.codes"), col("q8.qmin"), col("q8.qscale"))
+    val bad = enc.select(graft.plans.VectorExpressions.int8Cosine(
+      typedLit(Array(1.0, 2.0, 3.0)), col("codes"), col("qmin"), col("qscale")))
+    val e = intercept[Exception](bad.collect())
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("dimension mismatch")), s"got: ${msgs(e)}")
+  }
+
   test("int8 quantization: constant vector has zero scale and zero codes") {
     val s = spark
     import s.implicits._
