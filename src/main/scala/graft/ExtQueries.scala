@@ -361,13 +361,17 @@ object ExtQueries {
         .orderBy("query_id", "rnk")
     }),
 
-    // embedding-cosine near-dup pairs via LSH-bucketed candidates
-    // (approximate by design -> rows-only; planted-duplicate recall is
-    // asserted in SimilaritySpec). The synthetic embeddings are mutually
-    // near-orthogonal (max pairwise cosine 0.51), so near-dups are
-    // PLANTED: the corpus unioned with a slightly-shifted copy of itself
-    // — the operator must pair every vector with its twin. Scores
-    // omitted for float parity discipline.
+    // embedding-cosine near-dup pairs via LSH-bucketed candidates. The
+    // synthetic embeddings are mutually near-orthogonal (max pairwise
+    // cosine 0.51), so near-dups are PLANTED: the corpus unioned with a
+    // slightly-shifted copy of itself — at threshold 0.99 the expected
+    // relation is EXACTLY the (vec, twin) pairs (closed-form oracle,
+    // q_image_neardup's pattern): candidates are verified by exact
+    // cosine, so false positives are impossible at this gap, and the
+    // seeded hyperplanes make bucket recall deterministic (1.0 here —
+    // a ±1e-3 shift flips a bucket bit only if the projection sits
+    // within 1e-3·Σ|plane| of zero, and none does). Scores omitted for
+    // float parity discipline.
     "q_embed_neardup" -> ((s, dir) => {
       val e = t(s, dir, "embeddings").df.select("vec_id", "embedding")
       val twin = e.select((col("vec_id") + 1000000L).as("vec_id"),
@@ -848,17 +852,19 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
-    // BPE tokenizer induction ON the corpus (rows-only by design — the
-    // iterative merge loop is not SQL-expressible; BpeSpec pins batch=1
-    // merge-for-merge to the classic Sennrich reference and determinism
-    // across runs). Output: the ranked merge table.
+    // BPE tokenizer induction ON the corpus. The iterative merge loop is
+    // not SQL-expressible, but it IS deterministic given the corpus
+    // (BpeSpec pins batch=1 merge-for-merge to the classic Sennrich
+    // reference and determinism across runs), so the oracle is the
+    // committed GOLDEN merge table for the sf0.01 fixture. Output: the
+    // ranked merge table.
     "q_bpe_vocab" -> ((s, dir) => {
       import s.implicits._
       bpeTableFor(s, dir).toDF().orderBy("rank")
     }),
 
-    // token accounting under the learned vocab (rows-only: depends on
-    // the trained merge table above)
+    // token accounting under the learned vocab (golden oracle: counts
+    // are deterministic under the trained merge table above)
     "q_bpe_tokens" -> ((s, dir) => {
       val d = t(s, dir, "documents").df
       graft.operators.BpeTrainer.tokenizeCount(
@@ -1445,22 +1451,9 @@ object ExtQueries {
         .sortValues(Seq("o_orderpriority", "o_orderkey")).df
     }),
 
-    // sketch aggregates: HLL++ distinct + approximate quantiles in one
-    // grouped pass (approximate by design -> rows-only; error bounds vs
-    // exact are asserted in SketchesSpec). At scale the shuffle carries
-    // sketch buffers, not the key universe.
-    "q_sketches" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem").df
-      li.groupBy("l_returnflag")
-        .agg(
-          approx_count_distinct(col("l_partkey"), 0.05).as("approx_parts"),
-          percentile_approx(col("l_quantity"), array(lit(0.5), lit(0.9)), lit(10000))
-            .as("qty_q"))
-        .select(col("l_returnflag"), col("approx_parts"),
-          col("qty_q").getItem(0).as("qty_p50"),
-          col("qty_q").getItem(1).as("qty_p90"))
-        .orderBy("l_returnflag")
-    }),
+    // (q_sketches retired in r12: it was the rows-only precursor of
+    // q_sketches_err below, which pins the same sketch aggregates with
+    // oracled error-bound booleans — strictly more coverage per row)
 
     // the ORACLED face of the sketch family: exact distincts/percentile
     // are recomputed by DuckDB, and the sketch error is pinned as
@@ -3033,6 +3026,67 @@ object ExtQueries {
          SELECT doc_id, length(clean)::BIGINT AS n_chars_clean,
                 md5(clean) AS clean_md5
          FROM c ORDER BY doc_id""",
+    // GOLDEN merge table for the sf0.01 documents fixture: BPE training
+    // is iterative (not SQL-expressible), but it IS deterministic given
+    // the corpus (BpeSpec pins determinism and merge-for-merge parity
+    // with classic batch=1 BPE), so the expected artifact is committed
+    // as a literal relation — a trainer regression (tie-break drift,
+    // count bug, batching change) turns this row red. Regenerate with
+    // `runMain graft.Verify <sf0.01> /tmp/v q_bpe_vocab` after any
+    // INTENDED trainer change.
+    "q_bpe_vocab" ->
+      """SELECT * FROM (VALUES (0, 'e', 'r', 4568::BIGINT),
+           (1, 'n', '</w>', 2834::BIGINT),
+           (2, 'o', 'w', 2747::BIGINT),
+           (3, 's', 't', 2676::BIGINT),
+           (4, 'l', 'u', 1831::BIGINT),
+           (5, 'p', 'a', 1758::BIGINT),
+           (6, 'c', 'h', 937::BIGINT),
+           (7, 'e', '</w>', 4473::BIGINT),
+           (8, 'o', 'r', 2696::BIGINT),
+           (9, 'm', 'er', 1852::BIGINT),
+           (10, 'a', 't', 1845::BIGINT),
+           (11, 'i', 'n', 1796::BIGINT),
+           (12, 's', 'h', 947::BIGINT),
+           (13, 'c', 'u', 934::BIGINT),
+           (14, 'ow', '</w>', 2747::BIGINT),
+           (15, 'pa', 'r', 1758::BIGINT),
+           (16, 'i', 'n</w>', 964::BIGINT),
+           (17, 'j', 'o', 964::BIGINT),
+           (18, 'a', 'sh', 947::BIGINT),
+           (19, 'at', 'ch', 937::BIGINT),
+           (20, 's', 'c', 936::BIGINT),
+           (21, 'cu', 'st', 934::BIGINT),
+           (22, 'er', '</w>', 1845::BIGINT),
+           (23, 'jo', 'in</w>', 964::BIGINT),
+           (24, 'h', 'ash', 947::BIGINT),
+           (25, 'r', 'ow</w>', 943::BIGINT),
+           (26, 'b', 'atch', 937::BIGINT),
+           (27, 'a', 'n</w>', 936::BIGINT),
+           (28, 'c', 'o', 934::BIGINT),
+           (29, 'lu', 'm', 934::BIGINT),
+           (30, 'a', '</w>', 1788::BIGINT),
+           (31, 'sc', 'an</w>', 936::BIGINT),
+           (32, 'co', 'lum', 934::BIGINT),
+           (33, 'cust', 'o', 934::BIGINT),
+           (34, 'f', 'i', 933::BIGINT),
+           (35, 'l', 't', 933::BIGINT),
+           (36, 's', 'm', 928::BIGINT),
+           (37, 'g', 'e</w>', 918::BIGINT),
+           (38, 'g', '</w>', 1777::BIGINT),
+           (39, 'colum', 'n</w>', 934::BIGINT))
+         t(rank, "left", "right", cnt) ORDER BY rank""",
+    // golden subword counts for doc_id < 50 under the merge table above
+    // (deterministic for the same reason; regenerate alongside it)
+    "q_bpe_tokens" ->
+      """SELECT * FROM (VALUES (0::BIGINT, 102::BIGINT), (1::BIGINT, 252::BIGINT), (2::BIGINT, 151::BIGINT), (3::BIGINT, 90::BIGINT), (4::BIGINT, 152::BIGINT), (5::BIGINT, 197::BIGINT), (6::BIGINT, 44::BIGINT), (7::BIGINT, 211::BIGINT), (8::BIGINT, 262::BIGINT), (9::BIGINT, 217::BIGINT), (10::BIGINT, 136::BIGINT), (11::BIGINT, 189::BIGINT), (12::BIGINT, 201::BIGINT), (13::BIGINT, 224::BIGINT), (14::BIGINT, 309::BIGINT), (15::BIGINT, 140::BIGINT), (16::BIGINT, 51::BIGINT), (17::BIGINT, 265::BIGINT), (18::BIGINT, 236::BIGINT), (19::BIGINT, 40::BIGINT), (20::BIGINT, 218::BIGINT), (21::BIGINT, 103::BIGINT), (22::BIGINT, 322::BIGINT), (23::BIGINT, 99::BIGINT), (24::BIGINT, 316::BIGINT), (25::BIGINT, 315::BIGINT), (26::BIGINT, 50::BIGINT), (27::BIGINT, 208::BIGINT), (28::BIGINT, 207::BIGINT), (29::BIGINT, 123::BIGINT), (30::BIGINT, 107::BIGINT), (31::BIGINT, 141::BIGINT), (32::BIGINT, 304::BIGINT), (33::BIGINT, 136::BIGINT), (34::BIGINT, 97::BIGINT), (35::BIGINT, 257::BIGINT), (36::BIGINT, 80::BIGINT), (37::BIGINT, 212::BIGINT), (38::BIGINT, 117::BIGINT), (39::BIGINT, 66::BIGINT), (40::BIGINT, 243::BIGINT), (41::BIGINT, 199::BIGINT), (42::BIGINT, 173::BIGINT), (43::BIGINT, 102::BIGINT), (44::BIGINT, 67::BIGINT), (45::BIGINT, 258::BIGINT), (46::BIGINT, 303::BIGINT), (47::BIGINT, 122::BIGINT), (48::BIGINT, 91::BIGINT), (49::BIGINT, 149::BIGINT))
+         t(id, n_subwords) ORDER BY id""",
+    // planted-pair relation: every embedding pairs with exactly its
+    // +1e-3-shifted twin (cosine ~1 > 0.99; max cross-pair cosine 0.51,
+    // and candidates are exact-cosine-verified, so no false positives)
+    "q_embed_neardup" ->
+      """SELECT vec_id AS a_id, vec_id + 1000000 AS b_id
+         FROM embeddings ORDER BY a_id, b_id""",
     // the planted-pair relation IS the expected output: each doc pairs
     // with exactly its downscaled twin (see imageNearDupMedia on why
     // cross-doc dHashes stay far)
