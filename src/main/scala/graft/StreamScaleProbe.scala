@@ -199,6 +199,84 @@ object StreamScaleProbe {
       f"x10=${perKey(sTen._1, baseKeys * 10)}%.2f")
     println(s"[streamprobe] TTL eviction: asof afterTTL base=${aBase._3} x10=${aTen._3}; " +
       s"session afterGap base=${sBase._2} x10=${sTen._2} (sentinel-only floors)")
+
+    /** streamingDelta (round-12 ask): state must be exactly one row per
+      * LIVE key — re-upserts of unchanged payloads must not grow it
+      * (plateau), deletes must shrink it (eviction), and rows/key must
+      * stay 1.0 as keys ×10. Returns (afterAdd, afterReupsert,
+      * afterChange, afterDelete, emitted). */
+    def deltaRun(nKeys: Int): (Long, Long, Long, Long, Long) = {
+      val in = MemoryStream[(Long, Long, Long, Boolean)]
+      val q = StreamingOps.streamingDelta(
+          in.toDS().toDF("key", "fp", "ts", "del"), "key", $"fp", "ts", $"del")
+        .writeStream.format("memory").queryName(s"p_delta_$nKeys")
+        .outputMode("append").start()
+      try {
+        def keys(f: Long => Long, del: Boolean = false, upTo: Int = nKeys) =
+          (0 until upTo).map(k => (k.toLong, f(k.toLong), 1L, del))
+        in.addData(keys(_ => 1L)); q.processAllAvailable()
+        val afterAdd = stateRows(q)
+        // 3 identical re-upsert batches: state must PLATEAU, not grow
+        for (_ <- 1 to 3) { in.addData(keys(_ => 1L)); q.processAllAvailable() }
+        val afterReupsert = stateRows(q)
+        in.addData(keys(k => if (k % 2 == 0) 2L else 1L)); q.processAllAvailable()
+        val afterChange = stateRows(q)
+        in.addData(keys(_ => 0L, del = true, upTo = nKeys / 4)); q.processAllAvailable()
+        val afterDelete = stateRows(q)
+        val emitted = spark.table(s"p_delta_$nKeys").count()
+        println(f"[streamprobe] delta keys=$nKeys%-6d afterAdd=$afterAdd%-6d " +
+          f"afterReupsertx3=$afterReupsert%-6d afterChange=$afterChange%-6d " +
+          f"afterDelete=$afterDelete%-6d emitted=$emitted " +
+          f"(expect add=$nKeys, plateau, delete=${nKeys - nKeys / 4}, " +
+          f"emitted=${nKeys + nKeys / 2 + nKeys / 4})")
+        (afterAdd, afterReupsert, afterChange, afterDelete, emitted)
+      } finally q.stop()
+    }
+
+    /** streamingNearDupCandidates (round-12 ask): state rows = occupied
+      * (band, bucket) groups — linear in DISTINCT content, flat under
+      * re-arrivals, and each bucket's id list stops at maxBucket (the
+      * hot-bucket valve: a degenerate bucket must stop emitting).
+      * `groups` distinct texts × `dupes` identical copies each; with
+      * dupes > maxBucket the per-bucket emission cap is C(maxBucket,2)
+      * per band. Returns (stateAfterFill, stateAfterMore, pairs). */
+    def nearDupRun(groups: Int, dupes: Int, maxBucket: Int): (Long, Long, Long) = {
+      val in = MemoryStream[(Long, String)]
+      val q = StreamingOps.streamingNearDupCandidates(
+          in.toDS().toDF("doc_id", "text"), "doc_id", "text", maxBucket = maxBucket)
+        .writeStream.format("memory").queryName(s"p_ndc_${groups}_$maxBucket")
+        .outputMode("append").start()
+      try {
+        def text(g: Int) = s"alpha beta gamma delta epsilon zeta g$g eta theta iota kappa"
+        // fill: dupes identical docs per group, 2 batches
+        var id = 0L
+        for (half <- 0 until 2) {
+          in.addData((0 until groups).flatMap { g =>
+            (0 until dupes / 2).map { _ => id += 1; (id, text(g)) }
+          })
+          q.processAllAvailable()
+        }
+        val afterFill = stateRows(q)
+        // more arrivals of the SAME contents: buckets are at maxBucket,
+        // state must not grow and (almost) nothing new may emit
+        in.addData((0 until groups).map { g => id += 1; (id, text(g)) })
+        q.processAllAvailable()
+        val afterMore = stateRows(q)
+        val pairs = spark.table(s"p_ndc_${groups}_$maxBucket").count()
+        val bands = 16
+        println(f"[streamprobe] neardup groups=$groups%-5d dupes=$dupes maxBucket=$maxBucket " +
+          f"stateAfterFill=$afterFill%-6d afterMore=$afterMore%-6d pairs=$pairs " +
+          f"(expect state=${groups * bands}, plateau, pairs<=${groups.toLong * bands * maxBucket * (maxBucket - 1) / 2})")
+        (afterFill, afterMore, pairs)
+      } finally q.stop()
+    }
+
+    val (dBase, dTen) = (deltaRun(baseKeys * 10), deltaRun(baseKeys * 100))
+    println(f"[streamprobe] delta state rows/key: base=${dBase._1.toDouble / (baseKeys * 10)}%.2f " +
+      f"x10=${dTen._1.toDouble / (baseKeys * 100)}%.2f (flat 1.0 = one fingerprint per live key)")
+    val (nBase, nTen) = (nearDupRun(50, 8, 4), nearDupRun(500, 8, 4))
+    println(f"[streamprobe] neardup state rows/group: base=${nBase._1 / 50.0}%.2f " +
+      f"x10=${nTen._1 / 500.0}%.2f (flat 16.0 = one row per band, capped at maxBucket ids)")
     spark.stop()
   }
 }
