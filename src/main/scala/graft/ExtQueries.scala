@@ -496,11 +496,16 @@ object ExtQueries {
         .orderBy("c_nationkey")
     }),
 
-    // SemDeDup semantic dedup (rows-only: survivors depend on the
-    // k-means cells, not SQL-expressible): plant perturbed twins, dedup
-    // within IVF cells at cosine>=0.999, return the survivor ids —
-    // every twin must fall to its original. Recall and survivor
-    // semantics are pinned exactly in SimilaritySpec.
+    // SemDeDup semantic dedup with a closed-form planted-twin oracle
+    // (r12, q_image_neardup's pattern): plant perturbed twins under
+    // id+1000000, dedup within IVF cells at cosine>=0.999. The survivor
+    // rule is keep-SMALLEST-id, so a twin drops whenever its pair is
+    // found; the 1e-4 shift keeps each twin in its original's argmax
+    // cell (deterministic for the fixture — a flip needs the original
+    // within ~1e-4 of a cell boundary) and originals never pair with
+    // each other (max cross cosine 0.51 << 0.999) — the expected
+    // survivor set is EXACTLY the original corpus. Recall and survivor
+    // semantics are additionally pinned in SimilaritySpec.
     "q_semdedup" -> ((s, dir) => {
       val e = t(s, dir, "embeddings").df.select("vec_id", "embedding")
       val twin = e.filter(col("vec_id") % 10 === 0)
@@ -3081,6 +3086,10 @@ object ExtQueries {
     "q_bpe_tokens" ->
       """SELECT * FROM (VALUES (0::BIGINT, 102::BIGINT), (1::BIGINT, 252::BIGINT), (2::BIGINT, 151::BIGINT), (3::BIGINT, 90::BIGINT), (4::BIGINT, 152::BIGINT), (5::BIGINT, 197::BIGINT), (6::BIGINT, 44::BIGINT), (7::BIGINT, 211::BIGINT), (8::BIGINT, 262::BIGINT), (9::BIGINT, 217::BIGINT), (10::BIGINT, 136::BIGINT), (11::BIGINT, 189::BIGINT), (12::BIGINT, 201::BIGINT), (13::BIGINT, 224::BIGINT), (14::BIGINT, 309::BIGINT), (15::BIGINT, 140::BIGINT), (16::BIGINT, 51::BIGINT), (17::BIGINT, 265::BIGINT), (18::BIGINT, 236::BIGINT), (19::BIGINT, 40::BIGINT), (20::BIGINT, 218::BIGINT), (21::BIGINT, 103::BIGINT), (22::BIGINT, 322::BIGINT), (23::BIGINT, 99::BIGINT), (24::BIGINT, 316::BIGINT), (25::BIGINT, 315::BIGINT), (26::BIGINT, 50::BIGINT), (27::BIGINT, 208::BIGINT), (28::BIGINT, 207::BIGINT), (29::BIGINT, 123::BIGINT), (30::BIGINT, 107::BIGINT), (31::BIGINT, 141::BIGINT), (32::BIGINT, 304::BIGINT), (33::BIGINT, 136::BIGINT), (34::BIGINT, 97::BIGINT), (35::BIGINT, 257::BIGINT), (36::BIGINT, 80::BIGINT), (37::BIGINT, 212::BIGINT), (38::BIGINT, 117::BIGINT), (39::BIGINT, 66::BIGINT), (40::BIGINT, 243::BIGINT), (41::BIGINT, 199::BIGINT), (42::BIGINT, 173::BIGINT), (43::BIGINT, 102::BIGINT), (44::BIGINT, 67::BIGINT), (45::BIGINT, 258::BIGINT), (46::BIGINT, 303::BIGINT), (47::BIGINT, 122::BIGINT), (48::BIGINT, 91::BIGINT), (49::BIGINT, 149::BIGINT))
          t(id, n_subwords) ORDER BY id""",
+    // planted-twin survivor set: every twin falls to its smaller-id
+    // original, so the survivors are exactly the original corpus
+    "q_semdedup" ->
+      """SELECT vec_id FROM embeddings ORDER BY vec_id""",
     // planted-pair relation: every embedding pairs with exactly its
     // +1e-3-shifted twin (cosine ~1 > 0.99; max cross-pair cosine 0.51,
     // and candidates are exact-cosine-verified, so no false positives)
