@@ -56,6 +56,24 @@ object ExtQueries {
       key: String, small: DataFrame, keyCol: String): org.apache.spark.util.sketch.BloomFilter =
     bloomFilters.computeIfAbsent(key, _ => Bloom.buildFilter(small, keyCol))
 
+  /** Planted out-of-corpus probe set shared by the five q_ann_* queries:
+    * +1e-4f-shifted copies of the vec_id < 20 embeddings under id
+    * +1000000. The shift is small enough that a probe's LSH buckets and
+    * argmax IVF cell match its original's (a flip needs the original's
+    * projection within 1e-4·Σ|plane| of zero / within ~1e-4 of a cell
+    * boundary — none is, for this fixture), while every method's exact
+    * re-rank makes the top-1 the original itself (cosine ≈ 1 vs ≤ 0.51
+    * for any other corpus vector) — so the approximate indexes have a
+    * CLOSED-FORM expected answer: probe v+1000000 → neighbor v, rank 1.
+    * Real-corpus recall (where the answer is not plantable) stays
+    * asserted in SimilaritySpec; this relation is what the driver gate
+    * hash-checks. Probing with vectors NOT in the corpus is also the
+    * honest shape of the operator — production queries are unseen. */
+  private def annProbes(e: DataFrame): DataFrame =
+    e.filter(col("vec_id") < 20)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("embedding"), x => x + lit(1e-4f)).as("embedding"))
+
   /** One PQ codebook per embeddings corpus — same built-on-first-use
     * contract as [[ivfIndexFor]] (the only eager step of the PQ path). */
   private val pqCodebooks =
@@ -349,12 +367,14 @@ object ExtQueries {
         .orderBy("query_id", "rnk")
     }),
 
-    // LSH-bucketed ANN, top-1 per query. No SQL oracle (approximate by
-    // design) → driver records rows-only; recall vs brute force is
-    // asserted in AnnSpec.
+    // LSH-bucketed ANN, top-1 per planted probe (see [[annProbes]]):
+    // the probe collides with its original in every table (no bucket
+    // bit flips at 1e-4 for this fixture) and the exact re-rank puts
+    // the original first — closed-form oracle. Real-corpus recall
+    // stays asserted in SimilaritySpec.
     "q_ann_lsh" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
-      val q = e.df.filter(col("vec_id") < 20)
+      val q = annProbes(e.df)
       Similarity.lshTopK(e.df, q, "vec_id", "embedding",
           dim = 64, k = 1, bits = 8, tables = 8)
         .select(col("query_id"), col("neighbor_id"), col("rank").as("rnk"))
@@ -1883,14 +1903,16 @@ object ExtQueries {
         .orderBy("l_returnflag")
     }),
 
-    // IVF ANN top-1 (approximate by design -> rows-only; recall asserted
-    // vs brute force in SimilaritySpec). The index build is the eager,
-    // once-per-corpus step (memoized per dir, like a real offline index
-    // job); the query itself is lazy and reuses the trained centroids
-    // across invocations/bench iterations.
+    // IVF ANN top-1 per planted probe (see [[annProbes]]): the probe's
+    // argmax cell equals its original's, so nProbe=4 always reaches the
+    // original and the exact candidate scoring ranks it first —
+    // closed-form oracle. The index build is the eager, once-per-corpus
+    // step (memoized per dir, like a real offline index job); the query
+    // itself is lazy and reuses the trained centroids across
+    // invocations/bench iterations.
     "q_ann_ivf" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
-      val q = e.df.filter(col("vec_id") < 20)
+      val q = annProbes(e.df)
       val index = ivfIndexFor(s, dir, e.df)
       Similarity.ivfQuery(e.df, q, "vec_id", "embedding", k = 1,
           index, nProbe = 4)
@@ -1900,11 +1922,13 @@ object ExtQueries {
 
     // PQ shortlist + exact re-rank: the corpus scan reads m=8 ints per
     // vector instead of 64 floats; only the shortlist touches full
-    // vectors. Approximate (recall bounds in SimilaritySpec) -> rows-only
-    // like q_ann_lsh / q_ann_ivf.
+    // vectors. Planted probes (see [[annProbes]]) give it a closed-form
+    // oracle: the original's asymmetric PQ score (≈ 1 minus bounded
+    // quantization distortion) clears the ≤ 0.51-cosine field into the
+    // 50-wide shortlist, where the exact re-rank puts it first.
     "q_ann_pq" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
-      val q = e.df.filter(col("vec_id") < 20)
+      val q = annProbes(e.df)
       val cb = pqCodebookFor(s, dir, e.df)
       Similarity.pqTopK(e.df, q, "vec_id", "embedding", k = 1, cb,
           shortlist = 50)
@@ -1913,12 +1937,14 @@ object ExtQueries {
     }),
 
     // scalar-int8 shortlist scan + exact re-rank: the training-free
-    // quantization path (1 byte/dim, per-vector affine range). With
-    // shortlist 50 >= true k the only recall loss is int8 rounding —
-    // SimilaritySpec asserts recall; rows-only here like q_ann_pq.
+    // quantization path (1 byte/dim, per-vector affine range). Planted
+    // probes (see [[annProbes]]) make the answer closed-form: int8
+    // reconstruction error ≤ range/510 per element cannot invert the
+    // ≈1-vs-0.51 gap, so the original always shortlists and re-ranks
+    // first.
     "q_ann_int8" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
-      val q = e.df.filter(col("vec_id") < 20)
+      val q = annProbes(e.df)
       Similarity.int8TopK(e.df, q, "vec_id", "embedding", k = 1,
           shortlist = 50)
         .select(col("query_id"), col("neighbor_id"), col("rank").as("rnk"))
@@ -1942,14 +1968,17 @@ object ExtQueries {
 
     // faiss-shape IVF-PQ: cells prune candidates, codes prune the scan
     // payload, exact re-rank of the shortlist; reuses both cached
-    // artifacts. Approximate -> rows-only. nProbe=8 of 16 cells:
-    // measured recall@1 16/20 on these UNclustered synthetic embeddings
-    // (IVF cells carve little structure from isotropic data — the
-    // clustered-corpus spec shows full recall when structure exists)
-    // for half the candidate volume; the recall/cost dial is nProbe.
+    // artifacts. Planted probes (see [[annProbes]]) compose both
+    // closed-form arguments — the probe's argmax cell is its original's
+    // (within the nProbe=8 probe set) and the original's PQ score
+    // dominates the cell field into the shortlist, so the exact re-rank
+    // answer is the original. Real-corpus recall@1 (16/20 on this
+    // isotropic fixture at nProbe=8; full when cluster structure
+    // exists) stays measured in SimilaritySpec — the recall/cost dial
+    // is nProbe.
     "q_ann_ivfpq" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
-      val q = e.df.filter(col("vec_id") < 20)
+      val q = annProbes(e.df)
       val index = ivfIndexFor(s, dir, e.df)
       val cb = pqCodebookFor(s, dir, e.df)
       Similarity.ivfPqTopK(e.df, q, "vec_id", "embedding", k = 1,
@@ -2595,6 +2624,29 @@ object ExtQueries {
                FROM sc)
          SELECT query_id, neighbor_id, rnk FROM r WHERE rnk <= 5
          ORDER BY query_id, rnk""",
+    // the five ANN variants share one closed-form planted-probe oracle
+    // (see annProbes): each +1e-4-shifted out-of-corpus probe's true —
+    // and, for every index shape, found — top-1 is its original
+    "q_ann_lsh" ->
+      """SELECT vec_id + 1000000 AS query_id, vec_id AS neighbor_id,
+                1::BIGINT AS rnk
+         FROM embeddings WHERE vec_id < 20 ORDER BY query_id""",
+    "q_ann_ivf" ->
+      """SELECT vec_id + 1000000 AS query_id, vec_id AS neighbor_id,
+                1::BIGINT AS rnk
+         FROM embeddings WHERE vec_id < 20 ORDER BY query_id""",
+    "q_ann_pq" ->
+      """SELECT vec_id + 1000000 AS query_id, vec_id AS neighbor_id,
+                1::BIGINT AS rnk
+         FROM embeddings WHERE vec_id < 20 ORDER BY query_id""",
+    "q_ann_int8" ->
+      """SELECT vec_id + 1000000 AS query_id, vec_id AS neighbor_id,
+                1::BIGINT AS rnk
+         FROM embeddings WHERE vec_id < 20 ORDER BY query_id""",
+    "q_ann_ivfpq" ->
+      """SELECT vec_id + 1000000 AS query_id, vec_id AS neighbor_id,
+                1::BIGINT AS rnk
+         FROM embeddings WHERE vec_id < 20 ORDER BY query_id""",
     // replays Int8Stats' sequential double recurrence with list lambdas:
     // float->double casts are exact, min/max are comparisons, and DuckDB's
     // round() (half away from zero) agrees with the engine's rounding on
