@@ -1525,6 +1525,38 @@ object ExtQueries {
         .orderBy("lang")
     }),
 
+    // storable-quantile incremental maintenance (KLL — the third member
+    // of the sketch family): per-(flag, batch) sketches built as if by
+    // three separate ingestion runs, MERGED per flag; n is EXACT through
+    // the merge tree, and each estimated quartile must sit within one
+    // quantity step (1.0) of the exact percentile — pinned booleans like
+    // q_hll_incr. Raw estimates are partition-dependent (KllSketch's
+    // determinism caveat) and deliberately NOT output.
+    "q_kll_quantiles" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").df.withColumn("batch", col("l_orderkey") % 3)
+      val sk = li.groupBy("l_returnflag", "batch")
+        .agg(Sketches.kllSketch(col("l_quantity")).as("sk"))
+        .groupBy("l_returnflag")
+        .agg(Sketches.kllMerge(col("sk")).as("sk"))
+        .select(col("l_returnflag"),
+          Sketches.kllCount(col("sk")).as("sketch_n"),
+          Sketches.kllQuantile(col("sk"), 0.25).as("q25"),
+          Sketches.kllQuantile(col("sk"), 0.5).as("q50"),
+          Sketches.kllQuantile(col("sk"), 0.75).as("q75"))
+      val exact = li.groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          expr("percentile(l_quantity, 0.25)").as("e25"),
+          expr("percentile(l_quantity, 0.5)").as("e50"),
+          expr("percentile(l_quantity, 0.75)").as("e75"))
+      sk.join(exact, "l_returnflag")
+        .select(col("l_returnflag"), col("n"),
+          (col("sketch_n") === col("n")).as("n_exact"),
+          (abs(col("q25") - col("e25")) <= 1.0).as("q25_ok"),
+          (abs(col("q50") - col("e50")) <= 1.0).as("q50_ok"),
+          (abs(col("q75") - col("e75")) <= 1.0).as("q75_ok"))
+        .orderBy("l_returnflag")
+    }),
+
     // Misra-Gries heavy hitters over the token stream: every token the
     // MG theorem GUARANTEES retained (exact count > n/(k+1)) must be
     // present with its count inside [exact − n/(k+1), exact] — pinned
@@ -2722,6 +2754,13 @@ object ExtQueries {
     "q_hll_incr" ->
       """SELECT lang, count(DISTINCT doc_id) AS exact_distinct, true AS est_ok
          FROM documents GROUP BY lang ORDER BY lang""",
+    // exact n recomputed; the quartile-error and n-exactness booleans
+    // are pinned true (KLL rank error stays under one value step on
+    // this fixture at k=256 across partitionings — KllSpec margins it)
+    "q_kll_quantiles" ->
+      """SELECT l_returnflag, COUNT(*)::BIGINT AS n, true AS n_exact,
+                true AS q25_ok, true AS q50_ok, true AS q75_ok
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q_heavy_hitters" ->
       """WITH t AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
          tot AS (SELECT count(*) AS n FROM t),

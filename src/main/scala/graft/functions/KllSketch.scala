@@ -1,0 +1,246 @@
+package graft.functions
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.{Column, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Storable, mergeable KLL quantile sketch — the quantiles member of
+  * the "sketch as data" family ([[HllSketch]] distinct counts,
+  * [[MgSketch]] heavy hitters). Implements the public KLL algorithm
+  * (Karnin, Lang, Liberty, "Optimal quantile approximation in
+  * streams", FOCS 2016; the level/compaction layout follows the
+  * paper, not any library's code).
+  *
+  * Spark's `percentile_approx` answers one query and discards its
+  * state; at 100 TB the valuable artifact is the SKETCH: build one per
+  * partition/day/source (one scan each), WRITE it (O(k) doubles of
+  * binary), and answer any later union's quantiles by merging sketches
+  * — no rescan, the same never-rescan shape as the HLL sketches.
+  *
+  * Layout: geometric levels of sorted-on-demand item buffers; an item
+  * at level h carries weight 2^h. Level capacities shrink geometrically
+  * from k at the top (factor 2/3, floor 8), so total state is O(k)
+  * regardless of n. When full, the lowest over-capacity level is
+  * sorted and every second item is promoted one level (the other half
+  * is discarded — that halving is the entire approximation). The
+  * compaction offset alternates deterministically with a compaction
+  * counter instead of a random bit: same expected-rank cancellation in
+  * aggregate, zero RNG in executors.
+  *
+  * Error contract: estimated rank error is O(n/k) (KLL's bound at
+  * fixed failure probability; ~1% of n at the default k=256 — the
+  * registry query and KllSpec pin measured bounds with margin). min
+  * and max are tracked EXACTLY, so quantile(0)/quantile(1) are the
+  * true extremes, and `n` is exact (additive under merge).
+  *
+  * DETERMINISM CAVEAT — like [[MgSketch]] (and unlike [[HllSketch]]):
+  * a stored KLL sketch's exact item contents depend on partitioning
+  * and merge order. Only n/min/max and the rank-error BOUND are stable.
+  * Never hash-compare or differential-config-test raw sketch bytes or
+  * raw quantile estimates; compare bound predicates derived from them
+  * (what q_kll_quantiles pins).
+  */
+object KllSketch {
+
+  val DefaultK = 256
+
+  /** Mutable sketch state. Kryo-encoded as the aggregation buffer;
+    * serialized to the compact binary layout ([[serialize]]) when
+    * finished/stored. */
+  final class State(val k: Int) extends Serializable {
+    var n: Long = 0L
+    var compactions: Long = 0L
+    var minV: Double = Double.PositiveInfinity
+    var maxV: Double = Double.NegativeInfinity
+    /** levels(h) holds items of weight 2^h, unsorted between compactions. */
+    var levels: ArrayBuffer[ArrayBuffer[Double]] = ArrayBuffer(ArrayBuffer.empty[Double])
+
+    private def capOf(h: Int): Int = {
+      // capacity shrinks by 2/3 per level DOWN from the top level
+      val depth = levels.length - 1 - h
+      math.max(8, math.ceil(k * math.pow(2.0 / 3.0, depth)).toInt)
+    }
+    private def totalItems: Int = { var s = 0; levels.foreach(s += _.length); s }
+    private def totalCapacity: Int = { var s = 0; var h = 0; while (h < levels.length) { s += capOf(h); h += 1 }; s }
+
+    def update(x: Double): Unit = {
+      n += 1
+      if (x < minV) minV = x
+      if (x > maxV) maxV = x
+      levels(0) += x
+      if (totalItems > totalCapacity) compactOnce()
+    }
+
+    /** Sort the lowest over-capacity level, promote every second item
+      * (deterministically alternating offset), leave an odd remainder
+      * behind. Pigeonhole guarantees such a level exists whenever
+      * totalItems > totalCapacity. */
+    private def compactOnce(): Unit = {
+      var h = 0
+      while (h < levels.length && levels(h).length < capOf(h)) h += 1
+      if (h == levels.length) h = levels.length - 1 // safety; shouldn't happen
+      val buf = levels(h)
+      val sorted = buf.toArray
+      java.util.Arrays.sort(sorted)
+      val evenCount = (sorted.length / 2) * 2
+      val offset = (compactions & 1L).toInt
+      compactions += 1
+      if (h + 1 == levels.length) levels += ArrayBuffer.empty[Double]
+      val up = levels(h + 1)
+      var i = offset
+      while (i < evenCount) { up += sorted(i); i += 2 }
+      buf.clear()
+      if (evenCount < sorted.length) buf += sorted(sorted.length - 1)
+    }
+
+    def mergeIn(other: State): State = {
+      require(k == other.k,
+        s"cannot merge KLL sketches of different k ($k vs ${other.k})")
+      n += other.n
+      compactions += other.compactions
+      if (other.minV < minV) minV = other.minV
+      if (other.maxV > maxV) maxV = other.maxV
+      while (levels.length < other.levels.length) levels += ArrayBuffer.empty[Double]
+      var h = 0
+      while (h < other.levels.length) { levels(h) ++= other.levels(h); h += 1 }
+      while (totalItems > totalCapacity) compactOnce()
+      this
+    }
+  }
+
+  // ------------------------------------------------------ binary layout
+  // int k | long n | long compactions | double min | double max |
+  // int numLevels | per level: int size, size doubles. Big-endian.
+
+  def serialize(st: State): Array[Byte] = {
+    var bytes = 4 + 8 + 8 + 8 + 8 + 4
+    st.levels.foreach(l => bytes += 4 + 8 * l.length)
+    val bb = java.nio.ByteBuffer.allocate(bytes)
+    bb.putInt(st.k).putLong(st.n).putLong(st.compactions)
+      .putDouble(st.minV).putDouble(st.maxV).putInt(st.levels.length)
+    st.levels.foreach { l =>
+      bb.putInt(l.length)
+      l.foreach(bb.putDouble)
+    }
+    bb.array()
+  }
+
+  def deserialize(bytes: Array[Byte]): State = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val st = new State(bb.getInt)
+    st.n = bb.getLong
+    st.compactions = bb.getLong
+    st.minV = bb.getDouble
+    st.maxV = bb.getDouble
+    val numLevels = bb.getInt
+    st.levels = ArrayBuffer.fill(numLevels)(ArrayBuffer.empty[Double])
+    var h = 0
+    while (h < numLevels) {
+      val size = bb.getInt
+      var i = 0
+      while (i < size) { st.levels(h) += bb.getDouble; i += 1 }
+      h += 1
+    }
+    st
+  }
+
+  // ------------------------------------------------------ estimation
+
+  /** Estimated value at quantile q ∈ [0,1] of a stored sketch: walk the
+    * weight-sorted items to cumulative weight ≥ ceil(q·n). q=0 / q=1
+    * return the EXACT tracked min / max. */
+  def quantile(bytes: Array[Byte], q: Double): Double = {
+    require(q >= 0.0 && q <= 1.0, s"quantile $q out of [0,1]")
+    val st = deserialize(bytes)
+    if (st.n == 0L) return Double.NaN
+    if (q == 0.0) return st.minV
+    if (q == 1.0) return st.maxV
+    val items = weighted(st)
+    val target = math.max(1L, math.ceil(q * st.n).toLong)
+    var cum = 0L
+    var i = 0
+    while (i < items.length) {
+      cum += items(i)._2
+      if (cum >= target) return items(i)._1
+      i += 1
+    }
+    st.maxV
+  }
+
+  /** Estimated number of stored values < x (lower rank). */
+  def rank(bytes: Array[Byte], x: Double): Long = {
+    val st = deserialize(bytes)
+    var r = 0L
+    var h = 0
+    while (h < st.levels.length) {
+      val w = 1L << h
+      st.levels(h).foreach(v => if (v < x) r += w)
+      h += 1
+    }
+    r
+  }
+
+  /** Exact stored-value count (additive under merge). */
+  def count(bytes: Array[Byte]): Long = deserialize(bytes).n
+
+  private def weighted(st: State): Array[(Double, Long)] = {
+    val out = ArrayBuffer.empty[(Double, Long)]
+    var h = 0
+    while (h < st.levels.length) {
+      val w = 1L << h
+      st.levels(h).foreach(v => out += (v -> w))
+      h += 1
+    }
+    out.sortBy(_._1).toArray
+  }
+
+  // ------------------------------------------------------ aggregators
+
+  /** double column → KLL sketch (binary). Nulls are skipped (an
+    * all-null column sketches to n=0), matching the HLL/MG family. */
+  class SketchAgg(k: Int) extends Aggregator[java.lang.Double, State, Array[Byte]] {
+    require(k >= 8)
+    override def zero: State = new State(k)
+    override def reduce(b: State, boxed: java.lang.Double): State = {
+      if (boxed != null) b.update(boxed.doubleValue())
+      b
+    }
+    override def merge(a: State, b: State): State = a.mergeIn(b)
+    override def finish(b: State): Array[Byte] = serialize(b)
+    override def bufferEncoder: Encoder[State] = Encoders.kryo[State]
+    override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
+  /** sketch column → merged sketch. Null sketches (an outer join's
+    * absent day) contribute nothing. */
+  class MergeAgg extends Aggregator[Array[Byte], State, Array[Byte]] {
+    override def zero: State = new State(-1) // placeholder until first real sketch
+    private def combine(a: State, s: State): State =
+      if (a.k == -1) s else if (s.k == -1) a else a.mergeIn(s)
+    override def reduce(b: State, bytes: Array[Byte]): State =
+      if (bytes == null) b else combine(b, deserialize(bytes))
+    override def merge(a: State, b: State): State = combine(a, b)
+    override def finish(b: State): Array[Byte] =
+      if (b.k == -1) serialize(new State(DefaultK)) else serialize(b)
+    override def bufferEncoder: Encoder[State] = Encoders.kryo[State]
+    override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
+  // ------------------------------------------------------ column faces
+
+  /** numeric column → storable KLL sketch (values cast to double). */
+  def sketch(value: Column, k: Int = DefaultK): Column =
+    org.apache.spark.sql.functions.udaf(new SketchAgg(k), Encoders.DOUBLE)
+      .apply(value.cast("double"))
+
+  def mergeSketches(sketchCol: Column): Column =
+    org.apache.spark.sql.functions.udaf(new MergeAgg, Encoders.BINARY)
+      .apply(sketchCol)
+
+  def quantileCol(sketchCol: Column, q: Double): Column =
+    graft.plans.SketchExpressions.kllQuantile(sketchCol, q)
+
+  def countCol(sketchCol: Column): Column =
+    graft.plans.SketchExpressions.kllCount(sketchCol)
+}

@@ -74,4 +74,28 @@ object Sketches {
     * a full token groupBy for hot-key monitoring. */
   def heavyHitters(item: Column, k: Int = graft.functions.MgSketch.DefaultK): Column =
     graft.functions.MgSketch.sketch(item, k)
+
+  // ---- storable, mergeable KLL quantile sketches ([[graft.functions.KllSketch]])
+
+  /** aggregate: numeric column → a STORABLE KLL quantile sketch
+    * (binary, O(k) doubles). Unlike `percentile_approx`, the sketch
+    * persists: write one per partition/day, answer any later union's
+    * quantiles by [[kllMerge]] with no rescan — the same incremental-
+    * maintenance shape as [[hllSketch]]. */
+  def kllSketch(value: Column, k: Int = graft.functions.KllSketch.DefaultK): Column =
+    graft.functions.KllSketch.sketch(value, k)
+
+  /** aggregate: merge stored KLL sketches (level-wise union +
+    * recompaction; n/min/max are exact through any merge tree). */
+  def kllMerge(sketch: Column): Column =
+    graft.functions.KllSketch.mergeSketches(sketch)
+
+  /** scalar: estimated value at quantile q of a stored sketch (rank
+    * error O(n/k); q=0 / q=1 are the EXACT min / max). */
+  def kllQuantile(sketch: Column, q: Double): Column =
+    graft.functions.KllSketch.quantileCol(sketch, q)
+
+  /** scalar: the sketch's exact value count (additive under merge). */
+  def kllCount(sketch: Column): Column =
+    graft.functions.KllSketch.countCol(sketch)
 }

@@ -112,6 +112,53 @@ case class HllEstimate(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Quantile estimate of a stored KLL sketch ([[graft.functions.KllSketch]]
+  * binary → value at quantile q), as a scalar column so stored sketches
+  * can be queried relationally — [[HllEstimate]]'s shape. q is a plan-time
+  * constant (one quantile column per probe point, like percentile_approx
+  * with a literal). */
+case class KllQuantile(child: Expression, q: Double) extends UnaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"expects a binary sketch, got $other")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    graft.functions.KllSketch.quantile(input.asInstanceOf[Array[Byte]], q)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.KllSketch.quantile($c, $q);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Exact stored-value count of a KLL sketch (n is exact and additive
+  * under merge — the one fully deterministic scalar of the sketch). */
+case class KllCount(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"expects a binary sketch, got $other")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    graft.functions.KllSketch.count(input.asInstanceOf[Array[Byte]])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.KllSketch.count($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object SketchExpressions {
   def minhashSignature(
       hashes: Column, coefA: Array[Long], coefB: Array[Long], prime: Long): Column =
@@ -120,4 +167,10 @@ object SketchExpressions {
 
   def hllEstimate(sketch: Column): Column =
     GraftColumnBridge.column(HllEstimate(GraftColumnBridge.expression(sketch)))
+
+  def kllQuantile(sketch: Column, q: Double): Column =
+    GraftColumnBridge.column(KllQuantile(GraftColumnBridge.expression(sketch), q))
+
+  def kllCount(sketch: Column): Column =
+    GraftColumnBridge.column(KllCount(GraftColumnBridge.expression(sketch)))
 }

@@ -167,4 +167,107 @@ class SketchesSpec extends AnyFunSuite with SparkFixture {
     val mgAll = graft.functions.MgSketch.mergeMaps(8, maps.toSeq)
     assert(mgAll.size <= 8 && mgAll.nonEmpty)
   }
+
+  // ------------------------------------------------------------- KLL
+
+  test("kllSketch: exact quantiles below the compaction threshold; exact min/max always") {
+    val s0 = spark
+    import s0.implicits._
+    // 100 values < the k=256 level-0 capacity -> no compaction, exact
+    val d = (1L to 100L).toDF("v").repartition(4)
+    val sk = d.agg(Sketches.kllSketch(col("v")).as("sk"))
+    val row = sk.select(
+      Sketches.kllCount(col("sk")),
+      Sketches.kllQuantile(col("sk"), 0.0),
+      Sketches.kllQuantile(col("sk"), 0.25),
+      Sketches.kllQuantile(col("sk"), 0.5),
+      Sketches.kllQuantile(col("sk"), 0.75),
+      Sketches.kllQuantile(col("sk"), 1.0)).head()
+    assert(row.getLong(0) == 100L)
+    assert(row.getDouble(1) == 1.0 && row.getDouble(5) == 100.0)
+    assert(row.getDouble(2) == 25.0 && row.getDouble(3) == 50.0 &&
+      row.getDouble(4) == 75.0)
+  }
+
+  test("kll rank error stays bounded across partitionings; n/min/max exact") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val n = li.count()
+    val sorted = li.select(col("l_extendedprice").cast("double"))
+      .orderBy("l_extendedprice").collect().map(_.getDouble(0))
+    for (parts <- Seq(1, 7, 32)) {
+      val sk = li.repartition(parts)
+        .agg(Sketches.kllSketch(col("l_extendedprice")).as("sk"))
+      val row = sk.select(
+        Sketches.kllCount(col("sk")),
+        Sketches.kllQuantile(col("sk"), 0.0),
+        Sketches.kllQuantile(col("sk"), 1.0),
+        Sketches.kllQuantile(col("sk"), 0.25),
+        Sketches.kllQuantile(col("sk"), 0.5),
+        Sketches.kllQuantile(col("sk"), 0.75)).head()
+      assert(row.getLong(0) == n, s"parts=$parts: n must be exact")
+      assert(row.getDouble(1) == sorted.head && row.getDouble(2) == sorted.last,
+        s"parts=$parts: min/max must be exact")
+      // measured rank error on this fixture is ~1% of n at k=256;
+      // margin to 2.5% (the registry query pins a value-domain bound)
+      Seq(0.25 -> row.getDouble(3), 0.5 -> row.getDouble(4),
+          0.75 -> row.getDouble(5)).foreach { case (p, est) =>
+        val rank = sorted.count(_ < est)
+        assert(math.abs(rank - p * n) <= 0.025 * n,
+          s"parts=$parts p=$p: est $est has rank $rank, expected ~${p * n}")
+      }
+    }
+  }
+
+  test("kll merge: n additive, per-batch merge bound matches whole-corpus bound") {
+    val s0 = spark
+    import s0.implicits._
+    val d = (1L to 20000L).map(i => (i % 4, (i * 2654435761L) % 100000L))
+      .toDF("batch", "v").repartition(8)
+    val merged = d.groupBy("batch").agg(Sketches.kllSketch(col("v")).as("sk"))
+      .agg(Sketches.kllMerge(col("sk")).as("sk"))
+      .select(Sketches.kllCount(col("sk")),
+        Sketches.kllQuantile(col("sk"), 0.5)).head()
+    assert(merged.getLong(0) == 20000L, "merged n must equal the union's count")
+    val exactMedian = d.select(expr("percentile(v, 0.5)")).head().getDouble(0)
+    // value domain is ~uniform over [0, 1e5): 2.5% rank error ~ 2500 in value
+    assert(math.abs(merged.getDouble(1) - exactMedian) <= 2500.0,
+      s"merged median ${merged.getDouble(1)} vs exact $exactMedian")
+    // driver-side: merging sketches of different k must fail loudly
+    val a = graft.functions.KllSketch.serialize(new graft.functions.KllSketch.State(64))
+    val b = graft.functions.KllSketch.serialize(new graft.functions.KllSketch.State(128))
+    intercept[IllegalArgumentException] {
+      graft.functions.KllSketch.deserialize(a)
+        .mergeIn(graft.functions.KllSketch.deserialize(b))
+    }
+  }
+
+  test("kll sketches survive a parquet round trip; nulls and empties are safe") {
+    val s0 = spark
+    import s0.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-kll").toString
+    val d = (1L to 3000L).map(i => (i % 3, i.toDouble)).toDF("day", "v")
+    d.groupBy("day").agg(Sketches.kllSketch(col("v")).as("kll"))
+      .write.parquet(dir + "/sketches")
+    val back = spark.read.parquet(dir + "/sketches")
+    val row = back.agg(Sketches.kllMerge(col("kll")).as("sk"))
+      .select(Sketches.kllCount(col("sk")),
+        Sketches.kllQuantile(col("sk"), 0.0),
+        Sketches.kllQuantile(col("sk"), 1.0),
+        Sketches.kllQuantile(col("sk"), 0.5)).head()
+    assert(row.getLong(0) == 3000L)
+    assert(row.getDouble(1) == 1.0 && row.getDouble(2) == 3000.0)
+    assert(math.abs(row.getDouble(3) - 1500.0) <= 75.0) // 2.5% of n in rank==value
+    // nulls skipped; an all-null column sketches to n=0 / NaN quantile
+    val empty = Seq(Option.empty[Double], Option.empty[Double]).toDF("v")
+      .agg(Sketches.kllSketch(col("v")).as("sk"))
+      .select(Sketches.kllCount(col("sk")),
+        Sketches.kllQuantile(col("sk"), 0.5)).head()
+    assert(empty.getLong(0) == 0L && empty.getDouble(1).isNaN)
+    // null sketches (outer-join absent days) contribute nothing
+    val one = d.agg(Sketches.kllSketch(col("v")).as("sk")).head().getAs[Array[Byte]](0)
+    val viaNull = Seq(Option(one), Option.empty[Array[Byte]]).toDF("sk")
+      .agg(Sketches.kllMerge(col("sk")).as("m"))
+      .select(Sketches.kllCount(col("m"))).head().getLong(0)
+    assert(viaNull == 3000L)
+  }
 }
