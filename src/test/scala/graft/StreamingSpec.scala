@@ -246,6 +246,46 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("KLL sketch aggregates run on a windowed stream; stored windows merge to the total") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val input = MemoryStream[Event]
+    // per-hour value-quantile sketches as STORED binaries (append mode)
+    val q = input.toDF()
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(graft.operators.Sketches.kllSketch(col("value")).as("sk"))
+      .select(col("window.start").as("ws"), col("sk"))
+      .writeStream.format("memory").queryName("t_kll_win")
+      .outputMode("append").start()
+    try {
+      def ev(id: Long, h: Int, v: Double) =
+        Event(id, new Timestamp(3600000L * h + id), 1L, "e", v, "{}")
+      // hour 0: values 1..100; hour 1: values 101..200; flush via hour 3
+      input.addData((1 to 100).map(i => ev(i, 0, i.toDouble)))
+      input.addData((1 to 100).map(i => ev(200 + i, 1, 100.0 + i)))
+      q.processAllAvailable()
+      input.addData(ev(999, 3, 0.0))
+      q.processAllAvailable()
+      val wins = s.table("t_kll_win").collect()
+        .map(r => r.getTimestamp(0).getTime -> r.getAs[Array[Byte]](1)).toMap
+      assert(wins.keySet == Set(0L, 3600000L))
+      import graft.functions.KllSketch
+      assert(KllSketch.count(wins(0L)) == 100L)
+      assert(KllSketch.quantile(wins(0L), 0.5) == 50.0) // n < k: exact
+      // the stored per-window sketches merge to cross-window quantiles
+      // without touching the events again; 200 items still fit the
+      // level-0 capacity, so the merged median/extremes are exact
+      val merged = KllSketch.serialize(
+        KllSketch.deserialize(wins(0L)).mergeIn(KllSketch.deserialize(wins(3600000L))))
+      assert(KllSketch.count(merged) == 200L)
+      assert(KllSketch.quantile(merged, 0.0) == 1.0 &&
+        KllSketch.quantile(merged, 1.0) == 200.0)
+      assert(KllSketch.quantile(merged, 0.5) == 100.0)
+    } finally q.stop()
+  }
+
   test("streamingNearDupCandidates caps hot buckets at maxBucket members") {
     val s = spark
     import s.implicits._
