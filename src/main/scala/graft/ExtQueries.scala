@@ -998,6 +998,29 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // HTML -> text extraction over a deterministically-wrapped corpus
+    // (the synthetic text carries no markup, so the query PLANTS a full
+    // page around it: head with title/script/style, a comment, heading,
+    // entity-escaped body, footer). The script body contains a literal
+    // '<' and the body an '&amp;' escape, so block-dropping and
+    // entity-decode order are both load-bearing. The oracle states the
+    // SEMANTIC expectation in closed form — title + heading + decoded
+    // body + footer — without replaying any regex, so a Java/RE2
+    // dialect divergence cannot produce a false pass.
+    "q_html_extract" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val page = concat(
+        lit("<html><head><title>Doc</title>" +
+          "<script type=\"text/javascript\">var x = 1 < 2;</script>" +
+          "<style>p { color: red; }</style></head>" +
+          "<body><!-- nav boilerplate --><h1>Doc "), col("doc_id"),
+        lit("</h1><p>"), regexp_replace(col("text"), "the", "the&amp;"),
+        lit("</p><br><div class=\"footer\">fin</div></body></html>"))
+      d.df.select(col("doc_id"),
+          TextAnalysis.extractHtmlText(page).as("extracted"))
+        .orderBy("doc_id")
+    }),
+
     // intra-document line dedup (C4/Lee-et-al "discard repeated lines"):
     // synthetic docs are single-line, so the query PLANTS the repetition —
     // doc as 5 lines (text, BOILERPLATE, text, doc-specific tail,
@@ -3083,6 +3106,14 @@ object ExtQueries {
          FROM documents GROUP BY source ORDER BY source""",
     // redaction: same spike, same three patterns (Java∩RE2 subset), same
     // URL -> email -> phone order; 'g' replays Spark's replace-all
+    // closed-form semantic expectation: the extractor must recover
+    // title + heading + entity-decoded body + footer from the planted
+    // page — no regex replay, so engine dialects can't diverge
+    "q_html_extract" ->
+      """SELECT doc_id,
+            'Doc Doc ' || doc_id::VARCHAR || ' '
+              || replace(text, 'the', 'the&') || ' fin' AS extracted
+         FROM documents ORDER BY doc_id""",
     "q_redact" ->
       """SELECT doc_id,
             regexp_replace(

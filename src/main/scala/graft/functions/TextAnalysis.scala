@@ -244,6 +244,35 @@ object TextAnalysis {
       phone, "<PHONE>")
   }
 
+  /** HTML → text extraction — the step between a web crawl and every
+    * text operator in this library (a CommonCrawl-shaped corpus arrives
+    * as markup, not prose). Deliberately a chain of CODEGEN'D built-ins
+    * (regexp_replace / replace / trim), zero UDFs and zero shuffles:
+    *  1. drop <script>/<style> blocks wholesale (their content is code,
+    *     not text — and may contain '<' that would confuse tag removal),
+    *  2. drop HTML comments,
+    *  3. strip every remaining tag to a space (so adjacent block
+    *     elements don't weld words together),
+    *  4. decode the common entities, '&amp;' LAST so a literal
+    *     '&amp;lt;' correctly yields '&lt;' rather than '<',
+    *  5. collapse whitespace runs and trim.
+    * Non-greedy block matches keep the scan linear per document; the
+    * whole column is one projection, linear in corpus size at 100 TB.
+    * This is extraction, not sanitization — feed the OUTPUT to the
+    * quality/langid/dedup gates, never back into a browser. */
+  def extractHtmlText(html: Column): Column = {
+    val noScript = regexp_replace(html, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "(?s)<[^>]+>", " ")
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+        "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (ent, ch)) => regexp_replace(c,
+        java.util.regex.Pattern.quote(ent), // literal, not a regex
+        java.util.regex.Matcher.quoteReplacement(ch)) }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
   /** Order-preserving intra-document line dedup — the C4 / Lee-et-al
     * "discard repeated lines within a page" cleanup (boilerplate nav
     * bars, cookie banners, repeated headers). Keeps each line's FIRST

@@ -139,6 +139,24 @@ class TextAnalysisSpec extends AnyFunSuite with SparkFixture {
     assert(online == offline)
   }
 
+  test("extractHtmlText: blocks dropped, tags spaced, entities decoded in order") {
+    def ext(html: String): String =
+      one(html).select(TextAnalysis.extractHtmlText(col("text"))).head().getString(0)
+    // script/style bodies vanish even when they contain '<'; comments too
+    assert(ext("<p>a</p><script>if (1 < 2) { x(); }</script><style>p<q{}</style>b") == "a b")
+    assert(ext("x<!-- <p>not text</p> -->y") == "x y")
+    // tags become spaces so block boundaries don't weld words
+    assert(ext("<div>one</div><div>two</div>") == "one two")
+    // entity decode, '&amp;' last: a literal '&amp;lt;' is '&lt;', not '<'
+    assert(ext("a &amp; b &lt;tag&gt; &quot;q&quot; &#39;s&#39;") ==
+      "a & b <tag> \"q\" 's'")
+    assert(ext("escaped: &amp;lt;") == "escaped: &lt;")
+    assert(ext("a&nbsp;&nbsp;b") == "a b") // nbsp then whitespace collapse
+    // attributes with '>' safe forms, multi-line tags, case-insensitive blocks
+    assert(ext("<a href=\"u\" title='t'>link</a>\n<SCRIPT>\nvar y;\n</SCRIPT>tail")
+      == "link tail")
+  }
+
   test("normalization collapses whitespace and case for fingerprints") {
     val r = one("  The   QUICK fox ").select(
       TextAnalysis.fingerprintHex(TextAnalysis.normalized(col("text"))).as("a"))
