@@ -1021,6 +1021,24 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // per-domain document cap — the C4/FineWeb "max k docs per domain"
+    // crawl-curation gate: planted URLs (host = doc_id % 7) -> parse_url
+    // host extraction (built-in, no UDF) -> seeded exact-k per host via
+    // sampleKPerGroup (map-side WindowGroupLimit, no full sort). The
+    // oracle recomputes the host in closed form from the planting rule
+    // and replays the seeded hash60 selection order — deterministic,
+    // hash-exact.
+    "q_domain_cap" -> ((s, dir) => {
+      val d = t(s, dir, "documents").df
+      val withHost = d
+        .withColumn("url", concat(lit("https://w"), col("doc_id") % 7,
+          lit(".example.com/p/"), col("doc_id")))
+        .withColumn("host", parse_url(col("url"), lit("HOST")))
+      Sampling.sampleKPerGroup(withHost, Seq("host"), "doc_id", k = 30,
+          salt = "r12")
+        .select("doc_id", "host").orderBy("doc_id")
+    }),
+
     // intra-document line dedup (C4/Lee-et-al "discard repeated lines"):
     // synthetic docs are single-line, so the query PLANTS the repetition —
     // doc as 5 lines (text, BOILERPLATE, text, doc-specific tail,
@@ -3106,6 +3124,15 @@ object ExtQueries {
          FROM documents GROUP BY source ORDER BY source""",
     // redaction: same spike, same three patterns (Java∩RE2 subset), same
     // URL -> email -> phone order; 'g' replays Spark's replace-all
+    // host recomputed in closed form from the planting rule; the seeded
+    // hash60 selection order replayed like q_sample_k's
+    "q_domain_cap" ->
+      """SELECT doc_id, 'w' || (doc_id % 7)::VARCHAR || '.example.com' AS host
+         FROM documents
+         QUALIFY row_number() OVER (PARTITION BY doc_id % 7
+           ORDER BY ('0x' || substr(md5(doc_id::VARCHAR || 'r12'), 1, 15))::BIGINT,
+                    doc_id) <= 30
+         ORDER BY doc_id""",
     // closed-form semantic expectation: the extractor must recover
     // title + heading + entity-decoded body + footer from the planted
     // page — no regex replay, so engine dialects can't diverge
