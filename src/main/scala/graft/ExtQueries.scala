@@ -1320,6 +1320,40 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // END-TO-END web-crawl curation (round 12) — the composition a
+    // crawl-to-corpus run chains, tying this round's two new ops into
+    // the existing gates: planted HTML pages + URLs -> extractHtmlText
+    // -> language gate -> length gate -> per-domain cap. Every stage is
+    // individually oracle-proven (q_html_extract, q_langid,
+    // q_textstats, q_domain_cap); this row proves the COMPOSITION
+    // against one DuckDB CTE chain (closed-form extraction + langid
+    // replay over the EXTRACTED text — whose 'the&' substitutions
+    // shift the stopword ratios, so the gate genuinely re-scores the
+    // post-extraction text — + replayed hash60 cap order). Fully lazy:
+    // codegen'd projections + one partitioned WindowGroupLimit.
+    "q_pipeline_web" -> ((s, dir) => {
+      val d = t(s, dir, "documents").df
+      val page = concat(
+        lit("<html><head><title>Doc</title><script>var x = 1 < 2;</script>" +
+          "<style>p { color: red; }</style></head>" +
+          "<body><!-- nav --><h1>Doc "), col("doc_id"),
+        lit("</h1><p>"), regexp_replace(col("text"), "the", "the&amp;"),
+        lit("</p><div>fin</div></body></html>"))
+      val url = concat(lit("https://w"), col("doc_id") % 7,
+        lit(".example.com/p/"), col("doc_id"))
+      val extracted = d.select(col("doc_id"),
+        parse_url(url, lit("HOST")).as("host"),
+        TextAnalysis.extractHtmlText(page).as("text"))
+      val gated = extracted
+        .filter(TextAnalysis.langId(col("text")) === "en")
+        .filter(TextAnalysis.tokenCount(col("text")) >= 25)
+      Sampling.sampleKPerGroup(gated, Seq("host"), "doc_id", k = 25,
+          salt = "web")
+        .select(col("doc_id"), col("host"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+        .orderBy("doc_id")
+    }),
+
     // the online half of boilerplate strip: a precomputed hot-line set
     // applied as a stateless map-only projection (streaming-safe)
     "q_strip_known" -> ((s, dir) => {
@@ -3333,6 +3367,32 @@ object ExtQueries {
                  WHERE inter::DOUBLE / (na + nb - inter) >= 0.6)
          SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens
          FROM ded WHERE doc_id NOT IN (SELECT a_id FROM hit)
+         ORDER BY doc_id""",
+    // web pipeline: closed-form extraction (q_html_extract's oracle
+    // expression), the langid replay re-scored over the EXTRACTED text,
+    // length gate, then the q_domain_cap-style hash60 cap replay
+    "q_pipeline_web" ->
+      """WITH ext AS (
+           SELECT doc_id,
+             'w' || (doc_id % 7)::VARCHAR || '.example.com' AS host,
+             'Doc Doc ' || doc_id::VARCHAR || ' '
+               || replace(text, 'the', 'the&') || ' fin' AS text
+           FROM documents),
+         lang AS (SELECT doc_id, host, text FROM (
+             SELECT *, greatest(s_en, s_de, s_fr, s_es) AS best FROM (
+               SELECT doc_id, host, text,
+                 len(list_filter(string_split(text, ' '), t -> list_contains(['the', 'a', 'an', 'of', 'to', 'in', 'and', 'or', 'is', 'it'], t)))::DOUBLE / len(string_split(text, ' ')) AS s_en,
+                 len(list_filter(string_split(text, ' '), t -> list_contains(['der', 'die', 'das', 'und', 'ist', 'von', 'mit', 'ein'], t)))::DOUBLE / len(string_split(text, ' ')) AS s_de,
+                 len(list_filter(string_split(text, ' '), t -> list_contains(['le', 'la', 'les', 'de', 'et', 'est', 'un', 'une'], t)))::DOUBLE / len(string_split(text, ' ')) AS s_fr,
+                 len(list_filter(string_split(text, ' '), t -> list_contains(['el', 'la', 'los', 'de', 'y', 'es', 'un', 'una'], t)))::DOUBLE / len(string_split(text, ' ')) AS s_es
+               FROM ext))
+           WHERE s_en = best AND s_en > 0
+             AND len(string_split(text, ' ')) >= 25)
+         SELECT doc_id, host, len(string_split(text, ' '))::BIGINT AS n_tokens
+         FROM lang
+         QUALIFY row_number() OVER (PARTITION BY host
+           ORDER BY ('0x' || substr(md5(doc_id::VARCHAR || 'web'), 1, 15))::BIGINT,
+                    doc_id) <= 25
          ORDER BY doc_id""",
     // audit: the curate CTEs restated as a disposition CASE; attribution
     // follows pipeline order (holdout > lang > length > dup > contam)
