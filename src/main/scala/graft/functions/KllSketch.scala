@@ -56,29 +56,46 @@ object KllSketch {
     /** levels(h) holds items of weight 2^h, unsorted between compactions. */
     var levels: ArrayBuffer[ArrayBuffer[Double]] = ArrayBuffer(ArrayBuffer.empty[Double])
 
-    private def capOf(h: Int): Int = {
-      // capacity shrinks by 2/3 per level DOWN from the top level
-      val depth = levels.length - 1 - h
-      math.max(8, math.ceil(k * math.pow(2.0 / 3.0, depth)).toInt)
+    // Hot-path bookkeeping, NOT serialized state: capacities depend only
+    // on (k, depth-from-top) and item/capacity totals change
+    // incrementally, so the per-value update is O(1) — the naive
+    // recompute (an O(levels) loop with a math.pow per level per value)
+    // costs tens of millions of transcendental calls per partition at
+    // SketchScaleProbe's ×100 volume. Rebuilt after deserialize/merge
+    // (transient: kryo may bypass the constructor).
+    @transient private var capTable: Array[Int] = _
+    @transient private var items: Int = 0
+    @transient private var capTotal: Int = 0
+
+    private[KllSketch] def rebuildCaps(): Unit = {
+      capTable = Array.tabulate(levels.length) { h =>
+        val depth = levels.length - 1 - h
+        math.max(8, math.ceil(k * math.pow(2.0 / 3.0, depth)).toInt)
+      }
+      capTotal = capTable.sum
+      items = 0
+      levels.foreach(items += _.length)
     }
-    private def totalItems: Int = { var s = 0; levels.foreach(s += _.length); s }
-    private def totalCapacity: Int = { var s = 0; var h = 0; while (h < levels.length) { s += capOf(h); h += 1 }; s }
+    private def ensureCaps(): Unit =
+      if (capTable == null || capTable.length != levels.length) rebuildCaps()
 
     def update(x: Double): Unit = {
+      ensureCaps()
       n += 1
       if (x < minV) minV = x
       if (x > maxV) maxV = x
       levels(0) += x
-      if (totalItems > totalCapacity) compactOnce()
+      items += 1
+      if (items > capTotal) compactOnce()
     }
 
     /** Sort the lowest over-capacity level, promote every second item
       * (deterministically alternating offset), leave an odd remainder
       * behind. Pigeonhole guarantees such a level exists whenever
-      * totalItems > totalCapacity. */
+      * items > capTotal. */
     private def compactOnce(): Unit = {
       var h = 0
-      while (h < levels.length && levels(h).length < capOf(h)) h += 1
+      while (h < levels.length && levels(h).length < capTable(h)) h += 1
       if (h == levels.length) h = levels.length - 1 // safety; shouldn't happen
       val buf = levels(h)
       val sorted = buf.toArray
@@ -86,12 +103,15 @@ object KllSketch {
       val evenCount = (sorted.length / 2) * 2
       val offset = (compactions & 1L).toInt
       compactions += 1
-      if (h + 1 == levels.length) levels += ArrayBuffer.empty[Double]
+      val addLevel = h + 1 == levels.length
+      if (addLevel) levels += ArrayBuffer.empty[Double]
       val up = levels(h + 1)
       var i = offset
       while (i < evenCount) { up += sorted(i); i += 2 }
       buf.clear()
       if (evenCount < sorted.length) buf += sorted(sorted.length - 1)
+      if (addLevel) rebuildCaps() // depths shifted for every level
+      else items -= evenCount / 2 // half the compacted pairs discarded
     }
 
     def mergeIn(other: State): State = {
@@ -104,7 +124,8 @@ object KllSketch {
       while (levels.length < other.levels.length) levels += ArrayBuffer.empty[Double]
       var h = 0
       while (h < other.levels.length) { levels(h) ++= other.levels(h); h += 1 }
-      while (totalItems > totalCapacity) compactOnce()
+      rebuildCaps()
+      while (items > capTotal) compactOnce()
       this
     }
   }
@@ -181,8 +202,11 @@ object KllSketch {
     r
   }
 
-  /** Exact stored-value count (additive under merge). */
-  def count(bytes: Array[Byte]): Long = deserialize(bytes).n
+  /** Exact stored-value count (additive under merge). Reads n at its
+    * fixed offset — no level-buffer materialization for a scalar every
+    * rollup row projects. */
+  def count(bytes: Array[Byte]): Long =
+    java.nio.ByteBuffer.wrap(bytes).getLong(4)
 
   private def weighted(st: State): Array[(Double, Long)] = {
     val out = ArrayBuffer.empty[(Double, Long)]

@@ -267,9 +267,8 @@ object TextAnalysis {
     val noTags = regexp_replace(noComment, "(?s)<[^>]+>", " ")
     val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
         "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
-      .foldLeft(noTags) { case (c, (ent, ch)) => regexp_replace(c,
-        java.util.regex.Pattern.quote(ent), // literal, not a regex
-        java.util.regex.Matcher.quoteReplacement(ch)) }
+      .foldLeft(noTags) { case (c, (ent, ch)) =>
+        replace(c, lit(ent), lit(ch)) } // literal scan, no regex engine
     trim(regexp_replace(decoded, "\\s+", " "))
   }
 

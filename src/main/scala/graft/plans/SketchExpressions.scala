@@ -119,6 +119,10 @@ case class HllEstimate(child: Expression) extends UnaryExpression {
   * with a literal). */
 case class KllQuantile(child: Expression, q: Double) extends UnaryExpression {
 
+  // constructor-time: a NaN/Infinity q would otherwise be interpolated
+  // into generated Java as a non-compiling literal and only fail per-row
+  require(q >= 0.0 && q <= 1.0, s"quantile $q out of [0,1]")
+
   override def dataType: DataType = DoubleType
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
