@@ -3265,7 +3265,9 @@ object ExtQueries {
            (39, 'colum', 'n</w>', 934::BIGINT))
          t(rank, "left", "right", cnt) ORDER BY rank""",
     // golden subword counts for doc_id < 50 under the merge table above
-    // (deterministic for the same reason; regenerate alongside it)
+    // (deterministic for the same reason; regenerate alongside it).
+    // Both BPE goldens are PINNED to the sf0.01 fixture (the driver
+    // gate's scale) — tools/check.py skips them loudly at any other sf
     "q_bpe_tokens" ->
       """SELECT * FROM (VALUES (0::BIGINT, 102::BIGINT), (1::BIGINT, 252::BIGINT), (2::BIGINT, 151::BIGINT), (3::BIGINT, 90::BIGINT), (4::BIGINT, 152::BIGINT), (5::BIGINT, 197::BIGINT), (6::BIGINT, 44::BIGINT), (7::BIGINT, 211::BIGINT), (8::BIGINT, 262::BIGINT), (9::BIGINT, 217::BIGINT), (10::BIGINT, 136::BIGINT), (11::BIGINT, 189::BIGINT), (12::BIGINT, 201::BIGINT), (13::BIGINT, 224::BIGINT), (14::BIGINT, 309::BIGINT), (15::BIGINT, 140::BIGINT), (16::BIGINT, 51::BIGINT), (17::BIGINT, 265::BIGINT), (18::BIGINT, 236::BIGINT), (19::BIGINT, 40::BIGINT), (20::BIGINT, 218::BIGINT), (21::BIGINT, 103::BIGINT), (22::BIGINT, 322::BIGINT), (23::BIGINT, 99::BIGINT), (24::BIGINT, 316::BIGINT), (25::BIGINT, 315::BIGINT), (26::BIGINT, 50::BIGINT), (27::BIGINT, 208::BIGINT), (28::BIGINT, 207::BIGINT), (29::BIGINT, 123::BIGINT), (30::BIGINT, 107::BIGINT), (31::BIGINT, 141::BIGINT), (32::BIGINT, 304::BIGINT), (33::BIGINT, 136::BIGINT), (34::BIGINT, 97::BIGINT), (35::BIGINT, 257::BIGINT), (36::BIGINT, 80::BIGINT), (37::BIGINT, 212::BIGINT), (38::BIGINT, 117::BIGINT), (39::BIGINT, 66::BIGINT), (40::BIGINT, 243::BIGINT), (41::BIGINT, 199::BIGINT), (42::BIGINT, 173::BIGINT), (43::BIGINT, 102::BIGINT), (44::BIGINT, 67::BIGINT), (45::BIGINT, 258::BIGINT), (46::BIGINT, 303::BIGINT), (47::BIGINT, 122::BIGINT), (48::BIGINT, 91::BIGINT), (49::BIGINT, 149::BIGINT))
          t(id, n_subwords) ORDER BY id""",

@@ -38,7 +38,9 @@ object Release100Probe {
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.driver.memory", "24g")
+      // NOTE: driver memory CANNOT be set here in local mode (the JVM
+      // heap is fixed at launch); size it via build.sbt's fork
+      // javaOptions / SBT_OPTS when running ×100
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -74,9 +76,11 @@ object Release100Probe {
       shuffleWritten.set(0L)
       val t0 = System.nanoTime()
       val r = thunk
-      // listener events drain asynchronously; give them a beat
-      Thread.sleep(300)
-      val m = Meas((System.nanoTime() - t0) / 1e9, shuffleWritten.get / 1e6, r)
+      val secs = (System.nanoTime() - t0) / 1e9 // BEFORE the drain sleep —
+      // the listener wait must not inflate wall time (it biased the
+      // recorded round-12 walls by a constant +0.3 s)
+      Thread.sleep(300) // listener events drain asynchronously
+      val m = Meas(secs, shuffleWritten.get / 1e6, r)
       println(f"[x100] $label%-28s ${m.secs}%8.1f s ${m.shuffleMb}%10.1f MB shuffled, result=${m.result}")
       m
     }
@@ -96,11 +100,20 @@ object Release100Probe {
         val train = split
           .filter(col("split") === "train" && col("n_chars") >= 100)
           .withColumn("toks", TextAnalysis.tokenCount(col("text")).cast("long"))
-        Sampling.selectByBudget(train, "n_chars", "doc_id", "toks", budget = 8000L)
+        val cut = Sampling
+          .selectByBudget(train, "n_chars", "doc_id", "toks", budget = 8000L)
           .withColumn("shuffle_key", PsIO.shuffleKey(42L, col("doc_id")))
           .select("doc_id", "toks", "cum_tokens", "shuffle_key")
           .orderBy("shuffle_key")
-          .count()
+        // WRITE the cut (a release ends in a write): under a bare
+        // count() Catalyst's EliminateSorts would drop the final md5
+        // shuffle-sort stage and the probe would time less than the
+        // composition it claims. The budget bounds the written rows, so
+        // the write itself stays tiny at every scale; the read-back
+        // count is a footer scan.
+        val outPath = s"$base/release_x$f"
+        cut.write.mode("overwrite").parquet(outPath)
+        spark.read.parquet(outPath).count()
       }
       graft.operators.Components.clearSymCaches()
       Sampling.clearBudgetCaches()

@@ -71,46 +71,77 @@ object Components {
     * number of DISTINCT pair relations, not by call count. Eager callers
     * release their entry via [[releaseSym]] when done; lazy faces can
     * call [[clearSymCaches]] between pipeline stages. */
-  private case class SymEntry(e: DataFrame, s: DataFrame)
+  private case class SymEntry(e: DataFrame, s: DataFrame) {
+    def unpersistAll(): Unit = {
+      s.unpersist(blocking = false)
+      e.unpersist(blocking = false)
+    }
+  }
   private type SymKey =
-    (SparkSession, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+    (SparkSession, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int)
+  /** Bounded (LRU, access-order) and keyed on the sorted input-file
+    * snapshot alongside the canonicalized plan — the same two fixes
+    * [[Sampling.selectByBudget]]'s ranked cache got: a source-directory
+    * OVERWRITE emits fresh part-file names, so the rebuilt pair plan
+    * misses the cache instead of silently serving the old corpus' edges
+    * (file-source plans canonicalize by root path, which would
+    * otherwise collide), and evicted entries are unpersisted so
+    * long-lived sessions can't accrete pair-relation persists forever.
+    * Plans already handed out stay correct after eviction — lineage
+    * recomputes; they just lose the shared cache. */
+  private val MaxSymEntries = 8
   private val symCache =
-    new java.util.concurrent.ConcurrentHashMap[SymKey, SymEntry]()
+    new java.util.LinkedHashMap[SymKey, SymEntry](16, 0.75f, true) {
+      override def removeEldestEntry(
+          entry: java.util.Map.Entry[SymKey, SymEntry]): Boolean = {
+        val evict = size() > MaxSymEntries
+        if (evict) entry.getValue.unpersistAll()
+        evict
+      }
+    }
 
   private def symKey(
       pairs: DataFrame, aCol: String, bCol: String): (SymKey, DataFrame) = {
     val proj = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-    ((pairs.sparkSession, proj.queryExecution.analyzed.canonicalized), proj)
+    val snapshot = java.util.Arrays.hashCode(
+      pairs.inputFiles.sorted.asInstanceOf[Array[AnyRef]])
+    ((pairs.sparkSession, proj.queryExecution.analyzed.canonicalized, snapshot),
+      proj)
   }
 
   private def sym(
       pairs: DataFrame, aCol: String, bCol: String): (SymKey, SymEntry) = {
     val (key, proj) = symKey(pairs, aCol, bCol)
-    (key, symCache.computeIfAbsent(key, _ => {
+    symCache.synchronized {
+      val hit = symCache.get(key)
+      if (hit != null) return (key, hit)
       val e = proj.persist(StorageLevel.MEMORY_AND_DISK)
       val nodes = e.select(col("src").as("n"))
         .union(e.select(col("dst").as("n"))).distinct()
       val s = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
         .union(nodes.select(col("n").as("src"), col("n").as("dst")))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      SymEntry(e, s)
-    }))
+      val entry = SymEntry(e, s)
+      symCache.put(key, entry)
+      (key, entry)
+    }
   }
 
   /** Unpersist and forget one memoized edge cache (no-op if absent). */
-  private def releaseSym(key: SymKey): Unit =
-    Option(symCache.remove(key)).foreach { entry =>
-      entry.s.unpersist(blocking = false)
-      entry.e.unpersist(blocking = false)
-    }
+  private def releaseSym(key: SymKey): Unit = symCache.synchronized {
+    Option(symCache.remove(key)).foreach(_.unpersistAll())
+  }
 
   /** Release every memoized edge cache — call between pipeline stages
     * when the lazy [[clusterLabels]] plans built so far are no longer
-    * needed. Plans already handed out stay CORRECT afterwards (lineage
-    * recomputes); they just lose the shared cache. */
-  def clearSymCaches(): Unit = {
-    val keys = symCache.keySet().toArray(Array.empty[SymKey])
-    keys.foreach(releaseSym)
+    * needed (to return memory promptly; correctness no longer depends
+    * on it — the key's input-file snapshot misses after an overwrite,
+    * and the LRU bound unpersists cold entries on its own). Plans
+    * already handed out stay CORRECT afterwards (lineage recomputes);
+    * they just lose the shared cache. */
+  def clearSymCaches(): Unit = symCache.synchronized {
+    symCache.values().forEach(_.unpersistAll())
+    symCache.clear()
   }
 
   /** One min-label round: every node takes min over its in-edges'

@@ -141,4 +141,25 @@ class ComponentsSpec extends AnyFunSuite with SparkFixture {
     // labeled with itself
     assert(lmap.values.toSet.forall(l => lmap(l) == l))
   }
+
+  test("edge cache: overwriting the pair source directory is not served stale") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-snap").toString + "/pairs"
+    Seq((1L, 2L), (2L, 3L)).toDF("a_id", "b_id")
+      .write.mode("overwrite").parquet(dir)
+    def components() =
+      labelsOf(Components.clusterLabels(s.read.parquet(dir)).select("node", "label"))
+        .values.toSet.size
+    assert(components() == 1) // {1,2,3}
+    // overwrite the SAME path with a disjoint pair set; the plan is
+    // identical (file sources canonicalize by root path), so only the
+    // input-file snapshot in the cache key can see the change —
+    // without it the stale persisted edges of the old corpus are served
+    Seq((10L, 11L), (20L, 21L), (30L, 31L)).toDF("a_id", "b_id")
+      .write.mode("overwrite").parquet(dir)
+    assert(components() == 3,
+      "cluster labels after overwrite must reflect the new pair relation")
+    Components.clearSymCaches()
+  }
 }

@@ -86,7 +86,18 @@ def roundtrips_float64(series):
 
 oracle = json.load(open(f"{out}/oracle_sql.json"))
 fail = 0
+skipped = 0
+# committed golden VALUES relations are pinned to the sf0.01 fixture
+# (the driver's gate scale); at any other sf the Spark side trains on
+# that corpus while the golden stays sf0.01's — skip loudly instead of
+# reporting a false red
+SF_PINNED = {"q_bpe_vocab", "q_bpe_tokens"}
+
 for name in sorted(oracle):
+    if name in SF_PINNED and not sf.rstrip("/").endswith("sf0.01"):
+        print(f"SKIP {name}: golden oracle pinned to sf0.01 (running {sf})")
+        skipped += 1
+        continue
     try:
         mine = pd.read_parquet(f"{out}/{name}")
     except Exception as e:
@@ -168,5 +179,7 @@ for name in sorted(oracle):
         fail += 1
     else:
         print(f"OK   {name} ({len(mine)} rows)")
-print(f"\n{len(oracle) - fail}/{len(oracle)} passed")
+total = len(oracle) - skipped
+print(f"\n{total - fail}/{total} passed"
+      + (f" ({skipped} skipped: sf0.01-pinned goldens)" if skipped else ""))
 sys.exit(1 if fail else 0)
