@@ -79,7 +79,7 @@ object Components {
   }
   private type SymKey =
     (SparkSession, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int)
-  /** Bounded (LRU, access-order) and keyed on the sorted input-file
+  /** Bounded (LRU, access-order) and keyed on the input-file
     * snapshot alongside the canonicalized plan — the same two fixes
     * [[Sampling.selectByBudget]]'s ranked cache got: a source-directory
     * OVERWRITE emits fresh part-file names, so the rebuilt pair plan
@@ -103,10 +103,12 @@ object Components {
   private def symKey(
       pairs: DataFrame, aCol: String, bCol: String): (SymKey, DataFrame) = {
     val proj = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-    val snapshot = java.util.Arrays.hashCode(
-      pairs.inputFiles.sorted.asInstanceOf[Array[AnyRef]])
-    ((pairs.sparkSession, proj.queryExecution.analyzed.canonicalized, snapshot),
-      proj)
+    // order-insensitive accumulator, not a sort: a 100 TB pair relation
+    // can span 10^5+ part files and this runs on EVERY compose
+    var snapshot = 0L
+    pairs.inputFiles.foreach(f => snapshot += f.hashCode.toLong)
+    ((pairs.sparkSession, proj.queryExecution.analyzed.canonicalized,
+      snapshot.hashCode), proj)
   }
 
   private def sym(
@@ -115,6 +117,18 @@ object Components {
     symCache.synchronized {
       val hit = symCache.get(key)
       if (hit != null) return (key, hit)
+      // A same-plan entry under a DIFFERENT file snapshot means the
+      // source directory was rewritten. Missing our key is not enough:
+      // the stale entry's persisted InMemoryRelation is registered in
+      // Spark's CacheManager under the SAME canonical plan (file
+      // indexes compare by root path), so the fresh persist below
+      // would be a no-op and every new action would silently execute
+      // the OLD corpus' cached blocks. Unpersist the collider FIRST —
+      // uncacheQuery deregisters the plan synchronously (the
+      // ComponentsSpec external-overwrite test fails without this).
+      val stale = symCache.keySet().toArray(Array.empty[SymKey])
+        .filter(k => k._1 == key._1 && k._2 == key._2 && k._3 != key._3)
+      stale.foreach(k => Option(symCache.remove(k)).foreach(_.unpersistAll()))
       val e = proj.persist(StorageLevel.MEMORY_AND_DISK)
       val nodes = e.select(col("src").as("n"))
         .union(e.select(col("dst").as("n"))).distinct()

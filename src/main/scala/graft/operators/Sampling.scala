@@ -246,14 +246,16 @@ object Sampling {
       // plan: file-source plans compare by root path, so a plan-only key
       // would keep serving a prior corpus' cached blocks after the
       // directory is overwritten. Spark writers emit fresh random part
-      // names on every write, so the sorted input-file list pins the
+      // names on every write, so the input-file snapshot pins the
       // generation (an in-place rewrite of the SAME file name — which no
       // Spark writer does — is the one shape it can't see; mtime probes
       // per file would cost a listing-sized RPC storm at 100 TB).
-      val snapshot = java.util.Arrays.hashCode(
-        df.inputFiles.sorted.asInstanceOf[Array[AnyRef]])
+      // order-insensitive accumulator, not a sort (file count can be
+      // large; this runs on every compose)
+      var snap = 0L
+      df.inputFiles.foreach(f => snap += f.hashCode.toLong)
       val key = (df.sparkSession,
-        base.queryExecution.analyzed.canonicalized, snapshot)
+        base.queryExecution.analyzed.canonicalized, snap.hashCode)
       cacheLookup(key, base)
     }
     val wOff = Window.orderBy("__pid")
@@ -302,14 +304,28 @@ object Sampling {
     rankedCache.synchronized {
       val hit = rankedCache.get(key)
       if (hit != null) hit
-      else { val v = base.persist(); rankedCache.put(key, v); v }
+      else {
+        // evict any same-plan entry under a different file snapshot
+        // BEFORE persisting: its InMemoryRelation is registered in
+        // Spark's CacheManager under the same canonical plan (file
+        // indexes compare by root path), so without the uncache the
+        // fresh persist is a no-op and actions silently execute the
+        // overwritten corpus' cached blocks
+        val stale = rankedCache.keySet().toArray(Array.empty[RankedKey])
+          .filter(k => k._1 == key._1 && k._2 == key._2 && k._3 != key._3)
+        stale.foreach(k =>
+          Option(rankedCache.remove(k)).foreach(_.unpersist(blocking = false)))
+        val v = base.persist()
+        rankedCache.put(key, v)
+        v
+      }
     }
 
   /** Release every memoized budget-ranking cache (plans already handed
     * out stay correct — lineage recomputes; they lose the shared cache).
     * Call between pipeline stages to return executor memory promptly;
     * correctness no longer depends on it — the cache key carries the
-    * sorted input-file snapshot (a directory overwrite emits fresh part
+    * input-file snapshot (a directory overwrite emits fresh part
     * names, so it misses and builds anew), and the LRU bound unpersists
     * cold entries on its own. The differential sweep still clears these
     * before every config run. */

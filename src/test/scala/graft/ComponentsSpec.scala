@@ -162,4 +162,37 @@ class ComponentsSpec extends AnyFunSuite with SparkFixture {
       "cluster labels after overwrite must reflect the new pair relation")
     Components.clearSymCaches()
   }
+
+  test("edge cache: an EXTERNAL (out-of-session) overwrite is not served stale") {
+    val s = spark
+    import s.implicits._
+    import java.nio.file.{Files, Path, Paths}
+    val root = Files.createTempDirectory("graft-cc-ext")
+    val dir = root.resolve("pairs").toString
+    Seq((1L, 2L), (2L, 3L)).toDF("a_id", "b_id").write.parquet(dir)
+    def components() =
+      labelsOf(Components.clusterLabels(s.read.parquet(dir)).select("node", "label"))
+        .values.toSet.size
+    assert(components() == 1) // {1,2,3}
+    // Rewrite the directory with PURE FILE OPERATIONS (stage + swap):
+    // the session's write path never runs, so Spark's own refreshByPath
+    // cache invalidation never fires — the scenario where another
+    // process rewrites the corpus. Without the stale-collider eviction
+    // in Components.sym, the CacheManager would substitute the OLD
+    // persisted InMemoryRelation into the new, canonically-equal plan
+    // (file indexes compare by root path) and serve stale edges.
+    val stage = root.resolve("stage").toString
+    Seq((10L, 11L), (20L, 21L), (30L, 31L)).toDF("a_id", "b_id")
+      .write.parquet(stage)
+    def rmTree(p: Path): Unit = {
+      if (Files.isDirectory(p))
+        Files.list(p).forEach(c => rmTree(c))
+      Files.delete(p)
+    }
+    rmTree(Paths.get(dir))
+    Files.move(Paths.get(stage), Paths.get(dir))
+    assert(components() == 3,
+      "labels after an out-of-session rewrite must reflect the new relation")
+    Components.clearSymCaches()
+  }
 }

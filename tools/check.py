@@ -94,7 +94,7 @@ skipped = 0
 SF_PINNED = {"q_bpe_vocab", "q_bpe_tokens"}
 
 for name in sorted(oracle):
-    if name in SF_PINNED and not sf.rstrip("/").endswith("sf0.01"):
+    if name in SF_PINNED and os.path.basename(os.path.normpath(sf)) != "sf0.01":
         print(f"SKIP {name}: golden oracle pinned to sf0.01 (running {sf})")
         skipped += 1
         continue
