@@ -24,9 +24,14 @@ import org.apache.spark.sql.expressions.Aggregator
   * regardless of n. When full, the lowest over-capacity level is
   * sorted and every second item is promoted one level (the other half
   * is discarded — that halving is the entire approximation). The
-  * compaction offset alternates deterministically with a compaction
-  * counter instead of a random bit: same expected-rank cancellation in
-  * aggregate, zero RNG in executors.
+  * compaction offset alternates deterministically with a PER-LEVEL
+  * compaction counter instead of the paper's per-compactor random coin:
+  * each level's own compactions strictly alternate even/odd offsets, so
+  * successive halvings at one level cancel each other's rank bias (the
+  * paper's expected-rank cancellation, derandomized), with zero RNG in
+  * executors. A single global counter would NOT give this — with
+  * multiple active levels a given level can draw the same parity many
+  * times in a row and accumulate bias.
   *
   * Error contract: estimated rank error is O(n/k) (KLL's bound at
   * fixed failure probability; ~1% of n at the default k=256 — the
@@ -55,6 +60,12 @@ object KllSketch {
     var maxV: Double = Double.NegativeInfinity
     /** levels(h) holds items of weight 2^h, unsorted between compactions. */
     var levels: ArrayBuffer[ArrayBuffer[Double]] = ArrayBuffer(ArrayBuffer.empty[Double])
+    /** levelCompactions(h) = how many times level h has compacted —
+      * drives the per-level offset alternation, so it is REAL state
+      * (serialized; summed per level under merge): dropping it across a
+      * store/merge cycle would restart every level at even parity and
+      * reintroduce the bias the alternation cancels. */
+    var levelCompactions: ArrayBuffer[Long] = ArrayBuffer(0L)
 
     // Hot-path bookkeeping, NOT serialized state: capacities depend only
     // on (k, depth-from-top) and item/capacity totals change
@@ -101,10 +112,14 @@ object KllSketch {
       val sorted = buf.toArray
       java.util.Arrays.sort(sorted)
       val evenCount = (sorted.length / 2) * 2
-      val offset = (compactions & 1L).toInt
+      val offset = (levelCompactions(h) & 1L).toInt
+      levelCompactions(h) += 1
       compactions += 1
       val addLevel = h + 1 == levels.length
-      if (addLevel) levels += ArrayBuffer.empty[Double]
+      if (addLevel) {
+        levels += ArrayBuffer.empty[Double]
+        levelCompactions += 0L
+      }
       val up = levels(h + 1)
       var i = offset
       while (i < evenCount) { up += sorted(i); i += 2 }
@@ -115,15 +130,30 @@ object KllSketch {
     }
 
     def mergeIn(other: State): State = {
+      // An n=0 sketch is mathematically mergeable at ANY k (it carries
+      // no items, no compactions, ±inf extremes): MergeAgg.finish
+      // serializes an all-null/absent group as an empty DefaultK
+      // sketch, so a stored rollup row must not poison later merges
+      // into a differently-parameterized sketch column. The loud
+      // failure stays for two NON-empty sketches of different k.
+      if (other.n == 0L) return this
+      if (n == 0L && k != other.k) return other // adopt the non-empty side's k
       require(k == other.k,
-        s"cannot merge KLL sketches of different k ($k vs ${other.k})")
+        s"cannot merge non-empty KLL sketches of different k ($k vs ${other.k})")
       n += other.n
       compactions += other.compactions
       if (other.minV < minV) minV = other.minV
       if (other.maxV > maxV) maxV = other.maxV
-      while (levels.length < other.levels.length) levels += ArrayBuffer.empty[Double]
+      while (levels.length < other.levels.length) {
+        levels += ArrayBuffer.empty[Double]
+        levelCompactions += 0L
+      }
       var h = 0
-      while (h < other.levels.length) { levels(h) ++= other.levels(h); h += 1 }
+      while (h < other.levels.length) {
+        levels(h) ++= other.levels(h)
+        levelCompactions(h) += other.levelCompactions(h)
+        h += 1
+      }
       rebuildCaps()
       while (items > capTotal) compactOnce()
       this
@@ -132,17 +162,22 @@ object KllSketch {
 
   // ------------------------------------------------------ binary layout
   // int k | long n | long compactions | double min | double max |
-  // int numLevels | per level: int size, size doubles. Big-endian.
+  // int numLevels | per level: long levelCompactions, int size,
+  // size doubles. Big-endian. (n stays at fixed offset 4 — [[count]]
+  // reads it without materializing the buffers.)
 
   def serialize(st: State): Array[Byte] = {
     var bytes = 4 + 8 + 8 + 8 + 8 + 4
-    st.levels.foreach(l => bytes += 4 + 8 * l.length)
+    st.levels.foreach(l => bytes += 8 + 4 + 8 * l.length)
     val bb = java.nio.ByteBuffer.allocate(bytes)
     bb.putInt(st.k).putLong(st.n).putLong(st.compactions)
       .putDouble(st.minV).putDouble(st.maxV).putInt(st.levels.length)
-    st.levels.foreach { l =>
-      bb.putInt(l.length)
-      l.foreach(bb.putDouble)
+    var h = 0
+    while (h < st.levels.length) {
+      bb.putLong(st.levelCompactions(h))
+      bb.putInt(st.levels(h).length)
+      st.levels(h).foreach(bb.putDouble)
+      h += 1
     }
     bb.array()
   }
@@ -156,8 +191,10 @@ object KllSketch {
     st.maxV = bb.getDouble
     val numLevels = bb.getInt
     st.levels = ArrayBuffer.fill(numLevels)(ArrayBuffer.empty[Double])
+    st.levelCompactions = ArrayBuffer.fill(numLevels)(0L)
     var h = 0
     while (h < numLevels) {
+      st.levelCompactions(h) = bb.getLong
       val size = bb.getInt
       var i = 0
       while (i < size) { st.levels(h) += bb.getDouble; i += 1 }

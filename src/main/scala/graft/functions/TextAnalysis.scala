@@ -256,15 +256,27 @@ object TextAnalysis {
     *  4. decode the common entities, '&amp;' LAST so a literal
     *     '&amp;lt;' correctly yields '&lt;' rather than '<',
     *  5. collapse whitespace runs and trim.
-    * Non-greedy block matches keep the scan linear per document; the
+    * Non-greedy block matches keep the scan linear per document; a
+    * second UNCLOSED-block pass (step 1b) handles the truncated crawl
+    * page whose `<script>`/`<style>`/`<!--` never closes — after the
+    * paired pass, any survivor of those openers runs to end-of-document,
+    * so its code/CSS must be dropped, not emitted as prose. The
     * whole column is one projection, linear in corpus size at 100 TB.
+    * Known limitation (inherent to regex extraction): a bare '<' in
+    * prose that is followed by a later '>' is treated as markup and
+    * swallowed; real-world HTML writes it as '&lt;'.
     * This is extraction, not sanitization — feed the OUTPUT to the
     * quality/langid/dedup gates, never back into a browser. */
   def extractHtmlText(html: Column): Column = {
     val noScript = regexp_replace(html, "(?is)<script[^>]*>.*?</script>", " ")
     val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
     val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
-    val noTags = regexp_replace(noComment, "(?s)<[^>]+>", " ")
+    // 1b: truncated-page fallback — an opener still present here has no
+    // closing tag (the paired pass above consumed every closed block),
+    // so the block extends to end-of-document
+    val noTrunc = regexp_replace(noComment,
+      "(?is)(<script[^>]*>|<style[^>]*>|<!--).*", " ")
+    val noTags = regexp_replace(noTrunc, "(?s)<[^>]+>", " ")
     val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
         "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
       .foldLeft(noTags) { case (c, (ent, ch)) =>

@@ -78,7 +78,7 @@ object Components {
     }
   }
   private type SymKey =
-    (SparkSession, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int)
+    (SparkSession, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Long)
   /** Bounded (LRU, access-order) and keyed on the input-file
     * snapshot alongside the canonicalized plan — the same two fixes
     * [[Sampling.selectByBudget]]'s ranked cache got: a source-directory
@@ -103,12 +103,8 @@ object Components {
   private def symKey(
       pairs: DataFrame, aCol: String, bCol: String): (SymKey, DataFrame) = {
     val proj = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-    // order-insensitive accumulator, not a sort: a 100 TB pair relation
-    // can span 10^5+ part files and this runs on EVERY compose
-    var snapshot = 0L
-    pairs.inputFiles.foreach(f => snapshot += f.hashCode.toLong)
     ((pairs.sparkSession, proj.queryExecution.analyzed.canonicalized,
-      snapshot.hashCode), proj)
+      SourceSnapshot.of(pairs.inputFiles)), proj)
   }
 
   private def sym(
@@ -116,7 +112,22 @@ object Components {
     val (key, proj) = symKey(pairs, aCol, bCol)
     symCache.synchronized {
       val hit = symCache.get(key)
-      if (hit != null) return (key, hit)
+      if (hit != null) {
+        // Re-validate before serving: an EXTERNAL
+        // `spark.catalog.clearCache()` (bench hygiene, operational
+        // memory pressure) strips the persist out from under the entry
+        // without touching this map. Serving the entry anyway is
+        // silently catastrophic at scale — every downstream action
+        // recomputes the upstream pair plan ~4·(rounds+1) times, the
+        // exact blowup this cache exists to prevent. `storageLevel`
+        // asks Spark's CacheManager, so it sees the eviction; persist
+        // on a now-uncached Dataset simply re-registers the plan.
+        if (hit.e.storageLevel == StorageLevel.NONE)
+          hit.e.persist(StorageLevel.MEMORY_AND_DISK)
+        if (hit.s.storageLevel == StorageLevel.NONE)
+          hit.s.persist(StorageLevel.MEMORY_AND_DISK)
+        return (key, hit)
+      }
       // A same-plan entry under a DIFFERENT file snapshot means the
       // source directory was rewritten. Missing our key is not enough:
       // the stale entry's persisted InMemoryRelation is registered in

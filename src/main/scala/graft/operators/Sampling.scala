@@ -250,12 +250,9 @@ object Sampling {
       // generation (an in-place rewrite of the SAME file name — which no
       // Spark writer does — is the one shape it can't see; mtime probes
       // per file would cost a listing-sized RPC storm at 100 TB).
-      // order-insensitive accumulator, not a sort (file count can be
-      // large; this runs on every compose)
-      var snap = 0L
-      df.inputFiles.foreach(f => snap += f.hashCode.toLong)
       val key = (df.sparkSession,
-        base.queryExecution.analyzed.canonicalized, snap.hashCode)
+        base.queryExecution.analyzed.canonicalized,
+        SourceSnapshot.of(df.inputFiles))
       cacheLookup(key, base)
     }
     val wOff = Window.orderBy("__pid")
@@ -283,7 +280,7 @@ object Sampling {
   private type RankedKey =
     (org.apache.spark.sql.SparkSession,
       org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
-      Int)
+      Long)
   /** Bounded (LRU, access-order) so a long-lived session that builds
     * many distinct selections can't accrete corpus-sized persists
     * forever: the evicted entry is unpersisted (plans already handed out
@@ -303,8 +300,17 @@ object Sampling {
   private def cacheLookup(key: RankedKey, base: DataFrame): DataFrame =
     rankedCache.synchronized {
       val hit = rankedCache.get(key)
-      if (hit != null) hit
-      else {
+      if (hit != null) {
+        // Re-validate before serving: an external
+        // `spark.catalog.clearCache()` strips the persist without
+        // touching this map; serving the entry anyway silently
+        // recomputes the corpus-sized range-partition once per action.
+        // `storageLevel` asks Spark's CacheManager (sees the eviction);
+        // persist on a now-uncached Dataset just re-registers the plan.
+        if (hit.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+          hit.persist()
+        hit
+      } else {
         // evict any same-plan entry under a different file snapshot
         // BEFORE persisting: its InMemoryRelation is registered in
         // Spark's CacheManager under the same canonical plan (file

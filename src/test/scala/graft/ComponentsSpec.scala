@@ -115,6 +115,29 @@ class ComponentsSpec extends AnyFunSuite with SparkFixture {
     Components.clearSymCaches()
   }
 
+  test("sym cache survives an external clearCache: hit path re-persists") {
+    val s = spark
+    import s.implicits._
+    Components.clearSymCaches()
+    def pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("a_id", "b_id")
+    assert(Components.clusterLabels(pairs).count() == 5)
+    // an EXTERNAL clearCache (bench hygiene, ops memory pressure) strips
+    // the persist out from under the memo entry without touching the map
+    spark.catalog.clearCache()
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    // the next compose of the SAME plan hits the memo; pre-fix it served
+    // the now-unpersisted frames and every action silently recomputed
+    // the pair plan ~4*(rounds+1) times — the hit path must detect
+    // storageLevel == NONE and re-register the persists
+    val labels = Components.clusterLabels(pairs)
+    assert(labels.count() == 5)
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- before).nonEmpty,
+      "post-clearCache hit served an unpersisted sym cache entry")
+    assert(labelsOf(labels) ==
+      unionFind(Seq((1L, 2L), (2L, 3L), (5L, 6L))))
+    Components.clearSymCaches()
+  }
+
   test("dedupByCluster keeps exactly the min-id member of each cluster") {
     val s = spark
     import s.implicits._

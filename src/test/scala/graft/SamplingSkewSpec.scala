@@ -154,6 +154,24 @@ class SamplingSkewSpec extends AnyFunSuite with SparkFixture {
     Sampling.clearBudgetCaches()
   }
 
+  test("selectByBudget cache survives an external clearCache: hit re-persists") {
+    val s = spark
+    import s.implicits._
+    Sampling.clearBudgetCaches()
+    val docs = (1L to 100L).map(i => (i, 100, 10L)).toDF("id", "score", "toks")
+    def run() = Sampling.selectByBudget(docs, "score", "id", "toks", 200L, 3).count()
+    assert(run() == 20L)
+    // external clearCache strips the persist without touching the memo map
+    spark.catalog.clearCache()
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    // pre-fix: the hit returned the unpersisted ranked frame, so the
+    // corpus-sized range-partition re-ran once per downstream action
+    assert(run() == 20L)
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- before).nonEmpty,
+      "post-clearCache hit served an unpersisted ranked cache entry")
+    Sampling.clearBudgetCaches()
+  }
+
   test("leakageSafeSplit: a near-dup cluster lands whole in one split") {
     val s = spark
     import s.implicits._

@@ -232,13 +232,50 @@ class SketchesSpec extends AnyFunSuite with SparkFixture {
     // value domain is ~uniform over [0, 1e5): 2.5% rank error ~ 2500 in value
     assert(math.abs(merged.getDouble(1) - exactMedian) <= 2500.0,
       s"merged median ${merged.getDouble(1)} vs exact $exactMedian")
-    // driver-side: merging sketches of different k must fail loudly
-    val a = graft.functions.KllSketch.serialize(new graft.functions.KllSketch.State(64))
-    val b = graft.functions.KllSketch.serialize(new graft.functions.KllSketch.State(128))
+    // driver-side: merging NON-EMPTY sketches of different k must fail
+    // loudly (an empty sketch is mergeable at any k — next test)
+    val sa = new graft.functions.KllSketch.State(64)
+    sa.update(1.0)
+    val sb = new graft.functions.KllSketch.State(128)
+    sb.update(2.0)
+    val a = graft.functions.KllSketch.serialize(sa)
+    val b = graft.functions.KllSketch.serialize(sb)
     intercept[IllegalArgumentException] {
       graft.functions.KllSketch.deserialize(a)
         .mergeIn(graft.functions.KllSketch.deserialize(b))
     }
+  }
+
+  test("kll: empty sketches merge across k; per-level parity is real state") {
+    import graft.functions.KllSketch
+    // MergeAgg serializes an all-null group as an empty DefaultK(256)
+    // sketch; folding that stored row into a k=512 column must be a
+    // no-op, not an exception — in either merge direction
+    val empty256 = KllSketch.deserialize(
+      KllSketch.serialize(new KllSketch.State(256)))
+    val big = new KllSketch.State(512)
+    (1L to 1000L).foreach(i => big.update(i.toDouble))
+    val m1 = big.mergeIn(empty256)
+    assert(m1.k == 512 && m1.n == 1000L)
+    val empty256b = KllSketch.deserialize(
+      KllSketch.serialize(new KllSketch.State(256)))
+    val m2 = empty256b.mergeIn(m1) // adopts the non-empty side's k
+    assert(m2.k == 512 && m2.n == 1000L)
+    assert(KllSketch.quantile(KllSketch.serialize(m2), 0.0) == 1.0)
+    assert(KllSketch.quantile(KllSketch.serialize(m2), 1.0) == 1000.0)
+    // per-level compaction parity drives the offset alternation, so it
+    // must survive a store/reload cycle (dropping it would restart every
+    // level at even parity and reintroduce the rank bias the per-level
+    // alternation cancels) and merges must sum it per level
+    val st = new KllSketch.State(64)
+    (1L to 50000L).foreach(i => st.update(((i * 2654435761L) % 100000L).toDouble))
+    assert(st.levelCompactions.head > 1L, "level 0 must have compacted repeatedly")
+    assert(st.levelCompactions.sum == st.compactions,
+      "global counter must equal the per-level sum")
+    val rt = KllSketch.deserialize(KllSketch.serialize(st))
+    assert(rt.levelCompactions == st.levelCompactions,
+      "per-level compaction counts must survive serialization")
+    assert(rt.n == st.n && rt.minV == st.minV && rt.maxV == st.maxV)
   }
 
   test("kll sketches survive a parquet round trip; nulls and empties are safe") {

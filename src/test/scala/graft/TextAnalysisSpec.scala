@@ -155,6 +155,14 @@ class TextAnalysisSpec extends AnyFunSuite with SparkFixture {
     // attributes with '>' safe forms, multi-line tags, case-insensitive blocks
     assert(ext("<a href=\"u\" title='t'>link</a>\n<SCRIPT>\nvar y;\n</SCRIPT>tail")
       == "link tail")
+    // truncated crawl page: an UNCLOSED script/style/comment runs to
+    // end-of-document — its code must be dropped, not emitted as prose
+    assert(ext("<p>keep</p><script>var secret = 1 + 1;") == "keep")
+    assert(ext("<p>keep</p><style>p { color: red; ") == "keep")
+    assert(ext("<p>keep</p><!-- dangling comment") == "keep")
+    // a closed block followed by an unclosed one: paired pass takes the
+    // first, fallback takes the tail
+    assert(ext("<script>a();</script><p>mid</p><script>b(") == "mid")
   }
 
   test("normalization collapses whitespace and case for fingerprints") {
