@@ -1756,6 +1756,27 @@ object ExtQueries {
         .sortValues(Seq("l_returnflag", "l_shipdate")).df
     }),
 
+    // pandas rolling("5min", on=ts) — TIME-based rolling (RANGE frame on
+    // the ns epoch axis), per user. Integer cents keep every rolled
+    // sum/extreme exact; the mean is re-derived as ONE IEEE division of
+    // exact integers on both engines (never a float accumulation), so the
+    // hash compare holds bit-for-bit
+    "q_rolling_time" -> ((s, dir) => {
+      val ev = events(s, dir)
+        .withColumn("cents", expr("CAST(round(value * 100) AS BIGINT)"))
+      PsDataFrame(ev)
+        .rollingTimeAgg("cents", "count", "5min", "ts", Seq("user_id"), "roll_n")
+        .rollingTimeAgg("cents", "sum", "5min", "ts", Seq("user_id"), "roll_sum_cents")
+        .rollingTimeAgg("cents", "min", "5min", "ts", Seq("user_id"), "roll_min_cents")
+        .rollingTimeAgg("cents", "max", "5min", "ts", Seq("user_id"), "roll_max_cents")
+        .df
+        .select(col("event_id"), col("user_id"), col("ts").as("ns"),
+          col("roll_n"), col("roll_sum_cents"), col("roll_min_cents"),
+          col("roll_max_cents"),
+          (col("roll_sum_cents") / (col("roll_n") * lit(100.0))).as("roll_mean"))
+        .orderBy("event_id")
+    }),
+
     // pandas std/var/median (ddof=1): native stddev_samp/var_samp/
     // percentile — bit-parity with DuckDB verified on integer-valued
     // quantities (sums are exact, final divisions deterministic)
@@ -3704,6 +3725,24 @@ object ExtQueries {
          WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_shipdate
                       ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
          ORDER BY l_returnflag, l_shipdate""",
+    // time-based rolling: DuckDB's RANGE frame on the ns epoch axis is
+    // inclusive [t-5min, t], exactly Spark's rangeBetween; windowed
+    // sum(BIGINT) widens to HUGEINT -> ::BIGINT; the mean divides the
+    // same two exact integers on both engines
+    "q_rolling_time" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_ns(ts)::BIGINT AS ns,
+                           CAST(round(value * 100) AS BIGINT) AS cents
+                    FROM events)
+         SELECT event_id, user_id, ns,
+           count(cents) OVER w AS roll_n,
+           (sum(cents) OVER w)::BIGINT AS roll_sum_cents,
+           min(cents) OVER w AS roll_min_cents,
+           max(cents) OVER w AS roll_max_cents,
+           (sum(cents) OVER w)::BIGINT / (count(cents) OVER w * 100.0) AS roll_mean
+         FROM e
+         WINDOW w AS (PARTITION BY user_id ORDER BY ns
+                      RANGE BETWEEN 300000000000 PRECEDING AND CURRENT ROW)
+         ORDER BY event_id""",
     "q_std" ->
       """SELECT l_returnflag,
             stddev_samp(l_quantity) AS qty_std,

@@ -586,6 +586,49 @@ final class PsDataFrame(private var _df: DataFrame) extends scala.Dynamic {
       when(cnt >= window, agg.over(w)).otherwise(lit(null))))
   }
 
+  /** pandas `rolling("5min", on=ts).agg(fn)` — TIME-based rolling
+    * window, the rolling variant time-series users actually reach for
+    * (a ROWS frame counts rows; sensor/event data wants "the last five
+    * minutes" whatever the row density). One `rangeBetween` frame pass
+    * per partition — same single-shuffle shape as [[rollingAgg]], no
+    * self-join, no driver loop; at 100 TB the cost is one hash exchange
+    * on `partitionBy` plus a per-partition sort, identical to the
+    * row-count variant.
+    *
+    * `on` must be a NUMERIC time axis — this library's normalized
+    * event-time representation is ns-since-epoch longs
+    * ([[graft.sources.PsIO.readEventsNs]]); pass the window as a
+    * duration string ("250ms", "30s", "5min", "2h", "1d").
+    *
+    * Frame semantics: [t-Δ, t], inclusive both ends — SQL RANGE-frame
+    * semantics (what DuckDB/Spark can express and oracle exactly),
+    * equal to pandas `closed='both'`. pandas' own default is the
+    * left-open (t-Δ, t]; rows exactly Δ apart differ between the two.
+    * min_periods follows pandas' TIME-rolling default of 1 (every row
+    * emits — unlike [[rollingAgg]], which nulls until the count window
+    * fills, pandas' default for integer windows). */
+  def rollingTimeAgg(valueCol: String, fn: String, window: String,
+      on: String, partitionBy: Seq[String], as: String): PsDataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ns = PsDataFrame.durationNs(window)
+    require(_df.schema(on).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"rollingTimeAgg: time axis '$on' must be numeric ns-since-epoch " +
+        s"(see PsIO.readEventsNs), got ${_df.schema(on).dataType.simpleString}")
+    val w = Window.partitionBy(partitionBy.map(_df(_)): _*)
+      .orderBy(_df(on))
+      .rangeBetween(-ns, Window.currentRow)
+    val f = org.apache.spark.sql.functions
+    val agg = fn match {
+      case "mean"  => f.avg(_df(valueCol))
+      case "sum"   => f.sum(_df(valueCol))
+      case "min"   => f.min(_df(valueCol))
+      case "max"   => f.max(_df(valueCol))
+      case "count" => f.count(_df(valueCol))
+      case other   => sys.error(s"rollingTimeAgg: unsupported fn $other")
+    }
+    new PsDataFrame(_df.withColumn(as, agg.over(w)))
+  }
+
   /** pandas `df[c].value_counts()`: one row per distinct value with its
     * count, most frequent first (ties broken by value so the order is
     * deterministic). Partial-aggregating groupBy + a bounded sort. */
@@ -897,6 +940,24 @@ final class PsDataFrame(private var _df: DataFrame) extends scala.Dynamic {
 
 object PsDataFrame {
   def apply(df: DataFrame): PsDataFrame = new PsDataFrame(df)
+
+  /** Parse a pandas-style offset alias to nanoseconds: "250ms", "30s",
+    * "5min", "2h", "1d" (optional space before the unit). Bare "m" is
+    * rejected on purpose — pandas deprecated it for exactly the
+    * minutes-vs-months ambiguity; write "min". */
+  private[graft] def durationNs(s: String): Long = {
+    val m = "^\\s*(\\d+)\\s*(ms|s|min|h|d)\\s*$".r.findFirstMatchIn(s)
+      .getOrElse(throw new IllegalArgumentException(
+        s"unparseable duration '$s' (expected <int><ms|s|min|h|d>)"))
+    val n = m.group(1).toLong
+    m.group(2) match {
+      case "ms"  => n * 1000000L
+      case "s"   => n * 1000000000L
+      case "min" => n * 60L * 1000000000L
+      case "h"   => n * 3600L * 1000000000L
+      case "d"   => n * 86400L * 1000000000L
+    }
+  }
 
   /** `DataFrame(local data)` — the reference's in-memory constructor
     * (core.py:497-531: dict / list-of-rows / existing frame). Local data

@@ -65,6 +65,49 @@ class StrDateSpec extends AnyFunSuite with SparkFixture {
     assert(r(2).getDouble(3) == 4.0 && r(3).getDouble(3) == 6.0)
   }
 
+  test("rollingTimeAgg: RANGE frame == brute per-row scan; frame edges inclusive") {
+    val s = spark
+    import s.implicits._
+    // irregular timestamps (seconds scale, stored as ns), two groups;
+    // includes an exact-boundary pair (t=100s and t=160s with a 60s
+    // window: 100 is inside [100, 160] — closed='both')
+    val rows = Seq(
+      ("a", 10L, 1.0), ("a", 100L, 2.0), ("a", 130L, 3.0), ("a", 160L, 4.0),
+      ("a", 161L, 5.0), ("b", 50L, 10.0), ("b", 290L, 20.0))
+      .map { case (g, sec, v) => (g, sec * 1000000000L, v) }
+    val d = PsDataFrame(rows.toDF("grp", "ts", "v"))
+    val winNs = 60L * 1000000000L
+    val got = d.rollingTimeAgg("v", "sum", "1min", "ts", Seq("grp"), "rs")
+      .rollingTimeAgg("v", "count", "1min", "ts", Seq("grp"), "rn")
+      .rollingTimeAgg("v", "mean", "1min", "ts", Seq("grp"), "rm")
+      .df.collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getDouble(3), r.getLong(4), r.getDouble(5)))).toMap
+    // brute reference: every row in the same group with t in [t0-60s, t0]
+    rows.foreach { case (g, t0, _) =>
+      val in = rows.filter { case (g2, t, _) => g2 == g && t >= t0 - winNs && t <= t0 }
+      val (sum, n) = (in.map(_._3).sum, in.size.toLong)
+      val (gs, gn, gm) = got((g, t0))
+      assert(gs == sum && gn == n && gm == sum / n,
+        s"($g, ${t0 / 1000000000L}s): got ($gs,$gn,$gm), want ($sum,$n,${sum / n})")
+    }
+    // every row emits (min_periods=1, pandas time-rolling default)
+    assert(got.size == rows.size)
+    // duration parsing: aliases map to exact ns; bare "m" is rejected
+    assert(PsDataFrame.durationNs("250ms") == 250000000L)
+    assert(PsDataFrame.durationNs("30s") == 30000000000L)
+    assert(PsDataFrame.durationNs("5min") == 300000000000L)
+    assert(PsDataFrame.durationNs("2h") == 7200000000000L)
+    assert(PsDataFrame.durationNs("1d") == 86400000000000L)
+    intercept[IllegalArgumentException](PsDataFrame.durationNs("5m"))
+    // a non-numeric time axis fails loudly, pointing at readEventsNs
+    val tsd = Seq(("a", java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1.0))
+      .toDF("grp", "ts", "v")
+    intercept[IllegalArgumentException] {
+      PsDataFrame(tsd).rollingTimeAgg("v", "sum", "1min", "ts", Seq("grp"), "rs")
+    }
+  }
+
   test("explodeCol keeps empty/null arrays as null-element rows (pandas NaN)") {
     val s = spark
     import s.implicits._
