@@ -703,6 +703,125 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  // ---- checkpoint recovery ------------------------------------------
+  // The differential tests above replay within ONE query; these kill the
+  // query after batch k and restart it from its checkpoint (fresh query,
+  // same MemoryStream + checkpointLocation + parquet sink — the file
+  // sink is the exactly-once sink, unlike the memory sink which refuses
+  // checkpoint recovery). The stateful ops hold real state across the
+  // boundary, so a lost state store changes the emissions.
+
+  /** Replay `batches` through sessionize into a parquet sink; if
+    * `stopAfter` is set, stop + restart-from-checkpoint after that
+    * batch index. Returns the committed session rows. */
+  private def sessionReplay(
+      batches: Seq[Seq[Event]], stopAfter: Option[Int]): Set[(Long, Long, Long, Long, Double)] = {
+    val s = spark
+    import s.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft-ck-sess").toString
+    val input = MemoryStream[Event]
+    def start() = StreamingOps.sessionize(input.toDS(), Duration.ofMinutes(30))
+      .writeStream.format("parquet").option("path", s"$root/out")
+      .option("checkpointLocation", s"$root/ck").outputMode("append").start()
+    var q = start()
+    try {
+      batches.zipWithIndex.foreach { case (b, i) =>
+        input.addData(b)
+        q.processAllAvailable()
+        if (stopAfter.contains(i)) { q.stop(); q = start() }
+      }
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.read.parquet(s"$root/out").as[StreamingOps.SessionOut].collect()
+      .map(o => (o.user_id, o.session_start.getTime, o.session_end.getTime,
+        o.n_events, o.total_value)).toSet
+  }
+
+  test("sessionize restart from checkpoint == uninterrupted run (state survives)") {
+    // user 1's session SPANS the kill point (events in batches 1 and 2,
+    // 15 min apart — within the 30 min gap): a lost state store would
+    // split it into two sessions and the sets would differ
+    val batches = Seq(
+      Seq(ev(1, 0, 1, 1.0), ev(2, 10, 1, 2.0), ev(3, 5, 2, 8.0)),
+      Seq(ev(4, 25, 1, 4.0), ev(5, 50, 2, 16.0)),
+      // flush: two sentinel batches push the watermark past every
+      // session's timeout so all of them close and commit
+      Seq(ev(6, 600, 99)),
+      Seq(ev(7, 601, 99)))
+    val interrupted = sessionReplay(batches, stopAfter = Some(1))
+    val uninterrupted = sessionReplay(batches, stopAfter = None)
+    assert(interrupted == uninterrupted,
+      s"restart=$interrupted uninterrupted=$uninterrupted")
+    // and the spanning session really is one session of 3 events
+    val u1 = interrupted.filter(_._1 == 1L)
+    assert(u1.size == 1 && u1.head._4 == 3L && u1.head._5 == 7.0,
+      s"user-1 session split across the restart: $u1")
+  }
+
+  test("streamingDelta restart from checkpoint keeps the CDC fingerprints") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import StreamingOps.ChangeIn
+    val root = java.nio.file.Files.createTempDirectory("graft-ck-delta").toString
+    val input = MemoryStream[ChangeIn]
+    def start() = StreamingOps.streamingDelta(
+        input.toDF(), "key", col("fp"), "tsMs", col("delete"))
+      .writeStream.format("parquet").option("path", s"$root/out")
+      .option("checkpointLocation", s"$root/ck").outputMode("append").start()
+    var q = start()
+    try {
+      input.addData(Seq(
+        ChangeIn(1L, 11L, 1000L, false), ChangeIn(2L, 22L, 1000L, false),
+        ChangeIn(4L, 44L, 1000L, false)))
+      q.processAllAvailable()
+      q.stop()
+      q = start() // recover the per-key fingerprint state
+      input.addData(Seq(
+        ChangeIn(1L, 11L, 2000L, false), // same fp: NOTHING iff state survived
+        ChangeIn(2L, 23L, 2000L, false), // changed fp
+        ChangeIn(4L, 0L, 2000L, true),   // delete of a pre-restart key
+        ChangeIn(6L, 66L, 2000L, false)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val post = spark.read.parquet(s"$root/out").as[StreamingOps.DeltaOut]
+      .collect().filter(_.tsMs == 2000L).map(d => d.key -> d.status).toSet
+    // a lost state store would re-emit key 1 as "added", turn key 2's
+    // "changed" into "added", and swallow key 4's "removed"
+    assert(post == Set(2L -> "changed", 4L -> "removed", 6L -> "added"),
+      s"post-restart emissions: $post")
+  }
+
+  test("streamingNearDupCandidates restart keeps the LSH bucket members") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft-ck-lsh").toString
+    val text = "the quick brown fox jumps over the lazy dog again and again"
+    val input = MemoryStream[(Long, String)]
+    def start() = StreamingOps.streamingNearDupCandidates(
+        input.toDF().toDF("id", "text"), "id", "text")
+      .writeStream.format("parquet").option("path", s"$root/out")
+      .option("checkpointLocation", s"$root/ck").outputMode("append").start()
+    var q = start()
+    try {
+      input.addData(Seq((1L, text), (2L, text))) // same text -> same buckets
+      q.processAllAvailable()
+      q.stop()
+      q = start() // recover the per-bucket member lists
+      input.addData(Seq((3L, text)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val pairs = spark.read.parquet(s"$root/out")
+      .select("a_id", "b_id").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // doc 3 pairs with 1 and 2 ONLY if the bucket state survived the
+    // restart (alone in a fresh bucket it would emit nothing)
+    assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L)),
+      s"candidate pairs after restart: $pairs")
+  }
+
   test("streamingDelta nets same-timestamp upsert+delete to the delete") {
     val s = spark
     import s.implicits._
