@@ -34,6 +34,24 @@ final class PsDataFrame(private var _df: DataFrame) extends scala.Dynamic {
   def dtypes: Seq[(String, String)] =
     _df.schema.fields.toSeq.map(f => f.name -> f.dataType.typeName)
 
+  /** Scale guardrails for THIS frame's plan — [[graft.plans.PlanLint]]
+    * as an API facade, so user-composed queries get the same plan-shape
+    * checks the library's own operators are spec'd against (cartesian
+    * products, single-partition windows, unpushed filters, wide-payload
+    * broadcasts, shuffle counts). No job runs; findings, not failures —
+    * only the caller knows whether a flagged shape is over 100 rows or
+    * 100 TB. */
+  def lintPlan(): Seq[graft.plans.PlanLint.Finding] =
+    graft.plans.PlanLint.lint(_df)
+
+  /** `explain()` with the lint attached: prints the formatted physical
+    * plan followed by [[lintPlan]]'s findings (or an all-clear line). */
+  def explainLint(): Unit = {
+    _df.explain("formatted")
+    val r = graft.plans.PlanLint.report(_df)
+    println(if (r.isEmpty) "PlanLint: no findings" else r)
+  }
+
   /** pandas `len(df)` — EAGER (runs a count job), exactly like the
     * reference's compute-forcing `__len__` (core.py:623-625). */
   def len: Long = _df.count()

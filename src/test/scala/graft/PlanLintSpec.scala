@@ -22,6 +22,25 @@ class PlanLintSpec extends AnyFunSuite with SparkFixture {
     assert(r.contains("cartesian-product") || r.contains("nested-loop-join"), r)
   }
 
+  test("PsDataFrame facade: lintPlan surfaces findings, explainLint prints them") {
+    val ps = graft.api.PsDataFrame(orders.crossJoin(nation))
+    val found = ps.lintPlan().map(_.rule).toSet
+    assert(found.contains("cartesian-product") || found.contains("nested-loop-join"), found)
+    // explainLint writes the formatted plan + the report to stdout
+    val buf = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(buf)) { ps.explainLint() }
+    val printed = buf.toString
+    assert(printed.contains("Physical Plan"), "formatted plan missing")
+    assert(printed.contains("cartesian-product") || printed.contains("nested-loop-join"),
+      "lint findings missing from explainLint output")
+    // a clean plan prints the all-clear line instead
+    val buf2 = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(buf2)) {
+      graft.api.PsDataFrame(nation.select("n_nationkey")).explainLint()
+    }
+    assert(buf2.toString.contains("PlanLint: no findings"), buf2.toString)
+  }
+
   test("flags a single-partition window") {
     val w = Window.orderBy("o_orderkey")
     val df = orders.withColumn("rk", row_number().over(w))
