@@ -21,6 +21,42 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
+  /** Re-time one query in a FRESH JVM (same classpath, same JVM flags,
+    * same warmup+iters protocol via SPARK_GRAFT_BENCH_ONLY) and return
+    * its median, or None if the child fails. Exists because the
+    * 180+-query single-JVM sweep inflates late heavy queries ~3×
+    * (accumulated JIT/broadcast/listener state that clearCache+gc does
+    * not return — measured 16.5 s in-sweep vs 5.8 s isolated on the
+    * heaviest pipeline, drifting worse as the registry grows): the
+    * sweep's number is a harness artifact, the clean-JVM number is the
+    * engine's. */
+  private def retimeInFreshJvm(name: String, sfDir: String): Option[Double] = {
+    import scala.jdk.CollectionConverters._
+    val javaBin = Paths.get(sys.props("java.home"), "bin", "java").toString
+    val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.asScala.toSeq
+      .filterNot(a => a.startsWith("-agentlib") || a.startsWith("-javaagent"))
+    val outFile = Files.createTempFile(s"graft-retime-$name", ".json")
+    val pb = new ProcessBuilder(
+      (Seq(javaBin) ++ jvmArgs ++ Seq("-cp", sys.props("java.class.path"),
+        "graft.Bench")).asJava)
+    pb.environment().put("SPARK_GRAFT_BENCH_ONLY", name)
+    pb.environment().put("SPARK_GRAFT_BENCH_OUT", outFile.toString)
+    pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
+    pb.redirectErrorStream(true)
+    pb.redirectOutput(ProcessBuilder.Redirect.to(
+      Files.createTempFile(s"graft-retime-$name", ".log").toFile))
+    try {
+      val p = pb.start()
+      val done = p.waitFor(20, java.util.concurrent.TimeUnit.MINUTES)
+      if (!done) { p.destroyForcibly(); return None }
+      if (p.exitValue() != 0) return None
+      val json = Files.readString(outFile)
+      "\"queries\":\\{\"[^\"]+\":([0-9.]+)\\}".r
+        .findFirstMatchIn(json).map(_.group(1).toDouble)
+    } catch { case _: Exception => None }
+  }
+
   /** A baseline is scale-specific: pair it with a run only when the
     * run's sf directory name equals the baseline's sf token, taken from
     * the filename convention baseline_<sf>.csv (or the explicit
@@ -79,6 +115,31 @@ object Bench {
       spark.catalog.clearCache()
       System.gc()
     }
+    spark.stop() // free the sweep JVM's memory before forking re-times
+
+    // Heavy-tail re-time: the hygiene above is not enough — the sweep
+    // still inflates late heavy queries ~3× (see retimeInFreshJvm). Every
+    // query over the threshold is re-timed in a fresh JVM and that number
+    // is the AUTHORITATIVE one; the sweep's is kept under "insweep" for
+    // the drift audit. Skipped in only-mode (a child IS the clean JVM —
+    // also the recursion guard) and via SPARK_GRAFT_NO_RETIME=1.
+    val retimeThreshold =
+      sys.env.getOrElse("SPARK_GRAFT_RETIME_THRESHOLD", "2.0").toDouble
+    val insweep = scala.collection.mutable.LinkedHashMap[String, Double]()
+    if (only.isEmpty && !sys.env.contains("SPARK_GRAFT_NO_RETIME")) {
+      for ((name, t) <- times.toSeq if t > retimeThreshold) {
+        retimeInFreshJvm(name, sfDir) match {
+          case Some(clean) =>
+            insweep(name) = t
+            times(name) = clean
+            System.err.println(f"[bench] retimed $name: in-sweep $t%.3f s" +
+              f" -> clean-JVM $clean%.3f s")
+          case None =>
+            System.err.println(s"[bench] retime of $name failed; keeping" +
+              s" the in-sweep number")
+        }
+      }
+    }
 
     def q(s: String): String = "\"" + s.flatMap {
       case '"' => "\\\""
@@ -116,16 +177,21 @@ object Bench {
       if (ratioed.isEmpty) "null"
       else num(ratioed.map(times).sum / ratioed.map(baseline).sum)
 
+    // "queries" carries the authoritative numbers (clean-JVM for the
+    // re-timed heavy tail); "insweep" preserves what the sweep measured
+    // for those queries so the whole-sweep inflation stays auditable
+    val isw = insweep.map { case (k, v) => s"${q(k)}:${num(v)}" }
+      .mkString("{", ",", "}")
     val line = s"""{"metric":"total","value":${num(times.values.sum)},"unit":"sec"""" +
       s""","queries":$qs,"errors":$es,"sf":${q(sfDir)},"iters":$iters""" +
-      s""","warmup":1,"ratio_vs_reference":$ratios""" +
+      s""","warmup":1,"retime_threshold_s":${num(retimeThreshold)}""" +
+      s""","insweep":$isw,"ratio_vs_reference":$ratios""" +
       s""","bench_vs_baseline":$benchVsBaseline""" +
       s""","baseline_engine":"pandaSQL(sqlite, read+run)"""" +
       s""","ok":${errors.isEmpty}}"""
     println(line)
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
     Files.writeString(Paths.get(out), line + "\n")
-    spark.stop()
     if (errors.nonEmpty) {
       System.err.println(s"[bench] ${errors.size} queries FAILED: ${errors.keys.mkString(", ")}")
       sys.exit(1)
