@@ -1765,15 +1765,35 @@ object ExtQueries {
       val ev = events(s, dir)
         .withColumn("cents", expr("CAST(round(value * 100) AS BIGINT)"))
       PsDataFrame(ev)
-        .rollingTimeAgg("cents", "count", "5min", "ts", Seq("user_id"), "roll_n")
-        .rollingTimeAgg("cents", "sum", "5min", "ts", Seq("user_id"), "roll_sum_cents")
-        .rollingTimeAgg("cents", "min", "5min", "ts", Seq("user_id"), "roll_min_cents")
-        .rollingTimeAgg("cents", "max", "5min", "ts", Seq("user_id"), "roll_max_cents")
+        .rollingTimeAggs(Seq( // one WindowExec pass for all four
+          ("cents", "count", "roll_n"),
+          ("cents", "sum", "roll_sum_cents"),
+          ("cents", "min", "roll_min_cents"),
+          ("cents", "max", "roll_max_cents")), "5min", "ts", Seq("user_id"))
         .df
         .select(col("event_id"), col("user_id"), col("ts").as("ns"),
           col("roll_n"), col("roll_sum_cents"), col("roll_min_cents"),
           col("roll_max_cents"),
           (col("roll_sum_cents") / (col("roll_n") * lit(100.0))).as("roll_mean"))
+        .orderBy("event_id")
+    }),
+
+    // rolling sample variance/std (ddof=1) over the time frame: the
+    // sum/sumsq identity on integer cents makes both moments a
+    // deterministic function of exact windowed integer sums — the oracle
+    // replays the identical expression term-for-term (a per-engine
+    // Welford recurrence would differ in ulps and fail the hash)
+    "q_rolling_var" -> ((s, dir) => {
+      val ev = events(s, dir)
+        .withColumn("cents", expr("CAST(round(value * 100) AS BIGINT)"))
+      PsDataFrame(ev)
+        .rollingTimeAggs(Seq( // one WindowExec pass for all three
+          ("cents", "count", "roll_n"),
+          ("cents", "var", "roll_var_cents"),
+          ("cents", "std", "roll_std_cents")), "10min", "ts", Seq("user_id"))
+        .df
+        .select(col("event_id"), col("user_id"), col("roll_n"),
+          col("roll_var_cents"), col("roll_std_cents"))
         .orderBy("event_id")
     }),
 
@@ -3742,6 +3762,29 @@ object ExtQueries {
          FROM e
          WINDOW w AS (PARTITION BY user_id ORDER BY ns
                       RANGE BETWEEN 300000000000 PRECEDING AND CURRENT ROW)
+         ORDER BY event_id""",
+    // rolling var/std: the SAME sum/sumsq expression the Scala side
+    // computes, term-for-term — exact integer windowed sums cast to
+    // double, division last, null when n < 2 (ddof=1)
+    "q_rolling_var" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_ns(ts)::BIGINT AS ns,
+                           CAST(round(value * 100) AS BIGINT) AS cents
+                    FROM events),
+         m AS (SELECT event_id, user_id,
+                 count(cents) OVER w AS roll_n,
+                 (sum(cents) OVER w)::BIGINT AS s,
+                 (sum(cents*cents) OVER w)::BIGINT AS ss
+               FROM e
+               WINDOW w AS (PARTITION BY user_id ORDER BY ns
+                            RANGE BETWEEN 600000000000 PRECEDING AND CURRENT ROW))
+         SELECT event_id, user_id, roll_n,
+           CASE WHEN roll_n > 1 THEN
+             (ss::DOUBLE - s::DOUBLE * s::DOUBLE / roll_n::DOUBLE)
+               / (roll_n::DOUBLE - 1.0) END AS roll_var_cents,
+           CASE WHEN roll_n > 1 THEN
+             sqrt((ss::DOUBLE - s::DOUBLE * s::DOUBLE / roll_n::DOUBLE)
+               / (roll_n::DOUBLE - 1.0)) END AS roll_std_cents
+         FROM m
          ORDER BY event_id""",
     "q_std" ->
       """SELECT l_returnflag,

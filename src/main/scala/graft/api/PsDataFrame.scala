@@ -580,9 +580,41 @@ final class PsDataFrame(private var _df: DataFrame) extends scala.Dynamic {
     new PsDataFrame(d1.withColumn(as, out).drop(rn))
   }
 
+  /** Shared rolling-agg dispatch: the framed aggregate for `fn` over
+    * window spec `w`. "var"/"std" are the SAMPLE (ddof=1) moments via
+    * the sum/sumsq identity — (Σx² − (Σx)²/n)/(n−1) with the division
+    * LAST, so on integer-valued inputs whose windowed sums stay below
+    * 2^53 the result is a deterministic function of exact integers
+    * (what the DuckDB oracle replays term-for-term; a per-engine
+    * Welford recurrence would differ in ulps). Null when n < 2, pandas'
+    * ddof=1 behavior. Catalyst's CollapseWindow folds the sums into the
+    * same single WindowExec pass as the other fns. */
+  private def rollingFrameAgg(
+      fn: String, valueCol: String,
+      w: org.apache.spark.sql.expressions.WindowSpec): Column = {
+    val f = org.apache.spark.sql.functions
+    val x = _df(valueCol)
+    fn match {
+      case "mean"  => f.avg(x).over(w)
+      case "sum"   => f.sum(x).over(w)
+      case "min"   => f.min(x).over(w)
+      case "max"   => f.max(x).over(w)
+      case "count" => f.count(x).over(w)
+      case "var" | "std" =>
+        val n = f.count(x).over(w)
+        val nd = n.cast("double")
+        val sm = f.sum(x).over(w).cast("double")
+        val ss = f.sum(x * x).over(w).cast("double")
+        val v = (ss - sm * sm / nd) / (nd - lit(1.0))
+        when(n > 1, if (fn == "std") f.sqrt(v) else v)
+      case other => sys.error(s"rolling agg: unsupported fn $other")
+    }
+  }
+
   /** pandas `rolling(window, min_periods=window).agg(fn)` within groups:
     * one `rowsBetween` frame pass, null until the window fills
-    * (generalizes [[rollingMean]]). */
+    * (generalizes [[rollingMean]]). fn ∈ mean/sum/min/max/count/var/std
+    * (var/std are sample moments, ddof=1 — see [[rollingFrameAgg]]). */
   def rollingAgg(valueCol: String, fn: String, window: Int,
       partitionBy: Seq[String], orderBy: Seq[String], as: String): PsDataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -591,17 +623,10 @@ final class PsDataFrame(private var _df: DataFrame) extends scala.Dynamic {
       .orderBy(orderBy.map(_df(_)): _*)
       .rowsBetween(-(window - 1), Window.currentRow)
     val f = org.apache.spark.sql.functions
-    val agg = fn match {
-      case "mean"  => f.avg(_df(valueCol))
-      case "sum"   => f.sum(_df(valueCol))
-      case "min"   => f.min(_df(valueCol))
-      case "max"   => f.max(_df(valueCol))
-      case "count" => f.count(_df(valueCol))
-      case other   => sys.error(s"rollingAgg: unsupported fn $other")
-    }
     val cnt = f.count(_df(valueCol)).over(w)
     new PsDataFrame(_df.withColumn(as,
-      when(cnt >= window, agg.over(w)).otherwise(lit(null))))
+      when(cnt >= window, rollingFrameAgg(fn, valueCol, w))
+        .otherwise(lit(null))))
   }
 
   /** pandas `rolling("5min", on=ts).agg(fn)` — TIME-based rolling
@@ -626,7 +651,18 @@ final class PsDataFrame(private var _df: DataFrame) extends scala.Dynamic {
     * emits — unlike [[rollingAgg]], which nulls until the count window
     * fills, pandas' default for integer windows). */
   def rollingTimeAgg(valueCol: String, fn: String, window: String,
-      on: String, partitionBy: Seq[String], as: String): PsDataFrame = {
+      on: String, partitionBy: Seq[String], as: String): PsDataFrame =
+    rollingTimeAggs(Seq((valueCol, fn, as)), window, on, partitionBy)
+
+  /** Multi-aggregate form of [[rollingTimeAgg]]: every (valueCol, fn,
+    * outName) spec over the SAME time frame in ONE select, so Catalyst
+    * plans exactly one WindowExec — one shuffle on `partitionBy` + one
+    * per-partition sort however many aggregates ride the frame
+    * (StrDateSpec plan-asserts this; a CHAIN of single-agg calls leaves
+    * conditional projections between the Window nodes that CollapseWindow
+    * cannot always fold). Prefer this form for multi-metric rollups. */
+  def rollingTimeAggs(specs: Seq[(String, String, String)], window: String,
+      on: String, partitionBy: Seq[String]): PsDataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ns = PsDataFrame.durationNs(window)
     require(_df.schema(on).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
@@ -635,16 +671,8 @@ final class PsDataFrame(private var _df: DataFrame) extends scala.Dynamic {
     val w = Window.partitionBy(partitionBy.map(_df(_)): _*)
       .orderBy(_df(on))
       .rangeBetween(-ns, Window.currentRow)
-    val f = org.apache.spark.sql.functions
-    val agg = fn match {
-      case "mean"  => f.avg(_df(valueCol))
-      case "sum"   => f.sum(_df(valueCol))
-      case "min"   => f.min(_df(valueCol))
-      case "max"   => f.max(_df(valueCol))
-      case "count" => f.count(_df(valueCol))
-      case other   => sys.error(s"rollingTimeAgg: unsupported fn $other")
-    }
-    new PsDataFrame(_df.withColumn(as, agg.over(w)))
+    val outs = specs.map { case (v, fn, as) => rollingFrameAgg(fn, v, w).as(as) }
+    new PsDataFrame(_df.select(col("*") +: outs: _*))
   }
 
   /** pandas `df[c].value_counts()`: one row per distinct value with its

@@ -93,6 +93,56 @@ class StrDateSpec extends AnyFunSuite with SparkFixture {
     }
     // every row emits (min_periods=1, pandas time-rolling default)
     assert(got.size == rows.size)
+    // var/std (sample, ddof=1): brute per-row reference; n=1 -> null
+    val gv = d.rollingTimeAgg("v", "var", "1min", "ts", Seq("grp"), "rv")
+      .rollingTimeAgg("v", "std", "1min", "ts", Seq("grp"), "rs")
+      .df.collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4))))).toMap
+    rows.foreach { case (g, t0, _) =>
+      val in = rows.filter { case (g2, t, _) => g2 == g && t >= t0 - winNs && t <= t0 }
+        .map(_._3)
+      val expectVar =
+        if (in.size < 2) None
+        else {
+          val m = in.sum / in.size
+          Some(in.map(x => (x - m) * (x - m)).sum / (in.size - 1))
+        }
+      val (vv, vs) = gv((g, t0))
+      (vv, expectVar) match {
+        case (Some(a), Some(b)) =>
+          assert(math.abs(a - b) < 1e-9, s"($g,$t0): var $a vs $b")
+          assert(math.abs(vs.get - math.sqrt(b)) < 1e-9)
+        case (None, None) => ()
+        case other => fail(s"($g,$t0): var null mismatch $other")
+      }
+    }
+    // row-count rolling face shares the dispatch: rolling(2).std over a
+    // known sequence (pandas: null, then std of each adjacent pair)
+    val seqd = PsDataFrame(Seq(("g", 1, 2.0), ("g", 2, 4.0), ("g", 3, 8.0))
+      .toDF("grp", "i", "v"))
+    val rr = seqd.rollingAgg("v", "std", 2, Seq("grp"), Seq("i"), "sd")
+      .sortValues(Seq("i")).df.collect()
+    assert(rr(0).isNullAt(3))
+    assert(math.abs(rr(1).getDouble(3) - math.sqrt(2.0)) < 1e-12) // std(2,4)
+    assert(math.abs(rr(2).getDouble(3) - math.sqrt(8.0)) < 1e-12) // std(4,8)
+    // plan shape: the multi-agg form runs every metric in ONE WindowExec
+    // pass — one shuffle + one per-partition sort regardless of how many
+    // aggregates ride the frame
+    val chained = d.rollingTimeAggs(Seq(
+      ("v", "sum", "a"), ("v", "count", "b"), ("v", "var", "c")),
+      "1min", "ts", Seq("grp")).df
+    val phys = chained.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.initialPlan
+      case p => p
+    }
+    val winNodes = phys.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(winNodes.size == 1,
+      s"same-spec rolling chain planned ${winNodes.size} WindowExec nodes")
     // duration parsing: aliases map to exact ns; bare "m" is rejected
     assert(PsDataFrame.durationNs("250ms") == 250000000L)
     assert(PsDataFrame.durationNs("30s") == 30000000000L)
