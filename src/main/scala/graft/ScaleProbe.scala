@@ -184,6 +184,27 @@ object ScaleProbe {
     time("asof native merge")(forceAll(asofNative()))
     time("asof union+window")(forceAll(asofWin()))
 
+    // ---- time-based rolling: RANGE frame at ×dup rows AND frame density
+    // Duplicating events under fresh event_ids keeps user cardinality,
+    // so rows and per-user 5-minute frame sizes BOTH inflate ×dup — a
+    // naive O(rows × frame) window evaluation would go quadratic here;
+    // Spark's sliding-frame processors (incremental add/remove on the
+    // sorted partition) must keep the wall ~linear in rows.
+    val evRoll = (0 until dup).map { i =>
+      ev.select((col("event_id") * dup + i).as("event_id"), col("ts"),
+        col("user_id"), col("value"))
+    }.reduce(_ union _)
+      .withColumn("cents", expr("CAST(round(value * 100) AS BIGINT)"))
+      .cache()
+    val nre = evRoll.count()
+    println(s"[scaleprobe] rollingTime: $nre events")
+    def rollProbe() = graft.api.PsDataFrame(evRoll)
+      .rollingTimeAggs(Seq(("cents", "count", "n"), ("cents", "sum", "s"),
+        ("cents", "var", "v")), "5min", "ts", Seq("user_id")).df
+    forceAll(rollProbe())
+    time("rollingTime 3-agg 5min")(forceAll(rollProbe()))
+    evRoll.unpersist()
+
     // ---- range join: bucketized rewrite vs nested loop -----------------
     // points = duplicated order prices; intervals = 2k price bands. The
     // nested loop is O(points·intervals) so it gets a 10%-sample handicap
