@@ -37,6 +37,7 @@ object Bench {
       .getInputArguments.asScala.toSeq
       .filterNot(a => a.startsWith("-agentlib") || a.startsWith("-javaagent"))
     val outFile = Files.createTempFile(s"graft-retime-$name", ".json")
+    val logFile = Files.createTempFile(s"graft-retime-$name", ".log")
     val pb = new ProcessBuilder(
       (Seq(javaBin) ++ jvmArgs ++ Seq("-cp", sys.props("java.class.path"),
         "graft.Bench")).asJava)
@@ -44,17 +45,27 @@ object Bench {
     pb.environment().put("SPARK_GRAFT_BENCH_OUT", outFile.toString)
     pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
     pb.redirectErrorStream(true)
-    pb.redirectOutput(ProcessBuilder.Redirect.to(
-      Files.createTempFile(s"graft-retime-$name", ".log").toFile))
+    pb.redirectOutput(ProcessBuilder.Redirect.to(logFile.toFile))
+    var ok = false
     try {
       val p = pb.start()
       val done = p.waitFor(20, java.util.concurrent.TimeUnit.MINUTES)
       if (!done) { p.destroyForcibly(); return None }
       if (p.exitValue() != 0) return None
       val json = Files.readString(outFile)
-      "\"queries\":\\{\"[^\"]+\":([0-9.]+)\\}".r
+      val r = "\"queries\":\\{\"[^\"]+\":([0-9.]+)\\}".r
         .findFirstMatchIn(json).map(_.group(1).toDouble)
+      ok = r.isDefined
+      r
     } catch { case _: Exception => None }
+    finally {
+      // bounded /tmp: sweeps run in loops on long-lived hosts. The log
+      // survives only when the re-time failed (it is the diagnostic);
+      // pointer printed so the failure note in stderr is actionable.
+      Files.deleteIfExists(outFile)
+      if (ok) Files.deleteIfExists(logFile)
+      else System.err.println(s"[bench] retime child log kept at $logFile")
+    }
   }
 
   /** A baseline is scale-specific: pair it with a run only when the

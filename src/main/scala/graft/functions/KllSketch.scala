@@ -161,15 +161,23 @@ object KllSketch {
   }
 
   // ------------------------------------------------------ binary layout
-  // int k | long n | long compactions | double min | double max |
-  // int numLevels | per level: long levelCompactions, int size,
-  // size doubles. Big-endian. (n stays at fixed offset 4 — [[count]]
+  // int magic+version ("KL"<<16 | 2) | int k | long n |
+  // long compactions | double min | double max | int numLevels |
+  // per level: long levelCompactions, int size, size doubles.
+  // Big-endian. The magic makes a layout change LOUD: stored sketches
+  // are durable artifacts ("write per batch, merge later"), so a silent
+  // misaligned read of an older format must be impossible — deserialize
+  // rejects unknown versions with the stored-vs-supported pair instead
+  // of building a corrupt sketch. (n stays at fixed offset 8 — [[count]]
   // reads it without materializing the buffers.)
 
+  private[graft] val FormatVersion: Int = ('K' << 24) | ('L' << 16) | 2
+
   def serialize(st: State): Array[Byte] = {
-    var bytes = 4 + 8 + 8 + 8 + 8 + 4
+    var bytes = 4 + 4 + 8 + 8 + 8 + 8 + 4
     st.levels.foreach(l => bytes += 8 + 4 + 8 * l.length)
     val bb = java.nio.ByteBuffer.allocate(bytes)
+    bb.putInt(FormatVersion)
     bb.putInt(st.k).putLong(st.n).putLong(st.compactions)
       .putDouble(st.minV).putDouble(st.maxV).putInt(st.levels.length)
     var h = 0
@@ -184,6 +192,11 @@ object KllSketch {
 
   def deserialize(bytes: Array[Byte]): State = {
     val bb = java.nio.ByteBuffer.wrap(bytes)
+    val ver = bb.getInt
+    require(ver == FormatVersion,
+      f"unsupported KLL sketch format 0x$ver%08x (supported: 0x$FormatVersion%08x) " +
+        "— the sketch was stored by an incompatible library version; " +
+        "rebuild it from source data")
     val st = new State(bb.getInt)
     st.n = bb.getLong
     st.compactions = bb.getLong
@@ -240,10 +253,17 @@ object KllSketch {
   }
 
   /** Exact stored-value count (additive under merge). Reads n at its
-    * fixed offset — no level-buffer materialization for a scalar every
-    * rollup row projects. */
-  def count(bytes: Array[Byte]): Long =
-    java.nio.ByteBuffer.wrap(bytes).getLong(4)
+    * fixed offset (after the 4-byte magic and 4-byte k) — no
+    * level-buffer materialization for a scalar every rollup row
+    * projects. Validates the magic first: a misaligned read of a
+    * foreign format must fail loudly, not return a garbage count. */
+  def count(bytes: Array[Byte]): Long = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val ver = bb.getInt(0)
+    require(ver == FormatVersion,
+      f"unsupported KLL sketch format 0x$ver%08x (supported: 0x$FormatVersion%08x)")
+    bb.getLong(8)
+  }
 
   private def weighted(st: State): Array[(Double, Long)] = {
     val out = ArrayBuffer.empty[(Double, Long)]

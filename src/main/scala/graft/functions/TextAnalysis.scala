@@ -273,9 +273,16 @@ object TextAnalysis {
     val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
     // 1b: truncated-page fallback — an opener still present here has no
     // closing tag (the paired pass above consumed every closed block),
-    // so the block extends to end-of-document
+    // so the block extends to end-of-document. Self-closing
+    // `<script .../>` / `<style .../>` are EXCLUDED (the lookahead):
+    // HTML5 browsers would still swallow to EOF after them, but on
+    // XHTML-style crawl pages they are genuinely empty elements and
+    // dropping the whole article body loses real corpus — content
+    // preservation wins for a curation pipeline. A dangling `<!--`
+    // still drops to EOF (spec behavior: an unclosed comment comments
+    // out the rest of the document).
     val noTrunc = regexp_replace(noComment,
-      "(?is)(<script[^>]*>|<style[^>]*>|<!--).*", " ")
+      "(?is)(<script(?![^>]*/>)[^>]*>|<style(?![^>]*/>)[^>]*>|<!--).*", " ")
     val noTags = regexp_replace(noTrunc, "(?s)<[^>]+>", " ")
     val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
         "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")

@@ -120,8 +120,21 @@ object FfmpegCliCodec {
     }
   }
 
-  /** Run the binary; true iff it exits 0 within the timeout. A hung
-    * process is killed (one bad payload must never wedge a task slot). */
+  /** Per-payload decode budget, seconds. Configurable because a fixed
+    * cap conflates HUNG with legitimately SLOW: a 2 h MP4's 1 fps frame
+    * walk can exceed a small budget on a loaded executor, and silently
+    * quarantining the largest real assets as if corrupt is the wrong
+    * default to bake in. 300 s covers feature-extraction over real
+    * media; deployments with huge assets raise it. */
+  private def timeoutSec: Long =
+    sys.props.get("graft.ffmpeg.timeoutSec")
+      .orElse(sys.env.get("GRAFT_FFMPEG_TIMEOUT_SEC"))
+      .map(_.toLong).getOrElse(300L)
+
+  /** Run the binary; true iff it exits 0 within [[timeoutSec]]. A hung
+    * process is killed (one bad payload must never wedge a task slot);
+    * the kill is LOGGED so a timed-out-but-valid payload is
+    * distinguishable from a corrupt one in executor stderr. */
   private def run(bin: String, args: Seq[String]): Boolean = {
     import scala.jdk.CollectionConverters._
     val pb = new ProcessBuilder((bin +: args).asJava)
@@ -129,9 +142,14 @@ object FfmpegCliCodec {
     pb.redirectOutput(ProcessBuilder.Redirect.DISCARD)
     val p = pb.start()
     p.getOutputStream.close()
-    val done = p.waitFor(60, java.util.concurrent.TimeUnit.SECONDS)
-    if (!done) { p.destroyForcibly(); false }
-    else p.exitValue() == 0
+    val done = p.waitFor(timeoutSec, java.util.concurrent.TimeUnit.SECONDS)
+    if (!done) {
+      p.destroyForcibly()
+      System.err.println(s"[graft][FfmpegCliCodec] killed ffmpeg after " +
+        s"$timeoutSec s (graft.ffmpeg.timeoutSec to raise); payload " +
+        "quarantined as undecodable — may be slow, not corrupt")
+      false
+    } else p.exitValue() == 0
   }
 
   /** Minimal RIFF/WAVE reader for ffmpeg's own output (PCM s16le): walk

@@ -276,6 +276,14 @@ class SketchesSpec extends AnyFunSuite with SparkFixture {
     assert(rt.levelCompactions == st.levelCompactions,
       "per-level compaction counts must survive serialization")
     assert(rt.n == st.n && rt.minV == st.minV && rt.maxV == st.maxV)
+    // stored sketches are durable artifacts: a foreign/older layout must
+    // fail LOUDLY at the version gate, never silently misalign into a
+    // corrupt sketch (both the full deserialize and the fixed-offset
+    // count() fast path check the magic)
+    val foreign = KllSketch.serialize(st).clone()
+    foreign(0) = 0; foreign(1) = 0; foreign(2) = 0; foreign(3) = 64 // old "int k" head
+    intercept[IllegalArgumentException](KllSketch.deserialize(foreign))
+    intercept[IllegalArgumentException](KllSketch.count(foreign))
   }
 
   test("kll sketches survive a parquet round trip; nulls and empties are safe") {

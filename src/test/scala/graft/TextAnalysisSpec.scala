@@ -163,6 +163,11 @@ class TextAnalysisSpec extends AnyFunSuite with SparkFixture {
     // a closed block followed by an unclosed one: paired pass takes the
     // first, fallback takes the tail
     assert(ext("<script>a();</script><p>mid</p><script>b(") == "mid")
+    // SELF-CLOSING script/style (XHTML crawl pages) must NOT trigger the
+    // truncated-page fallback — the article body after them is real text
+    assert(ext("<script src=\"a.js\"/><p>Entire article body</p>") ==
+      "Entire article body")
+    assert(ext("<style type='text/css'/>kept") == "kept")
   }
 
   test("normalization collapses whitespace and case for fingerprints") {
