@@ -92,6 +92,14 @@ object ExtQueries {
   private def events(s: SparkSession, dir: String): DataFrame =
     PsIO.readEventsNs(s, s"$dir/events.parquet")
 
+  /** events with `value` as exact integer cents — the money-exactness
+    * device the rolling-window oracles share (both engines compute the
+    * identical double product and round, so the cents agree; all
+    * windowed sums are then exact integers). */
+  private def eventsCents(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .withColumn("cents", expr("CAST(round(value * 100) AS BIGINT)"))
+
   /** Planted image corpus for the image-dedup queries: one deterministic
     * 9x8-block pattern image per doc (block = one splitmix bit, rendered
     * 2x2 px) plus its downscaled twin under id+1000000. Block patterns of
@@ -1762,9 +1770,7 @@ object ExtQueries {
     // exact integers on both engines (never a float accumulation), so the
     // hash compare holds bit-for-bit
     "q_rolling_time" -> ((s, dir) => {
-      val ev = events(s, dir)
-        .withColumn("cents", expr("CAST(round(value * 100) AS BIGINT)"))
-      PsDataFrame(ev)
+      PsDataFrame(eventsCents(s, dir))
         .rollingTimeAggs(Seq( // one WindowExec pass for all four
           ("cents", "count", "roll_n"),
           ("cents", "sum", "roll_sum_cents"),
@@ -1784,9 +1790,7 @@ object ExtQueries {
     // replays the identical expression term-for-term (a per-engine
     // Welford recurrence would differ in ulps and fail the hash)
     "q_rolling_var" -> ((s, dir) => {
-      val ev = events(s, dir)
-        .withColumn("cents", expr("CAST(round(value * 100) AS BIGINT)"))
-      PsDataFrame(ev)
+      PsDataFrame(eventsCents(s, dir))
         .rollingTimeAggs(Seq( // one WindowExec pass for all three
           ("cents", "count", "roll_n"),
           ("cents", "var", "roll_var_cents"),

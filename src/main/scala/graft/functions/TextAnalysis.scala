@@ -282,7 +282,7 @@ object TextAnalysis {
     // still drops to EOF (spec behavior: an unclosed comment comments
     // out the rest of the document).
     val noTrunc = regexp_replace(noComment,
-      "(?is)(<script(?![^>]*/>)[^>]*>|<style(?![^>]*/>)[^>]*>|<!--).*", " ")
+      "(?is)(<(?:script|style)(?![^>]*/>)[^>]*>|<!--).*", " ")
     val noTags = regexp_replace(noTrunc, "(?s)<[^>]+>", " ")
     val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
         "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")

@@ -26,8 +26,10 @@ object PlanLint {
 
   /** The plan as it would execute: exchanges inserted, AQE unwrapped to
     * its pre-execution initial plan. Codegen collapse may or may not have
-    * run (AQE defers it per stage) — matchers strip those wrappers. */
-  private def physicalPlan(df: DataFrame): SparkPlan =
+    * run (AQE defers it per stage) — matchers strip those wrappers.
+    * `private[graft]` so plan-shape specs share the unwrap instead of
+    * re-deriving the AdaptiveSparkPlanExec special case. */
+  private[graft] def physicalPlan(df: DataFrame): SparkPlan =
     df.queryExecution.executedPlan match {
       case a: AdaptiveSparkPlanExec => a.initialPlan
       case p                        => p

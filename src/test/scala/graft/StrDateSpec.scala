@@ -133,12 +133,7 @@ class StrDateSpec extends AnyFunSuite with SparkFixture {
     val chained = d.rollingTimeAggs(Seq(
       ("v", "sum", "a"), ("v", "count", "b"), ("v", "var", "c")),
       "1min", "ts", Seq("grp")).df
-    val phys = chained.queryExecution.executedPlan match {
-      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-        a.initialPlan
-      case p => p
-    }
-    val winNodes = phys.collect {
+    val winNodes = graft.plans.PlanLint.physicalPlan(chained).collect {
       case w: org.apache.spark.sql.execution.window.WindowExec => w
     }
     assert(winNodes.size == 1,
