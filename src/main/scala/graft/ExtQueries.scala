@@ -1926,6 +1926,22 @@ object ExtQueries {
         .orderBy("file")
     }),
 
+    // declarative data-quality gate (Checks): every row-local rule one
+    // agg term over ONE shared scan; Unique the only shuffle; RefIn a
+    // broadcastable anti-join. Exact violation counts on both engines.
+    "q_checks" -> ((s, dir) => {
+      val o = t(s, dir, "orders").df
+      val cust = t(s, dir, "customer").df
+      graft.operators.Checks.run(o, Seq(
+        graft.operators.Checks.NotNull("o_custkey"),
+        graft.operators.Checks.InRange("o_totalprice", 0.0, 300000.0),
+        graft.operators.Checks.Matches("o_orderpriority", "^[1-5]-"),
+        graft.operators.Checks.OneOf("o_orderstatus", Seq("F", "O")),
+        graft.operators.Checks.Unique(Seq("o_orderkey")),
+        graft.operators.Checks.Unique(Seq("o_custkey")),
+        graft.operators.Checks.RefIn("o_custkey", cust, "c_custkey")))
+    }),
+
     // one-pass corpus health report per language: volume (docs, tokens,
     // chars), length profile, source diversity, short-doc and exact-dup
     // counts (normalized-fingerprint distinct) — the "describe" of a
@@ -3887,6 +3903,46 @@ object ExtQueries {
                       coalesce(lang, chr(2)), coalesce(source, chr(2)),
                       coalesce(n_chars::VARCHAR, chr(2)))), 1, 15))::BIGINT::DECIMAL(38,0))::VARCHAR AS checksum
          FROM documents""",
+    // data-quality gate: one UNION ALL branch per rule, count(*) FILTER
+    // keeps every violation count BIGINT (sum would widen to HUGEINT);
+    // "column" is quoted (reserved word) but lands as the same name
+    "q_checks" ->
+      """WITH tot AS (SELECT count(*) AS total FROM orders)
+         SELECT rule, "column", violations, total, violations = 0 AS pass
+         FROM (
+           SELECT 'not_null' AS rule, 'o_custkey' AS "column",
+                  (SELECT count(*) FILTER (WHERE o_custkey IS NULL)
+                   FROM orders) AS violations
+           UNION ALL
+           SELECT 'in_range', 'o_totalprice',
+                  (SELECT count(*) FILTER (WHERE o_totalprice IS NOT NULL
+                     AND (o_totalprice < 0 OR o_totalprice > 300000))
+                   FROM orders)
+           UNION ALL
+           SELECT 'matches', 'o_orderpriority',
+                  (SELECT count(*) FILTER (WHERE o_orderpriority IS NOT NULL
+                     AND NOT regexp_matches(o_orderpriority, '^[1-5]-'))
+                   FROM orders)
+           UNION ALL
+           SELECT 'one_of', 'o_orderstatus',
+                  (SELECT count(*) FILTER (WHERE o_orderstatus IS NOT NULL
+                     AND o_orderstatus NOT IN ('F', 'O'))
+                   FROM orders)
+           UNION ALL
+           SELECT 'unique', 'o_orderkey',
+                  (SELECT coalesce(sum(n - 1), 0)::BIGINT FROM
+                    (SELECT count(*) AS n FROM orders GROUP BY o_orderkey) g)
+           UNION ALL
+           SELECT 'unique', 'o_custkey',
+                  (SELECT coalesce(sum(n - 1), 0)::BIGINT FROM
+                    (SELECT count(*) AS n FROM orders GROUP BY o_custkey) g)
+           UNION ALL
+           SELECT 'ref_in', 'o_custkey',
+                  (SELECT count(*) FROM orders
+                   WHERE o_custkey IS NOT NULL AND NOT EXISTS
+                     (SELECT 1 FROM customer WHERE c_custkey = o_custkey))
+         ) r, tot
+         ORDER BY rule, "column"""",
     "q_corpus_profile" ->
       """WITH d AS (SELECT lang, source, n_chars,
                            len(string_split(text, ' '))::BIGINT AS toks,

@@ -1,0 +1,132 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality constraint checking — the validation gate an
+  * ingest pipeline runs before data is allowed into a corpus (the same
+  * niche as the public Deequ/Great-Expectations concept, re-expressed
+  * Spark-first). Not in the reference (its surface has no validation
+  * story); designed for the 100 TB posture:
+  *
+  *  - every ROW-LOCAL rule (not-null, range, regex, value-set) compiles
+  *    to one `sum(when(violation, 1))` term, and ALL of them run in ONE
+  *    aggregate over ONE scan — map-side partial aggregation reduces the
+  *    corpus to a single row per executor before any exchange, so adding
+  *    a rule adds a projection term, never a pass;
+  *  - `Unique` is the one genuinely keyed rule: a groupBy on the key
+  *    columns (partial counts map-side) summing the surplus per
+  *    duplicated key — the only shuffle, sized by distinct keys;
+  *  - `RefIn` (referential integrity) is an anti-join against the
+  *    dimension — broadcast when the dimension is small (the planner's
+  *    choice), never a driver-side collect.
+  *
+  * Output is rules-sized (one row per rule), never corpus-sized:
+  * (rule, column, violations, total, pass). `run` is lazy — compose it,
+  * inspect the plan, then action it; a gate that aborts on failure is
+  * `require(run(df, rules).filter(!col("pass")).isEmpty)` at the call
+  * site, where the caller decides severity.
+  *
+  * Violation semantics (all exact, DuckDB-oracle-able):
+  *  - [[Checks.NotNull]]: rows where the column IS NULL;
+  *  - [[Checks.InRange]]: non-null values outside [lo, hi] (inclusive);
+  *  - [[Checks.Matches]]: non-null values the regex does NOT find in
+  *    (rlike semantics — anchor with ^...$ for a full match);
+  *  - [[Checks.OneOf]]: non-null values outside the allowed set;
+  *  - [[Checks.Unique]]: surplus rows per duplicated key tuple
+  *    (Σ max(cnt−1, 0) — 0 iff the columns form a key; SQL GROUP BY
+  *    null-equality applies to null keys on both engines);
+  *  - [[Checks.RefIn]]: non-null values with no match in the dimension
+  *    column (anti-join count; nulls are not violations — add NotNull
+  *    for that).
+  */
+object Checks {
+
+  sealed trait Rule {
+    /** Short stable label for the output row. */
+    def rule: String
+    /** Column (or comma-joined columns) the rule binds. */
+    def column: String
+  }
+  final case class NotNull(col: String) extends Rule {
+    def rule = "not_null"; def column = col
+  }
+  final case class InRange(col: String, lo: Double, hi: Double) extends Rule {
+    def rule = "in_range"; def column = col
+  }
+  final case class Matches(col: String, regex: String) extends Rule {
+    def rule = "matches"; def column = col
+  }
+  final case class OneOf(col: String, values: Seq[String]) extends Rule {
+    def rule = "one_of"; def column = col
+  }
+  final case class Unique(cols: Seq[String]) extends Rule {
+    def rule = "unique"; def column = cols.mkString(",")
+  }
+  final case class RefIn(col: String, dim: DataFrame, dimCol: String) extends Rule {
+    def rule = "ref_in"; def column = col
+  }
+
+  /** The row-local violation predicate for a rule, or None for the
+    * keyed/join rules. */
+  private def rowViolation(df: DataFrame, r: Rule): Option[Column] = r match {
+    case NotNull(c) => Some(df(c).isNull)
+    case InRange(c, lo, hi) =>
+      Some(df(c).isNotNull && (df(c) < lo || df(c) > hi))
+    case Matches(c, re) => Some(df(c).isNotNull && !df(c).rlike(re))
+    case OneOf(c, vs)   => Some(df(c).isNotNull && !df(c).isInCollection(vs))
+    case _              => None
+  }
+
+  /** Evaluate every rule; one output row per rule:
+    * (rule, column, violations, total, pass). Lazy. */
+  def run(df: DataFrame, rules: Seq[Rule]): DataFrame = {
+    require(rules.nonEmpty, "Checks.run needs at least one rule")
+    val spark = df.sparkSession
+    val total = count(lit(1)).as("total")
+
+    // every row-local rule is one agg term over ONE shared scan
+    val rowLocal = rules.zipWithIndex.collect {
+      case (r, i) if rowViolation(df, r).isDefined => (r, i)
+    }
+    val rowLocalOut: Option[DataFrame] =
+      if (rowLocal.isEmpty) None
+      else {
+        val terms = total +: rowLocal.map { case (r, i) =>
+          sum(when(rowViolation(df, r).get, 1L).otherwise(0L)).as(s"v$i")
+        }
+        val one = df.agg(terms.head, terms.tail: _*)
+        // pivot the single stats row to one row per rule — rules-sized,
+        // stack() is a projection over the 1-row aggregate
+        val stack = rowLocal.map { case (r, i) =>
+          s"'${r.rule}', '${r.column}', v$i"
+        }.mkString(", ")
+        Some(one.selectExpr("total",
+            s"stack(${rowLocal.size}, $stack) AS (rule, column, violations)")
+          .select(col("rule"), col("column"),
+            coalesce(col("violations"), lit(0L)).as("violations"), col("total")))
+      }
+
+    val keyed: Seq[DataFrame] = rules.collect {
+      case Unique(cols) =>
+        val surplus = df.groupBy(cols.map(df(_)): _*)
+          .agg(count(lit(1)).as("__n"))
+          .agg(coalesce(sum(col("__n") - 1L), lit(0L)).as("violations"))
+        surplus.crossJoin(df.agg(total))
+          .select(lit("unique").as("rule"),
+            lit(cols.mkString(",")).as("column"),
+            col("violations"), col("total"))
+      case RefIn(c, dim, dimCol) =>
+        val orphans = df.filter(df(c).isNotNull)
+          .join(dim.select(dim(dimCol).as(c)).distinct(), Seq(c), "left_anti")
+          .agg(count(lit(1)).as("violations"))
+        orphans.crossJoin(df.agg(total))
+          .select(lit("ref_in").as("rule"), lit(c).as("column"),
+            col("violations"), col("total"))
+    }
+
+    val all = (rowLocalOut.toSeq ++ keyed).reduce(_ unionByName _)
+    all.withColumn("pass", col("violations") === 0L)
+      .orderBy("rule", "column")
+  }
+}

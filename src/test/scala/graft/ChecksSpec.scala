@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Checks
+import graft.operators.Checks._
+
+class ChecksSpec extends AnyFunSuite with SparkFixture {
+
+  private def results(df: org.apache.spark.sql.DataFrame, rules: Seq[Rule]) =
+    Checks.run(df, rules).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+
+  test("every rule family counts exactly on a planted frame") {
+    val s = spark
+    import s.implicits._
+    val t = Seq(
+      (1L, Some(10.0), "1-HIGH", "F"),
+      (2L, Some(250.0), "2-LOW", "O"),
+      (2L, None, "9-BAD", "P"),   // dup key, null value, bad prio, bad status
+      (3L, Some(-5.0), "3-MED", "F"),
+      (3L, Some(999.0), "4-OK", "O")) // dup key, above range
+      .toDF("id", "amount", "prio", "status")
+    val dim = Seq(1L, 2L).toDF("dim_id") // 3 is an orphan
+    val got = results(t, Seq(
+      NotNull("amount"),
+      InRange("amount", 0.0, 500.0),
+      Matches("prio", "^[1-5]-"),
+      OneOf("status", Seq("F", "O")),
+      Unique(Seq("id")),
+      RefIn("id", dim, "dim_id")))
+    assert(got(("not_null", "amount")) == ((1L, 5L, false)))
+    assert(got(("in_range", "amount")) == ((2L, 5L, false))) // -5 and 999
+    assert(got(("matches", "prio")) == ((1L, 5L, false)))    // 9-BAD
+    assert(got(("one_of", "status")) == ((1L, 5L, false)))   // P
+    assert(got(("unique", "id")) == ((2L, 5L, false)))       // 2x2 + 3x2 -> 2 surplus
+    assert(got(("ref_in", "id")) == ((2L, 5L, false)))       // both id=3 rows orphan
+  }
+
+  test("clean data passes every rule; composite unique keys; run is lazy") {
+    val s = spark
+    import s.implicits._
+    val t = Seq((1L, 1, "a"), (1L, 2, "b"), (2L, 1, "c")).toDF("k1", "k2", "v")
+    val out = Checks.run(t, Seq(
+      NotNull("v"), Unique(Seq("k1", "k2")), OneOf("v", Seq("a", "b", "c"))))
+    // declaring the gate runs no job (compose it, inspect, then action)
+    val before = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    val out2 = Checks.run(t, Seq(NotNull("v")))
+    assert(spark.sparkContext.statusTracker.getJobIdsForGroup(null).length == before)
+    assert(out2.schema.fieldNames.toSeq ==
+      Seq("rule", "column", "violations", "total", "pass"))
+    val got = results(t, Nil match { case _ => Seq(
+      NotNull("v"), Unique(Seq("k1", "k2")), OneOf("v", Seq("a", "b", "c"))) })
+    assert(got.values.forall { case (v, tot, pass) => v == 0L && tot == 3L && pass })
+    assert(got.contains(("unique", "k1,k2")))
+    assert(out.filter(!col("pass")).isEmpty)
+  }
+
+  test("null keys group together in Unique; null refs are not RefIn violations") {
+    val s = spark
+    import s.implicits._
+    val t = Seq(Option(1L), None, None).toDF("k")
+    val got = results(t, Seq(Unique(Seq("k"))))
+    assert(got(("unique", "k"))._1 == 1L, "two null keys are one duplicated group")
+    val dim = Seq(1L).toDF("d")
+    val got2 = results(t, Seq(RefIn("k", dim, "d")))
+    assert(got2(("ref_in", "k"))._1 == 0L, "nulls are NotNull's job, not RefIn's")
+  }
+}
