@@ -1942,6 +1942,19 @@ object ExtQueries {
         graft.operators.Checks.RefIn("o_custkey", cust, "c_custkey")))
     }),
 
+    // row-level quality flags (Checks.flag): stateless projections that
+    // route bad rows instead of judging the corpus — the streaming-safe
+    // face of the gate (StreamingSpec runs it under writeStream)
+    "q_checks_flag" -> ((s, dir) => {
+      val o = t(s, dir, "orders").df
+      graft.operators.Checks.flag(o, Seq(
+          graft.operators.Checks.InRange("o_totalprice", 0.0, 300000.0),
+          graft.operators.Checks.OneOf("o_orderstatus", Seq("F", "O"))))
+        .select("o_orderkey", "in_range_o_totalprice_bad",
+          "one_of_o_orderstatus_bad", "row_bad")
+        .orderBy("o_orderkey")
+    }),
+
     // one-pass corpus health report per language: volume (docs, tokens,
     // chars), length profile, source diversity, short-doc and exact-dup
     // counts (normalized-fingerprint distinct) — the "describe" of a
@@ -3943,6 +3956,17 @@ object ExtQueries {
                      (SELECT 1 FROM customer WHERE c_custkey = o_custkey))
          ) r, tot
          ORDER BY rule, "column"""",
+    "q_checks_flag" ->
+      """SELECT o_orderkey,
+           (o_totalprice IS NOT NULL AND
+             (o_totalprice < 0 OR o_totalprice > 300000)) AS in_range_o_totalprice_bad,
+           (o_orderstatus IS NOT NULL AND
+             o_orderstatus NOT IN ('F', 'O')) AS one_of_o_orderstatus_bad,
+           ((o_totalprice IS NOT NULL AND
+             (o_totalprice < 0 OR o_totalprice > 300000)) OR
+            (o_orderstatus IS NOT NULL AND
+             o_orderstatus NOT IN ('F', 'O'))) AS row_bad
+         FROM orders ORDER BY o_orderkey""",
     "q_corpus_profile" ->
       """WITH d AS (SELECT lang, source, n_chars,
                            len(string_split(text, ' '))::BIGINT AS toks,

@@ -78,6 +78,31 @@ object Checks {
     case _              => None
   }
 
+  /** ROW-level face: append one boolean `<rule>_<column>_bad` flag per
+    * row-local rule plus a combined `row_bad`, leaving rows in place —
+    * the routing form (send `row_bad` to quarantine, the rest onward)
+    * vs [[run]]'s corpus-level verdict. Pure stateless projections, so
+    * it runs UNCHANGED inside `writeStream` (no state, no watermark);
+    * the keyed rules (Unique/RefIn) are corpus-level by nature and are
+    * rejected here — a streaming uniqueness gate is
+    * [[graft.streaming.StreamingOps.streamingDedup]]'s job. */
+  def flag(df: DataFrame, rules: Seq[Rule]): DataFrame = {
+    require(rules.nonEmpty, "Checks.flag needs at least one rule")
+    val flags = rules.map { r =>
+      val v = rowViolation(df, r).getOrElse(throw new IllegalArgumentException(
+        s"Checks.flag: '${r.rule}' is corpus-level (keyed/join) — row " +
+          "flags exist only for row-local rules; use Checks.run, or " +
+          "streamingDedup for uniqueness on a stream"))
+      v.as(s"${r.rule}_${r.column.replace(',', '_')}_bad")
+    }
+    val flagged = df.select(col("*") +: flags: _*)
+    // row_bad reads the emitted flag columns, so it agrees with them by
+    // construction
+    val bad = rules.map(r => col(s"${r.rule}_${r.column.replace(',', '_')}_bad"))
+      .reduce(_ || _)
+    flagged.withColumn("row_bad", bad)
+  }
+
   /** Evaluate every rule; one output row per rule:
     * (rule, column, violations, total, pass). Lazy. */
   def run(df: DataFrame, rules: Seq[Rule]): DataFrame = {

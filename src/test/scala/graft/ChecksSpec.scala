@@ -58,6 +58,32 @@ class ChecksSpec extends AnyFunSuite with SparkFixture {
     assert(out.filter(!col("pass")).isEmpty)
   }
 
+  test("flag: per-row routing flags agree with run's counts; keyed rules rejected") {
+    val s = spark
+    import s.implicits._
+    val t = Seq(
+      (1L, 10.0, "F"), (2L, 999.0, "O"), (3L, 50.0, "X"), (4L, -1.0, "X"))
+      .toDF("id", "amount", "status")
+    val rules: Seq[Rule] = Seq(
+      InRange("amount", 0.0, 500.0), OneOf("status", Seq("F", "O")))
+    val flagged = Checks.flag(t, rules)
+    assert(flagged.columns.toSeq == Seq("id", "amount", "status",
+      "in_range_amount_bad", "one_of_status_bad", "row_bad"))
+    val bad = flagged.filter(col("row_bad")).select("id")
+      .collect().map(_.getLong(0)).toSet
+    assert(bad == Set(2L, 3L, 4L))
+    // per-rule flag totals equal run()'s violation counts
+    val flagCounts = flagged.agg(
+        sum(col("in_range_amount_bad").cast("long")),
+        sum(col("one_of_status_bad").cast("long")))
+      .head()
+    val counts = results(t, rules)
+    assert(flagCounts.getLong(0) == counts(("in_range", "amount"))._1)
+    assert(flagCounts.getLong(1) == counts(("one_of", "status"))._1)
+    // corpus-level rules have no row flag
+    intercept[IllegalArgumentException](Checks.flag(t, Seq(Unique(Seq("id")))))
+  }
+
   test("null keys group together in Unique; null refs are not RefIn violations") {
     val s = spark
     import s.implicits._

@@ -453,6 +453,32 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("Checks.flag routes bad rows unchanged on a stream (stateless gate)") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import graft.operators.Checks
+    val rows = Seq((1L, 10.0, "F"), (2L, 999.0, "O"), (3L, 50.0, "X"))
+    def gate(df: org.apache.spark.sql.DataFrame) = Checks.flag(
+      df.toDF("id", "amount", "status"),
+      Seq(Checks.InRange("amount", 0.0, 500.0),
+        Checks.OneOf("status", Seq("F", "O"))))
+    val input = MemoryStream[(Long, Double, String)]
+    val q = gate(input.toDS().toDF())
+      .writeStream.format("memory").queryName("t_checks")
+      .outputMode("append").start()
+    try {
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      def shape(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getBoolean(3), r.getBoolean(4), r.getBoolean(5)))
+        .sortBy(_._1).toSeq
+      assert(shape(spark.table("t_checks")) == shape(gate(rows.toDF())),
+        "streamed flags must equal the batch face")
+      assert(shape(spark.table("t_checks")).map(_._4) == Seq(false, true, true))
+    } finally q.stop()
+  }
+
   test("readJsonQuarantine parsing runs unchanged on a stream (text + from_json)") {
     val s = spark
     import s.implicits._
