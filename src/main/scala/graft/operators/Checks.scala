@@ -134,20 +134,29 @@ object Checks {
 
     val keyed: Seq[DataFrame] = rules.collect {
       case Unique(cols) =>
-        val surplus = df.groupBy(cols.map(df(_)): _*)
+        // total == Σ group counts, so it rides the SAME aggregation —
+        // no 1-row cross join (which PlanLint rightly flags as a
+        // nested-loop join) and no second pass over the data
+        df.groupBy(cols.map(df(_)): _*)
           .agg(count(lit(1)).as("__n"))
-          .agg(coalesce(sum(col("__n") - 1L), lit(0L)).as("violations"))
-        surplus.crossJoin(df.agg(total))
+          .agg(coalesce(sum(col("__n") - 1L), lit(0L)).as("violations"),
+            coalesce(sum(col("__n")), lit(0L)).as("total"))
           .select(lit("unique").as("rule"),
             lit(cols.mkString(",")).as("column"),
             col("violations"), col("total"))
       case RefIn(c, dim, dimCol) =>
-        val orphans = df.filter(df(c).isNotNull)
-          .join(dim.select(dim(dimCol).as(c)).distinct(), Seq(c), "left_anti")
-          .agg(count(lit(1)).as("violations"))
-        orphans.crossJoin(df.agg(total))
+        // LEFT join against the hit-marked distinct dimension keeps
+        // every input row, so violations AND total come out of ONE
+        // keyed (broadcastable) join + aggregate
+        val marked = dim.select(dim(dimCol).as(c)).distinct()
+          .withColumn("__hit", lit(1))
+        df.join(marked, Seq(c), "left")
+          .agg(
+            sum(when(df(c).isNotNull && col("__hit").isNull, 1L)
+              .otherwise(0L)).as("violations"),
+            count(lit(1)).as("total"))
           .select(lit("ref_in").as("rule"), lit(c).as("column"),
-            col("violations"), col("total"))
+            coalesce(col("violations"), lit(0L)).as("violations"), col("total"))
     }
 
     val all = (rowLocalOut.toSeq ++ keyed).reduce(_ unionByName _)
