@@ -84,6 +84,30 @@ class ChecksSpec extends AnyFunSuite with SparkFixture {
     intercept[IllegalArgumentException](Checks.flag(t, Seq(Unique(Seq("id")))))
   }
 
+  test("plan shape: N row-local rules share ONE scan; RefIn broadcasts a small dim") {
+    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    val cust = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    // four row-local rules must compile to one aggregate over one scan —
+    // adding a rule adds a projection term, never a pass over the data
+    val rowLocal = Checks.run(orders, Seq(
+      NotNull("o_custkey"),
+      InRange("o_totalprice", 0.0, 300000.0),
+      Matches("o_orderpriority", "^[1-5]-"),
+      OneOf("o_orderstatus", Seq("F", "O"))))
+    val scans = graft.plans.PlanLint.physicalPlan(rowLocal).collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.size == 1,
+      s"4 row-local rules planned ${scans.size} scans, want 1")
+    // referential integrity against a small dimension is a broadcast
+    // join, never a shuffle of the fact side
+    val ref = Checks.run(orders, Seq(RefIn("o_custkey", cust, "c_custkey")))
+    val bhj = graft.plans.PlanLint.physicalPlan(ref).collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+    }
+    assert(bhj.nonEmpty, "RefIn against a small dim must broadcast")
+  }
+
   test("null keys group together in Unique; null refs are not RefIn violations") {
     val s = spark
     import s.implicits._
