@@ -51,7 +51,11 @@ object Checks {
   final case class NotNull(col: String) extends Rule {
     def rule = "not_null"; def column = col
   }
-  final case class InRange(col: String, lo: Double, hi: Double) extends Rule {
+  /** Bounds are `Any` literals on purpose: pass bounds of the COLUMN's
+    * type (Long for bigint, BigDecimal for decimal) and the comparison
+    * stays exact — Double bounds against a bigint column would promote
+    * to double and misclassify values beyond 2^53. */
+  final case class InRange(col: String, lo: Any, hi: Any) extends Rule {
     def rule = "in_range"; def column = col
   }
   final case class Matches(col: String, regex: String) extends Rule {
@@ -72,10 +76,23 @@ object Checks {
   private def rowViolation(df: DataFrame, r: Rule): Option[Column] = r match {
     case NotNull(c) => Some(df(c).isNull)
     case InRange(c, lo, hi) =>
-      Some(df(c).isNotNull && (df(c) < lo || df(c) > hi))
+      Some(df(c).isNotNull && (df(c) < lit(lo) || df(c) > lit(hi)))
     case Matches(c, re) => Some(df(c).isNotNull && !df(c).rlike(re))
     case OneOf(c, vs)   => Some(df(c).isNotNull && !df(c).isInCollection(vs))
     case _              => None
+  }
+
+  /** One flag name per row-local rule, in rule order — same-family
+    * duplicates on one column get a positional suffix so the emitted
+    * columns are unambiguous (`matches_email_bad`, `matches_email_bad_2`). */
+  private def flagNames(rules: Seq[Rule]): Seq[String] = {
+    val seen = scala.collection.mutable.Map.empty[String, Int]
+    rules.map { r =>
+      val base = s"${r.rule}_${r.column.replace(',', '_')}_bad"
+      val k = seen.getOrElse(base, 0) + 1
+      seen(base) = k
+      if (k == 1) base else s"${base}_$k"
+    }
   }
 
   /** ROW-level face: append one boolean `<rule>_<column>_bad` flag per
@@ -88,43 +105,55 @@ object Checks {
     * [[graft.streaming.StreamingOps.streamingDedup]]'s job. */
   def flag(df: DataFrame, rules: Seq[Rule]): DataFrame = {
     require(rules.nonEmpty, "Checks.flag needs at least one rule")
-    val flags = rules.map { r =>
+    val names = flagNames(rules)
+    // a quality gate must never silently shadow user data: collisions
+    // with existing columns (including a pre-existing row_bad) fail loudly
+    val clash = (names :+ "row_bad").toSet.intersect(df.columns.toSet)
+    require(clash.isEmpty,
+      s"Checks.flag: output column(s) ${clash.mkString(", ")} already " +
+        "exist on the input — rename them upstream")
+    val flags = rules.zip(names).map { case (r, name) =>
       val v = rowViolation(df, r).getOrElse(throw new IllegalArgumentException(
         s"Checks.flag: '${r.rule}' is corpus-level (keyed/join) — row " +
           "flags exist only for row-local rules; use Checks.run, or " +
           "streamingDedup for uniqueness on a stream"))
-      v.as(s"${r.rule}_${r.column.replace(',', '_')}_bad")
+      v.as(name)
     }
     val flagged = df.select(col("*") +: flags: _*)
-    // row_bad reads the emitted flag columns, so it agrees with them by
-    // construction
-    val bad = rules.map(r => col(s"${r.rule}_${r.column.replace(',', '_')}_bad"))
-      .reduce(_ || _)
-    flagged.withColumn("row_bad", bad)
+    // row_bad reads the emitted flag columns by their (unique) names,
+    // so it agrees with them by construction
+    flagged.withColumn("row_bad", names.map(col).reduce(_ || _))
   }
 
   /** Evaluate every rule; one output row per rule:
     * (rule, column, violations, total, pass). Lazy. */
   def run(df: DataFrame, rules: Seq[Rule]): DataFrame = {
     require(rules.nonEmpty, "Checks.run needs at least one rule")
-    val spark = df.sparkSession
     val total = count(lit(1)).as("total")
 
-    // every row-local rule is one agg term over ONE shared scan
-    val rowLocal = rules.zipWithIndex.collect {
-      case (r, i) if rowViolation(df, r).isDefined => (r, i)
+    // SQL single-quoted string literal: the rule/column labels reach the
+    // stack() expression as source text, so quotes and backslashes must
+    // be escaped — a column legally named `it's` must neither break
+    // parsing nor inject expression text into the plan
+    def sq(s: String): String =
+      "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+    // every row-local rule is one agg term over ONE shared scan; resolve
+    // each rule's predicate exactly once
+    val rowLocal = rules.zipWithIndex.flatMap { case (r, i) =>
+      rowViolation(df, r).map(v => (r, i, v))
     }
     val rowLocalOut: Option[DataFrame] =
       if (rowLocal.isEmpty) None
       else {
-        val terms = total +: rowLocal.map { case (r, i) =>
-          sum(when(rowViolation(df, r).get, 1L).otherwise(0L)).as(s"v$i")
+        val terms = total +: rowLocal.map { case (_, i, v) =>
+          sum(when(v, 1L).otherwise(0L)).as(s"v$i")
         }
         val one = df.agg(terms.head, terms.tail: _*)
         // pivot the single stats row to one row per rule — rules-sized,
         // stack() is a projection over the 1-row aggregate
-        val stack = rowLocal.map { case (r, i) =>
-          s"'${r.rule}', '${r.column}', v$i"
+        val stack = rowLocal.map { case (r, i, _) =>
+          s"${sq(r.rule)}, ${sq(r.column)}, v$i"
         }.mkString(", ")
         Some(one.selectExpr("total",
             s"stack(${rowLocal.size}, $stack) AS (rule, column, violations)")
@@ -147,12 +176,15 @@ object Checks {
       case RefIn(c, dim, dimCol) =>
         // LEFT join against the hit-marked distinct dimension keeps
         // every input row, so violations AND total come out of ONE
-        // keyed (broadcastable) join + aggregate
+        // keyed (broadcastable) join + aggregate. The marker is
+        // referenced through the `marked` frame (attribute identity,
+        // not name), so a fact-side column of the same name cannot make
+        // it ambiguous.
         val marked = dim.select(dim(dimCol).as(c)).distinct()
-          .withColumn("__hit", lit(1))
+          .withColumn("__graft_ref_hit", lit(1))
         df.join(marked, Seq(c), "left")
           .agg(
-            sum(when(df(c).isNotNull && col("__hit").isNull, 1L)
+            sum(when(df(c).isNotNull && marked("__graft_ref_hit").isNull, 1L)
               .otherwise(0L)).as("violations"),
             count(lit(1)).as("total"))
           .select(lit("ref_in").as("rule"), lit(c).as("column"),

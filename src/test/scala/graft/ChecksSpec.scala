@@ -51,8 +51,8 @@ class ChecksSpec extends AnyFunSuite with SparkFixture {
     assert(spark.sparkContext.statusTracker.getJobIdsForGroup(null).length == before)
     assert(out2.schema.fieldNames.toSeq ==
       Seq("rule", "column", "violations", "total", "pass"))
-    val got = results(t, Nil match { case _ => Seq(
-      NotNull("v"), Unique(Seq("k1", "k2")), OneOf("v", Seq("a", "b", "c"))) })
+    val got = results(t, Seq(
+      NotNull("v"), Unique(Seq("k1", "k2")), OneOf("v", Seq("a", "b", "c"))))
     assert(got.values.forall { case (v, tot, pass) => v == 0L && tot == 3L && pass })
     assert(got.contains(("unique", "k1,k2")))
     assert(out.filter(!col("pass")).isEmpty)
@@ -82,6 +82,39 @@ class ChecksSpec extends AnyFunSuite with SparkFixture {
     assert(flagCounts.getLong(1) == counts(("one_of", "status"))._1)
     // corpus-level rules have no row flag
     intercept[IllegalArgumentException](Checks.flag(t, Seq(Unique(Seq("id")))))
+  }
+
+  test("robustness: quoted names, long-exact bounds, flag collisions") {
+    val s = spark
+    import s.implicits._
+    // a column legally named with a quote neither breaks the stack
+    // parse nor injects expression text
+    val q = Seq((1, "x"), (2, null)).toDF("id", "it's")
+    val got = results(q, Seq(NotNull("it's")))
+    assert(got(("not_null", "it's")) == ((1L, 2L, false)))
+    // InRange bounds keep the column's type: 2^53 + 1 on a LONG column
+    // is misclassified under double promotion, exact under long bounds
+    val big = 9007199254740993L // 2^53 + 1
+    val longs = Seq(1L, big).toDF("v")
+    val exact = results(longs, Seq(InRange("v", 0L, big - 1L)))
+    assert(exact(("in_range", "v"))._1 == 1L,
+      "2^53+1 must violate an exact long bound of 2^53")
+    // same-family duplicate rules get suffixed, unambiguous flag names
+    val emails = Seq("a@b.com", "nope").toDF("email")
+    val ff = Checks.flag(emails, Seq(
+      Matches("email", "@"), Matches("email", "\\.com$")))
+    assert(ff.columns.toSeq == Seq("email", "matches_email_bad",
+      "matches_email_bad_2", "row_bad"))
+    assert(ff.filter(col("row_bad")).count() == 1)
+    // pre-existing output names fail loudly instead of shadowing data
+    val clash = Seq((1, false)).toDF("v", "row_bad")
+    intercept[IllegalArgumentException](
+      Checks.flag(clash, Seq(NotNull("v"))))
+    // a fact-side __graft_ref_hit-style marker collision cannot happen:
+    // the marker is referenced by attribute identity through the dim
+    val fact = Seq((1L, 1), (3L, 1)).toDF("k", "__graft_ref_hit")
+    val dim = Seq(1L).toDF("d")
+    assert(results(fact, Seq(RefIn("k", dim, "d")))(("ref_in", "k"))._1 == 1L)
   }
 
   test("plan shape: N row-local rules share ONE scan; RefIn broadcasts a small dim") {
