@@ -665,6 +665,17 @@ final class PsDataFrame(private var _df: DataFrame) extends scala.Dynamic {
       on: String, partitionBy: Seq[String]): PsDataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ns = PsDataFrame.durationNs(window)
+    // clash guard (same contract as Checks.flag): a spec output name that
+    // repeats or shadows an input column would silently produce a
+    // duplicate column name whose later references are ambiguous —
+    // unlike rollingAgg's withColumn, select(col("*") +: outs) does NOT
+    // replace, it appends
+    val outNames = specs.map(_._3)
+    require(outNames.distinct.size == outNames.size,
+      s"rollingTimeAggs: duplicate output names ${outNames.diff(outNames.distinct).distinct.mkString(", ")}")
+    val clash = outNames.filter(_df.columns.contains)
+    require(clash.isEmpty,
+      s"rollingTimeAggs: output name(s) ${clash.mkString(", ")} already exist as input columns; pick fresh names")
     require(_df.schema(on).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
       s"rollingTimeAgg: time axis '$on' must be numeric ns-since-epoch " +
         s"(see PsIO.readEventsNs), got ${_df.schema(on).dataType.simpleString}")
@@ -996,12 +1007,20 @@ object PsDataFrame {
       .getOrElse(throw new IllegalArgumentException(
         s"unparseable duration '$s' (expected <int><ms|s|min|h|d>)"))
     val n = m.group(1).toLong
-    m.group(2) match {
-      case "ms"  => n * 1000000L
-      case "s"   => n * 1000000000L
-      case "min" => n * 60L * 1000000000L
-      case "h"   => n * 3600L * 1000000000L
-      case "d"   => n * 86400L * 1000000000L
+    val perUnit = m.group(2) match {
+      case "ms"  => 1000000L
+      case "s"   => 1000000000L
+      case "min" => 60L * 1000000000L
+      case "h"   => 3600L * 1000000000L
+      case "d"   => 86400L * 1000000000L
+    }
+    // an unrepresentable duration (e.g. "106752d"+ in ns) must throw like
+    // an unparseable one — a silent Long wrap turns the RANGE frame's
+    // lower bound into a future offset and the windows go quietly wrong
+    try Math.multiplyExact(n, perUnit)
+    catch { case _: ArithmeticException =>
+      throw new IllegalArgumentException(
+        s"duration '$s' overflows the ns-since-epoch axis (max ~106751d)")
     }
   }
 

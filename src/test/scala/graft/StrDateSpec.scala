@@ -145,6 +145,20 @@ class StrDateSpec extends AnyFunSuite with SparkFixture {
     assert(PsDataFrame.durationNs("2h") == 7200000000000L)
     assert(PsDataFrame.durationNs("1d") == 86400000000000L)
     intercept[IllegalArgumentException](PsDataFrame.durationNs("5m"))
+    // overflow throws like unparseable input does — a silent Long wrap
+    // would flip the RANGE lower bound to a future offset (advisor r13)
+    assert(PsDataFrame.durationNs("106751d") > 0) // largest representable day count
+    intercept[IllegalArgumentException](PsDataFrame.durationNs("106752d"))
+    intercept[IllegalArgumentException](PsDataFrame.durationNs("9999999999999999d"))
+    // output-name clash guard: duplicate spec names and names shadowing
+    // input columns fail loudly instead of minting ambiguous duplicates
+    intercept[IllegalArgumentException] {
+      d.rollingTimeAggs(Seq(("v", "sum", "a"), ("v", "count", "a")),
+        "1min", "ts", Seq("grp"))
+    }
+    intercept[IllegalArgumentException] {
+      d.rollingTimeAggs(Seq(("v", "sum", "v")), "1min", "ts", Seq("grp"))
+    }
     // a non-numeric time axis fails loudly, pointing at readEventsNs
     val tsd = Seq(("a", java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1.0))
       .toDF("grp", "ts", "v")
