@@ -2384,6 +2384,31 @@ object ExtQueries {
         .orderBy("n_nationkey")
     }),
 
+    // schema-drift ingestion: two parquet generations of the same feed —
+    // gen2 adds a column (lang), drops one (n_regionkey), widens one
+    // (quality int -> double) and re-types one irreconcilably (meta
+    // string -> int). readParquetEvolved unifies them with per-generation
+    // cast discipline (null-fill absents, widen the lattice, stringify
+    // the conflict) — the oracle is DuckDB's union_by_name over the SAME
+    // files, which applies exactly these rules, so every cell of the
+    // drift semantics is hash-checked
+    "q_schema_drift" -> ((s, dir) => {
+      driftFixture(s, dir)
+      PsIO.readParquetEvolved(s, Seq(DriftGen1Dir, DriftGen2Dir),
+          PsIO.StringifyConflicts)
+        .df.orderBy("n_nationkey")
+    }),
+
+    // the drift ledger itself: one row per column with its disposition
+    // (stable / null_fill / widen / quarantine) and the per-generation
+    // types. Footer metadata only — the oracle is the PLANTED golden
+    // (the fixture's drift is constructed, so the ledger is closed-form)
+    "q_schema_drift_report" -> ((s, dir) => {
+      driftFixture(s, dir)
+      PsIO.parquetSchemaDrift(s, Seq(DriftGen1Dir, DriftGen2Dir))
+        .orderBy("column")
+    }),
+
     // keyed MERGE/upsert: base snapshot (doc_id < 400) + a change batch
     // (300-449: content refresh, every 10th a delete) -> next snapshot.
     // Deletes of absent keys (400-449 % 10) are no-ops, the MERGE rule
@@ -2446,6 +2471,8 @@ object ExtQueries {
   val OrcFixtureDir = "/root/repo/target/tmp/nation_orc"
   val JsonDirtyFixtureDir = "/root/repo/target/tmp/nation_jsonl_dirty"
   val ManifestFixtureDir = "/root/repo/target/tmp/documents_manifest"
+  val DriftGen1Dir = "/root/repo/target/tmp/nation_drift_gen1"
+  val DriftGen2Dir = "/root/repo/target/tmp/nation_drift_gen2"
 
   /** Write-once-per-process fixture creation, keyed by (kind, dir):
     * the ingestion queries must time the READ — re-writing the fixture
@@ -2466,6 +2493,27 @@ object ExtQueries {
         s.read.parquet(s"$dir/nation.parquet").orderBy("n_nationkey"),
         ArrowFixturePath)
     })
+  /** Two drifted generations of the nation feed (disjoint key ranges so
+    * the union's sort is deterministic): gen1 carries the original
+    * schema + an int quality counter + a string meta tag; gen2 (keys
+    * +25) drops n_regionkey, adds lang, widens quality to double, and
+    * re-types meta to int — one instance of every drift class the
+    * evolved reader must handle. */
+  private def driftFixture(s: SparkSession, dir: String): Unit =
+    fixturesDone.computeIfAbsent(s"drift:$dir", _ => {
+      val n = s.read.parquet(s"$dir/nation.parquet")
+      n.select(col("n_nationkey"), col("n_name"), col("n_regionkey"),
+          (col("n_nationkey") * 2).cast("int").as("quality"),
+          concat(lit("m"), col("n_nationkey")).as("meta"))
+        .coalesce(1).write.mode("overwrite").parquet(DriftGen1Dir)
+      n.select((col("n_nationkey") + 25).cast("int").as("n_nationkey"),
+          col("n_name"),
+          ((col("n_nationkey") + 25) * 3).cast("double").divide(lit(2.0)).as("quality"),
+          (col("n_nationkey") + 100).cast("int").as("meta"),
+          when(col("n_nationkey") % 2 === 0, "en").otherwise("de").as("lang"))
+        .coalesce(1).write.mode("overwrite").parquet(DriftGen2Dir)
+    })
+
   private def jsonDirtyFixture(s: SparkSession, dir: String): Unit =
     fixturesDone.computeIfAbsent(s"jsond:$dir", _ => {
       new java.io.File(JsonDirtyFixtureDir).mkdirs()
@@ -4126,6 +4174,29 @@ object ExtQueries {
           FROM read_json('$JsonDirtyFixtureDir/*.json',
                          format='newline_delimited', ignore_errors=true)
           WHERE n_nationkey IS NOT NULL ORDER BY n_nationkey""",
+    // DuckDB union_by_name over the same two generation directories
+    // applies the identical drift rules (null-fill absents, widen
+    // int->double, coerce the string/int conflict to varchar), so the
+    // evolved read is cell-for-cell comparable — no recomputation, both
+    // engines read the same parquet bytes
+    "q_schema_drift" ->
+      s"""SELECT n_nationkey, n_name, n_regionkey, quality, meta, lang
+          FROM read_parquet(['$DriftGen1Dir/*.parquet',
+                             '$DriftGen2Dir/*.parquet'], union_by_name=true)
+          ORDER BY n_nationkey""",
+    // the ledger is closed-form for the constructed fixture — planted
+    // golden (same pattern as the sketch/ANN probes): one row per
+    // column, dispositions pinned
+    "q_schema_drift_report" ->
+      """SELECT * FROM (VALUES
+           ('lang','null_fill','string','-,string'),
+           ('meta','quarantine','-','string,int'),
+           ('n_name','stable','string','string,string'),
+           ('n_nationkey','stable','int','int,int'),
+           ('n_regionkey','null_fill','int','int,-'),
+           ('quality','widen','double','int,double'))
+         AS t("column", action, unified_type, types_seen)
+         ORDER BY "column"""",
     "q_upsert" ->
       """WITH d AS (SELECT doc_id, lang, source, n_chars FROM documents),
          chg AS (SELECT doc_id, lang, source, n_chars + 1000 AS n_chars,

@@ -265,6 +265,121 @@ object PsIO {
     * plan caching; later queries reuse the in-memory columnar form. */
   def materialize(df: DataFrame): DataFrame = df.cache()
 
+  // ------------------------------------------------------------------
+  // Schema-drift ingestion: multi-generation parquet whose schemas have
+  // diverged (a multi-month crawl adds columns, widens counters, and
+  // occasionally re-types a field entirely). The reference infers its
+  // schema from the first 1,000 rows of one file (io.py:44-47); the
+  // distributed analogue of that hole is "the schema you inferred last
+  // month no longer matches this month's files". Spark's own
+  // mergeSchema option null-fills added columns but THROWS on any type
+  // change (int -> long included), so a drifting lake needs explicit
+  // cast discipline — that is what readParquetEvolved provides.
+
+  /** How [[readParquetEvolved]] treats a column whose generations
+    * disagree on a type that no lossless lattice covers. */
+  sealed trait ConflictPolicy
+  /** Shed the column from the unified frame (it stays visible in
+    * [[parquetSchemaDrift]]'s report — the quarantine ledger). */
+  case object DropConflicts extends ConflictPolicy
+  /** Carry the column as STRING — the universal supertype; matches
+    * DuckDB union_by_name's varchar coercion, so the result stays
+    * oracle-comparable. */
+  case object StringifyConflicts extends ConflictPolicy
+
+  import org.apache.spark.sql.types._
+
+  /** Lossless unification of one column's types across generations:
+    * equal types stand; all-integral widens to the largest; mixed
+    * integral/fractional widens to double (every int up to 2^53 — and
+    * every float — is exact there; a lake writing int64 row counts
+    * above 2^53 needs an explicit migration, not silent widening, so
+    * LongType + fractional still unifies to double by the same rule
+    * DuckDB union_by_name applies). Anything else is a conflict. */
+  private[graft] def unifyTypes(ts: Seq[DataType]): Option[DataType] = {
+    val integral: Seq[DataType] = Seq(ByteType, ShortType, IntegerType, LongType)
+    val fractional: Seq[DataType] = Seq(FloatType, DoubleType)
+    val distinct = ts.distinct
+    if (distinct.size == 1) Some(distinct.head)
+    else if (distinct.forall(integral.contains))
+      Some(integral(distinct.map(integral.indexOf).max))
+    else if (distinct.forall(t => integral.contains(t) || fractional.contains(t)))
+      Some(DoubleType)
+    else None
+  }
+
+  /** Read N parquet generations (path order = age order) into ONE frame
+    * under explicit drift discipline:
+    *   - columns missing from a generation are null-filled (DuckDB
+    *     union_by_name semantics);
+    *   - type drift along the lossless lattice (int widths, int->double)
+    *     is cast per generation BEFORE the union, so every scan keeps
+    *     its own pushdown/pruning and no mergeSchema footer-merge throw;
+    *   - irreconcilable re-types follow `conflicts`: dropped (default,
+    *     reported by [[parquetSchemaDrift]]) or carried as string.
+    * Column order is first-seen across generations. Scale shape: one
+    * driver-side footer read per generation (schema only — no data), a
+    * plain UNION of per-generation scans below; filters/projection on
+    * the result push into each scan independently. */
+  def readParquetEvolved(
+      spark: SparkSession,
+      paths: Seq[String],
+      conflicts: ConflictPolicy = DropConflicts): PsDataFrame = {
+    require(paths.nonEmpty, "readParquetEvolved: no generation paths")
+    val gens = paths.map(p => spark.read.parquet(p))
+    val schemas = gens.map(_.schema)
+    val names = scala.collection.mutable.LinkedHashSet[String]()
+    schemas.foreach(_.foreach(f => names += f.name))
+    val targets: Seq[(String, DataType)] = names.toSeq.flatMap { n =>
+      unifyTypes(schemas.flatMap(_.find(_.name == n)).map(_.dataType)) match {
+        case Some(t) => Some(n -> t)
+        case None => conflicts match {
+          case DropConflicts => None
+          case StringifyConflicts => Some(n -> StringType)
+        }
+      }
+    }
+    require(targets.nonEmpty,
+      s"readParquetEvolved: no unifiable columns across ${paths.mkString(", ")}")
+    val unified = gens.map { g =>
+      val have = g.schema.map(_.name).toSet
+      g.select(targets.map { case (n, t) =>
+        (if (have(n)) g(n).cast(t) else org.apache.spark.sql.functions.lit(null).cast(t)).as(n)
+      }: _*)
+    }.reduce(_.unionByName(_))
+    PsDataFrame(unified)
+  }
+
+  /** The drift ledger for [[readParquetEvolved]]: one row per column
+    * name seen in ANY generation, with its disposition —
+    *   action ∈ stable | null_fill (absent somewhere) | widen (lossless
+    *   lattice) | quarantine (irreconcilable; dropped under
+    *   DropConflicts, stringified under StringifyConflicts) —
+    * plus the unified type and the per-generation types in path order
+    * ("-" where absent). Driver-side footer metadata only (no data
+    * scan); emit it next to every evolved read so drift is a reviewed
+    * fact, not a silent cast. */
+  def parquetSchemaDrift(spark: SparkSession, paths: Seq[String]): DataFrame = {
+    require(paths.nonEmpty, "parquetSchemaDrift: no generation paths")
+    val schemas = paths.map(p => spark.read.parquet(p).schema)
+    val names = scala.collection.mutable.LinkedHashSet[String]()
+    schemas.foreach(_.foreach(f => names += f.name))
+    val rows = names.toSeq.map { n =>
+      val perGen = schemas.map(_.find(_.name == n).map(_.dataType))
+      val present = perGen.flatten
+      val unified = unifyTypes(present)
+      val action =
+        if (unified.isEmpty) "quarantine"
+        else if (present.map(_.simpleString).distinct.size > 1) "widen"
+        else if (perGen.exists(_.isEmpty)) "null_fill"
+        else "stable"
+      (n, action, unified.map(_.simpleString).getOrElse("-"),
+        perGen.map(_.map(_.simpleString).getOrElse("-")).mkString(","))
+    }
+    spark.createDataFrame(rows)
+      .toDF("column", "action", "unified_type", "types_seen")
+  }
+
   /** ORC in/out — same columnar posture as parquet (predicate pushdown,
     * column pruning, split-based parallelism), for pipelines whose
     * upstream lake is ORC. */

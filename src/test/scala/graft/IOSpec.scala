@@ -428,4 +428,59 @@ class IOSpec extends AnyFunSuite with SparkFixture {
       assert(!physical.take(scanAt).contains("HashAggregate"))
     } finally cached.unpersist()
   }
+
+  test("unifyTypes: lossless lattice, conflicts refused") {
+    import org.apache.spark.sql.types._
+    assert(PsIO.unifyTypes(Seq(IntegerType, IntegerType)).contains(IntegerType))
+    assert(PsIO.unifyTypes(Seq(ShortType, LongType)).contains(LongType))
+    assert(PsIO.unifyTypes(Seq(IntegerType, DoubleType)).contains(DoubleType))
+    assert(PsIO.unifyTypes(Seq(LongType, FloatType)).contains(DoubleType))
+    assert(PsIO.unifyTypes(Seq(StringType)).contains(StringType))
+    assert(PsIO.unifyTypes(Seq(StringType, IntegerType)).isEmpty)
+    assert(PsIO.unifyTypes(Seq(DateType, TimestampType)).isEmpty)
+    // nullability-only difference is not drift
+    assert(PsIO.unifyTypes(Seq(StringType, StringType)).contains(StringType))
+  }
+
+  test("readParquetEvolved: null-fill, widen, and both conflict policies") {
+    val base = Files.createTempDirectory("graft-drift").toString
+    val s = spark
+    import s.implicits._
+    Seq((1, 10, "m1"), (2, 20, "m2")).toDF("k", "q", "meta")
+      .write.parquet(s"$base/g1")
+    Seq((3, 4.5, 7, "en"), (4, 6.0, 8, "de")).toDF("k", "q", "meta", "lang")
+      .write.parquet(s"$base/g2")
+    val paths = Seq(s"$base/g1", s"$base/g2")
+
+    // DropConflicts (default): meta is shed, q widens, lang null-fills
+    val dropped = PsIO.readParquetEvolved(spark, paths).df
+    assert(dropped.columns.toSeq == Seq("k", "q", "lang"), "first-seen order, conflict shed")
+    assert(dropped.schema("q").dataType.typeName == "double")
+    val gotD = dropped.orderBy("k").collect()
+      .map(r => (r.getInt(0), r.getDouble(1), if (r.isNullAt(2)) null else r.getString(2)))
+    assert(gotD.toSeq == Seq((1, 10.0, null), (2, 20.0, null), (3, 4.5, "en"), (4, 6.0, "de")))
+
+    // StringifyConflicts: meta carried as string (universal supertype)
+    val kept = PsIO.readParquetEvolved(spark, paths, PsIO.StringifyConflicts).df
+    assert(kept.schema("meta").dataType.typeName == "string")
+    assert(kept.orderBy("k").select("meta").collect().map(_.getString(0)).toSeq
+      == Seq("m1", "m2", "7", "8"))
+
+    // drift ledger rows
+    val rep = PsIO.parquetSchemaDrift(spark, paths).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3))).toSet
+    assert(rep == Set(
+      ("k", "stable", "int", "int,int"),
+      ("q", "widen", "double", "int,double"),
+      ("meta", "quarantine", "-", "string,int"),
+      ("lang", "null_fill", "string", "-,string")))
+
+    // scale shape: a filter on the evolved read pushes into EACH
+    // generation's scan (no union barrier above the filters)
+    val filtered = PsIO.readParquetEvolved(spark, paths).df.filter(col("k") > 2)
+    val plan = filtered.queryExecution.executedPlan.toString
+    val pushes = "PushedFilters: \\[[^\\]]*GreaterThan\\(k,2\\)".r
+      .findAllIn(plan).size
+    assert(pushes == 2, s"expected the k>2 filter pushed to both generation scans:\n$plan")
+  }
 }

@@ -137,19 +137,66 @@ def measure_one(sfdir, query):
     return out
 
 
+def describe_failure(p):
+    """A diagnosable error record even when stderr is empty (a SIGKILLed
+    child — e.g. the host OOM killer — writes nothing): always capture
+    the returncode, and name the signal for negative codes. An empty
+    error string is never again the whole artifact."""
+    rec = {"returncode": p.returncode, "error": p.stderr.strip()[-2000:]}
+    if p.returncode < 0:
+        import signal as _sig
+        try:
+            name = _sig.Signals(-p.returncode).name
+        except ValueError:
+            name = f"signal {-p.returncode}"
+        rec["killed_by"] = name
+        if not rec["error"]:
+            rec["error"] = (f"child killed by {name} with empty stderr "
+                            f"(host-level kill, e.g. the OOM killer)")
+    elif not rec["error"]:
+        rec["error"] = f"child exited {p.returncode} with empty stderr"
+    return rec
+
+
 def main():
     sfdir, outpath = sys.argv[1], sys.argv[2]
-    if len(sys.argv) > 3:  # child mode: one query, print JSON line
+    if len(sys.argv) > 3 and not sys.argv[3].startswith("--"):
+        # child mode: one query, print JSON line
         print(json.dumps(measure_one(sfdir, sys.argv[3])))
         return
+    # --only=a,b re-measures a subset and MERGES into an existing outpath
+    # (for re-running one failed shape without repeating an hours-long
+    # sweep); optional --vmem-gib=N caps the child's address space so an
+    # over-memory engine dies with a Python MemoryError traceback instead
+    # of a silent host OOM kill. Set it to the box's physical RAM to keep
+    # the cap non-restrictive — it only converts "killed" into a message.
+    only = None
+    vmem_gib = None
+    for a in sys.argv[3:]:
+        if a.startswith("--only="):
+            only = a.split("=", 1)[1].split(",")
+        if a.startswith("--vmem-gib="):
+            vmem_gib = int(a.split("=", 1)[1])
     results = {}
-    for q in QUERIES:
+    if only and os.path.exists(outpath):
+        with open(outpath) as fh:
+            results = json.load(fh)["results"]
+    preexec = None
+    if vmem_gib is not None:
+        import resource
+
+        def preexec():
+            cap = vmem_gib * (1 << 30)
+            resource.setrlimit(resource.RLIMIT_AS, (cap, cap))
+    for q in (only or QUERIES):
         p = subprocess.run(
             [sys.executable, os.path.abspath(__file__), sfdir, "-", q],
-            capture_output=True, text=True, timeout=3600)
+            capture_output=True, text=True, timeout=3600, preexec_fn=preexec)
         if p.returncode != 0:
-            results[q] = {"error": p.stderr.strip()[-2000:]}
-            print(f"{q}: FAILED\n{p.stderr.strip()[-2000:]}", file=sys.stderr)
+            results[q] = describe_failure(p)
+            if vmem_gib is not None:
+                results[q]["vmem_cap_gib"] = vmem_gib
+            print(f"{q}: FAILED\n{results[q]['error']}", file=sys.stderr)
         else:
             line = p.stdout.strip().splitlines()[-1]
             results[q] = json.loads(line)
