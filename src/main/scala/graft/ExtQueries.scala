@@ -1939,7 +1939,12 @@ object ExtQueries {
         graft.operators.Checks.OneOf("o_orderstatus", Seq("F", "O")),
         graft.operators.Checks.Unique(Seq("o_orderkey")),
         graft.operators.Checks.Unique(Seq("o_custkey")),
-        graft.operators.Checks.RefIn("o_custkey", cust, "c_custkey")))
+        graft.operators.Checks.RefIn("o_custkey", cust, "c_custkey"),
+        // same dimension through the on-disk face (RefInParquet): the
+        // rule is a pure value (a path), resolved to a scan at run()
+        // time — emits a second identical ref_in row
+        graft.operators.Checks.RefInParquet(
+          "o_custkey", s"$dir/customer.parquet", "c_custkey")))
     }),
 
     // row-level quality flags (Checks.flag): stateless projections that
@@ -3998,6 +4003,13 @@ object ExtQueries {
                   (SELECT coalesce(sum(n - 1), 0)::BIGINT FROM
                     (SELECT count(*) AS n FROM orders GROUP BY o_custkey) g)
            UNION ALL
+           SELECT 'ref_in', 'o_custkey',
+                  (SELECT count(*) FROM orders
+                   WHERE o_custkey IS NOT NULL AND NOT EXISTS
+                     (SELECT 1 FROM customer WHERE c_custkey = o_custkey))
+           UNION ALL
+           -- the RefInParquet face checks the SAME dimension from disk:
+           -- a second, identical ref_in row
            SELECT 'ref_in', 'o_custkey',
                   (SELECT count(*) FROM orders
                    WHERE o_custkey IS NOT NULL AND NOT EXISTS

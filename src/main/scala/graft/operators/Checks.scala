@@ -70,6 +70,16 @@ object Checks {
   final case class RefIn(col: String, dim: DataFrame, dimCol: String) extends Rule {
     def rule = "ref_in"; def column = col
   }
+  /** [[RefIn]] with the dimension on disk — the common case: the
+    * reference table lives in the lake, not in memory. Resolved to a
+    * parquet scan at [[run]] time (the join still broadcasts when the
+    * dimension is small), which keeps the gate definition a pure value:
+    * a rule list of paths and bounds can sit in config, serialize to
+    * executors, or be diffed between pipeline versions — none of which
+    * a captured DataFrame allows. */
+  final case class RefInParquet(col: String, path: String, dimCol: String) extends Rule {
+    def rule = "ref_in"; def column = col
+  }
 
   /** The row-local violation predicate for a rule, or None for the
     * keyed/join rules. */
@@ -127,8 +137,14 @@ object Checks {
 
   /** Evaluate every rule; one output row per rule:
     * (rule, column, violations, total, pass). Lazy. */
-  def run(df: DataFrame, rules: Seq[Rule]): DataFrame = {
-    require(rules.nonEmpty, "Checks.run needs at least one rule")
+  def run(df: DataFrame, rawRules: Seq[Rule]): DataFrame = {
+    require(rawRules.nonEmpty, "Checks.run needs at least one rule")
+    // path-based dimensions resolve to scans here, once — everything
+    // downstream treats them as ordinary RefIn
+    val rules = rawRules.map {
+      case RefInParquet(c, p, d) => RefIn(c, df.sparkSession.read.parquet(p), d)
+      case r => r
+    }
     val total = count(lit(1)).as("total")
 
     // SQL single-quoted string literal: the rule/column labels reach the

@@ -141,6 +141,23 @@ class ChecksSpec extends AnyFunSuite with SparkFixture {
     assert(bhj.nonEmpty, "RefIn against a small dim must broadcast")
   }
 
+  test("RefInParquet: on-disk dimension counts like RefIn; flag still rejects it") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-refdim").toString + "/dim"
+    Seq(1L, 2L).toDF("dim_id").write.parquet(dir)
+    val t = Seq((1L, "a"), (3L, "b"), (3L, "c")).toDF("id", "v")
+    val got = results(t, Seq(RefInParquet("id", dir, "dim_id")))
+    assert(got(("ref_in", "id")) == ((2L, 3L, false)), "both id=3 rows orphan")
+    // the path face is a pure value: equal rules compare equal (a gate
+    // definition can be diffed between pipeline versions)
+    assert(RefInParquet("id", dir, "dim_id") == RefInParquet("id", dir, "dim_id"))
+    // row-local flag() rejects it like any keyed/join rule
+    intercept[IllegalArgumentException] {
+      Checks.flag(t, Seq(RefInParquet("id", dir, "dim_id")))
+    }
+  }
+
   test("null keys group together in Unique; null refs are not RefIn violations") {
     val s = spark
     import s.implicits._

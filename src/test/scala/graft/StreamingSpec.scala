@@ -848,6 +848,60 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
       s"candidate pairs after restart: $pairs")
   }
 
+  test("quality-gated stream restart == uninterrupted run (dedup state + flags survive)") {
+    // The production shape: streamingDedup (stateful, watermark-bounded)
+    // feeding Checks.flag (stateless row gate) into an exactly-once
+    // parquet sink. The differential kills the query after batch 0 and
+    // restarts from the checkpoint: a lost dedup state would let the
+    // post-restart duplicate of event 2 through (one extra flagged row),
+    // and a sink replay would duplicate batch-0 rows — either way the
+    // row multisets differ from the uninterrupted run.
+    import graft.operators.Checks
+    val s = spark
+    import s.implicits._
+    def gated(df: org.apache.spark.sql.DataFrame) = Checks.flag(
+      StreamingOps.streamingDedup(df, Seq("event_id"), "30 minutes"),
+      Seq(Checks.InRange("value", 0.0, 10.0),
+        Checks.OneOf("event_type", Seq("click", "view"))))
+    val batches = Seq(
+      Seq(ev(1, 0, 1, 2.0), ev(2, 1, 1, 99.0),              // 99.0 -> flagged
+        Event(3, ts(2), 2, "purchase", 1.0, "{}")),         // type -> flagged
+      Seq(ev(2, 3, 1, 99.0),                                // dup of pre-restart id 2
+        ev(4, 4, 2, 5.0)))
+    def run(stopAfter: Option[Int]): Seq[(Long, Double, String, Boolean, Boolean, Boolean)] = {
+      implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val root = java.nio.file.Files.createTempDirectory("graft-ck-gate").toString
+      val input = MemoryStream[Event]
+      def start() = gated(input.toDF())
+        .writeStream.format("parquet").option("path", s"$root/out")
+        .option("checkpointLocation", s"$root/ck").outputMode("append").start()
+      var q = start()
+      try {
+        batches.zipWithIndex.foreach { case (b, i) =>
+          input.addData(b)
+          q.processAllAvailable()
+          if (stopAfter.contains(i)) { q.stop(); q = start() }
+        }
+        q.processAllAvailable()
+      } finally q.stop()
+      spark.read.parquet(s"$root/out")
+        .select("event_id", "value", "event_type",
+          "in_range_value_bad", "one_of_event_type_bad", "row_bad")
+        .collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getString(2),
+          r.getBoolean(3), r.getBoolean(4), r.getBoolean(5)))
+        .sortBy(t => (t._1, t._2)).toSeq
+    }
+    val interrupted = run(stopAfter = Some(0))
+    val uninterrupted = run(stopAfter = None)
+    assert(interrupted == uninterrupted,
+      s"restart=$interrupted uninterrupted=$uninterrupted")
+    // shape sanity on the surviving rows: 4 uniques, flags as planted
+    assert(interrupted.map(_._1) == Seq(1L, 2L, 3L, 4L))
+    assert(interrupted.map(_._6) == Seq(false, true, true, false),
+      s"row_bad pattern: $interrupted")
+  }
+
   test("streamingDelta nets same-timestamp upsert+delete to the delete") {
     val s = spark
     import s.implicits._
