@@ -100,6 +100,66 @@ object ExtQueries {
     events(s, dir)
       .withColumn("cents", expr("CAST(round(value * 100) AS BIGINT)"))
 
+  /** Two deterministic corpus snapshots for the distribution-drift
+    * queries: `ref` is the documents table as-is; `cur` re-crawls it
+    * with French dropped and long docs truncated at 300 chars, so the
+    * `lang_tag` and `n_chars` dimensions drift for real while `source`
+    * stays near-uniform. Both sides null out zh in `lang_tag` to put
+    * mass in the z_null bin (null-rate drift is drift too). */
+  private def psiSides(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val d = t(s, dir, "documents").df
+      .withColumn("lang_tag", nullif(col("lang"), lit("zh")))
+    val cur = d.filter(col("lang") =!= "fr")
+      .withColumn("n_chars", least(col("n_chars"), lit(300L)))
+    (d, cur)
+  }
+
+  /** The drift dimensions: one numeric (explicit 100-char bins), one
+    * low-cardinality categorical exercising z_null + y_other (top=3 of
+    * the 4 non-null langs), and one wider categorical where top=8 of 20
+    * uniform sources collapses most of the mass into y_other — the
+    * cardinality-valve path. */
+  private val psiDims = Seq(
+    graft.operators.Drift.NumericDim("n_chars", Seq(100d, 200d, 300d, 400d, 500d)),
+    graft.operators.Drift.CategoricalDim("lang_tag", top = 3),
+    graft.operators.Drift.CategoricalDim("source", top = 8))
+
+  /** Shared CTE block for the drift oracles: the reference-side top sets
+    * (count desc, value asc — Drift.binExpr's tie-break) plus one
+    * (column, bin) cell relation per side, one UNION ALL branch per
+    * dimension in [[psiDims]]. Expects `base` (ref) and `cur` CTEs. */
+  private val psiCellCtes: String = {
+    def cells(side: String) =
+      s"""(SELECT 'n_chars' AS "column",
+                  CASE WHEN n_chars IS NULL THEN 'z_null'
+                       WHEN n_chars < 100 THEN 'b00'
+                       WHEN n_chars < 200 THEN 'b01'
+                       WHEN n_chars < 300 THEN 'b02'
+                       WHEN n_chars < 400 THEN 'b03'
+                       WHEN n_chars < 500 THEN 'b04'
+                       ELSE 'b05' END AS bin FROM $side
+           UNION ALL
+           SELECT 'lang_tag',
+                  CASE WHEN lang_tag IS NULL THEN 'z_null'
+                       WHEN lang_tag IN (SELECT v FROM top_lang)
+                         THEN 'v_' || lang_tag
+                       ELSE 'y_other' END FROM $side
+           UNION ALL
+           SELECT 'source',
+                  CASE WHEN source IS NULL THEN 'z_null'
+                       WHEN source IN (SELECT v FROM top_src)
+                         THEN 'v_' || source
+                       ELSE 'y_other' END FROM $side)"""
+    s"""top_lang AS (SELECT lang_tag AS v FROM base
+                     WHERE lang_tag IS NOT NULL
+                     GROUP BY 1 ORDER BY count(*) DESC, v LIMIT 3),
+          top_src AS (SELECT source AS v FROM base
+                      WHERE source IS NOT NULL
+                      GROUP BY 1 ORDER BY count(*) DESC, v LIMIT 8),
+          rcell AS ${cells("base")},
+          ccell AS ${cells("cur")}"""
+  }
+
   /** Planted image corpus for the image-dedup queries: one deterministic
     * 9x8-block pattern image per doc (block = one splitmix bit, rendered
     * 2x2 px) plus its downscaled twin under id+1000000. Block patterns of
@@ -1958,6 +2018,29 @@ object ExtQueries {
         .select("o_orderkey", "in_range_o_totalprice_bad",
           "one_of_o_orderstatus_bad", "row_bad")
         .orderBy("o_orderkey")
+    }),
+
+    // distribution-drift contingency (Drift.bins): exact per-(column,
+    // bin) counts across two snapshot sides — ONE scan per side (every
+    // dimension's bin label computed in the same projection, exploded,
+    // partially aggregated map-side), absent bins zero-filled. The
+    // fixture drifts for real: cur drops French and truncates long docs,
+    // so lang/n_chars move while source stays near-uniform; lang_tag
+    // nulls zh on both sides to put mass in the z_null bin
+    "q_drift_bins" -> ((s, dir) => {
+      val (ref, cur) = psiSides(s, dir)
+      graft.operators.Drift.bins(ref, cur, psiDims)
+        .orderBy("column", "bin")
+    }),
+
+    // the per-column PSI report over the same contingency: psi_bp =
+    // round(PSI*10000) as BIGINT, computed by a sequential fold over the
+    // SORTED cell list (partitioning-invariant float order) with add-one
+    // smoothing on exact integer counts — the oracle replays the
+    // identical term shape via DuckDB list_transform + list sum
+    "q_drift_report" -> ((s, dir) => {
+      val (ref, cur) = psiSides(s, dir)
+      graft.operators.Drift.report(ref, cur, psiDims)
     }),
 
     // one-pass corpus health report per language: volume (docs, tokens,
@@ -4027,6 +4110,66 @@ object ExtQueries {
             (o_orderstatus IS NOT NULL AND
              o_orderstatus NOT IN ('F', 'O'))) AS row_bad
          FROM orders ORDER BY o_orderkey""",
+    // distribution drift: DuckDB replays the engine's binning contract
+    // term-for-term — numeric CASE chain on explicit edges, categorical
+    // top sets computed from the REFERENCE side (count desc, value asc),
+    // z_null / y_other buckets, absent bins zero-filled via full outer
+    "q_drift_bins" ->
+      s"""WITH base AS (SELECT lang, source, n_chars,
+                               nullif(lang, 'zh') AS lang_tag FROM documents),
+          cur AS (SELECT lang, source, least(n_chars, 300) AS n_chars,
+                         lang_tag FROM base WHERE lang <> 'fr'),
+          $psiCellCtes,
+          rc AS (SELECT "column", bin, count(*) AS rn FROM rcell GROUP BY 1, 2),
+          cc AS (SELECT "column", bin, count(*) AS cn FROM ccell GROUP BY 1, 2)
+          SELECT coalesce(rc."column", cc."column") AS "column",
+                 coalesce(rc.bin, cc.bin) AS bin,
+                 coalesce(rn, 0)::BIGINT AS ref_n,
+                 coalesce(cn, 0)::BIGINT AS cur_n
+          FROM rc FULL OUTER JOIN cc
+            ON rc."column" = cc."column" AND rc.bin = cc.bin
+          ORDER BY 1, 2""",
+    // the PSI report: per-column totals + a sequential left-to-right
+    // fold over the bin-sorted cell list — list_transform + list_sum
+    // replays Spark's aggregate() recurrence bit-exactly (same term
+    // shape, same order); PSI terms are >= 0 so round() half-away-from-
+    // zero agrees in both engines, and psi_bp lands as exact BIGINT
+    "q_drift_report" ->
+      s"""WITH base AS (SELECT lang, source, n_chars,
+                               nullif(lang, 'zh') AS lang_tag FROM documents),
+          cur AS (SELECT lang, source, least(n_chars, 300) AS n_chars,
+                         lang_tag FROM base WHERE lang <> 'fr'),
+          $psiCellCtes,
+          rc AS (SELECT "column", bin, count(*) AS rn FROM rcell GROUP BY 1, 2),
+          cc AS (SELECT "column", bin, count(*) AS cn FROM ccell GROUP BY 1, 2),
+          b AS (SELECT coalesce(rc."column", cc."column") AS "column",
+                       coalesce(rc.bin, cc.bin) AS bin,
+                       coalesce(rn, 0)::BIGINT AS ref_n,
+                       coalesce(cn, 0)::BIGINT AS cur_n
+                FROM rc FULL OUTER JOIN cc
+                  ON rc."column" = cc."column" AND rc.bin = cc.bin),
+          percol AS (SELECT "column",
+                            sum(ref_n)::BIGINT AS ref_n,
+                            sum(cur_n)::BIGINT AS cur_n,
+                            count(*)::BIGINT AS bins,
+                            list(struct_pack(bin := bin, rn := ref_n,
+                                             cn := cur_n)
+                                 ORDER BY bin) AS cells
+                     FROM b GROUP BY 1)
+          SELECT "column", ref_n, cur_n, bins,
+                 round(list_sum(list_transform(cells, c ->
+                   ((c.rn + 1)::DOUBLE / (ref_n + bins)::DOUBLE
+                    - (c.cn + 1)::DOUBLE / (cur_n + bins)::DOUBLE)
+                   * ln(((c.rn + 1)::DOUBLE / (ref_n + bins)::DOUBLE)
+                        / ((c.cn + 1)::DOUBLE / (cur_n + bins)::DOUBLE))))
+                       * 10000)::BIGINT AS psi_bp,
+                 round(list_sum(list_transform(cells, c ->
+                   ((c.rn + 1)::DOUBLE / (ref_n + bins)::DOUBLE
+                    - (c.cn + 1)::DOUBLE / (cur_n + bins)::DOUBLE)
+                   * ln(((c.rn + 1)::DOUBLE / (ref_n + bins)::DOUBLE)
+                        / ((c.cn + 1)::DOUBLE / (cur_n + bins)::DOUBLE))))
+                       * 10000)::BIGINT >= 1000 AS drifted
+          FROM percol ORDER BY "column"""",
     "q_corpus_profile" ->
       """WITH d AS (SELECT lang, source, n_chars,
                            len(string_split(text, ' '))::BIGINT AS toks,

@@ -1,0 +1,139 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distribution-drift report between two corpus snapshots (e.g. last
+  * month's crawl vs this month's): per-column Population Stability
+  * Index over explicit bins, the standard monitoring metric for "did
+  * the data change under my pipeline" (Siddiqi, *Credit Risk
+  * Scorecards*, 2006 — public banking-monitoring practice; the same
+  * computation FineWeb-style corpus reports run per crawl dump).
+  *
+  * The reference engine has nothing here; this is pure §2.11 extension
+  * surface. Scale shape: ONE pass per side — every dimension's bin
+  * label is computed in the same projection, exploded, and partially
+  * aggregated map-side, so the shuffle per side is O(partitions ×
+  * Σbins), never O(rows); the joined contingency is Σbins rows (tiny)
+  * and all PSI math happens on it. No UDFs; the per-column PSI fold
+  * runs over a SORTED cell list (`sort_array` + `aggregate`), so the
+  * float sum order is deterministic under any partitioning/config —
+  * the same sequential-fold discipline the sketch-error oracles use.
+  *
+  * Binning contract (engine-replayable, so a DuckDB oracle can
+  * hash-match):
+  *  - numeric: bin index = count of edges <= x via a literal CASE
+  *    chain, label `b%02d`; nulls get their own `z_null` bin (null-rate
+  *    drift is drift);
+  *  - categorical: top-`top` categories by REFERENCE frequency (ties
+  *    broken by value) keep their own `v_<value>` bin, everything else
+  *    collapses into `y_other` — the cardinality valve that keeps a
+  *    10^9-value column from exploding the contingency. The top set is
+  *    computed from the reference side only (a bounded `top`-row
+  *    collect, like the ANN centroid indexes), so a brand-new category
+  *    in the current snapshot lands in `y_other` and still moves PSI.
+  *
+  * PSI uses add-one (Laplace) smoothing — p_i=(r_i+1)/(R+B),
+  * q_i=(c_i+1)/(C+B) over the B observed bins — so empty bins
+  * contribute finitely instead of ±∞; both engines replay the identical
+  * expression tree term-for-term on exact integer counts.
+  */
+object Drift {
+
+  sealed trait Dim { def column: String }
+
+  /** Explicit ascending bin edges; bin i = number of edges <= x. */
+  final case class NumericDim(column: String, edges: Seq[Double]) extends Dim {
+    require(edges.nonEmpty && edges.size < 100,
+      s"NumericDim($column): need 1..99 edges")
+    require(edges == edges.sorted && edges.distinct == edges,
+      s"NumericDim($column): edges must be strictly ascending")
+  }
+
+  /** Categories bounded to the reference side's `top` most frequent. */
+  final case class CategoricalDim(column: String, top: Int = 50) extends Dim {
+    require(top >= 1 && top <= 10000,
+      s"CategoricalDim($column): top must be in 1..10000")
+  }
+
+  private val NullLabel = "z_null"
+
+  /** The bin-label expression for one dimension. Categorical top sets
+    * are resolved against `ref` here (one bounded aggregate per
+    * categorical dim — eager, like the ANN codebook builds). */
+  private def binExpr(ref: DataFrame, dim: Dim): Column = dim match {
+    case NumericDim(c, edges) =>
+      val x = col(c).cast("double")
+      val chain = edges.zipWithIndex.foldLeft(when(col(c).isNull, lit(NullLabel))) {
+        case (acc, (e, i)) => acc.when(x < lit(e), lit(f"b$i%02d"))
+      }
+      chain.otherwise(lit(f"b${edges.size}%02d"))
+    case CategoricalDim(c, top) =>
+      val topVals = ref.filter(col(c).isNotNull)
+        .groupBy(col(c).cast("string").as("v")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("v").asc)
+        .limit(top).collect().map(_.getString(0)).toSeq
+      when(col(c).isNull, lit(NullLabel))
+        .when(col(c).cast("string").isin(topVals: _*),
+          concat(lit("v_"), col(c).cast("string")))
+        .otherwise(lit("y_other"))
+  }
+
+  /** One side's contingency: (column, bin, n) in ONE scan — all dims
+    * projected into (column, bin) structs, exploded, partially
+    * aggregated before the only shuffle. */
+  private def sideCounts(df: DataFrame, binExprs: Seq[(String, Column)],
+                         n: String): DataFrame =
+    df.select(explode(array(binExprs.map { case (name, b) =>
+        struct(lit(name).as("column"), b.as("bin"))
+      }: _*)).as("cell"))
+      .groupBy(col("cell.column").as("column"), col("cell.bin").as("bin"))
+      .agg(count(lit(1)).as(n))
+
+  /** The exact per-bin contingency across both snapshots:
+    * (column, bin, ref_n, cur_n), absent bins zero-filled. Integer
+    * counts only — the fully-exact face (q_drift_bins). */
+  def bins(ref: DataFrame, cur: DataFrame, dims: Seq[Dim]): DataFrame = {
+    require(dims.nonEmpty, "Drift.bins: at least one dimension")
+    require(dims.map(_.column).distinct.size == dims.size,
+      "Drift.bins: duplicate dimension columns")
+    val exprs = dims.map(d => d.column -> binExpr(ref, d))
+    val r = sideCounts(ref, exprs, "rn")
+    val c = sideCounts(cur, exprs, "cn")
+    r.join(c, Seq("column", "bin"), "full_outer")
+      .select(col("column"), col("bin"),
+        coalesce(col("rn"), lit(0L)).as("ref_n"),
+        coalesce(col("cn"), lit(0L)).as("cur_n"))
+  }
+
+  /** Per-column drift summary: (column, ref_n, cur_n, bins, psi_bp,
+    * drifted). `psi_bp` is PSI in basis points (round(psi*10000), a
+    * BIGINT both engines agree on); `drifted` pins psi_bp >= threshold.
+    * Conventional thresholds: 1000 bp (0.10) = investigate, 2500 bp
+    * (0.25) = significant shift. */
+  def report(ref: DataFrame, cur: DataFrame, dims: Seq[Dim],
+             psiBpThreshold: Long = 1000L): DataFrame = {
+    val cells = bins(ref, cur, dims)
+    // per column: totals + the SORTED cell list the PSI fold runs over
+    // (sorted -> the float sum order is partitioning-invariant)
+    val perCol = cells.groupBy("column").agg(
+      sum("ref_n").as("ref_n"),
+      sum("cur_n").as("cur_n"),
+      count(lit(1)).cast("long").as("bins"),
+      sort_array(collect_list(struct(col("bin"), col("ref_n").as("rn"),
+        col("cur_n").as("cn")))).as("cells"))
+    // psi = Σ (p-q)·ln(p/q), p=(rn+1)/(R+B), q=(cn+1)/(C+B) — one
+    // sequential fold, identical term shape to the DuckDB replay
+    val psi = aggregate(col("cells"), lit(0.0d), (acc, cell) => {
+      val p = (cell.getField("rn") + lit(1L)).cast("double") /
+        (col("ref_n") + col("bins")).cast("double")
+      val q = (cell.getField("cn") + lit(1L)).cast("double") /
+        (col("cur_n") + col("bins")).cast("double")
+      acc + (p - q) * log(p / q)
+    })
+    perCol.select(col("column"), col("ref_n"), col("cur_n"), col("bins"),
+        round(psi * lit(10000.0d)).cast("long").as("psi_bp"))
+      .withColumn("drifted", col("psi_bp") >= lit(psiBpThreshold))
+      .orderBy("column")
+  }
+}

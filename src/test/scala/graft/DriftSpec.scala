@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Drift
+import graft.operators.Drift.{CategoricalDim, NumericDim}
+
+class DriftSpec extends AnyFunSuite with SparkFixture {
+
+  private def refCur() = {
+    val s = spark
+    import s.implicits._
+    // ref: 6 rows over 2 numeric bins + 3 categories; cur shifts the
+    // numeric mass up, introduces a BRAND-NEW category and nulls
+    val ref = Seq(
+      (1L, 10.0, "a"), (2L, 20.0, "a"), (3L, 30.0, "a"),
+      (4L, 40.0, "b"), (5L, 50.0, "b"), (6L, 60.0, "c"))
+      .toDF("id", "x", "k")
+    val cur = Seq(
+      (1L, Some(110.0), Some("a")), (2L, Some(120.0), Some("d")),
+      (3L, Some(130.0), Some("d")), (4L, None, None))
+      .toDF("id", "x", "k")
+    (ref, cur)
+  }
+
+  test("numeric binning: edge semantics (count of edges <= x) and null bin") {
+    val (ref, cur) = refCur()
+    val dims = Seq(NumericDim("x", Seq(25.0, 100.0)): Drift.Dim)
+    val got = Drift.bins(ref, cur, dims).collect()
+      .map(r => r.getString(1) -> ((r.getLong(2), r.getLong(3)))).toMap
+    // ref: 10,20 < 25 -> b00; 30,40,50,60 in [25,100) -> b01; cur: all
+    // non-null >= 100 -> b02; one null -> z_null
+    assert(got == Map(
+      "b00" -> ((2L, 0L)), "b01" -> ((4L, 0L)),
+      "b02" -> ((0L, 3L)), "z_null" -> ((0L, 1L))))
+  }
+
+  test("categorical: top set from the REFERENCE side; new category -> y_other") {
+    val (ref, cur) = refCur()
+    val dims = Seq(CategoricalDim("k", top = 2): Drift.Dim)
+    val got = Drift.bins(ref, cur, dims).collect()
+      .map(r => r.getString(1) -> ((r.getLong(2), r.getLong(3)))).toMap
+    // ref top-2 by freq (ties by value): a(3), b(2). c -> y_other on the
+    // ref side; cur's brand-new d (unseen in ref) also lands in y_other,
+    // and the cur null goes to z_null.
+    assert(got == Map(
+      "v_a" -> ((3L, 1L)), "v_b" -> ((2L, 0L)),
+      "y_other" -> ((1L, 2L)), "z_null" -> ((0L, 1L))))
+  }
+
+  test("report: PSI finite with empty bins, non-negative, identical-side PSI is 0") {
+    val (ref, cur) = refCur()
+    val dims: Seq[Drift.Dim] = Seq(
+      NumericDim("x", Seq(25.0, 100.0)), CategoricalDim("k", top = 2))
+    val rep = Drift.report(ref, cur, dims, psiBpThreshold = 1000L).collect()
+      .map(r => r.getString(0) -> ((r.getLong(4), r.getBoolean(5)))).toMap
+    assert(rep.keySet == Set("x", "k"))
+    assert(rep.values.forall { case (bp, _) => bp >= 0L })
+    // total numeric displacement: every cur row left the ref bins
+    assert(rep("x")._1 > 2500L && rep("x")._2)
+    // same frame on both sides -> every smoothed p equals q -> PSI 0
+    val same = Drift.report(ref, ref, dims).collect()
+    assert(same.forall(r => r.getLong(4) == 0L && !r.getBoolean(5)))
+  }
+
+  test("report is partitioning-invariant (sorted sequential fold)") {
+    val (ref, cur) = refCur()
+    val dims: Seq[Drift.Dim] = Seq(
+      NumericDim("x", Seq(25.0, 100.0)), CategoricalDim("k", top = 2))
+    val a = Drift.report(ref.repartition(1), cur.repartition(1), dims).collect()
+    val b = Drift.report(ref.repartition(7), cur.repartition(7), dims).collect()
+    assert(a.map(_.toString).sorted.sameElements(b.map(_.toString).sorted))
+  }
+
+  test("API guards: bad edges, duplicate dims, empty dims") {
+    val (ref, cur) = refCur()
+    intercept[IllegalArgumentException](NumericDim("x", Seq(2.0, 1.0)))
+    intercept[IllegalArgumentException](NumericDim("x", Seq(1.0, 1.0)))
+    intercept[IllegalArgumentException](NumericDim("x", Nil))
+    intercept[IllegalArgumentException](CategoricalDim("k", top = 0))
+    intercept[IllegalArgumentException](
+      Drift.bins(ref, cur, Seq(CategoricalDim("k"), CategoricalDim("k"))))
+    intercept[IllegalArgumentException](Drift.bins(ref, cur, Nil))
+  }
+
+  test("scale shape: one shuffle per side, contingency join stays tiny") {
+    val (ref, cur) = refCur()
+    val dims: Seq[Drift.Dim] = Seq(
+      NumericDim("x", Seq(25.0, 100.0)), CategoricalDim("k", top = 2))
+    val plan = Drift.bins(ref, cur, dims).queryExecution.executedPlan.toString
+    // the per-side aggregate must partial-aggregate before its exchange
+    // (map-side combine caps the shuffle at O(partitions x bins))
+    assert("HashAggregate".r.findAllIn(plan).size >= 4,
+      s"expected partial+final aggregates per side in:\n$plan")
+  }
+}
