@@ -174,8 +174,12 @@ object Bench {
     // manual re-time (BENCH_r12/r13 each recorded a 3-4× environment-
     // inflated tail number that cost a judging session to adjudicate).
     val canaryName = "b_order"
+    // a retime/canary child is spawned with a SINGLE-query only-set (the
+    // recursion guard); a multi-query subset sweep (e.g. the b_* shapes
+    // at sf1, whose table dir lacks the q_* fixtures) still gets the
+    // full canary + clean-JVM re-time attribution
     val canaryEnabled =
-      only.isEmpty && !sys.env.contains("SPARK_GRAFT_NO_RETIME")
+      only.size != 1 && !sys.env.contains("SPARK_GRAFT_NO_RETIME")
     val canaryStart =
       if (canaryEnabled) retimeInFreshJvm(canaryName, sfDir) else None
     for (name <- SparkEntry.queries.keys.toSeq.sorted
@@ -209,13 +213,13 @@ object Bench {
     // still inflates late heavy queries ~3× (see retimeInFreshJvm). Every
     // query over the threshold is re-timed in a fresh JVM and that number
     // is the AUTHORITATIVE one; the sweep's is kept under "insweep" for
-    // the drift audit. Skipped in only-mode (a child IS the clean JVM —
-    // also the recursion guard) and via SPARK_GRAFT_NO_RETIME=1.
+    // the drift audit. Skipped for single-query only-mode (that child IS
+    // the clean JVM — the recursion guard) and via SPARK_GRAFT_NO_RETIME=1.
     val retimeThreshold =
       sys.env.getOrElse("SPARK_GRAFT_RETIME_THRESHOLD", "2.0").toDouble
     val insweep = scala.collection.mutable.LinkedHashMap[String, Double]()
     val retimeFailed = scala.collection.mutable.ArrayBuffer[String]()
-    if (only.isEmpty && !sys.env.contains("SPARK_GRAFT_NO_RETIME")) {
+    if (only.size != 1 && !sys.env.contains("SPARK_GRAFT_NO_RETIME")) {
       for ((name, t) <- times.toSeq if t > retimeThreshold) {
         retimeInFreshJvm(name, sfDir) match {
           case Some(clean) =>

@@ -101,8 +101,15 @@ def run_shape(mod, tables, query):
     raise ValueError(query)
 
 
-def measure_one(sfdir, query):
-    """Time one query under both engines in this process. Returns dict."""
+def measure_one(sfdir, query, engines=("pandas", "pandasql")):
+    """Time one query under the requested engines in this process.
+
+    The two engines run in sequence by default, so a pandas failure used
+    to leave pandaSQL untested for that shape (the sf1 b_big_join_select
+    record conflated "the pandas stage died" with "both engines failed").
+    `engines=("pandasql",)` skips the pandas run_shape — the parquet load
+    via pandas stays, since pandaSQL ingests from pandas frames — so the
+    SQLite engine gets its own verdict. Returns dict."""
     needed = {"orders", "customer"}
     if query == "b_big_join_select":
         needed = {"supplier", "customer"}
@@ -114,26 +121,28 @@ def measure_one(sfdir, query):
     import pandas
     t0 = time.time()
     pdf = load_pandas(sfdir, needed)
-    out["pandas_read"] = time.time() - t0
-    t0 = time.time()
-    r = run_shape(pandas, pdf, query)
-    str(r)  # force, as the reference harness does
-    out["pandas_run"] = time.time() - t0
-    out["rows_pandas"] = int(len(r))
-    del r
+    if "pandas" in engines:
+        out["pandas_read"] = time.time() - t0
+        t0 = time.time()
+        r = run_shape(pandas, pdf, query)
+        str(r)  # force, as the reference harness does
+        out["pandas_run"] = time.time() - t0
+        out["rows_pandas"] = int(len(r))
+        del r
 
-    sys.path.insert(0, HERE)       # psutil stub
-    sys.path.insert(0, REFERENCE)  # the reference package itself
-    os.environ.setdefault("PANDASQL_OFFLOADING", "ALWAYS")
-    import pandasql
-    t0 = time.time()
-    pstables = {n: pandasql.DataFrame(df) for n, df in pdf.items()}
-    out["pandasql_read"] = time.time() - t0
-    t0 = time.time()
-    r = run_shape(pandasql, pstables, query)
-    str(r)  # triggers SQLite ingest + SQL execution + result readback
-    out["pandasql_run"] = time.time() - t0
-    out["rows_pandasql"] = int(len(r.result))
+    if "pandasql" in engines:
+        sys.path.insert(0, HERE)       # psutil stub
+        sys.path.insert(0, REFERENCE)  # the reference package itself
+        os.environ.setdefault("PANDASQL_OFFLOADING", "ALWAYS")
+        import pandasql
+        t0 = time.time()
+        pstables = {n: pandasql.DataFrame(df) for n, df in pdf.items()}
+        out["pandasql_read"] = time.time() - t0
+        t0 = time.time()
+        r = run_shape(pandasql, pstables, query)
+        str(r)  # triggers SQLite ingest + SQL execution + result readback
+        out["pandasql_run"] = time.time() - t0
+        out["rows_pandasql"] = int(len(r.result))
     return out
 
 
@@ -162,7 +171,11 @@ def main():
     sfdir, outpath = sys.argv[1], sys.argv[2]
     if len(sys.argv) > 3 and not sys.argv[3].startswith("--"):
         # child mode: one query, print JSON line
-        print(json.dumps(measure_one(sfdir, sys.argv[3])))
+        engines = ("pandas", "pandasql")
+        for a in sys.argv[4:]:
+            if a.startswith("--engine="):
+                engines = tuple(a.split("=", 1)[1].split(","))
+        print(json.dumps(measure_one(sfdir, sys.argv[3], engines)))
         return
     # --only=a,b re-measures a subset and MERGES into an existing outpath
     # (for re-running one failed shape without repeating an hours-long
@@ -172,11 +185,17 @@ def main():
     # the cap non-restrictive — it only converts "killed" into a message.
     only = None
     vmem_gib = None
+    engine = None      # --engine=pandasql: single-engine re-measure, MERGED
+    timeout_s = 3600   # --timeout-s=N: child wall cap, recorded on expiry
     for a in sys.argv[3:]:
         if a.startswith("--only="):
             only = a.split("=", 1)[1].split(",")
         if a.startswith("--vmem-gib="):
             vmem_gib = int(a.split("=", 1)[1])
+        if a.startswith("--engine="):
+            engine = a.split("=", 1)[1]
+        if a.startswith("--timeout-s="):
+            timeout_s = int(a.split("=", 1)[1])
     results = {}
     if only and os.path.exists(outpath):
         with open(outpath) as fh:
@@ -189,20 +208,48 @@ def main():
             cap = vmem_gib * (1 << 30)
             resource.setrlimit(resource.RLIMIT_AS, (cap, cap))
     for q in (only or QUERIES):
-        p = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), sfdir, "-", q],
-            capture_output=True, text=True, timeout=3600, preexec_fn=preexec)
-        if p.returncode != 0:
-            results[q] = describe_failure(p)
+        cmd = [sys.executable, os.path.abspath(__file__), sfdir, "-", q]
+        if engine:
+            cmd.append(f"--engine={engine}")
+        try:
+            p = subprocess.run(cmd, capture_output=True, text=True,
+                               timeout=timeout_s, preexec_fn=preexec)
+        except subprocess.TimeoutExpired:
+            p = None
+        # single-engine re-measures MERGE into the query's existing record
+        # (the dual-engine pass's fields, incl. a pandas failure, survive);
+        # full runs replace it.
+        if engine and q in results and isinstance(results[q], dict):
+            rec = results[q]
+        else:
+            rec = results[q] = {}
+        if p is None:
+            failure = {"returncode": None,
+                       "error": f"child exceeded --timeout-s={timeout_s}s wall cap"}
+        elif p.returncode != 0:
+            failure = describe_failure(p)
+        else:
+            failure = None
+        if failure is not None:
             if vmem_gib is not None:
-                results[q]["vmem_cap_gib"] = vmem_gib
-            print(f"{q}: FAILED\n{results[q]['error']}", file=sys.stderr)
+                failure["vmem_cap_gib"] = vmem_gib
+            if engine:
+                rec[f"{engine}_failure"] = failure
+            else:
+                rec.clear()
+                rec.update(failure)
+            print(f"{q}: FAILED\n{failure['error']}", file=sys.stderr)
         else:
             line = p.stdout.strip().splitlines()[-1]
-            results[q] = json.loads(line)
-            r = results[q]
-            print(f"{q}: pandas {r['pandas_run']:.3f}s  "
-                  f"pandaSQL {r['pandasql_run']:.3f}s  rows={r['rows_pandasql']}")
+            rec.update(json.loads(line))
+            if engine:
+                rec.pop(f"{engine}_failure", None)
+                print(f"{q} ({engine} only): " + "  ".join(
+                    f"{k}={v:.3f}s" if isinstance(v, float) else f"{k}={v}"
+                    for k, v in json.loads(line).items() if k != "query"))
+            else:
+                print(f"{q}: pandas {rec['pandas_run']:.3f}s  "
+                      f"pandaSQL {rec['pandasql_run']:.3f}s  rows={rec['rows_pandasql']}")
     with open(outpath, "w") as fh:
         json.dump({"sfdir": sfdir, "engines": ["pandas", "pandaSQL"],
                    "protocol": "reference run_benchmark.py:154-213 (read/run split, str() forces)",
