@@ -115,4 +115,45 @@ class FfmpegCodecSpec extends AnyFunSuite with SparkFixture {
       }
     }
   }
+
+  test("fake ffmpeg: a failing decode quarantines the ROW, not the task") {
+    val dir = Files.createTempDirectory("graft-ffmpeg-fail")
+    val fixture = dir.resolve("fixture.wav")
+    Files.write(fixture, wavBytes(1, 16000, 16000))
+    // fake ffmpeg with a corruption model: payloads under 200 bytes fail
+    // (exit 1, like a real truncated mp3), larger ones decode to the
+    // canned wav — so one batch exercises BOTH sides of the quarantine
+    val script = dir.resolve("ffmpeg")
+    Files.writeString(script,
+      s"""#!/bin/sh
+         |in=""; prev=""; last=""
+         |for a in "$$@"; do
+         |  [ "$$prev" = "-i" ] && in="$$a"
+         |  prev="$$a"; last="$$a"
+         |done
+         |[ $$(wc -c < "$$in") -lt 200 ] && { echo corrupt >&2; exit 1; }
+         |cp ${fixture.toString} "$$last"
+         |""".stripMargin)
+    script.toFile.setExecutable(true)
+    val prev = sys.props.get("graft.ffmpeg.bin")
+    try {
+      sys.props("graft.ffmpeg.bin") = script.toString
+      val s = spark
+      import s.implicits._
+      val ds = Seq(
+        MediaRecord(1L, "audio/mpeg", Array.tabulate(512)(_.toByte), 0, 0, 0L),
+        MediaRecord(2L, "audio/mpeg", Array.tabulate(64)(_.toByte), 0, 0, 0L))
+        .toDS()
+      val fs = Multimodal.extractFeatures(ds).collect().sortBy(_.id)
+      assert(fs(0).decoded && fs(0).sampleRate == 16000
+        && fs(0).durationMs == 1000L, "large payload decodes via the CLI")
+      assert(!fs(1).decoded && fs(1).nBytes == 64,
+        "corrupt payload degrades to byte-level quarantine stats")
+    } finally {
+      prev match {
+        case Some(p) => sys.props("graft.ffmpeg.bin") = p
+        case None    => sys.props -= "graft.ffmpeg.bin"
+      }
+    }
+  }
 }
