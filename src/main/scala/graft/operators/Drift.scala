@@ -28,10 +28,11 @@ import org.apache.spark.sql.functions._
   *  - categorical: top-`top` categories by REFERENCE frequency (ties
   *    broken by value) keep their own `v_<value>` bin, everything else
   *    collapses into `y_other` — the cardinality valve that keeps a
-  *    10^9-value column from exploding the contingency. The top set is
-  *    computed from the reference side only (a bounded `top`-row
-  *    collect, like the ANN centroid indexes), so a brand-new category
-  *    in the current snapshot lands in `y_other` and still moves PSI.
+  *    10^9-value column from exploding the contingency. Top sets come
+  *    from the reference side only (ALL categorical dims resolved in
+  *    one ref scan, one bounded Σtop-row collect — like the ANN
+  *    centroid indexes), so a brand-new category in the current
+  *    snapshot lands in `y_other` and still moves PSI.
   *
   * PSI uses add-one (Laplace) smoothing — p_i=(r_i+1)/(R+B),
   * q_i=(c_i+1)/(C+B) over the B observed bins — so empty bins
@@ -58,26 +59,52 @@ object Drift {
 
   private val NullLabel = "z_null"
 
-  /** The bin-label expression for one dimension. Categorical top sets
-    * are resolved against `ref` here (one bounded aggregate per
-    * categorical dim — eager, like the ANN codebook builds). */
-  private def binExpr(ref: DataFrame, dim: Dim): Column = dim match {
-    case NumericDim(c, edges) =>
-      val x = col(c).cast("double")
-      val chain = edges.zipWithIndex.foldLeft(when(col(c).isNull, lit(NullLabel))) {
-        case (acc, (e, i)) => acc.when(x < lit(e), lit(f"b$i%02d"))
+  /** All categorical top sets in ONE reference scan (a 100 TB ref must
+    * not be re-read once per dimension): every categorical value is
+    * projected into a (column, value) cell in the same projection,
+    * exploded, counted, and ranked per column — the only driver
+    * materialization is the Σ top-k rows (bounded by construction,
+    * like the ANN codebook builds). Ordering contract per column:
+    * count desc, value asc. */
+  private def topSets(ref: DataFrame, cats: Seq[CategoricalDim])
+      : Map[String, Seq[String]] = {
+    if (cats.isEmpty) return Map.empty
+    val cells = ref.select(explode(array(cats.map(d =>
+        struct(lit(d.column).as("column"),
+          col(d.column).cast("string").as("v"))): _*)).as("cell"))
+      .filter(col("cell.v").isNotNull)
+      .groupBy(col("cell.column").as("column"), col("cell.v").as("v"))
+      .agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("column").orderBy(col("n").desc, col("v").asc)
+    val keepers = cats.map(d =>
+      col("column") === lit(d.column) && col("rk") <= lit(d.top))
+      .reduce(_ || _)
+    cells.withColumn("rk", row_number().over(w)).filter(keepers)
+      .select("column", "v", "rk").collect()
+      .groupBy(_.getString(0))
+      .map { case (c, rows) =>
+        c -> rows.sortBy(_.getInt(2)).map(_.getString(1)).toSeq
       }
-      chain.otherwise(lit(f"b${edges.size}%02d"))
-    case CategoricalDim(c, top) =>
-      val topVals = ref.filter(col(c).isNotNull)
-        .groupBy(col(c).cast("string").as("v")).agg(count(lit(1)).as("n"))
-        .orderBy(col("n").desc, col("v").asc)
-        .limit(top).collect().map(_.getString(0)).toSeq
-      when(col(c).isNull, lit(NullLabel))
-        .when(col(c).cast("string").isin(topVals: _*),
-          concat(lit("v_"), col(c).cast("string")))
-        .otherwise(lit("y_other"))
   }
+
+  /** The bin-label expression for one dimension, with categorical top
+    * sets pre-resolved by [[topSets]]. */
+  private def binExpr(tops: Map[String, Seq[String]], dim: Dim): Column =
+    dim match {
+      case NumericDim(c, edges) =>
+        val x = col(c).cast("double")
+        val chain = edges.zipWithIndex.foldLeft(when(col(c).isNull, lit(NullLabel))) {
+          case (acc, (e, i)) => acc.when(x < lit(e), lit(f"b$i%02d"))
+        }
+        chain.otherwise(lit(f"b${edges.size}%02d"))
+      case CategoricalDim(c, _) =>
+        val topVals = tops.getOrElse(c, Seq.empty)
+        when(col(c).isNull, lit(NullLabel))
+          .when(col(c).cast("string").isin(topVals: _*),
+            concat(lit("v_"), col(c).cast("string")))
+          .otherwise(lit("y_other"))
+    }
 
   /** One side's contingency: (column, bin, n) in ONE scan — all dims
     * projected into (column, bin) structs, exploded, partially
@@ -97,7 +124,8 @@ object Drift {
     require(dims.nonEmpty, "Drift.bins: at least one dimension")
     require(dims.map(_.column).distinct.size == dims.size,
       "Drift.bins: duplicate dimension columns")
-    val exprs = dims.map(d => d.column -> binExpr(ref, d))
+    val tops = topSets(ref, dims.collect { case c: CategoricalDim => c })
+    val exprs = dims.map(d => d.column -> binExpr(tops, d))
     val r = sideCounts(ref, exprs, "rn")
     val c = sideCounts(cur, exprs, "cn")
     r.join(c, Seq("column", "bin"), "full_outer")
