@@ -106,14 +106,31 @@ object Drift {
           .otherwise(lit("y_other"))
     }
 
+  /** The per-dimension bin-label expressions with top sets resolved
+    * against `ref` (one eager bounded scan — see [[topSets]]). Public
+    * seam: the streaming face computes these ONCE against the static
+    * reference snapshot and applies them to an unbounded stream. */
+  def cellExprs(ref: DataFrame, dims: Seq[Dim]): Seq[(String, Column)] = {
+    require(dims.nonEmpty, "Drift: at least one dimension")
+    require(dims.map(_.column).distinct.size == dims.size,
+      "Drift: duplicate dimension columns")
+    val tops = topSets(ref, dims.collect { case c: CategoricalDim => c })
+    dims.map(d => d.column -> binExpr(tops, d))
+  }
+
+  /** Every dimension's (column, bin) cell in one projection — the
+    * explode input shared by the batch and streaming contingencies. */
+  def cellColumn(binExprs: Seq[(String, Column)]): Column =
+    explode(array(binExprs.map { case (name, b) =>
+      struct(lit(name).as("column"), b.as("bin"))
+    }: _*))
+
   /** One side's contingency: (column, bin, n) in ONE scan — all dims
     * projected into (column, bin) structs, exploded, partially
     * aggregated before the only shuffle. */
   private def sideCounts(df: DataFrame, binExprs: Seq[(String, Column)],
                          n: String): DataFrame =
-    df.select(explode(array(binExprs.map { case (name, b) =>
-        struct(lit(name).as("column"), b.as("bin"))
-      }: _*)).as("cell"))
+    df.select(cellColumn(binExprs).as("cell"))
       .groupBy(col("cell.column").as("column"), col("cell.bin").as("bin"))
       .agg(count(lit(1)).as(n))
 
@@ -121,11 +138,7 @@ object Drift {
     * (column, bin, ref_n, cur_n), absent bins zero-filled. Integer
     * counts only — the fully-exact face (q_drift_bins). */
   def bins(ref: DataFrame, cur: DataFrame, dims: Seq[Dim]): DataFrame = {
-    require(dims.nonEmpty, "Drift.bins: at least one dimension")
-    require(dims.map(_.column).distinct.size == dims.size,
-      "Drift.bins: duplicate dimension columns")
-    val tops = topSets(ref, dims.collect { case c: CategoricalDim => c })
-    val exprs = dims.map(d => d.column -> binExpr(tops, d))
+    val exprs = cellExprs(ref, dims)
     val r = sideCounts(ref, exprs, "rn")
     val c = sideCounts(cur, exprs, "cn")
     r.join(c, Seq("column", "bin"), "full_outer")
@@ -140,11 +153,21 @@ object Drift {
     * Conventional thresholds: 1000 bp (0.10) = investigate, 2500 bp
     * (0.25) = significant shift. */
   def report(ref: DataFrame, cur: DataFrame, dims: Seq[Dim],
-             psiBpThreshold: Long = 1000L): DataFrame = {
-    val cells = bins(ref, cur, dims)
-    // per column: totals + the SORTED cell list the PSI fold runs over
+             psiBpThreshold: Long = 1000L): DataFrame =
+    reportFromContingency(bins(ref, cur, dims), psiBpThreshold)
+
+  /** The PSI fold over an already-built contingency (columns `column,
+    * bin, ref_n, cur_n` plus any `extraGroupCols`, e.g. the window
+    * start of a streaming contingency after its ref join) — the seam
+    * that lets a foreachBatch monitor score each closed window with the
+    * exact batch semantics. */
+  def reportFromContingency(cells: DataFrame,
+                            psiBpThreshold: Long = 1000L,
+                            extraGroupCols: Seq[String] = Nil): DataFrame = {
+    val gcols = extraGroupCols :+ "column"
+    // per group: totals + the SORTED cell list the PSI fold runs over
     // (sorted -> the float sum order is partitioning-invariant)
-    val perCol = cells.groupBy("column").agg(
+    val perCol = cells.groupBy(gcols.map(col): _*).agg(
       sum("ref_n").as("ref_n"),
       sum("cur_n").as("cur_n"),
       count(lit(1)).cast("long").as("bins"),
@@ -159,9 +182,10 @@ object Drift {
         (col("cur_n") + col("bins")).cast("double")
       acc + (p - q) * log(p / q)
     })
-    perCol.select(col("column"), col("ref_n"), col("cur_n"), col("bins"),
-        round(psi * lit(10000.0d)).cast("long").as("psi_bp"))
+    perCol.select(gcols.map(col) ++ Seq(
+        col("ref_n"), col("cur_n"), col("bins"),
+        round(psi * lit(10000.0d)).cast("long").as("psi_bp")): _*)
       .withColumn("drifted", col("psi_bp") >= lit(psiBpThreshold))
-      .orderBy("column")
+      .orderBy(gcols.map(col): _*)
   }
 }

@@ -60,6 +60,31 @@ object StreamingOps {
         col("window.start").as("window_start"),
         col("event_type"), col("n"), col("total_value"))
 
+  /** Windowed distribution-drift contingency over a stream: the same
+    * (column, bin) cells [[graft.operators.Drift.bins]] counts, per
+    * tumbling event-time window — ONE watermarked aggregation, so it
+    * runs in append mode with state bounded by windows-in-horizon ×
+    * Σbins. Bin labels are [[graft.operators.Drift.cellExprs]] resolved
+    * ONCE against the static reference snapshot (top sets must not
+    * drift with the stream); score each closed window downstream by
+    * joining the emitted contingency to the reference counts and
+    * folding with [[graft.operators.Drift.reportFromContingency]]
+    * (extraGroupCols = window_start) — a second streaming aggregation
+    * would leave append mode, so scoring stays out of the stream. */
+  def streamingDriftBins(
+      cur: DataFrame,
+      binExprs: Seq[(String, Column)],
+      windowLen: String = "1 hour",
+      lateness: String = "10 minutes",
+      tsCol: String = "ts"): DataFrame =
+    cur.withWatermark(tsCol, lateness)
+      .select(col(tsCol), graft.operators.Drift.cellColumn(binExprs).as("cell"))
+      .groupBy(window(col(tsCol), windowLen),
+        col("cell.column").as("column"), col("cell.bin").as("bin"))
+      .agg(count(lit(1)).as("cur_n"))
+      .select(col("window.start").as("window_start"),
+        col("column"), col("bin"), col("cur_n"))
+
   /** Sliding-window variant (windowLen every slide). */
   def slidingAgg(
       events: DataFrame,

@@ -129,6 +129,69 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("streamingDriftBins == batch face; window report == Drift.report on the slice") {
+    import graft.operators.Drift
+    val s = spark
+    import s.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val raw = graft.sources.PsIO.readEventsNs(s, "/root/testdata/sf0.001/events.parquet")
+      .select(col("event_id"), timestamp_millis((col("ts") / 1000000L).cast("long")).as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+    val dims: Seq[Drift.Dim] = Seq(
+      Drift.NumericDim("value", Seq(10.0, 100.0)),
+      Drift.CategoricalDim("event_type", top = 3))
+    // bin labels resolved ONCE against the static reference (= the full
+    // batch here); the stream must never re-derive top sets
+    val exprs = Drift.cellExprs(raw, dims)
+
+    // batch face: the same transform on the batch frame (watermark no-op)
+    val batch = StreamingOps.streamingDriftBins(raw, exprs, "1 hour", "0 seconds")
+      .collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(x => (x._1, x._2, x._3))
+    assert(batch.nonEmpty)
+
+    val all = raw.as[Event].collect().sortBy(_.ts.getTime)
+    val input = MemoryStream[Event]
+    val q = StreamingOps.streamingDriftBins(input.toDF(), exprs, "1 hour", "0 seconds")
+      .writeStream.format("memory").queryName("t_drift_bins")
+      .outputMode("append").start()
+    try {
+      all.grouped((all.length + 2) / 3)
+        .foreach { c => input.addData(c.toSeq); q.processAllAvailable() }
+      // sentinel far past the horizon: watermark passes every real window
+      val flushT = all.last.ts.getTime + 7200000L
+      input.addData(Event(-1L, new Timestamp(flushT), -1L, "flush", 0.0, "{}"))
+      q.processAllAvailable()
+      val got = s.table("t_drift_bins")
+        .filter(col("window_start") < new Timestamp(flushT - 3600000L))
+        .collect()
+        .map(r => (r.getTimestamp(0).getTime, r.getString(1), r.getString(2), r.getLong(3)))
+        .sortBy(x => (x._1, x._2, x._3))
+      assert(got.toSeq == batch.toSeq,
+        "streaming per-window contingency must equal the batch face")
+    } finally q.stop()
+
+    // scoring composition: one window's emitted cells joined to the
+    // static reference counts + reportFromContingency == Drift.report
+    // of that window's slice (the exact batch semantics, per window)
+    val w0 = batch.map(_._1).min
+    val slice = raw.filter(col("ts") >= new Timestamp(w0)
+      && col("ts") < new Timestamp(w0 + 3600000L))
+    val refCounts = Drift.bins(raw, raw, dims).select("column", "bin", "ref_n")
+    val winCells = StreamingOps.streamingDriftBins(raw, exprs, "1 hour", "0 seconds")
+      .filter(col("window_start") === new Timestamp(w0))
+      .select(col("column"), col("bin"), col("cur_n"))
+    val joined = refCounts.join(winCells, Seq("column", "bin"), "full_outer")
+      .select(col("column"), col("bin"),
+        coalesce(col("ref_n"), lit(0L)).as("ref_n"),
+        coalesce(col("cur_n"), lit(0L)).as("cur_n"))
+    val viaStream = Drift.reportFromContingency(joined).collect().map(_.toString).sorted
+    val viaBatch = Drift.report(raw, slice, dims).collect().map(_.toString).sorted
+    assert(viaStream.sameElements(viaBatch),
+      "windowed contingency + reportFromContingency must equal Drift.report on the slice")
+  }
+
   test("streamingNearDupCandidates over documents == batch LSH candidate set (differential)") {
     val s = spark
     import s.implicits._
