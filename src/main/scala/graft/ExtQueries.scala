@@ -124,6 +124,38 @@ object ExtQueries {
     graft.operators.Drift.CategoricalDim("lang_tag", top = 3),
     graft.operators.Drift.CategoricalDim("source", top = 8))
 
+  private val psiGroupDims = psiDims.filter(_.column != "source")
+
+  /** The DuckDB replay of the PSI fold (expects `cells`, `ref_n`,
+    * `cur_n`, `bins` in scope): a sequential left-to-right
+    * list_transform + list_sum recurrence — bit-exact against Spark's
+    * aggregate() fold — rounded to basis points as BIGINT. */
+  private val psiFoldSql: String =
+    """round(list_sum(list_transform(cells, c ->
+                   ((c.rn + 1)::DOUBLE / (ref_n + bins)::DOUBLE
+                    - (c.cn + 1)::DOUBLE / (cur_n + bins)::DOUBLE)
+                   * ln(((c.rn + 1)::DOUBLE / (ref_n + bins)::DOUBLE)
+                        / ((c.cn + 1)::DOUBLE / (cur_n + bins)::DOUBLE))))
+                       * 10000)::BIGINT"""
+
+  /** Per-source cell fragments for the grouped drift oracle — SELECT
+    * lists only (the FROM side is spliced per snapshot). */
+  private val psiGroupCellSql: String =
+    """SELECT source, 'n_chars' AS "column",
+              CASE WHEN n_chars IS NULL THEN 'z_null'
+                   WHEN n_chars < 100 THEN 'b00'
+                   WHEN n_chars < 200 THEN 'b01'
+                   WHEN n_chars < 300 THEN 'b02'
+                   WHEN n_chars < 400 THEN 'b03'
+                   WHEN n_chars < 500 THEN 'b04'
+                   ELSE 'b05' END AS bin"""
+  private val psiGroupCatCellSql: String =
+    """SELECT source, 'lang_tag',
+              CASE WHEN lang_tag IS NULL THEN 'z_null'
+                   WHEN lang_tag IN (SELECT v FROM top_lang)
+                     THEN 'v_' || lang_tag
+                   ELSE 'y_other' END"""
+
   /** Shared CTE block for the drift oracles: the reference-side top sets
     * (count desc, value asc — Drift.binExpr's tie-break) plus one
     * (column, bin) cell relation per side, one UNION ALL branch per
@@ -2041,6 +2073,14 @@ object ExtQueries {
     "q_drift_report" -> ((s, dir) => {
       val (ref, cur) = psiSides(s, dir)
       graft.operators.Drift.report(ref, cur, psiDims)
+    }),
+
+    // per-source drilldown of the same drift: which origin moved —
+    // GLOBAL top sets (bins comparable across groups), per-group
+    // zero-fill, one exact psi_bp fold per (source, column)
+    "q_drift_by_source" -> ((s, dir) => {
+      val (ref, cur) = psiSides(s, dir)
+      graft.operators.Drift.reportBy(ref, cur, psiGroupDims, Seq("source"))
     }),
 
     // one-pass corpus health report per language: volume (docs, tokens,
@@ -4157,19 +4197,48 @@ object ExtQueries {
                                  ORDER BY bin) AS cells
                      FROM b GROUP BY 1)
           SELECT "column", ref_n, cur_n, bins,
-                 round(list_sum(list_transform(cells, c ->
-                   ((c.rn + 1)::DOUBLE / (ref_n + bins)::DOUBLE
-                    - (c.cn + 1)::DOUBLE / (cur_n + bins)::DOUBLE)
-                   * ln(((c.rn + 1)::DOUBLE / (ref_n + bins)::DOUBLE)
-                        / ((c.cn + 1)::DOUBLE / (cur_n + bins)::DOUBLE))))
-                       * 10000)::BIGINT AS psi_bp,
-                 round(list_sum(list_transform(cells, c ->
-                   ((c.rn + 1)::DOUBLE / (ref_n + bins)::DOUBLE
-                    - (c.cn + 1)::DOUBLE / (cur_n + bins)::DOUBLE)
-                   * ln(((c.rn + 1)::DOUBLE / (ref_n + bins)::DOUBLE)
-                        / ((c.cn + 1)::DOUBLE / (cur_n + bins)::DOUBLE))))
-                       * 10000)::BIGINT >= 1000 AS drifted
+                 $psiFoldSql AS psi_bp,
+                 $psiFoldSql >= 1000 AS drifted
           FROM percol ORDER BY "column"""",
+    // per-group drilldown: the same snapshots scored per origin source.
+    // Top sets stay GLOBAL (comparable bins across groups — the engine's
+    // binsBy contract); bins zero-fill per (source, column, bin)
+    "q_drift_by_source" ->
+      s"""WITH base AS (SELECT lang, source, n_chars,
+                               nullif(lang, 'zh') AS lang_tag FROM documents),
+          cur AS (SELECT lang, source, least(n_chars, 300) AS n_chars,
+                         lang_tag FROM base WHERE lang <> 'fr'),
+          top_lang AS (SELECT lang_tag AS v FROM base
+                       WHERE lang_tag IS NOT NULL
+                       GROUP BY 1 ORDER BY count(*) DESC, v LIMIT 3),
+          rcell AS ($psiGroupCellSql FROM base
+                    UNION ALL $psiGroupCatCellSql FROM base),
+          ccell AS ($psiGroupCellSql FROM cur
+                    UNION ALL $psiGroupCatCellSql FROM cur),
+          rc AS (SELECT source, "column", bin, count(*) AS rn
+                 FROM rcell GROUP BY 1, 2, 3),
+          cc AS (SELECT source, "column", bin, count(*) AS cn
+                 FROM ccell GROUP BY 1, 2, 3),
+          b AS (SELECT coalesce(rc.source, cc.source) AS source,
+                       coalesce(rc."column", cc."column") AS "column",
+                       coalesce(rc.bin, cc.bin) AS bin,
+                       coalesce(rn, 0)::BIGINT AS ref_n,
+                       coalesce(cn, 0)::BIGINT AS cur_n
+                FROM rc FULL OUTER JOIN cc
+                  ON rc.source = cc.source AND rc."column" = cc."column"
+                 AND rc.bin = cc.bin),
+          percol AS (SELECT source, "column",
+                            sum(ref_n)::BIGINT AS ref_n,
+                            sum(cur_n)::BIGINT AS cur_n,
+                            count(*)::BIGINT AS bins,
+                            list(struct_pack(bin := bin, rn := ref_n,
+                                             cn := cur_n)
+                                 ORDER BY bin) AS cells
+                     FROM b GROUP BY 1, 2)
+          SELECT source, "column", ref_n, cur_n, bins,
+                 $psiFoldSql AS psi_bp,
+                 $psiFoldSql >= 1000 AS drifted
+          FROM percol ORDER BY source, "column"""",
     "q_corpus_profile" ->
       """WITH d AS (SELECT lang, source, n_chars,
                            len(string_split(text, ' '))::BIGINT AS toks,

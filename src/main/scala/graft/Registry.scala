@@ -82,7 +82,8 @@ object Registry {
     "scale & skew machinery (§2.11)" -> Set(
       "q_salted", "q_bloom_join"),
     "data-quality gate (§2.11)" -> Set("q_checks", "q_checks_flag"),
-    "distribution drift (§2.11)" -> Set("q_drift_bins", "q_drift_report"),
+    "distribution drift (§2.11)" -> Set(
+      "q_drift_bins", "q_drift_report", "q_drift_by_source"),
     "pipeline compositions (§2.11)" -> Set(
       "q_pipeline", "q_pipeline_audit", "q_pipeline_curate",
       "q_pipeline_incr", "q_pipeline_media", "q_pipeline_release",

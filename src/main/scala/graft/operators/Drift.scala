@@ -106,6 +106,30 @@ object Drift {
           .otherwise(lit("y_other"))
     }
 
+  /** Reference-quantile numeric edges via the storable KLL sketch —
+    * the "bin by last month's deciles" monitoring convention. One pass
+    * over the reference (the sketch aggregates map-side; only the
+    * KB-sized sketch reaches the driver). RNG-free, so a fixed input
+    * partitioning reproduces the edges exactly; a DIFFERENT
+    * partitioning moves each edge within the sketch's rank error —
+    * derive the edges once against the reference and STORE them with
+    * it (they are plain doubles), exactly like the sketch itself, so
+    * every later snapshot is scored against identical bins. Duplicate
+    * quantiles (heavy atoms spanning several deciles) collapse to one
+    * edge. */
+  def kllEdges(ref: DataFrame, column: String, nBins: Int,
+               k: Int = graft.functions.KllSketch.DefaultK): Seq[Double] = {
+    require(nBins >= 2 && nBins <= 100, s"kllEdges($column): nBins in 2..100")
+    val sk = ref.filter(col(column).isNotNull)
+      .agg(Sketches.kllSketch(col(column).cast("double"), k).as("s"))
+      .head().getAs[Array[Byte]]("s")
+    if (sk == null) return Seq.empty // no sketch at all: nothing to bin
+    (1 until nBins)
+      .map(i => graft.functions.KllSketch.quantile(sk, i.toDouble / nBins))
+      .filterNot(_.isNaN) // an all-null column sketches to n=0 -> NaN
+      .distinct.sorted
+  }
+
   /** The per-dimension bin-label expressions with top sets resolved
     * against `ref` (one eager bounded scan — see [[topSets]]). Public
     * seam: the streaming face computes these ONCE against the static
@@ -155,6 +179,39 @@ object Drift {
   def report(ref: DataFrame, cur: DataFrame, dims: Seq[Dim],
              psiBpThreshold: Long = 1000L): DataFrame =
     reportFromContingency(bins(ref, cur, dims), psiBpThreshold)
+
+  /** Per-group contingency: (by..., column, bin, ref_n, cur_n) — the
+    * same one-scan-per-side shape with the group key(s) carried through
+    * the explode, for "which source/shard drifted" drilldowns. Top sets
+    * stay GLOBAL (resolved once against the whole reference): per-group
+    * top sets would make bins incomparable across groups and multiply
+    * the contingency by the group cardinality; a category new to one
+    * group still lands in its y_other and moves that group's PSI. */
+  def binsBy(ref: DataFrame, cur: DataFrame, dims: Seq[Dim],
+             by: Seq[String]): DataFrame = {
+    require(by.nonEmpty, "Drift.binsBy: at least one group column")
+    require(by.intersect(dims.map(_.column)).isEmpty,
+      "Drift.binsBy: group columns must not also be dimensions")
+    val exprs = cellExprs(ref, dims)
+    def side(df: DataFrame, n: String) =
+      df.select(by.map(col) :+ cellColumn(exprs).as("cell"): _*)
+        .groupBy(by.map(col) ++ Seq(col("cell.column").as("column"),
+          col("cell.bin").as("bin")): _*)
+        .agg(count(lit(1)).as(n))
+    side(ref, "rn").join(side(cur, "cn"), by ++ Seq("column", "bin"), "full_outer")
+      .select(by.map(col) ++ Seq(col("column"), col("bin"),
+        coalesce(col("rn"), lit(0L)).as("ref_n"),
+        coalesce(col("cn"), lit(0L)).as("cur_n")): _*)
+  }
+
+  /** Per-group PSI report: (by..., column, ref_n, cur_n, bins, psi_bp,
+    * drifted). Groups absent from one side still score (their bins
+    * zero-fill on that side and the smoothing keeps every term finite),
+    * so a vanished or brand-new group reads as maximal drift instead of
+    * a missing row. */
+  def reportBy(ref: DataFrame, cur: DataFrame, dims: Seq[Dim],
+               by: Seq[String], psiBpThreshold: Long = 1000L): DataFrame =
+    reportFromContingency(binsBy(ref, cur, dims, by), psiBpThreshold, by)
 
   /** The PSI fold over an already-built contingency (columns `column,
     * bin, ref_n, cur_n` plus any `extraGroupCols`, e.g. the window

@@ -73,6 +73,68 @@ class DriftSpec extends AnyFunSuite with SparkFixture {
     assert(a.map(_.toString).sorted.sameElements(b.map(_.toString).sorted))
   }
 
+  test("binsBy/reportBy: per-group cells, global top sets, absent group still scores") {
+    val s = spark
+    import s.implicits._
+    val ref = Seq(
+      ("g1", 10.0, "a"), ("g1", 20.0, "a"), ("g1", 200.0, "b"),
+      ("g2", 10.0, "c"), ("g2", 15.0, "c"))  // c: 2 global vs a: 2 -> tie, a wins by value
+      .toDF("src", "x", "k")
+    val cur = Seq(
+      ("g1", 150.0, "a"),           // g1 numeric mass moved up
+      ("g3", 10.0, "zz"))           // brand-new group, brand-new category
+      .toDF("src", "x", "k")
+    val dims: Seq[Drift.Dim] = Seq(
+      NumericDim("x", Seq(100.0)), CategoricalDim("k", top = 1))
+    val cells = Drift.binsBy(ref, cur, dims, Seq("src")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+        ((r.getLong(3), r.getLong(4)))).toMap
+    // global top-1 of k: a and c both count 2, tie-break by value -> a
+    assert(cells(("g1", "k", "v_a")) == ((2L, 1L)))
+    assert(cells(("g2", "k", "y_other")) == ((2L, 0L))) // c collapses: global top set
+    assert(cells(("g3", "k", "y_other")) == ((0L, 1L))) // new group, zero-filled ref side
+    assert(cells(("g1", "x", "b00")) == ((2L, 0L)))
+    assert(cells(("g1", "x", "b01")) == ((1L, 1L)))
+    val rep = Drift.reportBy(ref, cur, dims, Seq("src")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(5)).toMap
+    assert(rep.keySet.map(_._1) == Set("g1", "g2", "g3"),
+      "groups on either side all score")
+    assert(rep.values.forall(_ >= 0L))
+    // group columns must not also be dimensions
+    intercept[IllegalArgumentException](
+      Drift.binsBy(ref, cur, dims, Seq("x")))
+    intercept[IllegalArgumentException](
+      Drift.binsBy(ref, cur, dims, Nil))
+  }
+
+  test("kllEdges: deterministic reference-quantile edges feed NumericDim") {
+    val s = spark
+    import s.implicits._
+    val ref = (1 to 1000).map(_.toDouble).toDF("x")
+    val edges = Drift.kllEdges(ref, "x", nBins = 4)
+    assert(edges.size == 3 && edges == edges.sorted && edges.distinct == edges)
+    // quartile edges of 1..1000 land near 250/500/750 (KLL rank error
+    // is a few % at n=1000 with the default k)
+    assert(edges.zip(Seq(250.0, 500.0, 750.0)).forall {
+      case (e, t) => math.abs(e - t) <= 30 }, s"edges off: $edges")
+    // RNG-free: the same partitioning reproduces the edges exactly;
+    // a different partitioning stays within the sketch's rank error
+    // (the contract is derive-once-and-store, like the sketch itself)
+    assert(Drift.kllEdges(ref, "x", 4) == edges)
+    val e7 = Drift.kllEdges(ref.repartition(7), "x", 4)
+    assert(e7.zip(Seq(250.0, 500.0, 750.0)).forall {
+      case (e, t) => math.abs(e - t) <= 30 }, s"repartitioned edges off: $e7")
+    // composes into the binning contract without further plumbing
+    val b = Drift.bins(ref, ref.limit(100), Seq(NumericDim("x", edges): Drift.Dim))
+      .collect()
+    assert(b.map(_.getLong(2)).sum == 1000L && b.map(_.getLong(3)).sum == 100L)
+    // a constant column (one heavy atom) collapses to a single edge;
+    // an all-null column yields none
+    assert(Drift.kllEdges(Seq.fill(50)(7.0).toDF("x"), "x", 4) == Seq(7.0))
+    assert(Drift.kllEdges(Seq[Option[Double]](None, None).toDF("x"), "x", 4).isEmpty)
+    intercept[IllegalArgumentException](Drift.kllEdges(ref, "x", 1))
+  }
+
   test("API guards: bad edges, duplicate dims, empty dims") {
     val (ref, cur) = refCur()
     intercept[IllegalArgumentException](NumericDim("x", Seq(2.0, 1.0)))
