@@ -2559,6 +2559,17 @@ object ExtQueries {
       PsIO.readOrc(s, OrcFixtureDir).sortValues(Seq("n_nationkey")).df
     }),
 
+    // Avro container round-trip (the Kafka-dump ingest format): write
+    // nation as one-file-per-partition Avro via the BUNDLED Avro Java
+    // lib (the spark-avro DataSource module isn't in the image), read
+    // it back with one task per file; the oracle recomputes the rows
+    // from the parquet table, so the compare validates the whole codec
+    // path — schema mapping, nullable unions, values, order
+    "q_read_avro" -> ((s, dir) => {
+      avroFixture(s, dir)
+      graft.sources.AvroIo.readAvro(s, AvroFixtureDir).orderBy("n_nationkey")
+    }),
+
     // per-column aggregate sugar: df("c").sum() scalars, re-lifted into a
     // frame so the oracle can compare them
     "q_colagg" -> ((s, dir) => {
@@ -2597,6 +2608,7 @@ object ExtQueries {
   val PickleFixturePath = "/root/repo/target/tmp/nation_pkl/nation.pkl"
   val ArrowFixturePath = "/root/repo/target/tmp/nation_arrow/nation.arrow"
   val OrcFixtureDir = "/root/repo/target/tmp/nation_orc"
+  val AvroFixtureDir = "/root/repo/target/tmp/nation_avro"
   val JsonDirtyFixtureDir = "/root/repo/target/tmp/nation_jsonl_dirty"
   val ManifestFixtureDir = "/root/repo/target/tmp/documents_manifest"
   val DriftGen1Dir = "/root/repo/target/tmp/nation_drift_gen1"
@@ -2663,6 +2675,10 @@ object ExtQueries {
     fixturesDone.computeIfAbsent(s"orc:$dir", _ =>
       PsIO.toOrc(s.read.parquet(s"$dir/nation.parquet").coalesce(1),
         OrcFixtureDir, codec = Some("zstd")))
+  private def avroFixture(s: SparkSession, dir: String): Unit =
+    fixturesDone.computeIfAbsent(s"avro:$dir", _ =>
+      graft.sources.AvroIo.toAvro(
+        s.read.parquet(s"$dir/nation.parquet").repartition(3), AvroFixtureDir))
   private def pickleFixture(s: SparkSession, dir: String): Unit =
     fixturesDone.computeIfAbsent(s"pkl:$dir", _ => {
       new java.io.File(PickleFixturePath).getParentFile.mkdirs()
@@ -4434,6 +4450,11 @@ object ExtQueries {
     // the ORC fixture is nation round-tripped through Spark's ORC codec
     // (zstd); types survive exactly, so the oracle is the table itself
     "q_read_orc" ->
+      """SELECT n_nationkey, n_name, n_regionkey
+         FROM nation ORDER BY n_nationkey""",
+    // the Avro fixture is nation round-tripped through the container
+    // codec; the supported type lattice preserves these exactly
+    "q_read_avro" ->
       """SELECT n_nationkey, n_name, n_regionkey
          FROM nation ORDER BY n_nationkey""",
     // the npy fixture is written ordered by n_nationkey, so idx is the
