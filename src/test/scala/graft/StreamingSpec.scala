@@ -848,6 +848,58 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
       s"user-1 session split across the restart: $u1")
   }
 
+  test("streamingDriftBins restart from checkpoint == uninterrupted run") {
+    // the first hour's window SPANS the kill point (cells accumulate in
+    // batches 1 and 2): lost windowed-agg state would emit partial
+    // counts for it, double-commit would inflate them
+    import graft.operators.Drift
+    val dims: Seq[Drift.Dim] = Seq(
+      Drift.NumericDim("value", Seq(5.0)),
+      Drift.CategoricalDim("event_type", top = 1))
+    val batches = Seq(
+      Seq(ev(1, 0, 1, 1.0), ev(2, 10, 1, 9.0)),
+      Seq(ev(3, 25, 2, 2.0), ev(4, 70, 1, 3.0)),
+      // flush: push the watermark past every real window's end
+      Seq(ev(5, 600, 99)),
+      Seq(ev(6, 601, 99)))
+    def replay(stopAfter: Option[Int]): Set[(Long, String, String, Long)] = {
+      val s = spark
+      import s.implicits._
+      implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val root = java.nio.file.Files.createTempDirectory("graft-ck-drift").toString
+      // labels resolved once against a static reference frame
+      val ref = batches.flatten.toDF()
+      val exprs = Drift.cellExprs(ref, dims)
+      val input = MemoryStream[Event]
+      def start() = StreamingOps.streamingDriftBins(
+          input.toDF(), exprs, "1 hour", "0 seconds")
+        .writeStream.format("parquet").option("path", s"$root/out")
+        .option("checkpointLocation", s"$root/ck").outputMode("append").start()
+      var q = start()
+      try {
+        batches.zipWithIndex.foreach { case (b, i) =>
+          input.addData(b)
+          q.processAllAvailable()
+          if (stopAfter.contains(i)) { q.stop(); q = start() }
+        }
+        q.processAllAvailable()
+      } finally q.stop()
+      spark.read.parquet(s"$root/out").collect()
+        .map(r => (r.getTimestamp(0).getTime, r.getString(1),
+          r.getString(2), r.getLong(3))).toSet
+    }
+    val interrupted = replay(stopAfter = Some(0))
+    val uninterrupted = replay(stopAfter = None)
+    assert(interrupted == uninterrupted,
+      s"restart=$interrupted uninterrupted=$uninterrupted")
+    // the spanning window's cells really merge across the kill: hour 0
+    // has 3 events -> value bins b00 (1.0, 2.0) + b01 (9.0)
+    val h0 = interrupted.filter(c => c._1 == ts(0).getTime && c._2 == "value")
+      .map(c => c._3 -> c._4).toMap
+    assert(h0 == Map("b00" -> 2L, "b01" -> 1L),
+      s"spanning window mis-merged: $h0")
+  }
+
   test("streamingDelta restart from checkpoint keeps the CDC fingerprints") {
     val s = spark
     import s.implicits._
