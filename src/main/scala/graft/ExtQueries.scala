@@ -2559,6 +2559,18 @@ object ExtQueries {
       PsIO.readOrc(s, OrcFixtureDir).sortValues(Seq("n_nationkey")).df
     }),
 
+    // parquet footer-stats audit: per-(file, row group, column) exact
+    // integer min/max envelopes — the relation behind sort/Z-order/
+    // compaction decisions, read from footers only (no data pages), one
+    // task per file. The oracle is DuckDB's INDEPENDENT footer reader
+    // (parquet_metadata), so the compare cross-validates against the
+    // format spec, not a shared code path
+    "q_parquet_stats" -> ((s, dir) => {
+      manifestFixture(s, dir)
+      PsIO.parquetStats(s, ManifestFixtureDir, Seq("doc_id", "n_chars"))
+        .orderBy("file", "row_group", "column")
+    }),
+
     // Avro container round-trip (the Kafka-dump ingest format): write
     // nation as one-file-per-partition Avro via the BUNDLED Avro Java
     // lib (the spark-avro DataSource module isn't in the image), read
@@ -4452,6 +4464,18 @@ object ExtQueries {
     "q_read_orc" ->
       """SELECT n_nationkey, n_name, n_regionkey
          FROM nation ORDER BY n_nationkey""",
+    // footer-stats audit vs DuckDB's independent parquet_metadata reader
+    "q_parquet_stats" ->
+      s"""SELECT regexp_extract(file_name, '[^/]+$$') AS file,
+                 row_group_id::BIGINT AS row_group,
+                 path_in_schema AS "column",
+                 num_values::BIGINT AS num_values,
+                 stats_null_count::BIGINT AS null_count,
+                 stats_min_value::BIGINT AS min_v,
+                 stats_max_value::BIGINT AS max_v
+          FROM parquet_metadata('$ManifestFixtureDir/*.parquet')
+          WHERE path_in_schema IN ('doc_id', 'n_chars')
+          ORDER BY 1, 2, 3""",
     // the Avro fixture is nation round-tripped through the container
     // codec; the supported type lattice preserves these exactly
     "q_read_avro" ->

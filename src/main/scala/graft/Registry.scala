@@ -74,7 +74,8 @@ object Registry {
       "q_weighted_sample", "q_leakage_split", "q_interleave", "q_mix",
       "q_budget_mix", "q_select_budget", "q_domain_cap", "q_shuffle"),
     "snapshots & incremental (§2.11)" -> Set(
-      "q_snapshot_diff", "q_upsert", "q_content_fp", "q_file_manifest"),
+      "q_snapshot_diff", "q_upsert", "q_content_fp", "q_file_manifest",
+      "q_parquet_stats"),
     "multimodal (§2.11)" -> Set(
       "q_multimodal", "q_multimodal_img", "q_multimodal_wav",
       "q_multimodal_adpcm", "q_video_frames", "q_gif_frames",

@@ -380,6 +380,85 @@ object PsIO {
       .toDF("column", "action", "unified_type", "types_seen")
   }
 
+  /** Per-(file, row group, column) parquet footer statistics for
+    * integer columns — the layout audit behind sort/Z-order/compaction
+    * decisions: how tight each row group's min/max envelope is decides
+    * whether a predicate prunes it, and THIS relation is what tells
+    * you, lake-wide, before rewriting anything. Footer metadata only
+    * (KBs per file, no data pages), distributed one task per file, so
+    * a 100k-file table audits in one short job.
+    *
+    * Integer (int/long) columns only, loudly: min/max come back as
+    * exact BIGINTs; stats of string/binary columns are
+    * truncation-lossy in the format itself and belong to a different
+    * contract. all-null chunks carry null min/max with the null count. */
+  def parquetStats(spark: SparkSession, path: String,
+                   columns: Seq[String]): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.hadoop.fs.{Path => HPath}
+    require(columns.nonEmpty, "parquetStats: no columns requested")
+    val intLike: Set[org.apache.spark.sql.types.DataType] = Set(
+      org.apache.spark.sql.types.IntegerType,
+      org.apache.spark.sql.types.LongType)
+    val schema = spark.read.parquet(path).schema
+    columns.foreach { c =>
+      val f = schema.find(_.name == c).getOrElse(throw new IllegalArgumentException(
+        s"parquetStats: column $c not in $path (${schema.fieldNames.mkString(", ")})"))
+      require(intLike(f.dataType),
+        s"parquetStats: column $c is ${f.dataType.simpleString}; only int/long " +
+          "columns have exact footer min/max (string stats are truncation-lossy)")
+    }
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val fs = new HPath(path).getFileSystem(conf.value)
+    val files = {
+      val p = new HPath(path)
+      val all =
+        if (fs.getFileStatus(p).isDirectory) fs.listStatus(p).toSeq
+        else Seq(fs.getFileStatus(p))
+      all.filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+        .map(_.getPath.toString).sorted
+    }
+    require(files.nonEmpty, s"parquetStats: no parquet files under $path")
+    val colSet = columns.toSet
+    val rows = spark.sparkContext.parallelize(files, files.size).flatMap { f =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromPath(new HPath(f), conf.value)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        val name = f.substring(f.lastIndexOf('/') + 1)
+        r.getFooter.getBlocks.asScala.toSeq.zipWithIndex.flatMap { case (b, gi) =>
+          b.getColumns.asScala.toSeq
+            .filter(c => colSet(c.getPath.toDotString))
+            .map { c =>
+              def asLong(v: Any): java.lang.Long = v match {
+                case l: java.lang.Long => l
+                case i: java.lang.Integer => java.lang.Long.valueOf(i.longValue)
+                case other => throw new IllegalStateException(
+                  s"parquetStats: non-integer stat $other for ${c.getPath}")
+              }
+              val st = c.getStatistics
+              val has = st != null && st.hasNonNullValue
+              org.apache.spark.sql.Row(
+                name, gi.toLong, c.getPath.toDotString, c.getValueCount,
+                if (st == null) null else java.lang.Long.valueOf(st.getNumNulls),
+                if (has) asLong(st.genericGetMin) else null,
+                if (has) asLong(st.genericGetMax) else null)
+            }
+        }
+      } finally r.close()
+    }
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(rows, StructType(Seq(
+      StructField("file", StringType, nullable = false),
+      StructField("row_group", LongType, nullable = false),
+      StructField("column", StringType, nullable = false),
+      StructField("num_values", LongType, nullable = false),
+      StructField("null_count", LongType, nullable = true),
+      StructField("min_v", LongType, nullable = true),
+      StructField("max_v", LongType, nullable = true))))
+  }
+
   /** ORC in/out — same columnar posture as parquet (predicate pushdown,
     * column pruning, split-based parallelism), for pipelines whose
     * upstream lake is ORC. */
