@@ -2075,6 +2075,25 @@ object ExtQueries {
       graft.operators.Drift.report(ref, cur, psiDims)
     }),
 
+    // the streaming drift transform's batch face as an oracled row: the
+    // per-(hour window, column, bin) contingency over the events table —
+    // EXACTLY the aggregation streamingDriftBins runs per micro-batch
+    // (the watermark is a no-op in batch), window starts emitted as
+    // epoch seconds (the q_window_events device: no timestamp columns
+    // in oracle-compared output)
+    "q_drift_windows" -> ((s, dir) => {
+      val ev = events(s, dir)
+        .select(timestamp_millis((col("ts") / lit(1000000L)).cast("long")).as("ts"),
+          col("event_type"), col("value"))
+      val exprs = graft.operators.Drift.cellExprs(ev, Seq(
+        graft.operators.Drift.NumericDim("value", Seq(10.0, 100.0)),
+        graft.operators.Drift.CategoricalDim("event_type", top = 3)))
+      graft.streaming.StreamingOps.streamingDriftBins(ev, exprs, "1 hour", "0 seconds")
+        .select(unix_timestamp(col("window_start")).as("window_s"),
+          col("column"), col("bin"), col("cur_n"))
+        .orderBy("window_s", "column", "bin")
+    }),
+
     // per-source drilldown of the same drift: which origin moved —
     // GLOBAL top sets (bins comparable across groups), per-group
     // zero-fill, one exact psi_bp fold per (source, column)
@@ -4228,6 +4247,30 @@ object ExtQueries {
                  $psiFoldSql AS psi_bp,
                  $psiFoldSql >= 1000 AS drifted
           FROM percol ORDER BY "column"""",
+    // the windowed contingency: binning CASE chains + reference top set
+    // replayed per calendar hour (date_trunc == Spark's epoch-aligned
+    // 1-hour window under the UTC session tz)
+    "q_drift_windows" ->
+      """WITH top_et AS (SELECT event_type AS v FROM events
+                         WHERE event_type IS NOT NULL
+                         GROUP BY 1 ORDER BY count(*) DESC, v LIMIT 3),
+          cells AS (
+            SELECT epoch(date_trunc('hour', ts))::BIGINT AS window_s,
+                   'value' AS "column",
+                   CASE WHEN value IS NULL THEN 'z_null'
+                        WHEN value < 10 THEN 'b00'
+                        WHEN value < 100 THEN 'b01'
+                        ELSE 'b02' END AS bin
+            FROM events
+            UNION ALL
+            SELECT epoch(date_trunc('hour', ts))::BIGINT, 'event_type',
+                   CASE WHEN event_type IS NULL THEN 'z_null'
+                        WHEN event_type IN (SELECT v FROM top_et)
+                          THEN 'v_' || event_type
+                        ELSE 'y_other' END
+            FROM events)
+          SELECT window_s, "column", bin, count(*) AS cur_n
+          FROM cells GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
     // per-group drilldown: the same snapshots scored per origin source.
     // Top sets stay GLOBAL (comparable bins across groups — the engine's
     // binsBy contract); bins zero-fill per (source, column, bin)

@@ -84,7 +84,8 @@ object Registry {
       "q_salted", "q_bloom_join"),
     "data-quality gate (§2.11)" -> Set("q_checks", "q_checks_flag"),
     "distribution drift (§2.11)" -> Set(
-      "q_drift_bins", "q_drift_report", "q_drift_by_source"),
+      "q_drift_bins", "q_drift_report", "q_drift_by_source",
+      "q_drift_windows"),
     "pipeline compositions (§2.11)" -> Set(
       "q_pipeline", "q_pipeline_audit", "q_pipeline_curate",
       "q_pipeline_incr", "q_pipeline_media", "q_pipeline_release",
