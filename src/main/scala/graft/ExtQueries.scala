@@ -126,6 +126,19 @@ object ExtQueries {
 
   private val psiGroupDims = psiDims.filter(_.column != "source")
 
+  /** Memoized drift label expressions per (session, dir, dim-set) —
+    * cellExprs' top-set resolution is the one eager step (bounded, like
+    * the ANN index builds), so repeated composition must reuse it
+    * (LazinessSpec: a second compose schedules no jobs). */
+  private val psiExprsCache = new java.util.concurrent.ConcurrentHashMap[
+    String, Seq[(String, org.apache.spark.sql.Column)]]()
+  private def psiExprsFor(s: SparkSession, dir: String, key: String,
+                          ref: => DataFrame, dims: Seq[graft.operators.Drift.Dim])
+      : Seq[(String, org.apache.spark.sql.Column)] =
+    psiExprsCache.computeIfAbsent(
+      s"${System.identityHashCode(s)}:$dir:$key",
+      _ => graft.operators.Drift.cellExprs(ref, dims))
+
   /** The DuckDB replay of the PSI fold (expects `cells`, `ref_n`,
     * `cur_n`, `bins` in scope): a sequential left-to-right
     * list_transform + list_sum recurrence — bit-exact against Spark's
@@ -2061,7 +2074,8 @@ object ExtQueries {
     // nulls zh on both sides to put mass in the z_null bin
     "q_drift_bins" -> ((s, dir) => {
       val (ref, cur) = psiSides(s, dir)
-      graft.operators.Drift.bins(ref, cur, psiDims)
+      val exprs = psiExprsFor(s, dir, "docs", ref, psiDims)
+      graft.operators.Drift.binsWith(exprs, ref, cur)
         .orderBy("column", "bin")
     }),
 
@@ -2072,7 +2086,9 @@ object ExtQueries {
     // identical term shape via DuckDB list_transform + list sum
     "q_drift_report" -> ((s, dir) => {
       val (ref, cur) = psiSides(s, dir)
-      graft.operators.Drift.report(ref, cur, psiDims)
+      val exprs = psiExprsFor(s, dir, "docs", ref, psiDims)
+      graft.operators.Drift.reportFromContingency(
+        graft.operators.Drift.binsWith(exprs, ref, cur))
     }),
 
     // the streaming drift transform's batch face as an oracled row: the
@@ -2085,7 +2101,7 @@ object ExtQueries {
       val ev = events(s, dir)
         .select(timestamp_millis((col("ts") / lit(1000000L)).cast("long")).as("ts"),
           col("event_type"), col("value"))
-      val exprs = graft.operators.Drift.cellExprs(ev, Seq(
+      val exprs = psiExprsFor(s, dir, "events", ev, Seq(
         graft.operators.Drift.NumericDim("value", Seq(10.0, 100.0)),
         graft.operators.Drift.CategoricalDim("event_type", top = 3)))
       graft.streaming.StreamingOps.streamingDriftBins(ev, exprs, "1 hour", "0 seconds")
@@ -2099,7 +2115,10 @@ object ExtQueries {
     // zero-fill, one exact psi_bp fold per (source, column)
     "q_drift_by_source" -> ((s, dir) => {
       val (ref, cur) = psiSides(s, dir)
-      graft.operators.Drift.reportBy(ref, cur, psiGroupDims, Seq("source"))
+      val exprs = psiExprsFor(s, dir, "docs_group", ref, psiGroupDims)
+      graft.operators.Drift.reportFromContingency(
+        graft.operators.Drift.binsByWith(exprs, ref, cur, Seq("source")),
+        extraGroupCols = Seq("source"))
     }),
 
     // one-pass corpus health report per language: volume (docs, tokens,

@@ -161,10 +161,17 @@ object Drift {
   /** The exact per-bin contingency across both snapshots:
     * (column, bin, ref_n, cur_n), absent bins zero-filled. Integer
     * counts only — the fully-exact face (q_drift_bins). */
-  def bins(ref: DataFrame, cur: DataFrame, dims: Seq[Dim]): DataFrame = {
-    val exprs = cellExprs(ref, dims)
-    val r = sideCounts(ref, exprs, "rn")
-    val c = sideCounts(cur, exprs, "cn")
+  def bins(ref: DataFrame, cur: DataFrame, dims: Seq[Dim]): DataFrame =
+    binsWith(cellExprs(ref, dims), ref, cur)
+
+  /** [[bins]] over PRE-RESOLVED label expressions: resolve once with
+    * [[cellExprs]] (the only eager step) and reuse across snapshot
+    * pairs, windows, and repeated composition — declaring the
+    * contingency then schedules no jobs at all. */
+  def binsWith(binExprs: Seq[(String, Column)],
+               ref: DataFrame, cur: DataFrame): DataFrame = {
+    val r = sideCounts(ref, binExprs, "rn")
+    val c = sideCounts(cur, binExprs, "cn")
     r.join(c, Seq("column", "bin"), "full_outer")
       .select(col("column"), col("bin"),
         coalesce(col("rn"), lit(0L)).as("ref_n"),
@@ -189,12 +196,17 @@ object Drift {
     * group still lands in its y_other and moves that group's PSI. */
   def binsBy(ref: DataFrame, cur: DataFrame, dims: Seq[Dim],
              by: Seq[String]): DataFrame = {
-    require(by.nonEmpty, "Drift.binsBy: at least one group column")
     require(by.intersect(dims.map(_.column)).isEmpty,
       "Drift.binsBy: group columns must not also be dimensions")
-    val exprs = cellExprs(ref, dims)
+    binsByWith(cellExprs(ref, dims), ref, cur, by)
+  }
+
+  /** [[binsBy]] over pre-resolved label expressions (see [[binsWith]]). */
+  def binsByWith(binExprs: Seq[(String, Column)], ref: DataFrame,
+                 cur: DataFrame, by: Seq[String]): DataFrame = {
+    require(by.nonEmpty, "Drift.binsBy: at least one group column")
     def side(df: DataFrame, n: String) =
-      df.select(by.map(col) :+ cellColumn(exprs).as("cell"): _*)
+      df.select(by.map(col) :+ cellColumn(binExprs).as("cell"): _*)
         .groupBy(by.map(col) ++ Seq(col("cell.column").as("column"),
           col("cell.bin").as("bin")): _*)
         .agg(count(lit(1)).as(n))
