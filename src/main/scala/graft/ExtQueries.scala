@@ -2098,8 +2098,10 @@ object ExtQueries {
     // epoch seconds (the q_window_events device: no timestamp columns
     // in oracle-compared output)
     "q_drift_windows" -> ((s, dir) => {
+      // ns -> ms via integral div (long '/' is DOUBLE division in Spark;
+      // ns magnitudes exceed 2^53, so it can round across a boundary)
       val ev = events(s, dir)
-        .select(timestamp_millis((col("ts") / lit(1000000L)).cast("long")).as("ts"),
+        .select(timestamp_millis(expr("ts div 1000000")).as("ts"),
           col("event_type"), col("value"))
       val exprs = psiExprsFor(s, dir, "events", ev, Seq(
         graft.operators.Drift.NumericDim("value", Seq(10.0, 100.0)),

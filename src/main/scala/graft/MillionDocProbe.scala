@@ -117,7 +117,8 @@ object MillionDocProbe {
     val cells = out.map { case (k, m) =>
       s"${j(k)}:{" + f""""secs":${m.secs}%.1f,"shuffle_mb":${m.shuffleMb}%.1f,"result":${m.result}}"""
     }.mkString(",")
-    val line = s"""{"probe":"million_doc","docs":${copies * 5000L},"copies":$copies,""" +
+    val docsMeasured = out("corpus build+write").result
+    val line = s"""{"probe":"million_doc","docs":$docsMeasured,"copies":$copies,""" +
       s""""corpus_mb":${corpusBytes / 1000000},"sf":${j(sfDir)},$cells}"""
     println(line)
     java.nio.file.Files.writeString(java.nio.file.Paths.get(

@@ -196,6 +196,8 @@ object Drift {
     * group still lands in its y_other and moves that group's PSI. */
   def binsBy(ref: DataFrame, cur: DataFrame, dims: Seq[Dim],
              by: Seq[String]): DataFrame = {
+    // argument validation BEFORE cellExprs' eager reference scan
+    require(by.nonEmpty, "Drift.binsBy: at least one group column")
     require(by.intersect(dims.map(_.column)).isEmpty,
       "Drift.binsBy: group columns must not also be dimensions")
     binsByWith(cellExprs(ref, dims), ref, cur, by)

@@ -164,19 +164,25 @@ object AvroIo {
         .map(_.getPath.toString).sorted
     }
     require(files.nonEmpty, s"AvroIo.readAvro: no files under $path")
-    val writerSchema = {
+    val readerSchema = {
       val in = fs.open(new HPath(files.head))
       val st = new DataFileStream[GenericRecord](in, new GenericDatumReader[GenericRecord]())
       try st.getSchema finally st.close()
     }
-    val sparkSchema = toSparkSchema(writerSchema)
+    val readerSchemaJson = readerSchema.toString
+    val sparkSchema = toSparkSchema(readerSchema)
     val n = sparkSchema.length
     val rdd = spark.sparkContext
       .parallelize(files, files.size)
       .flatMap { f =>
         val in = new HPath(f).getFileSystem(conf.value).open(new HPath(f))
+        // each file's embedded writer schema resolves against the
+        // first file's schema BY NAME (Avro schema resolution) — a
+        // reordered file decodes correctly, an incompatible one fails
+        // loudly instead of silently landing values in the wrong column
+        val expected = new Schema.Parser().parse(readerSchemaJson)
         val st = new DataFileStream[GenericRecord](
-          in, new GenericDatumReader[GenericRecord]())
+          in, new GenericDatumReader[GenericRecord](null, expected))
         // a task that dies mid-file must not leak the stream
         Option(org.apache.spark.TaskContext.get())
           .foreach(_.addTaskCompletionListener[Unit](_ => st.close()))

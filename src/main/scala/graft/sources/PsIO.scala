@@ -439,9 +439,15 @@ object PsIO {
               }
               val st = c.getStatistics
               val has = st != null && st.hasNonNullValue
+              // getNumNulls is -1 when the writer omitted it — emit
+              // null, not a sentinel masquerading as a count
+              val nulls =
+                if (st != null && st.isNumNullsSet)
+                  java.lang.Long.valueOf(st.getNumNulls)
+                else null
               org.apache.spark.sql.Row(
                 name, gi.toLong, c.getPath.toDotString, c.getValueCount,
-                if (st == null) null else java.lang.Long.valueOf(st.getNumNulls),
+                nulls,
                 if (has) asLong(st.genericGetMin) else null,
                 if (has) asLong(st.genericGetMax) else null)
             }

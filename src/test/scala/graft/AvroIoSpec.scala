@@ -69,6 +69,29 @@ class AvroIoSpec extends AnyFunSuite with SparkFixture {
         .toDF("i", "ts"), tmp()))
   }
 
+  test("readAvro resolves later files BY NAME: reordered fields decode correctly") {
+    val s = spark
+    import org.apache.avro.SchemaBuilder
+    import org.apache.avro.file.DataFileWriter
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    val dir = Files.createTempDirectory("graft-avro-reorder")
+    val s1 = SchemaBuilder.record("r").fields()
+      .requiredInt("a").requiredString("b").endRecord()
+    val s2 = SchemaBuilder.record("r").fields()
+      .requiredString("b").requiredInt("a").endRecord() // same fields, swapped
+    def write(name: String, sch: org.apache.avro.Schema, a: Int, b: String): Unit = {
+      val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](sch))
+      w.create(sch, dir.resolve(name).toFile)
+      val rec = new GenericData.Record(sch); rec.put("a", a); rec.put("b", b)
+      w.append(rec); w.close()
+    }
+    write("0.avro", s1, 1, "x")
+    write("1.avro", s2, 2, "y") // positional decode would land y in column a
+    val got = AvroIo.readAvro(s, dir.toString).collect()
+      .map(r => (r.getInt(0), r.getString(1))).sortBy(_._1)
+    assert(got.toSeq == Seq((1, "x"), (2, "y")))
+  }
+
   test("readAvro: schema from the writer's embedded schema, wide-union rejected") {
     val s = spark
     import s.implicits._

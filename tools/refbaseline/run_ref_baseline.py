@@ -197,7 +197,7 @@ def main():
         if a.startswith("--timeout-s="):
             timeout_s = int(a.split("=", 1)[1])
     results = {}
-    if only and os.path.exists(outpath):
+    if (only or engine) and os.path.exists(outpath):
         with open(outpath) as fh:
             results = json.load(fh)["results"]
     preexec = None
@@ -235,6 +235,10 @@ def main():
                 failure["vmem_cap_gib"] = vmem_gib
             if engine:
                 rec[f"{engine}_failure"] = failure
+                # a failed re-measure must not leave the previous run's
+                # success fields claiming a current verdict
+                for k in (f"{engine}_read", f"{engine}_run", f"rows_{engine}"):
+                    rec.pop(k, None)
             else:
                 rec.clear()
                 rec.update(failure)
