@@ -93,7 +93,7 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     // normalizes ts to ns longs whatever the file carries; both paths
     // consume the SAME ms-precision conversion so the comparison is exact.
     val raw = graft.sources.PsIO.readEventsNs(s, "/root/testdata/sf0.001/events.parquet")
-      .select(col("event_id"), timestamp_millis((col("ts") / 1000000L).cast("long")).as("ts"),
+      .select(col("event_id"), timestamp_millis(expr("ts div 1000000")).as("ts"),
         col("user_id"), col("event_type"), col("value"), col("props"))
     val all = raw.as[Event].collect().sortBy(_.ts.getTime) // sorted replay: nothing late
     val batch = StreamingOps.sessionizeBatch(raw, gapMinutes = 30)
@@ -135,7 +135,7 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     import s.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
     val raw = graft.sources.PsIO.readEventsNs(s, "/root/testdata/sf0.001/events.parquet")
-      .select(col("event_id"), timestamp_millis((col("ts") / 1000000L).cast("long")).as("ts"),
+      .select(col("event_id"), timestamp_millis(expr("ts div 1000000")).as("ts"),
         col("user_id"), col("event_type"), col("value"), col("props"))
     val dims: Seq[Drift.Dim] = Seq(
       Drift.NumericDim("value", Seq(10.0, 100.0)),
@@ -374,7 +374,7 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     import s.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
     val raw = graft.sources.PsIO.readEventsNs(s, "/root/testdata/sf0.001/events.parquet")
-      .select(col("event_id"), timestamp_millis((col("ts") / 1000000L).cast("long")).as("ts"),
+      .select(col("event_id"), timestamp_millis(expr("ts div 1000000")).as("ts"),
         col("user_id"), col("event_type"), col("value"), col("props"))
     val delay = expr("INTERVAL 30 MINUTES")
     val batch = StreamingOps.intervalJoin(
@@ -632,7 +632,7 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
     val raw = graft.sources.PsIO.readEventsNs(s, "/root/testdata/sf0.001/events.parquet")
       .select(col("event_id"),
-        timestamp_millis((col("ts") / 1000000L).cast("long")).as("ts"),
+        timestamp_millis(expr("ts div 1000000")).as("ts"),
         col("user_id"), col("event_type"), col("value"), col("props"))
     val clicks = raw.filter(col("event_type") === "click")
     // dedup rights per (user, ts): same-instant rights are ambiguous in
