@@ -2558,6 +2558,25 @@ object ExtQueries {
         .orderBy("n_nationkey")
     }),
 
+    // the CSV twin: type-corrupt, truncated, and over-long lines planted
+    // among nation rows — the good side parses normally, every bad line
+    // lands raw in _corrupt; the oracle replays with DuckDB's
+    // ignore_errors skip, which agrees exactly on all three classes
+    // (from_csv is strict on token counts, unlike the csv file source)
+    "q_csv_quarantine" -> ((s, dir) => {
+      csvDirtyFixture(s, dir)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("n_nationkey",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("n_name",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("n_regionkey",
+          org.apache.spark.sql.types.LongType)))
+      PsIO.csvGood(
+          PsIO.readCsvQuarantine(s, CsvDirtyFixtureDir, Some(schema)).df)
+        .orderBy("n_nationkey")
+    }),
+
     // schema-drift ingestion: two parquet generations of the same feed —
     // gen2 adds a column (lang), drops one (n_regionkey), widens one
     // (quality int -> double) and re-types one irreconcilably (meta
@@ -2668,6 +2687,7 @@ object ExtQueries {
   val OrcFixtureDir = "/root/repo/target/tmp/nation_orc"
   val AvroFixtureDir = "/root/repo/target/tmp/nation_avro"
   val JsonDirtyFixtureDir = "/root/repo/target/tmp/nation_jsonl_dirty"
+  val CsvDirtyFixtureDir = "/root/repo/target/tmp/nation_csv_dirty"
   val ManifestFixtureDir = "/root/repo/target/tmp/documents_manifest"
   val DriftGen1Dir = "/root/repo/target/tmp/nation_drift_gen1"
   val DriftGen2Dir = "/root/repo/target/tmp/nation_drift_gen2"
@@ -2723,6 +2743,23 @@ object ExtQueries {
         lines.drop(13) :+ "not json at all"
       java.nio.file.Files.write(
         java.nio.file.Paths.get(s"$JsonDirtyFixtureDir/part-00000.json"),
+        dirty.mkString("\n").getBytes("UTF-8"))
+    })
+  private def csvDirtyFixture(s: SparkSession, dir: String): Unit =
+    fixturesDone.computeIfAbsent(s"csvd:$dir", _ => {
+      new java.io.File(CsvDirtyFixtureDir).mkdirs()
+      val rows = s.read.parquet(s"$dir/nation.parquet")
+        .orderBy("n_nationkey")
+        .collect()
+        .map(r => s"${r.getInt(0)},${r.getString(1)},${r.getInt(2)}")
+      // the full malformed class both engines agree on: type-corrupt
+      // cells, a truncated line, an over-long line
+      val dirty = ("n_nationkey,n_name,n_regionkey" +: rows.take(7) :+
+        "notanint,BROKEN ROW,7" :+ "12,TRUNCATED") ++
+        rows.drop(7).take(6) ++
+        (Seq("13,OVERLONG,3,extra,tokens") ++ rows.drop(13) :+ "also bad,TAIL,xx")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$CsvDirtyFixtureDir/part-00000.csv"),
         dirty.mkString("\n").getBytes("UTF-8"))
     })
   private def manifestFixture(s: SparkSession, dir: String): Unit =
@@ -4496,6 +4533,15 @@ object ExtQueries {
           FROM read_json('$JsonDirtyFixtureDir/*.json',
                          format='newline_delimited', ignore_errors=true)
           WHERE n_nationkey IS NOT NULL ORDER BY n_nationkey""",
+    // the CSV twin: ignore_errors skips exactly the type-corrupt lines
+    "q_csv_quarantine" ->
+      s"""SELECT n_nationkey, n_name, n_regionkey
+          FROM read_csv('$CsvDirtyFixtureDir/*.csv', header=true,
+                        ignore_errors=true,
+                        columns={'n_nationkey': 'BIGINT',
+                                 'n_name': 'VARCHAR',
+                                 'n_regionkey': 'BIGINT'})
+          ORDER BY n_nationkey""",
     // DuckDB union_by_name over the same two generation directories
     // applies the identical drift rules (null-fill absents, widen
     // int->double, coerce the string/int conflict to varchar), so the

@@ -94,6 +94,46 @@ object PsIO {
     df.filter(col("_corrupt").isNotNull)
   }
 
+  /** Lenient CSV ingestion with corrupt-line quarantine — the CSV twin
+    * of [[readJsonQuarantine]] for the crawl feeds that arrive as CSV
+    * shards: an uncastable cell (text in a numeric column), broken
+    * quoting, or a wrong token count (truncated / over-long line) lands
+    * the RAW line in `_corrupt` instead of poisoning the scan. Note
+    * this is STRICTER than Spark's csv file source, which silently
+    * null-pads short rows and drops extra tokens — `from_csv` flags
+    * both, agreeing exactly with DuckDB's ignore_errors skip set, and
+    * for a quarantine that strictness is the point: a truncated line is
+    * evidence, not a row. Parses from text + `from_csv` for the same
+    * prune-safety reason as the JSON twin. Each shard's header line is
+    * shed by exact match against the schema's header, so a data line
+    * that happens to equal the header is the one documented blind
+    * spot. */
+  def readCsvQuarantine(
+      spark: SparkSession,
+      path: String,
+      schema: Option[org.apache.spark.sql.types.StructType] = None): PsDataFrame = {
+    import org.apache.spark.sql.functions.{col, from_csv, length, lit, trim}
+    import org.apache.spark.sql.types.{StringType, StructType}
+    val data = schema.getOrElse(
+      spark.read.option("header", "true").option("inferSchema", "true")
+        .csv(path).schema)
+    require(!data.fieldNames.contains("_corrupt"),
+      "the data schema may not contain a _corrupt column")
+    val full = StructType(data.fields).add("_corrupt", StringType)
+    val headerLine = data.fieldNames.mkString(",")
+    PsDataFrame(spark.read.text(path)
+      .filter(length(trim(col("value"))) > 0
+        && trim(col("value")) =!= lit(headerLine))
+      .select(from_csv(col("value"), full,
+        Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> "_corrupt")).as("c"))
+      .select(col("c.*")))
+  }
+
+  /** The corrupt-column faces are format-agnostic — CSV names for the
+    * same filters. */
+  def csvGood(df: DataFrame): DataFrame = jsonGood(df)
+  def csvQuarantined(df: DataFrame): DataFrame = jsonQuarantined(df)
+
   /** reference core.py:626-630 (to_csv forces compute then delegates). */
   def toCsv(df: DataFrame, path: String, header: Boolean = true,
       sep: String = ","): Unit =

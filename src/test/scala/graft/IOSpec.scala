@@ -165,6 +165,33 @@ class IOSpec extends AnyFunSuite with SparkFixture {
     assert(PsIO.jsonGood(cdf).count() == 1 && PsIO.jsonQuarantined(cdf).count() == 0)
   }
 
+  test("readCsvQuarantine: corrupt/truncated/over-long lines keep raw evidence") {
+    val dir = Files.createTempDirectory("graft-dirtycsv").toString
+    java.nio.file.Files.write(new java.io.File(dir, "part.csv").toPath,
+      """k,v,n
+        |1,a,10
+        |notanint,b,20
+        |2,c,xx
+        |3,d
+        |4,e,40,extra
+        |5,f,50
+        |""".stripMargin.getBytes("UTF-8"))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("n", org.apache.spark.sql.types.LongType)))
+    val df = PsIO.readCsvQuarantine(spark, dir, Some(schema)).df
+    val good = PsIO.csvGood(df).orderBy("k").collect()
+    // type-corrupt AND token-count-mismatched lines all quarantine
+    // (from_csv is strict, unlike the null-padding csv file source)
+    assert(good.map(_.getLong(0)).toSeq == Seq(1L, 5L))
+    val bad = PsIO.csvQuarantined(df).select("_corrupt")
+      .collect().map(_.getString(0)).sorted
+    assert(bad.toSeq == Seq("2,c,xx", "3,d", "4,e,40,extra", "notanint,b,20"))
+    // the header line is shed, not quarantined
+    assert(df.count() == 6)
+  }
+
   test("writeSorted produces disjoint sorted key ranges per file") {
     val dir = Files.createTempDirectory("graft-sorted").toString + "/out"
     val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
