@@ -2763,9 +2763,24 @@ object ExtQueries {
         dirty.mkString("\n").getBytes("UTF-8"))
     })
   private def manifestFixture(s: SparkSession, dir: String): Unit =
-    fixturesDone.computeIfAbsent(s"manifest:$dir", _ =>
+    fixturesDone.computeIfAbsent(s"manifest:$dir", _ => {
       s.read.parquet(s"$dir/documents.parquet").repartition(3)
-        .write.mode("overwrite").parquet(ManifestFixtureDir))
+        .write.mode("overwrite").parquet(ManifestFixtureDir)
+      // deterministic basenames: Spark's part-file UUIDs would churn the
+      // per-file `file` column of q_file_manifest / q_parquet_stats on
+      // every fresh JVM, making the committed DIFFCONFIG base hashes
+      // meaningless across rounds (each part keeps its ordinal, so the
+      // file -> content mapping stays the partitioner's)
+      val d = new java.io.File(ManifestFixtureDir)
+      d.listFiles().filter(f => f.getName.startsWith(".") ||
+        f.getName == "_SUCCESS").foreach(_.delete())
+      d.listFiles().filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+        .foreach { f =>
+          val ord = f.getName.take(10) // "part-NNNNN"
+          val to = new java.io.File(d, s"$ord.parquet")
+          if (f.getName != to.getName) { f.renameTo(to); () }
+        }
+    })
   private def orcFixture(s: SparkSession, dir: String): Unit =
     fixturesDone.computeIfAbsent(s"orc:$dir", _ =>
       PsIO.toOrc(s.read.parquet(s"$dir/nation.parquet").coalesce(1),

@@ -96,36 +96,51 @@ object PsIO {
 
   /** Lenient CSV ingestion with corrupt-line quarantine — the CSV twin
     * of [[readJsonQuarantine]] for the crawl feeds that arrive as CSV
-    * shards: an uncastable cell (text in a numeric column), broken
-    * quoting, or a wrong token count (truncated / over-long line) lands
-    * the RAW line in `_corrupt` instead of poisoning the scan. Note
-    * this is STRICTER than Spark's csv file source, which silently
-    * null-pads short rows and drops extra tokens — `from_csv` flags
-    * both, agreeing exactly with DuckDB's ignore_errors skip set, and
-    * for a quarantine that strictness is the point: a truncated line is
-    * evidence, not a row. Parses from text + `from_csv` for the same
-    * prune-safety reason as the JSON twin. Each shard's header line is
-    * shed by exact match against the schema's header, so a data line
-    * that happens to equal the header is the one documented blind
-    * spot. */
+    * shards: an uncastable cell (text in a numeric column),
+    * single-line broken quoting, or a wrong token count (truncated /
+    * over-long line) lands the RAW line in `_corrupt` instead of
+    * poisoning the scan. Note this is STRICTER than Spark's csv file
+    * source, which silently null-pads short rows and drops extra
+    * tokens — `from_csv` flags both, agreeing exactly with DuckDB's
+    * ignore_errors skip set, and for a quarantine that strictness is
+    * the point: a truncated line is evidence, not a row. Parses from
+    * text + `from_csv` for the same prune-safety reason as the JSON
+    * twin.
+    *
+    * Preconditions (the JSONL-only analogues):
+    *  - ONE RECORD PER LINE: quoted fields with embedded newlines are
+    *    not supported (the text scan splits them) — multiline CSV
+    *    needs the csv file source's multiLine mode, which cannot carry
+    *    this quarantine contract;
+    *  - the uncastable-cell class requires an EXPLICIT `schema`: the
+    *    default inference adapts to the dirty file (a numeric column
+    *    polluted by text infers as string), after which only
+    *    structural errors quarantine;
+    *  - each shard's header line is shed by exact match against the
+    *    schema's `sep`-joined field names — supply the schema exactly
+    *    as the files spell their header (spacing/quoting included); a
+    *    data line that happens to equal the header is the remaining
+    *    blind spot. */
   def readCsvQuarantine(
       spark: SparkSession,
       path: String,
-      schema: Option[org.apache.spark.sql.types.StructType] = None): PsDataFrame = {
+      schema: Option[org.apache.spark.sql.types.StructType] = None,
+      sep: String = ","): PsDataFrame = {
     import org.apache.spark.sql.functions.{col, from_csv, length, lit, trim}
     import org.apache.spark.sql.types.{StringType, StructType}
     val data = schema.getOrElse(
       spark.read.option("header", "true").option("inferSchema", "true")
-        .csv(path).schema)
+        .option("sep", sep).csv(path).schema)
     require(!data.fieldNames.contains("_corrupt"),
       "the data schema may not contain a _corrupt column")
     val full = StructType(data.fields).add("_corrupt", StringType)
-    val headerLine = data.fieldNames.mkString(",")
+    val headerLine = data.fieldNames.mkString(sep)
     PsDataFrame(spark.read.text(path)
       .filter(length(trim(col("value"))) > 0
         && trim(col("value")) =!= lit(headerLine))
       .select(from_csv(col("value"), full,
-        Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> "_corrupt")).as("c"))
+        Map("sep" -> sep, "mode" -> "PERMISSIVE",
+          "columnNameOfCorruptRecord" -> "_corrupt")).as("c"))
       .select(col("c.*")))
   }
 
