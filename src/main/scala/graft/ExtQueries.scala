@@ -130,14 +130,20 @@ object ExtQueries {
     * cellExprs' top-set resolution is the one eager step (bounded, like
     * the ANN index builds), so repeated composition must reuse it
     * (LazinessSpec: a second compose schedules no jobs). */
-  private val psiExprsCache = new java.util.concurrent.ConcurrentHashMap[
-    String, Seq[(String, org.apache.spark.sql.Column)]]()
+  // weak-keyed on the session itself (NOT identityHashCode: a hash
+  // collision between a GC'd and a new session could serve stale top-set
+  // literals, and string keys would pin entries for the process
+  // lifetime); a dead session's expressions get collected with it
+  private val psiExprsCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, java.util.concurrent.ConcurrentHashMap[
+      String, Seq[(String, org.apache.spark.sql.Column)]]]())
   private def psiExprsFor(s: SparkSession, dir: String, key: String,
                           ref: => DataFrame, dims: Seq[graft.operators.Drift.Dim])
       : Seq[(String, org.apache.spark.sql.Column)] =
-    psiExprsCache.computeIfAbsent(
-      s"${System.identityHashCode(s)}:$dir:$key",
-      _ => graft.operators.Drift.cellExprs(ref, dims))
+    psiExprsCache.computeIfAbsent(s,
+        _ => new java.util.concurrent.ConcurrentHashMap())
+      .computeIfAbsent(s"$dir:$key",
+        _ => graft.operators.Drift.cellExprs(ref, dims))
 
   /** The DuckDB replay of the PSI fold (expects `cells`, `ref_n`,
     * `cur_n`, `bins` in scope): a sequential left-to-right
@@ -2778,7 +2784,11 @@ object ExtQueries {
         .foreach { f =>
           val ord = f.getName.take(10) // "part-NNNNN"
           val to = new java.io.File(d, s"$ord.parquet")
-          if (f.getName != to.getName) { f.renameTo(to); () }
+          // a silent rename failure would reintroduce UUID name churn
+          // and quietly break the q_file_manifest/q_parquet_stats
+          // determinism this fixture exists to provide — fail loudly
+          if (f.getName != to.getName)
+            require(f.renameTo(to), s"manifestFixture: rename failed: $f -> $to")
         }
     })
   private def orcFixture(s: SparkSession, dir: String): Unit =
@@ -4337,6 +4347,7 @@ object ExtQueries {
             SELECT epoch(date_trunc('hour', ts))::BIGINT AS window_s,
                    'value' AS "column",
                    CASE WHEN value IS NULL THEN 'z_null'
+                        WHEN isnan(value) THEN 'y_nan'
                         WHEN value < 10 THEN 'b00'
                         WHEN value < 100 THEN 'b01'
                         ELSE 'b02' END AS bin

@@ -24,7 +24,8 @@ import org.apache.spark.sql.functions._
   * hash-match):
   *  - numeric: bin index = count of edges <= x via a literal CASE
   *    chain, label `b%02d`; nulls get their own `z_null` bin (null-rate
-  *    drift is drift);
+  *    drift is drift) and NaN its own `y_nan` bin (Spark orders NaN
+  *    above all doubles, so it would otherwise alias into the top bin);
   *  - categorical: top-`top` categories by REFERENCE frequency (ties
   *    broken by value) keep their own `v_<value>` bin, everything else
   *    collapses into `y_other` — the cardinality valve that keeps a
@@ -43,10 +44,16 @@ object Drift {
 
   sealed trait Dim { def column: String }
 
-  /** Explicit ascending bin edges; bin i = number of edges <= x. */
+  /** Explicit ascending bin edges; bin i = number of edges <= x.
+    * NaN edges are rejected outright: every `x < NaN` is false, so a
+    * NaN edge would silently alias its whole range into the top bin
+    * (and boxed-Double Seq equality treats NaN == NaN, so the ordering
+    * guard alone would not catch it). */
   final case class NumericDim(column: String, edges: Seq[Double]) extends Dim {
     require(edges.nonEmpty && edges.size < 100,
       s"NumericDim($column): need 1..99 edges")
+    require(edges.forall(e => !e.isNaN),
+      s"NumericDim($column): NaN edge")
     require(edges == edges.sorted && edges.distinct == edges,
       s"NumericDim($column): edges must be strictly ascending")
   }
@@ -58,6 +65,7 @@ object Drift {
   }
 
   private val NullLabel = "z_null"
+  private val NanLabel = "y_nan"
 
   /** All categorical top sets in ONE reference scan (a 100 TB ref must
     * not be re-read once per dimension): every categorical value is
@@ -94,7 +102,11 @@ object Drift {
     dim match {
       case NumericDim(c, edges) =>
         val x = col(c).cast("double")
-        val chain = edges.zipWithIndex.foldLeft(when(col(c).isNull, lit(NullLabel))) {
+        // NaN gets its OWN bin (Spark orders NaN above all doubles, so
+        // every `x < edge` is false and NaN would silently alias into
+        // the top bin — a NaN-rate shift is drift and must be visible)
+        val chain = edges.zipWithIndex.foldLeft(
+          when(col(c).isNull, lit(NullLabel)).when(isnan(x), lit(NanLabel))) {
           case (acc, (e, i)) => acc.when(x < lit(e), lit(f"b$i%02d"))
         }
         chain.otherwise(lit(f"b${edges.size}%02d"))

@@ -2,11 +2,12 @@ package graft.sources
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.avro.Schema
-import org.apache.avro.file.{CodecFactory, DataFileStream, DataFileWriter}
+import org.apache.avro.{LogicalTypes, Schema}
+import org.apache.avro.file.{CodecFactory, DataFileReader, DataFileStream, DataFileWriter, SeekableInput}
 import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
 import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.util.DateTimeUtils
 import org.apache.spark.sql.types._
 
 /** Avro object-container-file source/sink built directly on the Avro
@@ -20,22 +21,28 @@ import org.apache.spark.sql.types._
   * Scale shape, unlike those driver-side codecs: BOTH directions are
   * distributed. Writes emit one container file per input partition
   * through the Hadoop FileSystem API (local fs here, HDFS/object
-  * stores on a cluster); reads parallelize over the file list and
-  * decode each container where it lands, so a directory of N files
-  * scans with N-way parallelism and no driver materialization. Avro's
-  * per-block structure would also admit sub-file splits; per-file
-  * granularity matches the common many-files layout Kafka connect
-  * sinks produce.
+  * stores on a cluster) under a two-phase commit; reads parallelize
+  * over SUB-FILE byte ranges via Avro's block sync markers, so a
+  * directory with one fat file among small ones still scans with
+  * size-proportional parallelism and no driver materialization.
+  *
+  * Mixed writer-schema generations in one directory (the format's
+  * normal state — that is why schema registries exist) unify through
+  * the same lossless lattice as readParquetEvolved: null-fill for
+  * absent columns, int-width/int-to-double widening per generation
+  * before the union, drop-or-stringify for irreconcilable re-types;
+  * [[avroSchemaDrift]] is the per-column disposition ledger.
   *
   * Type lattice (both directions, nullable as the standard
-  * `[null, T]` union): boolean/int/long/float/double/string/binary.
+  * `[null, T]` union): boolean/int/long/float/double/string/binary,
+  * plus timestamp-millis/micros logical longs as Spark TimestampType.
   * Anything else fails loudly at write/read time — no silent
   * stringification. */
 object AvroIo {
 
   private val SupportedMsg =
-    "AvroIo supports boolean/int/long/float/double/string/binary " +
-      "(nullable via [null, T] unions)"
+    "AvroIo supports boolean/int/long/float/double/string/binary/" +
+      "timestamp (nullable via [null, T] unions)"
 
   // ------------------------------------------------------------ schema
 
@@ -49,6 +56,10 @@ object AvroIo {
         case DoubleType  => Schema.create(Schema.Type.DOUBLE)
         case StringType  => Schema.create(Schema.Type.STRING)
         case BinaryType  => Schema.create(Schema.Type.BYTES)
+        // Spark timestamps ARE epoch micros; timestamp-micros is the
+        // exact Avro logical type (schema-registry events carry these)
+        case TimestampType =>
+          LogicalTypes.timestampMicros().addToSchema(Schema.create(Schema.Type.LONG))
         case other => throw new IllegalArgumentException(
           s"AvroIo: unsupported Spark type $other for field ${f.name}; $SupportedMsg")
       }
@@ -72,24 +83,62 @@ object AvroIo {
     case _ => (s, false)
   }
 
+  private def isTimestamp(base: Schema): Boolean =
+    base.getType == Schema.Type.LONG && (base.getLogicalType match {
+      case _: LogicalTypes.TimestampMillis | _: LogicalTypes.TimestampMicros => true
+      case _ => false
+    })
+
+  /** One Avro field's Spark type. timestamp-millis/micros map to
+    * TimestampType; any OTHER logical type reads as its underlying
+    * primitive (the logical annotation is advisory in Avro — the
+    * underlying value is the lossless truth, never a stringification). */
+  private def fieldSparkType(fieldName: String, base: Schema): DataType =
+    base.getType match {
+      case Schema.Type.BOOLEAN => BooleanType
+      case Schema.Type.INT     => IntegerType
+      case Schema.Type.LONG    => if (isTimestamp(base)) TimestampType else LongType
+      case Schema.Type.FLOAT   => FloatType
+      case Schema.Type.DOUBLE  => DoubleType
+      case Schema.Type.STRING  => StringType
+      case Schema.Type.BYTES   => BinaryType
+      case other => throw new IllegalArgumentException(
+        s"AvroIo: unsupported Avro type $other for field $fieldName; $SupportedMsg")
+    }
+
   private[sources] def toSparkSchema(schema: Schema): StructType = {
     require(schema.getType == Schema.Type.RECORD,
       s"AvroIo: top-level Avro type must be a record, got ${schema.getType}")
     StructType(schema.getFields.asScala.map { f =>
       val (base, nullable) = nonNullBranch(f.schema())
-      val t = base.getType match {
-        case Schema.Type.BOOLEAN => BooleanType
-        case Schema.Type.INT     => IntegerType
-        case Schema.Type.LONG    => LongType
-        case Schema.Type.FLOAT   => FloatType
-        case Schema.Type.DOUBLE  => DoubleType
-        case Schema.Type.STRING  => StringType
-        case Schema.Type.BYTES   => BinaryType
-        case other => throw new IllegalArgumentException(
-          s"AvroIo: unsupported Avro type $other for field ${f.name}; $SupportedMsg")
-      }
-      StructField(f.name, t, nullable)
+      StructField(f.name, fieldSparkType(f.name, base), nullable)
     }.toSeq)
+  }
+
+  /** Raw Avro decode value -> the Spark-native JVM value for this
+    * writer field (Utf8 -> String, ByteBuffer -> Array[Byte],
+    * timestamp long -> java.sql.Timestamp). */
+  private def rawToSpark(base: Schema): Any => Any = base.getType match {
+    case Schema.Type.STRING => {
+      case null => null
+      case u: org.apache.avro.util.Utf8 => u.toString
+      case x => x.toString
+    }
+    case Schema.Type.BYTES => {
+      case null => null
+      case bb: java.nio.ByteBuffer =>
+        val a = new Array[Byte](bb.remaining()); bb.duplicate().get(a); a
+      case x => x
+    }
+    case Schema.Type.LONG if isTimestamp(base) =>
+      val toMicros: Long => Long = base.getLogicalType match {
+        case _: LogicalTypes.TimestampMillis => ms => Math.multiplyExact(ms, 1000L)
+        case _ => identity
+      }
+      { case null => null
+        case l: java.lang.Long => DateTimeUtils.toJavaTimestamp(toMicros(l.longValue))
+        case x => throw new IllegalStateException(s"AvroIo: timestamp field held $x") }
+    case _ => identity[Any]
   }
 
   // ------------------------------------------------------------- write
@@ -97,7 +146,19 @@ object AvroIo {
   /** Write `df` as a directory of Avro container files, one per input
     * partition, via the Hadoop FileSystem API. `codec`: None (null
     * codec) or Some("deflate") — deflate is JDK-native; snappy would
-    * drag in platform natives the jar policy avoids. */
+    * drag in platform natives the jar policy avoids.
+    *
+    * Two-phase commit (tasks must never write final part files
+    * directly — a mid-job failure or a speculative/retried attempt
+    * would otherwise leave a partial or mixed file set that readAvro
+    * cannot distinguish from complete output):
+    *  1. each task writes a dot-prefixed attempt file into a job-unique
+    *     temp dir and TASK-commits it by rename to its final part name
+    *     (Hadoop rename does not overwrite, so exactly one attempt wins
+    *     and losers delete their own file);
+    *  2. the driver JOB-commits by renaming the temp dir onto the
+    *     target after the job succeeds, and deletes the temp dir on
+    *     failure — the target is only ever absent or complete. */
   def toAvro(df: DataFrame, path: String,
              codec: Option[String] = Some("deflate")): Unit = {
     val avroJson = toAvroSchema(df.schema, "row").toString
@@ -107,110 +168,291 @@ object AvroIo {
     val sparkSchema = df.schema
     val conf = new org.apache.spark.util.SerializableConfiguration(
       df.sparkSession.sparkContext.hadoopConfiguration)
-    // clear stale output so a re-write never mixes generations
-    val fs0 = new HPath(path).getFileSystem(conf.value)
-    fs0.delete(new HPath(path), true)
-    fs0.mkdirs(new HPath(path))
-    df.rdd.mapPartitionsWithIndex { (i, rows) =>
-      if (rows.isEmpty) Iterator.empty
-      else {
-        val schema = new Schema.Parser().parse(avroJson)
-        val out = new HPath(path, f"part-$i%05d.avro")
-        val os = out.getFileSystem(conf.value).create(out, true)
-        val w = new DataFileWriter[GenericRecord](
-          new GenericDatumWriter[GenericRecord](schema))
-        if (codecName.contains("deflate")) w.setCodec(CodecFactory.deflateCodec(6))
-        w.create(schema, os)
-        try {
-          rows.foreach { row =>
-            val rec = new GenericData.Record(schema)
-            var j = 0
-            while (j < sparkSchema.length) {
-              val v = row.get(j) match {
-                case null => null
-                case b: Array[Byte] => java.nio.ByteBuffer.wrap(b)
-                case x => x
+    val target = new HPath(path)
+    val tmp = new HPath(
+      target.getParent,
+      s"._tmp_${target.getName}_${java.util.UUID.randomUUID().toString.take(8)}")
+    val fs0 = target.getFileSystem(conf.value)
+    fs0.mkdirs(tmp)
+    val tmpStr = tmp.toString
+    try {
+      df.rdd.mapPartitionsWithIndex { (i, rows) =>
+        if (rows.isEmpty) Iterator.empty
+        else {
+          val schema = new Schema.Parser().parse(avroJson)
+          val tc = org.apache.spark.TaskContext.get()
+          val attemptTag =
+            if (tc == null) "local" else tc.taskAttemptId().toString
+          val fs = new HPath(tmpStr).getFileSystem(conf.value)
+          // dot prefix: an orphaned attempt file (task died between
+          // create and rename) stays invisible to readAvro's filter
+          val attempt = new HPath(tmpStr, f".attempt-$attemptTag-part-$i%05d.avro")
+          val os = fs.create(attempt, true)
+          val w = new DataFileWriter[GenericRecord](
+            new GenericDatumWriter[GenericRecord](schema))
+          if (codecName.contains("deflate")) w.setCodec(CodecFactory.deflateCodec(6))
+          w.create(schema, os)
+          try {
+            rows.foreach { row =>
+              val rec = new GenericData.Record(schema)
+              var j = 0
+              while (j < sparkSchema.length) {
+                val v = row.get(j) match {
+                  case null => null
+                  case b: Array[Byte] => java.nio.ByteBuffer.wrap(b)
+                  case ts: java.sql.Timestamp =>
+                    java.lang.Long.valueOf(
+                      org.apache.spark.sql.catalyst.util.DateTimeUtils
+                        .fromJavaTimestamp(ts))
+                  case x => x
+                }
+                rec.put(j, v)
+                j += 1
               }
-              rec.put(j, v)
-              j += 1
+              w.append(rec)
             }
-            w.append(rec)
-          }
-        } finally w.close() // closes the stream too
-        Iterator.single(1)
-      }
-    }.count(): Unit
+          } finally w.close() // closes the stream too
+          // task-commit: rename refuses to overwrite, so under
+          // speculation/retry exactly one attempt publishes part-$i
+          val committed = new HPath(tmpStr, f"part-$i%05d.avro")
+          if (!fs.rename(attempt, committed)) fs.delete(attempt, false)
+          Iterator.single(1)
+        }
+      }.count(): Unit
+      // job-commit: clear stale output, then one atomic dir rename —
+      // readAvro can never observe a partially-written generation mix
+      fs0.delete(target, true)
+      require(fs0.rename(tmp, target),
+        s"AvroIo.toAvro: job-commit rename $tmp -> $target failed")
+    } finally {
+      fs0.delete(tmp, true): Unit // no-op after a successful commit
+    }
   }
 
   // -------------------------------------------------------------- read
 
-  /** Read a file or directory of Avro container files as a DataFrame.
-    * Schema comes from the first file's embedded writer schema (every
-    * file must agree — this is a single-generation reader; evolving
-    * generations go through readParquetEvolved's lattice after a
-    * one-time conversion). Decoding is distributed: one task per file. */
-  def readAvro(spark: SparkSession, path: String): DataFrame = {
+  /** SeekableInput over a Hadoop stream — what lets a task start
+    * decoding at an arbitrary sync marker instead of byte 0. */
+  private final class HadoopSeekableInput(
+      in: org.apache.hadoop.fs.FSDataInputStream, len: Long) extends SeekableInput {
+    def seek(p: Long): Unit = in.seek(p)
+    def tell(): Long = in.getPos
+    def length(): Long = len
+    def read(b: Array[Byte], off: Int, l: Int): Int = in.read(b, off, l)
+    def close(): Unit = in.close()
+  }
+
+  /** (path, length) of every data file under `path`, name-sorted. */
+  private def listDataFiles(fs: FileSystem, path: String): Seq[(String, Long)] = {
+    val p = new HPath(path)
+    val all =
+      if (fs.getFileStatus(p).isDirectory) fs.listStatus(p).toSeq
+      else Seq(fs.getFileStatus(p))
+    all.filter(s => s.isFile && s.getLen > 0 &&
+        !s.getPath.getName.startsWith(".") &&
+        !s.getPath.getName.startsWith("_"))
+      .map(s => (s.getPath.toString, s.getLen)).sortBy(_._1)
+  }
+
+  /** Every file's embedded writer schema, read DISTRIBUTEDLY (header
+    * bytes only — a 100k-file dump must not serialize 100k header
+    * reads through the driver). Returns (path, len, schemaJson) in
+    * name order. */
+  private def fileHeaders(spark: SparkSession, files: Seq[(String, Long)],
+                          conf: org.apache.spark.util.SerializableConfiguration)
+      : Seq[(String, Long, String)] = {
+    val parts = math.min(files.size, 256).max(1)
+    spark.sparkContext.parallelize(files, parts).map { case (f, len) =>
+      val in = new HPath(f).getFileSystem(conf.value).open(new HPath(f))
+      val st = new DataFileStream[GenericRecord](in, new GenericDatumReader[GenericRecord]())
+      try (f, len, st.getSchema.toString) finally st.close()
+    }.collect().sortBy(_._1).toSeq
+  }
+
+  /** Unify one column's Spark types across writer-schema generations:
+    * the same lossless lattice as readParquetEvolved (equal types
+    * stand; integral widths widen; int+fractional -> double) —
+    * timestamp/string/binary/boolean unify only with themselves.
+    * None = irreconcilable. */
+  private[sources] def unifyAvroTypes(ts: Seq[DataType]): Option[DataType] =
+    PsIO.unifyTypes(ts)
+
+  /** The unified target schema over distinct writer schemas, column
+    * order first-seen; a column is nullable if ANY generation declares
+    * it nullable or omits it. Conflicted columns follow `conflicts`
+    * (drop, or carry as string). */
+  private[sources] def unifiedSchema(
+      gens: Seq[StructType], conflicts: PsIO.ConflictPolicy): StructType = {
+    val names = scala.collection.mutable.LinkedHashSet[String]()
+    gens.foreach(_.foreach(f => names += f.name))
+    val fields = names.toSeq.flatMap { n =>
+      val perGen = gens.map(_.find(_.name == n))
+      val present = perGen.flatten
+      val nullable = perGen.exists(_.isEmpty) || present.exists(_.nullable)
+      unifyAvroTypes(present.map(_.dataType)) match {
+        case Some(t) => Some(StructField(n, t, nullable))
+        case None => conflicts match {
+          case PsIO.DropConflicts => None
+          case PsIO.StringifyConflicts => Some(StructField(n, StringType, nullable))
+        }
+      }
+    }
+    StructType(fields)
+  }
+
+  /** Lossless widening (or stringification, for conflicted columns
+    * under StringifyConflicts) from one writer field's Spark value to
+    * the unified type. */
+  private def widen(from: DataType, to: DataType): Any => Any =
+    (from, to) match {
+      case (f, t) if f == t => identity[Any]
+      case (IntegerType, LongType) => { case null => null
+        case i: java.lang.Integer => java.lang.Long.valueOf(i.longValue) }
+      case (IntegerType, DoubleType) => { case null => null
+        case i: java.lang.Integer => java.lang.Double.valueOf(i.doubleValue) }
+      case (LongType, DoubleType) => { case null => null
+        case l: java.lang.Long => java.lang.Double.valueOf(l.doubleValue) }
+      case (FloatType, DoubleType) => { case null => null
+        case f: java.lang.Float => java.lang.Double.valueOf(f.doubleValue) }
+      case (BinaryType, StringType) => { case null => null
+        case b: Array[Byte] => new String(b, java.nio.charset.StandardCharsets.UTF_8) }
+      case (_, StringType) => { case null => null; case x => String.valueOf(x) }
+      case (f, t) => throw new IllegalArgumentException(
+        s"AvroIo: no lossless widening $f -> $t")
+    }
+
+  /** Per-target-column (writer field index | -1, raw->unified value
+    * converter) for one writer schema. */
+  private def projector(writer: Schema, target: StructType): Array[(Int, Any => Any)] =
+    target.fields.map { tf =>
+      Option(writer.getField(tf.name)) match {
+        case None => (-1, identity[Any]) // null-fill
+        case Some(wf) =>
+          val (base, _) = nonNullBranch(wf.schema())
+          val srcT = fieldSparkType(tf.name, base)
+          val raw = rawToSpark(base)
+          val w = widen(srcT, tf.dataType)
+          (wf.pos(), raw.andThen(w))
+      }
+    }
+
+  /** One read task's byte range: decode the blocks whose sync marker
+    * falls in [start, end). */
+  private final case class AvroSplit(path: String, len: Long,
+                                     start: Long, end: Long, schemaIdx: Int)
+
+  /** Read a file or directory of Avro container files as a DataFrame,
+    * resolving mixed writer-schema generations (the format's normal
+    * state — that is why schema registries exist) into ONE unified
+    * frame under the same drift discipline as readParquetEvolved:
+    * columns missing from a generation null-fill, type drift along the
+    * lossless lattice (int widths, int/float -> double) widens per
+    * writer schema BEFORE the union, irreconcilable re-types follow
+    * `conflicts` (dropped by default, or carried as string). Use
+    * [[avroSchemaDrift]] for the per-column disposition ledger.
+    *
+    * Scale shape: headers are read distributedly (one small job), then
+    * decoding parallelizes over SUB-FILE byte ranges — each task syncs
+    * to the first Avro block marker in its range and stops at the
+    * first past it (the public avro-mapred split protocol), so one
+    * 10 GB file among small ones scans with ~len/`maxSplitBytes`-way
+    * parallelism instead of straggling on a single task.
+    * `maxSplitBytes` defaults to spark.sql.files.maxPartitionBytes. */
+  def readAvro(spark: SparkSession, path: String,
+               conflicts: PsIO.ConflictPolicy = PsIO.DropConflicts,
+               maxSplitBytes: Option[Long] = None): DataFrame = {
     val conf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
     val fs = new HPath(path).getFileSystem(conf.value)
-    val files = {
-      val p = new HPath(path)
-      val all =
-        if (fs.getFileStatus(p).isDirectory) fs.listStatus(p).toSeq
-        else Seq(fs.getFileStatus(p))
-      all.filter(s => s.isFile && s.getLen > 0 &&
-          !s.getPath.getName.startsWith(".") &&
-          !s.getPath.getName.startsWith("_"))
-        .map(_.getPath.toString).sorted
-    }
+    val files = listDataFiles(fs, path)
     require(files.nonEmpty, s"AvroIo.readAvro: no files under $path")
-    val readerSchema = {
-      val in = fs.open(new HPath(files.head))
-      val st = new DataFileStream[GenericRecord](in, new GenericDatumReader[GenericRecord]())
-      try st.getSchema finally st.close()
+    val headers = fileHeaders(spark, files, conf)
+    // distinct writer schemas in first-seen file order (usually a
+    // handful of generations, however many files carry them)
+    val schemaJsons = scala.collection.mutable.LinkedHashMap[String, Int]()
+    val fileSchemaIdx = headers.map { case (_, _, sj) =>
+      schemaJsons.getOrElseUpdate(sj, schemaJsons.size)
     }
-    val readerSchemaJson = readerSchema.toString
-    val sparkSchema = toSparkSchema(readerSchema)
-    val n = sparkSchema.length
+    val genSchemas = schemaJsons.keys.toSeq
+    val target = unifiedSchema(
+      genSchemas.map(sj => toSparkSchema(new Schema.Parser().parse(sj))), conflicts)
+    require(target.nonEmpty,
+      s"AvroIo.readAvro: no unifiable columns across the writer schemas under $path")
+    val splitBytes = maxSplitBytes.getOrElse(
+      spark.sessionState.conf.filesMaxPartitionBytes).max(1L)
+    val splits = headers.zip(fileSchemaIdx).flatMap { case ((f, len, _), si) =>
+      (0L until len by splitBytes).map(s =>
+        AvroSplit(f, len, s, math.min(s + splitBytes, len), si))
+    }
+    val genJsonArr = genSchemas.toArray
+    val n = target.length
     val rdd = spark.sparkContext
-      .parallelize(files, files.size)
-      .flatMap { f =>
-        val in = new HPath(f).getFileSystem(conf.value).open(new HPath(f))
-        // each file's embedded writer schema resolves against the
-        // first file's schema BY NAME (Avro schema resolution) — a
-        // reordered file decodes correctly, an incompatible one fails
-        // loudly instead of silently landing values in the wrong column
-        val expected = new Schema.Parser().parse(readerSchemaJson)
-        val st = new DataFileStream[GenericRecord](
-          in, new GenericDatumReader[GenericRecord](null, expected))
+      .parallelize(splits, splits.size)
+      .flatMap { sp =>
+        val writer = new Schema.Parser().parse(genJsonArr(sp.schemaIdx))
+        val proj = projector(writer, target)
+        val in = new HPath(sp.path).getFileSystem(conf.value).open(new HPath(sp.path))
+        val r = new DataFileReader[GenericRecord](
+          new HadoopSeekableInput(in, sp.len),
+          new GenericDatumReader[GenericRecord](writer))
+        // the header ends with the 16-byte sync marker, so sync(0)
+        // lands on the first block; later starts land on the first
+        // block boundary in-range
+        r.sync(sp.start)
         // a task that dies mid-file must not leak the stream
         Option(org.apache.spark.TaskContext.get())
-          .foreach(_.addTaskCompletionListener[Unit](_ => st.close()))
+          .foreach(_.addTaskCompletionListener[Unit](_ => r.close()))
         new Iterator[Row] {
           private var closed = false
           def hasNext: Boolean = {
-            val h = !closed && st.hasNext
-            if (!h && !closed) { st.close(); closed = true }
+            val h = !closed && r.hasNext && !r.pastSync(sp.end)
+            if (!h && !closed) { r.close(); closed = true }
             h
           }
           def next(): Row = {
-            val rec = st.next()
+            val rec = r.next()
             val vals = new Array[Any](n)
             var j = 0
             while (j < n) {
-              vals(j) = rec.get(j) match {
-                case null => null
-                case u: org.apache.avro.util.Utf8 => u.toString
-                case bb: java.nio.ByteBuffer =>
-                  val a = new Array[Byte](bb.remaining()); bb.duplicate().get(a); a
-                case x => x
-              }
+              val (src, conv) = proj(j)
+              vals(j) = if (src < 0) null else conv(rec.get(src))
               j += 1
             }
             Row.fromSeq(vals.toIndexedSeq)
           }
         }
       }
-    spark.createDataFrame(rdd, sparkSchema)
+    spark.createDataFrame(rdd, target)
+  }
+
+  /** The drift ledger for an Avro directory: one row per column seen in
+    * ANY writer-schema generation with its disposition — action ∈
+    * stable | null_fill | widen | quarantine — the unified type, and
+    * the per-generation types in first-seen order ("-" where absent).
+    * Same contract as [[PsIO.parquetSchemaDrift]]; header bytes only. */
+  def avroSchemaDrift(spark: SparkSession, path: String): DataFrame = {
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val fs = new HPath(path).getFileSystem(conf.value)
+    val files = listDataFiles(fs, path)
+    require(files.nonEmpty, s"AvroIo.avroSchemaDrift: no files under $path")
+    val gens = fileHeaders(spark, files, conf).map(_._3).distinct
+      .map(sj => toSparkSchema(new Schema.Parser().parse(sj)))
+    val names = scala.collection.mutable.LinkedHashSet[String]()
+    gens.foreach(_.foreach(f => names += f.name))
+    val rows = names.toSeq.map { nm =>
+      val perGen = gens.map(_.find(_.name == nm).map(_.dataType))
+      val present = perGen.flatten
+      val unified = unifyAvroTypes(present)
+      val action =
+        if (unified.isEmpty) "quarantine"
+        else if (present.map(_.simpleString).distinct.size > 1) "widen"
+        else if (perGen.exists(_.isEmpty)) "null_fill"
+        else "stable"
+      (nm, action, unified.map(_.simpleString).getOrElse("-"),
+        perGen.map(_.map(_.simpleString).getOrElse("-")).mkString(","))
+    }
+    spark.createDataFrame(rows)
+      .toDF("column", "action", "unified_type", "types_seen")
   }
 }

@@ -65,8 +65,150 @@ class AvroIoSpec extends AnyFunSuite with SparkFixture {
       AvroIo.toAvro(Seq((1, Seq(1, 2))).toDF("i", "arr"), tmp()))
     assert(e.getMessage.contains("unsupported Spark type"))
     intercept[IllegalArgumentException](
-      AvroIo.toAvro(Seq((1, java.sql.Timestamp.valueOf("2020-01-01 00:00:00")))
-        .toDF("i", "ts"), tmp()))
+      AvroIo.toAvro(Seq((1, java.sql.Date.valueOf("2020-01-01")))
+        .toDF("i", "dt"), tmp()))
+  }
+
+  test("timestamps round-trip as timestamp-micros logical longs") {
+    val s = spark
+    import s.implicits._
+    val ts = Seq(
+      (1L, java.sql.Timestamp.valueOf("2020-01-01 00:00:00.000001")),
+      (2L, java.sql.Timestamp.valueOf("1969-12-31 23:59:59.999999")),
+      (3L, java.sql.Timestamp.valueOf("2038-01-19 03:14:07.5")))
+      .toDF("id", "ts")
+    val dir = tmp()
+    AvroIo.toAvro(ts, dir)
+    // the written schema must carry the logical type, not a bare long
+    val raw = new String(Files.readAllBytes(
+      new java.io.File(dir).listFiles().filter(_.getName.endsWith(".avro"))
+        .head.toPath), "ISO-8859-1")
+    assert(raw.contains("timestamp-micros"))
+    val back = AvroIo.readAvro(s, dir)
+    assert(back.schema("ts").dataType == org.apache.spark.sql.types.TimestampType)
+    assert(back.collect().map(r => (r.getLong(0), r.getTimestamp(1))).sortBy(_._1).toSeq ==
+      ts.collect().map(r => (r.getLong(0), r.getTimestamp(1))).sortBy(_._1).toSeq)
+  }
+
+  test("timestamp-millis files read back at millisecond precision") {
+    val s = spark
+    import org.apache.avro.{LogicalTypes, Schema, SchemaBuilder}
+    import org.apache.avro.file.DataFileWriter
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    val tsMs = LogicalTypes.timestampMillis().addToSchema(Schema.create(Schema.Type.LONG))
+    val sch = SchemaBuilder.record("r").fields()
+      .requiredInt("id").name("ts").`type`(tsMs).noDefault().endRecord()
+    val dir = Files.createTempDirectory("graft-avro-tsms")
+    val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](sch))
+    w.create(sch, dir.resolve("m.avro").toFile)
+    val rec = new GenericData.Record(sch)
+    rec.put("id", 1); rec.put("ts", 1577836800123L) // 2020-01-01 00:00:00.123 UTC
+    w.append(rec); w.close()
+    val got = AvroIo.readAvro(s, dir.toString).collect().head
+    assert(got.getTimestamp(1).getTime == 1577836800123L)
+  }
+
+  test("mixed writer-schema generations unify: null-fill + lossless widen") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft-avro-evolve").toString
+    // gen1: (a int, b string, c int); gen2: (a long  — widened, b string,
+    // d double — new); written to temp dirs, files merged into ONE dir
+    // like a multi-generation Kafka dump
+    val g1 = Seq((1, "x", 10), (2, "y", 20)).toDF("a", "b", "c").coalesce(1)
+    val g2 = Seq((3L, "z", 1.5)).toDF("a", "b", "d").coalesce(1)
+    val t1 = tmp(); val t2 = tmp()
+    AvroIo.toAvro(g1, t1); AvroIo.toAvro(g2, t2)
+    def move(from: String, as: String): Unit = {
+      val f = new java.io.File(from).listFiles().filter(_.getName.endsWith(".avro")).head
+      Files.copy(f.toPath, java.nio.file.Paths.get(dir, as))
+      ()
+    }
+    move(t1, "gen1-part-00000.avro")
+    move(t2, "gen2-part-00000.avro")
+    val got = AvroIo.readAvro(s, dir)
+    import org.apache.spark.sql.types._
+    assert(got.schema.map(f => (f.name, f.dataType)) ==
+      Seq(("a", LongType), ("b", StringType), ("c", IntegerType), ("d", DoubleType)))
+    val rows = got.collect().map(r => (r.getLong(0), r.getString(1),
+      Option(r.get(2)), Option(r.get(3)))).sortBy(_._1)
+    assert(rows.toSeq == Seq(
+      (1L, "x", Some(10), None), (2L, "y", Some(20), None),
+      (3L, "z", None, Some(1.5))))
+    // the ledger names every disposition
+    val ledger = AvroIo.avroSchemaDrift(s, dir).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(ledger == Map("a" -> "widen", "b" -> "stable",
+      "c" -> "null_fill", "d" -> "null_fill"))
+  }
+
+  test("irreconcilable re-type: dropped by default, stringified on request") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft-avro-conflict").toString
+    val g1 = Seq((1, "x")).toDF("k", "v").coalesce(1)
+    val g2 = Seq((2, true)).toDF("k", "v").coalesce(1) // v: string -> boolean
+    val t1 = tmp(); val t2 = tmp()
+    AvroIo.toAvro(g1, t1); AvroIo.toAvro(g2, t2)
+    def move(from: String, as: String): Unit = {
+      val f = new java.io.File(from).listFiles().filter(_.getName.endsWith(".avro")).head
+      Files.copy(f.toPath, java.nio.file.Paths.get(dir, as)); ()
+    }
+    move(t1, "g1.avro"); move(t2, "g2.avro")
+    val dropped = AvroIo.readAvro(s, dir)
+    assert(dropped.schema.fieldNames.toSeq == Seq("k"))
+    val str = AvroIo.readAvro(s, dir, conflicts = graft.sources.PsIO.StringifyConflicts)
+    assert(str.schema("v").dataType == org.apache.spark.sql.types.StringType)
+    assert(str.collect().map(r => (r.getInt(0), r.getString(1))).sortBy(_._1).toSeq ==
+      Seq((1, "x"), (2, "true")))
+    assert(AvroIo.avroSchemaDrift(s, dir).collect()
+      .find(_.getString(0) == "v").get.getString(1) == "quarantine")
+  }
+
+  test("size-aware reads: one fat file splits into multiple tasks, no row lost") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp()
+    // ~1 MB of rows in ONE file (strings defeat deflate enough to leave
+    // multiple 64 KiB-scale blocks), plus one tiny sibling file
+    val fat = (1 to 30000)
+      .map(i => (i, s"payload-$i-" + ("x" * 40))).toDF("n", "p").coalesce(1)
+    AvroIo.toAvro(fat, dir, codec = None)
+    val fatFile = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".avro")).head
+    val small = Seq((1000001, "tiny")).toDF("n", "p").coalesce(1)
+    val t2 = tmp(); AvroIo.toAvro(small, t2, codec = None)
+    Files.copy(new java.io.File(t2).listFiles().filter(_.getName.endsWith(".avro"))
+      .head.toPath, java.nio.file.Paths.get(dir, "small.avro"))
+    assert(fatFile.length() > 512 * 1024)
+    val got = AvroIo.readAvro(s, dir, maxSplitBytes = Some(128 * 1024))
+    // parallelism proportional to bytes: the fat file alone must yield
+    // several splits (vs 2 tasks under per-file granularity)
+    assert(got.rdd.getNumPartitions >= 6)
+    assert(got.count() == 30001)
+    assert(got.agg(org.apache.spark.sql.functions.sum("n")).head.getLong(0) ==
+      (1 to 30000).map(_.toLong).sum + 1000001L)
+  }
+
+  test("write is two-phase: no temp dirs left behind, target never partial") {
+    val s = spark
+    import s.implicits._
+    val base = Files.createTempDirectory("graft-avro-commit")
+    val dir = base.toString + "/t"
+    AvroIo.toAvro((1 to 10).toDF("n").repartition(2), dir)
+    // job-commit renamed the temp dir away; only the target remains
+    val siblings = base.toFile.listFiles().map(_.getName).toSeq
+    assert(siblings == Seq("t"), s"leftover temp artifacts: $siblings")
+    // a failing write must leave the previous target intact
+    val before = AvroIo.readAvro(s, dir).collect().map(_.getInt(0)).sorted.toSeq
+    intercept[Exception] {
+      AvroIo.toAvro(
+        (1 to 10).toDS().map { n =>
+          if (n > 5) sys.error("mid-job failure") else n
+        }.toDF("n"), dir)
+    }
+    assert(base.toFile.listFiles().map(_.getName).toSeq == Seq("t"))
+    assert(AvroIo.readAvro(s, dir).collect().map(_.getInt(0)).sorted.toSeq == before)
   }
 
   test("readAvro resolves later files BY NAME: reordered fields decode correctly") {
