@@ -145,6 +145,51 @@ object ExtQueries {
       .computeIfAbsent(s"$dir:$key",
         _ => graft.operators.Drift.cellExprs(ref, dims))
 
+  /** events with ts at ms precision plus the shared event-drift label
+    * expressions (value bins + top-3 event types) — the input both
+    * q_drift_windows and q_drift_scored bin identically. ns -> ms via
+    * integral div (long `/` is DOUBLE division in Spark; ns magnitudes
+    * exceed 2^53, so it can round across a boundary). */
+  private def eventsDriftSide(s: SparkSession, dir: String)
+      : (DataFrame, Seq[(String, org.apache.spark.sql.Column)]) = {
+    val ev = events(s, dir)
+      .select(timestamp_millis(expr("ts div 1000000")).as("ts"),
+        col("event_type"), col("value"))
+    (ev, psiExprsFor(s, dir, "events", ev, Seq(
+      graft.operators.Drift.NumericDim("value", Seq(10.0, 100.0)),
+      graft.operators.Drift.CategoricalDim("event_type", top = 3))))
+  }
+
+  /** The PSI report replay shared by q_drift_report and q_drift_spec
+    * (the latter computes the same report through the persisted spec,
+    * so sharing the oracle string pins loaded == resolved). */
+  private lazy val driftReportOracle: String =
+    s"""WITH base AS (SELECT lang, source, n_chars,
+                             nullif(lang, 'zh') AS lang_tag FROM documents),
+        cur AS (SELECT lang, source, least(n_chars, 300) AS n_chars,
+                       lang_tag FROM base WHERE lang <> 'fr'),
+        $psiCellCtes,
+        rc AS (SELECT "column", bin, count(*) AS rn FROM rcell GROUP BY 1, 2),
+        cc AS (SELECT "column", bin, count(*) AS cn FROM ccell GROUP BY 1, 2),
+        b AS (SELECT coalesce(rc."column", cc."column") AS "column",
+                     coalesce(rc.bin, cc.bin) AS bin,
+                     coalesce(rn, 0)::BIGINT AS ref_n,
+                     coalesce(cn, 0)::BIGINT AS cur_n
+              FROM rc FULL OUTER JOIN cc
+                ON rc."column" = cc."column" AND rc.bin = cc.bin),
+        percol AS (SELECT "column",
+                          sum(ref_n)::BIGINT AS ref_n,
+                          sum(cur_n)::BIGINT AS cur_n,
+                          count(*)::BIGINT AS bins,
+                          list(struct_pack(bin := bin, rn := ref_n,
+                                           cn := cur_n)
+                               ORDER BY bin) AS cells
+                   FROM b GROUP BY 1)
+        SELECT "column", ref_n, cur_n, bins,
+               $psiFoldSql AS psi_bp,
+               $psiFoldSql >= 1000 AS drifted
+        FROM percol ORDER BY "column""""
+
   /** The DuckDB replay of the PSI fold (expects `cells`, `ref_n`,
     * `cur_n`, `bins` in scope): a sequential left-to-right
     * list_transform + list_sum recurrence — bit-exact against Spark's
@@ -2110,18 +2155,41 @@ object ExtQueries {
     // epoch seconds (the q_window_events device: no timestamp columns
     // in oracle-compared output)
     "q_drift_windows" -> ((s, dir) => {
-      // ns -> ms via integral div (long '/' is DOUBLE division in Spark;
-      // ns magnitudes exceed 2^53, so it can round across a boundary)
-      val ev = events(s, dir)
-        .select(timestamp_millis(expr("ts div 1000000")).as("ts"),
-          col("event_type"), col("value"))
-      val exprs = psiExprsFor(s, dir, "events", ev, Seq(
-        graft.operators.Drift.NumericDim("value", Seq(10.0, 100.0)),
-        graft.operators.Drift.CategoricalDim("event_type", top = 3)))
+      val (ev, exprs) = eventsDriftSide(s, dir)
       graft.streaming.StreamingOps.streamingDriftBins(ev, exprs, "1 hour", "0 seconds")
         .select(unix_timestamp(col("window_start")).as("window_s"),
           col("column"), col("bin"), col("cur_n"))
         .orderBy("window_s", "column", "bin")
+    }),
+
+    // the monitor's scoring face end-to-end in batch: every closed
+    // window's contingency joined to the full-corpus reference counts
+    // (windows x Σbins bounded cross — KBs, never row-scale) and folded
+    // with the EXACT batch PSI semantics; StreamingSpec holds the
+    // differential proving the foreachBatch monitor emits these same
+    // rows per closed window across a kill/restart
+    "q_drift_scored" -> ((s, dir) => {
+      val (ev, exprs) = eventsDriftSide(s, dir)
+      val wb = graft.streaming.StreamingOps
+        .streamingDriftBins(ev, exprs, "1 hour", "0 seconds")
+        .select(unix_timestamp(col("window_start")).as("window_s"),
+          col("column"), col("bin"), col("cur_n"))
+      graft.operators.Drift.scoreWindows(
+        wb, graft.operators.Drift.referenceCounts(ev, exprs), "window_s")
+    }),
+
+    // the STORABLE face of the same report: resolve the binning spec
+    // once, persist it (tiny parquet, like the IVF/PQ index artifacts),
+    // and score from the LOADED spec — proving month-over-month
+    // monitoring sees identical bins across sessions; the oracle is
+    // q_drift_report's, so the compare pins loaded == resolved
+    "q_drift_spec" -> ((s, dir) => {
+      driftSpecFixture(s, dir)
+      val (ref, cur) = psiSides(s, dir)
+      val exprs = graft.operators.Drift.exprsFromSpec(
+        graft.operators.Drift.loadSpec(s, DriftSpecDir))
+      graft.operators.Drift.reportFromContingency(
+        graft.operators.Drift.binsWith(exprs, ref, cur))
     }),
 
     // per-source drilldown of the same drift: which origin moved —
@@ -2653,6 +2721,39 @@ object ExtQueries {
       graft.sources.AvroIo.readAvro(s, AvroFixtureDir).orderBy("n_nationkey")
     }),
 
+    // mixed writer-schema generations in ONE directory (the normal
+    // state of a Kafka dump): gen1 (key int, name, regionkey) + gen2
+    // (key LONG — widened, name, n_len — new) unify through the
+    // lossless lattice with per-generation null-fill; the oracle
+    // replays the union/widen semantics from the nation table
+    "q_read_avro_evolved" -> ((s, dir) => {
+      avroEvolvedFixture(s, dir)
+      graft.sources.AvroIo.readAvro(s, AvroEvolvedFixtureDir)
+        .orderBy("n_nationkey")
+    }),
+
+    // timestamp-micros logical-type round-trip: events ts written as
+    // Avro logical longs, read back as TimestampType, compared at
+    // exact epoch-micros precision against DuckDB's own timestamp read
+    "q_read_avro_ts" -> ((s, dir) => {
+      avroTsFixture(s, dir)
+      graft.sources.AvroIo.readAvro(s, AvroTsFixtureDir)
+        .select(col("event_id"), unix_micros(col("ts")).as("ts_us"))
+        .orderBy("event_id")
+    }),
+
+    // the decision face of the footer-stats audit: which row groups
+    // would `doc_id BETWEEN 200 AND 300 AND n_chars >= 0` prune on the
+    // doc_id-sorted layout? The oracle replays the envelope logic from
+    // DuckDB's independent parquet_metadata reader
+    "q_prune_sim" -> ((s, dir) => {
+      pruneFixture(s, dir)
+      PsIO.parquetPruneSim(
+        PsIO.parquetStats(s, PruneFixtureDir, Seq("doc_id", "n_chars")),
+        Seq(("doc_id", 200L, 300L), ("n_chars", 0L, 1000000000L)))
+        .orderBy("file", "row_group")
+    }),
+
     // per-column aggregate sugar: df("c").sum() scalars, re-lifted into a
     // frame so the oracle can compare them
     "q_colagg" -> ((s, dir) => {
@@ -2697,6 +2798,10 @@ object ExtQueries {
   val ManifestFixtureDir = "/root/repo/target/tmp/documents_manifest"
   val DriftGen1Dir = "/root/repo/target/tmp/nation_drift_gen1"
   val DriftGen2Dir = "/root/repo/target/tmp/nation_drift_gen2"
+  val AvroEvolvedFixtureDir = "/root/repo/target/tmp/nation_avro_evolved"
+  val AvroTsFixtureDir = "/root/repo/target/tmp/events_avro_ts"
+  val PruneFixtureDir = "/root/repo/target/tmp/documents_sorted"
+  val DriftSpecDir = "/root/repo/target/tmp/drift_spec"
 
   /** Write-once-per-process fixture creation, keyed by (kind, dir):
     * the ingestion queries must time the READ — re-writing the fixture
@@ -2799,6 +2904,75 @@ object ExtQueries {
     fixturesDone.computeIfAbsent(s"avro:$dir", _ =>
       graft.sources.AvroIo.toAvro(
         s.read.parquet(s"$dir/nation.parquet").repartition(3), AvroFixtureDir))
+  private def avroEvolvedFixture(s: SparkSession, dir: String): Unit =
+    fixturesDone.computeIfAbsent(s"avroevo:$dir", _ => {
+      // two writer-schema generations merged into ONE directory, the
+      // way a long-lived Kafka connect sink actually leaves them
+      val n = s.read.parquet(s"$dir/nation.parquet")
+      val g1 = n.filter(col("n_nationkey") < 12)
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+        .coalesce(1)
+      val g2 = n.filter(col("n_nationkey") >= 12)
+        .select(col("n_nationkey").cast("long").as("n_nationkey"),
+          col("n_name"), length(col("n_name")).cast("int").as("n_len"))
+        .coalesce(1)
+      val t1 = AvroEvolvedFixtureDir + "_g1"
+      val t2 = AvroEvolvedFixtureDir + "_g2"
+      graft.sources.AvroIo.toAvro(g1, t1)
+      graft.sources.AvroIo.toAvro(g2, t2)
+      val d = new java.io.File(AvroEvolvedFixtureDir)
+      if (d.exists()) d.listFiles().foreach(_.delete())
+      d.mkdirs()
+      def move(from: String, as: String): Unit = {
+        val f = new java.io.File(from).listFiles()
+          .filter(_.getName.endsWith(".avro")).head
+        java.nio.file.Files.copy(f.toPath, new java.io.File(d, as).toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING); ()
+      }
+      move(t1, "gen1-part-00000.avro")
+      move(t2, "gen2-part-00000.avro")
+    })
+  private def avroTsFixture(s: SparkSession, dir: String): Unit =
+    fixturesDone.computeIfAbsent(s"avrots:$dir", _ =>
+      graft.sources.AvroIo.toAvro(
+        events(s, dir).filter(col("event_id") < 500)
+          .select(col("event_id"),
+            timestamp_micros(expr("ts div 1000")).as("ts")) // ns -> µs
+          .coalesce(1),
+        AvroTsFixtureDir))
+  private def pruneFixture(s: SparkSession, dir: String): Unit =
+    fixturesDone.computeIfAbsent(s"prune:$dir", _ => {
+      // three files with TIGHT DISJOINT doc_id envelopes (the layout
+      // writeSorted produces) so range predicates genuinely prune —
+      // deterministic part names for the oracle's per-file compare
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id", "n_chars")
+      val maxId = docs.agg(max("doc_id")).head().getLong(0)
+      val cut1 = maxId / 3
+      val cut2 = 2 * maxId / 3
+      val ranges = Seq(
+        col("doc_id") <= cut1,
+        col("doc_id") > cut1 && col("doc_id") <= cut2,
+        col("doc_id") > cut2)
+      val d = new java.io.File(PruneFixtureDir)
+      if (d.exists()) d.listFiles().foreach(_.delete())
+      d.mkdirs()
+      ranges.zipWithIndex.foreach { case (p, g) =>
+        val tmp = PruneFixtureDir + s"_tmp$g"
+        docs.filter(p).coalesce(1).write.mode("overwrite").parquet(tmp)
+        val f = new java.io.File(tmp).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        java.nio.file.Files.copy(f.toPath,
+          new java.io.File(d, f"part-$g%05d.parquet").toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING); ()
+      }
+    })
+  private def driftSpecFixture(s: SparkSession, dir: String): Unit =
+    fixturesDone.computeIfAbsent(s"driftspec:$dir", _ => {
+      val (ref, _) = psiSides(s, dir)
+      graft.operators.Drift.saveSpec(s,
+        graft.operators.Drift.resolve(ref, psiDims), DriftSpecDir)
+    })
   private def pickleFixture(s: SparkSession, dir: String): Unit =
     fixturesDone.computeIfAbsent(s"pkl:$dir", _ => {
       new java.io.File(PickleFixturePath).getParentFile.mkdirs()
@@ -4310,32 +4484,11 @@ object ExtQueries {
     // replays Spark's aggregate() recurrence bit-exactly (same term
     // shape, same order); PSI terms are >= 0 so round() half-away-from-
     // zero agrees in both engines, and psi_bp lands as exact BIGINT
-    "q_drift_report" ->
-      s"""WITH base AS (SELECT lang, source, n_chars,
-                               nullif(lang, 'zh') AS lang_tag FROM documents),
-          cur AS (SELECT lang, source, least(n_chars, 300) AS n_chars,
-                         lang_tag FROM base WHERE lang <> 'fr'),
-          $psiCellCtes,
-          rc AS (SELECT "column", bin, count(*) AS rn FROM rcell GROUP BY 1, 2),
-          cc AS (SELECT "column", bin, count(*) AS cn FROM ccell GROUP BY 1, 2),
-          b AS (SELECT coalesce(rc."column", cc."column") AS "column",
-                       coalesce(rc.bin, cc.bin) AS bin,
-                       coalesce(rn, 0)::BIGINT AS ref_n,
-                       coalesce(cn, 0)::BIGINT AS cur_n
-                FROM rc FULL OUTER JOIN cc
-                  ON rc."column" = cc."column" AND rc.bin = cc.bin),
-          percol AS (SELECT "column",
-                            sum(ref_n)::BIGINT AS ref_n,
-                            sum(cur_n)::BIGINT AS cur_n,
-                            count(*)::BIGINT AS bins,
-                            list(struct_pack(bin := bin, rn := ref_n,
-                                             cn := cur_n)
-                                 ORDER BY bin) AS cells
-                     FROM b GROUP BY 1)
-          SELECT "column", ref_n, cur_n, bins,
-                 $psiFoldSql AS psi_bp,
-                 $psiFoldSql >= 1000 AS drifted
-          FROM percol ORDER BY "column"""",
+    "q_drift_report" -> driftReportOracle,
+    // IDENTICAL oracle by construction: q_drift_spec computes the same
+    // report from the save/load round-tripped spec, so a green row here
+    // pins loaded bins == resolved bins cell-for-cell
+    "q_drift_spec" -> driftReportOracle,
     // the windowed contingency: binning CASE chains + reference top set
     // replayed per calendar hour (date_trunc == Spark's epoch-aligned
     // 1-hour window under the UTC session tz)
@@ -4361,6 +4514,58 @@ object ExtQueries {
             FROM events)
           SELECT window_s, "column", bin, count(*) AS cur_n
           FROM cells GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+    // the scored-windows face: every hourly window's contingency gets
+    // the FULL reference bin set (cross join of windows x ref cells,
+    // zero-filled where the window is silent), then the same sorted
+    // sequential PSI fold as q_drift_report — replaying Spark's
+    // scoreWindows term-for-term
+    "q_drift_scored" ->
+      s"""WITH top_et AS (SELECT event_type AS v FROM events
+                          WHERE event_type IS NOT NULL
+                          GROUP BY 1 ORDER BY count(*) DESC, v LIMIT 3),
+          rawcell AS (
+            SELECT ts, 'value' AS "column",
+                   CASE WHEN value IS NULL THEN 'z_null'
+                        WHEN isnan(value) THEN 'y_nan'
+                        WHEN value < 10 THEN 'b00'
+                        WHEN value < 100 THEN 'b01'
+                        ELSE 'b02' END AS bin
+            FROM events
+            UNION ALL
+            SELECT ts, 'event_type',
+                   CASE WHEN event_type IS NULL THEN 'z_null'
+                        WHEN event_type IN (SELECT v FROM top_et)
+                          THEN 'v_' || event_type
+                        ELSE 'y_other' END
+            FROM events),
+          cur AS (SELECT epoch(date_trunc('hour', ts))::BIGINT AS window_s,
+                         "column", bin, count(*) AS cn
+                  FROM rawcell GROUP BY 1, 2, 3),
+          refc AS (SELECT "column", bin, count(*) AS rn
+                   FROM rawcell GROUP BY 1, 2),
+          w AS (SELECT DISTINCT window_s FROM cur),
+          wr AS (SELECT w.window_s, refc."column", refc.bin, refc.rn
+                 FROM w CROSS JOIN refc),
+          b AS (SELECT coalesce(wr.window_s, cur.window_s) AS window_s,
+                       coalesce(wr."column", cur."column") AS "column",
+                       coalesce(wr.bin, cur.bin) AS bin,
+                       coalesce(rn, 0)::BIGINT AS ref_n,
+                       coalesce(cn, 0)::BIGINT AS cur_n
+                FROM wr FULL OUTER JOIN cur
+                  ON wr.window_s = cur.window_s
+                 AND wr."column" = cur."column" AND wr.bin = cur.bin),
+          percol AS (SELECT window_s, "column",
+                            sum(ref_n)::BIGINT AS ref_n,
+                            sum(cur_n)::BIGINT AS cur_n,
+                            count(*)::BIGINT AS bins,
+                            list(struct_pack(bin := bin, rn := ref_n,
+                                             cn := cur_n)
+                                 ORDER BY bin) AS cells
+                     FROM b GROUP BY 1, 2)
+          SELECT window_s, "column", ref_n, cur_n, bins,
+                 $psiFoldSql AS psi_bp,
+                 $psiFoldSql >= 1000 AS drifted
+          FROM percol ORDER BY window_s, "column"""",
     // per-group drilldown: the same snapshots scored per origin source.
     // Top sets stay GLOBAL (comparable bins across groups — the engine's
     // binsBy contract); bins zero-fill per (source, column, bin)
@@ -4623,6 +4828,49 @@ object ExtQueries {
     "q_read_avro" ->
       """SELECT n_nationkey, n_name, n_regionkey
          FROM nation ORDER BY n_nationkey""",
+    // the evolved fixture splits nation at key 12: gen1 carries
+    // (int key, name, regionkey), gen2 (long key, name, n_len) — the
+    // oracle replays the unified frame's widen + null-fill dispositions
+    "q_read_avro_evolved" ->
+      """SELECT n_nationkey::BIGINT AS n_nationkey, n_name,
+                CASE WHEN n_nationkey < 12 THEN n_regionkey END AS n_regionkey,
+                CASE WHEN n_nationkey >= 12 THEN len(n_name)::INTEGER END AS n_len
+         FROM nation ORDER BY n_nationkey""",
+    // timestamp round-trip compared at exact epoch-micros: DuckDB reads
+    // the parquet timestamps natively, Spark reads them back through
+    // the Avro timestamp-micros logical type
+    "q_read_avro_ts" ->
+      """SELECT event_id, epoch_us(ts) AS ts_us FROM events
+         WHERE event_id < 500 ORDER BY event_id""",
+    // prune simulation vs DuckDB's independent footer reader: a row
+    // group is pruned when some predicate column's envelope excludes
+    // its range (or the chunk is provably all-null); missing stats
+    // conservatively keep the group
+    "q_prune_sim" ->
+      s"""WITH st AS (SELECT regexp_extract(file_name, '[^/]+$$') AS file,
+                             row_group_id::BIGINT AS row_group,
+                             path_in_schema AS "column",
+                             num_values::BIGINT AS num_values,
+                             stats_null_count::BIGINT AS null_count,
+                             stats_min_value::BIGINT AS min_v,
+                             stats_max_value::BIGINT AS max_v
+                      FROM parquet_metadata('$PruneFixtureDir/*.parquet')
+                      WHERE path_in_schema IN ('doc_id', 'n_chars')),
+          fl AS (SELECT file, row_group,
+                        CASE "column"
+                          WHEN 'doc_id' THEN
+                            coalesce(max_v < 200 OR min_v > 300, false)
+                            OR coalesce(min_v IS NULL
+                                        AND null_count = num_values, false)
+                          ELSE
+                            coalesce(max_v < 0 OR min_v > 1000000000, false)
+                            OR coalesce(min_v IS NULL
+                                        AND null_count = num_values, false)
+                        END AS excluded
+                 FROM st)
+          SELECT file, row_group, bool_or(excluded) AS pruned,
+                 count(*)::BIGINT AS cols_checked
+          FROM fl GROUP BY 1, 2 ORDER BY 1, 2""",
     // the npy fixture is written ordered by n_nationkey, so idx is the
     // rank of n_nationkey; DuckDB rebuilds (idx, pos, value) relationally
     "q_read_npy" ->

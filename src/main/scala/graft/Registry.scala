@@ -20,7 +20,8 @@ object Registry {
       "b_join", "b_triple_join", "b_limit", "b_limit_sorted", "b_selection"),
     "ingestion, formats & schema drift (§2.2)" -> Set(
       "q_local", "q_read_csv", "q_read_json", "q_read_npy", "q_read_pickle",
-      "q_read_arrow", "q_read_orc", "q_read_avro", "q_json_quarantine",
+      "q_read_arrow", "q_read_orc", "q_read_avro", "q_read_avro_evolved",
+      "q_read_avro_ts", "q_json_quarantine",
       "q_csv_quarantine", "q_materialize", "q_schema_drift",
       "q_schema_drift_report"),
     "projection, selection & column ops (§2.3-2.4)" -> Set(
@@ -76,7 +77,7 @@ object Registry {
       "q_budget_mix", "q_select_budget", "q_domain_cap", "q_shuffle"),
     "snapshots & incremental (§2.11)" -> Set(
       "q_snapshot_diff", "q_upsert", "q_content_fp", "q_file_manifest",
-      "q_parquet_stats"),
+      "q_parquet_stats", "q_prune_sim"),
     "multimodal (§2.11)" -> Set(
       "q_multimodal", "q_multimodal_img", "q_multimodal_wav",
       "q_multimodal_adpcm", "q_video_frames", "q_gif_frames",
@@ -86,7 +87,7 @@ object Registry {
     "data-quality gate (§2.11)" -> Set("q_checks", "q_checks_flag"),
     "distribution drift (§2.11)" -> Set(
       "q_drift_bins", "q_drift_report", "q_drift_by_source",
-      "q_drift_windows"),
+      "q_drift_windows", "q_drift_scored", "q_drift_spec"),
     "pipeline compositions (§2.11)" -> Set(
       "q_pipeline", "q_pipeline_audit", "q_pipeline_curate",
       "q_pipeline_incr", "q_pipeline_media", "q_pipeline_release",

@@ -96,27 +96,115 @@ object Drift {
       }
   }
 
-  /** The bin-label expression for one dimension, with categorical top
-    * sets pre-resolved by [[topSets]]. */
-  private def binExpr(tops: Map[String, Seq[String]], dim: Dim): Column =
-    dim match {
-      case NumericDim(c, edges) =>
-        val x = col(c).cast("double")
-        // NaN gets its OWN bin (Spark orders NaN above all doubles, so
-        // every `x < edge` is false and NaN would silently alias into
-        // the top bin — a NaN-rate shift is drift and must be visible)
-        val chain = edges.zipWithIndex.foldLeft(
-          when(col(c).isNull, lit(NullLabel)).when(isnan(x), lit(NanLabel))) {
-          case (acc, (e, i)) => acc.when(x < lit(e), lit(f"b$i%02d"))
-        }
-        chain.otherwise(lit(f"b${edges.size}%02d"))
+  /** One dimension with everything its bin labels depend on made
+    * EXPLICIT — numeric edges, or the categorical top set resolved
+    * against the reference. This is the storable monitoring artifact:
+    * derive it once against the reference snapshot ([[resolve]]),
+    * persist it ([[saveSpec]]), and score every later snapshot against
+    * identical bins ([[loadSpec]] + [[exprsFromSpec]]). */
+  final case class ResolvedDim(column: String, kind: String,
+                               edges: Seq[Double], topVals: Seq[String]) {
+    require(kind == "numeric" || kind == "categorical",
+      s"ResolvedDim($column): kind must be numeric|categorical, got $kind")
+    if (kind == "numeric") {
+      require(edges.nonEmpty && edges.size < 100,
+        s"ResolvedDim($column): need 1..99 edges")
+      require(edges.forall(e => !e.isNaN), s"ResolvedDim($column): NaN edge")
+      require(edges == edges.sorted && edges.distinct == edges,
+        s"ResolvedDim($column): edges must be strictly ascending")
+    } else require(edges.isEmpty, s"ResolvedDim($column): categorical with edges")
+  }
+
+  /** A fully-resolved binning specification — the cross-session
+    * contract for month-over-month monitoring. */
+  final case class DriftSpec(dims: Seq[ResolvedDim]) {
+    require(dims.nonEmpty, "DriftSpec: at least one dimension")
+    require(dims.map(_.column).distinct.size == dims.size,
+      "DriftSpec: duplicate dimension columns")
+  }
+
+  /** Resolve `dims` against the reference snapshot: categorical top
+    * sets via the one bounded [[topSets]] scan, numeric edges carried
+    * through verbatim. The ONLY eager step in the drift surface. */
+  def resolve(ref: DataFrame, dims: Seq[Dim]): DriftSpec = {
+    require(dims.nonEmpty, "Drift: at least one dimension")
+    require(dims.map(_.column).distinct.size == dims.size,
+      "Drift: duplicate dimension columns")
+    val tops = topSets(ref, dims.collect { case c: CategoricalDim => c })
+    DriftSpec(dims.map {
+      case NumericDim(c, e) => ResolvedDim(c, "numeric", e, Nil)
       case CategoricalDim(c, _) =>
-        val topVals = tops.getOrElse(c, Seq.empty)
-        when(col(c).isNull, lit(NullLabel))
-          .when(col(c).cast("string").isin(topVals: _*),
-            concat(lit("v_"), col(c).cast("string")))
-          .otherwise(lit("y_other"))
+        ResolvedDim(c, "categorical", Nil, tops.getOrElse(c, Nil))
+    })
+  }
+
+  /** The bin-label expression for one resolved dimension. */
+  private def binExpr(dim: ResolvedDim): Column =
+    if (dim.kind == "numeric") {
+      val c = dim.column
+      val x = col(c).cast("double")
+      // NaN gets its OWN bin (Spark orders NaN above all doubles, so
+      // every `x < edge` is false and NaN would silently alias into
+      // the top bin — a NaN-rate shift is drift and must be visible)
+      val chain = dim.edges.zipWithIndex.foldLeft(
+        when(col(c).isNull, lit(NullLabel)).when(isnan(x), lit(NanLabel))) {
+        case (acc, (e, i)) => acc.when(x < lit(e), lit(f"b$i%02d"))
+      }
+      chain.otherwise(lit(f"b${dim.edges.size}%02d"))
+    } else {
+      val c = dim.column
+      when(col(c).isNull, lit(NullLabel))
+        .when(col(c).cast("string").isin(dim.topVals: _*),
+          concat(lit("v_"), col(c).cast("string")))
+        .otherwise(lit("y_other"))
     }
+
+  /** Bin-label expressions from a (possibly loaded) spec — pure
+    * expression construction, no scan, no session state. */
+  def exprsFromSpec(spec: DriftSpec): Seq[(String, Column)] =
+    spec.dims.map(d => d.column -> binExpr(d))
+
+  /** Persist a resolved spec as a tiny parquet relation (one row per
+    * edge/top value plus a marker row per dimension), the same
+    * save/load posture as the ANN index artifacts: the monthly-crawl
+    * monitor loads the SAME bins every session instead of re-deriving
+    * edges whose exact values depend on the reference partitioning. */
+  def saveSpec(spark: org.apache.spark.sql.SparkSession, spec: DriftSpec,
+               path: String): Unit = {
+    val rows = spec.dims.zipWithIndex.flatMap { case (d, ord) =>
+      // the idx = -1 marker row keeps a dimension with no elements
+      // (categorical over an all-null reference column) loadable
+      val marker = (ord, d.column, d.kind, -1,
+        Option.empty[Double], Option.empty[String])
+      val elems =
+        if (d.kind == "numeric")
+          d.edges.zipWithIndex.map { case (e, i) =>
+            (ord, d.column, d.kind, i, Some(e), Option.empty[String]) }
+        else
+          d.topVals.zipWithIndex.map { case (v, i) =>
+            (ord, d.column, d.kind, i, Option.empty[Double], Some(v)) }
+      marker +: elems
+    }
+    spark.createDataFrame(rows)
+      .toDF("ord", "column", "kind", "idx", "edge", "top_val")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a spec saved by [[saveSpec]]; ResolvedDim's constructor
+    * guards re-validate the loaded edges. */
+  def loadSpec(spark: org.apache.spark.sql.SparkSession, path: String): DriftSpec = {
+    val rows = spark.read.parquet(path).collect() // KBs by construction
+    val dims = rows.groupBy(_.getInt(0)).toSeq.sortBy(_._1).map { case (_, rs) =>
+      val marker = rs.find(_.getInt(3) == -1).getOrElse(
+        throw new IllegalStateException(s"Drift.loadSpec: missing marker row in $path"))
+      val elems = rs.filter(_.getInt(3) >= 0).sortBy(_.getInt(3))
+      val kind = marker.getString(2)
+      ResolvedDim(marker.getString(1), kind,
+        if (kind == "numeric") elems.map(_.getDouble(4)).toSeq else Nil,
+        if (kind == "categorical") elems.map(_.getString(5)).toSeq else Nil)
+    }
+    DriftSpec(dims)
+  }
 
   /** Reference-quantile numeric edges via the storable KLL sketch —
     * the "bin by last month's deciles" monitoring convention. One pass
@@ -146,13 +234,8 @@ object Drift {
     * against `ref` (one eager bounded scan — see [[topSets]]). Public
     * seam: the streaming face computes these ONCE against the static
     * reference snapshot and applies them to an unbounded stream. */
-  def cellExprs(ref: DataFrame, dims: Seq[Dim]): Seq[(String, Column)] = {
-    require(dims.nonEmpty, "Drift: at least one dimension")
-    require(dims.map(_.column).distinct.size == dims.size,
-      "Drift: duplicate dimension columns")
-    val tops = topSets(ref, dims.collect { case c: CategoricalDim => c })
-    dims.map(d => d.column -> binExpr(tops, d))
-  }
+  def cellExprs(ref: DataFrame, dims: Seq[Dim]): Seq[(String, Column)] =
+    exprsFromSpec(resolve(ref, dims))
 
   /** Every dimension's (column, bin) cell in one projection — the
     * explode input shared by the batch and streaming contingencies. */
@@ -270,5 +353,36 @@ object Drift {
         round(psi * lit(10000.0d)).cast("long").as("psi_bp")): _*)
       .withColumn("drifted", col("psi_bp") >= lit(psiBpThreshold))
       .orderBy(gcols.map(col): _*)
+  }
+
+  /** The reference side's contingency (column, bin, ref_n) — computed
+    * ONCE against the static reference snapshot and joined against
+    * every scored window; persist it in a long-lived monitor. */
+  def referenceCounts(ref: DataFrame, binExprs: Seq[(String, Column)]): DataFrame =
+    sideCounts(ref, binExprs, "ref_n")
+
+  /** Score per-window streaming contingencies against the reference
+    * with EXACT batch semantics: every window gets the full reference
+    * bin set (zero-filled where the window is silent), then the same
+    * [[reportFromContingency]] fold — so a foreachBatch monitor's
+    * psi_bp per closed window equals the batch report over the same
+    * window's rows, term for term.
+    *
+    * `windowBins`: (windowCol, column, bin, cur_n) — the shape
+    * [[graft.streaming.StreamingOps.streamingDriftBins]] emits per
+    * closed window. Scale shape: the cross join is bounded artifact ×
+    * bounded artifact (windows-in-batch × Σbins reference cells — KBs;
+    * never row-scale), and everything downstream is the Σbins-sized
+    * contingency. */
+  def scoreWindows(windowBins: DataFrame, refCounts: DataFrame,
+                   windowCol: String = "window_start",
+                   psiBpThreshold: Long = 1000L): DataFrame = {
+    val windows = windowBins.select(col(windowCol)).distinct()
+    val cells = windows.crossJoin(refCounts)
+      .join(windowBins, Seq(windowCol, "column", "bin"), "full_outer")
+      .select(col(windowCol), col("column"), col("bin"),
+        coalesce(col("ref_n"), lit(0L)).as("ref_n"),
+        coalesce(col("cur_n"), lit(0L)).as("cur_n"))
+    reportFromContingency(cells, psiBpThreshold, Seq(windowCol))
   }
 }

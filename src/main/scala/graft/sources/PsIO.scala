@@ -520,6 +520,52 @@ object PsIO {
       StructField("max_v", LongType, nullable = true))))
   }
 
+  /** The DECISION face of [[parquetStats]]: given conjunctive inclusive
+    * range predicates `column BETWEEN lo AND hi`, which row groups
+    * would the footer envelopes prune? One row per (file, row group):
+    * `pruned` = some predicate column's envelope excludes its range —
+    *   max_v < lo, min_v > hi, or a provably all-null chunk
+    *   (null_count == num_values) — with missing/omitted stats
+    * conservatively NOT pruning (a reader without stats must scan);
+    * `cols_checked` counts the stats rows consulted. This relation is
+    * what writeSorted / writeZOrdered / compaction decisions consume:
+    * run it against the CURRENT layout and a candidate predicate set
+    * before rewriting anything. Pure metadata arithmetic over the
+    * stats relation — no data scan. */
+  def parquetPruneSim(stats: DataFrame,
+                      bounds: Seq[(String, Long, Long)]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(bounds.nonEmpty, "parquetPruneSim: no predicate bounds")
+    require(bounds.map(_._1).distinct.size == bounds.size,
+      "parquetPruneSim: duplicate predicate columns")
+    bounds.foreach { case (c, lo, hi) =>
+      require(lo <= hi, s"parquetPruneSim: empty range [$lo, $hi] for $c") }
+    def exclFor(lo: Long, hi: Long) =
+      coalesce(col("max_v") < lit(lo) || col("min_v") > lit(hi), lit(false)) ||
+        coalesce(col("min_v").isNull && col("null_count") === col("num_values"),
+          lit(false))
+    val excl = bounds.foldLeft(lit(false)) { case (acc, (c, lo, hi)) =>
+      when(col("column") === lit(c), exclFor(lo, hi)).otherwise(acc)
+    }
+    stats.filter(col("column").isin(bounds.map(_._1): _*))
+      .withColumn("excluded", excl)
+      .groupBy("file", "row_group")
+      .agg(max(col("excluded")).as("pruned"),
+        count(lit(1)).as("cols_checked"))
+  }
+
+  /** Per-file rollup of [[parquetPruneSim]]: (file, row_groups,
+    * pruned_groups, prune_frac) — the "what would re-sorting buy"
+    * number a layout decision reads directly. */
+  def parquetPruneReport(sim: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    sim.groupBy("file").agg(
+        count(lit(1)).as("row_groups"),
+        sum(when(col("pruned"), 1L).otherwise(0L)).as("pruned_groups"))
+      .withColumn("prune_frac",
+        col("pruned_groups").cast("double") / col("row_groups").cast("double"))
+  }
+
   /** ORC in/out — same columnar posture as parquet (predicate pushdown,
     * column pruning, split-based parallelism), for pipelines whose
     * upstream lake is ORC. */

@@ -85,6 +85,39 @@ object StreamingOps {
       .select(col("window.start").as("window_start"),
         col("column"), col("bin"), col("cur_n"))
 
+  /** The deployable drift monitor: [[streamingDriftBins]] feeding a
+    * foreachBatch scorer — each micro-batch carries ONLY closed
+    * windows (append mode), and every one is scored against the
+    * static reference via [[graft.operators.Drift.scoreWindows]] with
+    * exact batch semantics (StreamingSpec holds the differential:
+    * streaming psi_bp per window == the batch report over the same
+    * window's rows, across a kill/restart).
+    *
+    * `refCounts` is [[graft.operators.Drift.referenceCounts]] over the
+    * reference snapshot with the SAME binExprs — compute it once and
+    * persist it; it re-executes per micro-batch otherwise. `sink`
+    * receives the scored report (windowCol, column, ref_n, cur_n,
+    * bins, psi_bp, drifted); alert routing stays the caller's. */
+  def streamingDriftMonitor(
+      cur: DataFrame,
+      binExprs: Seq[(String, Column)],
+      refCounts: DataFrame,
+      checkpoint: String,
+      windowLen: String = "1 hour",
+      lateness: String = "10 minutes",
+      tsCol: String = "ts",
+      psiBpThreshold: Long = 1000L)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    streamingDriftBins(cur, binExprs, windowLen, lateness, tsCol)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        if (!batch.isEmpty)
+          sink(graft.operators.Drift.scoreWindows(
+            batch, refCounts, "window_start", psiBpThreshold), id)
+      }
+      .start()
+
   /** Sliding-window variant (windowLen every slide). */
   def slidingAgg(
       events: DataFrame,

@@ -146,6 +146,78 @@ class DriftSpec extends AnyFunSuite with SparkFixture {
     intercept[IllegalArgumentException](Drift.bins(ref, cur, Nil))
   }
 
+  test("NaN values get their own bin; NaN edges rejected") {
+    val s = spark
+    import s.implicits._
+    val ref = Seq(1.0, 2.0, 3.0).toDF("x")
+    val cur = Seq(Some(1.0), Some(Double.NaN), None).toDF("x")
+    val got = Drift.bins(ref, cur, Seq(NumericDim("x", Seq(2.5)): Drift.Dim))
+      .collect().map(r => r.getString(1) -> ((r.getLong(2), r.getLong(3)))).toMap
+    // NaN must NOT alias into the top bin b01 — it is its own bin, so a
+    // NaN-rate shift reads as drift
+    assert(got == Map(
+      "b00" -> ((2L, 1L)), "b01" -> ((1L, 0L)),
+      "y_nan" -> ((0L, 1L)), "z_null" -> ((0L, 1L))))
+    intercept[IllegalArgumentException](NumericDim("x", Seq(1.0, Double.NaN)))
+  }
+
+  test("spec save/load round-trip: loaded bins == resolved bins") {
+    val (ref, cur) = refCur()
+    val dims: Seq[Drift.Dim] = Seq(
+      NumericDim("x", Seq(25.0, 100.0)), CategoricalDim("k", top = 2))
+    val spec = Drift.resolve(ref, dims)
+    val path = java.nio.file.Files.createTempDirectory("graft-driftspec").toString + "/spec"
+    Drift.saveSpec(spark, spec, path)
+    val loaded = Drift.loadSpec(spark, path)
+    assert(loaded == spec)
+    // and the report computed through the loaded spec is identical
+    def rep(e: Seq[(String, org.apache.spark.sql.Column)]) =
+      Drift.reportFromContingency(Drift.binsWith(e, ref, cur)).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSeq
+    assert(rep(Drift.exprsFromSpec(loaded)) == rep(Drift.exprsFromSpec(spec)))
+    // an empty categorical top set (all-null ref column) survives the
+    // round trip via the marker row
+    val s = spark
+    import s.implicits._
+    val nullRef = Seq[(Option[String], Long)]((None, 1L), (None, 2L)).toDF("k", "id")
+    val spec2 = Drift.resolve(nullRef, Seq(CategoricalDim("k")))
+    val p2 = java.nio.file.Files.createTempDirectory("graft-driftspec2").toString + "/spec"
+    Drift.saveSpec(spark, spec2, p2)
+    assert(Drift.loadSpec(spark, p2) == spec2)
+    assert(spec2.dims.head.topVals.isEmpty)
+  }
+
+  test("scoreWindows: per-window psi_bp == the batch report over that window's rows") {
+    val s = spark
+    import s.implicits._
+    // two "windows" of current data scored against one reference
+    val ref = Seq(10.0, 20.0, 30.0, 40.0, 110.0).toDF("x")
+    val w1  = Seq(10.0, 20.0, 30.0).toDF("x")                 // close to ref
+    val w2  = Seq(110.0, 120.0, 130.0, 140.0).toDF("x")       // shifted up
+    val dims: Seq[Drift.Dim] = Seq(NumericDim("x", Seq(25.0, 100.0)))
+    val exprs = Drift.cellExprs(ref, dims)
+    val refC = Drift.referenceCounts(ref, exprs)
+    // the windowed contingency shape streamingDriftBins emits
+    def wb(w: org.apache.spark.sql.DataFrame, tag: Long) =
+      w.select(Drift.cellColumn(exprs).as("cell"))
+        .groupBy(col("cell.column").as("column"), col("cell.bin").as("bin"))
+        .agg(count(lit(1)).as("cur_n"))
+        .withColumn("window_s", lit(tag))
+        .select("window_s", "column", "bin", "cur_n")
+    val scored = Drift.scoreWindows(wb(w1, 1L).unionByName(wb(w2, 2L)),
+        refC, "window_s").collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(5)).toMap
+    // the batch report over the same window's rows, same term order
+    def batchPsi(w: org.apache.spark.sql.DataFrame): Long =
+      Drift.reportFromContingency(Drift.binsWith(exprs, ref, w)).collect()
+        .head.getLong(4)
+    assert(scored((1L, "x")) == batchPsi(w1))
+    assert(scored((2L, "x")) == batchPsi(w2))
+    // the shifted window reads as much more drifted
+    assert(scored((2L, "x")) > scored((1L, "x")))
+  }
+
   test("scale shape: one shuffle per side, contingency join stays tiny") {
     val (ref, cur) = refCur()
     val dims: Seq[Drift.Dim] = Seq(

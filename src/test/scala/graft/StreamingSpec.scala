@@ -900,6 +900,74 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
       s"spanning window mis-merged: $h0")
   }
 
+  test("streamingDriftMonitor: scored closed windows == batch report, across restart") {
+    import graft.operators.Drift
+    val dims: Seq[Drift.Dim] = Seq(
+      Drift.NumericDim("value", Seq(5.0)),
+      Drift.CategoricalDim("event_type", top = 1))
+    val batches = Seq(
+      Seq(ev(1, 0, 1, 1.0), ev(2, 10, 1, 9.0)),
+      Seq(ev(3, 25, 2, 2.0), ev(4, 70, 1, 3.0)),
+      // flush: push the watermark past the real windows' ends
+      Seq(ev(5, 600, 99)),
+      Seq(ev(6, 601, 99)))
+    type Key = (Long, String) // (window start ms, column)
+    type Val = (Long, Long, Long, Long) // (ref_n, cur_n, bins, psi_bp)
+    def replay(stopAfter: Option[Int]): Map[Key, Val] = {
+      val s = spark
+      import s.implicits._
+      implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val root = java.nio.file.Files.createTempDirectory("graft-ck-driftmon").toString
+      val ref = batches.flatten.toDF()
+      val exprs = Drift.cellExprs(ref, dims)
+      val refC = Drift.referenceCounts(ref, exprs)
+      val input = MemoryStream[Event]
+      // keyed map, not a list: foreachBatch is at-least-once across a
+      // restart, and the replayed batch re-emits the same deterministic
+      // rows — last write wins makes the replay idempotent here
+      val got = scala.collection.concurrent.TrieMap.empty[Key, Val]
+      def start() = StreamingOps.streamingDriftMonitor(
+          input.toDF(), exprs, refC, s"$root/ck", "1 hour", "0 seconds") {
+        (scored, _) =>
+          scored.collect().foreach { r =>
+            got.put((r.getTimestamp(0).getTime, r.getString(1)),
+              (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))): Unit
+          }
+      }
+      var q = start()
+      try {
+        batches.zipWithIndex.foreach { case (b, i) =>
+          input.addData(b)
+          q.processAllAvailable()
+          if (stopAfter.contains(i)) { q.stop(); q = start() }
+        }
+        q.processAllAvailable()
+      } finally q.stop()
+      got.toMap
+    }
+    val uninterrupted = replay(stopAfter = None)
+    val interrupted = replay(stopAfter = Some(0))
+    assert(interrupted == uninterrupted,
+      s"restart=$interrupted uninterrupted=$uninterrupted")
+    // the monitor really closed the two real hourly windows
+    assert(uninterrupted.keySet.map(_._1) ==
+      Set(ts(0).getTime, ts(60).getTime), s"windows: ${uninterrupted.keySet}")
+    // the differential: every streamed window's row equals the BATCH
+    // face — streamingDriftBins in batch mode + the same scoreWindows
+    val s = spark
+    import s.implicits._
+    val ref = batches.flatten.toDF()
+    val exprs = Drift.cellExprs(ref, dims)
+    val batchScored = Drift.scoreWindows(
+        StreamingOps.streamingDriftBins(ref, exprs, "1 hour", "0 seconds"),
+        Drift.referenceCounts(ref, exprs)).collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    uninterrupted.foreach { case (k, v) =>
+      assert(batchScored(k) == v, s"window $k: streaming=$v batch=${batchScored(k)}")
+    }
+  }
+
   test("streamingDelta restart from checkpoint keeps the CDC fingerprints") {
     val s = spark
     import s.implicits._
