@@ -21,19 +21,35 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
-  /** Force FULL evaluation of a query result, final sort included.
-    * A bare `count()` puts an Aggregate on top of the plan, and
-    * Catalyst's EliminateSorts then drops any global ORDER BY beneath
-    * it while column pruning empties the projection — so sorted shapes
-    * (b_order, b_join, b_triple_join …) would time little more than
-    * scan+join while the baseline engines fully sort and stringify
-    * millions of rows. The noop DSv2 sink materializes every output
-    * row and column AND keeps the top-level Sort (a write consumes its
-    * input's ordering), without any disk cost — the standard Spark
-    * benchmarking idiom (Release100Probe uses a real write for the
-    * same reason). */
+  /** See [[BenchForce.force]] — the forcing protocol lives in its own
+    * hashed-by-the-sf1-guard file; this alias keeps call sites local. */
   private[graft] def force(df: org.apache.spark.sql.DataFrame): Unit =
-    df.write.mode("overwrite").format("noop").save()
+    BenchForce.force(df)
+
+  /** Per-query shuffle telemetry: bytes written to and read from the
+    * shuffle during the timed runs, divided by `iters`. Shuffle volume
+    * is a PLAN fact (unlike wall time it is immune to JIT/host noise),
+    * so recording it per query makes future ratio movements
+    * plan-attributable from the bench artifact alone — the same
+    * argument that added the calibration canary. Listener delivery is
+    * async; force() blocks until job end, so by snapshot time the
+    * counts are complete or within a task of it (telemetry, not a
+    * gate — same caveat as the eviction listener). */
+  private final class ShuffleListener
+      extends org.apache.spark.scheduler.SparkListener {
+    private val read = new java.util.concurrent.atomic.AtomicLong(0)
+    private val write = new java.util.concurrent.atomic.AtomicLong(0)
+    override def onTaskEnd(
+        t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = t.taskMetrics
+      if (m != null) {
+        write.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        read.addAndGet(m.shuffleReadMetrics.totalBytesRead): Unit
+      }
+    }
+    def snapshot(): (Long, Long) = (write.get(), read.get())
+    def reset(): Unit = { write.set(0); read.set(0) }
+  }
 
   /** Counts persisted-RDD blocks dropped WITHOUT a matching
     * unpersist — i.e. memory-pressure evictions, not deliberate
@@ -160,8 +176,11 @@ object Bench {
     val times = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val evictions = scala.collection.mutable.LinkedHashMap[String, Long]()
+    val shuffleMb = scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
     val evictionListener = new EvictionListener
+    val shuffleListener = new ShuffleListener
     spark.sparkContext.addSparkListener(evictionListener)
+    spark.sparkContext.addSparkListener(shuffleListener)
     // local-dev filter (comma-separated names); the driver never sets it
     val only: Set[String] = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
@@ -188,6 +207,7 @@ object Bench {
       try {
         force(fn(spark, sfDir)) // warm-up, untimed
         evictionListener.reset()
+        shuffleListener.reset()
         val samples = (1 to iters).map { _ =>
           val t0 = System.nanoTime()
           force(fn(spark, sfDir))
@@ -196,6 +216,11 @@ object Bench {
         times(name) = samples(samples.size / 2)
         val ev = evictionListener.snapshot()
         if (ev > 0) evictions(name) = ev
+        val (sw, sr) = shuffleListener.snapshot()
+        // per-execution average over the timed runs; queries that
+        // shuffle nothing stay out of the JSON
+        if (sw > 0 || sr > 0)
+          shuffleMb(name) = (sw / 1e6 / iters, sr / 1e6 / iters)
       } catch {
         case e: Throwable =>
           errors(name) =
@@ -298,6 +323,13 @@ object Bench {
     }
     val evJson = evictions.map { case (k, v) => s"${q(k)}:$v" }
       .mkString("{", ",", "}")
+    // per-query shuffle bytes (MB written/read per execution): the
+    // plan-attribution companion to the wall times — a ratio that moved
+    // with flat shuffle volume is host noise, one that moved with it is
+    // a plan change
+    val shJson = shuffleMb.map { case (k, (w, r)) =>
+      s"${q(k)}:{" + "\"w\":" + num(w) + ",\"r\":" + num(r) + "}"
+    }.mkString("{", ",", "}")
     val rtf = retimeFailed.map(q).mkString("[", ",", "]")
     val heapMaxMb = Runtime.getRuntime.maxMemory / (1024 * 1024)
     val line = s"""{"metric":"total","value":${num(times.values.sum)},"unit":"sec"""" +
@@ -307,6 +339,7 @@ object Bench {
       s""","canary":$canaryJson,"env_suspect":$envSuspect""" +
       s""","heap_max_mb":$heapMaxMb,"cpus":${q(cpus)}""" +
       s""","evicted_persisted_blocks":$evJson""" +
+      s""","shuffle_mb":$shJson""" +
       s""","ratio_vs_reference":$ratios""" +
       s""","bench_vs_baseline":$benchVsBaseline""" +
       s""","baseline_engine":"pandaSQL(sqlite, read+run)"""" +

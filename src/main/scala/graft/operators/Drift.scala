@@ -373,7 +373,12 @@ object Drift {
     * closed window. Scale shape: the cross join is bounded artifact ×
     * bounded artifact (windows-in-batch × Σbins reference cells — KBs;
     * never row-scale), and everything downstream is the Σbins-sized
-    * contingency. */
+    * contingency. `windowBins` is consumed TWICE (the window list and
+    * the join input): pass it materialized — the streaming monitor
+    * persists each micro-batch before scoring — or accept the
+    * aggregation running once per consumer, as the batch-replay
+    * q_drift_scored does (its input is one bounded events aggregation,
+    * re-run once; fine at replay scale, wasteful on a raw 100 TB scan). */
   def scoreWindows(windowBins: DataFrame, refCounts: DataFrame,
                    windowCol: String = "window_start",
                    psiBpThreshold: Long = 1000L): DataFrame = {

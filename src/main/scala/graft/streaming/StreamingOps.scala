@@ -112,9 +112,16 @@ object StreamingOps {
       .writeStream.outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        if (!batch.isEmpty)
-          sink(graft.operators.Drift.scoreWindows(
-            batch, refCounts, "window_start", psiBpThreshold), id)
+        // scoreWindows consumes its input twice (window list + join);
+        // pin the micro-batch (bounded: closed windows x Σbins rows)
+        // so the batch plan runs once. `sink` must consume the scored
+        // frame before returning — the pin is released right after.
+        val b = batch.persist()
+        try {
+          if (!b.isEmpty)
+            sink(graft.operators.Drift.scoreWindows(
+              b, refCounts, "window_start", psiBpThreshold), id)
+        } finally { b.unpersist(); () }
       }
       .start()
 
