@@ -2186,10 +2186,14 @@ object ExtQueries {
     "q_drift_spec" -> ((s, dir) => {
       driftSpecFixture(s, dir)
       val (ref, cur) = psiSides(s, dir)
-      val exprs = graft.operators.Drift.exprsFromSpec(
-        graft.operators.Drift.loadSpec(s, DriftSpecDir))
+      // load once per process (the artifact-load posture the ANN index
+      // caches use): the spec is plain values, so re-composition stays
+      // metadata-only after the first load
+      val spec = driftSpecLoaded.computeIfAbsent(s"$dir:$DriftSpecDir",
+        _ => graft.operators.Drift.loadSpec(s, DriftSpecDir))
       graft.operators.Drift.reportFromContingency(
-        graft.operators.Drift.binsWith(exprs, ref, cur))
+        graft.operators.Drift.binsWith(
+          graft.operators.Drift.exprsFromSpec(spec), ref, cur))
     }),
 
     // per-source drilldown of the same drift: which origin moved —
@@ -2967,6 +2971,11 @@ object ExtQueries {
           java.nio.file.StandardCopyOption.REPLACE_EXISTING); ()
       }
     })
+  /** q_drift_spec's loaded artifact, once per process (plain values —
+    * no session state): composing the query repeatedly must not re-run
+    * the tiny load job (LazinessSpec). */
+  private val driftSpecLoaded = new java.util.concurrent.ConcurrentHashMap[
+    String, graft.operators.Drift.DriftSpec]()
   private def driftSpecFixture(s: SparkSession, dir: String): Unit =
     fixturesDone.computeIfAbsent(s"driftspec:$dir", _ => {
       val (ref, _) = psiSides(s, dir)

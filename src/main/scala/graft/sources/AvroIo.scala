@@ -269,6 +269,26 @@ object AvroIo {
     }.collect().sortBy(_._1).toSeq
   }
 
+  /** Header cache: session -> (path,length)-list signature -> headers.
+    * Re-composing a read of an UNCHANGED directory is then
+    * metadata-only (the same posture as Spark's parquet footer/
+    * FileIndex caching); any file added, removed, or resized changes
+    * the signature and re-scans. Weak-keyed so a dead session's
+    * entries go with it. */
+  private val headerCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, java.util.concurrent.ConcurrentHashMap[
+      String, Seq[(String, Long, String)]]]())
+
+  private def fileHeadersCached(
+      spark: SparkSession, files: Seq[(String, Long)],
+      conf: org.apache.spark.util.SerializableConfiguration)
+      : Seq[(String, Long, String)] = {
+    val sig = files.map { case (f, l) => s"$f:$l" }.mkString("\n")
+    headerCache.computeIfAbsent(spark,
+        _ => new java.util.concurrent.ConcurrentHashMap())
+      .computeIfAbsent(sig, _ => fileHeaders(spark, files, conf))
+  }
+
   /** Unify one column's Spark types across writer-schema generations:
     * the same lossless lattice as readParquetEvolved (equal types
     * stand; integral widths widen; int+fractional -> double) —
@@ -321,11 +341,11 @@ object AvroIo {
         s"AvroIo: no lossless widening $f -> $t")
     }
 
-  /** Per-target-column (writer field index | -1, raw->unified value
-    * converter) for one writer schema. */
-  private def projector(writer: Schema, target: StructType): Array[(Int, Any => Any)] =
+  /** Per-target-column (reader field index | -1, raw->unified value
+    * converter) for one reader schema. */
+  private def projector(reader: Schema, target: StructType): Array[(Int, Any => Any)] =
     target.fields.map { tf =>
-      Option(writer.getField(tf.name)) match {
+      Option(reader.getField(tf.name)) match {
         case None => (-1, identity[Any]) // null-fill
         case Some(wf) =>
           val (base, _) = nonNullBranch(wf.schema())
@@ -335,6 +355,17 @@ object AvroIo {
           (wf.pos(), raw.andThen(w))
       }
     }
+
+  /** The per-writer READER schema for projection pushdown: the
+    * writer's fields restricted to `keep` (writer order preserved) —
+    * resolving against it makes Avro's decoder SKIP every omitted
+    * field's bytes instead of materializing them. */
+  private def projectionSchema(writer: Schema, keep: Set[String]): Schema = {
+    val fields = writer.getFields.asScala.filter(f => keep(f.name))
+      .map(f => new Schema.Field(f, f.schema())) // field objects are single-use
+    Schema.createRecord(writer.getName, writer.getDoc,
+      Option(writer.getNamespace).getOrElse("graft"), false, fields.toList.asJava)
+  }
 
   /** One read task's byte range: decode the blocks whose sync marker
     * falls in [start, end). */
@@ -357,16 +388,24 @@ object AvroIo {
     * first past it (the public avro-mapred split protocol), so one
     * 10 GB file among small ones scans with ~len/`maxSplitBytes`-way
     * parallelism instead of straggling on a single task.
-    * `maxSplitBytes` defaults to spark.sql.files.maxPartitionBytes. */
+    * `maxSplitBytes` defaults to spark.sql.files.maxPartitionBytes.
+    *
+    * `columns` is projection PUSHDOWN, not post-decode pruning: the
+    * requested columns become the per-file READER schema, and Avro's
+    * resolving decoder then SKIPS every other field's bytes — the
+    * row-format analogue of parquet's ReadSchema pruning (decode CPU
+    * is the Avro scan bottleneck; a 2-column projection of a 50-column
+    * dump must not pay 50 decodes). Unknown names fail loudly. */
   def readAvro(spark: SparkSession, path: String,
                conflicts: PsIO.ConflictPolicy = PsIO.DropConflicts,
-               maxSplitBytes: Option[Long] = None): DataFrame = {
+               maxSplitBytes: Option[Long] = None,
+               columns: Option[Seq[String]] = None): DataFrame = {
     val conf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
     val fs = new HPath(path).getFileSystem(conf.value)
     val files = listDataFiles(fs, path)
     require(files.nonEmpty, s"AvroIo.readAvro: no files under $path")
-    val headers = fileHeaders(spark, files, conf)
+    val headers = fileHeadersCached(spark, files, conf)
     // distinct writer schemas in first-seen file order (usually a
     // handful of generations, however many files carry them)
     val schemaJsons = scala.collection.mutable.LinkedHashMap[String, Int]()
@@ -374,8 +413,18 @@ object AvroIo {
       schemaJsons.getOrElseUpdate(sj, schemaJsons.size)
     }
     val genSchemas = schemaJsons.keys.toSeq
-    val target = unifiedSchema(
+    val unified = unifiedSchema(
       genSchemas.map(sj => toSparkSchema(new Schema.Parser().parse(sj))), conflicts)
+    val target = columns match {
+      case None => unified
+      case Some(cs) =>
+        require(cs.nonEmpty && cs.distinct.size == cs.size,
+          "AvroIo.readAvro: empty or duplicate projection columns")
+        StructType(cs.map(c => unified.find(_.name == c).getOrElse(
+          throw new IllegalArgumentException(
+            s"AvroIo.readAvro: column $c not in the unified schema " +
+              s"(${unified.fieldNames.mkString(", ")})"))))
+    }
     require(target.nonEmpty,
       s"AvroIo.readAvro: no unifiable columns across the writer schemas under $path")
     val splitBytes = maxSplitBytes.getOrElse(
@@ -390,11 +439,15 @@ object AvroIo {
       .parallelize(splits, splits.size)
       .flatMap { sp =>
         val writer = new Schema.Parser().parse(genJsonArr(sp.schemaIdx))
-        val proj = projector(writer, target)
+        val keep = target.fieldNames.toSet
+        val projected = !writer.getFields.asScala.forall(f => keep(f.name))
+        val reader = if (projected) projectionSchema(writer, keep) else writer
+        val proj = projector(reader, target)
         val in = new HPath(sp.path).getFileSystem(conf.value).open(new HPath(sp.path))
         val r = new DataFileReader[GenericRecord](
           new HadoopSeekableInput(in, sp.len),
-          new GenericDatumReader[GenericRecord](writer))
+          if (projected) new GenericDatumReader[GenericRecord](writer, reader)
+          else new GenericDatumReader[GenericRecord](writer))
         // the header ends with the 16-byte sync marker, so sync(0)
         // lands on the first block; later starts land on the first
         // block boundary in-range
@@ -436,7 +489,7 @@ object AvroIo {
     val fs = new HPath(path).getFileSystem(conf.value)
     val files = listDataFiles(fs, path)
     require(files.nonEmpty, s"AvroIo.avroSchemaDrift: no files under $path")
-    val gens = fileHeaders(spark, files, conf).map(_._3).distinct
+    val gens = fileHeadersCached(spark, files, conf).map(_._3).distinct
       .map(sj => toSparkSchema(new Schema.Parser().parse(sj)))
     val names = scala.collection.mutable.LinkedHashSet[String]()
     gens.foreach(_.foreach(f => names += f.name))

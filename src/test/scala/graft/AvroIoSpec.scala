@@ -165,6 +165,36 @@ class AvroIoSpec extends AnyFunSuite with SparkFixture {
       .find(_.getString(0) == "v").get.getString(1) == "quarantine")
   }
 
+  test("projection pushdown: requested columns become the reader schema") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp()
+    AvroIo.toAvro(Seq((1, "a", 1.5, 10L), (2, "b", 2.5, 20L))
+      .toDF("i", "s", "d", "l").coalesce(1), dir)
+    val got = AvroIo.readAvro(s, dir, columns = Some(Seq("l", "s")))
+    // caller's order, only the requested columns decoded
+    assert(got.schema.fieldNames.toSeq == Seq("l", "s"))
+    assert(got.collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq ==
+      Seq((10L, "a"), (20L, "b")))
+    intercept[IllegalArgumentException](
+      AvroIo.readAvro(s, dir, columns = Some(Seq("nope"))))
+    intercept[IllegalArgumentException](
+      AvroIo.readAvro(s, dir, columns = Some(Seq("l", "l"))))
+    // projection composes with generation evolution: a column absent
+    // from one generation still null-fills under the projected read
+    val evo = Files.createTempDirectory("graft-avro-evoproj").toString
+    val t2 = tmp()
+    AvroIo.toAvro(Seq((3L, true)).toDF("l", "flag").coalesce(1), t2)
+    def cp(from: String, as: String): Unit = {
+      val f = new java.io.File(from).listFiles().filter(_.getName.endsWith(".avro")).head
+      Files.copy(f.toPath, java.nio.file.Paths.get(evo, as)); ()
+    }
+    cp(dir, "g1.avro"); cp(t2, "g2.avro")
+    val proj = AvroIo.readAvro(s, evo, columns = Some(Seq("l", "flag")))
+    assert(proj.collect().map(r => (r.getLong(0), Option(r.get(1)))).sortBy(_._1).toSeq ==
+      Seq((3L, Some(true)), (10L, None), (20L, None)))
+  }
+
   test("size-aware reads: one fat file splits into multiple tasks, no row lost") {
     val s = spark
     import s.implicits._
