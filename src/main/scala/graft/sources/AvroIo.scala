@@ -35,14 +35,16 @@ import org.apache.spark.sql.types._
   *
   * Type lattice (both directions, nullable as the standard
   * `[null, T]` union): boolean/int/long/float/double/string/binary,
-  * plus timestamp-millis/micros logical longs as Spark TimestampType.
-  * Anything else fails loudly at write/read time — no silent
-  * stringification. */
+  * plus timestamp-millis/micros logical longs as Spark TimestampType
+  * and local-timestamp-millis/micros as TimestampNTZType (the parquet
+  * isAdjustedToUTC=false dtype real lakes carry — same payload, no
+  * silent zone reinterpretation either way). Anything else fails
+  * loudly at write/read time — no silent stringification. */
 object AvroIo {
 
   private val SupportedMsg =
     "AvroIo supports boolean/int/long/float/double/string/binary/" +
-      "timestamp (nullable via [null, T] unions)"
+      "timestamp/timestamp_ntz (nullable via [null, T] unions)"
 
   // ------------------------------------------------------------ schema
 
@@ -57,9 +59,14 @@ object AvroIo {
         case StringType  => Schema.create(Schema.Type.STRING)
         case BinaryType  => Schema.create(Schema.Type.BYTES)
         // Spark timestamps ARE epoch micros; timestamp-micros is the
-        // exact Avro logical type (schema-registry events carry these)
+        // exact Avro logical type (schema-registry events carry these);
+        // NTZ (parquet isAdjustedToUTC=false, the common lake dtype)
+        // maps to Avro's local-timestamp-micros — same payload, no
+        // silent zone reinterpretation either way
         case TimestampType =>
           LogicalTypes.timestampMicros().addToSchema(Schema.create(Schema.Type.LONG))
+        case TimestampNTZType =>
+          LogicalTypes.localTimestampMicros().addToSchema(Schema.create(Schema.Type.LONG))
         case other => throw new IllegalArgumentException(
           s"AvroIo: unsupported Spark type $other for field ${f.name}; $SupportedMsg")
       }
@@ -89,6 +96,12 @@ object AvroIo {
       case _ => false
     })
 
+  private def isLocalTimestamp(base: Schema): Boolean =
+    base.getType == Schema.Type.LONG && (base.getLogicalType match {
+      case _: LogicalTypes.LocalTimestampMillis | _: LogicalTypes.LocalTimestampMicros => true
+      case _ => false
+    })
+
   /** One Avro field's Spark type. timestamp-millis/micros map to
     * TimestampType; any OTHER logical type reads as its underlying
     * primitive (the logical annotation is advisory in Avro — the
@@ -97,7 +110,10 @@ object AvroIo {
     base.getType match {
       case Schema.Type.BOOLEAN => BooleanType
       case Schema.Type.INT     => IntegerType
-      case Schema.Type.LONG    => if (isTimestamp(base)) TimestampType else LongType
+      case Schema.Type.LONG =>
+        if (isTimestamp(base)) TimestampType
+        else if (isLocalTimestamp(base)) TimestampNTZType
+        else LongType
       case Schema.Type.FLOAT   => FloatType
       case Schema.Type.DOUBLE  => DoubleType
       case Schema.Type.STRING  => StringType
@@ -138,6 +154,14 @@ object AvroIo {
       { case null => null
         case l: java.lang.Long => DateTimeUtils.toJavaTimestamp(toMicros(l.longValue))
         case x => throw new IllegalStateException(s"AvroIo: timestamp field held $x") }
+    case Schema.Type.LONG if isLocalTimestamp(base) =>
+      val toMicros: Long => Long = base.getLogicalType match {
+        case _: LogicalTypes.LocalTimestampMillis => ms => Math.multiplyExact(ms, 1000L)
+        case _ => identity
+      }
+      { case null => null
+        case l: java.lang.Long => DateTimeUtils.microsToLocalDateTime(toMicros(l.longValue))
+        case x => throw new IllegalStateException(s"AvroIo: local-timestamp field held $x") }
     case _ => identity[Any]
   }
 
@@ -204,6 +228,10 @@ object AvroIo {
                     java.lang.Long.valueOf(
                       org.apache.spark.sql.catalyst.util.DateTimeUtils
                         .fromJavaTimestamp(ts))
+                  case ldt: java.time.LocalDateTime =>
+                    java.lang.Long.valueOf(
+                      org.apache.spark.sql.catalyst.util.DateTimeUtils
+                        .localDateTimeToMicros(ldt))
                   case x => x
                 }
                 rec.put(j, v)

@@ -90,6 +90,30 @@ class AvroIoSpec extends AnyFunSuite with SparkFixture {
       ts.collect().map(r => (r.getLong(0), r.getTimestamp(1))).sortBy(_._1).toSeq)
   }
 
+  test("timestamp_ntz round-trips as local-timestamp-micros") {
+    val s = spark
+    import s.implicits._
+    val df = Seq("2020-06-01 12:34:56.789012", "1969-12-31 23:59:59.000001")
+      .toDF("raw")
+      .select(org.apache.spark.sql.functions.col("raw"),
+        org.apache.spark.sql.functions.expr("cast(raw as timestamp_ntz)").as("ts"))
+    val dir = tmp()
+    AvroIo.toAvro(df, dir)
+    val raw = new String(Files.readAllBytes(
+      new java.io.File(dir).listFiles().filter(_.getName.endsWith(".avro"))
+        .head.toPath), "ISO-8859-1")
+    assert(raw.contains("local-timestamp-micros"))
+    val back = AvroIo.readAvro(s, dir)
+    assert(back.schema("ts").dataType == org.apache.spark.sql.types.TimestampNTZType)
+    // the wall-clock payload survives verbatim — no zone shift
+    val got = back.collect()
+      .map(r => r.getString(0) -> r.getAs[java.time.LocalDateTime](1)).toMap
+    assert(got("2020-06-01 12:34:56.789012") ==
+      java.time.LocalDateTime.parse("2020-06-01T12:34:56.789012"))
+    assert(got("1969-12-31 23:59:59.000001") ==
+      java.time.LocalDateTime.parse("1969-12-31T23:59:59.000001"))
+  }
+
   test("timestamp-millis files read back at millisecond precision") {
     val s = spark
     import org.apache.avro.{LogicalTypes, Schema, SchemaBuilder}
