@@ -160,6 +160,32 @@ object ExtQueries {
       graft.operators.Drift.CategoricalDim("event_type", top = 3))))
   }
 
+  /** The footer-stats + envelope-exclusion CTEs shared by q_prune_sim
+    * and q_prune_report (both replay the same predicate bounds against
+    * DuckDB's independent parquet_metadata reader). */
+  private lazy val pruneSimCtes: String =
+    s"""st AS (SELECT regexp_extract(file_name, '[^/]+$$') AS file,
+                      row_group_id::BIGINT AS row_group,
+                      path_in_schema AS "column",
+                      num_values::BIGINT AS num_values,
+                      stats_null_count::BIGINT AS null_count,
+                      stats_min_value::BIGINT AS min_v,
+                      stats_max_value::BIGINT AS max_v
+               FROM parquet_metadata('$PruneFixtureDir/*.parquet')
+               WHERE path_in_schema IN ('doc_id', 'n_chars')),
+        fl AS (SELECT file, row_group,
+                      CASE "column"
+                        WHEN 'doc_id' THEN
+                          coalesce(max_v < 200 OR min_v > 300, false)
+                          OR coalesce(min_v IS NULL
+                                      AND null_count = num_values, false)
+                        ELSE
+                          coalesce(max_v < 0 OR min_v > 1000000000, false)
+                          OR coalesce(min_v IS NULL
+                                      AND null_count = num_values, false)
+                      END AS excluded
+               FROM st)"""
+
   /** The PSI report replay shared by q_drift_report and q_drift_spec
     * (the latter computes the same report through the persisted spec,
     * so sharing the oracle string pins loaded == resolved). */
@@ -2758,6 +2784,25 @@ object ExtQueries {
         .orderBy("file", "row_group")
     }),
 
+    // the per-file rollup of the same simulation — what a layout
+    // decision (re-sort? compact? leave alone?) actually reads
+    "q_prune_report" -> ((s, dir) => {
+      pruneFixture(s, dir)
+      PsIO.parquetPruneReport(PsIO.parquetPruneSim(
+          PsIO.parquetStats(s, PruneFixtureDir, Seq("doc_id", "n_chars")),
+          Seq(("doc_id", 200L, 300L), ("n_chars", 0L, 1000000000L))))
+        .orderBy("file")
+    }),
+
+    // the Avro generation ledger over the evolved fixture: per-column
+    // disposition (stable / null_fill / widen / quarantine) with the
+    // per-generation types — header bytes only, golden-oracled
+    "q_avro_drift_report" -> ((s, dir) => {
+      avroEvolvedFixture(s, dir)
+      graft.sources.AvroIo.avroSchemaDrift(s, AvroEvolvedFixtureDir)
+        .orderBy("column")
+    }),
+
     // per-column aggregate sugar: df("c").sum() scalars, re-lifted into a
     // frame so the oracle can compare them
     "q_colagg" -> ((s, dir) => {
@@ -4856,30 +4901,33 @@ object ExtQueries {
     // its range (or the chunk is provably all-null); missing stats
     // conservatively keep the group
     "q_prune_sim" ->
-      s"""WITH st AS (SELECT regexp_extract(file_name, '[^/]+$$') AS file,
-                             row_group_id::BIGINT AS row_group,
-                             path_in_schema AS "column",
-                             num_values::BIGINT AS num_values,
-                             stats_null_count::BIGINT AS null_count,
-                             stats_min_value::BIGINT AS min_v,
-                             stats_max_value::BIGINT AS max_v
-                      FROM parquet_metadata('$PruneFixtureDir/*.parquet')
-                      WHERE path_in_schema IN ('doc_id', 'n_chars')),
-          fl AS (SELECT file, row_group,
-                        CASE "column"
-                          WHEN 'doc_id' THEN
-                            coalesce(max_v < 200 OR min_v > 300, false)
-                            OR coalesce(min_v IS NULL
-                                        AND null_count = num_values, false)
-                          ELSE
-                            coalesce(max_v < 0 OR min_v > 1000000000, false)
-                            OR coalesce(min_v IS NULL
-                                        AND null_count = num_values, false)
-                        END AS excluded
-                 FROM st)
+      s"""WITH $pruneSimCtes
           SELECT file, row_group, bool_or(excluded) AS pruned,
                  count(*)::BIGINT AS cols_checked
           FROM fl GROUP BY 1, 2 ORDER BY 1, 2""",
+    // the per-file rollup a layout decision reads: prune fractions are
+    // exact small-integer ratios, so the double division is replayed
+    // term-for-term
+    "q_prune_report" ->
+      s"""WITH $pruneSimCtes,
+          sim AS (SELECT file, row_group, bool_or(excluded) AS pruned
+                  FROM fl GROUP BY 1, 2)
+          SELECT file, count(*)::BIGINT AS row_groups,
+                 sum(CASE WHEN pruned THEN 1 ELSE 0 END)::BIGINT AS pruned_groups,
+                 (sum(CASE WHEN pruned THEN 1 ELSE 0 END)::DOUBLE
+                  / count(*)::DOUBLE) AS prune_frac
+          FROM sim GROUP BY 1 ORDER BY 1""",
+    // golden ledger for the evolved-generation fixture: the disposition
+    // of every column across gen1/gen2 is fixture-pinned and
+    // deterministic (first-seen generation order = name-sorted files)
+    "q_avro_drift_report" ->
+      """SELECT * FROM (VALUES
+           ('n_len', 'null_fill', 'int', '-,int'),
+           ('n_name', 'stable', 'string', 'string,string'),
+           ('n_nationkey', 'widen', 'bigint', 'int,bigint'),
+           ('n_regionkey', 'null_fill', 'int', 'int,-'))
+           t("column", action, unified_type, types_seen)
+         ORDER BY 1""",
     // the npy fixture is written ordered by n_nationkey, so idx is the
     // rank of n_nationkey; DuckDB rebuilds (idx, pos, value) relationally
     "q_read_npy" ->

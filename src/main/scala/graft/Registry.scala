@@ -21,7 +21,7 @@ object Registry {
     "ingestion, formats & schema drift (§2.2)" -> Set(
       "q_local", "q_read_csv", "q_read_json", "q_read_npy", "q_read_pickle",
       "q_read_arrow", "q_read_orc", "q_read_avro", "q_read_avro_evolved",
-      "q_read_avro_ts", "q_json_quarantine",
+      "q_read_avro_ts", "q_avro_drift_report", "q_json_quarantine",
       "q_csv_quarantine", "q_materialize", "q_schema_drift",
       "q_schema_drift_report"),
     "projection, selection & column ops (§2.3-2.4)" -> Set(
@@ -77,7 +77,7 @@ object Registry {
       "q_budget_mix", "q_select_budget", "q_domain_cap", "q_shuffle"),
     "snapshots & incremental (§2.11)" -> Set(
       "q_snapshot_diff", "q_upsert", "q_content_fp", "q_file_manifest",
-      "q_parquet_stats", "q_prune_sim"),
+      "q_parquet_stats", "q_prune_sim", "q_prune_report"),
     "multimodal (§2.11)" -> Set(
       "q_multimodal", "q_multimodal_img", "q_multimodal_wav",
       "q_multimodal_adpcm", "q_video_frames", "q_gif_frames",

@@ -35,16 +35,17 @@ import org.apache.spark.sql.types._
   *
   * Type lattice (both directions, nullable as the standard
   * `[null, T]` union): boolean/int/long/float/double/string/binary,
-  * plus timestamp-millis/micros logical longs as Spark TimestampType
-  * and local-timestamp-millis/micros as TimestampNTZType (the parquet
+  * plus timestamp-millis/micros logical longs as Spark TimestampType,
+  * local-timestamp-millis/micros as TimestampNTZType (the parquet
   * isAdjustedToUTC=false dtype real lakes carry — same payload, no
-  * silent zone reinterpretation either way). Anything else fails
-  * loudly at write/read time — no silent stringification. */
+  * silent zone reinterpretation either way), and date logical ints as
+  * DateType. Anything else fails loudly at write/read time — no
+  * silent stringification. */
 object AvroIo {
 
   private val SupportedMsg =
     "AvroIo supports boolean/int/long/float/double/string/binary/" +
-      "timestamp/timestamp_ntz (nullable via [null, T] unions)"
+      "timestamp/timestamp_ntz/date (nullable via [null, T] unions)"
 
   // ------------------------------------------------------------ schema
 
@@ -67,6 +68,8 @@ object AvroIo {
           LogicalTypes.timestampMicros().addToSchema(Schema.create(Schema.Type.LONG))
         case TimestampNTZType =>
           LogicalTypes.localTimestampMicros().addToSchema(Schema.create(Schema.Type.LONG))
+        case DateType =>
+          LogicalTypes.date().addToSchema(Schema.create(Schema.Type.INT))
         case other => throw new IllegalArgumentException(
           s"AvroIo: unsupported Spark type $other for field ${f.name}; $SupportedMsg")
       }
@@ -102,6 +105,10 @@ object AvroIo {
       case _ => false
     })
 
+  private def isDate(base: Schema): Boolean =
+    base.getType == Schema.Type.INT &&
+      base.getLogicalType.isInstanceOf[LogicalTypes.Date]
+
   /** One Avro field's Spark type. timestamp-millis/micros map to
     * TimestampType; any OTHER logical type reads as its underlying
     * primitive (the logical annotation is advisory in Avro — the
@@ -109,7 +116,7 @@ object AvroIo {
   private def fieldSparkType(fieldName: String, base: Schema): DataType =
     base.getType match {
       case Schema.Type.BOOLEAN => BooleanType
-      case Schema.Type.INT     => IntegerType
+      case Schema.Type.INT     => if (isDate(base)) DateType else IntegerType
       case Schema.Type.LONG =>
         if (isTimestamp(base)) TimestampType
         else if (isLocalTimestamp(base)) TimestampNTZType
@@ -162,6 +169,11 @@ object AvroIo {
       { case null => null
         case l: java.lang.Long => DateTimeUtils.microsToLocalDateTime(toMicros(l.longValue))
         case x => throw new IllegalStateException(s"AvroIo: local-timestamp field held $x") }
+    case Schema.Type.INT if isDate(base) => {
+      case null => null
+      case i: java.lang.Integer => DateTimeUtils.toJavaDate(i.intValue)
+      case x => throw new IllegalStateException(s"AvroIo: date field held $x")
+    }
     case _ => identity[Any]
   }
 
@@ -232,6 +244,10 @@ object AvroIo {
                     java.lang.Long.valueOf(
                       org.apache.spark.sql.catalyst.util.DateTimeUtils
                         .localDateTimeToMicros(ldt))
+                  case d: java.sql.Date =>
+                    java.lang.Integer.valueOf(
+                      org.apache.spark.sql.catalyst.util.DateTimeUtils
+                        .fromJavaDate(d))
                   case x => x
                 }
                 rec.put(j, v)

@@ -65,8 +65,22 @@ class AvroIoSpec extends AnyFunSuite with SparkFixture {
       AvroIo.toAvro(Seq((1, Seq(1, 2))).toDF("i", "arr"), tmp()))
     assert(e.getMessage.contains("unsupported Spark type"))
     intercept[IllegalArgumentException](
-      AvroIo.toAvro(Seq((1, java.sql.Date.valueOf("2020-01-01")))
-        .toDF("i", "dt"), tmp()))
+      AvroIo.toAvro(Seq((1, BigDecimal("1.23")))
+        .toDF("i", "dec"), tmp()))
+  }
+
+  test("date round-trips as the date logical int") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1, java.sql.Date.valueOf("2020-02-29")),
+        (2, java.sql.Date.valueOf("1969-07-20")))
+      .toDF("i", "dt")
+    val dir = tmp()
+    AvroIo.toAvro(df, dir)
+    val back = AvroIo.readAvro(s, dir)
+    assert(back.schema("dt").dataType == org.apache.spark.sql.types.DateType)
+    assert(back.collect().map(r => (r.getInt(0), r.getDate(1).toString)).sortBy(_._1).toSeq ==
+      Seq((1, "2020-02-29"), (2, "1969-07-20")))
   }
 
   test("timestamps round-trip as timestamp-micros logical longs") {
