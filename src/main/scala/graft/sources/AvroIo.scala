@@ -248,6 +248,16 @@ object AvroIo {
                     java.lang.Integer.valueOf(
                       org.apache.spark.sql.catalyst.util.DateTimeUtils
                         .fromJavaDate(d))
+                  // the java8API session flag surfaces time values as
+                  // java.time types instead — same payloads
+                  case i: java.time.Instant =>
+                    java.lang.Long.valueOf(
+                      org.apache.spark.sql.catalyst.util.DateTimeUtils
+                        .instantToMicros(i))
+                  case ld: java.time.LocalDate =>
+                    java.lang.Integer.valueOf(
+                      org.apache.spark.sql.catalyst.util.DateTimeUtils
+                        .localDateToDays(ld))
                   case x => x
                 }
                 rec.put(j, v)
@@ -286,8 +296,11 @@ object AvroIo {
     def close(): Unit = in.close()
   }
 
-  /** (path, length) of every data file under `path`, name-sorted. */
-  private def listDataFiles(fs: FileSystem, path: String): Seq[(String, Long)] = {
+  /** (path, length, mtime) of every data file under `path`,
+    * name-sorted. mtime rides along solely for the header-cache
+    * signature: a file REPLACED in place at the same length must not
+    * serve a stale cached schema. */
+  private def listDataFiles(fs: FileSystem, path: String): Seq[(String, Long, Long)] = {
     val p = new HPath(path)
     val all =
       if (fs.getFileStatus(p).isDirectory) fs.listStatus(p).toSeq
@@ -295,7 +308,7 @@ object AvroIo {
     all.filter(s => s.isFile && s.getLen > 0 &&
         !s.getPath.getName.startsWith(".") &&
         !s.getPath.getName.startsWith("_"))
-      .map(s => (s.getPath.toString, s.getLen)).sortBy(_._1)
+      .map(s => (s.getPath.toString, s.getLen, s.getModificationTime)).sortBy(_._1)
   }
 
   /** Every file's embedded writer schema, read DISTRIBUTEDLY (header
@@ -324,13 +337,14 @@ object AvroIo {
       String, Seq[(String, Long, String)]]]())
 
   private def fileHeadersCached(
-      spark: SparkSession, files: Seq[(String, Long)],
+      spark: SparkSession, files: Seq[(String, Long, Long)],
       conf: org.apache.spark.util.SerializableConfiguration)
       : Seq[(String, Long, String)] = {
-    val sig = files.map { case (f, l) => s"$f:$l" }.mkString("\n")
+    val sig = files.map { case (f, l, m) => s"$f:$l:$m" }.mkString("\n")
     headerCache.computeIfAbsent(spark,
         _ => new java.util.concurrent.ConcurrentHashMap())
-      .computeIfAbsent(sig, _ => fileHeaders(spark, files, conf))
+      .computeIfAbsent(sig,
+        _ => fileHeaders(spark, files.map { case (f, l, _) => (f, l) }, conf))
   }
 
   /** Unify one column's Spark types across writer-schema generations:
