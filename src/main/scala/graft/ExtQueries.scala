@@ -130,20 +130,15 @@ object ExtQueries {
     * cellExprs' top-set resolution is the one eager step (bounded, like
     * the ANN index builds), so repeated composition must reuse it
     * (LazinessSpec: a second compose schedules no jobs). */
-  // weak-keyed on the session itself (NOT identityHashCode: a hash
-  // collision between a GC'd and a new session could serve stale top-set
-  // literals, and string keys would pin entries for the process
-  // lifetime); a dead session's expressions get collected with it
-  private val psiExprsCache = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[SparkSession, java.util.concurrent.ConcurrentHashMap[
-      String, Seq[(String, org.apache.spark.sql.Column)]]]())
+  // session-weak memo (graft.SessionCache scaladoc has the keying
+  // rationale) — shared machinery with AvroIo's header cache
+  private val psiExprsCache =
+    new graft.SessionCache[Seq[(String, org.apache.spark.sql.Column)]]
   private def psiExprsFor(s: SparkSession, dir: String, key: String,
                           ref: => DataFrame, dims: Seq[graft.operators.Drift.Dim])
       : Seq[(String, org.apache.spark.sql.Column)] =
-    psiExprsCache.computeIfAbsent(s,
-        _ => new java.util.concurrent.ConcurrentHashMap())
-      .computeIfAbsent(s"$dir:$key",
-        _ => graft.operators.Drift.cellExprs(ref, dims))
+    psiExprsCache.getOrCompute(s, s"$dir:$key")(
+      graft.operators.Drift.cellExprs(ref, dims))
 
   /** events with ts at ms precision plus the shared event-drift label
     * expressions (value bins + top-3 event types) — the input both

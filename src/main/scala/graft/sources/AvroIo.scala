@@ -211,6 +211,7 @@ object AvroIo {
     val fs0 = target.getFileSystem(conf.value)
     fs0.mkdirs(tmp)
     val tmpStr = tmp.toString
+    var jobCompleted = false
     try {
       df.rdd.mapPartitionsWithIndex { (i, rows) =>
         if (rows.isEmpty) Iterator.empty
@@ -266,20 +267,53 @@ object AvroIo {
               w.append(rec)
             }
           } finally w.close() // closes the stream too
-          // task-commit: rename refuses to overwrite, so under
-          // speculation/retry exactly one attempt publishes part-$i
+          // task-commit: HDFS/object-store rename refuses to overwrite,
+          // so under speculation/retry exactly one attempt publishes
+          // part-$i. A false return is a benign lost race ONLY when the
+          // winner's file exists — otherwise (src vanished, transient
+          // store failure) the partition's rows would silently go
+          // missing, so fail the task and let Spark retry it. (On the
+          // local fs rename CAN overwrite; harmless, both attempts
+          // carry identical rows.)
           val committed = new HPath(tmpStr, f"part-$i%05d.avro")
-          if (!fs.rename(attempt, committed)) fs.delete(attempt, false)
+          if (!fs.rename(attempt, committed)) {
+            if (fs.exists(committed)) fs.delete(attempt, false): Unit
+            else throw new IllegalStateException(
+              s"AvroIo.toAvro: task-commit rename $attempt -> $committed " +
+                "failed with no committed winner")
+          }
           Iterator.single(1)
         }
       }.count(): Unit
-      // job-commit: clear stale output, then one atomic dir rename —
-      // readAvro can never observe a partially-written generation mix
-      fs0.delete(target, true)
-      require(fs0.rename(tmp, target),
-        s"AvroIo.toAvro: job-commit rename $tmp -> $target failed")
+      jobCompleted = true
+      // job-commit: move the previous generation ASIDE (rename, never
+      // delete-first), swap the new one in, then drop the old copy —
+      // every failure path leaves a complete generation on disk. The
+      // brief target-absent window between the two renames makes a
+      // concurrent reader fail loudly ("no files"), never read a mix.
+      val oldAside = new HPath(target.getParent,
+        s"._old_${target.getName}_${java.util.UUID.randomUUID().toString.take(8)}")
+      val hadOld = fs0.exists(target)
+      if (hadOld) require(fs0.rename(target, oldAside),
+        s"AvroIo.toAvro: could not move the previous generation aside " +
+          s"($target -> $oldAside); target left untouched, new data kept at $tmp")
+      if (!fs0.rename(tmp, target)) {
+        val restored = !hadOld || fs0.rename(oldAside, target)
+        throw new IllegalStateException(
+          s"AvroIo.toAvro: job-commit rename $tmp -> $target failed; " +
+            s"new generation kept at $tmp" +
+            (if (restored) "; previous generation restored"
+             else s"; previous generation preserved at $oldAside"))
+      }
+      if (hadOld) fs0.delete(oldAside, true): Unit
     } finally {
-      fs0.delete(tmp, true): Unit // no-op after a successful commit
+      // only a FAILED JOB's partial task output is garbage worth
+      // cleaning (the previous generation still sits at target,
+      // untouched). After the job completes, tmp is a complete copy:
+      // on successful commit it was renamed away (nothing to delete),
+      // and on a commit failure it is deliberately KEPT — the
+      // exception above names it as the surviving new generation.
+      if (!jobCompleted) fs0.delete(tmp, true): Unit
     }
   }
 
@@ -321,30 +355,31 @@ object AvroIo {
     val parts = math.min(files.size, 256).max(1)
     spark.sparkContext.parallelize(files, parts).map { case (f, len) =>
       val in = new HPath(f).getFileSystem(conf.value).open(new HPath(f))
-      val st = new DataFileStream[GenericRecord](in, new GenericDatumReader[GenericRecord]())
+      // a header-parse throw (truncated/corrupt file) must not leak the
+      // stream — the DataFileStream ctor itself can fail
+      val st =
+        try new DataFileStream[GenericRecord](in, new GenericDatumReader[GenericRecord]())
+        catch { case e: Throwable => in.close(); throw e }
       try (f, len, st.getSchema.toString) finally st.close()
     }.collect().sortBy(_._1).toSeq
   }
 
-  /** Header cache: session -> (path,length)-list signature -> headers.
-    * Re-composing a read of an UNCHANGED directory is then
-    * metadata-only (the same posture as Spark's parquet footer/
-    * FileIndex caching); any file added, removed, or resized changes
-    * the signature and re-scans. Weak-keyed so a dead session's
-    * entries go with it. */
-  private val headerCache = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[SparkSession, java.util.concurrent.ConcurrentHashMap[
-      String, Seq[(String, Long, String)]]]())
+  /** Header cache: one entry per (live session, directory), replaced
+    * whenever the (path,length,mtime) file-list signature changes —
+    * re-composing a read of an UNCHANGED directory is metadata-only
+    * (the parquet footer/FileIndex posture), any added/removed/
+    * resized/replaced file re-scans, and a monitoring session
+    * re-reading a GROWING directory every cycle replaces its one entry
+    * instead of accumulating one per observed file list. */
+  private val headerCache = new graft.SessionCache[Seq[(String, Long, String)]]
 
   private def fileHeadersCached(
-      spark: SparkSession, files: Seq[(String, Long, Long)],
+      spark: SparkSession, dir: String, files: Seq[(String, Long, Long)],
       conf: org.apache.spark.util.SerializableConfiguration)
       : Seq[(String, Long, String)] = {
     val sig = files.map { case (f, l, m) => s"$f:$l:$m" }.mkString("\n")
-    headerCache.computeIfAbsent(spark,
-        _ => new java.util.concurrent.ConcurrentHashMap())
-      .computeIfAbsent(sig,
-        _ => fileHeaders(spark, files.map { case (f, l, _) => (f, l) }, conf))
+    headerCache.getOrCompute(spark, dir, sig)(
+      fileHeaders(spark, files.map { case (f, l, _) => (f, l) }, conf))
   }
 
   /** Unify one column's Spark types across writer-schema generations:
@@ -463,7 +498,7 @@ object AvroIo {
     val fs = new HPath(path).getFileSystem(conf.value)
     val files = listDataFiles(fs, path)
     require(files.nonEmpty, s"AvroIo.readAvro: no files under $path")
-    val headers = fileHeadersCached(spark, files, conf)
+    val headers = fileHeadersCached(spark, path, files, conf)
     // distinct writer schemas in first-seen file order (usually a
     // handful of generations, however many files carry them)
     val schemaJsons = scala.collection.mutable.LinkedHashMap[String, Int]()
@@ -502,14 +537,21 @@ object AvroIo {
         val reader = if (projected) projectionSchema(writer, keep) else writer
         val proj = projector(reader, target)
         val in = new HPath(sp.path).getFileSystem(conf.value).open(new HPath(sp.path))
-        val r = new DataFileReader[GenericRecord](
-          new HadoopSeekableInput(in, sp.len),
-          if (projected) new GenericDatumReader[GenericRecord](writer, reader)
-          else new GenericDatumReader[GenericRecord](writer))
-        // the header ends with the 16-byte sync marker, so sync(0)
-        // lands on the first block; later starts land on the first
-        // block boundary in-range
-        r.sync(sp.start)
+        // ctor header-parse or sync-scan throws (truncated/corrupt
+        // file) happen BEFORE the completion listener below exists —
+        // close the stream on that path or retries leak descriptors
+        val r =
+          try {
+            val rr = new DataFileReader[GenericRecord](
+              new HadoopSeekableInput(in, sp.len),
+              if (projected) new GenericDatumReader[GenericRecord](writer, reader)
+              else new GenericDatumReader[GenericRecord](writer))
+            // the header ends with the 16-byte sync marker, so sync(0)
+            // lands on the first block; later starts land on the first
+            // block boundary in-range
+            rr.sync(sp.start)
+            rr
+          } catch { case e: Throwable => in.close(); throw e }
         // a task that dies mid-file must not leak the stream
         Option(org.apache.spark.TaskContext.get())
           .foreach(_.addTaskCompletionListener[Unit](_ => r.close()))
@@ -547,7 +589,7 @@ object AvroIo {
     val fs = new HPath(path).getFileSystem(conf.value)
     val files = listDataFiles(fs, path)
     require(files.nonEmpty, s"AvroIo.avroSchemaDrift: no files under $path")
-    val gens = fileHeadersCached(spark, files, conf).map(_._3).distinct
+    val gens = fileHeadersCached(spark, path, files, conf).map(_._3).distinct
       .map(sj => toSparkSchema(new Schema.Parser().parse(sj)))
     val names = scala.collection.mutable.LinkedHashSet[String]()
     gens.foreach(_.foreach(f => names += f.name))

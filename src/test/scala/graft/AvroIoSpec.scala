@@ -277,6 +277,12 @@ class AvroIoSpec extends AnyFunSuite with SparkFixture {
     }
     assert(base.toFile.listFiles().map(_.getName).toSeq == Seq("t"))
     assert(AvroIo.readAvro(s, dir).collect().map(_.getInt(0)).sorted.toSeq == before)
+    // a successful RE-write swaps via move-aside and cleans up: no
+    // ._old_ or ._tmp_ siblings survive, and the new generation reads
+    AvroIo.toAvro(Seq(42).toDF("n").coalesce(1), dir)
+    assert(base.toFile.listFiles().map(_.getName).toSeq == Seq("t"),
+      s"leftover swap artifacts: ${base.toFile.listFiles().map(_.getName).toSeq}")
+    assert(AvroIo.readAvro(s, dir).collect().map(_.getInt(0)).toSeq == Seq(42))
   }
 
   test("readAvro resolves later files BY NAME: reordered fields decode correctly") {
