@@ -134,6 +134,8 @@ object ExtQueries {
   // rationale) — shared machinery with AvroIo's header cache
   private val psiExprsCache =
     new graft.SessionCache[Seq[(String, org.apache.spark.sql.Column)]]
+  private val driftRefCellsCache =
+    new graft.SessionCache[graft.operators.Drift.RefCells]
   private def psiExprsFor(s: SparkSession, dir: String, key: String,
                           ref: => DataFrame, dims: Seq[graft.operators.Drift.Dim])
       : Seq[(String, org.apache.spark.sql.Column)] =
@@ -2184,19 +2186,25 @@ object ExtQueries {
     }),
 
     // the monitor's scoring face end-to-end in batch: every closed
-    // window's contingency joined to the full-corpus reference counts
-    // (windows x Σbins bounded cross — KBs, never row-scale) and folded
-    // with the EXACT batch PSI semantics; StreamingSpec holds the
-    // differential proving the foreachBatch monitor emits these same
-    // rows per closed window across a kill/restart
+    // window's contingency scored against the full-corpus reference
+    // cells (collected once per session — Σbins rows, the bounded
+    // ANN-codebook posture — and inlined as literals) with the EXACT
+    // batch PSI semantics, ONE aggregation and zero joins;
+    // StreamingSpec holds the differential proving the foreachBatch
+    // monitor emits these same rows per closed window across a
+    // kill/restart
     "q_drift_scored" -> ((s, dir) => {
       val (ev, exprs) = eventsDriftSide(s, dir)
       val wb = graft.streaming.StreamingOps
         .streamingDriftBins(ev, exprs, "1 hour", "0 seconds")
         .select(unix_timestamp(col("window_start")).as("window_s"),
           col("column"), col("bin"), col("cur_n"))
-      graft.operators.Drift.scoreWindows(
-        wb, graft.operators.Drift.referenceCounts(ev, exprs), "window_s")
+      // one-time bounded collect, cached like the drift label exprs so
+      // re-composition stays metadata-only
+      val refCells = driftRefCellsCache.getOrCompute(s, s"$dir:events")(
+        graft.operators.Drift.collectReference(
+          graft.operators.Drift.referenceCounts(ev, exprs)))
+      graft.operators.Drift.scoreWindowsWith(wb, refCells, "window_s")
     }),
 
     // the STORABLE face of the same report: resolve the binning spec

@@ -339,21 +339,27 @@ object Drift {
       count(lit(1)).cast("long").as("bins"),
       sort_array(collect_list(struct(col("bin"), col("ref_n").as("rn"),
         col("cur_n").as("cn")))).as("cells"))
-    // psi = Σ (p-q)·ln(p/q), p=(rn+1)/(R+B), q=(cn+1)/(C+B) — one
-    // sequential fold, identical term shape to the DuckDB replay
-    val psi = aggregate(col("cells"), lit(0.0d), (acc, cell) => {
+    perCol.select(gcols.map(col) ++ Seq(
+        col("ref_n"), col("cur_n"), col("bins"),
+        round(psiFold * lit(10000.0d)).cast("long").as("psi_bp")): _*)
+      .withColumn("drifted", col("psi_bp") >= lit(psiBpThreshold))
+      .orderBy(gcols.map(col): _*)
+  }
+
+  /** psi = Σ (p-q)·ln(p/q), p=(rn+1)/(R+B), q=(cn+1)/(C+B) — ONE
+    * sequential fold over the bin-sorted `cells` list, identical term
+    * shape to the DuckDB replay. Expects `cells` (array of struct(bin,
+    * rn, cn)), `ref_n`, `cur_n`, `bins` in scope; shared by
+    * [[reportFromContingency]] and [[scoreWindowsWith]] so the two
+    * faces cannot drift apart numerically. */
+  private def psiFold: Column =
+    aggregate(col("cells"), lit(0.0d), (acc, cell) => {
       val p = (cell.getField("rn") + lit(1L)).cast("double") /
         (col("ref_n") + col("bins")).cast("double")
       val q = (cell.getField("cn") + lit(1L)).cast("double") /
         (col("cur_n") + col("bins")).cast("double")
       acc + (p - q) * log(p / q)
     })
-    perCol.select(gcols.map(col) ++ Seq(
-        col("ref_n"), col("cur_n"), col("bins"),
-        round(psi * lit(10000.0d)).cast("long").as("psi_bp")): _*)
-      .withColumn("drifted", col("psi_bp") >= lit(psiBpThreshold))
-      .orderBy(gcols.map(col): _*)
-  }
 
   /** The reference side's contingency (column, bin, ref_n) — computed
     * ONCE against the static reference snapshot and joined against
@@ -361,33 +367,84 @@ object Drift {
   def referenceCounts(ref: DataFrame, binExprs: Seq[(String, Column)]): DataFrame =
     sideCounts(ref, binExprs, "ref_n")
 
-  /** Score per-window streaming contingencies against the reference
-    * with EXACT batch semantics: every window gets the full reference
-    * bin set (zero-filled where the window is silent), then the same
-    * [[reportFromContingency]] fold — so a foreachBatch monitor's
-    * psi_bp per closed window equals the batch report over the same
-    * window's rows, term for term.
+  /** The reference contingency COLLECTED to the driver: per column,
+    * the bin-sorted (bin, ref_n) cells plus the column total. Σbins
+    * rows by construction (dims × (edges+2 | top+2)) — the same
+    * bounded-artifact posture as the ANN centroid/codebook collects —
+    * so the window scorer can inline it as literals and score an
+    * unbounded stream of windows in ONE pass over their contingency. */
+  final case class RefCells(byColumn: Map[String, Seq[(String, Long)]]) {
+    require(byColumn.nonEmpty, "Drift.RefCells: empty reference contingency")
+    def totals: Map[String, Long] = byColumn.map { case (c, cs) => c -> cs.map(_._2).sum }
+  }
+
+  /** Collect [[referenceCounts]]' result — ONE job, Σbins rows. Do it
+    * once per monitoring session and reuse across every scored batch. */
+  def collectReference(refCounts: DataFrame): RefCells =
+    RefCells(refCounts.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .groupBy(_._1)
+      .map { case (c, rows) => c -> rows.map(r => (r._2, r._3)).sortBy(_._1).toSeq })
+
+  /** Score per-window contingencies against the collected reference
+    * with EXACT batch semantics — the same bin-sorted [[psiFold]] over
+    * the same zero-filled cell set as [[reportFromContingency]], so a
+    * foreachBatch monitor's psi_bp per closed window equals the batch
+    * report over the same window's rows, term for term.
     *
     * `windowBins`: (windowCol, column, bin, cur_n) — the shape
     * [[graft.streaming.StreamingOps.streamingDriftBins]] emits per
-    * closed window. Scale shape: the cross join is bounded artifact ×
-    * bounded artifact (windows-in-batch × Σbins reference cells — KBs;
-    * never row-scale), and everything downstream is the Σbins-sized
-    * contingency. `windowBins` is consumed TWICE (the window list and
-    * the join input): pass it materialized — the streaming monitor
-    * persists each micro-batch before scoring — or accept the
-    * aggregation running once per consumer, as the batch-replay
-    * q_drift_scored does (its input is one bounded events aggregation,
-    * re-run once; fine at replay scale, wasteful on a raw 100 TB scan). */
+    * closed window, binned by the SAME label expressions the reference
+    * was. Scale shape: ONE aggregation over `windowBins`, no join at
+    * all — the reference cells ride along as literals (bounded
+    * artifact, like the ANN codebooks), each window's observed bins
+    * merge against them in a codegen'd array expression, and bins the
+    * window never saw zero-fill from the literal side while bins the
+    * reference never saw (possible only with mismatched label
+    * expressions) join in with rn=0. */
+  def scoreWindowsWith(windowBins: DataFrame, ref: RefCells,
+                       windowCol: String = "window_start",
+                       psiBpThreshold: Long = 1000L): DataFrame = {
+    val colsSorted = ref.byColumn.keys.toSeq.sorted
+    def byCol(f: String => Column): Column =
+      colsSorted.map(c => when(col("column") === lit(c), f(c)))
+        .reduceRight((w, rest) => w.otherwise(rest))
+    val refArr = byCol(c => array(ref.byColumn(c).map { case (b, rn) =>
+      struct(lit(b).as("bin"), lit(rn).as("rn")) }: _*))
+    val refBins = byCol(c => array(ref.byColumn(c).map(x => lit(x._1)): _*))
+    val refTotal = byCol(c => lit(ref.totals(c)))
+    val perWC = windowBins
+      .groupBy(col(windowCol), col("column"))
+      .agg(map_from_entries(collect_list(struct(col("bin"), col("cur_n"))))
+          .as("obs"),
+        sum("cur_n").as("cur_n"))
+    // the full cell set: every reference bin (cur zero-filled from the
+    // observed map) plus any observed bin the reference lacks — sorted,
+    // so the fold order matches reportFromContingency exactly
+    val cells = sort_array(concat(
+      transform(refArr, x => struct(x.getField("bin").as("bin"),
+        x.getField("rn").as("rn"),
+        coalesce(element_at(col("obs"), x.getField("bin")), lit(0L)).as("cn"))),
+      transform(
+        filter(map_keys(col("obs")), k => !array_contains(refBins, k)),
+        k => struct(k.as("bin"), lit(0L).as("rn"),
+          element_at(col("obs"), k).as("cn")))))
+    perWC
+      .select(col(windowCol), col("column"),
+        refTotal.as("ref_n"), col("cur_n"),
+        size(cells).cast("long").as("bins"), cells.as("cells"))
+      .select(col(windowCol), col("column"),
+        col("ref_n"), col("cur_n"), col("bins"),
+        round(psiFold * lit(10000.0d)).cast("long").as("psi_bp"))
+      .withColumn("drifted", col("psi_bp") >= lit(psiBpThreshold))
+      .orderBy(col(windowCol), col("column"))
+  }
+
+  /** [[scoreWindowsWith]] after collecting `refCounts` — the one-call
+    * convenience face; long-lived monitors should collect once. */
   def scoreWindows(windowBins: DataFrame, refCounts: DataFrame,
                    windowCol: String = "window_start",
-                   psiBpThreshold: Long = 1000L): DataFrame = {
-    val windows = windowBins.select(col(windowCol)).distinct()
-    val cells = windows.crossJoin(refCounts)
-      .join(windowBins, Seq(windowCol, "column", "bin"), "full_outer")
-      .select(col(windowCol), col("column"), col("bin"),
-        coalesce(col("ref_n"), lit(0L)).as("ref_n"),
-        coalesce(col("cur_n"), lit(0L)).as("cur_n"))
-    reportFromContingency(cells, psiBpThreshold, Seq(windowCol))
-  }
+                   psiBpThreshold: Long = 1000L): DataFrame =
+    scoreWindowsWith(windowBins, collectReference(refCounts),
+      windowCol, psiBpThreshold)
 }

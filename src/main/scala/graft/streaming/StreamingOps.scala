@@ -94,10 +94,12 @@ object StreamingOps {
     * window's rows, across a kill/restart).
     *
     * `refCounts` is [[graft.operators.Drift.referenceCounts]] over the
-    * reference snapshot with the SAME binExprs — compute it once and
-    * persist it; it re-executes per micro-batch otherwise. `sink`
-    * receives the scored report (windowCol, column, ref_n, cur_n,
-    * bins, psi_bp, drifted); alert routing stays the caller's. */
+    * reference snapshot with the SAME binExprs — it is collected ONCE
+    * here (Σbins rows, the bounded ANN-codebook posture) and inlined
+    * as literals into every scored batch, so each micro-batch costs
+    * one aggregation and zero joins. `sink` receives the scored report
+    * (windowCol, column, ref_n, cur_n, bins, psi_bp, drifted); alert
+    * routing stays the caller's. */
   def streamingDriftMonitor(
       cur: DataFrame,
       binExprs: Seq[(String, Column)],
@@ -107,23 +109,25 @@ object StreamingOps {
       lateness: String = "10 minutes",
       tsCol: String = "ts",
       psiBpThreshold: Long = 1000L)(
-      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    val refCells = graft.operators.Drift.collectReference(refCounts)
     streamingDriftBins(cur, binExprs, windowLen, lateness, tsCol)
       .writeStream.outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        // scoreWindows consumes its input twice (window list + join);
-        // pin the micro-batch (bounded: closed windows x Σbins rows)
-        // so the batch plan runs once. `sink` must consume the scored
-        // frame before returning — the pin is released right after.
+        // pin the micro-batch (bounded: closed windows x Σbins rows) so
+        // the emptiness probe and the scoring pass share one execution.
+        // `sink` must consume the scored frame before returning — the
+        // pin is released right after.
         val b = batch.persist()
         try {
           if (!b.isEmpty)
-            sink(graft.operators.Drift.scoreWindows(
-              b, refCounts, "window_start", psiBpThreshold), id)
+            sink(graft.operators.Drift.scoreWindowsWith(
+              b, refCells, "window_start", psiBpThreshold), id)
         } finally { b.unpersist(); () }
       }
       .start()
+  }
 
   /** Sliding-window variant (windowLen every slide). */
   def slidingAgg(

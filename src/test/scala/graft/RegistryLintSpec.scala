@@ -56,11 +56,7 @@ class RegistryLintSpec extends AnyFunSuite with SparkFixture {
     // (Sampling.selectByBudget step 2)
     "q_select_budget" -> Set("single-partition-window"),
     // inherits selectByBudget's bounded offsets window (same reason)
-    "q_pipeline_release" -> Set("single-partition-window"),
-    // scoreWindows crosses the batch's closed-window list with the
-    // Σbins reference contingency — bounded artifact x bounded artifact
-    // (KBs; Drift.scoreWindows scaladoc documents the bounds)
-    "q_drift_scored" -> Set("cartesian-product", "nested-loop-join")
+    "q_pipeline_release" -> Set("single-partition-window")
   )
 
   test("every registry query plans clean of warn-level PlanLint findings") {
