@@ -216,7 +216,32 @@ class DriftSpec extends AnyFunSuite with SparkFixture {
     assert(scored((2L, "x")) == batchPsi(w2))
     // the shifted window reads as much more drifted
     assert(scored((2L, "x")) > scored((1L, "x")))
+    // a window bin the REFERENCE never saw (possible only when label
+    // expressions were resolved elsewhere) still zero-fills on the ref
+    // side — same cells as the batch face, term for term
+    val refNarrow = Seq(10.0, 20.0).toDF("x") // only b00
+    val wWide = Seq(50.0, 110.0).toDF("x")    // b01 + b02, both ref-unseen
+    val exprsN = Drift.cellExprs(refNarrow, dims)
+    val scoredN = Drift.scoreWindows(
+        wb2(wWide, exprsN, 9L), Drift.referenceCounts(refNarrow, exprsN),
+        "window_s").collect()
+    val batchN = Drift.reportFromContingency(
+        Drift.binsWith(exprsN, refNarrow, wWide)).collect()
+    assert(scoredN.head.getLong(5) == batchN.head.getLong(4),
+      s"ref-unseen bins diverged: ${scoredN.toSeq} vs ${batchN.toSeq}")
+    assert(scoredN.head.getLong(4) == 3L) // bins = b00 ∪ {b01, b02}
   }
+
+  // the windowed contingency shape for a single tagged window (shared
+  // by the scoreWindows tests)
+  private def wb2(w: org.apache.spark.sql.DataFrame,
+                  exprs: Seq[(String, org.apache.spark.sql.Column)],
+                  tag: Long): org.apache.spark.sql.DataFrame =
+    w.select(Drift.cellColumn(exprs).as("cell"))
+      .groupBy(col("cell.column").as("column"), col("cell.bin").as("bin"))
+      .agg(count(lit(1)).as("cur_n"))
+      .withColumn("window_s", lit(tag))
+      .select("window_s", "column", "bin", "cur_n")
 
   test("scale shape: one shuffle per side, contingency join stays tiny") {
     val (ref, cur) = refCur()
