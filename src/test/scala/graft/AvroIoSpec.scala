@@ -258,6 +258,21 @@ class AvroIoSpec extends AnyFunSuite with SparkFixture {
       (1 to 30000).map(_.toLong).sum + 1000001L)
   }
 
+  test("a truncated container fails the read loudly, never returns partial rows") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp()
+    AvroIo.toAvro((1 to 5000).map(i => (i, s"row-$i")).toDF("n", "p"), dir,
+      codec = None)
+    val f = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".avro")).head
+    // chop the file mid-block: the sync-marker protocol must surface the
+    // corruption as a task failure, not an EOF-swallowed short result
+    val bytes = Files.readAllBytes(f.toPath)
+    Files.write(f.toPath, bytes.take(bytes.length - 17))
+    val e = intercept[Exception](AvroIo.readAvro(s, dir).count())
+    assert(e.getMessage != null)
+  }
+
   test("write is two-phase: no temp dirs left behind, target never partial") {
     val s = spark
     import s.implicits._
