@@ -374,14 +374,19 @@ object Drift {
     * so the window scorer can inline it as literals and score an
     * unbounded stream of windows in ONE pass over their contingency. */
   final case class RefCells(byColumn: Map[String, Seq[(String, Long)]]) {
-    require(byColumn.nonEmpty, "Drift.RefCells: empty reference contingency")
     def totals: Map[String, Long] = byColumn.map { case (c, cs) => c -> cs.map(_._2).sum }
   }
 
   /** Collect [[referenceCounts]]' result — ONE job, Σbins rows. Do it
-    * once per monitoring session and reuse across every scored batch. */
+    * once per monitoring session and reuse across every scored batch.
+    * Column access is by NAME, so any relation carrying (column, bin,
+    * ref_n) works regardless of projection order. An EMPTY reference
+    * (monitor bootstrapped before the first reference crawl lands) is
+    * legal: every window then scores against ref_n=0 zero-fill —
+    * maximal drift, loudly visible, the same posture as reportBy's
+    * vanished-side scoring. */
   def collectReference(refCounts: DataFrame): RefCells =
-    RefCells(refCounts.collect()
+    RefCells(refCounts.select("column", "bin", "ref_n").collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
       .groupBy(_._1)
       .map { case (c, rows) => c -> rows.map(r => (r._2, r._3)).sortBy(_._1).toSeq })
@@ -398,41 +403,57 @@ object Drift {
     * was. Scale shape: ONE aggregation over `windowBins`, no join at
     * all — the reference cells ride along as literals (bounded
     * artifact, like the ANN codebooks), each window's observed bins
-    * merge against them in a codegen'd array expression, and bins the
-    * window never saw zero-fill from the literal side while bins the
-    * reference never saw (possible only with mismatched label
-    * expressions) join in with rn=0. */
+    * merge against them in a codegen'd array expression, and bins —
+    * or whole columns — the reference never saw score against rn=0
+    * zero-fill (maximal drift, loudly visible), exactly as the batch
+    * full-outer contingency would. Cost note: the per-(window, column)
+    * merge is O(bins_col × obs_col) through the literal array (plus a
+    * hash-set array_except for observed-only bins), which is nothing
+    * at typical dim sizes (tens of bins) and ~10^8 comparisons per row
+    * only at the extreme CategoricalDim(top = 10000) cap — prefer
+    * modest top sets for high-frequency window scoring. */
   def scoreWindowsWith(windowBins: DataFrame, ref: RefCells,
                        windowCol: String = "window_start",
                        psiBpThreshold: Long = 1000L): DataFrame = {
     val colsSorted = ref.byColumn.keys.toSeq.sorted
-    def byCol(f: String => Column): Column =
-      colsSorted.map(c => when(col("column") === lit(c), f(c)))
-        .reduceRight((w, rest) => w.otherwise(rest))
+    // when-chain with an explicit DEFAULT: a column the reference
+    // lacks entirely falls through to empty ref cells / zero total
+    // instead of a silent null report row
+    def byCol(f: String => Column, default: Column): Column =
+      colsSorted.foldRight(default)((c, rest) =>
+        when(col("column") === lit(c), f(c)).otherwise(rest))
     val refArr = byCol(c => array(ref.byColumn(c).map { case (b, rn) =>
-      struct(lit(b).as("bin"), lit(rn).as("rn")) }: _*))
-    val refBins = byCol(c => array(ref.byColumn(c).map(x => lit(x._1)): _*))
-    val refTotal = byCol(c => lit(ref.totals(c)))
+      struct(lit(b).as("bin"), lit(rn).as("rn")) }: _*),
+      array().cast("array<struct<bin:string,rn:bigint>>"))
+    val refBins = byCol(c => array(ref.byColumn(c).map(x => lit(x._1)): _*),
+      array().cast("array<string>"))
+    val refTotal = byCol(c => lit(ref.totals(c)), lit(0L))
     val perWC = windowBins
       .groupBy(col(windowCol), col("column"))
       .agg(map_from_entries(collect_list(struct(col("bin"), col("cur_n"))))
           .as("obs"),
         sum("cur_n").as("cur_n"))
     // the full cell set: every reference bin (cur zero-filled from the
-    // observed map) plus any observed bin the reference lacks — sorted,
-    // so the fold order matches reportFromContingency exactly
+    // observed map) plus any observed bin the reference lacks
+    // (array_except builds a hash set — no quadratic membership scan) —
+    // sorted, so the fold order matches reportFromContingency exactly
     val cells = sort_array(concat(
       transform(refArr, x => struct(x.getField("bin").as("bin"),
         x.getField("rn").as("rn"),
         coalesce(element_at(col("obs"), x.getField("bin")), lit(0L)).as("cn"))),
       transform(
-        filter(map_keys(col("obs")), k => !array_contains(refBins, k)),
+        array_except(map_keys(col("obs")), refBins),
         k => struct(k.as("bin"), lit(0L).as("rn"),
           element_at(col("obs"), k).as("cn")))))
     perWC
+      // materialize `cells` ONCE in its own projection: referencing the
+      // expression twice (size + fold input) would duplicate the whole
+      // literal tree in the analyzed plan shipped to every task
       .select(col(windowCol), col("column"),
-        refTotal.as("ref_n"), col("cur_n"),
-        size(cells).cast("long").as("bins"), cells.as("cells"))
+        refTotal.as("ref_n"), col("cur_n"), cells.as("cells"))
+      .select(col(windowCol), col("column"),
+        col("ref_n"), col("cur_n"),
+        size(col("cells")).cast("long").as("bins"), col("cells"))
       .select(col(windowCol), col("column"),
         col("ref_n"), col("cur_n"), col("bins"),
         round(psiFold * lit(10000.0d)).cast("long").as("psi_bp"))

@@ -298,14 +298,26 @@ object AvroIo {
         s"AvroIo.toAvro: could not move the previous generation aside " +
           s"($target -> $oldAside); target left untouched, new data kept at $tmp")
       if (!fs0.rename(tmp, target)) {
-        val restored = !hadOld || fs0.rename(oldAside, target)
+        val tail =
+          if (!hadOld) "; no previous generation existed (target is absent)"
+          else if (fs0.rename(oldAside, target)) "; previous generation restored"
+          else s"; previous generation preserved at $oldAside"
         throw new IllegalStateException(
           s"AvroIo.toAvro: job-commit rename $tmp -> $target failed; " +
-            s"new generation kept at $tmp" +
-            (if (restored) "; previous generation restored"
-             else s"; previous generation preserved at $oldAside"))
+            s"new generation kept at $tmp" + tail)
       }
-      if (hadOld) fs0.delete(oldAside, true): Unit
+      if (hadOld) {
+        // the commit has already succeeded: a cleanup failure must not
+        // report the write as failed, but a silently surviving hidden
+        // ._old_ copy per rewrite is an unbounded disk leak — warn with
+        // the path so an operator can reclaim it
+        val cleaned =
+          try fs0.delete(oldAside, true)
+          catch { case _: java.io.IOException => false }
+        if (!cleaned) System.err.println(
+          s"[AvroIo] WARNING: committed $target but could not remove the " +
+            s"superseded generation at $oldAside — delete it manually")
+      }
     } finally {
       // only a FAILED JOB's partial task output is garbage worth
       // cleaning (the previous generation still sits at target,

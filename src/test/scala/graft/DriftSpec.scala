@@ -198,14 +198,8 @@ class DriftSpec extends AnyFunSuite with SparkFixture {
     val dims: Seq[Drift.Dim] = Seq(NumericDim("x", Seq(25.0, 100.0)))
     val exprs = Drift.cellExprs(ref, dims)
     val refC = Drift.referenceCounts(ref, exprs)
-    // the windowed contingency shape streamingDriftBins emits
-    def wb(w: org.apache.spark.sql.DataFrame, tag: Long) =
-      w.select(Drift.cellColumn(exprs).as("cell"))
-        .groupBy(col("cell.column").as("column"), col("cell.bin").as("bin"))
-        .agg(count(lit(1)).as("cur_n"))
-        .withColumn("window_s", lit(tag))
-        .select("window_s", "column", "bin", "cur_n")
-    val scored = Drift.scoreWindows(wb(w1, 1L).unionByName(wb(w2, 2L)),
+    val scored = Drift.scoreWindows(
+        wb2(w1, exprs, 1L).unionByName(wb2(w2, exprs, 2L)),
         refC, "window_s").collect()
       .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(5)).toMap
     // the batch report over the same window's rows, same term order
@@ -230,6 +224,19 @@ class DriftSpec extends AnyFunSuite with SparkFixture {
     assert(scoredN.head.getLong(5) == batchN.head.getLong(4),
       s"ref-unseen bins diverged: ${scoredN.toSeq} vs ${batchN.toSeq}")
     assert(scoredN.head.getLong(4) == 3L) // bins = b00 ∪ {b01, b02}
+    // an EMPTY reference (monitor bootstrapped before the first crawl)
+    // scores with ref_n=0 zero-fill — maximal drift, loudly visible —
+    // never a silent null row; equals the batch face over an empty ref
+    val scoredE = Drift.scoreWindowsWith(
+        wb2(w1, exprs, 7L), Drift.RefCells(Map.empty), "window_s").collect()
+    assert(scoredE.length == 1 && scoredE.head.getLong(2) == 0L &&
+      !scoredE.head.isNullAt(5), s"empty-ref scoring nulled: ${scoredE.toSeq}")
+    val batchE = Drift.reportFromContingency(
+        Drift.binsWith(exprs, ref.limit(0), w1)).collect()
+    assert(scoredE.head.getLong(5) == batchE.head.getLong(4))
+    // (with only 2 observed bins the smoothing keeps an empty-ref PSI
+    // modest — ~405 bp here — so no drifted assertion: the contract is
+    // equality with the batch face, not a threshold)
   }
 
   // the windowed contingency shape for a single tagged window (shared
