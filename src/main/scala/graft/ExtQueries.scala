@@ -286,18 +286,23 @@ object ExtQueries {
     * bits disagree w.p. 3/8), so at maxHamming=4 the ONLY near-dup pairs
     * are the planted (doc, twin) ones — an exact, SQL-expressible
     * relation even though the codec itself isn't SQL. */
-  /** Memoized persisted fixture datasets, keyed by (session, kind, dir):
+  /** Memoized persisted fixture datasets, keyed by (live session, kind):
     * a bare `.persist()` inside a query closure leaks one cache entry
     * per invocation — DiffConfig alone re-invokes each closure five
-    * times — so repeated invocations must share ONE cached dataset. */
-  private val persistedMedia = new java.util.concurrent.ConcurrentHashMap[
-    String, org.apache.spark.sql.Dataset[Multimodal.MediaRecord]]()
+    * times — so repeated invocations must share ONE cached dataset.
+    * Session-weak (graft.SessionCache): a dead session's entries are
+    * collected with it instead of being pinned by a string key for the
+    * process lifetime, and there is no identity-hash collision window.
+    * A replaced entry (same key, changed fixture dir) is unpersisted. */
+  private val persistedMedia =
+    new graft.SessionCache[org.apache.spark.sql.Dataset[Multimodal.MediaRecord]]
   private def persistOnce(
-      s: SparkSession, key: String,
+      s: SparkSession, key: String, sig: String,
       mk: => org.apache.spark.sql.Dataset[Multimodal.MediaRecord])
       : org.apache.spark.sql.Dataset[Multimodal.MediaRecord] =
-    persistedMedia.computeIfAbsent(
-      s"${System.identityHashCode(s)}:$key", _ => mk.persist())
+    persistedMedia.getOrCompute(s, key, sig,
+      onReplace = (old: org.apache.spark.sql.Dataset[Multimodal.MediaRecord]) =>
+        { old.unpersist(); () })(mk.persist())
 
   private def imageNearDupMedia(
       s: SparkSession, dir: String): org.apache.spark.sql.Dataset[Multimodal.MediaRecord] = {
@@ -1298,7 +1303,7 @@ object ExtQueries {
     // their real decoded dims and pixel-buffer size
     "q_pipeline_media" -> ((s, dir) => {
       import s.implicits._
-      val media = persistOnce(s, s"img:$dir", imageNearDupMedia(s, dir))
+      val media = persistOnce(s, "img", dir, imageNearDupMedia(s, dir))
       val corrupt = (0 until 5).map(d =>
         Multimodal.MediaRecord(2000000L + d, "image/png",
           s"corrupt-$d".getBytes("UTF-8"), 0, 0, 0L))
@@ -1399,7 +1404,7 @@ object ExtQueries {
     // SQL-expressible relation even though the codec itself isn't SQL
     "q_image_neardup" -> ((s, dir) => {
       // persist: same self-join doubling as q_audio_neardup below
-      val media = persistOnce(s, s"img:$dir", imageNearDupMedia(s, dir))
+      val media = persistOnce(s, "img", dir, imageNearDupMedia(s, dir))
       Multimodal.imageNearDupPairs(media, maxHamming = 4)
         .select("a_id", "b_id").orderBy("a_id", "b_id")
     }),
@@ -1465,7 +1470,7 @@ object ExtQueries {
       // persist: hammingPairs self-joins the hash relation, which would
       // run the WAV-encoding generator once per join side
       Multimodal.audioNearDupPairs(
-        persistOnce(s, s"wav:$dir", media), maxHamming = 4)
+        persistOnce(s, "wav", dir, media), maxHamming = 4)
         .select("a_id", "b_id").orderBy("a_id", "b_id")
     }),
 
@@ -1477,7 +1482,7 @@ object ExtQueries {
       // (plus the anti-join finale) would otherwise re-run the PNG
       // encode/resize/dHash generator end-to-end. At corpus scale the
       // input is a parquet scan — the fixture must cost like one.
-      val media = persistOnce(s, s"img:$dir", imageNearDupMedia(s, dir))
+      val media = persistOnce(s, "img", dir, imageNearDupMedia(s, dir))
       val pairs = Multimodal.imageNearDupPairs(media, maxHamming = 4)
       Components.dedupByCluster(media.toDF().select("id"), pairs, "id", rounds = 2)
         .orderBy("id")

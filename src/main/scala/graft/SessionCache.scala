@@ -22,14 +22,23 @@ final class SessionCache[V] {
     new java.util.WeakHashMap[SparkSession,
       java.util.concurrent.ConcurrentHashMap[String, (String, V)]]())
 
-  def getOrCompute(s: SparkSession, key: String, sig: String = "")(compute: => V): V = {
+  /** `onReplace` runs on a superseded value when a changed `sig` evicts
+    * it — the release hook for values holding external resources (a
+    * persisted Dataset must be unpersisted, or the old cache entry
+    * leaks executor memory for the session's lifetime). Not called for
+    * entries dropped by session GC: the session's block manager died
+    * with it, so there is nothing left to release. */
+  def getOrCompute(s: SparkSession, key: String, sig: String = "",
+                   onReplace: V => Unit = (_: V) => ())(compute: => V): V = {
     val per = m.computeIfAbsent(s,
       _ => new java.util.concurrent.ConcurrentHashMap[String, (String, V)]())
     val cur = per.get(key)
     if (cur != null && cur._1 == sig) cur._2
     else {
       val v = compute
-      per.put(key, (sig, v))
+      val prev = per.put(key, (sig, v))
+      if (prev != null && !prev._2.asInstanceOf[AnyRef].eq(v.asInstanceOf[AnyRef]))
+        onReplace(prev._2)
       v
     }
   }

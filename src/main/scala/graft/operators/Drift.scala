@@ -429,6 +429,14 @@ object Drift {
       array().cast("array<string>"))
     val refTotal = byCol(c => lit(ref.totals(c)), lit(0L))
     val perWC = windowBins
+      // defensive pre-aggregation: streamingDriftBins emits unique
+      // (window, column, bin) rows, but a caller binning by hand may
+      // not — duplicates would make map_from_entries throw a runtime
+      // duplicate-map-key error instead of scoring. Summing first is
+      // duplicate-safe and free when rows are already unique (partial
+      // aggregation collapses it map-side).
+      .groupBy(col(windowCol), col("column"), col("bin"))
+      .agg(sum("cur_n").as("cur_n"))
       .groupBy(col(windowCol), col("column"))
       .agg(map_from_entries(collect_list(struct(col("bin"), col("cur_n"))))
           .as("obs"),

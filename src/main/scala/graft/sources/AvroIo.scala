@@ -286,6 +286,15 @@ object AvroIo {
         }
       }.count(): Unit
       jobCompleted = true
+      // sweep orphaned attempt files BEFORE the commit rename: a task
+      // that died between create and task-commit (or a speculative
+      // loser killed mid-write) leaves a dot-prefixed `.attempt-*`
+      // behind, and the directory rename below would otherwise carry
+      // it into committed output — invisible to readAvro's filter but
+      // accumulating disk across retried/speculative writes
+      fs0.listStatus(tmp).foreach { st =>
+        if (st.getPath.getName.startsWith(".")) fs0.delete(st.getPath, false): Unit
+      }
       // job-commit: move the previous generation ASIDE (rename, never
       // delete-first), swap the new one in, then drop the old copy —
       // every failure path leaves a complete generation on disk. The
@@ -360,20 +369,40 @@ object AvroIo {
   /** Every file's embedded writer schema, read DISTRIBUTEDLY (header
     * bytes only — a 100k-file dump must not serialize 100k header
     * reads through the driver). Returns (path, len, schemaJson) in
-    * name order. */
+    * name order.
+    *
+    * Schema JSONs dedupe MAP-SIDE: each partition ships per-file
+    * (path, len, schemaHash) plus its small distinct hash->json map,
+    * so the collect (and the cached driver value, which shares one
+    * String instance per distinct schema) is O(files) references +
+    * O(distinct generations x schema size) — not O(files x schema
+    * size), which at 100k files with multi-KB registry schemas would
+    * be hundreds of MB of driver heap for a handful of generations. */
   private def fileHeaders(spark: SparkSession, files: Seq[(String, Long)],
                           conf: org.apache.spark.util.SerializableConfiguration)
       : Seq[(String, Long, String)] = {
     val parts = math.min(files.size, 256).max(1)
-    spark.sparkContext.parallelize(files, parts).map { case (f, len) =>
-      val in = new HPath(f).getFileSystem(conf.value).open(new HPath(f))
-      // a header-parse throw (truncated/corrupt file) must not leak the
-      // stream — the DataFileStream ctor itself can fail
-      val st =
-        try new DataFileStream[GenericRecord](in, new GenericDatumReader[GenericRecord]())
-        catch { case e: Throwable => in.close(); throw e }
-      try (f, len, st.getSchema.toString) finally st.close()
-    }.collect().sortBy(_._1).toSeq
+    val perPart = spark.sparkContext.parallelize(files, parts).mapPartitions { it =>
+      val distinct = scala.collection.mutable.HashMap[String, String]()
+      val rows = it.map { case (f, len) =>
+        val in = new HPath(f).getFileSystem(conf.value).open(new HPath(f))
+        // a header-parse throw (truncated/corrupt file) must not leak the
+        // stream — the DataFileStream ctor itself can fail
+        val st =
+          try new DataFileStream[GenericRecord](in, new GenericDatumReader[GenericRecord]())
+          catch { case e: Throwable => in.close(); throw e }
+        val json = try st.getSchema.toString finally st.close()
+        val h = java.util.Base64.getEncoder.encodeToString(
+          java.security.MessageDigest.getInstance("SHA-256")
+            .digest(json.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+        distinct.getOrElseUpdate(h, json)
+        (f, len, h)
+      }.toArray // force the file sweep before shipping the schema map
+      Iterator.single((rows, distinct.toMap))
+    }.collect()
+    val schemaByHash = perPart.iterator.flatMap(_._2).toMap
+    perPart.iterator.flatMap(_._1).toSeq.sortBy(_._1)
+      .map { case (f, l, h) => (f, l, schemaByHash(h)) }
   }
 
   /** Header cache: one entry per (live session, directory), replaced
@@ -382,7 +411,16 @@ object AvroIo {
     * (the parquet footer/FileIndex posture), any added/removed/
     * resized/replaced file re-scans, and a monitoring session
     * re-reading a GROWING directory every cycle replaces its one entry
-    * instead of accumulating one per observed file list. */
+    * instead of accumulating one per observed file list.
+    *
+    * Known (accepted) staleness window: a file REPLACED in place at
+    * identical byte length within the filesystem's mtime granularity
+    * (1 s on many local/network filesystems) produces an unchanged
+    * signature and serves the cached writer schema — the same window
+    * every mtime-based metadata cache has (parquet FileIndex included).
+    * Avro landing zones append new files rather than rewriting in
+    * place, so this is acceptable; callers needing hard guarantees can
+    * bounce the session or write to a fresh directory per generation. */
   private val headerCache = new graft.SessionCache[Seq[(String, Long, String)]]
 
   private def fileHeadersCached(
