@@ -2780,6 +2780,25 @@ object ExtQueries {
         .orderBy("event_id")
     }),
 
+    // NESTED containers — the shape real Kafka events actually have
+    // (an order with a customer sub-record, an item array, a string
+    // map, a decimal amount): round-trip through the container codec
+    // and flatten back out; the oracle recomputes every leaf from the
+    // parquet orders table, so the compare validates the recursive
+    // schema mapping, the nested null unions, and the decimal
+    // unscaled-bytes codec at exact 2-digit scale
+    "q_read_avro_nested" -> ((s, dir) => {
+      avroNestedFixture(s, dir)
+      graft.sources.AvroIo.readAvro(s, AvroNestedFixtureDir)
+        .select(col("o_orderkey"),
+          col("cust.custkey").as("custkey"),
+          col("cust.status").as("status"),
+          element_at(col("parts"), 2).as("p2"),
+          element_at(col("tags"), "ck").as("ck"),
+          col("total"))
+        .orderBy("o_orderkey")
+    }),
+
     // the decision face of the footer-stats audit: which row groups
     // would `doc_id BETWEEN 200 AND 300 AND n_chars >= 0` prune on the
     // doc_id-sorted layout? The oracle replays the envelope logic from
@@ -2856,6 +2875,7 @@ object ExtQueries {
   val DriftGen1Dir = "/root/repo/target/tmp/nation_drift_gen1"
   val DriftGen2Dir = "/root/repo/target/tmp/nation_drift_gen2"
   val AvroEvolvedFixtureDir = "/root/repo/target/tmp/nation_avro_evolved"
+  val AvroNestedFixtureDir = "/root/repo/target/tmp/orders_avro_nested"
   val AvroTsFixtureDir = "/root/repo/target/tmp/events_avro_ts"
   val PruneFixtureDir = "/root/repo/target/tmp/documents_sorted"
   val DriftSpecDir = "/root/repo/target/tmp/drift_spec"
@@ -2989,6 +3009,21 @@ object ExtQueries {
       move(t1, "gen1-part-00000.avro")
       move(t2, "gen2-part-00000.avro")
     })
+  private def avroNestedFixture(s: SparkSession, dir: String): Unit =
+    fixturesDone.computeIfAbsent(s"avronested:$dir", _ =>
+      graft.sources.AvroIo.toAvro(
+        s.read.parquet(s"$dir/orders.parquet")
+          .filter(col("o_orderkey") < 200)
+          .select(col("o_orderkey"),
+            struct(col("o_custkey").as("custkey"),
+              col("o_orderstatus").as("status")).as("cust"),
+            array(col("o_orderkey") * 2, col("o_orderkey") * 3).as("parts"),
+            map(lit("ck"), col("o_custkey")).as("tags"),
+            // o_orderkey + 0.25 is exact in binary, so the decimal cast
+            // is rounding-free on both engines
+            (col("o_orderkey") + lit(0.25)).cast("decimal(12,2)").as("total"))
+          .repartition(2),
+        AvroNestedFixtureDir))
   private def avroTsFixture(s: SparkSession, dir: String): Unit =
     fixturesDone.computeIfAbsent(s"avrots:$dir", _ =>
       graft.sources.AvroIo.toAvro(
@@ -4904,6 +4939,13 @@ object ExtQueries {
     "q_read_avro_ts" ->
       """SELECT event_id, epoch_us(ts) AS ts_us FROM events
          WHERE event_id < 500 ORDER BY event_id""",
+    // every leaf of the nested fixture recomputed relationally: struct
+    // fields, array element, map value, and the exact decimal
+    "q_read_avro_nested" ->
+      """SELECT o_orderkey, o_custkey AS custkey, o_orderstatus AS status,
+                o_orderkey * 3 AS p2, o_custkey AS ck,
+                (o_orderkey + 0.25)::DECIMAL(12,2) AS total
+         FROM orders WHERE o_orderkey < 200 ORDER BY o_orderkey""",
     // prune simulation vs DuckDB's independent footer reader: a row
     // group is pruned when some predicate column's envelope excludes
     // its range (or the chunk is provably all-null); missing stats

@@ -21,7 +21,8 @@ object Registry {
     "ingestion, formats & schema drift (§2.2)" -> Set(
       "q_local", "q_read_csv", "q_read_json", "q_read_npy", "q_read_pickle",
       "q_read_arrow", "q_read_orc", "q_read_avro", "q_read_avro_evolved",
-      "q_read_avro_ts", "q_avro_drift_report", "q_json_quarantine",
+      "q_read_avro_ts", "q_read_avro_nested", "q_avro_drift_report",
+      "q_json_quarantine",
       "q_csv_quarantine", "q_materialize", "q_schema_drift",
       "q_schema_drift_report"),
     "projection, selection & column ops (§2.3-2.4)" -> Set(

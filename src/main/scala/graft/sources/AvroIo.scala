@@ -45,34 +45,58 @@ object AvroIo {
 
   private val SupportedMsg =
     "AvroIo supports boolean/int/long/float/double/string/binary/" +
-      "timestamp/timestamp_ntz/date (nullable via [null, T] unions)"
+      "timestamp/timestamp_ntz/date/decimal, plus nested record/array/" +
+      "map (string keys) of those, and enum (read as string); " +
+      "nullable via [null, T] unions"
 
   // ------------------------------------------------------------ schema
 
+  /** The Avro schema for one non-null Spark type. Nested records get
+    * path-derived names (`row_cust`, `row_cust_address`) — Avro
+    * requires every record schema in a file to carry a distinct full
+    * name unless structurally identical. */
+  private def toAvroType(dt: DataType, path: String): Schema = dt match {
+    case BooleanType => Schema.create(Schema.Type.BOOLEAN)
+    case IntegerType => Schema.create(Schema.Type.INT)
+    case LongType    => Schema.create(Schema.Type.LONG)
+    case FloatType   => Schema.create(Schema.Type.FLOAT)
+    case DoubleType  => Schema.create(Schema.Type.DOUBLE)
+    case StringType  => Schema.create(Schema.Type.STRING)
+    case BinaryType  => Schema.create(Schema.Type.BYTES)
+    // Spark timestamps ARE epoch micros; timestamp-micros is the
+    // exact Avro logical type (schema-registry events carry these);
+    // NTZ (parquet isAdjustedToUTC=false, the common lake dtype)
+    // maps to Avro's local-timestamp-micros — same payload, no
+    // silent zone reinterpretation either way
+    case TimestampType =>
+      LogicalTypes.timestampMicros().addToSchema(Schema.create(Schema.Type.LONG))
+    case TimestampNTZType =>
+      LogicalTypes.localTimestampMicros().addToSchema(Schema.create(Schema.Type.LONG))
+    case DateType =>
+      LogicalTypes.date().addToSchema(Schema.create(Schema.Type.INT))
+    case d: DecimalType =>
+      LogicalTypes.decimal(d.precision, d.scale)
+        .addToSchema(Schema.create(Schema.Type.BYTES))
+    case st: StructType => toAvroSchema(st, path)
+    case ArrayType(et, containsNull) =>
+      val e = toAvroType(et, path + "_item")
+      Schema.createArray(
+        if (containsNull)
+          Schema.createUnion(List(Schema.create(Schema.Type.NULL), e).asJava)
+        else e)
+    case MapType(StringType, vt, valueContainsNull) =>
+      val v = toAvroType(vt, path + "_value")
+      Schema.createMap(
+        if (valueContainsNull)
+          Schema.createUnion(List(Schema.create(Schema.Type.NULL), v).asJava)
+        else v)
+    case other => throw new IllegalArgumentException(
+      s"AvroIo: unsupported Spark type $other at $path; $SupportedMsg")
+  }
+
   private[sources] def toAvroSchema(schema: StructType, name: String): Schema = {
     val fields = schema.fields.map { f =>
-      val base = f.dataType match {
-        case BooleanType => Schema.create(Schema.Type.BOOLEAN)
-        case IntegerType => Schema.create(Schema.Type.INT)
-        case LongType    => Schema.create(Schema.Type.LONG)
-        case FloatType   => Schema.create(Schema.Type.FLOAT)
-        case DoubleType  => Schema.create(Schema.Type.DOUBLE)
-        case StringType  => Schema.create(Schema.Type.STRING)
-        case BinaryType  => Schema.create(Schema.Type.BYTES)
-        // Spark timestamps ARE epoch micros; timestamp-micros is the
-        // exact Avro logical type (schema-registry events carry these);
-        // NTZ (parquet isAdjustedToUTC=false, the common lake dtype)
-        // maps to Avro's local-timestamp-micros — same payload, no
-        // silent zone reinterpretation either way
-        case TimestampType =>
-          LogicalTypes.timestampMicros().addToSchema(Schema.create(Schema.Type.LONG))
-        case TimestampNTZType =>
-          LogicalTypes.localTimestampMicros().addToSchema(Schema.create(Schema.Type.LONG))
-        case DateType =>
-          LogicalTypes.date().addToSchema(Schema.create(Schema.Type.INT))
-        case other => throw new IllegalArgumentException(
-          s"AvroIo: unsupported Spark type $other for field ${f.name}; $SupportedMsg")
-      }
+      val base = toAvroType(f.dataType, s"${name}_${f.name}")
       val s =
         if (f.nullable)
           Schema.createUnion(List(Schema.create(Schema.Type.NULL), base).asJava)
@@ -109,10 +133,29 @@ object AvroIo {
     base.getType == Schema.Type.INT &&
       base.getLogicalType.isInstanceOf[LogicalTypes.Date]
 
+  private def decimalOf(base: Schema): Option[DecimalType] =
+    base.getLogicalType match {
+      case d: LogicalTypes.Decimal =>
+        // Spark decimals cap at precision 38; a wider Avro decimal
+        // cannot round-trip losslessly, so it falls through to the
+        // underlying primitive gate (bytes/fixed -> loud failure is
+        // wrong here: the payload IS readable as raw unscaled bytes —
+        // but silently so; fail loudly instead)
+        if (d.getPrecision <= DecimalType.MAX_PRECISION)
+          Some(DecimalType(d.getPrecision, d.getScale))
+        else throw new IllegalArgumentException(
+          s"AvroIo: decimal(${d.getPrecision},${d.getScale}) exceeds Spark's " +
+            s"max precision ${DecimalType.MAX_PRECISION}")
+      case _ => None
+    }
+
   /** One Avro field's Spark type. timestamp-millis/micros map to
-    * TimestampType; any OTHER logical type reads as its underlying
-    * primitive (the logical annotation is advisory in Avro — the
-    * underlying value is the lossless truth, never a stringification). */
+    * TimestampType, date to DateType, decimal bytes/fixed to
+    * DecimalType, enum to string, and record/array/map (string keys —
+    * the only kind Avro has) recurse; any OTHER logical type reads as
+    * its underlying primitive (the logical annotation is advisory in
+    * Avro — the underlying value is the lossless truth, never a
+    * stringification). */
   private def fieldSparkType(fieldName: String, base: Schema): DataType =
     base.getType match {
       case Schema.Type.BOOLEAN => BooleanType
@@ -124,7 +167,17 @@ object AvroIo {
       case Schema.Type.FLOAT   => FloatType
       case Schema.Type.DOUBLE  => DoubleType
       case Schema.Type.STRING  => StringType
-      case Schema.Type.BYTES   => BinaryType
+      case Schema.Type.BYTES   => decimalOf(base).getOrElse(BinaryType)
+      case Schema.Type.FIXED   => decimalOf(base).getOrElse(BinaryType)
+      // enums are closed string sets; the symbol string is the value
+      case Schema.Type.ENUM    => StringType
+      case Schema.Type.RECORD  => toSparkSchema(base)
+      case Schema.Type.ARRAY =>
+        val (et, elemNullable) = nonNullBranch(base.getElementType)
+        ArrayType(fieldSparkType(s"$fieldName[]", et), elemNullable)
+      case Schema.Type.MAP =>
+        val (vt, valNullable) = nonNullBranch(base.getValueType)
+        MapType(StringType, fieldSparkType(s"$fieldName{}", vt), valNullable)
       case other => throw new IllegalArgumentException(
         s"AvroIo: unsupported Avro type $other for field $fieldName; $SupportedMsg")
     }
@@ -138,21 +191,85 @@ object AvroIo {
     }.toSeq)
   }
 
+  private def bbBytes(bb: java.nio.ByteBuffer): Array[Byte] = {
+    val a = new Array[Byte](bb.remaining()); bb.duplicate().get(a); a
+  }
+
   /** Raw Avro decode value -> the Spark-native JVM value for this
     * writer field (Utf8 -> String, ByteBuffer -> Array[Byte],
-    * timestamp long -> java.sql.Timestamp). */
+    * timestamp long -> java.sql.Timestamp, decimal bytes ->
+    * java.math.BigDecimal, record -> Row, array -> Seq, map -> Map —
+    * the external row types createDataFrame's encoder expects). */
   private def rawToSpark(base: Schema): Any => Any = base.getType match {
     case Schema.Type.STRING => {
       case null => null
       case u: org.apache.avro.util.Utf8 => u.toString
       case x => x.toString
     }
+    case Schema.Type.BYTES if decimalOf(base).isDefined =>
+      val scale = base.getLogicalType.asInstanceOf[LogicalTypes.Decimal].getScale
+      val f: Any => Any = {
+        case null => null
+        case bb: java.nio.ByteBuffer =>
+          new java.math.BigDecimal(new java.math.BigInteger(bbBytes(bb)), scale)
+        case x => throw new IllegalStateException(s"AvroIo: decimal field held $x")
+      }
+      f
+    case Schema.Type.FIXED if decimalOf(base).isDefined =>
+      val scale = base.getLogicalType.asInstanceOf[LogicalTypes.Decimal].getScale
+      val f: Any => Any = {
+        case null => null
+        case gf: org.apache.avro.generic.GenericFixed =>
+          new java.math.BigDecimal(new java.math.BigInteger(gf.bytes()), scale)
+        case x => throw new IllegalStateException(s"AvroIo: decimal fixed held $x")
+      }
+      f
     case Schema.Type.BYTES => {
       case null => null
-      case bb: java.nio.ByteBuffer =>
-        val a = new Array[Byte](bb.remaining()); bb.duplicate().get(a); a
+      case bb: java.nio.ByteBuffer => bbBytes(bb)
       case x => x
     }
+    case Schema.Type.FIXED => {
+      case null => null
+      case gf: org.apache.avro.generic.GenericFixed => gf.bytes().clone()
+      case x => x
+    }
+    case Schema.Type.ENUM => {
+      case null => null
+      case x => x.toString // GenericEnumSymbol
+    }
+    case Schema.Type.RECORD =>
+      val convs = base.getFields.asScala.map { f =>
+        val (fb, _) = nonNullBranch(f.schema())
+        (f.pos(), rawToSpark(fb))
+      }.toArray
+      val f: Any => Any = {
+        case null => null
+        case rec: GenericRecord =>
+          Row.fromSeq(convs.toIndexedSeq.map { case (i, c) => c(rec.get(i)) })
+        case x => throw new IllegalStateException(s"AvroIo: record field held $x")
+      }
+      f
+    case Schema.Type.ARRAY =>
+      val (et, _) = nonNullBranch(base.getElementType)
+      val conv = rawToSpark(et)
+      val f: Any => Any = {
+        case null => null
+        case l: java.util.Collection[_] =>
+          l.asScala.iterator.map(conv).toSeq
+        case x => throw new IllegalStateException(s"AvroIo: array field held $x")
+      }
+      f
+    case Schema.Type.MAP =>
+      val (vt, _) = nonNullBranch(base.getValueType)
+      val conv = rawToSpark(vt)
+      val f: Any => Any = {
+        case null => null
+        case m: java.util.Map[_, _] =>
+          m.asScala.iterator.map { case (k, v) => (k.toString, conv(v)) }.toMap
+        case x => throw new IllegalStateException(s"AvroIo: map field held $x")
+      }
+      f
     case Schema.Type.LONG if isTimestamp(base) =>
       val toMicros: Long => Long = base.getLogicalType match {
         case _: LogicalTypes.TimestampMillis => ms => Math.multiplyExact(ms, 1000L)
@@ -174,6 +291,93 @@ object AvroIo {
       case i: java.lang.Integer => DateTimeUtils.toJavaDate(i.intValue)
       case x => throw new IllegalStateException(s"AvroIo: date field held $x")
     }
+    case _ => identity[Any]
+  }
+
+  /** Spark external row value -> the Avro datum for one non-null
+    * field type (bytes -> ByteBuffer, timestamp/date -> logical
+    * primitives under BOTH the java.sql and java.time session
+    * surfaces, decimal -> unscaled big-endian bytes at the declared
+    * scale, struct/array/map by recursion). */
+  private def sparkToAvro(dt: DataType, schema: Schema): Any => Any = dt match {
+    case BinaryType => {
+      case null => null
+      case b: Array[Byte] => java.nio.ByteBuffer.wrap(b)
+      case x => x
+    }
+    case TimestampType => {
+      case null => null
+      case ts: java.sql.Timestamp =>
+        java.lang.Long.valueOf(DateTimeUtils.fromJavaTimestamp(ts))
+      case i: java.time.Instant =>
+        java.lang.Long.valueOf(DateTimeUtils.instantToMicros(i))
+      case x => x
+    }
+    case TimestampNTZType => {
+      case null => null
+      case ldt: java.time.LocalDateTime =>
+        java.lang.Long.valueOf(DateTimeUtils.localDateTimeToMicros(ldt))
+      case x => x
+    }
+    case DateType => {
+      case null => null
+      case d: java.sql.Date =>
+        java.lang.Integer.valueOf(DateTimeUtils.fromJavaDate(d))
+      case ld: java.time.LocalDate =>
+        java.lang.Integer.valueOf(DateTimeUtils.localDateToDays(ld))
+      case x => x
+    }
+    case d: DecimalType => {
+      case null => null
+      case bd: java.math.BigDecimal =>
+        // UNNECESSARY: a value at a wider scale than declared must fail
+        // loudly, never round silently into the container
+        java.nio.ByteBuffer.wrap(
+          bd.setScale(d.scale, java.math.RoundingMode.UNNECESSARY)
+            .unscaledValue().toByteArray)
+      case sd: org.apache.spark.sql.types.Decimal =>
+        java.nio.ByteBuffer.wrap(
+          sd.toJavaBigDecimal.setScale(d.scale, java.math.RoundingMode.UNNECESSARY)
+            .unscaledValue().toByteArray)
+      case x => throw new IllegalStateException(s"AvroIo: decimal field held $x")
+    }
+    case st: StructType =>
+      val fieldSchemas = schema.getFields.asScala.map(f => nonNullBranch(f.schema())._1)
+      val convs = st.fields.zip(fieldSchemas).map { case (f, fs) => sparkToAvro(f.dataType, fs) }
+      val fn: Any => Any = {
+        case null => null
+        case r: Row =>
+          val rec = new GenericData.Record(schema)
+          var i = 0
+          while (i < convs.length) { rec.put(i, convs(i)(r.get(i))); i += 1 }
+          rec
+        case x => throw new IllegalStateException(s"AvroIo: struct field held $x")
+      }
+      fn
+    case ArrayType(et, _) =>
+      val (es, _) = nonNullBranch(schema.getElementType)
+      val conv = sparkToAvro(et, es)
+      val fn: Any => Any = {
+        case null => null
+        case s: scala.collection.Seq[_] =>
+          val l = new java.util.ArrayList[Any](s.length)
+          s.foreach(v => l.add(conv(v)))
+          l
+        case x => throw new IllegalStateException(s"AvroIo: array field held $x")
+      }
+      fn
+    case MapType(StringType, vt, _) =>
+      val (vs, _) = nonNullBranch(schema.getValueType)
+      val conv = sparkToAvro(vt, vs)
+      val fn: Any => Any = {
+        case null => null
+        case m: scala.collection.Map[_, _] =>
+          val jm = new java.util.HashMap[String, Any](m.size * 2)
+          m.foreach { case (k, v) => jm.put(k.toString, conv(v)) }
+          jm
+        case x => throw new IllegalStateException(s"AvroIo: map field held $x")
+      }
+      fn
     case _ => identity[Any]
   }
 
@@ -229,39 +433,18 @@ object AvroIo {
             new GenericDatumWriter[GenericRecord](schema))
           if (codecName.contains("deflate")) w.setCodec(CodecFactory.deflateCodec(6))
           w.create(schema, os)
+          // per-field converters built once per task (the java8API
+          // session flag surfaces time values as java.time instead of
+          // java.sql — sparkToAvro accepts both, same payloads)
+          val convs = sparkSchema.fields.zip(schema.getFields.asScala).map {
+            case (f, af) => sparkToAvro(f.dataType, nonNullBranch(af.schema())._1)
+          }
           try {
             rows.foreach { row =>
               val rec = new GenericData.Record(schema)
               var j = 0
-              while (j < sparkSchema.length) {
-                val v = row.get(j) match {
-                  case null => null
-                  case b: Array[Byte] => java.nio.ByteBuffer.wrap(b)
-                  case ts: java.sql.Timestamp =>
-                    java.lang.Long.valueOf(
-                      org.apache.spark.sql.catalyst.util.DateTimeUtils
-                        .fromJavaTimestamp(ts))
-                  case ldt: java.time.LocalDateTime =>
-                    java.lang.Long.valueOf(
-                      org.apache.spark.sql.catalyst.util.DateTimeUtils
-                        .localDateTimeToMicros(ldt))
-                  case d: java.sql.Date =>
-                    java.lang.Integer.valueOf(
-                      org.apache.spark.sql.catalyst.util.DateTimeUtils
-                        .fromJavaDate(d))
-                  // the java8API session flag surfaces time values as
-                  // java.time types instead — same payloads
-                  case i: java.time.Instant =>
-                    java.lang.Long.valueOf(
-                      org.apache.spark.sql.catalyst.util.DateTimeUtils
-                        .instantToMicros(i))
-                  case ld: java.time.LocalDate =>
-                    java.lang.Integer.valueOf(
-                      org.apache.spark.sql.catalyst.util.DateTimeUtils
-                        .localDateToDays(ld))
-                  case x => x
-                }
-                rec.put(j, v)
+              while (j < convs.length) {
+                rec.put(j, convs(j)(row.get(j)))
                 j += 1
               }
               w.append(rec)
@@ -435,10 +618,55 @@ object AvroIo {
   /** Unify one column's Spark types across writer-schema generations:
     * the same lossless lattice as readParquetEvolved (equal types
     * stand; integral widths widen; int+fractional -> double) —
-    * timestamp/string/binary/boolean unify only with themselves.
-    * None = irreconcilable. */
-  private[sources] def unifyAvroTypes(ts: Seq[DataType]): Option[DataType] =
-    PsIO.unifyTypes(ts)
+    * timestamp/string/binary/boolean unify only with themselves —
+    * extended RECURSIVELY into nested types:
+    *   - structs unify field-by-field (names union, first-seen order;
+    *     a field absent from a generation is nullable in the unified
+    *     struct and null-fills — the nested analogue of column
+    *     null-fill, so ADDING a nested field across generations is
+    *     lossless evolution, not a conflict);
+    *   - arrays unify on the element type, maps on the value type;
+    *   - decimals at the SAME scale widen to the max precision
+    *     (values unchanged — precision is a capacity bound).
+    * None = irreconcilable ANYWHERE inside the column; nested
+    * conflicts deliberately bubble up to the COLUMN-level
+    * drop/stringify policy rather than silently amputating a nested
+    * field — the ledger ([[avroSchemaDrift]]) stays truthful at the
+    * granularity users act on. */
+  private[sources] def unifyAvroTypes(ts: Seq[DataType]): Option[DataType] = {
+    val distinct = ts.distinct
+    if (distinct.size == 1) Some(distinct.head)
+    else if (distinct.forall(_.isInstanceOf[StructType])) {
+      val gens = distinct.map(_.asInstanceOf[StructType])
+      val names = scala.collection.mutable.LinkedHashSet[String]()
+      gens.foreach(_.foreach(f => names += f.name))
+      val fields = names.toSeq.map { n =>
+        val perGen = gens.map(_.find(_.name == n))
+        val present = perGen.flatten
+        val nullable = perGen.exists(_.isEmpty) || present.exists(_.nullable)
+        unifyAvroTypes(present.map(_.dataType)).map(StructField(n, _, nullable))
+      }
+      if (fields.exists(_.isEmpty)) None
+      else Some(StructType(fields.map(_.get)))
+    }
+    else if (distinct.forall(_.isInstanceOf[ArrayType])) {
+      val arrs = distinct.map(_.asInstanceOf[ArrayType])
+      unifyAvroTypes(arrs.map(_.elementType))
+        .map(et => ArrayType(et, arrs.exists(_.containsNull)))
+    }
+    else if (distinct.forall { case MapType(StringType, _, _) => true; case _ => false }) {
+      val maps = distinct.map(_.asInstanceOf[MapType])
+      unifyAvroTypes(maps.map(_.valueType))
+        .map(vt => MapType(StringType, vt, maps.exists(_.valueContainsNull)))
+    }
+    else if (distinct.forall(_.isInstanceOf[DecimalType])) {
+      val ds = distinct.map(_.asInstanceOf[DecimalType])
+      if (ds.map(_.scale).distinct.size == 1)
+        Some(DecimalType(ds.map(_.precision).max, ds.head.scale))
+      else None // re-scaling shifts the digits — not a widening
+    }
+    else PsIO.unifyTypes(distinct)
+  }
 
   /** The unified target schema over distinct writer schemas, column
     * order first-seen; a column is nullable if ANY generation declares
@@ -465,7 +693,9 @@ object AvroIo {
 
   /** Lossless widening (or stringification, for conflicted columns
     * under StringifyConflicts) from one writer field's Spark value to
-    * the unified type. */
+    * the unified type — recursive for struct/array/map, where the
+    * unified struct may carry fields this generation lacks
+    * (null-filled) and nested values widen along the same lattice. */
   private def widen(from: DataType, to: DataType): Any => Any =
     (from, to) match {
       case (f, t) if f == t => identity[Any]
@@ -477,6 +707,41 @@ object AvroIo {
         case l: java.lang.Long => java.lang.Double.valueOf(l.doubleValue) }
       case (FloatType, DoubleType) => { case null => null
         case f: java.lang.Float => java.lang.Double.valueOf(f.doubleValue) }
+      case (f: StructType, t: StructType) =>
+        // per-unified-field: source position (or -1 = null-fill) +
+        // recursive widening from the source field's type
+        val convs = t.fields.map { tf =>
+          val i = f.fieldNames.indexOf(tf.name)
+          if (i < 0) (-1, identity[Any] _)
+          else (i, widen(f.fields(i).dataType, tf.dataType))
+        }
+        val fn: Any => Any = {
+          case null => null
+          case r: Row => Row.fromSeq(convs.toIndexedSeq.map {
+            case (i, c) => if (i < 0) null else c(r.get(i)) })
+          case x => throw new IllegalStateException(s"AvroIo: struct value $x")
+        }
+        fn
+      case (f: ArrayType, t: ArrayType) =>
+        val conv = widen(f.elementType, t.elementType)
+        val fn: Any => Any = {
+          case null => null
+          case s: scala.collection.Seq[_] => s.map(conv(_)).toSeq
+          case x => throw new IllegalStateException(s"AvroIo: array value $x")
+        }
+        fn
+      case (f: MapType, t: MapType) =>
+        val conv = widen(f.valueType, t.valueType)
+        val fn: Any => Any = {
+          case null => null
+          case m: scala.collection.Map[_, _] =>
+            m.iterator.map { case (k, v) => (k, conv(v)) }.toMap
+          case x => throw new IllegalStateException(s"AvroIo: map value $x")
+        }
+        fn
+      case (f: DecimalType, t: DecimalType)
+          if f.scale == t.scale && t.precision >= f.precision =>
+        identity[Any] // precision is a capacity bound; the value stands
       case (BinaryType, StringType) => { case null => null
         case b: Array[Byte] => new String(b, java.nio.charset.StandardCharsets.UTF_8) }
       case (_, StringType) => { case null => null; case x => String.valueOf(x) }

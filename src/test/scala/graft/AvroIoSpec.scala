@@ -61,12 +61,121 @@ class AvroIoSpec extends AnyFunSuite with SparkFixture {
   test("unsupported types fail loudly in both directions") {
     val s = spark
     import s.implicits._
+    // Avro maps are keyed by string ONLY — any other key type has no
+    // lossless container representation
     val e = intercept[IllegalArgumentException](
-      AvroIo.toAvro(Seq((1, Seq(1, 2))).toDF("i", "arr"), tmp()))
+      AvroIo.toAvro(Seq((1, Map(1 -> 2))).toDF("i", "m"), tmp()))
     assert(e.getMessage.contains("unsupported Spark type"))
-    intercept[IllegalArgumentException](
-      AvroIo.toAvro(Seq((1, BigDecimal("1.23")))
-        .toDF("i", "dec"), tmp()))
+  }
+
+  test("nested record/array/map/decimal round-trip, including nulls") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, ("alice", 30, ("nyc", 10001)), Seq(Option(1L), None, Option(3L)),
+        Map("a" -> 1.5, "b" -> 2.5), Option(BigDecimal("12345.67"))),
+      (2L, ("bob", 41, ("sfo", 94103)), Seq.empty[Option[Long]],
+        Map.empty[String, Double], None))
+      .toDF("id", "who", "xs", "m", "dec")
+      .withColumn("dec", org.apache.spark.sql.functions.col("dec").cast("decimal(12,2)"))
+    val dir = tmp()
+    AvroIo.toAvro(df, dir)
+    val back = AvroIo.readAvro(s, dir)
+    assert(back.schema("who").dataType == df.schema("who").dataType)
+    assert(back.schema("dec").dataType ==
+      org.apache.spark.sql.types.DecimalType(12, 2))
+    val a = back.orderBy("id").collect()
+    val b = df.orderBy("id").collect()
+    assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq)
+    // null handling: a null struct survives
+    val df2 = s.sql("SELECT 1L AS id, CAST(NULL AS struct<a:int>) AS st")
+    val dir2 = tmp()
+    AvroIo.toAvro(df2, dir2)
+    assert(AvroIo.readAvro(s, dir2).collect().head.isNullAt(1))
+  }
+
+  test("nested evolution: added nested field null-fills, nested int widens") {
+    val s = spark
+    import s.implicits._
+    // gen1: cust = struct<custkey:int, status:string>
+    // gen2: cust = struct<custkey:long, status:string, clerk:string>
+    val g1 = s.sql(
+      "SELECT 1L AS id, named_struct('custkey', 7, 'status', 'A') AS cust")
+      .coalesce(1)
+    val g2 = s.sql(
+      """SELECT 2L AS id,
+                named_struct('custkey', 9L, 'status', 'B', 'clerk', 'c9') AS cust""")
+      .coalesce(1)
+    val d1 = tmp(); val d2 = tmp(); val merged = tmp()
+    AvroIo.toAvro(g1, d1); AvroIo.toAvro(g2, d2)
+    val md = new java.io.File(merged); md.mkdirs()
+    def mv(from: String, as: String): Unit = {
+      val f = new java.io.File(from).listFiles().filter(_.getName.endsWith(".avro")).head
+      Files.copy(f.toPath, new java.io.File(md, as).toPath); ()
+    }
+    mv(d1, "gen1-part.avro"); mv(d2, "gen2-part.avro")
+    val back = AvroIo.readAvro(s, merged)
+    val custT = back.schema("cust").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(custT.fieldNames.toSeq == Seq("custkey", "status", "clerk"))
+    assert(custT("custkey").dataType == org.apache.spark.sql.types.LongType)
+    val rows = back.orderBy("id").collect()
+    assert(rows(0).getStruct(1).getLong(0) == 7L) // int widened to long
+    assert(rows(0).getStruct(1).isNullAt(2))      // clerk null-filled in gen1
+    assert(rows(1).getStruct(1).getString(2) == "c9")
+    // the ledger reports the column as widened, not quarantined
+    val drift = AvroIo.avroSchemaDrift(s, merged)
+      .filter(org.apache.spark.sql.functions.col("column") === "cust").collect()
+    assert(drift.head.getString(1) == "widen")
+  }
+
+  test("nested conflict bubbles to the COLUMN policy: drop or stringify") {
+    val s = spark
+    import s.implicits._
+    val g1 = Seq((1L, Tuple1(7))).toDF("id", "st")   // st.a int
+    val g2 = Seq((2L, Tuple1("x"))).toDF("id", "st") // st.a string
+    val d1 = tmp(); val d2 = tmp(); val merged = tmp()
+    AvroIo.toAvro(g1, d1); AvroIo.toAvro(g2, d2)
+    val md = new java.io.File(merged); md.mkdirs()
+    def mv(from: String, as: String): Unit = {
+      val f = new java.io.File(from).listFiles().filter(_.getName.endsWith(".avro")).head
+      Files.copy(f.toPath, new java.io.File(md, as).toPath); ()
+    }
+    mv(d1, "gen1-part.avro"); mv(d2, "gen2-part.avro")
+    val dropped = AvroIo.readAvro(s, merged)
+    assert(dropped.schema.fieldNames.toSeq == Seq("id"))
+    val stringified = AvroIo.readAvro(s, merged,
+      conflicts = graft.sources.PsIO.StringifyConflicts)
+    assert(stringified.schema("st").dataType ==
+      org.apache.spark.sql.types.StringType)
+    assert(stringified.orderBy("id").collect().map(_.getString(1)).forall(_ != null))
+    val drift = AvroIo.avroSchemaDrift(s, merged)
+      .filter(org.apache.spark.sql.functions.col("column") === "st").collect()
+    assert(drift.head.getString(1) == "quarantine")
+  }
+
+  test("enums read as their symbol strings") {
+    val s = spark
+    val schema = new org.apache.avro.Schema.Parser().parse(
+      """{"type":"record","name":"r","fields":[
+           {"name":"id","type":"long"},
+           {"name":"color","type":{"type":"enum","name":"Color",
+             "symbols":["RED","GREEN","BLUE"]}}]}""")
+    val dir = tmp()
+    val d = new java.io.File(dir); d.mkdirs()
+    val w = new org.apache.avro.file.DataFileWriter[org.apache.avro.generic.GenericRecord](
+      new org.apache.avro.generic.GenericDatumWriter[org.apache.avro.generic.GenericRecord](schema))
+    w.create(schema, new java.io.File(d, "part-00000.avro"))
+    Seq(1L -> "RED", 2L -> "BLUE").foreach { case (id, c) =>
+      val rec = new org.apache.avro.generic.GenericData.Record(schema)
+      rec.put(0, id)
+      rec.put(1, new org.apache.avro.generic.GenericData.EnumSymbol(
+        schema.getField("color").schema(), c))
+      w.append(rec)
+    }
+    w.close()
+    val back = AvroIo.readAvro(s, dir)
+    assert(back.schema("color").dataType == org.apache.spark.sql.types.StringType)
+    assert(back.orderBy("id").collect().map(_.getString(1)).toSeq == Seq("RED", "BLUE"))
   }
 
   test("date round-trips as the date logical int") {
