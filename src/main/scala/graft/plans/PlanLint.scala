@@ -126,6 +126,19 @@ object PlanLint {
                 "row groups — the predicate shape (computed expression / UDF) " +
                 "defeats row-group pruning; if the predicate can be restated " +
                 "on raw columns, do so or pre-materialize the column")
+          // the Avro DSv2 scan (graft.sources.AvroDataSource): the
+          // container format has no row-group stats, so ANY filter
+          // above it decodes every record — by design, but a fact
+          // worth eyeballing when the predicate is selective (promote
+          // the landing zone to parquet first, then filter)
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+              if b.scan.description().startsWith("GraftAvroScan")
+                && !isNullGuardOnly(f.condition) =>
+            findings += Finding("avro-filter-full-decode", "info",
+              "filter over an Avro container scan decodes every record " +
+                "(the format carries no row-group stats); for selective " +
+                "predicates, promote the landing zone to parquet and " +
+                "filter there")
           case _ => ()
         }
       case _ => ()

@@ -776,9 +776,104 @@ object AvroIo {
   }
 
   /** One read task's byte range: decode the blocks whose sync marker
-    * falls in [start, end). */
-  private final case class AvroSplit(path: String, len: Long,
-                                     start: Long, end: Long, schemaIdx: Int)
+    * falls in [start, end). Doubles as the DSv2 InputPartition — the
+    * driver plans these, one task decodes each. */
+  private[sources] final case class AvroSplit(path: String, len: Long,
+      start: Long, end: Long, schemaIdx: Int)
+    extends org.apache.spark.sql.connector.read.InputPartition
+
+  /** The driver-side read plan for a directory: per-file (path, len,
+    * writer-schema index), the distinct writer-schema JSONs in
+    * first-seen file order, and the unified Spark schema. Built from
+    * the cached header scan — re-planning an unchanged directory is
+    * metadata-only. */
+  private[sources] final case class AvroReadPlan(
+      files: Seq[(String, Long, Int)], genJsons: Array[String],
+      unified: StructType)
+
+  private[sources] def planRead(spark: SparkSession, path: String,
+                                conflicts: PsIO.ConflictPolicy): AvroReadPlan = {
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val fs = new HPath(path).getFileSystem(conf.value)
+    val files = listDataFiles(fs, path)
+    require(files.nonEmpty, s"AvroIo.readAvro: no files under $path")
+    val headers = fileHeadersCached(spark, path, files, conf)
+    // distinct writer schemas in first-seen file order (usually a
+    // handful of generations, however many files carry them)
+    val schemaJsons = scala.collection.mutable.LinkedHashMap[String, Int]()
+    val withIdx = headers.map { case (f, len, sj) =>
+      (f, len, schemaJsons.getOrElseUpdate(sj, schemaJsons.size))
+    }
+    val genSchemas = schemaJsons.keys.toArray
+    val unified = unifiedSchema(
+      genSchemas.toSeq.map(sj => toSparkSchema(new Schema.Parser().parse(sj))),
+      conflicts)
+    require(unified.nonEmpty,
+      s"AvroIo.readAvro: no unifiable columns across the writer schemas under $path")
+    AvroReadPlan(withIdx, genSchemas, unified)
+  }
+
+  private[sources] def computeSplits(plan: AvroReadPlan,
+                                     splitBytes: Long): Array[AvroSplit] =
+    plan.files.flatMap { case (f, len, si) =>
+      (0L until len by splitBytes.max(1L)).map(s =>
+        AvroSplit(f, len, s, math.min(s + splitBytes.max(1L), len), si))
+    }.toArray
+
+  /** Decode one split: sync to the first block marker at/after
+    * `sp.start`, stop at the first past `sp.end`, project each record
+    * onto `target` (null-fill absent columns, widen along the lattice,
+    * and — when the writer carries MORE fields than `target` — resolve
+    * against a restricted reader schema so Avro SKIPS the unprojected
+    * bytes). Self-closing on exhaustion; `close()` for early
+    * termination (limits, task kill). */
+  private[sources] final class SplitRows(
+      sp: AvroSplit, writerJson: String, target: StructType,
+      conf: org.apache.spark.util.SerializableConfiguration)
+      extends Iterator[Row] with AutoCloseable {
+    private val writer = new Schema.Parser().parse(writerJson)
+    private val keep = target.fieldNames.toSet
+    private val projected = !writer.getFields.asScala.forall(f => keep(f.name))
+    private val readerSchema = if (projected) projectionSchema(writer, keep) else writer
+    private val proj = projector(readerSchema, target)
+    private val n = target.length
+    private val r: DataFileReader[GenericRecord] = {
+      val in = new HPath(sp.path).getFileSystem(conf.value).open(new HPath(sp.path))
+      // ctor header-parse or sync-scan throws (truncated/corrupt
+      // file) happen BEFORE any completion hook exists — close the
+      // stream on that path or retries leak descriptors
+      try {
+        val rr = new DataFileReader[GenericRecord](
+          new HadoopSeekableInput(in, sp.len),
+          if (projected) new GenericDatumReader[GenericRecord](writer, readerSchema)
+          else new GenericDatumReader[GenericRecord](writer))
+        // the header ends with the 16-byte sync marker, so sync(0)
+        // lands on the first block; later starts land on the first
+        // block boundary in-range
+        rr.sync(sp.start)
+        rr
+      } catch { case e: Throwable => in.close(); throw e }
+    }
+    private var closed = false
+    def close(): Unit = if (!closed) { r.close(); closed = true }
+    def hasNext: Boolean = {
+      val h = !closed && r.hasNext && !r.pastSync(sp.end)
+      if (!h) close()
+      h
+    }
+    def next(): Row = {
+      val rec = r.next()
+      val vals = new Array[Any](n)
+      var j = 0
+      while (j < n) {
+        val (src, conv) = proj(j)
+        vals(j) = if (src < 0) null else conv(rec.get(src))
+        j += 1
+      }
+      Row.fromSeq(vals.toIndexedSeq)
+    }
+  }
 
   /** Read a file or directory of Avro container files as a DataFrame,
     * resolving mixed writer-schema generations (the format's normal
@@ -803,94 +898,36 @@ object AvroIo {
     * resolving decoder then SKIPS every other field's bytes — the
     * row-format analogue of parquet's ReadSchema pruning (decode CPU
     * is the Avro scan bottleneck; a 2-column projection of a 50-column
-    * dump must not pay 50 decodes). Unknown names fail loudly. */
+    * dump must not pay 50 decodes). Unknown names fail loudly. The
+    * same pruning happens WITHOUT the parameter through Catalyst: the
+    * scan is a DataSourceV2 relation ([[AvroDataSource]]), so a
+    * `.select(...)` above it prunes the reader schema natively and the
+    * plan shows a named `GraftAvroScan` with its projected columns —
+    * PlanLint-visible, per-scan input metrics, maxPartitionBytes
+    * respected. */
   def readAvro(spark: SparkSession, path: String,
                conflicts: PsIO.ConflictPolicy = PsIO.DropConflicts,
                maxSplitBytes: Option[Long] = None,
                columns: Option[Seq[String]] = None): DataFrame = {
-    val conf = new org.apache.spark.util.SerializableConfiguration(
-      spark.sparkContext.hadoopConfiguration)
-    val fs = new HPath(path).getFileSystem(conf.value)
-    val files = listDataFiles(fs, path)
-    require(files.nonEmpty, s"AvroIo.readAvro: no files under $path")
-    val headers = fileHeadersCached(spark, path, files, conf)
-    // distinct writer schemas in first-seen file order (usually a
-    // handful of generations, however many files carry them)
-    val schemaJsons = scala.collection.mutable.LinkedHashMap[String, Int]()
-    val fileSchemaIdx = headers.map { case (_, _, sj) =>
-      schemaJsons.getOrElseUpdate(sj, schemaJsons.size)
-    }
-    val genSchemas = schemaJsons.keys.toSeq
-    val unified = unifiedSchema(
-      genSchemas.map(sj => toSparkSchema(new Schema.Parser().parse(sj))), conflicts)
-    val target = columns match {
-      case None => unified
+    var reader = spark.read.format(classOf[AvroDataSource].getName)
+      .option(AvroDataSource.ConflictsOption, conflicts match {
+        case PsIO.DropConflicts      => "drop"
+        case PsIO.StringifyConflicts => "stringify"
+      })
+    maxSplitBytes.foreach(b => reader = reader.option(AvroDataSource.SplitOption, b))
+    val df = reader.load(path)
+    columns match {
+      case None => df
       case Some(cs) =>
         require(cs.nonEmpty && cs.distinct.size == cs.size,
           "AvroIo.readAvro: empty or duplicate projection columns")
-        StructType(cs.map(c => unified.find(_.name == c).getOrElse(
+        val unified = df.schema
+        cs.foreach(c => if (!unified.fieldNames.contains(c))
           throw new IllegalArgumentException(
             s"AvroIo.readAvro: column $c not in the unified schema " +
-              s"(${unified.fieldNames.mkString(", ")})"))))
+              s"(${unified.fieldNames.mkString(", ")})"))
+        df.select(cs.map(org.apache.spark.sql.functions.col): _*)
     }
-    require(target.nonEmpty,
-      s"AvroIo.readAvro: no unifiable columns across the writer schemas under $path")
-    val splitBytes = maxSplitBytes.getOrElse(
-      spark.sessionState.conf.filesMaxPartitionBytes).max(1L)
-    val splits = headers.zip(fileSchemaIdx).flatMap { case ((f, len, _), si) =>
-      (0L until len by splitBytes).map(s =>
-        AvroSplit(f, len, s, math.min(s + splitBytes, len), si))
-    }
-    val genJsonArr = genSchemas.toArray
-    val n = target.length
-    val rdd = spark.sparkContext
-      .parallelize(splits, splits.size)
-      .flatMap { sp =>
-        val writer = new Schema.Parser().parse(genJsonArr(sp.schemaIdx))
-        val keep = target.fieldNames.toSet
-        val projected = !writer.getFields.asScala.forall(f => keep(f.name))
-        val reader = if (projected) projectionSchema(writer, keep) else writer
-        val proj = projector(reader, target)
-        val in = new HPath(sp.path).getFileSystem(conf.value).open(new HPath(sp.path))
-        // ctor header-parse or sync-scan throws (truncated/corrupt
-        // file) happen BEFORE the completion listener below exists —
-        // close the stream on that path or retries leak descriptors
-        val r =
-          try {
-            val rr = new DataFileReader[GenericRecord](
-              new HadoopSeekableInput(in, sp.len),
-              if (projected) new GenericDatumReader[GenericRecord](writer, reader)
-              else new GenericDatumReader[GenericRecord](writer))
-            // the header ends with the 16-byte sync marker, so sync(0)
-            // lands on the first block; later starts land on the first
-            // block boundary in-range
-            rr.sync(sp.start)
-            rr
-          } catch { case e: Throwable => in.close(); throw e }
-        // a task that dies mid-file must not leak the stream
-        Option(org.apache.spark.TaskContext.get())
-          .foreach(_.addTaskCompletionListener[Unit](_ => r.close()))
-        new Iterator[Row] {
-          private var closed = false
-          def hasNext: Boolean = {
-            val h = !closed && r.hasNext && !r.pastSync(sp.end)
-            if (!h && !closed) { r.close(); closed = true }
-            h
-          }
-          def next(): Row = {
-            val rec = r.next()
-            val vals = new Array[Any](n)
-            var j = 0
-            while (j < n) {
-              val (src, conv) = proj(j)
-              vals(j) = if (src < 0) null else conv(rec.get(src))
-              j += 1
-            }
-            Row.fromSeq(vals.toIndexedSeq)
-          }
-        }
-      }
-    spark.createDataFrame(rdd, target)
   }
 
   /** The drift ledger for an Avro directory: one row per column seen in

@@ -153,6 +153,30 @@ class AvroIoSpec extends AnyFunSuite with SparkFixture {
     assert(drift.head.getString(1) == "quarantine")
   }
 
+  test("DSv2 face: named scan in the plan, select prunes the reader schema") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp()
+    AvroIo.toAvro(Seq((1, 10L, "a"), (2, 20L, "b")).toDF("i", "l", "t"), dir)
+    val df = AvroIo.readAvro(s, dir).select("l")
+    val scans = graft.plans.PlanLint.physicalPlan(df).collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    assert(scans.size == 1)
+    assert(scans.head.scan.description().contains("GraftAvroScan"))
+    // Catalyst pruned the reader schema down to the selected column —
+    // the decoder skips the other fields' bytes with NO explicit
+    // columns parameter
+    assert(scans.head.scan.readSchema().fieldNames.toSeq == Seq("l"))
+    assert(df.as[Long].collect().sorted.toSeq == Seq(10L, 20L))
+    // PlanLint sees a filter above the Avro scan as a full decode
+    val lint = graft.plans.PlanLint.lint(
+      AvroIo.readAvro(s, dir).filter($"l" > 15L))
+    assert(lint.exists(_.rule == "avro-filter-full-decode"))
+    // a count-only scan still decodes each record exactly once
+    assert(AvroIo.readAvro(s, dir).count() == 2L)
+  }
+
   test("enums read as their symbol strings") {
     val s = spark
     val schema = new org.apache.avro.Schema.Parser().parse(
