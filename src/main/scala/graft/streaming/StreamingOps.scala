@@ -129,6 +129,69 @@ object StreamingOps {
       .start()
   }
 
+  /** [[streamingDriftMonitor]] with a LIVE reference: instead of
+    * pinning the reference at start(), the monitor reads the
+    * reference-counts artifact at `refCountsPath` — a parquet relation
+    * of (column, bin, ref_n), i.e.
+    * [[graft.operators.Drift.referenceCounts]] written to disk — and
+    * re-collects it whenever the artifact's file-list signature
+    * (name, length, mtime) changes. The check runs per micro-batch and
+    * is driver-side METADATA only (one listStatus; no job unless the
+    * artifact actually changed), so month-over-month re-baselining is
+    * a plain artifact overwrite: the running monitor scores the next
+    * closed window against the new reference with no restart and no
+    * state loss.
+    *
+    * Bin labels (`binExprs`) stay PINNED for the monitor's lifetime —
+    * refresh the COUNTS under the same stored spec
+    * ([[graft.operators.Drift.saveSpec]]/loadSpec); changing the bins
+    * changes scoring semantics and the streaming aggregation's state
+    * layout, which deserves a deliberate restart. */
+  def streamingDriftMonitorRefreshing(
+      cur: DataFrame,
+      binExprs: Seq[(String, Column)],
+      refCountsPath: String,
+      checkpoint: String,
+      windowLen: String = "1 hour",
+      lateness: String = "10 minutes",
+      tsCol: String = "ts",
+      psiBpThreshold: Long = 1000L)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    // (signature, collected cells); micro-batches run sequentially per
+    // query but may migrate threads, hence volatile
+    @volatile var cached: (String, graft.operators.Drift.RefCells) = null
+    streamingDriftBins(cur, binExprs, windowLen, lateness, tsCol)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val b = batch.persist()
+        try {
+          if (!b.isEmpty) {
+            val s = batch.sparkSession
+            val sig = refArtifactSignature(s, refCountsPath)
+            if (cached == null || cached._1 != sig)
+              cached = (sig, graft.operators.Drift.collectReference(
+                s.read.parquet(refCountsPath)))
+            sink(graft.operators.Drift.scoreWindowsWith(
+              b, cached._2, "window_start", psiBpThreshold), id)
+          }
+        } finally { b.unpersist(); () }
+      }
+      .start()
+  }
+
+  /** The (name, length, mtime) file-list signature of a reference
+    * artifact directory — same staleness contract as every mtime-based
+    * metadata cache (AvroIo headers, parquet FileIndex). */
+  private def refArtifactSignature(
+      s: org.apache.spark.sql.SparkSession, path: String): String = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.listStatus(p).filter(_.isFile)
+      .map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+      .sorted.mkString("\n")
+  }
+
   /** Sliding-window variant (windowLen every slide). */
   def slidingAgg(
       events: DataFrame,

@@ -968,6 +968,67 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("streamingDriftMonitorRefreshing: a reference swap applies at the next batch") {
+    import graft.operators.Drift
+    val s = spark
+    import s.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft-ck-driftref").toString
+    val refPath = s"$root/refcounts"
+    val dims: Seq[Drift.Dim] = Seq(Drift.NumericDim("value", Seq(5.0)))
+    // bins pinned against ref1; ref2 swaps the counts under the SAME bins
+    val ref1 = Seq(ev(101, 0, 1, 1.0), ev(102, 1, 1, 2.0), ev(103, 2, 1, 9.0)).toDF()
+    val ref2 = Seq(ev(201, 0, 1, 8.0), ev(202, 1, 1, 9.0), ev(203, 2, 1, 1.0)).toDF()
+    val exprs = Drift.cellExprs(ref1, dims)
+    def writeRef(df: org.apache.spark.sql.DataFrame): Unit =
+      Drift.referenceCounts(df, exprs)
+        .coalesce(1).write.mode("overwrite").parquet(refPath)
+    writeRef(ref1)
+    type Key = (Long, String)
+    type Val = (Long, Long, Long, Long) // (ref_n, cur_n, bins, psi_bp)
+    val got = scala.collection.concurrent.TrieMap.empty[Key, Val]
+    val input = MemoryStream[Event]
+    val q = StreamingOps.streamingDriftMonitorRefreshing(
+        input.toDF(), exprs, refPath, s"$root/ck", "1 hour", "0 seconds") {
+      (scored, _) =>
+        scored.collect().foreach { r =>
+          got.put((r.getTimestamp(0).getTime, r.getString(1)),
+            (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))): Unit
+        }
+    }
+    val winA = Seq(ev(1, 0, 1, 1.0), ev(2, 10, 1, 9.0))   // hour-0 window
+    val winB = Seq(ev(3, 725, 1, 2.0), ev(4, 750, 1, 3.0)) // hour-12 window
+    try {
+      input.addData(winA); q.processAllAvailable()
+      // two flush batches: watermark advances at batch END, emission
+      // happens in the batch AFTER it passes the window end
+      input.addData(Seq(ev(5, 300, 99))); q.processAllAvailable()
+      input.addData(Seq(ev(6, 301, 99))); q.processAllAvailable()
+      assert(got.keySet.map(_._1) == Set(ts(0).getTime), s"pre-swap: ${got.keySet}")
+      writeRef(ref2) // month-over-month re-baseline: plain overwrite, no restart
+      input.addData(winB); q.processAllAvailable()
+      input.addData(Seq(ev(7, 1200, 99))); q.processAllAvailable()
+      input.addData(Seq(ev(8, 1201, 99))); q.processAllAvailable()
+    } finally q.stop()
+    // the differential: each window matches the BATCH report against
+    // the reference that was live when it closed
+    def batchScored(events: Seq[Event], ref: org.apache.spark.sql.DataFrame): Map[Key, Val] =
+      Drift.scoreWindows(
+          StreamingOps.streamingDriftBins(events.toDF(), exprs, "1 hour", "0 seconds"),
+          Drift.referenceCounts(ref, exprs)).collect()
+        .map(r => (r.getTimestamp(0).getTime, r.getString(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    val expectA = batchScored(winA, ref1)((ts(0).getTime, "value"))
+    val expectB = batchScored(winB, ref2)((ts(720).getTime, "value"))
+    assert(got((ts(0).getTime, "value")) == expectA,
+      s"pre-swap window: ${got((ts(0).getTime, "value"))} != $expectA")
+    assert(got((ts(720).getTime, "value")) == expectB,
+      s"post-swap window: ${got((ts(720).getTime, "value"))} != $expectB")
+    // and the swap actually changed the scoring (ref1 vs ref2 disagree)
+    assert(batchScored(winB, ref1)((ts(720).getTime, "value")) != expectB,
+      "test fixture too weak: both references score winB identically")
+  }
+
   test("streamingDelta restart from checkpoint keeps the CDC fingerprints") {
     val s = spark
     import s.implicits._
