@@ -2830,6 +2830,31 @@ object ExtQueries {
         .orderBy("column")
     }),
 
+    // the avro→lake PROMOTION — the step every Kafka-dump pipeline
+    // ships: mixed-generation Avro landing zone → lattice-unified read
+    // → contract gate (Checks.flag: n_regionkey required; the gen2
+    // writer dropped it, so that generation quarantines with its rule)
+    // → hive-partitioned parquet lake by region + quarantine parquet.
+    // The row relation is read BACK from disk with provenance: part_reg
+    // is extracted from each lake row's physical file path, so a green
+    // compare proves the hive layout physically exists and every row
+    // landed in the directory its region names — the oracle replays
+    // generation/gate/partition semantics from the nation table
+    "q_pipeline_lake" -> ((s, dir) => {
+      avroLakeFixture(s, dir)
+      val lake = PsIO.withProvenance(s.read.parquet(AvroLakeDir))
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"),
+          col("n_len"), lit("lake").as("disposition"),
+          lit(null).cast("string").as("reason"),
+          regexp_extract(col("source_file"), "n_regionkey=([0-9]+)", 1)
+            .cast("int").as("part_reg"))
+      val quarantined = s.read.parquet(AvroLakeQuarantineDir)
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"),
+          col("n_len"), lit("quarantine").as("disposition"), col("reason"),
+          lit(null).cast("int").as("part_reg"))
+      lake.unionByName(quarantined).orderBy("n_nationkey")
+    }),
+
     // per-column aggregate sugar: df("c").sum() scalars, re-lifted into a
     // frame so the oracle can compare them
     "q_colagg" -> ((s, dir) => {
@@ -2879,6 +2904,8 @@ object ExtQueries {
   val AvroTsFixtureDir = "/root/repo/target/tmp/events_avro_ts"
   val PruneFixtureDir = "/root/repo/target/tmp/documents_sorted"
   val DriftSpecDir = "/root/repo/target/tmp/drift_spec"
+  val AvroLakeDir = "/root/repo/target/tmp/nation_avro_lake"
+  val AvroLakeQuarantineDir = "/root/repo/target/tmp/nation_avro_lake_q"
 
   /** Write-once-per-process fixture creation, keyed by (kind, dir):
     * the ingestion queries must time the READ — re-writing the fixture
@@ -3008,6 +3035,34 @@ object ExtQueries {
       }
       move(t1, "gen1-part-00000.avro")
       move(t2, "gen2-part-00000.avro")
+    })
+  /** The avro→lake PROMOTION (q_pipeline_lake): run the whole landing-
+    * zone step once per process — read the mixed-generation Avro dump
+    * through the lattice, gate rows on the lake contract (n_regionkey
+    * required: the gen2 writer dropped it, so that whole generation
+    * quarantines pending backfill — exactly what q_avro_drift_report's
+    * null_fill row predicts), promote passing rows into a hive-
+    * partitioned parquet lake keyed by region, and park failing rows in
+    * a quarantine relation that carries the violated rule. The query
+    * body then reads BOTH outputs back from disk, so the oracle compare
+    * validates the physical layout, not just the plan. */
+  private def avroLakeFixture(s: SparkSession, dir: String): Unit =
+    fixturesDone.computeIfAbsent(s"avrolake:$dir", _ => {
+      avroEvolvedFixture(s, dir)
+      val landed = graft.sources.AvroIo.readAvro(s, AvroEvolvedFixtureDir)
+      val flagged = graft.operators.Checks.flag(landed,
+        Seq(graft.operators.Checks.NotNull("n_regionkey")))
+      PsIO.writePartitioned(
+        flagged.filter(!col("row_bad"))
+          .select("n_nationkey", "n_name", "n_regionkey", "n_len"),
+        AvroLakeDir, Seq("n_regionkey"))
+      flagged.filter(col("row_bad"))
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"),
+          col("n_len"),
+          when(col("not_null_n_regionkey_bad"), "not_null_n_regionkey")
+            .as("reason"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(AvroLakeQuarantineDir)
     })
   private def avroNestedFixture(s: SparkSession, dir: String): Unit =
     fixturesDone.computeIfAbsent(s"avronested:$dir", _ =>
@@ -4978,6 +5033,24 @@ object ExtQueries {
            ('n_regionkey', 'null_fill', 'int', 'int,-'))
            t("column", action, unified_type, types_seen)
          ORDER BY 1""",
+    // the avro→lake promotion replayed end-to-end from the nation
+    // table: generation split (gen1 < 12 keeps n_regionkey; gen2 drops
+    // it and adds n_len), the NotNull contract gate, and — because
+    // part_reg is extracted from each lake row's PHYSICAL directory —
+    // the hive partition every promoted row must have landed in
+    "q_pipeline_lake" ->
+      """WITH unified AS (
+           SELECT n_nationkey::BIGINT AS n_nationkey, n_name,
+                  CASE WHEN n_nationkey < 12 THEN n_regionkey END AS n_regionkey,
+                  CASE WHEN n_nationkey >= 12 THEN len(n_name)::INTEGER END AS n_len
+           FROM nation)
+         SELECT n_nationkey, n_name, n_regionkey, n_len,
+                CASE WHEN n_regionkey IS NOT NULL
+                     THEN 'lake' ELSE 'quarantine' END AS disposition,
+                CASE WHEN n_regionkey IS NULL
+                     THEN 'not_null_n_regionkey' END AS reason,
+                n_regionkey AS part_reg
+         FROM unified ORDER BY n_nationkey""",
     // the npy fixture is written ordered by n_nationkey, so idx is the
     // rank of n_nationkey; DuckDB rebuilds (idx, pos, value) relationally
     "q_read_npy" ->
