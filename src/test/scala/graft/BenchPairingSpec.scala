@@ -17,6 +17,23 @@ class BenchPairingSpec extends AnyFunSuite {
     assert(!Bench.baselineMatchesRun(p, None, "/data/sf0.01"))
   }
 
+  test("retime fork adjudication: suspect direction, min-keep, diverged flag") {
+    // normal case: fresh JVM faster than the inflated sweep — trusted as-is
+    assert(!Bench.forkSuspect(insweep = 16.5, forkMedian = 5.8))
+    // equality and mild slowdowns are fine (fork startup jitter)
+    assert(!Bench.forkSuspect(2.9, 2.9))
+    assert(!Bench.forkSuspect(2.9, 8.0))
+    // the r15 hole: 41.2 s fork for a 2.9 s in-sweep query is noise
+    assert(Bench.forkSuspect(2.9, 41.2))
+    // retry agreed with the sweep -> keep the sane fork, unmarked
+    assert(Bench.adjudicateRetime(2.9, Seq(41.2, 3.4)) == ((3.4, false)))
+    // retry ALSO diverged -> keep the best number but flag it
+    val (kept, diverged) = Bench.adjudicateRetime(2.9, Seq(41.2, 38.0))
+    assert(kept == 38.0 && diverged)
+    // single trusted fork passes through
+    assert(Bench.adjudicateRetime(16.5, Seq(5.8)) == ((5.8, false)))
+  }
+
   test("explicit sf override beats the filename convention") {
     val odd = "/tmp/my_numbers.csv" // no baseline_<sf>.csv token
     assert(!Bench.baselineMatchesRun(odd, None, "/root/testdata/sf1"))
