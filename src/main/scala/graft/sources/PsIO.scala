@@ -527,7 +527,12 @@ object PsIO {
     *   max_v < lo, min_v > hi, or a provably all-null chunk
     *   (null_count == num_values) — with missing/omitted stats
     * conservatively NOT pruning (a reader without stats must scan);
-    * `cols_checked` counts the stats rows consulted. This relation is
+    * `cols_checked` counts the PREDICATE-column stats rows consulted —
+    * a row group none of whose predicate columns appear in the stats
+    * relation (schema drift: the file predates the column) still emits,
+    * as `pruned = false, cols_checked = 0`, because a reader must scan
+    * it; it must never silently vanish from the decision relation. This
+    * relation is
     * what writeSorted / writeZOrdered / compaction decisions consume:
     * run it against the CURRENT layout and a candidate predicate set
     * before rewriting anything. Pure metadata arithmetic over the
@@ -547,11 +552,16 @@ object PsIO {
     val excl = bounds.foldLeft(lit(false)) { case (acc, (c, lo, hi)) =>
       when(col("column") === lit(c), exclFor(lo, hi)).otherwise(acc)
     }
-    stats.filter(col("column").isin(bounds.map(_._1): _*))
-      .withColumn("excluded", excl)
+    // aggregate over ALL stats rows (not a predicate-column filter) so
+    // every (file, row_group) in the stats relation appears in the
+    // decision — non-predicate rows contribute pruned=false and don't
+    // count as checked
+    val relevant = col("column").isin(bounds.map(_._1): _*)
+    stats
+      .withColumn("excluded", when(relevant, excl).otherwise(lit(false)))
       .groupBy("file", "row_group")
       .agg(max(col("excluded")).as("pruned"),
-        count(lit(1)).as("cols_checked"))
+        sum(when(relevant, 1L).otherwise(0L)).as("cols_checked"))
   }
 
   /** Per-file rollup of [[parquetPruneSim]]: (file, row_groups,

@@ -105,4 +105,24 @@ class ParquetStatsSpec extends AnyFunSuite with SparkFixture {
     assert(!PsIO.parquetPruneSim(noStats, Seq(("v", 0L, 10L)))
       .collect().head.getBoolean(2))
   }
+
+  test("pruneSim: a group with NO predicate-column stats emits unpruned, 0 checked") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft-prune-m").toString + "/t"
+    Seq((1L, 5L), (2L, 6L)).toDF("k", "v")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    // schema drift: the predicate column exists in the table but this
+    // file's stats relation carries only k — the group must still
+    // appear (a reader has to scan it), never silently vanish
+    val kOnly = PsIO.parquetStats(s, dir, Seq("k"))
+    val sim = PsIO.parquetPruneSim(kOnly, Seq(("v", 0L, 10L))).collect()
+    assert(sim.length == 1)
+    assert(!sim.head.getBoolean(2) && sim.head.getLong(3) == 0L)
+    // mixed: k checked and pruning, v absent -> pruned via k, 1 checked
+    val mixed = PsIO.parquetPruneSim(kOnly,
+      Seq(("k", 100L, 200L), ("v", 0L, 10L))).collect()
+    assert(mixed.length == 1)
+    assert(mixed.head.getBoolean(2) && mixed.head.getLong(3) == 1L)
+  }
 }
