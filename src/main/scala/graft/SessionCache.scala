@@ -14,8 +14,11 @@ import org.apache.spark.sql.SparkSession
   * id) with the volatile state in `sig` keeps the map bounded at one
   * entry per key — a monitoring session re-reading a growing directory
   * every cycle replaces its entry instead of accumulating one per
-  * observed file-list. Concurrent first computes may race; the compute
-  * must be idempotent (last write wins).
+  * observed file-list. Computes are per-key atomic (ConcurrentHashMap
+  * compute): concurrent callers of the same (session, key) never run
+  * the thunk twice for one sig, so a racing duplicate can neither
+  * double-persist nor see its value released under it. The thunk must
+  * not re-enter the cache for the same key (per-key lock).
   */
 final class SessionCache[V] {
   private val m = java.util.Collections.synchronizedMap(
@@ -35,11 +38,23 @@ final class SessionCache[V] {
     val cur = per.get(key)
     if (cur != null && cur._1 == sig) cur._2
     else {
-      val v = compute
-      val prev = per.put(key, (sig, v))
-      if (prev != null && !prev._2.asInstanceOf[AnyRef].eq(v.asInstanceOf[AnyRef]))
-        onReplace(prev._2)
-      v
+      // per-key atomic refresh: a thread that loses the race finds the
+      // winner's same-sig entry inside compute() and keeps it — the old
+      // get-then-put here let a duplicate compute fire onReplace on a
+      // value the other thread had just been handed
+      var replaced: Option[V] = None
+      val entry = per.compute(key, (_, prev) =>
+        if (prev != null && prev._1 == sig) prev
+        else {
+          val v = compute
+          if (prev != null &&
+              !prev._2.asInstanceOf[AnyRef].eq(v.asInstanceOf[AnyRef]))
+            replaced = Some(prev._2)
+          (sig, v)
+        })
+      // release outside the bin lock: unpersist can block on executors
+      replaced.foreach(onReplace)
+      entry._2
     }
   }
 }

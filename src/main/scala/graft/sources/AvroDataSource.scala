@@ -82,11 +82,13 @@ private[sources] final class AvroScanBuilder(
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = full
   // Catalyst hands back the pruned subset of the full schema (possibly
-  // reordered); empty pruning (count-only scans) keeps one narrowest
-  // column so each record still decodes exactly once
+  // reordered); empty pruning (count-only scans) keeps the narrowest
+  // column (by Catalyst defaultSize — an int/long over a nested payload
+  // blob) so each record still decodes exactly once at minimal cost
   override def pruneColumns(requiredSchema: StructType): Unit =
     required =
-      if (requiredSchema.isEmpty && full.nonEmpty) StructType(Seq(full.head))
+      if (requiredSchema.isEmpty && full.nonEmpty)
+        StructType(Seq(full.fields.minBy(_.dataType.defaultSize)))
       else requiredSchema
   override def build(): Scan =
     new AvroScan(path, conflicts, maxSplitBytes, required)

@@ -54,8 +54,16 @@ object AvroIo {
   /** The Avro schema for one non-null Spark type. Nested records get
     * path-derived names (`row_cust`, `row_cust_address`) — Avro
     * requires every record schema in a file to carry a distinct full
-    * name unless structurally identical. */
-  private def toAvroType(dt: DataType, path: String): Schema = dt match {
+    * name unless structurally identical. Because '_' both joins path
+    * segments and may appear IN a column name, two legal Spark schemas
+    * can derive the same path (`a.b` vs a sibling column `a_b`): `used`
+    * tracks the names taken during one schema build and deduplicates
+    * with a deterministic `__2`/`__3` suffix (field order is the
+    * schema's, so the same DataFrame schema always names identically —
+    * and readers never depend on record names; the lattice unifies by
+    * FIELD name). */
+  private def toAvroType(dt: DataType, path: String,
+      used: scala.collection.mutable.Set[String]): Schema = dt match {
     case BooleanType => Schema.create(Schema.Type.BOOLEAN)
     case IntegerType => Schema.create(Schema.Type.INT)
     case LongType    => Schema.create(Schema.Type.LONG)
@@ -77,15 +85,15 @@ object AvroIo {
     case d: DecimalType =>
       LogicalTypes.decimal(d.precision, d.scale)
         .addToSchema(Schema.create(Schema.Type.BYTES))
-    case st: StructType => toAvroSchema(st, path)
+    case st: StructType => toAvroSchema(st, path, used)
     case ArrayType(et, containsNull) =>
-      val e = toAvroType(et, path + "_item")
+      val e = toAvroType(et, path + "_item", used)
       Schema.createArray(
         if (containsNull)
           Schema.createUnion(List(Schema.create(Schema.Type.NULL), e).asJava)
         else e)
     case MapType(StringType, vt, valueContainsNull) =>
-      val v = toAvroType(vt, path + "_value")
+      val v = toAvroType(vt, path + "_value", used)
       Schema.createMap(
         if (valueContainsNull)
           Schema.createUnion(List(Schema.create(Schema.Type.NULL), v).asJava)
@@ -94,16 +102,25 @@ object AvroIo {
       s"AvroIo: unsupported Spark type $other at $path; $SupportedMsg")
   }
 
-  private[sources] def toAvroSchema(schema: StructType, name: String): Schema = {
+  private[sources] def toAvroSchema(schema: StructType, name: String,
+      used: scala.collection.mutable.Set[String] =
+        scala.collection.mutable.Set.empty): Schema = {
+    val recName =
+      if (used.add(name)) name
+      else {
+        var i = 2
+        while (!used.add(s"${name}__$i")) i += 1
+        s"${name}__$i"
+      }
     val fields = schema.fields.map { f =>
-      val base = toAvroType(f.dataType, s"${name}_${f.name}")
+      val base = toAvroType(f.dataType, s"${recName}_${f.name}", used)
       val s =
         if (f.nullable)
           Schema.createUnion(List(Schema.create(Schema.Type.NULL), base).asJava)
         else base
       new Schema.Field(f.name, s, null, null)
     }
-    Schema.createRecord(name, null, "graft", false, fields.toList.asJava)
+    Schema.createRecord(recName, null, "graft", false, fields.toList.asJava)
   }
 
   /** Unwrap `[null, T]` unions; reject anything wider. */
@@ -243,10 +260,19 @@ object AvroIo {
         val (fb, _) = nonNullBranch(f.schema())
         (f.pos(), rawToSpark(fb))
       }.toArray
+      // pre-sized while-loop fill (as SplitRows.next): no per-record
+      // copy of the converter array in the decode hot path
       val f: Any => Any = {
         case null => null
         case rec: GenericRecord =>
-          Row.fromSeq(convs.toIndexedSeq.map { case (i, c) => c(rec.get(i)) })
+          val vals = new Array[Any](convs.length)
+          var j = 0
+          while (j < convs.length) {
+            val (i, c) = convs(j)
+            vals(j) = c(rec.get(i))
+            j += 1
+          }
+          Row.fromSeq(vals.toIndexedSeq)
         case x => throw new IllegalStateException(s"AvroIo: record field held $x")
       }
       f
@@ -517,7 +543,21 @@ object AvroIo {
       // on successful commit it was renamed away (nothing to delete),
       // and on a commit failure it is deliberately KEPT — the
       // exception above names it as the surviving new generation.
-      if (!jobCompleted) fs0.delete(tmp, true): Unit
+      //
+      // The delete must OUTLAST the stragglers: job abort kills the
+      // surviving tasks asynchronously, and a kill landing between a
+      // task's create() and its demise can resurrect the tmp dir
+      // (Hadoop create() re-makes parent dirs) AFTER a single delete
+      // here — so re-sweep until the dir stays gone, bounded, and warn
+      // with the path if it somehow survives.
+      if (!jobCompleted) {
+        var tries = 0
+        while (tries < 10 && { fs0.delete(tmp, true); Thread.sleep(200)
+          fs0.exists(tmp) }) tries += 1
+        if (fs0.exists(tmp)) System.err.println(
+          s"[AvroIo] WARNING: failed write's temp dir $tmp kept being " +
+            "recreated by straggler tasks — delete it manually")
+      }
     }
   }
 
@@ -717,8 +757,15 @@ object AvroIo {
         }
         val fn: Any => Any = {
           case null => null
-          case r: Row => Row.fromSeq(convs.toIndexedSeq.map {
-            case (i, c) => if (i < 0) null else c(r.get(i)) })
+          case r: Row =>
+            val vals = new Array[Any](convs.length)
+            var j = 0
+            while (j < convs.length) {
+              val (i, c) = convs(j)
+              vals(j) = if (i < 0) null else c(r.get(i))
+              j += 1
+            }
+            Row.fromSeq(vals.toIndexedSeq)
           case x => throw new IllegalStateException(s"AvroIo: struct value $x")
         }
         fn

@@ -134,13 +134,16 @@ object StreamingOps {
     * reference-counts artifact at `refCountsPath` — a parquet relation
     * of (column, bin, ref_n), i.e.
     * [[graft.operators.Drift.referenceCounts]] written to disk — and
-    * re-collects it whenever the artifact's file-list signature
-    * (name, length, mtime) changes. The check runs per micro-batch and
-    * is driver-side METADATA only (one listStatus; no job unless the
-    * artifact actually changed), so month-over-month re-baselining is
-    * a plain artifact overwrite: the running monitor scores the next
-    * closed window against the new reference with no restart and no
-    * state loss.
+    * re-collects it whenever the artifact's recursive data-file
+    * signature (path, length, mtime) changes. The check runs per
+    * micro-batch and is driver-side METADATA only (one recursive
+    * listing; no job unless the artifact actually changed), and it
+    * only trusts a COMMITTED artifact (_SUCCESS present) — a batch
+    * racing an overwrite keeps the cached reference and picks up the
+    * swap next batch. So month-over-month re-baselining is a plain
+    * artifact overwrite: the running monitor scores the next closed
+    * window against the new reference with no restart and no state
+    * loss.
     *
     * Bin labels (`binExprs`) stay PINNED for the monitor's lifetime —
     * refresh the COUNTS under the same stored spec
@@ -168,10 +171,24 @@ object StreamingOps {
         try {
           if (!b.isEmpty) {
             val s = batch.sparkSession
-            val sig = refArtifactSignature(s, refCountsPath)
-            if (cached == null || cached._1 != sig)
-              cached = (sig, graft.operators.Drift.collectReference(
-                s.read.parquet(refCountsPath)))
+            // crash-safe refresh: a mode("overwrite") rewrite of the
+            // artifact is delete-then-write, so a racing batch can
+            // observe a missing dir or a half-committed file set. The
+            // probe returns None for anything not provably complete
+            // (no dir, no _SUCCESS marker yet, no data files) and the
+            // batch KEEPS the cached reference — the swap lands at the
+            // next batch after the writer commits. Only a first batch
+            // with no reference ever collected fails, loudly.
+            refArtifactSignature(s, refCountsPath) match {
+              case Some(sig) if cached == null || cached._1 != sig =>
+                cached = (sig, graft.operators.Drift.collectReference(
+                  s.read.parquet(refCountsPath)))
+              case _ =>
+                require(cached != null,
+                  s"streamingDriftMonitorRefreshing: no committed reference" +
+                    s" artifact at $refCountsPath (dir missing, no _SUCCESS," +
+                    s" or empty) and none cached yet")
+            }
             sink(graft.operators.Drift.scoreWindowsWith(
               b, cached._2, "window_start", psiBpThreshold), id)
           }
@@ -180,17 +197,39 @@ object StreamingOps {
       .start()
   }
 
-  /** The (name, length, mtime) file-list signature of a reference
-    * artifact directory — same staleness contract as every mtime-based
-    * metadata cache (AvroIo headers, parquet FileIndex). */
+  /** The recursive (relative path, length, mtime) data-file signature
+    * of a committed reference artifact, or None while the artifact is
+    * absent or mid-rewrite — same staleness contract as every
+    * mtime-based metadata cache (AvroIo headers, parquet FileIndex).
+    * Recursive so a partitionBy layout still signatures; gated on the
+    * _SUCCESS marker Spark's committer writes LAST, so a half-written
+    * file set is never collected (write the artifact with the default
+    * committer; with _SUCCESS markers disabled every batch would
+    * re-collect nothing and the monitor fails its first batch loudly). */
   private def refArtifactSignature(
-      s: org.apache.spark.sql.SparkSession, path: String): String = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    fs.listStatus(p).filter(_.isFile)
-      .map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
-      .sorted.mkString("\n")
-  }
+      s: org.apache.spark.sql.SparkSession, path: String): Option[String] =
+    try {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) return None
+      val it = fs.listFiles(p, /* recursive = */ true)
+      var success = false
+      val entries = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (it.hasNext) {
+        val st = it.next()
+        val name = st.getPath.getName
+        if (name == "_SUCCESS") success = true
+        else if (!name.startsWith("_") && !name.startsWith(".")) {
+          val rel = st.getPath.toString.stripPrefix(fs.makeQualified(p).toString)
+          entries += s"$rel:${st.getLen}:${st.getModificationTime}"
+        }
+      }
+      if (success && entries.nonEmpty) Some(entries.sorted.mkString("\n"))
+      else None
+    } catch {
+      // dir deleted between exists() and the listing (overwrite race)
+      case _: java.io.FileNotFoundException => None
+    }
 
   /** Sliding-window variant (windowLen every slide). */
   def slidingAgg(

@@ -173,8 +173,34 @@ class AvroIoSpec extends AnyFunSuite with SparkFixture {
     val lint = graft.plans.PlanLint.lint(
       AvroIo.readAvro(s, dir).filter($"l" > 15L))
     assert(lint.exists(_.rule == "avro-filter-full-decode"))
-    // a count-only scan still decodes each record exactly once
+    // a count-only scan still decodes each record exactly once — and
+    // decodes the NARROWEST column (int over long over string), not
+    // whatever happens to be first in the schema
+    val countPlan = graft.plans.PlanLint.physicalPlan(
+      AvroIo.readAvro(s, dir).groupBy().count()).collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    assert(countPlan.head.scan.readSchema().fieldNames.toSeq == Seq("i"))
     assert(AvroIo.readAvro(s, dir).count() == 2L)
+  }
+
+  test("path-colliding nested record names uniquify: a.b vs sibling a_b") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.{col, struct}
+    val dir = tmp()
+    // both derive the record path row_a_b: the nested struct under `a`
+    // and the sibling column `a_b` — without deduplication Avro sees
+    // one full name with two structures and the write is broken
+    val df = Seq((1, 2L, "x"), (3, 4L, "y")).toDF("k", "bv", "sv")
+      .select(col("k"),
+        struct(struct(col("bv").as("x")).as("b")).as("a"),
+        struct(col("sv").as("y")).as("a_b"))
+    AvroIo.toAvro(df, dir)
+    val back = AvroIo.readAvro(s, dir)
+      .select(col("k"), col("a.b.x").as("x"), col("a_b.y").as("y"))
+      .orderBy("k").collect().map(r => (r.getInt(0), r.getLong(1), r.getString(2)))
+    assert(back.toSeq == Seq((1, 2L, "x"), (3, 4L, "y")))
   }
 
   test("enums read as their symbol strings") {

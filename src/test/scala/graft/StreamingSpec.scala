@@ -1029,6 +1029,70 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
       "test fixture too weak: both references score winB identically")
   }
 
+  test("streamingDriftMonitorRefreshing: an uncommitted rewrite keeps the cached reference") {
+    import graft.operators.Drift
+    val s = spark
+    import s.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft-ck-driftmid").toString
+    val refPath = s"$root/refcounts"
+    val dims: Seq[Drift.Dim] = Seq(Drift.NumericDim("value", Seq(5.0)))
+    val ref1 = Seq(ev(101, 0, 1, 1.0), ev(102, 1, 1, 2.0), ev(103, 2, 1, 9.0)).toDF()
+    val exprs = Drift.cellExprs(ref1, dims)
+    Drift.referenceCounts(ref1, exprs)
+      .coalesce(1).write.mode("overwrite").parquet(refPath)
+    val got = scala.collection.concurrent.TrieMap.empty[(Long, String), Long]
+    val input = MemoryStream[Event]
+    val q = StreamingOps.streamingDriftMonitorRefreshing(
+        input.toDF(), exprs, refPath, s"$root/ck", "1 hour", "0 seconds") {
+      (scored, _) =>
+        scored.collect().foreach { r =>
+          got.put((r.getTimestamp(0).getTime, r.getString(1)), r.getLong(2)): Unit
+        }
+    }
+    try {
+      // close window 0 so the reference gets collected and cached
+      input.addData(Seq(ev(1, 0, 1, 1.0))); q.processAllAvailable()
+      input.addData(Seq(ev(10, 300, 99))); q.processAllAvailable()
+      input.addData(Seq(ev(11, 301, 99))); q.processAllAvailable()
+      // simulate a rewrite in flight: the committer's _SUCCESS marker is
+      // gone — the probe must treat the artifact as uncommitted and the
+      // monitor must keep scoring against the cached reference, not die
+      val succ = new java.io.File(refPath, "_SUCCESS")
+      assert(succ.exists(), "fixture expectation: Spark wrote _SUCCESS")
+      assert(succ.delete())
+      input.addData(Seq(ev(2, 725, 1, 2.0))); q.processAllAvailable()
+      input.addData(Seq(ev(3, 1200, 99))); q.processAllAvailable()
+      input.addData(Seq(ev(4, 1201, 99))); q.processAllAvailable()
+    } finally q.stop()
+    // both windows scored with ref1's counts (ref_n = 3) and no crash
+    assert(got((ts(0).getTime, "value")) == 3L)
+    assert(got((ts(720).getTime, "value")) == 3L)
+  }
+
+  test("streamingDriftMonitorRefreshing: no committed reference at first batch fails loudly") {
+    import graft.operators.Drift
+    val s = spark
+    import s.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft-ck-driftnone").toString
+    val dims: Seq[Drift.Dim] = Seq(Drift.NumericDim("value", Seq(5.0)))
+    val refDf = Seq(ev(101, 0, 1, 1.0)).toDF()
+    val exprs = Drift.cellExprs(refDf, dims)
+    val input = MemoryStream[Event]
+    val q = StreamingOps.streamingDriftMonitorRefreshing(
+        input.toDF(), exprs, s"$root/never_written", s"$root/ck",
+        "1 hour", "0 seconds") { (_, _) => () }
+    try {
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        input.addData(Seq(ev(1, 0, 1, 1.0))); q.processAllAvailable()
+        input.addData(Seq(ev(2, 300, 99))); q.processAllAvailable()
+        input.addData(Seq(ev(3, 301, 99))); q.processAllAvailable()
+      }
+      assert(e.getMessage.contains("no committed reference"))
+    } finally q.stop()
+  }
+
   test("streamingDelta restart from checkpoint keeps the CDC fingerprints") {
     val s = spark
     import s.implicits._
