@@ -14,16 +14,25 @@ import org.apache.spark.sql.SparkSession
   * id) with the volatile state in `sig` keeps the map bounded at one
   * entry per key — a monitoring session re-reading a growing directory
   * every cycle replaces its entry instead of accumulating one per
-  * observed file-list. Computes are per-key atomic (ConcurrentHashMap
-  * compute): concurrent callers of the same (session, key) never run
-  * the thunk twice for one sig, so a racing duplicate can neither
-  * double-persist nor see its value released under it. The thunk must
-  * not re-enter the cache for the same key (per-key lock).
+  * observed file-list. Computes are per-key atomic: each key owns a
+  * holder and the thunk runs under THAT holder's monitor only — never
+  * a ConcurrentHashMap bin lock — so concurrent callers of the same
+  * (session, key) never run the thunk twice for one sig (a racing
+  * duplicate can neither double-persist nor see its value released
+  * under it), thunks that launch Spark jobs block only same-key
+  * callers, and a thunk may freely re-enter the cache for OTHER keys.
+  * (Same-key re-entry from the same thread is reentrant and would
+  * recompute — a caller bug either way.)
   */
 final class SessionCache[V] {
+  private final class Holder {
+    var sig: String = null
+    var has: Boolean = false
+    var v: V = null.asInstanceOf[V]
+  }
   private val m = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[SparkSession,
-      java.util.concurrent.ConcurrentHashMap[String, (String, V)]]())
+      java.util.concurrent.ConcurrentHashMap[String, Holder]]())
 
   /** `onReplace` runs on a superseded value when a changed `sig` evicts
     * it — the release hook for values holding external resources (a
@@ -34,27 +43,25 @@ final class SessionCache[V] {
   def getOrCompute(s: SparkSession, key: String, sig: String = "",
                    onReplace: V => Unit = (_: V) => ())(compute: => V): V = {
     val per = m.computeIfAbsent(s,
-      _ => new java.util.concurrent.ConcurrentHashMap[String, (String, V)]())
-    val cur = per.get(key)
-    if (cur != null && cur._1 == sig) cur._2
-    else {
-      // per-key atomic refresh: a thread that loses the race finds the
-      // winner's same-sig entry inside compute() and keeps it — the old
-      // get-then-put here let a duplicate compute fire onReplace on a
-      // value the other thread had just been handed
-      var replaced: Option[V] = None
-      val entry = per.compute(key, (_, prev) =>
-        if (prev != null && prev._1 == sig) prev
-        else {
-          val v = compute
-          if (prev != null &&
-              !prev._2.asInstanceOf[AnyRef].eq(v.asInstanceOf[AnyRef]))
-            replaced = Some(prev._2)
-          (sig, v)
-        })
-      // release outside the bin lock: unpersist can block on executors
-      replaced.foreach(onReplace)
-      entry._2
+      _ => new java.util.concurrent.ConcurrentHashMap[String, Holder]())
+    // the CHM op only allocates the empty holder (cheap, lock-brief);
+    // the thunk runs under the holder's own monitor, where a thread
+    // that lost the race finds the winner's same-sig value and keeps
+    // it — the old get-then-put let a duplicate compute fire onReplace
+    // on a value the other thread had just been handed
+    val h = per.computeIfAbsent(key, _ => new Holder)
+    h.synchronized {
+      if (h.has && h.sig == sig) h.v
+      else {
+        val v = compute
+        val old = if (h.has) Some(h.v) else None
+        h.sig = sig
+        h.v = v
+        h.has = true
+        old.filter(o => !o.asInstanceOf[AnyRef].eq(v.asInstanceOf[AnyRef]))
+          .foreach(onReplace)
+        v
+      }
     }
   }
 }

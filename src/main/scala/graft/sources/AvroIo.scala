@@ -150,6 +150,13 @@ object AvroIo {
     base.getType == Schema.Type.INT &&
       base.getLogicalType.isInstanceOf[LogicalTypes.Date]
 
+  /** Wrap a freshly built values array as a Row WITHOUT copying —
+    * `Row.fromSeq` re-copies via `values.toArray`, which matters per
+    * decoded record on the scan hot path. The array never escapes its
+    * builder, so handing ownership to GenericRow is safe. */
+  private def rowOf(vals: Array[Any]): Row =
+    new org.apache.spark.sql.catalyst.expressions.GenericRow(vals)
+
   private def decimalOf(base: Schema): Option[DecimalType] =
     base.getLogicalType match {
       case d: LogicalTypes.Decimal =>
@@ -272,7 +279,7 @@ object AvroIo {
             vals(j) = c(rec.get(i))
             j += 1
           }
-          Row.fromSeq(vals.toIndexedSeq)
+          rowOf(vals)
         case x => throw new IllegalStateException(s"AvroIo: record field held $x")
       }
       f
@@ -442,8 +449,9 @@ object AvroIo {
     fs0.mkdirs(tmp)
     val tmpStr = tmp.toString
     var jobCompleted = false
+    var jobStarted = false
     try {
-      df.rdd.mapPartitionsWithIndex { (i, rows) =>
+      val writeRdd = df.rdd.mapPartitionsWithIndex { (i, rows) =>
         if (rows.isEmpty) Iterator.empty
         else {
           val schema = new Schema.Parser().parse(avroJson)
@@ -493,7 +501,9 @@ object AvroIo {
           }
           Iterator.single(1)
         }
-      }.count(): Unit
+      }
+      jobStarted = true
+      writeRdd.count(): Unit
       jobCompleted = true
       // sweep orphaned attempt files BEFORE the commit rename: a task
       // that died between create and task-commit (or a speculative
@@ -548,15 +558,27 @@ object AvroIo {
       // surviving tasks asynchronously, and a kill landing between a
       // task's create() and its demise can resurrect the tmp dir
       // (Hadoop create() re-makes parent dirs) AFTER a single delete
-      // here — so re-sweep until the dir stays gone, bounded, and warn
-      // with the path if it somehow survives.
+      // here — so when the job RAN, re-sweep until the dir stays gone
+      // for one grace interval, bounded, and warn with the path if it
+      // somehow survives. A failure before the job launched has no
+      // stragglers: single delete, no sleeping. The sleep preserves
+      // the interrupt flag and stops sweeping (job-cancel interrupts
+      // this thread; the original exception must not be replaced).
       if (!jobCompleted) {
-        var tries = 0
-        while (tries < 10 && { fs0.delete(tmp, true); Thread.sleep(200)
-          fs0.exists(tmp) }) tries += 1
-        if (fs0.exists(tmp)) System.err.println(
-          s"[AvroIo] WARNING: failed write's temp dir $tmp kept being " +
-            "recreated by straggler tasks — delete it manually")
+        fs0.delete(tmp, true): Unit
+        if (jobStarted) {
+          var tries = 0
+          var interrupted = false
+          while (!interrupted && tries < 10 && {
+            try Thread.sleep(200)
+            catch { case _: InterruptedException =>
+              Thread.currentThread().interrupt(); interrupted = true }
+            !interrupted && fs0.exists(tmp)
+          }) { fs0.delete(tmp, true): Unit; tries += 1 }
+          if (fs0.exists(tmp)) System.err.println(
+            s"[AvroIo] WARNING: failed write's temp dir $tmp kept being " +
+              "recreated by straggler tasks — delete it manually")
+        }
       }
     }
   }
@@ -765,7 +787,7 @@ object AvroIo {
               vals(j) = if (i < 0) null else c(r.get(i))
               j += 1
             }
-            Row.fromSeq(vals.toIndexedSeq)
+            rowOf(vals)
           case x => throw new IllegalStateException(s"AvroIo: struct value $x")
         }
         fn
@@ -918,7 +940,7 @@ object AvroIo {
         vals(j) = if (src < 0) null else conv(rec.get(src))
         j += 1
       }
-      Row.fromSeq(vals.toIndexedSeq)
+      rowOf(vals)
     }
   }
 

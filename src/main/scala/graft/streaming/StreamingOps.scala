@@ -181,8 +181,15 @@ object StreamingOps {
             // with no reference ever collected fails, loudly.
             refArtifactSignature(s, refCountsPath) match {
               case Some(sig) if cached == null || cached._1 != sig =>
-                cached = (sig, graft.operators.Drift.collectReference(
+                // the probe-then-read is itself a TOCTOU window: an
+                // overwrite landing between them makes the read throw —
+                // fall back to the cached reference (the swap lands
+                // next batch) unless there is nothing to fall back to
+                try cached = (sig, graft.operators.Drift.collectReference(
                   s.read.parquet(refCountsPath)))
+                catch { case scala.util.control.NonFatal(e) =>
+                  if (cached == null) throw e
+                }
               case _ =>
                 require(cached != null,
                   s"streamingDriftMonitorRefreshing: no committed reference" +
@@ -212,17 +219,22 @@ object StreamingOps {
       val p = new org.apache.hadoop.fs.Path(path)
       val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
       if (!fs.exists(p)) return None
+      val base = fs.makeQualified(p).toString
       val it = fs.listFiles(p, /* recursive = */ true)
       var success = false
       val entries = scala.collection.mutable.ArrayBuffer.empty[String]
       while (it.hasNext) {
         val st = it.next()
-        val name = st.getPath.getName
-        if (name == "_SUCCESS") success = true
-        else if (!name.startsWith("_") && !name.startsWith(".")) {
-          val rel = st.getPath.toString.stripPrefix(fs.makeQualified(p).toString)
+        val rel = st.getPath.toString.stripPrefix(base).stripPrefix("/")
+        // EVERY relative component must be visible: data files nested
+        // under a hidden dir (_temporary/, .spark-staging-*/) are a
+        // write in flight, not committed output — and only the
+        // TOP-LEVEL _SUCCESS marks the commit (a nested one belongs to
+        // some other job's tree)
+        if (rel == "_SUCCESS") success = true
+        else if (!rel.split('/')
+            .exists(c => c.startsWith("_") || c.startsWith(".")))
           entries += s"$rel:${st.getLen}:${st.getModificationTime}"
-        }
       }
       if (success && entries.nonEmpty) Some(entries.sorted.mkString("\n"))
       else None
