@@ -2855,6 +2855,16 @@ object ExtQueries {
       lake.unionByName(quarantined).orderBy("n_nationkey")
     }),
 
+    // landing-zone maintenance: compact the multi-file Avro fixture by
+    // BLOCK COPY (appendAllFrom — zero record decodes; generations
+    // never mix in a bin) and read the compacted directory back; the
+    // oracle recomputes the relation from the parquet nation table, so
+    // a green compare proves compaction moved every row byte-faithfully
+    "q_avro_compact" -> ((s, dir) => {
+      avroCompactFixture(s, dir)
+      graft.sources.AvroIo.readAvro(s, AvroCompactDir).orderBy("n_nationkey")
+    }),
+
     // per-column aggregate sugar: df("c").sum() scalars, re-lifted into a
     // frame so the oracle can compare them
     "q_colagg" -> ((s, dir) => {
@@ -2906,6 +2916,7 @@ object ExtQueries {
   val DriftSpecDir = "/root/repo/target/tmp/drift_spec"
   val AvroLakeDir = "/root/repo/target/tmp/nation_avro_lake"
   val AvroLakeQuarantineDir = "/root/repo/target/tmp/nation_avro_lake_q"
+  val AvroCompactDir = "/root/repo/target/tmp/nation_avro_compact"
 
   /** Write-once-per-process fixture creation, keyed by (kind, dir):
     * the ingestion queries must time the READ — re-writing the fixture
@@ -3063,6 +3074,14 @@ object ExtQueries {
             .as("reason"))
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .parquet(AvroLakeQuarantineDir)
+    })
+  /** Compaction of the 3-file nation Avro fixture into one file by
+    * block copy (q_avro_compact reads the result back). */
+  private def avroCompactFixture(s: SparkSession, dir: String): Unit =
+    fixturesDone.computeIfAbsent(s"avrocompact:$dir", _ => {
+      avroFixture(s, dir)
+      graft.sources.AvroIo.compactAvro(
+        s, AvroFixtureDir, AvroCompactDir): Unit
     })
   private def avroNestedFixture(s: SparkSession, dir: String): Unit =
     fixturesDone.computeIfAbsent(s"avronested:$dir", _ =>
@@ -4978,6 +4997,11 @@ object ExtQueries {
     // the Avro fixture is nation round-tripped through the container
     // codec; the supported type lattice preserves these exactly
     "q_read_avro" ->
+      """SELECT n_nationkey, n_name, n_regionkey
+         FROM nation ORDER BY n_nationkey""",
+    // compaction is byte-faithful block copy, so the compacted
+    // directory reads back as exactly the original relation
+    "q_avro_compact" ->
       """SELECT n_nationkey, n_name, n_regionkey
          FROM nation ORDER BY n_nationkey""",
     // the evolved fixture splits nation at key 12: gen1 carries

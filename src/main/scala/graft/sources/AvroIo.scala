@@ -505,80 +505,219 @@ object AvroIo {
       jobStarted = true
       writeRdd.count(): Unit
       jobCompleted = true
-      // sweep orphaned attempt files BEFORE the commit rename: a task
-      // that died between create and task-commit (or a speculative
-      // loser killed mid-write) leaves a dot-prefixed `.attempt-*`
-      // behind, and the directory rename below would otherwise carry
-      // it into committed output — invisible to readAvro's filter but
-      // accumulating disk across retried/speculative writes
-      fs0.listStatus(tmp).foreach { st =>
-        if (st.getPath.getName.startsWith(".")) fs0.delete(st.getPath, false): Unit
-      }
-      // job-commit: move the previous generation ASIDE (rename, never
-      // delete-first), swap the new one in, then drop the old copy —
-      // every failure path leaves a complete generation on disk. The
-      // brief target-absent window between the two renames makes a
-      // concurrent reader fail loudly ("no files"), never read a mix.
-      val oldAside = new HPath(target.getParent,
-        s"._old_${target.getName}_${java.util.UUID.randomUUID().toString.take(8)}")
-      val hadOld = fs0.exists(target)
-      if (hadOld) require(fs0.rename(target, oldAside),
-        s"AvroIo.toAvro: could not move the previous generation aside " +
-          s"($target -> $oldAside); target left untouched, new data kept at $tmp")
-      if (!fs0.rename(tmp, target)) {
-        val tail =
-          if (!hadOld) "; no previous generation existed (target is absent)"
-          else if (fs0.rename(oldAside, target)) "; previous generation restored"
-          else s"; previous generation preserved at $oldAside"
-        throw new IllegalStateException(
-          s"AvroIo.toAvro: job-commit rename $tmp -> $target failed; " +
-            s"new generation kept at $tmp" + tail)
-      }
-      if (hadOld) {
-        // the commit has already succeeded: a cleanup failure must not
-        // report the write as failed, but a silently surviving hidden
-        // ._old_ copy per rewrite is an unbounded disk leak — warn with
-        // the path so an operator can reclaim it
-        val cleaned =
-          try fs0.delete(oldAside, true)
-          catch { case _: java.io.IOException => false }
-        if (!cleaned) System.err.println(
-          s"[AvroIo] WARNING: committed $target but could not remove the " +
-            s"superseded generation at $oldAside — delete it manually")
-      }
+      jobCommitSwap(fs0, tmp, target, "AvroIo.toAvro")
     } finally {
-      // only a FAILED JOB's partial task output is garbage worth
-      // cleaning (the previous generation still sits at target,
-      // untouched). After the job completes, tmp is a complete copy:
-      // on successful commit it was renamed away (nothing to delete),
-      // and on a commit failure it is deliberately KEPT — the
-      // exception above names it as the surviving new generation.
-      //
-      // The delete must OUTLAST the stragglers: job abort kills the
-      // surviving tasks asynchronously, and a kill landing between a
-      // task's create() and its demise can resurrect the tmp dir
-      // (Hadoop create() re-makes parent dirs) AFTER a single delete
-      // here — so when the job RAN, re-sweep until the dir stays gone
-      // for one grace interval, bounded, and warn with the path if it
-      // somehow survives. A failure before the job launched has no
-      // stragglers: single delete, no sleeping. The sleep preserves
-      // the interrupt flag and stops sweeping (job-cancel interrupts
-      // this thread; the original exception must not be replaced).
-      if (!jobCompleted) {
-        fs0.delete(tmp, true): Unit
-        if (jobStarted) {
-          var tries = 0
-          var interrupted = false
-          while (!interrupted && tries < 10 && {
-            try Thread.sleep(200)
-            catch { case _: InterruptedException =>
-              Thread.currentThread().interrupt(); interrupted = true }
-            !interrupted && fs0.exists(tmp)
-          }) { fs0.delete(tmp, true): Unit; tries += 1 }
-          if (fs0.exists(tmp)) System.err.println(
-            s"[AvroIo] WARNING: failed write's temp dir $tmp kept being " +
-              "recreated by straggler tasks — delete it manually")
+      cleanupFailedWrite(fs0, tmp, jobCompleted, jobStarted)
+    }
+  }
+
+  /** Job-commit by directory swap (shared by [[toAvro]] and
+    * [[compactAvro]]):
+    *  - sweep orphaned dot-prefixed attempt files BEFORE the rename (a
+    *    task that died between create and task-commit, or a
+    *    speculative loser killed mid-write, leaves `.attempt-*`
+    *    behind; the directory rename would otherwise carry it into
+    *    committed output — invisible to readAvro's filter but
+    *    accumulating disk across retried/speculative writes);
+    *  - move the previous generation ASIDE (rename, never
+    *    delete-first), swap the new one in, then drop the old copy —
+    *    every failure path leaves a complete generation on disk. The
+    *    brief target-absent window between the two renames makes a
+    *    concurrent reader fail loudly ("no files"), never read a mix;
+    *  - after a successful swap, a cleanup failure must not report the
+    *    write as failed, but a silently surviving hidden ._old_ copy
+    *    per rewrite is an unbounded disk leak — warn with the path so
+    *    an operator can reclaim it. */
+  private def jobCommitSwap(
+      fs0: FileSystem, tmp: HPath, target: HPath, op: String): Unit = {
+    fs0.listStatus(tmp).foreach { st =>
+      if (st.getPath.getName.startsWith(".")) fs0.delete(st.getPath, false): Unit
+    }
+    val oldAside = new HPath(target.getParent,
+      s"._old_${target.getName}_${java.util.UUID.randomUUID().toString.take(8)}")
+    val hadOld = fs0.exists(target)
+    if (hadOld) require(fs0.rename(target, oldAside),
+      s"$op: could not move the previous generation aside " +
+        s"($target -> $oldAside); target left untouched, new data kept at $tmp")
+    if (!fs0.rename(tmp, target)) {
+      val tail =
+        if (!hadOld) "; no previous generation existed (target is absent)"
+        else if (fs0.rename(oldAside, target)) "; previous generation restored"
+        else s"; previous generation preserved at $oldAside"
+      throw new IllegalStateException(
+        s"$op: job-commit rename $tmp -> $target failed; " +
+          s"new generation kept at $tmp" + tail)
+    }
+    if (hadOld) {
+      val cleaned =
+        try fs0.delete(oldAside, true)
+        catch { case _: java.io.IOException => false }
+      if (!cleaned) System.err.println(
+        s"[AvroIo] WARNING: committed $target but could not remove the " +
+          s"superseded generation at $oldAside — delete it manually")
+    }
+  }
+
+  /** Compact a directory of small Avro container files into
+    * ~`targetBytes`-sized files WITHOUT decoding a single record — the
+    * landing-zone maintenance face. A Kafka-connect sink drops
+    * thousands of MB-scale files per day, and every scan of a 10k-file
+    * directory pays 10k header reads plus a task-scheduling floor
+    * until someone compacts it; rewriting through decode/encode (read
+    * → write) would burn the decode CPU this module documents as the
+    * scan bottleneck just to move bytes.
+    *
+    * Files are grouped by (writer schema, codec) — mixed generations
+    * stay SEPARATE output files, so [[readAvro]]'s lattice and
+    * [[avroSchemaDrift]]'s ledger see exactly the same generations
+    * before and after — then bin-packed in name order to
+    * `targetBytes`. One task per output file block-copies its inputs
+    * via the container API's `appendAllFrom` (sync markers re-anchored
+    * by the writer; compressed blocks pass through, recompress=false).
+    * Same two-phase commit as [[toAvro]]. Returns the output file
+    * count. */
+  def compactAvro(spark: SparkSession, inDir: String, outDir: String,
+                  targetBytes: Long = 128L << 20): Int = {
+    require(inDir != outDir, "compactAvro cannot rewrite a directory onto itself")
+    require(targetBytes > 0, s"compactAvro: non-positive targetBytes $targetBytes")
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val inPath = new HPath(inDir)
+    val fs0 = inPath.getFileSystem(conf.value)
+    val files = listDataFiles(fs0, inDir)
+    require(files.nonEmpty, s"compactAvro: no Avro data files under $inDir")
+    // distributed header sweep for (schema, codec) per file; schema
+    // JSONs dedupe map-side exactly as fileHeaders does
+    val parts = math.min(files.size, 256).max(1)
+    val perPart = spark.sparkContext.parallelize(
+        files.map { case (f, l, _) => (f, l) }, parts).mapPartitions { it =>
+      val distinct = scala.collection.mutable.HashMap[String, String]()
+      val rows = it.map { case (f, len) =>
+        val in = new HPath(f).getFileSystem(conf.value).open(new HPath(f))
+        val st =
+          try new DataFileStream[GenericRecord](in, new GenericDatumReader[GenericRecord]())
+          catch { case e: Throwable => in.close(); throw e }
+        val (json, codec) =
+          try (st.getSchema.toString,
+            Option(st.getMetaString("avro.codec")).getOrElse("null"))
+          finally st.close()
+        val h = java.util.Base64.getEncoder.encodeToString(
+          java.security.MessageDigest.getInstance("SHA-256")
+            .digest(json.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+        distinct.getOrElseUpdate(h, json)
+        (f, len, h, codec)
+      }.toArray
+      Iterator.single((rows, distinct.toMap))
+    }.collect()
+    val schemaByHash = perPart.iterator.flatMap(_._2).toMap
+    val byGroup = perPart.iterator.flatMap(_._1).toSeq.sortBy(_._1)
+      .groupBy(r => (r._3, r._4)).toSeq.sortBy(_._1)
+    // first-fit in name order: cumulative bytes per bin up to the
+    // target, at least one file per bin (a single fat file passes
+    // through as its own bin — readAvro splits it at sync markers)
+    val bins = scala.collection.mutable.ArrayBuffer.empty[(String, String, Seq[String])]
+    for (((h, codec), group) <- byGroup) {
+      var cur = List.newBuilder[String]
+      var curBytes = 0L
+      var curN = 0
+      for ((f, len, _, _) <- group) {
+        if (curN > 0 && curBytes + len > targetBytes) {
+          bins += ((schemaByHash(h), codec, cur.result()))
+          cur = List.newBuilder[String]; curBytes = 0L; curN = 0
         }
+        cur += f; curBytes += len; curN += 1
+      }
+      if (curN > 0) bins += ((schemaByHash(h), codec, cur.result()))
+    }
+    val target = new HPath(outDir)
+    val tmp = new HPath(target.getParent,
+      s"._tmp_${target.getName}_${java.util.UUID.randomUUID().toString.take(8)}")
+    fs0.mkdirs(tmp)
+    val tmpStr = tmp.toString
+    var jobCompleted = false
+    var jobStarted = false
+    try {
+      val binRdd = spark.sparkContext
+        .parallelize(bins.toSeq.zipWithIndex, bins.size)
+        .map { case ((schemaJson, codec, inFiles), i) =>
+          val schema = new Schema.Parser().parse(schemaJson)
+          val fs = new HPath(tmpStr).getFileSystem(conf.value)
+          val tc = org.apache.spark.TaskContext.get()
+          val attemptTag =
+            if (tc == null) "local" else tc.taskAttemptId().toString
+          val attempt = new HPath(tmpStr, f".attempt-$attemptTag-part-$i%05d.avro")
+          val os = fs.create(attempt, true)
+          val w = new DataFileWriter[GenericRecord](
+            new GenericDatumWriter[GenericRecord](schema))
+          if (codec != "null") w.setCodec(CodecFactory.fromString(codec))
+          w.create(schema, os)
+          try {
+            inFiles.foreach { f =>
+              val in = new HPath(f).getFileSystem(conf.value).open(new HPath(f))
+              val st =
+                try new DataFileStream[GenericRecord](in,
+                  new GenericDatumReader[GenericRecord]())
+                catch { case e: Throwable => in.close(); throw e }
+              // raw block copy: same schema + same codec by grouping,
+              // so no per-record decode happens here
+              try w.appendAllFrom(st, /* recompress = */ false)
+              finally st.close()
+            }
+          } finally w.close()
+          val committed = new HPath(tmpStr, f"part-$i%05d.avro")
+          if (!fs.rename(attempt, committed)) {
+            if (fs.exists(committed)) fs.delete(attempt, false): Unit
+            else throw new IllegalStateException(
+              s"AvroIo.compactAvro: task-commit rename $attempt -> " +
+                s"$committed failed with no committed winner")
+          }
+          1
+        }
+      jobStarted = true
+      binRdd.count(): Unit
+      jobCompleted = true
+      jobCommitSwap(fs0, tmp, target, "AvroIo.compactAvro")
+    } finally {
+      cleanupFailedWrite(fs0, tmp, jobCompleted, jobStarted)
+    }
+    bins.size
+  }
+
+  /** Failed-write temp cleanup (shared finally-block logic): only a
+    * FAILED JOB's partial task output is garbage worth cleaning (the
+    * previous generation still sits at target, untouched). After the
+    * job completes, tmp is a complete copy: on successful commit it
+    * was renamed away (nothing to delete), and on a commit failure it
+    * is deliberately KEPT — the commit exception names it as the
+    * surviving new generation.
+    *
+    * The delete must OUTLAST the stragglers: job abort kills the
+    * surviving tasks asynchronously, and a kill landing between a
+    * task's create() and its demise can resurrect the tmp dir (Hadoop
+    * create() re-makes parent dirs) AFTER a single delete — so when
+    * the job RAN, re-sweep until the dir stays gone for one grace
+    * interval, bounded, and warn with the path if it somehow survives.
+    * A failure before the job launched has no stragglers: single
+    * delete, no sleeping. The sleep preserves the interrupt flag and
+    * stops sweeping (job-cancel interrupts this thread; the original
+    * exception must not be replaced). */
+  private def cleanupFailedWrite(
+      fs0: FileSystem, tmp: HPath,
+      jobCompleted: Boolean, jobStarted: Boolean): Unit = {
+    if (!jobCompleted) {
+      fs0.delete(tmp, true): Unit
+      if (jobStarted) {
+        var tries = 0
+        var interrupted = false
+        while (!interrupted && tries < 10 && {
+          try Thread.sleep(200)
+          catch { case _: InterruptedException =>
+            Thread.currentThread().interrupt(); interrupted = true }
+          !interrupted && fs0.exists(tmp)
+        }) { fs0.delete(tmp, true): Unit; tries += 1 }
+        if (fs0.exists(tmp)) System.err.println(
+          s"[AvroIo] WARNING: failed write's temp dir $tmp kept being " +
+            "recreated by straggler tasks — delete it manually")
       }
     }
   }

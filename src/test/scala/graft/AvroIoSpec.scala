@@ -459,6 +459,70 @@ class AvroIoSpec extends AnyFunSuite with SparkFixture {
     assert(AvroIo.readAvro(s, dir).collect().map(_.getInt(0)).toSeq == Seq(42))
   }
 
+  test("compactAvro: many small files -> few, rows identical, no decode needed") {
+    val s = spark
+    import s.implicits._
+    val in = tmp()
+    val out = tmp()
+    AvroIo.toAvro((1 to 4000).map(i => (i, s"payload-$i")).toDF("n", "p")
+      .repartition(8), in)
+    val inFiles = new java.io.File(in).listFiles()
+      .filter(_.getName.endsWith(".avro"))
+    assert(inFiles.length == 8)
+    val nOut = AvroIo.compactAvro(s, in, out, targetBytes = 1L << 30)
+    assert(nOut == 1)
+    val outFiles = new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith(".avro"))
+    assert(outFiles.length == 1)
+    // block copy: compacted bytes ~= sum of input blocks (same codec),
+    // far from a recompression artifact of zero
+    assert(outFiles.head.length() > inFiles.map(_.length()).sum / 2)
+    val got = AvroIo.readAvro(s, out)
+    assert(got.count() == 4000L)
+    assert(got.agg(org.apache.spark.sql.functions.sum($"n".cast("long")))
+      .head.getLong(0) == (1 to 4000).map(_.toLong).sum)
+    // re-running onto the same target swaps generations cleanly
+    assert(AvroIo.compactAvro(s, in, out, targetBytes = 1L << 30) == 1)
+    assert(AvroIo.readAvro(s, out).count() == 4000L)
+  }
+
+  test("compactAvro: targetBytes splits bins; a bin never mixes generations") {
+    val s = spark
+    import s.implicits._
+    val in = tmp()
+    val out = tmp()
+    // two writer generations in one directory (different schemas)
+    AvroIo.toAvro((1 to 500).map(i => (i, i * 2L)).toDF("k", "v")
+      .repartition(3), in + "_g1")
+    AvroIo.toAvro((501 to 1000).map(i => (i.toLong, s"s$i")).toDF("k", "t")
+      .repartition(3), in + "_g2")
+    val d = new java.io.File(in); d.mkdirs()
+    def move(from: String, tag: String): Unit =
+      new java.io.File(from).listFiles().filter(_.getName.endsWith(".avro"))
+        .zipWithIndex.foreach { case (f, i) =>
+          java.nio.file.Files.copy(f.toPath,
+            new java.io.File(d, s"$tag-$i.avro").toPath): Unit
+        }
+    move(in + "_g1", "gen1")
+    move(in + "_g2", "gen2")
+    val pre = AvroIo.readAvro(s, in).orderBy("k").collect().toSeq
+    val preDrift = AvroIo.avroSchemaDrift(s, in).orderBy("column").collect().toSeq
+    // huge target -> exactly one file PER GENERATION, never one total
+    assert(AvroIo.compactAvro(s, in, out, targetBytes = 1L << 30) == 2)
+    assert(AvroIo.readAvro(s, out).orderBy("k").collect().toSeq == pre)
+    // the generation ledger is unchanged by compaction
+    assert(AvroIo.avroSchemaDrift(s, out).orderBy("column").collect().toSeq
+      == preDrift)
+    // tiny target -> one output per input file (each bin holds >= 1)
+    val out2 = tmp()
+    assert(AvroIo.compactAvro(s, in, out2, targetBytes = 1L) == 6)
+    assert(AvroIo.readAvro(s, out2).orderBy("k").collect().toSeq == pre)
+    // guards
+    intercept[IllegalArgumentException](AvroIo.compactAvro(s, in, in))
+    intercept[IllegalArgumentException](
+      AvroIo.compactAvro(s, tmp(), out, targetBytes = 0L))
+  }
+
   test("readAvro resolves later files BY NAME: reordered fields decode correctly") {
     val s = spark
     import org.apache.avro.SchemaBuilder
