@@ -3057,9 +3057,13 @@ object ExtQueries {
     * a quarantine relation that carries the violated rule. The query
     * body then reads BOTH outputs back from disk, so the oracle compare
     * validates the physical layout, not just the plan. */
-  private def avroLakeFixture(s: SparkSession, dir: String): Unit =
+  private def avroLakeFixture(s: SparkSession, dir: String): Unit = {
+    // the dependency fixture runs OUTSIDE the mapping function: a
+    // fixturesDone.computeIfAbsent nested inside another's lambda is a
+    // recursive update of the same ConcurrentHashMap, which the JDK
+    // forbids (IllegalStateException when the keys share a bin)
+    avroEvolvedFixture(s, dir)
     fixturesDone.computeIfAbsent(s"avrolake:$dir", _ => {
-      avroEvolvedFixture(s, dir)
       val landed = graft.sources.AvroIo.readAvro(s, AvroEvolvedFixtureDir)
       val flagged = graft.operators.Checks.flag(landed,
         Seq(graft.operators.Checks.NotNull("n_regionkey")))
@@ -3075,14 +3079,16 @@ object ExtQueries {
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .parquet(AvroLakeQuarantineDir)
     })
+  }
   /** Compaction of the 3-file nation Avro fixture into one file by
-    * block copy (q_avro_compact reads the result back). */
-  private def avroCompactFixture(s: SparkSession, dir: String): Unit =
-    fixturesDone.computeIfAbsent(s"avrocompact:$dir", _ => {
-      avroFixture(s, dir)
+    * block copy (q_avro_compact reads the result back). Dependency
+    * fixture outside the lambda — see [[avroLakeFixture]]. */
+  private def avroCompactFixture(s: SparkSession, dir: String): Unit = {
+    avroFixture(s, dir)
+    fixturesDone.computeIfAbsent(s"avrocompact:$dir", _ =>
       graft.sources.AvroIo.compactAvro(
-        s, AvroFixtureDir, AvroCompactDir): Unit
-    })
+        s, AvroFixtureDir, AvroCompactDir): Unit)
+  }
   private def avroNestedFixture(s: SparkSession, dir: String): Unit =
     fixturesDone.computeIfAbsent(s"avronested:$dir", _ =>
       graft.sources.AvroIo.toAvro(

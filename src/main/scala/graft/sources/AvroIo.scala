@@ -575,61 +575,57 @@ object AvroIo {
     * via the container API's `appendAllFrom` (sync markers re-anchored
     * by the writer; compressed blocks pass through, recompress=false).
     * Same two-phase commit as [[toAvro]]. Returns the output file
-    * count. */
+    * count.
+    *
+    * What survives compaction: RECORDS (byte-faithful block copy), the
+    * writer schema, and the codec. Custom per-file container metadata
+    * (`setMeta` keys some producers stash — offsets, provenance tags)
+    * does NOT carry over: the inputs of one bin can disagree on it, so
+    * any merge rule would be a silent lie; producers needing per-batch
+    * metadata should keep it in a sidecar (or a column), not in
+    * container headers that compaction/re-sharding legitimately
+    * rewrites. */
   def compactAvro(spark: SparkSession, inDir: String, outDir: String,
                   targetBytes: Long = 128L << 20): Int = {
-    require(inDir != outDir, "compactAvro cannot rewrite a directory onto itself")
     require(targetBytes > 0, s"compactAvro: non-positive targetBytes $targetBytes")
     val conf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
     val inPath = new HPath(inDir)
-    val fs0 = inPath.getFileSystem(conf.value)
-    val files = listDataFiles(fs0, inDir)
+    val inFs = inPath.getFileSystem(conf.value)
+    val target = new HPath(outDir)
+    // output-side filesystem ops (tmp, commit swap, cleanup) must bind
+    // to the TARGET's filesystem — compacting hdfs:// to file:/ is a
+    // legal cross-FS pair
+    val fs0 = target.getFileSystem(conf.value)
+    // qualified comparison, not raw strings: "/zone" vs "/zone/" vs
+    // "file:/zone" are the same directory, and a self-rewrite would
+    // move the input aside and delete it after commit
+    require(inFs.makeQualified(inPath) != fs0.makeQualified(target),
+      "compactAvro cannot rewrite a directory onto itself")
+    val files = listDataFiles(inFs, inDir)
     require(files.nonEmpty, s"compactAvro: no Avro data files under $inDir")
-    // distributed header sweep for (schema, codec) per file; schema
-    // JSONs dedupe map-side exactly as fileHeaders does
-    val parts = math.min(files.size, 256).max(1)
-    val perPart = spark.sparkContext.parallelize(
-        files.map { case (f, l, _) => (f, l) }, parts).mapPartitions { it =>
-      val distinct = scala.collection.mutable.HashMap[String, String]()
-      val rows = it.map { case (f, len) =>
-        val in = new HPath(f).getFileSystem(conf.value).open(new HPath(f))
-        val st =
-          try new DataFileStream[GenericRecord](in, new GenericDatumReader[GenericRecord]())
-          catch { case e: Throwable => in.close(); throw e }
-        val (json, codec) =
-          try (st.getSchema.toString,
-            Option(st.getMetaString("avro.codec")).getOrElse("null"))
-          finally st.close()
-        val h = java.util.Base64.getEncoder.encodeToString(
-          java.security.MessageDigest.getInstance("SHA-256")
-            .digest(json.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
-        distinct.getOrElseUpdate(h, json)
-        (f, len, h, codec)
-      }.toArray
-      Iterator.single((rows, distinct.toMap))
-    }.collect()
-    val schemaByHash = perPart.iterator.flatMap(_._2).toMap
-    val byGroup = perPart.iterator.flatMap(_._1).toSeq.sortBy(_._1)
-      .groupBy(r => (r._3, r._4)).toSeq.sortBy(_._1)
+    // (path, len, schemaJson, codec) via the shared cached header sweep
+    // — a directory readAvro just scanned compacts with no second
+    // header job
+    val headers = fileHeadersCached(spark, inDir, files, conf)
+    val byGroup = headers.groupBy(r => (r._3, r._4)).toSeq.sortBy(_._1)
     // first-fit in name order: cumulative bytes per bin up to the
     // target, at least one file per bin (a single fat file passes
     // through as its own bin — readAvro splits it at sync markers)
     val bins = scala.collection.mutable.ArrayBuffer.empty[(String, String, Seq[String])]
-    for (((h, codec), group) <- byGroup) {
+    for (((schemaJson, codec), group) <- byGroup) {
       var cur = List.newBuilder[String]
       var curBytes = 0L
       var curN = 0
       for ((f, len, _, _) <- group) {
         if (curN > 0 && curBytes + len > targetBytes) {
-          bins += ((schemaByHash(h), codec, cur.result()))
+          bins += ((schemaJson, codec, cur.result()))
           cur = List.newBuilder[String]; curBytes = 0L; curN = 0
         }
         cur += f; curBytes += len; curN += 1
       }
-      if (curN > 0) bins += ((schemaByHash(h), codec, cur.result()))
+      if (curN > 0) bins += ((schemaJson, codec, cur.result()))
     }
-    val target = new HPath(outDir)
     val tmp = new HPath(target.getParent,
       s"._tmp_${target.getName}_${java.util.UUID.randomUUID().toString.take(8)}")
     fs0.mkdirs(tmp)
@@ -764,7 +760,7 @@ object AvroIo {
     * be hundreds of MB of driver heap for a handful of generations. */
   private def fileHeaders(spark: SparkSession, files: Seq[(String, Long)],
                           conf: org.apache.spark.util.SerializableConfiguration)
-      : Seq[(String, Long, String)] = {
+      : Seq[(String, Long, String, String)] = {
     val parts = math.min(files.size, 256).max(1)
     val perPart = spark.sparkContext.parallelize(files, parts).mapPartitions { it =>
       val distinct = scala.collection.mutable.HashMap[String, String]()
@@ -775,18 +771,21 @@ object AvroIo {
         val st =
           try new DataFileStream[GenericRecord](in, new GenericDatumReader[GenericRecord]())
           catch { case e: Throwable => in.close(); throw e }
-        val json = try st.getSchema.toString finally st.close()
+        val (json, codec) =
+          try (st.getSchema.toString,
+            Option(st.getMetaString("avro.codec")).getOrElse("null"))
+          finally st.close()
         val h = java.util.Base64.getEncoder.encodeToString(
           java.security.MessageDigest.getInstance("SHA-256")
             .digest(json.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
         distinct.getOrElseUpdate(h, json)
-        (f, len, h)
+        (f, len, h, codec)
       }.toArray // force the file sweep before shipping the schema map
       Iterator.single((rows, distinct.toMap))
     }.collect()
     val schemaByHash = perPart.iterator.flatMap(_._2).toMap
     perPart.iterator.flatMap(_._1).toSeq.sortBy(_._1)
-      .map { case (f, l, h) => (f, l, schemaByHash(h)) }
+      .map { case (f, l, h, c) => (f, l, schemaByHash(h), c) }
   }
 
   /** Header cache: one entry per (live session, directory), replaced
@@ -805,12 +804,14 @@ object AvroIo {
     * Avro landing zones append new files rather than rewriting in
     * place, so this is acceptable; callers needing hard guarantees can
     * bounce the session or write to a fresh directory per generation. */
-  private val headerCache = new graft.SessionCache[Seq[(String, Long, String)]]
+  private val headerCache =
+    new graft.SessionCache[Seq[(String, Long, String, String)]]
 
+  /** (path, len, writer-schema JSON, codec) per data file, cached. */
   private def fileHeadersCached(
       spark: SparkSession, dir: String, files: Seq[(String, Long, Long)],
       conf: org.apache.spark.util.SerializableConfiguration)
-      : Seq[(String, Long, String)] = {
+      : Seq[(String, Long, String, String)] = {
     val sig = files.map { case (f, l, m) => s"$f:$l:$m" }.mkString("\n")
     headerCache.getOrCompute(spark, dir, sig)(
       fileHeaders(spark, files.map { case (f, l, _) => (f, l) }, conf))
@@ -1010,7 +1011,7 @@ object AvroIo {
     // distinct writer schemas in first-seen file order (usually a
     // handful of generations, however many files carry them)
     val schemaJsons = scala.collection.mutable.LinkedHashMap[String, Int]()
-    val withIdx = headers.map { case (f, len, sj) =>
+    val withIdx = headers.map { case (f, len, sj, _) =>
       (f, len, schemaJsons.getOrElseUpdate(sj, schemaJsons.size))
     }
     val genSchemas = schemaJsons.keys.toArray

@@ -517,8 +517,11 @@ class AvroIoSpec extends AnyFunSuite with SparkFixture {
     val out2 = tmp()
     assert(AvroIo.compactAvro(s, in, out2, targetBytes = 1L) == 6)
     assert(AvroIo.readAvro(s, out2).orderBy("k").collect().toSeq == pre)
-    // guards
+    // guards — the self-rewrite check compares QUALIFIED paths, so
+    // equivalent spellings (trailing slash, file: scheme) are caught
     intercept[IllegalArgumentException](AvroIo.compactAvro(s, in, in))
+    intercept[IllegalArgumentException](AvroIo.compactAvro(s, in, in + "/"))
+    intercept[IllegalArgumentException](AvroIo.compactAvro(s, in, "file:" + in))
     intercept[IllegalArgumentException](
       AvroIo.compactAvro(s, tmp(), out, targetBytes = 0L))
   }
