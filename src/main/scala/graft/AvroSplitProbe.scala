@@ -46,9 +46,13 @@ object AvroSplitProbe {
 
     def timed(label: String)(df: => org.apache.spark.sql.DataFrame): Double = {
       BenchForce.force(df) // warm-up (header cache, JIT)
-      val t0 = System.nanoTime()
-      BenchForce.force(df)
-      val sec = (System.nanoTime() - t0) / 1e9
+      // min of 3: a single co-tenant stall (observed: one 11x outlier
+      // run) must not become the recorded number
+      val sec = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        BenchForce.force(df)
+        (System.nanoTime() - t0) / 1e9
+      }.min
       println(f"[avroprobe] $label%-28s $sec%6.2f s  " +
         f"partitions=${df.rdd.getNumPartitions}%d")
       sec
@@ -62,11 +66,26 @@ object AvroSplitProbe {
       graft.sources.AvroIo.readAvro(spark, dir, maxSplitBytes = Some(32L << 20),
         columns = Some(Seq("l_orderkey", "l_quantity"))))
 
+    // 3. filter pushdown (round 16): a ~2%-selective raw predicate —
+    //    pushed, the decode-time skip drops rejected rows BEFORE
+    //    Catalyst materialization; restated as a computed expression
+    //    (abs defeats source-filter translation), the same rows decode,
+    //    materialize, AND convert, then die in the Filter. The delta is
+    //    what the row skip buys; decode CPU itself is identical.
+    val pushed = timed("splits + pushed filter ~2%")(
+      graft.sources.AvroIo.readAvro(spark, dir, maxSplitBytes = Some(32L << 20))
+        .filter(col("l_quantity") > 49.0))
+    val unpushed = timed("splits + unpushed filter ~2%")(
+      graft.sources.AvroIo.readAvro(spark, dir, maxSplitBytes = Some(32L << 20))
+        .filter(abs(col("l_quantity")) > 49.0))
+
     println(f"""{"metric":"avro_split_probe","file_mb":${f.length() / 1e6}%.1f,""" +
       f""""one_task_s":$oneTask%.2f,"split_s":$split%.2f,""" +
       f""""split_speedup":${oneTask / split}%.2f,""" +
       f""""projected_s":$projected%.2f,""" +
-      f""""projection_speedup":${split / projected}%.2f}""")
+      f""""projection_speedup":${split / projected}%.2f,""" +
+      f""""pushed_filter_s":$pushed%.2f,"unpushed_filter_s":$unpushed%.2f,""" +
+      f""""filter_skip_speedup":${unpushed / pushed}%.2f}""")
     spark.stop()
   }
 }

@@ -2799,6 +2799,20 @@ object ExtQueries {
         .orderBy("o_orderkey")
     }),
 
+    // a FILTERED read of the evolved landing zone: the disjunction
+    // spans both generations' null-filled columns (n_regionkey is null
+    // for every gen2 row, n_len for every gen1 row), so the decode-time
+    // row skip must reproduce Kleene null semantics exactly — the scan
+    // pushes the conjunct (PushedFilters in the plan) and skips
+    // Catalyst materialization of rejected rows while the residual
+    // Filter above guards exactness
+    "q_read_avro_filtered" -> ((s, dir) => {
+      avroEvolvedFixture(s, dir)
+      graft.sources.AvroIo.readAvro(s, AvroEvolvedFixtureDir)
+        .filter(col("n_regionkey") >= 2 || col("n_len") > 6)
+        .orderBy("n_nationkey")
+    }),
+
     // the decision face of the footer-stats audit: which row groups
     // would `doc_id BETWEEN 200 AND 300 AND n_chars >= 0` prune on the
     // doc_id-sorted layout? The oracle replays the envelope logic from
@@ -5018,6 +5032,17 @@ object ExtQueries {
                 CASE WHEN n_nationkey < 12 THEN n_regionkey END AS n_regionkey,
                 CASE WHEN n_nationkey >= 12 THEN len(n_name)::INTEGER END AS n_len
          FROM nation ORDER BY n_nationkey""",
+    // the filtered evolved read: DuckDB replays the unified relation,
+    // then the same disjunction under SQL null semantics — a green
+    // compare pins the decode-time row skip to Kleene-exact
+    "q_read_avro_filtered" ->
+      """WITH uni AS (
+           SELECT n_nationkey::BIGINT AS n_nationkey, n_name,
+                  CASE WHEN n_nationkey < 12 THEN n_regionkey END AS n_regionkey,
+                  CASE WHEN n_nationkey >= 12 THEN len(n_name)::INTEGER END AS n_len
+           FROM nation)
+         SELECT * FROM uni WHERE n_regionkey >= 2 OR n_len > 6
+         ORDER BY n_nationkey""",
     // timestamp round-trip compared at exact epoch-micros: DuckDB reads
     // the parquet timestamps natively, Spark reads them back through
     // the Avro timestamp-micros logical type

@@ -128,17 +128,23 @@ object PlanLint {
                 "on raw columns, do so or pre-materialize the column")
           // the Avro DSv2 scan (graft.sources.AvroDataSource): the
           // container format has no row-group stats, so ANY filter
-          // above it decodes every record — by design, but a fact
-          // worth eyeballing when the predicate is selective (promote
-          // the landing zone to parquet first, then filter)
+          // above it decodes every record. When the predicate's
+          // conjuncts pushed (description carries PushedFilters), the
+          // scan at least skips Catalyst materialization of rejected
+          // rows; when NOTHING pushed, the predicate shape (computed
+          // expression, unsupported type) defeated even that — the
+          // case worth eyeballing (promote the landing zone to
+          // parquet first, then filter)
           case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec
               if b.scan.description().startsWith("GraftAvroScan")
+                && !b.scan.description().contains("PushedFilters=[")
                 && !isNullGuardOnly(f.condition) =>
             findings += Finding("avro-filter-full-decode", "info",
               "filter over an Avro container scan decodes every record " +
-                "(the format carries no row-group stats); for selective " +
-                "predicates, promote the landing zone to parquet and " +
-                "filter there")
+                "(the format carries no row-group stats) and no conjunct " +
+                "pushed to the decode-time row skip; for selective " +
+                "predicates, restate the predicate on raw columns or " +
+                "promote the landing zone to parquet and filter there")
           case _ => ()
         }
       case _ => ()

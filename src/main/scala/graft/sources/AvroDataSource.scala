@@ -7,13 +7,15 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.CatalystTypeConverters
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.util.DateTimeUtils
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownRequiredColumns, SupportsReportStatistics}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics}
 import org.apache.spark.sql.internal.SQLConf
-import org.apache.spark.sql.sources.DataSourceRegister
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
+import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.sql.Row
 
 /** DataSourceV2 face over [[AvroIo]]'s split/decode machinery, so the
   * Avro scan lives INSIDE the planner's audit regime instead of behind
@@ -79,8 +81,10 @@ private[sources] final class AvroTable(
 private[sources] final class AvroScanBuilder(
     path: String, conflicts: PsIO.ConflictPolicy,
     maxSplitBytes: Option[Long], full: StructType)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
   private var required: StructType = full
+  private var pushed: Array[Filter] = Array.empty
   // Catalyst hands back the pruned subset of the full schema (possibly
   // reordered); empty pruning (count-only scans) keeps the narrowest
   // column (by Catalyst defaultSize — an int/long over a nested payload
@@ -90,13 +94,28 @@ private[sources] final class AvroScanBuilder(
       if (requiredSchema.isEmpty && full.nonEmpty)
         StructType(Seq(full.fields.minBy(_.dataType.defaultSize)))
       else requiredSchema
+  // Accept the conjuncts the decode-time evaluator can reproduce
+  // EXACTLY (AvroFilters' supported subset), but hand every conjunct
+  // back as residual: Spark re-applies them above the scan, so the
+  // decode-time skip can only remove rows the residual Filter would
+  // also remove — pushdown here is a row-materialization saving
+  // (skip the Catalyst conversion + downstream processing of rows a
+  // selective predicate rejects), never a correctness surface. Avro
+  // blocks carry no stats, so unlike parquet there is nothing coarser
+  // than per-record skipping to prune.
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(f => AvroFilters.compile(f, full).isDefined)
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = pushed
   override def build(): Scan =
-    new AvroScan(path, conflicts, maxSplitBytes, required)
+    new AvroScan(path, conflicts, maxSplitBytes, required, pushed)
 }
 
 private[sources] final class AvroScan(
     path: String, conflicts: PsIO.ConflictPolicy,
-    maxSplitBytes: Option[Long], required: StructType)
+    maxSplitBytes: Option[Long], required: StructType,
+    pushed: Array[Filter])
     extends Scan with Batch with SupportsReportStatistics {
 
   // planned once per scan, driver-side; the header job behind planRead
@@ -106,7 +125,9 @@ private[sources] final class AvroScan(
 
   override def readSchema(): StructType = required
   override def description(): String =
-    s"GraftAvroScan $path columns=[${required.fieldNames.mkString(", ")}]"
+    s"GraftAvroScan $path columns=[${required.fieldNames.mkString(", ")}]" +
+      (if (pushed.isEmpty) ""
+       else s" PushedFilters=[${pushed.mkString(", ")}]")
   override def toBatch: Batch = this
 
   override def planInputPartitions(): Array[InputPartition] = {
@@ -115,7 +136,7 @@ private[sources] final class AvroScan(
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new AvroPartitionReaderFactory(plan.genJsons, required,
+    new AvroPartitionReaderFactory(plan.genJsons, required, pushed,
       new org.apache.spark.util.SerializableConfiguration(
         SparkSession.active.sparkContext.hadoopConfiguration))
 
@@ -127,20 +148,264 @@ private[sources] final class AvroScan(
 }
 
 private[sources] final class AvroPartitionReaderFactory(
-    genJsons: Array[String], target: StructType,
+    genJsons: Array[String], target: StructType, pushed: Array[Filter],
     conf: org.apache.spark.util.SerializableConfiguration)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val sp = p.asInstanceOf[AvroIo.AvroSplit]
     val rows = new AvroIo.SplitRows(sp, genJsons(sp.schemaIdx), target, conf)
     val toCatalyst = CatalystTypeConverters.createToCatalystConverter(target)
+    // compiled once per task against the rows' actual layout; a pushed
+    // conjunct whose column fell out of `target` (cannot happen while
+    // every conjunct stays residual, but defensively) just doesn't
+    // skip — correctness lives in the residual Filter above the scan
+    val evs = pushed.flatMap(AvroFilters.compile(_, target))
     new PartitionReader[InternalRow] {
       private var cur: InternalRow = _
-      override def next(): Boolean =
-        if (rows.hasNext) { cur = toCatalyst(rows.next()).asInstanceOf[InternalRow]; true }
-        else false
+      override def next(): Boolean = {
+        while (rows.hasNext) {
+          val r = rows.next()
+          // the residual Filter keeps a row iff every conjunct is TRUE,
+          // so skipping on FALSE *or* UNKNOWN matches it exactly
+          var keep = true
+          var i = 0
+          while (keep && i < evs.length) {
+            if (evs(i)(r) != AvroFilters.True) keep = false
+            i += 1
+          }
+          if (keep) { cur = toCatalyst(r).asInstanceOf[InternalRow]; return true }
+        }
+        false
+      }
       override def get(): InternalRow = cur
       override def close(): Unit = rows.close()
     }
+  }
+}
+
+/** Exact three-valued (SQL Kleene) evaluation of pushed source filters
+  * over the Avro scan's EXTERNAL rows, used to skip Catalyst
+  * materialization of rows a selective predicate rejects. Only shapes
+  * whose Spark semantics this evaluator reproduces bit-exactly compile;
+  * anything else stays residual-only. The subtleties mirrored here:
+  * Spark compares float/double nan-safely (NaN == NaN, NaN greater
+  * than everything, -0.0 == 0.0 — `ctx.genComp`), strings in UTF-8
+  * BYTE order (UTF8String.binaryCompare, which differs from Java's
+  * UTF-16 `compareTo` above the BMP), and `a IN (…, null)` yields
+  * UNKNOWN — not FALSE — when no non-null element matches. */
+private[sources] object AvroFilters {
+  import org.apache.spark.sql.sources._
+
+  final val True = 1
+  final val False = 0
+  final val Unknown = -1
+
+  /** Compile one pushed conjunct to a three-valued evaluator over rows
+    * laid out as `schema`, or None when any part falls outside the
+    * exactly-evaluable subset. */
+  def compile(f: Filter, schema: StructType): Option[Row => Int] = f match {
+    case And(l, r) =>
+      for (a <- compile(l, schema); b <- compile(r, schema)) yield { (row: Row) =>
+        val x = a(row)
+        if (x == False) False
+        else { val y = b(row); if (y == False) False
+               else if (x == Unknown || y == Unknown) Unknown else True }
+      }
+    case Or(l, r) =>
+      for (a <- compile(l, schema); b <- compile(r, schema)) yield { (row: Row) =>
+        val x = a(row)
+        if (x == True) True
+        else { val y = b(row); if (y == True) True
+               else if (x == Unknown || y == Unknown) Unknown else False }
+      }
+    case Not(c) =>
+      compile(c, schema).map(e => (row: Row) => {
+        val x = e(row); if (x == Unknown) Unknown else 1 - x
+      })
+    case AlwaysTrue() => Some(_ => True)
+    case AlwaysFalse() => Some(_ => False)
+    case IsNull(a) =>
+      idx(a, schema).map(i => (row: Row) => if (row.isNullAt(i)) True else False)
+    case IsNotNull(a) =>
+      idx(a, schema).map(i => (row: Row) => if (row.isNullAt(i)) False else True)
+    case EqualTo(a, v) => comparison(a, v, schema, c => if (c == 0) True else False)
+    case GreaterThan(a, v) => comparison(a, v, schema, c => if (c > 0) True else False)
+    case GreaterThanOrEqual(a, v) => comparison(a, v, schema, c => if (c >= 0) True else False)
+    case LessThan(a, v) => comparison(a, v, schema, c => if (c < 0) True else False)
+    case LessThanOrEqual(a, v) => comparison(a, v, schema, c => if (c <= 0) True else False)
+    case EqualNullSafe(a, v) =>
+      if (v == null) // <=> null is exactly IsNull
+        idx(a, schema).map(i =>
+          (row: Row) => if (row.isNullAt(i)) True else False)
+      else
+        for (i <- idx(a, schema); ops <- cmpOps(typeAt(schema, a));
+             lit <- ops.normLit(v)) yield { (row: Row) =>
+          if (row.isNullAt(i)) False
+          else if (ops.cmp(ops.normCell(row.get(i)), lit) == 0) True else False
+        }
+    case In(a, vs) =>
+      for (i <- idx(a, schema); ops <- cmpOps(typeAt(schema, a));
+           lits <- sequenceOpt(vs.filter(_ != null).map(ops.normLit))) yield {
+        val hasNull = vs.exists(_ == null)
+        (row: Row) => {
+          if (row.isNullAt(i)) Unknown
+          else {
+            val c = ops.normCell(row.get(i))
+            if (lits.exists(l => ops.cmp(c, l) == 0)) True
+            else if (hasNull) Unknown else False
+          }
+        }
+      }
+    case StringStartsWith(a, v) => stringMatch(a, v, schema,
+      (cell, lit) => startsWithBytes(cell, lit, 0))
+    case StringEndsWith(a, v) => stringMatch(a, v, schema,
+      (cell, lit) => startsWithBytes(cell, lit, cell.length - lit.length))
+    case StringContains(a, v) => stringMatch(a, v, schema, containsBytes)
+    case _ => None
+  }
+
+  // ---- leaves ------------------------------------------------------
+
+  private def idx(attr: String, schema: StructType): Option[Int] = {
+    val i = schema.fieldNames.indexOf(attr)
+    if (i < 0) None else Some(i)
+  }
+
+  private def typeAt(schema: StructType, attr: String): DataType =
+    idx(attr, schema).map(i => schema.fields(i).dataType).getOrElse(NullType)
+
+  private def comparison(attr: String, v: Any, schema: StructType,
+                         sign: Int => Int): Option[Row => Int] =
+    for (i <- idx(attr, schema); ops <- cmpOps(typeAt(schema, attr));
+         lit <- Option(v).flatMap(ops.normLit)) yield { (row: Row) =>
+      if (row.isNullAt(i)) Unknown
+      else sign(ops.cmp(ops.normCell(row.get(i)), lit))
+    }
+
+  private def stringMatch(attr: String, v: String, schema: StructType,
+                          m: (Array[Byte], Array[Byte]) => Boolean): Option[Row => Int] =
+    typeAt(schema, attr) match {
+      case StringType if v != null =>
+        idx(attr, schema).map { i =>
+          val lit = utf8(v)
+          (row: Row) =>
+            if (row.isNullAt(i)) Unknown
+            else if (m(utf8(row.getString(i)), lit)) True else False
+        }
+      case _ => None
+    }
+
+  private def sequenceOpt(xs: Array[Option[Any]]): Option[Seq[Any]] =
+    if (xs.forall(_.isDefined)) Some(xs.toSeq.map(_.get)) else None
+
+  // ---- per-type normalization + ordering ---------------------------
+
+  /** Literal/cell normalization to one comparable representation plus
+    * the comparator with Spark's exact semantics for that type. Cells
+    * come from our own decoder, so their runtime classes are known;
+    * literals come from Catalyst's filter translation and may arrive
+    * under either the java.sql or java.time session representation. */
+  private final case class Ops(normLit: Any => Option[Any],
+                               normCell: Any => Any,
+                               cmp: (Any, Any) => Int)
+
+  private def cmpOps(dt: DataType): Option[Ops] = dt match {
+    case ByteType | ShortType | IntegerType | LongType => Some(Ops(
+      { case n: java.lang.Number => Some(java.lang.Long.valueOf(n.longValue)); case _ => None },
+      { case n: java.lang.Number => java.lang.Long.valueOf(n.longValue) },
+      (a, b) => java.lang.Long.compare(a.asInstanceOf[Long], b.asInstanceOf[Long])))
+    case FloatType | DoubleType => Some(Ops(
+      { case n: java.lang.Number => Some(java.lang.Double.valueOf(n.doubleValue)); case _ => None },
+      { case n: java.lang.Number => java.lang.Double.valueOf(n.doubleValue) },
+      (a, b) => nanSafeCmp(a.asInstanceOf[Double], b.asInstanceOf[Double])))
+    case StringType => Some(Ops(
+      { case s: String => Some(utf8(s)); case _ => None },
+      { case s: String => utf8(s) },
+      (a, b) => byteCmp(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])))
+    case BooleanType => Some(Ops(
+      { case b: java.lang.Boolean => Some(b); case _ => None },
+      identity,
+      (a, b) => java.lang.Boolean.compare(
+        a.asInstanceOf[Boolean], b.asInstanceOf[Boolean])))
+    case _: DecimalType => Some(Ops(
+      { case d: java.math.BigDecimal => Some(d)
+        case d: scala.math.BigDecimal => Some(d.bigDecimal)
+        case d: org.apache.spark.sql.types.Decimal => Some(d.toJavaBigDecimal)
+        case _ => None },
+      { case d: java.math.BigDecimal => d },
+      (a, b) => a.asInstanceOf[java.math.BigDecimal]
+        .compareTo(b.asInstanceOf[java.math.BigDecimal])))
+    case TimestampType => Some(Ops(
+      { case t: java.sql.Timestamp =>
+          Some(java.lang.Long.valueOf(DateTimeUtils.fromJavaTimestamp(t)))
+        case i: java.time.Instant =>
+          Some(java.lang.Long.valueOf(DateTimeUtils.instantToMicros(i)))
+        case _ => None },
+      { case t: java.sql.Timestamp =>
+          java.lang.Long.valueOf(DateTimeUtils.fromJavaTimestamp(t)) },
+      (a, b) => java.lang.Long.compare(a.asInstanceOf[Long], b.asInstanceOf[Long])))
+    case TimestampNTZType => Some(Ops(
+      { case l: java.time.LocalDateTime =>
+          Some(java.lang.Long.valueOf(DateTimeUtils.localDateTimeToMicros(l)))
+        case _ => None },
+      { case l: java.time.LocalDateTime =>
+          java.lang.Long.valueOf(DateTimeUtils.localDateTimeToMicros(l)) },
+      (a, b) => java.lang.Long.compare(a.asInstanceOf[Long], b.asInstanceOf[Long])))
+    case DateType => Some(Ops(
+      { case d: java.sql.Date =>
+          Some(java.lang.Integer.valueOf(DateTimeUtils.fromJavaDate(d)))
+        case d: java.time.LocalDate =>
+          Some(java.lang.Integer.valueOf(DateTimeUtils.localDateToDays(d)))
+        case _ => None },
+      { case d: java.sql.Date =>
+          java.lang.Integer.valueOf(DateTimeUtils.fromJavaDate(d)) },
+      (a, b) => java.lang.Integer.compare(a.asInstanceOf[Int], b.asInstanceOf[Int])))
+    case _ => None // binary / nested / anything else: residual-only
+  }
+
+  /** Spark's float/double comparison semantics (Utils.nanSafeCompareDoubles):
+    * primitive <,>,== first — so -0.0 == 0.0 — then NaN equal to NaN and
+    * greater than everything else. */
+  private def nanSafeCmp(x: Double, y: Double): Int =
+    if (x < y) -1 else if (x > y) 1 else if (x == y) 0
+    else { // at least one NaN
+      val xN = java.lang.Double.isNaN(x)
+      val yN = java.lang.Double.isNaN(y)
+      if (xN && yN) 0 else if (xN) 1 else -1
+    }
+
+  private def utf8(s: String): Array[Byte] =
+    s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+
+  /** Unsigned lexicographic byte order — UTF8String.binaryCompare. */
+  private def byteCmp(a: Array[Byte], b: Array[Byte]): Int = {
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      val c = java.lang.Integer.compare(a(i) & 0xff, b(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    java.lang.Integer.compare(a.length, b.length)
+  }
+
+  private def startsWithBytes(cell: Array[Byte], lit: Array[Byte], at: Int): Boolean = {
+    if (at < 0 || at + lit.length > cell.length) return false
+    var i = 0
+    while (i < lit.length) {
+      if (cell(at + i) != lit(i)) return false
+      i += 1
+    }
+    true
+  }
+
+  private def containsBytes(cell: Array[Byte], lit: Array[Byte]): Boolean = {
+    if (lit.length == 0) return true
+    var s = 0
+    while (s + lit.length <= cell.length) {
+      if (startsWithBytes(cell, lit, s)) return true
+      s += 1
+    }
+    false
   }
 }

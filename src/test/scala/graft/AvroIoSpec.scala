@@ -169,10 +169,16 @@ class AvroIoSpec extends AnyFunSuite with SparkFixture {
     // columns parameter
     assert(scans.head.scan.readSchema().fieldNames.toSeq == Seq("l"))
     assert(df.as[Long].collect().sorted.toSeq == Seq(10L, 20L))
-    // PlanLint sees a filter above the Avro scan as a full decode
-    val lint = graft.plans.PlanLint.lint(
+    // a raw-column predicate pushes to the decode-time row skip, so the
+    // full-decode lint stays quiet for it...
+    val lintPushed = graft.plans.PlanLint.lint(
       AvroIo.readAvro(s, dir).filter($"l" > 15L))
-    assert(lint.exists(_.rule == "avro-filter-full-decode"))
+    assert(!lintPushed.exists(_.rule == "avro-filter-full-decode"))
+    // ...but a computed-expression predicate defeats even the row skip
+    // and the lint flags the full decode
+    val lintUnpushed = graft.plans.PlanLint.lint(
+      AvroIo.readAvro(s, dir).filter($"l" % 2L === 0L))
+    assert(lintUnpushed.exists(_.rule == "avro-filter-full-decode"))
     // a count-only scan still decodes each record exactly once — and
     // decodes the NARROWEST column (int over long over string), not
     // whatever happens to be first in the schema
@@ -569,5 +575,58 @@ class AvroIoSpec extends AnyFunSuite with SparkFixture {
     w.append(rec); w.close()
     val e = intercept[IllegalArgumentException](AvroIo.readAvro(s, f.toString))
     assert(e.getMessage.contains("unsupported union"))
+  }
+
+  test("filter pushdown: every pushed shape differentials against in-memory eval") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = tmp()
+    // every edge the decode-time evaluator must reproduce exactly:
+    // nulls (Kleene), NaN / -0.0 (nan-safe compare), a supplementary-
+    // plane string (UTF-8 byte order ≠ UTF-16 compareTo), decimal,
+    // timestamp, boolean
+    val base = Seq(
+      (1, Option(1.5), Option("apple"), Option(true)),
+      (2, Option(Double.NaN), Option("�-replacement"), Option(false)),
+      (3, None, None, None),
+      (4, Option(-0.0), Option("😀-emoji"), Option(true)),
+      (5, Option(0.0), Option(""), Option(false)),
+      (6, Option(5.0), Option("apricot"), Option(true)))
+      .toDF("i", "d", "st", "b")
+      .withColumn("dec", when(col("i") =!= 3,
+        (col("i") + lit(0.25)).cast("decimal(10,2)")))
+      .withColumn("ts", when(col("i") =!= 3,
+        timestamp_micros(col("i").cast("long") * 1000000L)))
+    AvroIo.toAvro(base.repartition(2), dir, codec = None)
+    val avro = AvroIo.readAvro(s, dir)
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[Int] =
+      df.select("i").collect().map(_.getInt(0)).sorted.toSeq
+    val preds: Seq[org.apache.spark.sql.Column] = Seq(
+      col("i") > 2, col("i") <= 4, col("i") === 3,
+      col("d") > 1.0,                       // NaN > 1.0 is TRUE in Spark
+      col("d") <= 0.0,                      // -0.0 == 0.0: both rows
+      col("d") === Double.NaN,              // NaN = NaN is TRUE in Spark
+      !(col("d") > 1.0),                    // Not over NaN/null rows
+      col("d").isNull, col("d").isNotNull,
+      col("st") > "�",                 // byte order: emoji row qualifies
+      col("st").startsWith("ap"), col("st").contains("-"),
+      col("st").endsWith("emoji"), col("st") === "",
+      col("st").isin("apple", "apricot"),
+      col("b") === true,
+      col("dec") > java.math.BigDecimal.valueOf(3.25),
+      col("ts") >= java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(4L)),
+      col("i") > 1 && (col("d") > 2.0 || col("st") < "b"),
+      col("i") <=> 3)
+    preds.foreach { p =>
+      assert(canon(avro.filter(p)) == canon(base.filter(p)),
+        s"pushdown differential diverged for predicate $p")
+    }
+    // the plan advertises the pushed conjuncts
+    val scans = graft.plans.PlanLint.physicalPlan(avro.filter(col("i") > 2))
+      .collect {
+        case bs: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => bs
+      }
+    assert(scans.head.scan.description().contains("PushedFilters=["))
   }
 }
