@@ -2869,6 +2869,37 @@ object ExtQueries {
       lake.unionByName(quarantined).orderBy("n_nationkey")
     }),
 
+    // the STREAMING read of the same evolved zone (AvroMicroBatchStream:
+    // per-trigger file pickup, checkpointed batch log, pinned unified
+    // schema): the fixture drains the zone through a bounded streaming
+    // query into a parquet file sink; a green compare against the SAME
+    // oracle as the batch evolved read pins streaming == batch == DuckDB
+    "q_stream_avro" -> ((s, dir) => {
+      avroStreamFixture(s, dir)
+      s.read.parquet(AvroStreamSinkDir).orderBy("n_nationkey")
+    }),
+
+    // the CONTINUOUS lake promotion: the same contract gate and
+    // dispositions as q_pipeline_lake, but run per micro-batch through
+    // two exactly-once file sinks (hive-partitioned lake + quarantine
+    // with the violated rule); the rows are read BACK from disk with
+    // provenance, so a green compare proves the streaming hive layout
+    // physically exists and matches the batch pipeline's oracle
+    "q_pipeline_lake_stream" -> ((s, dir) => {
+      avroLakeStreamFixture(s, dir)
+      val lake = PsIO.withProvenance(s.read.parquet(AvroLakeStreamDir))
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"),
+          col("n_len"), lit("lake").as("disposition"),
+          lit(null).cast("string").as("reason"),
+          regexp_extract(col("source_file"), "n_regionkey=([0-9]+)", 1)
+            .cast("int").as("part_reg"))
+      val quarantined = s.read.parquet(AvroLakeStreamQuarantineDir)
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"),
+          col("n_len"), lit("quarantine").as("disposition"), col("reason"),
+          lit(null).cast("int").as("part_reg"))
+      lake.unionByName(quarantined).orderBy("n_nationkey")
+    }),
+
     // landing-zone maintenance: compact the multi-file Avro fixture by
     // BLOCK COPY (appendAllFrom — zero record decodes; generations
     // never mix in a bin) and read the compacted directory back; the
@@ -2931,6 +2962,9 @@ object ExtQueries {
   val AvroLakeDir = "/root/repo/target/tmp/nation_avro_lake"
   val AvroLakeQuarantineDir = "/root/repo/target/tmp/nation_avro_lake_q"
   val AvroCompactDir = "/root/repo/target/tmp/nation_avro_compact"
+  val AvroStreamSinkDir = "/root/repo/target/tmp/nation_avro_streamed"
+  val AvroLakeStreamDir = "/root/repo/target/tmp/nation_avro_lake_stream"
+  val AvroLakeStreamQuarantineDir = "/root/repo/target/tmp/nation_avro_lake_stream_q"
 
   /** Write-once-per-process fixture creation, keyed by (kind, dir):
     * the ingestion queries must time the READ — re-writing the fixture
@@ -3094,6 +3128,63 @@ object ExtQueries {
         .parquet(AvroLakeQuarantineDir)
     })
   }
+  /** A file-sink output directory must be REMOVED before a fresh
+    * streaming query writes into it: the sink's `_spark_metadata`
+    * commit log is authoritative, and a stale log from a previous
+    * process makes a fresh-checkpoint query believe its early batches
+    * already committed — silent data loss, not an error. */
+  private def rmTree(path: String): Unit = {
+    val root = java.nio.file.Paths.get(path)
+    if (java.nio.file.Files.exists(root)) {
+      val st = java.nio.file.Files.walk(root)
+      try st.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => { java.nio.file.Files.delete(p); () })
+      finally st.close()
+    }
+  }
+
+  /** Run the evolved landing zone through the STREAMING read once per
+    * process (q_stream_avro reads the sink back): bounded replay —
+    * processAllAvailable drains every pending file, then the query
+    * stops — so the committed sink holds exactly the zone's rows and
+    * the oracle compare pins streaming decode == batch decode ==
+    * DuckDB's replay of the union/widen semantics. */
+  private def avroStreamFixture(s: SparkSession, dir: String): Unit = {
+    avroEvolvedFixture(s, dir)
+    fixturesDone.computeIfAbsent(s"avrostream:$dir", _ => {
+      rmTree(AvroStreamSinkDir)
+      val ck = java.nio.file.Files
+        .createTempDirectory("graft-avro-stream-ck").toString
+      val q = graft.sources.AvroIo.readAvroStream(s, AvroEvolvedFixtureDir)
+        .writeStream.format("parquet")
+        .option("path", AvroStreamSinkDir)
+        .option("checkpointLocation", ck)
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append).start()
+      try q.processAllAvailable() finally q.stop()
+    })
+  }
+
+  /** The CONTINUOUS avro→lake promotion run bounded once per process
+    * (q_pipeline_lake_stream reads both sinks back): same zone, same
+    * contract, same dispositions as the batch q_pipeline_lake — but
+    * routed per micro-batch through two exactly-once file sinks. */
+  private def avroLakeStreamFixture(s: SparkSession, dir: String): Unit = {
+    avroEvolvedFixture(s, dir)
+    fixturesDone.computeIfAbsent(s"avrolakestream:$dir", _ => {
+      rmTree(AvroLakeStreamDir); rmTree(AvroLakeStreamQuarantineDir)
+      val ck = java.nio.file.Files
+        .createTempDirectory("graft-lake-stream-ck").toString
+      val zone = graft.sources.AvroIo.readAvroStream(s, AvroEvolvedFixtureDir)
+      val (qLake, qQuarantine) = graft.streaming.StreamingOps
+        .streamingLakePromote(zone,
+          Seq(graft.operators.Checks.NotNull("n_regionkey")),
+          AvroLakeStreamDir, AvroLakeStreamQuarantineDir,
+          Seq("n_regionkey"), ck)
+      try { qLake.processAllAvailable(); qQuarantine.processAllAvailable() }
+      finally { qLake.stop(); qQuarantine.stop() }
+    })
+  }
+
   /** Compaction of the 3-file nation Avro fixture into one file by
     * block copy (q_avro_compact reads the result back). Dependency
     * fixture outside the lambda — see [[avroLakeFixture]]. */
@@ -5094,6 +5185,30 @@ object ExtQueries {
     // part_reg is extracted from each lake row's PHYSICAL directory —
     // the hive partition every promoted row must have landed in
     "q_pipeline_lake" ->
+      """WITH unified AS (
+           SELECT n_nationkey::BIGINT AS n_nationkey, n_name,
+                  CASE WHEN n_nationkey < 12 THEN n_regionkey END AS n_regionkey,
+                  CASE WHEN n_nationkey >= 12 THEN len(n_name)::INTEGER END AS n_len
+           FROM nation)
+         SELECT n_nationkey, n_name, n_regionkey, n_len,
+                CASE WHEN n_regionkey IS NOT NULL
+                     THEN 'lake' ELSE 'quarantine' END AS disposition,
+                CASE WHEN n_regionkey IS NULL
+                     THEN 'not_null_n_regionkey' END AS reason,
+                n_regionkey AS part_reg
+         FROM unified ORDER BY n_nationkey""",
+    // the streamed zone shares the batch evolved read's oracle: the
+    // micro-batch pickup + pinned-schema projection must land exactly
+    // the relation the one-shot batch read produces
+    "q_stream_avro" ->
+      """SELECT n_nationkey::BIGINT AS n_nationkey, n_name,
+                CASE WHEN n_nationkey < 12 THEN n_regionkey END AS n_regionkey,
+                CASE WHEN n_nationkey >= 12 THEN len(n_name)::INTEGER END AS n_len
+         FROM nation ORDER BY n_nationkey""",
+    // the streaming promotion shares the batch pipeline's oracle:
+    // micro-batch routing through two exactly-once file sinks must
+    // produce the identical lake/quarantine dispositions and layout
+    "q_pipeline_lake_stream" ->
       """WITH unified AS (
            SELECT n_nationkey::BIGINT AS n_nationkey, n_name,
                   CASE WHEN n_nationkey < 12 THEN n_regionkey END AS n_regionkey,

@@ -53,34 +53,47 @@ final class AvroDataSource extends TableProvider with DataSourceRegister {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     AvroIo.planRead(SparkSession.active, path(options), conflicts(options)).unified
 
+  // a user-supplied .schema(...) becomes the pinned target directly
+  // (every writer generation must project onto it along the lattice);
+  // without one, inferSchema unifies the directory's writer schemas —
+  // which requires at least one file. The explicit schema is how a
+  // STREAM starts against a still-empty landing zone.
+  override def supportsExternalMetadata(): Boolean = true
+
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: java.util.Map[String, String]): Table = {
     val opts = new CaseInsensitiveStringMap(properties)
     new AvroTable(path(opts), conflicts(opts),
-      Option(opts.get(AvroDataSource.SplitOption)).map(_.toLong), schema)
+      Option(opts.get(AvroDataSource.SplitOption)).map(_.toLong),
+      Option(opts.get(AvroDataSource.MaxFilesOption)).map(_.toInt), schema)
   }
 }
 
 object AvroDataSource {
   val ConflictsOption = "conflicts"
   val SplitOption = "maxSplitBytes"
+  val MaxFilesOption = "maxFilesPerTrigger"
 }
 
 private[sources] final class AvroTable(
     path: String, conflicts: PsIO.ConflictPolicy,
-    maxSplitBytes: Option[Long], tableSchema: StructType)
+    maxSplitBytes: Option[Long], maxFilesPerTrigger: Option[Int],
+    tableSchema: StructType)
     extends Table with SupportsRead {
   override def name(): String = s"graft-avro $path"
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new AvroScanBuilder(path, conflicts, maxSplitBytes, tableSchema)
+    new AvroScanBuilder(path, conflicts, maxSplitBytes, maxFilesPerTrigger,
+      tableSchema)
 }
 
 private[sources] final class AvroScanBuilder(
     path: String, conflicts: PsIO.ConflictPolicy,
-    maxSplitBytes: Option[Long], full: StructType)
+    maxSplitBytes: Option[Long], maxFilesPerTrigger: Option[Int],
+    full: StructType)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters {
   private var required: StructType = full
@@ -109,13 +122,14 @@ private[sources] final class AvroScanBuilder(
   }
   override def pushedFilters(): Array[Filter] = pushed
   override def build(): Scan =
-    new AvroScan(path, conflicts, maxSplitBytes, required, pushed)
+    new AvroScan(path, conflicts, maxSplitBytes, maxFilesPerTrigger,
+      required, pushed)
 }
 
 private[sources] final class AvroScan(
     path: String, conflicts: PsIO.ConflictPolicy,
-    maxSplitBytes: Option[Long], required: StructType,
-    pushed: Array[Filter])
+    maxSplitBytes: Option[Long], maxFilesPerTrigger: Option[Int],
+    required: StructType, pushed: Array[Filter])
     extends Scan with Batch with SupportsReportStatistics {
 
   // planned once per scan, driver-side; the header job behind planRead
@@ -144,6 +158,194 @@ private[sources] final class AvroScan(
     override def sizeInBytes(): OptionalLong =
       OptionalLong.of(plan.files.map(_._2).sum)
     override def numRows(): OptionalLong = OptionalLong.empty()
+  }
+
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new AvroMicroBatchStream(path, maxSplitBytes, maxFilesPerTrigger,
+      required, pushed, checkpointLocation)
+}
+
+/** Streaming face over the landing zone: each trigger picks up files
+  * that appeared since the last one (the Kafka-connect sink cadence —
+  * files are APPENDED, never rewritten, and the two-phase write commit
+  * guarantees a visible file is complete). Offsets are batch ordinals;
+  * the files belonging to each batch are persisted as a tiny log under
+  * the query's checkpoint (`graft-avro-files/<batch>`, one `path\tlen`
+  * line per file, written tmp-then-rename), so a restarted query
+  * REPLAYS an uncommitted batch over exactly the files it originally
+  * contained — exactly-once, the FileStreamSource contract.
+  *
+  * The unified schema is pinned when the stream STARTS (inferSchema
+  * over the files present, or the user's explicit `.schema(...)` —
+  * which is also how a stream starts against a still-empty zone).
+  * Files arriving from KNOWN generations, or from new generations
+  * whose columns project losslessly onto the pinned schema (absent
+  * columns null-fill, widths widen), decode normally; a new generation
+  * whose type CONFLICTS with the pinned schema fails the batch loudly
+  * — re-baseline by restarting the stream, which re-infers.
+  *
+  * Scale posture: per trigger, one small distributed header job over
+  * only the NEW files, then the same sync-marker sub-file splits as
+  * the batch read (a fat straggler file still decodes in parallel).
+  * `maxFilesPerTrigger` bounds a backlogged zone's first batch. */
+private[sources] final class AvroMicroBatchStream(
+    path: String, maxSplitBytes: Option[Long], maxFilesPerTrigger: Option[Int],
+    required: StructType, pushed: Array[Filter], checkpointLocation: String)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+  import org.apache.hadoop.fs.{Path => HPath}
+
+  private val spark = SparkSession.active
+  private val hconf = spark.sparkContext.hadoopConfiguration
+  private val logDir = new HPath(checkpointLocation, "graft-avro-files")
+  // the checkpoint may live on a different filesystem than the data
+  // (hdfs checkpoint over an s3 zone): bind each side to its OWN fs
+  private val logFs = logDir.getFileSystem(hconf)
+
+  // replay state, rebuilt from the log on (re)start: batch ordinal ->
+  // that batch's files; `seen` spans all logged batches
+  private val batches = scala.collection.mutable.TreeMap[Long, Seq[(String, Long)]]()
+  private val seen = scala.collection.mutable.HashSet[String]()
+  locally {
+    logFs.mkdirs(logDir)
+    logFs.listStatus(logDir).toSeq
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("."))
+      .foreach { s =>
+        val id = s.getPath.getName.toLong
+        val in = logFs.open(s.getPath)
+        val text = try {
+          val out = new java.io.ByteArrayOutputStream()
+          org.apache.hadoop.io.IOUtils.copyBytes(in, out, 65536, false)
+          new String(out.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+        } finally in.close()
+        val files = text.split("\n").iterator.filter(_.nonEmpty).map { l =>
+          val t = l.split("\t")
+          (t(0), t(1).toLong)
+        }.toSeq
+        batches.put(id, files)
+        files.foreach { case (f, _) => seen.add(f) }
+      }
+  }
+  private def maxBatch: Long = if (batches.isEmpty) -1L else batches.lastKey
+
+  private def offsetOf(b: Long): Offset = new Offset {
+    override def json(): String = s"""{"batch":$b}"""
+  }
+  private def batchOf(o: Offset): Long = {
+    val j = o.json()
+    val m = """"batch"\s*:\s*(-?\d+)""".r.findFirstMatchIn(j)
+    require(m.isDefined, s"graft-avro stream: malformed offset $j")
+    m.get.group(1).toLong
+  }
+
+  override def initialOffset(): Offset = offsetOf(-1L)
+  override def deserializeOffset(json: String): Offset = {
+    val m = """"batch"\s*:\s*(-?\d+)""".r.findFirstMatchIn(json)
+    require(m.isDefined, s"graft-avro stream: malformed offset $json")
+    offsetOf(m.get.group(1).toLong)
+  }
+
+  override def latestOffset(): Offset = synchronized {
+    // listFilesFor tolerates a zone that does not exist YET (explicit
+    // user schema, writer not live); name-sorted so a capped pickup is
+    // deterministic
+    val unseen = AvroIo.listFilesFor(spark, path)
+      .collect { case (f, len, _) if !seen.contains(f) => (f, len) }
+    val take = maxFilesPerTrigger match {
+      case Some(n) => unseen.take(n.max(1))
+      case None => unseen
+    }
+    if (take.isEmpty) offsetOf(maxBatch)
+    else {
+      val id = maxBatch + 1
+      // tmp-then-rename: a driver killed mid-write must never leave a
+      // half batch log that a restart would replay as truth
+      val tmp = new HPath(logDir, s".${id}.tmp")
+      val out = logFs.create(tmp, true)
+      try out.write(take.map { case (f, l) => s"$f\t$l" }.mkString("\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      val committed = new HPath(logDir, id.toString)
+      require(logFs.rename(tmp, committed),
+        s"graft-avro stream: batch-log commit failed: $tmp -> $committed")
+      batches.put(id, take)
+      take.foreach { case (f, _) => seen.add(f) }
+      offsetOf(id)
+    }
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val (s, e) = (batchOf(start), batchOf(end))
+    if (e <= s) return Array.empty
+    val files = synchronized {
+      batches.rangeImpl(Some(s + 1), Some(e + 1)).values.flatten.toSeq
+    }
+    // every logged batch holds >=1 file, so an empty range here means
+    // the query's offset log and our batch log disagree (a partially
+    // wiped checkpoint) — replaying it as zero rows would be silent
+    // data loss
+    require(files.nonEmpty,
+      s"graft-avro stream: no batch log for offsets ($s, $e] under " +
+        s"$logDir — the checkpoint is missing its file log; " +
+        "start the query from a fresh checkpoint")
+    // one small header job over only this range's files (headers are
+    // deliberately uncached here — see AvroIo.headersFor)
+    val sconf = new org.apache.spark.util.SerializableConfiguration(hconf)
+    val headers = AvroIo.headersFor(spark, files, sconf)
+    val splitBytes = maxSplitBytes
+      .getOrElse(SQLConf.get.filesMaxPartitionBytes).max(1L)
+    headers.flatMap { case (f, len, schemaJson, _) =>
+      (0L until len by splitBytes).map(st =>
+        AvroStreamSplit(f, len, st, math.min(st + splitBytes, len), schemaJson))
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new AvroStreamReaderFactory(required, pushed,
+      new org.apache.spark.util.SerializableConfiguration(hconf))
+
+  override def commit(end: Offset): Unit = () // batch logs ARE the replay record
+  override def stop(): Unit = ()
+}
+
+/** One streaming read task's byte range; carries its file's writer
+  * schema JSON directly (a stream's generations are discovered batch by
+  * batch, so there is no stream-lifetime schema array to index into —
+  * and a handful of KB per task is noise next to the block bytes). */
+private[sources] final case class AvroStreamSplit(
+    path: String, len: Long, start: Long, end: Long, writerJson: String)
+    extends InputPartition
+
+private[sources] final class AvroStreamReaderFactory(
+    target: StructType, pushed: Array[Filter],
+    conf: org.apache.spark.util.SerializableConfiguration)
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val sp = p.asInstanceOf[AvroStreamSplit]
+    val rows = new AvroIo.SplitRows(
+      AvroIo.AvroSplit(sp.path, sp.len, sp.start, sp.end, 0),
+      sp.writerJson, target, conf)
+    val toCatalyst = CatalystTypeConverters.createToCatalystConverter(target)
+    val evs = pushed.flatMap(AvroFilters.compile(_, target))
+    new PartitionReader[InternalRow] {
+      private var cur: InternalRow = _
+      override def next(): Boolean = {
+        while (rows.hasNext) {
+          val r = rows.next()
+          var keep = true
+          var i = 0
+          while (keep && i < evs.length) {
+            if (evs(i)(r) != AvroFilters.True) keep = false
+            i += 1
+          }
+          if (keep) { cur = toCatalyst(r).asInstanceOf[InternalRow]; return true }
+        }
+        false
+      }
+      override def get(): InternalRow = cur
+      override def close(): Unit = rows.close()
+    }
   }
 }
 

@@ -807,6 +807,26 @@ object AvroIo {
   private val headerCache =
     new graft.SessionCache[Seq[(String, Long, String, String)]]
 
+  /** Facades for the streaming face (AvroMicroBatchStream): list a
+    * landing zone's data files and read a specific file batch's writer
+    * schemas. The header read is UNCACHED by design — a micro-batch
+    * reads headers once for only its NEW files, and caching per batch
+    * would accumulate entries for the lifetime of a long-running
+    * stream. */
+  private[sources] def listFilesFor(spark: SparkSession, path: String)
+      : Seq[(String, Long, Long)] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new HPath(path)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) Seq.empty else listDataFiles(fs, path)
+  }
+
+  private[sources] def headersFor(
+      spark: SparkSession, files: Seq[(String, Long)],
+      conf: org.apache.spark.util.SerializableConfiguration)
+      : Seq[(String, Long, String, String)] =
+    fileHeaders(spark, files, conf)
+
   /** (path, len, writer-schema JSON, codec) per data file, cached. */
   private def fileHeadersCached(
       spark: SparkSession, dir: String, files: Seq[(String, Long, Long)],
@@ -1137,6 +1157,42 @@ object AvroIo {
               s"(${unified.fieldNames.mkString(", ")})"))
         df.select(cs.map(org.apache.spark.sql.functions.col): _*)
     }
+  }
+
+  /** Read a landing zone as a STREAM: each trigger picks up the Avro
+    * container files that appeared since the last one and decodes them
+    * with the same machinery as [[readAvro]] (sync-marker sub-file
+    * splits, per-writer resolving decoder, filter/projection pushdown
+    * through the DSv2 face). Exactly-once across restarts: the files
+    * belonging to each micro-batch are logged under the query's
+    * checkpoint, so an uncommitted batch replays over exactly its
+    * original files. The unified schema is pinned at stream start from
+    * the files then present (pass `schema` to start against an empty
+    * zone); later generations project onto it — absent columns
+    * null-fill, widths widen, a conflicting re-type fails the batch
+    * loudly. `maxFilesPerTrigger` bounds a backlogged zone's batches.
+    *
+    * Composes with the existing streaming faces: feed it to
+    * [[graft.streaming.StreamingOps.streamingDriftMonitorRefreshing]]
+    * for continuous drift scoring of the zone, or gate + promote per
+    * micro-batch for a continuously-maintained lake. */
+  def readAvroStream(spark: SparkSession, path: String,
+                     conflicts: PsIO.ConflictPolicy = PsIO.DropConflicts,
+                     maxSplitBytes: Option[Long] = None,
+                     maxFilesPerTrigger: Option[Int] = None,
+                     schema: Option[org.apache.spark.sql.types.StructType] = None)
+      : DataFrame = {
+    var reader = spark.readStream.format(classOf[AvroDataSource].getName)
+      .option(AvroDataSource.ConflictsOption, conflicts match {
+        case PsIO.DropConflicts      => "drop"
+        case PsIO.StringifyConflicts => "stringify"
+      })
+    maxSplitBytes.foreach(b =>
+      reader = reader.option(AvroDataSource.SplitOption, b))
+    maxFilesPerTrigger.foreach(n =>
+      reader = reader.option(AvroDataSource.MaxFilesOption, n))
+    schema.foreach(sc => reader = reader.schema(sc))
+    reader.load(path)
   }
 
   /** The drift ledger for an Avro directory: one row per column seen in

@@ -646,6 +646,55 @@ object StreamingOps {
     * is a gap > `gapMinutes` from the previous event of the same user; the
     * running count of breaks numbers the sessions. One shuffle on user_id;
     * both window functions share the same sort. */
+  /** The CONTINUOUS form of the avro→lake promotion (q_pipeline_lake's
+    * batch composition): gate a streaming landing-zone frame on the
+    * lake contract and route each micro-batch's rows — passing rows
+    * into a hive-partitioned parquet lake, failing rows into a
+    * quarantine relation carrying the FIRST violated rule's name (the
+    * same `reason` the batch pipeline emits).
+    *
+    * Exactly-once by construction: each side is its own streaming
+    * query with Spark's transactional file sink (`_spark_metadata`
+    * commit log), so a retried micro-batch never double-appends. The
+    * price is that the zone is read once per side; the gate is a
+    * stateless projection, so the cost is two decodes of each new file
+    * — the alternative (one query, foreachBatch writing both sides) is
+    * at-least-once on batch retry, the wrong default for a lake.
+    * Callers with decode-bound zones can pre-promote to a single
+    * intermediate stream instead.
+    *
+    * Returns the two running queries (lake, quarantine); stop both to
+    * end the promotion. Checkpoints live under
+    * `checkpointRoot/{lake,quarantine}`. */
+  def streamingLakePromote(
+      zone: DataFrame, rules: Seq[graft.operators.Checks.Rule],
+      lakeDir: String, quarantineDir: String,
+      partitionCols: Seq[String], checkpointRoot: String)
+      : (org.apache.spark.sql.streaming.StreamingQuery,
+         org.apache.spark.sql.streaming.StreamingQuery) = {
+    require(zone.isStreaming, "streamingLakePromote: zone must be a streaming frame")
+    val dataCols = zone.columns.toSeq
+    val flagged = graft.operators.Checks.flag(zone, rules)
+    val flagCols = flagged.columns.filter(c => c.endsWith("_bad") && c != "row_bad").toSeq
+    val good = flagged.filter(!col("row_bad"))
+      .select(dataCols.map(col): _*)
+    // first violated rule in rule order — matches the batch pipeline
+    val reason = flagCols.map(c => when(col(c), lit(c.stripSuffix("_bad"))))
+      .reduce(coalesce(_, _))
+    val bad = flagged.filter(col("row_bad"))
+      .select(dataCols.map(col) :+ reason.as("reason"): _*)
+    val qLake = good.writeStream.format("parquet")
+      .partitionBy(partitionCols: _*)
+      .option("path", lakeDir)
+      .option("checkpointLocation", s"$checkpointRoot/lake")
+      .outputMode(OutputMode.Append).start()
+    val qQuarantine = bad.writeStream.format("parquet")
+      .option("path", quarantineDir)
+      .option("checkpointLocation", s"$checkpointRoot/quarantine")
+      .outputMode(OutputMode.Append).start()
+    (qLake, qQuarantine)
+  }
+
   def sessionizeBatch(events: DataFrame, gapMinutes: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // millisecond integer arithmetic end-to-end: deterministic and

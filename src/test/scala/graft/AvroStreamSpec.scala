@@ -1,0 +1,204 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sources.AvroIo
+
+/** The streaming face of the Avro landing zone (AvroMicroBatchStream):
+  * per-trigger file pickup, exactly-once across restarts via the
+  * checkpointed batch log, generation evolution against the pinned
+  * schema, maxFilesPerTrigger admission, and an empty zone started
+  * from an explicit schema. */
+class AvroStreamSpec extends AnyFunSuite with SparkFixture {
+
+  /** Write `df` as ONE Avro container file named `name` inside `zone` —
+    * the shape a Kafka-connect sink leaves behind, one new file per
+    * flush. */
+  private def landFile(df: DataFrame, zone: String, name: String): Unit = {
+    val t = Files.createTempDirectory("graft-avro-gen").toString + "/w"
+    AvroIo.toAvro(df.coalesce(1), t, codec = None)
+    val f = new java.io.File(t).listFiles()
+      .filter(_.getName.endsWith(".avro")).head
+    new java.io.File(zone).mkdirs()
+    Files.copy(f.toPath, java.nio.file.Paths.get(zone, name)): Unit
+  }
+
+  private def gen1(s: org.apache.spark.sql.SparkSession,
+                   rows: Seq[(Int, String)]): DataFrame = {
+    import s.implicits._
+    rows.toDF("n", "t")
+  }
+  private def gen2(s: org.apache.spark.sql.SparkSession,
+                   rows: Seq[(Long, String, Int)]): DataFrame = {
+    import s.implicits._
+    rows.toDF("n", "t", "x")
+  }
+
+  private def canon(df: DataFrame): Set[(Long, String, Option[Int])] =
+    df.select(col("n").cast("long"), col("t"), col("x"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getInt(2))))
+      .toSet
+
+  test("per-trigger pickup of new generation files == batch read of the zone") {
+    val s = spark
+    val zone = Files.createTempDirectory("graft-avro-zone").toString
+    val out = Files.createTempDirectory("graft-avro-sink").toString
+    val ck = Files.createTempDirectory("graft-avro-ck").toString
+    // both generations present at start, so the pinned unified schema
+    // is (n long — widened, t, x int — null-filled for gen1)
+    landFile(gen1(s, Seq((1, "a"), (2, "b"))), zone, "g1-0.avro")
+    landFile(gen2(s, Seq((100L, "c", 7))), zone, "g2-0.avro")
+    val q = AvroIo.readAvroStream(s, zone)
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ck)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // files from BOTH known generations keep arriving mid-stream;
+      // each projects onto the pinned schema (null-fill + widen)
+      landFile(gen1(s, Seq((3, "d"))), zone, "g1-1.avro")
+      landFile(gen2(s, Seq((200L, "e", 9))), zone, "g2-1.avro")
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = canon(s.read.parquet(out))
+    val batch = canon(AvroIo.readAvro(s, zone))
+    assert(streamed == batch, s"streamed=$streamed batch=$batch")
+    assert(streamed.size == 5)
+  }
+
+  test("restart from checkpoint: uncommitted batches replay, no file read twice") {
+    val s = spark
+    val zone = Files.createTempDirectory("graft-avro-zone").toString
+    val out = Files.createTempDirectory("graft-avro-sink").toString
+    val ck = Files.createTempDirectory("graft-avro-ck").toString
+    landFile(gen1(s, Seq((1, "a"))), zone, "g1-0.avro")
+    landFile(gen2(s, Seq((100L, "b", 5))), zone, "g2-0.avro")
+    def start() = AvroIo.readAvroStream(s, zone)
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ck)
+      .outputMode("append").start()
+    var q = start()
+    try {
+      q.processAllAvailable()
+      q.stop()
+      // files land while the query is DOWN; the restarted query must
+      // pick up exactly these (not re-read the committed ones)
+      landFile(gen1(s, Seq((2, "c"))), zone, "g1-1.avro")
+      q = start()
+      q.processAllAvailable()
+      landFile(gen2(s, Seq((200L, "d", 6))), zone, "g2-1.avro")
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = s.read.parquet(out)
+    // exactly once: set equality with the batch read AND exact row count
+    assert(canon(streamed) == canon(AvroIo.readAvro(s, zone)))
+    assert(streamed.count() == 4L, "a file was dropped or read twice")
+  }
+
+  test("maxFilesPerTrigger bounds each micro-batch; rows exactly once") {
+    val s = spark
+    val zone = Files.createTempDirectory("graft-avro-zone").toString
+    val ck = Files.createTempDirectory("graft-avro-ck").toString
+    (1 to 5).foreach(i =>
+      landFile(gen1(s, Seq((i, s"r$i"))), zone, f"g1-$i%02d.avro"))
+    val perBatch = new java.util.concurrent.ConcurrentHashMap[Long, Seq[Int]]()
+    val q = AvroIo.readAvroStream(s, zone, maxFilesPerTrigger = Some(2))
+      .writeStream
+      .option("checkpointLocation", ck)
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        perBatch.put(id, df.select("n").collect().map(_.getInt(0)).toSeq): Unit
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    import scala.jdk.CollectionConverters._
+    val sizes = perBatch.values.asScala.map(_.size).toSeq.sorted
+    // 5 files at <=2 per trigger: batches of 2,2,1 — never more than 2
+    assert(sizes == Seq(1, 2, 2), s"batch sizes: $sizes")
+    assert(perBatch.values.asScala.flatten.toSeq.sorted == (1 to 5),
+      "admission control dropped or duplicated rows")
+  }
+
+  test("empty zone + explicit schema: stream starts before the writer exists") {
+    val s = spark
+    val root = Files.createTempDirectory("graft-avro-zone").toString
+    val zone = s"$root/not-yet-created"
+    val out = Files.createTempDirectory("graft-avro-sink").toString
+    val ck = Files.createTempDirectory("graft-avro-ck").toString
+    val pinned = StructType(Seq(
+      StructField("n", IntegerType), StructField("t", StringType)))
+    val q = AvroIo.readAvroStream(s, zone, schema = Some(pinned))
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ck)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable() // no zone yet: zero batches, no failure
+      landFile(gen1(s, Seq((1, "first"))), zone, "g1-0.avro")
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = s.read.parquet(out).collect().map(r => (r.getInt(0), r.getString(1)))
+    assert(got.toSeq == Seq((1, "first")))
+  }
+
+  test("streamingLakePromote: dispositions == batch gate, layout is hive-partitioned") {
+    val s = spark
+    import graft.operators.Checks
+    val zone = Files.createTempDirectory("graft-avro-zone").toString
+    val lake = Files.createTempDirectory("graft-lake").toString + "/lake"
+    val quar = Files.createTempDirectory("graft-lake").toString + "/quar"
+    val ck = Files.createTempDirectory("graft-lake-ck").toString
+    // gen2 rows carry x (the partition key is n there too); gate on
+    // x NOT NULL so the gen1 generation (x null-filled) quarantines —
+    // the q_pipeline_lake shape in miniature
+    landFile(gen1(s, Seq((1, "a"), (2, "b"))), zone, "g1-0.avro")
+    landFile(gen2(s, Seq((100L, "c", 7), (101L, "d", 7))), zone, "g2-0.avro")
+    val (qL, qQ) = graft.streaming.StreamingOps.streamingLakePromote(
+      AvroIo.readAvroStream(s, zone), Seq(Checks.NotNull("x")),
+      lake, quar, Seq("x"), ck)
+    try {
+      qL.processAllAvailable(); qQ.processAllAvailable()
+      // more files arrive on BOTH sides of the gate mid-promotion
+      landFile(gen1(s, Seq((3, "e"))), zone, "g1-1.avro")
+      landFile(gen2(s, Seq((200L, "f", 9))), zone, "g2-1.avro")
+      qL.processAllAvailable(); qQ.processAllAvailable()
+    } finally { qL.stop(); qQ.stop() }
+    // lake side: exactly the gen2 rows, physically under x=<val> dirs
+    val lakeRows = s.read.parquet(lake)
+    assert(lakeRows.collect().map(_.getAs[Long]("n")).sorted.toSeq ==
+      Seq(100L, 101L, 200L))
+    val dirs = new java.io.File(lake).listFiles().filter(_.isDirectory)
+      .map(_.getName).filterNot(_.startsWith("_")).sorted.toSeq
+    assert(dirs == Seq("x=7", "x=9"), s"hive layout missing: $dirs")
+    // quarantine side: the gen1 rows, each carrying the violated rule
+    val quarRows = s.read.parquet(quar).collect()
+    assert(quarRows.map(_.getAs[Long]("n")).sorted.toSeq == Seq(1L, 2L, 3L))
+    assert(quarRows.forall(_.getAs[String]("reason") == "not_null_x"))
+    // differential vs the batch gate over the same zone
+    val batchFlagged = Checks.flag(AvroIo.readAvro(s, zone), Seq(Checks.NotNull("x")))
+    assert(batchFlagged.filter(col("row_bad")).count() == 3L)
+    assert(batchFlagged.filter(!col("row_bad")).count() == 3L)
+  }
+
+  test("pushed filters apply per micro-batch (same evaluator as batch)") {
+    val s = spark
+    val zone = Files.createTempDirectory("graft-avro-zone").toString
+    val out = Files.createTempDirectory("graft-avro-sink").toString
+    val ck = Files.createTempDirectory("graft-avro-ck").toString
+    landFile(gen1(s, (1 to 10).map(i => (i, s"r$i"))), zone, "g1-0.avro")
+    val q = AvroIo.readAvroStream(s, zone)
+      .filter(col("n") > 7)
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ck)
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    assert(s.read.parquet(out).collect().map(_.getInt(0)).sorted.toSeq ==
+      Seq(8, 9, 10))
+  }
+}
