@@ -21,7 +21,8 @@ object Registry {
     "ingestion, formats & schema drift (§2.2)" -> Set(
       "q_local", "q_read_csv", "q_read_json", "q_read_npy", "q_read_pickle",
       "q_read_arrow", "q_read_orc", "q_read_avro", "q_read_avro_evolved",
-      "q_read_avro_ts", "q_read_avro_nested", "q_avro_drift_report",
+      "q_read_avro_ts", "q_read_avro_nested", "q_read_avro_filtered",
+      "q_stream_avro", "q_avro_drift_report",
       "q_avro_compact",
       "q_json_quarantine",
       "q_csv_quarantine", "q_materialize", "q_schema_drift",
@@ -92,7 +93,8 @@ object Registry {
       "q_drift_windows", "q_drift_scored", "q_drift_spec"),
     "pipeline compositions (§2.11)" -> Set(
       "q_pipeline", "q_pipeline_audit", "q_pipeline_curate",
-      "q_pipeline_incr", "q_pipeline_lake", "q_pipeline_media",
+      "q_pipeline_incr", "q_pipeline_lake", "q_pipeline_lake_stream",
+      "q_pipeline_media",
       "q_pipeline_release", "q_pipeline_web"),
   )
 
