@@ -10,7 +10,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.util.DateTimeUtils
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsReportStatistics}
 import org.apache.spark.sql.internal.SQLConf
 import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
 import org.apache.spark.sql.types._
@@ -95,9 +95,10 @@ private[sources] final class AvroScanBuilder(
     maxSplitBytes: Option[Long], maxFilesPerTrigger: Option[Int],
     full: StructType)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters {
+    with SupportsPushDownFilters with SupportsPushDownLimit {
   private var required: StructType = full
   private var pushed: Array[Filter] = Array.empty
+  private var limit: Option[Int] = None
   // Catalyst hands back the pruned subset of the full schema (possibly
   // reordered); empty pruning (count-only scans) keeps the narrowest
   // column (by Catalyst defaultSize — an int/long over a nested payload
@@ -121,15 +122,23 @@ private[sources] final class AvroScanBuilder(
     filters
   }
   override def pushedFilters(): Array[Filter] = pushed
+  // Per-task decode cap: a global limit of N needs at most N rows FROM
+  // EACH partition, so every split stops decoding (and seeking blocks)
+  // once it has emitted N. Returning false keeps Spark's own limit
+  // above the scan — this is an early-termination saving, not a
+  // semantics change. Catalyst only pushes a limit when no Filter
+  // stands between it and the scan, so the cap never under-delivers
+  // rows a residual predicate would still need to sieve.
+  override def pushLimit(n: Int): Boolean = { limit = Some(n); false }
   override def build(): Scan =
     new AvroScan(path, conflicts, maxSplitBytes, maxFilesPerTrigger,
-      required, pushed)
+      required, pushed, limit)
 }
 
 private[sources] final class AvroScan(
     path: String, conflicts: PsIO.ConflictPolicy,
     maxSplitBytes: Option[Long], maxFilesPerTrigger: Option[Int],
-    required: StructType, pushed: Array[Filter])
+    required: StructType, pushed: Array[Filter], limit: Option[Int])
     extends Scan with Batch with SupportsReportStatistics {
 
   // planned once per scan, driver-side; the header job behind planRead
@@ -141,7 +150,8 @@ private[sources] final class AvroScan(
   override def description(): String =
     s"GraftAvroScan $path columns=[${required.fieldNames.mkString(", ")}]" +
       (if (pushed.isEmpty) ""
-       else s" PushedFilters=[${pushed.mkString(", ")}]")
+       else s" PushedFilters=[${pushed.mkString(", ")}]") +
+      limit.map(n => s" PushedLimit=$n").getOrElse("")
   override def toBatch: Batch = this
 
   override def planInputPartitions(): Array[InputPartition] = {
@@ -150,7 +160,7 @@ private[sources] final class AvroScan(
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new AvroPartitionReaderFactory(plan.genJsons, required, pushed,
+    new AvroPartitionReaderFactory(plan.genJsons, required, pushed, limit,
       new org.apache.spark.util.SerializableConfiguration(
         SparkSession.active.sparkContext.hadoopConfiguration))
 
@@ -351,6 +361,7 @@ private[sources] final class AvroStreamReaderFactory(
 
 private[sources] final class AvroPartitionReaderFactory(
     genJsons: Array[String], target: StructType, pushed: Array[Filter],
+    limit: Option[Int],
     conf: org.apache.spark.util.SerializableConfiguration)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
@@ -362,9 +373,14 @@ private[sources] final class AvroPartitionReaderFactory(
     // every conjunct stays residual, but defensively) just doesn't
     // skip — correctness lives in the residual Filter above the scan
     val evs = pushed.flatMap(AvroFilters.compile(_, target))
+    val cap = limit.getOrElse(Int.MaxValue)
     new PartitionReader[InternalRow] {
       private var cur: InternalRow = _
+      private var emitted = 0
       override def next(): Boolean = {
+        // a global limit of N needs at most N rows from each partition:
+        // stop decoding (and close the stream) once this task emitted N
+        if (emitted >= cap) { rows.close(); return false }
         while (rows.hasNext) {
           val r = rows.next()
           // the residual Filter keeps a row iff every conjunct is TRUE,
@@ -375,7 +391,11 @@ private[sources] final class AvroPartitionReaderFactory(
             if (evs(i)(r) != AvroFilters.True) keep = false
             i += 1
           }
-          if (keep) { cur = toCatalyst(r).asInstanceOf[InternalRow]; return true }
+          if (keep) {
+            cur = toCatalyst(r).asInstanceOf[InternalRow]
+            emitted += 1
+            return true
+          }
         }
         false
       }

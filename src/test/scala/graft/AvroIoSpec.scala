@@ -577,6 +577,32 @@ class AvroIoSpec extends AnyFunSuite with SparkFixture {
     assert(e.getMessage.contains("unsupported union"))
   }
 
+  test("limit pushdown: per-task decode cap, limit preserved above the scan") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp()
+    AvroIo.toAvro((1 to 900).map(i => (i, s"row-$i")).toDF("n", "p")
+      .repartition(3), dir, codec = None)
+    val limited = AvroIo.readAvro(s, dir).limit(5)
+    val scans = graft.plans.PlanLint.physicalPlan(limited).collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    assert(scans.head.scan.description().contains("PushedLimit=5"))
+    // Spark's own limit stays above the scan (pushLimit returns false),
+    // so the cap is an early-termination saving, never a row-count change
+    assert(limited.count() == 5L)
+    assert(AvroIo.readAvro(s, dir).limit(5000).count() == 900L)
+    // a filter between limit and scan blocks the limit pushdown (the
+    // residual sieve must see every decoded row), while the filter
+    // itself still pushes
+    val both = AvroIo.readAvro(s, dir).filter($"n" > 100).limit(5)
+    val d = graft.plans.PlanLint.physicalPlan(both).collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.head.scan.description()
+    assert(d.contains("PushedFilters=[") && !d.contains("PushedLimit"))
+    assert(both.count() == 5L)
+  }
+
   test("filter pushdown: every pushed shape differentials against in-memory eval") {
     val s = spark
     import s.implicits._

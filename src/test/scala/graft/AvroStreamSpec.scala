@@ -186,6 +186,51 @@ class AvroStreamSpec extends AnyFunSuite with SparkFixture {
     assert(batchFlagged.filter(!col("row_bad")).count() == 3L)
   }
 
+  test("composition: streaming zone feeds the drift monitor; closed windows == batch bins") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.Drift
+    import graft.streaming.StreamingOps
+    val zone = Files.createTempDirectory("graft-avro-zone").toString
+    val ck = Files.createTempDirectory("graft-avro-ck").toString
+    def hourFile(hour: Int, vals: Seq[Double], name: String): Unit =
+      landFile(
+        vals.zipWithIndex.map { case (v, i) => (hour * 3600L * 1000000L + i, v) }
+          .toDF("us", "value")
+          .select(timestamp_micros(col("us")).as("ts"), col("value")),
+        zone, name)
+    hourFile(0, Seq(1.0, 9.0, 2.0), "h0.avro")
+    val batchSpec = Drift.resolve(
+      AvroIo.readAvro(s, zone), Seq(Drift.NumericDim("value", Seq(5.0))))
+    val exprs = Drift.exprsFromSpec(batchSpec)
+    val q = StreamingOps.streamingDriftBins(
+        AvroIo.readAvroStream(s, zone), exprs, "1 hour", "0 seconds")
+      .writeStream.format("memory").queryName("avro_drift_sink")
+      .option("checkpointLocation", ck).outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // a later file pushes the watermark past hour 0, closing it
+      hourFile(2, Seq(7.0), "h2.avro")
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = s.table("avro_drift_sink")
+      .select(unix_timestamp(col("window_start")).as("w"), col("column"),
+        col("bin"), col("cur_n"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSet
+    // batch face over the SAME zone (watermark is a no-op in batch),
+    // restricted to the window the stream closed
+    val batch = StreamingOps.streamingDriftBins(
+        AvroIo.readAvro(s, zone), exprs, "1 hour", "0 seconds")
+      .select(unix_timestamp(col("window_start")).as("w"), col("column"),
+        col("bin"), col("cur_n"))
+      .filter(col("w") === 0L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSet
+    assert(streamed == batch, s"streamed=$streamed batch=$batch")
+    assert(streamed.nonEmpty)
+  }
+
   test("pushed filters apply per micro-batch (same evaluator as batch)") {
     val s = spark
     val zone = Files.createTempDirectory("graft-avro-zone").toString
