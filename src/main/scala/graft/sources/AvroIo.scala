@@ -584,7 +584,16 @@ object AvroIo {
     * any merge rule would be a silent lie; producers needing per-batch
     * metadata should keep it in a sidecar (or a column), not in
     * container headers that compaction/re-sharding legitimately
-    * rewrites. */
+    * rewrites.
+    *
+    * Interaction with [[readAvroStream]]: compact into a DIFFERENT
+    * directory (`outDir != inDir`, which this method requires anyway)
+    * and retire the fragmented zone only after draining its streams. A
+    * stream logs batches by file path, so deleting small files out
+    * from under an UNCOMMITTED batch makes its replay fail loudly
+    * (never silently short) — committed batches are unaffected. A
+    * stream started on the compacted zone re-reads everything; offsets
+    * do not transfer across a compaction because the files are new. */
   def compactAvro(spark: SparkSession, inDir: String, outDir: String,
                   targetBytes: Long = 128L << 20): Int = {
     require(targetBytes > 0, s"compactAvro: non-positive targetBytes $targetBytes")
