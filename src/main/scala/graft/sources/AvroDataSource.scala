@@ -8,7 +8,11 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.CatalystTypeConverters
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.util.DateTimeUtils
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.hadoop.fs.{Path => HPath}
+
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.write.{DataWriter, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsReportStatistics}
 import org.apache.spark.sql.internal.SQLConf
@@ -73,21 +77,163 @@ object AvroDataSource {
   val ConflictsOption = "conflicts"
   val SplitOption = "maxSplitBytes"
   val MaxFilesOption = "maxFilesPerTrigger"
+  val CodecOption = "codec"
 }
 
 private[sources] final class AvroTable(
     path: String, conflicts: PsIO.ConflictPolicy,
     maxSplitBytes: Option[Long], maxFilesPerTrigger: Option[Int],
     tableSchema: StructType)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"graft-avro $path"
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.MICRO_BATCH_READ)
+      TableCapability.MICRO_BATCH_READ, TableCapability.STREAMING_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new AvroScanBuilder(path, conflicts, maxSplitBytes, maxFilesPerTrigger,
       tableSchema)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new AvroWriteBuilder(path, info)
+}
+
+private[sources] final class AvroWriteBuilder(path: String, info: LogicalWriteInfo)
+    extends WriteBuilder {
+  override def build(): Write = new Write {
+    // batch writes stay on AvroIo.toAvro's job-level two-phase commit;
+    // this face is the STREAMING sink (toBatch's default throws)
+    override def toStreaming: StreamingWrite = {
+      val deflate = info.options.getOrDefault(AvroDataSource.CodecOption,
+        "deflate") match {
+        case "deflate" => true
+        case "none" | "null" => false
+        case other => throw new IllegalArgumentException(
+          s"graft-avro sink: unsupported codec '$other' (deflate|none)")
+      }
+      new AvroStreamingWrite(path, info.schema(), deflate)
+    }
+  }
+}
+
+/** Streaming SINK for the landing zone — the engine-side version of
+  * what a Kafka-connect Avro sink does: each epoch's rows land as one
+  * container file per partition. Exactly-once across failures and
+  * restarts by construction:
+  *
+  *  - tasks write dot-prefixed attempt files (invisible to
+  *    [[AvroIo.readAvro]]'s listing) and name them by epoch+partition;
+  *  - the driver commit renames attempts to DETERMINISTIC visible
+  *    names (`part-e<epoch>-p<partition>.avro`) and then writes an
+  *    epoch marker under `_graft_commits/` (tmp-then-rename);
+  *  - a replayed epoch whose marker exists discards its attempts
+  *    wholesale; a replay after a crash MID-commit first deletes the
+  *    prior execution's partial `part-e<epoch>-*` files, so exactly
+  *    one execution's files ever win — replays may repartition, and
+  *    mixing two executions' partitions would duplicate or lose rows.
+  *
+  * The only reader-visible anomaly is the crash window between a
+  * partial commit and its replay, during which a scan can see a prefix
+  * of that epoch's files — the same window every non-manifest file
+  * sink has; the marker log makes it heal deterministically. */
+private[sources] final class AvroStreamingWrite(
+    path: String, schema: StructType, deflate: Boolean)
+    extends StreamingWrite {
+  private val avroJson = AvroIo.avroJsonFor(schema) // loud on bad types, driver-side
+  private val conf = new org.apache.spark.util.SerializableConfiguration(
+    SparkSession.active.sparkContext.hadoopConfiguration)
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo)
+      : StreamingDataWriterFactory =
+    new AvroStreamingWriterFactory(path, schema, avroJson, deflate, conf)
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val zone = new HPath(path)
+    val fs = zone.getFileSystem(conf.value)
+    val marker = new HPath(new HPath(zone, "_graft_commits"), epochId.toString)
+    val attempts = messages.collect {
+      case m: AvroEpochFileMessage if m.attempt != null => m
+    }
+    if (fs.exists(marker)) {
+      // post-commit replay: the epoch is already durable — this
+      // execution's files are duplicates by definition
+      attempts.foreach { m =>
+        val p = new HPath(m.attempt)
+        if (fs.exists(p)) fs.delete(p, false): Unit
+      }
+      return
+    }
+    if (fs.exists(zone)) {
+      // crash-mid-commit replay: remove the prior execution's partial
+      // output wholesale (see scaladoc — executions may repartition)
+      fs.listStatus(zone)
+        .filter(s => s.isFile && s.getPath.getName.startsWith(s"part-e$epochId-"))
+        .foreach(s => fs.delete(s.getPath, false): Unit)
+    }
+    attempts.foreach { m =>
+      val src = new HPath(m.attempt)
+      val dst = new HPath(zone, f"part-e$epochId-p${m.partition}%05d.avro")
+      require(fs.rename(src, dst),
+        s"graft-avro sink: epoch-commit rename failed: $src -> $dst")
+    }
+    // sweep this epoch's orphaned attempts (speculative losers, tasks
+    // killed between create and task-commit) before they accumulate
+    if (fs.exists(zone)) {
+      fs.listStatus(zone)
+        .filter(s => s.isFile && s.getPath.getName.startsWith(s".attempt-e$epochId-"))
+        .foreach(s => fs.delete(s.getPath, false): Unit)
+    }
+    fs.mkdirs(marker.getParent)
+    val tmpMarker = new HPath(marker.getParent, s".$epochId.tmp")
+    fs.create(tmpMarker, true).close()
+    require(fs.rename(tmpMarker, marker) || fs.exists(marker),
+      s"graft-avro sink: marker commit failed for epoch $epochId")
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new HPath(path).getFileSystem(conf.value)
+    messages.foreach {
+      case m: AvroEpochFileMessage if m.attempt != null =>
+        val p = new HPath(m.attempt)
+        if (fs.exists(p)) fs.delete(p, false): Unit
+      case _ => ()
+    }
+  }
+}
+
+/** attempt == null marks an empty partition (no file created). */
+private[sources] final case class AvroEpochFileMessage(
+    attempt: String, partition: Int) extends WriterCommitMessage
+
+private[sources] final class AvroStreamingWriterFactory(
+    path: String, schema: StructType, avroJson: String, deflate: Boolean,
+    conf: org.apache.spark.util.SerializableConfiguration)
+    extends StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
+      : DataWriter[InternalRow] =
+    new DataWriter[InternalRow] {
+      private val fromCatalyst =
+        CatalystTypeConverters.createToScalaConverter(schema)
+      // lazy-create: an empty partition must not litter the zone with
+      // zero-row container files every trigger
+      private var w: AvroIo.AvroRowFileWriter = _
+      private var attempt: HPath = _
+      override def write(r: InternalRow): Unit = {
+        if (w == null) {
+          attempt = new HPath(path,
+            f".attempt-e$epochId-p$partitionId%05d-t$taskId.avro")
+          w = new AvroIo.AvroRowFileWriter(schema, avroJson, attempt,
+            conf.value, deflate)
+        }
+        w.append(fromCatalyst(r).asInstanceOf[Row])
+      }
+      override def commit(): WriterCommitMessage = {
+        if (w != null) w.close()
+        AvroEpochFileMessage(if (attempt == null) null else attempt.toString,
+          partitionId)
+      }
+      override def abort(): Unit = if (w != null) w.abort()
+      override def close(): Unit = ()
+    }
 }
 
 private[sources] final class AvroScanBuilder(

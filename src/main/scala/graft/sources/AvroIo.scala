@@ -816,6 +816,49 @@ object AvroIo {
   private val headerCache =
     new graft.SessionCache[Seq[(String, Long, String, String)]]
 
+  /** The Avro record-schema JSON for a Spark schema — the write-side
+    * mapping [[toAvro]] uses, exposed for the streaming sink
+    * (AvroStreamingWrite builds it once on the driver and ships the
+    * JSON). Fails loudly on unsupported Spark types. */
+  private[sources] def avroJsonFor(schema: StructType): String =
+    toAvroSchema(schema, "row").toString
+
+  /** One container file on the zone filesystem, appended row by row —
+    * the per-task body of the STREAMING sink. Same schema mapping and
+    * converters as [[toAvro]]'s task body; lifecycle (create/commit/
+    * abort paths) belongs to the caller. */
+  private[sources] final class AvroRowFileWriter(
+      sparkSchema: StructType, avroJson: String, dest: HPath,
+      conf: org.apache.hadoop.conf.Configuration, deflate: Boolean) {
+    private val schema = new Schema.Parser().parse(avroJson)
+    private val fs = dest.getFileSystem(conf)
+    private val os = fs.create(dest, true)
+    private val w = {
+      val dw = new DataFileWriter[GenericRecord](
+        new GenericDatumWriter[GenericRecord](schema))
+      if (deflate) dw.setCodec(CodecFactory.deflateCodec(6))
+      try dw.create(schema, os)
+      catch { case e: Throwable => os.close(); throw e }
+    }
+    private val convs = sparkSchema.fields.zip(schema.getFields.asScala).map {
+      case (f, af) => sparkToAvro(f.dataType, nonNullBranch(af.schema())._1)
+    }
+    def append(row: Row): Unit = {
+      val rec = new GenericData.Record(schema)
+      var j = 0
+      while (j < convs.length) {
+        rec.put(j, convs(j)(row.get(j)))
+        j += 1
+      }
+      w.append(rec)
+    }
+    def close(): Unit = w.close() // closes the stream too
+    def abort(): Unit = {
+      try w.close() catch { case _: Throwable => () }
+      if (fs.exists(dest)) fs.delete(dest, false): Unit
+    }
+  }
+
   /** Facades for the streaming face (AvroMicroBatchStream): list a
     * landing zone's data files and read a specific file batch's writer
     * schemas. The header read is UNCACHED by design — a micro-batch
@@ -1202,6 +1245,28 @@ object AvroIo {
       reader = reader.option(AvroDataSource.MaxFilesOption, n))
     schema.foreach(sc => reader = reader.schema(sc))
     reader.load(path)
+  }
+
+  /** Write a streaming frame INTO a landing zone — the engine-side
+    * version of a Kafka-connect Avro sink: one container file per
+    * (epoch, partition), deterministic names, exactly-once across
+    * restarts via dot-prefixed attempts + an epoch marker log under
+    * `_graft_commits/` (see AvroStreamingWrite for the protocol). The
+    * zone it produces is exactly what [[readAvro]], [[readAvroStream]],
+    * [[avroSchemaDrift]], and [[compactAvro]] consume — a query's
+    * schema change across restarts simply lands as a new writer-schema
+    * generation for the read lattice to unify.
+    *
+    * Returns the configured writer; set a trigger/outputMode if needed
+    * and `.start()` it. Append mode only (a landing zone is
+    * append-only by definition). */
+  def avroStreamWriter(df: DataFrame, path: String,
+                       codec: Option[String] = Some("deflate"))
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(df.isStreaming, "AvroIo.avroStreamWriter: df must be a streaming frame")
+    df.writeStream.format(classOf[AvroDataSource].getName)
+      .option("path", path)
+      .option(AvroDataSource.CodecOption, codec.map(_.toLowerCase).getOrElse("none"))
   }
 
   /** The drift ledger for an Avro directory: one row per column seen in
