@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Streaming Avro source scale probe: what does the micro-batch face
+  * cost over the one-shot batch read, and how does admission control
+  * shape a backlogged zone's drain?
+  *
+  *  1. backlog drain: a zone of `files` container files consumed by
+  *     ONE readAvroStream query (processAllAvailable, noop foreachBatch
+  *     forcing) vs the batch readAvro of the same zone — the delta is
+  *     the streaming machinery's overhead (per-trigger listing, batch
+  *     logs, per-batch header jobs, micro-batch planning);
+  *  2. admission control: the same drain at maxFilesPerTrigger
+  *     bounds — many small batches pay the per-trigger floor more
+  *     often, the price of bounded batch sizes on a backlog;
+  *  3. steady state: per-trigger wall for one new file against an
+  *     already-drained zone (the monitoring cadence that matters in
+  *     production — it must be file-proportional, not zone-
+  *     proportional).
+  *
+  * {{{ SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt "runMain graft.AvroStreamProbe" }}}
+  */
+object AvroStreamProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import org.apache.spark.sql.functions.col
+
+    val zone = "/root/repo/target/tmp/avro_stream_probe_zone"
+    val rep = sys.env.getOrElse("SPARK_GRAFT_AVRO_PROBE_REP", "4").toInt
+    val files = sys.env.getOrElse("SPARK_GRAFT_AVRO_PROBE_FILES", "128").toInt
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice",
+        "l_returnflag", "l_shipdate")
+    graft.sources.AvroIo.toAvro(
+      Seq.fill(rep)(li).reduce(_ unionAll _).repartition(files), zone,
+      codec = None)
+    val zoneMb = new java.io.File(zone).listFiles()
+      .filter(_.getName.endsWith(".avro")).map(_.length()).sum / 1e6
+    println(f"[streamprobe] zone files=$files total=$zoneMb%.1f MB rep=$rep")
+
+    def drain(label: String, maxFiles: Option[Int]): Double = {
+      val ck = java.nio.file.Files
+        .createTempDirectory("graft-stream-probe-ck").toString
+      val t0 = System.nanoTime()
+      val q = graft.sources.AvroIo
+        .readAvroStream(spark, zone, maxFilesPerTrigger = maxFiles)
+        .writeStream
+        .option("checkpointLocation", ck)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          BenchForce.force(df)
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[streamprobe] $label%-34s $sec%6.2f s")
+      sec
+    }
+
+    // batch reference (min of 3, same forcing)
+    val batch = (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      BenchForce.force(graft.sources.AvroIo.readAvro(spark, zone))
+      (System.nanoTime() - t0) / 1e9
+    }.min
+    println(f"[streamprobe] ${"batch readAvro (one shot)"}%-34s $batch%6.2f s")
+
+    val oneBatch = drain("stream drain (one micro-batch)", None)
+    val capped16 = drain("stream drain (16 files/trigger)", Some(16))
+
+    // steady state: one new file against the drained zone
+    val ck = java.nio.file.Files
+      .createTempDirectory("graft-stream-probe-ck").toString
+    val q = graft.sources.AvroIo.readAvroStream(spark, zone)
+      .writeStream.option("checkpointLocation", ck)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        BenchForce.force(df)
+      }
+      .start()
+    val steady = try {
+      q.processAllAvailable() // drain the backlog first
+      graft.sources.AvroIo.toAvro(
+        li.filter(col("l_orderkey") < 1000).coalesce(1),
+        zone + "_one", codec = None)
+      val f = new java.io.File(zone + "_one").listFiles()
+        .filter(_.getName.endsWith(".avro")).head
+      java.nio.file.Files.copy(f.toPath,
+        java.nio.file.Paths.get(zone, "late-arrival.avro"))
+      val t0 = System.nanoTime()
+      q.processAllAvailable()
+      (System.nanoTime() - t0) / 1e9
+    } finally q.stop()
+    println(f"[streamprobe] ${"steady state: one late file"}%-34s $steady%6.2f s")
+
+    println(f"""{"metric":"avro_stream_probe","zone_mb":$zoneMb%.1f,""" +
+      f""""files":$files,"batch_s":$batch%.2f,"drain_s":$oneBatch%.2f,""" +
+      f""""drain_capped16_s":$capped16%.2f,""" +
+      f""""stream_overhead":${oneBatch / batch}%.2f,""" +
+      f""""steady_one_file_s":$steady%.2f}""")
+    spark.stop()
+  }
+}

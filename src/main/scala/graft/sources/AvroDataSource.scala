@@ -461,7 +461,13 @@ private[sources] final class AvroMicroBatchStream(
     new AvroStreamReaderFactory(required, pushed,
       new org.apache.spark.util.SerializableConfiguration(hconf))
 
-  override def commit(end: Offset): Unit = () // batch logs ARE the replay record
+  // Batch logs are never pruned: they are BOTH the replay record for
+  // uncommitted batches AND the seen-file set a restart rebuilds —
+  // pruning would re-ingest old files as new. Cost is bounded by data,
+  // not time: a log is written only on a trigger that found new files,
+  // so the log dir is O(total files ever ingested) — the same order as
+  // the zone's own listing.
+  override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 }
 
