@@ -90,9 +90,16 @@ object AvroStreamProbe {
         zone + "_one", codec = None)
       val f = new java.io.File(zone + "_one").listFiles()
         .filter(_.getName.endsWith(".avro")).head
-      java.nio.file.Files.copy(f.toPath,
-        java.nio.file.Paths.get(zone, "late-arrival.avro"))
+      // land the file ATOMICALLY (dot-name copy, then rename) and only
+      // AFTER the timer starts: a continuously-triggering query could
+      // otherwise list a half-copied file, or fully process the file
+      // before t0 and time a no-op
+      val hidden = java.nio.file.Paths.get(zone, ".late-arrival.avro.staged")
+      java.nio.file.Files.copy(f.toPath, hidden)
       val t0 = System.nanoTime()
+      java.nio.file.Files.move(hidden,
+        java.nio.file.Paths.get(zone, "late-arrival.avro"),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       q.processAllAvailable()
       (System.nanoTime() - t0) / 1e9
     } finally q.stop()

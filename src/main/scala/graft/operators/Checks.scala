@@ -105,6 +105,14 @@ object Checks {
     }
   }
 
+  /** The exact flag-column names [[flag]] generates for `rules`, in
+    * rule order — for callers that route on the flags (e.g. the
+    * streaming lake promotion's quarantine `reason`) and must not
+    * guess by suffix: user data may legally carry its own `*_bad`
+    * columns, which flag() deliberately leaves alone. */
+  private[graft] def flagColumnNames(rules: Seq[Rule]): Seq[String] =
+    flagNames(rules)
+
   /** ROW-level face: append one boolean `<rule>_<column>_bad` flag per
     * row-local rule plus a combined `row_bad`, leaving rows in place —
     * the routing form (send `row_bad` to quarantine, the rest onward)

@@ -110,7 +110,10 @@ private[sources] final class AvroWriteBuilder(path: String, info: LogicalWriteIn
         case other => throw new IllegalArgumentException(
           s"graft-avro sink: unsupported codec '$other' (deflate|none)")
       }
-      new AvroStreamingWrite(path, info.schema(), deflate)
+      // the STABLE streaming query id (persisted in the checkpoint, so
+      // restarts of the same query share it while a fresh checkpoint
+      // gets a new one) — it namespaces the epoch protocol below
+      new AvroStreamingWrite(path, info.queryId(), info.schema(), deflate)
     }
   }
 }
@@ -121,22 +124,33 @@ private[sources] final class AvroWriteBuilder(path: String, info: LogicalWriteIn
   * restarts by construction:
   *
   *  - tasks write dot-prefixed attempt files (invisible to
-  *    [[AvroIo.readAvro]]'s listing) and name them by epoch+partition;
+  *    [[AvroIo.readAvro]]'s listing) named by query+epoch+partition;
   *  - the driver commit renames attempts to DETERMINISTIC visible
-  *    names (`part-e<epoch>-p<partition>.avro`) and then writes an
-  *    epoch marker under `_graft_commits/` (tmp-then-rename);
+  *    names (`part-q<queryId>-e<epoch>-p<partition>.avro`) and then
+  *    writes an epoch marker under `_graft_commits/<queryId>/`
+  *    (tmp-then-rename);
   *  - a replayed epoch whose marker exists discards its attempts
   *    wholesale; a replay after a crash MID-commit first deletes the
-  *    prior execution's partial `part-e<epoch>-*` files, so exactly
-  *    one execution's files ever win — replays may repartition, and
-  *    mixing two executions' partitions would duplicate or lose rows.
+  *    prior execution's partial files for that (query, epoch), so
+  *    exactly one execution's files ever win — replays may
+  *    repartition, and mixing two executions' partitions would
+  *    duplicate or lose rows.
   *
-  * The only reader-visible anomaly is the crash window between a
-  * partial commit and its replay, during which a scan can see a prefix
-  * of that epoch's files — the same window every non-manifest file
-  * sink has; the marker log makes it heal deterministically. */
+  * Everything is namespaced by the STABLE streaming query id: epochs
+  * restart at 0 for every fresh checkpoint, so without the namespace a
+  * second query (or a re-checkpointed restart) writing the same zone
+  * would collide with the first one's markers — silently discarding
+  * its own epochs as "already committed" or deleting the other query's
+  * files as "partial". With it, any number of producers can share a
+  * zone, exactly like multiple Kafka-connect sinks do.
+  *
+  * Readers never see an uncommitted epoch: [[AvroIo]]'s listing drops
+  * sink-pattern files whose (queryId, epoch) marker is absent, so the
+  * crash window between a partial commit and its replay is invisible
+  * to scans and the replay's delete-and-redo touches only files no
+  * reader has listed. */
 private[sources] final class AvroStreamingWrite(
-    path: String, schema: StructType, deflate: Boolean)
+    path: String, queryId: String, schema: StructType, deflate: Boolean)
     extends StreamingWrite {
   private val avroJson = AvroIo.avroJsonFor(schema) // loud on bad types, driver-side
   private val conf = new org.apache.spark.util.SerializableConfiguration(
@@ -144,12 +158,14 @@ private[sources] final class AvroStreamingWrite(
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
       : StreamingDataWriterFactory =
-    new AvroStreamingWriterFactory(path, schema, avroJson, deflate, conf)
+    new AvroStreamingWriterFactory(path, queryId, schema, avroJson, deflate, conf)
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val zone = new HPath(path)
     val fs = zone.getFileSystem(conf.value)
-    val marker = new HPath(new HPath(zone, "_graft_commits"), epochId.toString)
+    val marker = new HPath(
+      new HPath(new HPath(zone, AvroIo.SinkCommitsDir), queryId),
+      epochId.toString)
     val attempts = messages.collect {
       case m: AvroEpochFileMessage if m.attempt != null => m
     }
@@ -166,12 +182,14 @@ private[sources] final class AvroStreamingWrite(
       // crash-mid-commit replay: remove the prior execution's partial
       // output wholesale (see scaladoc — executions may repartition)
       fs.listStatus(zone)
-        .filter(s => s.isFile && s.getPath.getName.startsWith(s"part-e$epochId-"))
+        .filter(s => s.isFile &&
+          s.getPath.getName.startsWith(s"part-q$queryId-e$epochId-"))
         .foreach(s => fs.delete(s.getPath, false): Unit)
     }
     attempts.foreach { m =>
       val src = new HPath(m.attempt)
-      val dst = new HPath(zone, f"part-e$epochId-p${m.partition}%05d.avro")
+      val dst = new HPath(zone,
+        f"part-q$queryId-e$epochId-p${m.partition}%05d.avro")
       require(fs.rename(src, dst),
         s"graft-avro sink: epoch-commit rename failed: $src -> $dst")
     }
@@ -179,7 +197,8 @@ private[sources] final class AvroStreamingWrite(
     // killed between create and task-commit) before they accumulate
     if (fs.exists(zone)) {
       fs.listStatus(zone)
-        .filter(s => s.isFile && s.getPath.getName.startsWith(s".attempt-e$epochId-"))
+        .filter(s => s.isFile &&
+          s.getPath.getName.startsWith(s".attempt-q$queryId-e$epochId-"))
         .foreach(s => fs.delete(s.getPath, false): Unit)
     }
     fs.mkdirs(marker.getParent)
@@ -205,7 +224,8 @@ private[sources] final case class AvroEpochFileMessage(
     attempt: String, partition: Int) extends WriterCommitMessage
 
 private[sources] final class AvroStreamingWriterFactory(
-    path: String, schema: StructType, avroJson: String, deflate: Boolean,
+    path: String, queryId: String, schema: StructType, avroJson: String,
+    deflate: Boolean,
     conf: org.apache.spark.util.SerializableConfiguration)
     extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
@@ -220,7 +240,7 @@ private[sources] final class AvroStreamingWriterFactory(
       override def write(r: InternalRow): Unit = {
         if (w == null) {
           attempt = new HPath(path,
-            f".attempt-e$epochId-p$partitionId%05d-t$taskId.avro")
+            f".attempt-q$queryId-e$epochId-p$partitionId%05d-t$taskId.avro")
           w = new AvroIo.AvroRowFileWriter(schema, avroJson, attempt,
             conf.value, deflate)
         }
@@ -348,8 +368,10 @@ private[sources] final class AvroScan(
 private[sources] final class AvroMicroBatchStream(
     path: String, maxSplitBytes: Option[Long], maxFilesPerTrigger: Option[Int],
     required: StructType, pushed: Array[Filter], checkpointLocation: String)
-    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
-  import org.apache.spark.sql.connector.read.streaming.Offset
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit, ReadMaxFiles}
   import org.apache.hadoop.fs.{Path => HPath}
 
   private val spark = SparkSession.active
@@ -402,34 +424,85 @@ private[sources] final class AvroMicroBatchStream(
     offsetOf(m.get.group(1).toLong)
   }
 
-  override def latestOffset(): Offset = synchronized {
-    // listFilesFor tolerates a zone that does not exist YET (explicit
-    // user schema, writer not live); name-sorted so a capped pickup is
-    // deterministic
-    val unseen = AvroIo.listFilesFor(spark, path)
+  /** Durably assign the next batch ordinal to `files` (tmp-then-rename:
+    * a driver killed mid-write must never leave a half batch log that a
+    * restart would replay as truth). Caller holds the lock. */
+  private def logBatch(files: Seq[(String, Long)]): Unit = {
+    val id = maxBatch + 1
+    val tmp = new HPath(logDir, s".${id}.tmp")
+    val out = logFs.create(tmp, true)
+    try out.write(files.map { case (f, l) => s"$f\t$l" }.mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val committed = new HPath(logDir, id.toString)
+    require(logFs.rename(tmp, committed),
+      s"graft-avro stream: batch-log commit failed: $tmp -> $committed")
+    batches.put(id, files)
+    files.foreach { case (f, _) => seen.add(f) }
+  }
+
+  // listFilesFor tolerates a zone that does not exist YET (explicit
+  // user schema, writer not live); name-sorted so a capped pickup is
+  // deterministic
+  private def unseenFiles(): Seq[(String, Long)] =
+    AvroIo.listFilesFor(spark, path)
       .collect { case (f, len, _) if !seen.contains(f) => (f, len) }
-    val take = maxFilesPerTrigger match {
-      case Some(n) => unseen.take(n.max(1))
-      case None => unseen
-    }
-    if (take.isEmpty) offsetOf(maxBatch)
+
+  // ---- admission control (SupportsAdmissionControl) -----------------
+  // The cap must live here, not in a no-arg latestOffset: the engine's
+  // Trigger.AvailableNow machinery captures the full backlog target via
+  // reportLatestOffset and then drains it through latestOffset(start,
+  // limit) one capped batch per trigger — a cap hidden inside a no-arg
+  // latestOffset would make AvailableNow stop after ONE capped batch.
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxFilesPerTrigger.map(n => ReadLimit.maxFiles(n.max(1)))
+      .getOrElse(ReadLimit.allAvailable())
+
+  /** The target offset were everything visible ingested now: logs every
+    * currently-unseen file in cap-sized batches (logging is the
+    * "remembered" state, not processing — exactly-once is unaffected)
+    * and returns the last ordinal. */
+  override def reportLatestOffset(): Offset = synchronized {
+    val cap = maxFilesPerTrigger.map(_.max(1)).getOrElse(Int.MaxValue)
+    unseenFiles().grouped(cap).foreach(logBatch)
+    offsetOf(maxBatch)
+  }
+
+  // Trigger.AvailableNow: the engine consults the source DIRECTLY when
+  // it implements SupportsTriggerAvailableNow (the wrapper it applies
+  // otherwise returns the whole captured backlog as ONE batch,
+  // bypassing admission control). prepare() snapshots the backlog into
+  // cap-sized logged batches; latestOffset then steps through them one
+  // per trigger and stops at the snapshot — files landing mid-run stay
+  // logged-or-unseen for the next run.
+  private var availableNowTarget: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit = synchronized {
+    val cap = maxFilesPerTrigger.map(_.max(1)).getOrElse(Int.MaxValue)
+    unseenFiles().grouped(cap).foreach(logBatch)
+    availableNowTarget = Some(maxBatch)
+  }
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = synchronized {
+    val startB = batchOf(start)
+    val ceiling = availableNowTarget.getOrElse(Long.MaxValue)
+    if (startB >= ceiling) offsetOf(startB) // available-now snapshot drained
+    else if (maxBatch > startB) // drain pre-logged batches one per trigger
+      offsetOf(math.min(startB + 1, math.min(maxBatch, ceiling)))
     else {
-      val id = maxBatch + 1
-      // tmp-then-rename: a driver killed mid-write must never leave a
-      // half batch log that a restart would replay as truth
-      val tmp = new HPath(logDir, s".${id}.tmp")
-      val out = logFs.create(tmp, true)
-      try out.write(take.map { case (f, l) => s"$f\t$l" }.mkString("\n")
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
-      val committed = new HPath(logDir, id.toString)
-      require(logFs.rename(tmp, committed),
-        s"graft-avro stream: batch-log commit failed: $tmp -> $committed")
-      batches.put(id, take)
-      take.foreach { case (f, _) => seen.add(f) }
-      offsetOf(id)
+      val cap = limit match {
+        case m: ReadMaxFiles => m.maxFiles()
+        case _ => Int.MaxValue
+      }
+      val take = unseenFiles().take(cap)
+      if (take.nonEmpty) logBatch(take)
+      offsetOf(maxBatch)
     }
   }
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "graft-avro stream: latestOffset(Offset, ReadLimit) is the entry point")
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val (s, e) = (batchOf(start), batchOf(end))
@@ -485,29 +558,11 @@ private[sources] final class AvroStreamReaderFactory(
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val sp = p.asInstanceOf[AvroStreamSplit]
-    val rows = new AvroIo.SplitRows(
-      AvroIo.AvroSplit(sp.path, sp.len, sp.start, sp.end, 0),
-      sp.writerJson, target, conf)
-    val toCatalyst = CatalystTypeConverters.createToCatalystConverter(target)
-    val evs = pushed.flatMap(AvroFilters.compile(_, target))
-    new PartitionReader[InternalRow] {
-      private var cur: InternalRow = _
-      override def next(): Boolean = {
-        while (rows.hasNext) {
-          val r = rows.next()
-          var keep = true
-          var i = 0
-          while (keep && i < evs.length) {
-            if (evs(i)(r) != AvroFilters.True) keep = false
-            i += 1
-          }
-          if (keep) { cur = toCatalyst(r).asInstanceOf[InternalRow]; return true }
-        }
-        false
-      }
-      override def get(): InternalRow = cur
-      override def close(): Unit = rows.close()
-    }
+    new AvroRowPartitionReader(
+      new AvroIo.SplitRows(
+        AvroIo.AvroSplit(sp.path, sp.len, sp.start, sp.end, 0),
+        sp.writerJson, target, conf),
+      target, pushed, Int.MaxValue)
   }
 }
 
@@ -518,43 +573,51 @@ private[sources] final class AvroPartitionReaderFactory(
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val sp = p.asInstanceOf[AvroIo.AvroSplit]
-    val rows = new AvroIo.SplitRows(sp, genJsons(sp.schemaIdx), target, conf)
-    val toCatalyst = CatalystTypeConverters.createToCatalystConverter(target)
-    // compiled once per task against the rows' actual layout; a pushed
-    // conjunct whose column fell out of `target` (cannot happen while
-    // every conjunct stays residual, but defensively) just doesn't
-    // skip — correctness lives in the residual Filter above the scan
-    val evs = pushed.flatMap(AvroFilters.compile(_, target))
-    val cap = limit.getOrElse(Int.MaxValue)
-    new PartitionReader[InternalRow] {
-      private var cur: InternalRow = _
-      private var emitted = 0
-      override def next(): Boolean = {
-        // a global limit of N needs at most N rows from each partition:
-        // stop decoding (and close the stream) once this task emitted N
-        if (emitted >= cap) { rows.close(); return false }
-        while (rows.hasNext) {
-          val r = rows.next()
-          // the residual Filter keeps a row iff every conjunct is TRUE,
-          // so skipping on FALSE *or* UNKNOWN matches it exactly
-          var keep = true
-          var i = 0
-          while (keep && i < evs.length) {
-            if (evs(i)(r) != AvroFilters.True) keep = false
-            i += 1
-          }
-          if (keep) {
-            cur = toCatalyst(r).asInstanceOf[InternalRow]
-            emitted += 1
-            return true
-          }
-        }
-        false
-      }
-      override def get(): InternalRow = cur
-      override def close(): Unit = rows.close()
-    }
+    new AvroRowPartitionReader(
+      new AvroIo.SplitRows(sp, genJsons(sp.schemaIdx), target, conf),
+      target, pushed, limit.getOrElse(Int.MaxValue))
   }
+}
+
+/** The ONE filter-skipping, limit-capped reader over a split's rows —
+  * shared by the batch and streaming scan paths so the decode-time
+  * skip (whose exactness the whole pushdown design rests on) cannot
+  * drift between them. */
+private[sources] final class AvroRowPartitionReader(
+    rows: AvroIo.SplitRows, target: StructType, pushed: Array[Filter],
+    cap: Int) extends PartitionReader[InternalRow] {
+  private val toCatalyst = CatalystTypeConverters.createToCatalystConverter(target)
+  // compiled once per task against the rows' actual layout; a pushed
+  // conjunct whose column fell out of `target` (cannot happen while
+  // every conjunct stays residual, but defensively) just doesn't
+  // skip — correctness lives in the residual Filter above the scan
+  private val evs = pushed.flatMap(AvroFilters.compile(_, target))
+  private var cur: InternalRow = _
+  private var emitted = 0
+  override def next(): Boolean = {
+    // a global limit of N needs at most N rows from each partition:
+    // stop decoding (and close the stream) once this task emitted N
+    if (emitted >= cap) { rows.close(); return false }
+    while (rows.hasNext) {
+      val r = rows.next()
+      // the residual Filter keeps a row iff every conjunct is TRUE,
+      // so skipping on FALSE *or* UNKNOWN matches it exactly
+      var keep = true
+      var i = 0
+      while (keep && i < evs.length) {
+        if (evs(i)(r) != AvroFilters.True) keep = false
+        i += 1
+      }
+      if (keep) {
+        cur = toCatalyst(r).asInstanceOf[InternalRow]
+        emitted += 1
+        return true
+      }
+    }
+    false
+  }
+  override def get(): InternalRow = cur
+  override def close(): Unit = rows.close()
 }
 
 /** Exact three-valued (SQL Kleene) evaluation of pushed source filters

@@ -451,10 +451,10 @@ object AvroIo {
     var jobCompleted = false
     var jobStarted = false
     try {
+      val deflate = codecName.contains("deflate")
       val writeRdd = df.rdd.mapPartitionsWithIndex { (i, rows) =>
         if (rows.isEmpty) Iterator.empty
         else {
-          val schema = new Schema.Parser().parse(avroJson)
           val tc = org.apache.spark.TaskContext.get()
           val attemptTag =
             if (tc == null) "local" else tc.taskAttemptId().toString
@@ -462,28 +462,11 @@ object AvroIo {
           // dot prefix: an orphaned attempt file (task died between
           // create and rename) stays invisible to readAvro's filter
           val attempt = new HPath(tmpStr, f".attempt-$attemptTag-part-$i%05d.avro")
-          val os = fs.create(attempt, true)
-          val w = new DataFileWriter[GenericRecord](
-            new GenericDatumWriter[GenericRecord](schema))
-          if (codecName.contains("deflate")) w.setCodec(CodecFactory.deflateCodec(6))
-          w.create(schema, os)
-          // per-field converters built once per task (the java8API
-          // session flag surfaces time values as java.time instead of
-          // java.sql — sparkToAvro accepts both, same payloads)
-          val convs = sparkSchema.fields.zip(schema.getFields.asScala).map {
-            case (f, af) => sparkToAvro(f.dataType, nonNullBranch(af.schema())._1)
-          }
-          try {
-            rows.foreach { row =>
-              val rec = new GenericData.Record(schema)
-              var j = 0
-              while (j < convs.length) {
-                rec.put(j, convs(j)(row.get(j)))
-                j += 1
-              }
-              w.append(rec)
-            }
-          } finally w.close() // closes the stream too
+          // one shared task body with the streaming sink (schema parse,
+          // codec, per-field converters, record fill, stream lifecycle)
+          val w = new AvroRowFileWriter(sparkSchema, avroJson, attempt,
+            conf.value, deflate)
+          try rows.foreach(w.append) finally w.close()
           // task-commit: HDFS/object-store rename refuses to overwrite,
           // so under speculation/retry exactly one attempt publishes
           // part-$i. A false return is a benign lost race ONLY when the
@@ -744,15 +727,44 @@ object AvroIo {
     * name-sorted. mtime rides along solely for the header-cache
     * signature: a file REPLACED in place at the same length must not
     * serve a stale cached schema. */
+  /** The streaming sink's epoch-marker log directory (underscore
+    * prefix: never listed as data) and the visible file-name shape it
+    * commits. A sink-pattern file is DATA only once its (queryId,
+    * epoch) marker exists — so a crash between a partial epoch commit
+    * and its replay is invisible to every reader, and the replay's
+    * delete-and-redo touches only files no reader has listed. */
+  private[sources] val SinkCommitsDir = "_graft_commits"
+  private val SinkFileName = "part-q(.+)-e(\\d+)-p\\d+\\.avro".r
+
   private def listDataFiles(fs: FileSystem, path: String): Seq[(String, Long, Long)] = {
     val p = new HPath(path)
     val all =
       if (fs.getFileStatus(p).isDirectory) fs.listStatus(p).toSeq
       else Seq(fs.getFileStatus(p))
-    all.filter(s => s.isFile && s.getLen > 0 &&
+    val files = all.filter(s => s.isFile && s.getLen > 0 &&
         !s.getPath.getName.startsWith(".") &&
         !s.getPath.getName.startsWith("_"))
-      .map(s => (s.getPath.toString, s.getLen, s.getModificationTime)).sortBy(_._1)
+    // marker gate for streaming-sink files; non-sink names (toAvro
+    // parts, foreign producers) are unconditionally visible
+    val gated =
+      if (!files.exists(s => SinkFileName.pattern.matcher(s.getPath.getName).matches))
+        files
+      else {
+        val commitsRoot = new HPath(p, SinkCommitsDir)
+        val committed: Set[(String, Long)] =
+          if (!fs.exists(commitsRoot)) Set.empty
+          else fs.listStatus(commitsRoot).filter(_.isDirectory).flatMap { qd =>
+            fs.listStatus(qd.getPath).filter(_.isFile)
+              .flatMap(m => m.getPath.getName.toLongOption
+                .map(e => (qd.getPath.getName, e)))
+          }.toSet
+        files.filter(s => s.getPath.getName match {
+          case SinkFileName(qid, epoch) => committed((qid, epoch.toLong))
+          case _ => true
+        })
+      }
+    gated.map(s => (s.getPath.toString, s.getLen, s.getModificationTime))
+      .sortBy(_._1)
   }
 
   /** Every file's embedded writer schema, read DISTRIBUTEDLY (header
@@ -840,6 +852,9 @@ object AvroIo {
       try dw.create(schema, os)
       catch { case e: Throwable => os.close(); throw e }
     }
+    // per-field converters built once per writer (the java8API session
+    // flag surfaces time values as java.time instead of java.sql —
+    // sparkToAvro accepts both, same payloads)
     private val convs = sparkSchema.fields.zip(schema.getFields.asScala).map {
       case (f, af) => sparkToAvro(f.dataType, nonNullBranch(af.schema())._1)
     }

@@ -673,9 +673,13 @@ object StreamingOps {
       : (org.apache.spark.sql.streaming.StreamingQuery,
          org.apache.spark.sql.streaming.StreamingQuery) = {
     require(zone.isStreaming, "streamingLakePromote: zone must be a streaming frame")
+    require(rules.nonEmpty, "streamingLakePromote: at least one contract rule")
     val dataCols = zone.columns.toSeq
     val flagged = graft.operators.Checks.flag(zone, rules)
-    val flagCols = flagged.columns.filter(c => c.endsWith("_bad") && c != "row_bad").toSeq
+    // the EXACT generated names, from the module that generated them —
+    // a suffix heuristic would misroute user data that legally carries
+    // its own *_bad columns
+    val flagCols = graft.operators.Checks.flagColumnNames(rules)
     val good = flagged.filter(!col("row_bad"))
       .select(dataCols.map(col): _*)
     // first violated rule in rule order — matches the batch pipeline

@@ -207,16 +207,94 @@ class AvroStreamSpec extends AnyFunSuite with SparkFixture {
     val back = AvroIo.readAvro(s, zone).collect()
       .map(r => (r.getInt(0), r.getString(1))).sorted.toSeq
     assert(back == Seq((1, "a"), (2, "b"), (3, "c")))
-    // deterministic epoch-partition names, no attempt litter (local-fs
-    // .crc checksum sidecars are dot-prefixed and reader-invisible,
-    // like every dot file), and the marker log records each epoch
+    // deterministic query-epoch-partition names, no attempt litter
+    // (local-fs .crc checksum sidecars are dot-prefixed and
+    // reader-invisible, like every dot file), and the per-query marker
+    // log records each epoch
     val files = new java.io.File(zone).listFiles().filter(_.isFile).map(_.getName)
     assert(files.filterNot(_.startsWith("."))
-      .forall(_.matches("part-e\\d+-p\\d{5}\\.avro")), files.mkString(","))
+      .forall(_.matches("part-q.+-e\\d+-p\\d{5}\\.avro")), files.mkString(","))
     assert(!files.exists(_.startsWith(".attempt")))
-    val markers = new java.io.File(zone, "_graft_commits").listFiles()
+    val queryDirs = new java.io.File(zone, "_graft_commits").listFiles()
+      .filter(_.isDirectory)
+    assert(queryDirs.length == 1)
+    val markers = queryDirs.head.listFiles()
       .map(_.getName).filterNot(_.startsWith(".")).sorted.toSeq
     assert(markers == Seq("0", "1"), s"markers: $markers")
+  }
+
+  test("two producers on one zone: fresh-checkpoint epochs never collide") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val zone = Files.createTempDirectory("graft-avro-sinkzone").toString + "/zone"
+    // producer A commits ITS epoch 0, then stops for good
+    val inputA = MemoryStream[(Int, String)]
+    val qA = AvroIo.avroStreamWriter(inputA.toDF().toDF("n", "t"), zone,
+        codec = None)
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-avro-sink-ck").toString).start()
+    try { inputA.addData((1, "a")); qA.processAllAvailable() } finally qA.stop()
+    // producer B — a DIFFERENT query with a FRESH checkpoint — also
+    // starts at epoch 0 on the same zone; without the query-id
+    // namespace its epoch-0 commit would see A's marker and silently
+    // discard B's rows (or delete A's committed file as "partial")
+    val inputB = MemoryStream[(Int, String)]
+    val qB = AvroIo.avroStreamWriter(inputB.toDF().toDF("n", "t"), zone,
+        codec = None)
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-avro-sink-ck").toString).start()
+    try { inputB.addData((2, "b")); qB.processAllAvailable() } finally qB.stop()
+    val back = AvroIo.readAvro(s, zone).collect()
+      .map(r => (r.getInt(0), r.getString(1))).sorted.toSeq
+    assert(back == Seq((1, "a"), (2, "b")),
+      s"producer epochs collided on the shared zone: $back")
+  }
+
+  test("uncommitted sink epochs are invisible to readers until their marker lands") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val zone = Files.createTempDirectory("graft-avro-sinkzone").toString + "/zone"
+    val input = MemoryStream[(Int, String)]
+    val q = AvroIo.avroStreamWriter(input.toDF().toDF("n", "t"), zone,
+        codec = None)
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-avro-sink-ck").toString).start()
+    try { input.addData((1, "a"), (2, "b")); q.processAllAvailable() }
+    finally q.stop()
+    // simulate a crash mid-commit: the epoch's marker vanishes while
+    // its part files remain — readers must treat those files as not
+    // yet data (the sink's replay will delete and re-commit them)
+    val qdir = new java.io.File(zone, "_graft_commits").listFiles()
+      .filter(_.isDirectory).head
+    qdir.listFiles().foreach(f => assert(f.delete()))
+    val e = intercept[IllegalArgumentException](AvroIo.readAvro(s, zone))
+    assert(e.getMessage.contains("no files"),
+      s"reader saw an uncommitted epoch: ${e.getMessage}")
+  }
+
+  test("Trigger.AvailableNow + maxFilesPerTrigger drains the WHOLE backlog capped") {
+    val s = spark
+    val zone = Files.createTempDirectory("graft-avro-zone").toString
+    val ck = Files.createTempDirectory("graft-avro-ck").toString
+    (1 to 5).foreach(i =>
+      landFile(gen1(s, Seq((i, s"r$i"))), zone, f"g1-$i%02d.avro"))
+    val perBatch = new java.util.concurrent.ConcurrentHashMap[Long, Seq[Int]]()
+    val q = AvroIo.readAvroStream(s, zone, maxFilesPerTrigger = Some(2))
+      .writeStream
+      .option("checkpointLocation", ck)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        perBatch.put(id, df.select("n").collect().map(_.getInt(0)).toSeq): Unit
+      }
+      .start()
+    assert(q.awaitTermination(120000), "AvailableNow drain did not finish")
+    import scala.jdk.CollectionConverters._
+    val sizes = perBatch.values.asScala.map(_.size).toSeq.sorted
+    assert(sizes == Seq(1, 2, 2),
+      s"AvailableNow must drain the full backlog in capped batches: $sizes")
+    assert(perBatch.values.asScala.flatten.toSeq.sorted == (1 to 5))
   }
 
   test("streaming sink restart: replayed epochs do not duplicate rows") {
