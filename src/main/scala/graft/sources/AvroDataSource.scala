@@ -459,36 +459,40 @@ private[sources] final class AvroMicroBatchStream(
     maxFilesPerTrigger.map(n => ReadLimit.maxFiles(n.max(1)))
       .getOrElse(ReadLimit.allAvailable())
 
-  /** The target offset were everything visible ingested now: logs every
-    * currently-unseen file in cap-sized batches (logging is the
-    * "remembered" state, not processing — exactly-once is unaffected)
-    * and returns the last ordinal. */
-  override def reportLatestOffset(): Offset = synchronized {
-    val cap = maxFilesPerTrigger.map(_.max(1)).getOrElse(Int.MaxValue)
-    unseenFiles().grouped(cap).foreach(logBatch)
-    offsetOf(maxBatch)
-  }
+  /** Progress-metrics face: the latest LOGGED ordinal, side-effect
+    * free. The engine calls this every trigger for reporting — it must
+    * not list the zone (a second LIST per trigger on an object store)
+    * nor durably log anything (the first call against a 100k-file
+    * backlog would stall the trigger on thousands of checkpoint
+    * writes). All logging happens in latestOffset/prepare. */
+  override def reportLatestOffset(): Offset = synchronized(offsetOf(maxBatch))
 
   // Trigger.AvailableNow: the engine consults the source DIRECTLY when
   // it implements SupportsTriggerAvailableNow (the wrapper it applies
   // otherwise returns the whole captured backlog as ONE batch,
-  // bypassing admission control). prepare() snapshots the backlog into
-  // cap-sized logged batches; latestOffset then steps through them one
-  // per trigger and stops at the snapshot — files landing mid-run stay
-  // logged-or-unseen for the next run.
-  private var availableNowTarget: Option[Long] = None
+  // bypassing admission control). prepare() snapshots the backlog's
+  // FILE LIST in memory, chunked at the cap; latestOffset then logs
+  // one chunk per trigger (one checkpoint write per trigger — never an
+  // eager thousands-of-writes sweep) and reports drained when the
+  // snapshot is spent — files landing mid-run wait for the next run.
+  private var availableNowMode = false
+  private var pendingSnapshot: List[Seq[(String, Long)]] = Nil
   override def prepareForTriggerAvailableNow(): Unit = synchronized {
     val cap = maxFilesPerTrigger.map(_.max(1)).getOrElse(Int.MaxValue)
-    unseenFiles().grouped(cap).foreach(logBatch)
-    availableNowTarget = Some(maxBatch)
+    pendingSnapshot = unseenFiles().grouped(cap).toList
+    availableNowMode = true
   }
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = synchronized {
     val startB = batchOf(start)
-    val ceiling = availableNowTarget.getOrElse(Long.MaxValue)
-    if (startB >= ceiling) offsetOf(startB) // available-now snapshot drained
-    else if (maxBatch > startB) // drain pre-logged batches one per trigger
-      offsetOf(math.min(startB + 1, math.min(maxBatch, ceiling)))
+    if (maxBatch > startB) offsetOf(startB + 1) // drain logged batches one per trigger
+    else if (availableNowMode) pendingSnapshot match {
+      case next :: rest =>
+        logBatch(next)
+        pendingSnapshot = rest
+        offsetOf(maxBatch)
+      case Nil => offsetOf(startB) // snapshot drained: report no new data
+    }
     else {
       val cap = limit match {
         case m: ReadMaxFiles => m.maxFiles()

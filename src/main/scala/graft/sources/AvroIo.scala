@@ -738,9 +738,8 @@ object AvroIo {
 
   private def listDataFiles(fs: FileSystem, path: String): Seq[(String, Long, Long)] = {
     val p = new HPath(path)
-    val all =
-      if (fs.getFileStatus(p).isDirectory) fs.listStatus(p).toSeq
-      else Seq(fs.getFileStatus(p))
+    val isDir = fs.getFileStatus(p).isDirectory
+    val all = if (isDir) fs.listStatus(p).toSeq else Seq(fs.getFileStatus(p))
     val files = all.filter(s => s.isFile && s.getLen > 0 &&
         !s.getPath.getName.startsWith(".") &&
         !s.getPath.getName.startsWith("_"))
@@ -750,7 +749,9 @@ object AvroIo {
       if (!files.exists(s => SinkFileName.pattern.matcher(s.getPath.getName).matches))
         files
       else {
-        val commitsRoot = new HPath(p, SinkCommitsDir)
+        // markers live beside the data files — for a DIRECT file path
+        // that is the file's parent directory, not the file itself
+        val commitsRoot = new HPath(if (isDir) p else p.getParent, SinkCommitsDir)
         val committed: Set[(String, Long)] =
           if (!fs.exists(commitsRoot)) Set.empty
           else fs.listStatus(commitsRoot).filter(_.isDirectory).flatMap { qd =>
@@ -1282,6 +1283,44 @@ object AvroIo {
     df.writeStream.format(classOf[AvroDataSource].getName)
       .option("path", path)
       .option(AvroDataSource.CodecOption, codec.map(_.toLowerCase).getOrElse("none"))
+  }
+
+  /** Zone maintenance for streaming-sink litter: delete (a) dot-prefixed
+    * attempt files and (b) sink-pattern files whose (queryId, epoch)
+    * marker is absent — both reader-INVISIBLE already, but they consume
+    * storage forever when their producer died for good (a crashed query
+    * restarted from a fresh checkpoint gets a NEW queryId, so nothing
+    * ever replays the old id's partial epochs). `olderThanMs` is the
+    * safety margin against a LIVE producer's in-flight epoch: a healthy
+    * commit follows its task writes within one trigger, so anything
+    * unmarked and older than the margin is abandoned. Returns the
+    * number of files deleted. Run it beside [[compactAvro]] on the
+    * maintenance cadence. */
+  def vacuumAvro(spark: SparkSession, path: String,
+                 olderThanMs: Long = 24L * 3600 * 1000): Int = {
+    require(olderThanMs >= 0, s"AvroIo.vacuumAvro: negative margin $olderThanMs")
+    val p = new HPath(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p) || !fs.getFileStatus(p).isDirectory) return 0
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    val commitsRoot = new HPath(p, SinkCommitsDir)
+    val committed: Set[(String, Long)] =
+      if (!fs.exists(commitsRoot)) Set.empty
+      else fs.listStatus(commitsRoot).filter(_.isDirectory).flatMap { qd =>
+        fs.listStatus(qd.getPath).filter(_.isFile)
+          .flatMap(m => m.getPath.getName.toLongOption
+            .map(e => (qd.getPath.getName, e)))
+      }.toSet
+    val doomed = fs.listStatus(p).filter(s => s.isFile &&
+        s.getModificationTime < cutoff && {
+      val n = s.getPath.getName
+      n.startsWith(".attempt-") || (n match {
+        case SinkFileName(qid, epoch) => !committed((qid, epoch.toLong))
+        case _ => false
+      })
+    })
+    doomed.foreach(s => fs.delete(s.getPath, false): Unit)
+    doomed.length
   }
 
   /** The drift ledger for an Avro directory: one row per column seen in

@@ -682,8 +682,12 @@ object StreamingOps {
     val flagCols = graft.operators.Checks.flagColumnNames(rules)
     val good = flagged.filter(!col("row_bad"))
       .select(dataCols.map(col): _*)
-    // first violated rule in rule order — matches the batch pipeline
-    val reason = flagCols.map(c => when(col(c), lit(c.stripSuffix("_bad"))))
+    // first violated rule in rule order — matches the batch pipeline's
+    // flag-name-minus-_bad convention; duplicate same-family rules get
+    // positionally suffixed flags (matches_email_bad_2), so the _bad
+    // strips as an infix there (matches_email_2), never survives
+    val reason = flagCols.map(c =>
+      when(col(c), lit(c.replaceFirst("_bad(_\\d+)?$", "$1"))))
       .reduce(coalesce(_, _))
     val bad = flagged.filter(col("row_bad"))
       .select(dataCols.map(col) :+ reason.as("reason"): _*)

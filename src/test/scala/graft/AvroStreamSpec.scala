@@ -274,6 +274,40 @@ class AvroStreamSpec extends AnyFunSuite with SparkFixture {
       s"reader saw an uncommitted epoch: ${e.getMessage}")
   }
 
+  test("a committed sink file reads by its DIRECT path; vacuum sweeps abandoned litter") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val zone = Files.createTempDirectory("graft-avro-sinkzone").toString + "/zone"
+    val input = MemoryStream[(Int, String)]
+    val q = AvroIo.avroStreamWriter(input.toDF().toDF("n", "t"), zone,
+        codec = None)
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-avro-sink-ck").toString).start()
+    try { input.addData((1, "a")); q.processAllAvailable() } finally q.stop()
+    // the marker lookup must anchor at the file's PARENT for a direct
+    // file path — a committed epoch file is a valid standalone read
+    val part = new java.io.File(zone).listFiles()
+      .filter(f => f.isFile && f.getName.startsWith("part-")).head
+    assert(AvroIo.readAvro(s, part.toString).collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSeq == Seq((1, "a")))
+    // plant abandoned litter from a dead query id: an unmarked epoch
+    // file and an orphaned attempt, both stale
+    val deadPart = new java.io.File(zone, "part-qdead-e0-p00000.avro")
+    val deadAttempt = new java.io.File(zone, ".attempt-qdead-e1-p00000-t3.avro")
+    java.nio.file.Files.copy(part.toPath, deadPart.toPath)
+    java.nio.file.Files.copy(part.toPath, deadAttempt.toPath)
+    assert(deadPart.setLastModified(System.currentTimeMillis() - 48L * 3600 * 1000))
+    assert(deadAttempt.setLastModified(System.currentTimeMillis() - 48L * 3600 * 1000))
+    // too young under a huge margin: nothing deleted
+    assert(AvroIo.vacuumAvro(s, zone, olderThanMs = 7L * 24 * 3600 * 1000) == 0)
+    // default 24h margin: exactly the two stale litter files go; the
+    // committed file stays and still reads
+    assert(AvroIo.vacuumAvro(s, zone) == 2)
+    assert(!deadPart.exists() && !deadAttempt.exists())
+    assert(AvroIo.readAvro(s, zone).count() == 1L)
+  }
+
   test("Trigger.AvailableNow + maxFilesPerTrigger drains the WHOLE backlog capped") {
     val s = spark
     val zone = Files.createTempDirectory("graft-avro-zone").toString
