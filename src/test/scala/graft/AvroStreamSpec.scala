@@ -387,6 +387,44 @@ class AvroStreamSpec extends AnyFunSuite with SparkFixture {
     } finally producer.stop()
   }
 
+  test("end to end: producer sink -> landing zone -> continuous lake promotion") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import graft.operators.Checks
+    val zone = Files.createTempDirectory("graft-avro-e2e").toString + "/zone"
+    val lake = Files.createTempDirectory("graft-avro-e2e").toString + "/lake"
+    val quar = Files.createTempDirectory("graft-avro-e2e").toString + "/quar"
+    // the whole continuous loop in one process: an upstream query
+    // PRODUCES the landing zone through the exactly-once sink while a
+    // downstream promotion CONSUMES it through the streaming source,
+    // gates, and routes — no batch job anywhere
+    val input = MemoryStream[(Long, String, Option[Int])]
+    val producer = AvroIo.avroStreamWriter(
+      input.toDF().toDF("n", "t", "x"), zone, codec = None)
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-e2e-ck").toString).start()
+    try {
+      input.addData((1L, "a", Some(7)), (2L, "b", None))
+      producer.processAllAvailable()
+      val (qL, qQ) = graft.streaming.StreamingOps.streamingLakePromote(
+        AvroIo.readAvroStream(s, zone), Seq(Checks.NotNull("x")),
+        lake, quar, Seq("x"),
+        Files.createTempDirectory("graft-e2e-ck").toString)
+      try {
+        qL.processAllAvailable(); qQ.processAllAvailable()
+        input.addData((3L, "c", Some(9)), (4L, "d", None))
+        producer.processAllAvailable()
+        qL.processAllAvailable(); qQ.processAllAvailable()
+      } finally { qL.stop(); qQ.stop() }
+    } finally producer.stop()
+    assert(s.read.parquet(lake).collect().map(_.getAs[Long]("n")).sorted.toSeq ==
+      Seq(1L, 3L), "gated rows missing from the continuously-promoted lake")
+    val q = s.read.parquet(quar).collect()
+    assert(q.map(_.getAs[Long]("n")).sorted.toSeq == Seq(2L, 4L))
+    assert(q.forall(_.getAs[String]("reason") == "not_null_x"))
+  }
+
   test("composition: streaming zone feeds the drift monitor; closed windows == batch bins") {
     val s = spark
     import s.implicits._
