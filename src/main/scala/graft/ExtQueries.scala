@@ -2879,6 +2879,17 @@ object ExtQueries {
       s.read.parquet(AvroStreamSinkDir).orderBy("n_nationkey")
     }),
 
+    // the exactly-once streaming SINK plus zone maintenance: nation
+    // lands as two micro-batch epochs of query-namespaced container
+    // files, dead-producer litter is vacuumed, and the zone reads back
+    // as exactly the input relation — proving the epoch commit
+    // protocol and that maintenance removes only litter, never data
+    "q_avro_sink" -> ((s, dir) => {
+      avroSinkFixture(s, dir)
+      graft.sources.AvroIo.readAvro(s, AvroSinkZoneDir)
+        .orderBy("n_nationkey")
+    }),
+
     // the CONTINUOUS lake promotion: the same contract gate and
     // dispositions as q_pipeline_lake, but run per micro-batch through
     // two exactly-once file sinks (hive-partitioned lake + quarantine
@@ -2963,6 +2974,7 @@ object ExtQueries {
   val AvroLakeQuarantineDir = "/root/repo/target/tmp/nation_avro_lake_q"
   val AvroCompactDir = "/root/repo/target/tmp/nation_avro_compact"
   val AvroStreamSinkDir = "/root/repo/target/tmp/nation_avro_streamed"
+  val AvroSinkZoneDir = "/root/repo/target/tmp/nation_avro_sink_zone"
   val AvroLakeStreamDir = "/root/repo/target/tmp/nation_avro_lake_stream"
   val AvroLakeStreamQuarantineDir = "/root/repo/target/tmp/nation_avro_lake_stream_q"
 
@@ -3163,6 +3175,55 @@ object ExtQueries {
       try q.processAllAvailable() finally q.stop()
     })
   }
+
+  /** PRODUCE a landing zone through the exactly-once streaming sink
+    * once per process (q_avro_sink reads it back): nation rows arrive
+    * as two micro-batches from a memory stream, land as
+    * query-namespaced epoch files, then planted stale litter from a
+    * dead producer (an unmarked epoch file + an orphaned attempt) is
+    * vacuumed — so the green compare proves the sink's commit protocol
+    * lands exactly the input rows AND that maintenance removes only
+    * litter, never data. */
+  private def avroSinkFixture(s: SparkSession, dir: String): Unit =
+    fixturesDone.computeIfAbsent(s"avrosink:$dir", _ => {
+      rmTree(AvroSinkZoneDir)
+      implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val rows = s.read.parquet(s"$dir/nation.parquet")
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getInt(2)))
+        .sortBy(_._1)
+      val input = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Int, String, Int)]
+      val q = graft.sources.AvroIo.avroStreamWriter(
+        input.toDF().toDF("n_nationkey", "n_name", "n_regionkey"),
+        AvroSinkZoneDir, codec = None)
+        .option("checkpointLocation", java.nio.file.Files
+          .createTempDirectory("graft-avro-sink-q-ck").toString)
+        .start()
+      try {
+        val (h1, h2) = rows.splitAt(rows.length / 2)
+        input.addData(h1.toSeq)
+        q.processAllAvailable()
+        input.addData(h2.toSeq)
+        q.processAllAvailable()
+      } finally q.stop()
+      // dead-producer litter: unmarked epoch file + orphaned attempt,
+      // stale enough to clear the vacuum margin
+      val zone = new java.io.File(AvroSinkZoneDir)
+      val part = zone.listFiles().filter(f =>
+        f.isFile && f.getName.startsWith("part-")).head
+      val stale = System.currentTimeMillis() - 48L * 3600 * 1000
+      Seq("part-qdead-e0-p00000.avro", ".attempt-qdead-e1-p00000-t9.avro")
+        .foreach { n =>
+          val f = new java.io.File(zone, n)
+          java.nio.file.Files.copy(part.toPath, f.toPath)
+          require(f.setLastModified(stale), s"avroSinkFixture: mtime on $f")
+        }
+      require(graft.sources.AvroIo.vacuumAvro(s, AvroSinkZoneDir) == 2,
+        "avroSinkFixture: vacuum must remove exactly the planted litter")
+    })
 
   /** The CONTINUOUS avro→lake promotion run bounded once per process
     * (q_pipeline_lake_stream reads both sinks back): same zone, same
@@ -5204,6 +5265,11 @@ object ExtQueries {
       """SELECT n_nationkey::BIGINT AS n_nationkey, n_name,
                 CASE WHEN n_nationkey < 12 THEN n_regionkey END AS n_regionkey,
                 CASE WHEN n_nationkey >= 12 THEN len(n_name)::INTEGER END AS n_len
+         FROM nation ORDER BY n_nationkey""",
+    // the sink round-trip: the zone the streaming sink committed reads
+    // back as exactly the nation relation it was fed
+    "q_avro_sink" ->
+      """SELECT n_nationkey, n_name, n_regionkey
          FROM nation ORDER BY n_nationkey""",
     // the streaming promotion shares the batch pipeline's oracle:
     // micro-batch routing through two exactly-once file sinks must

@@ -22,7 +22,7 @@ object Registry {
       "q_local", "q_read_csv", "q_read_json", "q_read_npy", "q_read_pickle",
       "q_read_arrow", "q_read_orc", "q_read_avro", "q_read_avro_evolved",
       "q_read_avro_ts", "q_read_avro_nested", "q_read_avro_filtered",
-      "q_stream_avro", "q_avro_drift_report",
+      "q_stream_avro", "q_avro_sink", "q_avro_drift_report",
       "q_avro_compact",
       "q_json_quarantine",
       "q_csv_quarantine", "q_materialize", "q_schema_drift",
