@@ -17,7 +17,11 @@ import org.apache.spark.sql.SparkSession
   *  3. steady state: per-trigger wall for one new file against an
   *     already-drained zone (the monitoring cadence that matters in
   *     production — it must be file-proportional, not zone-
-  *     proportional).
+  *     proportional);
+  *  4. restart cost after one logged batch PER FILE, with the
+  *     metadata-log roll-up on vs off — restart wall must stay flat
+  *     in the stream's trigger count (one snapshot + bounded tail),
+  *     not grow with every batch ever run.
   *
   * {{{ SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt "runMain graft.AvroStreamProbe" }}}
   */
@@ -105,11 +109,48 @@ object AvroStreamProbe {
     } finally q.stop()
     println(f"[streamprobe] ${"steady state: one late file"}%-34s $steady%6.2f s")
 
+    // 4. restart cost vs logged-batch count: drain ONE file per
+    //    trigger so the checkpoint logs `files` batches, then time a
+    //    cold restart (constructor log replay + one no-new-data poll).
+    //    With roll-up (default interval) the restart reads one
+    //    snapshot + a bounded tail; with compaction disabled it opens
+    //    one log file per batch ever run — the operational-horizon
+    //    divergence this leg exists to keep flat. Min-of-3 restarts
+    //    (host co-tenant stalls).
+    def restartCost(label: String, interval: Int): Double = {
+      val ck = java.nio.file.Files
+        .createTempDirectory("graft-stream-probe-ck").toString
+      def start() = graft.sources.AvroIo
+        .readAvroStream(spark, zone, maxFilesPerTrigger = Some(1),
+          logCompactInterval = interval)
+        .writeStream.option("checkpointLocation", ck)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          BenchForce.force(df)
+        }
+        .start()
+      val q = start()
+      try q.processAllAvailable() finally q.stop()
+      val sec = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        val q2 = start()
+        try q2.processAllAvailable() finally q2.stop()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+      println(f"[streamprobe] $label%-34s $sec%6.2f s")
+      sec
+    }
+    val restartCompacted = restartCost(
+      s"restart after $files batches (rolled up)", 10)
+    val restartRaw = restartCost(
+      s"restart after $files batches (no roll-up)", 0)
+
     println(f"""{"metric":"avro_stream_probe","zone_mb":$zoneMb%.1f,""" +
       f""""files":$files,"batch_s":$batch%.2f,"drain_s":$oneBatch%.2f,""" +
       f""""drain_capped16_s":$capped16%.2f,""" +
       f""""stream_overhead":${oneBatch / batch}%.2f,""" +
-      f""""steady_one_file_s":$steady%.2f}""")
+      f""""steady_one_file_s":$steady%.2f,""" +
+      f""""restart_compacted_s":$restartCompacted%.2f,""" +
+      f""""restart_raw_s":$restartRaw%.2f}""")
     spark.stop()
   }
 }

@@ -69,7 +69,11 @@ final class AvroDataSource extends TableProvider with DataSourceRegister {
     val opts = new CaseInsensitiveStringMap(properties)
     new AvroTable(path(opts), conflicts(opts),
       Option(opts.get(AvroDataSource.SplitOption)).map(_.toLong),
-      Option(opts.get(AvroDataSource.MaxFilesOption)).map(_.toInt), schema)
+      Option(opts.get(AvroDataSource.MaxFilesOption)).map(_.toInt),
+      Option(opts.get(AvroDataSource.LogCompactOption)).map(_.toInt)
+        .getOrElse(AvroDataSource.DefaultLogCompactInterval),
+      Option(opts.get(AvroDataSource.MaxFileAgeOption)).map(_.toLong),
+      schema)
   }
 }
 
@@ -78,11 +82,26 @@ object AvroDataSource {
   val SplitOption = "maxSplitBytes"
   val MaxFilesOption = "maxFilesPerTrigger"
   val CodecOption = "codec"
+  /** Metadata-log roll-up cadence, shared by BOTH streaming faces: the
+    * SOURCE snapshots its per-batch file log every N batches (restart
+    * reads one snapshot + a bounded tail instead of one file per batch
+    * ever logged), and the SINK rolls its per-epoch commit markers into
+    * a high-water file every N epochs (readers stop listing O(epochs)
+    * markers per scan). Default 10; `0` disables compaction. */
+  val LogCompactOption = "logCompactInterval"
+  val DefaultLogCompactInterval = 10
+  /** Optional retention horizon for the streaming SOURCE's seen-file
+    * set: files whose zone mtime is older than this many ms are never
+    * ingested, and compaction purges them from the snapshot and from
+    * driver memory — bounding both by the zone's live window instead
+    * of its full history. Unset = keep every path forever. */
+  val MaxFileAgeOption = "maxFileAgeMs"
 }
 
 private[sources] final class AvroTable(
     path: String, conflicts: PsIO.ConflictPolicy,
     maxSplitBytes: Option[Long], maxFilesPerTrigger: Option[Int],
+    logCompactInterval: Int, maxFileAgeMs: Option[Long],
     tableSchema: StructType)
     extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"graft-avro $path"
@@ -92,7 +111,7 @@ private[sources] final class AvroTable(
       TableCapability.MICRO_BATCH_READ, TableCapability.STREAMING_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new AvroScanBuilder(path, conflicts, maxSplitBytes, maxFilesPerTrigger,
-      tableSchema)
+      logCompactInterval, maxFileAgeMs, tableSchema)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new AvroWriteBuilder(path, info)
 }
@@ -113,7 +132,9 @@ private[sources] final class AvroWriteBuilder(path: String, info: LogicalWriteIn
       // the STABLE streaming query id (persisted in the checkpoint, so
       // restarts of the same query share it while a fresh checkpoint
       // gets a new one) — it namespaces the epoch protocol below
-      new AvroStreamingWrite(path, info.queryId(), info.schema(), deflate)
+      new AvroStreamingWrite(path, info.queryId(), info.schema(), deflate,
+        Option(info.options.get(AvroDataSource.LogCompactOption)).map(_.toInt)
+          .getOrElse(AvroDataSource.DefaultLogCompactInterval))
     }
   }
 }
@@ -150,7 +171,8 @@ private[sources] final class AvroWriteBuilder(path: String, info: LogicalWriteIn
   * to scans and the replay's delete-and-redo touches only files no
   * reader has listed. */
 private[sources] final class AvroStreamingWrite(
-    path: String, queryId: String, schema: StructType, deflate: Boolean)
+    path: String, queryId: String, schema: StructType, deflate: Boolean,
+    logCompactInterval: Int)
     extends StreamingWrite {
   private val avroJson = AvroIo.avroJsonFor(schema) // loud on bad types, driver-side
   private val conf = new org.apache.spark.util.SerializableConfiguration(
@@ -206,6 +228,31 @@ private[sources] final class AvroStreamingWrite(
     fs.create(tmpMarker, true).close()
     require(fs.rename(tmpMarker, marker) || fs.exists(marker),
       s"graft-avro sink: marker commit failed for epoch $epochId")
+    // Roll the per-epoch markers up every logCompactInterval epochs:
+    // micro-batch epochs commit strictly in order, so this epoch being
+    // durable means every epoch below it is too — one `hw-<epoch>`
+    // file subsumes them all and readers stop listing O(total epochs)
+    // markers per scan. A NEW hw file lands first (fresh name, tmp-
+    // then-rename — never delete-then-replace, which would briefly
+    // un-commit every rolled-up epoch on a crash) and only then are
+    // the subsumed markers and older hw files pruned; prune failures
+    // are harmless (vacuumAvro sweeps below the high water too).
+    if (logCompactInterval > 0 && (epochId + 1) % logCompactInterval == 0) {
+      val qDir = marker.getParent
+      val tmpHw = new HPath(qDir, s".hw-$epochId.tmp")
+      fs.create(tmpHw, true).close()
+      val hw = new HPath(qDir, s"hw-$epochId")
+      require(fs.rename(tmpHw, hw) || fs.exists(hw),
+        s"graft-avro sink: high-water commit failed for epoch $epochId")
+      fs.listStatus(qDir).filter(_.isFile).foreach { s =>
+        val n = s.getPath.getName
+        val stale = n.toLongOption.exists(_ <= epochId) ||
+          AvroIo.sinkHwEpoch(n).exists(_ < epochId)
+        if (stale)
+          try fs.delete(s.getPath, false): Unit
+          catch { case _: java.io.IOException => () }
+      }
+    }
   }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
@@ -259,6 +306,7 @@ private[sources] final class AvroStreamingWriterFactory(
 private[sources] final class AvroScanBuilder(
     path: String, conflicts: PsIO.ConflictPolicy,
     maxSplitBytes: Option[Long], maxFilesPerTrigger: Option[Int],
+    logCompactInterval: Int, maxFileAgeMs: Option[Long],
     full: StructType)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters with SupportsPushDownLimit {
@@ -298,12 +346,13 @@ private[sources] final class AvroScanBuilder(
   override def pushLimit(n: Int): Boolean = { limit = Some(n); false }
   override def build(): Scan =
     new AvroScan(path, conflicts, maxSplitBytes, maxFilesPerTrigger,
-      required, pushed, limit)
+      logCompactInterval, maxFileAgeMs, required, pushed, limit)
 }
 
 private[sources] final class AvroScan(
     path: String, conflicts: PsIO.ConflictPolicy,
     maxSplitBytes: Option[Long], maxFilesPerTrigger: Option[Int],
+    logCompactInterval: Int, maxFileAgeMs: Option[Long],
     required: StructType, pushed: Array[Filter], limit: Option[Int])
     extends Scan with Batch with SupportsReportStatistics {
 
@@ -339,7 +388,7 @@ private[sources] final class AvroScan(
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new AvroMicroBatchStream(path, maxSplitBytes, maxFilesPerTrigger,
-      required, pushed, checkpointLocation)
+      logCompactInterval, maxFileAgeMs, required, pushed, checkpointLocation)
 }
 
 /** Streaming face over the landing zone: each trigger picks up files
@@ -347,10 +396,16 @@ private[sources] final class AvroScan(
   * files are APPENDED, never rewritten, and the two-phase write commit
   * guarantees a visible file is complete). Offsets are batch ordinals;
   * the files belonging to each batch are persisted as a tiny log under
-  * the query's checkpoint (`graft-avro-files/<batch>`, one `path\tlen`
-  * line per file, written tmp-then-rename), so a restarted query
-  * REPLAYS an uncommitted batch over exactly the files it originally
-  * contained — exactly-once, the FileStreamSource contract.
+  * the query's checkpoint (`graft-avro-files/<batch>`, one
+  * `path\tlen\tmtime` line per file, written tmp-then-rename), so a
+  * restarted query REPLAYS an uncommitted batch over exactly the files
+  * it originally contained — exactly-once, the FileStreamSource
+  * contract. Every `logCompactInterval` batches the log rolls up into
+  * one snapshot and the per-batch files below it are pruned, so a
+  * restart reads ONE snapshot plus a bounded tail — flat in trigger
+  * count; `maxFileAgeMs` optionally bounds the seen-file set by the
+  * zone's live window (files older than the horizon are never
+  * ingested and their log entries are purged at roll-up).
   *
   * The unified schema is pinned when the stream STARTS (inferSchema
   * over the files present, or the user's explicit `.schema(...)` —
@@ -367,6 +422,7 @@ private[sources] final class AvroScan(
   * `maxFilesPerTrigger` bounds a backlogged zone's first batch. */
 private[sources] final class AvroMicroBatchStream(
     path: String, maxSplitBytes: Option[Long], maxFilesPerTrigger: Option[Int],
+    logCompactInterval: Int, maxFileAgeMs: Option[Long],
     required: StructType, pushed: Array[Filter], checkpointLocation: String)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
@@ -381,31 +437,83 @@ private[sources] final class AvroMicroBatchStream(
   // (hdfs checkpoint over an s3 zone): bind each side to its OWN fs
   private val logFs = logDir.getFileSystem(hconf)
 
-  // replay state, rebuilt from the log on (re)start: batch ordinal ->
-  // that batch's files; `seen` spans all logged batches
+  // Replay state, rebuilt from the log on (re)start. `batches` holds
+  // the file lists the engine may still REPLAY (batches the query has
+  // not committed — commit() drops entries the moment their offsets
+  // are durable downstream); `seen` (path -> zone mtime, -1 unknown)
+  // spans every ingested file so re-listing never re-ingests;
+  // `highWater` is the last logged ordinal, independent of the map so
+  // dropping committed batches cannot roll offsets backwards.
   private val batches = scala.collection.mutable.TreeMap[Long, Seq[(String, Long)]]()
-  private val seen = scala.collection.mutable.HashSet[String]()
+  private val seen = scala.collection.mutable.HashMap[String, Long]()
+  private var highWater = -1L
+
+  private def readFully(p: HPath): String = {
+    val in = logFs.open(p)
+    try {
+      val out = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, out, 65536, false)
+      new String(out.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+    } finally in.close()
+  }
+
+  // per-batch log lines are `path\tlen\tmtime`; a 2-field line is a
+  // pre-compaction checkpoint (no mtime recorded -> -1, never purged)
+  private def parseBatchLines(text: String): Seq[(String, Long, Long)] =
+    text.split("\n").iterator.filter(_.nonEmpty).map { l =>
+      val t = l.split("\t")
+      (t(0), t(1).toLong, if (t.length > 2) t(2).toLong else -1L)
+    }.toSeq
+
+  // (Re)start: read the LATEST compact snapshot (one sequential file
+  // holding the whole seen-set plus every still-replayable batch's
+  // file list), then only the per-batch logs ABOVE it — restart cost
+  // is O(snapshot + compactInterval), not O(total batches ever). A
+  // crash between snapshot write and log pruning just leaves stale
+  // per-batch logs <= the snapshot id, skipped here.
   locally {
     logFs.mkdirs(logDir)
-    logFs.listStatus(logDir).toSeq
+    val entries = logFs.listStatus(logDir).toSeq
       .filter(s => s.isFile && !s.getPath.getName.startsWith("."))
-      .foreach { s =>
-        val id = s.getPath.getName.toLong
-        val in = logFs.open(s.getPath)
-        val text = try {
-          val out = new java.io.ByteArrayOutputStream()
-          org.apache.hadoop.io.IOUtils.copyBytes(in, out, 65536, false)
-          new String(out.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
-        } finally in.close()
-        val files = text.split("\n").iterator.filter(_.nonEmpty).map { l =>
-          val t = l.split("\t")
-          (t(0), t(1).toLong)
-        }.toSeq
-        batches.put(id, files)
-        files.foreach { case (f, _) => seen.add(f) }
+    val latestCompact = entries
+      .flatMap(s => AvroMicroBatchStream.compactId(s.getPath.getName)
+        .map((_, s.getPath)))
+      .sortBy(_._1).lastOption
+    latestCompact.foreach { case (cid, p) =>
+      val lines = readFully(p).split("\n").iterator.filter(_.nonEmpty)
+      val header = lines.next().split("\t")
+      require(header(0) == AvroMicroBatchStream.CompactMagic,
+        s"graft-avro stream: unrecognized snapshot header in $p")
+      highWater = header(1).toLong
+      val byBatch = scala.collection.mutable.TreeMap[Long, List[(String, Long)]]()
+      lines.foreach { l =>
+        val t = l.split("\t")
+        t(0) match {
+          case "S" => seen.put(t(1), t(2).toLong): Unit
+          case "B" =>
+            val id = t(1).toLong
+            byBatch.put(id, (t(2), t(3).toLong) :: byBatch.getOrElse(id, Nil))
+            seen.put(t(2), t(4).toLong): Unit
+          case other => throw new IllegalStateException(
+            s"graft-avro stream: unrecognized snapshot line tag '$other' in $p")
+        }
+      }
+      byBatch.foreach { case (id, fs) => batches.put(id, fs.reverse) }
+      require(cid <= highWater,
+        s"graft-avro stream: snapshot $p names batches above its own high water")
+    }
+    val floor = latestCompact.map(_._1).getOrElse(-1L)
+    entries
+      .flatMap(s => s.getPath.getName.toLongOption.map((_, s.getPath)))
+      .filter(_._1 > floor).sortBy(_._1)
+      .foreach { case (id, p) =>
+        val files = parseBatchLines(readFully(p))
+        batches.put(id, files.map { case (f, l, _) => (f, l) })
+        files.foreach { case (f, _, m) => seen.put(f, m) }
+        highWater = math.max(highWater, id)
       }
   }
-  private def maxBatch: Long = if (batches.isEmpty) -1L else batches.lastKey
+  private def maxBatch: Long = highWater
 
   private def offsetOf(b: Long): Offset = new Offset {
     override def json(): String = s"""{"batch":$b}"""
@@ -426,27 +534,85 @@ private[sources] final class AvroMicroBatchStream(
 
   /** Durably assign the next batch ordinal to `files` (tmp-then-rename:
     * a driver killed mid-write must never leave a half batch log that a
-    * restart would replay as truth). Caller holds the lock. */
-  private def logBatch(files: Seq[(String, Long)]): Unit = {
+    * restart would replay as truth), then roll the log up every
+    * `logCompactInterval` batches. Caller holds the lock. */
+  private def logBatch(files: Seq[(String, Long, Long)]): Unit = {
     val id = maxBatch + 1
     val tmp = new HPath(logDir, s".${id}.tmp")
     val out = logFs.create(tmp, true)
-    try out.write(files.map { case (f, l) => s"$f\t$l" }.mkString("\n")
+    try out.write(files.map { case (f, l, m) => s"$f\t$l\t$m" }.mkString("\n")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     val committed = new HPath(logDir, id.toString)
     require(logFs.rename(tmp, committed),
       s"graft-avro stream: batch-log commit failed: $tmp -> $committed")
-    batches.put(id, files)
-    files.foreach { case (f, _) => seen.add(f) }
+    batches.put(id, files.map { case (f, l, _) => (f, l) })
+    files.foreach { case (f, _, m) => seen.put(f, m) }
+    highWater = id
+    if (logCompactInterval > 0 && (id + 1) % logCompactInterval == 0)
+      compactLog(id)
+  }
+
+  /** Roll every log entry <= `upTo` into ONE snapshot file
+    * (`<upTo>.compact`, tmp-then-rename), then prune the superseded
+    * per-batch logs and older snapshots. The snapshot holds the full
+    * per-batch file lists for batches the engine may still replay
+    * (everything `commit()` has not dropped) and collapses committed
+    * batches to bare seen-set entries — so a restart does ONE
+    * sequential read plus at most `logCompactInterval` tail logs,
+    * flat in the stream's trigger count. With `maxFileAgeMs` set,
+    * seen entries whose zone mtime fell behind the horizon are purged
+    * from the snapshot AND from driver memory (the pickup filter in
+    * [[unseenFiles]] skips such files by the same cutoff, so purging
+    * them can never re-ingest — modulo zone-vs-driver clock skew,
+    * which the caller's margin must absorb). Prune failures are
+    * harmless: stale logs below a snapshot are ignored on restart. */
+  private def compactLog(upTo: Long): Unit = {
+    val cutoff = maxFileAgeMs.map(System.currentTimeMillis() - _)
+    val sb = new StringBuilder
+    sb.append(s"${AvroMicroBatchStream.CompactMagic}\t$upTo\n")
+    val replayable = scala.collection.mutable.HashSet[String]()
+    batches.foreach { case (bid, fs) =>
+      fs.foreach { case (f, l) =>
+        replayable.add(f): Unit
+        sb.append(s"B\t$bid\t$f\t$l\t${seen.getOrElse(f, -1L)}\n")
+      }
+    }
+    seen.foreach { case (f, m) =>
+      if (!replayable(f) && !cutoff.exists(c => m >= 0 && m < c))
+        sb.append(s"S\t$f\t$m\n")
+    }
+    val tmp = new HPath(logDir, s".${upTo}.compact.tmp")
+    val out = logFs.create(tmp, true)
+    try out.write(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val dest = new HPath(logDir, s"$upTo.compact")
+    require(logFs.rename(tmp, dest),
+      s"graft-avro stream: snapshot commit failed: $tmp -> $dest")
+    cutoff.foreach(c =>
+      seen.filterInPlace((f, m) => replayable(f) || m < 0 || m >= c))
+    logFs.listStatus(logDir).foreach { s =>
+      val n = s.getPath.getName
+      val stale = n.toLongOption.exists(_ <= upTo) ||
+        AvroMicroBatchStream.compactId(n).exists(_ < upTo)
+      if (stale)
+        try logFs.delete(s.getPath, false): Unit
+        catch { case _: java.io.IOException => () }
+    }
   }
 
   // listFilesFor tolerates a zone that does not exist YET (explicit
   // user schema, writer not live); name-sorted so a capped pickup is
-  // deterministic
-  private def unseenFiles(): Seq[(String, Long)] =
+  // deterministic. The maxFileAge horizon applies HERE as well as at
+  // purge time: a file landing with an mtime already behind the
+  // horizon (rsync'd with preserved stamps) is deliberately never
+  // ingested — the retention contract, not a race.
+  private def unseenFiles(): Seq[(String, Long, Long)] = {
+    val cutoff = maxFileAgeMs.map(System.currentTimeMillis() - _)
     AvroIo.listFilesFor(spark, path)
-      .collect { case (f, len, _) if !seen.contains(f) => (f, len) }
+      .collect { case (f, len, m)
+        if !seen.contains(f) && !cutoff.exists(m < _) => (f, len, m) }
+  }
 
   // ---- admission control (SupportsAdmissionControl) -----------------
   // The cap must live here, not in a no-arg latestOffset: the engine's
@@ -476,7 +642,7 @@ private[sources] final class AvroMicroBatchStream(
   // eager thousands-of-writes sweep) and reports drained when the
   // snapshot is spent — files landing mid-run wait for the next run.
   private var availableNowMode = false
-  private var pendingSnapshot: List[Seq[(String, Long)]] = Nil
+  private var pendingSnapshot: List[Seq[(String, Long, Long)]] = Nil
   override def prepareForTriggerAvailableNow(): Unit = synchronized {
     val cap = maxFilesPerTrigger.map(_.max(1)).getOrElse(Int.MaxValue)
     pendingSnapshot = unseenFiles().grouped(cap).toList
@@ -538,14 +704,28 @@ private[sources] final class AvroMicroBatchStream(
     new AvroStreamReaderFactory(required, pushed,
       new org.apache.spark.util.SerializableConfiguration(hconf))
 
-  // Batch logs are never pruned: they are BOTH the replay record for
-  // uncommitted batches AND the seen-file set a restart rebuilds —
-  // pruning would re-ingest old files as new. Cost is bounded by data,
-  // not time: a log is written only on a trigger that found new files,
-  // so the log dir is O(total files ever ingested) — the same order as
-  // the zone's own listing.
-  override def commit(end: Offset): Unit = ()
+  // The engine commits a batch once its offsets are durable downstream
+  // — it will never replay it, so its FILE LIST is dead replay state:
+  // drop it from the in-memory map now (the next snapshot collapses it
+  // on disk to bare seen-set entries). The PATHS stay in `seen` — that
+  // is what stops re-ingestion — bounded by maxFileAgeMs when set,
+  // else O(total files ever ingested): the same order as the zone's
+  // own listing.
+  override def commit(end: Offset): Unit = synchronized {
+    val e = batchOf(end)
+    val done = batches.rangeImpl(None, Some(e + 1)).keys.toList
+    done.foreach(batches.remove)
+  }
   override def stop(): Unit = ()
+}
+
+private[sources] object AvroMicroBatchStream {
+  /** First line of a log snapshot; versioned so a future layout change
+    * fails loudly instead of misparsing an old checkpoint. */
+  val CompactMagic = "graft-avro-compact-v1"
+  def compactId(name: String): Option[Long] =
+    if (name.endsWith(".compact")) name.stripSuffix(".compact").toLongOption
+    else None
 }
 
 /** One streaming read task's byte range; carries its file's writer

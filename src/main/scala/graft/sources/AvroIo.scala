@@ -735,6 +735,47 @@ object AvroIo {
     * delete-and-redo touches only files no reader has listed. */
   private[sources] val SinkCommitsDir = "_graft_commits"
   private val SinkFileName = "part-q(.+)-e(\\d+)-p\\d+\\.avro".r
+  private val SinkHwName = "hw-(\\d+)".r
+
+  /** The epoch a sink high-water file vouches for, or None for any
+    * other marker-directory entry (per-epoch markers are bare numeric
+    * names). */
+  private[sources] def sinkHwEpoch(name: String): Option[Long] = name match {
+    case SinkHwName(e) => e.toLongOption
+    case _ => None
+  }
+
+  /** Per-query committed-epoch state under a zone's marker root: the
+    * rolled-up high-water epoch per query id (every epoch <= it is
+    * committed — the sink's marker compaction writes these) plus the
+    * explicit per-epoch markers above it. Listing cost is O(queries +
+    * markers-above-water): bounded by the sink's roll-up interval for
+    * live producers, not by total epochs ever committed. */
+  private final case class SinkCommits(hw: Map[String, Long],
+                                       markers: Set[(String, Long)]) {
+    def committed(qid: String, epoch: Long): Boolean =
+      hw.get(qid).exists(epoch <= _) || markers((qid, epoch))
+  }
+
+  private def sinkCommittedState(fs: FileSystem, commitsRoot: HPath): SinkCommits =
+    if (!fs.exists(commitsRoot)) SinkCommits(Map.empty, Set.empty)
+    else {
+      val hw = Map.newBuilder[String, Long]
+      val markers = Set.newBuilder[(String, Long)]
+      fs.listStatus(commitsRoot).filter(_.isDirectory).foreach { qd =>
+        val qid = qd.getPath.getName
+        var best = -1L
+        fs.listStatus(qd.getPath).filter(_.isFile).foreach { m =>
+          val n = m.getPath.getName
+          sinkHwEpoch(n) match {
+            case Some(e) => best = math.max(best, e)
+            case None => n.toLongOption.foreach(e => markers += ((qid, e)))
+          }
+        }
+        if (best >= 0) hw += ((qid, best))
+      }
+      SinkCommits(hw.result(), markers.result())
+    }
 
   private def listDataFiles(fs: FileSystem, path: String): Seq[(String, Long, Long)] = {
     val p = new HPath(path)
@@ -752,15 +793,9 @@ object AvroIo {
         // markers live beside the data files — for a DIRECT file path
         // that is the file's parent directory, not the file itself
         val commitsRoot = new HPath(if (isDir) p else p.getParent, SinkCommitsDir)
-        val committed: Set[(String, Long)] =
-          if (!fs.exists(commitsRoot)) Set.empty
-          else fs.listStatus(commitsRoot).filter(_.isDirectory).flatMap { qd =>
-            fs.listStatus(qd.getPath).filter(_.isFile)
-              .flatMap(m => m.getPath.getName.toLongOption
-                .map(e => (qd.getPath.getName, e)))
-          }.toSet
+        val commits = sinkCommittedState(fs, commitsRoot)
         files.filter(s => s.getPath.getName match {
-          case SinkFileName(qid, epoch) => committed((qid, epoch.toLong))
+          case SinkFileName(qid, epoch) => commits.committed(qid, epoch.toLong)
           case _ => true
         })
       }
@@ -1248,17 +1283,23 @@ object AvroIo {
                      conflicts: PsIO.ConflictPolicy = PsIO.DropConflicts,
                      maxSplitBytes: Option[Long] = None,
                      maxFilesPerTrigger: Option[Int] = None,
-                     schema: Option[org.apache.spark.sql.types.StructType] = None)
+                     schema: Option[org.apache.spark.sql.types.StructType] = None,
+                     logCompactInterval: Int =
+                       AvroDataSource.DefaultLogCompactInterval,
+                     maxFileAgeMs: Option[Long] = None)
       : DataFrame = {
     var reader = spark.readStream.format(classOf[AvroDataSource].getName)
       .option(AvroDataSource.ConflictsOption, conflicts match {
         case PsIO.DropConflicts      => "drop"
         case PsIO.StringifyConflicts => "stringify"
       })
+      .option(AvroDataSource.LogCompactOption, logCompactInterval)
     maxSplitBytes.foreach(b =>
       reader = reader.option(AvroDataSource.SplitOption, b))
     maxFilesPerTrigger.foreach(n =>
       reader = reader.option(AvroDataSource.MaxFilesOption, n))
+    maxFileAgeMs.foreach(a =>
+      reader = reader.option(AvroDataSource.MaxFileAgeOption, a))
     schema.foreach(sc => reader = reader.schema(sc))
     reader.load(path)
   }
@@ -1277,12 +1318,15 @@ object AvroIo {
     * and `.start()` it. Append mode only (a landing zone is
     * append-only by definition). */
   def avroStreamWriter(df: DataFrame, path: String,
-                       codec: Option[String] = Some("deflate"))
+                       codec: Option[String] = Some("deflate"),
+                       logCompactInterval: Int =
+                         AvroDataSource.DefaultLogCompactInterval)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     require(df.isStreaming, "AvroIo.avroStreamWriter: df must be a streaming frame")
     df.writeStream.format(classOf[AvroDataSource].getName)
       .option("path", path)
       .option(AvroDataSource.CodecOption, codec.map(_.toLowerCase).getOrElse("none"))
+      .option(AvroDataSource.LogCompactOption, logCompactInterval)
   }
 
   /** Zone maintenance for streaming-sink litter: delete (a) dot-prefixed
@@ -1293,9 +1337,14 @@ object AvroIo {
     * ever replays the old id's partial epochs). `olderThanMs` is the
     * safety margin against a LIVE producer's in-flight epoch: a healthy
     * commit follows its task writes within one trigger, so anything
-    * unmarked and older than the margin is abandoned. Returns the
-    * number of files deleted. Run it beside [[compactAvro]] on the
-    * maintenance cadence. */
+    * unmarked and older than the margin is abandoned. Also sweeps the
+    * marker log itself: per-epoch markers the sink's high-water
+    * roll-up already subsumes, and whole `_graft_commits/<queryId>/`
+    * directories for DEAD query ids (no data files left in the zone,
+    * every marker older than the margin — a fresh checkpoint gets a
+    * new id, so nothing ever consults the old directory again).
+    * Returns the number of files deleted. Run it beside
+    * [[compactAvro]] on the maintenance cadence. */
   def vacuumAvro(spark: SparkSession, path: String,
                  olderThanMs: Long = 24L * 3600 * 1000): Int = {
     require(olderThanMs >= 0, s"AvroIo.vacuumAvro: negative margin $olderThanMs")
@@ -1304,23 +1353,52 @@ object AvroIo {
     if (!fs.exists(p) || !fs.getFileStatus(p).isDirectory) return 0
     val cutoff = System.currentTimeMillis() - olderThanMs
     val commitsRoot = new HPath(p, SinkCommitsDir)
-    val committed: Set[(String, Long)] =
-      if (!fs.exists(commitsRoot)) Set.empty
-      else fs.listStatus(commitsRoot).filter(_.isDirectory).flatMap { qd =>
-        fs.listStatus(qd.getPath).filter(_.isFile)
-          .flatMap(m => m.getPath.getName.toLongOption
-            .map(e => (qd.getPath.getName, e)))
-      }.toSet
-    val doomed = fs.listStatus(p).filter(s => s.isFile &&
-        s.getModificationTime < cutoff && {
+    val commits = sinkCommittedState(fs, commitsRoot)
+    val zoneFiles = fs.listStatus(p).filter(_.isFile)
+    val doomed = zoneFiles.filter(s => s.getModificationTime < cutoff && {
       val n = s.getPath.getName
       n.startsWith(".attempt-") || (n match {
-        case SinkFileName(qid, epoch) => !committed((qid, epoch.toLong))
+        case SinkFileName(qid, epoch) => !commits.committed(qid, epoch.toLong)
         case _ => false
       })
     })
     doomed.foreach(s => fs.delete(s.getPath, false): Unit)
-    doomed.length
+    var removed = doomed.length
+    // Marker-directory hygiene. Live query dirs: prune per-epoch
+    // markers the high-water file already subsumes (the sink prunes
+    // them itself at roll-up, but a producer that died mid-prune — or
+    // predates marker compaction — leaves them behind). Dead query
+    // dirs: a query id with NO remaining data files in the zone gates
+    // nothing (a fresh checkpoint gets a NEW id, so nothing ever
+    // replays the old one) — once its newest marker is older than the
+    // margin, drop the whole directory. The data-file check happens
+    // AFTER the uncommitted-litter sweep above, against the same
+    // listing cutoff discipline: a producer idle longer than the
+    // margin that then resumes under the same query id is the one
+    // hazard, so size `olderThanMs` above any plausible producer gap.
+    val survivors = (zoneFiles.map(_.getPath.getName).toSet -- doomed.map(_.getPath.getName))
+    val liveQids = survivors.flatMap {
+      case SinkFileName(qid, _) => Some(qid)
+      case _ => None
+    }
+    if (fs.exists(commitsRoot)) {
+      fs.listStatus(commitsRoot).filter(_.isDirectory).foreach { qd =>
+        val qid = qd.getPath.getName
+        val entries = fs.listStatus(qd.getPath).filter(_.isFile)
+        if (!liveQids(qid) &&
+            entries.forall(_.getModificationTime < cutoff)) {
+          val n = entries.length
+          if (fs.delete(qd.getPath, true)) removed += n
+        } else commits.hw.get(qid).foreach { hw =>
+          val subsumed = entries.filter(e =>
+            e.getPath.getName.toLongOption.exists(_ <= hw) ||
+              sinkHwEpoch(e.getPath.getName).exists(_ < hw))
+          subsumed.foreach(e => fs.delete(e.getPath, false): Unit)
+          removed += subsumed.length
+        }
+      }
+    }
+    removed
   }
 
   /** The drift ledger for an Avro directory: one row per column seen in

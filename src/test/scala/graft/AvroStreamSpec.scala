@@ -308,6 +308,187 @@ class AvroStreamSpec extends AnyFunSuite with SparkFixture {
     assert(AvroIo.readAvro(s, zone).count() == 1L)
   }
 
+  /** The source's batch-log dir under a query checkpoint (the engine
+    * nests it at `sources/<i>/`; found by name so the layout stays the
+    * engine's business). */
+  private def sourceLogDir(ck: String): java.io.File = {
+    def walk(f: java.io.File): Option[java.io.File] =
+      if (!f.isDirectory) None
+      else if (f.getName == "graft-avro-files") Some(f)
+      else f.listFiles().iterator.flatMap(walk(_)).nextOption()
+    walk(new java.io.File(ck)).getOrElse(
+      fail(s"no graft-avro-files log dir under $ck"))
+  }
+
+  test("metadata-log compaction: restart after 500 logged batches reads one snapshot + a bounded tail") {
+    val s = spark
+    import s.implicits._
+    val zone = Files.createTempDirectory("graft-avro-zone").toString + "/zone"
+    val ck = Files.createTempDirectory("graft-avro-ck").toString
+    // ~500 tiny container files from ONE write job (hash partitioning
+    // leaves a few empty partitions; toAvro skips those)
+    AvroIo.toAvro((1 to 2000).toDF("n").repartition(500), zone, codec = None)
+    val nFiles = new java.io.File(zone).listFiles()
+      .count(f => f.isFile && f.getName.endsWith(".avro"))
+    assert(nFiles >= 450, s"expected ~500 zone files, got $nFiles")
+    val rows = new java.util.concurrent.atomic.AtomicLong()
+    val batchCount = new java.util.concurrent.atomic.AtomicLong()
+    def start() = AvroIo.readAvroStream(s, zone, maxFilesPerTrigger = Some(1))
+      .writeStream.option("checkpointLocation", ck)
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        rows.addAndGet(df.count()); batchCount.incrementAndGet(): Unit
+      }.start()
+    var q = start()
+    try q.processAllAvailable() finally q.stop()
+    assert(batchCount.get() == nFiles, "one batch per file expected")
+    assert(rows.get() == 2000L)
+    // the log must be ONE snapshot plus a tail bounded by the compact
+    // interval — not one file per batch ever logged
+    val names = sourceLogDir(ck).listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith(".")).map(_.getName).toSeq
+    val compacts = names.filter(_.endsWith(".compact"))
+    val perBatch = names.flatMap(_.toLongOption)
+    assert(compacts.size == 1, s"expected exactly one snapshot, got $names")
+    assert(perBatch.size < 10,
+      s"per-batch tail must be bounded by the compact interval: $names")
+    val snapId = compacts.head.stripSuffix(".compact").toLong
+    assert(perBatch.forall(_ > snapId), s"stale logs below the snapshot: $names")
+    // restart rebuilds from the snapshot: a late file is picked up
+    // exactly once and nothing replays
+    q = start()
+    try {
+      q.processAllAvailable()
+      assert(rows.get() == 2000L, "restart replayed a committed batch")
+      landFile(gen1(s, Seq((9001, "late"), (9002, "late"))), zone, "late.avro")
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(batchCount.get() == nFiles + 1L)
+    assert(rows.get() == 2002L, "late file dropped or read twice after restart")
+  }
+
+  test("maxFileAgeMs: files behind the horizon never ingest; roll-up purges aged entries") {
+    val s = spark
+    val zone = Files.createTempDirectory("graft-avro-zone").toString
+    val ck = Files.createTempDirectory("graft-avro-ck").toString
+    val ageMs = 6000L
+    // f1 is fresh enough to ingest (1 s behind now — 5 s of pickup
+    // headroom against host stalls); fOld is far behind the horizon
+    // and must never ingest
+    landFile(gen1(s, Seq((1, "a"))), zone, "f1.avro")
+    landFile(gen1(s, Seq((99, "old"))), zone, "f-old.avro")
+    assert(new java.io.File(zone, "f1.avro")
+      .setLastModified(System.currentTimeMillis() - 1000))
+    assert(new java.io.File(zone, "f-old.avro")
+      .setLastModified(System.currentTimeMillis() - 3600L * 1000))
+    val seenRows = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+    val q = AvroIo.readAvroStream(s, zone, maxFileAgeMs = Some(ageMs),
+        logCompactInterval = 2)
+      .writeStream.option("checkpointLocation", ck)
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        df.select("n").collect().foreach(r => seenRows.add(r.getInt(0)): Unit)
+      }.start()
+    try {
+      q.processAllAvailable()
+      assert(seenRows.toArray.map(_.asInstanceOf[Int]).toSeq == Seq(1), s"horizon pickup: $seenRows")
+      // age f1 past the horizon, then drive TWO more roll-up cycles
+      // (interval 2 -> snapshots at ids 1 and 3): at the first, f1's
+      // batch may still be replayable (the engine commits a batch
+      // lazily, before constructing the next) so it is correctly
+      // KEPT; by the second it is committed + aged -> purged from the
+      // snapshot and from memory. The pickup filter keeps it out of
+      // re-listing by the same cutoff.
+      Thread.sleep(ageMs)
+      landFile(gen1(s, Seq((2, "b"))), zone, "f2.avro")
+      q.processAllAvailable()
+      landFile(gen1(s, Seq((3, "c"))), zone, "f3.avro")
+      q.processAllAvailable()
+      landFile(gen1(s, Seq((4, "d"))), zone, "f4.avro")
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(seenRows.toArray.map(_.asInstanceOf[Int]).toSeq.sorted == Seq(1, 2, 3, 4),
+      s"aged purge re-ingested or dropped rows: $seenRows")
+    val logDir = sourceLogDir(ck)
+    val compact = logDir.listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".compact"))
+      .maxBy(_.getName.stripSuffix(".compact").toLong)
+    val text = new String(java.nio.file.Files.readAllBytes(compact.toPath),
+      java.nio.charset.StandardCharsets.UTF_8)
+    assert(!text.contains("f1.avro"),
+      "aged-out seen entry survived the snapshot purge")
+    assert(text.contains("f2.avro"))
+  }
+
+  test("sink marker roll-up: a high-water file subsumes per-epoch markers; vacuum drops dead dirs") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val zone = Files.createTempDirectory("graft-avro-sinkzone").toString + "/zone"
+    val input = MemoryStream[(Int, String)]
+    val q = AvroIo.avroStreamWriter(input.toDF().toDF("n", "t"), zone,
+        codec = None, logCompactInterval = 3)
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-avro-sink-ck").toString).start()
+    try (0 until 7).foreach { i =>
+      input.addData((i, s"r$i")); q.processAllAvailable()
+    } finally q.stop()
+    // epochs 0..6 at interval 3: roll-ups after epochs 2 and 5 — the
+    // marker dir holds ONE high-water file plus only the tail markers
+    val qdir = new java.io.File(zone, "_graft_commits").listFiles()
+      .filter(_.isDirectory).head
+    // the local fs leaves dot-prefixed .crc sidecars beside renamed
+    // files — not markers, not listed by Hadoop
+    val names = qdir.listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith("."))
+      .map(_.getName).toSeq.sorted
+    assert(names == Seq("6", "hw-5"), s"marker roll-up left: $names")
+    // every epoch still reads as committed through the high water
+    assert(AvroIo.readAvro(s, zone).count() == 7L)
+    assert(AvroIo.readAvro(s, zone).select("n").collect()
+      .map(_.getInt(0)).sorted.toSeq == (0 until 7))
+    // the query dies for good: its data files leave the zone (say a
+    // compaction rewrote them elsewhere) and the markers age out —
+    // vacuum drops the whole marker directory
+    new java.io.File(zone).listFiles()
+      .filter(f => f.isFile && f.getName.startsWith("part-"))
+      .foreach(f => assert(f.delete()))
+    qdir.listFiles().foreach(f =>
+      assert(f.setLastModified(System.currentTimeMillis() - 48L * 3600 * 1000)))
+    assert(AvroIo.vacuumAvro(s, zone) == 2, "dead marker dir not swept")
+    assert(!qdir.exists())
+  }
+
+  test("vacuum prunes markers a high-water file subsumes for a LIVE query") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val zone = Files.createTempDirectory("graft-avro-sinkzone").toString + "/zone"
+    val input = MemoryStream[(Int, String)]
+    // interval 0 disables the sink's own roll-up: epochs 0..4 leave
+    // five bare markers
+    val q = AvroIo.avroStreamWriter(input.toDF().toDF("n", "t"), zone,
+        codec = None, logCompactInterval = 0)
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-avro-sink-ck").toString).start()
+    try (0 until 5).foreach { i =>
+      input.addData((i, s"r$i")); q.processAllAvailable()
+    } finally q.stop()
+    val qdir = new java.io.File(zone, "_graft_commits").listFiles()
+      .filter(_.isDirectory).head
+    assert(qdir.listFiles()
+      .count(f => f.isFile && !f.getName.startsWith(".")) == 5)
+    // an operator (or a sink that died mid-prune) left a high-water
+    // file behind: vacuum finishes the job without touching data
+    val hw = new java.io.File(qdir, "hw-3")
+    assert(hw.createNewFile())
+    assert(AvroIo.vacuumAvro(s, zone, olderThanMs = 0) == 4,
+      "markers <= hw-3 (0,1,2,3) should be pruned")
+    assert(qdir.listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith("."))
+      .map(_.getName).toSeq.sorted == Seq("4", "hw-3"))
+    assert(AvroIo.readAvro(s, zone).count() == 5L,
+      "marker pruning must not un-commit data")
+  }
+
   test("Trigger.AvailableNow + maxFilesPerTrigger drains the WHOLE backlog capped") {
     val s = spark
     val zone = Files.createTempDirectory("graft-avro-zone").toString
