@@ -55,6 +55,25 @@ object PlanLint {
       .stripPrefix("[").stripSuffix("]")
       .split(",\\s*").exists(s => s.nonEmpty && !s.startsWith("IsNotNull"))
 
+  /** Same test against the Avro DSv2 scan's description string
+    * (`GraftAvroScan ... PushedFilters=[...]`): true only when an
+    * entry beyond the planner's own IsNotNull guards pushed. A filter
+    * like `abs(x) > 9 AND y IS NOT NULL` pushes only the null guard
+    * while the selective computed conjunct stays residual-only — that
+    * must still lint as a full decode. */
+  private def avroSelectivePushdown(description: String): Boolean = {
+    val at = description.indexOf("PushedFilters=[")
+    at >= 0 && {
+      val inner = description.substring(at + "PushedFilters=[".length)
+      // a ']' can occur INSIDE an entry (In renders its value list in
+      // brackets), so this cut can truncate — but only at a non-null-
+      // guard entry, which by itself already decides the answer; a
+      // pure IsNotNull list contains no inner bracket and parses fully
+      inner.take(math.max(inner.indexOf(']'), 0))
+        .split(",\\s*").exists(s => s.nonEmpty && !s.startsWith("IsNotNull"))
+    }
+  }
+
   /** True when a filter condition is nothing but null guards — the
     * IsNotNull conjunction the planner itself inserts on join/agg keys.
     * Flagging those as "unpushed" would mark every join over a parquet
@@ -128,23 +147,26 @@ object PlanLint {
                 "on raw columns, do so or pre-materialize the column")
           // the Avro DSv2 scan (graft.sources.AvroDataSource): the
           // container format has no row-group stats, so ANY filter
-          // above it decodes every record. When the predicate's
-          // conjuncts pushed (description carries PushedFilters), the
-          // scan at least skips Catalyst materialization of rejected
-          // rows; when NOTHING pushed, the predicate shape (computed
-          // expression, unsupported type) defeated even that — the
-          // case worth eyeballing (promote the landing zone to
+          // above it decodes every record. When a SELECTIVE conjunct
+          // pushed (description carries a PushedFilters entry beyond
+          // bare null guards), the scan at least skips Catalyst
+          // materialization of rejected rows; when nothing selective
+          // pushed — nothing at all, or only the IsNotNull guards the
+          // planner itself inserts, while the selective conjunct
+          // (computed expression, unsupported type) stayed
+          // residual-only — the decode-time skip buys nothing and the
+          // case is worth eyeballing (promote the landing zone to
           // parquet first, then filter)
           case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec
               if b.scan.description().startsWith("GraftAvroScan")
-                && !b.scan.description().contains("PushedFilters=[")
+                && !avroSelectivePushdown(b.scan.description())
                 && !isNullGuardOnly(f.condition) =>
             findings += Finding("avro-filter-full-decode", "info",
               "filter over an Avro container scan decodes every record " +
-                "(the format carries no row-group stats) and no conjunct " +
-                "pushed to the decode-time row skip; for selective " +
-                "predicates, restate the predicate on raw columns or " +
-                "promote the landing zone to parquet and filter there")
+                "(the format carries no row-group stats) and no selective " +
+                "conjunct pushed to the decode-time row skip; restate the " +
+                "predicate on raw columns or promote the landing zone to " +
+                "parquet and filter there")
           case _ => ()
         }
       case _ => ()

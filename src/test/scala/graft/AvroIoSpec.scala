@@ -179,6 +179,19 @@ class AvroIoSpec extends AnyFunSuite with SparkFixture {
     val lintUnpushed = graft.plans.PlanLint.lint(
       AvroIo.readAvro(s, dir).filter($"l" % 2L === 0L))
     assert(lintUnpushed.exists(_.rule == "avro-filter-full-decode"))
+    // a conjunction that pushes ONLY a null guard while the selective
+    // computed conjunct stays residual is still a full decode — the
+    // mere presence of PushedFilters must not silence the finding
+    val lintGuardOnly = graft.plans.PlanLint.lint(
+      AvroIo.readAvro(s, dir).filter(org.apache.spark.sql.functions.abs($"l") > 15L && $"t".isNotNull))
+    val guardScan = graft.plans.PlanLint.physicalPlan(
+      AvroIo.readAvro(s, dir).filter(org.apache.spark.sql.functions.abs($"l") > 15L && $"t".isNotNull))
+      .collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+      }.head.scan.description()
+    assert(guardScan.contains("PushedFilters=[IsNotNull(t)]"), guardScan)
+    assert(lintGuardOnly.exists(_.rule == "avro-filter-full-decode"),
+      s"null-guard-only pushdown silenced the full-decode lint: $guardScan")
     // a count-only scan still decodes each record exactly once — and
     // decodes the NARROWEST column (int over long over string), not
     // whatever happens to be first in the schema
