@@ -766,11 +766,12 @@ private[sources] final class AvroPartitionReaderFactory(
 /** The ONE filter-skipping, limit-capped reader over a split's rows —
   * shared by the batch and streaming scan paths so the decode-time
   * skip (whose exactness the whole pushdown design rests on) cannot
-  * drift between them. */
+  * drift between them. Rows arrive CATALYST-native from SplitRows
+  * (one materialization per record); the pushed-filter skip runs on
+  * the internal row before anything downstream touches it. */
 private[sources] final class AvroRowPartitionReader(
     rows: AvroIo.SplitRows, target: StructType, pushed: Array[Filter],
     cap: Int) extends PartitionReader[InternalRow] {
-  private val toCatalyst = CatalystTypeConverters.createToCatalystConverter(target)
   // compiled once per task against the rows' actual layout; a pushed
   // conjunct whose column fell out of `target` (cannot happen while
   // every conjunct stays residual, but defensively) just doesn't
@@ -793,7 +794,7 @@ private[sources] final class AvroRowPartitionReader(
         i += 1
       }
       if (keep) {
-        cur = toCatalyst(r).asInstanceOf[InternalRow]
+        cur = r
         emitted += 1
         return true
       }
@@ -805,50 +806,69 @@ private[sources] final class AvroRowPartitionReader(
 }
 
 /** Exact three-valued (SQL Kleene) evaluation of pushed source filters
-  * over the Avro scan's EXTERNAL rows, used to skip Catalyst
-  * materialization of rows a selective predicate rejects. Only shapes
-  * whose Spark semantics this evaluator reproduces bit-exactly compile;
-  * anything else stays residual-only. The subtleties mirrored here:
-  * Spark compares float/double nan-safely (NaN == NaN, NaN greater
-  * than everything, -0.0 == 0.0 — `ctx.genComp`), strings in UTF-8
-  * BYTE order (UTF8String.binaryCompare, which differs from Java's
-  * UTF-16 `compareTo` above the BMP), and `a IN (…, null)` yields
-  * UNKNOWN — not FALSE — when no non-null element matches. */
+  * over the Avro scan's CATALYST rows, used to skip downstream
+  * processing of rows a selective predicate rejects. Only shapes
+  * whose Spark semantics this evaluator reproduces bit-exactly
+  * compile; anything else stays residual-only. The subtleties
+  * mirrored here: Spark compares float/double nan-safely (NaN == NaN,
+  * NaN greater than everything, -0.0 == 0.0 — `ctx.genComp`), strings
+  * in UTF-8 BYTE order (UTF8String's own binary comparison, evaluated
+  * natively now that cells arrive as UTF8String), and `a IN (…,
+  * null)` yields UNKNOWN — not FALSE — when no non-null element
+  * matches. Cell access goes through the typed InternalRow accessors
+  * for the column's declared type; literals come from Catalyst's
+  * filter translation and may arrive under either the java.sql or
+  * java.time session representation. Every compiled evaluator is made
+  * TOTAL at the top level: if a cell's runtime representation ever
+  * diverges from the decoder contract, the conjunct degrades to
+  * UNKNOWN (no skip — the residual Filter above the scan still
+  * decides) instead of failing the task. */
 private[sources] object AvroFilters {
   import org.apache.spark.sql.sources._
+  import org.apache.spark.unsafe.types.UTF8String
 
   final val True = 1
   final val False = 0
   final val Unknown = -1
 
-  /** Compile one pushed conjunct to a three-valued evaluator over rows
-    * laid out as `schema`, or None when any part falls outside the
-    * exactly-evaluable subset. */
-  def compile(f: Filter, schema: StructType): Option[Row => Int] = f match {
+  /** Compile one pushed conjunct to a three-valued evaluator over
+    * catalyst rows laid out as `schema`, or None when any part falls
+    * outside the exactly-evaluable subset. */
+  def compile(f: Filter, schema: StructType): Option[InternalRow => Int] =
+    compile0(f, schema).map { ev => (row: InternalRow) =>
+      // totality guard: an unexpected runtime representation must
+      // degrade to no-skip, never fail the task (correctness lives in
+      // the residual Filter). The try is free on the no-throw path.
+      try ev(row)
+      catch { case _: ClassCastException | _: MatchError |
+                   _: NullPointerException => Unknown }
+    }
+
+  private def compile0(f: Filter, schema: StructType): Option[InternalRow => Int] = f match {
     case And(l, r) =>
-      for (a <- compile(l, schema); b <- compile(r, schema)) yield { (row: Row) =>
+      for (a <- compile0(l, schema); b <- compile0(r, schema)) yield { (row: InternalRow) =>
         val x = a(row)
         if (x == False) False
         else { val y = b(row); if (y == False) False
                else if (x == Unknown || y == Unknown) Unknown else True }
       }
     case Or(l, r) =>
-      for (a <- compile(l, schema); b <- compile(r, schema)) yield { (row: Row) =>
+      for (a <- compile0(l, schema); b <- compile0(r, schema)) yield { (row: InternalRow) =>
         val x = a(row)
         if (x == True) True
         else { val y = b(row); if (y == True) True
                else if (x == Unknown || y == Unknown) Unknown else False }
       }
     case Not(c) =>
-      compile(c, schema).map(e => (row: Row) => {
+      compile0(c, schema).map(e => (row: InternalRow) => {
         val x = e(row); if (x == Unknown) Unknown else 1 - x
       })
     case AlwaysTrue() => Some(_ => True)
     case AlwaysFalse() => Some(_ => False)
     case IsNull(a) =>
-      idx(a, schema).map(i => (row: Row) => if (row.isNullAt(i)) True else False)
+      idx(a, schema).map(i => (row: InternalRow) => if (row.isNullAt(i)) True else False)
     case IsNotNull(a) =>
-      idx(a, schema).map(i => (row: Row) => if (row.isNullAt(i)) False else True)
+      idx(a, schema).map(i => (row: InternalRow) => if (row.isNullAt(i)) False else True)
     case EqualTo(a, v) => comparison(a, v, schema, c => if (c == 0) True else False)
     case GreaterThan(a, v) => comparison(a, v, schema, c => if (c > 0) True else False)
     case GreaterThanOrEqual(a, v) => comparison(a, v, schema, c => if (c >= 0) True else False)
@@ -857,31 +877,31 @@ private[sources] object AvroFilters {
     case EqualNullSafe(a, v) =>
       if (v == null) // <=> null is exactly IsNull
         idx(a, schema).map(i =>
-          (row: Row) => if (row.isNullAt(i)) True else False)
+          (row: InternalRow) => if (row.isNullAt(i)) True else False)
       else
         for (i <- idx(a, schema); ops <- cmpOps(typeAt(schema, a));
-             lit <- ops.normLit(v)) yield { (row: Row) =>
+             lit <- ops.normLit(v)) yield { (row: InternalRow) =>
           if (row.isNullAt(i)) False
-          else if (ops.cmp(ops.normCell(row.get(i)), lit) == 0) True else False
+          else if (ops.cmp(ops.get(row, i), lit) == 0) True else False
         }
     case In(a, vs) =>
       for (i <- idx(a, schema); ops <- cmpOps(typeAt(schema, a));
            lits <- sequenceOpt(vs.filter(_ != null).map(ops.normLit))) yield {
         val hasNull = vs.exists(_ == null)
-        (row: Row) => {
+        (row: InternalRow) => {
           if (row.isNullAt(i)) Unknown
           else {
-            val c = ops.normCell(row.get(i))
+            val c = ops.get(row, i)
             if (lits.exists(l => ops.cmp(c, l) == 0)) True
             else if (hasNull) Unknown else False
           }
         }
       }
-    case StringStartsWith(a, v) => stringMatch(a, v, schema,
-      (cell, lit) => startsWithBytes(cell, lit, 0))
-    case StringEndsWith(a, v) => stringMatch(a, v, schema,
-      (cell, lit) => startsWithBytes(cell, lit, cell.length - lit.length))
-    case StringContains(a, v) => stringMatch(a, v, schema, containsBytes)
+    // UTF8String's startsWith/endsWith/contains are byte-level — the
+    // exact semantics Spark's own string predicates evaluate
+    case StringStartsWith(a, v) => stringMatch(a, v, schema, _.startsWith(_))
+    case StringEndsWith(a, v) => stringMatch(a, v, schema, _.endsWith(_))
+    case StringContains(a, v) => stringMatch(a, v, schema, _.contains(_))
     case _ => None
   }
 
@@ -896,22 +916,22 @@ private[sources] object AvroFilters {
     idx(attr, schema).map(i => schema.fields(i).dataType).getOrElse(NullType)
 
   private def comparison(attr: String, v: Any, schema: StructType,
-                         sign: Int => Int): Option[Row => Int] =
+                         sign: Int => Int): Option[InternalRow => Int] =
     for (i <- idx(attr, schema); ops <- cmpOps(typeAt(schema, attr));
-         lit <- Option(v).flatMap(ops.normLit)) yield { (row: Row) =>
+         lit <- Option(v).flatMap(ops.normLit)) yield { (row: InternalRow) =>
       if (row.isNullAt(i)) Unknown
-      else sign(ops.cmp(ops.normCell(row.get(i)), lit))
+      else sign(ops.cmp(ops.get(row, i), lit))
     }
 
   private def stringMatch(attr: String, v: String, schema: StructType,
-                          m: (Array[Byte], Array[Byte]) => Boolean): Option[Row => Int] =
+                          m: (UTF8String, UTF8String) => Boolean): Option[InternalRow => Int] =
     typeAt(schema, attr) match {
       case StringType if v != null =>
         idx(attr, schema).map { i =>
-          val lit = utf8(v)
-          (row: Row) =>
+          val lit = UTF8String.fromString(v)
+          (row: InternalRow) =>
             if (row.isNullAt(i)) Unknown
-            else if (m(utf8(row.getString(i)), lit)) True else False
+            else if (m(row.getUTF8String(i), lit)) True else False
         }
       case _ => None
     }
@@ -919,67 +939,74 @@ private[sources] object AvroFilters {
   private def sequenceOpt(xs: Array[Option[Any]]): Option[Seq[Any]] =
     if (xs.forall(_.isDefined)) Some(xs.toSeq.map(_.get)) else None
 
-  // ---- per-type normalization + ordering ---------------------------
+  // ---- per-type access, normalization + ordering -------------------
 
-  /** Literal/cell normalization to one comparable representation plus
-    * the comparator with Spark's exact semantics for that type. Cells
-    * come from our own decoder, so their runtime classes are known;
-    * literals come from Catalyst's filter translation and may arrive
-    * under either the java.sql or java.time session representation. */
+  /** Literal normalization to the column's catalyst representation,
+    * the typed cell accessor, and the comparator with Spark's exact
+    * semantics for that type. */
   private final case class Ops(normLit: Any => Option[Any],
-                               normCell: Any => Any,
+                               get: (InternalRow, Int) => Any,
                                cmp: (Any, Any) => Int)
 
+  private val longCmp: (Any, Any) => Int =
+    (a, b) => java.lang.Long.compare(a.asInstanceOf[Long], b.asInstanceOf[Long])
+
   private def cmpOps(dt: DataType): Option[Ops] = dt match {
-    case ByteType | ShortType | IntegerType | LongType => Some(Ops(
+    case IntegerType => Some(Ops(
       { case n: java.lang.Number => Some(java.lang.Long.valueOf(n.longValue)); case _ => None },
-      { case n: java.lang.Number => java.lang.Long.valueOf(n.longValue) },
-      (a, b) => java.lang.Long.compare(a.asInstanceOf[Long], b.asInstanceOf[Long])))
-    case FloatType | DoubleType => Some(Ops(
+      (r, i) => java.lang.Long.valueOf(r.getInt(i).toLong),
+      longCmp))
+    case LongType => Some(Ops(
+      { case n: java.lang.Number => Some(java.lang.Long.valueOf(n.longValue)); case _ => None },
+      (r, i) => java.lang.Long.valueOf(r.getLong(i)),
+      longCmp))
+    case FloatType => Some(Ops(
       { case n: java.lang.Number => Some(java.lang.Double.valueOf(n.doubleValue)); case _ => None },
-      { case n: java.lang.Number => java.lang.Double.valueOf(n.doubleValue) },
+      (r, i) => java.lang.Double.valueOf(r.getFloat(i).toDouble),
+      (a, b) => nanSafeCmp(a.asInstanceOf[Double], b.asInstanceOf[Double])))
+    case DoubleType => Some(Ops(
+      { case n: java.lang.Number => Some(java.lang.Double.valueOf(n.doubleValue)); case _ => None },
+      (r, i) => java.lang.Double.valueOf(r.getDouble(i)),
       (a, b) => nanSafeCmp(a.asInstanceOf[Double], b.asInstanceOf[Double])))
     case StringType => Some(Ops(
-      { case s: String => Some(utf8(s)); case _ => None },
-      { case s: String => utf8(s) },
-      (a, b) => byteCmp(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])))
+      { case s: String => Some(UTF8String.fromString(s)); case _ => None },
+      (r, i) => r.getUTF8String(i),
+      (a, b) => a.asInstanceOf[UTF8String].binaryCompare(b.asInstanceOf[UTF8String])))
     case BooleanType => Some(Ops(
       { case b: java.lang.Boolean => Some(b); case _ => None },
-      identity,
+      (r, i) => java.lang.Boolean.valueOf(r.getBoolean(i)),
       (a, b) => java.lang.Boolean.compare(
         a.asInstanceOf[Boolean], b.asInstanceOf[Boolean])))
-    case _: DecimalType => Some(Ops(
-      { case d: java.math.BigDecimal => Some(d)
-        case d: scala.math.BigDecimal => Some(d.bigDecimal)
-        case d: org.apache.spark.sql.types.Decimal => Some(d.toJavaBigDecimal)
+    case d: DecimalType => Some(Ops(
+      { case x: java.math.BigDecimal => Some(org.apache.spark.sql.types.Decimal(x))
+        case x: scala.math.BigDecimal => Some(org.apache.spark.sql.types.Decimal(x))
+        case x: org.apache.spark.sql.types.Decimal => Some(x)
         case _ => None },
-      { case d: java.math.BigDecimal => d },
-      (a, b) => a.asInstanceOf[java.math.BigDecimal]
-        .compareTo(b.asInstanceOf[java.math.BigDecimal])))
+      (r, i) => r.getDecimal(i, d.precision, d.scale),
+      // Decimal.compare is scale-aware (BigDecimal value order)
+      (a, b) => a.asInstanceOf[org.apache.spark.sql.types.Decimal]
+        .compare(b.asInstanceOf[org.apache.spark.sql.types.Decimal])))
     case TimestampType => Some(Ops(
       { case t: java.sql.Timestamp =>
           Some(java.lang.Long.valueOf(DateTimeUtils.fromJavaTimestamp(t)))
         case i: java.time.Instant =>
           Some(java.lang.Long.valueOf(DateTimeUtils.instantToMicros(i)))
         case _ => None },
-      { case t: java.sql.Timestamp =>
-          java.lang.Long.valueOf(DateTimeUtils.fromJavaTimestamp(t)) },
-      (a, b) => java.lang.Long.compare(a.asInstanceOf[Long], b.asInstanceOf[Long])))
+      (r, i) => java.lang.Long.valueOf(r.getLong(i)),
+      longCmp))
     case TimestampNTZType => Some(Ops(
       { case l: java.time.LocalDateTime =>
           Some(java.lang.Long.valueOf(DateTimeUtils.localDateTimeToMicros(l)))
         case _ => None },
-      { case l: java.time.LocalDateTime =>
-          java.lang.Long.valueOf(DateTimeUtils.localDateTimeToMicros(l)) },
-      (a, b) => java.lang.Long.compare(a.asInstanceOf[Long], b.asInstanceOf[Long])))
+      (r, i) => java.lang.Long.valueOf(r.getLong(i)),
+      longCmp))
     case DateType => Some(Ops(
       { case d: java.sql.Date =>
           Some(java.lang.Integer.valueOf(DateTimeUtils.fromJavaDate(d)))
         case d: java.time.LocalDate =>
           Some(java.lang.Integer.valueOf(DateTimeUtils.localDateToDays(d)))
         case _ => None },
-      { case d: java.sql.Date =>
-          java.lang.Integer.valueOf(DateTimeUtils.fromJavaDate(d)) },
+      (r, i) => java.lang.Integer.valueOf(r.getInt(i)),
       (a, b) => java.lang.Integer.compare(a.asInstanceOf[Int], b.asInstanceOf[Int])))
     case _ => None // binary / nested / anything else: residual-only
   }
@@ -994,39 +1021,4 @@ private[sources] object AvroFilters {
       val yN = java.lang.Double.isNaN(y)
       if (xN && yN) 0 else if (xN) 1 else -1
     }
-
-  private def utf8(s: String): Array[Byte] =
-    s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-
-  /** Unsigned lexicographic byte order — UTF8String.binaryCompare. */
-  private def byteCmp(a: Array[Byte], b: Array[Byte]): Int = {
-    val n = math.min(a.length, b.length)
-    var i = 0
-    while (i < n) {
-      val c = java.lang.Integer.compare(a(i) & 0xff, b(i) & 0xff)
-      if (c != 0) return c
-      i += 1
-    }
-    java.lang.Integer.compare(a.length, b.length)
-  }
-
-  private def startsWithBytes(cell: Array[Byte], lit: Array[Byte], at: Int): Boolean = {
-    if (at < 0 || at + lit.length > cell.length) return false
-    var i = 0
-    while (i < lit.length) {
-      if (cell(at + i) != lit(i)) return false
-      i += 1
-    }
-    true
-  }
-
-  private def containsBytes(cell: Array[Byte], lit: Array[Byte]): Boolean = {
-    if (lit.length == 0) return true
-    var s = 0
-    while (s + lit.length <= cell.length) {
-      if (startsWithBytes(cell, lit, s)) return true
-      s += 1
-    }
-    false
-  }
 }

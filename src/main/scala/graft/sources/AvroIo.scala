@@ -150,13 +150,6 @@ object AvroIo {
     base.getType == Schema.Type.INT &&
       base.getLogicalType.isInstanceOf[LogicalTypes.Date]
 
-  /** Wrap a freshly built values array as a Row WITHOUT copying —
-    * `Row.fromSeq` re-copies via `values.toArray`, which matters per
-    * decoded record on the scan hot path. The array never escapes its
-    * builder, so handing ownership to GenericRow is safe. */
-  private def rowOf(vals: Array[Any]): Row =
-    new org.apache.spark.sql.catalyst.expressions.GenericRow(vals)
-
   private def decimalOf(base: Schema): Option[DecimalType] =
     base.getLogicalType match {
       case d: LogicalTypes.Decimal =>
@@ -217,114 +210,6 @@ object AvroIo {
 
   private def bbBytes(bb: java.nio.ByteBuffer): Array[Byte] = {
     val a = new Array[Byte](bb.remaining()); bb.duplicate().get(a); a
-  }
-
-  /** Raw Avro decode value -> the Spark-native JVM value for this
-    * writer field (Utf8 -> String, ByteBuffer -> Array[Byte],
-    * timestamp long -> java.sql.Timestamp, decimal bytes ->
-    * java.math.BigDecimal, record -> Row, array -> Seq, map -> Map —
-    * the external row types createDataFrame's encoder expects). */
-  private def rawToSpark(base: Schema): Any => Any = base.getType match {
-    case Schema.Type.STRING => {
-      case null => null
-      case u: org.apache.avro.util.Utf8 => u.toString
-      case x => x.toString
-    }
-    case Schema.Type.BYTES if decimalOf(base).isDefined =>
-      val scale = base.getLogicalType.asInstanceOf[LogicalTypes.Decimal].getScale
-      val f: Any => Any = {
-        case null => null
-        case bb: java.nio.ByteBuffer =>
-          new java.math.BigDecimal(new java.math.BigInteger(bbBytes(bb)), scale)
-        case x => throw new IllegalStateException(s"AvroIo: decimal field held $x")
-      }
-      f
-    case Schema.Type.FIXED if decimalOf(base).isDefined =>
-      val scale = base.getLogicalType.asInstanceOf[LogicalTypes.Decimal].getScale
-      val f: Any => Any = {
-        case null => null
-        case gf: org.apache.avro.generic.GenericFixed =>
-          new java.math.BigDecimal(new java.math.BigInteger(gf.bytes()), scale)
-        case x => throw new IllegalStateException(s"AvroIo: decimal fixed held $x")
-      }
-      f
-    case Schema.Type.BYTES => {
-      case null => null
-      case bb: java.nio.ByteBuffer => bbBytes(bb)
-      case x => x
-    }
-    case Schema.Type.FIXED => {
-      case null => null
-      case gf: org.apache.avro.generic.GenericFixed => gf.bytes().clone()
-      case x => x
-    }
-    case Schema.Type.ENUM => {
-      case null => null
-      case x => x.toString // GenericEnumSymbol
-    }
-    case Schema.Type.RECORD =>
-      val convs = base.getFields.asScala.map { f =>
-        val (fb, _) = nonNullBranch(f.schema())
-        (f.pos(), rawToSpark(fb))
-      }.toArray
-      // pre-sized while-loop fill (as SplitRows.next): no per-record
-      // copy of the converter array in the decode hot path
-      val f: Any => Any = {
-        case null => null
-        case rec: GenericRecord =>
-          val vals = new Array[Any](convs.length)
-          var j = 0
-          while (j < convs.length) {
-            val (i, c) = convs(j)
-            vals(j) = c(rec.get(i))
-            j += 1
-          }
-          rowOf(vals)
-        case x => throw new IllegalStateException(s"AvroIo: record field held $x")
-      }
-      f
-    case Schema.Type.ARRAY =>
-      val (et, _) = nonNullBranch(base.getElementType)
-      val conv = rawToSpark(et)
-      val f: Any => Any = {
-        case null => null
-        case l: java.util.Collection[_] =>
-          l.asScala.iterator.map(conv).toSeq
-        case x => throw new IllegalStateException(s"AvroIo: array field held $x")
-      }
-      f
-    case Schema.Type.MAP =>
-      val (vt, _) = nonNullBranch(base.getValueType)
-      val conv = rawToSpark(vt)
-      val f: Any => Any = {
-        case null => null
-        case m: java.util.Map[_, _] =>
-          m.asScala.iterator.map { case (k, v) => (k.toString, conv(v)) }.toMap
-        case x => throw new IllegalStateException(s"AvroIo: map field held $x")
-      }
-      f
-    case Schema.Type.LONG if isTimestamp(base) =>
-      val toMicros: Long => Long = base.getLogicalType match {
-        case _: LogicalTypes.TimestampMillis => ms => Math.multiplyExact(ms, 1000L)
-        case _ => identity
-      }
-      { case null => null
-        case l: java.lang.Long => DateTimeUtils.toJavaTimestamp(toMicros(l.longValue))
-        case x => throw new IllegalStateException(s"AvroIo: timestamp field held $x") }
-    case Schema.Type.LONG if isLocalTimestamp(base) =>
-      val toMicros: Long => Long = base.getLogicalType match {
-        case _: LogicalTypes.LocalTimestampMillis => ms => Math.multiplyExact(ms, 1000L)
-        case _ => identity
-      }
-      { case null => null
-        case l: java.lang.Long => DateTimeUtils.microsToLocalDateTime(toMicros(l.longValue))
-        case x => throw new IllegalStateException(s"AvroIo: local-timestamp field held $x") }
-    case Schema.Type.INT if isDate(base) => {
-      case null => null
-      case i: java.lang.Integer => DateTimeUtils.toJavaDate(i.intValue)
-      case x => throw new IllegalStateException(s"AvroIo: date field held $x")
-    }
-    case _ => identity[Any]
   }
 
   /** Spark external row value -> the Avro datum for one non-null
@@ -1016,95 +901,438 @@ object AvroIo {
     StructType(fields)
   }
 
-  /** Lossless widening (or stringification, for conflicted columns
-    * under StringifyConflicts) from one writer field's Spark value to
-    * the unified type — recursive for struct/array/map, where the
-    * unified struct may carry fields this generation lacks
-    * (null-filled) and nested values widen along the same lattice. */
-  private def widen(from: DataType, to: DataType): Any => Any =
-    (from, to) match {
-      case (f, t) if f == t => identity[Any]
-      case (IntegerType, LongType) => { case null => null
-        case i: java.lang.Integer => java.lang.Long.valueOf(i.longValue) }
-      case (IntegerType, DoubleType) => { case null => null
-        case i: java.lang.Integer => java.lang.Double.valueOf(i.doubleValue) }
-      case (LongType, DoubleType) => { case null => null
-        case l: java.lang.Long => java.lang.Double.valueOf(l.doubleValue) }
-      case (FloatType, DoubleType) => { case null => null
-        case f: java.lang.Float => java.lang.Double.valueOf(f.doubleValue) }
-      case (f: StructType, t: StructType) =>
-        // per-unified-field: source position (or -1 = null-fill) +
-        // recursive widening from the source field's type
-        val convs = t.fields.map { tf =>
-          val i = f.fieldNames.indexOf(tf.name)
-          if (i < 0) (-1, identity[Any] _)
-          else (i, widen(f.fields(i).dataType, tf.dataType))
-        }
-        val fn: Any => Any = {
-          case null => null
-          case r: Row =>
-            val vals = new Array[Any](convs.length)
-            var j = 0
-            while (j < convs.length) {
-              val (i, c) = convs(j)
-              vals(j) = if (i < 0) null else c(r.get(i))
-              j += 1
-            }
-            rowOf(vals)
-          case x => throw new IllegalStateException(s"AvroIo: struct value $x")
-        }
-        fn
-      case (f: ArrayType, t: ArrayType) =>
-        val conv = widen(f.elementType, t.elementType)
-        val fn: Any => Any = {
-          case null => null
-          case s: scala.collection.Seq[_] => s.map(conv(_)).toSeq
-          case x => throw new IllegalStateException(s"AvroIo: array value $x")
-        }
-        fn
-      case (f: MapType, t: MapType) =>
-        val conv = widen(f.valueType, t.valueType)
-        val fn: Any => Any = {
-          case null => null
-          case m: scala.collection.Map[_, _] =>
-            m.iterator.map { case (k, v) => (k, conv(v)) }.toMap
-          case x => throw new IllegalStateException(s"AvroIo: map value $x")
-        }
-        fn
+  /** All named-type full names (record/enum/fixed) anywhere in `s` —
+    * seeds the name dedup when the reader schema copies writer
+    * subtrees verbatim beside freshly built ones. */
+  private def namedTypes(s: Schema,
+      into: scala.collection.mutable.Set[String]): Unit = s.getType match {
+    case Schema.Type.RECORD =>
+      if (into.add(s.getFullName))
+        s.getFields.asScala.foreach(f => namedTypes(f.schema(), into))
+    case Schema.Type.ENUM | Schema.Type.FIXED => into.add(s.getFullName): Unit
+    case Schema.Type.UNION => s.getTypes.asScala.foreach(namedTypes(_, into))
+    case Schema.Type.ARRAY => namedTypes(s.getElementType, into)
+    case Schema.Type.MAP   => namedTypes(s.getValueType, into)
+    case _ => ()
+  }
+
+  /** The READER-side Avro schema resolving one writer's records onto
+    * the unified `target` — this is where projection, null-fill, and
+    * the primitive lattice all happen DURING decode instead of after
+    * it:
+    *  - a writer subtree whose Spark type already equals the target
+    *    passes through verbatim (identity resolution, zero risk);
+    *  - int->long / int,long,float->double widenings become Avro
+    *    numeric PROMOTIONS (the resolving decoder emits the widened
+    *    primitive straight off the wire);
+    *  - records rebuild in TARGET field order: writer fields omitted
+    *    from the target are SKIPPED by the resolver (projection),
+    *    target fields missing from this writer become nullable reader
+    *    fields with a null default the resolver materializes
+    *    (null-fill) — so the decoded record is target-shaped, no
+    *    permute/copy afterwards;
+    *  - decimal widening, millis timestamps, and stringified columns
+    *    keep the writer's wire shape for [[postFixFor]] to finish
+    *    (resolution cannot express those). */
+  private def readerTypeFor(wbase: Schema, target: DataType,
+      used: scala.collection.mutable.Set[String]): Schema = {
+    val srcT = fieldSparkType("f", wbase)
+    (srcT, target) match {
+      case (s, t) if s == t && !s.isInstanceOf[StructType] &&
+          !s.isInstanceOf[ArrayType] && !s.isInstanceOf[MapType] => wbase
+      case (s: StructType, t: StructType) if s == t => wbase
+      case (a: ArrayType, b: ArrayType) if a == b => wbase
+      case (a: MapType, b: MapType) if a == b => wbase
+      case (IntegerType, LongType) => Schema.create(Schema.Type.LONG)
+      case (IntegerType, DoubleType) | (LongType, DoubleType) |
+           (FloatType, DoubleType) => Schema.create(Schema.Type.DOUBLE)
       case (f: DecimalType, t: DecimalType)
-          if f.scale == t.scale && t.precision >= f.precision =>
-        identity[Any] // precision is a capacity bound; the value stands
-      case (BinaryType, StringType) => { case null => null
-        case b: Array[Byte] => new String(b, java.nio.charset.StandardCharsets.UTF_8) }
-      case (_, StringType) => { case null => null; case x => String.valueOf(x) }
+          if f.scale == t.scale && t.precision >= f.precision => wbase
+      case (_, StringType) => wbase // stringify: postFixFor renders
+      case (_: StructType, tt: StructType) =>
+        val fields = tt.fields.map { tf =>
+          Option(wbase.getField(tf.name)) match {
+            case None => // null-fill via resolver default
+              val gen = toAvroType(tf.dataType,
+                s"rf_${wbase.getName}_${tf.name}", used)
+              new Schema.Field(tf.name,
+                Schema.createUnion(
+                  List(Schema.create(Schema.Type.NULL), gen).asJava),
+                null, org.apache.avro.JsonProperties.NULL_VALUE)
+            case Some(wf) =>
+              val (b, nullable) = nonNullBranch(wf.schema())
+              val rt = readerTypeFor(b, tf.dataType, used)
+              new Schema.Field(tf.name,
+                if (nullable) Schema.createUnion(
+                  List(Schema.create(Schema.Type.NULL), rt).asJava)
+                else rt, null, null)
+          }
+        }
+        Schema.createRecord(wbase.getName, wbase.getDoc,
+          Option(wbase.getNamespace).getOrElse("graft"), false,
+          fields.toList.asJava)
+      case (_: ArrayType, ta: ArrayType) =>
+        val (eb, eNullable) = nonNullBranch(wbase.getElementType)
+        val et = readerTypeFor(eb, ta.elementType, used)
+        Schema.createArray(
+          if (eNullable) Schema.createUnion(
+            List(Schema.create(Schema.Type.NULL), et).asJava)
+          else et)
+      case (_: MapType, tm: MapType) =>
+        val (vb, vNullable) = nonNullBranch(wbase.getValueType)
+        val vt = readerTypeFor(vb, tm.valueType, used)
+        Schema.createMap(
+          if (vNullable) Schema.createUnion(
+            List(Schema.create(Schema.Type.NULL), vt).asJava)
+          else vt)
       case (f, t) => throw new IllegalArgumentException(
         s"AvroIo: no lossless widening $f -> $t")
     }
+  }
 
-  /** Per-target-column (reader field index | -1, raw->unified value
-    * converter) for one reader schema. */
-  private def projector(reader: Schema, target: StructType): Array[(Int, Any => Any)] =
-    target.fields.map { tf =>
-      Option(reader.getField(tf.name)) match {
-        case None => (-1, identity[Any]) // null-fill
-        case Some(wf) =>
-          val (base, _) = nonNullBranch(wf.schema())
-          val srcT = fieldSparkType(tf.name, base)
-          val raw = rawToSpark(base)
-          val w = widen(srcT, tf.dataType)
-          (wf.pos(), raw.andThen(w))
-      }
+  private[sources] def readerSchemaFor(writer: Schema, target: StructType): Schema =
+    if (toSparkSchema(writer) == target) writer
+    else {
+      val used = scala.collection.mutable.Set[String]()
+      namedTypes(writer, used)
+      readerTypeFor(writer, target, used)
     }
 
-  /** The per-writer READER schema for projection pushdown: the
-    * writer's fields restricted to `keep` (writer order preserved) —
-    * resolving against it makes Avro's decoder SKIP every omitted
-    * field's bytes instead of materializing them. */
-  private def projectionSchema(writer: Schema, keep: Set[String]): Schema = {
-    val fields = writer.getFields.asScala.filter(f => keep(f.name))
-      .map(f => new Schema.Field(f, f.schema())) // field objects are single-use
-    Schema.createRecord(writer.getName, writer.getDoc,
-      Option(writer.getNamespace).getOrElse("graft"), false, fields.toList.asJava)
+  /** The decode hot path, COMPILED: one closure tree per (writer,
+    * target) pair walking the ResolvingDecoder directly — no
+    * GenericRecord, no per-value schema switches, no logical-type
+    * lookups, no post-pass. Each node reads its wire value and emits
+    * the catalyst-native form in one step: boxed primitives (with
+    * Avro's own numeric promotion applying the int->long/->double
+    * lattice during decode), UTF8String straight from the decoder's
+    * scratch Utf8 bytes (one copy, no UTF-16 round trip), raw byte
+    * arrays, Decimal at the widened precision, micros from millis
+    * timestamps, GenericInternalRow / GenericArrayData /
+    * ArrayBasedMapData for the nested types, and the drift ledger's
+    * documented String.valueOf(external) rendering for stringified
+    * conflict columns. Null-filled fields (reader-only, null default)
+    * and projection skips (writer-only fields) are the resolver's own
+    * grammar actions — invisible here. */
+  private object CompiledAvro {
+    import org.apache.avro.io.Decoder
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.unsafe.types.UTF8String
+
+    type ValueReader = Decoder => Any
+
+    /** Compile one reader-schema node targeted at `target`. The reader
+      * schema is target-shaped ([[readerTypeFor]]), so record
+      * positions are target positions. `resolved` = decoding through a
+      * ResolvingDecoder (records follow readFieldOrder); false = the
+      * raw block decoder (writer == reader: fields arrive in schema
+      * order with NO grammar walk — the single-generation fast path).
+      * NOT thread-safe across tasks (string/bytes scratch buffers live
+      * in the closures) — compile per task. */
+    def compile(s: Schema, target: DataType, resolved: Boolean): ValueReader = s.getType match {
+      case Schema.Type.NULL => rd => { rd.readNull(); null }
+      case Schema.Type.UNION =>
+        // nonNullBranch admits only [null, T] (either order) into the
+        // lattice, but compile each branch generically by index
+        val branches = s.getTypes.asScala.map(b => compile(b, target, resolved)).toArray
+        rd => branches(rd.readIndex())(rd)
+      case _ => target match {
+        case StringType if s.getType == Schema.Type.STRING =>
+          val scratch = new org.apache.avro.util.Utf8
+          rd => {
+            val u = rd.readString(scratch)
+            UTF8String.fromBytes(
+              java.util.Arrays.copyOfRange(u.getBytes, 0, u.getByteLength))
+          }
+        case StringType if s.getType == Schema.Type.ENUM =>
+          val syms = s.getEnumSymbols.asScala.map(UTF8String.fromString).toArray
+          rd => syms(rd.readEnum())
+        case StringType if s.getType == Schema.Type.BYTES =>
+          // conflicted binary-vs-string column: the bytes ARE utf-8
+          // text in the string generations' sense
+          var scratch: java.nio.ByteBuffer = null
+          rd => {
+            val bb = rd.readBytes(scratch); scratch = bb
+            UTF8String.fromBytes(bbBytes(bb))
+          }
+        case StringType =>
+          // stringified conflict column: decode at the natural type,
+          // render through the EXTERNAL representation — the exact
+          // String.valueOf(external) the drift ledger documents
+          val natT = fieldSparkType("f", s)
+          require(natT != StringType, s"AvroIo: unexpected string source $s")
+          val nat = compile(s, natT, resolved)
+          val toScala = org.apache.spark.sql.catalyst.CatalystTypeConverters
+            .createToScalaConverter(natT)
+          rd => {
+            val v = nat(rd)
+            if (v == null) null
+            else UTF8String.fromString(String.valueOf(toScala(v)))
+          }
+        case BooleanType => rd => java.lang.Boolean.valueOf(rd.readBoolean())
+        case IntegerType | DateType => rd => java.lang.Integer.valueOf(rd.readInt())
+        case LongType if s.getType == Schema.Type.INT =>
+          // unreachable under readerTypeFor (widening becomes a reader
+          // LONG the resolver promotes), but harmless and total
+          rd => java.lang.Long.valueOf(rd.readInt().toLong)
+        case LongType => rd => java.lang.Long.valueOf(rd.readLong())
+        case TimestampType | TimestampNTZType =>
+          s.getLogicalType match {
+            case _: LogicalTypes.TimestampMillis | _: LogicalTypes.LocalTimestampMillis =>
+              rd => java.lang.Long.valueOf(Math.multiplyExact(rd.readLong(), 1000L))
+            case _ => rd => java.lang.Long.valueOf(rd.readLong())
+          }
+        case FloatType => rd => java.lang.Float.valueOf(rd.readFloat())
+        case DoubleType => rd => java.lang.Double.valueOf(rd.readDouble())
+        case BinaryType if s.getType == Schema.Type.FIXED =>
+          val size = s.getFixedSize
+          rd => { val b = new Array[Byte](size); rd.readFixed(b, 0, size); b }
+        case BinaryType =>
+          var scratch: java.nio.ByteBuffer = null
+          rd => { val bb = rd.readBytes(scratch); scratch = bb; bbBytes(bb) }
+        case t: DecimalType =>
+          val scale = s.getLogicalType.asInstanceOf[LogicalTypes.Decimal].getScale
+          if (s.getType == Schema.Type.FIXED) {
+            val size = s.getFixedSize
+            rd => {
+              val b = new Array[Byte](size); rd.readFixed(b, 0, size)
+              Decimal(BigDecimal(new java.math.BigDecimal(
+                new java.math.BigInteger(b), scale)), t.precision, t.scale)
+            }
+          } else {
+            var scratch: java.nio.ByteBuffer = null
+            rd => {
+              val bb = rd.readBytes(scratch); scratch = bb
+              Decimal(BigDecimal(new java.math.BigDecimal(
+                new java.math.BigInteger(bbBytes(bb)), scale)), t.precision, t.scale)
+            }
+          }
+        case tt: StructType =>
+          val n = s.getFields.size
+          require(n == tt.length,
+            s"AvroIo: reader record arity $n != target arity ${tt.length}")
+          val fieldReaders = new Array[ValueReader](n)
+          var i = 0
+          while (i < n) {
+            fieldReaders(i) = compile(s.getFields.get(i).schema(), tt.fields(i).dataType, resolved)
+            i += 1
+          }
+          if (resolved) { rd =>
+            val row = new GenericInternalRow(n)
+            val order = rd.asInstanceOf[org.apache.avro.io.ResolvingDecoder].readFieldOrder()
+            var j = 0
+            while (j < order.length) {
+              val pos = order(j).pos()
+              row.update(pos, fieldReaders(pos)(rd))
+              j += 1
+            }
+            row
+          } else { rd =>
+            val row = new GenericInternalRow(n)
+            var j = 0
+            while (j < n) {
+              row.update(j, fieldReaders(j)(rd))
+              j += 1
+            }
+            row
+          }
+        case ta: ArrayType =>
+          val elem = compile(s.getElementType, ta.elementType, resolved)
+          rd => {
+            val buf = scala.collection.mutable.ArrayBuffer.empty[Any]
+            var n = rd.readArrayStart()
+            while (n > 0) {
+              var i = 0L
+              while (i < n) { buf += elem(rd); i += 1 }
+              n = rd.arrayNext()
+            }
+            new org.apache.spark.sql.catalyst.util.GenericArrayData(buf.toArray)
+          }
+        case tm: MapType =>
+          val value = compile(s.getValueType, tm.valueType, resolved)
+          val scratch = new org.apache.avro.util.Utf8
+          rd => {
+            val ks = scala.collection.mutable.ArrayBuffer.empty[Any]
+            val vs = scala.collection.mutable.ArrayBuffer.empty[Any]
+            var n = rd.readMapStart()
+            while (n > 0) {
+              var i = 0L
+              while (i < n) {
+                val u = rd.readString(scratch)
+                ks += UTF8String.fromBytes(
+                  java.util.Arrays.copyOfRange(u.getBytes, 0, u.getByteLength))
+                vs += value(rd)
+                i += 1
+              }
+              n = rd.mapNext()
+            }
+            new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+              new org.apache.spark.sql.catalyst.util.GenericArrayData(ks.toArray),
+              new org.apache.spark.sql.catalyst.util.GenericArrayData(vs.toArray))
+          }
+        case other => throw new IllegalArgumentException(
+          s"AvroIo: cannot compile Avro ${s.getType} -> Spark $other")
+      }
+    }
+  }
+
+  private object CompiledUnsafeAvro {
+    import org.apache.avro.io.Decoder
+    import org.apache.spark.sql.catalyst.expressions.codegen.UnsafeRowWriter
+    import org.apache.spark.unsafe.types.UTF8String
+
+    /** One top-level field: read its wire value off the decoder and
+      * write it into the row buffer slot — primitively, no boxing. */
+    type FieldWriter = (Decoder, UnsafeRowWriter, Int) => Unit
+
+    /** The FLAT fast path: when every reader field is a (nullable)
+      * primitive / string / enum / binary / decimal / date /
+      * timestamp, records decode straight into an UnsafeRowWriter —
+      * zero boxed values, one contiguous buffer per row (copied out
+      * exact-size, so each emitted row is still a fresh object).
+      * None = some field needs the boxed tree (nested types,
+      * stringified conflicts). */
+    def compile(s: Schema, target: StructType): Option[Array[FieldWriter]] = {
+      if (s.getFields.size != target.length) return None
+      val ws = new Array[FieldWriter](target.length)
+      var i = 0
+      while (i < target.length) {
+        compileField(s.getFields.get(i).schema(), target.fields(i).dataType) match {
+          case Some(w) => ws(i) = w
+          case None => return None
+        }
+        i += 1
+      }
+      Some(ws)
+    }
+
+    private def compileField(s: Schema, target: DataType): Option[FieldWriter] =
+      s.getType match {
+        case Schema.Type.NULL =>
+          Some((rd, w, i) => { rd.readNull(); w.setNullAt(i) })
+        case Schema.Type.UNION =>
+          val branches = s.getTypes.asScala.map(compileField(_, target))
+          if (branches.exists(_.isEmpty)) None
+          else {
+            val bs = branches.map(_.get).toArray
+            Some((rd, w, i) => bs(rd.readIndex())(rd, w, i))
+          }
+        case _ => target match {
+          case BooleanType => Some((rd, w, i) => w.write(i, rd.readBoolean()))
+          case IntegerType | DateType => Some((rd, w, i) => w.write(i, rd.readInt()))
+          case LongType if s.getType == Schema.Type.INT =>
+            Some((rd, w, i) => w.write(i, rd.readInt().toLong))
+          case TimestampType | TimestampNTZType =>
+            s.getLogicalType match {
+              case _: LogicalTypes.TimestampMillis | _: LogicalTypes.LocalTimestampMillis =>
+                Some((rd, w, i) =>
+                  w.write(i, Math.multiplyExact(rd.readLong(), 1000L)))
+              case _ => Some((rd, w, i) => w.write(i, rd.readLong()))
+            }
+          case LongType => Some((rd, w, i) => w.write(i, rd.readLong()))
+          case FloatType => Some((rd, w, i) => w.write(i, rd.readFloat()))
+          case DoubleType => Some((rd, w, i) => w.write(i, rd.readDouble()))
+          case StringType if s.getType == Schema.Type.STRING =>
+            val scratch = new org.apache.avro.util.Utf8
+            // fromBytes WRAPS (no copy); the writer then copies into
+            // the row buffer — one copy total, and the scratch is free
+            // to be overwritten by the next read
+            Some((rd, w, i) => {
+              val u = rd.readString(scratch)
+              w.write(i, UTF8String.fromBytes(u.getBytes, 0, u.getByteLength))
+            })
+          case StringType if s.getType == Schema.Type.ENUM =>
+            val syms = s.getEnumSymbols.asScala.map(UTF8String.fromString).toArray
+            Some((rd, w, i) => w.write(i, syms(rd.readEnum())))
+          case BinaryType if s.getType == Schema.Type.FIXED =>
+            val size = s.getFixedSize
+            val scratch = new Array[Byte](size) // write() copies immediately
+            Some((rd, w, i) => { rd.readFixed(scratch, 0, size); w.write(i, scratch) })
+          case BinaryType if s.getType == Schema.Type.BYTES =>
+            Some(new FieldWriter {
+              private var scratch: java.nio.ByteBuffer = _
+              def apply(rd: Decoder, w: UnsafeRowWriter, i: Int): Unit = {
+                val bb = rd.readBytes(scratch); scratch = bb
+                w.write(i, bb.array(), bb.arrayOffset() + bb.position(), bb.remaining())
+              }
+            })
+          case t: DecimalType
+              if s.getType == Schema.Type.BYTES || s.getType == Schema.Type.FIXED =>
+            val scale = s.getLogicalType.asInstanceOf[LogicalTypes.Decimal].getScale
+            val boxed = CompiledAvro.compile(s, t, resolved = false) // leaf: no record walk inside
+            Some((rd, w, i) => {
+              val _ = scale // decoded inside the boxed leaf at the same scale
+              w.write(i, boxed(rd).asInstanceOf[Decimal], t.precision, t.scale)
+            })
+          case _ => None // nested / stringified: boxed tree
+        }
+      }
+  }
+
+  /** DatumReader face over the compiled decoders for DataFileReader.
+    * Two modes, decided per file once DataFileReader injects the
+    * file's writer schema via setSchema:
+    *  - DIRECT (writer == reader, the single-generation full-read
+    *    case): the raw block BinaryDecoder, fields in schema order —
+    *    no ResolvingDecoder, so none of its per-value grammar-walk
+    *    overhead;
+    *  - RESOLVING (projection / evolution / promotion): one
+    *    ResolvingDecoder built lazily, configured per datum and
+    *    drained after — GenericDatumReader's own protocol, minus its
+    *    interpretive walk.
+    * Flat schemas additionally take the UnsafeRow path
+    * ([[CompiledUnsafeAvro]] — zero boxing, one buffer per row);
+    * anything nested or stringified takes the boxed tree
+    * ([[CompiledAvro]]). */
+  private final class CompiledDatumReader(reader: Schema, target: StructType)
+      extends org.apache.avro.io.DatumReader[AnyRef] {
+    private var actual: Schema = _
+    private var direct = false
+    private var initialized = false
+    private var resolver: org.apache.avro.io.ResolvingDecoder = _
+    private var boxedRoot: CompiledAvro.ValueReader = _
+    private val unsafeWriters = CompiledUnsafeAvro.compile(reader, target)
+    private val rowWriter = unsafeWriters.map(_ =>
+      new org.apache.spark.sql.catalyst.expressions.codegen.UnsafeRowWriter(
+        target.length))
+    private val unsafeN = target.length
+    override def setSchema(s: Schema): Unit = actual = s
+    override def read(reuse: AnyRef, in: org.apache.avro.io.Decoder): AnyRef = {
+      if (!initialized) {
+        direct = actual == reader
+        if (!direct)
+          resolver = org.apache.avro.io.DecoderFactory.get().resolvingDecoder(
+            Schema.applyAliases(actual, reader), reader, null)
+        if (unsafeWriters.isEmpty)
+          boxedRoot = CompiledAvro.compile(reader, target, resolved = !direct)
+        initialized = true
+      }
+      val rd: org.apache.avro.io.Decoder =
+        if (direct) in else { resolver.configure(in); resolver }
+      val v = unsafeWriters match {
+        case Some(ws) =>
+          val w = rowWriter.get
+          w.reset()
+          w.zeroOutNullBytes()
+          if (direct) {
+            var j = 0
+            while (j < unsafeN) { ws(j)(rd, w, j); j += 1 }
+          } else {
+            val order = resolver.readFieldOrder()
+            var j = 0
+            while (j < order.length) {
+              val pos = order(j).pos()
+              ws(pos)(rd, w, pos)
+              j += 1
+            }
+          }
+          // exact-size copy: each emitted row owns its bytes, the
+          // writer's grow-buffer is reused for the next record
+          w.getRow.copy()
+        case None => boxedRoot(rd)
+      }
+      if (!direct) resolver.drain()
+      v.asInstanceOf[AnyRef]
+    }
   }
 
   /** One read task's byte range: decode the blocks whose sync marker
@@ -1154,32 +1382,34 @@ object AvroIo {
     }.toArray
 
   /** Decode one split: sync to the first block marker at/after
-    * `sp.start`, stop at the first past `sp.end`, project each record
-    * onto `target` (null-fill absent columns, widen along the lattice,
-    * and — when the writer carries MORE fields than `target` — resolve
-    * against a restricted reader schema so Avro SKIPS the unprojected
-    * bytes). Self-closing on exhaustion; `close()` for early
-    * termination (limits, task kill). */
+    * `sp.start`, stop at the first past `sp.end`. The resolving
+    * decoder does the projection (writer fields absent from `target`
+    * skip their bytes), null-fill (reader-only fields default null),
+    * and primitive widening DURING decode against
+    * [[readerSchemaFor]]'s target-shaped schema, and the COMPILED
+    * per-field closures ([[CompiledAvro]] via [[CompiledDatumReader]])
+    * materialize each record as a GenericInternalRow with
+    * catalyst-native leaves — one materialization per record, no
+    * interpretive per-value schema walk. Each emitted InternalRow is
+    * a fresh object — downstream operators may buffer rows without
+    * copying, whatever the codegen config. Self-closing on
+    * exhaustion; `close()` for early termination (limits, task
+    * kill). */
   private[sources] final class SplitRows(
       sp: AvroSplit, writerJson: String, target: StructType,
       conf: org.apache.spark.util.SerializableConfiguration)
-      extends Iterator[Row] with AutoCloseable {
+      extends Iterator[org.apache.spark.sql.catalyst.InternalRow] with AutoCloseable {
     private val writer = new Schema.Parser().parse(writerJson)
-    private val keep = target.fieldNames.toSet
-    private val projected = !writer.getFields.asScala.forall(f => keep(f.name))
-    private val readerSchema = if (projected) projectionSchema(writer, keep) else writer
-    private val proj = projector(readerSchema, target)
-    private val n = target.length
-    private val r: DataFileReader[GenericRecord] = {
+    private val readerSchema = readerSchemaFor(writer, target)
+    private val r: DataFileReader[AnyRef] = {
       val in = new HPath(sp.path).getFileSystem(conf.value).open(new HPath(sp.path))
       // ctor header-parse or sync-scan throws (truncated/corrupt
       // file) happen BEFORE any completion hook exists — close the
       // stream on that path or retries leak descriptors
       try {
-        val rr = new DataFileReader[GenericRecord](
+        val rr = new DataFileReader[AnyRef](
           new HadoopSeekableInput(in, sp.len),
-          if (projected) new GenericDatumReader[GenericRecord](writer, readerSchema)
-          else new GenericDatumReader[GenericRecord](writer))
+          new CompiledDatumReader(readerSchema, target))
         // the header ends with the 16-byte sync marker, so sync(0)
         // lands on the first block; later starts land on the first
         // block boundary in-range
@@ -1194,17 +1424,8 @@ object AvroIo {
       if (!h) close()
       h
     }
-    def next(): Row = {
-      val rec = r.next()
-      val vals = new Array[Any](n)
-      var j = 0
-      while (j < n) {
-        val (src, conv) = proj(j)
-        vals(j) = if (src < 0) null else conv(rec.get(src))
-        j += 1
-      }
-      rowOf(vals)
-    }
+    def next(): org.apache.spark.sql.catalyst.InternalRow =
+      r.next(null).asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
   }
 
   /** Read a file or directory of Avro container files as a DataFrame,
