@@ -108,7 +108,8 @@ private[sources] final class AvroTable(
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.MICRO_BATCH_READ, TableCapability.STREAMING_WRITE)
+      TableCapability.MICRO_BATCH_READ, TableCapability.STREAMING_WRITE,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new AvroScanBuilder(path, conflicts, maxSplitBytes, maxFilesPerTrigger,
       logCompactInterval, maxFileAgeMs, tableSchema)
@@ -117,26 +118,147 @@ private[sources] final class AvroTable(
 }
 
 private[sources] final class AvroWriteBuilder(path: String, info: LogicalWriteInfo)
-    extends WriteBuilder {
+    extends WriteBuilder
+    with org.apache.spark.sql.connector.write.SupportsTruncate {
+  // SaveMode.Overwrite plans OverwriteByExpression(true), which the
+  // engine lowers to truncate-then-append on this builder
+  private var overwrite = false
+  override def truncate(): WriteBuilder = { overwrite = true; this }
+
+  // canonical codec name, validated loudly on the driver (including
+  // the zstd-jni presence gate) before any task launches
+  private def codecName: String = {
+    val c = info.options.getOrDefault(AvroDataSource.CodecOption, "deflate")
+      .toLowerCase
+    AvroIo.codecFor(c): Unit
+    c
+  }
+
   override def build(): Write = new Write {
-    // batch writes stay on AvroIo.toAvro's job-level two-phase commit;
-    // this face is the STREAMING sink (toBatch's default throws)
-    override def toStreaming: StreamingWrite = {
-      val deflate = info.options.getOrDefault(AvroDataSource.CodecOption,
-        "deflate") match {
-        case "deflate" => true
-        case "none" | "null" => false
-        case other => throw new IllegalArgumentException(
-          s"graft-avro sink: unsupported codec '$other' (deflate|none)")
-      }
-      // the STABLE streaming query id (persisted in the checkpoint, so
-      // restarts of the same query share it while a fresh checkpoint
-      // gets a new one) — it namespaces the epoch protocol below
-      new AvroStreamingWrite(path, info.queryId(), info.schema(), deflate,
+    // `df.write.format("graft-avro").mode("append"|"overwrite")` —
+    // same two-phase commit discipline as AvroIo.toAvro, symmetric
+    // with the read face
+    override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
+      new AvroBatchWrite(path, info.schema(), codecName, overwrite)
+    // the STABLE streaming query id (persisted in the checkpoint, so
+    // restarts of the same query share it while a fresh checkpoint
+    // gets a new one) — it namespaces the epoch protocol below
+    override def toStreaming: StreamingWrite =
+      new AvroStreamingWrite(path, info.queryId(), info.schema(), codecName,
         Option(info.options.get(AvroDataSource.LogCompactOption)).map(_.toInt)
           .getOrElse(AvroDataSource.DefaultLogCompactInterval))
+  }
+}
+
+/** Batch WRITE face (`df.write.format("graft-avro")`), closing the
+  * API asymmetry with the read path. Two-phase commit, the
+  * [[AvroIo.toAvro]] discipline re-expressed in the DSv2 protocol:
+  *
+  *  - every task attempt writes a dot-prefixed file (invisible to
+  *    [[AvroIo.readAvro]]'s listing) named by a fresh UUID — retried
+  *    and speculative attempts can never collide or mix;
+  *  - the engine delivers exactly ONE commit message per partition;
+  *    the driver commit renames exactly those attempts to visible
+  *    part names and aborted/orphaned attempts are swept or vacuumed;
+  *  - APPEND targets the zone directly (part names carry the job
+  *    UUID, so repeated appends never collide — the landing-zone
+  *    posture, a new writer-schema generation per append if the
+  *    schema evolved);
+  *  - OVERWRITE stages everything in a job-unique temp dir and swaps
+  *    it in via [[AvroIo.jobCommitSwapFor]] — the previous generation
+  *    moves aside before the swap and every failure path leaves a
+  *    complete generation on disk, exactly like toAvro. */
+private[sources] final class AvroBatchWrite(
+    path: String, schema: StructType, codec: String, overwrite: Boolean)
+    extends org.apache.spark.sql.connector.write.BatchWrite {
+  private val avroJson = AvroIo.avroJsonFor(schema) // loud on bad types, driver-side
+  private val jobId = java.util.UUID.randomUUID().toString.take(8)
+  private val conf = new org.apache.spark.util.SerializableConfiguration(
+    SparkSession.active.sparkContext.hadoopConfiguration)
+  private val target = new HPath(path)
+  // append writes attempts beside the data; overwrite stages in a
+  // sibling temp dir and swaps on commit
+  private val writeDir: HPath =
+    if (overwrite) new HPath(target.getParent, s"._tmp_${target.getName}_$jobId")
+    else target
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.DataWriterFactory = {
+    val fs = writeDir.getFileSystem(conf.value)
+    fs.mkdirs(writeDir)
+    new AvroBatchWriterFactory(writeDir.toString, jobId, schema, avroJson,
+      codec, conf)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = writeDir.getFileSystem(conf.value)
+    messages.collect { case m: AvroEpochFileMessage if m.attempt != null => m }
+      .foreach { m =>
+        val src = new HPath(m.attempt)
+        val dst = new HPath(writeDir, f"part-$jobId-p${m.partition}%05d.avro")
+        require(fs.rename(src, dst),
+          s"graft-avro batch write: commit rename failed: $src -> $dst")
+      }
+    if (overwrite)
+      AvroIo.jobCommitSwapFor(fs, writeDir, target, "graft-avro batch write")
+    else if (fs.exists(writeDir)) {
+      // sweep THIS job's orphaned attempts (speculative losers whose
+      // abort never ran); other writers' attempts are not ours to judge
+      fs.listStatus(writeDir)
+        .filter(s => s.isFile && s.getPath.getName.startsWith(s".attempt-$jobId-"))
+        .foreach(s => fs.delete(s.getPath, false): Unit)
     }
   }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = writeDir.getFileSystem(conf.value)
+    if (overwrite) fs.delete(writeDir, true): Unit
+    else {
+      messages.foreach {
+        case m: AvroEpochFileMessage if m.attempt != null =>
+          val p = new HPath(m.attempt)
+          if (fs.exists(p)) fs.delete(p, false): Unit
+        case _ => ()
+      }
+      // attempts from tasks that died before producing a message
+      if (fs.exists(writeDir))
+        fs.listStatus(writeDir)
+          .filter(s => s.isFile && s.getPath.getName.startsWith(s".attempt-$jobId-"))
+          .foreach(s => fs.delete(s.getPath, false): Unit)
+    }
+  }
+}
+
+private[sources] final class AvroBatchWriterFactory(
+    dir: String, jobId: String, schema: StructType, avroJson: String,
+    codec: String,
+    conf: org.apache.spark.util.SerializableConfiguration)
+    extends org.apache.spark.sql.connector.write.DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new DataWriter[InternalRow] {
+      private val fromCatalyst =
+        CatalystTypeConverters.createToScalaConverter(schema)
+      // lazy-create: an empty partition must not litter the target
+      // with zero-row container files
+      private var w: AvroIo.AvroRowFileWriter = _
+      private var attempt: HPath = _
+      override def write(r: InternalRow): Unit = {
+        if (w == null) {
+          attempt = new HPath(dir,
+            f".attempt-$jobId-p$partitionId%05d-t$taskId.avro")
+          w = new AvroIo.AvroRowFileWriter(schema, avroJson, attempt,
+            conf.value, codec)
+        }
+        w.append(fromCatalyst(r).asInstanceOf[Row])
+      }
+      override def commit(): WriterCommitMessage = {
+        if (w != null) w.close()
+        AvroEpochFileMessage(if (attempt == null) null else attempt.toString,
+          partitionId)
+      }
+      override def abort(): Unit = if (w != null) w.abort()
+      override def close(): Unit = ()
+    }
 }
 
 /** Streaming SINK for the landing zone — the engine-side version of
@@ -171,7 +293,7 @@ private[sources] final class AvroWriteBuilder(path: String, info: LogicalWriteIn
   * to scans and the replay's delete-and-redo touches only files no
   * reader has listed. */
 private[sources] final class AvroStreamingWrite(
-    path: String, queryId: String, schema: StructType, deflate: Boolean,
+    path: String, queryId: String, schema: StructType, codec: String,
     logCompactInterval: Int)
     extends StreamingWrite {
   private val avroJson = AvroIo.avroJsonFor(schema) // loud on bad types, driver-side
@@ -180,7 +302,7 @@ private[sources] final class AvroStreamingWrite(
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
       : StreamingDataWriterFactory =
-    new AvroStreamingWriterFactory(path, queryId, schema, avroJson, deflate, conf)
+    new AvroStreamingWriterFactory(path, queryId, schema, avroJson, codec, conf)
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val zone = new HPath(path)
@@ -272,7 +394,7 @@ private[sources] final case class AvroEpochFileMessage(
 
 private[sources] final class AvroStreamingWriterFactory(
     path: String, queryId: String, schema: StructType, avroJson: String,
-    deflate: Boolean,
+    codec: String,
     conf: org.apache.spark.util.SerializableConfiguration)
     extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
@@ -289,7 +411,7 @@ private[sources] final class AvroStreamingWriterFactory(
           attempt = new HPath(path,
             f".attempt-q$queryId-e$epochId-p$partitionId%05d-t$taskId.avro")
           w = new AvroIo.AvroRowFileWriter(schema, avroJson, attempt,
-            conf.value, deflate)
+            conf.value, codec)
         }
         w.append(fromCatalyst(r).asInstanceOf[Row])
       }

@@ -320,9 +320,8 @@ object AvroIo {
   def toAvro(df: DataFrame, path: String,
              codec: Option[String] = Some("deflate")): Unit = {
     val avroJson = toAvroSchema(df.schema, "row").toString
-    val codecName = codec.map(_.toLowerCase)
-    codecName.foreach(c => require(c == "deflate",
-      s"AvroIo.toAvro: unsupported codec $c (only deflate)"))
+    val codecName = codec.map(_.toLowerCase).getOrElse("null")
+    codecFor(codecName): Unit // validate driver-side, loudly
     val sparkSchema = df.schema
     val conf = new org.apache.spark.util.SerializableConfiguration(
       df.sparkSession.sparkContext.hadoopConfiguration)
@@ -336,7 +335,7 @@ object AvroIo {
     var jobCompleted = false
     var jobStarted = false
     try {
-      val deflate = codecName.contains("deflate")
+      val taskCodec = codecName
       val writeRdd = df.rdd.mapPartitionsWithIndex { (i, rows) =>
         if (rows.isEmpty) Iterator.empty
         else {
@@ -350,7 +349,7 @@ object AvroIo {
           // one shared task body with the streaming sink (schema parse,
           // codec, per-field converters, record fill, stream lifecycle)
           val w = new AvroRowFileWriter(sparkSchema, avroJson, attempt,
-            conf.value, deflate)
+            conf.value, taskCodec)
           try rows.foreach(w.append) finally w.close()
           // task-commit: HDFS/object-store rename refuses to overwrite,
           // so under speculation/retry exactly one attempt publishes
@@ -396,6 +395,12 @@ object AvroIo {
     *    write as failed, but a silently surviving hidden ._old_ copy
     *    per rewrite is an unbounded disk leak — warn with the path so
     *    an operator can reclaim it. */
+  /** The DSv2 batch-write face (AvroBatchWrite) commits through the
+    * same swap. */
+  private[sources] def jobCommitSwapFor(
+      fs0: FileSystem, tmp: HPath, target: HPath, op: String): Unit =
+    jobCommitSwap(fs0, tmp, target, op)
+
   private def jobCommitSwap(
       fs0: FileSystem, tmp: HPath, target: HPath, op: String): Unit = {
     fs0.listStatus(tmp).foreach { st =>
@@ -760,16 +765,35 @@ object AvroIo {
     * the per-task body of the STREAMING sink. Same schema mapping and
     * converters as [[toAvro]]'s task body; lifecycle (create/commit/
     * abort paths) belongs to the caller. */
+  /** Container codec for one canonical name. `zstandard` rides the
+    * zstd-jni Spark already bundles for shuffle/parquet; presence-
+    * gated so a slimmed deployment fails loudly at WRITE time (the
+    * read side needs the same class and would fail equally loudly). */
+  private[sources] def codecFor(name: String): Option[CodecFactory] = name match {
+    case "null" | "none" => None
+    case "deflate" => Some(CodecFactory.deflateCodec(6))
+    case "zstandard" | "zstd" =>
+      try Class.forName("com.github.luben.zstd.ZstdOutputStreamNoFinalizer")
+      catch {
+        case _: ClassNotFoundException => throw new IllegalArgumentException(
+          "AvroIo: codec zstandard needs zstd-jni on the classpath " +
+            "(Spark distributions bundle it; this one does not)")
+      }
+      Some(CodecFactory.zstandardCodec(3))
+    case other => throw new IllegalArgumentException(
+      s"AvroIo: unsupported codec '$other' (deflate|zstandard|none)")
+  }
+
   private[sources] final class AvroRowFileWriter(
       sparkSchema: StructType, avroJson: String, dest: HPath,
-      conf: org.apache.hadoop.conf.Configuration, deflate: Boolean) {
+      conf: org.apache.hadoop.conf.Configuration, codec: String) {
     private val schema = new Schema.Parser().parse(avroJson)
     private val fs = dest.getFileSystem(conf)
     private val os = fs.create(dest, true)
     private val w = {
       val dw = new DataFileWriter[GenericRecord](
         new GenericDatumWriter[GenericRecord](schema))
-      if (deflate) dw.setCodec(CodecFactory.deflateCodec(6))
+      codecFor(codec).foreach(dw.setCodec)
       try dw.create(schema, os)
       catch { case e: Throwable => os.close(); throw e }
     }

@@ -153,6 +153,46 @@ class AvroIoSpec extends AnyFunSuite with SparkFixture {
     assert(drift.head.getString(1) == "quarantine")
   }
 
+  test("DSv2 batch write: overwrite == toAvro, append lands a new generation") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1, 10L, "a"), (2, 20L, "b"), (3, 30L, "c")).toDF("i", "l", "t")
+    val viaApi = tmp(); val viaFormat = tmp()
+    AvroIo.toAvro(df, viaApi)
+    // the write.format face must be exchangeable with AvroIo.toAvro:
+    // same rows, same schema, same unified read
+    df.write.format("graft-avro").mode("overwrite").save(viaFormat)
+    def canon(dir: String) = AvroIo.readAvro(s, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getString(2))).sortBy(_._1).toSeq
+    assert(canon(viaFormat) == canon(viaApi))
+    assert(AvroIo.readAvro(s, viaFormat).schema == AvroIo.readAvro(s, viaApi).schema)
+    // overwrite replaces wholesale (the toAvro swap discipline)
+    Seq((9, 90L, "z")).toDF("i", "l", "t")
+      .write.format("graft-avro").mode("overwrite").save(viaFormat)
+    assert(canon(viaFormat) == Seq((9, 90L, "z")))
+    // append adds files without touching the existing generation; an
+    // evolved schema lands as a NEW writer generation for the lattice
+    Seq((10, "x", 5)).toDF("i", "t", "extra")
+      .write.format("graft-avro").mode("append").save(viaFormat)
+    // unified column ORDER is first-seen over name-sorted files — the
+    // random job id makes generation order arbitrary, so assert by name
+    assert(AvroIo.readAvro(s, viaFormat).schema.fieldNames.sorted.toSeq ==
+      Seq("extra", "i", "l", "t"))
+    val appended = AvroIo.readAvro(s, viaFormat).select("i", "l", "t", "extra")
+    val rows = appended.orderBy("i").collect()
+      .map(r => (r.getInt(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)), r.getString(2),
+        if (r.isNullAt(3)) None else Some(r.getInt(3)))).toSeq
+    assert(rows == Seq((9, Some(90L), "z", None), (10, None, "x", Some(5))))
+    // empty partitions write no file; both modes leave zero litter
+    Seq.empty[(Int, Long, String)].toDF("i", "l", "t").repartition(4)
+      .write.format("graft-avro").mode("append").save(viaFormat)
+    val names = new java.io.File(viaFormat).listFiles()
+      .filter(_.isFile).map(_.getName).filterNot(_.startsWith("."))
+    assert(names.forall(_.endsWith(".avro")), names.mkString(","))
+    assert(names.length == 2, s"expected 2 data files, got: ${names.mkString(",")}")
+  }
+
   test("DSv2 face: named scan in the plan, select prunes the reader schema") {
     val s = spark
     import s.implicits._
@@ -476,6 +516,47 @@ class AvroIoSpec extends AnyFunSuite with SparkFixture {
     assert(base.toFile.listFiles().map(_.getName).toSeq == Seq("t"),
       s"leftover swap artifacts: ${base.toFile.listFiles().map(_.getName).toSeq}")
     assert(AvroIo.readAvro(s, dir).collect().map(_.getInt(0)).toSeq == Seq(42))
+  }
+
+  test("zstandard codec: round-trips on all three write faces; compaction keeps codecs apart") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1, "alpha"), (2, "beta"), (3, "gamma")).toDF("n", "t")
+      .coalesce(1) // one container file per face, so drop() below moves ALL rows
+    def canon(dir: String) = AvroIo.readAvro(s, dir).collect()
+      .map(r => (r.getInt(0), r.getString(1))).sortBy(_._1).toSeq
+    // toAvro face
+    val d1 = tmp()
+    AvroIo.toAvro(df, d1, codec = Some("zstandard"))
+    val head = new String(Files.readAllBytes(
+      new java.io.File(d1).listFiles().filter(_.getName.endsWith(".avro"))
+        .head.toPath), "ISO-8859-1")
+    assert(head.contains("zstandard"), "codec not recorded in the container")
+    assert(canon(d1) == canon(d1).sorted && canon(d1).map(_._1) == Seq(1, 2, 3))
+    // DSv2 batch face
+    val d2 = tmp()
+    df.write.format("graft-avro").option("codec", "zstandard")
+      .mode("overwrite").save(d2)
+    assert(canon(d2) == canon(d1))
+    // mixed-codec zone: compaction groups by (schema, codec) — a bin
+    // never mixes codecs, so the block copy stays decode-free
+    val mixed = tmp()
+    new java.io.File(mixed).mkdirs()
+    def drop(from: String, as: String): Unit = {
+      val f = new java.io.File(from).listFiles()
+        .filter(_.getName.endsWith(".avro")).head
+      Files.copy(f.toPath, new java.io.File(mixed, as).toPath): Unit
+    }
+    val d3 = tmp()
+    AvroIo.toAvro(df, d3, codec = Some("deflate"))
+    drop(d1, "zstd-0.avro"); drop(d3, "deflate-0.avro")
+    val out = tmp()
+    assert(AvroIo.compactAvro(s, mixed, out, targetBytes = 1L << 30) == 2)
+    assert(AvroIo.readAvro(s, out).count() == 6L)
+    // unknown codec fails loudly, driver-side
+    val e = intercept[IllegalArgumentException](
+      AvroIo.toAvro(df, tmp(), codec = Some("lz9")))
+    assert(e.getMessage.contains("unsupported codec"))
   }
 
   test("compactAvro: many small files -> few, rows identical, no decode needed") {
