@@ -144,13 +144,54 @@ object AvroStreamProbe {
     val restartRaw = restartCost(
       s"restart after $files batches (no roll-up)", 0)
 
+    // 5. lake promotion: the two-query exactly-once variant decodes
+    //    the zone once PER SINK; the decode-once foreachBatch variant
+    //    gates once and writes both sides from the cached batch. The
+    //    leg runs on a DEFLATE zone (what sinks actually land — decode
+    //    + inflate is the dominant cost there, unlike the null-codec
+    //    splits zone above); the delta between the two variants is one
+    //    full zone decode minus the staged-rename/persist overhead the
+    //    decode-once commit pays.
+    def tmpd(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+    val zoneZ = "/root/repo/target/tmp/avro_stream_probe_zone_deflate"
+    graft.sources.AvroIo.toAvro(
+      Seq.fill(rep * 2)(li).reduce(_ unionAll _).repartition(16), zoneZ,
+      codec = Some("deflate"))
+    val rules = Seq(graft.operators.Checks.NotNull("l_orderkey"))
+    def promoteLeg(label: String)(run: () => Unit): Double = {
+      val sec = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        run()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+      println(f"[streamprobe] $label%-34s $sec%6.2f s")
+      sec
+    }
+    val promoteTwo = promoteLeg("lake promote (two queries)") { () =>
+      val (qL, qQ) = graft.streaming.StreamingOps.streamingLakePromote(
+        graft.sources.AvroIo.readAvroStream(spark, zoneZ), rules,
+        tmpd("graft-probe-lake") + "/lake", tmpd("graft-probe-quar") + "/quar",
+        Seq("l_returnflag"), tmpd("graft-probe-ck"))
+      try { qL.processAllAvailable(); qQ.processAllAvailable() }
+      finally { qL.stop(); qQ.stop() }
+    }
+    val promoteOnce = promoteLeg("lake promote (decode once)") { () =>
+      val q = graft.streaming.StreamingOps.streamingLakePromoteOnce(
+        graft.sources.AvroIo.readAvroStream(spark, zoneZ), rules,
+        tmpd("graft-probe-lake") + "/lake", tmpd("graft-probe-quar") + "/quar",
+        Seq("l_returnflag"), tmpd("graft-probe-ck"))
+      try q.processAllAvailable() finally q.stop()
+    }
+
     println(f"""{"metric":"avro_stream_probe","zone_mb":$zoneMb%.1f,""" +
       f""""files":$files,"batch_s":$batch%.2f,"drain_s":$oneBatch%.2f,""" +
       f""""drain_capped16_s":$capped16%.2f,""" +
       f""""stream_overhead":${oneBatch / batch}%.2f,""" +
       f""""steady_one_file_s":$steady%.2f,""" +
       f""""restart_compacted_s":$restartCompacted%.2f,""" +
-      f""""restart_raw_s":$restartRaw%.2f}""")
+      f""""restart_raw_s":$restartRaw%.2f,""" +
+      f""""promote_two_queries_s":$promoteTwo%.2f,""" +
+      f""""promote_decode_once_s":$promoteOnce%.2f}""")
     spark.stop()
   }
 }
