@@ -2911,6 +2911,37 @@ object ExtQueries {
       lake.unionByName(quarantined).orderBy("n_nationkey")
     }),
 
+    // the DSv2 batch WRITE face: nation lands through
+    // write.format("graft-avro") as an overwrite (zstandard) plus an
+    // append (deflate), and the mixed-codec zone reads back as exactly
+    // the nation relation — the write protocol, both codecs, and the
+    // append non-collision in one compare
+    "q_avro_write_dsv2" -> ((s, dir) => {
+      avroDsv2WriteFixture(s, dir)
+      graft.sources.AvroIo.readAvro(s, AvroDsv2WriteDir)
+        .orderBy("n_nationkey")
+    }),
+
+    // the decode-once promotion variant: identical dispositions to
+    // q_pipeline_lake_stream through ONE query and the staged-rename
+    // commit (its measured place vs the two-query default is in the
+    // StreamingOps scaladoc); rows read back from disk with provenance
+    // so the staged hive layout is physically validated
+    "q_pipeline_lake_once" -> ((s, dir) => {
+      avroLakeOnceFixture(s, dir)
+      val lake = PsIO.withProvenance(s.read.parquet(AvroLakeOnceDir))
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"),
+          col("n_len"), lit("lake").as("disposition"),
+          lit(null).cast("string").as("reason"),
+          regexp_extract(col("source_file"), "n_regionkey=([0-9]+)", 1)
+            .cast("int").as("part_reg"))
+      val quarantined = s.read.parquet(AvroLakeOnceQuarantineDir)
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"),
+          col("n_len"), lit("quarantine").as("disposition"), col("reason"),
+          lit(null).cast("int").as("part_reg"))
+      lake.unionByName(quarantined).orderBy("n_nationkey")
+    }),
+
     // landing-zone maintenance: compact the multi-file Avro fixture by
     // BLOCK COPY (appendAllFrom — zero record decodes; generations
     // never mix in a bin) and read the compacted directory back; the
@@ -2977,6 +3008,9 @@ object ExtQueries {
   val AvroSinkZoneDir = "/root/repo/target/tmp/nation_avro_sink_zone"
   val AvroLakeStreamDir = "/root/repo/target/tmp/nation_avro_lake_stream"
   val AvroLakeStreamQuarantineDir = "/root/repo/target/tmp/nation_avro_lake_stream_q"
+  val AvroDsv2WriteDir = "/root/repo/target/tmp/nation_avro_dsv2_write"
+  val AvroLakeOnceDir = "/root/repo/target/tmp/nation_avro_lake_once"
+  val AvroLakeOnceQuarantineDir = "/root/repo/target/tmp/nation_avro_lake_once_q"
 
   /** Write-once-per-process fixture creation, keyed by (kind, dir):
     * the ingestion queries must time the READ — re-writing the fixture
@@ -3243,6 +3277,46 @@ object ExtQueries {
           Seq("n_regionkey"), ck)
       try { qLake.processAllAvailable(); qQuarantine.processAllAvailable() }
       finally { qLake.stop(); qQuarantine.stop() }
+    })
+  }
+
+  /** Write nation through the DSv2 batch face once per process
+    * (q_avro_write_dsv2 reads the zone back): the first slice lands
+    * with `mode("overwrite")` under the zstandard codec, the second
+    * with `mode("append")` under deflate — so one green compare proves
+    * the write.format protocol (attempt/commit renames, overwrite
+    * swap, append non-collision), both codecs' round-trips, and the
+    * mixed-codec read in a single oracled query. */
+  private def avroDsv2WriteFixture(s: SparkSession, dir: String): Unit =
+    fixturesDone.computeIfAbsent(s"avrodsv2write:$dir", _ => {
+      rmTree(AvroDsv2WriteDir)
+      val nation = s.read.parquet(s"$dir/nation.parquet")
+        .select("n_nationkey", "n_name", "n_regionkey")
+      nation.filter(col("n_nationkey") < 12)
+        .write.format("graft-avro").option("codec", "zstandard")
+        .mode("overwrite").save(AvroDsv2WriteDir)
+      nation.filter(col("n_nationkey") >= 12)
+        .write.format("graft-avro")
+        .mode("append").save(AvroDsv2WriteDir)
+    })
+
+  /** The decode-once lake promotion run bounded once per process
+    * (q_pipeline_lake_once reads both sides back): same zone, same
+    * contract, same dispositions as q_pipeline_lake_stream — but one
+    * query gating each micro-batch once and committing both sides via
+    * the staged-rename protocol. */
+  private def avroLakeOnceFixture(s: SparkSession, dir: String): Unit = {
+    avroEvolvedFixture(s, dir)
+    fixturesDone.computeIfAbsent(s"avrolakeonce:$dir", _ => {
+      rmTree(AvroLakeOnceDir); rmTree(AvroLakeOnceQuarantineDir)
+      val ck = java.nio.file.Files
+        .createTempDirectory("graft-lake-once-ck").toString
+      val q = graft.streaming.StreamingOps.streamingLakePromoteOnce(
+        graft.sources.AvroIo.readAvroStream(s, AvroEvolvedFixtureDir),
+        Seq(graft.operators.Checks.NotNull("n_regionkey")),
+        AvroLakeOnceDir, AvroLakeOnceQuarantineDir,
+        Seq("n_regionkey"), ck)
+      try q.processAllAvailable() finally q.stop()
     })
   }
 
@@ -5271,6 +5345,27 @@ object ExtQueries {
     "q_avro_sink" ->
       """SELECT n_nationkey, n_name, n_regionkey
          FROM nation ORDER BY n_nationkey""",
+    // the batch write.format round-trip: overwrite + append across two
+    // codecs must read back as exactly the relation written
+    "q_avro_write_dsv2" ->
+      """SELECT n_nationkey, n_name, n_regionkey
+         FROM nation ORDER BY n_nationkey""",
+    // the decode-once promotion shares the streaming pipeline's oracle:
+    // one-query gating + staged-rename commit must produce identical
+    // dispositions and layout
+    "q_pipeline_lake_once" ->
+      """WITH unified AS (
+           SELECT n_nationkey::BIGINT AS n_nationkey, n_name,
+                  CASE WHEN n_nationkey < 12 THEN n_regionkey END AS n_regionkey,
+                  CASE WHEN n_nationkey >= 12 THEN len(n_name)::INTEGER END AS n_len
+           FROM nation)
+         SELECT n_nationkey, n_name, n_regionkey, n_len,
+                CASE WHEN n_regionkey IS NOT NULL
+                     THEN 'lake' ELSE 'quarantine' END AS disposition,
+                CASE WHEN n_regionkey IS NULL
+                     THEN 'not_null_n_regionkey' END AS reason,
+                n_regionkey AS part_reg
+         FROM unified ORDER BY n_nationkey""",
     // the streaming promotion shares the batch pipeline's oracle:
     // micro-batch routing through two exactly-once file sinks must
     // produce the identical lake/quarantine dispositions and layout

@@ -22,8 +22,8 @@ object Registry {
       "q_local", "q_read_csv", "q_read_json", "q_read_npy", "q_read_pickle",
       "q_read_arrow", "q_read_orc", "q_read_avro", "q_read_avro_evolved",
       "q_read_avro_ts", "q_read_avro_nested", "q_read_avro_filtered",
-      "q_stream_avro", "q_avro_sink", "q_avro_drift_report",
-      "q_avro_compact",
+      "q_stream_avro", "q_avro_sink", "q_avro_write_dsv2",
+      "q_avro_drift_report", "q_avro_compact",
       "q_json_quarantine",
       "q_csv_quarantine", "q_materialize", "q_schema_drift",
       "q_schema_drift_report"),
@@ -94,7 +94,7 @@ object Registry {
     "pipeline compositions (§2.11)" -> Set(
       "q_pipeline", "q_pipeline_audit", "q_pipeline_curate",
       "q_pipeline_incr", "q_pipeline_lake", "q_pipeline_lake_stream",
-      "q_pipeline_media",
+      "q_pipeline_lake_once", "q_pipeline_media",
       "q_pipeline_release", "q_pipeline_web"),
   )
 
