@@ -2942,6 +2942,21 @@ object ExtQueries {
       lake.unionByName(quarantined).orderBy("n_nationkey")
     }),
 
+    // versioned lake commits (table format lite): after an overwrite
+    // superseded it, pinned v2 still reads as the FULL nation relation
+    // (manifest time travel) while latest reads only the overwrite's
+    // slice — commit isolation and wholesale replace in one compare
+    "q_lake_versions" -> ((s, dir) => {
+      lakeVersionsFixture(s, dir)
+      val v2 = graft.sources.LakeVersions.read(s, LakeVersionsDir, Some(2L))
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"),
+          lit("v2").as("at_version"))
+      val latest = graft.sources.LakeVersions.read(s, LakeVersionsDir)
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"),
+          lit("v3").as("at_version"))
+      v2.unionByName(latest).orderBy("at_version", "n_nationkey")
+    }),
+
     // landing-zone maintenance: compact the multi-file Avro fixture by
     // BLOCK COPY (appendAllFrom — zero record decodes; generations
     // never mix in a bin) and read the compacted directory back; the
@@ -3009,6 +3024,7 @@ object ExtQueries {
   val AvroLakeStreamDir = "/root/repo/target/tmp/nation_avro_lake_stream"
   val AvroLakeStreamQuarantineDir = "/root/repo/target/tmp/nation_avro_lake_stream_q"
   val AvroDsv2WriteDir = "/root/repo/target/tmp/nation_avro_dsv2_write"
+  val LakeVersionsDir = "/root/repo/target/tmp/nation_lake_versions"
   val AvroLakeOnceDir = "/root/repo/target/tmp/nation_avro_lake_once"
   val AvroLakeOnceQuarantineDir = "/root/repo/target/tmp/nation_avro_lake_once_q"
 
@@ -3319,6 +3335,26 @@ object ExtQueries {
       try q.processAllAvailable() finally q.stop()
     })
   }
+
+  /** Three versioned commits over one lake table once per process
+    * (q_lake_versions reads two of them back): v1 overwrites with the
+    * low-key half of nation, v2 APPENDS the rest (so v2 == the full
+    * relation through manifest composition), v3 overwrites with the
+    * region-0 slice — so a green compare on pinned-v2 + latest proves
+    * commit isolation, manifest-pinned time travel AFTER an overwrite,
+    * and that overwrite replaces wholesale. */
+  private def lakeVersionsFixture(s: SparkSession, dir: String): Unit =
+    fixturesDone.computeIfAbsent(s"lakeversions:$dir", _ => {
+      rmTree(LakeVersionsDir)
+      val nation = s.read.parquet(s"$dir/nation.parquet")
+        .select("n_nationkey", "n_name", "n_regionkey")
+      graft.sources.LakeVersions.commit(s, LakeVersionsDir,
+        nation.filter(col("n_nationkey") < 12), overwrite = true): Unit
+      graft.sources.LakeVersions.commit(s, LakeVersionsDir,
+        nation.filter(col("n_nationkey") >= 12)): Unit
+      graft.sources.LakeVersions.commit(s, LakeVersionsDir,
+        nation.filter(col("n_regionkey") === 0), overwrite = true): Unit
+    })
 
   /** Compaction of the 3-file nation Avro fixture into one file by
     * block copy (q_avro_compact reads the result back). Dependency
@@ -5350,6 +5386,15 @@ object ExtQueries {
     "q_avro_write_dsv2" ->
       """SELECT n_nationkey, n_name, n_regionkey
          FROM nation ORDER BY n_nationkey""",
+    // versioned commits: pinned v2 (overwrite + append) is the full
+    // relation even after v3 overwrote it; latest is only v3's slice
+    "q_lake_versions" ->
+      """SELECT n_nationkey, n_name, n_regionkey, 'v2' AS at_version
+         FROM nation
+         UNION ALL
+         SELECT n_nationkey, n_name, n_regionkey, 'v3' AS at_version
+         FROM nation WHERE n_regionkey = 0
+         ORDER BY at_version, n_nationkey""",
     // the decode-once promotion shares the streaming pipeline's oracle:
     // one-query gating + staged-rename commit must produce identical
     // dispositions and layout

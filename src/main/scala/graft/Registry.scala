@@ -79,6 +79,7 @@ object Registry {
       "q_weighted_sample", "q_leakage_split", "q_interleave", "q_mix",
       "q_budget_mix", "q_select_budget", "q_domain_cap", "q_shuffle"),
     "snapshots & incremental (§2.11)" -> Set(
+      "q_lake_versions",
       "q_snapshot_diff", "q_upsert", "q_content_fp", "q_file_manifest",
       "q_parquet_stats", "q_prune_sim", "q_prune_report"),
     "multimodal (§2.11)" -> Set(
