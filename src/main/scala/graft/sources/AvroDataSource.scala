@@ -172,7 +172,11 @@ private[sources] final class AvroBatchWrite(
     path: String, schema: StructType, codec: String, overwrite: Boolean)
     extends org.apache.spark.sql.connector.write.BatchWrite {
   private val avroJson = AvroIo.avroJsonFor(schema) // loud on bad types, driver-side
-  private val jobId = java.util.UUID.randomUUID().toString.take(8)
+  // the FULL uuid: append part names carry it forever, and a truncated
+  // id's birthday collision would silently overwrite an earlier
+  // append's part on a posix rename (and cross-delete a concurrent
+  // job's attempts in the orphan sweep)
+  private val jobId = java.util.UUID.randomUUID().toString
   private val conf = new org.apache.spark.util.SerializableConfiguration(
     SparkSession.active.sparkContext.hadoopConfiguration)
   private val target = new HPath(path)
@@ -313,7 +317,16 @@ private[sources] final class AvroStreamingWrite(
     val attempts = messages.collect {
       case m: AvroEpochFileMessage if m.attempt != null => m
     }
-    if (fs.exists(marker)) {
+    // post-commit replay check: the marker OR the rolled-up high water
+    // vouches for the epoch. The hw consult matters: once a roll-up
+    // subsumes an epoch's marker, a replay of that epoch (the engine's
+    // commit log can lag the sink's) must still classify as
+    // post-commit — taking the crash-mid-commit path instead would
+    // delete files readers already list as committed.
+    val rolledUp = fs.exists(marker.getParent) &&
+      fs.listStatus(marker.getParent).exists(s =>
+        AvroIo.sinkHwEpoch(s.getPath.getName).exists(_ >= epochId))
+    if (fs.exists(marker) || rolledUp) {
       // post-commit replay: the epoch is already durable — this
       // execution's files are duplicates by definition
       attempts.foreach { m =>
@@ -368,7 +381,11 @@ private[sources] final class AvroStreamingWrite(
         s"graft-avro sink: high-water commit failed for epoch $epochId")
       fs.listStatus(qDir).filter(_.isFile).foreach { s =>
         val n = s.getPath.getName
-        val stale = n.toLongOption.exists(_ <= epochId) ||
+        // strictly BELOW the current epoch: its own marker survives
+        // until the next roll-up (defense in depth beside the hw
+        // consult above — a replay of THIS epoch stays classifiable
+        // as post-commit even if the hw listing hiccups)
+        val stale = n.toLongOption.exists(_ < epochId) ||
           AvroIo.sinkHwEpoch(n).exists(_ < epochId)
         if (stale)
           try fs.delete(s.getPath, false): Unit
@@ -570,14 +587,7 @@ private[sources] final class AvroMicroBatchStream(
   private val seen = scala.collection.mutable.HashMap[String, Long]()
   private var highWater = -1L
 
-  private def readFully(p: HPath): String = {
-    val in = logFs.open(p)
-    try {
-      val out = new java.io.ByteArrayOutputStream()
-      org.apache.hadoop.io.IOUtils.copyBytes(in, out, 65536, false)
-      new String(out.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
-    } finally in.close()
-  }
+  private def readFully(p: HPath): String = AvroIo.readSmallFile(logFs, p)
 
   // per-batch log lines are `path\tlen\tmtime`; a 2-field line is a
   // pre-compaction checkpoint (no mtime recorded -> -1, never purged)

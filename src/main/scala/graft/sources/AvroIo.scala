@@ -819,6 +819,17 @@ object AvroIo {
     }
   }
 
+  /** Read one small metadata file fully as UTF-8 (batch logs,
+    * snapshots, lake manifests — never data). */
+  private[sources] def readSmallFile(fs: FileSystem, p: HPath): String = {
+    val in = fs.open(p)
+    try {
+      val out = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, out, 65536, false)
+      new String(out.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+    } finally in.close()
+  }
+
   /** Facades for the streaming face (AvroMicroBatchStream): list a
     * landing zone's data files and read a specific file batch's writer
     * schemas. The header read is UNCACHED by design — a micro-batch
@@ -956,8 +967,9 @@ object AvroIo {
     *    (null-fill) — so the decoded record is target-shaped, no
     *    permute/copy afterwards;
     *  - decimal widening, millis timestamps, and stringified columns
-    *    keep the writer's wire shape for [[postFixFor]] to finish
-    *    (resolution cannot express those). */
+    *    keep the writer's wire shape — [[CompiledAvro]]'s leaf
+    *    closures finish those during decode (resolution cannot
+    *    express them). */
   private def readerTypeFor(wbase: Schema, target: DataType,
       used: scala.collection.mutable.Set[String]): Schema = {
     val srcT = fieldSparkType("f", wbase)
@@ -972,7 +984,7 @@ object AvroIo {
            (FloatType, DoubleType) => Schema.create(Schema.Type.DOUBLE)
       case (f: DecimalType, t: DecimalType)
           if f.scale == t.scale && t.precision >= f.precision => wbase
-      case (_, StringType) => wbase // stringify: postFixFor renders
+      case (_, StringType) => wbase // stringify: the compiled leaf renders
       case (_: StructType, tt: StructType) =>
         val fields = tt.fields.map { tf =>
           Option(wbase.getField(tf.name)) match {

@@ -84,16 +84,23 @@ object LakeVersions {
     }
   }
 
-  private def readManifest(fs: FileSystem, lake: HPath, v: Long): Seq[(String, Long)] = {
-    val in = fs.open(manifestPath(lake, v))
-    val text = try {
-      val out = new java.io.ByteArrayOutputStream()
-      org.apache.hadoop.io.IOUtils.copyBytes(in, out, 65536, false)
-      new String(out.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
-    } finally in.close()
-    text.split("\n").iterator.filter(_.nonEmpty).map { l =>
+  private val ManifestMagic = "graft-lake-manifest-v1"
+
+  /** (table schema, data files). The schema rides in the manifest
+    * header so an EMPTY committed version (a legal full purge) still
+    * reads with the table's shape instead of a zero-column frame. */
+  private def readManifest(fs: FileSystem, lake: HPath, v: Long)
+      : (org.apache.spark.sql.types.StructType, Seq[(String, Long)]) = {
+    val lines = AvroIo.readSmallFile(fs, manifestPath(lake, v))
+      .split("\n").iterator.filter(_.nonEmpty)
+    val header = lines.next().split("\t", 2)
+    require(header(0) == ManifestMagic,
+      s"LakeVersions: unrecognized manifest header for v$v under $lake")
+    val schema = org.apache.spark.sql.types.DataType.fromJson(header(1))
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    (schema, lines.map { l =>
       val t = l.split("\t"); (t(0), t(1).toLong)
-    }.toSeq
+    }.toSeq)
   }
 
   /** Latest committed version, 0 = no table yet. */
@@ -138,7 +145,14 @@ object LakeVersions {
       var held = false
       while (!held) {
         held =
-          try { fs.create(lock, false).close(); true }
+          try {
+            // the holder's identity goes INTO the lock, so release can
+            // never delete a lock some other writer took after a break
+            val out = fs.create(lock, false)
+            try out.write(uuid.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            finally out.close()
+            true
+          }
           catch { case _: java.io.IOException => false }
         if (!held) {
           val st = try Some(fs.getFileStatus(lock))
@@ -146,7 +160,14 @@ object LakeVersions {
           st match {
             case Some(x) if x.getModificationTime <
                 System.currentTimeMillis() - lockStaleMs =>
-              fs.delete(lock, false): Unit // holder died mid-commit
+              // break a dead holder's lock — but re-stat first and only
+              // delete the EXACT file observed stale, so two breakers
+              // racing cannot take out each other's fresh lock
+              val again = try Some(fs.getFileStatus(lock))
+                          catch { case _: java.io.FileNotFoundException => None }
+              if (again.exists(a => a.getModificationTime == x.getModificationTime
+                  && a.getLen == x.getLen))
+                fs.delete(lock, false): Unit
             case _ =>
               if (System.currentTimeMillis() > deadline)
                 throw new IllegalStateException(
@@ -158,18 +179,25 @@ object LakeVersions {
       try {
         val latest = state(fs, lake)
         val next = latest + 1
-        val lines =
+        val files =
           (if (overwrite || latest == 0) newFiles
-           else readManifest(fs, lake, latest) ++ newFiles)
+           else readManifest(fs, lake, latest)._2 ++ newFiles)
+        val header = s"$ManifestMagic\t${df.schema.json}"
         val tmp = new HPath(versionsPath(lake), s".v$next.$uuid.tmp")
         val out = fs.create(tmp, true)
-        try out.write(lines.map { case (f, l) => s"$f\t$l" }.mkString("\n")
+        try out.write((header +: files.map { case (f, l) => s"$f\t$l" })
+          .mkString("\n")
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
         finally out.close()
         require(fs.rename(tmp, manifestPath(lake, next)),
           s"LakeVersions.commit: manifest rename failed for v$next")
         next
-      } finally fs.delete(lock, false): Unit
+      } finally {
+        // release only OUR lock: a breaker may have replaced it
+        val mine = try AvroIo.readSmallFile(fs, lock) == uuid
+                   catch { case _: java.io.IOException => false }
+        if (mine) fs.delete(lock, false): Unit
+      }
     }
   }
 
@@ -183,10 +211,13 @@ object LakeVersions {
     require(v > 0, s"LakeVersions.read: no committed version under $dir")
     require(fs.exists(manifestPath(lake, v)),
       s"LakeVersions.read: version $v does not exist (vacuumed?) under $dir")
-    val files = readManifest(fs, lake, v)
+    val (schema, files) = readManifest(fs, lake, v)
     if (files.isEmpty)
-      // an empty committed version is legal (overwrite with zero rows)
-      spark.emptyDataFrame
+      // an empty committed version is legal (overwrite with zero
+      // rows); it still reads with the TABLE's schema, not a
+      // zero-column frame — selects and diffs keep resolving
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     else
       spark.read.option("mergeSchema", "true")
         .parquet(files.map { case (f, _) => new HPath(lake, f).toString }: _*)
@@ -199,7 +230,7 @@ object LakeVersions {
     val rows = (1L to latest).flatMap { v =>
       if (!fs.exists(manifestPath(lake, v))) None
       else {
-        val files = readManifest(fs, lake, v)
+        val files = readManifest(fs, lake, v)._2
         Some((v, files.size, files.map(_._2).sum))
       }
     }
@@ -231,7 +262,7 @@ object LakeVersions {
     var removed = 0
     val keep = ((latest - keepVersions + 1) max 1L) to latest
     val referenced = keep.flatMap { v =>
-      if (fs.exists(manifestPath(lake, v))) readManifest(fs, lake, v).map(_._1)
+      if (fs.exists(manifestPath(lake, v))) readManifest(fs, lake, v)._2.map(_._1)
       else Nil
     }.toSet
     (1L until keep.start).foreach { v =>

@@ -749,6 +749,11 @@ object StreamingOps {
       crc.update(checkpointRoot.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       java.lang.Long.toHexString(crc.getValue)
     }
+    // a replay is only possible for the FIRST batch this query
+    // instance processes (the engine restores at most one uncommitted
+    // batch on restart) — later batches are fresh by construction, so
+    // only the first pays the crash-sweep listing of the target dirs
+    val firstBatch = new java.util.concurrent.atomic.AtomicBoolean(true)
     zone.writeStream
       .option("checkpointLocation", s"$checkpointRoot/promote")
       .foreachBatch { (batch: DataFrame, id: Long) =>
@@ -762,17 +767,21 @@ object StreamingOps {
             .reduce(coalesce(_, _))
           val bad = flagged.filter(col("row_bad"))
             .select(dataCols.map(col) :+ reason.as("reason"): _*)
-          commitBatchSide(lakeDir, ns, id, good, partitionCols)
-          commitBatchSide(quarantineDir, ns, id, bad, Nil)
+          val sweep = firstBatch.getAndSet(false)
+          commitBatchSide(lakeDir, ns, id, good, partitionCols, sweep)
+          commitBatchSide(quarantineDir, ns, id, bad, Nil, sweep)
         } finally flagged.unpersist(): Unit
       }
       .start()
   }
 
   /** One side's idempotent staged-rename commit (see
-    * [[streamingLakePromoteOnce]]). */
+    * [[streamingLakePromoteOnce]]). `sweepReplay` gates the recursive
+    * crash-replay listing — needed only for a query instance's first
+    * batch; paying it every trigger would grow per-batch commit cost
+    * with lake history. */
   private def commitBatchSide(dir: String, ns: String, id: Long,
-      df: DataFrame, partitionCols: Seq[String]): Unit = {
+      df: DataFrame, partitionCols: Seq[String], sweepReplay: Boolean): Unit = {
     import org.apache.hadoop.fs.{Path => HPath}
     val target = new HPath(dir)
     val fs = target.getFileSystem(
@@ -783,7 +792,7 @@ object StreamingOps {
     val prefix = s"b$ns-$id-"
     // crash replay: exactly one attempt's files may survive — sweep
     // this batch's prefixed files before redoing the move
-    if (fs.exists(target)) {
+    if (sweepReplay && fs.exists(target)) {
       val it = fs.listFiles(target, true)
       while (it.hasNext) {
         val st = it.next()

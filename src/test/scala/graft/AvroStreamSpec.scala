@@ -484,6 +484,8 @@ class AvroStreamSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
     // epochs 0..6 at interval 3: roll-ups after epochs 2 and 5 — the
     // marker dir holds ONE high-water file plus only the tail markers
+    // (the rolling epoch's OWN marker survives its roll-up so a replay
+    // of it stays classifiable without the hw listing)
     val qdir = new java.io.File(zone, "_graft_commits").listFiles()
       .filter(_.isDirectory).head
     // the local fs leaves dot-prefixed .crc sidecars beside renamed
@@ -491,7 +493,7 @@ class AvroStreamSpec extends AnyFunSuite with SparkFixture {
     val names = qdir.listFiles()
       .filter(f => f.isFile && !f.getName.startsWith("."))
       .map(_.getName).toSeq.sorted
-    assert(names == Seq("6", "hw-5"), s"marker roll-up left: $names")
+    assert(names == Seq("5", "6", "hw-5"), s"marker roll-up left: $names")
     // every epoch still reads as committed through the high water
     assert(AvroIo.readAvro(s, zone).count() == 7L)
     assert(AvroIo.readAvro(s, zone).select("n").collect()
@@ -504,7 +506,7 @@ class AvroStreamSpec extends AnyFunSuite with SparkFixture {
       .foreach(f => assert(f.delete()))
     qdir.listFiles().foreach(f =>
       assert(f.setLastModified(System.currentTimeMillis() - 48L * 3600 * 1000)))
-    assert(AvroIo.vacuumAvro(s, zone) == 2, "dead marker dir not swept")
+    assert(AvroIo.vacuumAvro(s, zone) == 3, "dead marker dir not swept")
     assert(!qdir.exists())
   }
 

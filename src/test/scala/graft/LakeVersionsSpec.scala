@@ -98,6 +98,22 @@ class LakeVersionsSpec extends AnyFunSuite with SparkFixture {
       p => p.substring(p.lastIndexOf('/') + 1)).toSet == dataFiles)
   }
 
+  test("an empty committed version (full purge) keeps the table schema") {
+    val s = spark
+    import s.implicits._
+    val dir = lake()
+    LakeVersions.commit(s, dir, Seq((1, "a")).toDF("k", "t"))
+    val df = Seq.empty[(Int, String)].toDF("k", "t")
+    val v = LakeVersions.commit(s, dir, df, overwrite = true)
+    val purged = LakeVersions.read(s, dir, Some(v))
+    assert(purged.schema.fieldNames.toSeq == Seq("k", "t"),
+      "a purge must read with the table's shape, not a zero-column frame")
+    assert(purged.count() == 0L)
+    // diffs across the purge still resolve their key columns
+    val d = LakeVersions.diff(s, dir, 1L, v, Seq("k")).collect()
+    assert(d.map(r => (r.getInt(0), r.getString(1))).toSeq == Seq((1, "removed")))
+  }
+
   test("concurrent appends compose: parallel committers never clobber") {
     val s = spark
     import s.implicits._
