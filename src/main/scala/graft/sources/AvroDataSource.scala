@@ -160,10 +160,15 @@ private[sources] final class AvroWriteBuilder(path: String, info: LogicalWriteIn
   *  - the engine delivers exactly ONE commit message per partition;
   *    the driver commit renames exactly those attempts to visible
   *    part names and aborted/orphaned attempts are swept or vacuumed;
-  *  - APPEND targets the zone directly (part names carry the job
-  *    UUID, so repeated appends never collide — the landing-zone
-  *    posture, a new writer-schema generation per append if the
-  *    schema evolved);
+  *  - APPEND targets the zone directly and becomes visible
+  *    ATOMICALLY through the SAME marker gate as the streaming sink:
+  *    parts land as `part-q<jobId>-e0-p<N>.avro` (gated names) and
+  *    the job's ONE epoch marker commits last, tmp-then-rename — a
+  *    driver death mid-commit leaves only unmarked (invisible,
+  *    vacuumable) files, never a torn half-append (part names carry
+  *    the job UUID, so repeated appends never collide — the
+  *    landing-zone posture, a new writer-schema generation per append
+  *    if the schema evolved);
   *  - OVERWRITE stages everything in a job-unique temp dir and swaps
   *    it in via [[AvroIo.jobCommitSwapFor]] — the previous generation
   *    moves aside before the swap and every failure path leaves a
@@ -196,16 +201,29 @@ private[sources] final class AvroBatchWrite(
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val fs = writeDir.getFileSystem(conf.value)
+    // append parts use the sink's GATED name shape: invisible to every
+    // reader until this job's one epoch marker lands (atomic append);
+    // overwrite parts are plain names inside a staged dir — the swap
+    // is their atomicity
     messages.collect { case m: AvroEpochFileMessage if m.attempt != null => m }
       .foreach { m =>
         val src = new HPath(m.attempt)
-        val dst = new HPath(writeDir, f"part-$jobId-p${m.partition}%05d.avro")
+        val dst =
+          if (overwrite) new HPath(writeDir, f"part-$jobId-p${m.partition}%05d.avro")
+          else new HPath(writeDir, f"part-q$jobId-e0-p${m.partition}%05d.avro")
         require(fs.rename(src, dst),
           s"graft-avro batch write: commit rename failed: $src -> $dst")
       }
     if (overwrite)
       AvroIo.jobCommitSwapFor(fs, writeDir, target, "graft-avro batch write")
-    else if (fs.exists(writeDir)) {
+    else {
+      val marker = new HPath(
+        new HPath(new HPath(writeDir, AvroIo.SinkCommitsDir), jobId), "0")
+      fs.mkdirs(marker.getParent)
+      val tmpMarker = new HPath(marker.getParent, ".0.tmp")
+      fs.create(tmpMarker, true).close()
+      require(fs.rename(tmpMarker, marker) || fs.exists(marker),
+        s"graft-avro batch write: marker commit failed for job $jobId")
       // sweep THIS job's orphaned attempts (speculative losers whose
       // abort never ran); other writers' attempts are not ours to judge
       fs.listStatus(writeDir)

@@ -974,11 +974,7 @@ object AvroIo {
       used: scala.collection.mutable.Set[String]): Schema = {
     val srcT = fieldSparkType("f", wbase)
     (srcT, target) match {
-      case (s, t) if s == t && !s.isInstanceOf[StructType] &&
-          !s.isInstanceOf[ArrayType] && !s.isInstanceOf[MapType] => wbase
-      case (s: StructType, t: StructType) if s == t => wbase
-      case (a: ArrayType, b: ArrayType) if a == b => wbase
-      case (a: MapType, b: MapType) if a == b => wbase
+      case (s, t) if s == t => wbase // identical subtree: verbatim
       case (IntegerType, LongType) => Schema.create(Schema.Type.LONG)
       case (IntegerType, DoubleType) | (LongType, DoubleType) |
            (FloatType, DoubleType) => Schema.create(Schema.Type.DOUBLE)
@@ -1209,6 +1205,59 @@ object AvroIo {
           s"AvroIo: cannot compile Avro ${s.getType} -> Spark $other")
       }
     }
+  }
+
+  /** Render one catalyst value of `dt` as the drift ledger's pinned
+    * external string: java.sql renderings for timestamp/date (the
+    * datetime.java8API session flag must not move the strings),
+    * BigDecimal.toString for decimals, utf-8 text for binary, Row-like
+    * "[a,b]" for structs, "List(...)"/"Map(k -> v)" for collections in
+    * decode order. Used only on stringified conflict columns — never
+    * the hot path. */
+  private def renderCatalyst(dt: DataType): Any => String = dt match {
+    case StringType => v => v.toString // UTF8String
+    case TimestampType => v =>
+      DateTimeUtils.toJavaTimestamp(v.asInstanceOf[java.lang.Long]).toString
+    case TimestampNTZType => v =>
+      DateTimeUtils.microsToLocalDateTime(v.asInstanceOf[java.lang.Long]).toString
+    case DateType => v =>
+      DateTimeUtils.toJavaDate(v.asInstanceOf[java.lang.Integer]).toString
+    case _: DecimalType => v =>
+      v.asInstanceOf[org.apache.spark.sql.types.Decimal].toJavaBigDecimal.toString
+    case BinaryType => v =>
+      new String(v.asInstanceOf[Array[Byte]], java.nio.charset.StandardCharsets.UTF_8)
+    case st: StructType =>
+      val renders = st.fields.map(f => renderCatalyst(f.dataType))
+      v => {
+        val r = v.asInstanceOf[org.apache.spark.sql.catalyst.expressions.GenericInternalRow]
+        val sb = new StringBuilder("[")
+        var i = 0
+        while (i < renders.length) {
+          if (i > 0) sb.append(',')
+          val cell = r.values(i)
+          sb.append(if (cell == null) "null" else renders(i)(cell))
+          i += 1
+        }
+        sb.append(']').toString
+      }
+    case at: ArrayType =>
+      val render = renderCatalyst(at.elementType)
+      v => v.asInstanceOf[org.apache.spark.sql.catalyst.util.GenericArrayData]
+        .array.iterator
+        .map(e => if (e == null) "null" else render(e))
+        .mkString("List(", ", ", ")")
+    case mt: MapType =>
+      val render = renderCatalyst(mt.valueType)
+      v => {
+        val m = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayBasedMapData]
+        val ks = m.keyArray.asInstanceOf[org.apache.spark.sql.catalyst.util.GenericArrayData].array
+        val vs = m.valueArray.asInstanceOf[org.apache.spark.sql.catalyst.util.GenericArrayData].array
+        ks.iterator.zip(vs.iterator)
+          .map { case (k, x) =>
+            s"$k -> ${if (x == null) "null" else render(x)}" }
+          .mkString("Map(", ", ", ")")
+      }
+    case _ => v => String.valueOf(v) // numerics / boolean: boxed
   }
 
   private object CompiledUnsafeAvro {

@@ -189,6 +189,18 @@ object LakeVersions {
           .mkString("\n")
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
         finally out.close()
+        // ownership check right before the publish: a racing breaker
+        // that misjudged OUR fresh lock as the stale one (its re-stat
+        // ran before we replaced it) would have deleted it and taken
+        // its own — in that case the critical section is torn, so
+        // throw rather than overwrite the usurper's manifest. Data
+        // files are landed and unreferenced; the caller can retry
+        // commit() cheaply and vacuum reclaims them otherwise.
+        val mine = try AvroIo.readSmallFile(fs, lock) == uuid
+                   catch { case _: java.io.IOException => false }
+        if (!mine) throw new IllegalStateException(
+          s"LakeVersions.commit: lock ownership lost under $dir " +
+            "(a stale-lock breaker raced this commit) — retry commit()")
         require(fs.rename(tmp, manifestPath(lake, next)),
           s"LakeVersions.commit: manifest rename failed for v$next")
         next

@@ -674,23 +674,7 @@ object StreamingOps {
          org.apache.spark.sql.streaming.StreamingQuery) = {
     require(zone.isStreaming, "streamingLakePromote: zone must be a streaming frame")
     require(rules.nonEmpty, "streamingLakePromote: at least one contract rule")
-    val dataCols = zone.columns.toSeq
-    val flagged = graft.operators.Checks.flag(zone, rules)
-    // the EXACT generated names, from the module that generated them —
-    // a suffix heuristic would misroute user data that legally carries
-    // its own *_bad columns
-    val flagCols = graft.operators.Checks.flagColumnNames(rules)
-    val good = flagged.filter(!col("row_bad"))
-      .select(dataCols.map(col): _*)
-    // first violated rule in rule order — matches the batch pipeline's
-    // flag-name-minus-_bad convention; duplicate same-family rules get
-    // positionally suffixed flags (matches_email_bad_2), so the _bad
-    // strips as an infix there (matches_email_2), never survives
-    val reason = flagCols.map(c =>
-      when(col(c), lit(c.replaceFirst("_bad(_\\d+)?$", "$1"))))
-      .reduce(coalesce(_, _))
-    val bad = flagged.filter(col("row_bad"))
-      .select(dataCols.map(col) :+ reason.as("reason"): _*)
+    val (good, bad) = gateAndRoute(zone, rules)
     val qLake = good.writeStream.format("parquet")
       .partitionBy(partitionCols: _*)
       .option("path", lakeDir)
@@ -701,6 +685,28 @@ object StreamingOps {
       .option("checkpointLocation", s"$checkpointRoot/quarantine")
       .outputMode(OutputMode.Append).start()
     (qLake, qQuarantine)
+  }
+
+  /** The shared gate-and-route of BOTH promotion variants — one
+    * definition so the reason-naming convention (first violated rule
+    * in rule order; the flag's `_bad` suffix stripped, positional
+    * suffixes preserved) can never diverge between them. Uses the
+    * EXACT generated flag names from the module that generated them —
+    * a suffix heuristic would misroute user data that legally carries
+    * its own *_bad columns. */
+  private def gateAndRoute(df: DataFrame,
+      rules: Seq[graft.operators.Checks.Rule]): (DataFrame, DataFrame) = {
+    val dataCols = df.columns.toSeq
+    val flagged = graft.operators.Checks.flag(df, rules)
+    val flagCols = graft.operators.Checks.flagColumnNames(rules)
+    val good = flagged.filter(!col("row_bad"))
+      .select(dataCols.map(col): _*)
+    val reason = flagCols.map(c =>
+      when(col(c), lit(c.replaceFirst("_bad(_\\d+)?$", "$1"))))
+      .reduce(coalesce(_, _))
+    val bad = flagged.filter(col("row_bad"))
+      .select(dataCols.map(col) :+ reason.as("reason"): _*)
+    (good, bad)
   }
 
   /** Decode-once lake promotion: ONE streaming query gates each
@@ -741,7 +747,6 @@ object StreamingOps {
       : org.apache.spark.sql.streaming.StreamingQuery = {
     require(zone.isStreaming, "streamingLakePromoteOnce: zone must be a streaming frame")
     require(rules.nonEmpty, "streamingLakePromoteOnce: at least one contract rule")
-    val flagCols = graft.operators.Checks.flagColumnNames(rules)
     // stable across restarts of THIS query, distinct for any fresh
     // checkpoint — the marker namespace (see scaladoc)
     val ns = {
@@ -757,20 +762,17 @@ object StreamingOps {
     zone.writeStream
       .option("checkpointLocation", s"$checkpointRoot/promote")
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        val dataCols = batch.columns.toSeq
-        val flagged = graft.operators.Checks.flag(batch, rules)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // the persist pins the single decode BOTH routed sides read;
+        // gateAndRoute keeps the dispositions identical to the
+        // two-query variant by construction
+        val pinned = batch.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
-          val good = flagged.filter(!col("row_bad")).select(dataCols.map(col): _*)
-          val reason = flagCols.map(c =>
-            when(col(c), lit(c.replaceFirst("_bad(_\\d+)?$", "$1"))))
-            .reduce(coalesce(_, _))
-          val bad = flagged.filter(col("row_bad"))
-            .select(dataCols.map(col) :+ reason.as("reason"): _*)
+          val (good, bad) = gateAndRoute(pinned, rules)
           val sweep = firstBatch.getAndSet(false)
           commitBatchSide(lakeDir, ns, id, good, partitionCols, sweep)
           commitBatchSide(quarantineDir, ns, id, bad, Nil, sweep)
-        } finally flagged.unpersist(): Unit
+        } finally pinned.unpersist(): Unit
       }
       .start()
   }
@@ -806,8 +808,9 @@ object StreamingOps {
     if (partitionCols.nonEmpty) w = w.partitionBy(partitionCols: _*)
     w.parquet(staging.toString)
     // move data files into place, partition subpaths preserved,
-    // names batch-prefixed so the sweep above is exact
-    val stagedRoot = staging.toUri.getPath
+    // names batch-prefixed so the sweep above is exact (qualified:
+    // listFiles returns absolute paths even for a relative target)
+    val stagedRoot = fs.makeQualified(staging).toUri.getPath
     val it = fs.listFiles(staging, true)
     while (it.hasNext) {
       val st = it.next()

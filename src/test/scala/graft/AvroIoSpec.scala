@@ -532,7 +532,7 @@ class AvroIoSpec extends AnyFunSuite with SparkFixture {
       new java.io.File(d1).listFiles().filter(_.getName.endsWith(".avro"))
         .head.toPath), "ISO-8859-1")
     assert(head.contains("zstandard"), "codec not recorded in the container")
-    assert(canon(d1) == canon(d1).sorted && canon(d1).map(_._1) == Seq(1, 2, 3))
+    assert(canon(d1) == Seq((1, "alpha"), (2, "beta"), (3, "gamma")))
     // DSv2 batch face
     val d2 = tmp()
     df.write.format("graft-avro").option("codec", "zstandard")
