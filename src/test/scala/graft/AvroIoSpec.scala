@@ -191,6 +191,17 @@ class AvroIoSpec extends AnyFunSuite with SparkFixture {
       .filter(_.isFile).map(_.getName).filterNot(_.startsWith("."))
     assert(names.forall(_.endsWith(".avro")), names.mkString(","))
     assert(names.length == 2, s"expected 2 data files, got: ${names.mkString(",")}")
+    // append atomicity: the appended parts are GATED by their job's
+    // epoch marker — with the marker gone (a crash between part
+    // renames and marker commit), readers must not see the half-append
+    val commits = new java.io.File(viaFormat, "_graft_commits")
+    val markerDirs = commits.listFiles().filter(_.isDirectory)
+    assert(markerDirs.nonEmpty)
+    markerDirs.foreach { d =>
+      d.listFiles().foreach(f => assert(f.delete())); assert(d.delete())
+    }
+    assert(canon(viaFormat) == Seq((9, 90L, "z")),
+      "an unmarked (torn) append must be invisible to readers")
   }
 
   test("DSv2 face: named scan in the plan, select prunes the reader schema") {
