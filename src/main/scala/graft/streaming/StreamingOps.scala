@@ -732,7 +732,7 @@ object StreamingOps {
     * 5, deflate zone): saving the second decode does NOT pay at
     * ordinary zone scales — the per-batch persist (the single decode
     * must be materialized to feed two sinks) plus the staged-rename
-    * commit cost MORE than the decode it saves (3.4 s vs 1.7 s on a
+    * commit cost MORE than the decode it saves (2.9 s vs 1.7 s on a
     * 180 MB deflate backlog), and the parquet streaming sink's
     * `_spark_metadata` read gating is lost (a crashed attempt's files
     * are visible here until the replay sweeps them). Default to
