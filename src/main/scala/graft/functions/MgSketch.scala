@@ -56,13 +56,19 @@ object MgSketch {
         case None =>
           // decrement-all: the new item and one count of every tracked
           // item annihilate (k+1 distinct items cancel one occurrence
-          // of each) — the core MG step
-          val dead = mutable.ArrayBuffer.empty[String]
-          b.keysIterator.foreach { key =>
+          // of each) — the core MG step. Keys are snapshotted first:
+          // Scala 2.13 HashMap.put0 grows (and rehashes) the table
+          // preemptively when contentSize+1 >= threshold even for an
+          // update of an EXISTING key, so mutating under a live
+          // keysIterator can skip entries mid-loop.
+          val ks = b.keysIterator.toArray
+          var i = 0
+          while (i < ks.length) {
+            val key = ks(i)
             val c = b(key) - 1
-            if (c == 0L) dead += key else b.update(key, c)
+            if (c == 0L) b.remove(key) else b.update(key, c)
+            i += 1
           }
-          dead.foreach(b.remove)
           b
       }
     }
@@ -78,12 +84,16 @@ object MgSketch {
         val counts = out.values.toArray
         java.util.Arrays.sort(counts)
         val sub = counts(counts.length - (k + 1))
-        val dead = mutable.ArrayBuffer.empty[String]
-        out.keysIterator.foreach { key =>
+        // snapshot keys before mutating — same preemptive-growth hazard
+        // as the reduce decrement loop (see comment there)
+        val ks = out.keysIterator.toArray
+        var i = 0
+        while (i < ks.length) {
+          val key = ks(i)
           val c = out(key) - sub
-          if (c <= 0L) dead += key else out.update(key, c)
+          if (c <= 0L) out.remove(key) else out.update(key, c)
+          i += 1
         }
-        dead.foreach(out.remove)
       }
       out
     }

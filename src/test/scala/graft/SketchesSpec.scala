@@ -91,7 +91,9 @@ class SketchesSpec extends AnyFunSuite with SparkFixture {
     // n/(k+1) ~ 277 -> hot items 1000/600/400 are guaranteed retained
     val rows = (Seq.fill(1000)("hot1") ++ Seq.fill(600)("hot2") ++
       Seq.fill(400)("hot3") ++ (1 to 500).map(i => s"cold$i"))
-    val d = scala.util.Random.shuffle(rows).toDF("token").repartition(8)
+    // seeded: the Spark-level run is the deterministic witness; the
+    // randomized coverage lives in the explicit fuzz spec below
+    val d = new scala.util.Random(42).shuffle(rows).toDF("token").repartition(8)
     val mg = d.agg(Sketches.heavyHitters(col("token"), k).as("mg"))
       .head().getMap[String, Long](0)
     val n = rows.length
@@ -101,6 +103,38 @@ class SketchesSpec extends AnyFunSuite with SparkFixture {
       val c = mg(t0)
       assert(c <= f && (f - c) * (k + 1) <= n,
         s"$t0 count $c outside [f - n/(k+1), f] = [${f - n / (k + 1)}, $f]")
+    }
+  }
+
+  test("MG fuzz: <=k invariant and count bounds hold across 400 seeded partition/merge trials") {
+    // Regression fuzz for the mutate-while-iterating defect: updating a
+    // Scala 2.13 HashMap under a live keysIterator triggers preemptive
+    // table growth (put0 grows when contentSize+1 >= threshold even for
+    // existing keys), rehashing mid-loop so the iterator skips entries —
+    // trimmed maps kept > k keys with unsubtracted (too-high) counts.
+    // k=8 crosses the 16-slot table's threshold (12) during merge;
+    // k=12 sits AT the threshold so the reduce decrement loop crosses it.
+    val rnd = new scala.util.Random(20260816L)
+    Seq(8, 12).foreach { k =>
+      val agg = new graft.functions.MgSketch.SketchAgg(k)
+      val hot = Seq.fill(1000)("hot1") ++ Seq.fill(600)("hot2") ++ Seq.fill(400)("hot3")
+      val cold = (1 to 500).map(i => s"cold$i")
+      (1 to 200).foreach { trial =>
+        val rows = rnd.shuffle(hot ++ cold)
+        val nPart = 2 + rnd.nextInt(2) // 2..3 partitions — the reproduction shape
+        val per = math.max(1, math.ceil(rows.size.toDouble / nPart).toInt)
+        val partials = rows.grouped(per).map(_.foldLeft(agg.zero)(agg.reduce)).toSeq
+        val m = agg.finish(partials.reduce(agg.merge))
+        val n = rows.length
+        assert(m.size <= k, s"k=$k trial $trial (nPart=$nPart): size ${m.size} > k")
+        Seq("hot1" -> 1000L, "hot2" -> 600L, "hot3" -> 400L).foreach { case (t0, f) =>
+          assert(m.contains(t0),
+            s"k=$k trial $trial: $t0 (f=$f > n/(k+1)=${n / (k + 1)}) dropped")
+          val c = m(t0)
+          assert(c <= f && (f - c) * (k + 1) <= n,
+            s"k=$k trial $trial: $t0 count $c outside [${f - n / (k + 1)}, $f]")
+        }
+      }
     }
   }
 
