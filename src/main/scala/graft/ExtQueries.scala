@@ -2856,7 +2856,8 @@ object ExtQueries {
     // generation/gate/partition semantics from the nation table
     "q_pipeline_lake" -> ((s, dir) => {
       avroLakeFixture(s, dir)
-      val lake = PsIO.withProvenance(s.read.parquet(AvroLakeDir))
+      val lake = PsIO.withProvenance(
+        graft.sources.LakeVersions.read(s, AvroLakeDir))
         .select(col("n_nationkey"), col("n_name"), col("n_regionkey"),
           col("n_len"), lit("lake").as("disposition"),
           lit(null).cast("string").as("reason"),
@@ -2911,6 +2912,30 @@ object ExtQueries {
       lake.unionByName(quarantined).orderBy("n_nationkey")
     }),
 
+    // the VERSIONED streaming promotion: same zone, same contract,
+    // same dispositions as q_pipeline_lake_stream — but each
+    // micro-batch commits as one LakeVersions version per side
+    // (tag-idempotent under replay), so the promoted corpus reads back
+    // through the SAME manifest path as the batch promotion and gets
+    // per-epoch time travel; part_reg again read from the physical
+    // directory each row landed in
+    "q_pipeline_lake_vstream" -> ((s, dir) => {
+      avroLakeVStreamFixture(s, dir)
+      val lake = PsIO.withProvenance(
+        graft.sources.LakeVersions.read(s, AvroLakeVStreamDir))
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"),
+          col("n_len"), lit("lake").as("disposition"),
+          lit(null).cast("string").as("reason"),
+          regexp_extract(col("source_file"), "n_regionkey=([0-9]+)", 1)
+            .cast("int").as("part_reg"))
+      val quarantined = graft.sources.LakeVersions
+        .read(s, AvroLakeVStreamQuarantineDir)
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"),
+          col("n_len"), lit("quarantine").as("disposition"), col("reason"),
+          lit(null).cast("int").as("part_reg"))
+      lake.unionByName(quarantined).orderBy("n_nationkey")
+    }),
+
     // the DSv2 batch WRITE face: nation lands through
     // write.format("graft-avro") as an overwrite (zstandard) plus an
     // append (deflate), and the mixed-codec zone reads back as exactly
@@ -2955,6 +2980,40 @@ object ExtQueries {
         .select(col("n_nationkey"), col("n_name"), col("n_regionkey"),
           lit("v3").as("at_version"))
       v2.unionByName(latest).orderBy("at_version", "n_nationkey")
+    }),
+
+    // PARTITIONED versioned commits: two commits land hive-partitioned
+    // by region with the append inheriting the layout from the
+    // manifest; part_reg is extracted from each row's physical file
+    // path, so a green compare proves the partition-qualified relpaths
+    // in the manifest point at a real hive layout and every row sits
+    // in the directory its region names
+    "q_lake_versions_part" -> ((s, dir) => {
+      lakeVersionsPartFixture(s, dir)
+      PsIO.withProvenance(
+        graft.sources.LakeVersions.read(s, LakeVersionsPartDir))
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"),
+          regexp_extract(col("source_file"), "n_regionkey=([0-9]+)", 1)
+            .cast("int").as("part_reg"))
+        .orderBy("n_nationkey")
+    }),
+
+    // manifest-stats file pruning: a sorted customer lake of three
+    // tight-enveloped files, a range predicate inside the first
+    // tercile — readPruned plans 1 of the 3 files and the kept/total
+    // counts ride INTO the relation, so the oracle compare pins both
+    // the pruned read's correctness and the prune fraction
+    "q_lake_prune" -> ((s, dir) => {
+      lakePruneFixture(s, dir)
+      val (lo, hi) = lakePruneBounds(s, dir)
+      val bounds = Seq(("c_custkey", lo, hi))
+      val (kept, total) =
+        graft.sources.LakeVersions.pruneCounts(s, LakePruneDir, bounds)
+      graft.sources.LakeVersions.readPruned(s, LakePruneDir, bounds)
+        .filter(col("c_custkey").between(lo, hi))
+        .select(col("c_custkey"), col("c_name"),
+          lit(kept).as("files_kept"), lit(total).as("files_total"))
+        .orderBy("c_custkey")
     }),
 
     // landing-zone maintenance: compact the multi-file Avro fixture by
@@ -3025,6 +3084,11 @@ object ExtQueries {
   val AvroLakeStreamQuarantineDir = "/root/repo/target/tmp/nation_avro_lake_stream_q"
   val AvroDsv2WriteDir = "/root/repo/target/tmp/nation_avro_dsv2_write"
   val LakeVersionsDir = "/root/repo/target/tmp/nation_lake_versions"
+  val LakeVersionsPartDir = "/root/repo/target/tmp/nation_lake_versions_part"
+  val LakePruneDir = "/root/repo/target/tmp/customer_lake_prune"
+  val AvroLakeVStreamDir = "/root/repo/target/tmp/nation_lake_vstream"
+  val AvroLakeVStreamQuarantineDir =
+    "/root/repo/target/tmp/nation_lake_vstream_quarantine"
   val AvroLakeOnceDir = "/root/repo/target/tmp/nation_avro_lake_once"
   val AvroLakeOnceQuarantineDir = "/root/repo/target/tmp/nation_avro_lake_once_q"
 
@@ -3174,13 +3238,20 @@ object ExtQueries {
     // forbids (IllegalStateException when the keys share a bin)
     avroEvolvedFixture(s, dir)
     fixturesDone.computeIfAbsent(s"avrolake:$dir", _ => {
+      rmTree(AvroLakeDir) // a previous process' pre-versioned layout
       val landed = graft.sources.AvroIo.readAvro(s, AvroEvolvedFixtureDir)
       val flagged = graft.operators.Checks.flag(landed,
         Seq(graft.operators.Checks.NotNull("n_regionkey")))
-      PsIO.writePartitioned(
+      // the lake side lands through a VERSIONED commit: an atomic
+      // manifest swap instead of directory overwrite — a promotion
+      // that dies mid-land leaves the previous version intact (the
+      // crash-window spec in LakeVersionsSpec), and the promoted
+      // corpus gets time travel for free
+      graft.sources.LakeVersions.commit(s, AvroLakeDir,
         flagged.filter(!col("row_bad"))
           .select("n_nationkey", "n_name", "n_regionkey", "n_len"),
-        AvroLakeDir, Seq("n_regionkey"))
+        overwrite = true, partitionBy = Seq("n_regionkey"),
+        statsCols = Seq("n_nationkey")): Unit
       flagged.filter(col("row_bad"))
         .select(col("n_nationkey"), col("n_name"), col("n_regionkey"),
           col("n_len"),
@@ -3354,6 +3425,77 @@ object ExtQueries {
         nation.filter(col("n_nationkey") >= 12)): Unit
       graft.sources.LakeVersions.commit(s, LakeVersionsDir,
         nation.filter(col("n_regionkey") === 0), overwrite = true): Unit
+    })
+
+  /** The VERSIONED streaming promotion run bounded once per process
+    * (q_pipeline_lake_vstream reads both tables back): same zone, same
+    * contract, same dispositions as [[avroLakeStreamFixture]] — but
+    * every micro-batch lands as one tag-idempotent LakeVersions commit
+    * per side, partitioned + footer-stat'd on the lake side. */
+  private def avroLakeVStreamFixture(s: SparkSession, dir: String): Unit = {
+    avroEvolvedFixture(s, dir)
+    fixturesDone.computeIfAbsent(s"avrolakevstream:$dir", _ => {
+      rmTree(AvroLakeVStreamDir); rmTree(AvroLakeVStreamQuarantineDir)
+      val ck = java.nio.file.Files
+        .createTempDirectory("graft-lake-vstream-ck").toString
+      val q = graft.streaming.StreamingOps.streamingLakePromoteVersioned(
+        graft.sources.AvroIo.readAvroStream(s, AvroEvolvedFixtureDir),
+        Seq(graft.operators.Checks.NotNull("n_regionkey")),
+        AvroLakeVStreamDir, AvroLakeVStreamQuarantineDir,
+        Seq("n_regionkey"), ck, statsCols = Seq("n_nationkey"))
+      try q.processAllAvailable() finally q.stop()
+    })
+  }
+
+  /** Two PARTITIONED versioned commits once per process
+    * (q_lake_versions_part reads the latest back): v1 overwrites with
+    * the low-key half of nation hive-partitioned by region (footer
+    * stats on the key), v2 appends the rest WITHOUT declaring a layout
+    * — it must inherit `n_regionkey` from the manifest, or the rows
+    * would land flat and the part_reg extraction in the query body
+    * would come back empty. */
+  private def lakeVersionsPartFixture(s: SparkSession, dir: String): Unit =
+    fixturesDone.computeIfAbsent(s"lakeversionspart:$dir", _ => {
+      rmTree(LakeVersionsPartDir)
+      val nation = s.read.parquet(s"$dir/nation.parquet")
+        .select("n_nationkey", "n_name", "n_regionkey")
+      graft.sources.LakeVersions.commit(s, LakeVersionsPartDir,
+        nation.filter(col("n_nationkey") < 12), overwrite = true,
+        partitionBy = Seq("n_regionkey"), statsCols = Seq("n_nationkey")): Unit
+      graft.sources.LakeVersions.commit(s, LakeVersionsPartDir,
+        nation.filter(col("n_nationkey") >= 12),
+        statsCols = Seq("n_nationkey")): Unit
+    })
+
+  /** The [[lakePruneFixture]] predicate range: inside the first
+    * tercile of c_custkey at ANY scale factor, so exactly one of the
+    * three committed files survives pruning. Integer floor division on
+    * positives — identical in Scala and DuckDB's `//`, so the oracle
+    * derives the same bounds from `max(c_custkey)`. */
+  private def lakePruneBounds(s: SparkSession, dir: String): (Long, Long) = {
+    val maxId = s.read.parquet(s"$dir/customer.parquet")
+      .agg(max("c_custkey")).head().getLong(0)
+    (maxId / 3 / 4, maxId / 3 / 2)
+  }
+
+  /** A sorted customer lake once per process (q_lake_prune reads it
+    * pruned): three appended commits with tight disjoint c_custkey
+    * envelopes — the layout a sorted rewrite produces — each one file,
+    * with footer stats recorded in the manifest. */
+  private def lakePruneFixture(s: SparkSession, dir: String): Unit =
+    fixturesDone.computeIfAbsent(s"lakeprune:$dir", _ => {
+      rmTree(LakePruneDir)
+      val cust = s.read.parquet(s"$dir/customer.parquet")
+        .select("c_custkey", "c_name")
+      val maxId = cust.agg(max("c_custkey")).head().getLong(0)
+      val (cut1, cut2) = (maxId / 3, 2 * maxId / 3)
+      Seq(col("c_custkey") <= cut1,
+        col("c_custkey") > cut1 && col("c_custkey") <= cut2,
+        col("c_custkey") > cut2).foreach { slice =>
+        graft.sources.LakeVersions.commit(s, LakePruneDir,
+          cust.filter(slice).coalesce(1),
+          statsCols = Seq("c_custkey")): Unit
+      }
     })
 
   /** Compaction of the 3-file nation Avro fixture into one file by
@@ -5395,6 +5537,41 @@ object ExtQueries {
          SELECT n_nationkey, n_name, n_regionkey, 'v3' AS at_version
          FROM nation WHERE n_regionkey = 0
          ORDER BY at_version, n_nationkey""",
+    // the versioned streaming promotion shares the batch pipeline's
+    // oracle: per-epoch manifest commits must produce the identical
+    // lake/quarantine dispositions and hive layout
+    "q_pipeline_lake_vstream" ->
+      """WITH unified AS (
+           SELECT n_nationkey::BIGINT AS n_nationkey, n_name,
+                  CASE WHEN n_nationkey < 12 THEN n_regionkey END AS n_regionkey,
+                  CASE WHEN n_nationkey >= 12 THEN len(n_name)::INTEGER END AS n_len
+           FROM nation)
+         SELECT n_nationkey, n_name, n_regionkey, n_len,
+                CASE WHEN n_regionkey IS NOT NULL
+                     THEN 'lake' ELSE 'quarantine' END AS disposition,
+                CASE WHEN n_regionkey IS NULL
+                     THEN 'not_null_n_regionkey' END AS reason,
+                n_regionkey AS part_reg
+         FROM unified ORDER BY n_nationkey""",
+    // partitioned versioned commits: the latest version is the full
+    // relation (overwrite + inherited-layout append), and part_reg —
+    // read from each row's physical directory — must equal its region
+    "q_lake_versions_part" ->
+      """SELECT n_nationkey, n_name, n_regionkey,
+                n_regionkey AS part_reg
+         FROM nation ORDER BY n_nationkey""",
+    // manifest-stats pruning: the pruned read inside the first tercile
+    // must return exactly the range's rows (no file dropped that held
+    // data), and the embedded kept/total counts pin the prune fraction
+    // — 1 of 3 files planned. The bounds derive from max(c_custkey) by
+    // integer floor division, matching the Scala side at any SF.
+    "q_lake_prune" ->
+      """SELECT c_custkey, c_name,
+                1 AS files_kept, 3 AS files_total
+         FROM customer
+         WHERE c_custkey BETWEEN (SELECT max(c_custkey)//3//4 FROM customer)
+                             AND (SELECT max(c_custkey)//3//2 FROM customer)
+         ORDER BY c_custkey""",
     // the decode-once promotion shares the streaming pipeline's oracle:
     // one-query gating + staged-rename commit must produce identical
     // dispositions and layout

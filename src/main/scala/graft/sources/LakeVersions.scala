@@ -14,10 +14,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * {{{
   * lake/
   *   _graft_versions/
-  *     v00000001.manifest     # one "relpath\tlen" line per data file
+  *     v00000001.manifest     # header + one file entry line per data file
   *     v00000002.manifest
   *     LOCK                   # present only while a commit is writing
-  *   data-<uuid>-p00000.parquet ...
+  *   data-<uuid>-p00000.parquet ...            # unpartitioned commits
+  *   region=ASIA/data-<uuid>-p00000.parquet    # partitioned commits
   * }}}
   *
   * The invariants that make it safe:
@@ -48,12 +49,22 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    them; [[read]] pins any surviving version, and
   *    [[graft.operators.Snapshot.snapshotDiff]] over two pinned reads
   *    is the audit diff (the delta algebra already exists).
+  *  - THE MANIFEST IS THE FILE INDEX. A partitioned commit records
+  *    partition-qualified relpaths plus the partition column list, so
+  *    a pinned [[read]] surfaces the partition columns (Spark's
+  *    `basePath` discovery over exactly the manifest's files) and
+  *    PartitionFilters prune WITHOUT any directory listing; a commit
+  *    with `statsCols` records per-file row counts and int/long
+  *    min/max, so [[readPruned]] drops whole files against range
+  *    predicates before Spark ever plans the scan — at 100× the whole
+  *    point of a manifest is pruning without listing.
   *
   * Scale shape: a commit's driver-side work is one manifest write plus
-  * one lock create — O(files) text lines, no listing of the lake; a
-  * read costs one manifest read; only [[vacuum]] ever lists the data
-  * directory. Paths are RELATIVE, so a lake can be relocated or
-  * mirrored wholesale. */
+  * one lock create — O(files) text lines, no listing of the lake
+  * (footer stats, when requested, are one distributed map over the
+  * commit's OWN files); a read costs one manifest read; only
+  * [[vacuum]] ever lists the data directory. Paths are RELATIVE, so a
+  * lake can be relocated or mirrored wholesale. */
 object LakeVersions {
 
   private val VersionsDir = "_graft_versions"
@@ -84,29 +95,132 @@ object LakeVersions {
     }
   }
 
-  private val ManifestMagic = "graft-lake-manifest-v1"
+  private val ManifestMagicV1 = "graft-lake-manifest-v1"
+  private val ManifestMagicV2 = "graft-lake-manifest-v2"
 
-  /** (table schema, data files). The schema rides in the manifest
-    * header so an EMPTY committed version (a legal full purge) still
-    * reads with the table's shape instead of a zero-column frame. */
-  private def readManifest(fs: FileSystem, lake: HPath, v: Long)
-      : (org.apache.spark.sql.types.StructType, Seq[(String, Long)]) = {
+  /** One manifest line: a data file with its optional footer-derived
+    * stats. `rows` is -1 when the committing writer didn't collect
+    * stats; `stats` maps an int/long column to its file-wide inclusive
+    * (min, max) envelope over non-null values (absent = unknown —
+    * a reader without stats must keep the file). */
+  final case class FileEntry(relpath: String, len: Long, rows: Long,
+                             stats: Map[String, (Long, Long)])
+
+  /** Everything a version pins: table schema (so an EMPTY committed
+    * version — a legal full purge — still reads with the table's
+    * shape), partition column list, the committer's idempotence tag,
+    * and the data files. */
+  final case class ManifestState(
+      schema: org.apache.spark.sql.types.StructType,
+      partitionBy: Seq[String], tag: String, files: Seq[FileEntry])
+
+  private def encodeStats(e: FileEntry): String =
+    if (e.rows < 0 && e.stats.isEmpty) "-"
+    else {
+      val cols = e.stats.toSeq.sortBy(_._1)
+        .map { case (c, (lo, hi)) => s"$c,$lo,$hi" }.mkString(";")
+      s"${e.rows}|$cols"
+    }
+
+  private def decodeStats(s: String): (Long, Map[String, (Long, Long)]) =
+    if (s == "-") (-1L, Map.empty)
+    else {
+      val bar = s.indexOf('|')
+      val rows = s.substring(0, bar).toLong
+      val rest = s.substring(bar + 1)
+      val stats =
+        if (rest.isEmpty) Map.empty[String, (Long, Long)]
+        else rest.split(";").iterator.map { t =>
+          val p = t.split(",")
+          p(0) -> (p(1).toLong, p(2).toLong)
+        }.toMap
+      (rows, stats)
+    }
+
+  private def readManifest(fs: FileSystem, lake: HPath, v: Long): ManifestState = {
     val lines = AvroIo.readSmallFile(fs, manifestPath(lake, v))
       .split("\n").iterator.filter(_.nonEmpty)
-    val header = lines.next().split("\t", 2)
-    require(header(0) == ManifestMagic,
-      s"LakeVersions: unrecognized manifest header for v$v under $lake")
+    val header = lines.next().split("\t", -1)
     val schema = org.apache.spark.sql.types.DataType.fromJson(header(1))
       .asInstanceOf[org.apache.spark.sql.types.StructType]
-    (schema, lines.map { l =>
-      val t = l.split("\t"); (t(0), t(1).toLong)
-    }.toSeq)
+    header(0) match {
+      case ManifestMagicV1 =>
+        // pre-partitioning manifests: relpath \t len
+        ManifestState(schema, Nil, "", lines.map { l =>
+          val t = l.split("\t")
+          FileEntry(t(0), t(1).toLong, -1L, Map.empty)
+        }.toSeq)
+      case ManifestMagicV2 =>
+        val partBy = if (header(2).isEmpty) Nil else header(2).split(",").toSeq
+        ManifestState(schema, partBy, header(3), lines.map { l =>
+          val t = l.split("\t")
+          val (rows, stats) = decodeStats(t(2))
+          FileEntry(t(0), t(1).toLong, rows, stats)
+        }.toSeq)
+      case other => throw new IllegalArgumentException(
+        s"LakeVersions: unrecognized manifest header '$other' for v$v under $lake")
+    }
   }
 
   /** Latest committed version, 0 = no table yet. */
   def latestVersion(spark: SparkSession, dir: String): Long = {
     val (fs, lake) = fsFor(spark, dir)
     state(fs, lake)
+  }
+
+  /** The idempotence tag a version was committed with ("" = untagged).
+    * A single serial writer (the streaming per-epoch promotion) checks
+    * the LATEST version's tag before committing: micro-batch replay
+    * after a crash only ever re-runs the last batch, so latest-tag
+    * equality is exactly the replay-already-landed test. */
+  def tagOf(spark: SparkSession, dir: String, version: Option[Long] = None): String = {
+    val (fs, lake) = fsFor(spark, dir)
+    val v = version.getOrElse(state(fs, lake))
+    if (v == 0L) "" else readManifest(fs, lake, v).tag
+  }
+
+  /** Distributed footer scan of the commit's own landed files: one
+    * task per file, KBs of metadata each — (rows, per-column min/max
+    * over non-null values; a column any of whose row groups lacks
+    * stats yields no envelope, so readers keep the file). */
+  private def footerStats(spark: SparkSession, lake: HPath,
+                          relpaths: Seq[String], statsCols: Seq[String])
+      : Map[String, (Long, Map[String, (Long, Long)])] = {
+    import scala.jdk.CollectionConverters._
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val base = lake.toString
+    val colSet = statsCols.toSet
+    spark.sparkContext.parallelize(relpaths, relpaths.size).map { rel =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromPath(new HPath(s"$base/$rel"), conf.value)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        val blocks = r.getFooter.getBlocks.asScala.toSeq
+        val rows = blocks.map(_.getRowCount).sum
+        def asLong(v: Any): Long = v match {
+          case l: java.lang.Long    => l.longValue
+          case i: java.lang.Integer => i.longValue
+          case other => throw new IllegalStateException(
+            s"LakeVersions: non-integer footer stat $other in $rel")
+        }
+        val stats = colSet.flatMap { c =>
+          val chunks = blocks.flatMap(_.getColumns.asScala
+            .find(_.getPath.toDotString == c))
+          // partition columns are not IN the files — absent is fine;
+          // a chunk with null/omitted stats poisons the whole file's
+          // envelope (must stay conservative)
+          val usable = chunks.forall(_.getStatistics != null)
+          val nonNull = chunks.filter(ch =>
+            ch.getStatistics != null && ch.getStatistics.hasNonNullValue)
+          if (chunks.isEmpty || !usable || nonNull.isEmpty) None
+          else Some(c -> (
+            nonNull.map(ch => asLong(ch.getStatistics.genericGetMin)).min,
+            nonNull.map(ch => asLong(ch.getStatistics.genericGetMax)).max))
+        }.toMap
+        rel -> (rows, stats)
+      } finally r.close()
+    }.collect().toMap
   }
 
   /** Commit `df` as the next version. `overwrite=false` (append): the
@@ -116,29 +230,92 @@ object LakeVersions {
     * slow, distributed part runs unlocked and unobservable); only the
     * manifest write serializes. A LOCK older than `lockStaleMs` is
     * broken (its holder died mid-commit; the next vacuum sweeps its
-    * unreferenced files). */
+    * unreferenced files).
+    *
+    *  - `partitionBy`: hive-partition the commit's files; appends
+    *    inherit the table's layout automatically and refuse a
+    *    conflicting one (a manifest whose entries disagree on layout
+    *    could not prune coherently).
+    *  - `statsCols`: int/long columns to record per-file min/max for
+    *    (plus row counts) — the [[readPruned]] index. Footer-exact,
+    *    one distributed metadata task per landed file.
+    *  - `tag`: idempotence marker stored in the manifest header (see
+    *    [[tagOf]]). */
   def commit(spark: SparkSession, dir: String, df: DataFrame,
              overwrite: Boolean = false,
+             partitionBy: Seq[String] = Nil,
+             statsCols: Seq[String] = Nil,
+             tag: String = "",
              lockWaitMs: Long = 60000, lockStaleMs: Long = 60000): Long = {
+    require(!tag.contains("\t") && !tag.contains("\n"),
+      "LakeVersions.commit: tag must not contain tabs/newlines")
+    (partitionBy ++ statsCols).foreach { c =>
+      require(!c.exists("\t\n,;|".contains(_)),
+        s"LakeVersions.commit: column name '$c' has manifest-delimiter chars")
+    }
+    statsCols.foreach { c =>
+      val f = df.schema.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(
+          s"LakeVersions.commit: statsCols column $c not in the frame"))
+      require(f.dataType == org.apache.spark.sql.types.IntegerType ||
+          f.dataType == org.apache.spark.sql.types.LongType,
+        s"LakeVersions.commit: statsCols column $c is ${f.dataType.simpleString}; " +
+          "only int/long footer min/max are exact (string stats are truncation-lossy)")
+      require(!partitionBy.contains(c),
+        s"LakeVersions.commit: $c is a partition column — its value is the " +
+          "directory, prune on the partition instead")
+    }
     val (fs, lake) = fsFor(spark, dir)
     fs.mkdirs(versionsPath(lake))
+    // resolve the table's partition layout BEFORE landing: appends
+    // inherit it, and a conflicting explicit layout fails fast
+    val latestPre = state(fs, lake)
+    val tablePartBy =
+      if (overwrite || latestPre == 0) partitionBy
+      else {
+        val existing = readManifest(fs, lake, latestPre).partitionBy
+        require(partitionBy.isEmpty || partitionBy == existing,
+          s"LakeVersions.commit: append partitionBy ${partitionBy.mkString(",")} " +
+            s"conflicts with the table's ${existing.mkString(",")} — appends " +
+            "inherit the layout; change it with overwrite")
+        existing
+      }
     // land the data files first, under a commit-unique prefix —
     // invisible until a manifest names them
     val uuid = java.util.UUID.randomUUID().toString.take(12)
     val staging = new HPath(lake, s"_graft_staging/$uuid")
-    df.write.mode("overwrite").parquet(staging.toString)
+    val writer = df.write.mode("overwrite")
+    (if (tablePartBy.nonEmpty) writer.partitionBy(tablePartBy: _*) else writer)
+      .parquet(staging.toString)
+    // walk staging recursively: partitioned writes nest the data files
+    // under col=value dirs, and the partition-qualified RELPATH is what
+    // the manifest records (it IS the partition-value index)
     val landed = Seq.newBuilder[(String, Long)]
-    fs.listStatus(staging).foreach { s =>
-      val n = s.getPath.getName
-      if (s.isFile && !n.startsWith(".") && !n.startsWith("_")) {
-        val dest = s"data-$uuid-$n"
-        require(fs.rename(s.getPath, new HPath(lake, dest)),
-          s"LakeVersions.commit: landing rename failed for ${s.getPath}")
-        landed += ((dest, s.getLen))
+    def walk(p: HPath, relDir: String): Unit =
+      fs.listStatus(p).foreach { s =>
+        val n = s.getPath.getName
+        if (s.isDirectory && !n.startsWith(".") && !n.startsWith("_"))
+          walk(s.getPath, if (relDir.isEmpty) n else s"$relDir/$n")
+        else if (s.isFile && !n.startsWith(".") && !n.startsWith("_")) {
+          val rel =
+            if (relDir.isEmpty) s"data-$uuid-$n" else s"$relDir/data-$uuid-$n"
+          val dest = new HPath(lake, rel)
+          fs.mkdirs(dest.getParent)
+          require(fs.rename(s.getPath, dest),
+            s"LakeVersions.commit: landing rename failed for ${s.getPath}")
+          landed += ((rel, s.getLen))
+        }
       }
-    }
+    walk(staging, "")
     fs.delete(staging, true): Unit
-    val newFiles = landed.result()
+    val landedFiles = landed.result()
+    val fileStats: Map[String, (Long, Map[String, (Long, Long)])] =
+      if (statsCols.isEmpty || landedFiles.isEmpty) Map.empty
+      else footerStats(spark, lake, landedFiles.map(_._1), statsCols)
+    val newFiles = landedFiles.map { case (rel, len) =>
+      val (rows, st) = fileStats.getOrElse(rel, (-1L, Map.empty[String, (Long, Long)]))
+      FileEntry(rel, len, rows, st)
+    }
     localCommitLock.synchronized {
       val lock = new HPath(versionsPath(lake), "LOCK")
       val deadline = System.currentTimeMillis() + lockWaitMs
@@ -179,13 +356,28 @@ object LakeVersions {
       try {
         val latest = state(fs, lake)
         val next = latest + 1
-        val files =
-          (if (overwrite || latest == 0) newFiles
-           else readManifest(fs, lake, latest)._2 ++ newFiles)
-        val header = s"$ManifestMagic\t${df.schema.json}"
+        val prev =
+          if (overwrite || latest == 0) None
+          else Some(readManifest(fs, lake, latest))
+        prev.foreach { p =>
+          // tablePartBy is the layout our files were PHYSICALLY written
+          // with; a racer changing the table's layout between the
+          // pre-land resolution and here would make this manifest
+          // incoherent — fail, let the caller retry (vacuum reclaims
+          // the landed files)
+          require(tablePartBy == p.partitionBy,
+            s"LakeVersions.commit: table layout changed under the lock " +
+              s"(now ${p.partitionBy.mkString(",")}, landed as " +
+              s"${tablePartBy.mkString(",")}) — retry commit()")
+        }
+        val files = prev.map(_.files).getOrElse(Nil) ++ newFiles
+        val partByOut = tablePartBy
+        val header =
+          s"$ManifestMagicV2\t${df.schema.json}\t${partByOut.mkString(",")}\t$tag"
         val tmp = new HPath(versionsPath(lake), s".v$next.$uuid.tmp")
         val out = fs.create(tmp, true)
-        try out.write((header +: files.map { case (f, l) => s"$f\t$l" })
+        try out.write((header +: files.map(e =>
+            s"${e.relpath}\t${e.len}\t${encodeStats(e)}"))
           .mkString("\n")
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
         finally out.close()
@@ -213,40 +405,137 @@ object LakeVersions {
     }
   }
 
+  private def emptyFrame(spark: SparkSession,
+                         schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+
+  /** Build the frame over an explicit manifest file list. Partitioned
+    * lakes read with `basePath` = the lake root so Spark discovers the
+    * partition columns from the manifest's relpaths — they come back
+    * as real partition columns, so a filter on them becomes
+    * PartitionFilters (pruned at planning, no data touched) — then
+    * cast to the committed schema's types (path values are strings;
+    * discovery would otherwise re-infer). */
+  private def frameOver(spark: SparkSession, lake: HPath,
+                        m: ManifestState, files: Seq[FileEntry]): DataFrame = {
+    if (files.isEmpty) emptyFrame(spark, m.schema)
+    else {
+      val paths = files.map(e => new HPath(lake, e.relpath).toString)
+      val base = spark.read.option("mergeSchema", "true")
+      if (m.partitionBy.isEmpty) base.parquet(paths: _*)
+      else {
+        val df = base.option("basePath", lake.toString).parquet(paths: _*)
+        val typed = m.schema.fields.filter(f => m.partitionBy.contains(f.name))
+        typed.foldLeft(df) { (d, f) =>
+          d.withColumn(f.name,
+            org.apache.spark.sql.functions.col(f.name).cast(f.dataType))
+        }.select(m.schema.fieldNames.filter(df.columns.contains).map(
+          org.apache.spark.sql.functions.col).toSeq ++
+          df.columns.filterNot(m.schema.fieldNames.contains).map(
+            org.apache.spark.sql.functions.col).toSeq: _*)
+      }
+    }
+  }
+
   /** Read a pinned `version` (default: latest). The frame reads
     * EXACTLY the manifest's files — concurrent commits and dead
     * writers' unreferenced litter are invisible. Schemas across
-    * versions merge losslessly (mergeSchema). */
+    * versions merge losslessly (mergeSchema); partition columns are
+    * surfaced as partition columns (see [[frameOver]]). */
   def read(spark: SparkSession, dir: String, version: Option[Long] = None): DataFrame = {
+    val (fs, lake) = fsFor(spark, dir)
+    val m = pinned(spark, dir, version)
+    frameOver(spark, lake, m, m.files)
+  }
+
+  private def pinned(spark: SparkSession, dir: String,
+                     version: Option[Long]): ManifestState = {
     val (fs, lake) = fsFor(spark, dir)
     val v = version.getOrElse(state(fs, lake))
     require(v > 0, s"LakeVersions.read: no committed version under $dir")
     require(fs.exists(manifestPath(lake, v)),
       s"LakeVersions.read: version $v does not exist (vacuumed?) under $dir")
-    val (schema, files) = readManifest(fs, lake, v)
-    if (files.isEmpty)
-      // an empty committed version is legal (overwrite with zero
-      // rows); it still reads with the TABLE's schema, not a
-      // zero-column frame — selects and diffs keep resolving
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else
-      spark.read.option("mergeSchema", "true")
-        .parquet(files.map { case (f, _) => new HPath(lake, f).toString }: _*)
+    readManifest(fs, lake, v)
   }
 
-  /** The version ledger: one row per surviving manifest. */
+  /** Which manifest files survive conjunctive inclusive range
+    * predicates `col BETWEEN lo AND hi`? A file drops only on PROOF:
+    * its partition value (parsed from the relpath — the manifest IS
+    * the partition index) falls outside the range, or its recorded
+    * footer envelope excludes it (max < lo or min > hi), or it is
+    * recorded empty. Missing stats keep the file — a reader without
+    * evidence must scan. The same decision rule as
+    * [[PsIO.parquetPruneSim]], applied at FILE granularity from the
+    * manifest alone: no footer reads, no listing, O(files) driver
+    * arithmetic. */
+  def pruneFiles(m: ManifestState, bounds: Seq[(String, Long, Long)]): Seq[FileEntry] = {
+    require(bounds.nonEmpty, "LakeVersions.pruneFiles: no predicate bounds")
+    bounds.foreach { case (c, lo, hi) =>
+      require(lo <= hi, s"LakeVersions.pruneFiles: empty range [$lo, $hi] for $c") }
+    def partValue(relpath: String, col: String): Option[Option[Long]] =
+      relpath.split("/").iterator.filter(_.contains("="))
+        .map { seg => val i = seg.indexOf('='); (seg.substring(0, i), seg.substring(i + 1)) }
+        .collectFirst { case (`col`, v) =>
+          // a null partition value can never satisfy a range predicate
+          try Some(v.toLong).filter(_ => v != "__HIVE_DEFAULT_PARTITION__")
+          catch { case _: NumberFormatException => None }
+        }
+    m.files.filter { e =>
+      val provablyEmpty = e.rows == 0L
+      !provablyEmpty && bounds.forall { case (c, lo, hi) =>
+        val byPartition = partValue(e.relpath, c) match {
+          case Some(Some(v)) => v >= lo && v <= hi
+          case Some(None)    => false // null partition: predicate is false
+          case None          => true  // not a partition dir for this col
+        }
+        val byStats = e.stats.get(c) match {
+          case Some((mn, mx)) => mx >= lo && mn <= hi
+          case None           => true // no envelope: must keep
+        }
+        byPartition && byStats
+      }
+    }
+  }
+
+  /** [[read]] restricted by manifest-level file pruning: the returned
+    * frame plans over ONLY the files [[pruneFiles]] keeps. The bounds
+    * are a pruning hint, not a filter — rows outside the range from
+    * surviving files still appear; apply the real predicate on top
+    * (exactly parquet row-group pruning's contract, one level up). */
+  def readPruned(spark: SparkSession, dir: String,
+                 bounds: Seq[(String, Long, Long)],
+                 version: Option[Long] = None): DataFrame = {
+    val (_, lake) = fsFor(spark, dir)
+    val m = pinned(spark, dir, version)
+    frameOver(spark, lake, m, pruneFiles(m, bounds))
+  }
+
+  /** Pruning audit: (kept, total) manifest files for `bounds` — the
+    * number a layout decision or a prune-fraction assert reads. */
+  def pruneCounts(spark: SparkSession, dir: String,
+                  bounds: Seq[(String, Long, Long)],
+                  version: Option[Long] = None): (Int, Int) = {
+    val m = pinned(spark, dir, version)
+    (pruneFiles(m, bounds).size, m.files.size)
+  }
+
+  /** The version ledger: one row per surviving manifest. `n_rows` is
+    * -1 when any of the version's files predates stats collection. */
   def versions(spark: SparkSession, dir: String): DataFrame = {
     val (fs, lake) = fsFor(spark, dir)
     val latest = state(fs, lake)
     val rows = (1L to latest).flatMap { v =>
       if (!fs.exists(manifestPath(lake, v))) None
       else {
-        val files = readManifest(fs, lake, v)._2
-        Some((v, files.size, files.map(_._2).sum))
+        val m = readManifest(fs, lake, v)
+        val nRows =
+          if (m.files.exists(_.rows < 0)) -1L else m.files.map(_.rows).sum
+        Some((v, m.files.size, m.files.map(_.len).sum, nRows, m.tag))
       }
     }
-    spark.createDataFrame(rows).toDF("version", "n_files", "bytes")
+    spark.createDataFrame(rows)
+      .toDF("version", "n_files", "bytes", "n_rows", "tag")
   }
 
   /** Audit diff between two pinned versions by key — the
@@ -274,7 +563,8 @@ object LakeVersions {
     var removed = 0
     val keep = ((latest - keepVersions + 1) max 1L) to latest
     val referenced = keep.flatMap { v =>
-      if (fs.exists(manifestPath(lake, v))) readManifest(fs, lake, v)._2.map(_._1)
+      if (fs.exists(manifestPath(lake, v)))
+        readManifest(fs, lake, v).files.map(_.relpath)
       else Nil
     }.toSet
     (1L until keep.start).foreach { v =>
@@ -289,14 +579,26 @@ object LakeVersions {
       }
     }
     // unreferenced data files older than the margin (a live commit's
-    // landed-but-unmanifested files are younger than it)
-    fs.listStatus(lake).foreach { s =>
-      val n = s.getPath.getName
-      if (s.isFile && n.startsWith("data-") && !referenced(n) &&
-          s.getModificationTime < cutoff) {
-        fs.delete(s.getPath, false): Unit; removed += 1
+    // landed-but-unmanifested files are younger than it) — walked
+    // recursively: partitioned lakes nest data under col=value dirs
+    val lakeUri = lake.toUri.getPath.stripSuffix("/")
+    def sweep(p: HPath): Unit =
+      fs.listStatus(p).foreach { s =>
+        val n = s.getPath.getName
+        if (s.isDirectory && !n.startsWith(".") && !n.startsWith("_")) {
+          sweep(s.getPath)
+          // a partition dir emptied by the sweep is litter too
+          if (fs.listStatus(s.getPath).isEmpty) {
+            fs.delete(s.getPath, false): Unit
+          }
+        } else if (s.isFile && n.startsWith("data-") &&
+            s.getModificationTime < cutoff) {
+          val rel = s.getPath.toUri.getPath
+            .stripPrefix(lakeUri).stripPrefix("/")
+          if (!referenced(rel)) { fs.delete(s.getPath, false): Unit; removed += 1 }
+        }
       }
-    }
+    sweep(lake)
     // abandoned staging dirs
     val stagingRoot = new HPath(lake, "_graft_staging")
     if (fs.exists(stagingRoot)) {

@@ -777,6 +777,76 @@ object StreamingOps {
       .start()
   }
 
+  /** VERSIONED lake promotion: the same gate-and-route as
+    * [[streamingLakePromote]], but each side commits every micro-batch
+    * as one [[graft.sources.LakeVersions]] version — an atomic
+    * manifest swap per epoch instead of a parquet-sink `_spark_metadata`
+    * log. What that buys over the file-sink variants:
+    *
+    *  - the promoted corpus gets TIME TRAVEL and the snapshotDiff
+    *    audit per epoch (version N == the lake after micro-batch N);
+    *  - a crash between data-land and manifest publish is invisible —
+    *    readers keep the previous version (the sink variants expose a
+    *    torn batch until the replay sweeps it, per the
+    *    streamingLakePromoteOnce scaladoc);
+    *  - per-file footer stats (`statsCols`) ride into the manifest at
+    *    commit time, so pinned reads file-prune for free;
+    *  - batch and streaming promotions land in the SAME table format —
+    *    one reader path, one vacuum, one retention story.
+    *
+    * Exactly-once comes from the manifest tag: each side's commit
+    * carries `<ns>-epoch-<batch>`; a replay (the engine restores at
+    * most the one uncommitted batch, so a duplicate is always the
+    * LATEST commit) sees its own tag on the latest version and skips.
+    * `ns` is derived from the checkpoint root, so a fresh checkpoint
+    * restarting batch ordinals can never be fooled by an old query's
+    * tags. The two sides commit independently — a crash between them
+    * replays only the side whose tag is missing. */
+  def streamingLakePromoteVersioned(
+      zone: DataFrame, rules: Seq[graft.operators.Checks.Rule],
+      lakeDir: String, quarantineDir: String,
+      partitionCols: Seq[String], checkpointRoot: String,
+      statsCols: Seq[String] = Nil)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(zone.isStreaming,
+      "streamingLakePromoteVersioned: zone must be a streaming frame")
+    require(rules.nonEmpty,
+      "streamingLakePromoteVersioned: at least one contract rule")
+    val ns = {
+      val crc = new java.util.zip.CRC32C()
+      crc.update(checkpointRoot.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      java.lang.Long.toHexString(crc.getValue)
+    }
+    zone.writeStream
+      .option("checkpointLocation", s"$checkpointRoot/promote")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val pinned = batch.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val (good, bad) = gateAndRoute(pinned, rules)
+          val tag = s"$ns-epoch-$id"
+          commitEpochSide(lakeDir, good, partitionCols, statsCols, tag): Unit
+          commitEpochSide(quarantineDir, bad, Nil, Nil, tag): Unit
+        } finally pinned.unpersist(): Unit
+      }
+      .start()
+  }
+
+  /** One side's tag-idempotent versioned commit (see
+    * [[streamingLakePromoteVersioned]]); package-visible so the replay
+    * skip is directly testable. Returns false when the latest version
+    * already carries this epoch's tag (a replayed batch). */
+  private[graft] def commitEpochSide(dir: String, df: DataFrame,
+      partitionCols: Seq[String], statsCols: Seq[String], tag: String): Boolean = {
+    val spark = df.sparkSession
+    if (graft.sources.LakeVersions.tagOf(spark, dir) == tag) false
+    else {
+      graft.sources.LakeVersions.commit(spark, dir, df,
+        partitionBy = partitionCols, statsCols = statsCols, tag = tag): Unit
+      true
+    }
+  }
+
   /** One side's idempotent staged-rename commit (see
     * [[streamingLakePromoteOnce]]). `sweepReplay` gates the recursive
     * crash-replay listing — needed only for a query instance's first

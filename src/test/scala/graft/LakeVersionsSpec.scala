@@ -114,6 +114,179 @@ class LakeVersionsSpec extends AnyFunSuite with SparkFixture {
     assert(d.map(r => (r.getInt(0), r.getString(1))).toSeq == Seq((1, "removed")))
   }
 
+  test("partitioned commits: appends inherit the layout; partition columns " +
+      "come back typed and prune at planning") {
+    val s = spark
+    import s.implicits._
+    val dir = lake()
+    // partition by a LONG column: hive path values are strings, so the
+    // read must cast the discovered column back to the committed type
+    LakeVersions.commit(s, dir,
+      Seq((1, "a", 10L), (2, "b", 20L)).toDF("k", "t", "b"),
+      partitionBy = Seq("b"))
+    // append WITHOUT declaring the layout: inherited from the manifest
+    LakeVersions.commit(s, dir, Seq((3, "c", 30L)).toDF("k", "t", "b"))
+    // a conflicting explicit layout refuses
+    val e = intercept[IllegalArgumentException] {
+      LakeVersions.commit(s, dir,
+        Seq((4, "d", 40L)).toDF("k", "t", "b"), partitionBy = Seq("t"))
+    }
+    assert(e.getMessage.contains("inherit"))
+
+    val df = LakeVersions.read(s, dir)
+    assert(df.schema("b").dataType == org.apache.spark.sql.types.LongType,
+      "partition column must read back with its committed type")
+    assert(df.schema.fieldNames.toSeq == Seq("k", "t", "b"),
+      "partitioned reads keep the committed column order")
+    assert(df.select("k", "b").collect()
+      .map(r => (r.getInt(0), r.getLong(1))).sorted.toSeq ==
+      Seq((1, 10L), (2, 20L), (3, 30L)))
+    // the layout physically exists: data files live under b=<value>/
+    assert(df.inputFiles.forall(_.contains("/b=")),
+      df.inputFiles.mkString(", "))
+    // and a partition predicate prunes at PLANNING — PartitionFilters,
+    // not a data filter
+    val q = df.filter($"b" === 20L)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("b#"),
+      plan.take(1200))
+    assert(q.select(org.apache.spark.sql.functions.input_file_name())
+      .distinct().collect().map(_.getString(0)).toSeq
+      .forall(_.contains("/b=20/")))
+    // the scan's execution metric proves pruning happened at planning:
+    // one file planned, not filtered-after-read (metrics populate on
+    // THIS dataset's own execution)
+    assert(q.collect().map(_.getInt(0)).toSeq == Seq(2))
+    val scan = q.queryExecution.executedPlan.collectLeaves().collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.head
+    assert(scan.metrics("numFiles").value == 1L,
+      s"expected 1 planned file, got ${scan.metrics("numFiles").value}")
+  }
+
+  test("manifest stats: a point predicate on a sorted lake keeps 1 of 3 files; " +
+      "the pruned read loses no rows") {
+    val s = spark
+    import s.implicits._
+    val dir = lake()
+    // three appends with tight disjoint k envelopes — the layout a
+    // sorted rewrite produces
+    LakeVersions.commit(s, dir,
+      (1 to 100).map(i => (i, s"r$i")).toDF("k", "t").coalesce(1),
+      statsCols = Seq("k"))
+    LakeVersions.commit(s, dir,
+      (101 to 200).map(i => (i, s"r$i")).toDF("k", "t").coalesce(1),
+      statsCols = Seq("k"))
+    LakeVersions.commit(s, dir,
+      (201 to 300).map(i => (i, s"r$i")).toDF("k", "t").coalesce(1),
+      statsCols = Seq("k"))
+    val (kept, total) = LakeVersions.pruneCounts(s, dir, Seq(("k", 150L, 150L)))
+    assert(total == 3 && kept == 1, s"expected 1/3 kept, got $kept/$total")
+    // the pruning hint is sound: pruned read + real filter == full scan + filter
+    val pruned = LakeVersions.readPruned(s, dir, Seq(("k", 120L, 220L)))
+      .filter($"k".between(120, 220)).select("k")
+      .collect().map(_.getInt(0)).sorted.toSeq
+    assert(pruned == (120 to 220).toSeq)
+    // rows ledger reflects the collected footer counts
+    val ledger = LakeVersions.versions(s, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(3))).sortBy(_._1).toSeq
+    assert(ledger == Seq((1L, 100L), (2L, 200L), (3L, 300L)), ledger.toString)
+    // a version with no collected stats prunes nothing (conservative)
+    LakeVersions.commit(s, dir, Seq((500, "x")).toDF("k", "t"))
+    val (kept2, total2) = LakeVersions.pruneCounts(s, dir, Seq(("k", 150L, 150L)))
+    assert(total2 == 4 && kept2 == 2, "the stats-less file must be kept")
+  }
+
+  test("a pre-partitioning v1 manifest still reads") {
+    val s = spark
+    import s.implicits._
+    val dir = lake()
+    LakeVersions.commit(s, dir, Seq((1, "a"), (2, "b")).toDF("k", "t"))
+    // rewrite the manifest in the v1 format (magic + relpath \t len)
+    val mf = new java.io.File(dir, "_graft_versions/v00000001.manifest")
+    val lines = new String(
+      java.nio.file.Files.readAllBytes(mf.toPath),
+      java.nio.charset.StandardCharsets.UTF_8).split("\n")
+    val schemaJson = lines.head.split("\t")(1)
+    val v1 = (s"graft-lake-manifest-v1\t$schemaJson" +:
+      lines.tail.map(l => l.split("\t").take(2).mkString("\t"))).mkString("\n")
+    java.nio.file.Files.write(mf.toPath,
+      v1.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // the raw rewrite invalidates LocalFileSystem's checksum sidecar
+    new java.io.File(mf.getParentFile, s".${mf.getName}.crc").delete(): Unit
+    assert(LakeVersions.read(s, dir).select("k")
+      .collect().map(_.getInt(0)).sorted.toSeq == Seq(1, 2))
+    // and an append on top of it carries the v1 entries forward
+    LakeVersions.commit(s, dir, Seq((3, "c")).toDF("k", "t"))
+    assert(LakeVersions.read(s, dir).count() == 3L)
+  }
+
+  test("a promotion crash between data-land and manifest publish is invisible; " +
+      "vacuum reclaims the orphans") {
+    val s = spark
+    import s.implicits._
+    val dir = lake()
+    LakeVersions.commit(s, dir,
+      Seq((1, "a", 0L), (2, "b", 1L)).toDF("k", "t", "r"),
+      partitionBy = Seq("r"))
+    val before = LakeVersions.read(s, dir).select("k")
+      .collect().map(_.getInt(0)).sorted.toSeq
+    // simulate a promotion that died AFTER landing its data files but
+    // BEFORE the manifest rename: orphaned uuid-named data files in a
+    // partition dir plus an abandoned staging dir
+    val root = new java.io.File(dir)
+    val landedDir = new java.io.File(root, "r=0")
+    val donor = landedDir.listFiles().filter(_.getName.endsWith(".parquet")).head
+    val orphan = new java.io.File(landedDir, "data-deadcrash-part-0.parquet")
+    java.nio.file.Files.copy(donor.toPath, orphan.toPath)
+    val staging = new java.io.File(root, "_graft_staging/deadcrash")
+    assert(staging.mkdirs())
+    java.nio.file.Files.copy(donor.toPath,
+      new java.io.File(staging, "part-0.parquet").toPath)
+    // readers see NOTHING: same version, same rows — the torn commit
+    // is unobservable because reads never list the directory
+    assert(LakeVersions.latestVersion(s, dir) == 1L)
+    assert(LakeVersions.read(s, dir).select("k")
+      .collect().map(_.getInt(0)).sorted.toSeq == before)
+    // age the litter past the margin; vacuum removes exactly it
+    assert(orphan.setLastModified(System.currentTimeMillis() - 48L * 3600 * 1000))
+    assert(staging.setLastModified(System.currentTimeMillis() - 48L * 3600 * 1000))
+    val removed = LakeVersions.vacuum(s, dir, keepVersions = 2)
+    assert(removed == 2, s"expected orphan file + staging dir, removed $removed")
+    assert(!orphan.exists() && !staging.exists())
+    assert(LakeVersions.read(s, dir).select("k")
+      .collect().map(_.getInt(0)).sorted.toSeq == before,
+      "vacuum must never touch referenced data")
+  }
+
+  test("streaming epoch commits are tag-idempotent: a replayed batch skips") {
+    val s = spark
+    import s.implicits._
+    val dir = lake()
+    val b0 = Seq((1, "a", 0L)).toDF("k", "t", "r")
+    assert(graft.streaming.StreamingOps.commitEpochSide(
+      dir, b0, Seq("r"), Seq("k"), "ns1-epoch-0"))
+    assert(graft.streaming.StreamingOps.commitEpochSide(
+      dir, Seq((2, "b", 1L)).toDF("k", "t", "r"), Seq("r"), Seq("k"),
+      "ns1-epoch-1"))
+    // crash-replay of the LAST batch: same tag on the latest version →
+    // skipped, no duplicate rows, no extra version
+    assert(!graft.streaming.StreamingOps.commitEpochSide(
+      dir, Seq((2, "b", 1L)).toDF("k", "t", "r"), Seq("r"), Seq("k"),
+      "ns1-epoch-1"))
+    assert(LakeVersions.latestVersion(s, dir) == 2L)
+    assert(LakeVersions.read(s, dir).count() == 2L)
+    // a FRESH checkpoint's batch 0 (different namespace) is NOT fooled
+    // by the old query's ordinals
+    assert(graft.streaming.StreamingOps.commitEpochSide(
+      dir, Seq((3, "c", 0L)).toDF("k", "t", "r"), Seq("r"), Seq("k"),
+      "ns2-epoch-0"))
+    assert(LakeVersions.read(s, dir).count() == 3L)
+    val tags = LakeVersions.versions(s, dir).select("tag")
+      .collect().map(_.getString(0)).toSeq
+    assert(tags == Seq("ns1-epoch-0", "ns1-epoch-1", "ns2-epoch-0"))
+  }
+
   test("concurrent appends compose: parallel committers never clobber") {
     val s = spark
     import s.implicits._
