@@ -287,6 +287,57 @@ class LakeVersionsSpec extends AnyFunSuite with SparkFixture {
     assert(tags == Seq("ns1-epoch-0", "ns1-epoch-1", "ns2-epoch-0"))
   }
 
+  test("cross-driver concurrent appends compose: a second JVM's commits " +
+      "interleave losslessly with ours") {
+    val s = spark
+    import s.implicits._
+    val dir = lake()
+    LakeVersions.commit(s, dir, Seq(("seed-0", "seed")).toDF("k", "owner"))
+    val ready = java.nio.file.Files.createTempDirectory("graft-lakev-sync")
+    val readyFile = ready.resolve("ready").toString
+    val goFile = ready.resolve("go").toString
+    val n = 4
+    // fork the child driver (fresh JVM, own SparkSession, same lake);
+    // the go-file handshake makes the two commit loops overlap for real
+    import scala.jdk.CollectionConverters._
+    val javaBin = java.nio.file.Paths
+      .get(sys.props("java.home"), "bin", "java").toString
+    val log = java.nio.file.Files.createTempFile("graft-lakev-child", ".log")
+    val pb = new ProcessBuilder((Seq(javaBin, "-Xmx2g",
+      "-cp", sys.props("java.class.path"), "graft.LakeCommitProbe",
+      dir, readyFile, goFile, "child", n.toString)).asJava)
+    pb.redirectErrorStream(true)
+    pb.redirectOutput(ProcessBuilder.Redirect.to(log.toFile))
+    val child = pb.start()
+    try {
+      val deadline = System.currentTimeMillis() + 120000
+      while (!java.nio.file.Files.exists(java.nio.file.Paths.get(readyFile))) {
+        assert(child.isAlive, s"child died before ready; log: $log")
+        assert(System.currentTimeMillis() < deadline, s"child never ready; log: $log")
+        Thread.sleep(20)
+      }
+      java.nio.file.Files.createFile(java.nio.file.Paths.get(goFile)): Unit
+      (0 until n).foreach { i =>
+        LakeVersions.commit(s, dir, Seq((s"parent-$i", "parent")).toDF("k", "owner")): Unit
+      }
+      assert(child.waitFor(4, java.util.concurrent.TimeUnit.MINUTES),
+        s"child hung; log: $log")
+      assert(child.exitValue() == 0, s"child failed; log: $log")
+    } finally { child.destroyForcibly(); () }
+    // every commit from BOTH drivers survives in the final version...
+    val keys = LakeVersions.read(s, dir).select("k")
+      .collect().map(_.getString(0)).sorted.toSeq
+    val expected = ("seed-0" +: ((0 until n).map(i => s"child-$i") ++
+      (0 until n).map(i => s"parent-$i"))).sorted
+    assert(keys == expected, s"lost update: $keys")
+    // ...and version numbers are dense: one manifest per commit, no
+    // clobbered or skipped ordinals
+    val vs = LakeVersions.versions(s, dir).select("version")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(vs == (1L to (2L * n + 1)), s"non-dense versions: $vs")
+    java.nio.file.Files.deleteIfExists(log): Unit
+  }
+
   test("concurrent appends compose: parallel committers never clobber") {
     val s = spark
     import s.implicits._
