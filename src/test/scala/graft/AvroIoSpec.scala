@@ -462,6 +462,62 @@ class AvroIoSpec extends AnyFunSuite with SparkFixture {
       Seq((3L, Some(true)), (10L, None), (20L, None)))
   }
 
+  test("projected reads take the compiled-skip path and skip complex columns") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp()
+    val df = Seq(
+      (1, Seq(1L, 2L), Map("a" -> 1.5), ("x", 10L), Option("keep1"), 3.25),
+      (2, Seq.empty[Long], Map.empty[String, Double], ("y", 20L), None, 4.5))
+      .toDF("k", "arr", "m", "st", "os", "d")
+    AvroIo.toAvro(df.coalesce(1), dir)
+    def modes[A](body: => A): (A, Long, Long) = {
+      val p0 = graft.sources.AvroIo.DecodeModes.projected.get()
+      val r0 = graft.sources.AvroIo.DecodeModes.resolving.get()
+      val a = body
+      (a, graft.sources.AvroIo.DecodeModes.projected.get() - p0,
+        graft.sources.AvroIo.DecodeModes.resolving.get() - r0)
+    }
+    // skip array+map+double+nullable-string, decode int + nested
+    // struct (a nested target => the BOXED projected assembly)
+    val (rows, p1, r1) = modes {
+      AvroIo.readAvro(s, dir, columns = Some(Seq("st", "k")))
+        .collect().map(r =>
+          (r.getStruct(0).getString(0), r.getStruct(0).getLong(1), r.getInt(1)))
+        .sortBy(_._3).toSeq
+    }
+    assert(rows == Seq(("x", 10L, 1), ("y", 20L, 2)))
+    assert(p1 > 0 && r1 == 0,
+      s"pure projection must compile skips, not resolve (proj=$p1, res=$r1)")
+    // skip the nested struct itself (record skipper) while decoding a
+    // flat pair => the UnsafeRow projected path
+    val (rows2, p2, r2) = modes {
+      AvroIo.readAvro(s, dir, columns = Some(Seq("k", "os")))
+        .collect().map(r => (r.getInt(0), Option(r.getString(1))))
+        .sortBy(_._1).toSeq
+    }
+    assert(rows2 == Seq((1, Some("keep1")), (2, None)))
+    assert(p2 > 0 && r2 == 0, s"(proj=$p2, res=$r2)")
+    // a projection that needs WIDENING falls back to the resolver —
+    // never the skip path (its map is defined only on identical field
+    // schemas). g2 writes k as LONG, so the unified k is long and g1's
+    // int k must promote during decode.
+    val t2 = tmp()
+    AvroIo.toAvro(Seq((7L, 1.0)).toDF("k", "d").coalesce(1), t2)
+    val evo = java.nio.file.Files.createTempDirectory("graft-avro-skipevo").toString
+    def cp(from: String, as: String): Unit = {
+      val f = new java.io.File(from).listFiles().filter(_.getName.endsWith(".avro")).head
+      java.nio.file.Files.copy(f.toPath, java.nio.file.Paths.get(evo, as)); ()
+    }
+    cp(dir, "g1.avro"); cp(t2, "g2.avro")
+    val (sum3, _, r3) = modes {
+      AvroIo.readAvro(s, evo, columns = Some(Seq("k", "d")))
+        .agg(org.apache.spark.sql.functions.sum("k")).head().getLong(0)
+    }
+    assert(sum3 == 10L) // 1 + 2 + 7: no row lost, no value corrupted
+    assert(r3 > 0, "a projection needing int->long widening must resolve, not skip")
+  }
+
   test("size-aware reads: one fat file splits into multiple tasks, no row lost") {
     val s = spark
     import s.implicits._
