@@ -2998,6 +2998,21 @@ object ExtQueries {
         .orderBy("n_nationkey")
     }),
 
+    // lake maintenance as versioned commits (OPTIMIZE-lite): after a
+    // compaction overwrite AND a z-order overwrite, the latest version
+    // still reads as exactly the committed relation, and the
+    // pre-maintenance version stays pinned-readable — both legs tagged
+    // so one compare proves rewrites move bytes, never rows
+    "q_lake_optimize" -> ((s, dir) => {
+      lakeOptimizeFixture(s, dir)
+      val cur = graft.sources.LakeVersions.read(s, LakeOptimizeDir)
+        .select(col("c_custkey"), col("c_nationkey"),
+          lit("optimized").as("phase"))
+      val pre = graft.sources.LakeVersions.read(s, LakeOptimizeDir, Some(3L))
+        .select(col("c_custkey"), col("c_nationkey"), lit("pre").as("phase"))
+      cur.unionByName(pre).orderBy("phase", "c_custkey")
+    }),
+
     // manifest-stats file pruning: a sorted customer lake of three
     // tight-enveloped files, a range predicate inside the first
     // tercile — readPruned plans 1 of the 3 files and the kept/total
@@ -3086,6 +3101,7 @@ object ExtQueries {
   val LakeVersionsDir = "/root/repo/target/tmp/nation_lake_versions"
   val LakeVersionsPartDir = "/root/repo/target/tmp/nation_lake_versions_part"
   val LakePruneDir = "/root/repo/target/tmp/customer_lake_prune"
+  val LakeOptimizeDir = "/root/repo/target/tmp/customer_lake_optimize"
   val AvroLakeVStreamDir = "/root/repo/target/tmp/nation_lake_vstream"
   val AvroLakeVStreamQuarantineDir =
     "/root/repo/target/tmp/nation_lake_vstream_quarantine"
@@ -3477,6 +3493,29 @@ object ExtQueries {
       .agg(max("c_custkey")).head().getLong(0)
     (maxId / 3 / 4, maxId / 3 / 2)
   }
+
+  /** Lake maintenance once per process (q_lake_optimize reads latest +
+    * pinned v3 back): three customer appends (v1-v3), a compaction
+    * overwrite (v4) and a z-order overwrite on (c_custkey,
+    * c_nationkey) (v5) — both expressed as [[graft.sources.LakeVersions]]
+    * commits, so the pre-maintenance layout stays time-travelable. */
+  private def lakeOptimizeFixture(s: SparkSession, dir: String): Unit =
+    fixturesDone.computeIfAbsent(s"lakeoptimize:$dir", _ => {
+      rmTree(LakeOptimizeDir)
+      val cust = s.read.parquet(s"$dir/customer.parquet")
+        .select("c_custkey", "c_nationkey")
+      val maxId = cust.agg(max("c_custkey")).head().getLong(0)
+      val (cut1, cut2) = (maxId / 3, 2 * maxId / 3)
+      Seq(col("c_custkey") <= cut1,
+        col("c_custkey") > cut1 && col("c_custkey") <= cut2,
+        col("c_custkey") > cut2).foreach { slice =>
+        graft.sources.LakeVersions.commit(s, LakeOptimizeDir,
+          cust.filter(slice).coalesce(1), statsCols = Seq("c_custkey")): Unit
+      }
+      graft.sources.LakeVersions.compactCommit(s, LakeOptimizeDir): Unit
+      graft.sources.LakeVersions.zOrderCommit(s, LakeOptimizeDir,
+        Seq("c_custkey", "c_nationkey"), partitions = 3): Unit
+    })
 
   /** A sorted customer lake once per process (q_lake_prune reads it
     * pruned): three appended commits with tight disjoint c_custkey
@@ -5560,6 +5599,13 @@ object ExtQueries {
       """SELECT n_nationkey, n_name, n_regionkey,
                 n_regionkey AS part_reg
          FROM nation ORDER BY n_nationkey""",
+    // lake maintenance: compaction + z-order rewrites move bytes, never
+    // rows — latest reads the full relation and pinned v3 still does
+    "q_lake_optimize" ->
+      """SELECT c_custkey, c_nationkey, 'optimized' AS phase FROM customer
+         UNION ALL
+         SELECT c_custkey, c_nationkey, 'pre' AS phase FROM customer
+         ORDER BY phase, c_custkey""",
     // manifest-stats pruning: the pruned read inside the first tercile
     // must return exactly the range's rows (no file dropped that held
     // data), and the embedded kept/total counts pin the prune fraction

@@ -240,12 +240,19 @@ object LakeVersions {
     *    (plus row counts) — the [[readPruned]] index. Footer-exact,
     *    one distributed metadata task per landed file.
     *  - `tag`: idempotence marker stored in the manifest header (see
-    *    [[tagOf]]). */
+    *    [[tagOf]]).
+    *  - `expectedLatest`: optimistic concurrency for REWRITE commits —
+    *    the commit publishes only if the latest version under the lock
+    *    is still this one, else throws (retryable). A maintenance
+    *    rewrite (compaction, re-clustering) reads version V and
+    *    overwrites; without the guard an append that landed between
+    *    the read and the publish would be silently erased. */
   def commit(spark: SparkSession, dir: String, df: DataFrame,
              overwrite: Boolean = false,
              partitionBy: Seq[String] = Nil,
              statsCols: Seq[String] = Nil,
              tag: String = "",
+             expectedLatest: Option[Long] = None,
              lockWaitMs: Long = 60000, lockStaleMs: Long = 60000): Long = {
     require(!tag.contains("\t") && !tag.contains("\n"),
       "LakeVersions.commit: tag must not contain tabs/newlines")
@@ -355,6 +362,12 @@ object LakeVersions {
       }
       try {
         val latest = state(fs, lake)
+        expectedLatest.foreach { e =>
+          if (latest != e) throw new java.util.ConcurrentModificationException(
+            s"LakeVersions.commit: expected latest v$e but found v$latest under " +
+              s"$dir — another commit landed since the rewrite's read; retry " +
+              "the rewrite on the new latest (its landed files await vacuum)")
+        }
         val next = latest + 1
         val prev =
           if (overwrite || latest == 0) None
@@ -518,6 +531,72 @@ object LakeVersions {
                   version: Option[Long] = None): (Int, Int) = {
     val m = pinned(spark, dir, version)
     (pruneFiles(m, bounds).size, m.files.size)
+  }
+
+  /** Stats columns a rewrite should re-record: every column the
+    * current manifest carries an envelope for that still exists in the
+    * frame as int/long (the only exact footer stats). */
+  private def statsColsOf(m: ManifestState, df: DataFrame): Seq[String] = {
+    val intLike: Set[org.apache.spark.sql.types.DataType] = Set(
+      org.apache.spark.sql.types.IntegerType,
+      org.apache.spark.sql.types.LongType)
+    m.files.flatMap(_.stats.keys).distinct.filter(c =>
+      df.schema.find(_.name == c).exists(f => intLike(f.dataType)))
+  }
+
+  /** OPTIMIZE-lite, part 1 — COMPACTION AS A COMMIT: rewrite the
+    * latest version's data into ~`targetBytes` files (coalesce — no
+    * shuffle; a compaction that shuffles the corpus to save file
+    * handles is worse than the disease) and publish it as an OVERWRITE
+    * version. The old layout stays readable at its pinned version
+    * until [[vacuum]] drops it — a reader mid-query during OPTIMIZE
+    * never sees a half-rewritten table, which is the whole reason to
+    * route maintenance through the manifest instead of rewriting the
+    * directory in place. Partition layout and stats index carry over;
+    * `expectedLatest` guards the read-rewrite-publish window, so a
+    * concurrent append makes this throw (retry) rather than be erased.
+    * Returns the committed version. */
+  def compactCommit(spark: SparkSession, dir: String,
+                    targetBytes: Long = 128L << 20): Long = {
+    val m = pinned(spark, dir, None)
+    val v = latestVersion(spark, dir)
+    require(m.files.nonEmpty, s"LakeVersions.compactCommit: v$v is empty")
+    val n = math.max(1,
+      math.ceil(m.files.map(_.len).sum.toDouble / targetBytes).toInt)
+    val (_, lake) = fsFor(spark, dir)
+    val df = frameOver(spark, lake, m, m.files).coalesce(n)
+    commit(spark, dir, df, overwrite = true, partitionBy = m.partitionBy,
+      statsCols = statsColsOf(m, df), tag = s"compact-of-v$v",
+      expectedLatest = Some(v))
+  }
+
+  /** OPTIMIZE-lite, part 2 — Z-ORDER AS A COMMIT: re-cluster the
+    * latest version on the Morton curve over `cols`
+    * ([[PsIO.zOrdered]]: each output file covers a small min/max box
+    * in EVERY z dimension) and publish as an overwrite version with
+    * fresh stats envelopes, so [[readPruned]] file-prunes point/range
+    * predicates on any z column. Same pinned-old-version /
+    * `expectedLatest` discipline as [[compactCommit]]. `statsCols`
+    * defaults to the int/long z columns plus whatever the manifest
+    * already indexed. */
+  def zOrderCommit(spark: SparkSession, dir: String, cols: Seq[String],
+                   partitions: Int, bitsPerCol: Int = 16,
+                   statsCols: Seq[String] = Nil): Long = {
+    val m = pinned(spark, dir, None)
+    val v = latestVersion(spark, dir)
+    val (_, lake) = fsFor(spark, dir)
+    val base = frameOver(spark, lake, m, m.files)
+    val intLike: Set[org.apache.spark.sql.types.DataType] = Set(
+      org.apache.spark.sql.types.IntegerType,
+      org.apache.spark.sql.types.LongType)
+    val st =
+      if (statsCols.nonEmpty) statsCols
+      else (cols.filterNot(m.partitionBy.contains)
+        .filter(c => base.schema.find(_.name == c)
+          .exists(f => intLike(f.dataType))) ++ statsColsOf(m, base)).distinct
+    commit(spark, dir, PsIO.zOrdered(base, cols, partitions, bitsPerCol),
+      overwrite = true, partitionBy = m.partitionBy, statsCols = st,
+      tag = s"zorder-of-v$v", expectedLatest = Some(v))
   }
 
   /** The version ledger: one row per surviving manifest. `n_rows` is

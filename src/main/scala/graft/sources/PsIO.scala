@@ -786,7 +786,22 @@ object PsIO {
       path: String,
       cols: Seq[String],
       partitions: Int,
-      bitsPerCol: Int = 16): Unit = {
+      bitsPerCol: Int = 16): Unit =
+    zOrdered(df, cols, partitions, bitsPerCol)
+      .write
+      .mode(SaveMode.Overwrite)
+      .parquet(path)
+
+  /** The z-clustering FRAME of [[writeZOrdered]], exposed so other
+    * sinks can reuse the layout — [[LakeVersions.zOrderCommit]] stages
+    * this frame through a versioned commit instead of a raw directory
+    * write. Range-partitioned + sorted on the interleaved z-value;
+    * the synthetic column is projected away. */
+  def zOrdered(
+      df: DataFrame,
+      cols: Seq[String],
+      partitions: Int,
+      bitsPerCol: Int = 16): DataFrame = {
     import org.apache.spark.sql.functions._
     require(cols.size >= 2, "z-ordering needs at least two columns")
     require(cols.size * bitsPerCol <= 62,
@@ -819,9 +834,6 @@ object PsIO {
       .repartitionByRange(partitions, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")
-      .write
-      .mode(SaveMode.Overwrite)
-      .parquet(path)
   }
 
   /** Bucketed external table: pre-partitions (and per-bucket sorts) the

@@ -287,6 +287,64 @@ class LakeVersionsSpec extends AnyFunSuite with SparkFixture {
     assert(tags == Seq("ns1-epoch-0", "ns1-epoch-1", "ns2-epoch-0"))
   }
 
+  test("maintenance rewrites are versioned commits: compact and z-order keep " +
+      "old versions readable, improve pruning, and refuse to erase a racer") {
+    val s = spark
+    import s.implicits._
+    val dir = lake()
+    // four appended files: k sequential per slice (tight envelopes),
+    // j scattered over the full range in EVERY file (z-order's case)
+    (0 until 4).foreach { slice =>
+      val rows = (1 to 1000).map { i =>
+        val k = slice * 1000 + i
+        (k, (k * 2654435761L) % 100000, s"r$k")
+      }
+      LakeVersions.commit(s, dir, rows.toDF("k", "j", "t").coalesce(1),
+        statsCols = Seq("k", "j")): Unit
+    }
+    def kSum(v: Option[Long] = None) = LakeVersions.read(s, dir, v)
+      .agg(org.apache.spark.sql.functions.sum("k")).head().getLong(0)
+    val fullSum = (1 to 4000).map(_.toLong).sum
+    assert(kSum() == fullSum)
+    // a j-only range prunes NOTHING pre-rewrite: every file spans j
+    val jBounds = Seq(("j", 10000L, 20000L))
+    assert(LakeVersions.pruneCounts(s, dir, jBounds) == ((4, 4)))
+
+    // COMPACT: one overwrite version, fewer files, same rows; the
+    // pre-compact version stays pinned-readable
+    val v5 = LakeVersions.compactCommit(s, dir, targetBytes = 1L << 30)
+    assert(v5 == 5L)
+    val ledger = LakeVersions.versions(s, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(ledger(5L) < ledger(4L), s"compaction must shrink the file count: $ledger")
+    assert(kSum() == fullSum)
+    assert(kSum(Some(4L)) == fullSum, "pre-compact version must stay readable")
+
+    // Z-ORDER: re-clustered overwrite version whose fresh envelopes
+    // prune on BOTH dimensions — the j-only range now drops files the
+    // append layout could not
+    val v6 = LakeVersions.zOrderCommit(s, dir, Seq("k", "j"), partitions = 4)
+    assert(v6 == 6L)
+    assert(kSum() == fullSum)
+    val (keptJ, totalJ) = LakeVersions.pruneCounts(s, dir, jBounds)
+    assert(totalJ == 4 && keptJ < 4,
+      s"z-order must make j prunable: kept $keptJ/$totalJ")
+    val (keptKJ, _) = LakeVersions.pruneCounts(s, dir,
+      Seq(("k", 500L, 600L), ("j", 10000L, 20000L)))
+    assert(keptKJ <= keptJ, s"2-d box must prune at least as hard: $keptKJ")
+    // the rewound layouts are still time-travelable until vacuum
+    assert(kSum(Some(5L)) == fullSum)
+
+    // OPTIMISTIC GUARD: a rewrite publishing against a stale expected
+    // version throws instead of erasing the racer's commit
+    intercept[java.util.ConcurrentModificationException] {
+      LakeVersions.commit(s, dir, Seq((9999, 0L, "x")).toDF("k", "j", "t"),
+        overwrite = true, expectedLatest = Some(4L))
+    }
+    assert(LakeVersions.latestVersion(s, dir) == 6L)
+    assert(kSum() == fullSum)
+  }
+
   test("cross-driver concurrent appends compose: a second JVM's commits " +
       "interleave losslessly with ours") {
     val s = spark
