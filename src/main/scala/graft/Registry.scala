@@ -79,7 +79,8 @@ object Registry {
       "q_weighted_sample", "q_leakage_split", "q_interleave", "q_mix",
       "q_budget_mix", "q_select_budget", "q_domain_cap", "q_shuffle"),
     "snapshots & incremental (§2.11)" -> Set(
-      "q_lake_versions",
+      "q_lake_versions", "q_lake_versions_part", "q_lake_prune",
+      "q_lake_optimize",
       "q_snapshot_diff", "q_upsert", "q_content_fp", "q_file_manifest",
       "q_parquet_stats", "q_prune_sim", "q_prune_report"),
     "multimodal (§2.11)" -> Set(
@@ -95,7 +96,7 @@ object Registry {
     "pipeline compositions (§2.11)" -> Set(
       "q_pipeline", "q_pipeline_audit", "q_pipeline_curate",
       "q_pipeline_incr", "q_pipeline_lake", "q_pipeline_lake_stream",
-      "q_pipeline_lake_once", "q_pipeline_media",
+      "q_pipeline_lake_once", "q_pipeline_lake_vstream", "q_pipeline_media",
       "q_pipeline_release", "q_pipeline_web"),
   )
 

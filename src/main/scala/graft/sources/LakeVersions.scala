@@ -141,24 +141,28 @@ object LakeVersions {
     val lines = AvroIo.readSmallFile(fs, manifestPath(lake, v))
       .split("\n").iterator.filter(_.nonEmpty)
     val header = lines.next().split("\t", -1)
+    // validate the magic BEFORE touching the rest of the header: a
+    // future-format or truncated manifest must produce THIS diagnostic,
+    // not a JSON parse error or an index out of bounds
+    if (header(0) != ManifestMagicV1 && header(0) != ManifestMagicV2)
+      throw new IllegalArgumentException(
+        s"LakeVersions: unrecognized manifest header '${header(0)}' " +
+          s"for v$v under $lake")
     val schema = org.apache.spark.sql.types.DataType.fromJson(header(1))
       .asInstanceOf[org.apache.spark.sql.types.StructType]
-    header(0) match {
-      case ManifestMagicV1 =>
-        // pre-partitioning manifests: relpath \t len
-        ManifestState(schema, Nil, "", lines.map { l =>
-          val t = l.split("\t")
-          FileEntry(t(0), t(1).toLong, -1L, Map.empty)
-        }.toSeq)
-      case ManifestMagicV2 =>
-        val partBy = if (header(2).isEmpty) Nil else header(2).split(",").toSeq
-        ManifestState(schema, partBy, header(3), lines.map { l =>
-          val t = l.split("\t")
-          val (rows, stats) = decodeStats(t(2))
-          FileEntry(t(0), t(1).toLong, rows, stats)
-        }.toSeq)
-      case other => throw new IllegalArgumentException(
-        s"LakeVersions: unrecognized manifest header '$other' for v$v under $lake")
+    if (header(0) == ManifestMagicV1)
+      // pre-partitioning manifests: relpath \t len
+      ManifestState(schema, Nil, "", lines.map { l =>
+        val t = l.split("\t")
+        FileEntry(t(0), t(1).toLong, -1L, Map.empty)
+      }.toSeq)
+    else {
+      val partBy = if (header(2).isEmpty) Nil else header(2).split(",").toSeq
+      ManifestState(schema, partBy, header(3), lines.map { l =>
+        val t = l.split("\t")
+        val (rows, stats) = decodeStats(t(2))
+        FileEntry(t(0), t(1).toLong, rows, stats)
+      }.toSeq)
     }
   }
 
@@ -209,8 +213,14 @@ object LakeVersions {
             .find(_.getPath.toDotString == c))
           // partition columns are not IN the files — absent is fine;
           // a chunk with null/omitted stats poisons the whole file's
-          // envelope (must stay conservative)
-          val usable = chunks.forall(_.getStatistics != null)
+          // envelope (must stay conservative). Statistics.isEmpty
+          // distinguishes OMITTED stats (no info at all — parquet-mr
+          // returns an empty object, not null, e.g. for legacy
+          // corrupt-stats files) from a genuine all-null chunk (whose
+          // numNulls IS set): only the latter may be excluded from the
+          // envelope; the former must void it.
+          val usable = chunks.forall(ch =>
+            ch.getStatistics != null && !ch.getStatistics.isEmpty)
           val nonNull = chunks.filter(ch =>
             ch.getStatistics != null && ch.getStatistics.hasNonNullValue)
           if (chunks.isEmpty || !usable || nonNull.isEmpty) None
@@ -490,9 +500,17 @@ object LakeVersions {
       relpath.split("/").iterator.filter(_.contains("="))
         .map { seg => val i = seg.indexOf('='); (seg.substring(0, i), seg.substring(i + 1)) }
         .collectFirst { case (`col`, v) =>
-          // a null partition value can never satisfy a range predicate
-          try Some(v.toLong).filter(_ => v != "__HIVE_DEFAULT_PARTITION__")
-          catch { case _: NumberFormatException => None }
+          // a NULL partition value can never satisfy a range predicate;
+          // any other non-integer value is a caller type error — fail
+          // loudly (same "int/long only, loudly" contract as
+          // parquetStats), never silently prune on unprovable evidence
+          if (v == "__HIVE_DEFAULT_PARTITION__") None
+          else try Some(v.toLong)
+          catch { case _: NumberFormatException =>
+            throw new IllegalArgumentException(
+              s"LakeVersions.pruneFiles: partition column $col has " +
+                s"non-integer value '$v' — range pruning is int/long only")
+          }
         }
     m.files.filter { e =>
       val provablyEmpty = e.rows == 0L
@@ -558,8 +576,11 @@ object LakeVersions {
     * Returns the committed version. */
   def compactCommit(spark: SparkSession, dir: String,
                     targetBytes: Long = 128L << 20): Long = {
-    val m = pinned(spark, dir, None)
+    // resolve the version FIRST, then pin that exact manifest: reading
+    // "latest" twice would let a racer land between the two listings,
+    // making expectedLatest vouch for a manifest we never read
     val v = latestVersion(spark, dir)
+    val m = pinned(spark, dir, Some(v))
     require(m.files.nonEmpty, s"LakeVersions.compactCommit: v$v is empty")
     val n = math.max(1,
       math.ceil(m.files.map(_.len).sum.toDouble / targetBytes).toInt)
@@ -582,8 +603,9 @@ object LakeVersions {
   def zOrderCommit(spark: SparkSession, dir: String, cols: Seq[String],
                    partitions: Int, bitsPerCol: Int = 16,
                    statsCols: Seq[String] = Nil): Long = {
-    val m = pinned(spark, dir, None)
+    // version-then-pin, same race note as compactCommit
     val v = latestVersion(spark, dir)
+    val m = pinned(spark, dir, Some(v))
     val (_, lake) = fsFor(spark, dir)
     val base = frameOver(spark, lake, m, m.files)
     val intLike: Set[org.apache.spark.sql.types.DataType] = Set(
@@ -666,8 +688,14 @@ object LakeVersions {
         val n = s.getPath.getName
         if (s.isDirectory && !n.startsWith(".") && !n.startsWith("_")) {
           sweep(s.getPath)
-          // a partition dir emptied by the sweep is litter too
-          if (fs.listStatus(s.getPath).isEmpty) {
+          // a partition dir emptied by the sweep is litter too — but
+          // only one whose PRE-SWEEP mtime cleared the margin: a young
+          // empty dir may be a concurrent commit's freshly-mkdirs'd
+          // landing parent, and deleting it between its mkdirs and
+          // rename would abort that commit (the stat in `s` predates
+          // our own child deletions, so it is the honest age)
+          if (s.getModificationTime < cutoff &&
+              fs.listStatus(s.getPath).isEmpty) {
             fs.delete(s.getPath, false): Unit
           }
         } else if (s.isFile && n.startsWith("data-") &&
