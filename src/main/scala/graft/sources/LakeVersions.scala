@@ -137,33 +137,58 @@ object LakeVersions {
       (rows, stats)
     }
 
-  private def readManifest(fs: FileSystem, lake: HPath, v: Long): ManifestState = {
-    val lines = AvroIo.readSmallFile(fs, manifestPath(lake, v))
-      .split("\n").iterator.filter(_.nonEmpty)
-    val header = lines.next().split("\t", -1)
-    // validate the magic BEFORE touching the rest of the header: a
-    // future-format or truncated manifest must produce THIS diagnostic,
-    // not a JSON parse error or an index out of bounds
+  /** Parse one header line into (schema, partitionBy, tag). Validates
+    * the magic BEFORE touching the rest: a future-format or truncated
+    * manifest must produce THIS diagnostic, not a JSON parse error or
+    * an index out of bounds. */
+  private def parseHeader(line: String, v: Long, lake: HPath)
+      : (org.apache.spark.sql.types.StructType, Seq[String], String) = {
+    val header = line.split("\t", -1)
     if (header(0) != ManifestMagicV1 && header(0) != ManifestMagicV2)
       throw new IllegalArgumentException(
         s"LakeVersions: unrecognized manifest header '${header(0)}' " +
           s"for v$v under $lake")
     val schema = org.apache.spark.sql.types.DataType.fromJson(header(1))
       .asInstanceOf[org.apache.spark.sql.types.StructType]
-    if (header(0) == ManifestMagicV1)
-      // pre-partitioning manifests: relpath \t len
-      ManifestState(schema, Nil, "", lines.map { l =>
-        val t = l.split("\t")
+    if (header(0) == ManifestMagicV1) (schema, Nil, "")
+    else (schema,
+      if (header(2).isEmpty) Nil else header(2).split(",").toSeq,
+      header(3))
+  }
+
+  /** Header-only manifest read — O(1) in table size. [[tagOf]] runs
+    * once per micro-batch side and commit's pre-land layout resolution
+    * once per commit; parsing every file entry there would grow
+    * per-epoch driver latency linearly with lake history. */
+  private def readHeader(fs: FileSystem, lake: HPath, v: Long)
+      : (org.apache.spark.sql.types.StructType, Seq[String], String) = {
+    val in = fs.open(manifestPath(lake, v))
+    try {
+      val br = new java.io.BufferedReader(new java.io.InputStreamReader(
+        in, java.nio.charset.StandardCharsets.UTF_8))
+      val line = br.readLine()
+      require(line != null, s"LakeVersions: empty manifest v$v under $lake")
+      parseHeader(line, v, lake)
+    } finally in.close()
+  }
+
+  private def readManifest(fs: FileSystem, lake: HPath, v: Long): ManifestState = {
+    val lines = AvroIo.readSmallFile(fs, manifestPath(lake, v))
+      .split("\n").iterator.filter(_.nonEmpty)
+    val headerLine = lines.next()
+    val (schema, partBy, tag) = parseHeader(headerLine, v, lake)
+    val isV1 = headerLine.startsWith(ManifestMagicV1)
+    val files = lines.map { l =>
+      val t = l.split("\t")
+      if (isV1)
+        // pre-partitioning manifests: relpath \t len
         FileEntry(t(0), t(1).toLong, -1L, Map.empty)
-      }.toSeq)
-    else {
-      val partBy = if (header(2).isEmpty) Nil else header(2).split(",").toSeq
-      ManifestState(schema, partBy, header(3), lines.map { l =>
-        val t = l.split("\t")
+      else {
         val (rows, stats) = decodeStats(t(2))
         FileEntry(t(0), t(1).toLong, rows, stats)
-      }.toSeq)
-    }
+      }
+    }.toSeq
+    ManifestState(schema, partBy, tag, files)
   }
 
   /** Latest committed version, 0 = no table yet. */
@@ -180,7 +205,7 @@ object LakeVersions {
   def tagOf(spark: SparkSession, dir: String, version: Option[Long] = None): String = {
     val (fs, lake) = fsFor(spark, dir)
     val v = version.getOrElse(state(fs, lake))
-    if (v == 0L) "" else readManifest(fs, lake, v).tag
+    if (v == 0L) "" else readHeader(fs, lake, v)._3
   }
 
   /** Distributed footer scan of the commit's own landed files: one
@@ -278,9 +303,6 @@ object LakeVersions {
           f.dataType == org.apache.spark.sql.types.LongType,
         s"LakeVersions.commit: statsCols column $c is ${f.dataType.simpleString}; " +
           "only int/long footer min/max are exact (string stats are truncation-lossy)")
-      require(!partitionBy.contains(c),
-        s"LakeVersions.commit: $c is a partition column — its value is the " +
-          "directory, prune on the partition instead")
     }
     val (fs, lake) = fsFor(spark, dir)
     fs.mkdirs(versionsPath(lake))
@@ -290,13 +312,22 @@ object LakeVersions {
     val tablePartBy =
       if (overwrite || latestPre == 0) partitionBy
       else {
-        val existing = readManifest(fs, lake, latestPre).partitionBy
+        val existing = readHeader(fs, lake, latestPre)._2
         require(partitionBy.isEmpty || partitionBy == existing,
           s"LakeVersions.commit: append partitionBy ${partitionBy.mkString(",")} " +
             s"conflicts with the table's ${existing.mkString(",")} — appends " +
             "inherit the layout; change it with overwrite")
         existing
       }
+    // checked against the RESOLVED layout, not the explicit argument:
+    // an append that inherits partitioning would otherwise request
+    // stats on a column that is not physically in the files and get a
+    // silently absent index instead of this failure
+    statsCols.foreach { c =>
+      require(!tablePartBy.contains(c),
+        s"LakeVersions.commit: $c is a partition column — its value is the " +
+          "directory, prune on the partition instead")
+    }
     // land the data files first, under a commit-unique prefix —
     // invisible until a manifest names them
     val uuid = java.util.UUID.randomUUID().toString.take(12)
@@ -311,7 +342,13 @@ object LakeVersions {
     def walk(p: HPath, relDir: String): Unit =
       fs.listStatus(p).foreach { s =>
         val n = s.getPath.getName
-        if (s.isDirectory && !n.startsWith(".") && !n.startsWith("_"))
+        // hive partition dirs carry '=' and may legally start with '_'
+        // (a `_day` partition column) — skipping them here would land
+        // ZERO files, delete the staging copy, and publish an empty
+        // manifest: silent total data loss. Only bare '_'/'.' names
+        // (Spark's _SUCCESS/_temporary/checksum litter) are internal.
+        if (s.isDirectory && !n.startsWith(".") &&
+            (!n.startsWith("_") || n.contains("=")))
           walk(s.getPath, if (relDir.isEmpty) n else s"$relDir/$n")
         else if (s.isFile && !n.startsWith(".") && !n.startsWith("_")) {
           val rel =
@@ -682,11 +719,19 @@ object LakeVersions {
     // unreferenced data files older than the margin (a live commit's
     // landed-but-unmanifested files are younger than it) — walked
     // recursively: partitioned lakes nest data under col=value dirs
-    val lakeUri = lake.toUri.getPath.stripSuffix("/")
+    // QUALIFY the root before computing relpaths: listStatus returns
+    // fully-qualified paths, so a relative `dir` (legal everywhere
+    // else — HPath resolves it) would make stripPrefix a no-op, every
+    // rel fail the referenced-set lookup, and vacuum delete LIVE data
+    val lakeUri = fs.makeQualified(lake).toUri.getPath.stripSuffix("/")
     def sweep(p: HPath): Unit =
       fs.listStatus(p).foreach { s =>
         val n = s.getPath.getName
-        if (s.isDirectory && !n.startsWith(".") && !n.startsWith("_")) {
+        if (s.isDirectory && !n.startsWith(".") &&
+            (!n.startsWith("_") || n.contains("="))) {
+          // `=` marks a hive partition dir, which may legally start
+          // with '_' (a `_day` partition column); bare '_'/'.' prefixes
+          // stay reserved for Spark/graft internals
           sweep(s.getPath)
           // a partition dir emptied by the sweep is litter too — but
           // only one whose PRE-SWEEP mtime cleared the margin: a young
@@ -700,9 +745,13 @@ object LakeVersions {
           }
         } else if (s.isFile && n.startsWith("data-") &&
             s.getModificationTime < cutoff) {
-          val rel = s.getPath.toUri.getPath
-            .stripPrefix(lakeUri).stripPrefix("/")
-          if (!referenced(rel)) { fs.delete(s.getPath, false): Unit; removed += 1 }
+          val p = s.getPath.toUri.getPath
+          // delete only on a PROVEN relpath: if qualification schemes
+          // ever disagree, skipping is litter; deleting is data loss
+          if (p.startsWith(s"$lakeUri/")) {
+            val rel = p.substring(lakeUri.length + 1)
+            if (!referenced(rel)) { fs.delete(s.getPath, false): Unit; removed += 1 }
+          }
         }
       }
     sweep(lake)

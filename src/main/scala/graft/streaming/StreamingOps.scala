@@ -834,12 +834,38 @@ object StreamingOps {
 
   /** One side's tag-idempotent versioned commit (see
     * [[streamingLakePromoteVersioned]]); package-visible so the replay
-    * skip is directly testable. Returns false when the latest version
-    * already carries this epoch's tag (a replayed batch). */
+    * skip is directly testable. Returns false when this epoch's tag is
+    * already committed (a replayed batch).
+    *
+    * The replay test scans version tags DOWNWARD from latest, past any
+    * interleaved non-epoch commits — a maintenance rewrite
+    * (compactCommit/zOrderCommit, which the lake explicitly supports
+    * running concurrently) or a manual append landing between an epoch
+    * commit and its crash-replay must not unmask a duplicate. The scan
+    * stops at this namespace's PREVIOUS epoch tag (epochs are serial:
+    * if epoch N's commit had landed, it would sit above epoch N-1's),
+    * at the table floor, or at a vacuumed manifest (retention must
+    * outlive crash-replay windows — keepVersions >= 2 and any sane
+    * olderThanMs do). Header-only reads: O(interleaved commits), not
+    * O(files). */
   private[graft] def commitEpochSide(dir: String, df: DataFrame,
       partitionCols: Seq[String], statsCols: Seq[String], tag: String): Boolean = {
     val spark = df.sparkSession
-    if (graft.sources.LakeVersions.tagOf(spark, dir) == tag) false
+    val ns = tag.substring(0, tag.lastIndexOf("-epoch-"))
+    var v = graft.sources.LakeVersions.latestVersion(spark, dir)
+    var alreadyCommitted = false
+    var decided = v == 0L
+    while (!decided && v > 0L) {
+      val t = try Some(graft.sources.LakeVersions.tagOf(spark, dir, Some(v)))
+              catch { case _: java.io.IOException => None } // vacuumed
+      t match {
+        case Some(`tag`) => alreadyCommitted = true; decided = true
+        case Some(other) if other.startsWith(s"$ns-epoch-") => decided = true
+        case Some(_) => v -= 1
+        case None => decided = true // past retention: cannot be a live replay
+      }
+    }
+    if (alreadyCommitted) false
     else {
       graft.sources.LakeVersions.commit(spark, dir, df,
         partitionBy = partitionCols, statsCols = statsCols, tag = tag): Unit

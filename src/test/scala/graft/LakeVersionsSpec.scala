@@ -285,6 +285,47 @@ class LakeVersionsSpec extends AnyFunSuite with SparkFixture {
     val tags = LakeVersions.versions(s, dir).select("tag")
       .collect().map(_.getString(0)).toSeq
     assert(tags == Seq("ns1-epoch-0", "ns1-epoch-1", "ns2-epoch-0"))
+    // a maintenance rewrite interleaving between an epoch commit and
+    // its crash-replay must not unmask a duplicate: the replay test
+    // scans PAST non-epoch tags, not just the latest version
+    LakeVersions.compactCommit(s, dir): Unit
+    assert(!graft.streaming.StreamingOps.commitEpochSide(
+      dir, Seq((3, "c", 0L)).toDF("k", "t", "r"), Seq("r"), Seq("k"),
+      "ns2-epoch-0"),
+      "replay after interleaved compaction must still skip")
+    assert(LakeVersions.read(s, dir).count() == 3L, "no duplicate rows")
+    // ...and the namespace's NEXT epoch still commits
+    assert(graft.streaming.StreamingOps.commitEpochSide(
+      dir, Seq((4, "d", 1L)).toDF("k", "t", "r"), Seq("r"), Seq("k"),
+      "ns2-epoch-1"))
+    assert(LakeVersions.read(s, dir).count() == 4L)
+  }
+
+  test("a partition column starting with '_' lands, reads, and vacuums intact") {
+    val s = spark
+    import s.implicits._
+    val dir = lake()
+    // '_day' is a legal Spark column name; the staging walk and the
+    // vacuum sweep must treat _day=… as a partition dir, not internal
+    // litter — skipping it at land time would publish an EMPTY manifest
+    // and delete the only copy of the data
+    LakeVersions.commit(s, dir,
+      Seq((1, 20260815L), (2, 20260816L)).toDF("k", "_day"),
+      partitionBy = Seq("_day"))
+    val df = LakeVersions.read(s, dir)
+    assert(df.select("k").collect().map(_.getInt(0)).sorted.toSeq == Seq(1, 2))
+    assert(df.inputFiles.forall(_.contains("/_day=")))
+    LakeVersions.commit(s, dir, Seq((3, 20260817L)).toDF("k", "_day"))
+    // age + vacuum: referenced files under _day=… must survive
+    val root = new java.io.File(dir)
+    def ageAll(f: java.io.File): Unit = {
+      f.setLastModified(System.currentTimeMillis() - 48L * 3600 * 1000): Unit
+      if (f.isDirectory) f.listFiles().foreach(ageAll)
+    }
+    ageAll(root)
+    LakeVersions.vacuum(s, dir, keepVersions = 1): Unit
+    assert(LakeVersions.read(s, dir).count() == 3L,
+      "vacuum must never delete referenced partition data")
   }
 
   test("maintenance rewrites are versioned commits: compact and z-order keep " +
