@@ -197,6 +197,31 @@ class LakeVersionsSpec extends AnyFunSuite with SparkFixture {
     assert(total2 == 4 && kept2 == 2, "the stats-less file must be kept")
   }
 
+  test("pruneFiles over a 200k-entry manifest: pure driver arithmetic, exact subset") {
+    // the 100 TB shape: a table of 200k files prunes from the manifest
+    // alone — no footer reads, no listing. Synthetic entries with
+    // disjoint 1000-wide k envelopes under 40 hive partitions; a range
+    // predicate + partition bound must keep exactly the provable set.
+    val files = (0 until 200000).map { i =>
+      graft.sources.LakeVersions.FileEntry(
+        s"p=${i % 40}/data-u$i-part.parquet", 1L << 20, 1000L,
+        Map("k" -> (i * 1000L, i * 1000L + 999L)))
+    }
+    val m = graft.sources.LakeVersions.ManifestState(
+      org.apache.spark.sql.types.StructType(Nil), Seq("p"), "", files)
+    val t0 = System.nanoTime()
+    val kept = graft.sources.LakeVersions.pruneFiles(m,
+      Seq(("k", 5_000_000L, 5_010_000L), ("p", 7L, 7L)))
+    val ms = (System.nanoTime() - t0) / 1e6
+    // k range spans entries 5000..5010 (11 files); of those, partition
+    // p==7 keeps i % 40 == 7 → i == 5007 only
+    assert(kept.map(_.relpath) == Seq("p=7/data-u5007-part.parquet"))
+    // generous ceiling (measured ~100 ms): the point is O(files) driver
+    // arithmetic, not a tight wall — a timing assert 50x above the
+    // observed value only catches complexity regressions
+    assert(ms < 5000.0, s"pruneFiles took $ms ms over 200k entries")
+  }
+
   test("a pre-partitioning v1 manifest still reads") {
     val s = spark
     import s.implicits._
