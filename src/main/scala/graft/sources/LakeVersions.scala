@@ -309,16 +309,18 @@ object LakeVersions {
     // resolve the table's partition layout BEFORE landing: appends
     // inherit it, and a conflicting explicit layout fails fast
     val latestPre = state(fs, lake)
-    val tablePartBy =
-      if (overwrite || latestPre == 0) partitionBy
-      else {
-        val existing = readHeader(fs, lake, latestPre)._2
+    val prevHeader =
+      if (overwrite || latestPre == 0) None
+      else Some(readHeader(fs, lake, latestPre))
+    val tablePartBy = prevHeader match {
+      case None => partitionBy
+      case Some((_, existing, _)) =>
         require(partitionBy.isEmpty || partitionBy == existing,
           s"LakeVersions.commit: append partitionBy ${partitionBy.mkString(",")} " +
             s"conflicts with the table's ${existing.mkString(",")} — appends " +
             "inherit the layout; change it with overwrite")
         existing
-      }
+    }
     // checked against the RESOLVED layout, not the explicit argument:
     // an append that inherits partitioning would otherwise request
     // stats on a column that is not physically in the files and get a
@@ -327,6 +329,20 @@ object LakeVersions {
       require(!tablePartBy.contains(c),
         s"LakeVersions.commit: $c is a partition column — its value is the " +
           "directory, prune on the partition instead")
+    }
+    // append-time schema gate: run the EXACT merge every mergeSchema
+    // read will perform, so an incompatible append (a re-typed column)
+    // fails HERE with the column named — at the write, before any
+    // bytes land — instead of poisoning every later read of the table.
+    // New and missing columns merge fine (null-fill), same as read.
+    prevHeader.foreach { case (tableSchema, _, _) =>
+      try org.apache.spark.sql.GraftColumnBridge
+        .mergeSchemas(tableSchema, df.schema): Unit
+      catch { case e: Exception =>
+        throw new IllegalArgumentException(
+          s"LakeVersions.commit: append schema is incompatible with the " +
+            s"table under $dir — ${e.getMessage}")
+      }
     }
     // land the data files first, under a commit-unique prefix —
     // invisible until a manifest names them

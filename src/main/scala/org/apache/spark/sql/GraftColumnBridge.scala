@@ -11,6 +11,14 @@ import org.apache.spark.sql.execution.SparkStrategy
 object GraftColumnBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Bridge to the sql-private StructType.merge — the EXACT merge a
+    * mergeSchema parquet read performs. [[graft.sources.LakeVersions]]
+    * runs it at APPEND-commit time so an incompatible append (int vs
+    * string re-type) fails at the write with the offending column
+    * named, instead of poisoning every later read of the table. */
+  def mergeSchemas(a: types.StructType, b: types.StructType): types.StructType =
+    a.merge(b)
 }
 
 /** Bridge to the sql-private LogicalPlan ↔ DataFrame conversions, for

@@ -59,6 +59,16 @@ class LakeVersionsSpec extends AnyFunSuite with SparkFixture {
     val merged = LakeVersions.read(s, dir)
     assert(merged.schema.fieldNames.sorted.toSeq == Seq("k", "score", "t"))
     assert(merged.filter("k = 2").select("score").collect().head.isNullAt(0))
+    // an INCOMPATIBLE append (re-typed column) fails AT THE WRITE with
+    // the same merge the read would run — no version lands, and the
+    // table stays readable instead of every later read throwing
+    val before = LakeVersions.latestVersion(s, dir)
+    val e = intercept[IllegalArgumentException] {
+      LakeVersions.commit(s, dir, Seq(("oops", "x")).toDF("k", "t"))
+    }
+    assert(e.getMessage.contains("incompatible"), e.getMessage)
+    assert(LakeVersions.latestVersion(s, dir) == before)
+    assert(LakeVersions.read(s, dir).count() == merged.count())
   }
 
   test("a dead writer's stale LOCK is broken; vacuum sweeps old state") {
