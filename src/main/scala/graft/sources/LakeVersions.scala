@@ -191,6 +191,47 @@ object LakeVersions {
     ManifestState(schema, partBy, tag, files)
   }
 
+  /** The append-time schema merge (and the schema every manifest
+    * header records): same-name columns of equal type pass through;
+    * integral-width / int→double drift widens LOSSLESSLY along
+    * [[PsIO.unifyTypes]]'s lattice — the same DuckDB union_by_name
+    * rule [[PsIO.readParquetEvolved]] applies to loose files — so a
+    * crawl whose counters outgrow int32 keeps appending; nested types
+    * fall back to Spark's strict StructType.merge (adds nested fields,
+    * rejects re-types); any other re-type throws with the column
+    * named. Table column order is preserved; new columns append. */
+  private[graft] def mergeLakeSchemas(
+      table: org.apache.spark.sql.types.StructType,
+      incoming: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    val byName = incoming.fields.map(f => f.name -> f).toMap
+    val merged = table.fields.map { tf =>
+      byName.get(tf.name) match {
+        case None => tf
+        case Some(nf) if nf.dataType == tf.dataType =>
+          tf.copy(nullable = tf.nullable || nf.nullable)
+        case Some(nf) =>
+          val nested = Seq(tf.dataType, nf.dataType).exists {
+            case _: StructType | _: ArrayType | _: MapType => true
+            case _ => false
+          }
+          if (nested)
+            org.apache.spark.sql.GraftColumnBridge
+              .mergeSchemas(StructType(Seq(tf)), StructType(Seq(nf))).fields(0)
+          else PsIO.unifyTypes(Seq(tf.dataType, nf.dataType)) match {
+            case Some(w) =>
+              tf.copy(dataType = w, nullable = tf.nullable || nf.nullable)
+            case None => throw new IllegalArgumentException(
+              s"column ${tf.name}: ${nf.dataType.simpleString} does not " +
+                s"widen losslessly from the table's ${tf.dataType.simpleString}")
+          }
+      }
+    }
+    val newCols = incoming.fields.filterNot(f => table.fieldNames.contains(f.name))
+    StructType((merged ++ newCols).toSeq)
+  }
+
   /** Latest committed version, 0 = no table yet. */
   def latestVersion(spark: SparkSession, dir: String): Long = {
     val (fs, lake) = fsFor(spark, dir)
@@ -330,14 +371,16 @@ object LakeVersions {
         s"LakeVersions.commit: $c is a partition column — its value is the " +
           "directory, prune on the partition instead")
     }
-    // append-time schema gate: run the EXACT merge every mergeSchema
-    // read will perform, so an incompatible append (a re-typed column)
-    // fails HERE with the column named — at the write, before any
-    // bytes land — instead of poisoning every later read of the table.
-    // New and missing columns merge fine (null-fill), same as read.
+    // append-time schema gate: run the EXACT merge the manifest header
+    // will record (and every read will trust), so an incompatible
+    // append (a re-typed column) fails HERE with the column named — at
+    // the write, before any bytes land — instead of poisoning every
+    // later read of the table. New and missing columns merge fine
+    // (null-fill); int-width/int→double drift widens losslessly along
+    // [[PsIO.unifyTypes]]'s lattice (month-over-month crawls widen
+    // counters; rejecting them would strand every long-lived table).
     prevHeader.foreach { case (tableSchema, _, _) =>
-      try org.apache.spark.sql.GraftColumnBridge
-        .mergeSchemas(tableSchema, df.schema): Unit
+      try mergeLakeSchemas(tableSchema, df.schema): Unit
       catch { case e: Exception =>
         throw new IllegalArgumentException(
           s"LakeVersions.commit: append schema is incompatible with the " +
@@ -448,8 +491,25 @@ object LakeVersions {
         }
         val files = prev.map(_.files).getOrElse(Nil) ++ newFiles
         val partByOut = tablePartBy
+        // the header records the MERGED table schema, not df.schema: a
+        // narrower append (fewer columns) must not shrink the table —
+        // the next append's gate would then validate against the
+        // shrunken shape and let a dropped column return RE-TYPED,
+        // poisoning every later read. Merged under the lock against
+        // the true latest (prev may differ from the pre-land header if
+        // a racer appended); an incompatible racer makes this throw —
+        // retryable, same contract as the layout race below.
+        val tableSchema = prev match {
+          case None => df.schema
+          case Some(p) =>
+            try mergeLakeSchemas(p.schema, df.schema)
+            catch { case e: Exception => throw new IllegalStateException(
+              s"LakeVersions.commit: table schema changed incompatibly " +
+                s"under the lock (${e.getMessage}) — retry commit()")
+            }
+        }
         val header =
-          s"$ManifestMagicV2\t${df.schema.json}\t${partByOut.mkString(",")}\t$tag"
+          s"$ManifestMagicV2\t${tableSchema.json}\t${partByOut.mkString(",")}\t$tag"
         val tmp = new HPath(versionsPath(lake), s".v$next.$uuid.tmp")
         val out = fs.create(tmp, true)
         try out.write((header +: files.map(e =>
@@ -486,31 +546,29 @@ object LakeVersions {
     spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
 
-  /** Build the frame over an explicit manifest file list. Partitioned
-    * lakes read with `basePath` = the lake root so Spark discovers the
-    * partition columns from the manifest's relpaths — they come back
-    * as real partition columns, so a filter on them becomes
-    * PartitionFilters (pruned at planning, no data touched) — then
-    * cast to the committed schema's types (path values are strings;
-    * discovery would otherwise re-infer). */
+  /** Build the frame over an explicit manifest file list, read with
+    * the manifest header's schema — the header IS the table's merged
+    * shape (every commit records the append-merged schema), so the
+    * read needs no mergeSchema footer-merge job (O(files) footer reads
+    * saved on every read), columns a file predates null-fill, and a
+    * file whose column was since WIDENED (int→long along the
+    * [[mergeLakeSchemas]] lattice) decodes through the parquet
+    * reader's widening promotion. Partitioned lakes read with
+    * `basePath` = the lake root so the manifest's partition-qualified
+    * relpaths surface as real partition columns (typed by the header
+    * schema), and a filter on them becomes PartitionFilters — pruned
+    * at planning, no data touched. */
   private def frameOver(spark: SparkSession, lake: HPath,
                         m: ManifestState, files: Seq[FileEntry]): DataFrame = {
     if (files.isEmpty) emptyFrame(spark, m.schema)
     else {
       val paths = files.map(e => new HPath(lake, e.relpath).toString)
-      val base = spark.read.option("mergeSchema", "true")
+      val base = spark.read.schema(
+        org.apache.spark.sql.GraftColumnBridge.nullableSchema(m.schema))
       if (m.partitionBy.isEmpty) base.parquet(paths: _*)
-      else {
-        val df = base.option("basePath", lake.toString).parquet(paths: _*)
-        val typed = m.schema.fields.filter(f => m.partitionBy.contains(f.name))
-        typed.foldLeft(df) { (d, f) =>
-          d.withColumn(f.name,
-            org.apache.spark.sql.functions.col(f.name).cast(f.dataType))
-        }.select(m.schema.fieldNames.filter(df.columns.contains).map(
-          org.apache.spark.sql.functions.col).toSeq ++
-          df.columns.filterNot(m.schema.fieldNames.contains).map(
-            org.apache.spark.sql.functions.col).toSeq: _*)
-      }
+      else base.option("basePath", lake.toString).parquet(paths: _*)
+        .select(m.schema.fieldNames.map(
+          org.apache.spark.sql.functions.col).toSeq: _*)
     }
   }
 
@@ -692,6 +750,37 @@ object LakeVersions {
       .toDF("version", "n_files", "bytes", "n_rows", "tag")
   }
 
+  /** The schema-drift ledger: one row per column change between
+    * consecutive SURVIVING version headers — action ∈ add | widen |
+    * drop(overwrite) — so a widened append is a reviewed fact, not a
+    * silent cast (the lake-side twin of [[PsIO.parquetSchemaDrift]]).
+    * Header-only reads: O(surviving versions), no data touched. */
+  def schemaDrift(spark: SparkSession, dir: String): DataFrame = {
+    val (fs, lake) = fsFor(spark, dir)
+    val latest = state(fs, lake)
+    val headers = (1L to latest).flatMap { v =>
+      if (!fs.exists(manifestPath(lake, v))) None
+      else Some(v -> readHeader(fs, lake, v)._1)
+    }
+    val rows = headers.sliding(2).flatMap {
+      case Seq((_, a), (v, b)) =>
+        val before = a.fields.map(f => f.name -> f.dataType).toMap
+        val added = b.fields.filterNot(f => before.contains(f.name))
+          .map(f => (v, f.name, null: String, f.dataType.simpleString, "add"))
+        val widened = b.fields.filter(f => before.get(f.name)
+            .exists(t => t != f.dataType))
+          .map(f => (v, f.name, before(f.name).simpleString,
+            f.dataType.simpleString, "widen"))
+        val after = b.fieldNames.toSet
+        val dropped = a.fields.filterNot(f => after(f.name))
+          .map(f => (v, f.name, f.dataType.simpleString, null: String, "drop"))
+        added ++ widened ++ dropped
+      case _ => Nil
+    }.toSeq
+    spark.createDataFrame(rows)
+      .toDF("version", "column", "from_type", "to_type", "action")
+  }
+
   /** Audit diff between two pinned versions by key — the
     * snapshotDiff delta algebra over time travel. */
   def diff(spark: SparkSession, dir: String, fromV: Long, toV: Long,
@@ -703,10 +792,17 @@ object LakeVersions {
   }
 
   /** Retention: keep the newest `keepVersions` manifests, drop older
-    * ones, delete data files no surviving manifest references, and
-    * sweep stale locks/staging older than `olderThanMs` (the margin
-    * against a LIVE writer mid-commit — its files are landed but its
-    * manifest not yet renamed). Returns the number of files deleted. */
+    * ones — but ONLY once they are also older than `olderThanMs`: the
+    * streaming promotion's crash-replay test
+    * ([[graft.streaming.StreamingOps]] commitEpochSide) reads a
+    * vacuumed manifest as "past retention: cannot be a live replay",
+    * so a maintenance burst (compact + z-order + vacuum) inside a
+    * replay window must not age out a minutes-old epoch manifest or
+    * the replayed batch would double-commit. Then delete data files no
+    * SURVIVING manifest references, and sweep stale locks/staging
+    * older than `olderThanMs` (the margin against a LIVE writer
+    * mid-commit — its files are landed but its manifest not yet
+    * renamed). Returns the number of files deleted. */
   def vacuum(spark: SparkSession, dir: String, keepVersions: Int = 2,
              olderThanMs: Long = 24L * 3600 * 1000): Int = {
     require(keepVersions >= 1, "LakeVersions.vacuum: keepVersions must be >= 1")
@@ -716,14 +812,18 @@ object LakeVersions {
     val cutoff = System.currentTimeMillis() - olderThanMs
     var removed = 0
     val keep = ((latest - keepVersions + 1) max 1L) to latest
-    val referenced = keep.flatMap { v =>
-      if (fs.exists(manifestPath(lake, v)))
-        readManifest(fs, lake, v).files.map(_.relpath)
-      else Nil
+    val oldVs = (1L until keep.start).filter(v => fs.exists(manifestPath(lake, v)))
+    // superseded manifests still inside the age margin SURVIVE — and
+    // their files must stay referenced, or the kept manifest would
+    // point at swept data
+    val (dropVs, keepOldVs) = oldVs.partition(v =>
+      fs.getFileStatus(manifestPath(lake, v)).getModificationTime < cutoff)
+    val referenced = (keep.filter(v => fs.exists(manifestPath(lake, v)))
+        ++ keepOldVs).flatMap { v =>
+      readManifest(fs, lake, v).files.map(_.relpath)
     }.toSet
-    (1L until keep.start).foreach { v =>
-      val m = manifestPath(lake, v)
-      if (fs.exists(m)) { fs.delete(m, false): Unit; removed += 1 }
+    dropVs.foreach { v =>
+      fs.delete(manifestPath(lake, v), false): Unit; removed += 1
     }
     // a LOCK whose holder died: the commit path breaks these itself,
     // but a lake nobody writes anymore should not keep one forever

@@ -19,6 +19,12 @@ object GraftColumnBridge {
     * named, instead of poisoning every later read of the table. */
   def mergeSchemas(a: types.StructType, b: types.StructType): types.StructType =
     a.merge(b)
+
+  /** Bridge to the spark-private StructType.asNullable: a manifest
+    * header may record non-nullable fields (the committing frame's
+    * shape), but a file-source read always yields nullable columns —
+    * reads must declare the schema they can honor. */
+  def nullableSchema(s: types.StructType): types.StructType = s.asNullable
 }
 
 /** Bridge to the sql-private LogicalPlan ↔ DataFrame conversions, for

@@ -494,4 +494,84 @@ class LakeVersionsSpec extends AnyFunSuite with SparkFixture {
         .collect().map(_.getInt(0)).sorted.toSeq == (0 to 4))
     } finally pool.shutdown()
   }
+
+  test("a narrower append must not shrink the table schema: the header " +
+      "records the MERGED shape, so a dropped column cannot return re-typed") {
+    val s = spark
+    import s.implicits._
+    val dir = lake()
+    LakeVersions.commit(s, dir, Seq((1, "a", 7.5)).toDF("k", "t", "score"))
+    // append WITHOUT score — before the fix this rewrote the table
+    // schema as (k, t), silently forgetting score's type
+    LakeVersions.commit(s, dir, Seq((2, "b")).toDF("k", "t"))
+    val got = LakeVersions.read(s, dir)
+    assert(got.schema.fieldNames.toSeq == Seq("k", "t", "score"),
+      "narrow append shrank the recorded table schema")
+    assert(got.filter("k = 2").select("score").head().isNullAt(0))
+    // the poison scenario: committing score back RE-TYPED must still
+    // fail the gate (with a shrunken header it would pass and corrupt)
+    val e = intercept[IllegalArgumentException] {
+      LakeVersions.commit(s, dir, Seq((3, "c", "not-a-double"))
+        .toDF("k", "t", "score"))
+    }
+    assert(e.getMessage.contains("score"), e.getMessage)
+  }
+
+  test("append-time type widening: an int column widened to long by a later " +
+      "append reads back unified, and the drift ledger records it") {
+    val s = spark
+    import s.implicits._
+    val dir = lake()
+    LakeVersions.commit(s, dir, Seq((1, 10), (2, 20)).toDF("k", "n"))
+    // month-over-month crawl outgrew int32: the append widens n to
+    // long instead of stranding the table
+    LakeVersions.commit(s, dir,
+      Seq((3L, 5000000000L)).toDF("k", "n")
+        .selectExpr("cast(k as int) k", "n"))
+    val got = LakeVersions.read(s, dir)
+    assert(got.schema("n").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(got.select("k", "n").collect()
+      .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1).toSeq ==
+      Seq((1, 10L), (2, 20L), (3, 5000000000L)),
+      "old int-written files must decode through the widened long schema")
+    // pinned v1 reads with ITS schema era? No — the v1 header recorded
+    // int, so time travel keeps the era's shape
+    assert(LakeVersions.read(s, dir, Some(1L)).schema("n").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    val drift = LakeVersions.schemaDrift(s, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getString(4))).toSeq
+    assert(drift == Seq((2L, "n", "int", "bigint", "widen")), drift.toString)
+    // lossy drift still refuses: long -> int is not a widening
+    val e = intercept[IllegalArgumentException] {
+      LakeVersions.commit(s, dir, Seq((4, true)).toDF("k", "n"))
+    }
+    assert(e.getMessage.contains("n"), e.getMessage)
+  }
+
+  test("vacuum never ages out a manifest inside the olderThanMs margin: " +
+      "retention provably outlives the crash-replay window") {
+    val s = spark
+    import s.implicits._
+    val dir = lake()
+    // an epoch commit, then a maintenance burst (compact + z-order)
+    // pushes it past keepVersions — all within the replay window
+    LakeVersions.commit(s, dir, Seq((1, 1L), (2, 2L)).toDF("k", "n"),
+      tag = "side-epoch-7")
+    LakeVersions.compactCommit(s, dir)
+    LakeVersions.zOrderCommit(s, dir, Seq("k", "n"), partitions = 1)
+    val removed = LakeVersions.vacuum(s, dir, keepVersions = 2)
+    assert(removed == 0, s"a minutes-old manifest was vacuumed ($removed)")
+    // the replay test still sees its tag — no double commit
+    assert(LakeVersions.tagOf(s, dir, Some(1L)) == "side-epoch-7")
+    assert(LakeVersions.read(s, dir, Some(1L)).count() == 2L,
+      "the surviving manifest's data files must not be swept either")
+    // once genuinely old, the same vacuum drops it
+    val mf = new java.io.File(dir,
+      "_graft_versions/v00000001.manifest")
+    assert(mf.setLastModified(System.currentTimeMillis() - 48L * 3600 * 1000))
+    assert(LakeVersions.vacuum(s, dir, keepVersions = 2) >= 1)
+    intercept[IllegalArgumentException](LakeVersions.read(s, dir, Some(1L)))
+  }
 }
