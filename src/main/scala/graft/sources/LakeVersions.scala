@@ -83,8 +83,27 @@ object LakeVersions {
     (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
   }
 
-  /** Latest committed manifest version, 0 = none. */
-  private def state(fs: FileSystem, lake: HPath): Long = {
+  /** High-water pointer file: the last committed version number, so
+    * latest-version discovery costs one small read + one exists()
+    * probe instead of LISTING `_graft_versions/` — the streaming
+    * promotion commits one version per micro-batch epoch, and an
+    * unvacuumed month at minutes-cadence is ~40k manifest files listed
+    * per epoch on an object store. Best-effort: the manifests stay the
+    * source of truth (a crashed commit that renamed its manifest but
+    * never updated HEAD lags the pointer by one; [[state]] probes
+    * FORWARD to recover, and versions are dense so the probe walks
+    * exactly the lag). */
+  private val HeadFile = "HEAD"
+
+  private def writeHead(fs: FileSystem, lake: HPath, v: Long): Unit =
+    try {
+      val out = fs.create(new HPath(versionsPath(lake), HeadFile), true)
+      try out.write(v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    } catch { case _: java.io.IOException => () }
+
+  /** The listing fallback — correct on any lake state, O(versions). */
+  private def listState(fs: FileSystem, lake: HPath): Long = {
     val vp = versionsPath(lake)
     if (!fs.exists(vp)) 0L
     else fs.listStatus(vp).foldLeft(0L) { (acc, s) =>
@@ -92,6 +111,25 @@ object LakeVersions {
         case Manifest(v) => math.max(acc, v.toLong)
         case _           => acc
       }
+    }
+  }
+
+  /** Latest committed manifest version, 0 = none. Pointer + bounded
+    * forward probe (O(1 + pointer lag)); any anomaly — pointer absent
+    * (pre-pointer lake), torn (a truncated decimal parses SMALLER, so
+    * the probe self-heals forward), or stale past retention (its
+    * manifest vacuumed) — falls back to the listing. */
+  private def state(fs: FileSystem, lake: HPath): Long = {
+    val hint =
+      try AvroIo.readSmallFile(fs,
+        new HPath(versionsPath(lake), HeadFile)).trim.toLong
+      catch { case _: Exception => 0L }
+    if (hint <= 0) listState(fs, lake)
+    else {
+      var v = hint
+      while (fs.exists(manifestPath(lake, v + 1))) v += 1
+      if (v == hint && !fs.exists(manifestPath(lake, v))) listState(fs, lake)
+      else v
     }
   }
 
@@ -531,6 +569,7 @@ object LakeVersions {
             "(a stale-lock breaker raced this commit) — retry commit()")
         require(fs.rename(tmp, manifestPath(lake, next)),
           s"LakeVersions.commit: manifest rename failed for v$next")
+        writeHead(fs, lake, next)
         next
       } finally {
         // release only OUR lock: a breaker may have replaced it
@@ -809,6 +848,7 @@ object LakeVersions {
     val (fs, lake) = fsFor(spark, dir)
     val latest = state(fs, lake)
     if (latest == 0) return 0
+    writeHead(fs, lake, latest) // repair a lagging/missing pointer
     val cutoff = System.currentTimeMillis() - olderThanMs
     var removed = 0
     val keep = ((latest - keepVersions + 1) max 1L) to latest

@@ -495,6 +495,50 @@ class LakeVersionsSpec extends AnyFunSuite with SparkFixture {
     } finally pool.shutdown()
   }
 
+  test("latest-version discovery rides the HEAD pointer and survives every " +
+      "pointer failure mode: absent, stale, torn, garbage") {
+    val s = spark
+    import s.implicits._
+    val dir = lake()
+    (1 to 12).foreach { i =>
+      LakeVersions.commit(s, dir, Seq((i, s"r$i")).toDF("k", "t")): Unit
+    }
+    val head = new java.io.File(dir, "_graft_versions/HEAD")
+    assert(head.exists(), "commit must maintain the high-water pointer")
+    assert(new String(java.nio.file.Files.readAllBytes(head.toPath)) == "12")
+    assert(LakeVersions.latestVersion(s, dir) == 12L)
+    def setHead(v: String): Unit = {
+      java.nio.file.Files.write(head.toPath, v.getBytes): Unit
+      // fabricating outside the fs API leaves the commit's checksum
+      // sidecar stale; drop it so the POINTER path is what runs (a
+      // checksum failure would silently exercise only the fallback)
+      java.nio.file.Files.deleteIfExists(
+        new java.io.File(head.getParentFile, ".HEAD.crc").toPath): Unit
+    }
+    // absent (a pre-pointer lake): listing fallback
+    assert(head.delete())
+    assert(LakeVersions.latestVersion(s, dir) == 12L)
+    // stale by k (k crashed commits that renamed but never pointed):
+    // versions are dense, so the forward probe walks exactly the lag
+    setHead("9")
+    assert(LakeVersions.latestVersion(s, dir) == 12L)
+    // torn decimal prefix parses SMALLER -> probe self-heals forward
+    setHead("1")
+    assert(LakeVersions.latestVersion(s, dir) == 12L)
+    // garbage / future values: manifest missing -> listing fallback
+    setHead("not-a-number")
+    assert(LakeVersions.latestVersion(s, dir) == 12L)
+    setHead("99999")
+    assert(LakeVersions.latestVersion(s, dir) == 12L)
+    // a commit repairs the pointer
+    LakeVersions.commit(s, dir, Seq((13, "r13")).toDF("k", "t")): Unit
+    assert(new String(java.nio.file.Files.readAllBytes(head.toPath)) == "13")
+    // vacuum repairs it too
+    setHead("2")
+    LakeVersions.vacuum(s, dir): Unit
+    assert(new String(java.nio.file.Files.readAllBytes(head.toPath)) == "13")
+  }
+
   test("a narrower append must not shrink the table schema: the header " +
       "records the MERGED shape, so a dropped column cannot return re-typed") {
     val s = spark
