@@ -3031,6 +3031,21 @@ object ExtQueries {
         .orderBy("c_custkey")
     }),
 
+    // the SQL face over the same pruned lake: CREATE TEMPORARY VIEW
+    // ... USING graftlake, then a plain WHERE — the predicate reaches
+    // the manifest by PUSHDOWN (no hand-fed bounds; the scan's
+    // listFiles derives them from the filters), and
+    // GraftLakeSourceSpec plan-asserts the 1-of-3 planned-file count
+    // plus parquet PushedFilters for this exact shape
+    "q_lake_sql" -> ((s, dir) => {
+      lakePruneFixture(s, dir)
+      val (lo, hi) = lakePruneBounds(s, dir)
+      s.sql("CREATE OR REPLACE TEMPORARY VIEW lake_sql_cust " +
+        s"USING graftlake OPTIONS (path '$LakePruneDir')"): Unit
+      s.sql("SELECT c_custkey, c_name FROM lake_sql_cust " +
+        s"WHERE c_custkey BETWEEN $lo AND $hi ORDER BY c_custkey")
+    }),
+
     // landing-zone maintenance: compact the multi-file Avro fixture by
     // BLOCK COPY (appendAllFrom — zero record decodes; generations
     // never mix in a bin) and read the compacted directory back; the
@@ -5619,6 +5634,16 @@ object ExtQueries {
     "q_lake_prune" ->
       """SELECT c_custkey, c_name,
                 1 AS files_kept, 3 AS files_total
+         FROM customer
+         WHERE c_custkey BETWEEN (SELECT max(c_custkey)//3//4 FROM customer)
+                             AND (SELECT max(c_custkey)//3//2 FROM customer)
+         ORDER BY c_custkey""",
+    // the SQL face over the same lake: identical relation through
+    // CREATE TEMPORARY VIEW ... USING graftlake + plain WHERE (the
+    // manifest pruning is automatic; the plan assert lives in
+    // GraftLakeSourceSpec)
+    "q_lake_sql" ->
+      """SELECT c_custkey, c_name
          FROM customer
          WHERE c_custkey BETWEEN (SELECT max(c_custkey)//3//4 FROM customer)
                              AND (SELECT max(c_custkey)//3//2 FROM customer)

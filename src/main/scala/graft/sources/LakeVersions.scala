@@ -622,8 +622,8 @@ object LakeVersions {
     frameOver(spark, lake, m, m.files)
   }
 
-  private def pinned(spark: SparkSession, dir: String,
-                     version: Option[Long]): ManifestState = {
+  private[sources] def pinned(spark: SparkSession, dir: String,
+                              version: Option[Long]): ManifestState = {
     val (fs, lake) = fsFor(spark, dir)
     val v = version.getOrElse(state(fs, lake))
     require(v > 0, s"LakeVersions.read: no committed version under $dir")
@@ -787,6 +787,26 @@ object LakeVersions {
     }
     spark.createDataFrame(rows)
       .toDF("version", "n_files", "bytes", "n_rows", "tag")
+  }
+
+  /** Time travel by wall clock: the newest surviving version whose
+    * manifest was committed at or before `tsMillis` (manifest mtime =
+    * its tmp-file rename instant). One listing — this is an explicit
+    * audit ask, not a hot-path discovery. */
+  def versionAt(spark: SparkSession, dir: String, tsMillis: Long): Long = {
+    val (fs, lake) = fsFor(spark, dir)
+    val vp = versionsPath(lake)
+    require(fs.exists(vp), s"LakeVersions.versionAt: no table under $dir")
+    val hits = fs.listStatus(vp).flatMap { s =>
+      s.getPath.getName match {
+        case Manifest(v) if s.getModificationTime <= tsMillis => Some(v.toLong)
+        case _ => None
+      }
+    }
+    require(hits.nonEmpty,
+      s"LakeVersions.versionAt: no version at or before $tsMillis under $dir " +
+        "(older than the table, or vacuumed past retention)")
+    hits.max
   }
 
   /** The schema-drift ledger: one row per column change between
