@@ -3031,6 +3031,22 @@ object ExtQueries {
         .orderBy("c_custkey")
     }),
 
+    // row-level DELETE as a versioned commit (the takedown/GDPR op):
+    // the predicate's tercile hits exactly 1 of the 3 sorted files —
+    // that file is rewritten with the predicate anti-applied, the
+    // other two carry into the new manifest BY REFERENCE (relpath
+    // byte-identity is spec-asserted in LakeVersionsSpec) — and the
+    // rewritten/carried counts ride into the relation so the oracle
+    // pins the rewrite fraction alongside the surviving rows
+    "q_lake_delete" -> ((s, dir) => {
+      val (_, rewritten, carried) = lakeDeleteFixture(s, dir)
+      graft.sources.LakeVersions.read(s, LakeDeleteDir)
+        .select(col("c_custkey"), col("c_name"),
+          lit(rewritten).as("files_rewritten"),
+          lit(carried).as("files_carried"))
+        .orderBy("c_custkey")
+    }),
+
     // the SQL face over the same pruned lake: CREATE TEMPORARY VIEW
     // ... USING graftlake, then a plain WHERE — the predicate reaches
     // the manifest by PUSHDOWN (no hand-fed bounds; the scan's
@@ -3116,6 +3132,7 @@ object ExtQueries {
   val LakeVersionsDir = "/root/repo/target/tmp/nation_lake_versions"
   val LakeVersionsPartDir = "/root/repo/target/tmp/nation_lake_versions_part"
   val LakePruneDir = "/root/repo/target/tmp/customer_lake_prune"
+  val LakeDeleteDir = "/root/repo/target/tmp/customer_lake_delete"
   val LakeOptimizeDir = "/root/repo/target/tmp/customer_lake_optimize"
   val AvroLakeVStreamDir = "/root/repo/target/tmp/nation_lake_vstream"
   val AvroLakeVStreamQuarantineDir =
@@ -3535,6 +3552,32 @@ object ExtQueries {
       graft.sources.LakeVersions.compactCommit(s, LakeOptimizeDir): Unit
       graft.sources.LakeVersions.zOrderCommit(s, LakeOptimizeDir,
         Seq("c_custkey", "c_nationkey"), partitions = 3): Unit
+    })
+
+  /** A sorted customer lake + one row-level DELETE once per process
+    * (q_lake_delete reads the result): same three-file layout as
+    * [[lakePruneFixture]] in its own dir, then deleteWhere over the
+    * first-tercile range — exactly 1 file rewritten, 2 carried by
+    * reference. Returns (version, filesRewritten, filesCarried). */
+  private val lakeDeleteDone =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Int, Int)]()
+  private def lakeDeleteFixture(s: SparkSession, dir: String): (Long, Int, Int) =
+    lakeDeleteDone.computeIfAbsent(dir, _ => {
+      rmTree(LakeDeleteDir)
+      val cust = s.read.parquet(s"$dir/customer.parquet")
+        .select("c_custkey", "c_name")
+      val maxId = cust.agg(max("c_custkey")).head().getLong(0)
+      val (cut1, cut2) = (maxId / 3, 2 * maxId / 3)
+      Seq(col("c_custkey") <= cut1,
+        col("c_custkey") > cut1 && col("c_custkey") <= cut2,
+        col("c_custkey") > cut2).foreach { slice =>
+        graft.sources.LakeVersions.commit(s, LakeDeleteDir,
+          cust.filter(slice).coalesce(1),
+          statsCols = Seq("c_custkey")): Unit
+      }
+      val (lo, hi) = lakePruneBounds(s, dir)
+      graft.sources.LakeVersions.deleteWhere(s, LakeDeleteDir,
+        col("c_custkey").between(lo, hi))
     })
 
   /** A sorted customer lake once per process (q_lake_prune reads it
@@ -5637,6 +5680,15 @@ object ExtQueries {
          FROM customer
          WHERE c_custkey BETWEEN (SELECT max(c_custkey)//3//4 FROM customer)
                              AND (SELECT max(c_custkey)//3//2 FROM customer)
+         ORDER BY c_custkey""",
+    // row-level DELETE: everything OUTSIDE the deleted tercile range
+    // survives, 1 of 3 files rewritten, 2 carried by reference
+    "q_lake_delete" ->
+      """SELECT c_custkey, c_name,
+                1 AS files_rewritten, 2 AS files_carried
+         FROM customer
+         WHERE c_custkey NOT BETWEEN (SELECT max(c_custkey)//3//4 FROM customer)
+                                 AND (SELECT max(c_custkey)//3//2 FROM customer)
          ORDER BY c_custkey""",
     // the SQL face over the same lake: identical relation through
     // CREATE TEMPORARY VIEW ... USING graftlake + plain WHERE (the

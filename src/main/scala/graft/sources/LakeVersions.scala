@@ -367,7 +367,34 @@ object LakeVersions {
              statsCols: Seq[String] = Nil,
              tag: String = "",
              expectedLatest: Option[Long] = None,
-             lockWaitMs: Long = 60000, lockStaleMs: Long = 60000): Long = {
+             lockWaitMs: Long = 60000, lockStaleMs: Long = 60000): Long =
+    commitCore(spark, dir, df, overwrite, partitionBy, statsCols, tag,
+      expectedLatest, lockWaitMs, lockStaleMs, carryFiles = None)
+
+  /** [[commit]] plus REWRITE-BY-REFERENCE: the new manifest names
+    * `carryFiles` (entries pinned from the version `expectedLatest`
+    * vouches for — envelopes, row counts and relpaths carried
+    * verbatim, no data moved) ++ the landed files of `df`. This is the
+    * primitive under [[deleteWhere]]: rewrite only the files a
+    * predicate touches, reference the rest. Overwrite-style: the
+    * previous manifest's file list is NOT folded in. */
+  private[graft] def commitCarried(
+      spark: SparkSession, dir: String, df: DataFrame,
+      carryFiles: Seq[FileEntry], partitionBy: Seq[String],
+      statsCols: Seq[String], tag: String, expectedLatest: Long,
+      lockWaitMs: Long = 60000, lockStaleMs: Long = 60000): Long =
+    commitCore(spark, dir, df, overwrite = true, partitionBy, statsCols,
+      tag, Some(expectedLatest), lockWaitMs, lockStaleMs,
+      carryFiles = Some(carryFiles))
+
+  private def commitCore(spark: SparkSession, dir: String, df: DataFrame,
+             overwrite: Boolean,
+             partitionBy: Seq[String],
+             statsCols: Seq[String],
+             tag: String,
+             expectedLatest: Option[Long],
+             lockWaitMs: Long, lockStaleMs: Long,
+             carryFiles: Option[Seq[FileEntry]]): Long = {
     require(!tag.contains("\t") && !tag.contains("\n"),
       "LakeVersions.commit: tag must not contain tabs/newlines")
     (partitionBy ++ statsCols).foreach { c =>
@@ -527,7 +554,8 @@ object LakeVersions {
               s"(now ${p.partitionBy.mkString(",")}, landed as " +
               s"${tablePartBy.mkString(",")}) — retry commit()")
         }
-        val files = prev.map(_.files).getOrElse(Nil) ++ newFiles
+        val files =
+          carryFiles.getOrElse(prev.map(_.files).getOrElse(Nil)) ++ newFiles
         val partByOut = tablePartBy
         // the header records the MERGED table schema, not df.schema: a
         // narrower append (fewer columns) must not shrink the table —
@@ -622,7 +650,7 @@ object LakeVersions {
     frameOver(spark, lake, m, m.files)
   }
 
-  private[sources] def pinned(spark: SparkSession, dir: String,
+  private[graft] def pinned(spark: SparkSession, dir: String,
                               version: Option[Long]): ManifestState = {
     val (fs, lake) = fsFor(spark, dir)
     val v = version.getOrElse(state(fs, lake))
@@ -769,6 +797,54 @@ object LakeVersions {
     commit(spark, dir, PsIO.zOrdered(base, cols, partitions, bitsPerCol),
       overwrite = true, partitionBy = m.partitionBy, statsCols = st,
       tag = s"zorder-of-v$v", expectedLatest = Some(v))
+  }
+
+  /** Row-level DELETE as a versioned commit — the takedown/GDPR op a
+    * corpus store needs. Rows matching `predicate` (SQL DELETE
+    * semantics: removed where TRUE; null keeps) disappear from the new
+    * latest version; every file the predicate provably cannot touch is
+    * carried into the new manifest BY REFERENCE — relpath, envelope
+    * and row count verbatim, zero bytes moved — and only the files
+    * that actually CONTAIN matching rows are rewritten with the
+    * predicate anti-applied. Candidate discovery plans through the
+    * graftlake SQL face, so the manifest's stats envelopes file-prune
+    * the probe scan before any data is read. The publish is guarded by
+    * `expectedLatest` = the pinned version: an append landing inside
+    * the read-rewrite-publish window throws (retryable) rather than
+    * being erased. Old versions still read the deleted rows until
+    * [[vacuum]] — retention policy for takedowns is the operator's
+    * call, same as every table format.
+    *
+    * Returns (committedVersion, filesRewritten, filesCarried);
+    * a predicate matching nothing commits nothing and returns
+    * (currentVersion, 0, nFiles). */
+  def deleteWhere(spark: SparkSession, dir: String,
+                  predicate: org.apache.spark.sql.Column): (Long, Int, Int) = {
+    import org.apache.spark.sql.functions.{coalesce, input_file_name, lit, not}
+    // version-then-pin, same race note as compactCommit
+    val v = latestVersion(spark, dir)
+    val m = pinned(spark, dir, Some(v))
+    if (m.files.isEmpty) return (v, 0, 0)
+    val (fs, lake) = fsFor(spark, dir)
+    val lakeUri = fs.makeQualified(lake).toUri.getPath.stripSuffix("/")
+    val face = spark.read.format("graftlake")
+      .option("versionAsOf", v.toString).load(dir)
+    val hitRels = face.filter(predicate).select(input_file_name())
+      .distinct().collect().map { r =>
+        val p = new HPath(r.getString(0)).toUri.getPath
+        // refuse an unprovable relpath outright: carrying a hit file
+        // by reference would resurrect the deleted rows
+        require(p.startsWith(s"$lakeUri/"),
+          s"LakeVersions.deleteWhere: matched file $p outside lake root $lakeUri")
+        p.substring(lakeUri.length + 1)
+      }.toSet
+    if (hitRels.isEmpty) return (v, 0, m.files.size)
+    val (rewrite, carry) = m.files.partition(e => hitRels(e.relpath))
+    val survivors = frameOver(spark, lake, m, rewrite)
+      .filter(not(coalesce(predicate, lit(false))))
+    val next = commitCarried(spark, dir, survivors, carry, m.partitionBy,
+      statsColsOf(m, survivors), tag = s"delete-of-v$v", expectedLatest = v)
+    (next, rewrite.size, carry.size)
   }
 
   /** The version ledger: one row per surviving manifest. `n_rows` is

@@ -594,6 +594,88 @@ class LakeVersionsSpec extends AnyFunSuite with SparkFixture {
     assert(e.getMessage.contains("n"), e.getMessage)
   }
 
+  test("deleteWhere: only hit files rewrite, the rest carry by reference; " +
+      "old versions still read the deleted rows") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = lake()
+    (0 until 3).foreach { i =>
+      LakeVersions.commit(s, dir,
+        (i * 10 until (i + 1) * 10).map(k => (k.toLong, s"r$k"))
+          .toDF("k", "t").coalesce(1),
+        statsCols = Seq("k")): Unit
+    }
+    val pre = LakeVersions.read(s, dir, Some(3L)).inputFiles.toSet
+    val (v, rewritten, carried) =
+      LakeVersions.deleteWhere(s, dir, col("k") === 15)
+    assert((v, rewritten, carried) == (4L, 1, 2))
+    val post = LakeVersions.read(s, dir).inputFiles.toSet
+    // the two untouched files appear in BOTH manifests under the SAME
+    // relpaths — carried by reference, zero bytes moved
+    assert((pre intersect post).size == 2,
+      s"carried files must keep their relpaths (shared=${(pre intersect post).size})")
+    assert(LakeVersions.read(s, dir).select("k").collect()
+      .map(_.getLong(0)).sorted.toSeq ==
+      (0L until 30L).filterNot(_ == 15L))
+    // takedown audit: the pinned pre-delete version still reads it
+    assert(LakeVersions.read(s, dir, Some(3L)).filter("k = 15").count() == 1L)
+    assert(LakeVersions.tagOf(s, dir, Some(4L)) == "delete-of-v3")
+    // the rewritten file's stats envelope was re-recorded: a pruned
+    // read on the rewritten range still plans 1 file
+    assert(LakeVersions.pruneCounts(s, dir, Seq(("k", 12L, 18L))) == (1, 3))
+    // a predicate matching nothing commits nothing
+    assert(LakeVersions.deleteWhere(s, dir, col("k") === 999) ==
+      (4L, 0, 3))
+    assert(LakeVersions.latestVersion(s, dir) == 4L)
+  }
+
+  test("deleteWhere: SQL null semantics (null keeps), whole-file deletion " +
+      "drops the file, partitioned lakes rewrite within their layout") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = lake()
+    LakeVersions.commit(s, dir,
+      Seq((1L, Some("a"), 0), (2L, None, 0), (3L, Some("del"), 1),
+        (4L, Some("del"), 1)).toDF("k", "t", "reg").repartition(1),
+      partitionBy = Seq("reg"), statsCols = Seq("k")): Unit
+    // t = 'del' is TRUE only on rows 3,4; row 2's NULL comparison must
+    // KEEP the row (DELETE removes only where the predicate is TRUE)
+    val (v, rewritten, _) =
+      LakeVersions.deleteWhere(s, dir, col("t") === "del")
+    assert(v == 2L)
+    assert(rewritten >= 1)
+    val got = LakeVersions.read(s, dir)
+    assert(got.select("k").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 2L), "the null-predicate row was wrongly deleted")
+    // layout preserved: surviving rows still sit in their reg= dirs
+    assert(got.inputFiles.forall(_.contains("reg=")))
+    // whole-partition deletion: reg=1 had only deleted rows — its dir
+    // contributes no files to the new manifest
+    assert(!got.inputFiles.exists(_.contains("reg=1")))
+  }
+
+  test("deleteWhere's publish window is guarded: a racer's append between " +
+      "pin and publish throws instead of being erased") {
+    val s = spark
+    import s.implicits._
+    val dir = lake()
+    LakeVersions.commit(s, dir, Seq((1L, "a")).toDF("k", "t"))
+    val m = LakeVersions.pinned(s, dir, Some(1L))
+    // racer lands an append after the pin
+    LakeVersions.commit(s, dir, Seq((2L, "b")).toDF("k", "t"))
+    // the carried-rewrite publish (deleteWhere's primitive) must now
+    // refuse: its carry list came from a superseded manifest
+    intercept[java.util.ConcurrentModificationException] {
+      LakeVersions.commitCarried(s, dir,
+        Seq((9L, "z")).toDF("k", "t"), m.files, Nil, Nil,
+        tag = "delete-of-v1", expectedLatest = 1L)
+    }
+    // nothing erased: both rows still read
+    assert(LakeVersions.read(s, dir).count() == 2L)
+  }
+
   test("vacuum never ages out a manifest inside the olderThanMs margin: " +
       "retention provably outlives the crash-replay window") {
     val s = spark
