@@ -3031,6 +3031,28 @@ object ExtQueries {
         .orderBy("c_custkey")
     }),
 
+    // STRING-key manifest pruning: same three-file sorted lake, but
+    // the envelope column is c_name (18 chars — past the 16-byte
+    // truncation, so the recorded bounds are genuinely lossy) and the
+    // predicate is a c_name range. Truncated bounds stay SOUND: 1 of
+    // 3 files planned, and the oracle pins both rows and fraction.
+    // doc_id/url-keyed corpora are string-keyed in practice — this is
+    // the shape their sorted rewrites prune with.
+    "q_lake_prune_str" -> ((s, dir) => {
+      lakePruneStrFixture(s, dir)
+      val (lo, hi) = lakePruneBounds(s, dir)
+      val (loN, hiN) = (f"Customer#$lo%09d", f"Customer#$hi%09d")
+      val strBounds = Seq(("c_name", loN, hiN))
+      val (kept, total) = graft.sources.LakeVersions.pruneCounts(
+        s, LakePruneStrDir, Nil, strBounds = strBounds)
+      graft.sources.LakeVersions.readPruned(
+          s, LakePruneStrDir, Nil, strBounds = strBounds)
+        .filter(col("c_name").between(loN, hiN))
+        .select(col("c_custkey"), col("c_name"),
+          lit(kept).as("files_kept"), lit(total).as("files_total"))
+        .orderBy("c_custkey")
+    }),
+
     // row-level DELETE as a versioned commit (the takedown/GDPR op):
     // the predicate's tercile hits exactly 1 of the 3 sorted files —
     // that file is rewritten with the predicate anti-applied, the
@@ -3133,6 +3155,7 @@ object ExtQueries {
   val LakeVersionsPartDir = "/root/repo/target/tmp/nation_lake_versions_part"
   val LakePruneDir = "/root/repo/target/tmp/customer_lake_prune"
   val LakeDeleteDir = "/root/repo/target/tmp/customer_lake_delete"
+  val LakePruneStrDir = "/root/repo/target/tmp/customer_lake_prune_str"
   val LakeOptimizeDir = "/root/repo/target/tmp/customer_lake_optimize"
   val AvroLakeVStreamDir = "/root/repo/target/tmp/nation_lake_vstream"
   val AvroLakeVStreamQuarantineDir =
@@ -3552,6 +3575,27 @@ object ExtQueries {
       graft.sources.LakeVersions.compactCommit(s, LakeOptimizeDir): Unit
       graft.sources.LakeVersions.zOrderCommit(s, LakeOptimizeDir,
         Seq("c_custkey", "c_nationkey"), partitions = 3): Unit
+    })
+
+  /** A sorted customer lake with STRING envelopes once per process
+    * (q_lake_prune_str reads it pruned): the [[lakePruneFixture]]
+    * layout, but footer stats recorded on c_name — at 18 chars the
+    * manifest stores 16-byte truncated bounds, which is the lossy
+    * case worth pinning. */
+  private def lakePruneStrFixture(s: SparkSession, dir: String): Unit =
+    fixturesDone.computeIfAbsent(s"lakeprunestr:$dir", _ => {
+      rmTree(LakePruneStrDir)
+      val cust = s.read.parquet(s"$dir/customer.parquet")
+        .select("c_custkey", "c_name")
+      val maxId = cust.agg(max("c_custkey")).head().getLong(0)
+      val (cut1, cut2) = (maxId / 3, 2 * maxId / 3)
+      Seq(col("c_custkey") <= cut1,
+        col("c_custkey") > cut1 && col("c_custkey") <= cut2,
+        col("c_custkey") > cut2).foreach { slice =>
+        graft.sources.LakeVersions.commit(s, LakePruneStrDir,
+          cust.filter(slice).coalesce(1),
+          statsCols = Seq("c_name")): Unit
+      }
     })
 
   /** A sorted customer lake + one row-level DELETE once per process
@@ -5680,6 +5724,17 @@ object ExtQueries {
          FROM customer
          WHERE c_custkey BETWEEN (SELECT max(c_custkey)//3//4 FROM customer)
                              AND (SELECT max(c_custkey)//3//2 FROM customer)
+         ORDER BY c_custkey""",
+    // string-key pruning: identical row set to q_lake_prune, reached
+    // through a c_name range (c_name embeds the zero-padded key, so
+    // the name range selects exactly the key range)
+    "q_lake_prune_str" ->
+      """SELECT c_custkey, c_name,
+                1 AS files_kept, 3 AS files_total
+         FROM customer
+         WHERE c_name BETWEEN
+                 'Customer#' || lpad((SELECT max(c_custkey)//3//4 FROM customer)::VARCHAR, 9, '0')
+             AND 'Customer#' || lpad((SELECT max(c_custkey)//3//2 FROM customer)::VARCHAR, 9, '0')
          ORDER BY c_custkey""",
     // row-level DELETE: everything OUTSIDE the deleted tercile range
     // survives, 1 of 3 files rewritten, 2 carried by reference

@@ -118,6 +118,77 @@ private[sources] final class GraftLakeFileIndex(
     case _        => None
   }
 
+  private val strCols: Set[String] =
+    m.schema.fields.collect {
+      case f if f.dataType == StringType => f.name
+    }.toSet
+
+  private def litStr(v: Any): Option[String] = v match {
+    case u: UTF8String => Some(u.toString)
+    case s: String     => Some(s)
+    case _             => None
+  }
+
+  /** Half-open inclusive string ranges provable from one predicate
+    * tree (None = unbounded side); strict </> conservatively use the
+    * inclusive value — a file whose envelope touches the bound exactly
+    * is kept, never wrongly dropped. Comparisons downstream happen in
+    * UTF-8 byte space ([[LakeVersions.compareUtf8]]). */
+  private def strBoundsOf(e: Expression)
+      : Map[String, (Option[String], Option[String])] = {
+    def ok(a: AttributeReference) = strCols.contains(a.name)
+    def eq(a: AttributeReference, v: Any) =
+      litStr(v).map(x => Map(a.name -> (Option(x), Option(x))))
+        .getOrElse(Map.empty[String, (Option[String], Option[String])])
+    def ge(a: AttributeReference, v: Any) =
+      litStr(v).map(x => Map(a.name ->
+        (Option(x), Option.empty[String]))).getOrElse(Map.empty)
+    def le(a: AttributeReference, v: Any) =
+      litStr(v).map(x => Map(a.name ->
+        (Option.empty[String], Option(x)))).getOrElse(Map.empty)
+    e match {
+      case And(l, r) => mergeStrBounds(strBoundsOf(l), strBoundsOf(r))
+      case EqualTo(a: AttributeReference, Literal(v, _)) if ok(a) => eq(a, v)
+      case EqualTo(Literal(v, _), a: AttributeReference) if ok(a) => eq(a, v)
+      case GreaterThan(a: AttributeReference, Literal(v, _)) if ok(a) => ge(a, v)
+      case GreaterThanOrEqual(a: AttributeReference, Literal(v, _)) if ok(a) => ge(a, v)
+      case LessThan(a: AttributeReference, Literal(v, _)) if ok(a) => le(a, v)
+      case LessThanOrEqual(a: AttributeReference, Literal(v, _)) if ok(a) => le(a, v)
+      case GreaterThan(Literal(v, _), a: AttributeReference) if ok(a) => le(a, v)
+      case GreaterThanOrEqual(Literal(v, _), a: AttributeReference) if ok(a) => le(a, v)
+      case LessThan(Literal(v, _), a: AttributeReference) if ok(a) => ge(a, v)
+      case LessThanOrEqual(Literal(v, _), a: AttributeReference) if ok(a) => ge(a, v)
+      case In(a: AttributeReference, vs) if ok(a) && vs.nonEmpty &&
+          vs.forall { case Literal(v, _) => litStr(v).isDefined; case _ => false } =>
+        val xs = vs.map { case Literal(v, _) => litStr(v).get }
+          .sortWith((x, y) => LakeVersions.compareUtf8(
+            x.getBytes("UTF-8"), y.getBytes("UTF-8")) < 0)
+        Map(a.name -> (Some(xs.head), Some(xs.last)))
+      case _ => Map.empty
+    }
+  }
+
+  private def mergeStrBounds(
+      a: Map[String, (Option[String], Option[String])],
+      b: Map[String, (Option[String], Option[String])])
+      : Map[String, (Option[String], Option[String])] = {
+    def cmp(x: String, y: String) =
+      LakeVersions.compareUtf8(x.getBytes("UTF-8"), y.getBytes("UTF-8"))
+    def maxLo(x: Option[String], y: Option[String]) = (x, y) match {
+      case (Some(p), Some(q)) => Some(if (cmp(p, q) >= 0) p else q)
+      case _                  => x.orElse(y)
+    }
+    def minHi(x: Option[String], y: Option[String]) = (x, y) match {
+      case (Some(p), Some(q)) => Some(if (cmp(p, q) <= 0) p else q)
+      case _                  => x.orElse(y)
+    }
+    (a.keySet ++ b.keySet).iterator.map { c =>
+      val (l1, h1) = a.getOrElse(c, (None, None))
+      val (l2, h2) = b.getOrElse(c, (None, None))
+      c -> (maxLo(l1, l2), minHi(h1, h2))
+    }.toMap
+  }
+
   /** Conjunctive inclusive bounds provable from one predicate tree.
     * Anything not understood contributes NO bound (conservative —
     * never prunes on unprovable evidence); an impossible conjunction
@@ -227,11 +298,20 @@ private[sources] final class GraftLakeFileIndex(
     // the recorded footer envelope
     val bounds = (partitionFilters ++ dataFilters)
       .map(boundsOf).foldLeft(Map.empty[String, (Long, Long)])(mergeBounds)
+    val strBounds = (partitionFilters ++ dataFilters).map(strBoundsOf)
+      .foldLeft(Map.empty[String, (Option[String], Option[String])])(mergeStrBounds)
+    def strContradiction = strBounds.exists {
+      case (_, (Some(lo), Some(hi))) => LakeVersions.compareUtf8(
+        lo.getBytes("UTF-8"), hi.getBytes("UTF-8")) > 0
+      case _ => false
+    }
     val survivors: Seq[LakeVersions.FileEntry] =
-      if (bounds.exists { case (_, (lo, hi)) => lo > hi }) Nil
+      if (bounds.exists { case (_, (lo, hi)) => lo > hi } || strContradiction) Nil
       else {
         val bs = bounds.toSeq.map { case (c, (lo, hi)) => (c, lo, hi) }
-        if (bs.isEmpty) m.files else LakeVersions.pruneFiles(m, bs)
+        val ss = strBounds.toSeq.map { case (c, (lo, hi)) => (c, lo, hi) }
+        if (bs.isEmpty && ss.isEmpty) m.files
+        else LakeVersions.pruneFilesOpt(m, bs, ss)
       }
     val grouped: Seq[(Seq[Any], Seq[LakeVersions.FileEntry])] =
       if (partitionSchema.isEmpty) Seq(Seq.empty[Any] -> survivors)

@@ -139,10 +139,65 @@ object LakeVersions {
   /** One manifest line: a data file with its optional footer-derived
     * stats. `rows` is -1 when the committing writer didn't collect
     * stats; `stats` maps an int/long column to its file-wide inclusive
-    * (min, max) envelope over non-null values (absent = unknown —
-    * a reader without stats must keep the file). */
+    * (min, max) envelope over non-null values; `strStats` maps a
+    * string column to its TRUNCATED envelope — base64 of the first
+    * [[StrTruncBytes]] UTF-8 bytes of the min (a byte-prefix is ≤ the
+    * original in unsigned byte order, so it stays a sound lower bound)
+    * and, for the max, the truncation INCREMENTED at its last
+    * non-0xFF byte (so it stays a sound upper bound; a max whose
+    * truncation is all 0xFF gets NO upper bound — None — and the file
+    * can never be dropped from above). Absent = unknown — a reader
+    * without evidence must keep the file. */
   final case class FileEntry(relpath: String, len: Long, rows: Long,
-                             stats: Map[String, (Long, Long)])
+                             stats: Map[String, (Long, Long)],
+                             strStats: Map[String, (String, Option[String])] =
+                               Map.empty)
+
+  /** Truncation width for string envelopes — Iceberg's truncate(16)
+    * default: long doc_id/url keys stay prunable at 16 bytes while the
+    * manifest stays O(bytes-per-file) small. */
+  private[graft] val StrTruncBytes = 16
+
+  /** (lowerBound, upperBound) of a string envelope, as base64 of
+    * UTF-8 bytes — all pruning comparisons happen in unsigned BYTE
+    * space (parquet's and Spark's string sort order), never in
+    * UTF-16 `String.compareTo` space, which disagrees above U+FFFF. */
+  private[graft] def truncateEnvelope(minUtf8: Array[Byte], maxUtf8: Array[Byte])
+      : (String, Option[String]) = {
+    val b64 = java.util.Base64.getEncoder
+    val lo = b64.encodeToString(minUtf8.take(StrTruncBytes))
+    val hi =
+      if (maxUtf8.length <= StrTruncBytes) Some(b64.encodeToString(maxUtf8))
+      else {
+        val t = maxUtf8.take(StrTruncBytes)
+        // increment at the last byte below 0xFF, drop everything after
+        // it: the result is strictly greater than every string sharing
+        // the truncated prefix
+        val i = t.lastIndexWhere(b => (b & 0xff) != 0xff)
+        if (i < 0) None
+        else {
+          val out = t.take(i + 1)
+          out(i) = ((out(i) & 0xff) + 1).toByte
+          Some(b64.encodeToString(out))
+        }
+      }
+    (lo, hi)
+  }
+
+  private def b64Bytes(s: String): Array[Byte] =
+    java.util.Base64.getDecoder.decode(s)
+
+  /** Unsigned lexicographic byte compare — parquet UTF8 sort order. */
+  private[graft] def compareUtf8(a: Array[Byte], b: Array[Byte]): Int = {
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val d = (a(i) & 0xff) - (b(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    a.length - b.length
+  }
 
   /** Everything a version pins: table schema (so an EMPTY committed
     * version — a legal full purge — still reads with the table's
@@ -152,27 +207,38 @@ object LakeVersions {
       schema: org.apache.spark.sql.types.StructType,
       partitionBy: Seq[String], tag: String, files: Seq[FileEntry])
 
+  /** Stats wire format: `rows|col,lo,hi;col2,lo2,hi2`. String
+    * envelopes ride the same triple with an `s:` marker and base64
+    * payloads (base64 is delimiter-free by construction):
+    * `col,s:<b64lo>,s:<b64hi>`; an unbounded upper is `s:*`. */
   private def encodeStats(e: FileEntry): String =
-    if (e.rows < 0 && e.stats.isEmpty) "-"
+    if (e.rows < 0 && e.stats.isEmpty && e.strStats.isEmpty) "-"
     else {
-      val cols = e.stats.toSeq.sortBy(_._1)
-        .map { case (c, (lo, hi)) => s"$c,$lo,$hi" }.mkString(";")
-      s"${e.rows}|$cols"
+      val num = e.stats.toSeq.sortBy(_._1)
+        .map { case (c, (lo, hi)) => s"$c,$lo,$hi" }
+      val str = e.strStats.toSeq.sortBy(_._1)
+        .map { case (c, (lo, hi)) => s"$c,s:$lo,s:${hi.getOrElse("*")}" }
+      s"${e.rows}|${(num ++ str).mkString(";")}"
     }
 
-  private def decodeStats(s: String): (Long, Map[String, (Long, Long)]) =
-    if (s == "-") (-1L, Map.empty)
+  private def decodeStats(s: String)
+      : (Long, Map[String, (Long, Long)], Map[String, (String, Option[String])]) =
+    if (s == "-") (-1L, Map.empty, Map.empty)
     else {
       val bar = s.indexOf('|')
       val rows = s.substring(0, bar).toLong
       val rest = s.substring(bar + 1)
-      val stats =
-        if (rest.isEmpty) Map.empty[String, (Long, Long)]
-        else rest.split(";").iterator.map { t =>
-          val p = t.split(",")
-          p(0) -> (p(1).toLong, p(2).toLong)
-        }.toMap
-      (rows, stats)
+      val num = Map.newBuilder[String, (Long, Long)]
+      val str = Map.newBuilder[String, (String, Option[String])]
+      if (rest.nonEmpty) rest.split(";").foreach { t =>
+        val p = t.split(",")
+        if (p(1).startsWith("s:")) {
+          val hi = p(2).substring(2)
+          str += p(0) -> (p(1).substring(2),
+            if (hi == "*") None else Some(hi))
+        } else num += p(0) -> (p(1).toLong, p(2).toLong)
+      }
+      (rows, num.result(), str.result())
     }
 
   /** Parse one header line into (schema, partitionBy, tag). Validates
@@ -222,8 +288,8 @@ object LakeVersions {
         // pre-partitioning manifests: relpath \t len
         FileEntry(t(0), t(1).toLong, -1L, Map.empty)
       else {
-        val (rows, stats) = decodeStats(t(2))
-        FileEntry(t(0), t(1).toLong, rows, stats)
+        val (rows, stats, strStats) = decodeStats(t(2))
+        FileEntry(t(0), t(1).toLong, rows, stats, strStats)
       }
     }.toSeq
     ManifestState(schema, partBy, tag, files)
@@ -290,10 +356,14 @@ object LakeVersions {
   /** Distributed footer scan of the commit's own landed files: one
     * task per file, KBs of metadata each — (rows, per-column min/max
     * over non-null values; a column any of whose row groups lacks
-    * stats yields no envelope, so readers keep the file). */
+    * stats yields no envelope, so readers keep the file). Int/long
+    * columns record exact envelopes; string columns record
+    * [[truncateEnvelope]]'s sound truncated bounds. */
   private def footerStats(spark: SparkSession, lake: HPath,
-                          relpaths: Seq[String], statsCols: Seq[String])
-      : Map[String, (Long, Map[String, (Long, Long)])] = {
+                          relpaths: Seq[String], statsCols: Seq[String],
+                          strCols: Set[String])
+      : Map[String, (Long, Map[String, (Long, Long)],
+                     Map[String, (String, Option[String])])] = {
     import scala.jdk.CollectionConverters._
     val conf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
@@ -312,27 +382,44 @@ object LakeVersions {
           case other => throw new IllegalStateException(
             s"LakeVersions: non-integer footer stat $other in $rel")
         }
-        val stats = colSet.flatMap { c =>
+        def asBytes(v: Any): Array[Byte] = v match {
+          case b: org.apache.parquet.io.api.Binary => b.getBytes
+          case other => throw new IllegalStateException(
+            s"LakeVersions: non-binary footer stat $other in $rel")
+        }
+        // per column: the usable non-null chunk statistics, or None if
+        // any chunk's stats are absent/omitted (conservative: no
+        // envelope at all). Partition columns are not IN the files —
+        // absent is fine; Statistics.isEmpty distinguishes OMITTED
+        // stats (no info — parquet-mr returns an empty object for
+        // legacy corrupt-stats files) from a genuine all-null chunk
+        // (whose numNulls IS set): only the latter may be excluded
+        // from the envelope; the former must void it.
+        def usableChunks(c: String) = {
           val chunks = blocks.flatMap(_.getColumns.asScala
             .find(_.getPath.toDotString == c))
-          // partition columns are not IN the files — absent is fine;
-          // a chunk with null/omitted stats poisons the whole file's
-          // envelope (must stay conservative). Statistics.isEmpty
-          // distinguishes OMITTED stats (no info at all — parquet-mr
-          // returns an empty object, not null, e.g. for legacy
-          // corrupt-stats files) from a genuine all-null chunk (whose
-          // numNulls IS set): only the latter may be excluded from the
-          // envelope; the former must void it.
           val usable = chunks.forall(ch =>
             ch.getStatistics != null && !ch.getStatistics.isEmpty)
           val nonNull = chunks.filter(ch =>
             ch.getStatistics != null && ch.getStatistics.hasNonNullValue)
           if (chunks.isEmpty || !usable || nonNull.isEmpty) None
-          else Some(c -> (
-            nonNull.map(ch => asLong(ch.getStatistics.genericGetMin)).min,
-            nonNull.map(ch => asLong(ch.getStatistics.genericGetMax)).max))
+          else Some(nonNull)
+        }
+        val num = (colSet -- strCols).flatMap { c =>
+          usableChunks(c).map(nn => c -> (
+            nn.map(ch => asLong(ch.getStatistics.genericGetMin)).min,
+            nn.map(ch => asLong(ch.getStatistics.genericGetMax)).max))
         }.toMap
-        rel -> (rows, stats)
+        val str = (colSet intersect strCols).flatMap { c =>
+          usableChunks(c).map { nn =>
+            val mins = nn.map(ch => asBytes(ch.getStatistics.genericGetMin))
+            val maxs = nn.map(ch => asBytes(ch.getStatistics.genericGetMax))
+            c -> truncateEnvelope(
+              mins.reduce((a, b) => if (compareUtf8(a, b) <= 0) a else b),
+              maxs.reduce((a, b) => if (compareUtf8(a, b) >= 0) a else b))
+          }
+        }.toMap
+        rel -> (rows, num, str)
       } finally r.close()
     }.collect().toMap
   }
@@ -401,15 +488,20 @@ object LakeVersions {
       require(!c.exists("\t\n,;|".contains(_)),
         s"LakeVersions.commit: column name '$c' has manifest-delimiter chars")
     }
-    statsCols.foreach { c =>
+    val strStatCols: Set[String] = statsCols.flatMap { c =>
       val f = df.schema.find(_.name == c).getOrElse(
         throw new IllegalArgumentException(
           s"LakeVersions.commit: statsCols column $c not in the frame"))
-      require(f.dataType == org.apache.spark.sql.types.IntegerType ||
-          f.dataType == org.apache.spark.sql.types.LongType,
-        s"LakeVersions.commit: statsCols column $c is ${f.dataType.simpleString}; " +
-          "only int/long footer min/max are exact (string stats are truncation-lossy)")
-    }
+      f.dataType match {
+        case org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.LongType => None
+        case org.apache.spark.sql.types.StringType => Some(c)
+        case other => throw new IllegalArgumentException(
+          s"LakeVersions.commit: statsCols column $c is ${other.simpleString}; " +
+            "int/long record exact envelopes, strings record truncated " +
+            "bounds — other types have no sound manifest envelope")
+      }
+    }.toSet
     val (fs, lake) = fsFor(spark, dir)
     fs.mkdirs(versionsPath(lake))
     // resolve the table's partition layout BEFORE landing: appends
@@ -487,12 +579,16 @@ object LakeVersions {
     walk(staging, "")
     fs.delete(staging, true): Unit
     val landedFiles = landed.result()
-    val fileStats: Map[String, (Long, Map[String, (Long, Long)])] =
-      if (statsCols.isEmpty || landedFiles.isEmpty) Map.empty
-      else footerStats(spark, lake, landedFiles.map(_._1), statsCols)
+    val fileStats =
+      if (statsCols.isEmpty || landedFiles.isEmpty)
+        Map.empty[String, (Long, Map[String, (Long, Long)],
+          Map[String, (String, Option[String])])]
+      else footerStats(spark, lake, landedFiles.map(_._1), statsCols, strStatCols)
     val newFiles = landedFiles.map { case (rel, len) =>
-      val (rows, st) = fileStats.getOrElse(rel, (-1L, Map.empty[String, (Long, Long)]))
-      FileEntry(rel, len, rows, st)
+      val (rows, st, sst) = fileStats.getOrElse(rel,
+        (-1L, Map.empty[String, (Long, Long)],
+          Map.empty[String, (String, Option[String])]))
+      FileEntry(rel, len, rows, st, sst)
     }
     localCommitLock.synchronized {
       val lock = new HPath(versionsPath(lake), "LOCK")
@@ -670,30 +766,49 @@ object LakeVersions {
     * [[PsIO.parquetPruneSim]], applied at FILE granularity from the
     * manifest alone: no footer reads, no listing, O(files) driver
     * arithmetic. */
-  def pruneFiles(m: ManifestState, bounds: Seq[(String, Long, Long)]): Seq[FileEntry] = {
-    require(bounds.nonEmpty, "LakeVersions.pruneFiles: no predicate bounds")
+  def pruneFiles(m: ManifestState, bounds: Seq[(String, Long, Long)],
+                 strBounds: Seq[(String, String, String)] = Nil): Seq[FileEntry] = {
+    strBounds.foreach { case (c, lo, hi) =>
+      require(compareUtf8(utf8(lo), utf8(hi)) <= 0,
+        s"LakeVersions.pruneFiles: empty range ['$lo', '$hi'] for $c") }
+    pruneFilesOpt(m, bounds,
+      strBounds.map { case (c, lo, hi) => (c, Some(lo), Some(hi)) })
+  }
+
+  /** [[pruneFiles]] with HALF-OPEN string ranges (None = unbounded on
+    * that side) — the shape predicate pushdown produces (`col >= 'x'`
+    * has no upper). The empty string is the true byte-order minimum,
+    * but no string is a maximum, hence the Option. */
+  private[sources] def pruneFilesOpt(
+      m: ManifestState, bounds: Seq[(String, Long, Long)],
+      strBounds: Seq[(String, Option[String], Option[String])]): Seq[FileEntry] = {
+    require(bounds.nonEmpty || strBounds.nonEmpty,
+      "LakeVersions.pruneFiles: no predicate bounds")
     bounds.foreach { case (c, lo, hi) =>
       require(lo <= hi, s"LakeVersions.pruneFiles: empty range [$lo, $hi] for $c") }
-    def partValue(relpath: String, col: String): Option[Option[Long]] =
+    def partValue(relpath: String, col: String): Option[Option[String]] =
       relpath.split("/").iterator.filter(_.contains("="))
         .map { seg => val i = seg.indexOf('='); (seg.substring(0, i), seg.substring(i + 1)) }
         .collectFirst { case (`col`, v) =>
-          // a NULL partition value can never satisfy a range predicate;
-          // any other non-integer value is a caller type error — fail
-          // loudly (same "int/long only, loudly" contract as
-          // parquetStats), never silently prune on unprovable evidence
-          if (v == "__HIVE_DEFAULT_PARTITION__") None
-          else try Some(v.toLong)
-          catch { case _: NumberFormatException =>
-            throw new IllegalArgumentException(
-              s"LakeVersions.pruneFiles: partition column $col has " +
-                s"non-integer value '$v' — range pruning is int/long only")
-          }
+          // a NULL partition value can never satisfy a range predicate
+          if (v == "__HIVE_DEFAULT_PARTITION__") None else Some(v)
         }
+    def partLong(relpath: String, col: String): Option[Option[Long]] =
+      partValue(relpath, col).map(_.map { v =>
+        // non-integer partition value under an int bound is a caller
+        // type error — fail loudly (same "loudly" contract as
+        // parquetStats), never silently prune on unprovable evidence
+        try v.toLong
+        catch { case _: NumberFormatException =>
+          throw new IllegalArgumentException(
+            s"LakeVersions.pruneFiles: partition column $col has " +
+              s"non-integer value '$v' under an int/long bound")
+        }
+      })
     m.files.filter { e =>
       val provablyEmpty = e.rows == 0L
-      !provablyEmpty && bounds.forall { case (c, lo, hi) =>
-        val byPartition = partValue(e.relpath, c) match {
+      val byNum = bounds.forall { case (c, lo, hi) =>
+        val byPartition = partLong(e.relpath, c) match {
           case Some(Some(v)) => v >= lo && v <= hi
           case Some(None)    => false // null partition: predicate is false
           case None          => true  // not a partition dir for this col
@@ -704,8 +819,37 @@ object LakeVersions {
         }
         byPartition && byStats
       }
+      // string bounds compare in unsigned UTF-8 byte space throughout
+      // (parquet's and Spark's string order); envelope bounds are the
+      // TRUNCATED sound bounds recorded at commit, so `envHi >= lo`
+      // and `envLo <= hi` remain proofs, just looser ones — an
+      // unbounded upper (all-0xFF truncation) can never drop from above
+      val byStr = strBounds.forall { case (c, loOpt, hiOpt) =>
+        val loB = loOpt.map(utf8)
+        val hiB = hiOpt.map(utf8)
+        val byPartition = partValue(e.relpath, c) match {
+          case Some(Some(v)) =>
+            val vb = utf8(v)
+            loB.forall(compareUtf8(vb, _) >= 0) &&
+              hiB.forall(compareUtf8(vb, _) <= 0)
+          case Some(None) => false
+          case None       => true
+        }
+        val byStats = e.strStats.get(c) match {
+          case Some((envLo, envHiOpt)) =>
+            loB.forall(lo => envHiOpt.forall(envHi =>
+              compareUtf8(b64Bytes(envHi), lo) >= 0)) &&
+              hiB.forall(hi => compareUtf8(b64Bytes(envLo), hi) <= 0)
+          case None => true // no envelope: must keep
+        }
+        byPartition && byStats
+      }
+      !provablyEmpty && byNum && byStr
     }
   }
+
+  private def utf8(s: String): Array[Byte] =
+    s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
 
   /** [[read]] restricted by manifest-level file pruning: the returned
     * frame plans over ONLY the files [[pruneFiles]] keeps. The bounds
@@ -714,30 +858,36 @@ object LakeVersions {
     * (exactly parquet row-group pruning's contract, one level up). */
   def readPruned(spark: SparkSession, dir: String,
                  bounds: Seq[(String, Long, Long)],
-                 version: Option[Long] = None): DataFrame = {
+                 version: Option[Long] = None,
+                 strBounds: Seq[(String, String, String)] = Nil): DataFrame = {
     val (_, lake) = fsFor(spark, dir)
     val m = pinned(spark, dir, version)
-    frameOver(spark, lake, m, pruneFiles(m, bounds))
+    frameOver(spark, lake, m, pruneFiles(m, bounds, strBounds))
   }
 
   /** Pruning audit: (kept, total) manifest files for `bounds` — the
     * number a layout decision or a prune-fraction assert reads. */
   def pruneCounts(spark: SparkSession, dir: String,
                   bounds: Seq[(String, Long, Long)],
-                  version: Option[Long] = None): (Int, Int) = {
+                  version: Option[Long] = None,
+                  strBounds: Seq[(String, String, String)] = Nil): (Int, Int) = {
     val m = pinned(spark, dir, version)
-    (pruneFiles(m, bounds).size, m.files.size)
+    (pruneFiles(m, bounds, strBounds).size, m.files.size)
   }
 
   /** Stats columns a rewrite should re-record: every column the
-    * current manifest carries an envelope for that still exists in the
-    * frame as int/long (the only exact footer stats). */
+    * current manifest carries an envelope for (exact int/long or
+    * truncated string) that still exists in the frame at an
+    * envelope-able type. */
   private def statsColsOf(m: ManifestState, df: DataFrame): Seq[String] = {
     val intLike: Set[org.apache.spark.sql.types.DataType] = Set(
       org.apache.spark.sql.types.IntegerType,
       org.apache.spark.sql.types.LongType)
     m.files.flatMap(_.stats.keys).distinct.filter(c =>
-      df.schema.find(_.name == c).exists(f => intLike(f.dataType)))
+      df.schema.find(_.name == c).exists(f => intLike(f.dataType))) ++
+      m.files.flatMap(_.strStats.keys).distinct.filter(c =>
+        df.schema.find(_.name == c)
+          .exists(_.dataType == org.apache.spark.sql.types.StringType))
   }
 
   /** OPTIMIZE-lite, part 1 — COMPACTION AS A COMMIT: rewrite the

@@ -594,6 +594,81 @@ class LakeVersionsSpec extends AnyFunSuite with SparkFixture {
     assert(e.getMessage.contains("n"), e.getMessage)
   }
 
+  test("truncateEnvelope: sound lossy bounds — prefix lower, incremented " +
+      "upper, None when the truncation is all 0xFF") {
+    def enc(lo: String, hi: String) = {
+      val (l, h) = LakeVersions.truncateEnvelope(
+        lo.getBytes("UTF-8"), hi.getBytes("UTF-8"))
+      (new String(java.util.Base64.getDecoder.decode(l), "UTF-8"),
+        h.map(x => new String(java.util.Base64.getDecoder.decode(x), "UTF-8")))
+    }
+    // short strings: exact
+    assert(enc("abc", "abd") == ("abc", Some("abd")))
+    // long strings: lower truncates (still <= true min in byte order),
+    // upper truncates AND increments (still >= true max)
+    val (lo, hi) = enc("doc-aaaaaaaaaaaaaaaaZZZ", "doc-bbbbbbbbbbbbbbbbAAA")
+    assert(lo == "doc-aaaaaaaaaaaa" && lo.length == 16)
+    assert(hi.contains("doc-bbbbbbbbbbbc"),
+      s"upper must increment its last byte, got $hi")
+    // exactly-16-byte max: no truncation, no increment
+    assert(enc("x", "y" * 16)._2.contains("y" * 16))
+    // a max whose 16-byte truncation is all 0xFF cannot be
+    // incremented: no upper bound
+    val ff = Array.fill[Byte](20)(0xff.toByte)
+    assert(LakeVersions.truncateEnvelope(Array[Byte](1), ff)._2.isEmpty)
+    // increments carry PAST trailing 0xFF bytes
+    val mixed = "ab".getBytes("UTF-8") ++ Array.fill[Byte](18)(0xff.toByte)
+    val inc = LakeVersions.truncateEnvelope(Array[Byte](1), mixed)._2.get
+    val incB = java.util.Base64.getDecoder.decode(inc)
+    assert(incB.toSeq == "ac".getBytes("UTF-8").toSeq,
+      s"expected 'ac', got ${incB.toSeq}")
+  }
+
+  test("string-key manifest pruning: truncated c_name-style envelopes " +
+      "prune a sorted string lake soundly, exactly like int envelopes") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = lake()
+    // ids are 21 chars — past the 16-byte truncation — and sorted
+    def id(k: Int) = f"doc-$k%05d-xxxxxxxxxxxx"
+    (0 until 3).foreach { i =>
+      LakeVersions.commit(s, dir,
+        (i * 30 until (i + 1) * 30).map(k => (id(k), k)).toDF("id", "n")
+          .coalesce(1),
+        statsCols = Seq("id")): Unit
+    }
+    val (lo, hi) = (id(35), id(55)) // inside file 2's envelope
+    val (kept, total) = LakeVersions.pruneCounts(
+      s, dir, Nil, strBounds = Seq(("id", lo, hi)))
+    assert((kept, total) == (1, 3), s"kept $kept of $total")
+    val rows = LakeVersions.readPruned(s, dir, Nil,
+        strBounds = Seq(("id", lo, hi)))
+      .filter(col("id").between(lo, hi))
+      .select("n").collect().map(_.getInt(0)).sorted.toSeq
+    assert(rows == (35 to 55), "pruning dropped a file that held rows")
+    // a range spanning two files keeps exactly two
+    assert(LakeVersions.pruneCounts(s, dir, Nil,
+      strBounds = Seq(("id", id(25), id(35))))._1 == 2)
+    // the graftlake face derives the same pruning from plain predicates
+    val face = spark.read.format("graftlake").load(dir)
+      .filter(col("id") >= lo && col("id") <= hi)
+    face.collect(): Unit
+    val scan = graft.plans.PlanLint.physicalPlan(face).collect {
+      case sc: org.apache.spark.sql.execution.FileSourceScanExec => sc
+    }.head
+    assert(scan.metrics("numFiles").value == 1L,
+      s"string predicate planned ${scan.metrics("numFiles").value} of 3 files")
+    // equality on a single id prunes to its file through the face too
+    val eqDf = spark.read.format("graftlake").load(dir)
+      .filter(col("id") === id(70))
+    eqDf.collect(): Unit
+    val eqScan = graft.plans.PlanLint.physicalPlan(eqDf).collect {
+      case sc: org.apache.spark.sql.execution.FileSourceScanExec => sc
+    }.head
+    assert(eqScan.metrics("numFiles").value == 1L)
+  }
+
   test("deleteWhere: only hit files rewrite, the rest carry by reference; " +
       "old versions still read the deleted rows") {
     val s = spark
