@@ -1076,6 +1076,66 @@ object LakeVersions {
     graft.operators.Snapshot.snapshotDiff(from, to, keyCols, compareCols)
   }
 
+  /** The maintenance advisor: WHEN to run [[compactCommit]] /
+    * [[zOrderCommit]], answered from the latest manifest alone —
+    * O(files) driver arithmetic, no listing, no footer reads. One row
+    * per partition (or `(table)` unpartitioned):
+    *
+    *  - `small_files`: files under targetBytes/2 — two or more means a
+    *    compaction would merge them (the small-file tax is per-file
+    *    open cost and scheduler pressure at 100×);
+    *  - `overlap` on the named stats column: sum of envelope widths ÷
+    *    the union range — ≈1.0 for a sorted/clustered layout (disjoint
+    *    envelopes), → n_files as every file spans the whole key range.
+    *    Rising overlap is exactly the drift that makes [[pruneFiles]]
+    *    keep everything, i.e. z-span degradation;
+    *  - `recommendation`: compact | zorder(col) | compact+zorder(col)
+    *    | ok.
+    *
+    * Thresholds: compact at `small_files >= 2`; re-cluster at
+    * `overlap > 2` with at least 3 files (an overlap of 2 means a
+    * point predicate already scans ~2 files where a sorted layout
+    * would scan 1). */
+  def maintenanceReport(spark: SparkSession, dir: String,
+                        targetBytes: Long = 128L << 20): DataFrame = {
+    val m = pinned(spark, dir, None)
+    def partOf(relpath: String): String = {
+      val segs = relpath.split("/").filter(_.contains("="))
+      if (segs.isEmpty) "(table)" else segs.mkString("/")
+    }
+    val rows = m.files.groupBy(e => partOf(e.relpath)).toSeq.map {
+      case (part, files) =>
+        val bytes = files.map(_.len).sum
+        val small = files.count(_.len < targetBytes / 2)
+        // worst-clustered indexed column: envelope-width sum over the
+        // union range (int/long envelopes; string envelopes are
+        // truncated — width is not meaningful there)
+        val overlaps = files.flatMap(_.stats.keys).distinct.flatMap { c =>
+          val envs = files.flatMap(_.stats.get(c))
+          if (envs.size < 2) None
+          else {
+            val widths = envs.map { case (lo, hi) => (hi - lo + 1).toDouble }
+            val range = (envs.map(_._2).max - envs.map(_._1).min + 1).toDouble
+            if (range <= 0) None else Some(c -> widths.sum / range)
+          }
+        }
+        val (worstCol, worstOverlap) =
+          if (overlaps.isEmpty) (null: String, 0.0)
+          else overlaps.maxBy(_._2)
+        val needCompact = small >= 2
+        val needZorder = worstOverlap > 2.0 && files.size >= 3
+        val rec =
+          if (needCompact && needZorder) s"compact+zorder($worstCol)"
+          else if (needCompact) "compact"
+          else if (needZorder) s"zorder($worstCol)"
+          else "ok"
+        (part, files.size, bytes, small, worstCol, worstOverlap, rec)
+    }
+    spark.createDataFrame(rows.sortBy(_._1))
+      .toDF("partition", "n_files", "bytes", "small_files",
+        "overlap_col", "overlap", "recommendation")
+  }
+
   /** Retention: keep the newest `keepVersions` manifests, drop older
     * ones — but ONLY once they are also older than `olderThanMs`: the
     * streaming promotion's crash-replay test

@@ -751,6 +751,56 @@ class LakeVersionsSpec extends AnyFunSuite with SparkFixture {
     assert(LakeVersions.read(s, dir).count() == 2L)
   }
 
+  test("maintenanceReport: fragmented layouts say compact, interleaved key " +
+      "ranges say zorder, a sorted compacted lake says ok") {
+    val s = spark
+    import s.implicits._
+    // deliberately fragmented AND de-clustered: 4 tiny round-robin
+    // commits, each file spanning the whole key range
+    val dir = lake()
+    (0 until 4).foreach { i =>
+      LakeVersions.commit(s, dir,
+        (0 until 25).map(j => ((j * 4 + i).toLong, s"r$i-$j"))
+          .toDF("k", "t").coalesce(1),
+        statsCols = Seq("k")): Unit
+    }
+    val r1 = LakeVersions.maintenanceReport(s, dir).collect().head
+    assert(r1.getAs[String]("partition") == "(table)")
+    assert(r1.getAs[Int]("n_files") == 4)
+    assert(r1.getAs[Int]("small_files") == 4)
+    assert(r1.getAs[String]("overlap_col") == "k")
+    assert(r1.getAs[Double]("overlap") > 3.0,
+      s"round-robin files each span the range: overlap ~4, got ${r1.getAs[Double]("overlap")}")
+    assert(r1.getAs[String]("recommendation") == "compact+zorder(k)")
+    // apply the advice: compact (merges the smalls) then re-sort
+    LakeVersions.compactCommit(s, dir): Unit
+    val afterCompact = LakeVersions.maintenanceReport(s, dir).collect().head
+    assert(afterCompact.getAs[Int]("small_files") <= 1)
+    assert(!afterCompact.getAs[String]("recommendation").contains("compact"))
+    // a sorted rewrite (three disjoint slices) reads ok
+    val dir2 = lake()
+    (0 until 3).foreach { i =>
+      LakeVersions.commit(s, dir2,
+        (i * 30 until (i + 1) * 30).map(k => (k.toLong, s"r$k"))
+          .toDF("k", "t").coalesce(1),
+        statsCols = Seq("k")): Unit
+    }
+    val sorted = LakeVersions.maintenanceReport(s, dir2).collect().head
+    assert(sorted.getAs[Double]("overlap") <= 1.01)
+    // small files still flag compact on the sorted lake (tiny fixture
+    // files), but never zorder — the clustering is already right
+    assert(!sorted.getAs[String]("recommendation").contains("zorder"))
+    // partitioned lakes report per partition
+    val dir3 = lake()
+    LakeVersions.commit(s, dir3,
+      (0 until 20).map(j => (j.toLong, j % 2, s"r$j")).toDF("k", "p", "t")
+        .repartition(2),
+      partitionBy = Seq("p"), statsCols = Seq("k")): Unit
+    val parts = LakeVersions.maintenanceReport(s, dir3).collect()
+      .map(_.getAs[String]("partition")).toSeq.sorted
+    assert(parts == Seq("p=0", "p=1"), parts.toString)
+  }
+
   test("vacuum never ages out a manifest inside the olderThanMs margin: " +
       "retention provably outlives the crash-replay window") {
     val s = spark
