@@ -61,8 +61,7 @@ final class GraftLakeSource extends RelationProvider with DataSourceRegister {
 object GraftLakeSource {
   private[sources] def relation(spark: SparkSession, dir: String,
                                 version: Option[Long]): BaseRelation = {
-    val m = LakeVersions.pinned(spark, dir, version)
-    val index = new GraftLakeFileIndex(spark, dir, m)
+    val index = new GraftLakeFileIndex(spark, dir, version)
     HadoopFsRelation(index, index.partitionSchema, index.dataSchema,
       bucketSpec = None, new ParquetFileFormat, options = Map.empty)(spark)
   }
@@ -73,10 +72,21 @@ object GraftLakeSource {
   * pushed partition AND data predicates, and both feed
   * [[LakeVersions.pruneFiles]]'s proof rule (drop a file only when its
   * partition value or recorded footer envelope excludes the range;
-  * missing evidence keeps the file). */
+  * missing evidence keeps the file).
+  *
+  * Version semantics: an explicit `versionAsOf`/`timestampAsOf` pin is
+  * immutable. An UN-pinned index resolves latest at creation and
+  * re-resolves on `refresh()` (`REFRESH TABLE view`), so a long-lived
+  * temp view can follow a lake that streaming promotion keeps
+  * advancing; the relation's SCHEMA and partition layout stay fixed at
+  * creation (a Spark relation's schema is immutable by contract) —
+  * recreate the view to pick up widened columns. */
 private[sources] final class GraftLakeFileIndex(
     spark: SparkSession, dir: String,
-    m: LakeVersions.ManifestState) extends FileIndex {
+    pinnedVersion: Option[Long]) extends FileIndex {
+
+  @volatile private var m: LakeVersions.ManifestState =
+    LakeVersions.pinned(spark, dir, pinnedVersion)
 
   private val hadoopConf = spark.sparkContext.hadoopConfiguration
   private val lakeRoot: HPath = {
@@ -99,7 +109,10 @@ private[sources] final class GraftLakeFileIndex(
   override def sizeInBytes: Long = m.files.map(_.len).sum
   override def inputFiles: Array[String] =
     m.files.map(e => new HPath(lakeRoot, e.relpath).toString).toArray
-  override def refresh(): Unit = () // a manifest is immutable
+  override def refresh(): Unit =
+    // a PINNED manifest is immutable; an un-pinned index re-resolves
+    // latest so REFRESH TABLE follows an advancing lake
+    if (pinnedVersion.isEmpty) m = LakeVersions.pinned(spark, dir, None)
 
   /** Columns whose predicates can become prune bounds: int/long in the
     * table schema (the only envelope type the manifest records —
@@ -252,7 +265,10 @@ private[sources] final class GraftLakeFileIndex(
         s"graftlake: $relpath has no ${f.name}= segment"))
       if (raw == "__HIVE_DEFAULT_PARTITION__") null
       else {
-        val v = unescapePath(raw)
+        // Spark's own inverse of the escaping the writer applied —
+        // hand-rolling it would have to stay byte-identical forever
+        val v = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .unescapePathName(raw)
         f.dataType match {
           case IntegerType => v.toInt
           case LongType    => v.toLong
@@ -268,26 +284,6 @@ private[sources] final class GraftLakeFileIndex(
               s"${other.simpleString} for ${f.name}")
         }
       }
-    }
-  }
-
-  /** Hive-style %XX path unescaping (the inverse of what the writer
-    * applied to special chars in partition values). */
-  private def unescapePath(s: String): String = {
-    if (!s.contains('%')) s
-    else {
-      val sb = new java.lang.StringBuilder(s.length)
-      var i = 0
-      while (i < s.length) {
-        val c = s.charAt(i)
-        if (c == '%' && i + 2 < s.length) {
-          try {
-            sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
-            i += 3
-          } catch { case _: NumberFormatException => sb.append(c); i += 1 }
-        } else { sb.append(c); i += 1 }
-      }
-      sb.toString
     }
   }
 

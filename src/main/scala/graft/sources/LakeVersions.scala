@@ -83,6 +83,18 @@ object LakeVersions {
     (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
   }
 
+  /** Strip the QUALIFIED lake root from a qualified file path — the
+    * proof-before-acting idiom [[vacuum]] and [[deleteWhere]] share:
+    * acting on an unproven relpath is data loss (vacuum would delete
+    * live data; deleteWhere would carry a hit file by reference and
+    * resurrect deleted rows). None = not provably under the root;
+    * the caller decides whether that means "skip" or "fail loudly". */
+  private def relpathUnder(lakeUri: String, p: HPath): Option[String] = {
+    val path = p.toUri.getPath
+    if (path.startsWith(s"$lakeUri/")) Some(path.substring(lakeUri.length + 1))
+    else None
+  }
+
   /** High-water pointer file: the last committed version number, so
     * latest-version discovery costs one small read + one exists()
     * probe instead of LISTING `_graft_versions/` — the streaming
@@ -102,17 +114,23 @@ object LakeVersions {
       finally out.close()
     } catch { case _: java.io.IOException => () }
 
-  /** The listing fallback — correct on any lake state, O(versions). */
-  private def listState(fs: FileSystem, lake: HPath): Long = {
+  /** All surviving manifest versions, ascending — ONE listing, the
+    * right shape for audit relations ([[versions]], [[schemaDrift]]):
+    * probing exists() for every version 1..latest would cost O(latest)
+    * round-trips on a vacuumed high-version lake (~40k after an
+    * unvacuumed month at epoch cadence) where only a handful survive. */
+  private def survivingVersions(fs: FileSystem, lake: HPath): Seq[Long] = {
     val vp = versionsPath(lake)
-    if (!fs.exists(vp)) 0L
-    else fs.listStatus(vp).foldLeft(0L) { (acc, s) =>
-      s.getPath.getName match {
-        case Manifest(v) => math.max(acc, v.toLong)
-        case _           => acc
-      }
-    }
+    if (!fs.exists(vp)) Nil
+    else fs.listStatus(vp).flatMap(s => s.getPath.getName match {
+      case Manifest(v) => Some(v.toLong)
+      case _           => None
+    }).sorted.toSeq
   }
+
+  /** The listing fallback — correct on any lake state, O(versions). */
+  private def listState(fs: FileSystem, lake: HPath): Long =
+    survivingVersions(fs, lake).lastOption.getOrElse(0L)
 
   /** Latest committed manifest version, 0 = none. Pointer + bounded
     * forward probe (O(1 + pointer lag)); any anomaly — pointer absent
@@ -135,6 +153,13 @@ object LakeVersions {
 
   private val ManifestMagicV1 = "graft-lake-manifest-v1"
   private val ManifestMagicV2 = "graft-lake-manifest-v2"
+  /** v3 marks a header whose schema is the append-MERGED table schema
+    * (authoritative for reads). v2 manifests recorded the LAST
+    * commit's frame schema — possibly narrower than the union of
+    * their files — so v2 reads must keep the mergeSchema footer-merge
+    * path or a legacy lake would silently drop columns older files
+    * carry. Same field layout as v2 otherwise. */
+  private val ManifestMagicV3 = "graft-lake-manifest-v3"
 
   /** One manifest line: a data file with its optional footer-derived
     * stats. `rows` is -1 when the committing writer didn't collect
@@ -205,7 +230,8 @@ object LakeVersions {
     * and the data files. */
   final case class ManifestState(
       schema: org.apache.spark.sql.types.StructType,
-      partitionBy: Seq[String], tag: String, files: Seq[FileEntry])
+      partitionBy: Seq[String], tag: String, files: Seq[FileEntry],
+      headerAuthoritative: Boolean = true)
 
   /** Stats wire format: `rows|col,lo,hi;col2,lo2,hi2`. String
     * envelopes ride the same triple with an `s:` marker and base64
@@ -248,7 +274,8 @@ object LakeVersions {
   private def parseHeader(line: String, v: Long, lake: HPath)
       : (org.apache.spark.sql.types.StructType, Seq[String], String) = {
     val header = line.split("\t", -1)
-    if (header(0) != ManifestMagicV1 && header(0) != ManifestMagicV2)
+    if (header(0) != ManifestMagicV1 && header(0) != ManifestMagicV2 &&
+        header(0) != ManifestMagicV3)
       throw new IllegalArgumentException(
         s"LakeVersions: unrecognized manifest header '${header(0)}' " +
           s"for v$v under $lake")
@@ -292,18 +319,42 @@ object LakeVersions {
         FileEntry(t(0), t(1).toLong, rows, stats, strStats)
       }
     }.toSeq
-    ManifestState(schema, partBy, tag, files)
+    ManifestState(schema, partBy, tag, files,
+      headerAuthoritative = headerLine.startsWith(ManifestMagicV3))
+  }
+
+  /** The lake's widening lattice: the widened type must be BOTH
+    * lossless AND one Spark's parquet readers can decode the old
+    * files as (the SPARK-40876 widening promotions) — integral widths
+    * up to long, and {byte,short,int,float} → double. long+fractional
+    * is EXCLUDED even though [[PsIO.unifyTypes]] (DuckDB
+    * union_by_name's rule for loose files) allows it: double is lossy
+    * above 2^53, and INT64 parquet pages cannot be decoded as double,
+    * so accepting that append would poison every later read — the
+    * exact failure the gate exists to prevent. */
+  private def lakeWiden(a: org.apache.spark.sql.types.DataType,
+                        b: org.apache.spark.sql.types.DataType)
+      : Option[org.apache.spark.sql.types.DataType] = {
+    import org.apache.spark.sql.types._
+    val ints: Seq[DataType] = Seq(ByteType, ShortType, IntegerType, LongType)
+    def rank(t: DataType) = ints.indexOf(t)
+    def isFrac(t: DataType) = t == FloatType || t == DoubleType
+    if (a == b) Some(a)
+    else if (rank(a) >= 0 && rank(b) >= 0) Some(ints(rank(a) max rank(b)))
+    else if (isFrac(a) && isFrac(b)) Some(DoubleType)
+    else if (Seq(a, b).exists(isFrac) &&
+        Seq(a, b).exists(t => rank(t) >= 0 && t != LongType)) Some(DoubleType)
+    else None
   }
 
   /** The append-time schema merge (and the schema every manifest
     * header records): same-name columns of equal type pass through;
-    * integral-width / int→double drift widens LOSSLESSLY along
-    * [[PsIO.unifyTypes]]'s lattice — the same DuckDB union_by_name
-    * rule [[PsIO.readParquetEvolved]] applies to loose files — so a
-    * crawl whose counters outgrow int32 keeps appending; nested types
-    * fall back to Spark's strict StructType.merge (adds nested fields,
-    * rejects re-types); any other re-type throws with the column
-    * named. Table column order is preserved; new columns append. */
+    * drift widens along [[lakeWiden]]'s lossless-and-readable lattice,
+    * so a crawl whose counters outgrow int32 keeps appending; nested
+    * types fall back to Spark's strict StructType.merge (adds nested
+    * fields, rejects re-types); any other re-type throws with the
+    * column named. Table column order is preserved; new columns
+    * append. */
   private[graft] def mergeLakeSchemas(
       table: org.apache.spark.sql.types.StructType,
       incoming: org.apache.spark.sql.types.StructType)
@@ -323,7 +374,7 @@ object LakeVersions {
           if (nested)
             org.apache.spark.sql.GraftColumnBridge
               .mergeSchemas(StructType(Seq(tf)), StructType(Seq(nf))).fields(0)
-          else PsIO.unifyTypes(Seq(tf.dataType, nf.dataType)) match {
+          else lakeWiden(tf.dataType, nf.dataType) match {
             case Some(w) =>
               tf.copy(dataType = w, nullable = tf.nullable || nf.nullable)
             case None => throw new IllegalArgumentException(
@@ -664,14 +715,21 @@ object LakeVersions {
         val tableSchema = prev match {
           case None => df.schema
           case Some(p) =>
-            try mergeLakeSchemas(p.schema, df.schema)
+            // a legacy v2 header may be NARROWER than its files' union
+            // (v2 recorded the last commit's frame schema) — recover
+            // the true table schema from the footers once; the v3
+            // header written below makes every later commit O(1) again
+            val prevSchema =
+              if (p.headerAuthoritative) p.schema
+              else frameOver(spark, lake, p, p.files).schema
+            try mergeLakeSchemas(prevSchema, df.schema)
             catch { case e: Exception => throw new IllegalStateException(
               s"LakeVersions.commit: table schema changed incompatibly " +
                 s"under the lock (${e.getMessage}) — retry commit()")
             }
         }
         val header =
-          s"$ManifestMagicV2\t${tableSchema.json}\t${partByOut.mkString(",")}\t$tag"
+          s"$ManifestMagicV3\t${tableSchema.json}\t${partByOut.mkString(",")}\t$tag"
         val tmp = new HPath(versionsPath(lake), s".v$next.$uuid.tmp")
         val out = fs.create(tmp, true)
         try out.write((header +: files.map(e =>
@@ -724,7 +782,25 @@ object LakeVersions {
   private def frameOver(spark: SparkSession, lake: HPath,
                         m: ManifestState, files: Seq[FileEntry]): DataFrame = {
     if (files.isEmpty) emptyFrame(spark, m.schema)
-    else {
+    else if (!m.headerAuthoritative) {
+      // legacy v2 manifest: its header is the LAST commit's frame
+      // schema, possibly narrower than the union of its files — only
+      // the mergeSchema footer-merge read is correct there
+      val paths = files.map(e => new HPath(lake, e.relpath).toString)
+      val base = spark.read.option("mergeSchema", "true")
+      if (m.partitionBy.isEmpty) base.parquet(paths: _*)
+      else {
+        val df = base.option("basePath", lake.toString).parquet(paths: _*)
+        val typed = m.schema.fields.filter(f => m.partitionBy.contains(f.name))
+        typed.foldLeft(df) { (d, f) =>
+          d.withColumn(f.name,
+            org.apache.spark.sql.functions.col(f.name).cast(f.dataType))
+        }.select(m.schema.fieldNames.filter(df.columns.contains).map(
+          org.apache.spark.sql.functions.col).toSeq ++
+          df.columns.filterNot(m.schema.fieldNames.contains).map(
+            org.apache.spark.sql.functions.col).toSeq: _*)
+      }
+    } else {
       val paths = files.map(e => new HPath(lake, e.relpath).toString)
       val base = spark.read.schema(
         org.apache.spark.sql.GraftColumnBridge.nullableSchema(m.schema))
@@ -790,8 +866,14 @@ object LakeVersions {
       relpath.split("/").iterator.filter(_.contains("="))
         .map { seg => val i = seg.indexOf('='); (seg.substring(0, i), seg.substring(i + 1)) }
         .collectFirst { case (`col`, v) =>
-          // a NULL partition value can never satisfy a range predicate
-          if (v == "__HIVE_DEFAULT_PARTITION__") None else Some(v)
+          // a NULL partition value can never satisfy a range predicate.
+          // UNESCAPE before comparing: the writer hive-escaped special
+          // chars into the dir name (a value 'a:b' lands as 'a%3Ab'),
+          // and comparing the escaped form against a user-space bound
+          // would wrongly prune files that hold matching rows
+          if (v == "__HIVE_DEFAULT_PARTITION__") None
+          else Some(org.apache.spark.sql.catalyst.catalog
+            .ExternalCatalogUtils.unescapePathName(v))
         }
     def partLong(relpath: String, col: String): Option[Option[Long]] =
       partValue(relpath, col).map(_.map { v =>
@@ -805,6 +887,11 @@ object LakeVersions {
               s"non-integer value '$v' under an int/long bound")
         }
       })
+    // encode the predicate bounds ONCE, not once per file — pruning is
+    // the planning hot path of every graftlake query
+    val strBoundsB = strBounds.map { case (c, lo, hi) =>
+      (c, lo.map(utf8), hi.map(utf8))
+    }
     m.files.filter { e =>
       val provablyEmpty = e.rows == 0L
       val byNum = bounds.forall { case (c, lo, hi) =>
@@ -824,9 +911,7 @@ object LakeVersions {
       // TRUNCATED sound bounds recorded at commit, so `envHi >= lo`
       // and `envLo <= hi` remain proofs, just looser ones — an
       // unbounded upper (all-0xFF truncation) can never drop from above
-      val byStr = strBounds.forall { case (c, loOpt, hiOpt) =>
-        val loB = loOpt.map(utf8)
-        val hiB = hiOpt.map(utf8)
+      val byStr = strBoundsB.forall { case (c, loB, hiB) =>
         val byPartition = partValue(e.relpath, c) match {
           case Some(Some(v)) =>
             val vb = utf8(v)
@@ -981,12 +1066,12 @@ object LakeVersions {
       .option("versionAsOf", v.toString).load(dir)
     val hitRels = face.filter(predicate).select(input_file_name())
       .distinct().collect().map { r =>
-        val p = new HPath(r.getString(0)).toUri.getPath
         // refuse an unprovable relpath outright: carrying a hit file
         // by reference would resurrect the deleted rows
-        require(p.startsWith(s"$lakeUri/"),
-          s"LakeVersions.deleteWhere: matched file $p outside lake root $lakeUri")
-        p.substring(lakeUri.length + 1)
+        relpathUnder(lakeUri, new HPath(r.getString(0))).getOrElse(
+          throw new IllegalStateException(
+            s"LakeVersions.deleteWhere: matched file ${r.getString(0)} " +
+              s"outside lake root $lakeUri"))
       }.toSet
     if (hitRels.isEmpty) return (v, 0, m.files.size)
     val (rewrite, carry) = m.files.partition(e => hitRels(e.relpath))
@@ -1001,15 +1086,11 @@ object LakeVersions {
     * -1 when any of the version's files predates stats collection. */
   def versions(spark: SparkSession, dir: String): DataFrame = {
     val (fs, lake) = fsFor(spark, dir)
-    val latest = state(fs, lake)
-    val rows = (1L to latest).flatMap { v =>
-      if (!fs.exists(manifestPath(lake, v))) None
-      else {
-        val m = readManifest(fs, lake, v)
-        val nRows =
-          if (m.files.exists(_.rows < 0)) -1L else m.files.map(_.rows).sum
-        Some((v, m.files.size, m.files.map(_.len).sum, nRows, m.tag))
-      }
+    val rows = survivingVersions(fs, lake).map { v =>
+      val m = readManifest(fs, lake, v)
+      val nRows =
+        if (m.files.exists(_.rows < 0)) -1L else m.files.map(_.rows).sum
+      (v, m.files.size, m.files.map(_.len).sum, nRows, m.tag)
     }
     spark.createDataFrame(rows)
       .toDF("version", "n_files", "bytes", "n_rows", "tag")
@@ -1042,24 +1123,30 @@ object LakeVersions {
     * Header-only reads: O(surviving versions), no data touched. */
   def schemaDrift(spark: SparkSession, dir: String): DataFrame = {
     val (fs, lake) = fsFor(spark, dir)
-    val latest = state(fs, lake)
-    val headers = (1L to latest).flatMap { v =>
-      if (!fs.exists(manifestPath(lake, v))) None
-      else Some(v -> readHeader(fs, lake, v)._1)
-    }
+    val headers = survivingVersions(fs, lake)
+      .map(v => v -> readHeader(fs, lake, v)._1)
     val rows = headers.sliding(2).flatMap {
       case Seq((_, a), (v, b)) =>
         val before = a.fields.map(f => f.name -> f.dataType).toMap
         val added = b.fields.filterNot(f => before.contains(f.name))
           .map(f => (v, f.name, null: String, f.dataType.simpleString, "add"))
-        val widened = b.fields.filter(f => before.get(f.name)
+        // a same-name type change is a WIDEN only if the lake lattice
+        // produced it; an overwrite commit can legally RE-TYPE (it
+        // skips the merge gate), and the ledger must not launder that
+        // as a lossless transition
+        val changed = b.fields.filter(f => before.get(f.name)
             .exists(t => t != f.dataType))
-          .map(f => (v, f.name, before(f.name).simpleString,
-            f.dataType.simpleString, "widen"))
+          .map { f =>
+            val from = before(f.name)
+            val action =
+              if (lakeWiden(from, f.dataType).contains(f.dataType)) "widen"
+              else "retype"
+            (v, f.name, from.simpleString, f.dataType.simpleString, action)
+          }
         val after = b.fieldNames.toSet
         val dropped = a.fields.filterNot(f => after(f.name))
           .map(f => (v, f.name, f.dataType.simpleString, null: String, "drop"))
-        added ++ widened ++ dropped
+        added ++ changed ++ dropped
       case _ => Nil
     }.toSeq
     spark.createDataFrame(rows)
@@ -1114,8 +1201,12 @@ object LakeVersions {
           val envs = files.flatMap(_.stats.get(c))
           if (envs.size < 2) None
           else {
-            val widths = envs.map { case (lo, hi) => (hi - lo + 1).toDouble }
-            val range = (envs.map(_._2).max - envs.map(_._1).min + 1).toDouble
+            // double arithmetic BEFORE the subtraction: sentinel-wide
+            // envelopes (Long.MinValue..positive) overflow Long and a
+            // negative width would understate the drift
+            val widths = envs.map { case (lo, hi) => hi.toDouble - lo.toDouble + 1 }
+            val range =
+              envs.map(_._2).max.toDouble - envs.map(_._1).min.toDouble + 1
             if (range <= 0) None else Some(c -> widths.sum / range)
           }
         }
@@ -1207,11 +1298,9 @@ object LakeVersions {
           }
         } else if (s.isFile && n.startsWith("data-") &&
             s.getModificationTime < cutoff) {
-          val p = s.getPath.toUri.getPath
           // delete only on a PROVEN relpath: if qualification schemes
           // ever disagree, skipping is litter; deleting is data loss
-          if (p.startsWith(s"$lakeUri/")) {
-            val rel = p.substring(lakeUri.length + 1)
+          relpathUnder(lakeUri, s.getPath).foreach { rel =>
             if (!referenced(rel)) { fs.delete(s.getPath, false): Unit; removed += 1 }
           }
         }

@@ -751,6 +751,131 @@ class LakeVersionsSpec extends AnyFunSuite with SparkFixture {
     assert(LakeVersions.read(s, dir).count() == 2L)
   }
 
+  test("string pruning on ESCAPED partition values: the bound compares the " +
+      "unescaped value, so 'a:b'-style keys are never wrongly pruned") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = lake()
+    LakeVersions.commit(s, dir,
+      Seq(("example.com:8080", 1L), ("other.net:9090", 2L))
+        .toDF("site", "n").repartition(1),
+      partitionBy = Seq("site")): Unit
+    // the dir on disk is hive-escaped (site=example.com%3A8080);
+    // pruning must unescape before comparing or this returns 0 files
+    val kept = LakeVersions.pruneCounts(s, dir, Nil,
+      strBounds = Seq(("site", "example.com:8080", "example.com:8080")))
+    assert(kept._1 == 1, s"escaped partition value wrongly pruned: $kept")
+    assert(LakeVersions.readPruned(s, dir, Nil,
+        strBounds = Seq(("site", "example.com:8080", "example.com:8080")))
+      .filter(col("site") === "example.com:8080")
+      .select("n").collect().map(_.getLong(0)).toSeq == Seq(1L))
+    // through the graftlake face too: equality predicate on the
+    // partition column prunes to 1 file AND the value reads back
+    val face = spark.read.format("graftlake").load(dir)
+      .filter(col("site") === "example.com:8080")
+    assert(face.select("n").collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
+  test("the widening lattice excludes long+fractional: that append is " +
+      "REJECTED (double is lossy above 2^53 and INT64 pages cannot be " +
+      "decoded as double), while int->double widens and reads") {
+    val s = spark
+    import s.implicits._
+    val dir = lake()
+    LakeVersions.commit(s, dir, Seq((1, 10)).toDF("k", "n"))
+    // int -> double: lossless AND readable (parquet widening promotion)
+    LakeVersions.commit(s, dir, Seq((2, 2.5)).toDF("k", "n"))
+    val got = LakeVersions.read(s, dir)
+    assert(got.schema("n").dataType == org.apache.spark.sql.types.DoubleType)
+    assert(got.select("k", "n").collect()
+      .map(r => (r.getInt(0), r.getDouble(1))).sortBy(_._1).toSeq ==
+      Seq((1, 10.0), (2, 2.5)))
+    // long + double: refused at the gate — the v1 long file could
+    // never be read back through a double header
+    val dir2 = lake()
+    LakeVersions.commit(s, dir2, Seq((1, 10L)).toDF("k", "n"))
+    val e = intercept[IllegalArgumentException] {
+      LakeVersions.commit(s, dir2, Seq((2, 2.5)).toDF("k", "n"))
+    }
+    assert(e.getMessage.contains("n"), e.getMessage)
+    assert(LakeVersions.read(s, dir2).count() == 1L,
+      "the rejected append must not poison the table")
+  }
+
+  test("legacy v2 manifests (last-append header) still read the union of " +
+      "their files; the next commit upgrades the header to v3 merged") {
+    val s = spark
+    import s.implicits._
+    val dir = lake()
+    LakeVersions.commit(s, dir, Seq((1, "a", 7.5)).toDF("k", "t", "score"))
+    LakeVersions.commit(s, dir, Seq((2, "b")).toDF("k", "t"))
+    // forge what the previous release wrote: v2 magic with the LAST
+    // commit's NARROW schema in the header
+    val mf = new java.io.File(dir, "_graft_versions/v00000002.manifest")
+    val lines = new String(
+      java.nio.file.Files.readAllBytes(mf.toPath), "UTF-8").split("\n")
+    val h = lines.head.split("\t", -1)
+    val narrow = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("t",
+        org.apache.spark.sql.types.StringType)))
+    val forged = (Array("graft-lake-manifest-v2", narrow.json, h(2), h(3))
+      .mkString("\t") +: lines.tail).mkString("\n")
+    java.nio.file.Files.write(mf.toPath, forged.getBytes("UTF-8")): Unit
+    java.nio.file.Files.deleteIfExists(
+      new java.io.File(mf.getParentFile, s".${mf.getName}.crc").toPath): Unit
+    // the legacy read must still surface score (mergeSchema path) —
+    // trusting the narrow header would silently drop the column
+    val got = LakeVersions.read(s, dir)
+    assert(got.columns.contains("score"),
+      "legacy v2 narrow header silently dropped a column")
+    assert(got.filter("k = 1").select("score").head().getDouble(0) == 7.5)
+    // an append recovers the TRUE schema from the files' union and
+    // writes an authoritative v3 header
+    LakeVersions.commit(s, dir, Seq((3, "c")).toDF("k", "t"))
+    val v3 = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(dir, "_graft_versions/v00000003.manifest").toPath),
+      "UTF-8")
+    assert(v3.startsWith("graft-lake-manifest-v3"))
+    assert(v3.split("\n").head.contains("score"),
+      "the upgrade commit must record the files' union, not the v2 header")
+    assert(LakeVersions.read(s, dir).columns.contains("score"))
+  }
+
+  test("schemaDrift labels an overwrite's re-type 'retype', never 'widen'") {
+    val s = spark
+    import s.implicits._
+    val dir = lake()
+    LakeVersions.commit(s, dir, Seq((1, 10)).toDF("k", "n"))
+    LakeVersions.commit(s, dir,
+      Seq((1, "ten")).toDF("k", "n"), overwrite = true)
+    val drift = LakeVersions.schemaDrift(s, dir).collect()
+      .map(r => (r.getString(1), r.getString(4))).toSeq
+    assert(drift == Seq(("n", "retype")), drift.toString)
+  }
+
+  test("an un-pinned graftlake view follows the lake on REFRESH TABLE; " +
+      "a versionAsOf pin never moves") {
+    val s = spark
+    import s.implicits._
+    val dir = lake()
+    LakeVersions.commit(s, dir, Seq((1L, "a")).toDF("k", "t"))
+    s.sql(s"CREATE OR REPLACE TEMPORARY VIEW lake_follow " +
+      s"USING graftlake OPTIONS (path '$dir')"): Unit
+    s.sql(s"CREATE OR REPLACE TEMPORARY VIEW lake_pinned " +
+      s"USING graftlake OPTIONS (path '$dir', versionAsOf '1')"): Unit
+    assert(s.sql("SELECT count(*) FROM lake_follow").head().getLong(0) == 1L)
+    LakeVersions.commit(s, dir, Seq((2L, "b")).toDF("k", "t"))
+    s.sql("REFRESH TABLE lake_follow"): Unit
+    assert(s.sql("SELECT count(*) FROM lake_follow").head().getLong(0) == 2L,
+      "REFRESH TABLE must re-resolve an un-pinned view to latest")
+    s.sql("REFRESH TABLE lake_pinned"): Unit
+    assert(s.sql("SELECT count(*) FROM lake_pinned").head().getLong(0) == 1L,
+      "a pinned view must never move, refresh or not")
+  }
+
   test("maintenanceReport: fragmented layouts say compact, interleaved key " +
       "ranges say zorder, a sorted compacted lake says ok") {
     val s = spark
