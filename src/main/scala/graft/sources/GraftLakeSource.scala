@@ -85,8 +85,13 @@ private[sources] final class GraftLakeFileIndex(
     spark: SparkSession, dir: String,
     pinnedVersion: Option[Long]) extends FileIndex {
 
+  // resolvedState, not pinned: a legacy v2 manifest's header may be
+  // narrower than its files' union, and this index's schema IS the
+  // relation's schema — trusting the narrow header would silently
+  // drop columns from the SQL face (and from deleteWhere's candidate
+  // probe, which plans through it)
   @volatile private var m: LakeVersions.ManifestState =
-    LakeVersions.pinned(spark, dir, pinnedVersion)
+    LakeVersions.resolvedState(spark, dir, pinnedVersion)
 
   private val hadoopConf = spark.sparkContext.hadoopConfiguration
   private val lakeRoot: HPath = {
@@ -112,7 +117,7 @@ private[sources] final class GraftLakeFileIndex(
   override def refresh(): Unit =
     // a PINNED manifest is immutable; an un-pinned index re-resolves
     // latest so REFRESH TABLE follows an advancing lake
-    if (pinnedVersion.isEmpty) m = LakeVersions.pinned(spark, dir, None)
+    if (pinnedVersion.isEmpty) m = LakeVersions.resolvedState(spark, dir, None)
 
   /** Columns whose predicates can become prune bounds: int/long in the
     * table schema (the only envelope type the manifest records —

@@ -212,17 +212,12 @@ object LakeVersions {
   private def b64Bytes(s: String): Array[Byte] =
     java.util.Base64.getDecoder.decode(s)
 
-  /** Unsigned lexicographic byte compare — parquet UTF8 sort order. */
-  private[graft] def compareUtf8(a: Array[Byte], b: Array[Byte]): Int = {
-    var i = 0
-    val n = math.min(a.length, b.length)
-    while (i < n) {
-      val d = (a(i) & 0xff) - (b(i) & 0xff)
-      if (d != 0) return d
-      i += 1
-    }
-    a.length - b.length
-  }
+  /** Unsigned lexicographic byte compare — parquet UTF8 sort order.
+    * (The JDK intrinsic; kept as a named seam so every lake-side
+    * string comparison provably goes through byte order, never
+    * UTF-16 `String.compareTo`.) */
+  private[graft] def compareUtf8(a: Array[Byte], b: Array[Byte]): Int =
+    java.util.Arrays.compareUnsigned(a, b)
 
   /** Everything a version pins: table schema (so an EMPTY committed
     * version — a legal full purge — still reads with the table's
@@ -290,16 +285,20 @@ object LakeVersions {
   /** Header-only manifest read — O(1) in table size. [[tagOf]] runs
     * once per micro-batch side and commit's pre-land layout resolution
     * once per commit; parsing every file entry there would grow
-    * per-epoch driver latency linearly with lake history. */
+    * per-epoch driver latency linearly with lake history. The fourth
+    * element is [[ManifestState.headerAuthoritative]]: whether the
+    * header schema is the merged table schema (v3) or a legacy
+    * last-append schema (v2). */
   private def readHeader(fs: FileSystem, lake: HPath, v: Long)
-      : (org.apache.spark.sql.types.StructType, Seq[String], String) = {
+      : (org.apache.spark.sql.types.StructType, Seq[String], String, Boolean) = {
     val in = fs.open(manifestPath(lake, v))
     try {
       val br = new java.io.BufferedReader(new java.io.InputStreamReader(
         in, java.nio.charset.StandardCharsets.UTF_8))
       val line = br.readLine()
       require(line != null, s"LakeVersions: empty manifest v$v under $lake")
-      parseHeader(line, v, lake)
+      val (schema, partBy, tag) = parseHeader(line, v, lake)
+      (schema, partBy, tag, line.startsWith(ManifestMagicV3))
     } finally in.close()
   }
 
@@ -563,7 +562,7 @@ object LakeVersions {
       else Some(readHeader(fs, lake, latestPre))
     val tablePartBy = prevHeader match {
       case None => partitionBy
-      case Some((_, existing, _)) =>
+      case Some((_, existing, _, _)) =>
         require(partitionBy.isEmpty || partitionBy == existing,
           s"LakeVersions.commit: append partitionBy ${partitionBy.mkString(",")} " +
             s"conflicts with the table's ${existing.mkString(",")} — appends " +
@@ -584,10 +583,25 @@ object LakeVersions {
     // append (a re-typed column) fails HERE with the column named — at
     // the write, before any bytes land — instead of poisoning every
     // later read of the table. New and missing columns merge fine
-    // (null-fill); int-width/int→double drift widens losslessly along
-    // [[PsIO.unifyTypes]]'s lattice (month-over-month crawls widen
-    // counters; rejecting them would strand every long-lived table).
-    prevHeader.foreach { case (tableSchema, _, _) =>
+    // (null-fill); drift widens along [[lakeWiden]]'s lattice
+    // (month-over-month crawls widen counters; rejecting them would
+    // strand every long-lived table). A legacy v2 header may be
+    // NARROWER than its files' union (v2 recorded the last commit's
+    // frame schema) — recover the true union HERE, unlocked (one
+    // mergeSchema footer job; running it under the lock could exceed
+    // lockStaleMs and get our own lock broken mid-critical-section),
+    // and gate against it, so pre-land and under-lock validate the
+    // SAME schema and a gated-through append cannot fail forever
+    // under the lock.
+    val preLandTableSchema: Option[org.apache.spark.sql.types.StructType] =
+      prevHeader.map { case (headerSchema, _, _, authoritative) =>
+        if (authoritative) headerSchema
+        else {
+          val p = readManifest(fs, lake, latestPre)
+          frameOver(spark, lake, p, p.files).schema
+        }
+      }
+    preLandTableSchema.foreach { tableSchema =>
       try mergeLakeSchemas(tableSchema, df.schema): Unit
       catch { case e: Exception =>
         throw new IllegalArgumentException(
@@ -715,13 +729,16 @@ object LakeVersions {
         val tableSchema = prev match {
           case None => df.schema
           case Some(p) =>
-            // a legacy v2 header may be NARROWER than its files' union
-            // (v2 recorded the last commit's frame schema) — recover
-            // the true table schema from the footers once; the v3
-            // header written below makes every later commit O(1) again
+            // for a legacy v2 prev, reuse the union recovered UNLOCKED
+            // in the pre-land gate: a v2 prev under the lock means no
+            // commit landed since pre-land (any new commit writes v3),
+            // so the pre-land recovery is the same manifest's union —
+            // and no footer job runs while holding the lock. The
+            // fallback recovery is defensively unreachable.
             val prevSchema =
               if (p.headerAuthoritative) p.schema
-              else frameOver(spark, lake, p, p.files).schema
+              else preLandTableSchema.getOrElse(
+                frameOver(spark, lake, p, p.files).schema)
             try mergeLakeSchemas(prevSchema, df.schema)
             catch { case e: Exception => throw new IllegalStateException(
               s"LakeVersions.commit: table schema changed incompatibly " +
@@ -820,6 +837,22 @@ object LakeVersions {
     val (fs, lake) = fsFor(spark, dir)
     val m = pinned(spark, dir, version)
     frameOver(spark, lake, m, m.files)
+  }
+
+  /** [[pinned]] with the schema made AUTHORITATIVE: a legacy v2
+    * header may be narrower than its files' union, so faces that
+    * trust `schema` directly (the graftlake source builds its
+    * relation schema from it) must resolve the union first — one
+    * mergeSchema footer job, only ever paid on legacy manifests. */
+  private[sources] def resolvedState(spark: SparkSession, dir: String,
+                                     version: Option[Long]): ManifestState = {
+    val m = pinned(spark, dir, version)
+    if (m.headerAuthoritative) m
+    else {
+      val (_, lake) = fsFor(spark, dir)
+      m.copy(schema = frameOver(spark, lake, m, m.files).schema,
+        headerAuthoritative = true)
+    }
   }
 
   private[graft] def pinned(spark: SparkSession, dir: String,
@@ -1064,14 +1097,26 @@ object LakeVersions {
     val lakeUri = fs.makeQualified(lake).toUri.getPath.stripSuffix("/")
     val face = spark.read.format("graftlake")
       .option("versionAsOf", v.toString).load(dir)
+    val manifestRels = m.files.map(_.relpath).toSet
     val hitRels = face.filter(predicate).select(input_file_name())
       .distinct().collect().map { r =>
-        // refuse an unprovable relpath outright: carrying a hit file
-        // by reference would resurrect the deleted rows
-        relpathUnder(lakeUri, new HPath(r.getString(0))).getOrElse(
-          throw new IllegalStateException(
+        // input_file_name() returns the URL-ENCODED path (a physical
+        // dir 'p=a%3Ab' — itself hive-escaped — arrives as
+        // 'p=a%253Ab'); decode ONCE via URI to recover the on-disk
+        // name the manifest records, then refuse an unprovable relpath
+        // outright: silently carrying a hit file by reference would
+        // resurrect the deleted rows
+        val decoded = java.net.URI.create(r.getString(0)).getPath
+        val rel =
+          if (decoded.startsWith(s"$lakeUri/"))
+            decoded.substring(lakeUri.length + 1)
+          else throw new IllegalStateException(
             s"LakeVersions.deleteWhere: matched file ${r.getString(0)} " +
-              s"outside lake root $lakeUri"))
+              s"outside lake root $lakeUri")
+        require(manifestRels(rel),
+          s"LakeVersions.deleteWhere: matched file $rel is not in the " +
+            s"pinned manifest — path decoding drifted; refusing a silent no-op")
+        rel
       }.toSet
     if (hitRels.isEmpty) return (v, 0, m.files.size)
     val (rewrite, carry) = m.files.partition(e => hitRels(e.relpath))
@@ -1130,17 +1175,24 @@ object LakeVersions {
         val before = a.fields.map(f => f.name -> f.dataType).toMap
         val added = b.fields.filterNot(f => before.contains(f.name))
           .map(f => (v, f.name, null: String, f.dataType.simpleString, "add"))
-        // a same-name type change is a WIDEN only if the lake lattice
-        // produced it; an overwrite commit can legally RE-TYPE (it
-        // skips the merge gate), and the ledger must not launder that
-        // as a lossless transition
+        // a same-name type change is a WIDEN only if the append merge
+        // path could have produced it — the lattice, or a lossless
+        // nested-field addition; an overwrite commit can legally
+        // RE-TYPE (it skips the merge gate), and the ledger must not
+        // launder that as a lossless transition
+        import org.apache.spark.sql.types.{StructField, StructType}
+        def appendCouldProduce(from: org.apache.spark.sql.types.DataType,
+                               to: org.apache.spark.sql.types.DataType): Boolean =
+          try mergeLakeSchemas(
+            StructType(Seq(StructField("c", from))),
+            StructType(Seq(StructField("c", to)))).fields(0).dataType == to
+          catch { case _: Exception => false }
         val changed = b.fields.filter(f => before.get(f.name)
             .exists(t => t != f.dataType))
           .map { f =>
             val from = before(f.name)
             val action =
-              if (lakeWiden(from, f.dataType).contains(f.dataType)) "widen"
-              else "retype"
+              if (appendCouldProduce(from, f.dataType)) "widen" else "retype"
             (v, f.name, from.simpleString, f.dataType.simpleString, action)
           }
         val after = b.fieldNames.toSet

@@ -832,6 +832,12 @@ class LakeVersionsSpec extends AnyFunSuite with SparkFixture {
     assert(got.columns.contains("score"),
       "legacy v2 narrow header silently dropped a column")
     assert(got.filter("k = 1").select("score").head().getDouble(0) == 7.5)
+    // the SQL face resolves the union too (its relation schema would
+    // otherwise BE the narrow header)
+    val face = spark.read.format("graftlake").load(dir)
+    assert(face.columns.contains("score"),
+      "graftlake face trusted the legacy narrow header")
+    assert(face.filter("k = 1").select("score").head().getDouble(0) == 7.5)
     // an append recovers the TRUE schema from the files' union and
     // writes an authoritative v3 header
     LakeVersions.commit(s, dir, Seq((3, "c")).toDF("k", "t"))
@@ -842,6 +848,43 @@ class LakeVersionsSpec extends AnyFunSuite with SparkFixture {
     assert(v3.split("\n").head.contains("score"),
       "the upgrade commit must record the files' union, not the v2 header")
     assert(LakeVersions.read(s, dir).columns.contains("score"))
+  }
+
+  test("deleteWhere on a hive-escaped string partition: the URL-encoded " +
+      "input_file_name round-trips to the manifest relpath, rows actually die") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = lake()
+    // ':' hive-escapes to %3A in the dir name; input_file_name then
+    // URL-encodes that to %253A — a naive compare never matches and
+    // the delete silently no-ops
+    LakeVersions.commit(s, dir,
+      Seq((1L, "a:b"), (2L, "a:b"), (3L, "plain")).toDF("k", "site")
+        .repartition(1),
+      partitionBy = Seq("site")): Unit
+    val (v, rewritten, _) =
+      LakeVersions.deleteWhere(s, dir, col("k") === 2L)
+    assert(v == 2L)
+    assert(rewritten >= 1, "the escaped-partition hit file must be rewritten")
+    assert(LakeVersions.read(s, dir).select("k").collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L),
+      "the row in the escaped partition survived the delete")
+  }
+
+  test("schemaDrift labels a lossless nested-field ADD 'widen', not 'retype'") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.struct
+    val dir = lake()
+    LakeVersions.commit(s, dir,
+      Seq((1, 7)).toDF("k", "a").select($"k", struct($"a").as("meta")))
+    LakeVersions.commit(s, dir,
+      Seq((2, 8, "x")).toDF("k", "a", "b")
+        .select($"k", struct($"a", $"b").as("meta")))
+    val drift = LakeVersions.schemaDrift(s, dir).collect()
+      .map(r => (r.getString(1), r.getString(4))).toSeq
+    assert(drift == Seq(("meta", "widen")), drift.toString)
   }
 
   test("schemaDrift labels an overwrite's re-type 'retype', never 'widen'") {
