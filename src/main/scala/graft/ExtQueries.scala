@@ -3069,6 +3069,47 @@ object ExtQueries {
         .orderBy("c_custkey")
     }),
 
+    // row-level UPDATE as a versioned commit (deleteWhere's sibling —
+    // the rectification op): the first-tercile range rewrites c_name
+    // in exactly 1 of the 3 sorted files, the other two carry by
+    // reference; rewritten/carried counts ride into the relation so
+    // the oracle pins the rewrite fraction alongside every row value
+    "q_lake_update" -> ((s, dir) => {
+      val (_, rewritten, carried) = lakeUpdateFixture(s, dir)
+      graft.sources.LakeVersions.read(s, LakeUpdateDir)
+        .select(col("c_custkey"), col("c_name"),
+          lit(rewritten).as("files_rewritten"),
+          lit(carried).as("files_carried"))
+        .orderBy("c_custkey")
+    }),
+
+    // MERGE INTO as a versioned commit (the CDC upsert): the lake
+    // holds terciles 1-2, the source is everything past cut1 with a
+    // rewritten name — tercile 2 replaces in place (1 file rewritten),
+    // tercile 3 inserts, tercile 1 carries by reference — and the
+    // final relation must equal the full customer table with MRG names
+    // past cut1
+    "q_lake_merge" -> ((s, dir) => {
+      val (_, rewritten, carried) = lakeMergeFixture(s, dir)
+      graft.sources.LakeVersions.read(s, LakeMergeDir)
+        .select(col("c_custkey"), col("c_name"),
+          lit(rewritten).as("files_rewritten"),
+          lit(carried).as("files_carried"))
+        .orderBy("c_custkey")
+    }),
+
+    // incremental consumption between versions: terciles appended as
+    // v1..v3, appendsBetween(1, 3) reads EXACTLY the two appended
+    // slices from the added files alone (O(new data), not O(table)) —
+    // the downstream-refresh face; the added-file count rides along
+    "q_lake_incr" -> ((s, dir) => {
+      val added = lakeIncrFixture(s, dir)
+      graft.sources.LakeVersions.appendsBetween(s, LakeIncrDir, 1L, 3L)
+        .select(col("c_custkey"), col("c_name"),
+          lit(added).as("files_added"))
+        .orderBy("c_custkey")
+    }),
+
     // the SQL face over the same pruned lake: CREATE TEMPORARY VIEW
     // ... USING graftlake, then a plain WHERE — the predicate reaches
     // the manifest by PUSHDOWN (no hand-fed bounds; the scan's
@@ -3157,6 +3198,9 @@ object ExtQueries {
   val LakeDeleteDir = "/root/repo/target/tmp/customer_lake_delete"
   val LakePruneStrDir = "/root/repo/target/tmp/customer_lake_prune_str"
   val LakeOptimizeDir = "/root/repo/target/tmp/customer_lake_optimize"
+  val LakeUpdateDir = "/root/repo/target/tmp/customer_lake_update"
+  val LakeMergeDir = "/root/repo/target/tmp/customer_lake_merge"
+  val LakeIncrDir = "/root/repo/target/tmp/customer_lake_incr"
   val AvroLakeVStreamDir = "/root/repo/target/tmp/nation_lake_vstream"
   val AvroLakeVStreamQuarantineDir =
     "/root/repo/target/tmp/nation_lake_vstream_quarantine"
@@ -3623,6 +3667,86 @@ object ExtQueries {
       graft.sources.LakeVersions.deleteWhere(s, LakeDeleteDir,
         col("c_custkey").between(lo, hi))
     })
+
+  /** A sorted customer lake + one row-level UPDATE once per process
+    * (q_lake_update reads the result): the three-file tercile layout,
+    * then updateWhere over the first-tercile range rewriting c_name —
+    * 1 file rewritten, 2 carried by reference. */
+  private val lakeUpdateDone =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Int, Int)]()
+  private def lakeUpdateFixture(s: SparkSession, dir: String): (Long, Int, Int) =
+    lakeUpdateDone.computeIfAbsent(dir, _ => {
+      rmTree(LakeUpdateDir)
+      val cust = s.read.parquet(s"$dir/customer.parquet")
+        .select("c_custkey", "c_name")
+      val maxId = cust.agg(max("c_custkey")).head().getLong(0)
+      val (cut1, cut2) = (maxId / 3, 2 * maxId / 3)
+      Seq(col("c_custkey") <= cut1,
+        col("c_custkey") > cut1 && col("c_custkey") <= cut2,
+        col("c_custkey") > cut2).foreach { slice =>
+        graft.sources.LakeVersions.commit(s, LakeUpdateDir,
+          cust.filter(slice).coalesce(1),
+          statsCols = Seq("c_custkey")): Unit
+      }
+      val (lo, hi) = lakePruneBounds(s, dir)
+      graft.sources.LakeVersions.updateWhere(s, LakeUpdateDir,
+        col("c_custkey").between(lo, hi),
+        Map("c_name" -> concat(lit("UPD:"), col("c_name"))))
+    })
+
+  /** A two-tercile customer lake + one MERGE once per process
+    * (q_lake_merge reads the result): the lake holds terciles 1-2;
+    * the CDC source is every customer past cut1 with a rewritten
+    * name — so tercile 2 REPLACES (its file rewrites), tercile 3
+    * INSERTS, tercile 1 carries by reference. */
+  private val lakeMergeDone =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Int, Int)]()
+  private def lakeMergeFixture(s: SparkSession, dir: String): (Long, Int, Int) =
+    lakeMergeDone.computeIfAbsent(dir, _ => {
+      rmTree(LakeMergeDir)
+      val cust = s.read.parquet(s"$dir/customer.parquet")
+        .select("c_custkey", "c_name")
+      val maxId = cust.agg(max("c_custkey")).head().getLong(0)
+      val (cut1, cut2) = (maxId / 3, 2 * maxId / 3)
+      Seq(col("c_custkey") <= cut1,
+        col("c_custkey") > cut1 && col("c_custkey") <= cut2).foreach { slice =>
+        graft.sources.LakeVersions.commit(s, LakeMergeDir,
+          cust.filter(slice).coalesce(1),
+          statsCols = Seq("c_custkey")): Unit
+      }
+      val source = cust.filter(col("c_custkey") > cut1)
+        .select(col("c_custkey"),
+          concat(lit("MRG:"), col("c_name")).as("c_name"))
+      graft.sources.LakeVersions.mergeInto(s, LakeMergeDir, source,
+        Seq("c_custkey"))
+    })
+
+  /** An incrementally-appended customer lake once per process
+    * (q_lake_incr consumes it): tercile 1 as v1, then terciles 2 and
+    * 3 appended as v2 and v3 — appendsBetween(1, 3) must read exactly
+    * the two appended slices from the two added files. Returns the
+    * fileChanges added-file count for the v1..v3 window (cached here:
+    * deriving it in the query's compose would run an action and break
+    * the laziness contract). */
+  private val lakeIncrDone =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+  private def lakeIncrFixture(s: SparkSession, dir: String): Int =
+    lakeIncrDone.computeIfAbsent(dir, _ => {
+      rmTree(LakeIncrDir)
+      val cust = s.read.parquet(s"$dir/customer.parquet")
+        .select("c_custkey", "c_name")
+      val maxId = cust.agg(max("c_custkey")).head().getLong(0)
+      val (cut1, cut2) = (maxId / 3, 2 * maxId / 3)
+      Seq(col("c_custkey") <= cut1,
+        col("c_custkey") > cut1 && col("c_custkey") <= cut2,
+        col("c_custkey") > cut2).foreach { slice =>
+        graft.sources.LakeVersions.commit(s, LakeIncrDir,
+          cust.filter(slice).coalesce(1),
+          statsCols = Seq("c_custkey")): Unit
+      }
+      graft.sources.LakeVersions.fileChanges(s, LakeIncrDir, 1L, 3L)
+        .filter(col("change") === "added").count().toInt
+    }).intValue
 
   /** A sorted customer lake once per process (q_lake_prune reads it
     * pruned): three appended commits with tight disjoint c_custkey
@@ -5744,6 +5868,35 @@ object ExtQueries {
          FROM customer
          WHERE c_custkey NOT BETWEEN (SELECT max(c_custkey)//3//4 FROM customer)
                                  AND (SELECT max(c_custkey)//3//2 FROM customer)
+         ORDER BY c_custkey""",
+    // row-level UPDATE: rows inside the first-tercile range carry the
+    // rewritten name, everything else is untouched; 1 of 3 files
+    // rewritten, 2 carried by reference
+    "q_lake_update" ->
+      """SELECT c_custkey,
+                CASE WHEN c_custkey BETWEEN (SELECT max(c_custkey)//3//4 FROM customer)
+                                        AND (SELECT max(c_custkey)//3//2 FROM customer)
+                     THEN 'UPD:' || c_name ELSE c_name END AS c_name,
+                1 AS files_rewritten, 2 AS files_carried
+         FROM customer
+         ORDER BY c_custkey""",
+    // MERGE INTO: the two-tercile lake upserted with every customer
+    // past cut1 under an MRG name — tercile 2 replaced, tercile 3
+    // inserted, tercile 1 untouched; 1 file rewritten, 1 carried
+    "q_lake_merge" ->
+      """SELECT c_custkey,
+                CASE WHEN c_custkey > (SELECT max(c_custkey)//3 FROM customer)
+                     THEN 'MRG:' || c_name ELSE c_name END AS c_name,
+                1 AS files_rewritten, 1 AS files_carried
+         FROM customer
+         ORDER BY c_custkey""",
+    // incremental consumption: appendsBetween(v1, v3) is exactly the
+    // rows past the first tercile cut (the two appended slices), read
+    // from the 2 added files alone
+    "q_lake_incr" ->
+      """SELECT c_custkey, c_name, 2 AS files_added
+         FROM customer
+         WHERE c_custkey > (SELECT max(c_custkey)//3 FROM customer)
          ORDER BY c_custkey""",
     // the SQL face over the same lake: identical relation through
     // CREATE TEMPORARY VIEW ... USING graftlake + plain WHERE (the

@@ -1086,6 +1086,39 @@ object LakeVersions {
     * Returns (committedVersion, filesRewritten, filesCarried);
     * a predicate matching nothing commits nothing and returns
     * (currentVersion, 0, nFiles). */
+  /** Which manifest files does `hits` (a frame derived from the
+    * pinned `graftlake` face, carrying [[HitFileCol]] =
+    * input_file_name() selected BEFORE any join/filter so the lineage
+    * is unambiguous) actually touch? Shared by [[deleteWhere]] /
+    * [[updateWhere]] / [[mergeInto]] — each refuses an unprovable
+    * relpath outright: silently carrying a hit file by reference
+    * would resurrect deleted rows / drop an update. */
+  private val HitFileCol = "__graft_hit_file"
+  private def hitRelpaths(spark: SparkSession, dir: String,
+                          m: ManifestState, op: String,
+                          hits: DataFrame): Set[String] = {
+    val (fs, lake) = fsFor(spark, dir)
+    val lakeUri = fs.makeQualified(lake).toUri.getPath.stripSuffix("/")
+    val manifestRels = m.files.map(_.relpath).toSet
+    hits.select(HitFileCol).distinct().collect().map { r =>
+      // input_file_name() returns the URL-ENCODED path (a physical
+      // dir 'p=a%3Ab' — itself hive-escaped — arrives as
+      // 'p=a%253Ab'); decode ONCE via URI to recover the on-disk
+      // name the manifest records
+      val decoded = java.net.URI.create(r.getString(0)).getPath
+      val rel =
+        if (decoded.startsWith(s"$lakeUri/"))
+          decoded.substring(lakeUri.length + 1)
+        else throw new IllegalStateException(
+          s"LakeVersions.$op: matched file ${r.getString(0)} " +
+            s"outside lake root $lakeUri")
+      require(manifestRels(rel),
+        s"LakeVersions.$op: matched file $rel is not in the " +
+          s"pinned manifest — path decoding drifted; refusing a silent no-op")
+      rel
+    }.toSet
+  }
+
   def deleteWhere(spark: SparkSession, dir: String,
                   predicate: org.apache.spark.sql.Column): (Long, Int, Int) = {
     import org.apache.spark.sql.functions.{coalesce, input_file_name, lit, not}
@@ -1093,31 +1126,11 @@ object LakeVersions {
     val v = latestVersion(spark, dir)
     val m = pinned(spark, dir, Some(v))
     if (m.files.isEmpty) return (v, 0, 0)
-    val (fs, lake) = fsFor(spark, dir)
-    val lakeUri = fs.makeQualified(lake).toUri.getPath.stripSuffix("/")
+    val (_, lake) = fsFor(spark, dir)
     val face = spark.read.format("graftlake")
       .option("versionAsOf", v.toString).load(dir)
-    val manifestRels = m.files.map(_.relpath).toSet
-    val hitRels = face.filter(predicate).select(input_file_name())
-      .distinct().collect().map { r =>
-        // input_file_name() returns the URL-ENCODED path (a physical
-        // dir 'p=a%3Ab' — itself hive-escaped — arrives as
-        // 'p=a%253Ab'); decode ONCE via URI to recover the on-disk
-        // name the manifest records, then refuse an unprovable relpath
-        // outright: silently carrying a hit file by reference would
-        // resurrect the deleted rows
-        val decoded = java.net.URI.create(r.getString(0)).getPath
-        val rel =
-          if (decoded.startsWith(s"$lakeUri/"))
-            decoded.substring(lakeUri.length + 1)
-          else throw new IllegalStateException(
-            s"LakeVersions.deleteWhere: matched file ${r.getString(0)} " +
-              s"outside lake root $lakeUri")
-        require(manifestRels(rel),
-          s"LakeVersions.deleteWhere: matched file $rel is not in the " +
-            s"pinned manifest — path decoding drifted; refusing a silent no-op")
-        rel
-      }.toSet
+    val hitRels = hitRelpaths(spark, dir, m, "deleteWhere",
+      face.withColumn(HitFileCol, input_file_name()).filter(predicate))
     if (hitRels.isEmpty) return (v, 0, m.files.size)
     val (rewrite, carry) = m.files.partition(e => hitRels(e.relpath))
     val survivors = frameOver(spark, lake, m, rewrite)
@@ -1125,6 +1138,217 @@ object LakeVersions {
     val next = commitCarried(spark, dir, survivors, carry, m.partitionBy,
       statsColsOf(m, survivors), tag = s"delete-of-v$v", expectedLatest = v)
     (next, rewrite.size, carry.size)
+  }
+
+  /** Row-level UPDATE as a versioned commit — the correction op
+    * ([[deleteWhere]]'s sibling; together they are the takedown +
+    * rectification pair). Rows matching `predicate` get each column in
+    * `set` recomputed; everything else — including every file the
+    * predicate provably cannot touch, carried BY REFERENCE — is
+    * byte-unchanged. SQL UPDATE semantics throughout: a null predicate
+    * keeps the old row, and every SET expression evaluates against the
+    * OLD row (one `select`, not a fold of withColumn — `SET a=b, b=a`
+    * swaps). The SET must not re-type the table: an expression whose
+    * type differs from the column's refuses with the column named —
+    * cast explicitly if the loss is intended (it would otherwise poison
+    * the manifest header schema every later read trusts). Updating a
+    * partition column is legal: rewritten rows land under their new
+    * value's directory through the same partitioned writer as any
+    * commit. Publish is `expectedLatest`-guarded like [[deleteWhere]].
+    *
+    * Returns (committedVersion, filesRewritten, filesCarried). */
+  def updateWhere(spark: SparkSession, dir: String,
+                  predicate: org.apache.spark.sql.Column,
+                  set: Map[String, org.apache.spark.sql.Column])
+      : (Long, Int, Int) = {
+    import org.apache.spark.sql.functions.{coalesce, col, input_file_name, lit, when}
+    require(set.nonEmpty, "LakeVersions.updateWhere: empty SET")
+    val v = latestVersion(spark, dir)
+    val m = pinned(spark, dir, Some(v))
+    if (m.files.isEmpty) return (v, 0, 0)
+    val (_, lake) = fsFor(spark, dir)
+    val face = spark.read.format("graftlake")
+      .option("versionAsOf", v.toString).load(dir)
+    set.keys.foreach { c =>
+      require(face.columns.contains(c),
+        s"LakeVersions.updateWhere: SET column $c is not a table column " +
+          s"(table has ${face.columns.mkString(", ")})")
+    }
+    val hitRels = hitRelpaths(spark, dir, m, "updateWhere",
+      face.withColumn(HitFileCol, input_file_name()).filter(predicate))
+    if (hitRels.isEmpty) return (v, 0, m.files.size)
+    val (rewrite, carry) = m.files.partition(e => hitRels(e.relpath))
+    val base = frameOver(spark, lake, m, rewrite)
+    // check each SET expression's OWN type against the column BEFORE
+    // wrapping it in when(): the wrapper would silently coerce both
+    // branches to a common type (ANSI puts a runtime string->long cast
+    // in the plan that detonates mid-write), hiding the re-type from
+    // any check on the final schema. Only the lake's lossless widening
+    // lattice coerces (lit(0) into a long column is fine); anything
+    // else refuses here with the column named.
+    val setTypes = base.select(set.toSeq.map { case (c, e) => e.as(c) }: _*)
+      .schema.map(f => f.name -> f.dataType).toMap
+    val bad = set.keys.toSeq.sorted.flatMap { c =>
+      val colT = base.schema(c).dataType
+      val exprT = setTypes(c)
+      if (exprT == colT || lakeWiden(exprT, colT).contains(colT)) None
+      else Some(s"$c (${exprT.simpleString} into ${colT.simpleString})")
+    }
+    require(bad.isEmpty,
+      s"LakeVersions.updateWhere: SET re-types ${bad.mkString(", ")} — " +
+        "cast the expression to the column's type if the change is intended")
+    val cond = coalesce(predicate, lit(false))
+    val updated = base.select(base.columns.toSeq.map { c =>
+      set.get(c) match {
+        case Some(e) => when(cond, e.cast(base.schema(c).dataType))
+          .otherwise(col(c)).as(c)
+        case None => col(c)
+      }
+    }: _*)
+    val next = commitCarried(spark, dir, updated, carry, m.partitionBy,
+      statsColsOf(m, updated), tag = s"update-of-v$v", expectedLatest = v)
+    (next, rewrite.size, carry.size)
+  }
+
+  /** MERGE INTO — keyed upsert as a versioned commit, the CDC-ingest
+    * op (WHEN MATCHED THEN UPDATE SET * / WHEN NOT MATCHED THEN
+    * INSERT *, i.e. whole-row replace-or-insert — the frame-level
+    * [[graft.operators.Snapshot.applyChanges]] semantics landed as a
+    * lake commit). The table scan that discovers matched files is
+    * pre-filtered by the SOURCE's key envelope (one small agg over the
+    * CDC batch) on int/long keys, so the manifest's stats prune
+    * untouched files before any data is read — at 100 TB a merge of a
+    * day's deltas into a key-sorted lake reads only the key range the
+    * deltas span. Files containing NO matched key carry by reference;
+    * hit files rewrite as (old rows with unmatched keys) ∪ source —
+    * matched rows replaced, new keys inserted, in one commit.
+    *
+    * Refuses: a source with duplicate keys (ambiguous — which row
+    * wins?), and a source whose columns differ from the table's
+    * (CDC batches must be shaped upstream; null-filling silently here
+    * would write nulls over real data on the replace path). Rows with
+    * a NULL key never match (SQL join semantics): they insert, and
+    * null-keyed table rows are never replaced.
+    *
+    * Returns (committedVersion, filesRewritten, filesCarried). A
+    * table whose pinned manifest is EMPTY (a committed empty frame)
+    * appends the whole source; a never-committed dir throws — MERGE
+    * targets an existing table, same as every table format. */
+  def mergeInto(spark: SparkSession, dir: String, source: DataFrame,
+                keyCols: Seq[String]): (Long, Int, Int) = {
+    import org.apache.spark.sql.functions.{col, count, input_file_name, lit, max, min}
+    require(keyCols.nonEmpty, "LakeVersions.mergeInto: no key columns")
+    val v = latestVersion(spark, dir)
+    val m = pinned(spark, dir, Some(v))
+    if (m.files.isEmpty) {
+      val next = commit(spark, dir, source,
+        partitionBy = m.partitionBy, tag = "merge-into-empty",
+        expectedLatest = Some(v))
+      return (next, 0, 0)
+    }
+    val (_, lake) = fsFor(spark, dir)
+    val face = spark.read.format("graftlake")
+      .option("versionAsOf", v.toString).load(dir)
+    require(source.columns.toSet == face.columns.toSet,
+      s"LakeVersions.mergeInto: source columns ${source.columns.sorted.mkString(", ")} " +
+        s"differ from the table's ${face.columns.sorted.mkString(", ")}")
+    keyCols.foreach { k =>
+      require(face.columns.contains(k),
+        s"LakeVersions.mergeInto: key column $k is not a table column")
+    }
+    val src = source.select(face.columns.toSeq.map(col): _*)
+    val dup = src.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1).limit(1).collect()
+    require(dup.isEmpty,
+      s"LakeVersions.mergeInto: source has duplicate keys (e.g. " +
+        s"${keyCols.zip(dup.head.toSeq).map { case (k, x) => s"$k=$x" }.mkString(", ")}) — " +
+        "which row wins is ambiguous; dedup the CDC batch first")
+    // scale valve: a matched table row's key necessarily lies inside
+    // the source's key envelope, so bound the probe scan per int/long
+    // key — the graftlake face turns the BETWEEN into manifest prune
+    val intLikeKeys = keyCols.filter(k => face.schema(k).dataType match {
+      case org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => true
+      case _ => false
+    })
+    val probe =
+      if (intLikeKeys.isEmpty) face
+      else {
+        val aggs = intLikeKeys.flatMap(k =>
+          Seq(min(k).as(s"lo_$k"), max(k).as(s"hi_$k")))
+        val env = src.agg(aggs.head, aggs.tail: _*).head()
+        intLikeKeys.zipWithIndex.foldLeft(face) { case (f, (k, i)) =>
+          // an all-null key column has a null envelope: no bound (the
+          // key can never match anyway; the semi-join returns nothing)
+          if (env.isNullAt(2 * i)) f
+          else f.filter(col(k) >= lit(env.get(2 * i)) &&
+            col(k) <= lit(env.get(2 * i + 1)))
+        }
+      }
+    val hitRels = hitRelpaths(spark, dir, m, "mergeInto",
+      probe.withColumn(HitFileCol, input_file_name())
+        .join(src.select(keyCols.map(col): _*), keyCols, "left_semi"))
+    val (rewrite, carry) = m.files.partition(e => hitRels(e.relpath))
+    val kept =
+      if (rewrite.isEmpty) None
+      else Some(frameOver(spark, lake, m, rewrite)
+        .join(src.select(keyCols.map(col): _*), keyCols, "left_anti"))
+    val newData = kept.fold(src)(_.unionByName(src))
+    val next = commitCarried(spark, dir, newData, carry, m.partitionBy,
+      statsColsOf(m, newData), tag = s"merge-of-v$v", expectedLatest = v)
+    (next, rewrite.size, carry.size)
+  }
+
+  /** The file-level change ledger between two pinned versions — pure
+    * manifest arithmetic, no data read: one row per relpath present in
+    * exactly one of the two manifests (`change` ∈ added | removed).
+    * uuid file names never recur, so `removed` means a rewrite
+    * (compaction, z-order, delete, update, merge) dropped the file and
+    * `added` covers both appends and rewrite outputs. */
+  def fileChanges(spark: SparkSession, dir: String,
+                  fromV: Long, toV: Long): DataFrame = {
+    val (fs, lake) = fsFor(spark, dir)
+    val from = readManifest(fs, lake, fromV)
+    val to = readManifest(fs, lake, toV)
+    val fromRels = from.files.map(_.relpath).toSet
+    val toRels = to.files.map(_.relpath).toSet
+    val rows =
+      to.files.filterNot(e => fromRels(e.relpath))
+        .map(e => (e.relpath, "added", e.rows, e.len)) ++
+      from.files.filterNot(e => toRels(e.relpath))
+        .map(e => (e.relpath, "removed", e.rows, e.len))
+    spark.createDataFrame(rows.sortBy(r => (r._2, r._1)))
+      .toDF("relpath", "change", "rows", "bytes")
+  }
+
+  /** Incremental consumption: the rows APPENDED between two pinned
+    * versions, read from the added files alone — the downstream-
+    * pipeline face ("process only what's new since my last run"),
+    * O(new data) instead of O(table) per refresh. Sound only while
+    * every commit in the window is an append: uuid relpaths never
+    * recur, so `fromV`'s files all surviving in `toV` proves no
+    * rewrite intervened; otherwise this throws (naming both versions)
+    * — a rewrite means added files RESTATE old rows and reading them
+    * as deltas would double-count, so fall back to the keyed
+    * [[diff]], which classifies inserted/updated/deleted exactly. */
+  def appendsBetween(spark: SparkSession, dir: String,
+                     fromV: Long, toV: Long): DataFrame = {
+    require(fromV <= toV,
+      s"LakeVersions.appendsBetween: fromV $fromV > toV $toV")
+    val (fs, lake) = fsFor(spark, dir)
+    val from = readManifest(fs, lake, fromV)
+    val to = readManifest(fs, lake, toV)
+    val toRels = to.files.map(_.relpath).toSet
+    val dropped = from.files.map(_.relpath).filterNot(toRels)
+    if (dropped.nonEmpty)
+      throw new IllegalStateException(
+        s"LakeVersions.appendsBetween: v$fromV..v$toV is not append-only — " +
+          s"${dropped.size} file(s) of v$fromV were rewritten (e.g. " +
+          s"${dropped.head}); read the window with diff(dir, $fromV, $toV, " +
+          "keys) instead, which classifies the restated rows exactly")
+    val fromRels = from.files.map(_.relpath).toSet
+    val added = to.files.filterNot(e => fromRels(e.relpath))
+    frameOver(spark, lake, to, added)
   }
 
   /** The version ledger: one row per surviving manifest. `n_rows` is

@@ -993,4 +993,160 @@ class LakeVersionsSpec extends AnyFunSuite with SparkFixture {
     assert(LakeVersions.vacuum(s, dir, keepVersions = 2) >= 1)
     intercept[IllegalArgumentException](LakeVersions.read(s, dir, Some(1L)))
   }
+
+  test("updateWhere: only hit files rewrite (carry by reference), every SET " +
+      "expression sees the OLD row, null predicate keeps, re-type refuses") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    val dir = lake()
+    (0 until 3).foreach { i =>
+      LakeVersions.commit(s, dir,
+        (i * 10 until (i + 1) * 10).map(k => (k.toLong, k.toLong * 100))
+          .toDF("a", "b").coalesce(1),
+        statsCols = Seq("a")): Unit
+    }
+    val pre = LakeVersions.read(s, dir, Some(3L)).inputFiles.toSet
+    // SET a=b, b=a on one row: a fold of withColumn would read the NEW
+    // a when computing b — SQL UPDATE must swap
+    val (v, rewritten, carried) = LakeVersions.updateWhere(s, dir,
+      col("a") === 15L, Map("a" -> col("b"), "b" -> col("a")))
+    assert((v, rewritten, carried) == (4L, 1, 2))
+    val post = LakeVersions.read(s, dir).inputFiles.toSet
+    assert((pre intersect post).size == 2,
+      "carried files must keep their relpaths")
+    val hit = LakeVersions.read(s, dir).filter(col("b") === 15L).collect()
+    assert(hit.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1500L, 15L)), "SET must evaluate against the old row (swap)")
+    // untouched rows byte-identical; old version still reads pre-update
+    assert(LakeVersions.read(s, dir).filter(col("a") === 14L)
+      .head().getLong(1) == 1400L)
+    assert(LakeVersions.read(s, dir, Some(3L)).filter(col("a") === 15L)
+      .head().getLong(1) == 1500L)
+    assert(LakeVersions.tagOf(s, dir, Some(4L)) == "update-of-v3")
+    // a null predicate KEEPS the old values (SQL UPDATE semantics)
+    val (v2, rw2, _) = LakeVersions.updateWhere(s, dir,
+      lit(null).cast("boolean"), Map("b" -> lit(0L)))
+    assert(v2 == 4L && rw2 == 0, "null predicate must match no file")
+    // the rewritten file's envelope re-recorded: pruning still exact
+    assert(LakeVersions.pruneCounts(s, dir, Seq(("a", 0L, 9L))) == (1, 3))
+    // SET must not re-type the table
+    val e = intercept[IllegalArgumentException] {
+      LakeVersions.updateWhere(s, dir, col("a") === 1L,
+        Map("b" -> lit("oops")))
+    }
+    assert(e.getMessage.contains("re-types") && e.getMessage.contains("b"))
+    // unknown SET column refuses with the table's columns named
+    intercept[IllegalArgumentException] {
+      LakeVersions.updateWhere(s, dir, col("a") === 1L,
+        Map("nope" -> lit(1L)))
+    }
+  }
+
+  test("updateWhere on a partitioned lake: updating the partition column " +
+      "moves the row to its new value's directory") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    val dir = lake()
+    LakeVersions.commit(s, dir,
+      Seq((1L, 0), (2L, 0), (3L, 1)).toDF("k", "reg").repartition(1),
+      partitionBy = Seq("reg"), statsCols = Seq("k")): Unit
+    val (_, rewritten, _) = LakeVersions.updateWhere(s, dir,
+      col("k") === 2L, Map("reg" -> lit(9)))
+    assert(rewritten >= 1)
+    val got = LakeVersions.read(s, dir)
+    assert(got.filter(col("k") === 2L).head().getInt(1) == 9)
+    val fileOf2 = got.withColumn("f",
+      org.apache.spark.sql.functions.input_file_name())
+      .filter(col("k") === 2L).head().getString(2)
+    assert(fileOf2.contains("reg=9"), s"row must live under reg=9: $fileOf2")
+    assert(got.count() == 3L)
+  }
+
+  test("mergeInto: matched keys replace in hit files, new keys insert, " +
+      "untouched files carry; dup-key and schema-mismatch sources refuse") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = lake()
+    (0 until 3).foreach { i =>
+      LakeVersions.commit(s, dir,
+        (i * 10 until (i + 1) * 10).map(k => (k.toLong, s"old$k"))
+          .toDF("k", "t").coalesce(1),
+        statsCols = Seq("k")): Unit
+    }
+    val pre = LakeVersions.read(s, dir, Some(3L)).inputFiles.toSet
+    // source: replace k=15, insert k=99 — only file 2 (10..19) is hit;
+    // the key envelope [15, 99] cannot prune file 3 (20..29) but the
+    // SEMI JOIN still leaves it carry (no matched key in it)
+    val source = Seq((15L, "new15"), (99L, "new99")).toDF("k", "t")
+    val (v, rewritten, carried) =
+      LakeVersions.mergeInto(s, dir, source, Seq("k"))
+    assert(v == 4L && rewritten == 1 && carried == 2,
+      s"expected 1 rewrite / 2 carries, got $rewritten/$carried")
+    val post = LakeVersions.read(s, dir).inputFiles.toSet
+    assert((pre intersect post).size == 2,
+      "files without matched keys must carry by reference")
+    val got = LakeVersions.read(s, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.size == 31)
+    assert(got(15L) == "new15" && got(99L) == "new99")
+    assert(got(14L) == "old14" && got(25L) == "old25")
+    assert(LakeVersions.tagOf(s, dir, Some(4L)) == "merge-of-v3")
+    // a duplicate-keyed CDC batch is ambiguous — refuse
+    val dupE = intercept[IllegalArgumentException] {
+      LakeVersions.mergeInto(s, dir,
+        Seq((1L, "x"), (1L, "y")).toDF("k", "t"), Seq("k"))
+    }
+    assert(dupE.getMessage.contains("duplicate"))
+    // a source shaped differently from the table refuses
+    intercept[IllegalArgumentException] {
+      LakeVersions.mergeInto(s, dir,
+        Seq((1L, "x", 0)).toDF("k", "t", "extra"), Seq("k"))
+    }
+    // null-keyed source rows never match: they insert
+    val (v5, rw5, _) = LakeVersions.mergeInto(s, dir,
+      Seq((Option.empty[Long], "nullk")).toDF("k", "t"), Seq("k"))
+    assert(v5 == 5L && rw5 == 0)
+    assert(LakeVersions.read(s, dir).count() == 32L)
+    assert(LakeVersions.read(s, dir).filter(col("k").isNull).count() == 1L)
+  }
+
+  test("appendsBetween reads exactly the appended rows from added files; " +
+      "a rewrite in the window refuses; fileChanges ledgers the delta") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = lake()
+    (0 until 3).foreach { i =>
+      LakeVersions.commit(s, dir,
+        (i * 10 until (i + 1) * 10).map(k => (k.toLong, s"r$k"))
+          .toDF("k", "t").coalesce(1),
+        statsCols = Seq("k")): Unit
+    }
+    val incr = LakeVersions.appendsBetween(s, dir, 1L, 3L)
+    assert(incr.select("k").collect().map(_.getLong(0)).sorted.toSeq ==
+      (10L until 30L), "the incremental read must be exactly v2+v3 rows")
+    // the read plans ONLY the added files — O(new data), not O(table)
+    assert(incr.inputFiles.length == 2)
+    // same endpoints, no window: empty
+    assert(LakeVersions.appendsBetween(s, dir, 3L, 3L).count() == 0L)
+    // the file ledger agrees, from manifests alone
+    val changes = LakeVersions.fileChanges(s, dir, 1L, 3L).collect()
+    assert(changes.length == 2 && changes.forall(_.getString(1) == "added"))
+    assert(changes.map(_.getLong(2)).sum == 20L, "ledger rows = appended rows")
+    // a delete rewrites a v1 file: the window is no longer append-only
+    LakeVersions.deleteWhere(s, dir, col("k") === 5L): Unit
+    val e = intercept[IllegalStateException] {
+      LakeVersions.appendsBetween(s, dir, 1L, 4L)
+    }
+    assert(e.getMessage.contains("not append-only") &&
+      e.getMessage.contains("diff"))
+    // the ledger still answers for the rewrite window: one file out,
+    // one (rewritten) in
+    val d = LakeVersions.fileChanges(s, dir, 3L, 4L).collect()
+    assert(d.count(_.getString(1) == "removed") == 1 &&
+      d.count(_.getString(1) == "added") == 1)
+  }
 }
