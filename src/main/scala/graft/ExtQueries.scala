@@ -3110,6 +3110,20 @@ object ExtQueries {
         .orderBy("c_custkey")
     }),
 
+    // checkpointed incremental consumption: a consumer bootstraps on
+    // the two-tercile lake, tercile 3 lands, the second consume
+    // processes ONLY the increment — both windows append into one
+    // target whose content must equal the full customer relation, and
+    // the consumed (from, to) version windows ride into the relation
+    "q_lake_consume" -> ((s, dir) => {
+      val ((f1, t1), (f2, t2)) = lakeConsumeFixture(s, dir)
+      s.read.parquet(LakeConsumeDir + "_target")
+        .select(col("c_custkey"), col("c_name"),
+          lit(f1.toInt).as("boot_from"), lit(t1.toInt).as("boot_to"),
+          lit(f2.toInt).as("incr_from"), lit(t2.toInt).as("incr_to"))
+        .orderBy("c_custkey")
+    }),
+
     // the SQL face over the same pruned lake: CREATE TEMPORARY VIEW
     // ... USING graftlake, then a plain WHERE — the predicate reaches
     // the manifest by PUSHDOWN (no hand-fed bounds; the scan's
@@ -3201,6 +3215,7 @@ object ExtQueries {
   val LakeUpdateDir = "/root/repo/target/tmp/customer_lake_update"
   val LakeMergeDir = "/root/repo/target/tmp/customer_lake_merge"
   val LakeIncrDir = "/root/repo/target/tmp/customer_lake_incr"
+  val LakeConsumeDir = "/root/repo/target/tmp/customer_lake_consume"
   val AvroLakeVStreamDir = "/root/repo/target/tmp/nation_lake_vstream"
   val AvroLakeVStreamQuarantineDir =
     "/root/repo/target/tmp/nation_lake_vstream_quarantine"
@@ -3747,6 +3762,39 @@ object ExtQueries {
       graft.sources.LakeVersions.fileChanges(s, LakeIncrDir, 1L, 3L)
         .filter(col("change") === "added").count().toInt
     }).intValue
+
+  /** A consumed lake once per process (q_lake_consume reads the
+    * consumer's target): terciles 1-2 committed, a consumer bootstraps
+    * into the target, tercile 3 lands, a second consume appends the
+    * increment. Returns the two (from, to) windows. */
+  private val lakeConsumeDone = new java.util.concurrent.ConcurrentHashMap[
+    String, ((Long, Long), (Long, Long))]()
+  private def lakeConsumeFixture(s: SparkSession, dir: String)
+      : ((Long, Long), (Long, Long)) =
+    lakeConsumeDone.computeIfAbsent(dir, _ => {
+      rmTree(LakeConsumeDir)
+      val target = LakeConsumeDir + "_target"
+      rmTree(target)
+      val ck = LakeConsumeDir + "_ck/consumer"
+      rmTree(LakeConsumeDir + "_ck")
+      val cust = s.read.parquet(s"$dir/customer.parquet")
+        .select("c_custkey", "c_name")
+      val maxId = cust.agg(max("c_custkey")).head().getLong(0)
+      val (cut1, cut2) = (maxId / 3, 2 * maxId / 3)
+      Seq(col("c_custkey") <= cut1,
+        col("c_custkey") > cut1 && col("c_custkey") <= cut2).foreach { sl =>
+        graft.sources.LakeVersions.commit(s, LakeConsumeDir,
+          cust.filter(sl).coalesce(1), statsCols = Seq("c_custkey")): Unit
+      }
+      val w1 = graft.sources.LakeVersions.consumeAppends(s, LakeConsumeDir,
+        ck)(df => df.write.mode("append").parquet(target))
+      graft.sources.LakeVersions.commit(s, LakeConsumeDir,
+        cust.filter(col("c_custkey") > cut2).coalesce(1),
+        statsCols = Seq("c_custkey")): Unit
+      val w2 = graft.sources.LakeVersions.consumeAppends(s, LakeConsumeDir,
+        ck)(df => df.write.mode("append").parquet(target))
+      (w1, w2)
+    })
 
   /** A sorted customer lake once per process (q_lake_prune reads it
     * pruned): three appended commits with tight disjoint c_custkey
@@ -5897,6 +5945,15 @@ object ExtQueries {
       """SELECT c_custkey, c_name, 2 AS files_added
          FROM customer
          WHERE c_custkey > (SELECT max(c_custkey)//3 FROM customer)
+         ORDER BY c_custkey""",
+    // checkpointed consumption: bootstrap (v0->2) + one increment
+    // (v2->3) append into the target, whose content must be exactly
+    // the full customer relation — nothing dropped, nothing doubled
+    "q_lake_consume" ->
+      """SELECT c_custkey, c_name,
+                0 AS boot_from, 2 AS boot_to,
+                2 AS incr_from, 3 AS incr_to
+         FROM customer
          ORDER BY c_custkey""",
     // the SQL face over the same lake: identical relation through
     // CREATE TEMPORARY VIEW ... USING graftlake + plain WHERE (the

@@ -81,7 +81,7 @@ object Registry {
     "snapshots & incremental (§2.11)" -> Set(
       "q_lake_versions", "q_lake_versions_part", "q_lake_prune",
       "q_lake_optimize", "q_lake_sql", "q_lake_delete", "q_lake_prune_str",
-      "q_lake_update", "q_lake_merge", "q_lake_incr",
+      "q_lake_update", "q_lake_merge", "q_lake_incr", "q_lake_consume",
       "q_snapshot_diff", "q_upsert", "q_content_fp", "q_file_manifest",
       "q_parquet_stats", "q_prune_sim", "q_prune_report"),
     "multimodal (§2.11)" -> Set(

@@ -1336,6 +1336,12 @@ object LakeVersions {
     require(fromV <= toV,
       s"LakeVersions.appendsBetween: fromV $fromV > toV $toV")
     val (fs, lake) = fsFor(spark, dir)
+    Seq(fromV, toV).foreach { v =>
+      require(fs.exists(manifestPath(lake, v)),
+        s"LakeVersions.appendsBetween: version $v does not exist " +
+          s"(vacuumed?) under $dir — past-retention consumers must " +
+          "re-bootstrap from the current snapshot")
+    }
     val from = readManifest(fs, lake, fromV)
     val to = readManifest(fs, lake, toV)
     val toRels = to.files.map(_.relpath).toSet
@@ -1349,6 +1355,79 @@ object LakeVersions {
     val fromRels = from.files.map(_.relpath).toSet
     val added = to.files.filterNot(e => fromRels(e.relpath))
     frameOver(spark, lake, to, added)
+  }
+
+  /** Checkpointed incremental consumption — the downstream-refresh
+    * loop over [[appendsBetween]] with durable progress: each call
+    * reads the rows committed since the checkpoint's high-water
+    * version (the FULL table on first call — the bootstrap snapshot,
+    * as streaming table readers do), hands them to `process`, and
+    * advances the checkpoint ONLY after `process` returns — a crash
+    * mid-process replays the same increment next call (at-least-once;
+    * exactly-once when the processor's sink is idempotent for the
+    * replayed window, e.g. a tag-idempotent lake commit or an
+    * overwrite keyed on the returned version range). The checkpoint is
+    * one file holding the version number, advanced by tmp+rename —
+    * same atomicity as the manifests themselves.
+    *
+    * A rewrite inside the window (delete/update/merge/compact) makes
+    * [[appendsBetween]] throw and the checkpoint does NOT advance:
+    * restated rows never silently double-process. The operator then
+    * either reconciles via [[diff]] and advances with
+    * [[advanceCheckpoint]], or deletes the checkpoint file to
+    * re-bootstrap.
+    *
+    * Returns (fromVersion, toVersion) of the processed window —
+    * equal when there was nothing new (process is NOT called). */
+  def consumeAppends(spark: SparkSession, dir: String, checkpoint: String)
+                    (process: DataFrame => Unit): (Long, Long) = {
+    val (fs, lake) = fsFor(spark, dir)
+    val ckPath = new HPath(checkpoint)
+    // the checkpoint rides its OWN filesystem — a local consumer of a
+    // remote lake is the normal shape
+    val ckFs = ckPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hw: Long =
+      if (!ckFs.exists(ckPath)) 0L
+      else {
+        val raw = AvroIo.readSmallFile(ckFs, ckPath).trim
+        try raw.toLong
+        catch { case _: NumberFormatException =>
+          throw new IllegalStateException(
+            s"LakeVersions.consumeAppends: checkpoint $checkpoint holds " +
+              s"'$raw', not a version — delete the file to re-bootstrap " +
+              "from the current snapshot")
+        }
+      }
+    val latest = state(fs, lake)
+    require(latest > 0,
+      s"LakeVersions.consumeAppends: no committed version under $dir")
+    if (latest <= hw) return (hw, hw)
+    val increment =
+      if (hw == 0L) read(spark, dir, Some(latest)) // bootstrap snapshot
+      else appendsBetween(spark, dir, hw, latest)
+    process(increment)
+    advanceCheckpoint(spark, checkpoint, latest)
+    (hw, latest)
+  }
+
+  /** Durably record `version` as consumed (the commit half of
+    * [[consumeAppends]]'s two-phase; exposed for operators reconciling
+    * a non-append window by hand via [[diff]]). Atomic tmp+rename. */
+  def advanceCheckpoint(spark: SparkSession, checkpoint: String,
+                        version: Long): Unit = {
+    val fs = new HPath(checkpoint)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ck = new HPath(checkpoint)
+    Option(ck.getParent).foreach(fs.mkdirs(_))
+    val tmp = new HPath(ck.getParent,
+      s".${ck.getName}.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(version.toString.getBytes("UTF-8")) finally out.close()
+    if (!fs.rename(tmp, ck)) {
+      fs.delete(ck, false)
+      require(fs.rename(tmp, ck),
+        s"LakeVersions.advanceCheckpoint: cannot publish $checkpoint")
+    }
   }
 
   /** The version ledger: one row per surviving manifest. `n_rows` is

@@ -1149,4 +1149,68 @@ class LakeVersionsSpec extends AnyFunSuite with SparkFixture {
     assert(d.count(_.getString(1) == "removed") == 1 &&
       d.count(_.getString(1) == "added") == 1)
   }
+
+  test("consumeAppends: bootstrap snapshot then increments; a failed " +
+      "processor replays; a rewrite refuses without advancing") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = lake()
+    val ck = dir + "_ck/consumer-a"
+    def commitRange(lo: Int, hi: Int): Unit =
+      LakeVersions.commit(s, dir,
+        (lo until hi).map(k => (k.toLong, s"r$k")).toDF("k", "t")
+          .coalesce(1), statsCols = Seq("k")): Unit
+    (0 until 3).foreach(i => commitRange(i * 10, (i + 1) * 10))
+    val seen = scala.collection.mutable.ArrayBuffer[Long]()
+    // first call: the bootstrap snapshot (hw=0 -> full table)
+    assert(LakeVersions.consumeAppends(s, dir, ck) { df =>
+      seen ++= df.select("k").collect().map(_.getLong(0))
+    } == (0L, 3L))
+    assert(seen.sorted.toSeq == (0L until 30L))
+    // nothing new: the processor must NOT run
+    var ran = false
+    assert(LakeVersions.consumeAppends(s, dir, ck) { _ => ran = true } ==
+      (3L, 3L))
+    assert(!ran)
+    // a crash mid-process leaves the checkpoint put: the increment
+    // replays entirely on the next call (at-least-once)
+    commitRange(30, 40)
+    intercept[RuntimeException] {
+      LakeVersions.consumeAppends(s, dir, ck) { _ =>
+        throw new RuntimeException("sink died")
+      }
+    }
+    seen.clear()
+    assert(LakeVersions.consumeAppends(s, dir, ck) { df =>
+      seen ++= df.select("k").collect().map(_.getLong(0))
+    } == (3L, 4L))
+    assert(seen.sorted.toSeq == (30L until 40L))
+    // a rewrite in the window refuses and does NOT advance — restated
+    // rows never silently double-process
+    LakeVersions.deleteWhere(s, dir, col("k") === 5L): Unit
+    intercept[IllegalStateException] {
+      LakeVersions.consumeAppends(s, dir, ck) { _ => () }
+    }
+    // the operator reconciles by hand and advances explicitly
+    LakeVersions.advanceCheckpoint(s, ck, 5L)
+    commitRange(50, 60)
+    seen.clear()
+    assert(LakeVersions.consumeAppends(s, dir, ck) { df =>
+      seen ++= df.select("k").collect().map(_.getLong(0))
+    } == (5L, 6L))
+    assert(seen.sorted.toSeq == (50L until 60L))
+    // a corrupt checkpoint is loud and names the recovery (write the
+    // garbage through the Hadoop fs — a raw java.nio overwrite would
+    // leave a stale .crc sidecar and fail as a ChecksumException
+    // instead of exercising the parse path)
+    val hfs = new org.apache.hadoop.fs.Path(ck)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val out = hfs.create(new org.apache.hadoop.fs.Path(ck), true)
+    try out.write("garbage".getBytes) finally out.close()
+    val e = intercept[IllegalStateException] {
+      LakeVersions.consumeAppends(s, dir, ck) { _ => () }
+    }
+    assert(e.getMessage.contains("re-bootstrap"))
+  }
 }
