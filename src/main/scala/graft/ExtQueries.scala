@@ -3642,20 +3642,9 @@ object ExtQueries {
     * manifest stores 16-byte truncated bounds, which is the lossy
     * case worth pinning. */
   private def lakePruneStrFixture(s: SparkSession, dir: String): Unit =
-    fixturesDone.computeIfAbsent(s"lakeprunestr:$dir", _ => {
-      rmTree(LakePruneStrDir)
-      val cust = s.read.parquet(s"$dir/customer.parquet")
-        .select("c_custkey", "c_name")
-      val maxId = cust.agg(max("c_custkey")).head().getLong(0)
-      val (cut1, cut2) = (maxId / 3, 2 * maxId / 3)
-      Seq(col("c_custkey") <= cut1,
-        col("c_custkey") > cut1 && col("c_custkey") <= cut2,
-        col("c_custkey") > cut2).foreach { slice =>
-        graft.sources.LakeVersions.commit(s, LakePruneStrDir,
-          cust.filter(slice).coalesce(1),
-          statsCols = Seq("c_name")): Unit
-      }
-    })
+    fixturesDone.computeIfAbsent(s"lakeprunestr:$dir", _ =>
+      terciledCustomerLake(s, dir, LakePruneStrDir,
+        statsCol = "c_name"): Unit)
 
   /** A sorted customer lake + one row-level DELETE once per process
     * (q_lake_delete reads the result): same three-file layout as
@@ -3666,22 +3655,32 @@ object ExtQueries {
     new java.util.concurrent.ConcurrentHashMap[String, (Long, Int, Int)]()
   private def lakeDeleteFixture(s: SparkSession, dir: String): (Long, Int, Int) =
     lakeDeleteDone.computeIfAbsent(dir, _ => {
-      rmTree(LakeDeleteDir)
-      val cust = s.read.parquet(s"$dir/customer.parquet")
-        .select("c_custkey", "c_name")
-      val maxId = cust.agg(max("c_custkey")).head().getLong(0)
-      val (cut1, cut2) = (maxId / 3, 2 * maxId / 3)
-      Seq(col("c_custkey") <= cut1,
-        col("c_custkey") > cut1 && col("c_custkey") <= cut2,
-        col("c_custkey") > cut2).foreach { slice =>
-        graft.sources.LakeVersions.commit(s, LakeDeleteDir,
-          cust.filter(slice).coalesce(1),
-          statsCols = Seq("c_custkey")): Unit
-      }
+      terciledCustomerLake(s, dir, LakeDeleteDir): Unit
       val (lo, hi) = lakePruneBounds(s, dir)
       graft.sources.LakeVersions.deleteWhere(s, LakeDeleteDir,
         col("c_custkey").between(lo, hi))
     })
+
+  /** The layout every lake fixture shares: the first `n` c_custkey
+    * terciles of customer committed as one-file sorted appends (tight
+    * disjoint envelopes — what a sorted rewrite produces). Clears
+    * `lakeDir` first; returns (cut1, cut2). */
+  private def terciledCustomerLake(s: SparkSession, dir: String,
+      lakeDir: String, n: Int = 3,
+      statsCol: String = "c_custkey"): (Long, Long) = {
+    rmTree(lakeDir)
+    val cust = s.read.parquet(s"$dir/customer.parquet")
+      .select("c_custkey", "c_name")
+    val maxId = cust.agg(max("c_custkey")).head().getLong(0)
+    val (cut1, cut2) = (maxId / 3, 2 * maxId / 3)
+    Seq(col("c_custkey") <= cut1,
+      col("c_custkey") > cut1 && col("c_custkey") <= cut2,
+      col("c_custkey") > cut2).take(n).foreach { slice =>
+      graft.sources.LakeVersions.commit(s, lakeDir,
+        cust.filter(slice).coalesce(1), statsCols = Seq(statsCol)): Unit
+    }
+    (cut1, cut2)
+  }
 
   /** A sorted customer lake + one row-level UPDATE once per process
     * (q_lake_update reads the result): the three-file tercile layout,
@@ -3691,18 +3690,7 @@ object ExtQueries {
     new java.util.concurrent.ConcurrentHashMap[String, (Long, Int, Int)]()
   private def lakeUpdateFixture(s: SparkSession, dir: String): (Long, Int, Int) =
     lakeUpdateDone.computeIfAbsent(dir, _ => {
-      rmTree(LakeUpdateDir)
-      val cust = s.read.parquet(s"$dir/customer.parquet")
-        .select("c_custkey", "c_name")
-      val maxId = cust.agg(max("c_custkey")).head().getLong(0)
-      val (cut1, cut2) = (maxId / 3, 2 * maxId / 3)
-      Seq(col("c_custkey") <= cut1,
-        col("c_custkey") > cut1 && col("c_custkey") <= cut2,
-        col("c_custkey") > cut2).foreach { slice =>
-        graft.sources.LakeVersions.commit(s, LakeUpdateDir,
-          cust.filter(slice).coalesce(1),
-          statsCols = Seq("c_custkey")): Unit
-      }
+      terciledCustomerLake(s, dir, LakeUpdateDir): Unit
       val (lo, hi) = lakePruneBounds(s, dir)
       graft.sources.LakeVersions.updateWhere(s, LakeUpdateDir,
         col("c_custkey").between(lo, hi),
@@ -3718,18 +3706,9 @@ object ExtQueries {
     new java.util.concurrent.ConcurrentHashMap[String, (Long, Int, Int)]()
   private def lakeMergeFixture(s: SparkSession, dir: String): (Long, Int, Int) =
     lakeMergeDone.computeIfAbsent(dir, _ => {
-      rmTree(LakeMergeDir)
-      val cust = s.read.parquet(s"$dir/customer.parquet")
-        .select("c_custkey", "c_name")
-      val maxId = cust.agg(max("c_custkey")).head().getLong(0)
-      val (cut1, cut2) = (maxId / 3, 2 * maxId / 3)
-      Seq(col("c_custkey") <= cut1,
-        col("c_custkey") > cut1 && col("c_custkey") <= cut2).foreach { slice =>
-        graft.sources.LakeVersions.commit(s, LakeMergeDir,
-          cust.filter(slice).coalesce(1),
-          statsCols = Seq("c_custkey")): Unit
-      }
-      val source = cust.filter(col("c_custkey") > cut1)
+      val (cut1, _) = terciledCustomerLake(s, dir, LakeMergeDir, n = 2)
+      val source = s.read.parquet(s"$dir/customer.parquet")
+        .filter(col("c_custkey") > cut1)
         .select(col("c_custkey"),
           concat(lit("MRG:"), col("c_name")).as("c_name"))
       graft.sources.LakeVersions.mergeInto(s, LakeMergeDir, source,
@@ -3747,18 +3726,7 @@ object ExtQueries {
     new java.util.concurrent.ConcurrentHashMap[String, Integer]()
   private def lakeIncrFixture(s: SparkSession, dir: String): Int =
     lakeIncrDone.computeIfAbsent(dir, _ => {
-      rmTree(LakeIncrDir)
-      val cust = s.read.parquet(s"$dir/customer.parquet")
-        .select("c_custkey", "c_name")
-      val maxId = cust.agg(max("c_custkey")).head().getLong(0)
-      val (cut1, cut2) = (maxId / 3, 2 * maxId / 3)
-      Seq(col("c_custkey") <= cut1,
-        col("c_custkey") > cut1 && col("c_custkey") <= cut2,
-        col("c_custkey") > cut2).foreach { slice =>
-        graft.sources.LakeVersions.commit(s, LakeIncrDir,
-          cust.filter(slice).coalesce(1),
-          statsCols = Seq("c_custkey")): Unit
-      }
+      terciledCustomerLake(s, dir, LakeIncrDir): Unit
       graft.sources.LakeVersions.fileChanges(s, LakeIncrDir, 1L, 3L)
         .filter(col("change") === "added").count().toInt
     }).intValue
@@ -3772,24 +3740,17 @@ object ExtQueries {
   private def lakeConsumeFixture(s: SparkSession, dir: String)
       : ((Long, Long), (Long, Long)) =
     lakeConsumeDone.computeIfAbsent(dir, _ => {
-      rmTree(LakeConsumeDir)
       val target = LakeConsumeDir + "_target"
       rmTree(target)
       val ck = LakeConsumeDir + "_ck/consumer"
       rmTree(LakeConsumeDir + "_ck")
-      val cust = s.read.parquet(s"$dir/customer.parquet")
-        .select("c_custkey", "c_name")
-      val maxId = cust.agg(max("c_custkey")).head().getLong(0)
-      val (cut1, cut2) = (maxId / 3, 2 * maxId / 3)
-      Seq(col("c_custkey") <= cut1,
-        col("c_custkey") > cut1 && col("c_custkey") <= cut2).foreach { sl =>
-        graft.sources.LakeVersions.commit(s, LakeConsumeDir,
-          cust.filter(sl).coalesce(1), statsCols = Seq("c_custkey")): Unit
-      }
+      val (_, cut2) = terciledCustomerLake(s, dir, LakeConsumeDir, n = 2)
       val w1 = graft.sources.LakeVersions.consumeAppends(s, LakeConsumeDir,
         ck)(df => df.write.mode("append").parquet(target))
       graft.sources.LakeVersions.commit(s, LakeConsumeDir,
-        cust.filter(col("c_custkey") > cut2).coalesce(1),
+        s.read.parquet(s"$dir/customer.parquet")
+          .filter(col("c_custkey") > cut2)
+          .select("c_custkey", "c_name").coalesce(1),
         statsCols = Seq("c_custkey")): Unit
       val w2 = graft.sources.LakeVersions.consumeAppends(s, LakeConsumeDir,
         ck)(df => df.write.mode("append").parquet(target))
@@ -3801,20 +3762,8 @@ object ExtQueries {
     * envelopes — the layout a sorted rewrite produces — each one file,
     * with footer stats recorded in the manifest. */
   private def lakePruneFixture(s: SparkSession, dir: String): Unit =
-    fixturesDone.computeIfAbsent(s"lakeprune:$dir", _ => {
-      rmTree(LakePruneDir)
-      val cust = s.read.parquet(s"$dir/customer.parquet")
-        .select("c_custkey", "c_name")
-      val maxId = cust.agg(max("c_custkey")).head().getLong(0)
-      val (cut1, cut2) = (maxId / 3, 2 * maxId / 3)
-      Seq(col("c_custkey") <= cut1,
-        col("c_custkey") > cut1 && col("c_custkey") <= cut2,
-        col("c_custkey") > cut2).foreach { slice =>
-        graft.sources.LakeVersions.commit(s, LakePruneDir,
-          cust.filter(slice).coalesce(1),
-          statsCols = Seq("c_custkey")): Unit
-      }
-    })
+    fixturesDone.computeIfAbsent(s"lakeprune:$dir", _ =>
+      terciledCustomerLake(s, dir, LakePruneDir): Unit)
 
   /** Compaction of the 3-file nation Avro fixture into one file by
     * block copy (q_avro_compact reads the result back). Dependency

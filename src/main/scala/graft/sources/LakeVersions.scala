@@ -1067,25 +1067,6 @@ object LakeVersions {
       tag = s"zorder-of-v$v", expectedLatest = Some(v))
   }
 
-  /** Row-level DELETE as a versioned commit — the takedown/GDPR op a
-    * corpus store needs. Rows matching `predicate` (SQL DELETE
-    * semantics: removed where TRUE; null keeps) disappear from the new
-    * latest version; every file the predicate provably cannot touch is
-    * carried into the new manifest BY REFERENCE — relpath, envelope
-    * and row count verbatim, zero bytes moved — and only the files
-    * that actually CONTAIN matching rows are rewritten with the
-    * predicate anti-applied. Candidate discovery plans through the
-    * graftlake SQL face, so the manifest's stats envelopes file-prune
-    * the probe scan before any data is read. The publish is guarded by
-    * `expectedLatest` = the pinned version: an append landing inside
-    * the read-rewrite-publish window throws (retryable) rather than
-    * being erased. Old versions still read the deleted rows until
-    * [[vacuum]] — retention policy for takedowns is the operator's
-    * call, same as every table format.
-    *
-    * Returns (committedVersion, filesRewritten, filesCarried);
-    * a predicate matching nothing commits nothing and returns
-    * (currentVersion, 0, nFiles). */
   /** Which manifest files does `hits` (a frame derived from the
     * pinned `graftlake` face, carrying [[HitFileCol]] =
     * input_file_name() selected BEFORE any join/filter so the lineage
@@ -1119,6 +1100,25 @@ object LakeVersions {
     }.toSet
   }
 
+  /** Row-level DELETE as a versioned commit — the takedown/GDPR op a
+    * corpus store needs. Rows matching `predicate` (SQL DELETE
+    * semantics: removed where TRUE; null keeps) disappear from the new
+    * latest version; every file the predicate provably cannot touch is
+    * carried into the new manifest BY REFERENCE — relpath, envelope
+    * and row count verbatim, zero bytes moved — and only the files
+    * that actually CONTAIN matching rows are rewritten with the
+    * predicate anti-applied. Candidate discovery plans through the
+    * graftlake SQL face, so the manifest's stats envelopes file-prune
+    * the probe scan before any data is read. The publish is guarded by
+    * `expectedLatest` = the pinned version: an append landing inside
+    * the read-rewrite-publish window throws (retryable) rather than
+    * being erased. Old versions still read the deleted rows until
+    * [[vacuum]] — retention policy for takedowns is the operator's
+    * call, same as every table format.
+    *
+    * Returns (committedVersion, filesRewritten, filesCarried);
+    * a predicate matching nothing commits nothing and returns
+    * (currentVersion, 0, nFiles). */
   def deleteWhere(spark: SparkSession, dir: String,
                   predicate: org.apache.spark.sql.Column): (Long, Int, Int) = {
     import org.apache.spark.sql.functions.{coalesce, input_file_name, lit, not}
@@ -1224,14 +1224,24 @@ object LakeVersions {
     * matched rows replaced, new keys inserted, in one commit.
     *
     * Refuses: a source with duplicate keys (ambiguous — which row
-    * wins?), and a source whose columns differ from the table's
-    * (CDC batches must be shaped upstream; null-filling silently here
-    * would write nulls over real data on the replace path). Rows with
+    * wins?), and a source whose columns OR TYPES differ from the
+    * table's (CDC batches must be shaped upstream; name-only
+    * validation would let unionByName's implicit coercion stringify a
+    * re-typed column silently on the replace path). Rows with
     * a NULL key never match (SQL join semantics): they insert, and
     * null-keyed table rows are never replaced.
     *
-    * Returns (committedVersion, filesRewritten, filesCarried). A
-    * table whose pinned manifest is EMPTY (a committed empty frame)
+    * The source is materialized once (localCheckpoint) before any
+    * decision reads it: the probe semi-join, the anti-join and the
+    * final write must all see the SAME rows, or an unstable source (a
+    * sample, a live path) could classify a file as carry while the
+    * write inserts a row with a key that file already holds —
+    * duplicate keys in the committed version. One materialization
+    * also spares a CDC batch four re-evaluations.
+    *
+    * Returns (committedVersion, filesRewritten, filesCarried). An
+    * empty source is a no-op: (currentVersion, 0, nFiles), no commit.
+    * A table whose pinned manifest is EMPTY (a committed empty frame)
     * appends the whole source; a never-committed dir throws — MERGE
     * targets an existing table, same as every table format. */
   def mergeInto(spark: SparkSession, dir: String, source: DataFrame,
@@ -1240,8 +1250,39 @@ object LakeVersions {
     require(keyCols.nonEmpty, "LakeVersions.mergeInto: no key columns")
     val v = latestVersion(spark, dir)
     val m = pinned(spark, dir, Some(v))
+    // every refusal validates against the HEADER schema, not the face,
+    // so the empty-manifest fast path refuses identically: a
+    // dup-keyed or re-typed batch must not land just because the
+    // table happens to be empty (or to have no matched file)
+    val tableCols = m.schema.fields.map(f => f.name -> f.dataType)
+    require(source.columns.toSet == tableCols.map(_._1).toSet,
+      s"LakeVersions.mergeInto: source columns ${source.columns.sorted.mkString(", ")} " +
+        s"differ from the table's ${tableCols.map(_._1).sorted.mkString(", ")}")
+    val srcTypes = source.schema.fields.map(f => f.name -> f.dataType).toMap
+    val retyped = tableCols.collect {
+      case (c, t) if srcTypes(c) != t =>
+        s"$c (${srcTypes(c).simpleString} vs table ${t.simpleString})"
+    }
+    require(retyped.isEmpty,
+      s"LakeVersions.mergeInto: source re-types ${retyped.mkString(", ")} — " +
+        "cast the CDC batch to the table's types; coercing here would " +
+        "silently rewrite matched rows through a lossy cast")
+    keyCols.foreach { k =>
+      require(srcTypes.contains(k),
+        s"LakeVersions.mergeInto: key column $k is not a table column")
+    }
+    // one materialization: probe, anti-join and write see the same rows
+    val src = source.select(tableCols.toSeq.map(c => col(c._1)): _*)
+      .localCheckpoint(true)
+    if (src.head(1).isEmpty) return (v, 0, m.files.size)
+    val dup = src.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1).limit(1).collect()
+    require(dup.isEmpty,
+      s"LakeVersions.mergeInto: source has duplicate keys (e.g. " +
+        s"${keyCols.zip(dup.head.toSeq).map { case (k, x) => s"$k=$x" }.mkString(", ")}) — " +
+        "which row wins is ambiguous; dedup the CDC batch first")
     if (m.files.isEmpty) {
-      val next = commit(spark, dir, source,
+      val next = commit(spark, dir, src,
         partitionBy = m.partitionBy, tag = "merge-into-empty",
         expectedLatest = Some(v))
       return (next, 0, 0)
@@ -1249,20 +1290,6 @@ object LakeVersions {
     val (_, lake) = fsFor(spark, dir)
     val face = spark.read.format("graftlake")
       .option("versionAsOf", v.toString).load(dir)
-    require(source.columns.toSet == face.columns.toSet,
-      s"LakeVersions.mergeInto: source columns ${source.columns.sorted.mkString(", ")} " +
-        s"differ from the table's ${face.columns.sorted.mkString(", ")}")
-    keyCols.foreach { k =>
-      require(face.columns.contains(k),
-        s"LakeVersions.mergeInto: key column $k is not a table column")
-    }
-    val src = source.select(face.columns.toSeq.map(col): _*)
-    val dup = src.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("n"))
-      .filter(col("n") > 1).limit(1).collect()
-    require(dup.isEmpty,
-      s"LakeVersions.mergeInto: source has duplicate keys (e.g. " +
-        s"${keyCols.zip(dup.head.toSeq).map { case (k, x) => s"$k=$x" }.mkString(", ")}) — " +
-        "which row wins is ambiguous; dedup the CDC batch first")
     // scale valve: a matched table row's key necessarily lies inside
     // the source's key envelope, so bound the probe scan per int/long
     // key — the graftlake face turns the BETWEEN into manifest prune
@@ -1367,41 +1394,40 @@ object LakeVersions {
     * exactly-once when the processor's sink is idempotent for the
     * replayed window, e.g. a tag-idempotent lake commit or an
     * overwrite keyed on the returned version range). The checkpoint is
-    * one file holding the version number, advanced by tmp+rename —
-    * same atomicity as the manifests themselves.
+    * a DIRECTORY of version-named marker files (`v<version>`): the
+    * high-water is the max marker, advancing CREATES a new marker
+    * (create is atomic; nothing renames onto or deletes the only copy
+    * — a tmp+rename single file would need delete-then-rename on
+    * filesystems whose rename refuses existing targets, and a crash
+    * between the two erases ALL progress → full re-bootstrap into an
+    * append sink = every historic row duplicated), and older markers
+    * are pruned best-effort AFTER the new one is durable — a crash
+    * leaves extra markers, never fewer, and max() shrugs.
     *
     * A rewrite inside the window (delete/update/merge/compact) makes
     * [[appendsBetween]] throw and the checkpoint does NOT advance:
     * restated rows never silently double-process. The operator then
     * either reconciles via [[diff]] and advances with
-    * [[advanceCheckpoint]], or deletes the checkpoint file to
-    * re-bootstrap.
+    * [[advanceCheckpoint]], or deletes the checkpoint directory to
+    * re-bootstrap. A checkpoint AHEAD of the lake (the lake was
+    * rebuilt under the same path) refuses loudly instead of silently
+    * skipping every new commit forever.
     *
     * Returns (fromVersion, toVersion) of the processed window —
     * equal when there was nothing new (process is NOT called). */
   def consumeAppends(spark: SparkSession, dir: String, checkpoint: String)
                     (process: DataFrame => Unit): (Long, Long) = {
     val (fs, lake) = fsFor(spark, dir)
-    val ckPath = new HPath(checkpoint)
-    // the checkpoint rides its OWN filesystem — a local consumer of a
-    // remote lake is the normal shape
-    val ckFs = ckPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val hw: Long =
-      if (!ckFs.exists(ckPath)) 0L
-      else {
-        val raw = AvroIo.readSmallFile(ckFs, ckPath).trim
-        try raw.toLong
-        catch { case _: NumberFormatException =>
-          throw new IllegalStateException(
-            s"LakeVersions.consumeAppends: checkpoint $checkpoint holds " +
-              s"'$raw', not a version — delete the file to re-bootstrap " +
-              "from the current snapshot")
-        }
-      }
+    val hw = checkpointVersion(spark, checkpoint).getOrElse(0L)
     val latest = state(fs, lake)
     require(latest > 0,
       s"LakeVersions.consumeAppends: no committed version under $dir")
-    if (latest <= hw) return (hw, hw)
+    require(hw <= latest,
+      s"LakeVersions.consumeAppends: checkpoint $checkpoint is at v$hw " +
+        s"but the lake's latest is v$latest — the lake was rebuilt or " +
+        "the checkpoint belongs to another table; delete the checkpoint " +
+        "directory to re-bootstrap from the current snapshot")
+    if (latest == hw) return (hw, hw)
     val increment =
       if (hw == 0L) read(spark, dir, Some(latest)) // bootstrap snapshot
       else appendsBetween(spark, dir, hw, latest)
@@ -1410,23 +1436,49 @@ object LakeVersions {
     (hw, latest)
   }
 
+  private val CkMarker = "^v([0-9]+)$".r
+
+  /** The consumed high-water version, None before the first advance.
+    * Max over the marker files; non-marker visible names refuse loudly
+    * (a truncated copy or foreign file silently ignored could move the
+    * consumer backwards). */
+  def checkpointVersion(spark: SparkSession, checkpoint: String)
+      : Option[Long] = {
+    val ck = new HPath(checkpoint)
+    // the checkpoint rides its OWN filesystem — a local consumer of a
+    // remote lake is the normal shape
+    val fs = ck.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(ck)) return None
+    val names = fs.listStatus(ck).map(_.getPath.getName)
+      .filterNot(n => n.startsWith(".") || n.startsWith("_"))
+    val bad = names.filterNot(CkMarker.matches(_))
+    if (bad.nonEmpty)
+      throw new IllegalStateException(
+        s"LakeVersions.checkpointVersion: $checkpoint holds " +
+          s"'${bad.head}', not a v<version> marker — delete the " +
+          "checkpoint directory to re-bootstrap from the current snapshot")
+    names.collect { case CkMarker(v) => v.toLong }.maxOption
+  }
+
   /** Durably record `version` as consumed (the commit half of
     * [[consumeAppends]]'s two-phase; exposed for operators reconciling
-    * a non-append window by hand via [[diff]]). Atomic tmp+rename. */
+    * a non-append window by hand via [[diff]]). Creates the marker,
+    * then prunes older ones best-effort — crash-safe in every
+    * interleaving because nothing ever deletes the newest marker. */
   def advanceCheckpoint(spark: SparkSession, checkpoint: String,
                         version: Long): Unit = {
-    val fs = new HPath(checkpoint)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val ck = new HPath(checkpoint)
-    Option(ck.getParent).foreach(fs.mkdirs(_))
-    val tmp = new HPath(ck.getParent,
-      s".${ck.getName}.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
-    val out = fs.create(tmp, true)
-    try out.write(version.toString.getBytes("UTF-8")) finally out.close()
-    if (!fs.rename(tmp, ck)) {
-      fs.delete(ck, false)
-      require(fs.rename(tmp, ck),
-        s"LakeVersions.advanceCheckpoint: cannot publish $checkpoint")
+    val fs = ck.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(ck)
+    val marker = new HPath(ck, s"v$version")
+    if (!fs.exists(marker)) fs.create(marker, false).close()
+    fs.listStatus(ck).map(_.getPath).foreach { p =>
+      p.getName match {
+        case CkMarker(v) if v.toLong < version =>
+          try fs.delete(p, false): Unit
+          catch { case _: java.io.IOException => () }
+        case _ => ()
+      }
     }
   }
 

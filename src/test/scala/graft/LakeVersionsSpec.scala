@@ -1105,6 +1105,19 @@ class LakeVersionsSpec extends AnyFunSuite with SparkFixture {
       LakeVersions.mergeInto(s, dir,
         Seq((1L, "x", 0)).toDF("k", "t", "extra"), Seq("k"))
     }
+    // same names but a re-typed column refuses too — name-only
+    // validation would let unionByName stringify ints into t silently
+    val retypedE = intercept[IllegalArgumentException] {
+      LakeVersions.mergeInto(s, dir, Seq((1L, 7)).toDF("k", "t"), Seq("k"))
+    }
+    assert(retypedE.getMessage.contains("re-types"))
+    // an empty CDC batch is a no-op: no version published
+    val beforeEmpty = LakeVersions.latestVersion(s, dir)
+    val (ve, rwe, _) = LakeVersions.mergeInto(s, dir,
+      Seq.empty[(Long, String)].toDF("k", "t"), Seq("k"))
+    assert(ve == beforeEmpty && rwe == 0)
+    assert(LakeVersions.latestVersion(s, dir) == beforeEmpty,
+      "an empty merge must not publish a version")
     // null-keyed source rows never match: they insert
     val (v5, rw5, _) = LakeVersions.mergeInto(s, dir,
       Seq((Option.empty[Long], "nullk")).toDF("k", "t"), Seq("k"))
@@ -1200,14 +1213,24 @@ class LakeVersionsSpec extends AnyFunSuite with SparkFixture {
       seen ++= df.select("k").collect().map(_.getLong(0))
     } == (5L, 6L))
     assert(seen.sorted.toSeq == (50L until 60L))
-    // a corrupt checkpoint is loud and names the recovery (write the
-    // garbage through the Hadoop fs — a raw java.nio overwrite would
-    // leave a stale .crc sidecar and fail as a ChecksumException
-    // instead of exercising the parse path)
+    // only the newest marker survives an advance (older ones pruned),
+    // and a crash that left extras would still read as max()
     val hfs = new org.apache.hadoop.fs.Path(ck)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
-    val out = hfs.create(new org.apache.hadoop.fs.Path(ck), true)
-    try out.write("garbage".getBytes) finally out.close()
+    val markers = hfs.listStatus(new org.apache.hadoop.fs.Path(ck))
+      .map(_.getPath.getName).filterNot(_.startsWith(".")).sorted
+    assert(markers.toSeq == Seq("v6"), s"markers: ${markers.mkString(",")}")
+    // a checkpoint AHEAD of the lake (rebuilt table) is loud, not a
+    // silent forever-skip
+    LakeVersions.advanceCheckpoint(s, ck, 99L)
+    val ahead = intercept[IllegalArgumentException] {
+      LakeVersions.consumeAppends(s, dir, ck) { _ => () }
+    }
+    assert(ahead.getMessage.contains("rebuilt") ||
+      ahead.getMessage.contains("re-bootstrap"))
+    // a foreign file in the checkpoint dir is loud and names recovery
+    hfs.delete(new org.apache.hadoop.fs.Path(ck, "v99"), false)
+    hfs.create(new org.apache.hadoop.fs.Path(ck, "garbage"), true).close()
     val e = intercept[IllegalStateException] {
       LakeVersions.consumeAppends(s, dir, ck) { _ => () }
     }
