@@ -1069,11 +1069,19 @@ object LakeVersions {
 
   /** Which manifest files does `hits` (a frame derived from the
     * pinned `graftlake` face, carrying [[HitFileCol]] =
-    * input_file_name() selected BEFORE any join/filter so the lineage
-    * is unambiguous) actually touch? Shared by [[deleteWhere]] /
+    * input_file_name()) actually touch? Shared by [[deleteWhere]] /
     * [[updateWhere]] / [[mergeInto]] — each refuses an unprovable
     * relpath outright: silently carrying a hit file by reference
-    * would resurrect deleted rows / drop an update. */
+    * would resurrect deleted rows / drop an update.
+    *
+    * Callers must add [[HitFileCol]] AFTER their scan-prunable
+    * filters but BEFORE any join: projecting the nondeterministic
+    * input_file_name below a filter blocks that filter's collection
+    * into the scan (empty PushedFilters/PartitionFilters — verified
+    * on the planned FileSourceScan), turning a manifest-pruned probe
+    * into a full-table read; above a join the column's lineage is
+    * ambiguous. filter → withColumn → join is the one order that
+    * both prunes and stays unambiguous. */
   private val HitFileCol = "__graft_hit_file"
   private def hitRelpaths(spark: SparkSession, dir: String,
                           m: ManifestState, op: String,
@@ -1130,7 +1138,7 @@ object LakeVersions {
     val face = spark.read.format("graftlake")
       .option("versionAsOf", v.toString).load(dir)
     val hitRels = hitRelpaths(spark, dir, m, "deleteWhere",
-      face.withColumn(HitFileCol, input_file_name()).filter(predicate))
+      face.filter(predicate).withColumn(HitFileCol, input_file_name()))
     if (hitRels.isEmpty) return (v, 0, m.files.size)
     val (rewrite, carry) = m.files.partition(e => hitRels(e.relpath))
     val survivors = frameOver(spark, lake, m, rewrite)
@@ -1164,21 +1172,20 @@ object LakeVersions {
     import org.apache.spark.sql.functions.{coalesce, col, input_file_name, lit, when}
     require(set.nonEmpty, "LakeVersions.updateWhere: empty SET")
     val v = latestVersion(spark, dir)
-    val m = pinned(spark, dir, Some(v))
-    if (m.files.isEmpty) return (v, 0, 0)
-    val (_, lake) = fsFor(spark, dir)
-    val face = spark.read.format("graftlake")
-      .option("versionAsOf", v.toString).load(dir)
+    // the RESOLVED schema (a legacy v2 header can be narrower than its
+    // files' union — validating against it would refuse a legal SET)
+    val m = resolvedState(spark, dir, Some(v))
+    // validate the SET before ANY fast path: a no-hit predicate or an
+    // empty table must not turn a re-typed or misnamed SET into a
+    // silent success that starts throwing the first day a row matches
+    // — validation must be data-independent. The empty frame resolves
+    // the expressions' types without reading a byte.
+    val schemaProbe = emptyFrame(spark, m.schema)
     set.keys.foreach { c =>
-      require(face.columns.contains(c),
+      require(m.schema.fieldNames.contains(c),
         s"LakeVersions.updateWhere: SET column $c is not a table column " +
-          s"(table has ${face.columns.mkString(", ")})")
+          s"(table has ${m.schema.fieldNames.mkString(", ")})")
     }
-    val hitRels = hitRelpaths(spark, dir, m, "updateWhere",
-      face.withColumn(HitFileCol, input_file_name()).filter(predicate))
-    if (hitRels.isEmpty) return (v, 0, m.files.size)
-    val (rewrite, carry) = m.files.partition(e => hitRels(e.relpath))
-    val base = frameOver(spark, lake, m, rewrite)
     // check each SET expression's OWN type against the column BEFORE
     // wrapping it in when(): the wrapper would silently coerce both
     // branches to a common type (ANSI puts a runtime string->long cast
@@ -1186,10 +1193,10 @@ object LakeVersions {
     // any check on the final schema. Only the lake's lossless widening
     // lattice coerces (lit(0) into a long column is fine); anything
     // else refuses here with the column named.
-    val setTypes = base.select(set.toSeq.map { case (c, e) => e.as(c) }: _*)
+    val setTypes = schemaProbe.select(set.toSeq.map { case (c, e) => e.as(c) }: _*)
       .schema.map(f => f.name -> f.dataType).toMap
     val bad = set.keys.toSeq.sorted.flatMap { c =>
-      val colT = base.schema(c).dataType
+      val colT = m.schema(c).dataType
       val exprT = setTypes(c)
       if (exprT == colT || lakeWiden(exprT, colT).contains(colT)) None
       else Some(s"$c (${exprT.simpleString} into ${colT.simpleString})")
@@ -1197,6 +1204,15 @@ object LakeVersions {
     require(bad.isEmpty,
       s"LakeVersions.updateWhere: SET re-types ${bad.mkString(", ")} — " +
         "cast the expression to the column's type if the change is intended")
+    if (m.files.isEmpty) return (v, 0, 0)
+    val (_, lake) = fsFor(spark, dir)
+    val face = spark.read.format("graftlake")
+      .option("versionAsOf", v.toString).load(dir)
+    val hitRels = hitRelpaths(spark, dir, m, "updateWhere",
+      face.filter(predicate).withColumn(HitFileCol, input_file_name()))
+    if (hitRels.isEmpty) return (v, 0, m.files.size)
+    val (rewrite, carry) = m.files.partition(e => hitRels(e.relpath))
+    val base = frameOver(spark, lake, m, rewrite)
     val cond = coalesce(predicate, lit(false))
     val updated = base.select(base.columns.toSeq.map { c =>
       set.get(c) match {
@@ -1249,9 +1265,13 @@ object LakeVersions {
     import org.apache.spark.sql.functions.{col, count, input_file_name, lit, max, min}
     require(keyCols.nonEmpty, "LakeVersions.mergeInto: no key columns")
     val v = latestVersion(spark, dir)
-    val m = pinned(spark, dir, Some(v))
-    // every refusal validates against the HEADER schema, not the face,
-    // so the empty-manifest fast path refuses identically: a
+    // the RESOLVED schema: a legacy v2 header can be narrower than the
+    // files' union the face actually reads — validating against it
+    // would refuse a correctly-shaped source (and pass a narrow one
+    // that then fails mid-plan in unionByName)
+    val m = resolvedState(spark, dir, Some(v))
+    // every refusal validates against the resolved TABLE schema, not
+    // the face, so the empty-manifest fast path refuses identically: a
     // dup-keyed or re-typed batch must not land just because the
     // table happens to be empty (or to have no matched file)
     val tableCols = m.schema.fields.map(f => f.name -> f.dataType)
@@ -1275,7 +1295,12 @@ object LakeVersions {
     val src = source.select(tableCols.toSeq.map(c => col(c._1)): _*)
       .localCheckpoint(true)
     if (src.head(1).isEmpty) return (v, 0, m.files.size)
-    val dup = src.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("n"))
+    // only NON-null-keyed groups can be ambiguous: a null key never
+    // matches anything (both rows just insert), so two null-keyed CDC
+    // records are legal — grouping them together would refuse a batch
+    // of yet-unkeyed inserts as "duplicates"
+    val dup = src.filter(keyCols.map(col(_).isNotNull).reduce(_ && _))
+      .groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("n"))
       .filter(col("n") > 1).limit(1).collect()
     require(dup.isEmpty,
       s"LakeVersions.mergeInto: source has duplicate keys (e.g. " +
@@ -1335,6 +1360,11 @@ object LakeVersions {
   def fileChanges(spark: SparkSession, dir: String,
                   fromV: Long, toV: Long): DataFrame = {
     val (fs, lake) = fsFor(spark, dir)
+    Seq(fromV, toV).foreach { v =>
+      require(fs.exists(manifestPath(lake, v)),
+        s"LakeVersions.fileChanges: version $v does not exist " +
+          s"(vacuumed?) under $dir")
+    }
     val from = readManifest(fs, lake, fromV)
     val to = readManifest(fs, lake, toV)
     val fromRels = from.files.map(_.relpath).toSet

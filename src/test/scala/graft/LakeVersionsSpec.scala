@@ -1036,11 +1036,32 @@ class LakeVersionsSpec extends AnyFunSuite with SparkFixture {
         Map("b" -> lit("oops")))
     }
     assert(e.getMessage.contains("re-types") && e.getMessage.contains("b"))
+    // ...and the refusal is DATA-INDEPENDENT: the same bad SET with a
+    // predicate matching NOTHING still refuses (a silent success that
+    // starts throwing the first day a row matches is a trap)
+    intercept[IllegalArgumentException] {
+      LakeVersions.updateWhere(s, dir, col("a") === 99999L,
+        Map("b" -> lit("oops")))
+    }
     // unknown SET column refuses with the table's columns named
     intercept[IllegalArgumentException] {
       LakeVersions.updateWhere(s, dir, col("a") === 1L,
         Map("nope" -> lit(1L)))
     }
+    // the probe scan is manifest-pruned: the predicate must reach the
+    // graftlake scan (input_file_name added ABOVE the filter — below
+    // it, the nondeterministic projection blocks pushdown and every
+    // delete/update reads the whole table)
+    val probe = s.read.format("graftlake").load(dir)
+      .filter(col("a") === 15L)
+      .withColumn("__f", org.apache.spark.sql.functions.input_file_name())
+    probe.collect(): Unit // metrics exist only after execution
+    val scans = graft.plans.PlanLint.physicalPlan(probe).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty && scans.head.metrics("numFiles").value == 1,
+      s"probe must plan 1 of 3 files, planned " +
+        s"${scans.headOption.map(_.metrics("numFiles").value)}")
   }
 
   test("updateWhere on a partitioned lake: updating the partition column " +
@@ -1118,12 +1139,16 @@ class LakeVersionsSpec extends AnyFunSuite with SparkFixture {
     assert(ve == beforeEmpty && rwe == 0)
     assert(LakeVersions.latestVersion(s, dir) == beforeEmpty,
       "an empty merge must not publish a version")
-    // null-keyed source rows never match: they insert
+    // null-keyed source rows never match: they insert — and TWO of
+    // them are NOT "duplicate keys" (neither can win over anything;
+    // a dup check that groups nulls together would refuse a batch of
+    // yet-unkeyed inserts)
     val (v5, rw5, _) = LakeVersions.mergeInto(s, dir,
-      Seq((Option.empty[Long], "nullk")).toDF("k", "t"), Seq("k"))
+      Seq((Option.empty[Long], "nullk1"), (Option.empty[Long], "nullk2"))
+        .toDF("k", "t"), Seq("k"))
     assert(v5 == 5L && rw5 == 0)
-    assert(LakeVersions.read(s, dir).count() == 32L)
-    assert(LakeVersions.read(s, dir).filter(col("k").isNull).count() == 1L)
+    assert(LakeVersions.read(s, dir).count() == 33L)
+    assert(LakeVersions.read(s, dir).filter(col("k").isNull).count() == 2L)
   }
 
   test("appendsBetween reads exactly the appended rows from added files; " +
