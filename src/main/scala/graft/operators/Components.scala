@@ -141,10 +141,29 @@ object Components {
         .filter(k => k._1 == key._1 && k._2 == key._2 && k._3 != key._3)
       stale.foreach(k => Option(symCache.remove(k)).foreach(_.unpersistAll()))
       val e = proj.persist(StorageLevel.MEMORY_AND_DISK)
-      val nodes = e.select(col("src").as("n"))
-        .union(e.select(col("dst").as("n"))).distinct()
+      // Self-loops are emitted per ENDPOINT (duplicates and all) instead
+      // of via a distinct() over the node set: every consumer of the
+      // symmetrized edges either min-aggregates over them (step) or
+      // re-distincts (connectedComponents init), so duplicate self-loops
+      // are invisible — and dropping the distinct removes a whole
+      // shuffle+agg pass from the cache materialization.
+      //
+      // The union is then hash-REPARTITIONED by src before the persist:
+      // (a) every propagation round joins these edges on src, so the
+      // cached partitioning satisfies the join's distribution and the
+      // per-round exchange of the edge side disappears (the labels side
+      // still shuffles — it is the round's output and must regroup);
+      // (b) a plain union of four projections of e would cache 4×|e's
+      // partitions| slices, and every round's scan would relaunch that
+      // many tasks (measured: 96-task stages per round on a 3-leg union,
+      // pure dispatch overhead at bench scale). Partition count comes
+      // from spark.sql.shuffle.partitions — the session's scale knob,
+      // not a constant.
+      val p = pairs.sparkSession.sessionState.conf.numShufflePartitions
       val s = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
-        .union(nodes.select(col("n").as("src"), col("n").as("dst")))
+        .union(e.select(col("src"), col("src").as("dst")))
+        .union(e.select(col("dst").as("src"), col("dst").as("dst")))
+        .repartition(p, col("src"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       val entry = SymEntry(e, s)
       symCache.put(key, entry)
@@ -170,10 +189,24 @@ object Components {
   }
 
   /** One min-label round: every node takes min over its in-edges'
-    * source labels (self-loops carry the node's own label). */
+    * source labels (self-loops carry the node's own label). The labels
+    * side is the hash-join BUILD side (shuffle_hash hint): it is one row
+    * per node — far smaller than the edge side — and a sort-merge join
+    * here would re-SORT the persisted edges every round for no benefit
+    * (the min-agg above is order-insensitive). */
   private def step(sym: DataFrame, labels: DataFrame): DataFrame =
-    sym.join(labels.withColumnRenamed("node", "src"), "src")
+    sym.join(labels.withColumnRenamed("node", "src").hint("shuffle_hash"), "src")
       .select(col("dst").as("node"), col("label"))
+      .groupBy("node").agg(min("label").as("label"))
+
+  /** Round 1 of min-label propagation, algebraically collapsed: with
+    * labels initialized to identity (label(v)=v), the first step's join
+    * just renames edge sources, so round 1 is a bare min-aggregation
+    * over the symmetrized edges — no init node-set, no identity join.
+    * Self-loops guarantee every node appears and its own id competes in
+    * the min. */
+  private def round1(sym: DataFrame): DataFrame =
+    sym.select(col("dst").as("node"), col("src").as("label"))
       .groupBy("node").agg(min("label").as("label"))
 
   /** Lazy fixed-round component labels: (node, label) for every node that
@@ -197,9 +230,7 @@ object Components {
     // footprint is bounded by the (small) pair relation per DISTINCT
     // input. clearSymCaches() releases them between pipeline stages.
     val (_, SymEntry(_, s)) = sym(pairs, aCol, bCol)
-    val init = s.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node"))
-    (1 to rounds).foldLeft(init)((labels, _) => step(s, labels))
+    (2 to rounds).foldLeft(round1(s))((labels, _) => step(s, labels))
   }
 
   /** Explicitly drop the cache blocks behind a `localCheckpoint`-backed
@@ -244,10 +275,12 @@ object Components {
       bCol: String = "b_id",
       maxRounds: Int = 50): DataFrame = {
     val (symK, SymEntry(_, s)) = sym(pairs, aCol, bCol) // cached; reused every round
-    var labels = s.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node"))
-      .localCheckpoint()
-    var round = 0
+    // Seed with the collapsed round 1 (see [[round1]]): one aggregation
+    // replaces the old identity-label init (a distinct over the node
+    // set) PLUS the first join round. `round` starts at 1 so maxRounds
+    // still bounds total step applications.
+    var labels = round1(s).localCheckpoint()
+    var round = 1
     var changed = 1L
     while (changed > 0 && round < maxRounds) {
       val next = step(s, labels)

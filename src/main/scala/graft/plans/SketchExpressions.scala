@@ -19,11 +19,21 @@ import org.apache.spark.sql.types._
   */
 case class MinHashSignature(
     child: Expression,
-    coefA: Array[Long],
-    coefB: Array[Long],
+    coefA: Seq[Long],
+    coefB: Seq[Long],
     prime: Long) extends UnaryExpression {
 
+  // Seq (not Array) coefficients are load-bearing for plan identity:
+  // case-class equality over Array fields is REFERENCE equality, so two
+  // builds of the same MinHash plan would never compare equal — which
+  // broke every canonicalized-plan memo keyed on an LSH subtree
+  // (Components.symCache re-persisted and re-ran the whole LSH pipeline
+  // on every rebuild) and Spark's own CacheManager/ReuseExchange
+  // matching through this expression.
   require(coefA.length == coefB.length && coefA.nonEmpty)
+
+  @transient private lazy val caArr = coefA.toArray
+  @transient private lazy val cbArr = coefB.toArray
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
@@ -34,7 +44,9 @@ case class MinHashSignature(
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
-    val k = coefA.length
+    val k = caArr.length
+    val ca = caArr
+    val cb = cbArr
     val mins = Array.fill(k)(Long.MaxValue)
     val n = arr.numElements()
     var i = 0
@@ -43,7 +55,7 @@ case class MinHashSignature(
         val x = arr.getLong(i)
         var j = 0
         while (j < k) {
-          var v = (coefA(j) * x + coefB(j)) % prime
+          var v = (ca(j) * x + cb(j)) % prime
           if (v < 0) v += prime
           if (v < mins(j)) mins(j) = v
           j += 1
@@ -56,8 +68,8 @@ case class MinHashSignature(
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, arr => {
-      val ca = ctx.addReferenceObj("minhashCoefA", coefA, "long[]")
-      val cb = ctx.addReferenceObj("minhashCoefB", coefB, "long[]")
+      val ca = ctx.addReferenceObj("minhashCoefA", caArr, "long[]")
+      val cb = ctx.addReferenceObj("minhashCoefB", cbArr, "long[]")
       val k = coefA.length
       val i = ctx.freshName("i")
       val j = ctx.freshName("j")
@@ -167,7 +179,8 @@ object SketchExpressions {
   def minhashSignature(
       hashes: Column, coefA: Array[Long], coefB: Array[Long], prime: Long): Column =
     GraftColumnBridge.column(
-      MinHashSignature(GraftColumnBridge.expression(hashes), coefA, coefB, prime))
+      MinHashSignature(GraftColumnBridge.expression(hashes),
+        coefA.toSeq, coefB.toSeq, prime))
 
   def hllEstimate(sketch: Column): Column =
     GraftColumnBridge.column(HllEstimate(GraftColumnBridge.expression(sketch)))
