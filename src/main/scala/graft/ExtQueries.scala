@@ -1134,24 +1134,42 @@ object ExtQueries {
         .filter(TextAnalysis.langId(col("text")) === "en")
         .filter(TextAnalysis.tokenCount(col("text")) >= 20)
         .withColumn("__fp", fp)
-      val dupWinners = Dedup.exact(gated, Seq("__fp"), Seq(col("doc_id")))
+      // Dedup.exact returns the full WINNER ROWS, so the deduped corpus
+      // is its output directly — the previous join of gated back onto
+      // the winner-id set recomputed the whole language/length/fingerprint
+      // gate a second time just to reattach columns the winners already
+      // carry (one join and one single-task gate pass removed)
+      val deduped = Dedup.exact(gated, Seq("__fp"), Seq(col("doc_id")))
+      val dupWinners = deduped
         .select(col("doc_id").as("id"), lit(true).as("__won"))
-      val deduped = gated.join(
-        dupWinners.select(col("id").as("doc_id")), "doc_id")
-      val kept = Dedup.decontaminate(deduped, hold, "doc_id", "text",
+      // decontaminate(deduped, …) would anti-join the full deduped
+      // relation, re-running the gate+dedup-window a second time; the
+      // audit only needs the surviving IDs, and those are the winner ids
+      // minus the contamination hits — an anti-join on the already-tiny
+      // id relation instead (same set, one less gate pass)
+      val hit = Dedup.crossJaccardPairs(deduped, hold, "doc_id", "text",
           k = 3, threshold = 0.6, maxDf = Some(1000))
-        .select(col("doc_id").as("id"), lit(true).as("__kept"))
-      d.select(col("doc_id").as("id"), col("text"))
+        .select(col("a_id").as("id")).distinct()
+      val kept = dupWinners.select("id").join(hit, Seq("id"), "left_anti")
+        .select(col("id"), lit(true).as("__kept"))
+      // sort-first on the closing projection: the disposition when-chain
+      // re-runs langId/tokenCount over EVERY doc, and as the map side of
+      // the final range exchange it executed twice (sampler + real) on
+      // one task; above the sort it runs once at exchange parallelism.
+      // The joins stay below the exchange — their inputs are broadcast
+      // relations AQE materializes once.
+      val flagged = d.select(col("doc_id").as("id"), col("text"))
         .join(dupWinners, Seq("id"), "left")
         .join(kept, Seq("id"), "left")
-        .select(col("id"),
+      SortFirst.project(flagged, Seq(col("id"))) { sorted =>
+        sorted.select(col("id"),
           when(col("id") % 5 === 0, "holdout")
             .when(TextAnalysis.langId(col("text")) =!= "en", "lang")
             .when(TextAnalysis.tokenCount(col("text")) < 20, "length")
             .when(col("__won").isNull, "dup")
             .when(col("__kept").isNull, "contaminated")
             .otherwise("kept").as("disposition"))
-        .orderBy("id")
+      }
     }),
 
     // Unicode NFC normalization (dedup preprocessing): decomposed and
@@ -1541,6 +1559,11 @@ object ExtQueries {
     // post-extraction text — + replayed hash60 cap order). Fully lazy:
     // codegen'd projections + one partitioned WindowGroupLimit.
     "q_pipeline_web" -> ((s, dir) => {
+      // left on the natural scan: a widen() here is defeated by filter
+      // pushdown — Catalyst pushes the langId/token gates back below the
+      // round-robin exchange (alias-substituting the whole extraction
+      // chain into them), so the heavy leg stays single-task AND runs
+      // twice; measured 2.5 s natural vs 3.1 s widened
       val d = t(s, dir, "documents").df
       val page = concat(
         lit("<html><head><title>Doc</title><script>var x = 1 < 2;</script>" +

@@ -65,11 +65,8 @@ object RefBench {
       // already wider than the session knob is left alone). Measured
       // 2.19 s -> 1.07 s at sf0.1; row set and order unchanged (the
       // trailing total sort fixes both).
-      val cRaw = t(s, dir, "customer").select("c_custkey", "c_acctbal")
-      val p = s.sessionState.conf.numShufflePartitions
-      val c =
-        if (cRaw.df.rdd.getNumPartitions < p) PsDataFrame(cRaw.df.repartition(p))
-        else cRaw
+      val c = PsDataFrame(graft.operators.SortFirst.widen(
+        t(s, dir, "customer").select("c_custkey", "c_acctbal").df))
       sup.set("dummy", 1)
       c.set("dummy", 1)
       val j = sup.merge(c, on = Seq("dummy"))

@@ -438,14 +438,25 @@ object Dedup {
       .select("a_id", "b_id")
       .distinct() // a pair can collide in several bands
 
-    // merge hints: the shingle relation is computed (explode + codegen
-    // shingling) — letting Catalyst broadcast it re-evaluates that work
-    // on the driver and caps the build at driver memory; at scale the
-    // shingle side is always the big side, so the honest plan is a
-    // shuffle join on id (measured 5-20x faster locally too)
+    // merge hints: the confirm relation is computed — letting Catalyst
+    // broadcast it re-evaluates that work on the driver and caps the
+    // build at driver memory; at scale the document side is always the
+    // big side, so the honest plan is a shuffle join on id (measured
+    // 5-20x faster locally too).
+    //
+    // The join carries raw TEXT, not shingle arrays, and re-shingles
+    // AFTER the join on candidate rows only: a shingle array is several
+    // times wider than its source text (one ~k-word string per token),
+    // so both confirm exchanges narrow accordingly, and the corpus-wide
+    // shingle pass runs once (banding) instead of three times — the
+    // per-candidate re-shingle touches only rows that survived banding,
+    // a vanishing fraction of the corpus by LSH design.
+    val txt = docs.select(col(idCol).as("id"), col(textCol).as("__txt"))
     candidates
-      .join(withSh.select(col("id").as("a_id"), col("sh").as("a_sh")).hint("merge"), "a_id")
-      .join(withSh.select(col("id").as("b_id"), col("sh").as("b_sh")).hint("merge"), "b_id")
+      .join(txt.select(col("id").as("a_id"), col("__txt").as("a_t")).hint("merge"), "a_id")
+      .join(txt.select(col("id").as("b_id"), col("__txt").as("b_t")).hint("merge"), "b_id")
+      .withColumn("a_sh", shingles(col("a_t"), shingleK))
+      .withColumn("b_sh", shingles(col("b_t"), shingleK))
       .withColumn("inter", size(array_intersect(col("a_sh"), col("b_sh"))))
       .withColumn("jaccard", col("inter").cast("double") /
         (size(col("a_sh")) + size(col("b_sh")) - col("inter")))

@@ -68,4 +68,19 @@ object SortFirst {
     val p = df.sparkSession.sessionState.conf.numShufflePartitions
     expand(df.repartitionByRange(p, prefix: _*)).sortWithinPartitions(full: _*)
   }
+
+  /** Round-robin `df` up to the session's shuffle parallelism when its
+    * current plan yields FEWER partitions — the compacted-small-file
+    * case, where a single-row-group parquet file is one unsplittable
+    * scan task no matter how many cores the session has, and every
+    * row-local operator above it runs serially until the first
+    * exchange. A no-op whenever the input is already at least that
+    * wide, so at scale (scans of many files/row groups) the guard
+    * short-circuits and no corpus-wide shuffle is injected. Use below
+    * heavy per-row compute that would otherwise inherit a narrow scan's
+    * parallelism. */
+  def widen(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sessionState.conf.numShufflePartitions
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
 }
