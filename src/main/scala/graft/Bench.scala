@@ -146,16 +146,19 @@ object Bench {
   /** Should the first re-time fork be distrusted? A fresh JVM is
     * routinely much FASTER than the inflated late-sweep number (that
     * asymmetry is why the re-time exists) but has no legitimate reason
-    * to be >3× SLOWER than a run the same plan just completed warm:
-    * shuffle volume is identical, so the only explanations are fork
-    * noise (GC pause, host load spike) — BENCH_r15 committed a 41.2 s
-    * fork median for a 2.9 s in-sweep query this way. Such a fork gets
+    * to be substantially SLOWER than a run the same plan just completed
+    * warm: shuffle volume is identical, so the only explanations are
+    * fork noise (GC pause, host load spike) — BENCH_r15 committed a
+    * 41.2 s fork median for a 2.9 s in-sweep query this way, and the
+    * r19 closing sweep let a 2.16× fork (6.18 s vs 2.86 s in-sweep)
+    * through the old 3× gate for q_pipeline_audit. Threshold is 1.5×
+    * since r20 (the r19 verdict's adjudication item): such a fork gets
     * ONE retry, [[adjudicateRetime]] keeps the min, and the JSON's
     * retime_attribution block records every fork wall + a diverged
     * flag, so an outlier can never land unmarked in the authoritative
     * "queries" field. */
   private[graft] def forkSuspect(insweep: Double, forkMedian: Double): Boolean =
-    forkMedian > 3.0 * insweep
+    forkMedian > 1.5 * insweep
 
   /** (kept seconds, still-diverged flag) from the in-sweep number and
     * the fork medians gathered so far: keep the fastest fork (min is
@@ -227,14 +230,25 @@ object Bench {
       only.size != 1 && !sys.env.contains("SPARK_GRAFT_NO_RETIME")
     val canaryStart =
       if (canaryEnabled) retimeInFreshJvm(canaryName, sfDir) else None
+    // SPARK_GRAFT_BENCH_COLD=1: COLD first-execution mode for the cache-
+    // honesty audit (r19 verdict item 3) — no untimed warm-up, and every
+    // plan-keyed memo (Components.symCache) is dropped before each timed
+    // run, so the timed region provably contains the full pipeline (the
+    // LSH edge build included) instead of a warm persisted relation. Not
+    // used by the driver; default behavior (warmup=1) is unchanged.
+    val cold = sys.env.get("SPARK_GRAFT_BENCH_COLD").contains("1")
+    val warmups = if (cold) 0 else 1
     for (name <- SparkEntry.queries.keys.toSeq.sorted
          if only.isEmpty || only(name)) {
       val fn = SparkEntry.queries(name)
       try {
-        force(fn(spark, sfDir)) // warm-up, untimed
+        if (warmups > 0) force(fn(spark, sfDir)) // warm-up, untimed
         evictionListener.reset()
         shuffleListener.reset()
         val samples = (1 to iters).map { _ =>
+          // cold mode: drop plan-keyed memos BEFORE the clock starts, so
+          // each timed run recomputes everything from the parquet inputs
+          if (cold) graft.operators.Components.clearSymCaches()
           val t0 = System.nanoTime()
           force(fn(spark, sfDir))
           (System.nanoTime() - t0) / 1e9
@@ -387,7 +401,7 @@ object Bench {
     val heapMaxMb = Runtime.getRuntime.maxMemory / (1024 * 1024)
     val line = s"""{"metric":"total","value":${num(times.values.sum)},"unit":"sec"""" +
       s""","queries":$qs,"errors":$es,"sf":${q(sfDir)},"iters":$iters""" +
-      s""","warmup":1,"force":"noop_sink","retime_threshold_s":${num(retimeThreshold)}""" +
+      s""","warmup":$warmups,"force":"noop_sink","retime_threshold_s":${num(retimeThreshold)}""" +
       s""","insweep":$isw,"retime_failed":$rtf""" +
       s""","retime_attribution":$attrJson""" +
       s""","canary":$canaryJson,"env_suspect":$envSuspect""" +
@@ -401,6 +415,21 @@ object Bench {
     println(line)
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
     Files.writeString(Paths.get(out), line + "\n")
+    // Final COMPACT stdout line: the full line above is ~14 KB, which has
+    // exceeded the driver's 2000-char stdout-tail capture every round
+    // since r10 ("parsed": null in BENCH_r10..r19) — so the per-query and
+    // scaling comparisons never populated. The complete record (identical
+    // "queries"/telemetry, nothing removed) is the line above and the
+    // bench.json file it is persisted to; this last line is a <2000-char
+    // summary a tail-capture can always parse whole, with a pointer to
+    // the full file. Timing methodology, env contract and the "queries"
+    // map are unchanged.
+    val summary = s"""{"metric":"total","value":${num(times.values.sum)}""" +
+      s""","unit":"sec","n_queries":${times.size},"n_errors":${errors.size}""" +
+      s""","sf":${q(sfDir)},"cpus":${q(cpus)},"iters":$iters""" +
+      s""","bench_vs_baseline":$benchVsBaseline,"env_suspect":$envSuspect""" +
+      s""","ok":${errors.isEmpty},"file":${q(out)}}"""
+    println(summary)
     if (errors.nonEmpty) {
       System.err.println(s"[bench] ${errors.size} queries FAILED: ${errors.keys.mkString(", ")}")
       sys.exit(1)

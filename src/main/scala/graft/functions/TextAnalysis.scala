@@ -15,49 +15,60 @@ import graft.operators.Dedup
   */
 object TextAnalysis {
 
+  /** English stopword slice used by [[qualityScore]] / [[langId]]. */
+  val EnglishStopwords: Seq[String] =
+    Seq("the", "a", "an", "of", "to", "in", "and", "or", "is", "it")
+
+  /** The canonical profile list every fused signal shares: the language-ID
+    * marker sets, "en" (= [[EnglishStopwords]]) first. EVERY signal below
+    * keys its [[graft.plans.TokenStats]] on this ONE list so that any
+    * combination of signals in a projection builds byte-identical
+    * subtrees — whole-stage codegen's subexpression elimination then
+    * evaluates the fused pass ONCE per row no matter how many signals a
+    * query derives (q_textstats derives seven). */
+  private lazy val StdProfiles: Seq[Seq[String]] = LangProfiles.map(_._2)
+
+  /** One fused pass over the text (see [[graft.plans.TokenStats]]):
+    * struct(n, sum_len, n_distinct, n_short, n_punct, n_subword, hits). */
+  private def stats(text: Column): Column =
+    graft.plans.TextExpressions.tokenStats(text, StdProfiles)
+
   /** Whitespace token count (the classic "word count"). */
-  def tokenCount(text: Column): Column = size(split(text, " "))
+  def tokenCount(text: Column): Column = stats(text).getField("n")
 
   /** BPE-ish subword token estimate: counts maximal runs of letters,
     * digits, or single non-space symbols (a cheap, deterministic proxy for
     * a real tokenizer's token count — useful for token budgeting). */
-  def subwordCount(text: Column): Column =
-    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+  def subwordCount(text: Column): Column = stats(text).getField("n_subword")
 
   def charLen(text: Column): Column = length(text)
 
   /** Fraction of characters that are punctuation/symbols. */
   def punctRatio(text: Column): Column =
     when(length(text) === 0, 0.0).otherwise(
-      length(regexp_replace(text, "[A-Za-z0-9\\s]", ""))
-        .cast("double") / length(text))
+      stats(text).getField("n_punct").cast("double") / length(text))
 
   /** Mean token length — short means fragmentary/noisy text. */
   def meanTokenLen(text: Column): Column = {
-    val toks = split(text, " ")
-    when(size(toks) === 0, 0.0).otherwise(
-      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double")
-        / size(toks))
+    val st = stats(text)
+    when(st.getField("n") === 0, 0.0).otherwise(
+      st.getField("sum_len").cast("double") / st.getField("n"))
   }
 
   /** Fraction of tokens present in `words` (stopword density — a strong
     * natural-language-vs-noise signal). The word list travels as a plan
-    * literal: no broadcast, no shuffle. */
+    * literal: no broadcast, no shuffle. A profile from [[LangProfiles]]
+    * (incl. [[EnglishStopwords]]) reads its counter from the shared fused
+    * pass; any other word list fuses its own single-profile pass. */
   def wordRatio(text: Column, words: Seq[String]): Column = {
-    val toks = split(text, " ")
-    val set = array(words.map(lit(_)): _*)
-    when(size(toks) === 0, 0.0).otherwise(
-      size(array_intersect_keep_count(toks, set)).cast("double") / size(toks))
+    val idx = StdProfiles.indexOf(words)
+    val (st, hit) =
+      if (idx >= 0) (stats(text), idx)
+      else (graft.plans.TextExpressions.tokenStats(text, Seq(words)), 0)
+    when(st.getField("n") === 0, 0.0).otherwise(
+      element_at(st.getField("hits"), hit + 1).cast("double") /
+        st.getField("n"))
   }
-
-  /** filter(toks, t -> t IN set) — keeps duplicates, unlike
-    * array_intersect (ratio must count every occurrence). */
-  private def array_intersect_keep_count(toks: Column, set: Column): Column =
-    filter(toks, t => array_contains(set, t))
-
-  /** English stopword slice used by [[qualityScore]] / [[langId]]. */
-  val EnglishStopwords: Seq[String] =
-    Seq("the", "a", "an", "of", "to", "in", "and", "or", "is", "it")
 
   /** Composite quality score in [0,1]: length band + stopword density +
     * low punctuation + sane token length. The exact recipe is a tunable
@@ -92,11 +103,11 @@ object TextAnalysis {
     * score = 8·n_tok + n_chars − 16·n_short − 4·n_digit − 2·n_rep.
     */
   def linearQualityScore(text: Column): Column = {
-    val toks = split(text, " ")
-    val nTok = size(toks)
-    val nShort = size(filter(toks, t => length(t) <= 2))
+    val st = stats(text)
+    val nTok = st.getField("n")
+    val nShort = st.getField("n_short")
     val nDigit = length(text) - length(regexp_replace(text, "[0-9]", ""))
-    val nRep = nTok - size(array_distinct(toks))
+    val nRep = nTok - st.getField("n_distinct")
     (lit(8) * nTok + length(text) - lit(16) * nShort -
       lit(4) * nDigit - lit(2) * nRep).cast("long")
   }
@@ -154,9 +165,10 @@ object TextAnalysis {
     * The cheap single-pass repetition signal (boilerplate, keyword spam,
     * template pages score high); Gopher-style pipelines drop on it. */
   def dupTokenRatio(text: Column): Column = {
-    val toks = split(text, " ")
-    when(size(toks) === 0, 0.0).otherwise(
-      (size(toks) - size(array_distinct(toks))).cast("double") / size(toks))
+    val st = stats(text)
+    when(st.getField("n") === 0, 0.0).otherwise(
+      (st.getField("n") - st.getField("n_distinct")).cast("double") /
+        st.getField("n"))
   }
 
   /** One-pass k-gram repetition counters: struct(total, top, dup) — see

@@ -114,8 +114,18 @@ object Dedup {
       k: Int,
       threshold: Double,
       maxDf: Option[Int] = None): DataFrame = {
-    val base = docs.select(col(idCol).as("id"), shingles(col(textCol), k).as("sh"))
-      .filter(size(col("sh")) > 0)
+    // widen the NARROW (id, text) input before the shingle explode: on a
+    // compacted single-row-group input the scan is one task, and the
+    // shingle pass (the operator's heavy leg, consumed twice when maxDf
+    // engages) would run serially. Widening must happen BELOW the heavy
+    // expressions with no filter above them — r19 measured that a filter
+    // above the widen gets alias-substituted and pushed back under the
+    // exchange, re-running the heavy leg single-task AND twice. The old
+    // `filter(size(sh) > 0)` here was exactly that bait; it is redundant
+    // (explode emits nothing for an empty array), so it is gone.
+    val base = SortFirst.widenScanSide(
+      docs.select(col(idCol).as("id"), col(textCol).as("__t")))
+      .select(col("id"), shingles(col("__t"), k).as("sh"))
     val ex = base.select(col("id"), size(col("sh")).as("n"), explode(col("sh")).as("s"))
     val kept = maxDf.fold(ex)(cap => dropHotShingles(ex, cap))
     val postings = kept.groupBy("s")

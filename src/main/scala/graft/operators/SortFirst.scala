@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project, SubqueryAlias}
 
 /** Sort-first projection — the plan shape for `scan → heavy row-local
   * exprs → total ORDER BY` queries.
@@ -82,5 +83,27 @@ object SortFirst {
   def widen(df: DataFrame): DataFrame = {
     val p = df.sparkSession.sessionState.conf.numShufflePartitions
     if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
+
+  /** [[widen]] restricted to SCAN-SIDE inputs (a single relation under
+    * only Project/Filter/alias), applied from inside operators whose
+    * caller may pass an arbitrary frame. The restriction is what keeps
+    * the partition-count probe lazy: `df.rdd.getNumPartitions` finalizes
+    * the physical plan, and under AQE that MATERIALIZES any upstream
+    * shuffle stages at compose time — a compose-time job, which the
+    * library's laziness contract (LazinessSpec) forbids. A scan-side
+    * plan has no exchange, so finalizing it schedules nothing. Inputs
+    * with joins/aggregates/repartitions pass through unchanged: their
+    * downstream parallelism already comes from an exchange, so widening
+    * buys nothing there anyway. */
+  def widenScanSide(df: DataFrame): DataFrame = {
+    def scanSide(p: LogicalPlan): Boolean = p match {
+      case Project(_, c) => scanSide(c)
+      case Filter(_, c) => scanSide(c)
+      case SubqueryAlias(_, c) => scanSide(c)
+      case leaf if leaf.children.isEmpty => true
+      case _ => false
+    }
+    if (scanSide(df.queryExecution.analyzed)) widen(df) else df
   }
 }

@@ -68,7 +68,7 @@ class AvroStreamSpec extends AnyFunSuite with SparkFixture {
       landFile(gen1(s, Seq((3, "d"))), zone, "g1-1.avro")
       landFile(gen2(s, Seq((200L, "e", 9))), zone, "g2-1.avro")
       q.processAllAvailable()
-    } finally q.stop()
+    } finally stopStream(q)
     val streamed = canon(s.read.parquet(out))
     val batch = canon(AvroIo.readAvro(s, zone))
     assert(streamed == batch, s"streamed=$streamed batch=$batch")
@@ -97,7 +97,7 @@ class AvroStreamSpec extends AnyFunSuite with SparkFixture {
       q.processAllAvailable()
       landFile(gen2(s, Seq((200L, "d", 6))), zone, "g2-1.avro")
       q.processAllAvailable()
-    } finally q.stop()
+    } finally stopStream(q)
     val streamed = s.read.parquet(out)
     // exactly once: set equality with the batch read AND exact row count
     assert(canon(streamed) == canon(AvroIo.readAvro(s, zone)))
@@ -118,7 +118,7 @@ class AvroStreamSpec extends AnyFunSuite with SparkFixture {
         perBatch.put(id, df.select("n").collect().map(_.getInt(0)).toSeq): Unit
       }
       .start()
-    try q.processAllAvailable() finally q.stop()
+    try q.processAllAvailable() finally stopStream(q)
     import scala.jdk.CollectionConverters._
     val sizes = perBatch.values.asScala.map(_.size).toSeq.sorted
     // 5 files at <=2 per trigger: batches of 2,2,1 — never more than 2
@@ -143,7 +143,7 @@ class AvroStreamSpec extends AnyFunSuite with SparkFixture {
       q.processAllAvailable() // no zone yet: zero batches, no failure
       landFile(gen1(s, Seq((1, "first"))), zone, "g1-0.avro")
       q.processAllAvailable()
-    } finally q.stop()
+    } finally stopStream(q)
     val got = s.read.parquet(out).collect().map(r => (r.getInt(0), r.getString(1)))
     assert(got.toSeq == Seq((1, "first")))
   }
@@ -169,7 +169,7 @@ class AvroStreamSpec extends AnyFunSuite with SparkFixture {
       landFile(gen1(s, Seq((3, "e"))), zone, "g1-1.avro")
       landFile(gen2(s, Seq((200L, "f", 9))), zone, "g2-1.avro")
       qL.processAllAvailable(); qQ.processAllAvailable()
-    } finally { qL.stop(); qQ.stop() }
+    } finally { stopStream(qL); stopStream(qQ) }
     // lake side: exactly the gen2 rows, physically under x=<val> dirs
     val lakeRows = s.read.parquet(lake)
     assert(lakeRows.collect().map(_.getAs[Long]("n")).sorted.toSeq ==
@@ -214,7 +214,7 @@ class AvroStreamSpec extends AnyFunSuite with SparkFixture {
       q.processAllAvailable()
       landFile(gen2(s, Seq((300L, "g", 9))), zone, "g2-2.avro")
       q.processAllAvailable()
-    } finally q.stop()
+    } finally stopStream(q)
     val lakeRows = s.read.parquet(lake)
     assert(lakeRows.collect().map(_.getAs[Long]("n")).sorted.toSeq ==
       Seq(100L, 101L, 200L, 300L))
@@ -233,7 +233,7 @@ class AvroStreamSpec extends AnyFunSuite with SparkFixture {
       AvroIo.readAvroStream(s, zone), Seq(Checks.NotNull("x")),
       lake2, quar2, Seq("x"),
       Files.createTempDirectory("graft-lake-ck2").toString)
-    try q2.processAllAvailable() finally q2.stop()
+    try q2.processAllAvailable() finally stopStream(q2)
     assert(s.read.parquet(lake2).count() == 4L)
     assert(s.read.parquet(quar2).count() == 3L)
   }
@@ -253,7 +253,7 @@ class AvroStreamSpec extends AnyFunSuite with SparkFixture {
       q.processAllAvailable()
       input.addData((3, "c"))
       q.processAllAvailable()
-    } finally q.stop()
+    } finally stopStream(q)
     // the zone reads back as exactly the input, through the normal path
     val back = AvroIo.readAvro(s, zone).collect()
       .map(r => (r.getInt(0), r.getString(1))).sorted.toSeq
@@ -285,7 +285,7 @@ class AvroStreamSpec extends AnyFunSuite with SparkFixture {
         codec = None)
       .option("checkpointLocation",
         Files.createTempDirectory("graft-avro-sink-ck").toString).start()
-    try { inputA.addData((1, "a")); qA.processAllAvailable() } finally qA.stop()
+    try { inputA.addData((1, "a")); qA.processAllAvailable() } finally stopStream(qA)
     // producer B — a DIFFERENT query with a FRESH checkpoint — also
     // starts at epoch 0 on the same zone; without the query-id
     // namespace its epoch-0 commit would see A's marker and silently
@@ -295,7 +295,7 @@ class AvroStreamSpec extends AnyFunSuite with SparkFixture {
         codec = None)
       .option("checkpointLocation",
         Files.createTempDirectory("graft-avro-sink-ck").toString).start()
-    try { inputB.addData((2, "b")); qB.processAllAvailable() } finally qB.stop()
+    try { inputB.addData((2, "b")); qB.processAllAvailable() } finally stopStream(qB)
     val back = AvroIo.readAvro(s, zone).collect()
       .map(r => (r.getInt(0), r.getString(1))).sorted.toSeq
     assert(back == Seq((1, "a"), (2, "b")),
@@ -313,7 +313,7 @@ class AvroStreamSpec extends AnyFunSuite with SparkFixture {
       .option("checkpointLocation",
         Files.createTempDirectory("graft-avro-sink-ck").toString).start()
     try { input.addData((1, "a"), (2, "b")); q.processAllAvailable() }
-    finally q.stop()
+    finally stopStream(q)
     // simulate a crash mid-commit: the epoch's marker vanishes while
     // its part files remain — readers must treat those files as not
     // yet data (the sink's replay will delete and re-commit them)
@@ -335,7 +335,7 @@ class AvroStreamSpec extends AnyFunSuite with SparkFixture {
         codec = None)
       .option("checkpointLocation",
         Files.createTempDirectory("graft-avro-sink-ck").toString).start()
-    try { input.addData((1, "a")); q.processAllAvailable() } finally q.stop()
+    try { input.addData((1, "a")); q.processAllAvailable() } finally stopStream(q)
     // the marker lookup must anchor at the file's PARENT for a direct
     // file path — a committed epoch file is a valid standalone read
     val part = new java.io.File(zone).listFiles()
@@ -390,7 +390,7 @@ class AvroStreamSpec extends AnyFunSuite with SparkFixture {
         rows.addAndGet(df.count()); batchCount.incrementAndGet(): Unit
       }.start()
     var q = start()
-    try q.processAllAvailable() finally q.stop()
+    try q.processAllAvailable() finally stopStream(q)
     assert(batchCount.get() == nFiles, "one batch per file expected")
     assert(rows.get() == 2000L)
     // the log must be ONE snapshot plus a tail bounded by the compact
@@ -412,7 +412,7 @@ class AvroStreamSpec extends AnyFunSuite with SparkFixture {
       assert(rows.get() == 2000L, "restart replayed a committed batch")
       landFile(gen1(s, Seq((9001, "late"), (9002, "late"))), zone, "late.avro")
       q.processAllAvailable()
-    } finally q.stop()
+    } finally stopStream(q)
     assert(batchCount.get() == nFiles + 1L)
     assert(rows.get() == 2002L, "late file dropped or read twice after restart")
   }
@@ -455,7 +455,7 @@ class AvroStreamSpec extends AnyFunSuite with SparkFixture {
       q.processAllAvailable()
       landFile(gen1(s, Seq((4, "d"))), zone, "f4.avro")
       q.processAllAvailable()
-    } finally q.stop()
+    } finally stopStream(q)
     assert(seenRows.toArray.map(_.asInstanceOf[Int]).toSeq.sorted == Seq(1, 2, 3, 4),
       s"aged purge re-ingested or dropped rows: $seenRows")
     val logDir = sourceLogDir(ck)
@@ -481,7 +481,7 @@ class AvroStreamSpec extends AnyFunSuite with SparkFixture {
         Files.createTempDirectory("graft-avro-sink-ck").toString).start()
     try (0 until 7).foreach { i =>
       input.addData((i, s"r$i")); q.processAllAvailable()
-    } finally q.stop()
+    } finally stopStream(q)
     // epochs 0..6 at interval 3: roll-ups after epochs 2 and 5 — the
     // marker dir holds ONE high-water file plus only the tail markers
     // (the rolling epoch's OWN marker survives its roll-up so a replay
@@ -524,7 +524,7 @@ class AvroStreamSpec extends AnyFunSuite with SparkFixture {
         Files.createTempDirectory("graft-avro-sink-ck").toString).start()
     try (0 until 5).foreach { i =>
       input.addData((i, s"r$i")); q.processAllAvailable()
-    } finally q.stop()
+    } finally stopStream(q)
     val qdir = new java.io.File(zone, "_graft_commits").listFiles()
       .filter(_.isDirectory).head
     assert(qdir.listFiles()
@@ -585,7 +585,7 @@ class AvroStreamSpec extends AnyFunSuite with SparkFixture {
       input.addData((3, "c"))
       q = start()
       q.processAllAvailable()
-    } finally q.stop()
+    } finally stopStream(q)
     val back = AvroIo.readAvro(s, zone).collect()
       .map(r => (r.getInt(0), r.getString(1))).sorted.toSeq
     assert(back == Seq((1, "a"), (2, "b"), (3, "c")),
@@ -617,8 +617,8 @@ class AvroStreamSpec extends AnyFunSuite with SparkFixture {
         val got = s.table("avro_rt_sink").collect()
           .map(r => (r.getInt(0), r.getString(1))).sorted.toSeq
         assert(got == Seq((1, "a"), (2, "b"), (3, "c")))
-      } finally consumer.stop()
-    } finally producer.stop()
+      } finally stopStream(consumer)
+    } finally stopStream(producer)
   }
 
   test("end to end: producer sink -> landing zone -> continuous lake promotion") {
@@ -650,8 +650,8 @@ class AvroStreamSpec extends AnyFunSuite with SparkFixture {
         input.addData((3L, "c", Some(9)), (4L, "d", None))
         producer.processAllAvailable()
         qL.processAllAvailable(); qQ.processAllAvailable()
-      } finally { qL.stop(); qQ.stop() }
-    } finally producer.stop()
+      } finally { stopStream(qL); stopStream(qQ) }
+    } finally stopStream(producer)
     assert(s.read.parquet(lake).collect().map(_.getAs[Long]("n")).sorted.toSeq ==
       Seq(1L, 3L), "gated rows missing from the continuously-promoted lake")
     val q = s.read.parquet(quar).collect()
@@ -685,7 +685,7 @@ class AvroStreamSpec extends AnyFunSuite with SparkFixture {
       // a later file pushes the watermark past hour 0, closing it
       hourFile(2, Seq(7.0), "h2.avro")
       q.processAllAvailable()
-    } finally q.stop()
+    } finally stopStream(q)
     val streamed = s.table("avro_drift_sink")
       .select(unix_timestamp(col("window_start")).as("w"), col("column"),
         col("bin"), col("cur_n"))
@@ -715,7 +715,7 @@ class AvroStreamSpec extends AnyFunSuite with SparkFixture {
       .writeStream.format("parquet")
       .option("path", out).option("checkpointLocation", ck)
       .outputMode("append").start()
-    try q.processAllAvailable() finally q.stop()
+    try q.processAllAvailable() finally stopStream(q)
     assert(s.read.parquet(out).collect().map(_.getInt(0)).sorted.toSeq ==
       Seq(8, 9, 10))
   }

@@ -22,9 +22,12 @@ class BenchPairingSpec extends AnyFunSuite {
     assert(!Bench.forkSuspect(insweep = 16.5, forkMedian = 5.8))
     // equality and mild slowdowns are fine (fork startup jitter)
     assert(!Bench.forkSuspect(2.9, 2.9))
-    assert(!Bench.forkSuspect(2.9, 8.0))
+    assert(!Bench.forkSuspect(2.9, 4.0))
     // the r15 hole: 41.2 s fork for a 2.9 s in-sweep query is noise
     assert(Bench.forkSuspect(2.9, 41.2))
+    // the r19 hole: a 2.16x fork (q_pipeline_audit, 6.18 s vs 2.86 s
+    // in-sweep) slid under the old 3x gate; 1.5x catches it
+    assert(Bench.forkSuspect(2.86, 6.18))
     // retry agreed with the sweep -> keep the sane fork, unmarked
     assert(Bench.adjudicateRetime(2.9, Seq(41.2, 3.4)) == ((3.4, false)))
     // retry ALSO diverged -> keep the best number but flag it

@@ -82,7 +82,7 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
       assert(u1.isDefined, s"user-1 session not emitted: ${got.mkString(";")}")
       assert(u1.get.getLong(3) == 2L) // both events in one session
       assert(u1.get.getDouble(4) == 3.0)
-    } finally q.stop()
+    } finally stopStream(q)
   }
 
   test("streaming sessionize over events.parquet == batch sessionize (differential)") {
@@ -126,7 +126,7 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
         s"streaming closed ${got.length} sessions, batch found ${batch.length}")
       assert(got.toSeq == batch.toSeq,
         "streaming sessions must equal batch sessions on the same replay")
-    } finally q.stop()
+    } finally stopStream(q)
   }
 
   test("streamingDriftBins == batch face; window report == Drift.report on the slice") {
@@ -170,7 +170,7 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
         .sortBy(x => (x._1, x._2, x._3))
       assert(got.toSeq == batch.toSeq,
         "streaming per-window contingency must equal the batch face")
-    } finally q.stop()
+    } finally stopStream(q)
 
     // scoring composition: one window's emitted cells joined to the
     // static reference counts + reportFromContingency == Drift.report
@@ -227,7 +227,7 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
         .select("a_id", "b_id").collect()
         .map(x => (x.getLong(0), x.getLong(1))).toSet
       assert(confirmed.subsetOf(got))
-    } finally q.stop()
+    } finally stopStream(q)
   }
 
   test("streaming CDC loop: foreachBatch applyChanges maintains a parquet snapshot") {
@@ -270,7 +270,7 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
         .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
       val expect = (v0.toMap - 5L) ++ Map(3L -> "v3-new", 11L -> "v11-new")
       assert(fin == expect, s"snapshot diverged: $fin")
-    } finally q.stop()
+    } finally stopStream(q)
   }
 
   test("HLL sketch aggregates run on a windowed stream; stored windows merge to the total") {
@@ -306,7 +306,7 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
       // (30 distinct users) without touching the events again
       val merged = graft.functions.HllSketch.mergeRegs(wins(0L), wins(3600000L))
       assert(math.abs(est(merged) - 30.0) < 3.0)
-    } finally q.stop()
+    } finally stopStream(q)
   }
 
   test("KLL sketch aggregates run on a windowed stream; stored windows merge to the total") {
@@ -346,7 +346,7 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
       assert(KllSketch.quantile(merged, 0.0) == 1.0 &&
         KllSketch.quantile(merged, 1.0) == 200.0)
       assert(KllSketch.quantile(merged, 0.5) == 100.0)
-    } finally q.stop()
+    } finally stopStream(q)
   }
 
   test("streamingNearDupCandidates caps hot buckets at maxBucket members") {
@@ -366,7 +366,7 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
       val got = s.table("t_neardup_cap").collect()
         .map(x => (x.getLong(0), x.getLong(1))).toSet
       assert(got == Set((1L, 2L), (1L, 3L), (2L, 3L)))
-    } finally q.stop()
+    } finally stopStream(q)
   }
 
   test("stream-stream interval join == batch interval join (differential)") {
@@ -407,7 +407,7 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
         .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
       assert(got.toSeq == batch.toSeq,
         s"streaming join emitted ${got.length} pairs, batch ${batch.length}")
-    } finally q.stop()
+    } finally stopStream(q)
   }
 
   test("readEventStream: file source feeds the same windowed agg") {
@@ -425,7 +425,7 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
       val got = spark.table("t_filewin").collect()
       assert(got.length == 1) // both clicks fall in the same hour window
       assert(got.head.getLong(2) == 2L && got.head.getDouble(3) == 3.0)
-    } finally q.stop()
+    } finally stopStream(q)
   }
 
   test("streamingDedup drops duplicate keys within the watermark") {
@@ -442,7 +442,7 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
       val got = spark.table("t_dedup").collect()
       assert(got.length == 2) // one row per user
       assert(got.map(_.getLong(2)).toSet == Set(1L, 2L))
-    } finally q.stop()
+    } finally stopStream(q)
   }
 
   test("streaming image dedup: dHash computed in-stream, duplicates dropped by hash") {
@@ -471,7 +471,7 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
       q.processAllAvailable()
       val got = s.table("t_imgdedup").collect().map(_.getLong(0)).sorted.toSeq
       assert(got.length == 2 && got.contains(3L)) // one of {1,2} + 3
-    } finally q.stop()
+    } finally stopStream(q)
   }
 
   test("stateless curation ops (redact/quality/langid) run unchanged on a stream") {
@@ -513,7 +513,7 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
       assert(streamed.head._5.startsWith("the cat and") &&
         !streamed.head._5.split(" ").groupBy(identity).values.exists(_.length > 1))
       assert(!streamed.head._6.split(" ").contains("the"))
-    } finally q.stop()
+    } finally stopStream(q)
   }
 
   test("Checks.flag routes bad rows unchanged on a stream (stateless gate)") {
@@ -539,7 +539,7 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
       assert(shape(spark.table("t_checks")) == shape(gate(rows.toDF())),
         "streamed flags must equal the batch face")
       assert(shape(spark.table("t_checks")).map(_._4) == Seq(false, true, true))
-    } finally q.stop()
+    } finally stopStream(q)
   }
 
   test("readJsonQuarantine parsing runs unchanged on a stream (text + from_json)") {
@@ -568,7 +568,7 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
       assert(graft.sources.PsIO.jsonQuarantined(s.table("t_jsonq"))
         .select("_corrupt").collect().map(_.getString(0)).toSeq == Seq("busted line"))
       assert(rows.length == 3)
-    } finally q.stop()
+    } finally stopStream(q)
   }
 
   test("chunkDocs runs unchanged on a stream (per-row explode, no state)") {
@@ -593,7 +593,7 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
       val batch = chunk(docs.toDF()).collect()
         .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).sorted.toSeq
       assert(streamed == batch && streamed.nonEmpty)
-    } finally q.stop()
+    } finally stopStream(q)
   }
 
   test("file source -> windowed agg -> parquet file sink round-trips") {
@@ -623,7 +623,7 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
       val got = s.read.parquet(outDir).collect()
       assert(got.exists(r => r.getLong(2) == 2L && r.getDouble(3) == 3.0),
         s"closed first-hour window missing from file sink: ${got.mkString(";")}")
-    } finally q.stop()
+    } finally stopStream(q)
   }
 
   test("streamingAsOf: batch face == native as-of; streaming replay == batch face") {
@@ -698,7 +698,7 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
       assert(got.length == native.length,
         s"streaming emitted ${got.length} of ${native.length} lefts")
       assert(toMap(got) == nativeMap, "streaming replay vs native batch as-of")
-    } finally q.stop()
+    } finally stopStream(q)
   }
 
   test("streaming tumblingAgg emits closed windows under append mode") {
@@ -719,7 +719,7 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
       val got = spark.table("t_windows").collect()
       assert(got.exists(r => r.getLong(2) == 2L && r.getDouble(3) == 3.0),
         s"closed first-hour window missing: ${got.mkString(";")}")
-    } finally q.stop()
+    } finally stopStream(q)
   }
 
   test("dedupAgainstCorpus runs unchanged on a stream (stream-static anti-join)") {
@@ -747,7 +747,7 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
       val got = spark.table("t_incr").collect().map(_.getLong(0)).toSet
       assert(got == Set(11L, 13L),
         s"normalized copies must drop, new docs pass: got $got")
-    } finally q.stop()
+    } finally stopStream(q)
   }
 
   test("streamingDelta: CDC transitions; batch-2 emissions == snapshotDiff") {
@@ -789,7 +789,7 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
         .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
       val batchDelta = batch.filter(_._2 != "unchanged")
       assert(delta == batchDelta, s"stream=$delta batch=$batchDelta")
-    } finally q.stop()
+    } finally stopStream(q)
   }
 
   // ---- checkpoint recovery ------------------------------------------
@@ -821,7 +821,7 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
         if (stopAfter.contains(i)) { q.stop(); q = start() }
       }
       q.processAllAvailable()
-    } finally q.stop()
+    } finally stopStream(q)
     spark.read.parquet(s"$root/out").as[StreamingOps.SessionOut].collect()
       .map(o => (o.user_id, o.session_start.getTime, o.session_end.getTime,
         o.n_events, o.total_value)).toSet
@@ -883,7 +883,7 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
           if (stopAfter.contains(i)) { q.stop(); q = start() }
         }
         q.processAllAvailable()
-      } finally q.stop()
+      } finally stopStream(q)
       spark.read.parquet(s"$root/out").collect()
         .map(r => (r.getTimestamp(0).getTime, r.getString(1),
           r.getString(2), r.getLong(3))).toSet
@@ -942,7 +942,7 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
           if (stopAfter.contains(i)) { q.stop(); q = start() }
         }
         q.processAllAvailable()
-      } finally q.stop()
+      } finally stopStream(q)
       got.toMap
     }
     val uninterrupted = replay(stopAfter = None)
@@ -1009,7 +1009,7 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
       input.addData(winB); q.processAllAvailable()
       input.addData(Seq(ev(7, 1200, 99))); q.processAllAvailable()
       input.addData(Seq(ev(8, 1201, 99))); q.processAllAvailable()
-    } finally q.stop()
+    } finally stopStream(q)
     // the differential: each window matches the BATCH report against
     // the reference that was live when it closed
     def batchScored(events: Seq[Event], ref: org.apache.spark.sql.DataFrame): Map[Key, Val] =
@@ -1064,7 +1064,7 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
       input.addData(Seq(ev(2, 725, 1, 2.0))); q.processAllAvailable()
       input.addData(Seq(ev(3, 1200, 99))); q.processAllAvailable()
       input.addData(Seq(ev(4, 1201, 99))); q.processAllAvailable()
-    } finally q.stop()
+    } finally stopStream(q)
     // both windows scored with ref1's counts (ref_n = 3) and no crash
     assert(got((ts(0).getTime, "value")) == 3L)
     assert(got((ts(720).getTime, "value")) == 3L)
@@ -1090,7 +1090,7 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
         input.addData(Seq(ev(3, 301, 99))); q.processAllAvailable()
       }
       assert(e.getMessage.contains("no committed reference"))
-    } finally q.stop()
+    } finally stopStream(q)
   }
 
   test("streamingDelta restart from checkpoint keeps the CDC fingerprints") {
@@ -1118,7 +1118,7 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
         ChangeIn(4L, 0L, 2000L, true),   // delete of a pre-restart key
         ChangeIn(6L, 66L, 2000L, false)))
       q.processAllAvailable()
-    } finally q.stop()
+    } finally stopStream(q)
     val post = spark.read.parquet(s"$root/out").as[StreamingOps.DeltaOut]
       .collect().filter(_.tsMs == 2000L).map(d => d.key -> d.status).toSet
     // a lost state store would re-emit key 1 as "added", turn key 2's
@@ -1146,7 +1146,7 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
       q = start() // recover the per-bucket member lists
       input.addData(Seq((3L, text)))
       q.processAllAvailable()
-    } finally q.stop()
+    } finally stopStream(q)
     val pairs = spark.read.parquet(s"$root/out")
       .select("a_id", "b_id").distinct().collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -1191,7 +1191,7 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
           if (stopAfter.contains(i)) { q.stop(); q = start() }
         }
         q.processAllAvailable()
-      } finally q.stop()
+      } finally stopStream(q)
       spark.read.parquet(s"$root/out")
         .select("event_id", "value", "event_type",
           "in_range_value_bad", "one_of_event_type_bad", "row_bad")
@@ -1230,6 +1230,6 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
       val got = spark.table("t_delta2").as[StreamingOps.DeltaOut].collect()
         .filter(_.tsMs == 2000L).map(d => (d.key, d.status)).toSet
       assert(got == Set((7L, "changed"), (7L, "removed")))
-    } finally q.stop()
+    } finally stopStream(q)
   }
 }
